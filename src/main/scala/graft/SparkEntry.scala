@@ -11,7 +11,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def registry: Seq[Q] =
-    graft.queries.RelationalQueries.all
+    graft.queries.RelationalQueries.all ++
+      graft.queries.JoinQueries.all ++
+      graft.queries.AggregateQueries.all ++
+      graft.queries.WindowQueries.all ++
+      graft.queries.SortSetQueries.all ++
+      graft.queries.FunctionQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

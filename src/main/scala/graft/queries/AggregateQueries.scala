@@ -1,0 +1,176 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.WeightedMean
+import org.apache.spark.sql.functions._
+
+/** Aggregate family (SURVEY.md §2b A2–A9).
+  *
+  * Every aggregate here is algebraic (partial→final split around one
+  * shuffle); distinct aggregates expand then re-shuffle on (key, value) —
+  * both are the plans you want at 100 TB. `approx_count_distinct` is the
+  * constant-memory HLL path for high-cardinality keys.
+  */
+object AggregateQueries {
+
+  /** A2: global (ungrouped) aggregate — single output row, map-side partials. */
+  val a2GlobalAgg: Q = Q(
+    "a2_global_agg",
+    """SELECT count(*) AS n_rows,
+      |  round(sum(l_quantity), 4) AS sum_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
+      |  round(min(l_discount), 4) AS min_disc,
+      |  round(max(l_tax), 4) AS max_tax,
+      |  min(l_shipdate) AS first_ship,
+      |  max(l_shipdate) AS last_ship
+      |FROM lineitem""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      round(sum(col("l_quantity")), 4).as("sum_qty"),
+      round(avg(col("l_extendedprice")), 4).as("avg_price"),
+      round(min(col("l_discount")), 4).as("min_disc"),
+      round(max(col("l_tax")), 4).as("max_tax"),
+      min(col("l_shipdate")).as("first_ship"),
+      max(col("l_shipdate")).as("last_ship"))
+  }
+
+  /** A3: distinct aggregates — Catalyst expands to a two-phase plan
+    * (distinct on (group, value) then final agg); no driver collection.
+    */
+  val a3DistinctAgg: Q = Q(
+    "a3_distinct_agg",
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  round(sum(DISTINCT l_quantity), 4) AS sum_dist_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        round(sum_distinct(col("l_quantity")), 4).as("sum_dist_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** A4: DISTINCT rows (set semantics) — hash aggregate on all columns. */
+  val a4DistinctRows: Q = Q(
+    "a4_distinct_rows",
+    """SELECT DISTINCT l_returnflag, l_linestatus
+      |FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** A5: rollup with grouping markers — multi-level subtotals in one pass
+    * (Spark expands grouping sets map-side; one shuffle).
+    */
+  val a5Rollup: Q = Q(
+    "a5_rollup",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+      |  round(sum(l_quantity), 4) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(
+        col("g_rf"), col("g_ls"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** A6: HLL approximate distinct (no oracle — sketch internals differ per
+    * engine; accuracy is asserted in AggregateSpec against the exact count).
+    * This is the 100 TB path for COUNT(DISTINCT) over high-cardinality keys:
+    * constant memory per group, no expand.
+    */
+  val a6ApproxDistinct: Q = Q(
+    "a6_approx_distinct",
+    fn = (spark, dir) =>
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy(col("event_type")))
+
+  /** A7: exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`). At true 100 TB scale swap to `percentile_approx`
+    * (t-digest, mergeable); the exact form is kept here because the oracle
+    * compares exact values.
+    */
+  val a7Quantiles: Q = Q(
+    "a7_quantiles",
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+      |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** A8: collect aggregates — set collected then sorted so the result is
+    * deterministic (collect_list order is partition-dependent; never expose
+    * it unsorted).
+    */
+  val a8CollectAgg: Q = Q(
+    "a8_collect_agg",
+    """SELECT l_returnflag,
+      |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+      |  count(DISTINCT l_linestatus) AS n_statuses
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"),
+        countDistinct(col("l_linestatus")).as("n_statuses"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** A9/X2: custom typed UDAF (graft.functions.WeightedMean) — buffer
+    * (Σ v·w, Σ w) merges associatively, so Spark runs it partial→final
+    * around the shuffle exactly like a built-in.
+    */
+  val a9WeightedMean: Q = Q(
+    "a9_weighted_mean",
+    """SELECT l_returnflag,
+      |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS wavg_price,
+      |  round(sum(l_quantity), 4) AS total_weight
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(WeightedMean(col("l_extendedprice"), col("l_quantity")), 4).as("wavg_price"),
+        round(sum(col("l_quantity")), 4).as("total_weight"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val all: Seq[Q] = Seq(
+    a2GlobalAgg, a3DistinctAgg, a4DistinctRows, a5Rollup, a6ApproxDistinct,
+    a7Quantiles, a8CollectAgg, a9WeightedMean)
+}

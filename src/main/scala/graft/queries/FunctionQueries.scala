@@ -1,0 +1,206 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+
+/** Scalar function families (SURVEY.md §2b F1–F8 + the P3 extras:
+  * CASE WHEN, IN, BETWEEN).
+  *
+  * All functions here are codegen'd built-ins — no UDFs — so every query
+  * stays inside one WholeStageCodegen span per stage.
+  */
+object FunctionQueries {
+
+  /** F1: string surface — case, substring, length, concat, LIKE,
+    * regexp_extract, split. Bounded by the pushed `p_partkey < 25` filter.
+    */
+  val f1Strings: Q = Q(
+    "f1_strings",
+    """SELECT p_partkey,
+      |  upper(p_name) AS name_up,
+      |  substring(p_name, 1, 5) AS name_pre,
+      |  length(p_name) AS name_len,
+      |  concat(p_brand, '/', p_type) AS brand_type,
+      |  CAST(p_name LIKE '%bolt%' AS INT) AS is_bolt,
+      |  regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+      |  CAST(len(string_split(p_name, ' ')) AS INT) AS n_words
+      |FROM part
+      |WHERE p_partkey < 25
+      |ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+    Tables.part(spark, dir)
+      .filter(col("p_partkey") < 25)
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_up"),
+        substring(col("p_name"), 1, 5).as("name_pre"),
+        length(col("p_name")).as("name_len"),
+        concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+        col("p_name").like("%bolt%").cast("int").as("is_bolt"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+        size(split(col("p_name"), " ")).as("n_words"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** F2: date/time surface — date_trunc, year/month extraction, datediff,
+    * add_months. Grouped monthly so output is bounded by the calendar.
+    */
+  val f2Dates: Q = Q(
+    "f2_dates",
+    """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+      |  CAST(year(date_trunc('month', o_orderdate)) AS INT) AS yr,
+      |  CAST(month(date_trunc('month', o_orderdate)) AS INT) AS mo,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) + INTERVAL 3 MONTH AS mon_plus_q,
+      |  count(*) AS n_orders,
+      |  round(avg(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)), 4) AS avg_days_since_epoch0
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY mon""".stripMargin) { (spark, dir) =>
+    val mon = date_trunc("month", col("o_orderdate"))
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .groupBy(
+        mon.as("mon"),
+        year(mon).as("yr"),
+        month(mon).as("mo"),
+        add_months(mon, 3).cast("timestamp").as("mon_plus_q"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(avg(datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp"))), 4)
+          .as("avg_days_since_epoch0"))
+      .orderBy(col("mon"))
+  }
+
+  /** F3: math surface over global aggregates — single-row output. */
+  val f3Math: Q = Q(
+    "f3_math",
+    """SELECT
+      |  CAST(ceil(avg(l_quantity)) AS BIGINT) AS ceil_avg_qty,
+      |  CAST(floor(avg(l_extendedprice)) AS BIGINT) AS floor_avg_price,
+      |  round(abs(min(l_discount) - 0.05), 4) AS abs_disc_delta,
+      |  round(pow(avg(l_quantity), 2), 4) AS qty_sq,
+      |  round(ln(sum(l_extendedprice)), 4) AS ln_revenue,
+      |  round(sqrt(avg(l_extendedprice)), 4) AS sqrt_avg_price,
+      |  round(exp(avg(l_discount)), 4) AS exp_avg_disc
+      |FROM lineitem""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir).agg(
+      ceil(avg(col("l_quantity"))).as("ceil_avg_qty"),
+      floor(avg(col("l_extendedprice"))).as("floor_avg_price"),
+      round(abs(min(col("l_discount")) - 0.05), 4).as("abs_disc_delta"),
+      round(pow(avg(col("l_quantity")), 2), 4).as("qty_sq"),
+      round(log(sum(col("l_extendedprice"))), 4).as("ln_revenue"),
+      round(sqrt(avg(col("l_extendedprice"))), 4).as("sqrt_avg_price"),
+      round(exp(avg(col("l_discount"))), 4).as("exp_avg_disc"))
+  }
+
+  /** F4: array surface — split, size, array_distinct, slice, array_join,
+    * array_contains. Arrays stay inside codegen; no explode needed here.
+    */
+  val f4Arrays: Q = Q(
+    "f4_arrays",
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens,
+      |  array_to_string(string_split(text, ' ')[1:3], ' ') AS first3,
+      |  CAST(list_contains(string_split(text, ' '), 'table') AS INT) AS has_table
+      |FROM documents
+      |WHERE doc_id < 20
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val toks = split(col("text"), " ")
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 20)
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct_tokens"),
+        array_join(slice(toks, 1, 3), " ").as("first3"),
+        array_contains(toks, "table").cast("int").as("has_table"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** F5+F6: JSON parsing into a map and map element access —
+    * `events.props` is a JSON object; Spark parses it once into
+    * MapType(String, Int) and reads `k` via element_at.
+    */
+  val f5MapJson: Q = Q(
+    "f5_map_json",
+    """SELECT event_type,
+      |  count(*) AS n,
+      |  round(avg(CAST(json_extract(props, '$.k') AS INT)), 4) AS avg_k,
+      |  min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+      |  max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val props = from_json(col("props"), MapType(StringType, IntegerType))
+    Tables.events(spark, dir)
+      .select(col("event_type"), element_at(props, "k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("k")), 4).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  /** F7 + P3 extras: CASE WHEN buckets, IN-list, BETWEEN, coalesce/nullif,
+    * least/greatest.
+    */
+  val f7Conditional: Q = Q(
+    "f7_conditional",
+    """SELECT
+      |  CASE WHEN c_acctbal < 0 THEN 'neg'
+      |       WHEN c_acctbal BETWEEN 0 AND 5000 THEN 'low'
+      |       ELSE 'high' END AS bal_bucket,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(c_mktsegment IN ('BUILDING', 'AUTOMOBILE') AS INT)) AS BIGINT) AS n_seg,
+      |  CAST(sum(CAST(nullif(c_mktsegment, 'MACHINERY') IS NULL AS INT)) AS BIGINT) AS n_machinery,
+      |  round(sum(least(c_acctbal, 5000.0)), 4) AS capped_bal,
+      |  round(sum(greatest(c_acctbal, 0.0)), 4) AS pos_bal,
+      |  round(sum(coalesce(nullif(c_acctbal, 0.0), -1.0)), 4) AS coalesced_bal
+      |FROM customer
+      |GROUP BY 1
+      |ORDER BY bal_bucket""".stripMargin) { (spark, dir) =>
+    val bucket = when(col("c_acctbal") < 0, "neg")
+      .when(col("c_acctbal").between(0, 5000), "low")
+      .otherwise("high")
+    Tables.customer(spark, dir)
+      .groupBy(bucket.as("bal_bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE").cast("int")).cast("long").as("n_seg"),
+        sum(nullif(col("c_mktsegment"), lit("MACHINERY")).isNull.cast("int")).cast("long").as("n_machinery"),
+        round(sum(least(col("c_acctbal"), lit(5000.0))), 4).as("capped_bal"),
+        round(sum(greatest(col("c_acctbal"), lit(0.0))), 4).as("pos_bal"),
+        round(sum(coalesce(nullif(col("c_acctbal"), lit(0.0)), lit(-1.0))), 4).as("coalesced_bal"))
+      .orderBy(col("bal_bucket"))
+  }
+
+  /** F8: hash functions — md5 / sha256 as content keys (the exact-dedup
+    * primitive, L1). Count-distinct over hashes equals distinct contents.
+    */
+  val f8Hash: Q = Q(
+    "f8_hash",
+    """SELECT lang,
+      |  count(DISTINCT md5(text)) AS n_md5,
+      |  count(DISTINCT sha256(text)) AS n_sha,
+      |  substring(min(md5(text)), 1, 8) AS min_md5_prefix
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(md5(col("text"))).as("n_md5"),
+        countDistinct(sha2(col("text"), 256)).as("n_sha"),
+        substring(min(md5(col("text"))), 1, 8).as("min_md5_prefix"))
+      .orderBy(col("lang"))
+  }
+
+  val all: Seq[Q] = Seq(
+    f1Strings, f2Dates, f3Math, f4Arrays, f5MapJson, f7Conditional, f8Hash)
+}

@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sorts / limits / top-k (T2–T5) and set operations (U1–U4),
+  * SURVEY.md §2b.
+  */
+object SortSetQueries {
+
+  /** T2: partition-local sort after an explicit range repartition — the
+    * building block `orderBy` is made of (range partition + per-partition
+    * sort). Output is globally ordered because range partitions are
+    * emitted in boundary order.
+    */
+  val t2PartitionSort: Q = Q(
+    "t2_partition_sort",
+    """SELECT l_orderkey, l_linenumber, l_quantity
+      |FROM lineitem
+      |WHERE l_orderkey < 100
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") < 100)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .repartitionByRange(4, col("l_orderkey"), col("l_linenumber"))
+      .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** T3+T4: global top-k — `orderBy.limit` compiles to
+    * TakeOrderedAndProject (per-partition heap of k, merge on driver of
+    * k·partitions rows — no full sort, safe at any scale).
+    */
+  val t4TopK: Q = Q(
+    "t4_topk",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 15""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(15)
+  }
+
+  /** T5: top-k per group — `row_number` over a per-brand window then
+    * filter. One shuffle on the group key; window state bounded per brand.
+    */
+  val t5TopKPerGroup: Q = Q(
+    "t5_topk_per_group",
+    """SELECT p_brand, rnk, p_partkey, p_retailprice
+      |FROM (SELECT p_brand, p_partkey, p_retailprice,
+      |        row_number() OVER (PARTITION BY p_brand
+      |                           ORDER BY p_retailprice DESC, p_partkey) AS rnk
+      |      FROM part) t
+      |WHERE rnk <= 3
+      |ORDER BY p_brand, rnk""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(spark, dir)
+      .select(
+        col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= 3)
+      .select("p_brand", "rnk", "p_partkey", "p_retailprice")
+      .orderBy(col("p_brand"), col("rnk"))
+  }
+
+  /** U1: UNION ALL (bag concat, no shuffle) of two tagged slices. */
+  val u1UnionAll: Q = Q(
+    "u1_union_all",
+    """SELECT src, count(*) AS n, round(sum(o_totalprice), 4) AS total
+      |FROM (SELECT 'urgent' AS src, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+      |      UNION ALL
+      |      SELECT 'high' AS src, o_totalprice FROM orders WHERE o_orderpriority = '2-HIGH') t
+      |GROUP BY src
+      |ORDER BY src""".stripMargin) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(lit("urgent").as("src"), col("o_totalprice"))
+    val high = o.filter(col("o_orderpriority") === "2-HIGH")
+      .select(lit("high").as("src"), col("o_totalprice"))
+    urgent.union(high)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+      .orderBy(col("src"))
+  }
+
+  /** U2: UNION (set) — distinct nation keys present in either side. */
+  val u2UnionDistinct: Q = Q(
+    "u2_union_distinct",
+    """SELECT c_nationkey AS nationkey FROM customer
+      |UNION
+      |SELECT s_nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin) { (spark, dir) =>
+    val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey"))
+    c.union(s).distinct().orderBy(col("nationkey"))
+  }
+
+  /** U3: INTERSECT and INTERSECT ALL — customers placing both open ('O')
+    * and finished ('F') orders; set vs bag (min-multiplicity) counts.
+    */
+  val u3Intersect: Q = Q(
+    "u3_intersect",
+    """SELECT
+      |  (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |                         INTERSECT
+      |                         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t) AS n_intersect,
+      |  (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |                         INTERSECT ALL
+      |                         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t) AS n_intersect_all""".stripMargin) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+    val open = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+    val fin = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+    val nSet = open.intersect(fin).agg(count(lit(1)).as("n_intersect"))
+    val nBag = open.intersectAll(fin).agg(count(lit(1)).as("n_intersect_all"))
+    nSet.crossJoin(nBag)
+  }
+
+  /** U4: EXCEPT and EXCEPT ALL — customers with open but no finished orders. */
+  val u4Except: Q = Q(
+    "u4_except",
+    """SELECT
+      |  (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |                         EXCEPT
+      |                         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t) AS n_except,
+      |  (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |                         EXCEPT ALL
+      |                         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t) AS n_except_all""".stripMargin) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+    val open = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+    val fin = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+    val nSet = open.except(fin).agg(count(lit(1)).as("n_except"))
+    val nBag = open.exceptAll(fin).agg(count(lit(1)).as("n_except_all"))
+    nSet.crossJoin(nBag)
+  }
+
+  val all: Seq[Q] = Seq(
+    t2PartitionSort, t4TopK, t5TopKPerGroup,
+    u1UnionAll, u2UnionDistinct, u3Intersect, u4Except)
+}

@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window family (SURVEY.md §2b W1–W4).
+  *
+  * Window state is bounded per partition key (orders-per-customer,
+  * suppliers-per-nation), so at 100 TB each task sorts only its key
+  * groups after one shuffle on the partition key — no global sort.
+  */
+object WindowQueries {
+
+  /** W1+W2+W3: ranking (`row_number`, `rank`), offsets (`lag`), and a
+    * running-total frame in one pass over a customer partition. Output is
+    * bounded by the `o_custkey < 10` predicate (pushed to the scan).
+    */
+  val w1RankingRunning: Q = Q(
+    "w1_ranking_running",
+    """SELECT o_custkey, o_orderkey,
+      |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+      |  rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+      |  round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 4) AS prev_price,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_total
+      |FROM orders
+      |WHERE o_custkey < 10
+      |ORDER BY o_custkey, rn""".stripMargin) { (spark, dir) =>
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val running = byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") < 10)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(byDate).as("rn"),
+        rank().over(byPrice).as("price_rank"),
+        round(lag(col("o_totalprice"), 1).over(byDate), 4).as("prev_price"),
+        round(sum(col("o_totalprice")).over(running), 4).as("run_total"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** W4: distribution functions (`percent_rank`, `cume_dist`, `ntile`)
+    * over the supplier account-balance ordering.
+    */
+  val w4Distribution: Q = Q(
+    "w4_distribution",
+    """SELECT s_suppkey, s_acctbal,
+      |  round(percent_rank() OVER (ORDER BY s_acctbal, s_suppkey), 4) AS pct_rank,
+      |  round(cume_dist() OVER (ORDER BY s_acctbal, s_suppkey), 4) AS cume,
+      |  ntile(4) OVER (ORDER BY s_acctbal, s_suppkey) AS quartile
+      |FROM supplier
+      |ORDER BY s_acctbal, s_suppkey""".stripMargin) { (spark, dir) =>
+    val w = Window.orderBy(col("s_acctbal"), col("s_suppkey"))
+    Tables.supplier(spark, dir)
+      .select(
+        col("s_suppkey"), col("s_acctbal"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cume"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("s_acctbal"), col("s_suppkey"))
+  }
+
+  val all: Seq[Q] = Seq(w1RankingRunning, w4Distribution)
+}
