@@ -16,7 +16,9 @@ object SparkEntry {
       graft.queries.AggregateQueries.all ++
       graft.queries.WindowQueries.all ++
       graft.queries.SortSetQueries.all ++
-      graft.queries.FunctionQueries.all
+      graft.queries.FunctionQueries.all ++
+      graft.queries.TextQueries.all ++
+      graft.queries.SimilarityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

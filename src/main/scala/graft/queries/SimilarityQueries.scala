@@ -1,0 +1,230 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+
+/** Similarity / dedup operators (SURVEY.md §2b L2–L4): brute-force and
+  * LSH cosine search over `embeddings`, exact n-gram Jaccard and
+  * MinHash-LSH / SimHash near-dup over `documents`.
+  *
+  * Scale rules enforced here:
+  *  - no all-pairs `crossJoin` over an unbounded side — candidate
+  *    generation is always a banded/bucketed equi join;
+  *  - the only cross joins are against broadcast singletons (one query
+  *    vector) or an explicitly bounded slice (the exact-oracle variants);
+  *  - every hash is seeded deterministically (xxhash64 / fixed-seed PRNG).
+  */
+object SimilarityQueries {
+
+  private val NumPerm = 32
+  private val Bands = 8 // 4 rows per band
+
+  /** L3: exact top-k cosine — one broadcast query vector against the full
+    * table, `orderBy.limit` → TakeOrderedAndProject (per-partition heap,
+    * no global sort). The dot product is a codegen'd HOF fold in double.
+    */
+  val l3CosineTopK: Q = Q(
+    "l3_cosine_topk",
+    """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id, label,
+      |  round(list_dot_product(embedding::DOUBLE[], qe) /
+      |        (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+      |         sqrt(list_dot_product(qe, qe))), 4) AS sim
+      |FROM embeddings, q
+      |WHERE vec_id <> 0
+      |ORDER BY sim DESC, vec_id
+      |LIMIT 10""".stripMargin) { (spark, dir) =>
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"), col("label"),
+        round(VectorOps.cosine(col("embedding"), col("qe")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** L3 (scale path): LSH-bucketed approximate NN — embeddings keyed by
+    * sign-random-projection buckets over several hash tables; candidates
+    * are the equi-join on (table, bucket) with the query's buckets, then
+    * exact cosine re-rank of the candidate set only. This replaces the
+    * brute-force scan with a shuffle-key lookup at 100 TB. No oracle
+    * (approximate); recall is asserted in SimilaritySpec on planted
+    * clusters.
+    */
+  val l3AnnLsh: Q = Q(
+    "l3_ann_lsh",
+    fn = (spark, dir) => {
+      val tables = 4
+      val bits = 8
+      val e = Tables.embeddings(spark, dir)
+      val bucketed = e.select(
+        col("vec_id"), col("label"), col("embedding"),
+        explode(array((0 until tables).map { t =>
+          struct(lit(t).as("tbl"),
+            VectorOps.lshBucket(col("embedding"), bits, seed = 1000L + t).as("bkt"))
+        }: _*)).as("tb"))
+        .select(col("vec_id"), col("label"), col("embedding"),
+          col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+      val q = bucketed.filter(col("vec_id") === 0)
+        .select(col("tbl"), col("bkt"), col("embedding").as("qe"))
+      bucketed.filter(col("vec_id") =!= 0)
+        .join(broadcast(q), Seq("tbl", "bkt"))
+        .select(col("vec_id"), col("label"),
+          round(VectorOps.cosine(col("embedding"), col("qe")), 4).as("sim"))
+        .dropDuplicates("vec_id")
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    })
+
+  /** L4 (+ n-gram Jaccard dedup): exact bigram-shingle Jaccard self-join.
+    * The scalable formulation: distinct (doc, shingle) pairs, self equi
+    * join ON the shingle (never all-pairs), group to |A∩B|, then
+    * |A∪B| = |A|+|B|−|A∩B| from broadcast per-doc set sizes. The doc_id
+    * bound keeps the oracle slice constant across scale factors.
+    */
+  val l4NgramJaccard: Q = Q(
+    "l4_ngram_jaccard_pairs",
+    """WITH d AS (SELECT doc_id,
+      |             list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS sh
+      |           FROM (SELECT doc_id, string_split(text, ' ') AS t
+      |                 FROM documents WHERE doc_id < 500) s),
+      |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+      |        len(list_intersect(a.sh, b.sh)) * 1.0 /
+      |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+      |      FROM d a, d b WHERE a.doc_id < b.doc_id)
+      |SELECT i, j, round(jac, 4) AS jaccard
+      |FROM p WHERE jac >= 0.5
+      |ORDER BY i, j""".stripMargin) { (spark, dir) =>
+    val t = split(col("text"), " ")
+    val bigrams = transform(
+      sequence(lit(1), size(t) - 1),
+      i => concat(element_at(t, i), lit(" "), element_at(t, i + 1)))
+    val sh = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), explode(array_distinct(bigrams)).as("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.alias("a")
+      .join(sh.alias("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast("double") /
+      (col("sz_i") + col("sz_j") - col("inter"))
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as("i"), col("sz").as("sz_i"))), Seq("i"))
+      .join(broadcast(sizes.select(col("doc_id").as("j"), col("sz").as("sz_j"))), Seq("j"))
+      .withColumn("jac", jac)
+      .filter(col("jac") >= 0.5)
+      .select(col("i"), col("j"), round(col("jac"), 4).as("jaccard"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** L4: embedding-cosine near-dup pairs on a bounded slice, exact (the
+    * oracle twin computes the same O(n²) on the same slice; the unbounded
+    * scale path is the LSH candidate join of l3_ann_lsh).
+    */
+  val l4EmbeddingNearDup: Q = Q(
+    "l4_embedding_neardup",
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 300)
+      |SELECT a.vec_id AS i, b.vec_id AS j,
+      |  round(list_dot_product(a.v, b.v) /
+      |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+      |FROM e a, e b
+      |WHERE a.vec_id < b.vec_id
+      |  AND list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+      |ORDER BY i, j""".stripMargin) { (spark, dir) =>
+    val e = Tables.embeddings(spark, dir).filter(col("vec_id") < 300)
+    val a = e.select(col("vec_id").as("i"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("j"), col("embedding").as("vb"))
+    val sim = VectorOps.cosine(col("va"), col("vb"))
+    a.join(b, col("i") < col("j"))
+      .withColumn("simv", sim)
+      .filter(col("simv") >= 0.35)
+      .select(col("i"), col("j"), round(col("simv"), 4).as("sim"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** L2: MinHash + banded LSH near-dup. 32-permutation signature via
+    * seeded xxhash64 min-folds (all codegen HOFs), 8 bands × 4 rows;
+    * band-hash equi self-join yields candidates, signature agreement
+    * estimates Jaccard. Approximate ⇒ no SQL oracle; the estimator's
+    * accuracy law is property-tested in SimilaritySpec.
+    */
+  val l2MinHashLsh: Q = Q(
+    "l2_minhash_lsh_neardup",
+    fn = (spark, dir) => {
+      val toks = array_distinct(split(col("text"), " "))
+      val sig = transform(
+        sequence(lit(0), lit(NumPerm - 1)),
+        i => array_min(transform(toks, t => xxhash64(t, i))))
+      val sigs = Tables.documents(spark, dir)
+        .select(col("doc_id"), sig.as("sig"))
+      val banded = sigs.select(
+        col("doc_id"), col("sig"),
+        explode(transform(
+          sequence(lit(0), lit(Bands - 1)),
+          b => struct(
+            b.as("band"),
+            xxhash64(slice(col("sig"), b * lit(NumPerm / Bands) + 1, lit(NumPerm / Bands)))
+              .as("bh")))).as("bb"))
+        .select(col("doc_id"), col("sig"),
+          col("bb.band").as("band"), col("bb.bh").as("bh"))
+      val cand = banded.alias("a")
+        .join(banded.alias("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+          col("a.sig").as("sig_i"), col("b.sig").as("sig_j"))
+        .dropDuplicates("i", "j")
+      val est = aggregate(
+        zip_with(col("sig_i"), col("sig_j"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x).cast("double") / NumPerm
+      cand.withColumn("est", est)
+        .filter(col("est") >= 0.5)
+        .select(col("i"), col("j"), round(col("est"), 4).as("est_jaccard"))
+        .orderBy(col("i"), col("j"))
+    })
+
+  /** L2 variant: 64-bit SimHash near-dup. Bit b of the signature is the
+    * sign of Σ±1 over token hashes; near-dups differ in few bits. LSH on
+    * 16-bit chunks (hamming ≤ 8 ⇒ some chunk of 4 is untouched by
+    * pigeonhole... chunk equality is the candidate filter), then exact
+    * `bit_count(xor)`.
+    */
+  val l2SimHash: Q = Q(
+    "l2_simhash_neardup",
+    fn = (spark, dir) => {
+      val sigs = Tables.documents(spark, dir)
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+        .selectExpr(
+          "doc_id",
+          """aggregate(sequence(0, 63), 0L, (acc, b) -> acc |
+            |  IF(aggregate(toks, 0, (a2, t) ->
+            |       a2 + IF((shiftright(xxhash64(t), b) & 1) = 1, 1, -1)) > 0,
+            |     shiftleft(1L, b), 0L)) AS sig""".stripMargin)
+      val chunks = sigs.selectExpr(
+        "doc_id", "sig",
+        "explode(transform(sequence(0, 3), c -> struct(c AS chunk, (shiftright(sig, c * 16) & 65535) AS cv))) AS cc")
+        .select(col("doc_id"), col("sig"),
+          col("cc.chunk").as("chunk"), col("cc.cv").as("cv"))
+      chunks.alias("a")
+        .join(chunks.alias("b"),
+          col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+        .dropDuplicates("i", "j")
+        .filter(col("hamming") <= 8)
+        .orderBy(col("i"), col("j"))
+    })
+
+  val all: Seq[Q] = Seq(
+    l3CosineTopK, l3AnnLsh, l4NgramJaccard, l4EmbeddingNearDup,
+    l2MinHashLsh, l2SimHash)
+}
