@@ -17,6 +17,8 @@ object SparkEntry {
       graft.queries.WindowQueries.all ++
       graft.queries.SortSetQueries.all ++
       graft.queries.FunctionQueries.all ++
+      graft.queries.SourceQueries.all ++
+      graft.queries.StreamingQueries.all ++
       graft.queries.TextQueries.all ++
       graft.queries.SimilarityQueries.all
 

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity / dedup operators (SURVEY.md §2b L2–L4): brute-force and
@@ -148,21 +149,60 @@ object SimilarityQueries {
       .orderBy(col("i"), col("j"))
   }
 
-  /** L2: MinHash + banded LSH near-dup. 32-permutation signature via
-    * seeded xxhash64 min-folds (all codegen HOFs), 8 bands × 4 rows;
-    * band-hash equi self-join yields candidates, signature agreement
-    * estimates Jaccard. Approximate ⇒ no SQL oracle; the estimator's
-    * accuracy law is property-tested in SimilaritySpec.
+  /** L2: MinHash + banded LSH near-dup. 3-gram SHINGLES (not unigrams:
+    * over a small vocabulary unigram sets are near-identical across
+    * unrelated docs, so every pair collides in some band and the
+    * candidate set degenerates to all-pairs — measured 22.5M candidate
+    * rows on 5k docs; shingles are position-sensitive and distinctive,
+    * collapsing candidates to true near-dups), 32-permutation signature
+    * via seeded xxhash64 min-folds, 8 bands × 4 rows; band-hash equi
+    * self-join yields candidates, signature agreement estimates
+    * Jaccard. Approximate ⇒ no SQL oracle; the estimator's accuracy law
+    * is property-tested in SimilaritySpec.
+    *
+    * Signatures are persisted before the self-join — at 100 TB this is
+    * a checkpoint of the (doc_id, sig) sketch table so the join's two
+    * sides don't recompute the shingling.
     */
+  /** Distinct 3-gram shingle hashes per doc: (doc_id, sh array<long>).
+    *
+    * Persist-barriered stages — the barriers are load-bearing: with
+    * chained selects Catalyst's CollapseProject inlines each stage's
+    * expression into the next stage's lambdas, and a lambda body
+    * re-evaluates non-lambda-bound subexpressions PER ELEMENT — the
+    * collapsed form re-ran split() ~5000× per row (3 element_at refs ×
+    * ~52 shingles × 32 perms; measured 103 s for 5k docs vs ~2 s
+    * barriered). Behind a barrier each stage's column is a materialized
+    * attribute, read O(1) per reference. At 100 TB these are exactly the
+    * token / shingle-sketch checkpoint tables a dedup pipeline persists
+    * anyway. Hashing token triples numerically (xxhash64 of 3 strings)
+    * also avoids building any shingle string.
+    */
+  private def shingleHashes(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .persist()
+    toks
+      .select(col("doc_id"),
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(col("t")) - 2, lit(0))),
+          i => xxhash64(
+            element_at(col("t"), i),
+            element_at(col("t"), i + 1),
+            element_at(col("t"), i + 2)))).as("sh"))
+      .persist()
+  }
+
   val l2MinHashLsh: Q = Q(
     "l2_minhash_lsh_neardup",
     fn = (spark, dir) => {
-      val toks = array_distinct(split(col("text"), " "))
+      val sh = shingleHashes(spark, dir)
       val sig = transform(
         sequence(lit(0), lit(NumPerm - 1)),
-        i => array_min(transform(toks, t => xxhash64(t, i))))
-      val sigs = Tables.documents(spark, dir)
+        i => array_min(transform(col("sh"), h => xxhash64(h, i))))
+      val sigs = sh
         .select(col("doc_id"), sig.as("sig"))
+        .persist()
       val banded = sigs.select(
         col("doc_id"), col("sig"),
         explode(transform(
@@ -191,7 +231,7 @@ object SimilarityQueries {
     })
 
   /** L2 variant: 64-bit SimHash near-dup. Bit b of the signature is the
-    * sign of Σ±1 over token hashes; near-dups differ in few bits. LSH on
+    * sign of Σ±1 over 3-gram shingle hashes (shared shingleHashes stage); near-dups differ in few bits. LSH on
     * 16-bit chunks (hamming ≤ 8 ⇒ some chunk of 4 is untouched by
     * pigeonhole... chunk equality is the candidate filter), then exact
     * `bit_count(xor)`.
@@ -199,13 +239,12 @@ object SimilarityQueries {
   val l2SimHash: Q = Q(
     "l2_simhash_neardup",
     fn = (spark, dir) => {
-      val sigs = Tables.documents(spark, dir)
-        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      val sigs = shingleHashes(spark, dir)
         .selectExpr(
           "doc_id",
           """aggregate(sequence(0, 63), 0L, (acc, b) -> acc |
-            |  IF(aggregate(toks, 0, (a2, t) ->
-            |       a2 + IF((shiftright(xxhash64(t), b) & 1) = 1, 1, -1)) > 0,
+            |  IF(aggregate(sh, 0, (a2, h) ->
+            |       a2 + IF((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
             |     shiftleft(1L, b), 0L)) AS sig""".stripMargin)
       val chunks = sigs.selectExpr(
         "doc_id", "sig",

@@ -1,0 +1,162 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source / sink / cache / UDF-surface operators (SURVEY.md §2b S2, S3,
+  * S6, X1, X3).
+  *
+  * The secondary-format queries (CSV/JSON) materialize a deterministic
+  * derivation of a parquet table into the JVM temp dir, read it back with
+  * an EXPLICIT schema (never inferred — inference is a full extra pass at
+  * 100 TB), and aggregate. The oracle computes the same aggregate from
+  * the original parquet, so the roundtrip itself is under test.
+  */
+object SourceQueries {
+
+  private def tmp(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_sources/$name"
+
+  /** S2: parquet sink as a first-class op — write a filtered projection,
+    * read it back, aggregate. Exercises writer + footer-schema read path.
+    */
+  val s2ParquetRoundtrip: Q = Q(
+    "s2_parquet_roundtrip",
+    """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+      |FROM orders
+      |WHERE o_totalprice > 100000
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+    val path = tmp(s"s2_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 100000)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** S3a: CSV source with explicit schema (quoting/escaping on the comment
+    * column exercises the full text-parse path).
+    */
+  val s3CsvSource: Q = Q(
+    "s3_csv_source",
+    """SELECT n_regionkey, count(*) AS n_nations,
+      |  min(n_name) AS first_nation, max(n_name) AS last_nation
+      |FROM nation
+      |GROUP BY n_regionkey
+      |ORDER BY n_regionkey""".stripMargin) { (spark, dir) =>
+    val path = tmp(s"s3csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    Tables.nation(spark, dir)
+      .write.mode("overwrite").option("header", "true").csv(path)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", LongType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", LongType),
+      StructField("n_comment", StringType)))
+    spark.read.schema(schema).option("header", "true").csv(path)
+      .groupBy(col("n_regionkey"))
+      .agg(
+        count(lit(1)).as("n_nations"),
+        min(col("n_name")).as("first_nation"),
+        max(col("n_name")).as("last_nation"))
+      .orderBy(col("n_regionkey"))
+  }
+
+  /** S3b: JSON-lines source with explicit schema. */
+  val s3JsonSource: Q = Q(
+    "s3_json_source",
+    """SELECT s_nationkey, count(*) AS n_suppliers, round(sum(s_acctbal), 4) AS total_bal
+      |FROM supplier
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin) { (spark, dir) =>
+    val path = tmp(s"s3json_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    Tables.supplier(spark, dir)
+      .select("s_suppkey", "s_nationkey", "s_acctbal")
+      .write.mode("overwrite").json(path)
+    val schema = StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_nationkey", LongType),
+      StructField("s_acctbal", DoubleType)))
+    spark.read.schema(schema).json(path)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"), round(sum(col("s_acctbal")), 4).as("total_bal"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  /** S6: cache + temp view exercised — the dimension is cached and read
+    * twice (two independent aggregates joined), so the second subtree hits
+    * the InMemoryRelation instead of re-scanning parquet.
+    */
+  val s6CacheReuse: Q = Q(
+    "s6_cache_reuse",
+    """WITH c AS (SELECT c_nationkey, c_acctbal, c_mktsegment FROM customer)
+      |SELECT a.c_nationkey,
+      |  a.n_customers, round(a.total_bal, 4) AS total_bal,
+      |  b.n_building
+      |FROM (SELECT c_nationkey, count(*) AS n_customers, sum(c_acctbal) AS total_bal
+      |      FROM c GROUP BY c_nationkey) a
+      |JOIN (SELECT c_nationkey, count(*) AS n_building
+      |      FROM c WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey) b
+      |USING (c_nationkey)
+      |ORDER BY c_nationkey""".stripMargin) { (spark, dir) =>
+    val c = Tables.customer(spark, dir)
+      .select("c_nationkey", "c_acctbal", "c_mktsegment").cache()
+    val a = c.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 4).as("total_bal"))
+    val b = c.filter(col("c_mktsegment") === "BUILDING")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_building"))
+    a.join(b, Seq("c_nationkey"))
+      .select(col("c_nationkey"), col("n_customers"), col("total_bal"), col("n_building"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** X1: scalar Scala UDF — vowel-density of part names. Kept OUT of hot
+    * paths (UDFs fence whole-stage codegen; SURVEY §7 risk 5) — this row
+    * exists to prove the surface, bounded by the pushed partkey filter.
+    */
+  val x1ScalarUdf: Q = Q(
+    "x1_scalar_udf",
+    """SELECT p_partkey,
+      |  CAST(length(p_name) - length(regexp_replace(p_name, '[aeiou]', '', 'g')) AS INT) AS n_vowels,
+      |  round((length(p_name) - length(regexp_replace(p_name, '[aeiou]', '', 'g'))) * 1.0
+      |        / length(p_name), 4) AS vowel_density
+      |FROM part
+      |WHERE p_partkey < 30
+      |ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+    val nVowels = udf((s: String) => s.count("aeiou".contains(_)))
+    Tables.part(spark, dir)
+      .filter(col("p_partkey") < 30)
+      .select(
+        col("p_partkey"),
+        nVowels(col("p_name")).as("n_vowels"),
+        round(nVowels(col("p_name")).cast("double") / length(col("p_name")), 4)
+          .as("vowel_density"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** X3: generator / table function — posexplode emits (position, token)
+    * rows per document; DuckDB twin via positionally-aligned unnests.
+    */
+  val x3Generator: Q = Q(
+    "x3_generator",
+    """SELECT doc_id,
+      |  CAST(unnest(range(len(string_split(text, ' ')))) AS INT) AS pos,
+      |  unnest(string_split(text, ' ')) AS term
+      |FROM documents
+      |WHERE doc_id < 5
+      |ORDER BY doc_id, pos""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 5)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  val all: Seq[Q] = Seq(
+    s2ParquetRoundtrip, s3CsvSource, s3JsonSource, s6CacheReuse,
+    x1ScalarUdf, x3Generator)
+}

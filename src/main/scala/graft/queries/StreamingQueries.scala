@@ -1,0 +1,214 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.{Encoders, Row}
+
+/** Streaming operators (SURVEY.md §2b ST1–ST9) as differential-oracle
+  * rows: each query replays `events` through the real incremental
+  * engine (file stream source → state store → sink; see StreamingOps)
+  * and returns the materialized sink, which must match a DuckDB batch
+  * query over the same data — streaming/batch consistency is exactly
+  * the guarantee Structured Streaming makes.
+  *
+  * ST9 (late-data drop) needs multi-batch replay to observe, so it
+  * lives in StreamingSpec via MemoryStream; ST1 (watermark) is
+  * exercised here by st2/st5/st8 and its eviction semantics there too.
+  */
+object StreamingQueries {
+
+  /** ST1+ST2: watermarked tumbling-window aggregate, complete mode.
+    * 1-hour windows are epoch-aligned ⇒ oracle is date_trunc('hour').
+    */
+  val st2Tumbling: Q = Q(
+    "st2_tumbling_window",
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+      |  event_type, count(*) AS n, round(sum(value), 4) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY win_start, event_type""".stripMargin) { (spark, dir) =>
+    val agg = StreamingOps.eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+    StreamingOps.runToBatch(spark, agg, "complete", "st2_sink")
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  /** ST3: sliding-window aggregate (2h window, 1h slide) — every event
+    * lands in two windows; oracle materializes both via aligned unnests.
+    */
+  val st3Sliding: Q = Q(
+    "st3_sliding_window",
+    """SELECT win_start, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM (SELECT unnest([CAST(date_trunc('hour', ts) AS TIMESTAMP),
+      |                     CAST(date_trunc('hour', ts) AS TIMESTAMP) - INTERVAL 1 HOUR]) AS win_start,
+      |             value
+      |      FROM events) t
+      |GROUP BY win_start
+      |ORDER BY win_start""".stripMargin) { (spark, dir) =>
+    // Decimal sum is exact ⇒ order-independent across engines (a double
+    // sum differs in the last ulp with parallelism, and an avg here lands
+    // exactly on rounding boundaries — this query's per-window sums have
+    // ≤6 decimal digits, so the decimal sum is bit-identical to DuckDB's).
+    val agg = StreamingOps.eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
+    StreamingOps.runToBatch(spark, agg, "complete", "st3_sink")
+      .select(col("window.start").as("win_start"), col("n"), col("total_value"))
+      .orderBy(col("win_start"))
+  }
+
+  /** ST4: session windows — per-user activity sessions closed by a
+    * 30-minute gap. Oracle rebuilds sessions with lag + cumulative flag
+    * (the standard batch sessionization); the comparison is on the
+    * session-length distribution, which is order-independent.
+    */
+  val st4SessionWindow: Q = Q(
+    "st4_session_window",
+    """WITH s AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_sess
+      |  FROM events),
+      |g AS (SELECT user_id,
+      |        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |                            ROWS UNBOUNDED PRECEDING) AS sess_id, ts
+      |      FROM s),
+      |sess AS (SELECT user_id, sess_id, count(*) AS n_events FROM g GROUP BY 1, 2)
+      |SELECT n_events AS session_size, count(*) AS n_sessions
+      |FROM sess
+      |GROUP BY 1
+      |ORDER BY session_size""".stripMargin) { (spark, dir) =>
+    val sess = StreamingOps.eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    StreamingOps.runToBatch(spark, sess, "complete", "st4_sink")
+      .groupBy(col("n_events").as("session_size"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("session_size"))
+  }
+
+  /** ST5: streaming dedup within watermark — duplicate (user_id,
+    * event_type) observations collapse to first occurrence; the
+    * per-type distinct-user count is order-independent and exact.
+    */
+  val st5StreamDedup: Q = Q(
+    "st5_stream_dedup",
+    """SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val dedup = StreamingOps.eventsStream(spark, dir)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("user_id", "event_type")
+    val rows = StreamingOps.runToBatch(spark, dedup, "append", "st5_sink")
+    rows.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_distinct_users"))
+      .orderBy(col("event_type"))
+  }
+
+  /** ST6: arbitrary stateful op — per-user running state machine via
+    * mapGroupsWithState (count, sum, max-gap tracking). The single-file
+    * source replays in one batch ⇒ one final state per user; the
+    * session-count distribution is the deterministic projection.
+    */
+  val st6StatefulOp: Q = Q(
+    "st6_stateful_op",
+    """SELECT n_events, count(*) AS n_users, round(sum(total_value), 4) AS sum_value
+      |FROM (SELECT user_id, count(*) AS n_events, sum(value) AS total_value
+      |      FROM events GROUP BY user_id) t
+      |GROUP BY n_events
+      |ORDER BY n_events""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val typed = StreamingOps.eventsStream(spark, dir)
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+    val updated = typed
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Double)]) =>
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var v = v0
+          rows.foreach { r => n += 1; v += r._2 }
+          state.update((n, v))
+          (user, n, v)
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
+      .toDF("user_id", "n_events", "total_value")
+    val snap = StreamingOps.runToBatch(spark, updated, "update", "st6_sink")
+    // Multiple updates per user are possible if the source splits batches;
+    // the final (largest-n) state per user is the authoritative one.
+    snap.groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("total_value"))).as("s"))
+      .select(col("s.n_events").as("n_events"), col("s.total_value").as("total_value"))
+      .groupBy(col("n_events"))
+      .agg(count(lit(1)).as("n_users"), round(sum(col("total_value")), 4).as("sum_value"))
+      .orderBy(col("n_events"))
+  }
+
+  /** ST7: stream–static join — streaming events enriched with the static
+    * customer dimension (broadcast at any scale), then aggregated.
+    */
+  val st7StreamStaticJoin: Q = Q(
+    "st7_stream_static_join",
+    """SELECT c_mktsegment, event_type, count(*) AS n, round(avg(value), 2) AS avg_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment, event_type
+      |ORDER BY c_mktsegment, event_type""".stripMargin) { (spark, dir) =>
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    val joined = StreamingOps.eventsStream(spark, dir)
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 2).as("avg_value"))
+    StreamingOps.runToBatch(spark, joined, "complete", "st7_sink")
+      .orderBy(col("c_mktsegment"), col("event_type"))
+  }
+
+  /** ST8: stream–stream inner join with watermarks + time-range bound —
+    * each 'click' matched to same-user 'view's in the preceding 10
+    * minutes. Both sides watermarked so join state is evictable.
+    */
+  val st8StreamStreamJoin: Q = Q(
+    "st8_stream_stream_join",
+    """SELECT v.event_type AS view_type, count(*) AS n_pairs,
+      |  round(avg(date_diff('second', v.ts, c.ts)), 4) AS avg_lag_sec
+      |FROM (SELECT * FROM events WHERE event_type IN ('view', 'scroll')) v
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON v.user_id = c.user_id
+      | AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+      |GROUP BY v.event_type
+      |ORDER BY view_type""".stripMargin) { (spark, dir) =>
+    val views = StreamingOps.eventsStream(spark, dir)
+      .filter(col("event_type").isin("view", "scroll"))
+      .select(col("event_type").as("view_type"), col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    val clicks = StreamingOps.eventsStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val joined = views.join(
+      clicks,
+      col("v_user") === col("c_user") &&
+        col("c_ts") > col("v_ts") &&
+        col("c_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
+    val rows = StreamingOps.runToBatch(spark, joined, "append", "st8_sink")
+    rows.groupBy(col("view_type"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(avg(col("c_ts").cast("long") - col("v_ts").cast("long")), 4).as("avg_lag_sec"))
+      .orderBy(col("view_type"))
+  }
+
+  val all: Seq[Q] = Seq(
+    st2Tumbling, st3Sliding, st4SessionWindow, st5StreamDedup,
+    st6StatefulOp, st7StreamStaticJoin, st8StreamStreamJoin)
+}
