@@ -16,9 +16,16 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir).persist()
+        // Single-file output preserves the query's ORDER BY for the
+        // driver's hash compare, but an unconditional coalesce(1) would
+        // serialize a genuinely large result through one task — cap it.
+        val n = df.count()
+        val out = if (n <= 1000000L) df.coalesce(1) else df
+        out.write.mode("overwrite").parquet(s"$outDir/$name")
+        df.unpersist()
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage per §2b category over literal fixtures with
+  * hand-computed expected output (SURVEY.md §5b item 2).
+  */
+class OperatorSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val orders = Seq(
+    // (orderkey, custkey, price)
+    (1L, 10L, 100.0), (2L, 10L, 50.0), (3L, 11L, 75.0), (4L, 12L, 20.0)
+  ).toDF("o_orderkey", "o_custkey", "o_totalprice")
+
+  private lazy val customers = Seq(
+    (10L, "A"), (11L, "B"), (13L, "C")
+  ).toDF("c_custkey", "c_seg")
+
+  test("J1/J2 inner join matches only shared keys") {
+    val j = orders.join(customers, $"o_custkey" === $"c_custkey")
+    assert(j.count() == 3)
+    assert(j.filter($"c_seg" === "A").count() == 2)
+  }
+
+  test("J3 left outer null-extends missing dimension rows") {
+    val j = customers.join(orders, $"c_custkey" === $"o_custkey", "left_outer")
+    assert(j.count() == 4) // A×2, B×1, C×null
+    assert(j.filter($"o_orderkey".isNull).select($"c_seg").as[String].collect().toSeq == Seq("C"))
+  }
+
+  test("J4/J5 semi and anti join partition the left side") {
+    val semi = customers.join(orders, $"c_custkey" === $"o_custkey", "left_semi")
+    val anti = customers.join(orders, $"c_custkey" === $"o_custkey", "left_anti")
+    assert(semi.count() + anti.count() == customers.count())
+    assert(anti.select($"c_seg").as[String].collect().toSeq == Seq("C"))
+  }
+
+  test("A1 grouped aggregate computes exact partial+final sums") {
+    val g = orders.groupBy($"o_custkey").agg(sum($"o_totalprice").as("s"), count(lit(1)).as("n"))
+      .orderBy($"o_custkey")
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(g == Seq((10L, 150.0, 2L), (11L, 75.0, 1L), (12L, 20.0, 1L)))
+  }
+
+  test("A5 rollup emits per-group rows plus grand total") {
+    val r = orders.rollup($"o_custkey").agg(sum($"o_totalprice").as("s"))
+    assert(r.count() == 4) // 3 groups + total
+    assert(r.filter($"o_custkey".isNull).select($"s").as[Double].head() == 245.0)
+  }
+
+  test("W1 row_number is dense and per-partition") {
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc)
+    val top = orders.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+    assert(top.count() == 3)
+    assert(top.filter($"o_custkey" === 10L).select($"o_orderkey").as[Long].head() == 1L)
+  }
+
+  test("T4 top-k equals the prefix of the full sort") {
+    val full = orders.orderBy($"o_totalprice".desc, $"o_orderkey").select($"o_orderkey")
+      .as[Long].collect().toSeq
+    val topk = orders.orderBy($"o_totalprice".desc, $"o_orderkey").limit(2).select($"o_orderkey")
+      .as[Long].collect().toSeq
+    assert(topk == full.take(2))
+  }
+
+  test("U1-U4 set-op algebra: counts compose") {
+    val a = orders.filter($"o_totalprice" >= 50).select($"o_custkey")
+    val b = orders.filter($"o_totalprice" < 80).select($"o_custkey")
+    assert(a.union(b).count() == a.count() + b.count())
+    assert(a.intersect(b).count() == 2) // custkeys {10, 11}
+    assert(a.except(b).count() == 0)    // a's keys {10,11} ⊆ b's {10,11,12}
+    assert(b.except(a).count() == 1)    // custkey 12 only reaches b
+  }
+
+  test("F7 null handling: coalesce/nullif round-trip") {
+    val df = Seq((Some(1.0), "x"), (None, "y")).toDF("v", "k")
+    val out = df.select(coalesce($"v", lit(-1.0)).as("c")).as[Double].collect().toSet
+    assert(out == Set(1.0, -1.0))
+  }
+
+  test("A4 dedup is idempotent (dedup ∘ dedup = dedup)") {
+    val dup = orders.union(orders)
+    val once = dup.dropDuplicates("o_orderkey")
+    val twice = once.dropDuplicates("o_orderkey")
+    assert(once.count() == orders.count() && twice.count() == once.count())
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style checks for the custom similarity kernels (SURVEY.md
+  * §5b item 3). Everything here is deterministic (seeded hashes, fixed
+  * fixtures), so tolerance assertions cannot flake.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("cosine: identical → 1, orthogonal → 0, opposite → -1") {
+    val df = Seq(
+      ("same", Seq(1f, 2f, 3f), Seq(1f, 2f, 3f)),
+      ("orth", Seq(1f, 0f, 0f), Seq(0f, 1f, 0f)),
+      ("opp", Seq(1f, 0f, 0f), Seq(-1f, 0f, 0f))
+    ).toDF("k", "a", "b")
+    val got = df.select($"k", round(VectorOps.cosine($"a", $"b"), 6).as("c"))
+      .as[(String, Double)].collect().toMap
+    assert(got("same") == 1.0 && got("orth") == 0.0 && got("opp") == -1.0)
+  }
+
+  test("dot accumulates in double (no float overflow at 1e20 magnitudes)") {
+    val df = Seq((Seq(1e19f, 1e19f), Seq(10f, 10f))).toDF("a", "b")
+    val d = df.select(VectorOps.dot($"a", $"b").as("d")).as[Double].head()
+    assert(math.abs(d - 2e20) / 2e20 < 1e-6)
+  }
+
+  test("MinHash signature agreement tracks exact Jaccard (±0.2 at 32 perms)") {
+    // Crafted docs: identical / ~2-in-3 shingle overlap / disjoint.
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val twoThirds = ((1 to 40).map(i => s"tok$i") ++ (1 to 20).map(i => s"alt$i")).mkString(" ")
+    val disjoint = (1 to 60).map(i => s"other$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, base), (2L, twoThirds), (3L, disjoint))
+      .toDF("doc_id", "text")
+
+    def shingleSet(text: String): Set[String] =
+      text.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    def jac(a: String, b: String): Double = {
+      val (sa, sb) = (shingleSet(a), shingleSet(b))
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+
+    val NumPerm = 32
+    val toks = docs.select($"doc_id", split($"text", " ").as("t")).persist()
+    val sh = toks.select($"doc_id",
+      array_distinct(transform(
+        sequence(lit(1), greatest(size($"t") - 2, lit(0))),
+        i => xxhash64(element_at($"t", i), element_at($"t", i + 1), element_at($"t", i + 2))))
+        .as("sh")).persist()
+    val sig = transform(sequence(lit(0), lit(NumPerm - 1)),
+      i => array_min(transform($"sh", h => xxhash64(h, i))))
+    val sigs = sh.select($"doc_id", sig.as("sig")).as[(Long, Seq[Long])].collect().toMap
+
+    def est(i: Long, j: Long): Double =
+      sigs(i).zip(sigs(j)).count { case (a, b) => a == b }.toDouble / NumPerm
+
+    assert(est(0L, 1L) == 1.0)
+    assert(math.abs(est(0L, 2L) - jac(base, twoThirds)) <= 0.2)
+    assert(est(0L, 3L) <= 0.1) // disjoint docs share (almost) no mins
+  }
+
+  test("LSH ANN: planted identical vector is always a candidate") {
+    val q = Seq.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val noise = (1 to 50).map(k => (k.toLong, Seq.tabulate(64)(i => math.cos(i * k + 2).toFloat)))
+    val planted = Seq((0L, q), (99L, q))
+    val e = (planted ++ noise).toDF("vec_id", "embedding")
+    val tables = 4; val bits = 8
+    val bucketed = e.select($"vec_id",
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("tbl"),
+          VectorOps.lshBucket($"embedding", bits, seed = 1000L + t).as("bkt"))
+      }: _*)).as("tb"))
+      .select($"vec_id", $"tb.tbl".as("tbl"), $"tb.bkt".as("bkt"))
+    val qb = bucketed.filter($"vec_id" === 0L)
+      .select($"tbl", $"bkt")
+    val cand = bucketed.filter($"vec_id" =!= 0L)
+      .join(qb, Seq("tbl", "bkt"))
+      .select($"vec_id").distinct().as[Long].collect().toSet
+    // An identical vector has identical projections in every table.
+    assert(cand.contains(99L))
+  }
+
+  test("exact top-k cosine on fixtures ranks by angle") {
+    val q = Seq(1f, 0f)
+    val e = Seq(
+      (1L, Seq(1f, 0f)),     // cos 1.0
+      (2L, Seq(1f, 1f)),     // cos ~.707
+      (3L, Seq(0f, 1f)),     // cos 0
+      (4L, Seq(-1f, 0f))     // cos -1
+    ).toDF("vec_id", "embedding")
+    val got = e.withColumn("q", typedlit(q))
+      .select($"vec_id", VectorOps.cosine($"embedding", $"q").as("sim"))
+      .orderBy($"sim".desc).limit(3)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multi-batch streaming semantics that the oracle rows can't observe
+  * (SURVEY.md §5b item 4): ST9 late-data dropping beyond the watermark,
+  * cross-batch stateful accumulation, cross-batch streaming dedup.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("ST9: rows older than the watermark are dropped (append window agg)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Double)]
+    val agg = in.toDF().toDF("ts", "value")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window($"ts", "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("win"), $"n")
+    val q = agg.writeStream.format("memory").queryName("st9_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // Batch 1: fill the 10:00 window, then advance event time to 10:21
+      // so the watermark (max 21 - 5 = 10:16) passes the window end 10:10
+      // and the finalized window is emitted.
+      in.addData((ts(1), 1.0), (ts(4), 1.0), (ts(21), 1.0))
+      q.processAllAvailable()
+      // Batch 2: a row at 10:02 is 14 min behind the watermark → dropped.
+      in.addData((ts(2), 99.0))
+      q.processAllAvailable()
+      in.addData((ts(40), 1.0)) // push watermark far past everything
+      q.processAllAvailable()
+      val wins = spark.table("st9_sink").as[(Timestamp, Long)].collect().toMap
+      assert(wins(Timestamp.valueOf("2024-01-01 10:00:00")) == 2L,
+        s"late row must not be counted; got $wins")
+    } finally q.stop()
+  }
+
+  test("ST6: mapGroupsWithState accumulates across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Int)]
+    val counts = in.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (k: String, rows: Iterator[(String, Int)], st: GroupState[Int]) =>
+          val n = st.getOption.getOrElse(0) + rows.map(_._2).sum
+          st.update(n)
+          (k, n)
+      }
+    val q = counts.toDF("k", "n").writeStream.format("memory")
+      .queryName("st6_test_sink").outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(("a", 1), ("a", 2), ("b", 5))
+      q.processAllAvailable()
+      in.addData(("a", 4))
+      q.processAllAvailable()
+      val last = spark.table("st6_test_sink").groupBy($"k").agg(max($"n").as("n"))
+        .as[(String, Long)].collect().toMap
+      assert(last == Map("a" -> 7L, "b" -> 5L))
+    } finally q.stop()
+  }
+
+  test("ST5: streaming dedup keeps one row per key across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val dedup = in.toDF().toDF("ts", "id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("id")
+    val q = dedup.writeStream.format("memory").queryName("st5_test_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts(1), 1L), (ts(2), 1L), (ts(3), 2L))
+      q.processAllAvailable()
+      in.addData((ts(4), 1L), (ts(5), 3L)) // 1 is a cross-batch duplicate
+      q.processAllAvailable()
+      val ids = spark.table("st5_test_sink").select($"id").as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+}
