@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.SourceQueries.all ++
       graft.queries.StreamingQueries.all ++
       graft.queries.TextQueries.all ++
-      graft.queries.SimilarityQueries.all
+      graft.queries.SimilarityQueries.all ++
+      graft.queries.MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
