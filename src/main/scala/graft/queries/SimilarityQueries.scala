@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.functions.VectorOps
+import graft.functions.{CosineSim, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -42,7 +42,7 @@ object SimilarityQueries {
       .crossJoin(broadcast(q))
       .select(
         col("vec_id"), col("label"),
-        round(VectorOps.cosine(col("embedding"), col("qe")), 4).as("sim"))
+        round(CosineSim(spark, col("embedding"), col("qe")), 4).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -74,7 +74,7 @@ object SimilarityQueries {
       bucketed.filter(col("vec_id") =!= 0)
         .join(broadcast(q), Seq("tbl", "bkt"))
         .select(col("vec_id"), col("label"),
-          round(VectorOps.cosine(col("embedding"), col("qe")), 4).as("sim"))
+          round(CosineSim(spark, col("embedding"), col("qe")), 4).as("sim"))
         .dropDuplicates("vec_id")
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
@@ -141,7 +141,7 @@ object SimilarityQueries {
     val e = Tables.embeddings(spark, dir).filter(col("vec_id") < 300)
     val a = e.select(col("vec_id").as("i"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("j"), col("embedding").as("vb"))
-    val sim = VectorOps.cosine(col("va"), col("vb"))
+    val sim = CosineSim(spark, col("va"), col("vb"))
     a.join(b, col("i") < col("j"))
       .withColumn("simv", sim)
       .filter(col("simv") >= 0.35)

@@ -98,4 +98,30 @@ class SimilaritySpec extends AnyFunSuite {
       .select($"vec_id").as[Long].collect().toSeq
     assert(got == Seq(1L, 2L, 3L))
   }
+
+  test("native CosineSim expression matches the HOF composition bit-for-bit") {
+    val e = (1 to 200).map { k =>
+      (k.toLong,
+        Seq.tabulate(64)(i => (math.sin(i * k + 1) * 10).toFloat),
+        Seq.tabulate(64)(i => (math.cos(i + k) * 5).toFloat))
+    }.toDF("id", "a", "b")
+    val cmp = e.select(
+      graft.functions.CosineSim(spark, $"a", $"b").as("native"),
+      VectorOps.cosine($"a", $"b").as("hof"))
+    assert(cmp.filter($"native" =!= $"hof").count() == 0)
+  }
+
+  test("CosineSim is null-safe and type-checked") {
+    val df = Seq(
+      (Some(Seq(1f, 0f)), Some(Seq(1f, 0f))),
+      (None, Some(Seq(1f, 0f)))
+    ).toDF("a", "b")
+    val out = df.select(graft.functions.CosineSim(spark, $"a", $"b").as("c"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out.toSeq == Seq(Some(1.0), None))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1, 2)).toDF("a", "b")
+        .select(graft.functions.CosineSim(spark, $"a", $"b")).collect()
+    }
+  }
 }
