@@ -121,7 +121,7 @@ object FunctionQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** F5+F6: JSON parsing into a map and map element access —
+  /** F5+F6: JSON parsing into a map, map_keys/element access, and\n    * string-path extraction (get_json_object) —
     * `events.props` is a JSON object; Spark parses it once into
     * MapType(String, Int) and reads `k` via element_at.
     */
@@ -130,20 +130,29 @@ object FunctionQueries {
     """SELECT event_type,
       |  count(*) AS n,
       |  round(avg(CAST(json_extract(props, '$.k') AS INT)), 4) AS avg_k,
-      |  min(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
-      |  max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+      |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+      |  max(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
+      |  CAST(max(len(json_keys(props))) AS INT) AS max_nkeys,
+      |  min(json_keys(props)[1]) AS first_key
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin) { (spark, dir) =>
     val props = from_json(col("props"), MapType(StringType, IntegerType))
     Tables.events(spark, dir)
-      .select(col("event_type"), element_at(props, "k").as("k"))
+      .select(
+        col("event_type"),
+        element_at(props, "k").as("k"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_str"),
+        size(map_keys(props)).as("nkeys"),
+        element_at(map_keys(props), 1).as("first_key"))
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
         round(avg(col("k")), 4).as("avg_k"),
-        min(col("k")).as("min_k"),
-        max(col("k")).as("max_k"))
+        min(col("k_str")).as("min_k"),
+        max(col("k")).as("max_k"),
+        max(col("nkeys")).as("max_nkeys"),
+        min(col("first_key")).as("first_key"))
       .orderBy(col("event_type"))
   }
 

@@ -64,5 +64,43 @@ object WindowQueries {
       .orderBy(col("s_acctbal"), col("s_suppkey"))
   }
 
-  val all: Seq[Q] = Seq(w1RankingRunning, w4Distribution)
+  /** W2: full offset/frame family — lead, first/last value with explicit
+    * frames, and a centered moving average. Frames are spelled out in
+    * BOTH dialects (default frames differ subtly between engines).
+    */
+  val w2Offsets: Q = Q(
+    "w2_offsets",
+    """SELECT o_custkey, o_orderkey,
+      |  round(lead(o_totalprice, 1) OVER w, 4) AS next_price,
+      |  round(first_value(o_totalprice) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS first_price,
+      |  round(last_value(o_totalprice) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 4) AS last_price,
+      |  round(avg(o_totalprice) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |     ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 4) AS moving_avg
+      |FROM orders
+      |WHERE o_custkey < 10
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") < 10)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(lead(col("o_totalprice"), 1).over(byDate), 4).as("next_price"),
+        round(first(col("o_totalprice"))
+          .over(byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4)
+          .as("first_price"),
+        round(last(col("o_totalprice"))
+          .over(byDate.rowsBetween(Window.currentRow, Window.unboundedFollowing)), 4)
+          .as("last_price"),
+        round(avg(col("o_totalprice")).over(byDate.rowsBetween(-1, 1)), 4).as("moving_avg"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val all: Seq[Q] = Seq(w1RankingRunning, w2Offsets, w4Distribution)
 }

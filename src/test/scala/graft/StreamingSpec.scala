@@ -86,4 +86,25 @@ class StreamingSpec extends AnyFunSuite {
       assert(ids.sorted == Seq(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("S5: streaming parquet sink with checkpoint persists exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val outDir = java.nio.file.Files.createTempDirectory("graft_s5_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s5_ckpt").toString
+    val q = in.toDF().toDF("ts", "id")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts(1), 1L), (ts(2), 2L))
+      q.processAllAvailable()
+      in.addData((ts(3), 3L))
+      q.processAllAvailable()
+      val back = spark.read.parquet(outDir)
+      assert(back.count() == 3)
+      assert(back.select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
 }
