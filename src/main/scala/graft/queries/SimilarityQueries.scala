@@ -193,41 +193,116 @@ object SimilarityQueries {
       .persist()
   }
 
+  /** Near-dup pairs (i, j, est) with estimated Jaccard ≥ threshold —
+    * the shared MinHash+LSH candidate pipeline behind l2MinHashLsh and
+    * l2DedupClusters.
+    */
+  private[queries] def minhashPairs(
+      spark: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val sh = shingleHashes(spark, dir)
+    val sig = transform(
+      sequence(lit(0), lit(NumPerm - 1)),
+      i => array_min(transform(col("sh"), h => xxhash64(h, i))))
+    val sigs = sh
+      .select(col("doc_id"), sig.as("sig"))
+      .persist()
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      explode(transform(
+        sequence(lit(0), lit(Bands - 1)),
+        b => struct(
+          b.as("band"),
+          xxhash64(slice(col("sig"), b * lit(NumPerm / Bands) + 1, lit(NumPerm / Bands)))
+            .as("bh")))).as("bb"))
+      .select(col("doc_id"), col("sig"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val cand = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("a.sig").as("sig_i"), col("b.sig").as("sig_j"))
+      .dropDuplicates("i", "j")
+    val est = aggregate(
+      zip_with(col("sig_i"), col("sig_j"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / NumPerm
+    cand.withColumn("est", est).filter(col("est") >= threshold)
+      .select(col("i"), col("j"), col("est"))
+  }
+
   val l2MinHashLsh: Q = Q(
     "l2_minhash_lsh_neardup",
-    fn = (spark, dir) => {
-      val sh = shingleHashes(spark, dir)
-      val sig = transform(
-        sequence(lit(0), lit(NumPerm - 1)),
-        i => array_min(transform(col("sh"), h => xxhash64(h, i))))
-      val sigs = sh
-        .select(col("doc_id"), sig.as("sig"))
-        .persist()
-      val banded = sigs.select(
-        col("doc_id"), col("sig"),
-        explode(transform(
-          sequence(lit(0), lit(Bands - 1)),
-          b => struct(
-            b.as("band"),
-            xxhash64(slice(col("sig"), b * lit(NumPerm / Bands) + 1, lit(NumPerm / Bands)))
-              .as("bh")))).as("bb"))
-        .select(col("doc_id"), col("sig"),
-          col("bb.band").as("band"), col("bb.bh").as("bh"))
-      val cand = banded.alias("a")
-        .join(banded.alias("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(
-          col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-          col("a.sig").as("sig_i"), col("b.sig").as("sig_j"))
-        .dropDuplicates("i", "j")
-      val est = aggregate(
-        zip_with(col("sig_i"), col("sig_j"), (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, x) => acc + x).cast("double") / NumPerm
-      cand.withColumn("est", est)
-        .filter(col("est") >= 0.5)
+    fn = (spark, dir) =>
+      minhashPairs(spark, dir, threshold = 0.5)
         .select(col("i"), col("j"), round(col("est"), 4).as("est_jaccard"))
-        .orderBy(col("i"), col("j"))
+        .orderBy(col("i"), col("j")))
+
+  /** L2 (cluster semantics): near-dup PAIRS → connected components →
+    * keep the min-doc_id representative per cluster. Output is the
+    * cluster-size histogram + kept/removed counts — the actual dedup
+    * decision a training-data pipeline makes. Rows-only (pairs are
+    * MinHash-approximate); the CC kernel itself is exactly tested in
+    * OperatorSpec on a fixture graph.
+    */
+  val l2DedupClusters: Q = Q(
+    "l2_dedup_clusters",
+    fn = (spark, dir) => {
+      val pairs = minhashPairs(spark, dir, threshold = 0.5)
+      val cc = graft.operators.ConnectedComponents.run(pairs.select("i", "j"))
+      val clusters = cc.groupBy(col("component"))
+        .agg(count(lit(1)).as("cluster_size"))
+      clusters.groupBy(col("cluster_size"))
+        .agg(
+          count(lit(1)).as("n_clusters"),
+          sum(col("cluster_size") - 1).as("n_docs_removed"))
+        .orderBy(col("cluster_size"))
+    })
+
+  /** L3 (IVF scale path): inverted-file ANN. Coarse quantizer = 16
+    * deterministically chosen codebook vectors (lowest vec_ids — a
+    * sampled codebook, the standard IVF-flat construction); every vector
+    * is assigned to its nearest centroid in ONE broadcast pass (no
+    * shuffle of the embedding column); a query probes the nprobe=4
+    * nearest inverted lists and exact-reranks only those candidates.
+    * At 100 TB the list id becomes the partition key, so a probe is a
+    * partition-pruned scan of ~nprobe/K of the data. Rows-only
+    * (approximate); recall vs brute force is asserted in SimilaritySpec.
+    */
+  val l3AnnIvf: Q = Q(
+    "l3_ann_ivf",
+    fn = (spark, dir) => {
+      val k = 16
+      val nprobe = 4
+      val e = Tables.embeddings(spark, dir).persist()
+      val centroids = e.orderBy(col("vec_id")).limit(k)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val assigned = e
+        .join(broadcast(centroids))
+        .select(col("vec_id"), col("label"), col("embedding"), col("cid"),
+          CosineSim(spark, col("embedding"), col("cvec")).as("csim"))
+        .groupBy(col("vec_id"))
+        .agg(
+          max(struct(col("csim"), col("cid"))).as("best"),
+          first(col("label")).as("label"),
+          first(col("embedding")).as("embedding"))
+        .select(col("vec_id"), col("label"), col("embedding"), col("best.cid").as("list_id"))
+        .persist()
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"))
+      val probes = centroids.crossJoin(broadcast(q))
+        .select(col("cid"), CosineSim(spark, col("cvec"), col("qe")).as("csim"))
+        .orderBy(col("csim").desc, col("cid"))
+        .limit(nprobe)
+        .select(col("cid").as("list_id"))
+      assigned
+        .join(broadcast(probes), Seq("list_id"))
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          round(CosineSim(spark, col("embedding"), col("qe")), 4).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
     })
 
   /** L2 variant: 64-bit SimHash near-dup. Bit b of the signature is the
@@ -265,5 +340,5 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(
     l3CosineTopK, l3AnnLsh, l4NgramJaccard, l4EmbeddingNearDup,
-    l2MinHashLsh, l2SimHash)
+    l3AnnIvf, l2MinHashLsh, l2DedupClusters, l2SimHash)
 }

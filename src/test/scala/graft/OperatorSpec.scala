@@ -88,4 +88,16 @@ class OperatorSpec extends AnyFunSuite {
     val twice = once.dropDuplicates("o_orderkey")
     assert(once.count() == orders.count() && twice.count() == once.count())
   }
+
+  test("ConnectedComponents finds exact components on a fixture graph") {
+    // {1,2,3,4} chained, {10,11} pair, {20,21,22} triangle
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("i", "j")
+    val cc = graft.operators.ConnectedComponents.run(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
 }

@@ -124,4 +124,13 @@ class SimilaritySpec extends AnyFunSuite {
         .select(graft.functions.CosineSim(spark, $"a", $"b")).collect()
     }
   }
+
+  test("IVF ANN recall vs brute force is >= 8/10 on sf0.01") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = graft.queries.SimilarityQueries.l3CosineTopK.fn(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = graft.queries.SimilarityQueries.l3AnnIvf.fn(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    assert((exact & ivf).size >= 8, s"recall ${(exact & ivf).size}/10")
+  }
 }
