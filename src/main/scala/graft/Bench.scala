@@ -27,7 +27,13 @@ object Bench {
       catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Isolate queries: accumulated cache entries from persist()-ing
+      // queries make CacheManager's per-plan-node semanticEquals lookup
+      // dominate DRIVER time for later large-plan queries (measured 2.4×
+      // total slowdown across 62 queries without this).
+      spark.catalog.clearCache()
+      name -> elapsed
     }
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")

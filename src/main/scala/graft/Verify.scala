@@ -27,6 +27,10 @@ object Verify {
         df.unpersist()
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // Drop caches persisted inside the query — accumulated entries
+        // slow CacheManager plan lookup for every later query.
+        spark.catalog.clearCache()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

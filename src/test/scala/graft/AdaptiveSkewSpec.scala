@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** AQE skew handling — the runtime answer to hot keys at 100 TB
+  * (SURVEY.md §7 risk: "skewed keys → salting or AQE skew-join").
+  * With thresholds scaled down to test size, AQE must split the hot
+  * partition of a skewed sort-merge join instead of letting one task
+  * process the whole key.
+  */
+class AdaptiveSkewSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("AQE splits the skewed side of a sort-merge join") {
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // 50k rows of key 1 (hot) + 5k uniform keys on the left; small right.
+      val left = spark.range(50000).select(lit(1L).as("k"), rand(7).as("pad"))
+        .union(spark.range(5000).select(($"id" % 500 + 2).as("k"), rand(11).as("pad")))
+      val right = spark.range(501).select(($"id" + 1).as("k"), lit("dim").as("name"))
+      // NOTE: no same-key aggregate downstream — AQE (correctly) refuses
+      // to skew-split a join whose hash partitioning a downstream
+      // operator reuses, since splitting duplicates partition data.
+      // Keep `pad` in the output: column pruning would otherwise strip it
+      // before the shuffle, and a constant-key, single-column partition
+      // compresses below any skew threshold.
+      val joined = left.join(right, Seq("k")).select($"k", $"name", $"pad")
+      // Execute THIS DataFrame's QueryExecution (any derived Dataset —
+      // .agg, even .as[] — builds a separate plan and would leave this
+      // one un-finalized).
+      val rows = joined.collect()
+      assert(rows.length == 55000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew-split in final AQE plan:\n$plan")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
+  test("GraftExtensions installs and SQL cosine_sim resolves") {
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    graft.functions.CosineSim.register(spark)
+    val r = spark.sql(
+      "SELECT round(cosine_sim(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)), " +
+        "array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))), 6) AS c")
+      .as[Double].head()
+    assert(r == 1.0)
+  }
+}
