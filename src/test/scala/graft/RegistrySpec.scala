@@ -23,9 +23,11 @@ class RegistrySpec extends AnyFunSuite {
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"smoke: $name runs on sf0.001") {
-      val df = fn(spark, sfDir)
-      assert(df.columns.nonEmpty)
-      assert(df.count() >= 0)
+      try {
+        val df = fn(spark, sfDir)
+        assert(df.columns.nonEmpty)
+        assert(df.count() >= 0)
+      } finally spark.catalog.clearCache() // see Bench: cache-entry buildup
     }
   }
 }
