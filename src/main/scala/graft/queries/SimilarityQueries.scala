@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.functions.{CosineSim, VectorOps}
+import graft.functions.{CosineSim, SrpBucket, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -65,7 +65,7 @@ object SimilarityQueries {
         col("vec_id"), col("label"), col("embedding"),
         explode(array((0 until tables).map { t =>
           struct(lit(t).as("tbl"),
-            VectorOps.lshBucket(col("embedding"), bits, seed = 1000L + t).as("bkt"))
+            SrpBucket(spark, col("embedding"), bits, seed = 1000L + t).as("bkt"))
         }: _*)).as("tb"))
         .select(col("vec_id"), col("label"), col("embedding"),
           col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))

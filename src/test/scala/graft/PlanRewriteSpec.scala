@@ -1,0 +1,65 @@
+package graft
+
+import graft.functions.CosineSim
+import graft.plans.CosineLshRewrite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The opt-in LSH rewrite: a cosine-threshold cross join must lose its
+  * cartesian/nested-loop plan and planted near-identical pairs must
+  * survive the bucket pruning (precision is untouched — the cosine
+  * filter stays).
+  */
+class PlanRewriteSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def vecs = {
+    val planted = Seq(
+      (1L, Seq.tabulate(64)(i => math.sin(i + 1).toFloat)),
+      (2L, Seq.tabulate(64)(i => (math.sin(i + 1) * 1.001).toFloat))) // ~identical pair
+    val noise = (10 to 60).map(k =>
+      (k.toLong, Seq.tabulate(64)(i => math.cos(i * k + 2).toFloat)))
+    (planted ++ noise).toDF("vid", "v")
+  }
+
+  test("cosine-threshold cross join is rewritten to an LSH-bucket equi join") {
+    val a = vecs.select($"vid".as("i"), $"v".as("va"))
+    val b = vecs.select($"vid".as("j"), $"v".as("vb"))
+    def query = a.crossJoin(b)
+      .filter($"i" < $"j" && CosineSim(spark, $"va", $"vb") >= lit(0.95))
+      .select($"i", $"j")
+
+    val exact = query.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((1L, 2L)))
+
+    spark.experimental.extraOptimizations = Seq(CosineLshRewrite)
+    try {
+      spark.conf.set(CosineLshRewrite.EnabledKey, "true")
+      val rewritten = query
+      val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"rewrite did not remove the product join:\n$plan")
+      assert(plan.contains("srp_bucket"), s"no bucket key in plan:\n$plan")
+      assert(got.subsetOf(exact), "rewrite must not add pairs (precision)")
+      assert(got.contains((1L, 2L)), "near-identical planted pair must survive bucketing")
+    } finally {
+      spark.conf.set(CosineLshRewrite.EnabledKey, "false")
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
+  test("rule is a no-op when disabled or when the join is already conditioned") {
+    spark.experimental.extraOptimizations = Seq(CosineLshRewrite)
+    try {
+      spark.conf.set(CosineLshRewrite.EnabledKey, "false")
+      val a = vecs.select($"vid".as("i"), $"v".as("va"))
+      val b = vecs.select($"vid".as("j"), $"v".as("vb"))
+      val q = a.crossJoin(b).filter(CosineSim(spark, $"va", $"vb") >= lit(0.95))
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("srp_bucket"))
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+}

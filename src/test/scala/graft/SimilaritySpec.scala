@@ -133,4 +133,14 @@ class SimilaritySpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect().toSet
     assert((exact & ivf).size >= 8, s"recall ${(exact & ivf).size}/10")
   }
+
+  test("native SrpBucket matches the HOF lshBucket construction bit-for-bit") {
+    val e = (1 to 100).map(k =>
+      (k.toLong, Seq.tabulate(64)(i => (math.sin(i * k + 3) * 4).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cmp = e.select(
+      graft.functions.SrpBucket(spark, $"embedding", 8, 1003L).as("native"),
+      VectorOps.lshBucket($"embedding", 8, 1003L).as("hof"))
+    assert(cmp.filter($"native" =!= $"hof").count() == 0)
+  }
 }
