@@ -46,7 +46,8 @@ object StreamingOps {
     java.nio.file.Files.createDirectories(stage)
     val dst = stage.resolve("events.parquet")
     if (!java.nio.file.Files.exists(dst)) {
-      java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"), dst)
+      try java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"), dst)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () } // concurrent staging
     }
     stage.toString
   }
@@ -75,6 +76,11 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    spark.table(name)
+    // Materialize off the sink and drop it: the memory sink holds the
+    // full result on the driver, and leaked sink tables from a batch of
+    // streaming queries degrade later queries in the same session.
+    val out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
   }
 }
