@@ -40,7 +40,14 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** Register every table as a temp view (used by SQL-entry queries and tests). */
+  /** Register every table as a temp view (used by SQL-entry queries and
+    * tests). `events` goes through its ns→µs loader — a plain read
+    * throws on the TIMESTAMP(NANOS) column unless the legacy conf is
+    * already set.
+    */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    all.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else table(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

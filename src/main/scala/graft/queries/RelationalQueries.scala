@@ -47,5 +47,31 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
-  val all: Seq[Q] = Seq(q1PricingSummary)
+  /** SQL-text entry path (SURVEY.md §3b Entry 2): the SAME ANSI string
+    * runs through Spark's ANTLR parser over registered temp views AND
+    * through DuckDB as its own oracle — differential-testing the
+    * parse→analyze→optimize lifecycle, not just the DataFrame API.
+    * TPC-H Q5-style local-supplier revenue.
+    */
+  val q5SqlEntry: Q = {
+    val sql =
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin
+    Q("q5_sql_entry", sql) { (spark, dir) =>
+      Tables.registerAll(spark, dir)
+      spark.sql(sql)
+    }
+  }
+
+  val all: Seq[Q] = Seq(q1PricingSummary, q5SqlEntry)
 }

@@ -100,4 +100,15 @@ class OperatorSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
+
+  test("A6: approx_count_distinct is within rsd bounds of exact") {
+    val df = (1 to 5000).map(i => (i % 700L)).toDF("v")
+    val r = df.agg(
+      approx_count_distinct($"v", 0.02).as("approx"),
+      countDistinct($"v").as("exact")).head()
+    val (approx, exact) = (r.getLong(0), r.getLong(1))
+    assert(exact == 700L)
+    assert(math.abs(approx - exact).toDouble / exact <= 0.06,
+      s"approx=$approx exact=$exact") // 3x rsd margin, deterministic sketch
+  }
 }
