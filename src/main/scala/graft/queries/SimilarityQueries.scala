@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.functions.{CosineSim, SrpBucket, VectorOps}
+import graft.functions.{CosineSim, SimHash64, SrpBucket, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -314,13 +314,11 @@ object SimilarityQueries {
   val l2SimHash: Q = Q(
     "l2_simhash_neardup",
     fn = (spark, dir) => {
+      // Native codegen SimHash64 (graft.functions.SimHash64): integer
+      // math, exactly the SQL fold it replaced, minus 64×|shingles|
+      // interpreted lambda evals per row.
       val sigs = shingleHashes(spark, dir)
-        .selectExpr(
-          "doc_id",
-          """aggregate(sequence(0, 63), 0L, (acc, b) -> acc |
-            |  IF(aggregate(sh, 0, (a2, h) ->
-            |       a2 + IF((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
-            |     shiftleft(1L, b), 0L)) AS sig""".stripMargin)
+        .select(col("doc_id"), SimHash64(spark, col("sh")).as("sig"))
       val chunks = sigs.selectExpr(
         "doc_id", "sig",
         "explode(transform(sequence(0, 3), c -> struct(c AS chunk, (shiftright(sig, c * 16) & 65535) AS cv))) AS cc")

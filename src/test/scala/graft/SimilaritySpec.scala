@@ -143,4 +143,16 @@ class SimilaritySpec extends AnyFunSuite {
       VectorOps.lshBucket($"embedding", 8, 1003L).as("hof"))
     assert(cmp.filter($"native" =!= $"hof").count() == 0)
   }
+
+  test("native SimHash64 matches the SQL aggregate fold exactly") {
+    val df = (1 to 50).map(k => (k.toLong, (1 to 40).map(i => (i * 2654435761L * k) ^ (k << 7)).toSeq))
+      .toDF("id", "sh")
+    val cmp = df.select(
+      graft.functions.SimHash64(spark, $"sh").as("native"),
+      expr("""aggregate(sequence(0, 63), 0L, (acc, b) -> acc |
+             |  IF(aggregate(sh, 0, (a2, h) ->
+             |       a2 + IF((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
+             |     shiftleft(1L, b), 0L))""".stripMargin).as("sqlfold"))
+    assert(cmp.filter($"native" =!= $"sqlfold").count() == 0)
+  }
 }
