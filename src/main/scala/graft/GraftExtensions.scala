@@ -42,5 +42,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Opt-in approximate LSH rewrite for cosine-threshold product joins —
     // inert until spark.graft.cosineLshRewrite.enabled=true.
     ext.injectOptimizerRule(_ => graft.plans.CosineLshRewrite)
+    // Planner strategy for the TopKPerGroup custom logical operator.
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

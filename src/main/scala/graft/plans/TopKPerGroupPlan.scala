@@ -1,0 +1,121 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator custom plan (SURVEY.md §2b custom-operator preference
+  * (c), the one extension point the repo hadn't exercised): top-k rows
+  * per group as a FIRST-CLASS physical operator.
+  *
+  * Why not `row_number().over(window).filter(rn <= k)`: the window
+  * operator SORTS every group in full (O(n log n) per partition, all
+  * rows buffered/spilled) just to throw away all but k rows. This
+  * operator keeps a k-bounded heap per group: O(n log k) time, O(groups
+  * × k) memory per task, no sort spill — the difference between "works"
+  * and "fast" when groups are large (e.g. top-3 documents per near-dup
+  * cluster over 100 TB).
+  *
+  * Planning: `ClusteredDistribution(groupExprs)` makes EnsureRequirements
+  * insert the one hash shuffle on the group key; the strategy is
+  * installed per-session via `spark.experimental.extraStrategies` (or
+  * cluster-wide through GraftExtensions.injectPlannerStrategy).
+  */
+final case class TopKPerGroup(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
+    copy(child = newChild)
+}
+
+object TopKPerGroupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(groupExprs, order, k, child) =>
+      TopKPerGroupExec(groupExprs, order, k, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class TopKPerGroupExec(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(groupExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val groupExprsB = groupExprs
+    val orderB = order
+    val kB = k
+    val childOutput = child.output
+    child.execute().mapPartitions({ iter =>
+      val groupProj = UnsafeProjection.create(groupExprsB, childOutput)
+      val rowOrdering: Ordering[InternalRow] =
+        org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .create(orderB, childOutput)
+      // Max-heap under the sort order: the head is the WORST retained
+      // row, evicted when a better one arrives.
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
+      iter.foreach { row =>
+        val key = groupProj(row)
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[UnsafeRow](
+              rowOrdering.asInstanceOf[Ordering[UnsafeRow]])
+            heaps.put(key.copy(), h)
+            h
+        }
+        if (heap.size < kB) {
+          heap.enqueue(row.asInstanceOf[UnsafeRow].copy())
+        } else if (rowOrdering.lt(row, heap.head)) {
+          heap.dequeue()
+          heap.enqueue(row.asInstanceOf[UnsafeRow].copy())
+        }
+      }
+      heaps.valuesIterator.flatMap { h =>
+        h.dequeueAll.reverseIterator // per-group rows in sort order
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}
+
+/** User-facing entry point. */
+object TopK {
+
+  /** Top `k` rows per group under `orderCols` (use `.desc`/`.asc`
+    * columns; bare columns default ascending).
+    */
+  def perGroup(df: DataFrame, groupCols: Seq[Column], orderCols: Seq[Column], k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    }
+    def toExpr(c: Column): Expression =
+      org.apache.spark.sql.GraftSqlBridge.expression(c)
+    val order = orderCols.map(toExpr).map {
+      case so: SortOrder => so
+      case e => SortOrder(e, Ascending)
+    }
+    val plan = TopKPerGroup(groupCols.map(toExpr), order, k, df.queryExecution.analyzed)
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark, plan)
+  }
+}

@@ -73,5 +73,39 @@ object RelationalQueries {
     }
   }
 
-  val all: Seq[Q] = Seq(q1PricingSummary, q5SqlEntry)
+  /** Composite realism (TPC-H Q10-style): returned-item revenue by
+    * customer — 3-table star join, grouped agg, order by computed
+    * metric, top-k. Revenue summed as DECIMAL so the value the sort
+    * key is computed from is bit-identical across engines (a double
+    * sum can differ in the last ulp and flip DESC order at ties).
+    */
+  val q10TopReturns: Q = Q(
+    "q10_top_returns",
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin) { (spark, dir) =>
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_name", "c_nationkey")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val nat = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,6)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(q1PricingSummary, q5SqlEntry, q10TopReturns)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.plans.TopK
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -64,6 +65,29 @@ object SortSetQueries {
       .filter(col("rnk") <= 3)
       .select("p_brand", "rnk", "p_partkey", "p_retailprice")
       .orderBy(col("p_brand"), col("rnk"))
+  }
+
+
+  /** T5 (custom physical operator): same semantics as t5_topk_per_group
+    * but through graft.plans.TopKPerGroupExec — k-bounded heaps per
+    * group instead of a full per-group window sort. Same DuckDB oracle
+    * as the window form, so the custom SparkPlan is hash-verified.
+    */
+  val t5bTopKNative: Q = Q(
+    "t5b_topk_per_group_native",
+    """SELECT p_brand, p_partkey, p_retailprice
+      |FROM (SELECT p_brand, p_partkey, p_retailprice,
+      |        row_number() OVER (PARTITION BY p_brand
+      |                           ORDER BY p_retailprice DESC, p_partkey) AS rnk
+      |      FROM part) t
+      |WHERE rnk <= 3
+      |ORDER BY p_brand, p_retailprice DESC, p_partkey""".stripMargin) { (spark, dir) =>
+    TopK.perGroup(
+      Tables.part(spark, dir).select("p_brand", "p_partkey", "p_retailprice"),
+      Seq(col("p_brand")),
+      Seq(col("p_retailprice").desc, col("p_partkey")),
+      k = 3)
+      .orderBy(col("p_brand"), col("p_retailprice").desc, col("p_partkey"))
   }
 
   /** U1: UNION ALL (bag concat, no shuffle) of two tagged slices. */
@@ -137,6 +161,6 @@ object SortSetQueries {
   }
 
   val all: Seq[Q] = Seq(
-    t2PartitionSort, t4TopK, t5TopKPerGroup,
+    t2PartitionSort, t4TopK, t5TopKPerGroup, t5bTopKNative,
     u1UnionAll, u2UnionDistinct, u3Intersect, u4Except)
 }

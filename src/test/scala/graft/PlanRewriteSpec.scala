@@ -62,4 +62,29 @@ class PlanRewriteSpec extends AnyFunSuite {
       assert(!plan.contains("srp_bucket"))
     } finally spark.experimental.extraOptimizations = Nil
   }
+
+  test("TopKPerGroupExec matches the window formulation and plans a heap, not a sort") {
+    val data = (1 to 500).map(i => (s"g${i % 7}", i.toLong, (i * 37 % 250).toDouble))
+      .toDF("g", "id", "score")
+    val native = graft.plans.TopK.perGroup(
+      data, Seq($"g"), Seq($"score".desc, $"id"), 5)
+      .orderBy($"g", $"score".desc, $"id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"score".desc, $"id")
+    val windowed = data
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 5).drop("rn")
+      .orderBy($"g", $"score".desc, $"id")
+    assert(native.collect().toSeq == windowed.collect().toSeq)
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), s"custom operator missing:\n$plan")
+    assert(!plan.contains("WindowExec") && !plan.contains("Window "),
+      "must not fall back to the window operator")
+  }
+
+  test("TopKPerGroup handles k > group size and singleton groups") {
+    val data = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "v")
+    val out = graft.plans.TopK.perGroup(data, Seq($"g"), Seq($"v"), 10)
+      .orderBy($"g", $"v").as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a", 1L), ("a", 2L), ("b", 3L)))
+  }
 }

@@ -107,4 +107,31 @@ class StreamingSpec extends AnyFunSuite {
       assert(back.select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("RocksDB state store provider runs the stateful pipeline") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[(Timestamp, Long)]
+    val agg = in.toDF().toDF("ts", "id")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window($"ts", "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("rocks_sink")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData((ts(1), 1L), (ts(2), 2L), (ts(12), 3L))
+      q.processAllAvailable()
+      val total = spark.table("rocks_sink").agg(sum($"n")).head().getLong(0)
+      assert(total == 3L)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("rocks_sink")
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
