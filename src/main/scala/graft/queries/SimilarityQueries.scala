@@ -99,13 +99,9 @@ object SimilarityQueries {
       |SELECT i, j, round(jac, 4) AS jaccard
       |FROM p WHERE jac >= 0.5
       |ORDER BY i, j""".stripMargin) { (spark, dir) =>
-    val t = split(col("text"), " ")
-    val bigrams = transform(
-      sequence(lit(1), size(t) - 1),
-      i => concat(element_at(t, i), lit(" "), element_at(t, i + 1)))
     val sh = Tables.documents(spark, dir)
       .filter(col("doc_id") < 500)
-      .select(col("doc_id"), explode(array_distinct(bigrams)).as("sh"))
+      .select(col("doc_id"), explode(array_distinct(bigramsOf(col("text")))).as("sh"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.alias("a")
       .join(sh.alias("b"),
@@ -178,18 +174,47 @@ object SimilarityQueries {
     * anyway. Hashing token triples numerically (xxhash64 of 3 strings)
     * also avoids building any shingle string.
     */
-  private def shingleHashes(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+  /** Bigram shingles of a whitespace-tokenized text column, guarded for
+    * 1-token docs (same descending-`sequence(1, 0)` hazard as
+    * shingleHashesOf; the DuckDB twin's `range(1, 1)` IS empty, so the
+    * guard is what keeps the two engines convergent — empty set, not
+    * crash-vs-empty divergence).
+    */
+  private[graft] def bigramsOf(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val t = split(text, " ")
+    when(size(t) >= 2,
+      transform(
+        sequence(lit(1), size(t) - 1),
+        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+      .otherwise(typedLit(Array.empty[String]))
+  }
+
+  private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
+    shingleHashesOf(Tables.documents(spark, dir))
+
+  /** Same, over any (doc_id, text) relation (unit-testable with short
+    * docs). SHORT-DOC GUARD: Spark's `sequence(1, 0)` yields the
+    * DESCENDING `[1, 0]` — not the empty array — so an unguarded
+    * transform evaluates `element_at(t, 0)` and throws ("SQL array
+    * indices start at 1") on any ≤2-token document. Docs too short to
+    * have a 3-gram get an empty shingle set instead (and are dropped
+    * from near-dup candidacy by the `size(sh) > 0` filters downstream —
+    * a <3-token doc has no shingle evidence to match on).
+    */
+  private[graft] def shingleHashesOf(docs: DataFrame): DataFrame = {
+    val toks = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .persist()
     toks
       .select(col("doc_id"),
-        array_distinct(transform(
-          sequence(lit(1), greatest(size(col("t")) - 2, lit(0))),
-          i => xxhash64(
-            element_at(col("t"), i),
-            element_at(col("t"), i + 1),
-            element_at(col("t"), i + 2)))).as("sh"))
+        when(size(col("t")) >= 3,
+          array_distinct(transform(
+            sequence(lit(1), size(col("t")) - 2),
+            i => xxhash64(
+              element_at(col("t"), i),
+              element_at(col("t"), i + 1),
+              element_at(col("t"), i + 2)))))
+          .otherwise(typedLit(Array.empty[Long])).as("sh"))
       .persist()
   }
 
@@ -198,8 +223,16 @@ object SimilarityQueries {
     * l2DedupClusters.
     */
   private[queries] def minhashPairs(
-      spark: SparkSession, dir: String, threshold: Double): DataFrame = {
-    val sh = shingleHashes(spark, dir)
+      spark: SparkSession, dir: String, threshold: Double): DataFrame =
+    minhashPairsOf(shingleHashes(spark, dir), threshold)
+
+  private[graft] def minhashPairsOf(
+      shingles: DataFrame, threshold: Double): DataFrame = {
+    // Empty shingle sets (≤2-token docs) are excluded up front: they
+    // carry no match evidence, and unfiltered they'd all band to the
+    // same hash-of-nothing bucket — a quadratic candidate blowup of
+    // rows the estimator then discards anyway.
+    val sh = shingles.filter(size(col("sh")) > 0)
     val sig = transform(
       sequence(lit(0), lit(NumPerm - 1)),
       i => array_min(transform(col("sh"), h => xxhash64(h, i))))

@@ -144,6 +144,55 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cmp.filter($"native" =!= $"hof").count() == 0)
   }
 
+  test("shingle/bigram guards: 0/1/2-token docs yield empty sets, not crashes") {
+    // sequence(1, 0) in Spark is the DESCENDING [1, 0], so the unguarded
+    // transform crashed with "SQL array indices start at 1" on short docs.
+    val docs = Seq((0L, ""), (1L, "one"), (2L, "one two"), (3L, "one two three"))
+      .toDF("doc_id", "text")
+    val sh = graft.queries.SimilarityQueries.shingleHashesOf(docs)
+      .select($"doc_id", size($"sh").as("n")).as[(Long, Int)].collect().toMap
+    assert(sh == Map(0L -> 0, 1L -> 0, 2L -> 0, 3L -> 1))
+    val bg = docs.select($"doc_id",
+        size(graft.queries.SimilarityQueries.bigramsOf($"text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(bg == Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 2))
+  }
+
+  test("minhash near-dup pipeline tolerates short docs end-to-end") {
+    val docs = Seq(
+      (0L, ""), (1L, "x"), (2L, "x y"),
+      (3L, "a b c d e f"), (4L, "a b c d e f")).toDF("doc_id", "text")
+    val sh = graft.queries.SimilarityQueries.shingleHashesOf(docs)
+    val pairs = graft.queries.SimilarityQueries.minhashPairsOf(sh, 0.5)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 4L))) // short docs never pair, identical docs do
+  }
+
+  test("CosineSim: zero-norm vector and length mismatch yield NULL, never NaN") {
+    val df = Seq(
+      ("zero", Seq(0f, 0f, 0f), Seq(1f, 2f, 3f)),
+      ("mismatch", Seq(1f, 2f), Seq(1f, 2f, 3f)),
+      ("ok", Seq(1f, 0f, 0f), Seq(1f, 0f, 0f))
+    ).toDF("k", "a", "b")
+    val got = df.select($"k", graft.functions.CosineSim(spark, $"a", $"b").as("c"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got("zero").isEmpty, "zero-norm must be NULL (NaN would top desc sorts)")
+    assert(got("mismatch").isEmpty, "length mismatch must be NULL, not truncated")
+    assert(got("ok").contains(1.0))
+    // interpreted eval path (constant folding calls eval, not codegen)
+    val evalRow = spark.range(1).select(
+      graft.functions.CosineSim(spark, typedlit(Seq(0f, 0f)), typedlit(Seq(1f, 2f))).as("c"))
+      .collect().head
+    assert(evalRow.isNullAt(0))
+    // NULL sims sort BELOW real ones under desc (NaN sorted above)
+    val ranked = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 0f)))
+      .toDF("id", "v")
+      .select($"id", graft.functions.CosineSim(spark, $"v", typedlit(Seq(1f, 0f))).as("s"))
+      .orderBy($"s".desc_nulls_last).select($"id").as[Long].collect().toSeq
+    assert(ranked == Seq(1L, 2L))
+  }
+
   test("native SimHash64 matches the SQL aggregate fold exactly") {
     val df = (1 to 50).map(k => (k.toLong, (1 to 40).map(i => (i * 2654435761L * k) ^ (k << 7)).toSeq))
       .toDF("id", "sh")
