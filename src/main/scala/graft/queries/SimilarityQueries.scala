@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.functions.{CosineSim, SimHash64, SrpBucket, VectorOps}
+import graft.functions.{CosineSim, MinHash32, SimHash64, SrpBucket, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -233,11 +233,13 @@ object SimilarityQueries {
     // same hash-of-nothing bucket — a quadratic candidate blowup of
     // rows the estimator then discards anyway.
     val sh = shingles.filter(size(col("sh")) > 0)
-    val sig = transform(
-      sequence(lit(0), lit(NumPerm - 1)),
-      i => array_min(transform(col("sh"), h => xxhash64(h, i))))
+    // Native codegen MinHash32 (graft.functions.MinHash32): exactly the
+    // nested SQL fold `transform(sequence(0,31), i -> array_min(
+    // transform(sh, h -> xxhash64(h, i))))` it replaced — equivalence
+    // unit-tested — minus 32 × |shingles| interpreted lambda frames per
+    // row (the #1 bench cost across both l2 MinHash queries).
     val sigs = sh
-      .select(col("doc_id"), sig.as("sig"))
+      .select(col("doc_id"), MinHash32(shingles.sparkSession, col("sh")).as("sig"))
       .persist()
     val banded = sigs.select(
       col("doc_id"), col("sig"),
@@ -294,32 +296,49 @@ object SimilarityQueries {
 
   /** L3 (IVF scale path): inverted-file ANN. Coarse quantizer = 16
     * deterministically chosen codebook vectors (lowest vec_ids — a
-    * sampled codebook, the standard IVF-flat construction); every vector
-    * is assigned to its nearest centroid in ONE broadcast pass (no
-    * shuffle of the embedding column); a query probes the nprobe=4
-    * nearest inverted lists and exact-reranks only those candidates.
-    * At 100 TB the list id becomes the partition key, so a probe is a
-    * partition-pruned scan of ~nprobe/K of the data. Rows-only
-    * (approximate); recall vs brute force is asserted in SimilaritySpec.
+    * sampled codebook, the standard IVF-flat construction).
+    *
+    * Assignment is SHUFFLE-FREE: the whole bounded codebook is
+    * aggregated into ONE row (`collect_list` — an aggregate of k=16
+    * structs, the same bounded-aggregate license as the CC loop
+    * condition) and nested-loop-joined as a broadcast singleton; each
+    * vector then picks its nearest centroid with a per-row argmax fold
+    * over that 16-element array. The embedding column never crosses an
+    * exchange — the previous formulation (broadcast join ×16 then
+    * `groupBy(vec_id)` argmax) pushed every embedding through the
+    * aggregation shuffle, the exact scale-killer the 100 TB brief
+    * forbids. Asserted by the no-embedding-shuffle plan test in
+    * SimilaritySpec.
+    *
+    * A query probes the nprobe=4 nearest inverted lists and
+    * exact-reranks only those candidates. At 100 TB the list id becomes
+    * the partition key, so a probe is a partition-pruned scan of
+    * ~nprobe/K of the data. Rows-only (approximate); recall vs brute
+    * force is asserted in SimilaritySpec.
     */
   val l3AnnIvf: Q = Q(
     "l3_ann_ivf",
     fn = (spark, dir) => {
       val k = 16
       val nprobe = 4
-      val e = Tables.embeddings(spark, dir).persist()
+      val e = Tables.embeddings(spark, dir)
       val centroids = e.orderBy(col("vec_id")).limit(k)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val codebook = centroids
+        .agg(collect_list(struct(col("cid"), col("cvec"))).as("cents"))
+      val best = aggregate(
+        col("cents"),
+        struct(lit(Double.NegativeInfinity).as("csim"), lit(-1L).as("cid")),
+        (acc, c) => {
+          val s = CosineSim(spark, col("embedding"), c.getField("cvec"))
+          when(s > acc.getField("csim"),
+            struct(s.as("csim"), c.getField("cid").as("cid")))
+            .otherwise(acc)
+        })
       val assigned = e
-        .join(broadcast(centroids))
-        .select(col("vec_id"), col("label"), col("embedding"), col("cid"),
-          CosineSim(spark, col("embedding"), col("cvec")).as("csim"))
-        .groupBy(col("vec_id"))
-        .agg(
-          max(struct(col("csim"), col("cid"))).as("best"),
-          first(col("label")).as("label"),
-          first(col("embedding")).as("embedding"))
-        .select(col("vec_id"), col("label"), col("embedding"), col("best.cid").as("list_id"))
+        .crossJoin(broadcast(codebook))
+        .select(col("vec_id"), col("label"), col("embedding"),
+          best.getField("cid").as("list_id"))
         .persist()
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("qe"))
@@ -338,11 +357,43 @@ object SimilarityQueries {
         .limit(10)
     })
 
+  /** SimHash LSH candidate pairs over a (doc_id, sig) relation: the
+    * 64-bit signature is cut into `chunks` equal-width chunks, chunk
+    * value is the band key, candidates are the equi self-join on
+    * (chunk index, chunk value). Pigeonhole guarantee: a pair with
+    * hamming distance ≤ chunks−1 has at least one untouched chunk, so
+    * it IS a candidate; pairs beyond that can be missed. Output:
+    * (i, j, hamming), deduped.
+    */
+  private[graft] def simhashCandidatePairs(sigs: DataFrame, chunks: Int): DataFrame = {
+    require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
+    val width = 64 / chunks
+    val mask = (1L << width) - 1
+    val chunked = sigs.selectExpr(
+      "doc_id", "sig",
+      s"explode(transform(sequence(0, ${chunks - 1}), " +
+        s"c -> struct(c AS chunk, (shiftright(sig, c * $width) & $mask) AS cv))) AS cc")
+      .select(col("doc_id"), col("sig"),
+        col("cc.chunk").as("chunk"), col("cc.cv").as("cv"))
+    chunked.alias("a")
+      .join(chunked.alias("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .dropDuplicates("i", "j")
+  }
+
   /** L2 variant: 64-bit SimHash near-dup. Bit b of the signature is the
-    * sign of Σ±1 over 3-gram shingle hashes (shared shingleHashes stage); near-dups differ in few bits. LSH on
-    * 16-bit chunks (hamming ≤ 8 ⇒ some chunk of 4 is untouched by
-    * pigeonhole... chunk equality is the candidate filter), then exact
-    * `bit_count(xor)`.
+    * sign of Σ±1 over 3-gram shingle hashes (shared shingleHashes
+    * stage); near-dups differ in few bits. LSH on 8 chunks of 8 bits:
+    * by pigeonhole, hamming ≤ 7 ⇒ at least one of the 8 chunks is
+    * untouched ⇒ the pair is guaranteed a candidate — so the ≤7 filter
+    * below has FULL recall (the previous 4×16 layout only guaranteed
+    * hamming ≤ 3 while filtering at ≤ 8, silently missing 4–8-bit
+    * pairs spread across all four chunks). Exact `bit_count(xor)`
+    * re-rank on candidates.
     */
   val l2SimHash: Q = Q(
     "l2_simhash_neardup",
@@ -351,21 +402,10 @@ object SimilarityQueries {
       // math, exactly the SQL fold it replaced, minus 64×|shingles|
       // interpreted lambda evals per row.
       val sigs = shingleHashes(spark, dir)
+        .filter(size(col("sh")) > 0)
         .select(col("doc_id"), SimHash64(spark, col("sh")).as("sig"))
-      val chunks = sigs.selectExpr(
-        "doc_id", "sig",
-        "explode(transform(sequence(0, 3), c -> struct(c AS chunk, (shiftright(sig, c * 16) & 65535) AS cv))) AS cc")
-        .select(col("doc_id"), col("sig"),
-          col("cc.chunk").as("chunk"), col("cc.cv").as("cv"))
-      chunks.alias("a")
-        .join(chunks.alias("b"),
-          col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(
-          col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-        .dropDuplicates("i", "j")
-        .filter(col("hamming") <= 8)
+      simhashCandidatePairs(sigs, chunks = 8)
+        .filter(col("hamming") <= 7)
         .orderBy(col("i"), col("j"))
     })
 

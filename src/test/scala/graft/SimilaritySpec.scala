@@ -193,6 +193,61 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ranked == Seq(1L, 2L))
   }
 
+  test("native MinHash32 matches the SQL transform/array_min fold exactly") {
+    // xxhash64(h, i) chains from seed 42: hashInt(i, hashLong(h, 42)).
+    // The native expression must be byte-identical to the interpreted
+    // fold it replaced in minhashPairs.
+    val df = (1 to 80).map { k =>
+      (k.toLong, (1 to (k % 37 + 3)).map(i => (i * 2654435761L * k) ^ (k << 9)).toSeq)
+    }.toDF("id", "sh")
+    val cmp = df.select(
+      graft.functions.MinHash32(spark, $"sh").as("native"),
+      expr("transform(sequence(0, 31), i -> array_min(transform(sh, h -> xxhash64(h, i))))")
+        .as("sqlfold"))
+    assert(cmp.filter($"native" =!= $"sqlfold").count() == 0)
+    // empty input → NULL (callers filter size(sh) > 0 first)
+    val empty = Seq((1L, Seq.empty[Long])).toDF("id", "sh")
+      .select(graft.functions.MinHash32(spark, $"sh").as("m")).collect().head
+    assert(empty.isNullAt(0))
+  }
+
+  test("l3_ann_ivf plan never shuffles the embedding column") {
+    // The scale contract: assignment is a broadcast-singleton nested
+    // loop + per-row argmax, so no ShuffleExchange carries the (wide)
+    // embedding column. AQE off so the pre-execution plan is concrete.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = graft.queries.SimilarityQueries.l3AnnIvf.fn(spark, "/root/testdata/sf0.001")
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      val offenders = shuffles.filter(_.output.exists(a =>
+        a.name == "embedding" || a.name == "qe" || a.name == "cents"))
+      assert(offenders.isEmpty,
+        s"embedding column crosses a shuffle:\n${offenders.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("SimHash 8x8 LSH finds a planted hamming-5 pair the old 4x16 layout missed") {
+    // Bits 0,1 hit old chunk 0; bits 16, 32, 48 hit old chunks 1..3 —
+    // all four 16-bit chunks touched, so the 4x16 banding had no
+    // untouched chunk and silently dropped the pair. With 8 chunks of
+    // 8 bits, chunks 1,3,5,7 are untouched (pigeonhole: hamming ≤ 7
+    // always leaves one), so the pair must surface.
+    val a = 0L
+    val b = (1L << 0) | (1L << 1) | (1L << 16) | (1L << 32) | (1L << 48)
+    assert(java.lang.Long.bitCount(a ^ b) == 5)
+    val sigs = Seq((1L, a), (2L, b)).toDF("doc_id", "sig")
+    val pairs = graft.queries.SimilarityQueries.simhashCandidatePairs(sigs, chunks = 8)
+      .select($"i", $"j", $"hamming").as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 5)))
+    // and the old layout indeed missed it (documents the bug, not a goal)
+    val old = graft.queries.SimilarityQueries.simhashCandidatePairs(sigs, chunks = 4)
+      .count()
+    assert(old == 0)
+  }
+
   test("native SimHash64 matches the SQL aggregate fold exactly") {
     val df = (1 to 50).map(k => (k.toLong, (1 to 40).map(i => (i * 2654435761L * k) ^ (k << 7)).toSeq))
       .toDF("id", "sh")
