@@ -18,22 +18,33 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: absorb session startup + first-query codegen outside the
-    // per-query timings (runs the flagship on sf0.001).
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // per-query timings (runs the flagship on sf0.001). A warm-up failure
+    // is logged, not fatal — a broken flagship must still surface here,
+    // not only in Verify.
+    try SparkEntry.entry(spark).count()
+    catch { case e: Throwable => System.err.println(s"[bench] warm-up FAILED: $e") }
+    // Median-of-N per query: single-shot timings on this box swing ±50%
+    // run-to-run (r2→r3 measured 22s→2.7s on an identical binary), which
+    // makes per-query perf deltas meaningless. The median of 3 back-to-back
+    // runs is robust to one bad run while keeping total bench time bounded.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val errors = scala.collection.mutable.SortedMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // Isolate queries: accumulated cache entries from persist()-ing
+        // queries make CacheManager's per-plan-node semanticEquals lookup
+        // dominate DRIVER time for later large-plan queries (measured 2.4×
+        // total slowdown across 62 queries without this).
+        spark.catalog.clearCache()
+        elapsed
       }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      // Isolate queries: accumulated cache entries from persist()-ing
-      // queries make CacheManager's per-plan-node semanticEquals lookup
-      // dominate DRIVER time for later large-plan queries (measured 2.4×
-      // total slowdown across 62 queries without this).
-      spark.catalog.clearCache()
-      name -> elapsed
+      name -> times.sorted.apply(reps / 2)
     }
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")

@@ -74,6 +74,16 @@ final case class TopKPerGroupExec(
         val heap = heaps.get(key) match {
           case Some(h) => h
           case None =>
+            // O(groups × k) heap state is held in task memory with no
+            // spill path — the design trade this operator makes vs the
+            // window form. Tripwire instead of an opaque task OOM at
+            // high group cardinality: fail fast with the remedy.
+            if (heaps.size >= TopKPerGroupExec.MaxGroupsPerTask) {
+              throw new IllegalStateException(
+                s"TopKPerGroupExec: > ${TopKPerGroupExec.MaxGroupsPerTask} distinct groups " +
+                  "in one task; this operator holds all per-group heaps in memory. " +
+                  "Use the window-function form (spills) for high-cardinality group keys.")
+            }
             val h = mutable.PriorityQueue.empty[UnsafeRow](
               rowOrdering.asInstanceOf[Ordering[UnsafeRow]])
             heaps.put(key.copy(), h)
@@ -94,6 +104,13 @@ final case class TopKPerGroupExec(
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
+}
+
+object TopKPerGroupExec {
+  /** ~4M groups × (k=5) × ~64B rows ≈ 1.3 GB/task — past this the window
+    * form's sort-with-spill is the right plan, not a bigger heap.
+    */
+  val MaxGroupsPerTask: Int = 4 << 20
 }
 
 /** User-facing entry point. */

@@ -194,7 +194,8 @@ object JoinQueries {
   val j7RangeBucketJoin: Q = Q(
     "j7_range_bucket_join",
     """WITH ev AS (SELECT event_type, value, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr FROM events),
-      |hourly AS (SELECT hr, avg(value) AS hr_avg FROM ev GROUP BY hr)
+      |hourly AS (SELECT hr, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS hr_avg
+      |           FROM ev GROUP BY hr)
       |SELECT event_type,
       |  count(*) AS n_above,
       |  round(avg(value), 4) AS avg_above
@@ -204,7 +205,13 @@ object JoinQueries {
       |ORDER BY event_type""".stripMargin) { (spark, dir) =>
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), col("value"), date_trunc("hour", col("ts")).as("hr"))
-    val hourly = ev.groupBy(col("hr")).agg(avg(col("value")).as("hr_avg"))
+    // Decimal-exact mean: a double avg() differs in the last ulp with
+    // parallel summation order, and `value > hr_avg` membership of a row
+    // within an ulp of the mean would flip between engines/runs. The
+    // decimal sum is exact and order-independent; double divide of two
+    // identical operands is deterministic in both dialects (st3 pattern).
+    val hourly = ev.groupBy(col("hr")).agg(
+      (sum(col("value").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("hr_avg"))
     ev.join(hourly, Seq("hr"))
       .filter(col("value") > col("hr_avg"))
       .groupBy(col("event_type"))

@@ -99,6 +99,15 @@ object StreamingQueries {
   /** ST5: streaming dedup within watermark — duplicate (user_id,
     * event_type) observations collapse to first occurrence; the
     * per-type distinct-user count is order-independent and exact.
+    *
+    * `dropDuplicatesWithinWatermark`, not plain `dropDuplicates`: the
+    * plain form keeps EVERY key's state forever (unbounded growth on a
+    * real stream); the watermark-bounded form evicts a key once the
+    * watermark passes its event time + delay, which is the only form
+    * that survives at 100 TB. The replay harness drives the whole file
+    * in one batch, so the batch-oracle equality still holds exactly;
+    * the eviction semantics are covered by the multi-batch
+    * StreamingSpec case.
     */
   val st5StreamDedup: Q = Q(
     "st5_stream_dedup",
@@ -108,7 +117,7 @@ object StreamingQueries {
       |ORDER BY event_type""".stripMargin) { (spark, dir) =>
     val dedup = StreamingOps.eventsStream(spark, dir)
       .withWatermark("ts", "10 minutes")
-      .dropDuplicates("user_id", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
     val rows = StreamingOps.runToBatch(spark, dedup, "append", "st5_sink")
     rows.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_distinct_users"))

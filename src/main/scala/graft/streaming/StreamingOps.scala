@@ -35,19 +35,28 @@ object StreamingOps {
     StructField("props", StringType)))
 
   /** The file stream source lists a DIRECTORY of arriving files; the
-    * testdata table is a single file, so stage it into a per-sf temp dir
-    * (idempotent copy). At 100 TB the directory IS the ingest landing
-    * zone and this staging step disappears.
+    * testdata table is a single file, so stage it into a per-sf temp dir.
+    * The copy is refreshed whenever the source's size or mtime differs —
+    * a skip-if-exists copy would silently replay STALE bytes against a
+    * fresh batch oracle after testdata regeneration. At 100 TB the
+    * directory IS the ingest landing zone and this staging step
+    * disappears.
     */
   private def stagedEventsDir(dir: String): String = {
-    val stage = java.nio.file.Paths.get(
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val stage = Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_stream",
       dir.replaceAll("[^a-zA-Z0-9]", "_"))
-    java.nio.file.Files.createDirectories(stage)
+    Files.createDirectories(stage)
+    val src = Paths.get(dir, "events.parquet")
     val dst = stage.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(dst)) {
-      try java.nio.file.Files.copy(java.nio.file.Paths.get(dir, "events.parquet"), dst)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () } // concurrent staging
+    val stale = !Files.exists(dst) ||
+      Files.size(dst) != Files.size(src) ||
+      Files.getLastModifiedTime(dst) != Files.getLastModifiedTime(src)
+    if (stale) {
+      try Files.copy(src, dst,
+        StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.COPY_ATTRIBUTES)
+      catch { case _: java.nio.file.FileSystemException => () } // concurrent staging
     }
     stage.toString
   }

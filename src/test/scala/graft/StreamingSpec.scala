@@ -87,6 +87,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ST5: dropDuplicatesWithinWatermark evicts key state once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val dedup = in.toDF().toDF("ts", "id")
+      .withWatermark("ts", "5 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = dedup.writeStream.format("memory").queryName("st5_wm_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // Batch 1: id=1 emitted; a same-batch duplicate collapses.
+      in.addData((ts(1), 1L), (ts(2), 1L))
+      q.processAllAvailable()
+      // Batch 2: advance the watermark to 10:25 (30 - 5), far past
+      // id=1's expiry (event 10:01 + 5 min delay = 10:06) → its state
+      // is EVICTED, not retained forever (the unbounded-state failure
+      // mode of plain dropDuplicates this operator exists to fix).
+      in.addData((ts(30), 2L))
+      q.processAllAvailable()
+      // Batch 3: id=1 re-arrives above the watermark. With its state
+      // evicted it is emitted AGAIN — bounded state, not global dedup.
+      in.addData((ts(31), 1L))
+      q.processAllAvailable()
+      val ids = spark.table("st5_wm_sink").select($"id").as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 1L, 2L),
+        s"expected re-emission after eviction, got $ids")
+      // And the state store itself is bounded: the final batch holds
+      // state only for keys the watermark hasn't passed.
+      val progress = q.lastProgress
+      val stateRows = progress.stateOperators.head.numRowsTotal
+      assert(stateRows <= 2, s"state not evicted: $stateRows rows retained")
+    } finally q.stop()
+  }
+
   test("S5: streaming parquet sink with checkpoint persists exactly-once") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
