@@ -156,7 +156,37 @@ object SourceQueries {
       .orderBy(col("doc_id"), col("pos"))
   }
 
+  /** X4: custom DataSource V2 (graft.sources.GraftRangeSource) — the
+    * `graft-range` source generates `[0, 20000)` in 8 splits; the
+    * `id >= 5000 AND id < 15000` predicate is PUSHED into the scan
+    * bounds (asserted in Dsv2Spec), so the source enumerates exactly
+    * the 10k surviving rows. Oracle twin is DuckDB's own range().
+    * `val = id * 0.25` is dyadic ⇒ double sums are exact in both
+    * engines regardless of summation order.
+    */
+  val x4Dsv2Source: Q = Q(
+    "x4_dsv2_source",
+    """SELECT id % 7 AS tag, count(*) AS n,
+      |  round(sum(id * CAST(0.25 AS DOUBLE)), 4) AS total_val,
+      |  min(id) AS min_id, max(id) AS max_id
+      |FROM range(0, 20000) t(id)
+      |WHERE id >= 5000 AND id < 15000
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (spark, _) =>
+    spark.read.format("graft-range")
+      .option("start", "0").option("end", "20000").option("slices", "8")
+      .load()
+      .filter(col("id") >= 5000 && col("id") < 15000)
+      .groupBy(col("tag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("val")), 4).as("total_val"),
+        min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+      .orderBy(col("tag"))
+  }
+
   val all: Seq[Q] = Seq(
     s2ParquetRoundtrip, s3CsvSource, s3JsonSource, s6CacheReuse,
-    x1ScalarUdf, x3Generator)
+    x1ScalarUdf, x3Generator, x4Dsv2Source)
 }

@@ -1,0 +1,162 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 custom source (SURVEY.md §2b extension surface; the one
+  * Catalyst extension point the engine didn't exercise elsewhere): a
+  * deterministic numeric relation `[start, end)` with derived columns
+  *
+  *   id  BIGINT    — the range value
+  *   val DOUBLE    — id * 0.25 (dyadic ⇒ sums are exact in double)
+  *   tag BIGINT    — id % 7
+  *
+  * generated INSIDE the reader, so pushdown is observable:
+  *
+  *  - **Filter pushdown** (`SupportsPushDownFilters`): comparisons on
+  *    `id` narrow the `[start, end)` bounds BEFORE splits are planned —
+  *    the DSv2 analogue of parquet row-group pruning; a pushed
+  *    `id >= x` genuinely shrinks what the source enumerates, it isn't
+  *    re-filtered post-scan. Non-`id` filters are returned as residual
+  *    for Spark to evaluate.
+  *  - **Column pruning** (`SupportsPushDownRequiredColumns`): the reader
+  *    materializes only the requested fields — a 1-column projection
+  *    never computes the other two (the "scan reads all columns for a
+  *    2-column projection is wrong" rule, applied to a generator).
+  *  - **Splits**: the (possibly narrowed) range is cut into `slices`
+  *    contiguous `InputPartition`s — the multi-executor parallelism
+  *    contract; at 100 TB `slices` is sized to the cluster, and each
+  *    split is an independent task with no shared state.
+  *
+  * Registered via META-INF/services as short name `graft-range`:
+  * `spark.read.format("graft-range").option("start", …).option("end", …)`.
+  */
+class GraftRangeSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-range"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftRangeSource.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val start = Option(properties.get("start")).map(_.toLong).getOrElse(0L)
+    val end = Option(properties.get("end")).map(_.toLong).getOrElse(
+      throw new IllegalArgumentException("graft-range requires an 'end' option"))
+    val slices = Option(properties.get("slices")).map(_.toInt).getOrElse(8)
+    require(slices > 0, s"slices must be positive, got $slices")
+    new GraftRangeTable(start, end, slices)
+  }
+}
+
+object GraftRangeSource {
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("val", DoubleType, nullable = false),
+    StructField("tag", LongType, nullable = false)))
+}
+
+private[sources] class GraftRangeTable(start: Long, end: Long, slices: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft_range[$start, $end)"
+  override def schema(): StructType = GraftRangeSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftRangeScanBuilder(start, end, slices)
+}
+
+private[sources] class GraftRangeScanBuilder(start: Long, end: Long, slices: Int)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var lo = start
+  private var hi = end // exclusive
+  private var pushed = Array.empty[Filter]
+  private var required: StructType = GraftRangeSource.schema
+
+  private def lit(v: Any): Option[Long] = v match {
+    case n: java.lang.Number => Some(n.longValue())
+    case _ => None
+  }
+
+  /** A pushed comparison on `id` is absorbed COMPLETELY into the scan
+    * bounds (the range is dense and sorted by construction), so it is
+    * both `pushedFilters` (source handles it) and not residual. Anything
+    * else — other columns, IsNull, Or — stays with Spark.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val residual = filters.filter {
+      case EqualTo("id", v) if lit(v).isDefined =>
+        val x = lit(v).get; lo = math.max(lo, x); hi = math.min(hi, x + 1)
+        pushed :+= EqualTo("id", v); false
+      case GreaterThan("id", v) if lit(v).isDefined =>
+        lo = math.max(lo, lit(v).get + 1); pushed :+= GreaterThan("id", v); false
+      case GreaterThanOrEqual("id", v) if lit(v).isDefined =>
+        lo = math.max(lo, lit(v).get); pushed :+= GreaterThanOrEqual("id", v); false
+      case LessThan("id", v) if lit(v).isDefined =>
+        hi = math.min(hi, lit(v).get); pushed :+= LessThan("id", v); false
+      case LessThanOrEqual("id", v) if lit(v).isDefined =>
+        hi = math.min(hi, lit(v).get + 1); pushed :+= LessThanOrEqual("id", v); false
+      case _ => true
+    }
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = GraftRangeScan(lo, math.max(lo, hi), slices, required)
+}
+
+private[graft] case class GraftRangeScan(
+    lo: Long, hi: Long, slices: Int, required: StructType) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftRangeScan[$lo, $hi) slices=$slices cols=[${required.fieldNames.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = hi - lo
+    if (n <= 0) return Array.empty
+    val parts = math.min(slices.toLong, n).toInt
+    Array.tabulate(parts) { i =>
+      GraftRangeSplit(lo + i * n / parts, lo + (i + 1) * n / parts)
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftRangeReaderFactory(required.fieldNames)
+}
+
+private[graft] case class GraftRangeSplit(lo: Long, hi: Long) extends InputPartition
+
+private[graft] case class GraftRangeReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val split = partition.asInstanceOf[GraftRangeSplit]
+    new PartitionReader[InternalRow] {
+      private var cur = split.lo - 1
+      override def next(): Boolean = { cur += 1; cur < split.hi }
+      override def get(): InternalRow = InternalRow.fromSeq(
+        fields.toIndexedSeq.map {
+          case "id" => cur
+          case "val" => cur * 0.25
+          case "tag" => cur % 7
+        })
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.sources.{GraftRangeScan, GraftRangeSplit}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DataSource V2 contract tests for graft.sources.GraftRangeSource: the
+  * pushdown claims are asserted against the PLANNED scan, not just the
+  * query result — a source that re-filters post-scan would pass a
+  * result check but fail these.
+  */
+class Dsv2Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def read(start: Long, end: Long, slices: Int = 8): DataFrame =
+    spark.read.format("graft-range")
+      .option("start", start.toString)
+      .option("end", end.toString)
+      .option("slices", slices.toString)
+      .load()
+
+  private def plannedScan(df: DataFrame): GraftRangeScan = {
+    val scans = df.queryExecution.sparkPlan.collect {
+      case b: BatchScanExec => b.scan
+    }
+    assert(scans.size == 1, s"expected one BatchScan, got:\n${df.queryExecution.sparkPlan}")
+    scans.head.asInstanceOf[GraftRangeScan]
+  }
+
+  test("full read matches the arithmetic definition") {
+    val rows = read(0, 100).as[(Long, Double, Long)].collect().sortBy(_._1)
+    assert(rows.length == 100)
+    assert(rows.forall { case (id, v, tag) => v == id * 0.25 && tag == id % 7 })
+  }
+
+  test("id comparisons are pushed into the scan bounds (no residual re-filter)") {
+    val df = read(0, 20000).filter($"id" >= 5000 && $"id" < 15000)
+    val scan = plannedScan(df)
+    assert(scan.lo == 5000 && scan.hi == 15000,
+      s"filter not absorbed into bounds: ${scan.description()}")
+    assert(df.count() == 10000)
+  }
+
+  test("column pruning reaches the reader schema") {
+    val df = read(0, 50).select($"val")
+    val scan = plannedScan(df)
+    assert(scan.readSchema().fieldNames.toSeq == Seq("val"),
+      s"projection not pruned: ${scan.description()}")
+    assert(df.as[Double].collect().sum == (0 until 50).map(_ * 0.25).sum)
+  }
+
+  test("splits are contiguous, disjoint, and cover the narrowed range") {
+    val scan = plannedScan(read(0, 1003).filter($"id" >= 3))
+    val splits = scan.planInputPartitions().map(_.asInstanceOf[GraftRangeSplit])
+    assert(splits.length == 8)
+    assert(splits.head.lo == 3 && splits.last.hi == 1003)
+    splits.sliding(2).foreach { case Array(a, b) => assert(a.hi == b.lo) }
+    assert(splits.map(s => s.hi - s.lo).sum == 1000)
+  }
+
+  test("non-id filters stay residual and are still applied") {
+    // tag = 3 cannot be absorbed into range bounds — Spark must evaluate
+    // it above the scan; bounds stay untouched, results stay correct.
+    val df = read(0, 70).filter($"tag" === 3)
+    val scan = plannedScan(df)
+    assert(scan.lo == 0 && scan.hi == 70)
+    assert(df.select($"id").as[Long].collect().sorted.toSeq ==
+      (0L until 70L).filter(_ % 7 == 3))
+  }
+
+  test("contradictory pushed filters plan an empty scan, not a crash") {
+    val df = read(0, 100).filter($"id" > 80 && $"id" < 20)
+    assert(plannedScan(df).planInputPartitions().isEmpty)
+    assert(df.count() == 0)
+  }
+}
