@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.functions.CosineSim
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed spherical k-means (Lloyd's) trainer for IVF codebooks —
+  * the upgrade from a sampled codebook (k lowest-id vectors) to TRAINED
+  * centroids, which is what makes an IVF recall number meaningful at
+  * scale.
+  *
+  * Every step is shaped for 100 TB:
+  *
+  *  - **Assignment** is the shuffle-free broadcast-codebook pattern
+  *    shared with `SimilarityQueries.l3AnnIvf`: the whole bounded
+  *    codebook rides ONE broadcast row; each vector picks its centroid
+  *    with a per-row `aggregate()` argmax. The embedding column never
+  *    crosses an exchange.
+  *  - **Update** computes per-list element-wise means via
+  *    `posexplode` → `groupBy(list, dim)`: partial aggregation
+  *    (map-side combine) reduces each task's contribution to k×dim
+  *    (list, dim, sum, count) scalars BEFORE the exchange — the shuffle
+  *    carries bounded per-dimension partials, never vectors.
+  *  - **Iteration state** stays a one-row codebook DataFrame,
+  *    `localCheckpoint`-ed per round to truncate lineage (the
+  *    ConnectedComponents pattern); nothing is collected to the driver.
+  *  - A list that loses every member keeps its previous centroid, so k
+  *    stays fixed (no degenerate shrinking codebook).
+  *
+  * Spherical variant: assignment by cosine (the serving metric of the
+  * ANN queries), update by arithmetic mean — `CosineSim` normalizes at
+  * use, so the mean need not be re-normalized.
+  */
+object KMeansCodebook {
+
+  /** Per-row nearest-centroid id for `vec` against a bounded
+    * `array<struct<cid, cvec>>` codebook column — a projection, not a
+    * join/shuffle. NULL-sim centroids (zero-norm input) never win;
+    * a row with no comparable centroid gets cid = -1.
+    */
+  def bestCentroid(spark: SparkSession, vec: Column, cents: Column): Column =
+    aggregate(
+      cents,
+      struct(lit(Double.NegativeInfinity).as("csim"), lit(-1L).as("cid")),
+      (acc, c) => {
+        val s = CosineSim(spark, vec, c.getField("cvec"))
+        when(s > acc.getField("csim"),
+          struct(s.as("csim"), c.getField("cid").as("cid")))
+          .otherwise(acc)
+      }).getField("cid")
+
+  /** Train a k-centroid codebook over `e(idCol, vecCol)`. Returns a
+    * ONE-ROW DataFrame `cents: array<struct<cid: bigint, cvec:
+    * array<float>>>`, cid-sorted for deterministic array order (ties in
+    * the argmax then break identically run-to-run). Seeds are the k
+    * lowest-id vectors — deterministic, and exactly the previous sampled
+    * codebook, so iters = 0 reproduces the old behavior.
+    */
+  def train(
+      e: DataFrame,
+      k: Int,
+      iters: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
+    val spark = e.sparkSession
+    val seeds = e.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"))
+    var codebook = seeds
+      .agg(array_sort(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
+      .localCheckpoint()
+
+    for (_ <- 1 to iters) {
+      val assigned = e.crossJoin(broadcast(codebook))
+        .select(col(vecCol).as("vec"),
+          bestCentroid(spark, col(vecCol), col("cents")).as("list_id"))
+      val dimMeans = assigned
+        .select(col("list_id"), posexplode(col("vec")).as(Seq("pos", "v")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+      val newCents = dimMeans.groupBy(col("list_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m").cast("float")).as("newvec"))
+      val prev = codebook.select(explode(col("cents")).as("c"))
+        .select(col("c.cid").as("cid"), col("c.cvec").as("cvec"))
+      codebook = prev
+        .join(newCents, prev("cid") === newCents("list_id"), "left")
+        .select(col("cid"), coalesce(col("newvec"), col("cvec")).as("cvec"))
+        .agg(array_sort(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
+        .localCheckpoint()
+    }
+    codebook
+  }
+}

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.{CosineSim, MinHash32, SimHash64, SrpBucket, VectorOps}
+import graft.operators.KMeansCodebook
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -294,9 +295,12 @@ object SimilarityQueries {
         .orderBy(col("cluster_size"))
     })
 
-  /** L3 (IVF scale path): inverted-file ANN. Coarse quantizer = 16
-    * deterministically chosen codebook vectors (lowest vec_ids — a
-    * sampled codebook, the standard IVF-flat construction).
+  /** L3 (IVF scale path): inverted-file ANN with a TRAINED coarse
+    * quantizer — `KMeansCodebook.train` runs distributed spherical
+    * k-means (seeded by the k lowest vec_ids, 3 Lloyd's rounds), so the
+    * inverted lists follow the data's actual cluster structure instead
+    * of whichever 16 vectors sorted first; that is what makes the
+    * recall number meaningful at scale.
     *
     * Assignment is SHUFFLE-FREE: the whole bounded codebook is
     * aggregated into ONE row (`collect_list` — an aggregate of k=16
@@ -304,10 +308,11 @@ object SimilarityQueries {
     * condition) and nested-loop-joined as a broadcast singleton; each
     * vector then picks its nearest centroid with a per-row argmax fold
     * over that 16-element array. The embedding column never crosses an
-    * exchange — the previous formulation (broadcast join ×16 then
-    * `groupBy(vec_id)` argmax) pushed every embedding through the
-    * aggregation shuffle, the exact scale-killer the 100 TB brief
-    * forbids. Asserted by the no-embedding-shuffle plan test in
+    * exchange — training's only shuffles carry (list, dim, partial-mean)
+    * scalars (see KMeansCodebook) — vs the pre-r4 formulation (broadcast
+    * join ×16 then `groupBy(vec_id)` argmax) that pushed every embedding
+    * through the aggregation shuffle, the exact scale-killer the 100 TB
+    * brief forbids. Asserted by the no-embedding-shuffle plan test in
     * SimilaritySpec.
     *
     * A query probes the nprobe=4 nearest inverted lists and
@@ -322,23 +327,14 @@ object SimilarityQueries {
       val k = 16
       val nprobe = 4
       val e = Tables.embeddings(spark, dir)
-      val centroids = e.orderBy(col("vec_id")).limit(k)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-      val codebook = centroids
-        .agg(collect_list(struct(col("cid"), col("cvec"))).as("cents"))
-      val best = aggregate(
-        col("cents"),
-        struct(lit(Double.NegativeInfinity).as("csim"), lit(-1L).as("cid")),
-        (acc, c) => {
-          val s = CosineSim(spark, col("embedding"), c.getField("cvec"))
-          when(s > acc.getField("csim"),
-            struct(s.as("csim"), c.getField("cid").as("cid")))
-            .otherwise(acc)
-        })
+      val codebook = KMeansCodebook.train(e, k, iters = 3)
+      val centroids = codebook.select(explode(col("cents")).as("c"))
+        .select(col("c.cid").as("cid"), col("c.cvec").as("cvec"))
       val assigned = e
         .crossJoin(broadcast(codebook))
         .select(col("vec_id"), col("label"), col("embedding"),
-          best.getField("cid").as("list_id"))
+          KMeansCodebook.bestCentroid(spark, col("embedding"), col("cents"))
+            .as("list_id"))
         .persist()
       val q = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("qe"))

@@ -211,6 +211,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(empty.isNullAt(0))
   }
 
+  test("KMeansCodebook recovers planted clusters (trained > sampled quantizer)") {
+    // Three tight clusters around orthogonal axes, deliberately ordered
+    // so the k lowest ids all land in cluster 0 — a sampled codebook
+    // would put every seed in one cluster; training must separate them.
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Float]): Seq[Float] =
+      base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.05f).toSeq
+    val axes = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f), Array(0f, 0f, 1f, 0f))
+    val rows = (0 until 60).map { i =>
+      val cluster = if (i < 3) 0 else i % 3 // ids 0,1,2 (the seeds) all cluster 0
+      (i.toLong, jitter(axes(cluster)), cluster)
+    }
+    val df = rows.toDF("vec_id", "embedding", "cluster")
+    val codebook = graft.operators.KMeansCodebook.train(df, k = 3, iters = 3)
+    val assigned = df.crossJoin(broadcast(codebook))
+      .select($"cluster",
+        graft.operators.KMeansCodebook
+          .bestCentroid(spark, $"embedding", $"cents").as("list_id"))
+      .collect()
+    // Every planted cluster maps to exactly one list, and distinct
+    // clusters map to distinct lists — the codebook separated them.
+    val byCluster = assigned.groupBy(_.getInt(0)).map { case (c, rs) =>
+      c -> rs.map(_.getLong(1)).distinct
+    }
+    assert(byCluster.values.forall(_.size == 1),
+      s"cluster split across lists: $byCluster")
+    assert(byCluster.values.flatten.toSet.size == 3,
+      s"clusters collapsed into one list: $byCluster")
+  }
+
   test("l3_ann_ivf plan never shuffles the embedding column") {
     // The scale contract: assignment is a broadcast-singleton nested
     // loop + per-row argmax, so no ShuffleExchange carries the (wide)
