@@ -141,6 +141,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ST6b: transformWithState (Spark 4 arbitrary-stateful API) accumulates via ValueState") {
+    // The successor API to mapGroupsWithState: typed per-key state
+    // handles (ValueState/ListState/MapState), timers, and TTL —
+    // requires the RocksDB state store provider.
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[(String, Int)]
+    class RunningSum extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Int), (String, Long)] {
+      @transient private var sum: org.apache.spark.sql.streaming.ValueState[Long] = _
+      override def init(
+          outputMode: OutputMode,
+          timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+        sum = getHandle.getValueState[Long]("sum",
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.streaming.TTLConfig.NONE)
+      override def handleInputRows(
+          key: String,
+          rows: Iterator[(String, Int)],
+          timers: org.apache.spark.sql.streaming.TimerValues): Iterator[(String, Long)] = {
+        val n = (if (sum.exists()) sum.get() else 0L) + rows.map(_._2).sum
+        sum.update(n)
+        Iterator.single((key, n))
+      }
+    }
+    val out = in.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new RunningSum,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update(),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong))
+    val q = out.toDF("k", "n").writeStream.format("memory")
+      .queryName("tws_sink").outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(("a", 1), ("a", 2), ("b", 5))
+      q.processAllAvailable()
+      in.addData(("a", 4))
+      q.processAllAvailable()
+      val last = spark.table("tws_sink").groupBy($"k").agg(max($"n").as("n"))
+        .as[(String, Long)].collect().toMap
+      assert(last == Map("a" -> 7L, "b" -> 5L))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("tws_sink")
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("RocksDB state store provider runs the stateful pipeline") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
