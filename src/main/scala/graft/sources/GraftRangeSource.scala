@@ -4,7 +4,8 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -77,12 +78,14 @@ private[sources] class GraftRangeTable(start: Long, end: Long, slices: Int)
 private[sources] class GraftRangeScanBuilder(start: Long, end: Long, slices: Int)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var lo = start
   private var hi = end // exclusive
   private var pushed = Array.empty[Filter]
   private var required: StructType = GraftRangeSource.schema
+  private var pushedAggs: Option[Seq[GraftRangeAgg]] = None
 
   private def lit(v: Any): Option[Long] = v match {
     case n: java.lang.Number => Some(n.longValue())
@@ -117,7 +120,92 @@ private[sources] class GraftRangeScanBuilder(start: Long, end: Long, slices: Int
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = GraftRangeScan(lo, math.max(lo, hi), slices, required)
+  /** Aggregate pushdown: a dense range answers ungrouped COUNT(*) /
+    * MIN(id) / MAX(id) in O(1) from its (already filter-narrowed)
+    * bounds — the aggregation is pushed COMPLETELY (Spark plans no
+    * aggregate at all, scale analogue: answering from footer/metadata
+    * statistics instead of scanning). Anything else — group-bys,
+    * aggregates over computed columns — is declined and runs above the
+    * scan as usual.
+    */
+  private def translate(agg: Aggregation): Option[Seq[GraftRangeAgg]] = {
+    def isId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
+        case _ => false
+      }
+    if (agg.groupByExpressions.nonEmpty) return None
+    val translated = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(GraftRangeAgg.CountStar)
+      case m: Min if isId(m.column) => Some(GraftRangeAgg.MinId)
+      case m: Max if isId(m.column) => Some(GraftRangeAgg.MaxId)
+      case _ => None
+    }
+    if (translated.nonEmpty && translated.forall(_.isDefined)) Some(translated.flatten)
+    else None
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translate(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translate(agg) match {
+      case Some(t) => pushedAggs = Some(t); true
+      case None => false
+    }
+
+  override def build(): Scan = pushedAggs match {
+    case Some(aggs) => GraftRangeAggScan(lo, math.max(lo, hi), aggs)
+    case None => GraftRangeScan(lo, math.max(lo, hi), slices, required)
+  }
+}
+
+/** The three metadata-answerable aggregates over a dense range. */
+private[graft] sealed trait GraftRangeAgg extends Serializable
+private[graft] object GraftRangeAgg {
+  case object CountStar extends GraftRangeAgg
+  case object MinId extends GraftRangeAgg
+  case object MaxId extends GraftRangeAgg
+}
+
+/** O(1) scan for a completely-pushed aggregation: one split, one row,
+  * values computed from the bounds — no range enumeration at all.
+  */
+private[graft] case class GraftRangeAggScan(lo: Long, hi: Long, aggs: Seq[GraftRangeAgg])
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(aggs.map {
+    case GraftRangeAgg.CountStar => StructField("COUNT(*)", LongType, nullable = false)
+    case GraftRangeAgg.MinId => StructField("MIN(id)", LongType, nullable = true)
+    case GraftRangeAgg.MaxId => StructField("MAX(id)", LongType, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftRangeAggScan[$lo, $hi) aggs=[${aggs.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftRangeSplit(0, 1)) // one carrier split; values come from bounds
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val n = hi - lo
+    val row = InternalRow.fromSeq(aggs.map {
+      case GraftRangeAgg.CountStar => n
+      case GraftRangeAgg.MinId => if (n > 0) lo else null
+      case GraftRangeAgg.MaxId => if (n > 0) hi - 1 else null
+    })
+    GraftRangeSingleRowFactory(row)
+  }
+}
+
+private[graft] case class GraftRangeSingleRowFactory(row: InternalRow)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
 }
 
 private[graft] case class GraftRangeScan(

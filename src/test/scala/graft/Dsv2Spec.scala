@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.{GraftRangeScan, GraftRangeSplit}
+import graft.sources.{GraftRangeAggScan, GraftRangeScan, GraftRangeSplit}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.functions._
@@ -69,6 +69,32 @@ class Dsv2Spec extends AnyFunSuite {
     assert(scan.lo == 0 && scan.hi == 70)
     assert(df.select($"id").as[Long].collect().sorted.toSeq ==
       (0L until 70L).filter(_ % 7 == 3))
+  }
+
+  test("ungrouped count/min/max push down completely: O(1) scan, no aggregate above it") {
+    // Filter narrows the bounds FIRST, then the aggregation is answered
+    // from those bounds — one carrier split, no range enumeration, and
+    // Spark plans no HashAggregate at all (complete pushdown).
+    val df = read(0, 100000).filter($"id" >= 250)
+      .agg(count(lit(1)).as("n"), min($"id").as("lo"), max($"id").as("hi"))
+    val plan = df.queryExecution.sparkPlan
+    val scans = plan.collect { case b: BatchScanExec => b.scan }
+    assert(scans.size == 1 && scans.head.isInstanceOf[GraftRangeAggScan],
+      s"aggregation not pushed:\n$plan")
+    val agg = scans.head.asInstanceOf[GraftRangeAggScan]
+    assert(agg.lo == 250 && agg.hi == 100000)
+    assert(agg.planInputPartitions().length == 1)
+    assert(plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }.isEmpty, s"HashAggregate survived complete pushdown:\n$plan")
+    assert(df.as[(Long, Long, Long)].head() == ((99750L, 250L, 99999L)))
+  }
+
+  test("group-by and non-id aggregates are declined and still correct") {
+    val df = read(0, 70).groupBy($"tag").agg(count(lit(1)).as("n"))
+    val scans = df.queryExecution.sparkPlan.collect { case b: BatchScanExec => b.scan }
+    assert(scans.head.isInstanceOf[GraftRangeScan], "grouped agg must NOT push down")
+    assert(df.as[(Long, Long)].collect().toMap == (0L to 6L).map(t => t -> 10L).toMap)
   }
 
   test("contradictory pushed filters plan an empty scan, not a crash") {
