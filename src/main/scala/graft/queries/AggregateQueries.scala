@@ -170,7 +170,31 @@ object AggregateQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** A10: pivot — wide-format aggregation with an EXPLICIT pivot-value
+    * list (`Seq("F","O","P")`): without it Spark runs an extra distinct
+    * job just to discover the columns — a full scan you never want at
+    * 100 TB, and nondeterministic column order besides. Lowered to one
+    * grouped aggregate with per-value filtered sums (same plan as the
+    * oracle's FILTER clauses) — a pivot over k values is k conditional
+    * aggregates, NOT k passes.
+    */
+  val a10Pivot: Q = Q(
+    "a10_pivot",
+    """SELECT o_orderpriority,
+      |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 4) AS F,
+      |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4) AS O,
+      |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 4) AS P
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum(col("o_totalprice")), 4))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[Q] = Seq(
     a2GlobalAgg, a3DistinctAgg, a4DistinctRows, a5Rollup, a6ApproxDistinct,
-    a7Quantiles, a8CollectAgg, a9WeightedMean)
+    a7Quantiles, a8CollectAgg, a9WeightedMean, a10Pivot)
 }

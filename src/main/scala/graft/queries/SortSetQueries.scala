@@ -160,7 +160,34 @@ object SortSetQueries {
     nSet.crossJoin(nBag)
   }
 
+  /** U5: unpivot/melt — wide measures to long (id, measure, value)
+    * rows. A per-row expansion (narrow, no shuffle; ×k rows but only
+    * the named columns survive) — the standard reshape before
+    * per-measure aggregation or ML featurization. Values pass through
+    * bit-exact (no aggregation), so the oracle twin is UNION ALL.
+    */
+  val u5Unpivot: Q = Q(
+    "u5_unpivot",
+    """SELECT l_orderkey, l_linenumber, measure, value FROM (
+      |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+      |  FROM lineitem WHERE l_orderkey < 30
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      |  FROM lineitem WHERE l_orderkey < 30
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+      |  FROM lineitem WHERE l_orderkey < 30) t
+      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") < 30)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+  }
+
   val all: Seq[Q] = Seq(
     t2PartitionSort, t4TopK, t5TopKPerGroup, t5bTopKNative,
-    u1UnionAll, u2UnionDistinct, u3Intersect, u4Except)
+    u1UnionAll, u2UnionDistinct, u3Intersect, u4Except, u5Unpivot)
 }
