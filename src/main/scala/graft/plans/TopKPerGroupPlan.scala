@@ -5,10 +5,11 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.{CodegenSupport, SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Whole-operator custom plan (SURVEY.md §2b custom-operator preference
   * (c), the one extension point the repo hadn't exercised): top-k rows
@@ -45,62 +46,136 @@ object TopKPerGroupStrategy extends SparkStrategy {
   }
 }
 
+/** Per-task heap state shared by the interpreted and codegen paths.
+  * Public: instantiated from generated Java via the plan reference.
+  */
+final class TopKGroupAccumulator(
+    groupProj: UnsafeProjection,
+    rowOrdering: Ordering[InternalRow],
+    k: Int) {
+
+  // Max-heap under the sort order: the head is the WORST retained row,
+  // evicted when a better one arrives.
+  private val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
+
+  def insert(row: UnsafeRow): Unit = {
+    val key = groupProj(row)
+    val heap = heaps.get(key) match {
+      case Some(h) => h
+      case None =>
+        // O(groups × k) heap state is held in task memory with no
+        // spill path — the design trade this operator makes vs the
+        // window form. Tripwire instead of an opaque task OOM at
+        // high group cardinality: fail fast with the remedy.
+        if (heaps.size >= TopKPerGroupExec.MaxGroupsPerTask) {
+          throw new IllegalStateException(
+            s"TopKPerGroupExec: > ${TopKPerGroupExec.MaxGroupsPerTask} distinct groups " +
+              "in one task; this operator holds all per-group heaps in memory. " +
+              "Use the window-function form (spills) for high-cardinality group keys.")
+        }
+        val h = mutable.PriorityQueue.empty[UnsafeRow](
+          rowOrdering.asInstanceOf[Ordering[UnsafeRow]])
+        heaps.put(key.copy(), h)
+        h
+    }
+    if (heap.size < k) {
+      heap.enqueue(row.copy())
+    } else if (rowOrdering.lt(row, heap.head)) {
+      heap.dequeue()
+      heap.enqueue(row.copy())
+    }
+  }
+
+  /** Retained rows, per-group in sort order. Each row is a distinct
+    * copied UnsafeRow (no buffer reuse downstream needs to defend
+    * against).
+    */
+  def result(): Iterator[UnsafeRow] =
+    heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+}
+
 final case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan) extends UnaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(groupExprs) :: Nil
 
-  override protected def doExecute(): RDD[InternalRow] = {
-    val groupExprsB = groupExprs
-    val orderB = order
-    val kB = k
-    val childOutput = child.output
+  def createAccumulator(): TopKGroupAccumulator =
+    new TopKGroupAccumulator(
+      UnsafeProjection.create(groupExprs, child.output),
+      RowOrdering.create(order, child.output),
+      k)
+
+  override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitions({ iter =>
-      val groupProj = UnsafeProjection.create(groupExprsB, childOutput)
-      val rowOrdering: Ordering[InternalRow] =
-        org.apache.spark.sql.catalyst.expressions.RowOrdering
-          .create(orderB, childOutput)
-      // Max-heap under the sort order: the head is the WORST retained
-      // row, evicted when a better one arrives.
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
-      iter.foreach { row =>
-        val key = groupProj(row)
-        val heap = heaps.get(key) match {
-          case Some(h) => h
-          case None =>
-            // O(groups × k) heap state is held in task memory with no
-            // spill path — the design trade this operator makes vs the
-            // window form. Tripwire instead of an opaque task OOM at
-            // high group cardinality: fail fast with the remedy.
-            if (heaps.size >= TopKPerGroupExec.MaxGroupsPerTask) {
-              throw new IllegalStateException(
-                s"TopKPerGroupExec: > ${TopKPerGroupExec.MaxGroupsPerTask} distinct groups " +
-                  "in one task; this operator holds all per-group heaps in memory. " +
-                  "Use the window-function form (spills) for high-cardinality group keys.")
-            }
-            val h = mutable.PriorityQueue.empty[UnsafeRow](
-              rowOrdering.asInstanceOf[Ordering[UnsafeRow]])
-            heaps.put(key.copy(), h)
-            h
-        }
-        if (heap.size < kB) {
-          heap.enqueue(row.asInstanceOf[UnsafeRow].copy())
-        } else if (rowOrdering.lt(row, heap.head)) {
-          heap.dequeue()
-          heap.enqueue(row.asInstanceOf[UnsafeRow].copy())
-        }
-      }
-      heaps.valuesIterator.flatMap { h =>
-        h.dequeueAll.reverseIterator // per-group rows in sort order
-      }
+      val acc = createAccumulator()
+      iter.foreach(row => acc.insert(row.asInstanceOf[UnsafeRow]))
+      acc.result()
     }, preservesPartitioning = true)
+
+  // ---- Whole-stage codegen (the SortExec blocking-operator shape) ----
+  //
+  // The operator is a pipeline BREAKER, not a codegen fence: the child's
+  // fused loop feeds `doConsume` (one virtual call into the heap
+  // accumulator per row — the group projection and comparisons stay the
+  // interpreted kernels, which are not the hot path the stage fuses),
+  // and once the child loop drains, `doProduce`'s emit loop feeds the
+  // PARENT's generated code inline. Without this, every operator above
+  // and below fell out of WholeStageCodegen into iterator boxing.
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[CodegenSupport].inputRDDs()
+
+  // Blocking: everything is consumed before anything is produced, so
+  // upstream limit/stop short-circuits must not cut the accumulate loop.
+  override def needStopCheck: Boolean = false
+  override def limitNotReachedChecks: Seq[String] = Nil
+  override def needCopyResult: Boolean = false // result() rows are distinct copies
+
+  private var accVariable: String = _
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val thisPlan = ctx.addReferenceObj("topkPlan", this)
+    accVariable = ctx.addMutableState(
+      classOf[TopKGroupAccumulator].getName, "topkAcc",
+      v => s"$v = $thisPlan.createAccumulator();", forceInline = true)
+    val needAcc = ctx.addMutableState(
+      org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.JAVA_BOOLEAN,
+      "topkNeedAcc", v => s"$v = true;")
+    val outIter = ctx.addMutableState(
+      "scala.collection.Iterator", "topkOutIter", forceInline = true)
+    val addToAcc = ctx.addNewFunction("topkAddToAcc",
+      s"""
+         |private void topkAddToAcc() throws java.io.IOException {
+         |  ${child.asInstanceOf[CodegenSupport].produce(ctx, this)}
+         |}
+       """.stripMargin)
+    val row = ctx.freshName("topkRow")
+    s"""
+       |if ($needAcc) {
+       |  $addToAcc();
+       |  $needAcc = false;
+       |  $outIter = $accVariable.result();
+       |}
+       |while ($outIter.hasNext()) {
+       |  UnsafeRow $row = (UnsafeRow) $outIter.next();
+       |  ${consume(ctx, null, row)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
   }
+
+  override def doConsume(
+      ctx: CodegenContext, input: Seq[ExprCode], row: ExprCode): String =
+    s"""
+       |${row.code}
+       |$accVariable.insert((UnsafeRow) ${row.value});
+     """.stripMargin
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)

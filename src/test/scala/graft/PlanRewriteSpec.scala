@@ -87,4 +87,32 @@ class PlanRewriteSpec extends AnyFunSuite {
       .orderBy($"g", $"v").as[(String, Long)].collect().toSeq
     assert(out == Seq(("a", 1L), ("a", 2L), ("b", 3L)))
   }
+
+  test("TopKPerGroupExec participates in whole-stage codegen (no fence)") {
+    val data = (1 to 300).map(i => (s"g${i % 5}", i.toLong)).toDF("g", "v")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val q = graft.plans.TopK.perGroup(
+      data.filter($"v" > 10), Seq($"g"), Seq($"v".desc), 3)
+    // The operator must sit INSIDE a WholeStageCodegen span: the
+    // plan shape is WholeStageCodegen(... TopKPerGroup ...), not
+    // TopKPerGroup fencing two smaller spans apart. (executedPlan is
+    // lazy — force it before restoring AQE.)
+    val fused = try q.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+        if w.collect { case t: graft.plans.TopKPerGroupExec => t }.nonEmpty => w
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    assert(fused.nonEmpty,
+      s"TopKPerGroupExec fences codegen:\n${q.queryExecution.executedPlan}")
+    // And the generated path computes the same rows as the interpreted one.
+    val viaCodegen = q.orderBy($"g", $"v").as[(String, Long)].collect().toSeq
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interpreted = graft.plans.TopK
+        .perGroup(data.filter($"v" > 10), Seq($"g"), Seq($"v".desc), 3)
+        .orderBy($"g", $"v").as[(String, Long)].collect().toSeq
+      assert(viaCodegen == interpreted)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+  }
 }
