@@ -219,6 +219,28 @@ object JoinQueries {
       .orderBy(col("event_type"))
   }
 
+  /** J10: salted skew join (graft.operators.SkewOps) — the manual
+    * hot-key remedy: events salted 8 ways on user_id, customer
+    * replicated ×8, equi join on (key, salt). Output is provably
+    * identical to the plain join (each row matches exactly one
+    * replica), so the oracle is the UNSALTED SQL — the salting is pure
+    * physical-plan surgery, which is the point.
+    */
+  val j10SaltedSkewJoin: Q = Q(
+    "j10_salted_skew_join",
+    """SELECT c_mktsegment, count(*) AS n, round(sum(value), 4) AS total_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("value"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    graft.operators.SkewOps.saltedInnerJoin(ev, cust, "user_id", salts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** J8: as-of join (custom composition, SURVEY §2b J8) — for each event,
     * the latest order of that user at event time: equi join on user key +
     * `o_orderdate <= ts` residual, then `row_number() = 1` by recency.
@@ -264,5 +286,6 @@ object JoinQueries {
 
   val all: Seq[Q] = Seq(
     j1BroadcastStar, j2ShuffleJoin, j3LeftOuter, j3FullOuter, j4SemiJoin,
-    j5AntiJoin, j6ThetaJoin, j7RangeBucketJoin, j8AsofJoin, j9CrossJoin)
+    j5AntiJoin, j6ThetaJoin, j7RangeBucketJoin, j8AsofJoin, j9CrossJoin,
+    j10SaltedSkewJoin)
 }
