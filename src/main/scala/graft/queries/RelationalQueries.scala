@@ -107,5 +107,71 @@ object RelationalQueries {
       .limit(20)
   }
 
-  val all: Seq[Q] = Seq(q1PricingSummary, q5SqlEntry, q10TopReturns)
+  /** TPC-H Q3-style shipping priority: segment-filtered customers,
+    * un-shipped-at-cutoff order lines, top-10 by revenue. Decimal-exact
+    * revenue (the q10 pattern) so the DESC sort key is bit-identical
+    * across engines. Plan: both filters push to the scans, customer is
+    * the only small side (broadcast), one shuffle per fact join.
+    */
+  val q3ShippingPriority: Q = Q(
+    "q3_shipping_priority",
+    """SELECT l_orderkey, o_orderdate,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin) { (spark, dir) =>
+    val cutoff = lit("1997-06-01 00:00:00").cast("timestamp")
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,6)")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q6-style forecast revenue: the pure scan-pushdown showcase —
+    * three range predicates, no join, one global aggregate. The whole
+    * query is a single vectorized scan with every filter in
+    * PushedFilters plus a two-column ReadSchema; at 100 TB this is the
+    * shape that proves pruning works (a year partition + row-group
+    * statistics skip most of the table before a byte decompresses).
+    */
+  val q6ForecastRevenue: Q = Q(
+    "q6_forecast_revenue",
+    """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val all: Seq[Q] = Seq(
+    q1PricingSummary, q3ShippingPriority, q5SqlEntry, q6ForecastRevenue,
+    q10TopReturns)
 }

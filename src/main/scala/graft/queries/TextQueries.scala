@@ -203,7 +203,48 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** L7: the END-TO-END training-corpus cleaning pipeline — the
+    * composition the individual L rows exist for, as ONE oracle-checked
+    * query: exact dedup (distinct content per lang) → quality scoring
+    * (diversity + stopword ratio) → keep-filter (length ≥ 5 tokens,
+    * quality > 0.5) → per-lang corpus stats. Every stage is the same
+    * scale-shape as its standalone row: the dedup shuffles 32-byte
+    * hashes, scoring is a projection, the final aggregate moves
+    * |langs|×|partitions| partial rows.
+    */
+  val l7CleanPipeline: Q = Q(
+    "l7_corpus_clean_pipeline",
+    s"""WITH d AS (SELECT DISTINCT lang, text FROM documents),
+       |q AS (SELECT lang,
+       |        len(string_split(text, ' ')) AS n_tok,
+       |        len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')) AS diversity,
+       |        ${duckMarkerCount(Seq("the", "a", "of"))} * 1.0 / len(string_split(text, ' ')) AS stop_ratio
+       |      FROM d)
+       |SELECT lang, count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       |  round(avg(0.5 * diversity + 0.5 * (1 - stop_ratio)), 4) AS avg_quality
+       |FROM q
+       |WHERE n_tok >= 5 AND 0.5 * diversity + 0.5 * (1 - stop_ratio) > 0.5
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    val nTok = size(toks)
+    val diversity = size(array_distinct(toks)).cast("double") / nTok
+    val stopRatio = markerCount("the", "a", "of").cast("double") / nTok
+    val quality = lit(0.5) * diversity + lit(0.5) * (lit(1) - stopRatio)
+    Tables.documents(spark, dir)
+      .withColumn("h", sha2(col("text"), 256))
+      .dropDuplicates("lang", "h")
+      .select(col("lang"), nTok.cast("long").as("n_tok"), quality.as("quality"))
+      .filter(col("n_tok") >= 5 && col("quality") > 0.5)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        round(avg(col("quality")), 4).as("avg_quality"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[Q] = Seq(
     l1ExactDedup, l5Tfidf, l5LangId, l5Quality, l5TokenHist,
-    l5Fingerprint, l6MultimodalMeta)
+    l5Fingerprint, l6MultimodalMeta, l7CleanPipeline)
 }
