@@ -39,6 +39,36 @@ object SourceQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** S7: PARTITIONED parquet sink + partition-pruned read-back — the
+    * 100 TB layout default (`partitionBy` on a low-cardinality column ⇒
+    * directory-level pruning before any footer is opened). The
+    * read-back filter is on the partition column, so it resolves as a
+    * `PartitionFilters` entry (asserted in `BucketingSpec`), not a data
+    * filter: non-matching langs contribute zero opened files. Oracle
+    * aggregates the ORIGINAL table — the partitioned roundtrip itself
+    * is under test.
+    */
+  val s7PartitionedSink: Q = Q(
+    "s7_partitioned_sink",
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+      |FROM documents
+      |WHERE lang IN ('en', 'fr')
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    val path = tmp(s"s7_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang")
+      .write.mode("overwrite").partitionBy("lang").parquet(path)
+    spark.read.parquet(path)
+      .filter(col("lang").isin("en", "fr"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** S3a: CSV source with explicit schema (quoting/escaping on the comment
     * column exercises the full text-parse path).
     */
@@ -188,5 +218,5 @@ object SourceQueries {
 
   val all: Seq[Q] = Seq(
     s2ParquetRoundtrip, s3CsvSource, s3JsonSource, s6CacheReuse,
-    x1ScalarUdf, x3Generator, x4Dsv2Source)
+    s7PartitionedSink, x1ScalarUdf, x3Generator, x4Dsv2Source)
 }

@@ -41,4 +41,27 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
     }
   }
+
+  test("partitionBy layout prunes at the directory level (PartitionFilters)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_partlayout").toString
+    (1 to 300).map(i => (i.toLong, s"t$i", Seq("en", "fr", "de")(i % 3)))
+      .toDF("id", "text", "lang")
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val q = spark.read.parquet(dir).filter($"lang" === "en").select($"id")
+    assert(q.count() == 100)
+    // The lang predicate must resolve against the DIRECTORY layout —
+    // a PartitionFilters entry on the scan — and must NOT survive as a
+    // pushed data filter (there is no lang column inside the files).
+    val scan = q.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "lang")),
+      s"lang not in PartitionFilters: ${scan.partitionFilters}")
+    assert(!scan.dataFilters.exists(_.references.exists(_.name == "lang")),
+      s"lang leaked into data filters: ${scan.dataFilters}")
+    // And pruning actually happened: only en's files are selected.
+    assert(scan.relation.location.inputFiles.length >
+      scan.selectedPartitions.totalNumberOfFiles,
+      "no partitions were pruned")
+  }
 }
