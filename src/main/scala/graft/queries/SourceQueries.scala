@@ -69,6 +69,29 @@ object SourceQueries {
       .orderBy(col("lang"))
   }
 
+  /** S8: ORC sink + source — the second columnar format Spark bundles;
+    * same write-filtered/read-back/aggregate differential pattern as S2,
+    * so the ORC writer AND its vectorized reader (predicate pushdown
+    * included) are both under the oracle.
+    */
+  val s8OrcRoundtrip: Q = Q(
+    "s8_orc_roundtrip",
+    """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 4) AS total
+      |FROM lineitem
+      |WHERE l_quantity >= 30
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    val path = tmp(s"s8_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 30)
+      .select("l_orderkey", "l_returnflag", "l_extendedprice")
+      .write.mode("overwrite").orc(path)
+    spark.read.orc(path)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 4).as("total"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** S3a: CSV source with explicit schema (quoting/escaping on the comment
     * column exercises the full text-parse path).
     */
@@ -218,5 +241,5 @@ object SourceQueries {
 
   val all: Seq[Q] = Seq(
     s2ParquetRoundtrip, s3CsvSource, s3JsonSource, s6CacheReuse,
-    s7PartitionedSink, x1ScalarUdf, x3Generator, x4Dsv2Source)
+    s7PartitionedSink, s8OrcRoundtrip, x1ScalarUdf, x3Generator, x4Dsv2Source)
 }
