@@ -194,6 +194,37 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("S5b: restart from checkpoint resumes exactly-once (no dupes, no loss)") {
+    // The recovery half of the exactly-once contract: stop the query,
+    // start a NEW query from the same checkpoint, feed more data — the
+    // second run must pick up after the committed offset, neither
+    // replaying batch 1 into the sink nor dropping batch 2.
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft_s5b_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s5b_ckpt").toString
+    val in = MemoryStream[(Timestamp, Long)]
+    def start() = in.toDF().toDF("ts", "id")
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    try {
+      in.addData((ts(1), 1L), (ts(2), 2L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    in.addData((ts(3), 3L)) // arrives while no query is running
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      in.addData((ts(4), 4L))
+      q2.processAllAvailable()
+      val ids = spark.read.parquet(outDir).select($"id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L, 4L),
+        s"restart broke exactly-once: $ids")
+    } finally q2.stop()
+  }
+
   test("RocksDB state store provider runs the stateful pipeline") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
