@@ -27,7 +27,7 @@ object Bench {
     // run-to-run (r2→r3 measured 22s→2.7s on an identical binary), which
     // makes per-query perf deltas meaningless. The median of 3 back-to-back
     // runs is robust to one bad run while keeping total bench time bounded.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val errors = scala.collection.mutable.SortedMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>

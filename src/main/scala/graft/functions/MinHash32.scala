@@ -27,7 +27,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 case class MinHash32(child: Expression) extends UnaryExpression {
 
-  private val NumPerm = 32
+  private val NumPerm = MinHash32.NumPerm
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -91,6 +91,12 @@ case class MinHash32(child: Expression) extends UnaryExpression {
 }
 
 object MinHash32 {
+  /** Signature length. Consumers that slice bands or normalize match
+    * counts (SimilarityQueries) derive from THIS constant — the emitted
+    * array length and its downstream arithmetic cannot drift apart.
+    */
+  val NumPerm = 32
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash32",

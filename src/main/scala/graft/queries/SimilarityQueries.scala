@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
-  private val NumPerm = 32
+  // Signature length is OWNED by the native expression — band slicing
+  // and the Jaccard-estimator denominator below must agree with the
+  // arrays MinHash32 actually emits, so there is one constant, not two.
+  private val NumPerm = MinHash32.NumPerm
   private val Bands = 8 // 4 rows per band
 
   /** L3: exact top-k cosine — one broadcast query vector against the full
@@ -326,7 +329,10 @@ object SimilarityQueries {
     fn = (spark, dir) => {
       val k = 16
       val nprobe = 4
-      val e = Tables.embeddings(spark, dir)
+      // persist: training makes ~2 passes per Lloyd's round plus the
+      // assignment/probe/rerank reads — without the cache that is ~9
+      // parquet scans of the widest table per run.
+      val e = Tables.embeddings(spark, dir).persist()
       val codebook = KMeansCodebook.train(e, k, iters = 3)
       val centroids = codebook.select(explode(col("cents")).as("c"))
         .select(col("c.cid").as("cid"), col("c.cvec").as("cvec"))
@@ -362,7 +368,12 @@ object SimilarityQueries {
     * (i, j, hamming), deduped.
     */
   private[graft] def simhashCandidatePairs(sigs: DataFrame, chunks: Int): DataFrame = {
-    require(64 % chunks == 0, s"chunks must divide 64, got $chunks")
+    // chunks = 1 is rejected: width 64 makes `(1L << 64) - 1` evaluate
+    // to 0 (Java shifts mod 64), so every chunk value collapses to 0
+    // and the self-join degenerates to the O(n²) all-pairs this LSH
+    // exists to avoid. chunks ≥ 2 keeps width ≤ 32.
+    require(chunks >= 2 && 64 % chunks == 0,
+      s"chunks must be in [2, 64] and divide 64, got $chunks")
     val width = 64 / chunks
     val mask = (1L << width) - 1
     val chunked = sigs.selectExpr(

@@ -92,6 +92,14 @@ private[sources] class GraftRangeScanBuilder(start: Long, end: Long, slices: Int
     case _ => None
   }
 
+  /** Saturating successor: `v + 1` overflows at Long.MaxValue and would
+    * wrap a pushed `id <= MaxValue` into an empty scan (hi = MinValue).
+    * Saturation is exact here because `hi <= Long.MaxValue` always — an
+    * id of MaxValue can never be in `[lo, hi)` anyway.
+    */
+  private def satInc(v: Long): Long =
+    if (v == Long.MaxValue) Long.MaxValue else v + 1
+
   /** A pushed comparison on `id` is absorbed COMPLETELY into the scan
     * bounds (the range is dense and sorted by construction), so it is
     * both `pushedFilters` (source handles it) and not residual. Anything
@@ -100,16 +108,16 @@ private[sources] class GraftRangeScanBuilder(start: Long, end: Long, slices: Int
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val residual = filters.filter {
       case EqualTo("id", v) if lit(v).isDefined =>
-        val x = lit(v).get; lo = math.max(lo, x); hi = math.min(hi, x + 1)
+        val x = lit(v).get; lo = math.max(lo, x); hi = math.min(hi, satInc(x))
         pushed :+= EqualTo("id", v); false
       case GreaterThan("id", v) if lit(v).isDefined =>
-        lo = math.max(lo, lit(v).get + 1); pushed :+= GreaterThan("id", v); false
+        lo = math.max(lo, satInc(lit(v).get)); pushed :+= GreaterThan("id", v); false
       case GreaterThanOrEqual("id", v) if lit(v).isDefined =>
         lo = math.max(lo, lit(v).get); pushed :+= GreaterThanOrEqual("id", v); false
       case LessThan("id", v) if lit(v).isDefined =>
         hi = math.min(hi, lit(v).get); pushed :+= LessThan("id", v); false
       case LessThanOrEqual("id", v) if lit(v).isDefined =>
-        hi = math.min(hi, lit(v).get + 1); pushed :+= LessThanOrEqual("id", v); false
+        hi = math.min(hi, satInc(lit(v).get)); pushed :+= LessThanOrEqual("id", v); false
       case _ => true
     }
     residual
@@ -236,14 +244,32 @@ private[graft] case class GraftRangeReaderFactory(fields: Array[String])
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val split = partition.asInstanceOf[GraftRangeSplit]
     new PartitionReader[InternalRow] {
+      // Field names resolve to ordinal codes ONCE per reader, and the
+      // output row object is reused (the PartitionReader contract:
+      // `get()` may return the same instance; Spark copies if it
+      // retains) — no per-row string matching or Seq allocation in the
+      // innermost loop.
+      private val codes: Array[Int] = fields.map {
+        case "id" => 0
+        case "val" => 1
+        case "tag" => 2
+      }
+      private val row =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(codes.length)
       private var cur = split.lo - 1
       override def next(): Boolean = { cur += 1; cur < split.hi }
-      override def get(): InternalRow = InternalRow.fromSeq(
-        fields.toIndexedSeq.map {
-          case "id" => cur
-          case "val" => cur * 0.25
-          case "tag" => cur % 7
-        })
+      override def get(): InternalRow = {
+        var i = 0
+        while (i < codes.length) {
+          codes(i) match {
+            case 0 => row.update(i, cur)
+            case 1 => row.update(i, cur * 0.25)
+            case 2 => row.update(i, cur % 7)
+          }
+          i += 1
+        }
+        row
+      }
       override def close(): Unit = ()
     }
   }

@@ -56,7 +56,14 @@ object StreamingOps {
     if (stale) {
       try Files.copy(src, dst,
         StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.COPY_ATTRIBUTES)
-      catch { case _: java.nio.file.FileSystemException => () } // concurrent staging
+      catch {
+        case e: java.nio.file.FileSystemException =>
+          // Tolerate ONLY a lost race with a concurrent stager that
+          // completed the identical copy; any other failure (disk full,
+          // permissions, truncated dst) must not silently hand stale or
+          // partial bytes to a query whose oracle reads fresh data.
+          if (!(Files.exists(dst) && Files.size(dst) == Files.size(src))) throw e
+      }
     }
     stage.toString
   }

@@ -97,6 +97,14 @@ class Dsv2Spec extends AnyFunSuite {
     assert(df.as[(Long, Long)].collect().toMap == (0L to 6L).map(t => t -> 10L).toMap)
   }
 
+  test("pushed bounds saturate at Long.MaxValue instead of overflowing") {
+    // hi = min(hi, MaxValue + 1) would wrap to MinValue and clamp the
+    // scan empty; lo = max(lo, MaxValue + 1) would wrap to MinValue and
+    // be a no-op on a filter that excludes everything.
+    assert(read(0, 100).filter($"id" <= Long.MaxValue).count() == 100)
+    assert(read(0, 100).filter($"id" > Long.MaxValue - 1).count() == 0)
+  }
+
   test("contradictory pushed filters plan an empty scan, not a crash") {
     val df = read(0, 100).filter($"id" > 80 && $"id" < 20)
     assert(plannedScan(df).planInputPartitions().isEmpty)
