@@ -74,6 +74,42 @@ class AdaptiveSkewSpec extends AnyFunSuite {
     assert(saltsUsed == 8L, s"hot key landed in $saltsUsed salt buckets")
   }
 
+  test("runtime Bloom-filter join pruning injects a bloom filter on the big side") {
+    // The third 100 TB join lever after broadcast and salting: a
+    // selective filter on the small side becomes a runtime
+    // bloom_filter_agg broadcast to the big side's scan, discarding
+    // non-joining rows BEFORE the shuffle. Thresholds scaled to test
+    // size; creation-side/application-side byte gates are the knobs.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // File-based relations (bloom injection requires scan stats).
+      spark.range(200000).select($"id".as("k"), ($"id" % 1000).as("v"))
+        .write.mode("overwrite").parquet(s"$dir/big")
+      spark.range(200000).select($"id".as("k"), ($"id" % 7).as("tag"))
+        .write.mode("overwrite").parquet(s"$dir/small")
+      val big = spark.read.parquet(s"$dir/big")
+      val small = spark.read.parquet(s"$dir/small").filter($"tag" === 3)
+      val q = big.join(small, Seq("k")).groupBy($"tag").agg(count(lit(1)).as("n"))
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter"),
+        s"no runtime bloom filter injected:\n$optimized")
+      assert(q.as[(Long, Long)].collect().toSeq == Seq((3L, 28571L)))
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("GraftExtensions installs and SQL cosine_sim resolves") {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
     graft.functions.CosineSim.register(spark)
