@@ -111,4 +111,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact <= 0.06,
       s"approx=$approx exact=$exact") // 3x rsd margin, deterministic sketch
   }
+
+  test("observe() collects pipeline metrics without a second pass") {
+    // At 100 TB the row-count / sum telemetry a pipeline wants must NOT
+    // cost an extra scan: Observation piggybacks accumulators on the
+    // one job that already runs.
+    val obs = org.apache.spark.sql.Observation("corpus_stats")
+    val df = (1 to 1000).map(i => (i.toLong, i % 10)).toDF("id", "bucket")
+      .observe(obs, count(lit(1)).as("n_rows"), sum($"bucket").as("bucket_sum"))
+      .filter($"bucket" === 3)
+    assert(df.count() == 100)
+    val m = obs.get
+    assert(m("n_rows") == 1000L, s"metrics: $m") // observed PRE-filter
+    assert(m("bucket_sum") == (1 to 1000).map(_ % 10).sum.toLong)
+  }
 }
