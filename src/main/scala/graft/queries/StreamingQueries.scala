@@ -164,6 +164,48 @@ object StreamingQueries {
       .orderBy(col("n_events"))
   }
 
+  /** ST6b: the same per-user running state as st6 through Spark 4's
+    * `transformWithState` — typed `ValueState` handles over the RocksDB
+    * provider (required by the API), the successor to
+    * mapGroupsWithState. Same DuckDB oracle as st6: the two stateful
+    * APIs must agree with each other AND with the batch engine.
+    */
+  val st6bTransformWithState: Q = Q(
+    "st6b_stateful_tws",
+    """SELECT n_events, count(*) AS n_users, round(sum(total_value), 4) AS sum_value
+      |FROM (SELECT user_id, count(*) AS n_events, sum(value) AS total_value
+      |      FROM events GROUP BY user_id) t
+      |GROUP BY n_events
+      |ORDER BY n_events""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val typed = StreamingOps.eventsStream(spark, dir)
+        .selectExpr("user_id", "value")
+        .as[(Long, Double)]
+      val updated = typed
+        .groupByKey(_._1)
+        .transformWithState(
+          new UserRunningSum,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update(),
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
+        .toDF("user_id", "n_events", "total_value")
+      val snap = StreamingOps.runToBatch(spark, updated, "update", "st6b_sink")
+      snap.groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("total_value"))).as("s"))
+        .select(col("s.n_events").as("n_events"), col("s.total_value").as("total_value"))
+        .groupBy(col("n_events"))
+        .agg(count(lit(1)).as("n_users"), round(sum(col("total_value")), 4).as("sum_value"))
+        .orderBy(col("n_events"))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   /** ST7: stream–static join — streaming events enriched with the static
     * customer dimension (broadcast at any scale), then aggregated.
     */
@@ -219,5 +261,33 @@ object StreamingQueries {
 
   val all: Seq[Q] = Seq(
     st2Tumbling, st3Sliding, st4SessionWindow, st5StreamDedup,
-    st6StatefulOp, st7StreamStaticJoin, st8StreamStreamJoin)
+    st6StatefulOp, st6bTransformWithState, st7StreamStaticJoin,
+    st8StreamStreamJoin)
+}
+
+/** Per-user (count, sum) running state via a typed ValueState handle —
+  * the transformWithState processor behind st6b.
+  */
+private[queries] class UserRunningSum
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), (Long, Long, Double)] {
+  @transient private var state: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    state = getHandle.getValueState[(Long, Double)]("agg",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+  override def handleInputRows(
+      user: Long,
+      rows: Iterator[(Long, Double)],
+      timers: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Double)] = {
+    val (n0, v0) = if (state.exists()) state.get() else (0L, 0.0)
+    var n = n0; var v = v0
+    rows.foreach { r => n += 1; v += r._2 }
+    state.update((n, v))
+    Iterator.single((user, n, v))
+  }
 }
