@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSim, SrpBucket}
+import graft.functions.{CosineSim, MinHash32, SimHash64, SrpBucket}
 
 /** Production registration path for graft's native expressions
   * (SURVEY.md §2b custom-operator preference (c)): deploy with
@@ -39,6 +39,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         SrpBucket(children(0), bits, seed)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(
+        classOf[SimHash64].getCanonicalName, null, "simhash64",
+        "simhash64(hashes) - 64-bit SimHash signature over shingle hashes", ""),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash64(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash32"),
+      new ExpressionInfo(
+        classOf[MinHash32].getCanonicalName, null, "minhash32",
+        "minhash32(hashes) - 32-permutation MinHash signature over shingle hashes", ""),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHash32(children(0))))
     // Opt-in approximate LSH rewrite for cosine-threshold product joins —
     // inert until spark.graft.cosineLshRewrite.enabled=true.
     ext.injectOptimizerRule(_ => graft.plans.CosineLshRewrite)

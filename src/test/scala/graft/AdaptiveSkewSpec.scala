@@ -110,13 +110,20 @@ class AdaptiveSkewSpec extends AnyFunSuite {
     }
   }
 
-  test("GraftExtensions installs and SQL cosine_sim resolves") {
+  test("GraftExtensions installs and SQL native functions resolve") {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
     graft.functions.CosineSim.register(spark)
+    graft.functions.SimHash64.register(spark)
+    graft.functions.MinHash32.register(spark)
     val r = spark.sql(
       "SELECT round(cosine_sim(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)), " +
         "array(CAST(1 AS FLOAT), CAST(0 AS FLOAT))), 6) AS c")
       .as[Double].head()
     assert(r == 1.0)
+    val sig = spark.sql(
+      "SELECT simhash64(array(CAST(7 AS BIGINT), CAST(9 AS BIGINT))) AS s, " +
+        "size(minhash32(array(CAST(7 AS BIGINT), CAST(9 AS BIGINT)))) AS n")
+      .as[(Long, Int)].head()
+    assert(sig._2 == graft.functions.MinHash32.NumPerm)
   }
 }
