@@ -110,4 +110,34 @@ class Dsv2Spec extends AnyFunSuite {
     assert(plannedScan(df).planInputPartitions().isEmpty)
     assert(df.count() == 0)
   }
+
+  test("graft-sink DSv2 write: two-phase commit makes all task rows visible atomically") {
+    import graft.sources.GraftMemorySink
+    GraftMemorySink.clear("t_roundtrip")
+    assert(GraftMemorySink.rows("t_roundtrip").isEmpty)
+    val df = spark.range(0, 1000, 1, 8) // 8 write tasks
+      .select($"id", ($"id" * 3).as("v"))
+    df.write.format("graft-sink").option("name", "t_roundtrip")
+      .mode("append").save()
+    val schema = GraftMemorySink.schemaOf("t_roundtrip").get
+    assert(schema.fieldNames.toSeq == Seq("id", "v"))
+    val rows = GraftMemorySink.rows("t_roundtrip")
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.size == 1000)
+    assert(rows.toSet == (0L until 1000L).map(i => (i, i * 3)).toSet)
+    GraftMemorySink.clear("t_roundtrip")
+  }
+
+  test("graft-sink write through the full pipeline (filter + agg upstream)") {
+    import graft.sources.GraftMemorySink
+    GraftMemorySink.clear("t_agg")
+    read(0, 700).filter($"id" >= 100)
+      .groupBy($"tag").agg(count(lit(1)).as("n"))
+      .write.format("graft-sink").option("name", "t_agg").mode("append").save()
+    val got = GraftMemorySink.rows("t_agg").map(r => (r.getLong(0), r.getLong(1))).toMap
+    // ids 100..699: 600 ids uniform over 7 tags ≡ compute exactly.
+    val expect = (100L until 700L).groupBy(_ % 7).map { case (t, ids) => t -> ids.size.toLong }
+    assert(got == expect)
+    GraftMemorySink.clear("t_agg")
+  }
 }
