@@ -242,6 +242,32 @@ class SimilaritySpec extends AnyFunSuite {
       s"clusters collapsed into one list: $byCluster")
   }
 
+  test("MinHash32/SimHash64 match their SQL folds on adversarial inputs") {
+    // Extremes the structured-fixture tests don't reach: Long.MinValue/
+    // MaxValue elements (sign-sensitive hash mixing), 0/-1, singletons,
+    // long arrays, duplicate elements — native and interpreted paths
+    // must agree bit-for-bit on all of them.
+    val rnd = new scala.util.Random(91)
+    val cases: Seq[Seq[Long]] =
+      Seq(
+        Seq(Long.MinValue), Seq(Long.MaxValue), Seq(0L), Seq(-1L),
+        Seq(Long.MinValue, Long.MaxValue, 0L, -1L, 1L),
+        Seq.fill(50)(42L) // all-duplicate
+      ) ++ (1 to 40).map(i => Seq.fill(rnd.nextInt(200) + 1)(rnd.nextLong()))
+    val df = cases.zipWithIndex.map { case (sh, i) => (i.toLong, sh) }.toDF("id", "sh")
+    val cmp = df.select(
+      graft.functions.MinHash32(spark, $"sh").as("mh_native"),
+      expr("transform(sequence(0, 31), i -> array_min(transform(sh, h -> xxhash64(h, i))))")
+        .as("mh_fold"),
+      graft.functions.SimHash64(spark, $"sh").as("sh_native"),
+      expr("""aggregate(sequence(0, 63), 0L, (acc, b) -> acc |
+             |  IF(aggregate(sh, 0, (a2, h) ->
+             |       a2 + IF((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
+             |     shiftleft(1L, b), 0L))""".stripMargin).as("sh_fold"))
+    assert(cmp.filter($"mh_native" =!= $"mh_fold").count() == 0)
+    assert(cmp.filter($"sh_native" =!= $"sh_fold").count() == 0)
+  }
+
   test("l3_ann_ivf plan never shuffles the embedding column") {
     // The scale contract: assignment is a broadcast-singleton nested
     // loop + per-row argmax, so no ShuffleExchange carries the (wide)
