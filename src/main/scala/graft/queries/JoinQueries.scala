@@ -54,18 +54,23 @@ object JoinQueries {
     """SELECT o_orderpriority,
       |  count(DISTINCT o_orderkey) AS n_orders,
       |  count(*) AS n_items,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
     val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice", "l_discount")
+    // Decimal-exact revenue (q10/st3 pattern): at sf0.1 this group's sum
+    // reaches ~6e9 where a double's ulp (~1e-6) sits inside the 4-dp
+    // rounding boundary — parallel summation order flipped the last
+    // rounded digit vs DuckDB (caught by the sf0.1 oracle run).
     o.join(li, o("o_orderkey") === li("l_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(
         countDistinct(col("o_orderkey")).as("n_orders"),
         count(lit(1)).as("n_items"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double"), 4).as("revenue"))
       .orderBy(col("o_orderpriority"))
   }
 

@@ -21,9 +21,9 @@ object RelationalQueries {
     "q1_pricing_summary",
     """SELECT l_returnflag, l_linestatus,
       |  round(sum(l_quantity), 4) AS sum_qty,
-      |  round(sum(l_extendedprice), 4) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_base_price,
+      |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_disc_price,
+      |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_charge,
       |  round(avg(l_quantity), 4) AS avg_qty,
       |  round(avg(l_extendedprice), 4) AS avg_price,
       |  round(avg(l_discount), 4) AS avg_disc,
@@ -32,14 +32,23 @@ object RelationalQueries {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
+    // Price sums reach ~1e10 per group at sf0.1+, where a double's ulp
+    // (~2e-6) sits inside the 4-dp rounding boundary — a parallel sum
+    // can round differently than DuckDB's. Decimal sums are exact and
+    // order-independent (q10/st3 pattern). Quantity/avg columns stay
+    // double: quantity sums are exact integers in double, and the avg
+    // magnitudes keep ulp orders below the boundary.
     Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 4).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+        round(sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double"), 4)
+          .as("sum_base_price"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double"), 4).as("sum_disc_price"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+          .cast("decimal(18,6)")).cast("double"), 4).as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -153,7 +162,7 @@ object RelationalQueries {
     */
   val q6ForecastRevenue: Q = Q(
     "q6_forecast_revenue",
-    """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+    """SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
       |  count(*) AS n_items
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -167,7 +176,8 @@ object RelationalQueries {
           col("l_discount").between(0.05, 0.07) &&
           col("l_quantity") < 24)
       .agg(
-        round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+        round(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(18,6)")).cast("double"), 4).as("revenue"),
         count(lit(1)).as("n_items"))
   }
 

@@ -23,7 +23,8 @@ object SourceQueries {
     */
   val s2ParquetRoundtrip: Q = Q(
     "s2_parquet_roundtrip",
-    """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    """SELECT o_orderstatus, count(*) AS n,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total
       |FROM orders
       |WHERE o_totalprice > 100000
       |GROUP BY o_orderstatus
@@ -35,7 +36,8 @@ object SourceQueries {
       .write.mode("overwrite").parquet(path)
     spark.read.parquet(path)
       .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double"), 4).as("total"))
       .orderBy(col("o_orderstatus"))
   }
 
@@ -76,7 +78,8 @@ object SourceQueries {
     */
   val s8OrcRoundtrip: Q = Q(
     "s8_orc_roundtrip",
-    """SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 4) AS total
+    """SELECT l_returnflag, count(*) AS n,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total
       |FROM lineitem
       |WHERE l_quantity >= 30
       |GROUP BY l_returnflag
@@ -88,7 +91,8 @@ object SourceQueries {
       .write.mode("overwrite").orc(path)
     spark.read.orc(path)
       .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 4).as("total"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double"), 4).as("total"))
       .orderBy(col("l_returnflag"))
   }
 
