@@ -181,16 +181,16 @@ object AggregateQueries {
   val a10Pivot: Q = Q(
     "a10_pivot",
     """SELECT o_orderpriority,
-      |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 4) AS F,
-      |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4) AS O,
-      |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 4) AS P
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 4) AS F,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE), 4) AS O,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE), 4) AS P
       |FROM orders
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
     Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
-      .agg(round(sum(col("o_totalprice")), 4))
+      .agg(round(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double"), 4))
       .orderBy(col("o_orderpriority"))
   }
 

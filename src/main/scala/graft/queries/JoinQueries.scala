@@ -22,7 +22,7 @@ object JoinQueries {
   val j1BroadcastStar: Q = Q(
     "j1_broadcast_star",
     """SELECT n_name,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+      |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
       |  count(*) AS n_items
       |FROM lineitem
       |JOIN supplier ON l_suppkey = s_suppkey
@@ -40,7 +40,8 @@ object JoinQueries {
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double"), 4).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("n_name"))
   }

@@ -65,7 +65,7 @@ object RelationalQueries {
   val q5SqlEntry: Q = {
     val sql =
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE), 4) AS revenue,
         |  count(*) AS n_items
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey

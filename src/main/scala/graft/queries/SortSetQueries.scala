@@ -93,7 +93,8 @@ object SortSetQueries {
   /** U1: UNION ALL (bag concat, no shuffle) of two tagged slices. */
   val u1UnionAll: Q = Q(
     "u1_union_all",
-    """SELECT src, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    """SELECT src, count(*) AS n,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total
       |FROM (SELECT 'urgent' AS src, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
       |      UNION ALL
       |      SELECT 'high' AS src, o_totalprice FROM orders WHERE o_orderpriority = '2-HIGH') t
@@ -106,7 +107,8 @@ object SortSetQueries {
       .select(lit("high").as("src"), col("o_totalprice"))
     urgent.union(high)
       .groupBy(col("src"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)")).cast("double"), 4).as("total"))
       .orderBy(col("src"))
   }
 
