@@ -92,6 +92,33 @@ object AggregateQueries {
         col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
+  /** A5b: CUBE — all 2ⁿ grouping-set combinations in one pass (rollup
+    * emits only the n+1 prefix sets; cube adds the cross-slices, e.g.
+    * per-linestatus totals across return flags). Same one-shuffle
+    * expand plan.
+    */
+  val a5bCube: Q = Q(
+    "a5b_cube",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+      |  round(sum(l_quantity), 4) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(
+        col("g_rf"), col("g_ls"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
   /** A6: HLL approximate distinct (no oracle — sketch internals differ per
     * engine; accuracy is asserted in AggregateSpec against the exact count).
     * This is the 100 TB path for COUNT(DISTINCT) over high-cardinality keys:
@@ -195,6 +222,6 @@ object AggregateQueries {
   }
 
   val all: Seq[Q] = Seq(
-    a2GlobalAgg, a3DistinctAgg, a4DistinctRows, a5Rollup, a6ApproxDistinct,
-    a7Quantiles, a8CollectAgg, a9WeightedMean, a10Pivot)
+    a2GlobalAgg, a3DistinctAgg, a4DistinctRows, a5Rollup, a5bCube,
+    a6ApproxDistinct, a7Quantiles, a8CollectAgg, a9WeightedMean, a10Pivot)
 }
