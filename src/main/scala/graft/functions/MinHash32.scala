@@ -23,7 +23,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Empty input (a guarded short doc) yields NULL — callers exclude those
   * rows up front (`size(sh) > 0`); the fold's [null × 32] carries no
-  * usable signature either.
+  * usable signature either. A NULL ELEMENT mirrors xxhash64's null
+  * handling (null children are skipped, leaving the chain at seed 42),
+  * so the bit-equivalence with the SQL fold holds even when the input
+  * array type carries containsNull=true.
   */
 case class MinHash32(child: Expression) extends UnaryExpression {
 
@@ -45,7 +48,7 @@ case class MinHash32(child: Expression) extends UnaryExpression {
     val mins = Array.fill(NumPerm)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val h1 = XXH64.hashLong(arr.getLong(i), 42L)
+      val h1 = if (arr.isNullAt(i)) 42L else XXH64.hashLong(arr.getLong(i), 42L)
       var p = 0
       while (p < NumPerm) {
         val v = XXH64.hashInt(p, h1)
@@ -74,7 +77,7 @@ case class MinHash32(child: Expression) extends UnaryExpression {
          |  long[] $mins = new long[$NumPerm];
          |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
          |  for (int $i = 0; $i < $n; $i++) {
-         |    long $h1 = $xxh.hashLong($v.getLong($i), 42L);
+         |    long $h1 = $v.isNullAt($i) ? 42L : $xxh.hashLong($v.getLong($i), 42L);
          |    for (int $p = 0; $p < $NumPerm; $p++) {
          |      long $hv = $xxh.hashInt($p, $h1);
          |      if ($hv < $mins[$p]) $mins[$p] = $hv;

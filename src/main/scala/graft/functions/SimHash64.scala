@@ -14,6 +14,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * nested SQL `aggregate` fold it replaces — which was the cost center
   * of the SimHash query (64 × |shingles| interpreted lambda evals per
   * row); here it is one fused 64×n loop inside whole-stage codegen.
+  * A NULL ELEMENT is an absent shingle: it contributes nothing to any
+  * bit count (safe under containsNull=true input types).
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
@@ -31,11 +33,13 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     val counts = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-        b += 1
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
       }
       i += 1
     }
@@ -57,6 +61,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
          |int $n = $v.numElements();
          |int[] $counts = new int[64];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($v.isNullAt($i)) continue;
          |  long $h = $v.getLong($i);
          |  for (int $b = 0; $b < 64; $b++) {
          |    if ((($h >>> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;

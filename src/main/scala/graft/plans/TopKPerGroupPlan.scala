@@ -149,9 +149,13 @@ final case class TopKPerGroupExec(
       "topkNeedAcc", v => s"$v = true;")
     val outIter = ctx.addMutableState(
       "scala.collection.Iterator", "topkOutIter", forceInline = true)
-    val addToAcc = ctx.addNewFunction("topkAddToAcc",
+    // freshName, not a fixed name: two TopKPerGroupExec nodes fused into
+    // one stage must not emit duplicate method signatures (SortExec does
+    // the same for its add-to-sorter function).
+    val addToAccName = ctx.freshName("topkAddToAcc")
+    val addToAcc = ctx.addNewFunction(addToAccName,
       s"""
-         |private void topkAddToAcc() throws java.io.IOException {
+         |private void $addToAccName() throws java.io.IOException {
          |  ${child.asInstanceOf[CodegenSupport].produce(ctx, this)}
          |}
        """.stripMargin)

@@ -62,9 +62,19 @@ object GraftMemorySink {
 
   def clear(name: String): Unit = store.remove(name)
 
+  /** Replace the table's committed rows (truncate/overwrite path). */
   private[sources] def install(
       name: String, schema: StructType, rows: Array[UnsafeRow]): Unit =
     store.put(name, (schema, rows))
+
+  /** Append-mode commit: merge atomically with any previously committed
+    * job's rows — a second `.mode("append").save()` to the same name
+    * must ADD to the table, not silently replace it.
+    */
+  private[sources] def installAppend(
+      name: String, schema: StructType, rows: Array[UnsafeRow]): Unit =
+    store.merge(name, (schema, rows),
+      (prev, next) => (prev._1, prev._2 ++ next._2))
 }
 
 private[sources] class GraftMemorySinkTable(name: String, schema0: StructType)
@@ -75,14 +85,20 @@ private[sources] class GraftMemorySinkTable(name: String, schema0: StructType)
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder with SupportsTruncate {
+      // Spark signals overwrite by calling truncate(); a plain append
+      // never does, and the commit must merge, not replace.
+      private var truncateFirst = false
+      override def truncate(): WriteBuilder = { truncateFirst = true; this }
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new GraftMemorySinkBatchWrite(name, info.schema())
+        override def toBatch: BatchWrite =
+          new GraftMemorySinkBatchWrite(name, info.schema(), truncateFirst)
       }
     }
 }
 
-private[sources] class GraftMemorySinkBatchWrite(name: String, schema: StructType)
+private[sources] class GraftMemorySinkBatchWrite(
+    name: String, schema: StructType, truncateFirst: Boolean)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     GraftMemorySinkWriterFactory(schema.length)
@@ -93,7 +109,8 @@ private[sources] class GraftMemorySinkBatchWrite(name: String, schema: StructTyp
     val all = messages.collect { case m: GraftSinkTaskRows => m }
       .sortBy(_.partitionId)
       .flatMap(_.rows)
-    GraftMemorySink.install(name, schema, all)
+    if (truncateFirst) GraftMemorySink.install(name, schema, all)
+    else GraftMemorySink.installAppend(name, schema, all)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()

@@ -228,8 +228,15 @@ private[graft] case class GraftRangeScan(
     val n = hi - lo
     if (n <= 0) return Array.empty
     val parts = math.min(slices.toLong, n).toInt
+    // Per-split bounds WITHOUT the i*n product (which overflows for
+    // n > Long.MaxValue / parts): base size + one extra row for the
+    // first (n % parts) splits. Every term stays <= n.
+    val base = n / parts
+    val rem = n % parts
     Array.tabulate(parts) { i =>
-      GraftRangeSplit(lo + i * n / parts, lo + (i + 1) * n / parts)
+      val start = lo + i * base + math.min(i.toLong, rem)
+      val end = start + base + (if (i < rem) 1L else 0L)
+      GraftRangeSplit(start, end)
     }
   }
 

@@ -128,6 +128,35 @@ class Dsv2Spec extends AnyFunSuite {
     GraftMemorySink.clear("t_roundtrip")
   }
 
+  test("splits survive ranges where i*n would overflow Long") {
+    // The naive lo + i*n/parts bound computation overflows for
+    // n > Long.MaxValue / slices and silently produces wrapped splits;
+    // the remainder-distribution form must keep every split positive,
+    // contiguous, and exactly covering [lo, hi).
+    val scan = GraftRangeScan(0L, Long.MaxValue, 32,
+      new org.apache.spark.sql.types.StructType()
+        .add("id", org.apache.spark.sql.types.LongType))
+    val splits = scan.planInputPartitions().map(_.asInstanceOf[GraftRangeSplit])
+    assert(splits.length == 32)
+    assert(splits.head.lo == 0L && splits.last.hi == Long.MaxValue)
+    splits.foreach(s => assert(s.hi > s.lo, s"non-positive split $s"))
+    splits.sliding(2).foreach { case Array(a, b) => assert(a.hi == b.lo) }
+    assert(splits.map(s => BigInt(s.hi) - BigInt(s.lo)).sum == BigInt(Long.MaxValue))
+  }
+
+  test("graft-sink append appends across jobs; overwrite replaces") {
+    import graft.sources.GraftMemorySink
+    GraftMemorySink.clear("t_modes")
+    val w = (lo: Long, hi: Long) => spark.range(lo, hi).select($"id")
+    w(0, 5).write.format("graft-sink").option("name", "t_modes").mode("append").save()
+    w(5, 8).write.format("graft-sink").option("name", "t_modes").mode("append").save()
+    // Second append must ADD to the committed table, not replace it.
+    assert(GraftMemorySink.rows("t_modes").map(_.getLong(0)).toSet == (0L until 8L).toSet)
+    w(100, 103).write.format("graft-sink").option("name", "t_modes").mode("overwrite").save()
+    assert(GraftMemorySink.rows("t_modes").map(_.getLong(0)).toSet == Set(100L, 101L, 102L))
+    GraftMemorySink.clear("t_modes")
+  }
+
   test("graft-sink write through the full pipeline (filter + agg upstream)") {
     import graft.sources.GraftMemorySink
     GraftMemorySink.clear("t_agg")

@@ -115,4 +115,37 @@ class PlanRewriteSpec extends AnyFunSuite {
       assert(viaCodegen == interpreted)
     } finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
   }
+
+  test("two TopKPerGroupExec nodes fused into one stage compile (no duplicate method names)") {
+    // Stacked top-k: both nodes cluster on g, so the second requires no
+    // re-shuffle and fuses into the SAME WholeStageCodegen stage as the
+    // first. With a fixed generated-method name that stage emits two
+    // identical signatures and fails to compile (silent interpreted
+    // fallback); fallback=false turns that into a hard error.
+    val data = (1 to 400).map(i => (s"g${i % 4}", i.toLong)).toDF("g", "v")
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val inner = graft.plans.TopK.perGroup(data, Seq($"g"), Seq($"v".desc), 10)
+      val outer = graft.plans.TopK.perGroup(inner, Seq($"g"), Seq($"v"), 3)
+      val fusedPair = outer.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+          if w.collect { case t: graft.plans.TopKPerGroupExec => t }.size == 2 => w
+      }
+      assert(fusedPair.nonEmpty,
+        s"expected both TopK nodes in one codegen stage:\n${outer.queryExecution.executedPlan}")
+      // bottom-10 of the per-group top-10 descending = ranks 8..10 asc.
+      val got = outer.orderBy($"g", $"v").as[(String, Long)].collect().toSeq
+      val expect = (1 to 400).map(i => (s"g${i % 4}", i.toLong))
+        .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+          rows.sortBy(-_._2).take(10).sortBy(_._2).take(3)
+        }.sortBy(identity)
+      assert(got == expect)
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
 }

@@ -268,6 +268,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cmp.filter($"sh_native" =!= $"sh_fold").count() == 0)
   }
 
+  test("MinHash32/SimHash64 tolerate null elements (containsNull=true input)") {
+    // getLong on a null slot reads garbage; the contract instead mirrors
+    // xxhash64's null handling for MinHash32 (a skipped child leaves the
+    // chain at seed 42) and treats a null shingle as absent for
+    // SimHash64 — both checked against the equivalent SQL fold over the
+    // SAME nullable array.
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array(cast(null as bigint))),
+        |  (array(cast(null as bigint), 7L, null, -3L)),
+        |  (array(1L, null, null, 1L, 2L)) AS t(sh)""".stripMargin)
+    val cmp = df.select(
+      graft.functions.MinHash32(spark, $"sh").as("mh_native"),
+      expr("transform(sequence(0, 31), i -> array_min(transform(sh, h -> xxhash64(h, i))))")
+        .as("mh_fold"),
+      graft.functions.SimHash64(spark, $"sh").as("sh_native"),
+      expr("""aggregate(sequence(0, 63), 0L, (acc, b) -> acc |
+             |  IF(aggregate(filter(sh, h -> h is not null), 0, (a2, h) ->
+             |       a2 + IF((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
+             |     shiftleft(1L, b), 0L))""".stripMargin).as("sh_fold"))
+    assert(cmp.filter($"mh_native" =!= $"mh_fold").count() == 0)
+    assert(cmp.filter($"sh_native" =!= $"sh_fold").count() == 0)
+  }
+
   test("l3_ann_ivf plan never shuffles the embedding column") {
     // The scale contract: assignment is a broadcast-singleton nested
     // loop + per-row argmax, so no ShuffleExchange carries the (wide)
