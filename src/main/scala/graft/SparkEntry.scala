@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.StreamingQueries.all ++
       graft.queries.TextQueries.all ++
       graft.queries.SimilarityQueries.all ++
-      graft.queries.MultimodalQueries.all
+      graft.queries.MultimodalQueries.all ++
+      graft.queries.PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

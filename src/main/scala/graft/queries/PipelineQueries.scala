@@ -1,0 +1,203 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** L8: training-corpus pipeline operators beyond cleaning/dedup
+  * (SURVEY.md §2b L8) — the sampling / decontamination / scrubbing /
+  * packing steps a 100 TB pretraining-data build runs between the L1–L7
+  * stages and the trainer. Every query is a full differential-oracle row:
+  * the selection logic is deterministic (hash-based, never RNG-based)
+  * precisely so that it is reproducible across engines AND across
+  * re-runs of the same pipeline — the property a real data build needs
+  * for auditability.
+  */
+object PipelineQueries {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** L8: deterministic stratified sampling — the scalable substitute for
+    * `df.sample()`: the keep-decision is a pure projection on a stable
+    * content key (last hex digit of md5(doc_id)), so it needs NO shuffle,
+    * NO RNG state, and re-runs (or a different engine) select the SAME
+    * rows. Per-stratum rates: en is downsampled to 4/16, every other
+    * lang kept at 8/16 — the "rebalance the dominant language" move of a
+    * corpus mixer. At 100 TB this is map-side only; the tiny per-lang
+    * audit aggregate is the only exchange.
+    */
+  val l8StratifiedSample: Q = Q(
+    "l8_stratified_sample",
+    """SELECT lang, count(*) AS n_total,
+      |  CAST(sum(CASE WHEN (CASE WHEN lang = 'en'
+      |                      THEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('0','1','2','3')
+      |                      ELSE substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('0','1','2','3','4','5','6','7')
+      |                 END) THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |  CAST(sum(CASE WHEN (CASE WHEN lang = 'en'
+      |                      THEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('0','1','2','3')
+      |                      ELSE substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('0','1','2','3','4','5','6','7')
+      |                 END) THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS sampled_tokens
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    val hexDigit = substring(md5(col("doc_id").cast("string")), 32, 1)
+    val keep = when(col("lang") === "en", hexDigit.isin("0", "1", "2", "3"))
+      .otherwise(hexDigit.isin("0", "1", "2", "3", "4", "5", "6", "7"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), keep.as("keep"), size(toks).cast("long").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("sampled_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** L8: benchmark decontamination — the "did any training document leak
+    * an evaluation n-gram" audit. Both sides reduce to DISTINCT 8-gram
+    * md5 keys; the detection is an equi join ON the 32-char hash, so at
+    * 100 TB the shuffle carries fixed-width keys (never document text)
+    * and the (tiny) benchmark side broadcasts. The `when(size >= 8)`
+    * guard matters: Spark's `sequence(1, n)` for n <= 0 yields a
+    * DESCENDING range, not an empty one (DuckDB's `range` is empty — the
+    * engines diverge without it).
+    */
+  val l8Decontaminate: Q = Q(
+    "l8_ngram_decontaminate",
+    """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      |grams AS (SELECT doc_id, lang,
+      |            unnest(list_transform(range(1, len(t) - 6), i -> md5(array_to_string(t[i:i+7], ' ')))) AS g
+      |          FROM tok),
+      |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+      |train AS (SELECT DISTINCT doc_id, lang, g FROM grams WHERE doc_id % 50 <> 0)
+      |SELECT lang, count(DISTINCT doc_id) AS n_contaminated, count(DISTINCT g) AS n_leaked_grams
+      |FROM train JOIN bench USING (g)
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    val t = toks
+    val gramHashes = when(size(t) >= 8,
+      transform(sequence(lit(1), size(t) - 7),
+        i => md5(array_join(slice(t, i, lit(8)), " "))))
+      .otherwise(array().cast("array<string>"))
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(gramHashes).as("g"))
+    val bench = grams.filter(col("doc_id") % 50 === 0).select(col("g")).distinct()
+    val train = grams.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("lang"), col("g")).distinct()
+    train.join(broadcast(bench), Seq("g"))
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_contaminated"),
+        countDistinct(col("g")).as("n_leaked_grams"))
+      .orderBy(col("lang"))
+  }
+
+  /** L8: PII / sensitive-term scrubbing — regexp-lexicon redaction as a
+    * pure projection (the 100 TB shape: no shuffle until the small audit
+    * aggregate). The lexicon here targets terms the synthetic corpus
+    * actually contains so the oracle row carries signal; swapping in
+    * email/phone/SSN patterns is a regex change, not a plan change.
+    * DuckDB's `regexp_replace` is first-match-only without the 'g' flag —
+    * Spark's replaces all matches — so the twins agree only with 'g'.
+    */
+  val l8PiiRedact: Q = Q(
+    "l8_pii_redact",
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN len(regexp_extract_all(text, '\b(customer|supplier)\b')) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_hits,
+      |  CAST(sum(len(regexp_extract_all(text, '\b(customer|supplier)\b'))) AS BIGINT) AS total_hits,
+      |  CAST(sum(len(text) - len(regexp_replace(text, '\b(customer|supplier)\b', '[X]', 'g'))) AS BIGINT) AS chars_removed
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (spark, dir) =>
+    val pat = "\\b(customer|supplier)\\b"
+    val hits = size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+    val removed = length(col("text")) - length(regexp_replace(col("text"), pat, "[X]"))
+    Tables.documents(spark, dir)
+      .select(col("source"), hits.as("hits"), removed.cast("long").as("removed"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("docs_with_hits"),
+        sum(col("hits")).cast("long").as("total_hits"),
+        sum(col("removed")).as("chars_removed"))
+      .orderBy(col("source"))
+  }
+
+  /** L8: repetition-based quality filters (the Gopher-rule family) — per
+    * doc, the most-frequent-token ratio and the duplicate-token fraction,
+    * both computed as HOFs over the token array so the whole scoring pass
+    * is map-side (no per-term explode/groupBy shuffle; the per-token
+    * count is O(|vocab|·|doc|) inside one row, the right trade at scale
+    * where the alternative is shuffling every (doc, term) pair).
+    */
+  val l8RepetitionQuality: Q = Q(
+    "l8_repetition_quality",
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN top_ratio > 0.12 THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_top_token,
+      |  CAST(sum(CASE WHEN dup_frac > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_dup_tokens,
+      |  round(avg(top_ratio), 4) AS avg_top_ratio,
+      |  round(avg(dup_frac), 4) AS avg_dup_frac
+      |FROM (SELECT lang,
+      |        list_max(list_transform(list_distinct(t), x -> len(list_filter(t, y -> y = x)))) * 1.0 / len(t) AS top_ratio,
+      |        1 - len(list_distinct(t)) * 1.0 / len(t) AS dup_frac
+      |      FROM (SELECT lang, string_split(text, ' ') AS t FROM documents) s) r
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    val t = toks
+    val topRatio = array_max(transform(array_distinct(t),
+      x => size(filter(t, y => y === x)))).cast("double") / size(t)
+    val dupFrac = lit(1) - size(array_distinct(t)).cast("double") / size(t)
+    Tables.documents(spark, dir)
+      .select(col("lang"), topRatio.as("top_ratio"), dupFrac.as("dup_frac"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("top_ratio") > 0.12, 1L).otherwise(0L)).as("n_flag_top_token"),
+        sum(when(col("dup_frac") > 0.5, 1L).otherwise(0L)).as("n_flag_dup_tokens"),
+        round(avg(col("top_ratio")), 4).as("avg_top_ratio"),
+        round(avg(col("dup_frac")), 4).as("avg_dup_frac"))
+      .orderBy(col("lang"))
+  }
+
+  /** L8: sequence packing — assign docs to fixed-budget (512-token)
+    * training windows by running token count, PARTITIONED BY source: each
+    * source packs independently, so the window never needs a global sort
+    * and parallelizes across the partition key at 100 TB (a single
+    * global packing order would serialize the whole corpus through one
+    * task). Bin id = tokens-before-this-doc ÷ budget; the audit reports
+    * bins and fill factor per source.
+    */
+  val l8SequencePack: Q = Q(
+    "l8_sequence_pack",
+    """WITH d AS (SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+      |b AS (SELECT source, n_tok,
+      |        CAST(floor(coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |                                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT) AS bin
+      |      FROM d)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      |  count(DISTINCT bin) AS n_bins,
+      |  round(CAST(sum(n_tok) AS DOUBLE) / (count(DISTINCT bin) * 512), 4) AS fill_factor
+      |FROM b
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), size(toks).cast("long").as("n_tok"))
+      .withColumn("bin", floor(coalesce(sum(col("n_tok")).over(w), lit(0L)) / 512).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        countDistinct(col("bin")).as("n_bins"),
+        round(sum(col("n_tok")).cast("double") / (countDistinct(col("bin")) * 512), 4)
+          .as("fill_factor"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[Q] = Seq(
+    l8StratifiedSample, l8Decontaminate, l8PiiRedact,
+    l8RepetitionQuality, l8SequencePack)
+}
