@@ -259,10 +259,34 @@ object StreamingQueries {
       .orderBy(col("view_type"))
   }
 
+  /** ST+X4: the custom DSv2 source consumed as a STREAM — graft-range's
+    * MicroBatchStream replays [0, 3000) in rate-limited 1000-id batches
+    * through real offset tracking (admission control + AvailableNow
+    * drain), aggregated in complete mode. The oracle is the same
+    * arithmetic over DuckDB's range() — streaming/batch consistency for
+    * the engine's OWN source, not just the built-in file source. The
+    * multi-batch/restart behavior is asserted in Dsv2Spec.
+    */
+  val st10CustomSourceStream: Q = Q(
+    "st10_custom_source_stream",
+    """SELECT i % 7 AS tag, count(*) AS n,
+      |  round(sum(i * 0.25), 4) AS total_val
+      |FROM range(0, 3000) t(i)
+      |GROUP BY 1
+      |ORDER BY tag""".stripMargin) { (spark, dir) =>
+    val sdf = spark.readStream.format("graft-range")
+      .option("end", "3000").option("rowsPerBatch", "1000")
+      .load()
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n"), round(sum(col("val")), 4).as("total_val"))
+    StreamingOps.runToBatch(spark, sdf, "complete", "st10_custom_source_stream_sink")
+      .orderBy(col("tag"))
+  }
+
   val all: Seq[Q] = Seq(
     st2Tumbling, st3Sliding, st4SessionWindow, st5StreamDedup,
     st6StatefulOp, st6bTransformWithState, st7StreamStaticJoin,
-    st8StreamStreamJoin)
+    st8StreamStreamJoin, st10CustomSourceStream)
 }
 
 /** Per-user (count, sum) running state via a typed ValueState handle —

@@ -7,6 +7,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -54,7 +55,9 @@ class GraftRangeSource extends TableProvider with DataSourceRegister {
       throw new IllegalArgumentException("graft-range requires an 'end' option"))
     val slices = Option(properties.get("slices")).map(_.toInt).getOrElse(8)
     require(slices > 0, s"slices must be positive, got $slices")
-    new GraftRangeTable(start, end, slices)
+    val rowsPerBatch = Option(properties.get("rowsPerBatch")).map(_.toLong).getOrElse(1000L)
+    require(rowsPerBatch > 0, s"rowsPerBatch must be positive, got $rowsPerBatch")
+    new GraftRangeTable(start, end, slices, rowsPerBatch)
   }
 }
 
@@ -65,17 +68,19 @@ object GraftRangeSource {
     StructField("tag", LongType, nullable = false)))
 }
 
-private[sources] class GraftRangeTable(start: Long, end: Long, slices: Int)
+private[sources] class GraftRangeTable(
+    start: Long, end: Long, slices: Int, rowsPerBatch: Long = 1000L)
     extends Table with SupportsRead {
   override def name(): String = s"graft_range[$start, $end)"
   override def schema(): StructType = GraftRangeSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftRangeScanBuilder(start, end, slices)
+    new GraftRangeScanBuilder(start, end, slices, rowsPerBatch)
 }
 
-private[sources] class GraftRangeScanBuilder(start: Long, end: Long, slices: Int)
+private[sources] class GraftRangeScanBuilder(
+    start: Long, end: Long, slices: Int, rowsPerBatch: Long = 1000L)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -164,7 +169,7 @@ private[sources] class GraftRangeScanBuilder(start: Long, end: Long, slices: Int
 
   override def build(): Scan = pushedAggs match {
     case Some(aggs) => GraftRangeAggScan(lo, math.max(lo, hi), aggs)
-    case None => GraftRangeScan(lo, math.max(lo, hi), slices, required)
+    case None => GraftRangeScan(lo, math.max(lo, hi), slices, required, rowsPerBatch)
   }
 }
 
@@ -217,10 +222,13 @@ private[graft] case class GraftRangeSingleRowFactory(row: InternalRow)
 }
 
 private[graft] case class GraftRangeScan(
-    lo: Long, hi: Long, slices: Int, required: StructType) extends Scan with Batch {
+    lo: Long, hi: Long, slices: Int, required: StructType,
+    rowsPerBatch: Long = 1000L) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftRangeMicroBatchStream(lo, hi, slices, required, rowsPerBatch)
   override def description(): String =
     s"GraftRangeScan[$lo, $hi) slices=$slices cols=[${required.fieldNames.mkString(", ")}]"
 
@@ -245,6 +253,63 @@ private[graft] case class GraftRangeScan(
 }
 
 private[graft] case class GraftRangeSplit(lo: Long, hi: Long) extends InputPartition
+
+/** Streaming offset = the exclusive high-watermark id already emitted.
+  * The range is dense, so one long IS the complete source position —
+  * the checkpointed json round-trips it exactly.
+  */
+private[graft] case class GraftRangeOffset(v: Long) extends Offset {
+  override def json: String = v.toString
+}
+
+/** The MICRO_BATCH_READ half of the source (same splits + reader as the
+  * batch scan): each trigger admits up to `rowsPerBatch` ids
+  * (`SupportsAdmissionControl`), so a bounded range replays as a
+  * multi-batch stream with real offset tracking — restart from a
+  * checkpoint resumes at the committed watermark and re-emits nothing.
+  * `SupportsTriggerAvailableNow` lets `Trigger.AvailableNow` drain the
+  * remaining range through the SAME rate-limited path (N batches, then
+  * stop) instead of one giant batch.
+  *
+  * Statelessness matters here: the stream object keeps NO mutable
+  * progress — every batch is derived from the (start, end] offsets the
+  * engine hands back, which is what makes recovery trivially correct.
+  */
+private[graft] class GraftRangeMicroBatchStream(
+    lo: Long, hi: Long, slices: Int, required: StructType, rowsPerBatch: Long)
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  override def initialOffset(): Offset = GraftRangeOffset(lo)
+  override def deserializeOffset(json: String): Offset = GraftRangeOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+  override def reportLatestOffset(): Offset = GraftRangeOffset(hi)
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-controlled entry point")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftRangeOffset].v
+    val step = limit match {
+      case r: ReadMaxRows => math.max(1L, r.maxRows())
+      case _ => rowsPerBatch
+    }
+    GraftRangeOffset(math.min(hi, if (s > hi - step) hi else s + step))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    GraftRangeScan(
+      start.asInstanceOf[GraftRangeOffset].v,
+      end.asInstanceOf[GraftRangeOffset].v,
+      slices, required).planInputPartitions()
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftRangeReaderFactory(required.fieldNames)
+}
 
 private[graft] case class GraftRangeReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {

@@ -157,6 +157,39 @@ class Dsv2Spec extends AnyFunSuite {
     GraftMemorySink.clear("t_modes")
   }
 
+  test("graft-range streams in rate-limited micro-batches under AvailableNow") {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mbs_ckpt_").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_mbs_out_").toString
+    def run() = {
+      val q = spark.readStream.format("graft-range")
+        .option("end", "350").option("rowsPerBatch", "100").load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q
+    }
+    val q1 = run()
+    val rows = spark.read.parquet(out).as[(Long, Double, Long)].collect()
+    assert(rows.length == 350)
+    assert(rows.map(_._1).sorted.toSeq == (0L until 350L))
+    assert(rows.forall { case (id, v, tag) => v == id * 0.25 && tag == id % 7 })
+    // Admission control: no batch admitted more than rowsPerBatch ids.
+    val batchSizes = q1.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(batchSizes.sum == 350, s"batches: ${batchSizes.toSeq}")
+    assert(batchSizes.length == 4 && batchSizes.forall(_ <= 100),
+      s"expected 100+100+100+50, got ${batchSizes.toSeq}")
+
+    // Restart from the same checkpoint: the committed offset IS the full
+    // range — nothing is re-emitted (exactly-once on the source side).
+    val q2 = run()
+    assert(q2.recentProgress.map(_.numInputRows).sum == 0,
+      s"restart re-emitted rows: ${q2.recentProgress.map(_.numInputRows).toSeq}")
+    assert(spark.read.parquet(out).count() == 350)
+  }
+
   test("graft-sink write through the full pipeline (filter + agg upstream)") {
     import graft.sources.GraftMemorySink
     GraftMemorySink.clear("t_agg")
