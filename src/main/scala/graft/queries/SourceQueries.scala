@@ -243,7 +243,39 @@ object SourceQueries {
       .orderBy(col("tag"))
   }
 
+  /** X5: the catalog extension point — a first-party `TableCatalog`
+    * (graft.sources.GraftCatalog) driven entirely through SQL: CREATE
+    * TABLE under the `graft` catalog, INSERT routed through the V2
+    * two-phase-commit write path, SELECT resolved by identifier through
+    * the catalog. The oracle computes the same aggregate straight from
+    * the parquet source — what went through the catalog round-trip must
+    * be exactly what was selected into it. DROP-first makes the query
+    * re-runnable (bench reps, repeated Verify).
+    */
+  val x5CatalogSql: Q = Q(
+    "x5_catalog_sql",
+    """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+      |FROM nation
+      |GROUP BY n_regionkey
+      |ORDER BY n_regionkey""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.nation(spark, dir).createOrReplaceTempView("x5_nation_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.nation_copy")
+    spark.sql(
+      """CREATE TABLE graft.demo.nation_copy
+        |  (n_nationkey INT, n_name STRING, n_regionkey INT) USING graft""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.nation_copy
+        |SELECT n_nationkey, n_name, n_regionkey FROM x5_nation_src""".stripMargin)
+    spark.sql(
+      """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+        |FROM graft.demo.nation_copy
+        |GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     s2ParquetRoundtrip, s3CsvSource, s3JsonSource, s6CacheReuse,
-    s7PartitionedSink, s8OrcRoundtrip, x1ScalarUdf, x3Generator, x4Dsv2Source)
+    s7PartitionedSink, s8OrcRoundtrip, x1ScalarUdf, x3Generator, x4Dsv2Source,
+    x5CatalogSql)
 }

@@ -1,0 +1,185 @@
+package graft.sources
+
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.UnsafeRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 CATALOG plugin — the metadata half of the engine's
+  * extension surface (GraftRangeSource/GraftMemorySink are the
+  * read/write halves): a `TableCatalog` whose tables are created,
+  * written, and queried entirely through SQL DDL/DML once registered as
+  *
+  *   spark.sql.catalog.graft = graft.sources.GraftCatalog
+  *
+  *   CREATE TABLE graft.demo.t (id BIGINT, name STRING) USING graft
+  *   INSERT INTO graft.demo.t SELECT ...
+  *   SELECT ... FROM graft.demo.t
+  *
+  * Storage is an in-JVM map (the protocol under test is the CATALOG
+  * contract — identifier resolution, create/drop/rename lifecycle,
+  * analyzer schema checks, and the V2 write path Spark routes INSERT
+  * through); a production catalog swaps the map for a metastore and the
+  * row store for files, with the identical Spark-facing surface.
+  * Namespaces are implicit (any single-level namespace "exists"), the
+  * usual shape for a demo/metadata-light catalog.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  import GraftCatalog._
+
+  private var catalogName: String = "graft"
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+  override def name(): String = catalogName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    store.keySet().asScala.filter(_.namespace.sameElements(namespace)).toArray
+
+  override def loadTable(ident: Identifier): Table = {
+    val entry = store.get(ident)
+    if (entry == null) throw new NoSuchTableException(ident)
+    new GraftCatalogTable(ident, entry.schema)
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (store.putIfAbsent(ident, TableEntry(schema, Array.empty)) != null)
+      throw new TableAlreadyExistsException(ident.toString, ident.name())
+    new GraftCatalogTable(ident, schema)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft catalog tables are schema-fixed")
+
+  override def dropTable(ident: Identifier): Boolean = store.remove(ident) != null
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val entry = store.get(oldIdent)
+    if (entry == null) throw new NoSuchTableException(oldIdent)
+    if (store.putIfAbsent(newIdent, entry) != null)
+      throw new TableAlreadyExistsException(newIdent.toString, newIdent.name())
+    store.remove(oldIdent)
+  }
+
+  // ---- SupportsNamespaces: implicit single-level namespaces ----
+  override def listNamespaces(): Array[Array[String]] =
+    store.keySet().asScala.map(_.namespace.toSeq).toSet.map((s: Seq[String]) => s.toArray).toArray
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    Array.empty
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new IllegalArgumentException(s"no such namespace: ${namespace.mkString(".")}")
+    util.Collections.emptyMap()
+  }
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit = ()
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft catalog namespaces carry no metadata")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (cascade) listTables(namespace).foreach(dropTable)
+    true
+  }
+}
+
+object GraftCatalog {
+  private[sources] case class TableEntry(schema: StructType, rows: Array[UnsafeRow])
+
+  private val store = new ConcurrentHashMap[Identifier, TableEntry]()
+
+  /** Committed row count of a catalog table (test observability). */
+  def rowCount(ns: String, table: String): Int =
+    Option(store.get(Identifier.of(Array(ns), table))).map(_.rows.length).getOrElse(0)
+
+  private[sources] def install(
+      ident: Identifier, rows: Array[UnsafeRow], truncate: Boolean): Unit =
+    store.compute(ident, (_, prev) => {
+      require(prev != null, s"table $ident dropped mid-write")
+      if (truncate) prev.copy(rows = rows) else prev.copy(rows = prev.rows ++ rows)
+    })
+
+  private[sources] def rowsOf(ident: Identifier): Array[UnsafeRow] =
+    Option(store.get(ident)).map(_.rows).getOrElse(Array.empty)
+}
+
+/** A catalog table: batch-readable and batch-writable (append +
+  * truncate) with the same two-phase commit protocol as GraftMemorySink.
+  */
+private[sources] class GraftCatalogTable(ident: Identifier, schema0: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = ident.toString
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new GraftCatalogScan(ident, schema0)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var truncateFirst = false
+      override def truncate(): WriteBuilder = { truncateFirst = true; this }
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new GraftCatalogBatchWrite(ident, info.schema(), truncateFirst)
+      }
+    }
+}
+
+private[sources] case class GraftCatalogScan(ident: Identifier, schema: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String = s"GraftCatalogScan($ident)"
+
+  // The committed rows ship inside the partition (driver-side store —
+  // the catalog's analogue of a small metastore-backed table); a
+  // file-backed catalog would plan real splits here instead.
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftCatalogPartition(GraftCatalog.rowsOf(ident)))
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftCatalogReaderFactory()
+}
+
+private[sources] case class GraftCatalogPartition(rows: Array[UnsafeRow])
+    extends InputPartition
+
+private[sources] case class GraftCatalogReaderFactory() extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val rows = partition.asInstanceOf[GraftCatalogPartition].rows
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = rows(i)
+      override def close(): Unit = ()
+    }
+  }
+}
+
+private[sources] class GraftCatalogBatchWrite(
+    ident: Identifier, schema: StructType, truncateFirst: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    GraftMemorySinkWriterFactory(schema.length)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val all = messages.collect { case m: GraftSinkTaskRows => m }
+      .sortBy(_.partitionId)
+      .flatMap(_.rows)
+    GraftCatalog.install(ident, all, truncateFirst)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
