@@ -274,8 +274,37 @@ object SourceQueries {
         |ORDER BY n_regionkey""".stripMargin)
   }
 
+  /** X6: catalog-resolved V2 FUNCTION — `graft.math.clamp` resolves
+    * through `FunctionCatalog.loadFunction` (not the session registry)
+    * and, carrying the `invoke` magic method, compiles to a direct call
+    * inside whole-stage codegen. Discount-policy revenue with the
+    * discount clamped into [0.02, 0.05]; the DuckDB twin spells clamp as
+    * greatest/least. Per-row products are identical IEEE doubles in both
+    * engines; the SUM goes through the exact-decimal pattern (price
+    * magnitudes reach ~1e9+, where a double sum's ulp sits inside the
+    * 4-dp rounding boundary).
+    */
+  val x6CatalogFunction: Q = Q(
+    "x6_catalog_function",
+    """SELECT l_returnflag,
+      |  round(CAST(sum(CAST(l_extendedprice * (1 - greatest(0.02, least(l_discount, 0.05))) AS DECIMAL(18,6))) AS DOUBLE), 4) AS clamped_revenue,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.lineitem(spark, dir).createOrReplaceTempView("x6_lineitem_src")
+    spark.sql(
+      """SELECT l_returnflag,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - graft.math.clamp(l_discount, 0.02, 0.05)) AS DECIMAL(18,6))) AS DOUBLE), 4) AS clamped_revenue,
+        |  count(*) AS n
+        |FROM x6_lineitem_src
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     s2ParquetRoundtrip, s3CsvSource, s3JsonSource, s6CacheReuse,
     s7PartitionedSink, s8OrcRoundtrip, x1ScalarUdf, x3Generator, x4Dsv2Source,
-    x5CatalogSql)
+    x5CatalogSql, x6CatalogFunction)
 }

@@ -6,13 +6,14 @@ import java.util.concurrent.ConcurrentHashMap
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.UnsafeRow
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, DoubleType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource V2 CATALOG plugin — the metadata half of the engine's
@@ -33,8 +34,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * row store for files, with the identical Spark-facing surface.
   * Namespaces are implicit (any single-level namespace "exists"), the
   * usual shape for a demo/metadata-light catalog.
+  *
+  * The catalog also serves FUNCTIONS (`FunctionCatalog`) — the V2 UDF
+  * extension point where SQL resolves `graft.math.clamp(...)` through
+  * the catalog instead of the session registry. The bound function
+  * carries the `invoke` magic method, so Catalyst compiles calls to a
+  * direct (codegen'd) method invocation — no row boxing on the hot
+  * path; `produceResult` stays as the interpreted fallback.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
   import GraftCatalog._
 
   private var catalogName: String = "graft"
@@ -94,6 +102,56 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (cascade) listTables(namespace).foreach(dropTable)
     true
   }
+
+  // ---- FunctionCatalog ----
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("math")))
+      Array(Identifier.of(namespace, "clamp"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.namespace.sameElements(Array("math")) && ident.name == "clamp")
+      GraftClampFunction
+    else throw new NoSuchFunctionException(ident)
+}
+
+/** `graft.math.clamp(x, lo, hi)` — catalog-resolved scalar function. */
+private[graft] object GraftClampFunction extends UnboundFunction {
+  override def name(): String = "clamp"
+  override def description(): String =
+    "clamp(x, lo, hi): x bounded into [lo, hi]"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    // Accept any numeric triple: the bound `inputTypes()` declares
+    // doubles, and the analyzer inserts the casts (numeric literals
+    // arrive as decimals — rejecting them here would force callers to
+    // CAST by hand).
+    val numeric = inputType.fields.forall(
+      _.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    if (inputType.length != 3 || !numeric)
+      throw new UnsupportedOperationException(
+        s"clamp expects 3 numeric arguments, got ${inputType.simpleString}")
+    new GraftClampBound
+  }
+}
+
+/** Named (not anonymous) class on purpose: Catalyst finds the `invoke`
+  * magic method by PUBLIC reflection, and scalac compiles non-interface
+  * methods of anonymous classes as private.
+  */
+private[graft] class GraftClampBound extends ScalarFunction[java.lang.Double] {
+  override def inputTypes(): Array[DataType] =
+    Array(DoubleType, DoubleType, DoubleType)
+  override def resultType(): DataType = DoubleType
+  override def name(): String = "clamp"
+  override def canonicalName(): String = "graft.math.clamp"
+  override def isResultNullable: Boolean = false
+  // MAGIC METHOD: exact-signature `invoke` — Catalyst lowers the call to
+  // a direct method invocation inside codegen (no row boxing).
+  def invoke(x: Double, lo: Double, hi: Double): Double =
+    math.max(lo, math.min(x, hi))
+  override def produceResult(input: InternalRow): java.lang.Double =
+    invoke(input.getDouble(0), input.getDouble(1), input.getDouble(2))
 }
 
 object GraftCatalog {

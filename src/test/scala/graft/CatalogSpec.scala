@@ -51,6 +51,24 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SHOW TABLES IN graft.t2").collect().isEmpty)
   }
 
+  test("catalog-resolved function: graft.math.clamp matches the greatest/least composition") {
+    val out = spark.sql(
+      """SELECT graft.math.clamp(CAST(x AS DOUBLE), 2.0, 5.0) AS c,
+        |       greatest(2.0, least(CAST(x AS DOUBLE), 5.0)) AS ref
+        |FROM VALUES (-10), (2), (3), (5), (99) AS t(x)""".stripMargin)
+    assert(out.filter($"c" =!= $"ref").count() == 0)
+    assert(out.select("c").as[Double].collect().toSeq == Seq(2.0, 2.0, 3.0, 5.0, 5.0))
+    // Unknown function goes through the catalog's error path, not a
+    // session-registry miss.
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft.math.nope(1.0)").collect()
+    }
+    // Type mismatch is rejected at bind time.
+    intercept[Exception] {
+      spark.sql("SELECT graft.math.clamp('a', 'b', 'c')").collect()
+    }
+  }
+
   test("create rejects a duplicate identifier; analyzer enforces the declared schema") {
     spark.sql("DROP TABLE IF EXISTS graft.t3.once")
     spark.sql("CREATE TABLE graft.t3.once (x INT) USING graft")
