@@ -102,5 +102,40 @@ object WindowQueries {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
-  val all: Seq[Q] = Seq(w1RankingRunning, w2Offsets, w4Distribution)
+  /** W3 (value-based frame): RANGE frame over the ORDER-BY VALUE — the
+    * frame is "orders of this customer within the trailing 30 days", not
+    * "the previous k rows", so tied order dates are all peers and the
+    * result is tie-order-independent (what makes a RANGE frame the
+    * deterministic choice on non-unique sort keys). Day number is a
+    * numeric ORDER BY (both engines bound numeric RANGE frames
+    * identically). Same scale shape as every window here: one shuffle on
+    * the partition key, per-key local sort.
+    */
+  val w3RangeFrame: Q = Q(
+    "w3_range_frame",
+    """SELECT o_custkey, o_orderkey, day_num,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY day_num
+      |                                RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 4) AS sum_30d,
+      |  count(*) OVER (PARTITION BY o_custkey ORDER BY day_num
+      |                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_30d
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num
+      |      FROM orders WHERE o_custkey < 50) o
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_num"))
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") < 50)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_num"))
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("day_num"),
+        round(sum(col("o_totalprice")).over(w), 4).as("sum_30d"),
+        count(lit(1)).over(w).as("n_30d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val all: Seq[Q] = Seq(w1RankingRunning, w2Offsets, w3RangeFrame, w4Distribution)
 }
