@@ -221,7 +221,38 @@ object AggregateQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** A5 (explicit sets): an ASYMMETRIC grouping-set list —
+    * ((l_returnflag), (l_linestatus)) — which neither ROLLUP nor CUBE
+    * can express (no combined cell, no grand total). Same single-pass
+    * Expand plan as rollup/cube: one shuffle, |sets| × rows expansion
+    * map-side.
+    */
+  val a5cGroupingSets: Q = Q(
+    "a5c_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+      |  round(sum(l_quantity), 4) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(
+        col("g_rf"), col("g_ls"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
   val all: Seq[Q] = Seq(
     a2GlobalAgg, a3DistinctAgg, a4DistinctRows, a5Rollup, a5bCube,
-    a6ApproxDistinct, a7Quantiles, a8CollectAgg, a9WeightedMean, a10Pivot)
+    a5cGroupingSets, a6ApproxDistinct, a7Quantiles, a8CollectAgg,
+    a9WeightedMean, a10Pivot)
 }

@@ -125,4 +125,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(m("n_rows") == 1000L, s"metrics: $m") // observed PRE-filter
     assert(m("bucket_sum") == (1 to 1000).map(_ % 10).sum.toLong)
   }
+
+  test("count-min sketch: estimates overcount-bounded (never undercount)") {
+    import spark.implicits._
+    // Zipf-ish key frequencies: key k appears 1000/k times.
+    val data = (1 to 50).flatMap(k => Seq.fill(1000 / k)(s"k$k")).toDF("key")
+    val n = data.count()
+    val eps = 0.01
+    val cms = data.stat.countMinSketch("key", eps = eps, confidence = 0.99, seed = 42)
+    val exact = data.groupBy("key").count().as[(String, Long)].collect().toMap
+    exact.foreach { case (k, cnt) =>
+      val est = cms.estimateCount(k)
+      assert(est >= cnt, s"CMS undercounted $k: $est < $cnt") // structural guarantee
+      assert(est <= cnt + (eps * n).toLong, s"CMS overcount above eps*N for $k: $est vs $cnt")
+    }
+  }
+
+  test("bloom filter: no false negatives; FPR near the configured bound") {
+    import spark.implicits._
+    val present = (1 to 2000).map(i => s"id$i")
+    val bf = present.toDF("v").stat.bloomFilter("v", expectedNumItems = 2000, fpp = 0.03)
+    assert(present.forall(bf.mightContain), "bloom filter false negative")
+    val absentHits = (1 to 5000).map(i => s"absent$i").count(bf.mightContain)
+    // 3% nominal; allow generous slack for hash variance at this size.
+    assert(absentHits <= 5000 * 0.06, s"FPR too high: $absentHits/5000")
+  }
 }
