@@ -172,18 +172,115 @@ object GraftCatalog {
 
   private[sources] def rowsOf(ident: Identifier): Array[UnsafeRow] =
     Option(store.get(ident)).map(_.rows).getOrElse(Array.empty)
+
+  private[sources] def deleteWhere(
+      ident: Identifier,
+      schema: StructType,
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    store.compute(ident, (_, prev) => {
+      require(prev != null, s"table $ident dropped mid-delete")
+      prev.copy(rows =
+        prev.rows.filterNot(r => filters.forall(GraftFilterEval.eval(_, schema, r))))
+    })
 }
 
-/** A catalog table: batch-readable and batch-writable (append +
-  * truncate) with the same two-phase commit protocol as GraftMemorySink.
+/** Evaluates V1 source Filters against stored InternalRows — the
+  * delete-path twin of what a file source does with partition values.
+  * Only shapes/types it can prove are supported; `supported` is the
+  * `canDeleteWhere` gate, so an unprovable predicate rejects the DELETE
+  * instead of misapplying it.
+  */
+private[sources] object GraftFilterEval {
+  import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.types._
+
+  private def ordinal(schema: StructType, attr: String): Int = schema.fieldIndex(attr)
+
+  private def comparable(schema: StructType, attr: String): Boolean =
+    schema.fields(ordinal(schema, attr)).dataType match {
+      case _: NumericType | StringType | BooleanType => true
+      case _ => false
+    }
+
+  def supported(f: Filter, schema: StructType): Boolean = f match {
+    case EqualTo(a, _) => comparable(schema, a)
+    case GreaterThan(a, _) => comparable(schema, a)
+    case GreaterThanOrEqual(a, _) => comparable(schema, a)
+    case LessThan(a, _) => comparable(schema, a)
+    case LessThanOrEqual(a, _) => comparable(schema, a)
+    case In(a, _) => comparable(schema, a)
+    case IsNull(a) => schema.fieldNames.contains(a)
+    case IsNotNull(a) => schema.fieldNames.contains(a)
+    case And(l, r) => supported(l, schema) && supported(r, schema)
+    case Or(l, r) => supported(l, schema) && supported(r, schema)
+    case Not(c) => supported(c, schema)
+    case AlwaysTrue() | AlwaysFalse() => true
+    case _ => false
+  }
+
+  /** Row value at `attr` as a JVM-comparable external value (UTF8String
+    * → String etc.), or null.
+    */
+  private def value(schema: StructType, row: InternalRow, attr: String): Any = {
+    val i = ordinal(schema, attr)
+    if (row.isNullAt(i)) null
+    else schema.fields(i).dataType match {
+      case StringType => row.getUTF8String(i).toString
+      case dt => row.get(i, dt)
+    }
+  }
+
+  /** Three-way comparison for supported types; filter literals arrive as
+    * external JVM values whose numeric subtypes may differ from the
+    * column's (e.g. Integer literal on a BIGINT column).
+    */
+  private def cmp(l: Any, r: Any): Option[Int] = (l, r) match {
+    case (a: Number, b: Number) => Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
+    case (a: String, b: String) => Some(a.compareTo(b))
+    case (a: java.lang.Boolean, b: java.lang.Boolean) => Some(a.compareTo(b))
+    case _ => None
+  }
+
+  def eval(f: Filter, schema: StructType, row: InternalRow): Boolean = f match {
+    case EqualTo(a, v) => cmp(value(schema, row, a), v).contains(0)
+    case GreaterThan(a, v) => cmp(value(schema, row, a), v).exists(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(value(schema, row, a), v).exists(_ >= 0)
+    case LessThan(a, v) => cmp(value(schema, row, a), v).exists(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(value(schema, row, a), v).exists(_ <= 0)
+    case In(a, vs) => vs.exists(v => cmp(value(schema, row, a), v).contains(0))
+    case IsNull(a) => value(schema, row, a) == null
+    case IsNotNull(a) => value(schema, row, a) != null
+    case And(l, r) => eval(l, schema, row) && eval(r, schema, row)
+    case Or(l, r) => eval(l, schema, row) || eval(r, schema, row)
+    case Not(c) => !eval(c, schema, row)
+    case AlwaysTrue() => true
+    case AlwaysFalse() => false
+    case _ => false
+  }
+}
+
+/** A catalog table: batch-readable, batch-writable (append + truncate)
+  * with the same two-phase commit protocol as GraftMemorySink, and
+  * DELETE-capable (`SupportsDelete`): `DELETE FROM graft.ns.t WHERE …`
+  * ships the WHERE down as source Filters and the table rewrites its
+  * committed rows — the metadata-delete path (file-source analogue:
+  * dropping whole partitions), not a row-level MERGE rewrite.
+  * Predicates the evaluator can't prove (`canDeleteWhere` false) fail
+  * the statement instead of deleting the wrong rows.
   */
 private[sources] class GraftCatalogTable(ident: Identifier, schema0: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String = ident.toString
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => GraftFilterEval.supported(f, schema0))
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    GraftCatalog.deleteWhere(ident, schema0, filters)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new GraftCatalogScan(ident, schema0)

@@ -51,6 +51,27 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SHOW TABLES IN graft.t2").collect().isEmpty)
   }
 
+  test("DELETE FROM and TRUNCATE TABLE rewrite committed rows through the catalog") {
+    spark.sql("DROP TABLE IF EXISTS graft.t4.d")
+    spark.sql("CREATE TABLE graft.t4.d (k BIGINT, name STRING) USING graft")
+    spark.sql("INSERT INTO graft.t4.d VALUES (1,'a'), (2,'b'), (3,'c'), (4, NULL)")
+    spark.sql("DELETE FROM graft.t4.d WHERE k >= 3 OR name = 'a'")
+    assert(spark.sql("SELECT k FROM graft.t4.d").as[Long].collect().toSeq == Seq(2L))
+    // NULL name row: `name = 'a'` is not provably true -> row survives a
+    // delete keyed on it, is removed by IS NULL.
+    spark.sql("INSERT INTO graft.t4.d VALUES (5, NULL)")
+    spark.sql("DELETE FROM graft.t4.d WHERE name IS NULL")
+    assert(spark.sql("SELECT k FROM graft.t4.d").as[Long].collect().toSeq == Seq(2L))
+    // A predicate the source can't prove must REJECT, not misdelete.
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("DELETE FROM graft.t4.d WHERE k + 1 = 3")
+    }
+    assert(spark.sql("SELECT count(*) FROM graft.t4.d").as[Long].head() == 1L)
+    spark.sql("TRUNCATE TABLE graft.t4.d")
+    assert(spark.sql("SELECT count(*) FROM graft.t4.d").as[Long].head() == 0L)
+    spark.sql("DROP TABLE graft.t4.d")
+  }
+
   test("catalog-resolved function: graft.math.clamp matches the greatest/least composition") {
     val out = spark.sql(
       """SELECT graft.math.clamp(CAST(x AS DOUBLE), 2.0, 5.0) AS c,
