@@ -141,6 +141,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("S5c: foreachBatch + catalog DELETE is an idempotent streaming sink") {
+    // The canonical exactly-once foreachBatch recipe: tag rows with the
+    // batch id, DELETE any prior rows of that batch id (a replayed batch
+    // after failure), then append — replays become no-ops. Composes the
+    // streaming escape hatch with the catalog's SupportsDelete.
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.fb.sink")
+    spark.sql("CREATE TABLE graft.fb.sink (k BIGINT, batch_id BIGINT) USING graft")
+    val in = MemoryStream[Long]
+    def writeBatch(df: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      spark.sql(s"DELETE FROM graft.fb.sink WHERE batch_id = $id")
+      df.withColumn("batch_id", lit(id))
+        .writeTo("graft.fb.sink").append()
+    }
+    val q = in.toDF().toDF("k")
+      .writeStream.foreachBatch(writeBatch _)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(1L, 2L)
+      q.processAllAvailable()
+      in.addData(3L)
+      q.processAllAvailable()
+      assert(spark.sql("SELECT k FROM graft.fb.sink").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L))
+      // Simulate a batch replay: re-running batch 1's body must not dupe.
+      writeBatch(Seq(3L).toDF("k"), 1L)
+      assert(spark.sql("SELECT k FROM graft.fb.sink").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE graft.fb.sink")
+    }
+  }
+
   test("ST6b: transformWithState (Spark 4 arbitrary-stateful API) accumulates via ValueState") {
     // The successor API to mapGroupsWithState: typed per-key state
     // handles (ValueState/ListState/MapState), timers, and TTL —
