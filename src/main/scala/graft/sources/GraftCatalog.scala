@@ -3,6 +3,7 @@ package graft.sources
 import java.util
 import java.util.concurrent.ConcurrentHashMap
 
+import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
@@ -269,7 +270,8 @@ private[sources] object GraftFilterEval {
   * the statement instead of deleting the wrong rows.
   */
 private[sources] class GraftCatalogTable(ident: Identifier, schema0: StructType)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations {
   override def name(): String = ident.toString
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
@@ -282,6 +284,30 @@ private[sources] class GraftCatalogTable(ident: Identifier, schema0: StructType)
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
     GraftCatalog.deleteWhere(ident, schema0, filters)
 
+  /** GROUP-BASED row-level ops (UPDATE / MERGE INTO / complex DELETE):
+    * Spark rewrites the statement into (scan the affected groups) ⋈
+    * (source) → recomputed rows → replace those groups. This table's one
+    * group is the WHOLE table — the op's scan reads everything and its
+    * write is the truncate-commit, so the replacement is atomic under
+    * the same two-phase protocol as INSERT OVERWRITE. (A file-backed
+    * table would scope groups to matched files/partitions instead.)
+    */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new RowLevelOperation {
+      override def command(): RowLevelOperation.Command = info.command()
+      override def description(): String = s"GraftRowLevel(${info.command()}, $ident)"
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        () => GraftCatalogScan(ident, schema0)
+      override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
+        new WriteBuilder {
+          override def build(): Write = new Write {
+            override def toBatch: BatchWrite =
+              new GraftCatalogBatchWrite(ident, schema0, truncateFirst = true)
+          }
+        }
+    }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new GraftCatalogScan(ident, schema0)
 
@@ -291,7 +317,7 @@ private[sources] class GraftCatalogTable(ident: Identifier, schema0: StructType)
       override def truncate(): WriteBuilder = { truncateFirst = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new GraftCatalogBatchWrite(ident, info.schema(), truncateFirst)
+          new GraftCatalogBatchWrite(ident, schema0, truncateFirst)
       }
     }
 }
@@ -327,9 +353,10 @@ private[sources] case class GraftCatalogReaderFactory() extends PartitionReaderF
 }
 
 private[sources] class GraftCatalogBatchWrite(
-    ident: Identifier, schema: StructType, truncateFirst: Boolean) extends BatchWrite {
+    ident: Identifier, target: StructType,
+    truncateFirst: Boolean) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    GraftMemorySinkWriterFactory(schema.length)
+    GraftProjectingWriterFactory(target)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val all = messages.collect { case m: GraftSinkTaskRows => m }
       .sortBy(_.partitionId)
@@ -337,4 +364,39 @@ private[sources] class GraftCatalogBatchWrite(
     GraftCatalog.install(ident, all, truncateFirst)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** Projects incoming rows onto the TABLE schema before buffering.
+  * Row-level rewrites (UPDATE / MERGE / rewrite-DELETE) deliver rows
+  * with a leading `__row_operation` metadata column — and deliver them
+  * RAW even though the LogicalWriteInfo schema claims the plain table
+  * schema — so the projection is derived from the ACTUAL record width
+  * at runtime: the last `target.length` fields are the data columns.
+  * Storing positionally would shift every field and read back garbage.
+  */
+private[sources] case class GraftProjectingWriterFactory(target: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+      private var proj: UnsafeProjection = _
+      private var projFields = -1
+      private val buf = ArrayBuffer.empty[UnsafeRow]
+      override def write(record: InternalRow): Unit = {
+        if (record.numFields != projFields) {
+          val offset = record.numFields - target.length
+          require(offset >= 0,
+            s"row has ${record.numFields} fields, table needs ${target.length}")
+          val exprs = target.zipWithIndex.map { case (f, i) =>
+            BoundReference(offset + i, f.dataType, f.nullable)
+          }
+          proj = UnsafeProjection.create(exprs)
+          projFields = record.numFields
+        }
+        buf += proj(record).copy()
+      }
+      override def commit(): WriterCommitMessage = GraftSinkTaskRows(partitionId, buf.toArray)
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
 }

@@ -62,14 +62,44 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("INSERT INTO graft.t4.d VALUES (5, NULL)")
     spark.sql("DELETE FROM graft.t4.d WHERE name IS NULL")
     assert(spark.sql("SELECT k FROM graft.t4.d").as[Long].collect().toSeq == Seq(2L))
-    // A predicate the source can't prove must REJECT, not misdelete.
-    intercept[org.apache.spark.sql.AnalysisException] {
-      spark.sql("DELETE FROM graft.t4.d WHERE k + 1 = 3")
-    }
-    assert(spark.sql("SELECT count(*) FROM graft.t4.d").as[Long].head() == 1L)
+    // A predicate the metadata path can't prove (canDeleteWhere false)
+    // falls back to the GROUP-BASED row-level rewrite and still deletes
+    // correctly — k + 1 = 3 removes the k=2 row.
+    spark.sql("INSERT INTO graft.t4.d VALUES (6,'f')")
+    spark.sql("DELETE FROM graft.t4.d WHERE k + 1 = 3")
+    assert(spark.sql("SELECT k FROM graft.t4.d").as[Long].collect().toSeq == Seq(6L))
     spark.sql("TRUNCATE TABLE graft.t4.d")
     assert(spark.sql("SELECT count(*) FROM graft.t4.d").as[Long].head() == 0L)
     spark.sql("DROP TABLE graft.t4.d")
+  }
+
+  test("UPDATE and MERGE INTO run through the group-based row-level rewrite") {
+    spark.sql("DROP TABLE IF EXISTS graft.t5.m")
+    spark.sql("CREATE TABLE graft.t5.m (k BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.t5.m VALUES (1,'a'), (2,'b'), (3,'c')")
+    spark.sql("UPDATE graft.t5.m SET v = 'B' WHERE k = 2")
+    assert(spark.sql("SELECT k, v FROM graft.t5.m ORDER BY k")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    spark.sql(
+      """MERGE INTO graft.t5.m t
+        |USING (SELECT col1 AS k, col2 AS v FROM VALUES (1, 'x'), (9, 'y')) s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    assert(spark.sql("SELECT k, v FROM graft.t5.m ORDER BY k")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "x"), (2L, "B"), (3L, "c"), (9L, "y")))
+    // MERGE with a delete clause in the same pass.
+    spark.sql(
+      """MERGE INTO graft.t5.m t
+        |USING (SELECT col1 AS k, col2 AS v FROM VALUES (2, 'drop'), (3, 'keep')) s
+        |ON t.k = s.k
+        |WHEN MATCHED AND s.v = 'drop' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    assert(spark.sql("SELECT k, v FROM graft.t5.m ORDER BY k")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "x"), (3L, "keep"), (9L, "y")))
+    spark.sql("DROP TABLE graft.t5.m")
   }
 
   test("catalog-resolved function: graft.math.clamp matches the greatest/least composition") {
