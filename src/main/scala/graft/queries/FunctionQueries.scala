@@ -210,6 +210,36 @@ object FunctionQueries {
       .orderBy(col("lang"))
   }
 
+  /** F9: VARIANT (Spark 4 semi-structured type) — `parse_json` once into
+    * a variant value, typed extraction with `variant_get`. Versus the
+    * per-access `get_json_object` string re-parse (f5), the variant is
+    * parsed ONCE into a binary-encoded value and every extraction is a
+    * typed path read — the 100 TB answer to JSON-heavy event columns.
+    * The DuckDB twin extracts through its native JSON type.
+    */
+  val f9Variant: Q = Q(
+    "f9_variant",
+    """SELECT CAST(CAST(props->>'$.k' AS INT) % 10 AS BIGINT) AS k_bucket,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+      |  CAST(min(CAST(props->>'$.k' AS INT)) AS INT) AS min_k,
+      |  CAST(max(CAST(props->>'$.k' AS INT)) AS INT) AS max_k
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY k_bucket""".stripMargin) { (spark, dir) =>
+    val k = expr("variant_get(parse_json(props), '$.k', 'int')")
+    Tables.events(spark, dir)
+      .select(k.as("k"))
+      .groupBy((col("k") % 10).cast("long").as("k_bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).cast("long").as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("k_bucket"))
+  }
+
   val all: Seq[Q] = Seq(
-    f1Strings, f2Dates, f3Math, f4Arrays, f5MapJson, f7Conditional, f8Hash)
+    f1Strings, f2Dates, f3Math, f4Arrays, f5MapJson, f7Conditional, f8Hash,
+    f9Variant)
 }

@@ -290,8 +290,32 @@ object JoinQueries {
     a.crossJoin(b).orderBy(col("r1"), col("r2"))
   }
 
+  /** J11: LATERAL (correlated) join — each outer customer row drives a
+    * dependent subquery (its top-2 orders by price). Catalyst
+    * DECORRELATES this into a ranked window over the inner side joined
+    * back on the correlation key — one window + one join, never a
+    * per-outer-row re-execution. The SQL-surface twin of the T5
+    * top-k-per-group operator.
+    */
+  val j11LateralJoin: Q = {
+    val sql =
+      """SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 4) AS price
+        |FROM customer c,
+        |  LATERAL (SELECT o_orderkey, o_totalprice
+        |           FROM orders
+        |           WHERE o_custkey = c.c_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey
+        |           LIMIT 2) t
+        |WHERE c.c_custkey < 30
+        |ORDER BY c.c_custkey, price DESC, t.o_orderkey""".stripMargin
+    Q("j11_lateral_join", sql) { (spark, dir) =>
+      graft.Tables.registerAll(spark, dir)
+      spark.sql(sql)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     j1BroadcastStar, j2ShuffleJoin, j3LeftOuter, j3FullOuter, j4SemiJoin,
     j5AntiJoin, j6ThetaJoin, j7RangeBucketJoin, j8AsofJoin, j9CrossJoin,
-    j10SaltedSkewJoin)
+    j10SaltedSkewJoin, j11LateralJoin)
 }

@@ -181,7 +181,29 @@ object RelationalQueries {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q17-style CORRELATED SCALAR SUBQUERY: small-quantity revenue
+    * against a per-part average computed by a subquery correlated on
+    * l_partkey. The plan-level point is DECORRELATION — Catalyst
+    * rewrites the correlated aggregate into (lineitem ⋈ per-part
+    * aggregate) on the correlation key, so it executes as ONE
+    * aggregate + ONE equi join, not one subquery per outer row (the
+    * per-row form would be a 60k-query disaster at any scale).
+    * Decimal-exact outer sum (price magnitudes).
+    */
+  val q17SmallQtyRevenue: Q = {
+    val sql =
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 4) AS avg_yearly
+        |FROM lineitem l1
+        |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin
+    Q("q17_small_qty_revenue", sql) { (spark, dir) =>
+      Tables.registerAll(spark, dir)
+      spark.sql(sql)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q1PricingSummary, q3ShippingPriority, q5SqlEntry, q6ForecastRevenue,
-    q10TopReturns)
+    q10TopReturns, q17SmallQtyRevenue)
 }
