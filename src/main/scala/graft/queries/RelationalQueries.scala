@@ -203,7 +203,49 @@ object RelationalQueries {
     }
   }
 
+  /** TPC-H Q4-style CORRELATED EXISTS: order-priority counts for orders
+    * with at least one late lineitem. The EXISTS lowers to a LEFT SEMI
+    * join on the correlation key — the probe side streams, the subquery
+    * is never re-executed per row.
+    */
+  val q4OrderPriority: Q = {
+    val sql =
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1994-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
+    Q("q4_order_priority", sql) { (spark, dir) =>
+      Tables.registerAll(spark, dir)
+      spark.sql(sql)
+    }
+  }
+
+  /** TPC-H Q18-style IN-subquery + HAVING: customers with at least one
+    * large order (aggregate-HAVING subquery feeding an IN). The IN
+    * lowers to a semi join against the pre-aggregated key set.
+    */
+  val q18LargeOrders: Q = {
+    val sql =
+      """SELECT c_custkey, o_orderkey, round(sum(l_quantity), 4) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+        |GROUP BY c_custkey, o_orderkey
+        |ORDER BY total_qty DESC, o_orderkey
+        |LIMIT 20""".stripMargin
+    Q("q18_large_orders", sql) { (spark, dir) =>
+      Tables.registerAll(spark, dir)
+      spark.sql(sql)
+    }
+  }
+
   val all: Seq[Q] = Seq(
-    q1PricingSummary, q3ShippingPriority, q5SqlEntry, q6ForecastRevenue,
-    q10TopReturns, q17SmallQtyRevenue)
+    q1PricingSummary, q3ShippingPriority, q4OrderPriority, q5SqlEntry,
+    q6ForecastRevenue, q10TopReturns, q17SmallQtyRevenue, q18LargeOrders)
 }
