@@ -70,8 +70,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     new GraftCatalogTable(ident, schema)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog tables are schema-fixed")
+  /** Schema evolution: ADD COLUMN (appended, nullable) migrates the
+    * committed rows eagerly — every stored UnsafeRow is re-projected to
+    * the widened layout with NULL in the new slot, atomically with the
+    * schema swap (a lazy per-read pad would leave mixed layouts in the
+    * store). Everything else (drop/rename/retype) is rejected: narrowing
+    * changes silently break readers.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (store.get(ident) == null) throw new NoSuchTableException(ident)
+    val result = store.compute(ident, (_, prev) => {
+      require(prev != null, s"table $ident dropped mid-alter")
+      changes.foldLeft(prev) { (entry, ch) =>
+        ch match {
+          case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
+            val f = org.apache.spark.sql.types.StructField(
+              add.fieldNames()(0), add.dataType(), nullable = true)
+            val exprs = entry.schema.fields.zipWithIndex.map { case (of, i) =>
+              org.apache.spark.sql.catalyst.expressions.BoundReference(
+                i, of.dataType, of.nullable)
+            }.toSeq :+ org.apache.spark.sql.catalyst.expressions.Literal(null, f.dataType)
+            val proj =
+              org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(exprs)
+            TableEntry(
+              StructType(entry.schema.fields :+ f),
+              entry.rows.map(r => proj(r).copy()))
+          case other =>
+            throw new UnsupportedOperationException(
+              s"graft catalog supports only ADD COLUMN, got: $other")
+        }
+      }
+    })
+    new GraftCatalogTable(ident, result.schema)
+  }
 
   override def dropTable(ident: Identifier): Boolean = store.remove(ident) != null
 

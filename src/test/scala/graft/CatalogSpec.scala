@@ -102,6 +102,32 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.t5.m")
   }
 
+  test("ALTER TABLE ADD COLUMN migrates committed rows; other changes are rejected") {
+    spark.sql("DROP TABLE IF EXISTS graft.t6.e")
+    spark.sql("CREATE TABLE graft.t6.e (k BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.t6.e VALUES (1), (2)")
+    spark.sql("ALTER TABLE graft.t6.e ADD COLUMN score DOUBLE")
+    // Pre-evolution rows read back with NULL in the new slot.
+    assert(spark.sql("SELECT k, score FROM graft.t6.e ORDER BY k")
+      .as[(Long, Option[Double])].collect().toSeq ==
+      Seq((1L, None), (2L, None)))
+    // The widened schema accepts writes and row-level updates.
+    spark.sql("INSERT INTO graft.t6.e VALUES (3, 0.5)")
+    spark.sql("UPDATE graft.t6.e SET score = 1.5 WHERE k = 1")
+    assert(spark.sql("SELECT k, score FROM graft.t6.e ORDER BY k")
+      .as[(Long, Option[Double])].collect().toSeq ==
+      Seq((1L, Some(1.5)), (2L, None), (3L, Some(0.5))))
+    // Narrowing/renaming changes are refused.
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.t6.e DROP COLUMN score")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.t6.e RENAME COLUMN score TO s2")
+    }
+    assert(spark.sql("SELECT count(*) FROM graft.t6.e").as[Long].head() == 3L)
+    spark.sql("DROP TABLE graft.t6.e")
+  }
+
   test("catalog-resolved function: graft.math.clamp matches the greatest/least composition") {
     val out = spark.sql(
       """SELECT graft.math.clamp(CAST(x AS DOUBLE), 2.0, 5.0) AS c,
