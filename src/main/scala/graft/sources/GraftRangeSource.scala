@@ -4,7 +4,7 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
@@ -84,7 +84,9 @@ private[sources] class GraftRangeScanBuilder(
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private var lo = start
   private var hi = end // exclusive
@@ -167,6 +169,31 @@ private[sources] class GraftRangeScanBuilder(
       case None => false
     }
 
+  /** LIMIT pushdown: the range is dense and generated in order, so
+    * LIMIT n is exactly the first n ids — the scan bounds shrink to
+    * [lo, lo+n) and the pushdown is COMPLETE (no partial flag). A TopN
+    * ordered by `id` is the same trick from whichever end the sort
+    * ascends: asc ⇒ first n ids, desc ⇒ last n. Any other sort key
+    * declines (row order ≠ range order).
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, if (lo > hi - limit) hi else lo + limit)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = false
+
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    val byIdOnly = orders.length == 1 && (orders(0).expression() match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
+      case _ => false
+    })
+    if (!byIdOnly) return false
+    val n = math.max(0, math.min(limit.toLong, math.max(0L, hi - lo)))
+    if (orders(0).direction() == SortDirection.ASCENDING) hi = lo + n
+    else lo = hi - n
+    true
+  }
+
   override def build(): Scan = pushedAggs match {
     case Some(aggs) => GraftRangeAggScan(lo, math.max(lo, hi), aggs)
     case None => GraftRangeScan(lo, math.max(lo, hi), slices, required, rowsPerBatch)
@@ -223,10 +250,23 @@ private[graft] case class GraftRangeSingleRowFactory(row: InternalRow)
 
 private[graft] case class GraftRangeScan(
     lo: Long, hi: Long, slices: Int, required: StructType,
-    rowsPerBatch: Long = 1000L) extends Scan with Batch {
+    rowsPerBatch: Long = 1000L) extends Scan with Batch
+    with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Exact statistics from the (filter-narrowed) bounds — what lets the
+    * planner auto-broadcast a small narrowed range in a join without an
+    * explicit hint (the metadata-statistics analogue of parquet footer
+    * row counts).
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(0L, hi - lo)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n * (8L * required.length.max(1)))
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(n)
+  }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftRangeMicroBatchStream(lo, hi, slices, required, rowsPerBatch)
   override def description(): String =

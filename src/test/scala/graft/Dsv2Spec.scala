@@ -157,6 +157,46 @@ class Dsv2Spec extends AnyFunSuite {
     GraftMemorySink.clear("t_modes")
   }
 
+  test("LIMIT and id-ordered TopN push into the scan bounds; other sorts decline") {
+    // LIMIT n on a dense ordered range = first n ids; complete pushdown.
+    val limited = read(0, 100000).limit(7)
+    assert(plannedScan(limited).hi == 7, s"limit not absorbed: ${plannedScan(limited)}")
+    assert(limited.count() == 7)
+    // TopN by id asc/desc narrows from the matching end.
+    val asc = read(0, 100000).orderBy($"id").limit(5)
+    assert(plannedScan(asc).hi == 5)
+    assert(asc.as[(Long, Double, Long)].collect().map(_._1).toSeq == (0L until 5L))
+    val desc = read(0, 100000).orderBy($"id".desc).limit(5)
+    assert(plannedScan(desc).lo == 99995)
+    assert(desc.as[(Long, Double, Long)].collect().map(_._1).sorted.toSeq ==
+      (99995L until 100000L))
+    // A non-id sort must NOT narrow the scan (row order != range order).
+    val byVal = read(0, 1000).orderBy($"tag").limit(5)
+    val s = plannedScan(byVal)
+    assert(s.lo == 0 && s.hi == 1000, s"tag-sort wrongly pushed: $s")
+    assert(byVal.count() == 5)
+  }
+
+  test("reported statistics let the planner auto-broadcast a narrowed range") {
+    // No broadcast hint anywhere: the filter narrows the range to 100
+    // rows, estimateStatistics reports that, and the planner picks a
+    // broadcast join on its own. AQE off so the initial plan decides
+    // from the reported stats.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val small = read(0, 1000000).filter($"id" < 100)
+      val big = spark.range(0, 50000).select($"id".as("rid"))
+      val joined = big.join(small, $"rid" === $"id")
+      val bhj = joined.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bhj.nonEmpty,
+        s"stats did not drive a broadcast:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() == 100)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("graft-range streams in rate-limited micro-batches under AvailableNow") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_mbs_ckpt_").toString
     val out = java.nio.file.Files.createTempDirectory("graft_mbs_out_").toString
