@@ -251,7 +251,40 @@ private[graft] case class GraftRangeSingleRowFactory(row: InternalRow)
 private[graft] case class GraftRangeScan(
     lo: Long, hi: Long, slices: Int, required: StructType,
     rowsPerBatch: Long = 1000L) extends Scan with Batch
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+
+  // Runtime-filter-narrowed bounds (SPARK-35779 "DPP for V2"): at
+  // execution time Spark hands the scan an IN predicate built from the
+  // OTHER join side's keys; a dense range prunes to [min, max+1] of
+  // those values — a superset of the exact set, which is all a runtime
+  // filter needs (the join still filters exactly). Deliberately NOT
+  // constructor fields: scan equality (exchange reuse) must ignore them.
+  @transient private var rtLo: Long = Long.MinValue
+  @transient private var rtHi: Long = Long.MaxValue
+  private[graft] def effectiveBounds: (Long, Long) =
+    (math.max(lo, rtLo), math.min(hi, rtHi))
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    predicates.foreach { p =>
+      if (p.name() == "IN" && p.children().nonEmpty) {
+        val isId = p.children()(0) match {
+          case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
+          case _ => false
+        }
+        val vals: Seq[Long] = p.children().drop(1).toSeq.collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value().isInstanceOf[java.lang.Number] =>
+            l.value().asInstanceOf[java.lang.Number].longValue()
+        }
+        if (isId && vals.nonEmpty) {
+          rtLo = math.max(rtLo, vals.min)
+          rtHi = math.min(rtHi, if (vals.max == Long.MaxValue) Long.MaxValue else vals.max + 1)
+        }
+      }
+    }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -273,7 +306,8 @@ private[graft] case class GraftRangeScan(
     s"GraftRangeScan[$lo, $hi) slices=$slices cols=[${required.fieldNames.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val n = hi - lo
+    val (elo, ehi) = effectiveBounds
+    val n = ehi - elo
     if (n <= 0) return Array.empty
     val parts = math.min(slices.toLong, n).toInt
     // Per-split bounds WITHOUT the i*n product (which overflows for
@@ -282,7 +316,7 @@ private[graft] case class GraftRangeScan(
     val base = n / parts
     val rem = n % parts
     Array.tabulate(parts) { i =>
-      val start = lo + i * base + math.min(i.toLong, rem)
+      val start = elo + i * base + math.min(i.toLong, rem)
       val end = start + base + (if (i < rem) 1L else 0L)
       GraftRangeSplit(start, end)
     }

@@ -197,6 +197,35 @@ class Dsv2Spec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("runtime V2 filtering narrows the scan from the broadcast join side") {
+    // SPARK-35779 path: the dim side broadcasts, its join keys become an
+    // IN runtime filter handed to Scan.filter(), and the dense range
+    // prunes to [min, max+1] of those keys BEFORE planning splits.
+    // AQE off: the executed plan stays flat (no QueryStageExec leaves
+    // hiding the scan node from collect) and the non-adaptive DPP path
+    // still injects the runtime filter from the reused broadcast.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val dim = spark.range(0, 1000).select(($"id" + 500000).as("rid"))
+        .filter($"rid" % 100 === 0) // selective predicate on the dim side
+      val fact = read(0, 1000000)
+      val joined = fact.join(broadcast(dim), $"id" === $"rid")
+      // collect(), not count(): count() builds a SEPARATE QueryExecution,
+      // and the scan instance inspected below must be the one that ran.
+      assert(joined.collect().length == 10)
+      val scans = joined.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      val scan = scans.map(_.scan).collectFirst {
+        case s: graft.sources.GraftRangeScan => s
+      }.get
+      val (elo, ehi) = scan.effectiveBounds
+      assert(elo == 500000 && ehi == 500901,
+        s"runtime filter did not narrow the scan: [$elo, $ehi)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("graft-range streams in rate-limited micro-batches under AvailableNow") {
     val ckpt = java.nio.file.Files.createTempDirectory("graft_mbs_ckpt_").toString
     val out = java.nio.file.Files.createTempDirectory("graft_mbs_out_").toString
