@@ -104,13 +104,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     new GraftCatalogTable(ident, result.schema)
   }
 
-  override def dropTable(ident: Identifier): Boolean = store.remove(ident) != null
+  override def dropTable(ident: Identifier): Boolean = {
+    // Clear the streaming-epoch ledger too: a re-created table must not
+    // inherit old high-watermarks and silently skip early epochs.
+    epochs.keySet.asScala.filter(_._1 == ident).foreach(epochs.remove)
+    store.remove(ident) != null
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val entry = store.get(oldIdent)
     if (entry == null) throw new NoSuchTableException(oldIdent)
     if (store.putIfAbsent(newIdent, entry) != null)
       throw new TableAlreadyExistsException(newIdent.toString, newIdent.name())
+    epochs.asScala.toSeq.foreach { case (k @ (id, qid), e) =>
+      if (id == oldIdent) { epochs.remove(k); epochs.put((newIdent, qid), e) }
+    }
     store.remove(oldIdent)
   }
 
@@ -204,6 +212,31 @@ object GraftCatalog {
 
   private[sources] def rowsOf(ident: Identifier): Array[UnsafeRow] =
     Option(store.get(ident)).map(_.rows).getOrElse(Array.empty)
+
+  /** Last committed streaming epoch per (table, STREAMING QUERY) — the
+    * exactly-once ledger: a replayed epoch after failure/restart commits
+    * as a no-op. Keyed by the stable query id, not just the table: two
+    * independent streaming queries appending to one table each count
+    * epochs from 0 and must not dedup against each other.
+    */
+  private val epochs = new ConcurrentHashMap[(Identifier, String), java.lang.Long]()
+
+  private[sources] def installEpoch(
+      ident: Identifier, queryId: String, epochId: Long, rows: Array[UnsafeRow]): Boolean = {
+    var applied = false
+    store.compute(ident, (_, prev) => {
+      require(prev != null, s"table $ident dropped mid-stream")
+      val key = (ident, queryId)
+      val last = Option(epochs.get(key)).map(_.longValue()).getOrElse(Long.MinValue)
+      if (epochId <= last) prev // replayed epoch: already visible, skip
+      else {
+        epochs.put(key, epochId)
+        applied = true
+        prev.copy(rows = prev.rows ++ rows)
+      }
+    })
+    applied
+  }
 
   private[sources] def deleteWhere(
       ident: Identifier,
@@ -307,7 +340,8 @@ private[sources] class GraftCatalogTable(ident: Identifier, schema0: StructType)
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
-      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     filters.forall(f => GraftFilterEval.supported(f, schema0))
@@ -349,6 +383,8 @@ private[sources] class GraftCatalogTable(ident: Identifier, schema0: StructType)
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new GraftCatalogBatchWrite(ident, schema0, truncateFirst)
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new GraftCatalogStreamingWrite(ident, schema0, info.queryId())
       }
     }
 }
@@ -395,6 +431,36 @@ private[sources] class GraftCatalogBatchWrite(
     GraftCatalog.install(ident, all, truncateFirst)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** Streaming write path (`writeStream.toTable("graft.ns.t")`): each
+  * epoch's task buffers ship as commit messages and the driver-side
+  * `commit(epochId, …)` appends them atomically — AT MOST ONCE per
+  * epoch, keyed on the engine-supplied epoch id, so a replayed batch
+  * after failure or checkpoint restart is a no-op. This is the native
+  * exactly-once sink the foreachBatch + batch-id-DELETE recipe
+  * hand-rolls.
+  */
+private[sources] class GraftCatalogStreamingWrite(
+    ident: Identifier, target: StructType, queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    GraftCatalogStreamingWriterFactory(target)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val all = messages.collect { case m: GraftSinkTaskRows => m }
+      .sortBy(_.partitionId)
+      .flatMap(_.rows)
+    GraftCatalog.installEpoch(ident, queryId, epochId, all)
+  }
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] case class GraftCatalogStreamingWriterFactory(target: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    GraftProjectingWriterFactory(target).createWriter(partitionId, taskId)
 }
 
 /** Projects incoming rows onto the TABLE schema before buffering.

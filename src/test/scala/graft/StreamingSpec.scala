@@ -176,6 +176,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("S5d: native streaming write to a catalog table (toTable) commits per epoch") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.stw.t")
+    spark.sql("CREATE TABLE graft.stw.t (k BIGINT) USING graft")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s5d_ckpt").toString
+    val in = MemoryStream[Long]
+    val q = in.toDF().toDF("k").writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .toTable("graft.stw.t")
+    try {
+      in.addData(1L, 2L)
+      q.processAllAvailable()
+      in.addData(3L)
+      q.processAllAvailable()
+      assert(spark.sql("SELECT k FROM graft.stw.t").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L))
+    } finally q.stop()
+    // A SECOND independent query (fresh checkpoint, epochs from 0 again)
+    // appending to the same table must not be deduped against the first
+    // query's epoch watermark.
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_s5d_ckpt2").toString
+    val in2 = MemoryStream[Long]
+    val q2 = in2.toDF().toDF("k").writeStream
+      .option("checkpointLocation", ckpt2)
+      .outputMode(OutputMode.Append())
+      .toTable("graft.stw.t")
+    try {
+      in2.addData(10L)
+      q2.processAllAvailable()
+      assert(spark.sql("SELECT k FROM graft.stw.t").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L, 10L))
+    } finally {
+      q2.stop()
+      spark.sql("DROP TABLE graft.stw.t")
+    }
+  }
+
   test("ST6b: transformWithState (Spark 4 arbitrary-stateful API) accumulates via ValueState") {
     // The successor API to mapGroupsWithState: typed per-key state
     // handles (ValueState/ListState/MapState), timers, and TTL —
