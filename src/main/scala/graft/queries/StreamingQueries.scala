@@ -283,10 +283,46 @@ object StreamingQueries {
       .orderBy(col("tag"))
   }
 
+  /** ST+X4+X5: the all-custom pipeline — the engine's OWN streaming
+    * source (graft-range micro-batches) written through the engine's
+    * OWN catalog sink (per-epoch exactly-once commits), then queried
+    * back by SQL through the catalog. Four micro-batches of 500 ids
+    * land as four epoch commits; the oracle is the closed-form range
+    * arithmetic, so any lost/duplicated epoch breaks the hash. Fresh
+    * checkpoint + DROP/CREATE per invocation keeps the query
+    * re-runnable (bench reps).
+    */
+  val st11StreamToCatalog: Q = Q(
+    "st11_stream_to_catalog",
+    """SELECT i % 7 AS tag, count(*) AS n,
+      |  round(sum(i * 0.25), 4) AS total_val
+      |FROM range(0, 2000) t(i)
+      |GROUP BY 1
+      |ORDER BY tag""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.stream.sink11")
+    spark.sql(
+      "CREATE TABLE graft.stream.sink11 (id BIGINT, val DOUBLE, tag BIGINT) USING graft")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_st11_").toString
+    spark.readStream.format("graft-range")
+      .option("end", "2000").option("rowsPerBatch", "500")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("graft.stream.sink11")
+      .awaitTermination()
+    spark.sql(
+      """SELECT tag, count(*) AS n, round(sum(val), 4) AS total_val
+        |FROM graft.stream.sink11
+        |GROUP BY tag
+        |ORDER BY tag""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     st2Tumbling, st3Sliding, st4SessionWindow, st5StreamDedup,
     st6StatefulOp, st6bTransformWithState, st7StreamStaticJoin,
-    st8StreamStreamJoin, st10CustomSourceStream)
+    st8StreamStreamJoin, st10CustomSourceStream, st11StreamToCatalog)
 }
 
 /** Per-user (count, sum) running state via a typed ValueState handle —
