@@ -251,8 +251,38 @@ object AggregateQueries {
         col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
+  /** A12: statistical aggregates — variance/stddev, correlation,
+    * covariance, skewness, kurtosis over lineitem. Both engines use
+    * numerically-stable merge formulations; 4-dp rounding absorbs the
+    * sub-ulp differences between their merge orders. Grouped by
+    * returnflag so the per-group moments exercise partial+final merge.
+    */
+  val a12StatsAgg: Q = Q(
+    "a12_stats_agg",
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+      |  round(var_samp(l_quantity), 4) AS var_qty,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      |  round(covar_samp(l_quantity, l_discount), 4) AS covar_qty_disc,
+      |  round(skewness(l_quantity), 4) AS skew_qty,
+      |  round(kurtosis(l_quantity), 4) AS kurt_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("covar_qty_disc"),
+        round(skewness(col("l_quantity")), 4).as("skew_qty"),
+        round(kurtosis(col("l_quantity")), 4).as("kurt_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[Q] = Seq(
     a2GlobalAgg, a3DistinctAgg, a4DistinctRows, a5Rollup, a5bCube,
     a5cGroupingSets, a6ApproxDistinct, a7Quantiles, a8CollectAgg,
-    a9WeightedMean, a10Pivot)
+    a9WeightedMean, a10Pivot, a12StatsAgg)
 }
