@@ -7,7 +7,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -171,16 +171,22 @@ private[sources] class GraftRangeScanBuilder(
 
   /** LIMIT pushdown: the range is dense and generated in order, so
     * LIMIT n is exactly the first n ids — the scan bounds shrink to
-    * [lo, lo+n) and the pushdown is COMPLETE (no partial flag). A TopN
-    * ordered by `id` is the same trick from whichever end the sort
-    * ascends: asc ⇒ first n ids, desc ⇒ last n. Any other sort key
-    * declines (row order ≠ range order).
+    * [lo, lo+n) and the pushdown is COMPLETE. A TopN ordered by `id`
+    * narrows from whichever end the sort points at — but completeness
+    * differs by direction: the reader always EMITS ascending, so an
+    * ascending TopN is complete (scan output order IS the requested
+    * order), while a descending TopN is only PARTIAL — the scan keeps
+    * just the top-n ids `[hi-n, hi)` but Spark must retain its
+    * Sort+Limit to reverse them (`isPartiallyPushed` true). Any other
+    * sort key declines (row order ≠ range order).
     */
+  private var partiallyPushed = false
+
   override def pushLimit(limit: Int): Boolean = {
     hi = math.min(hi, if (lo > hi - limit) hi else lo + limit)
     true
   }
-  override def isPartiallyPushed(): Boolean = false
+  override def isPartiallyPushed(): Boolean = partiallyPushed
 
   override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
     val byIdOnly = orders.length == 1 && (orders(0).expression() match {
@@ -190,7 +196,7 @@ private[sources] class GraftRangeScanBuilder(
     if (!byIdOnly) return false
     val n = math.max(0, math.min(limit.toLong, math.max(0L, hi - lo)))
     if (orders(0).direction() == SortDirection.ASCENDING) hi = lo + n
-    else lo = hi - n
+    else { lo = hi - n; partiallyPushed = true }
     true
   }
 
@@ -366,12 +372,23 @@ private[graft] class GraftRangeMicroBatchStream(
     throw new UnsupportedOperationException(
       "latestOffset(start, limit) is the admission-controlled entry point")
 
+  /** Admission control honors the engine's ReadLimit faithfully:
+    * `ReadAllAvailable` (Trigger.Once) drains to `hi` in ONE batch,
+    * `ReadMaxRows` caps the slice, and a `CompositeReadLimit` takes the
+    * tightest row cap among its parts (min-rows semantics don't apply
+    * to a bounded replay source — there is never a reason to wait).
+    * Unknown limit kinds fall back to the configured batch size rather
+    * than silently under- or over-delivering.
+    */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[GraftRangeOffset].v
-    val step = limit match {
+    def stepOf(l: ReadLimit): Long = l match {
+      case _: ReadAllAvailable => Long.MaxValue
       case r: ReadMaxRows => math.max(1L, r.maxRows())
+      case c: CompositeReadLimit => c.getReadLimits.map(stepOf).min
       case _ => rowsPerBatch
     }
+    val step = stepOf(limit)
     GraftRangeOffset(math.min(hi, if (s > hi - step) hi else s + step))
   }
 

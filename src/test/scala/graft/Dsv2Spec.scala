@@ -166,10 +166,16 @@ class Dsv2Spec extends AnyFunSuite {
     val asc = read(0, 100000).orderBy($"id").limit(5)
     assert(plannedScan(asc).hi == 5)
     assert(asc.as[(Long, Double, Long)].collect().map(_._1).toSeq == (0L until 5L))
+    // DESC is only PARTIALLY pushed: the scan keeps the top-5 ids but the
+    // reader emits ascending, so Spark must retain its Sort+Limit to
+    // reverse them. Asserted on the RAW collect order — no .sorted.
     val desc = read(0, 100000).orderBy($"id".desc).limit(5)
     assert(plannedScan(desc).lo == 99995)
-    assert(desc.as[(Long, Double, Long)].collect().map(_._1).sorted.toSeq ==
-      (99995L until 100000L))
+    assert(desc.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => s
+    }.nonEmpty, s"DESC TopN must keep Spark's sort:\n${desc.queryExecution.sparkPlan}")
+    assert(desc.as[(Long, Double, Long)].collect().map(_._1).toSeq ==
+      (99999L to 99995L by -1L))
     // A non-id sort must NOT narrow the scan (row order != range order).
     val byVal = read(0, 1000).orderBy($"tag").limit(5)
     val s = plannedScan(byVal)
@@ -257,6 +263,26 @@ class Dsv2Spec extends AnyFunSuite {
     assert(q2.recentProgress.map(_.numInputRows).sum == 0,
       s"restart re-emitted rows: ${q2.recentProgress.map(_.numInputRows).toSeq}")
     assert(spark.read.parquet(out).count() == 350)
+  }
+
+  test("Trigger.Once (ReadAllAvailable) drains the whole range in one batch") {
+    // Trigger.Once hands the source ReadAllAvailable, which must override
+    // the per-batch rate limit — one batch, ALL 350 rows. A source that
+    // maps unknown limits to rowsPerBatch under-delivers 250 rows here.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_once_ckpt_").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_once_out_").toString
+    val q = spark.readStream.format("graft-range")
+      .option("end", "350").option("rowsPerBatch", "100").load()
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(out).count() == 350,
+      s"Trigger.Once under-delivered: ${q.recentProgress.map(_.numInputRows).toSeq}")
+    val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(sizes.toSeq == Seq(350L), s"expected one full batch, got ${sizes.toSeq}")
   }
 
   test("graft-sink write through the full pipeline (filter + agg upstream)") {
