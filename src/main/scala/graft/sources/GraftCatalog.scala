@@ -1,13 +1,15 @@
 package graft.sources
 
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, FileInputStream, FileOutputStream}
+import java.nio.file.{Files, Path, Paths}
 import java.util
+import java.util.UUID
 import java.util.concurrent.ConcurrentHashMap
 
-import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.UnsafeRow
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
@@ -28,13 +30,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   INSERT INTO graft.demo.t SELECT ...
   *   SELECT ... FROM graft.demo.t
   *
-  * Storage is an in-JVM map (the protocol under test is the CATALOG
-  * contract — identifier resolution, create/drop/rename lifecycle,
-  * analyzer schema checks, and the V2 write path Spark routes INSERT
-  * through); a production catalog swaps the map for a metastore and the
-  * row store for files, with the identical Spark-facing surface.
-  * Namespaces are implicit (any single-level namespace "exists"), the
-  * usual shape for a demo/metadata-light catalog.
+  * Tables are FILE-BACKED: executors stream their task output straight
+  * to immutable segment files (Tungsten `UnsafeRow` payloads,
+  * length-prefixed), the task commit message carries only the segment's
+  * (path, rowCount), and the driver-side job commit atomically
+  * publishes the new segment LIST into the metastore map — rows never
+  * transit driver memory, and a scan plans ONE SPLIT PER SEGMENT, so a
+  * multi-partition insert reads back as a multi-partition scan. This is
+  * the standard log-structured table-format shape (Delta/Iceberg
+  * commit-a-file-list) at demo scale: on a cluster the segment root
+  * would be a DFS/object-store prefix and the metastore map a durable
+  * catalog service; the Spark-facing protocol is identical.
+  *
+  * Namespaces are implicit (a namespace "exists" iff it holds tables),
+  * the usual shape for a metadata-light catalog.
   *
   * The catalog also serves FUNCTIONS (`FunctionCatalog`) — the V2 UDF
   * extension point where SQL resolves `graft.math.clamp(...)` through
@@ -57,28 +66,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def loadTable(ident: Identifier): Table = {
     val entry = store.get(ident)
     if (entry == null) throw new NoSuchTableException(ident)
-    new GraftCatalogTable(ident, entry.schema)
+    new GraftCatalogTable(ident, entry.schema, entry.dir)
   }
 
   override def createTable(
       ident: Identifier,
       schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = {
-    if (store.putIfAbsent(ident, TableEntry(schema, Array.empty)) != null)
+      properties: util.Map[String, String]): Table = mutate {
+    val dir = Files.createTempDirectory(segmentRoot, "tbl-").toString
+    if (store.putIfAbsent(ident, TableEntry(schema, Vector.empty, dir)) != null) {
+      deleteRecursively(Paths.get(dir))
       throw new TableAlreadyExistsException(ident.toString, ident.name())
-    new GraftCatalogTable(ident, schema)
+    }
+    new GraftCatalogTable(ident, schema, dir)
   }
 
   /** Schema evolution: ADD COLUMN (appended, nullable) migrates the
-    * committed rows eagerly — every stored UnsafeRow is re-projected to
-    * the widened layout with NULL in the new slot, atomically with the
-    * schema swap (a lazy per-read pad would leave mixed layouts in the
-    * store). Everything else (drop/rename/retype) is rejected: narrowing
-    * changes silently break readers.
+    * committed segments eagerly — each segment is streamed through a
+    * re-projection to the widened layout (NULL in the new slot) into a
+    * fresh segment, and the schema + segment list swap atomically (a
+    * lazy per-read pad would leave mixed layouts on disk). Everything
+    * else (drop/rename/retype) is rejected: narrowing changes silently
+    * break readers.
     */
-  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = mutate {
     if (store.get(ident) == null) throw new NoSuchTableException(ident)
+    var orphaned: Vector[Segment] = Vector.empty
     val result = store.compute(ident, (_, prev) => {
       require(prev != null, s"table $ident dropped mid-alter")
       changes.foldLeft(prev) { (entry, ch) =>
@@ -92,34 +106,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
             }.toSeq :+ org.apache.spark.sql.catalyst.expressions.Literal(null, f.dataType)
             val proj =
               org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(exprs)
-            TableEntry(
-              StructType(entry.schema.fields :+ f),
-              entry.rows.map(r => proj(r).copy()))
+            val widened = entry.segments.flatMap { seg =>
+              SegmentIO.rewriteOpt(seg, entry.dir, entry.schema.length)(r => Some(proj(r)))
+            }
+            orphaned ++= entry.segments // GC'd AFTER the swap commits
+            TableEntry(StructType(entry.schema.fields :+ f), widened, entry.dir)
           case other =>
             throw new UnsupportedOperationException(
               s"graft catalog supports only ADD COLUMN, got: $other")
         }
       }
     })
-    new GraftCatalogTable(ident, result.schema)
+    orphaned.foreach(SegmentIO.delete)
+    new GraftCatalogTable(ident, result.schema, result.dir)
   }
 
-  override def dropTable(ident: Identifier): Boolean = {
+  override def dropTable(ident: Identifier): Boolean = mutate {
     // Clear the streaming-epoch ledger too: a re-created table must not
     // inherit old high-watermarks and silently skip early epochs.
     epochs.keySet.asScala.filter(_._1 == ident).foreach(epochs.remove)
-    store.remove(ident) != null
+    val entry = store.remove(ident)
+    if (entry != null) deleteRecursively(Paths.get(entry.dir))
+    entry != null
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+  /** Atomic under the global mutation lock: a concurrent job commit
+    * against the OLD identifier either lands before the rename (and
+    * migrates with the entry) or fails loudly afterwards
+    * (`NoSuchTable`-style require in the commit path) — it is never
+    * silently dropped, and at no instant do both identifiers resolve.
+    */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = mutate {
     val entry = store.get(oldIdent)
     if (entry == null) throw new NoSuchTableException(oldIdent)
-    if (store.putIfAbsent(newIdent, entry) != null)
+    if (store.containsKey(newIdent))
       throw new TableAlreadyExistsException(newIdent.toString, newIdent.name())
+    store.remove(oldIdent)
+    store.put(newIdent, entry)
     epochs.asScala.toSeq.foreach { case (k @ (id, qid), e) =>
       if (id == oldIdent) { epochs.remove(k); epochs.put((newIdent, qid), e) }
     }
-    store.remove(oldIdent)
   }
 
   // ---- SupportsNamespaces: implicit single-level namespaces ----
@@ -138,9 +164,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       namespace: Array[String], metadata: util.Map[String, String]): Unit = ()
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("graft catalog namespaces carry no metadata")
-  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
-    if (cascade) listTables(namespace).foreach(dropTable)
-    true
+
+  /** TableCatalog contract: a non-cascade drop of a NON-EMPTY namespace
+    * must fail (not silently strand its tables), and dropping a
+    * namespace that holds nothing returns false (namespaces here are
+    * implicit — one "exists" only by virtue of its tables).
+    */
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = mutate {
+    val tables = listTables(namespace)
+    if (!cascade && tables.nonEmpty)
+      throw NonEmptyNamespaceException(
+        namespace, s"${tables.length} table(s) present; use CASCADE", None)
+    tables.foreach(dropTable)
+    tables.nonEmpty
   }
 
   // ---- FunctionCatalog ----
@@ -195,58 +231,126 @@ private[graft] class GraftClampBound extends ScalarFunction[java.lang.Double] {
 }
 
 object GraftCatalog {
-  private[sources] case class TableEntry(schema: StructType, rows: Array[UnsafeRow])
+  /** One committed immutable segment file: `rows` length-prefixed
+    * UnsafeRow payloads at `path`.
+    */
+  private[sources] case class Segment(path: String, rows: Long)
+
+  private[sources] case class TableEntry(
+      schema: StructType, segments: Vector[Segment], dir: String)
 
   private val store = new ConcurrentHashMap[Identifier, TableEntry]()
 
-  /** Committed row count of a catalog table (test observability). */
-  def rowCount(ns: String, table: String): Int =
-    Option(store.get(Identifier.of(Array(ns), table))).map(_.rows.length).getOrElse(0)
+  /** Serializes all metastore MUTATIONS (create/drop/alter/rename/
+    * commit). Mutation rates on a catalog are metadata-scale, so one
+    * lock costs nothing and buys rename atomicity and a consistent
+    * segment list ↔ ledger view; READS stay lock-free on the CHM.
+    */
+  private val mutationLock = new Object
+  private[sources] def mutate[A](body: => A): A = mutationLock.synchronized(body)
 
+  /** JVM-wide segment root (a cluster deployment points this at shared
+    * storage; `local[*]` executors and driver share the local FS).
+    */
+  private[sources] lazy val segmentRoot: Path =
+    Files.createTempDirectory("graft-catalog-")
+
+  private def deleteRecursively(p: Path): Unit = {
+    try {
+      if (Files.isDirectory(p)) {
+        val children = Files.list(p)
+        try children.iterator().asScala.foreach(deleteRecursively)
+        finally children.close()
+      }
+      Files.deleteIfExists(p)
+    } catch { case _: java.io.IOException => () } // best-effort GC
+  }
+
+  /** Committed row count of a catalog table (test observability). */
+  def rowCount(ns: String, table: String): Long =
+    Option(store.get(Identifier.of(Array(ns), table)))
+      .map(_.segments.map(_.rows).sum).getOrElse(0L)
+
+  /** Committed segment count (test observability for split planning). */
+  def segmentCount(ns: String, table: String): Int =
+    Option(store.get(Identifier.of(Array(ns), table)))
+      .map(_.segments.length).getOrElse(0)
+
+  /** Batch job commit: atomically publish `segs`, either appended or
+    * replacing the current list (INSERT OVERWRITE / row-level rewrite).
+    * Replaced segments are deleted best-effort AFTER the swap.
+    */
   private[sources] def install(
-      ident: Identifier, rows: Array[UnsafeRow], truncate: Boolean): Unit =
+      ident: Identifier, segs: Seq[Segment], truncate: Boolean): Unit = mutate {
+    var orphaned: Vector[Segment] = Vector.empty
     store.compute(ident, (_, prev) => {
       require(prev != null, s"table $ident dropped mid-write")
-      if (truncate) prev.copy(rows = rows) else prev.copy(rows = prev.rows ++ rows)
+      if (truncate) { orphaned = prev.segments; prev.copy(segments = segs.toVector) }
+      else prev.copy(segments = prev.segments ++ segs)
     })
+    orphaned.foreach(SegmentIO.delete)
+  }
 
-  private[sources] def rowsOf(ident: Identifier): Array[UnsafeRow] =
-    Option(store.get(ident)).map(_.rows).getOrElse(Array.empty)
+  private[sources] def segmentsOf(ident: Identifier): Vector[Segment] =
+    Option(store.get(ident)).map(_.segments).getOrElse(Vector.empty)
 
   /** Last committed streaming epoch per (table, STREAMING QUERY) — the
     * exactly-once ledger: a replayed epoch after failure/restart commits
-    * as a no-op. Keyed by the stable query id, not just the table: two
+    * as a no-op (and its freshly written segments are deleted, not
+    * published). Keyed by the stable query id, not just the table: two
     * independent streaming queries appending to one table each count
     * epochs from 0 and must not dedup against each other.
     */
   private val epochs = new ConcurrentHashMap[(Identifier, String), java.lang.Long]()
 
+  /** Streaming epoch commit. `truncate` = Complete output mode: each
+    * epoch REPLACES the table with the full recomputed result instead
+    * of appending (the pre-round-7 bug was dropping this flag and
+    * appending every epoch — duplicating rows).
+    */
   private[sources] def installEpoch(
-      ident: Identifier, queryId: String, epochId: Long, rows: Array[UnsafeRow]): Boolean = {
+      ident: Identifier, queryId: String, epochId: Long,
+      segs: Seq[Segment], truncate: Boolean): Boolean = mutate {
     var applied = false
+    var orphaned: Seq[Segment] = Nil
     store.compute(ident, (_, prev) => {
       require(prev != null, s"table $ident dropped mid-stream")
       val key = (ident, queryId)
       val last = Option(epochs.get(key)).map(_.longValue()).getOrElse(Long.MinValue)
-      if (epochId <= last) prev // replayed epoch: already visible, skip
+      if (epochId <= last) { orphaned = segs; prev } // replayed epoch: already visible
       else {
         epochs.put(key, epochId)
         applied = true
-        prev.copy(rows = prev.rows ++ rows)
+        if (truncate) { orphaned = prev.segments; prev.copy(segments = segs.toVector) }
+        else prev.copy(segments = prev.segments ++ segs)
       }
     })
+    orphaned.foreach(SegmentIO.delete)
     applied
   }
 
+  /** Metadata-path DELETE: stream every segment through the filter into
+    * a compacted survivor segment, swap the list, GC the old files.
+    * (Driver-side streaming I/O, never a full materialization — on a
+    * cluster this would run as a rewrite job, same protocol.)
+    */
   private[sources] def deleteWhere(
       ident: Identifier,
       schema: StructType,
-      filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = mutate {
+    var orphaned: Vector[Segment] = Vector.empty
     store.compute(ident, (_, prev) => {
       require(prev != null, s"table $ident dropped mid-delete")
-      prev.copy(rows =
-        prev.rows.filterNot(r => filters.forall(GraftFilterEval.eval(_, schema, r))))
+      val kept = prev.segments.flatMap { seg =>
+        SegmentIO.rewriteOpt(seg, prev.dir, prev.schema.length) { r =>
+          if (filters.forall(GraftFilterEval.eval(_, schema, r))) None else Some(r)
+        }
+      }
+      orphaned = prev.segments
+      prev.copy(segments = kept)
     })
+    orphaned.foreach(SegmentIO.delete)
+  }
 }
 
 /** Evaluates V1 source Filters against stored InternalRows — the
@@ -324,16 +428,88 @@ private[sources] object GraftFilterEval {
   }
 }
 
+/** Segment file I/O: `[int32 size][UnsafeRow bytes]` records. Writers
+  * stream (no buffering of the whole segment); readers reuse one
+  * `UnsafeRow` pointed at each record's buffer (the `PartitionReader`
+  * contract allows instance reuse).
+  */
+private[sources] object SegmentIO {
+  import GraftCatalog.Segment
+
+  def delete(seg: Segment): Unit =
+    try Files.deleteIfExists(Paths.get(seg.path))
+    catch { case _: java.io.IOException => () }
+
+  def newPath(dir: String): String =
+    Paths.get(dir, s"seg-${UUID.randomUUID()}.graft").toString
+
+  /** Open a streaming writer; call `add` per row, then `finish` for the
+    * Segment (or `abort` to drop the file).
+    */
+  final class Writer(dir: String) {
+    private val path = newPath(dir)
+    private var out: DataOutputStream = _
+    private var n = 0L
+    def add(row: UnsafeRow): Unit = {
+      if (out == null) // lazy: a rowless task publishes no segment
+        out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path), 1 << 16))
+      val bytes = row.getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      n += 1
+    }
+    def finish(): Option[Segment] =
+      if (out == null) None
+      else { out.close(); Some(Segment(path, n)) }
+    def abort(): Unit = {
+      if (out != null) out.close()
+      try Files.deleteIfExists(Paths.get(path))
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  /** Iterate a segment's rows. The yielded `UnsafeRow` is REUSED —
+    * copy before retaining.
+    */
+  def foreachRow(seg: Segment, numFields: Int)(f: UnsafeRow => Unit): Unit = {
+    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(seg.path), 1 << 16))
+    try {
+      val row = new UnsafeRow(numFields)
+      var i = 0L
+      while (i < seg.rows) {
+        val size = in.readInt()
+        val buf = new Array[Byte](size)
+        in.readFully(buf)
+        row.pointTo(buf, size)
+        f(row)
+        i += 1
+      }
+    } finally in.close()
+  }
+
+  /** Stream `seg` through `f` into a fresh segment in `dir`; rows mapped
+    * to None are dropped. Always yields a segment (possibly empty-file-
+    * free: None when no rows survive).
+    */
+  def rewriteOpt(seg: Segment, dir: String, numFields: Int)(
+      f: UnsafeRow => Option[UnsafeRow]): Option[Segment] = {
+    val w = new Writer(dir)
+    foreachRow(seg, numFields)(r => f(r).foreach(w.add))
+    w.finish()
+  }
+}
+
 /** A catalog table: batch-readable, batch-writable (append + truncate)
   * with the same two-phase commit protocol as GraftMemorySink, and
   * DELETE-capable (`SupportsDelete`): `DELETE FROM graft.ns.t WHERE …`
   * ships the WHERE down as source Filters and the table rewrites its
-  * committed rows — the metadata-delete path (file-source analogue:
+  * committed segments — the metadata-delete path (file-source analogue:
   * dropping whole partitions), not a row-level MERGE rewrite.
   * Predicates the evaluator can't prove (`canDeleteWhere` false) fail
   * the statement instead of deleting the wrong rows.
   */
-private[sources] class GraftCatalogTable(ident: Identifier, schema0: StructType)
+private[sources] class GraftCatalogTable(
+    ident: Identifier, schema0: StructType, dir: String)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations {
   override def name(): String = ident.toString
@@ -354,8 +530,8 @@ private[sources] class GraftCatalogTable(ident: Identifier, schema0: StructType)
     * (source) → recomputed rows → replace those groups. This table's one
     * group is the WHOLE table — the op's scan reads everything and its
     * write is the truncate-commit, so the replacement is atomic under
-    * the same two-phase protocol as INSERT OVERWRITE. (A file-backed
-    * table would scope groups to matched files/partitions instead.)
+    * the same two-phase protocol as INSERT OVERWRITE. (A production
+    * table format would scope groups to matched files/partitions.)
     */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
@@ -368,7 +544,7 @@ private[sources] class GraftCatalogTable(ident: Identifier, schema0: StructType)
         new WriteBuilder {
           override def build(): Write = new Write {
             override def toBatch: BatchWrite =
-              new GraftCatalogBatchWrite(ident, schema0, truncateFirst = true)
+              new GraftCatalogBatchWrite(ident, schema0, dir, truncateFirst = true)
           }
         }
     }
@@ -382,9 +558,10 @@ private[sources] class GraftCatalogTable(ident: Identifier, schema0: StructType)
       override def truncate(): WriteBuilder = { truncateFirst = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new GraftCatalogBatchWrite(ident, schema0, truncateFirst)
+          new GraftCatalogBatchWrite(ident, schema0, dir, truncateFirst)
+        // truncateFirst here = Complete output mode: replace-per-epoch.
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-          new GraftCatalogStreamingWrite(ident, schema0, info.queryId())
+          new GraftCatalogStreamingWrite(ident, schema0, dir, info.queryId(), truncateFirst)
       }
     }
 }
@@ -395,90 +572,119 @@ private[sources] case class GraftCatalogScan(ident: Identifier, schema: StructTy
   override def toBatch: Batch = this
   override def description(): String = s"GraftCatalogScan($ident)"
 
-  // The committed rows ship inside the partition (driver-side store —
-  // the catalog's analogue of a small metastore-backed table); a
-  // file-backed catalog would plan real splits here instead.
+  // One split per committed segment: the partition carries only the
+  // segment's (path, rows) — bytes stay on disk until the executor
+  // task opens its split, and a multi-segment table scans in parallel.
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftCatalogPartition(GraftCatalog.rowsOf(ident)))
+    GraftCatalog.segmentsOf(ident)
+      .map(s => GraftCatalogPartition(s.path, s.rows, schema.length): InputPartition)
+      .toArray
   override def createReaderFactory(): PartitionReaderFactory =
     GraftCatalogReaderFactory()
 }
 
-private[sources] case class GraftCatalogPartition(rows: Array[UnsafeRow])
-    extends InputPartition
+private[sources] case class GraftCatalogPartition(
+    path: String, rows: Long, numFields: Int) extends InputPartition
 
 private[sources] case class GraftCatalogReaderFactory() extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val rows = partition.asInstanceOf[GraftCatalogPartition].rows
+    val p = partition.asInstanceOf[GraftCatalogPartition]
     new PartitionReader[InternalRow] {
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < rows.length }
-      override def get(): InternalRow = rows(i)
-      override def close(): Unit = ()
+      private val in =
+        new DataInputStream(new BufferedInputStream(new FileInputStream(p.path), 1 << 16))
+      private val row = new UnsafeRow(p.numFields)
+      private var i = 0L
+      override def next(): Boolean =
+        if (i >= p.rows) false
+        else {
+          val size = in.readInt()
+          val buf = new Array[Byte](size)
+          in.readFully(buf)
+          row.pointTo(buf, size)
+          i += 1
+          true
+        }
+      override def get(): InternalRow = row
+      override def close(): Unit = in.close()
     }
   }
 }
 
 private[sources] class GraftCatalogBatchWrite(
-    ident: Identifier, target: StructType,
+    ident: Identifier, target: StructType, dir: String,
     truncateFirst: Boolean) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    GraftProjectingWriterFactory(target)
+    GraftSegmentWriterFactory(target, dir)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val all = messages.collect { case m: GraftSinkTaskRows => m }
+    val segs = messages.collect { case m: GraftSegmentMessage => m }
       .sortBy(_.partitionId)
-      .flatMap(_.rows)
-    GraftCatalog.install(ident, all, truncateFirst)
+      .flatMap(_.segment)
+    GraftCatalog.install(ident, segs.toSeq, truncateFirst)
   }
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: GraftSegmentMessage => m }
+      .flatMap(_.segment).foreach(SegmentIO.delete)
 }
 
 /** Streaming write path (`writeStream.toTable("graft.ns.t")`): each
-  * epoch's task buffers ship as commit messages and the driver-side
-  * `commit(epochId, …)` appends them atomically — AT MOST ONCE per
+  * epoch's task segments ship as commit messages and the driver-side
+  * `commit(epochId, …)` publishes them atomically — AT MOST ONCE per
   * epoch, keyed on the engine-supplied epoch id, so a replayed batch
-  * after failure or checkpoint restart is a no-op. This is the native
+  * after failure or checkpoint restart is a no-op. Append mode appends
+  * the epoch's segments; Complete mode (`truncate` true) REPLACES the
+  * table with the epoch's full recomputed result. This is the native
   * exactly-once sink the foreachBatch + batch-id-DELETE recipe
   * hand-rolls.
   */
 private[sources] class GraftCatalogStreamingWrite(
-    ident: Identifier, target: StructType, queryId: String)
+    ident: Identifier, target: StructType, dir: String, queryId: String,
+    truncate: Boolean)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    GraftCatalogStreamingWriterFactory(target)
+    GraftCatalogStreamingWriterFactory(target, dir)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val all = messages.collect { case m: GraftSinkTaskRows => m }
+    val segs = messages.collect { case m: GraftSegmentMessage => m }
       .sortBy(_.partitionId)
-      .flatMap(_.rows)
-    GraftCatalog.installEpoch(ident, queryId, epochId, all)
+      .flatMap(_.segment)
+    GraftCatalog.installEpoch(ident, queryId, epochId, segs.toSeq, truncate)
   }
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: GraftSegmentMessage => m }
+      .flatMap(_.segment).foreach(SegmentIO.delete)
 }
 
-private[sources] case class GraftCatalogStreamingWriterFactory(target: StructType)
+private[sources] case class GraftCatalogStreamingWriterFactory(
+    target: StructType, dir: String)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    GraftProjectingWriterFactory(target).createWriter(partitionId, taskId)
+    GraftSegmentWriterFactory(target, dir).createWriter(partitionId, taskId)
 }
 
-/** Projects incoming rows onto the TABLE schema before buffering.
-  * Row-level rewrites (UPDATE / MERGE / rewrite-DELETE) deliver rows
-  * with a leading `__row_operation` metadata column — and deliver them
-  * RAW even though the LogicalWriteInfo schema claims the plain table
-  * schema — so the projection is derived from the ACTUAL record width
-  * at runtime: the last `target.length` fields are the data columns.
-  * Storing positionally would shift every field and read back garbage.
+/** Task commit message: the segment the task wrote (None for a rowless
+  * task — no file was created), never the rows themselves.
   */
-private[sources] case class GraftProjectingWriterFactory(target: StructType)
+private[sources] case class GraftSegmentMessage(
+    partitionId: Int, segment: Option[GraftCatalog.Segment]) extends WriterCommitMessage
+
+/** Streams incoming rows to a segment file, projecting onto the TABLE
+  * schema first. Row-level rewrites (UPDATE / MERGE / rewrite-DELETE)
+  * deliver rows with a leading `__row_operation` metadata column — and
+  * deliver them RAW even though the LogicalWriteInfo schema claims the
+  * plain table schema — so the projection is derived from the ACTUAL
+  * record width at runtime: the last `target.length` fields are the
+  * data columns. Storing positionally would shift every field and read
+  * back garbage.
+  */
+private[sources] case class GraftSegmentWriterFactory(target: StructType, dir: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
       private var proj: UnsafeProjection = _
       private var projFields = -1
-      private val buf = ArrayBuffer.empty[UnsafeRow]
+      private val writer = new SegmentIO.Writer(dir)
       override def write(record: InternalRow): Unit = {
         if (record.numFields != projFields) {
           val offset = record.numFields - target.length
@@ -490,10 +696,11 @@ private[sources] case class GraftProjectingWriterFactory(target: StructType)
           proj = UnsafeProjection.create(exprs)
           projFields = record.numFields
         }
-        buf += proj(record).copy()
+        writer.add(proj(record))
       }
-      override def commit(): WriterCommitMessage = GraftSinkTaskRows(partitionId, buf.toArray)
-      override def abort(): Unit = buf.clear()
+      override def commit(): WriterCommitMessage =
+        GraftSegmentMessage(partitionId, writer.finish())
+      override def abort(): Unit = writer.abort()
       override def close(): Unit = ()
     }
 }

@@ -382,13 +382,19 @@ private[graft] class GraftRangeMicroBatchStream(
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[GraftRangeOffset].v
-    def stepOf(l: ReadLimit): Long = l match {
-      case _: ReadAllAvailable => Long.MaxValue
-      case r: ReadMaxRows => math.max(1L, r.maxRows())
-      case c: CompositeReadLimit => c.getReadLimits.map(stepOf).min
-      case _ => rowsPerBatch
+    // Only limit kinds that CAP the batch participate in the min: a
+    // composite like (minRows, maxRows) must resolve to maxRows, not to
+    // the tighter-of(configured batch size, maxRows) — min-row /
+    // trigger-hint parts are not caps and would wrongly throttle.
+    def capOf(l: ReadLimit): Option[Long] = l match {
+      case _: ReadAllAvailable => Some(Long.MaxValue)
+      case r: ReadMaxRows => Some(math.max(1L, r.maxRows()))
+      case c: CompositeReadLimit =>
+        val caps = c.getReadLimits.flatMap(capOf)
+        if (caps.isEmpty) None else Some(caps.min)
+      case _ => None
     }
-    val step = stepOf(limit)
+    val step = capOf(limit).getOrElse(rowsPerBatch)
     GraftRangeOffset(math.min(hi, if (s > hi - step) hi else s + step))
   }
 

@@ -146,6 +146,104 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("file-backed tables: multi-partition insert commits multiple segments, scan plans one split each") {
+    spark.sql("DROP TABLE IF EXISTS graft.ms.t")
+    spark.sql("CREATE TABLE graft.ms.t (id BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.ms.t SELECT id FROM range(0, 1000, 1, 8)")
+    assert(graft.sources.GraftCatalog.segmentCount("ms", "t") == 8,
+      "each of the 8 write tasks must publish its own segment file")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val tbl = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("ms"), "t"))
+    val parts = tbl.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+      .build().toBatch.planInputPartitions()
+    assert(parts.length == 8, s"expected one split per segment, got ${parts.length}")
+    assert(spark.sql("SELECT sum(id), count(*) FROM graft.ms.t")
+      .as[(Long, Long)].head() == ((499500L, 1000L)))
+    // Appending writes MORE segments; overwrite compacts back to the new list.
+    spark.sql("INSERT INTO graft.ms.t SELECT id FROM range(1000, 1004, 1, 2)")
+    assert(graft.sources.GraftCatalog.segmentCount("ms", "t") == 10)
+    assert(spark.sql("SELECT count(*) FROM graft.ms.t").as[Long].head() == 1004L)
+    spark.sql("INSERT OVERWRITE graft.ms.t SELECT id FROM range(0, 10, 1, 1)")
+    assert(graft.sources.GraftCatalog.segmentCount("ms", "t") == 1)
+    assert(spark.sql("SELECT count(*) FROM graft.ms.t").as[Long].head() == 10L)
+    spark.sql("DROP TABLE graft.ms.t")
+  }
+
+  test("streaming Complete mode REPLACES the table each epoch instead of accumulating") {
+    spark.sql("DROP TABLE IF EXISTS graft.cm.agg")
+    spark.sql("CREATE TABLE graft.cm.agg (tag BIGINT, n BIGINT) USING graft")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cm_").toString
+    val q = spark.readStream.format("graft-range")
+      .option("end", "1000").option("rowsPerBatch", "250").load()
+      .groupBy($"tag").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("graft.cm.agg")
+    q.awaitTermination()
+    // The rate limit forces ≥2 epochs; each must REPLACE the last — the
+    // pre-round-7 append-always bug would leave ~4×7 rows here.
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      s"expected a multi-epoch run: ${q.recentProgress.map(_.numInputRows).toSeq}")
+    val got = spark.sql("SELECT tag, n FROM graft.cm.agg ORDER BY tag")
+      .as[(Long, Long)].collect().toSeq
+    val expect = (0L until 1000L).groupBy(_ % 7).toSeq.sortBy(_._1)
+      .map { case (t, ids) => (t, ids.size.toLong) }
+    assert(got == expect, s"Complete mode duplicated or lost rows: $got")
+    assert(graft.sources.GraftCatalog.rowCount("cm", "agg") == 7L)
+    spark.sql("DROP TABLE graft.cm.agg")
+  }
+
+  test("exactly-once across restarts into the catalog: Once / AvailableNow / processing-time") {
+    for ((mkTrigger, tag) <- Seq(
+        (() => org.apache.spark.sql.streaming.Trigger.Once(), "once"),
+        (() => org.apache.spark.sql.streaming.Trigger.AvailableNow(), "avail"),
+        (() => org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L), "pt"))) {
+      val tbl = s"graft.xo.$tag"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"CREATE TABLE $tbl (id BIGINT, val DOUBLE, tag BIGINT) USING graft")
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_xo_${tag}_").toString
+      def run(): Unit = {
+        val q = spark.readStream.format("graft-range")
+          .option("end", "600").option("rowsPerBatch", "200").load()
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(mkTrigger())
+          .toTable(tbl)
+        q match {
+          case s if tag == "pt" => s.processAllAvailable(); s.stop(); s.awaitTermination()
+          case s => s.awaitTermination()
+        }
+      }
+      run(); run() // the restart must re-emit and re-commit NOTHING
+      assert(spark.sql(s"SELECT count(*), sum(id) FROM $tbl")
+        .as[(Long, Long)].head() == ((600L, 179700L)),
+        s"trigger=$tag is not exactly-once across restart")
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+
+  test("dropNamespace: non-cascade on a non-empty namespace fails; empty one returns false") {
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsNamespaces]
+    spark.sql("DROP TABLE IF EXISTS graft.nsd.a")
+    spark.sql("CREATE TABLE graft.nsd.a (x INT) USING graft")
+    intercept[org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException] {
+      cat.dropNamespace(Array("nsd"), false)
+    }
+    // The failed drop must not have touched the namespace's tables.
+    assert(spark.sql("SHOW TABLES IN graft.nsd").count() == 1)
+    assert(cat.dropNamespace(Array("nsd"), true))
+    assert(spark.sql("SHOW TABLES IN graft.nsd").count() == 0)
+    assert(!cat.dropNamespace(Array("nsd"), false),
+      "dropping an empty/nonexistent namespace must return false")
+  }
+
   test("create rejects a duplicate identifier; analyzer enforces the declared schema") {
     spark.sql("DROP TABLE IF EXISTS graft.t3.once")
     spark.sql("CREATE TABLE graft.t3.once (x INT) USING graft")

@@ -285,6 +285,28 @@ class Dsv2Spec extends AnyFunSuite {
     assert(sizes.toSeq == Seq(350L), s"expected one full batch, got ${sizes.toSeq}")
   }
 
+  test("composite read limits: only capping parts participate in the min") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructType}
+    val schema = new StructType()
+      .add("id", LongType).add("val", DoubleType).add("tag", LongType)
+    val stream = new graft.sources.GraftRangeMicroBatchStream(
+      0L, 100000L, 8, schema, rowsPerBatch = 1000L)
+    def admitted(lim: ReadLimit): Long =
+      stream.latestOffset(graft.sources.GraftRangeOffset(0L), lim)
+        .asInstanceOf[graft.sources.GraftRangeOffset].v
+    // (minRows, maxRows 5000): the cap is 5000 — a fallback that maps the
+    // unrecognized minRows part to rowsPerBatch would wrongly admit 1000.
+    assert(admitted(ReadLimit.compositeLimit(Array(
+      ReadLimit.minRows(10L, 0L), ReadLimit.maxRows(5000L)))) == 5000L)
+    // allAvailable composed with a cap: the cap still binds.
+    assert(admitted(ReadLimit.compositeLimit(Array(
+      ReadLimit.allAvailable(), ReadLimit.maxRows(5000L)))) == 5000L)
+    // No recognized cap anywhere: fall back to the configured batch size.
+    assert(admitted(ReadLimit.compositeLimit(Array(
+      ReadLimit.minRows(10L, 0L)))) == 1000L)
+  }
+
   test("graft-sink write through the full pipeline (filter + agg upstream)") {
     import graft.sources.GraftMemorySink
     GraftMemorySink.clear("t_agg")
