@@ -52,8 +52,32 @@ object Bench {
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Full-precision artifact: the driver captures only the last ~2000
+    // chars of stdout, which a 97-query JSON line overflows — BENCH_r07
+    // recorded parsed:null because the line was truncated mid-object.
+    // The complete map goes to a repo file (round-over-round comparable,
+    // committed with the snapshot); stdout gets a line GUARANTEED to fit
+    // the tail: totals + errors always, then per-query times (3-decimal,
+    // slowest first) only while the line stays under the budget.
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+    try {
+      val w = new java.io.PrintWriter("bench_full.json")
+      try w.println(fullLine) finally w.close()
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] bench_full.json write failed: $e") }
+    val budget = 1600 // chars for the queries map; total line stays < ~1900
+    val entries = results.sortBy(-_._2).iterator
+      .map { case (k, v) => s"${jstr(k)}:${math.rint(v * 1000) / 1000}" }
+    val sb = new StringBuilder
+    var used = 0
+    var shown = 0
+    entries.takeWhile(e => used + e.length + 1 <= budget).foreach { e =>
+      if (sb.nonEmpty) sb.append(',')
+      sb.append(e); used = sb.length; shown += 1
+    }
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.length},"n_shown":$shown,"queries":{$sb},"errors":$errs,"sf":${jstr(sfDir)},"full":"bench_full.json"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -83,42 +83,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   }
 
   /** Schema evolution: ADD COLUMN (appended, nullable) migrates the
-    * committed segments eagerly — each segment is streamed through a
-    * re-projection to the widened layout (NULL in the new slot) into a
-    * fresh segment, and the schema + segment list swap atomically (a
-    * lazy per-read pad would leave mixed layouts on disk). Everything
+    * committed segments eagerly — each segment is streamed through ONE
+    * re-projection to the fully widened layout (NULL in every new slot)
+    * into a fresh segment, and the schema + segment list swap atomically
+    * (a lazy per-read pad would leave mixed layouts on disk). Everything
     * else (drop/rename/retype) is rejected: narrowing changes silently
-    * break readers.
+    * break readers. All changes are VALIDATED before any segment I/O —
+    * a multi-change ALTER with a late unsupported change must fail
+    * without having written (and then orphaned) widened files — and a
+    * mid-rewrite I/O failure deletes the unpublished fresh segments
+    * before rethrowing.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = mutate {
     if (store.get(ident) == null) throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
+        org.apache.spark.sql.types.StructField(
+          add.fieldNames()(0), add.dataType(), nullable = true)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft catalog supports only top-level ADD COLUMN, got: $other")
+    }
+    val written = scala.collection.mutable.ArrayBuffer[Segment]()
     var orphaned: Vector[Segment] = Vector.empty
-    val result = store.compute(ident, (_, prev) => {
-      require(prev != null, s"table $ident dropped mid-alter")
-      changes.foldLeft(prev) { (entry, ch) =>
-        ch match {
-          case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
-            val f = org.apache.spark.sql.types.StructField(
-              add.fieldNames()(0), add.dataType(), nullable = true)
-            val exprs = entry.schema.fields.zipWithIndex.map { case (of, i) =>
-              org.apache.spark.sql.catalyst.expressions.BoundReference(
-                i, of.dataType, of.nullable)
-            }.toSeq :+ org.apache.spark.sql.catalyst.expressions.Literal(null, f.dataType)
-            val proj =
-              org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(exprs)
-            val widened = entry.segments.flatMap { seg =>
-              SegmentIO.rewriteOpt(seg, entry.dir, entry.schema.length)(r => Some(proj(r)))
-            }
-            orphaned ++= entry.segments // GC'd AFTER the swap commits
-            TableEntry(StructType(entry.schema.fields :+ f), widened, entry.dir)
-          case other =>
-            throw new UnsupportedOperationException(
-              s"graft catalog supports only ADD COLUMN, got: $other")
+    try {
+      val result = store.compute(ident, (_, prev) => {
+        require(prev != null, s"table $ident dropped mid-alter")
+        val exprs = prev.schema.fields.zipWithIndex.map { case (of, i) =>
+          org.apache.spark.sql.catalyst.expressions.BoundReference(
+            i, of.dataType, of.nullable): org.apache.spark.sql.catalyst.expressions.Expression
+        }.toSeq ++ adds.map(f =>
+          org.apache.spark.sql.catalyst.expressions.Literal(null, f.dataType))
+        val proj =
+          org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(exprs)
+        val widened = prev.segments.flatMap { seg =>
+          val s = SegmentIO.rewriteOpt(seg, prev.dir, prev.schema.length)(r => Some(proj(r)))
+          s.foreach(written += _)
+          s
         }
-      }
-    })
-    orphaned.foreach(SegmentIO.delete)
-    new GraftCatalogTable(ident, result.schema, result.dir)
+        orphaned = prev.segments // retired AFTER the swap commits
+        TableEntry(StructType(prev.schema.fields ++ adds), widened, prev.dir)
+      })
+      retire(orphaned)
+      new GraftCatalogTable(ident, result.schema, result.dir)
+    } catch { case e: Throwable =>
+      written.foreach(SegmentIO.delete) // never published — GC immediately
+      throw e
+    }
   }
 
   override def dropTable(ident: Identifier): Boolean = mutate {
@@ -153,11 +164,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     store.keySet().asScala.map(_.namespace.toSeq).toSet.map((s: Seq[String]) => s.toArray).toArray
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     Array.empty
+  /** Consistent with the implicit-namespace model AND dropNamespace: a
+    * namespace exists iff it currently holds tables (CREATE NAMESPACE is
+    * accepted as a no-op — the namespace materializes with its first
+    * table; an emptied namespace ceases to exist).
+    */
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.length == 1
+    namespace.length == 1 && listTables(namespace).nonEmpty
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(namespace))
-      throw new IllegalArgumentException(s"no such namespace: ${namespace.mkString(".")}")
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        name() +: namespace.toSeq)
     util.Collections.emptyMap()
   }
   override def createNamespace(
@@ -276,9 +293,50 @@ object GraftCatalog {
     Option(store.get(Identifier.of(Array(ns), table)))
       .map(_.segments.length).getOrElse(0)
 
+  /** Segment FILES physically present in the table's directory (test
+    * observability: committed + retired-but-retained + leaked).
+    */
+  private[graft] def segmentFilesOnDisk(ns: String, table: String): Int =
+    Option(store.get(Identifier.of(Array(ns), table))).map { e =>
+      val d = Paths.get(e.dir)
+      if (!Files.isDirectory(d)) 0
+      else {
+        val s = Files.list(d)
+        try s.iterator().asScala.size finally s.close()
+      }
+    }.getOrElse(0)
+
+  /** Segments REPLACED by a commit are not deleted at publish time: a
+    * concurrently executing scan plans its partitions against the
+    * then-current segment list, and deleting those files under it would
+    * fail the read mid-flight (FileNotFoundException). Instead retired
+    * segments sit in a retention queue and are GC'd on a later mutation
+    * once `RetentionNanos` has elapsed — the same retain-until-vacuum
+    * shape Delta/Iceberg use, with a short demo-scale window (a local
+    * scan finishes in seconds; a production format would gate vacuum on
+    * snapshot expiry). Queue deadlines are monotonic, so the head is
+    * always the oldest entry. Guarded by `mutationLock`.
+    */
+  private val RetentionNanos = java.util.concurrent.TimeUnit.SECONDS.toNanos(
+    sys.props.getOrElse("graft.catalog.retention.seconds", "60").toLong)
+  private val tombstones = new java.util.ArrayDeque[(Long, Segment)]()
+  private def retire(segs: Seq[Segment]): Unit = { // call only under mutate{}
+    val now = System.nanoTime()
+    while (!tombstones.isEmpty && tombstones.peekFirst()._1 <= now)
+      SegmentIO.delete(tombstones.pollFirst()._2)
+    segs.foreach(s => tombstones.addLast((now + RetentionNanos, s)))
+  }
+  /** Test observability: retired-but-not-yet-deleted segment count. */
+  private[graft] def tombstoneCount: Int = mutate(tombstones.size)
+  /** Test hook: force-expire the retention queue (vacuum-now). */
+  private[graft] def vacuumTombstones(): Unit = mutate {
+    while (!tombstones.isEmpty) SegmentIO.delete(tombstones.pollFirst()._2)
+  }
+
   /** Batch job commit: atomically publish `segs`, either appended or
     * replacing the current list (INSERT OVERWRITE / row-level rewrite).
-    * Replaced segments are deleted best-effort AFTER the swap.
+    * Replaced segments go to the retention queue, not straight to
+    * deletion — see `retire`.
     */
   private[sources] def install(
       ident: Identifier, segs: Seq[Segment], truncate: Boolean): Unit = mutate {
@@ -288,7 +346,7 @@ object GraftCatalog {
       if (truncate) { orphaned = prev.segments; prev.copy(segments = segs.toVector) }
       else prev.copy(segments = prev.segments ++ segs)
     })
-    orphaned.foreach(SegmentIO.delete)
+    retire(orphaned)
   }
 
   private[sources] def segmentsOf(ident: Identifier): Vector[Segment] =
@@ -313,11 +371,12 @@ object GraftCatalog {
       segs: Seq[Segment], truncate: Boolean): Boolean = mutate {
     var applied = false
     var orphaned: Seq[Segment] = Nil
+    var replayed: Seq[Segment] = Nil
     store.compute(ident, (_, prev) => {
       require(prev != null, s"table $ident dropped mid-stream")
       val key = (ident, queryId)
       val last = Option(epochs.get(key)).map(_.longValue()).getOrElse(Long.MinValue)
-      if (epochId <= last) { orphaned = segs; prev } // replayed epoch: already visible
+      if (epochId <= last) { replayed = segs; prev } // replayed epoch: already visible
       else {
         epochs.put(key, epochId)
         applied = true
@@ -325,7 +384,11 @@ object GraftCatalog {
         else prev.copy(segments = prev.segments ++ segs)
       }
     })
-    orphaned.foreach(SegmentIO.delete)
+    // Replayed-epoch segments were NEVER visible to any scan — delete
+    // immediately; segments replaced by a Complete-mode epoch were, so
+    // they take the retention path.
+    replayed.foreach(SegmentIO.delete)
+    retire(orphaned)
     applied
   }
 
@@ -349,7 +412,7 @@ object GraftCatalog {
       orphaned = prev.segments
       prev.copy(segments = kept)
     })
-    orphaned.foreach(SegmentIO.delete)
+    retire(orphaned)
   }
 }
 
@@ -475,11 +538,17 @@ private[sources] object SegmentIO {
     val in = new DataInputStream(new BufferedInputStream(new FileInputStream(seg.path), 1 << 16))
     try {
       val row = new UnsafeRow(numFields)
+      // One growable buffer for the whole segment — per-record byte[]
+      // allocation on the scan hot path was the only thing the reused
+      // UnsafeRow wrapper still paid for. pointTo takes an explicit
+      // size, so an oversized buffer is fine (and getBytes copies
+      // exactly sizeInBytes when a consumer retains the row).
+      var buf = new Array[Byte](1 << 10)
       var i = 0L
       while (i < seg.rows) {
         val size = in.readInt()
-        val buf = new Array[Byte](size)
-        in.readFully(buf)
+        if (size > buf.length) buf = new Array[Byte](math.max(size, buf.length << 1))
+        in.readFully(buf, 0, size)
         row.pointTo(buf, size)
         f(row)
         i += 1
@@ -593,13 +662,18 @@ private[sources] case class GraftCatalogReaderFactory() extends PartitionReaderF
       private val in =
         new DataInputStream(new BufferedInputStream(new FileInputStream(p.path), 1 << 16))
       private val row = new UnsafeRow(p.numFields)
+      // Growable read buffer reused across records (grown on demand,
+      // never shrunk): with the explicit-size pointTo the reader is
+      // genuinely allocation-free per row, matching the reused-row
+      // contract of PartitionReader (Spark copies when it retains).
+      private var buf = new Array[Byte](1 << 10)
       private var i = 0L
       override def next(): Boolean =
         if (i >= p.rows) false
         else {
           val size = in.readInt()
-          val buf = new Array[Byte](size)
-          in.readFully(buf)
+          if (size > buf.length) buf = new Array[Byte](math.max(size, buf.length << 1))
+          in.readFully(buf, 0, size)
           row.pointTo(buf, size)
           i += 1
           true

@@ -244,6 +244,81 @@ class CatalogSpec extends AnyFunSuite {
       "dropping an empty/nonexistent namespace must return false")
   }
 
+  test("replaced segments are retained (tombstoned) until vacuum, not deleted at publish") {
+    import graft.sources.GraftCatalog
+    spark.sql("DROP TABLE IF EXISTS graft.tb.r")
+    spark.sql("CREATE TABLE graft.tb.r (id BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.tb.r SELECT id FROM range(0, 100, 1, 2)")
+    GraftCatalog.vacuumTombstones() // isolate this test's accounting
+    val before = GraftCatalog.tombstoneCount
+    spark.sql("INSERT OVERWRITE graft.tb.r SELECT id FROM range(0, 10, 1, 1)")
+    // The two replaced segments must still be ON DISK (a concurrent scan
+    // planned against the old list may be mid-read) — only the metastore
+    // list shrank.
+    assert(GraftCatalog.segmentCount("tb", "r") == 1)
+    assert(GraftCatalog.tombstoneCount == before + 2,
+      "replaced segments must enter the retention queue")
+    assert(GraftCatalog.segmentFilesOnDisk("tb", "r") == 3,
+      "retired segment files must survive the commit that replaced them")
+    GraftCatalog.vacuumTombstones()
+    assert(GraftCatalog.segmentFilesOnDisk("tb", "r") == 1,
+      "vacuum must delete retired files and nothing else")
+    assert(spark.sql("SELECT count(*) FROM graft.tb.r")
+      .as[Long].head() == 10L)
+    spark.sql("DROP TABLE graft.tb.r")
+  }
+
+  test("multi-change ALTER validates before any segment I/O; failure leaks no files") {
+    import graft.sources.GraftCatalog
+    spark.sql("DROP TABLE IF EXISTS graft.tb.a")
+    spark.sql("CREATE TABLE graft.tb.a (k BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.tb.a VALUES (1), (2)")
+    GraftCatalog.vacuumTombstones()
+    val filesBefore = GraftCatalog.segmentFilesOnDisk("tb", "a")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("tb"), "a")
+    import org.apache.spark.sql.connector.catalog.TableChange
+    // ADD COLUMN (supported) followed by DELETE COLUMN (unsupported) in
+    // ONE alter: must reject up front — no widened segments may have
+    // been written and then stranded by the late failure.
+    intercept[UnsupportedOperationException] {
+      cat.alterTable(ident,
+        TableChange.addColumn(Array("extra"), org.apache.spark.sql.types.IntegerType),
+        TableChange.deleteColumn(Array("k"), false))
+    }
+    assert(cat.loadTable(ident).schema().fieldNames.toSeq == Seq("k"),
+      "failed ALTER must leave the schema untouched")
+    assert(GraftCatalog.segmentFilesOnDisk("tb", "a") == filesBefore,
+      "failed ALTER must not leak freshly written segment files")
+    assert(GraftCatalog.tombstoneCount == 0)
+    // A multi-ADD in one statement still lands atomically (one rewrite).
+    spark.sql("ALTER TABLE graft.tb.a ADD COLUMNS (x DOUBLE, y STRING)")
+    assert(spark.sql("SELECT k, x, y FROM graft.tb.a ORDER BY k")
+      .as[(Long, Option[Double], Option[String])].collect().toSeq ==
+      Seq((1L, None, None), (2L, None, None)))
+    spark.sql("DROP TABLE graft.tb.a")
+  }
+
+  test("namespaceExists agrees with the implicit-namespace model and dropNamespace") {
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsNamespaces]
+    spark.sql("DROP TABLE IF EXISTS graft.nse.t")
+    assert(!cat.namespaceExists(Array("nse")),
+      "a namespace with no tables must not exist")
+    intercept[org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException] {
+      cat.loadNamespaceMetadata(Array("nse"))
+    }
+    spark.sql("CREATE TABLE graft.nse.t (x INT) USING graft")
+    assert(cat.namespaceExists(Array("nse")),
+      "a namespace materializes with its first table")
+    assert(cat.loadNamespaceMetadata(Array("nse")).isEmpty)
+    assert(!cat.namespaceExists(Array("nse", "deep")), "namespaces are single-level")
+    spark.sql("DROP TABLE graft.nse.t")
+    assert(!cat.namespaceExists(Array("nse")),
+      "an emptied namespace ceases to exist — consistent with dropNamespace=false")
+  }
+
   test("create rejects a duplicate identifier; analyzer enforces the declared schema") {
     spark.sql("DROP TABLE IF EXISTS graft.t3.once")
     spark.sql("CREATE TABLE graft.t3.once (x INT) USING graft")
