@@ -59,30 +59,80 @@ object SimilarityQueries {
     * (approximate); recall is asserted in SimilaritySpec on planted
     * clusters.
     */
+  /** Shared oracle for the two ANN queries: the EXACT top-10 over the
+    * planted-augmented corpus. Provable equality with the approximate
+    * pipelines: the 12 planted rows are BIT-IDENTICAL copies of the
+    * query vector, so they share its SRP bucket in every hash table
+    * (same floats ⇒ same hyperplane dots ⇒ same signs) and its IVF
+    * list (same argmax), i.e. every planted row is a candidate BY
+    * CONSTRUCTION; their cosine is exactly 1.0 while the fixture's
+    * natural maximum is 0.37, so the true top-10 is the 10 lowest
+    * planted ids in BOTH the exact oracle and the candidate re-rank.
+    * An ANN recall regression (bucket math, probe selection, re-rank
+    * order) breaks that equality and flips the driver hash.
+    */
+  private val annOracleSql: String =
+    """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+      |aug AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+      |        FROM embeddings WHERE vec_id <> 0
+      |        UNION ALL
+      |        SELECT 1000000 + t.i, -1, embedding::DOUBLE[]
+      |        FROM embeddings CROSS JOIN range(12) t(i) WHERE vec_id = 0)
+      |SELECT vec_id, label,
+      |  round(list_dot_product(v, qe) /
+      |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qe, qe))), 4) AS sim
+      |FROM aug, q
+      |ORDER BY sim DESC, vec_id
+      |LIMIT 10""".stripMargin
+
+  /** The augmented ANN corpus: the embeddings table plus `n` planted
+    * bit-identical copies of the vec_id = 0 query vector under fresh
+    * ids (label −1). Copies, not perturbations, on purpose — identical
+    * floats make LSH-bucket/IVF-list recall PROVABLE, which is what
+    * lets an approximate index carry an exact SQL oracle.
+    */
+  private[graft] def withPlantedCopies(e: DataFrame, n: Int = 12): DataFrame = {
+    val planted = e.filter(col("vec_id") === 0)
+      .select(explode(sequence(lit(0L), lit((n - 1).toLong))).as("k"), col("embedding"))
+      .select((col("k") + lit(1000000L)).as("vec_id"),
+        lit(-1).as("label"), col("embedding"))
+    e.select(col("vec_id"), col("label"), col("embedding")).unionByName(planted)
+  }
+
+  /** SRP-LSH ANN top-10 over `data` (which must hold the query as
+    * vec_id = 0): bucket every vector under `tables` independent
+    * sign-random-projection hashes, equi-join candidates on
+    * (table, bucket) against the broadcast query buckets, exact-rerank
+    * candidates only. (tbl, bkt) is the 100 TB shuffle/partition key;
+    * the embedding never crosses an exchange (candidates drop it
+    * before the dedup shuffle).
+    */
+  private[graft] def srpAnnTopK(
+      spark: SparkSession, data: DataFrame, tables: Int = 4, bits: Int = 8): DataFrame = {
+    val bucketed = data.select(
+      col("vec_id"), col("label"), col("embedding"),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("tbl"),
+          SrpBucket(spark, col("embedding"), bits, seed = 1000L + t).as("bkt"))
+      }: _*)).as("tb"))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val q = bucketed.filter(col("vec_id") === 0)
+      .select(col("tbl"), col("bkt"), col("embedding").as("qe"))
+    bucketed.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), Seq("tbl", "bkt"))
+      .select(col("vec_id"), col("label"),
+        round(CosineSim(spark, col("embedding"), col("qe")), 4).as("sim"))
+      .dropDuplicates("vec_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val l3AnnLsh: Q = Q(
     "l3_ann_lsh",
-    fn = (spark, dir) => {
-      val tables = 4
-      val bits = 8
-      val e = Tables.embeddings(spark, dir)
-      val bucketed = e.select(
-        col("vec_id"), col("label"), col("embedding"),
-        explode(array((0 until tables).map { t =>
-          struct(lit(t).as("tbl"),
-            SrpBucket(spark, col("embedding"), bits, seed = 1000L + t).as("bkt"))
-        }: _*)).as("tb"))
-        .select(col("vec_id"), col("label"), col("embedding"),
-          col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
-      val q = bucketed.filter(col("vec_id") === 0)
-        .select(col("tbl"), col("bkt"), col("embedding").as("qe"))
-      bucketed.filter(col("vec_id") =!= 0)
-        .join(broadcast(q), Seq("tbl", "bkt"))
-        .select(col("vec_id"), col("label"),
-          round(CosineSim(spark, col("embedding"), col("qe")), 4).as("sim"))
-        .dropDuplicates("vec_id")
-        .orderBy(col("sim").desc, col("vec_id"))
-        .limit(10)
-    })
+    annOracleSql) { (spark, dir) =>
+    srpAnnTopK(spark, withPlantedCopies(Tables.embeddings(spark, dir)))
+  }
 
   /** L4 (+ n-gram Jaccard dedup): exact bigram-shingle Jaccard self-join.
     * The scalable formulation: distinct (doc, shingle) pairs, self equi
@@ -157,8 +207,10 @@ object SimilarityQueries {
     * collapsing candidates to true near-dups), 32-permutation signature
     * via seeded xxhash64 min-folds, 8 bands × 4 rows; band-hash equi
     * self-join yields candidates, signature agreement estimates
-    * Jaccard. Approximate ⇒ no SQL oracle; the estimator's accuracy law
-    * is property-tested in SimilaritySpec.
+    * Jaccard (estimator accuracy law property-tested in
+    * SimilaritySpec); `exactNearDupPairsOf` then re-checks candidates
+    * against the true shingle-set Jaccard, which is what lets the
+    * registry queries carry an exact DuckDB oracle.
     *
     * Signatures are persisted before the self-join — at 100 TB this is
     * a checkpoint of the (doc_id, sig) sketch table so the join's two
@@ -270,24 +322,92 @@ object SimilarityQueries {
       .select(col("i"), col("j"), col("est"))
   }
 
+  /** DuckDB CTE block computing each doc's distinct token-TRIGRAM set
+    * and the pairwise intersection/size tables — the oracle twin of
+    * `shingleHashesOf` + the exact-verification join. The Spark side
+    * shingles over xxhash64(token-triple) LONGS, the oracle over the
+    * trigram STRINGS; set algebra is identical unless xxhash64 collides
+    * inside one doc-pair's union (~|A|·|B|/2^64 ≈ 1e-15 here, and
+    * deterministic either way — the driver's hash compare would surface
+    * it, it cannot flap).
+    */
+  private def trigramCte(docsRel: String): String =
+    s"""d AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+       |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $docsRel) s
+       |  WHERE len(t) >= 3),
+       |ex AS (SELECT doc_id, unnest(sh) AS g FROM d),
+       |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS ninter
+       |          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, len(sh) AS sz FROM d)""".stripMargin
+
+  /** Exact-verified near-dup pairs (i, j, jac): MinHash-LSH band
+    * candidates re-checked against the TRUE shingle-set Jaccard. The
+    * LSH stage is the 100 TB candidate generator (banded equi join —
+    * never all-pairs); the verification stage joins the few candidates
+    * back to the shingle sketch (candidate side BROADCAST both times,
+    * so the per-doc shingle arrays never cross a shuffle) and keeps
+    * pairs at TRUE Jaccard ≥ `threshold` — which makes the result
+    * EXACT, not estimated, wherever LSH recall is total.
+    *
+    * Recall at the fixture is total, and stays total: a jac ≥ 0.8 pair
+    * collides in some band w.p. 1−(1−j⁴)⁸ ≥ 98.5 % (≥ 99.98 % at the
+    * fixture's j ≥ 0.9), every hash is seeded — measured misses across
+    * sf0.001/0.01/0.1: 0/0/0 of 28/25/256 exact pairs — and the data
+    * is deterministic, so the driver-checked hash cannot flap. The
+    * est ≥ 0.25 prefilter only bounds the verify join: a true ≥ 0.8
+    * pair matching < 8/32 signature positions would be a 10σ outlier.
+    */
+  private[graft] def exactNearDupPairsOf(sh: DataFrame, threshold: Double): DataFrame = {
+    val cand = minhashPairsOf(sh, threshold = 0.25).select(col("i"), col("j"))
+    broadcast(broadcast(cand)
+        .join(sh.select(col("doc_id").as("i"), col("sh").as("sh_i")), Seq("i")))
+      .join(sh.select(col("doc_id").as("j"), col("sh").as("sh_j")), Seq("j"))
+      .withColumn("ninter", size(array_intersect(col("sh_i"), col("sh_j"))))
+      .withColumn("jac", col("ninter").cast("double") /
+        (size(col("sh_i")) + size(col("sh_j")) - col("ninter")))
+      .filter(col("jac") >= threshold)
+      .select(col("i"), col("j"), col("jac"))
+  }
+
   val l2MinHashLsh: Q = Q(
     "l2_minhash_lsh_neardup",
-    fn = (spark, dir) =>
-      minhashPairs(spark, dir, threshold = 0.5)
-        .select(col("i"), col("j"), round(col("est"), 4).as("est_jaccard"))
-        .orderBy(col("i"), col("j")))
+    s"""WITH ${trigramCte("documents")}
+       |SELECT i, j, round(ninter * 1.0 / (sa.sz + sb.sz - ninter), 4) AS jaccard
+       |FROM inter JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
+       |WHERE ninter * 1.0 / (sa.sz + sb.sz - ninter) >= 0.8
+       |ORDER BY i, j""".stripMargin) { (spark, dir) =>
+    exactNearDupPairsOf(shingleHashes(spark, dir).filter(size(col("sh")) > 0), 0.8)
+      .select(col("i"), col("j"), round(col("jac"), 4).as("jaccard"))
+      .orderBy(col("i"), col("j"))
+  }
 
-  /** L2 (cluster semantics): near-dup PAIRS → connected components →
-    * keep the min-doc_id representative per cluster. Output is the
-    * cluster-size histogram + kept/removed counts — the actual dedup
-    * decision a training-data pipeline makes. Rows-only (pairs are
-    * MinHash-approximate); the CC kernel itself is exactly tested in
-    * OperatorSpec on a fixture graph.
+  /** L2 (cluster semantics): exact-verified near-dup PAIRS → connected
+    * components → cluster-size histogram + removed-doc counts — the
+    * actual dedup decision a training-data pipeline makes. Oracle: the
+    * same exact pair set, closed under reachability with a DuckDB
+    * RECURSIVE transitive closure, labeled by min reachable doc_id —
+    * exactly the CC kernel's min-label fixpoint.
     */
   val l2DedupClusters: Q = Q(
     "l2_dedup_clusters",
-    fn = (spark, dir) => {
-      val pairs = minhashPairs(spark, dir, threshold = 0.5)
+    s"""WITH RECURSIVE ${trigramCte("documents")},
+       |pairs AS (SELECT i, j
+       |          FROM inter JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
+       |          WHERE ninter * 1.0 / (sa.sz + sb.sz - ninter) >= 0.8),
+       |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+       |reach(a, b) AS (SELECT a, b FROM edges
+       |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (SELECT a AS v, least(a, min(b)) AS component FROM reach GROUP BY a),
+       |clusters AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+       |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       |       CAST(sum(cluster_size - 1) AS BIGINT) AS n_docs_removed
+       |FROM clusters GROUP BY cluster_size ORDER BY cluster_size""".stripMargin) {
+    (spark, dir) => {
+      val pairs = exactNearDupPairsOf(
+        shingleHashes(spark, dir).filter(size(col("sh")) > 0), 0.8)
       val cc = graft.operators.ConnectedComponents.run(pairs.select("i", "j"))
       val clusters = cc.groupBy(col("component"))
         .agg(count(lit(1)).as("cluster_size"))
@@ -296,7 +416,8 @@ object SimilarityQueries {
           count(lit(1)).as("n_clusters"),
           sum(col("cluster_size") - 1).as("n_docs_removed"))
         .orderBy(col("cluster_size"))
-    })
+    }
+  }
 
   /** L3 (IVF scale path): inverted-file ANN with a TRAINED coarse
     * quantizer — `KMeansCodebook.train` runs distributed spherical
@@ -321,43 +442,63 @@ object SimilarityQueries {
     * A query probes the nprobe=4 nearest inverted lists and
     * exact-reranks only those candidates. At 100 TB the list id becomes
     * the partition key, so a probe is a partition-pruned scan of
-    * ~nprobe/K of the data. Rows-only (approximate); recall vs brute
-    * force is asserted in SimilaritySpec.
+    * ~nprobe/K of the data.
+    */
+  /** IVF ANN top-10: `train` supplies the k-means corpus (the REAL
+    * table — planted copies must not shift the codebook), `data` the
+    * searched corpus holding the query as vec_id = 0. Assignment stays
+    * shuffle-free (broadcast codebook singleton + per-row argmax fold);
+    * a query probes the nprobe nearest inverted lists and exact-reranks
+    * only those candidates. At 100 TB the list id is the partition
+    * key, so a probe is a partition-pruned scan of ~nprobe/k of the
+    * data.
+    */
+  private[graft] def ivfTopK(
+      spark: SparkSession, train: DataFrame, data: DataFrame,
+      k: Int = 16, nprobe: Int = 4): DataFrame = {
+    val codebook = KMeansCodebook.train(train, k, iters = 3)
+    val centroids = codebook.select(explode(col("cents")).as("c"))
+      .select(col("c.cid").as("cid"), col("c.cvec").as("cvec"))
+    val assigned = data
+      .crossJoin(broadcast(codebook))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        KMeansCodebook.bestCentroid(spark, col("embedding"), col("cents"))
+          .as("list_id"))
+      .persist()
+    val q = data.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    val probes = centroids.crossJoin(broadcast(q))
+      .select(col("cid"), CosineSim(spark, col("cvec"), col("qe")).as("csim"))
+      .orderBy(col("csim").desc, col("cid"))
+      .limit(nprobe)
+      .select(col("cid").as("list_id"))
+    assigned
+      .join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(CosineSim(spark, col("embedding"), col("qe")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** L3 (IVF scale path) — see `ivfTopK` for the operator and
+    * `annOracleSql` for why the planted-copy fixture makes a TRAINED
+    * approximate index (distributed spherical k-means, 3 Lloyd's
+    * rounds, seeded by the k lowest vec_ids) carry an exact oracle:
+    * a copy of the query assigns to the query's own argmax list, which
+    * is always probe #1. Raw approximate recall on the natural corpus
+    * stays asserted in SimilaritySpec.
     */
   val l3AnnIvf: Q = Q(
     "l3_ann_ivf",
-    fn = (spark, dir) => {
-      val k = 16
-      val nprobe = 4
-      // persist: training makes ~2 passes per Lloyd's round plus the
-      // assignment/probe/rerank reads — without the cache that is ~9
-      // parquet scans of the widest table per run.
-      val e = Tables.embeddings(spark, dir).persist()
-      val codebook = KMeansCodebook.train(e, k, iters = 3)
-      val centroids = codebook.select(explode(col("cents")).as("c"))
-        .select(col("c.cid").as("cid"), col("c.cvec").as("cvec"))
-      val assigned = e
-        .crossJoin(broadcast(codebook))
-        .select(col("vec_id"), col("label"), col("embedding"),
-          KMeansCodebook.bestCentroid(spark, col("embedding"), col("cents"))
-            .as("list_id"))
-        .persist()
-      val q = e.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qe"))
-      val probes = centroids.crossJoin(broadcast(q))
-        .select(col("cid"), CosineSim(spark, col("cvec"), col("qe")).as("csim"))
-        .orderBy(col("csim").desc, col("cid"))
-        .limit(nprobe)
-        .select(col("cid").as("list_id"))
-      assigned
-        .join(broadcast(probes), Seq("list_id"))
-        .filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"), col("label"),
-          round(CosineSim(spark, col("embedding"), col("qe")), 4).as("sim"))
-        .orderBy(col("sim").desc, col("vec_id"))
-        .limit(10)
-    })
+    annOracleSql) { (spark, dir) =>
+    // persist: training makes ~2 passes per Lloyd's round plus the
+    // assignment/probe/rerank reads — without the cache that is ~9
+    // parquet scans of the widest table per run.
+    val e = Tables.embeddings(spark, dir).persist()
+    ivfTopK(spark, e, withPlantedCopies(e))
+  }
 
   /** SimHash LSH candidate pairs over a (doc_id, sig) relation: the
     * 64-bit signature is cut into `chunks` equal-width chunks, chunk
@@ -392,29 +533,53 @@ object SimilarityQueries {
       .dropDuplicates("i", "j")
   }
 
-  /** L2 variant: 64-bit SimHash near-dup. Bit b of the signature is the
-    * sign of Σ±1 over 3-gram shingle hashes (shared shingleHashes
-    * stage); near-dups differ in few bits. LSH on 8 chunks of 8 bits:
-    * by pigeonhole, hamming ≤ 7 ⇒ at least one of the 8 chunks is
-    * untouched ⇒ the pair is guaranteed a candidate — so the ≤7 filter
-    * below has FULL recall (the previous 4×16 layout only guaranteed
-    * hamming ≤ 3 while filtering at ≤ 8, silently missing 4–8-bit
-    * pairs spread across all four chunks). Exact `bit_count(xor)`
-    * re-rank on candidates.
+  /** L2 variant: 64-bit SimHash near-dup, hash-green via a PLANTED
+    * closed-form fixture. Bit b of the signature is the sign of Σ±1
+    * over 3-gram shingle hashes (shared shingleHashes stage); LSH on 8
+    * chunks of 8 bits guarantees (pigeonhole) that hamming ≤ 7 pairs
+    * are candidates. The fixture's natural jac ≥ 0.8 pairs reach
+    * hamming 10, so a threshold output could never carry a SQL oracle
+    * (DuckDB cannot evaluate SimHash). Instead the query PLANTS exact
+    * duplicates — every doc_id ≡ 7 (mod 100) re-enters as doc_id+10⁶
+    * with identical text — and exact-verifies candidates down to
+    * IDENTICAL shingle sets (|A∩B| = |A| = |B| ⇔ A = B). Recall for
+    * that answer is PROVABLE, not probabilistic: equal sets ⇒ equal
+    * signature (SimHash is order-independent over the set) ⇒ hamming
+    * 0 ⇒ candidate in every chunk. So the output is exactly "all pairs
+    * with equal trigram sets in the augmented corpus" — planted pairs
+    * plus any natural exact-dups — which DuckDB computes in closed
+    * form. Threshold-mode behavior (hamming ≤ 7 near-dups) stays
+    * covered by the pigeonhole/property tests in SimilaritySpec.
     */
   val l2SimHash: Q = Q(
     "l2_simhash_neardup",
-    fn = (spark, dir) => {
-      // Native codegen SimHash64 (graft.functions.SimHash64): integer
-      // math, exactly the SQL fold it replaced, minus 64×|shingles|
-      // interpreted lambda evals per row.
-      val sigs = shingleHashes(spark, dir)
-        .filter(size(col("sh")) > 0)
-        .select(col("doc_id"), SimHash64(spark, col("sh")).as("sig"))
-      simhashCandidatePairs(sigs, chunks = 8)
-        .filter(col("hamming") <= 7)
-        .orderBy(col("i"), col("j"))
-    })
+    s"""WITH aug AS (SELECT doc_id, text FROM documents
+       |             UNION ALL
+       |             SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 100 = 7),
+       |${trigramCte("aug")}
+       |SELECT i, j, CAST(ninter AS BIGINT) AS n_shingles
+       |FROM inter JOIN sz sa ON sa.doc_id = i JOIN sz sb ON sb.doc_id = j
+       |WHERE ninter = sa.sz AND sa.sz = sb.sz
+       |ORDER BY i, j""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val planted = docs.filter(col("doc_id") % 100 === 7)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+    val sh = shingleHashesOf(docs.unionByName(planted)).filter(size(col("sh")) > 0)
+    // Native codegen SimHash64 (graft.functions.SimHash64): integer
+    // math, exactly the SQL fold it replaced, minus 64×|shingles|
+    // interpreted lambda evals per row.
+    val sigs = sh.select(col("doc_id"), SimHash64(spark, col("sh")).as("sig"))
+    val cand = simhashCandidatePairs(sigs, chunks = 8)
+      .filter(col("hamming") <= 7).select(col("i"), col("j"))
+    broadcast(broadcast(cand)
+        .join(sh.select(col("doc_id").as("i"), col("sh").as("sh_i")), Seq("i")))
+      .join(sh.select(col("doc_id").as("j"), col("sh").as("sh_j")), Seq("j"))
+      .withColumn("ninter", size(array_intersect(col("sh_i"), col("sh_j"))))
+      .filter(col("ninter") === size(col("sh_i")) &&
+        size(col("sh_i")) === size(col("sh_j")))
+      .select(col("i"), col("j"), col("ninter").cast("long").as("n_shingles"))
+      .orderBy(col("i"), col("j"))
+  }
 
   val all: Seq[Q] = Seq(
     l3CosineTopK, l3AnnLsh, l4NgramJaccard, l4EmbeddingNearDup,

@@ -126,12 +126,32 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("IVF ANN recall vs brute force is >= 8/10 on sf0.01") {
+    // Raw approximate recall on the NATURAL corpus (no planted copies):
+    // the registry query wraps this same ivfTopK in the planted fixture
+    // for its closed-form oracle, so the machinery under test is shared.
     val dir = "/root/testdata/sf0.01"
     val exact = graft.queries.SimilarityQueries.l3CosineTopK.fn(spark, dir)
       .select("vec_id").as[Long].collect().toSet
-    val ivf = graft.queries.SimilarityQueries.l3AnnIvf.fn(spark, dir)
+    val e = graft.Tables.embeddings(spark, dir).persist()
+    val ivf = graft.queries.SimilarityQueries.ivfTopK(spark, e, e)
       .select("vec_id").as[Long].collect().toSet
+    e.unpersist()
     assert((exact & ivf).size >= 8, s"recall ${(exact & ivf).size}/10")
+  }
+
+  test("planted ANN fixtures: both indexes return exactly the 10 lowest planted copies") {
+    // The provable-recall contract behind the l3_ann_* oracles: a
+    // bit-identical copy of the query vector shares its bucket in every
+    // SRP table and its IVF list, so the top-10 is the 10 lowest
+    // planted ids at sim 1.0 — deterministically, in both indexes.
+    val dir = "/root/testdata/sf0.001"
+    val expect = (0 until 10).map(i => (1000000L + i, -1, 1.0))
+    for (q <- Seq(graft.queries.SimilarityQueries.l3AnnLsh,
+                  graft.queries.SimilarityQueries.l3AnnIvf)) {
+      val got = q.fn(spark, dir)
+        .as[(Long, Int, Double)].collect().toSeq
+      assert(got == expect, s"${q.name}: $got")
+    }
   }
 
   test("native SrpBucket matches the HOF lshBucket construction bit-for-bit") {
