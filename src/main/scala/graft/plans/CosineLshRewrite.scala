@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{EqualTo, GreaterThanOrEqual, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -40,18 +40,18 @@ object CosineLshRewrite extends Rule[LogicalPlan] with PredicateHelper {
       // conditioned join that still has NO cross-side equi predicate.
       case j @ Join(left, right, jt, Some(cond), hint)
           if (jt == Inner || jt == Cross) && !hasCrossSideEquiKey(j) =>
-        val cosPair = splitConjunctivePredicates(cond).collectFirst {
-          case GreaterThanOrEqual(CosineSim(a, b), Literal(t: Double, DoubleType))
-              if t > 0.0 &&
-                a.references.subsetOf(left.outputSet) &&
-                b.references.subsetOf(right.outputSet) =>
-            (a, b)
-          case GreaterThanOrEqual(CosineSim(a, b), Literal(t: Double, DoubleType))
-              if t > 0.0 &&
-                a.references.subsetOf(right.outputSet) &&
-                b.references.subsetOf(left.outputSet) =>
-            (b, a)
-        }
+        val cosPair = splitConjunctivePredicates(cond)
+          .flatMap(thresholdCosine)
+          .collectFirst {
+            case (a, b)
+                if a.references.subsetOf(left.outputSet) &&
+                  b.references.subsetOf(right.outputSet) =>
+              (a, b)
+            case (a, b)
+                if a.references.subsetOf(right.outputSet) &&
+                  b.references.subsetOf(left.outputSet) =>
+              (b, a)
+          }
         cosPair match {
           case Some((a, b)) =>
             val bucketEq = EqualTo(SrpBucket(a, Bits, Seed), SrpBucket(b, Bits, Seed))
@@ -60,6 +60,25 @@ object CosineLshRewrite extends Rule[LogicalPlan] with PredicateHelper {
           case None => j
         }
     }
+  }
+
+  /** `cosine_sim(a, b) {>,>=} t` in any spelling a user (or the SQL
+    * parser) produces — strict or non-strict, literal on either side.
+    * SQL literals like `0.95` parse as decimals, but by the time user
+    * rules run, type coercion + constant folding have collapsed the
+    * cast to a plain double Literal, so one literal pattern suffices
+    * for both the DSL and `spark.sql` entry paths.
+    */
+  private def thresholdCosine(p: Expression): Option[(Expression, Expression)] = p match {
+    case GreaterThanOrEqual(CosineSim(a, b), Literal(t: Double, DoubleType)) if t > 0.0 =>
+      Some((a, b))
+    case GreaterThan(CosineSim(a, b), Literal(t: Double, DoubleType)) if t >= 0.0 =>
+      Some((a, b))
+    case LessThanOrEqual(Literal(t: Double, DoubleType), CosineSim(a, b)) if t > 0.0 =>
+      Some((a, b))
+    case LessThan(Literal(t: Double, DoubleType), CosineSim(a, b)) if t >= 0.0 =>
+      Some((a, b))
+    case _ => None
   }
 
   /** True if the join condition already has an equi predicate with one

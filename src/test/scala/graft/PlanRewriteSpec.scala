@@ -50,6 +50,44 @@ class PlanRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL entry path: cosine-threshold join over temp views gets the LSH bucket key") {
+    // The same rewrite must fire when the query arrives as SQL TEXT —
+    // parser literals (decimal 0.95), temp-view plans, and a strict `>`
+    // spelled with the literal on the left. cosine_sim reaches SQL via
+    // the session registry (production: GraftExtensions.injectFunction).
+    graft.functions.CosineSim.register(spark)
+    vecs.select($"vid".as("i"), $"v".as("va")).createOrReplaceTempView("lsh_a")
+    vecs.select($"vid".as("j"), $"v".as("vb")).createOrReplaceTempView("lsh_b")
+    def run(sql: String) = spark.sql(sql)
+    val sqls = Seq(
+      // canonical spelling
+      """SELECT i, j FROM lsh_a JOIN lsh_b
+        |ON i < j AND cosine_sim(va, vb) >= 0.95""".stripMargin,
+      // literal-on-left strict spelling through a WHERE on a cross join
+      """SELECT i, j FROM lsh_a CROSS JOIN lsh_b
+        |WHERE i < j AND 0.9 < cosine_sim(va, vb)""".stripMargin)
+    val exact = sqls.map(s =>
+      run(s).collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    exact.foreach(e => assert(e.contains((1L, 2L))))
+    spark.experimental.extraOptimizations = Seq(CosineLshRewrite)
+    try {
+      spark.conf.set(CosineLshRewrite.EnabledKey, "true")
+      for ((s, e) <- sqls.zip(exact)) {
+        val rewritten = run(s)
+        val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val plan = rewritten.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+          s"SQL-path rewrite did not remove the product join:\n$plan")
+        assert(plan.contains("srp_bucket"), s"no bucket key in SQL-path plan:\n$plan")
+        assert(got.subsetOf(e), "rewrite must not add pairs (precision)")
+        assert(got.contains((1L, 2L)), "planted pair must survive bucketing via SQL")
+      }
+    } finally {
+      spark.conf.set(CosineLshRewrite.EnabledKey, "false")
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("rule is a no-op when disabled or when the join is already conditioned") {
     spark.experimental.extraOptimizations = Seq(CosineLshRewrite)
     try {
