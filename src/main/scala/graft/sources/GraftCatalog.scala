@@ -116,13 +116,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           org.apache.spark.sql.catalyst.expressions.Literal(null, f.dataType))
         val proj =
           org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(exprs)
+        val widenedSchema = StructType(prev.schema.fields ++ adds)
         val widened = prev.segments.flatMap { seg =>
-          val s = SegmentIO.rewriteOpt(seg, prev.dir, prev.schema.length)(r => Some(proj(r)))
+          val s = SegmentIO.rewriteOpt(seg, prev.dir, prev.schema.length, widenedSchema)(
+            r => Some(proj(r)))
           s.foreach(written += _)
           s
         }
         orphaned = prev.segments // retired AFTER the swap commits
-        TableEntry(StructType(prev.schema.fields ++ adds), widened, prev.dir)
+        TableEntry(widenedSchema, widened, prev.dir)
       })
       retire(orphaned)
       new GraftCatalogTable(ident, result.schema, result.dir)
@@ -248,10 +250,25 @@ private[graft] class GraftClampBound extends ScalarFunction[java.lang.Double] {
 }
 
 object GraftCatalog {
-  /** One committed immutable segment file: `rows` length-prefixed
-    * UnsafeRow payloads at `path`.
+  /** Per-column zone-map entry for one segment: min/max over the
+    * non-null values (external JVM types: boxed numerics / String /
+    * Boolean — null when the column had no non-null values or an
+    * unsupported type) plus the null count. Collected streaming at
+    * write time for ~zero cost; lets a scan skip whole segment files
+    * whose range provably cannot satisfy a pushed filter — the same
+    * trick as parquet row-group statistics / Delta file stats.
     */
-  private[sources] case class Segment(path: String, rows: Long)
+  private[graft] case class ColStat(min: Any, max: Any, nulls: Long)
+    extends Serializable
+
+  /** One committed immutable segment file: `rows` length-prefixed
+    * UnsafeRow payloads at `path`, `bytes` on disk, and per-column
+    * zone-map `stats` (empty when collected under an unknown schema —
+    * then the segment is never pruned).
+    */
+  private[graft] case class Segment(
+      path: String, rows: Long, bytes: Long = 0L,
+      stats: IndexedSeq[ColStat] = Vector.empty)
 
   private[sources] case class TableEntry(
       schema: StructType, segments: Vector[Segment], dir: String)
@@ -405,7 +422,7 @@ object GraftCatalog {
     store.compute(ident, (_, prev) => {
       require(prev != null, s"table $ident dropped mid-delete")
       val kept = prev.segments.flatMap { seg =>
-        SegmentIO.rewriteOpt(seg, prev.dir, prev.schema.length) { r =>
+        SegmentIO.rewriteOpt(seg, prev.dir, prev.schema.length, prev.schema) { r =>
           if (filters.forall(GraftFilterEval.eval(_, schema, r))) None else Some(r)
         }
       }
@@ -491,13 +508,137 @@ private[sources] object GraftFilterEval {
   }
 }
 
+/** Zone-map pruning: decides, from a segment's per-column min/max/null
+  * stats, whether a pushed Filter can PROVABLY match no row of the
+  * segment — then the scan skips the file entirely (parquet row-group
+  * statistics, Delta data-skipping, same move). Everything here is
+  * conservative: any unknown shape, type, or missing stat keeps the
+  * segment. Pruning is file-level and therefore INEXACT — Spark always
+  * re-applies the full predicate above the scan.
+  */
+private[graft] object ZoneMap {
+  import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.types._
+  import GraftCatalog.{ColStat, Segment}
+
+  /** Shapes/types the pruner understands — what the scan reports as
+    * `pushedFilters` (honesty in `explain`: only filters that actually
+    * participate in skipping).
+    */
+  def prunable(f: Filter, schema: StructType): Boolean = f match {
+    case EqualTo(a, v) => cmpOk(schema, a, v)
+    case EqualNullSafe(a, v) => v == null || cmpOk(schema, a, v)
+    case GreaterThan(a, v) => cmpOk(schema, a, v)
+    case GreaterThanOrEqual(a, v) => cmpOk(schema, a, v)
+    case LessThan(a, v) => cmpOk(schema, a, v)
+    case LessThanOrEqual(a, v) => cmpOk(schema, a, v)
+    case In(a, vs) => vs.nonEmpty && vs.forall(v => v != null && cmpOk(schema, a, v))
+    case IsNull(a) => schema.fieldNames.contains(a)
+    case IsNotNull(a) => schema.fieldNames.contains(a)
+    case StringStartsWith(a, p) => p != null && cmpOk(schema, a, p)
+    case And(l, r) => prunable(l, schema) || prunable(r, schema)
+    case Or(l, r) => prunable(l, schema) && prunable(r, schema)
+    case AlwaysFalse() => true
+    case _ => false
+  }
+
+  private def cmpOk(schema: StructType, attr: String, v: Any): Boolean =
+    schema.fieldNames.contains(attr) && v != null && (v match {
+      case _: Number | _: String | _: java.lang.Boolean => true
+      case _ => false
+    })
+
+  /** True unless the segment PROVABLY holds no matching row. */
+  def mightMatch(f: Filter, schema: StructType, seg: Segment): Boolean =
+    !provablyEmpty(f, schema, seg)
+
+  private def stat(schema: StructType, seg: Segment, attr: String): Option[ColStat] = {
+    val i = schema.fieldNames.indexOf(attr)
+    if (i < 0 || seg.stats.length <= i) None else Some(seg.stats(i))
+  }
+
+  /** Column provably all-null in this segment: a tracked column with no
+    * surviving min and every row counted null. (An UNtracked column
+    * also has a null min but nulls == 0 < rows, so it never triggers.)
+    */
+  private def allNull(s: ColStat, seg: Segment): Boolean =
+    s.min == null && s.nulls == seg.rows
+
+  /** Exact three-way compare across the boxed types a stat or filter
+    * literal can carry. Integrals compare as longs; an integral/floating
+    * mix goes through BigDecimal so a >2^53 long can't collapse into a
+    * lossy double compare and prune a segment that matched; NaN and
+    * infinities order per Double.compare (NaN largest — Spark's order).
+    */
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(x.compareTo(y))
+    case (x: Number, y: Number) =>
+      val xd = x.doubleValue(); val yd = y.doubleValue()
+      val integral = (n: Number) => n match {
+        case _: java.lang.Long | _: java.lang.Integer |
+             _: java.lang.Short | _: java.lang.Byte => true
+        case _ => false
+      }
+      if (xd.isNaN || yd.isNaN || xd.isInfinite || yd.isInfinite)
+        Some(java.lang.Double.compare(xd, yd))
+      else if (integral(x) && integral(y))
+        Some(java.lang.Long.compare(x.longValue(), y.longValue()))
+      else
+        Some(new java.math.BigDecimal(x.toString).compareTo(new java.math.BigDecimal(y.toString)))
+    case _ => None
+  }
+
+  private def provablyEmpty(f: Filter, schema: StructType, seg: Segment): Boolean = {
+    if (seg.stats.isEmpty || seg.rows == 0) return false
+    def withStat(attr: String)(p: ColStat => Boolean): Boolean =
+      stat(schema, seg, attr).exists(s => allNull(s, seg) || (s.min != null && p(s)))
+    def outOfRange(attr: String, v: Any): Boolean =
+      v != null && withStat(attr)(s =>
+        cmp(v, s.min).exists(_ < 0) || cmp(v, s.max).exists(_ > 0))
+    f match {
+      case EqualTo(a, v) => outOfRange(a, v)
+      case EqualNullSafe(a, v) =>
+        if (v == null) stat(schema, seg, a).exists(_.nulls == 0)
+        else outOfRange(a, v)
+      case GreaterThan(a, v) =>
+        v != null && withStat(a)(s => cmp(s.max, v).exists(_ <= 0))
+      case GreaterThanOrEqual(a, v) =>
+        v != null && withStat(a)(s => cmp(s.max, v).exists(_ < 0))
+      case LessThan(a, v) =>
+        v != null && withStat(a)(s => cmp(s.min, v).exists(_ >= 0))
+      case LessThanOrEqual(a, v) =>
+        v != null && withStat(a)(s => cmp(s.min, v).exists(_ > 0))
+      case In(a, vs) => vs.nonEmpty && vs.forall(v => outOfRange(a, v))
+      case IsNull(a) => stat(schema, seg, a).exists(_.nulls == 0)
+      case IsNotNull(a) => stat(schema, seg, a).exists(s => allNull(s, seg))
+      case StringStartsWith(a, p) =>
+        // values in [p, successor(p)) start with p; the segment misses
+        // that interval iff max < p, or min > p without carrying it as
+        // a prefix (then min >= successor(p), so every value is too).
+        p != null && withStat(a)(s =>
+          cmp(s.max, p).exists(_ < 0) ||
+            (cmp(s.min, p).exists(_ > 0) && (s.min match {
+              case m: String => !m.startsWith(p)
+              case _ => false
+            })))
+      case And(l, r) =>
+        provablyEmpty(l, schema, seg) || provablyEmpty(r, schema, seg)
+      case Or(l, r) =>
+        provablyEmpty(l, schema, seg) && provablyEmpty(r, schema, seg)
+      case AlwaysFalse() => true
+      case _ => false
+    }
+  }
+}
+
 /** Segment file I/O: `[int32 size][UnsafeRow bytes]` records. Writers
   * stream (no buffering of the whole segment); readers reuse one
   * `UnsafeRow` pointed at each record's buffer (the `PartitionReader`
   * contract allows instance reuse).
   */
 private[sources] object SegmentIO {
-  import GraftCatalog.Segment
+  import GraftCatalog.{ColStat, Segment}
 
   def delete(seg: Segment): Unit =
     try Files.deleteIfExists(Paths.get(seg.path))
@@ -507,23 +648,96 @@ private[sources] object SegmentIO {
     Paths.get(dir, s"seg-${UUID.randomUUID()}.graft").toString
 
   /** Open a streaming writer; call `add` per row, then `finish` for the
-    * Segment (or `abort` to drop the file).
+    * Segment (or `abort` to drop the file). Collects the per-column
+    * zone map (min/max/null-count) and byte size as it streams — one
+    * typed read + compare per column per row, no second pass.
     */
-  final class Writer(dir: String) {
+  final class Writer(dir: String, schema: StructType) {
+    import org.apache.spark.sql.types._
     private val path = newPath(dir)
     private var out: DataOutputStream = _
     private var n = 0L
+    private var bytes = 0L
+    private val width = schema.length
+    private val mins = new Array[Any](width)
+    private val maxs = new Array[Any](width)
+    private val nulls = new Array[Long](width)
+    // Column types the zone map tracks; others get ColStat(null, null, 0)
+    // with a rows-long null count of 0 — ZoneMap treats a null min with
+    // nulls < rows as "unsupported, never prune".
+    private val tracked: Array[Boolean] = schema.fields.map(_.dataType match {
+      case LongType | IntegerType | ShortType | ByteType |
+           DoubleType | FloatType | BooleanType | StringType => true
+      case _ => false
+    })
+
+    private def colValue(row: UnsafeRow, i: Int): Any = schema.fields(i).dataType match {
+      case LongType => row.getLong(i)
+      case IntegerType => row.getInt(i)
+      case ShortType => row.getShort(i)
+      case ByteType => row.getByte(i)
+      case DoubleType => row.getDouble(i)
+      case FloatType => row.getFloat(i)
+      case BooleanType => row.getBoolean(i)
+      // UnsafeRow string reads point into the (reused) row buffer —
+      // clone before retaining as a min/max.
+      case StringType => row.getUTF8String(i).clone()
+      case _ => null
+    }
+
+    // Exact same-type comparisons (a column's values share one boxed
+    // type); Double/Float use compare() so NaN orders largest, matching
+    // Spark's ordering.
+    private def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: java.lang.Long, y: java.lang.Long) => x < y
+      case (x: java.lang.Integer, y: java.lang.Integer) => x < y
+      case (x: java.lang.Short, y: java.lang.Short) => x < y
+      case (x: java.lang.Byte, y: java.lang.Byte) => x < y
+      case (x: java.lang.Double, y: java.lang.Double) =>
+        java.lang.Double.compare(x, y) < 0
+      case (x: java.lang.Float, y: java.lang.Float) =>
+        java.lang.Float.compare(x, y) < 0
+      case (x: java.lang.Boolean, y: java.lang.Boolean) => !x && y
+      case (x: org.apache.spark.unsafe.types.UTF8String,
+            y: org.apache.spark.unsafe.types.UTF8String) => x.compareTo(y) < 0
+      case _ => false
+    }
+
     def add(row: UnsafeRow): Unit = {
       if (out == null) // lazy: a rowless task publishes no segment
         out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path), 1 << 16))
-      val bytes = row.getBytes
-      out.writeInt(bytes.length)
-      out.write(bytes)
+      val b = row.getBytes
+      out.writeInt(b.length)
+      out.write(b)
+      bytes += 4L + b.length
       n += 1
+      var i = 0
+      while (i < width) {
+        if (tracked(i)) {
+          if (row.isNullAt(i)) nulls(i) += 1
+          else {
+            val v = colValue(row, i)
+            if (mins(i) == null || lt(v, mins(i))) mins(i) = v
+            if (maxs(i) == null || lt(maxs(i), v)) maxs(i) = v
+          }
+        }
+        i += 1
+      }
     }
+
     def finish(): Option[Segment] =
       if (out == null) None
-      else { out.close(); Some(Segment(path, n)) }
+      else {
+        out.close()
+        // UTF8String min/max become external Strings: serializable in
+        // the metastore and directly comparable to pushed Filter values.
+        def ext(v: Any): Any = v match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => other
+        }
+        val stats = Vector.tabulate(width)(i => ColStat(ext(mins(i)), ext(maxs(i)), nulls(i)))
+        Some(Segment(path, n, bytes, stats))
+      }
     def abort(): Unit = {
       if (out != null) out.close()
       try Files.deleteIfExists(Paths.get(path))
@@ -556,14 +770,16 @@ private[sources] object SegmentIO {
     } finally in.close()
   }
 
-  /** Stream `seg` through `f` into a fresh segment in `dir`; rows mapped
-    * to None are dropped. Always yields a segment (possibly empty-file-
-    * free: None when no rows survive).
+  /** Stream `seg` (laid out with `inFields` columns) through `f` into a
+    * fresh segment in `dir` whose rows follow `outSchema` (zone maps are
+    * re-collected under the OUTPUT layout); rows mapped to None are
+    * dropped. Always yields a segment (possibly empty-file-free: None
+    * when no rows survive).
     */
-  def rewriteOpt(seg: Segment, dir: String, numFields: Int)(
+  def rewriteOpt(seg: Segment, dir: String, inFields: Int, outSchema: StructType)(
       f: UnsafeRow => Option[UnsafeRow]): Option[Segment] = {
-    val w = new Writer(dir)
-    foreachRow(seg, numFields)(r => f(r).foreach(w.add))
+    val w = new Writer(dir, outSchema)
+    foreachRow(seg, inFields)(r => f(r).foreach(w.add))
     w.finish()
   }
 }
@@ -607,6 +823,10 @@ private[sources] class GraftCatalogTable(
     () => new RowLevelOperation {
       override def command(): RowLevelOperation.Command = info.command()
       override def description(): String = s"GraftRowLevel(${info.command()}, $ident)"
+      // NO zone-map pruning here, by design: this scan feeds the
+      // group-based rewrite whose write REPLACES the whole table (the
+      // one group). Pruning it by the DML's WHERE would silently drop
+      // every non-matching row at the truncate-commit.
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
         () => GraftCatalogScan(ident, schema0)
       override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
@@ -619,7 +839,7 @@ private[sources] class GraftCatalogTable(
     }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new GraftCatalogScan(ident, schema0)
+    new GraftCatalogScanBuilder(ident, schema0)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -635,21 +855,66 @@ private[sources] class GraftCatalogTable(
     }
 }
 
-private[sources] case class GraftCatalogScan(ident: Identifier, schema: StructType)
-    extends Scan with Batch {
+/** Read-path ScanBuilder: accepts every filter Spark offers, keeps the
+  * zone-map-prunable subset for SEGMENT SKIPPING, and returns the full
+  * list as residual — file-level pruning is inexact (a surviving
+  * segment still holds non-matching rows), so Spark must re-apply the
+  * predicate, exactly as it does above parquet row-group stats. The
+  * row-level-operation path deliberately does NOT use this builder:
+  * a group-based rewrite must scan the WHOLE table (its one group), and
+  * pruning that scan by the DML's WHERE would make the truncate-commit
+  * drop every non-matching row.
+  */
+private[sources] class GraftCatalogScanBuilder(ident: Identifier, schema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.Filter
+  private var pruning: Array[Filter] = Array.empty
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pruning = filters.filter(ZoneMap.prunable(_, schema))
+    filters // all residual: segment skipping never proves per-row match
+  }
+  override def pushedFilters(): Array[Filter] = pruning
+  override def build(): Scan = GraftCatalogScan(ident, schema, pruning.toIndexedSeq)
+}
+
+private[sources] case class GraftCatalogScan(
+    ident: Identifier, schema: StructType,
+    pruning: IndexedSeq[org.apache.spark.sql.sources.Filter] = IndexedSeq.empty)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
-  override def description(): String = s"GraftCatalogScan($ident)"
+  override def description(): String =
+    s"GraftCatalogScan($ident, zoneMapFilters=[${pruning.mkString(", ")}])"
 
-  // One split per committed segment: the partition carries only the
+  private def survivors: Vector[GraftCatalog.Segment] =
+    GraftCatalog.segmentsOf(ident)
+      .filter(seg => pruning.forall(f => ZoneMap.mightMatch(f, schema, seg)))
+
+  // One split per SURVIVING segment: the partition carries only the
   // segment's (path, rows) — bytes stay on disk until the executor
   // task opens its split, and a multi-segment table scans in parallel.
+  // Zone-map-pruned segments never even plan a task.
   override def planInputPartitions(): Array[InputPartition] =
-    GraftCatalog.segmentsOf(ident)
+    survivors
       .map(s => GraftCatalogPartition(s.path, s.rows, schema.length): InputPartition)
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =
     GraftCatalogReaderFactory()
+
+  /** Post-pruning exact size/row stats from the segment metadata — lets
+    * the planner auto-broadcast a small (or well-pruned) catalog table.
+    * Legacy zero-byte segments fall back to a per-row width estimate so
+    * sizeInBytes never reads 0 for a non-empty table.
+    */
+  override def estimateStatistics(): Statistics = {
+    val segs = survivors
+    val rows = segs.map(_.rows).sum
+    val bytes = segs.map(s => if (s.bytes > 0) s.bytes else s.rows * (8L * (schema.length + 1))).sum
+    new Statistics {
+      override def sizeInBytes: java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows: java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
 }
 
 private[sources] case class GraftCatalogPartition(
@@ -758,7 +1023,7 @@ private[sources] case class GraftSegmentWriterFactory(target: StructType, dir: S
       import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
       private var proj: UnsafeProjection = _
       private var projFields = -1
-      private val writer = new SegmentIO.Writer(dir)
+      private val writer = new SegmentIO.Writer(dir, target)
       override def write(record: InternalRow): Unit = {
         if (record.numFields != projFields) {
           val offset = record.numFields - target.length

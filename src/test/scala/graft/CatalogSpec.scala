@@ -244,6 +244,69 @@ class CatalogSpec extends AnyFunSuite {
       "dropping an empty/nonexistent namespace must return false")
   }
 
+  test("zone maps: a filtered scan plans only the segments whose range can match") {
+    import graft.sources.GraftCatalog
+    spark.sql("DROP TABLE IF EXISTS graft.zm.t")
+    spark.sql("CREATE TABLE graft.zm.t (id BIGINT, tag STRING) USING graft")
+    // range(0,1000,1,8): each of the 8 write tasks owns a CONTIGUOUS id
+    // slice, so the 8 segments carry disjoint [min,max] zone maps.
+    spark.sql(
+      "INSERT INTO graft.zm.t SELECT id, concat('t', CAST(id % 3 AS STRING)) FROM range(0, 1000, 1, 8)")
+    assert(GraftCatalog.segmentCount("zm", "t") == 8)
+    def plannedParts(pred: org.apache.spark.sql.sources.Filter*): Int = {
+      val cat = spark.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      val sb = cat.loadTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array("zm"), "t"))
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+      val residual = sb
+        .asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+        .pushFilters(pred.toArray)
+      assert(residual.length == pred.length,
+        "segment pruning is inexact: every filter must remain residual")
+      sb.build().toBatch.planInputPartitions().length
+    }
+    import org.apache.spark.sql.sources._
+    assert(plannedParts() == 8)
+    assert(plannedParts(LessThan("id", 125L)) == 1)
+    assert(plannedParts(GreaterThanOrEqual("id", 875L)) == 1)
+    assert(plannedParts(EqualTo("id", 500L)) == 1)
+    // [200, 400) overlaps three of the 125-wide slices:
+    // [125,250), [250,375), [375,500)
+    assert(plannedParts(And(GreaterThanOrEqual("id", 200L), LessThan("id", 400L))) == 3)
+    assert(plannedParts(EqualTo("id", 5000L)) == 0, "out-of-range scans plan no task")
+    assert(plannedParts(EqualTo("tag", "t1")) == 8, "every segment holds every tag")
+    // End-to-end through SQL: results stay exact (the residual filter
+    // still runs above the pruned scan).
+    assert(spark.sql("SELECT count(*), sum(id) FROM graft.zm.t WHERE id < 125")
+      .as[(Long, Long)].head() == ((125L, 7750L)))
+    assert(spark.sql("SELECT count(*) FROM graft.zm.t WHERE id = 5000")
+      .as[Long].head() == 0L)
+    // The DML paths must IGNORE zone maps (their scan feeds a whole-
+    // table rewrite): an UPDATE keyed on one segment's range must not
+    // drop the other segments' rows at commit.
+    spark.sql("UPDATE graft.zm.t SET tag = 'hit' WHERE id = 500")
+    assert(spark.sql("SELECT count(*) FROM graft.zm.t").as[Long].head() == 1000L)
+    assert(spark.sql("SELECT tag FROM graft.zm.t WHERE id = 500").as[String].head() == "hit")
+    spark.sql("DROP TABLE graft.zm.t")
+  }
+
+  test("catalog scans report exact statistics; the planner auto-broadcasts a small table") {
+    spark.sql("DROP TABLE IF EXISTS graft.st.dim")
+    spark.sql("CREATE TABLE graft.st.dim (k BIGINT, name STRING) USING graft")
+    spark.sql("INSERT INTO graft.st.dim SELECT id, concat('n', CAST(id AS STRING)) FROM range(0, 100, 1, 2)")
+    val big = spark.range(0, 50000).selectExpr("id % 100 AS k", "id AS v")
+    val joined = big.join(spark.table("graft.st.dim"), "k")
+    // toString (not collect): under AQE the root is AdaptiveSparkPlanExec,
+    // which hides its current plan from TreeNode.collect.
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"catalog-side stats should drive a broadcast join:\n$plan")
+    assert(joined.count() == 50000L)
+    spark.sql("DROP TABLE graft.st.dim")
+  }
+
   test("replaced segments are retained (tombstoned) until vacuum, not deleted at publish") {
     import graft.sources.GraftCatalog
     spark.sql("DROP TABLE IF EXISTS graft.tb.r")
