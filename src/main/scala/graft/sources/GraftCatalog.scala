@@ -866,25 +866,39 @@ private[sources] class GraftCatalogTable(
   * drop every non-matching row.
   */
 private[sources] class GraftCatalogScanBuilder(ident: Identifier, schema: StructType)
-    extends ScanBuilder with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.sources.Filter
   private var pruning: Array[Filter] = Array.empty
+  private var required: StructType = schema
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pruning = filters.filter(ZoneMap.prunable(_, schema))
     filters // all residual: segment skipping never proves per-row match
   }
   override def pushedFilters(): Array[Filter] = pruning
-  override def build(): Scan = GraftCatalogScan(ident, schema, pruning.toIndexedSeq)
+  // Column pruning: segments store FULL rows (row-major), so pruning
+  // can't skip disk bytes the way a columnar format does — but the
+  // per-split projection below narrows every row before it enters the
+  // operator chain, so only the required columns ride upstream (and
+  // any later exchange). Zone maps keep evaluating against the FULL
+  // schema — a filter column does not have to survive the projection.
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = StructType(
+      schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+  override def build(): Scan =
+    GraftCatalogScan(ident, schema, pruning.toIndexedSeq, required)
 }
 
 private[sources] case class GraftCatalogScan(
     ident: Identifier, schema: StructType,
-    pruning: IndexedSeq[org.apache.spark.sql.sources.Filter] = IndexedSeq.empty)
+    pruning: IndexedSeq[org.apache.spark.sql.sources.Filter] = IndexedSeq.empty,
+    required: StructType = null)
     extends Scan with Batch with SupportsReportStatistics {
-  override def readSchema(): StructType = schema
+  private def out: StructType = if (required == null) schema else required
+  override def readSchema(): StructType = out
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftCatalogScan($ident, zoneMapFilters=[${pruning.mkString(", ")}])"
+    s"GraftCatalogScan($ident, columns=[${out.fieldNames.mkString(", ")}], " +
+      s"zoneMapFilters=[${pruning.mkString(", ")}])"
 
   private def survivors: Vector[GraftCatalog.Segment] =
     GraftCatalog.segmentsOf(ident)
@@ -893,23 +907,30 @@ private[sources] case class GraftCatalogScan(
   // One split per SURVIVING segment: the partition carries only the
   // segment's (path, rows) — bytes stay on disk until the executor
   // task opens its split, and a multi-segment table scans in parallel.
-  // Zone-map-pruned segments never even plan a task.
+  // Zone-map-pruned segments never even plan a task. numFields is the
+  // FULL width: that is the on-disk row layout; the reader projects
+  // down to `out` after deserialization.
   override def planInputPartitions(): Array[InputPartition] =
     survivors
       .map(s => GraftCatalogPartition(s.path, s.rows, schema.length): InputPartition)
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftCatalogReaderFactory()
+    GraftCatalogReaderFactory(schema, out)
 
   /** Post-pruning exact size/row stats from the segment metadata — lets
     * the planner auto-broadcast a small (or well-pruned) catalog table.
-    * Legacy zero-byte segments fall back to a per-row width estimate so
-    * sizeInBytes never reads 0 for a non-empty table.
+    * Bytes scale by the surviving column fraction (what actually flows
+    * out of the scan); legacy zero-byte segments fall back to a per-row
+    * width estimate so sizeInBytes never reads 0 for a non-empty table.
     */
   override def estimateStatistics(): Statistics = {
     val segs = survivors
     val rows = segs.map(_.rows).sum
-    val bytes = segs.map(s => if (s.bytes > 0) s.bytes else s.rows * (8L * (schema.length + 1))).sum
+    val full = segs.map(s => if (s.bytes > 0) s.bytes else s.rows * (8L * (schema.length + 1))).sum
+    val frac =
+      if (schema.isEmpty) 1.0
+      else (out.length.toDouble.max(1.0)) / schema.length
+    val bytes = (full * frac).toLong.max(if (rows > 0) 1L else 0L)
     new Statistics {
       override def sizeInBytes: java.util.OptionalLong = java.util.OptionalLong.of(bytes)
       override def numRows: java.util.OptionalLong = java.util.OptionalLong.of(rows)
@@ -920,9 +941,25 @@ private[sources] case class GraftCatalogScan(
 private[sources] case class GraftCatalogPartition(
     path: String, rows: Long, numFields: Int) extends InputPartition
 
-private[sources] case class GraftCatalogReaderFactory() extends PartitionReaderFactory {
+private[sources] case class GraftCatalogReaderFactory(
+    full: StructType, required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftCatalogPartition]
+    // Column-pruning projection, built once per split (codegen'd):
+    // identity when nothing was pruned. The projection's output row is
+    // instance-reused, same as the deserialization row — both within
+    // the PartitionReader reuse contract.
+    val proj: UnsafeRow => InternalRow =
+      if (required.length == full.length) identity
+      else {
+        val exprs = required.fields.toSeq.map { f =>
+          val i = full.fieldIndex(f.name)
+          org.apache.spark.sql.catalyst.expressions.BoundReference(
+            i, f.dataType, f.nullable): org.apache.spark.sql.catalyst.expressions.Expression
+        }
+        val up = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(exprs)
+        r => up(r)
+      }
     new PartitionReader[InternalRow] {
       private val in =
         new DataInputStream(new BufferedInputStream(new FileInputStream(p.path), 1 << 16))
@@ -943,7 +980,7 @@ private[sources] case class GraftCatalogReaderFactory() extends PartitionReaderF
           i += 1
           true
         }
-      override def get(): InternalRow = row
+      override def get(): InternalRow = proj(row)
       override def close(): Unit = in.close()
     }
   }

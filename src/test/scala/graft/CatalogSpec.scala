@@ -292,6 +292,22 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.zm.t")
   }
 
+  test("column pruning narrows the catalog scan to the required columns") {
+    spark.sql("DROP TABLE IF EXISTS graft.cp.t")
+    spark.sql("CREATE TABLE graft.cp.t (k BIGINT, a STRING, b DOUBLE) USING graft")
+    spark.sql("INSERT INTO graft.cp.t SELECT id, concat('a', CAST(id AS STRING)), id * 0.5 FROM range(0, 100, 1, 2)")
+    val q = spark.sql("SELECT a FROM graft.cp.t WHERE k = 7")
+    val plan = q.queryExecution.executedPlan.toString
+    // The filter column k need not survive the projection: zone maps
+    // evaluate against the full schema, the reader emits only `a`.
+    assert(plan.contains("columns=[a]") || plan.contains("columns=[k, a]"),
+      s"scan did not prune columns:\n$plan")
+    assert(q.as[String].collect().toSeq == Seq("a7"))
+    // Empty projection (count(*)) still reads row counts correctly.
+    assert(spark.sql("SELECT count(*) FROM graft.cp.t").as[Long].head() == 100L)
+    spark.sql("DROP TABLE graft.cp.t")
+  }
+
   test("catalog scans report exact statistics; the planner auto-broadcasts a small table") {
     spark.sql("DROP TABLE IF EXISTS graft.st.dim")
     spark.sql("CREATE TABLE graft.st.dim (k BIGINT, name STRING) USING graft")
