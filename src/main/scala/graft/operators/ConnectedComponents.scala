@@ -28,31 +28,53 @@ object ConnectedComponents {
     */
   def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val sym = edges.toDF("i", "j")
-    val adj = sym.select(col("i").as("src"), col("j").as("dst"))
-      .union(sym.select(col("j").as("src"), col("i").as("dst")))
+    // Symmetrized adjacency WITH self-loops: v's next label is then
+    // min(component over dst ∈ neighbors(v) ∪ {v}) — ONE join + ONE
+    // aggregate per round, instead of the neighbor-min join PLUS a
+    // second left join back onto labels to mix in v's own label (the
+    // self-loop carries it through the same aggregate). Halving the
+    // joins halves the per-round shuffles at scale.
+    // explode, not a 4-way union: each union branch would re-evaluate
+    // the (potentially expensive) upstream edge pipeline once per
+    // branch before the persist materializes — explode emits all four
+    // directed rows from ONE pass over it.
+    val adj = sym.select(explode(array(
+        struct(col("i").as("src"), col("j").as("dst")),
+        struct(col("j").as("src"), col("i").as("dst")),
+        struct(col("i").as("src"), col("i").as("dst")),
+        struct(col("j").as("src"), col("j").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+      .distinct()
       .persist()
     // localCheckpoint (not persist) between rounds: it truncates the
     // logical plan, so lineage doesn't grow with iterations and the
     // cache manager can't alias a round's plan with an earlier round's
     // structurally-identical one. (In cluster production: checkpoint to
     // reliable storage instead.)
-    var labels = adj.select(col("src").as("v")).distinct()
-      .withColumn("component", col("v"))
+    var labels = adj.select(col("src").as("v"), col("src").as("component"))
+      .distinct()
       .localCheckpoint()
-    var changed = 1L
+    // Convergence signal without a per-round "changed" pass: labels only
+    // ever DECREASE, so the fixpoint is reached exactly when
+    // sum(component) stops falling — one scalar aggregate over the
+    // freshly checkpointed labels (reads the materialized blocks, no
+    // recompute), replacing the old filter(chg).count() job AND the
+    // extra chg column threaded through the checkpoint.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var it = 0
-    while (changed > 0 && it < maxIter) {
-      val nbrMin = adj.join(labels, adj("dst") === labels("v"))
-        .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
-      val next = labels.join(nbrMin, labels("v") === nbrMin("src"), "left")
-        .select(
-          col("v"),
-          least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"),
-          coalesce(col("nbr_min") < col("component"), lit(false)).as("chg"))
+    var converged = false
+    while (!converged && it < maxIter) {
+      val next = adj.join(labels, adj("dst") === labels("v"))
+        .groupBy(col("src"))
+        .agg(min(col("component")).as("component"))
+        .select(col("src").as("v"), col("component"))
         .localCheckpoint()
-      changed = next.filter(col("chg")).count()
-      labels = next.select("v", "component")
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
       it += 1
     }
     adj.unpersist()

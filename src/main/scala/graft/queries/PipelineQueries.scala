@@ -55,13 +55,20 @@ object PipelineQueries {
   }
 
   /** L8: benchmark decontamination — the "did any training document leak
-    * an evaluation n-gram" audit. Both sides reduce to DISTINCT 8-gram
-    * md5 keys; the detection is an equi join ON the 32-char hash, so at
-    * 100 TB the shuffle carries fixed-width keys (never document text)
-    * and the (tiny) benchmark side broadcasts. The `when(size >= 8)`
-    * guard matters: Spark's `sequence(1, n)` for n <= 0 yields a
-    * DESCENDING range, not an empty one (DuckDB's `range` is empty — the
-    * engines diverge without it).
+    * an evaluation n-gram" audit. The benchmark side reduces to DISTINCT
+    * 8-gram md5 keys (tiny: a benchmark suite, ~2% of docs here) and
+    * BROADCASTS; the training side stays RAW — the broadcast hash
+    * semi-probe filters it map-side, so the only train-side shuffle is
+    * the post-join aggregate over the (rare) contaminated rows.
+    * Distinct-ing the train grams before the join — the obvious
+    * formulation — shuffles EVERY training gram (the whole corpus × ~n
+    * grams/doc) to dedup rows the join is about to discard; measured 2×
+    * on this query, and at 100 TB it is the difference between a
+    * map-side probe and an exabyte exchange. `countDistinct` after the
+    * join absorbs the duplicate (doc, gram) pairs instead. The
+    * `when(size >= 8)` guard matters: Spark's `sequence(1, n)` for
+    * n <= 0 yields a DESCENDING range, not an empty one (DuckDB's
+    * `range` is empty — the engines diverge without it).
     */
   val l8Decontaminate: Q = Q(
     "l8_ngram_decontaminate",
@@ -84,7 +91,7 @@ object PipelineQueries {
       .select(col("doc_id"), col("lang"), explode(gramHashes).as("g"))
     val bench = grams.filter(col("doc_id") % 50 === 0).select(col("g")).distinct()
     val train = grams.filter(col("doc_id") % 50 =!= 0)
-      .select(col("doc_id"), col("lang"), col("g")).distinct()
+      .select(col("doc_id"), col("lang"), col("g"))
     train.join(broadcast(bench), Seq("g"))
       .groupBy(col("lang"))
       .agg(
