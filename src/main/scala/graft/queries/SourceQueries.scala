@@ -274,6 +274,47 @@ object SourceQueries {
         |ORDER BY n_regionkey""".stripMargin)
   }
 
+  /** X5b: TIME TRAVEL through the catalog — INSERT builds version 1,
+    * INSERT OVERWRITE supersedes it as version 2, and the query reads
+    * BOTH: `VERSION AS OF 1` resolves through the catalog's snapshot
+    * history (`TableCatalog.loadTable(ident, version)`) to the retained
+    * pre-overwrite segment list, while the bare identifier reads the
+    * live state. The oracle reproduces each snapshot straight from the
+    * parquet source — proving the pinned read returns exactly the
+    * superseded data, not the current rows. (Snapshot retention, not
+    * luck: the overwritten files are GC-protected while their snapshot
+    * is retained — `GraftCatalog.publish`.)
+    */
+  val x5bTimeTravel: Q = Q(
+    "x5b_time_travel",
+    """SELECT 'current' AS snap, count(*) AS n, min(r_name) AS first_name
+      |FROM region WHERE r_regionkey < 2
+      |UNION ALL
+      |SELECT 'v1' AS snap, count(*) AS n, min(r_name) AS first_name
+      |FROM region
+      |ORDER BY snap""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.region(spark, dir).createOrReplaceTempView("x5b_region_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.region_hist")
+    spark.sql(
+      """CREATE TABLE graft.demo.region_hist
+        |  (r_regionkey INT, r_name STRING) USING graft""".stripMargin) // v0
+    spark.sql(
+      """INSERT INTO graft.demo.region_hist
+        |SELECT r_regionkey, r_name FROM x5b_region_src""".stripMargin) // v1
+    spark.sql(
+      """INSERT OVERWRITE graft.demo.region_hist
+        |SELECT r_regionkey, r_name FROM x5b_region_src
+        |WHERE r_regionkey < 2""".stripMargin) // v2 (live)
+    spark.sql(
+      """SELECT 'current' AS snap, count(*) AS n, min(r_name) AS first_name
+        |FROM graft.demo.region_hist
+        |UNION ALL
+        |SELECT 'v1' AS snap, count(*) AS n, min(r_name) AS first_name
+        |FROM graft.demo.region_hist VERSION AS OF 1
+        |ORDER BY snap""".stripMargin)
+  }
+
   /** X6: catalog-resolved V2 FUNCTION — `graft.math.clamp` resolves
     * through `FunctionCatalog.loadFunction` (not the session registry)
     * and, carrying the `invoke` magic method, compiles to a direct call
@@ -306,5 +347,5 @@ object SourceQueries {
   val all: Seq[Q] = Seq(
     s2ParquetRoundtrip, s3CsvSource, s3JsonSource, s6CacheReuse,
     s7PartitionedSink, s8OrcRoundtrip, x1ScalarUdf, x3Generator, x4Dsv2Source,
-    x5CatalogSql, x6CatalogFunction)
+    x5CatalogSql, x5bTimeTravel, x6CatalogFunction)
 }

@@ -69,6 +69,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     new GraftCatalogTable(ident, entry.schema, entry.dir)
   }
 
+  /** TIME TRAVEL (`SELECT … FROM graft.ns.t VERSION AS OF 2`): every
+    * commit publishes an immutable numbered snapshot (schema + segment
+    * list), and a versioned load returns a table PINNED to that
+    * snapshot — reads plan against the pinned list, never the live one,
+    * and writes are rejected. Snapshot files are protected from GC while
+    * the snapshot is retained (see `publish`), so an old version stays
+    * readable for the retention window after being replaced — the
+    * Delta/Iceberg `VERSION AS OF` contract at demo scale.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (store.get(ident) == null) throw new NoSuchTableException(ident)
+    val v =
+      try version.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"graft catalog versions are numeric commit ids, got '$version'") }
+    val snap = snapshotByVersion(ident, v).getOrElse(throw new NoSuchTableException(
+      Identifier.of(ident.namespace, s"${ident.name} VERSION AS OF $v (expired or never committed)")))
+    val entry = store.get(ident)
+    new GraftCatalogTable(ident, snap.schema, entry.dir, pinned = Some(snap.segments))
+  }
+
+  /** `TIMESTAMP AS OF`: Spark hands micros-since-epoch; resolve to the
+    * latest retained snapshot committed at or before that instant.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (store.get(ident) == null) throw new NoSuchTableException(ident)
+    val snap = snapshotByTime(ident, timestamp).getOrElse(throw new NoSuchTableException(
+      Identifier.of(ident.namespace,
+        s"${ident.name} TIMESTAMP AS OF $timestamp (before first retained commit)")))
+    val entry = store.get(ident)
+    new GraftCatalogTable(ident, snap.schema, entry.dir, pinned = Some(snap.segments))
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,
@@ -79,6 +113,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       deleteRecursively(Paths.get(dir))
       throw new TableAlreadyExistsException(ident.toString, ident.name())
     }
+    publish(ident) // snapshot v0: the empty table
     new GraftCatalogTable(ident, schema, dir)
   }
 
@@ -105,7 +140,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           s"graft catalog supports only top-level ADD COLUMN, got: $other")
     }
     val written = scala.collection.mutable.ArrayBuffer[Segment]()
-    var orphaned: Vector[Segment] = Vector.empty
     try {
       val result = store.compute(ident, (_, prev) => {
         require(prev != null, s"table $ident dropped mid-alter")
@@ -123,10 +157,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           s.foreach(written += _)
           s
         }
-        orphaned = prev.segments // retired AFTER the swap commits
         TableEntry(widenedSchema, widened, prev.dir)
       })
-      retire(orphaned)
+      publish(ident) // old segments stay readable via retained snapshots
       new GraftCatalogTable(ident, result.schema, result.dir)
     } catch { case e: Throwable =>
       written.foreach(SegmentIO.delete) // never published — GC immediately
@@ -138,6 +171,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // Clear the streaming-epoch ledger too: a re-created table must not
     // inherit old high-watermarks and silently skip early epochs.
     epochs.keySet.asScala.filter(_._1 == ident).foreach(epochs.remove)
+    history.remove(ident) // snapshots die with the table
     val entry = store.remove(ident)
     if (entry != null) deleteRecursively(Paths.get(entry.dir))
     entry != null
@@ -156,6 +190,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       throw new TableAlreadyExistsException(newIdent.toString, newIdent.name())
     store.remove(oldIdent)
     store.put(newIdent, entry)
+    Option(history.remove(oldIdent)).foreach(history.put(newIdent, _))
     epochs.asScala.toSeq.foreach { case (k @ (id, qid), e) =>
       if (id == oldIdent) { epochs.remove(k); epochs.put((newIdent, qid), e) }
     }
@@ -323,47 +358,115 @@ object GraftCatalog {
       }
     }.getOrElse(0)
 
-  /** Segments REPLACED by a commit are not deleted at publish time: a
-    * concurrently executing scan plans its partitions against the
-    * then-current segment list, and deleting those files under it would
-    * fail the read mid-flight (FileNotFoundException). Instead retired
-    * segments sit in a retention queue and are GC'd on a later mutation
-    * once `RetentionNanos` has elapsed — the same retain-until-vacuum
-    * shape Delta/Iceberg use, with a short demo-scale window (a local
-    * scan finishes in seconds; a production format would gate vacuum on
-    * snapshot expiry). Queue deadlines are monotonic, so the head is
-    * always the oldest entry. Guarded by `mutationLock`.
+  /** One retained commit of a table: the snapshot a `VERSION AS OF v` /
+    * `TIMESTAMP AS OF t` read pins to. `wallMs` resolves timestamp
+    * queries; `mono` (nanoTime) drives retention expiry — wall clocks
+    * can step, monotonic ones can't.
+    */
+  private[graft] case class CatalogSnapshot(
+      version: Long, wallMs: Long, mono: Long,
+      schema: StructType, segments: Vector[Segment])
+
+  private val history = new ConcurrentHashMap[Identifier, Vector[CatalogSnapshot]]()
+
+  /** Snapshot retention IS the file-GC policy: a segment file is deleted
+    * only when NO retained snapshot (current included) references it.
+    * That serves both masters with one mechanism — a concurrently
+    * executing scan planned against a just-replaced segment list keeps
+    * its files (the snapshot it planned against is still retained), and
+    * `VERSION AS OF` stays readable for the retention window after the
+    * version is superseded — the Delta/Iceberg retain-until-vacuum
+    * shape. Retention is time-bounded (`RetentionNanos`) with a
+    * hard count cap (`MaxSnapshots`) so a rapid commit stream can't
+    * grow metadata without bound; expiry runs at publish time, under
+    * `mutationLock`.
     */
   private val RetentionNanos = java.util.concurrent.TimeUnit.SECONDS.toNanos(
     sys.props.getOrElse("graft.catalog.retention.seconds", "60").toLong)
-  private val tombstones = new java.util.ArrayDeque[(Long, Segment)]()
-  private def retire(segs: Seq[Segment]): Unit = { // call only under mutate{}
+  private val MaxSnapshots =
+    sys.props.getOrElse("graft.catalog.retention.snapshots", "64").toInt
+
+  /** Publish the table's CURRENT state as its next numbered snapshot,
+    * expire retention-aged snapshots, and delete segment files no
+    * retained snapshot references. Call under `mutate {}` after the
+    * metastore swap.
+    */
+  private def publish(ident: Identifier): Unit = {
+    val entry = store.get(ident)
+    if (entry == null) return
     val now = System.nanoTime()
-    while (!tombstones.isEmpty && tombstones.peekFirst()._1 <= now)
-      SegmentIO.delete(tombstones.pollFirst()._2)
-    segs.foreach(s => tombstones.addLast((now + RetentionNanos, s)))
+    val hist = history.getOrDefault(ident, Vector.empty)
+    val snap = CatalogSnapshot(
+      hist.lastOption.map(_.version + 1).getOrElse(0L),
+      System.currentTimeMillis(), now, entry.schema, entry.segments)
+    val all = hist :+ snap
+    val cutoff = now - RetentionNanos
+    val retained = all.drop((all.length - MaxSnapshots).max(0))
+      .dropWhile(s => s.mono < cutoff && s != all.last)
+    history.put(ident, retained)
+    val live = retained.flatMap(_.segments.map(_.path)).toSet ++
+      entry.segments.map(_.path)
+    all.takeWhile(!retained.headOption.contains(_))
+      .flatMap(_.segments).distinctBy(_.path)
+      .filterNot(s => live.contains(s.path))
+      .foreach(SegmentIO.delete)
   }
-  /** Test observability: retired-but-not-yet-deleted segment count. */
-  private[graft] def tombstoneCount: Int = mutate(tombstones.size)
-  /** Test hook: force-expire the retention queue (vacuum-now). */
+
+  private[graft] def snapshotByVersion(
+      ident: Identifier, v: Long): Option[CatalogSnapshot] =
+    history.getOrDefault(ident, Vector.empty).find(_.version == v)
+  private[graft] def snapshotByTime(
+      ident: Identifier, micros: Long): Option[CatalogSnapshot] =
+    history.getOrDefault(ident, Vector.empty)
+      .takeWhile(_.wallMs * 1000L <= micros).lastOption
+  /** Test observability: latest committed version of a table. */
+  private[graft] def currentVersion(ns: String, table: String): Option[Long] =
+    history.getOrDefault(Identifier.of(Array(ns), table), Vector.empty)
+      .lastOption.map(_.version)
+
+  /** Test observability: segments referenced ONLY by non-current
+    * retained snapshots — the retired-but-retained file count (the old
+    * tombstone-queue metric, now derived from snapshot history).
+    */
+  private[graft] def tombstoneCount: Int = mutate {
+    history.asScala.map { case (ident, hist) =>
+      val current = Option(store.get(ident)).map(_.segments.map(_.path).toSet)
+        .getOrElse(Set.empty)
+      hist.flatMap(_.segments.map(_.path)).distinct.count(!current.contains(_))
+    }.sum
+  }
+  /** Test hook (vacuum-now): drop every non-current snapshot and delete
+    * the files only they referenced — `VACUUM t RETAIN 0` semantics.
+    */
   private[graft] def vacuumTombstones(): Unit = mutate {
-    while (!tombstones.isEmpty) SegmentIO.delete(tombstones.pollFirst()._2)
+    history.asScala.keys.toSeq.foreach { ident =>
+      val entry = store.get(ident)
+      val hist = history.getOrDefault(ident, Vector.empty)
+      if (entry == null) { history.remove(ident); hist.flatMap(_.segments).foreach(SegmentIO.delete) }
+      else {
+        val current = entry.segments.map(_.path).toSet
+        hist.flatMap(_.segments).distinctBy(_.path)
+          .filterNot(s => current.contains(s.path)).foreach(SegmentIO.delete)
+        history.put(ident,
+          hist.lastOption.map(s => Vector(s.copy(segments = entry.segments)))
+            .getOrElse(Vector.empty))
+      }
+    }
   }
 
   /** Batch job commit: atomically publish `segs`, either appended or
-    * replacing the current list (INSERT OVERWRITE / row-level rewrite).
-    * Replaced segments go to the retention queue, not straight to
-    * deletion — see `retire`.
+    * replacing the current list (INSERT OVERWRITE / row-level rewrite),
+    * as the table's next snapshot. Replaced segments stay on disk while
+    * any retained snapshot references them — see `publish`.
     */
   private[sources] def install(
       ident: Identifier, segs: Seq[Segment], truncate: Boolean): Unit = mutate {
-    var orphaned: Vector[Segment] = Vector.empty
     store.compute(ident, (_, prev) => {
       require(prev != null, s"table $ident dropped mid-write")
-      if (truncate) { orphaned = prev.segments; prev.copy(segments = segs.toVector) }
+      if (truncate) prev.copy(segments = segs.toVector)
       else prev.copy(segments = prev.segments ++ segs)
     })
-    retire(orphaned)
+    publish(ident)
   }
 
   private[sources] def segmentsOf(ident: Identifier): Vector[Segment] =
@@ -387,7 +490,6 @@ object GraftCatalog {
       ident: Identifier, queryId: String, epochId: Long,
       segs: Seq[Segment], truncate: Boolean): Boolean = mutate {
     var applied = false
-    var orphaned: Seq[Segment] = Nil
     var replayed: Seq[Segment] = Nil
     store.compute(ident, (_, prev) => {
       require(prev != null, s"table $ident dropped mid-stream")
@@ -397,15 +499,15 @@ object GraftCatalog {
       else {
         epochs.put(key, epochId)
         applied = true
-        if (truncate) { orphaned = prev.segments; prev.copy(segments = segs.toVector) }
+        if (truncate) prev.copy(segments = segs.toVector)
         else prev.copy(segments = prev.segments ++ segs)
       }
     })
     // Replayed-epoch segments were NEVER visible to any scan — delete
-    // immediately; segments replaced by a Complete-mode epoch were, so
-    // they take the retention path.
+    // immediately (no snapshot ever referenced them); an applied epoch
+    // publishes a snapshot and retention protects what it replaced.
     replayed.foreach(SegmentIO.delete)
-    retire(orphaned)
+    if (applied) publish(ident)
     applied
   }
 
@@ -418,7 +520,6 @@ object GraftCatalog {
       ident: Identifier,
       schema: StructType,
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = mutate {
-    var orphaned: Vector[Segment] = Vector.empty
     store.compute(ident, (_, prev) => {
       require(prev != null, s"table $ident dropped mid-delete")
       val kept = prev.segments.flatMap { seg =>
@@ -426,10 +527,9 @@ object GraftCatalog {
           if (filters.forall(GraftFilterEval.eval(_, schema, r))) None else Some(r)
         }
       }
-      orphaned = prev.segments
       prev.copy(segments = kept)
     })
-    retire(orphaned)
+    publish(ident)
   }
 }
 
@@ -794,13 +894,19 @@ private[sources] object SegmentIO {
   * the statement instead of deleting the wrong rows.
   */
 private[sources] class GraftCatalogTable(
-    ident: Identifier, schema0: StructType, dir: String)
+    ident: Identifier, schema0: StructType, dir: String,
+    pinned: Option[Vector[GraftCatalog.Segment]] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations {
-  override def name(): String = ident.toString
+  override def name(): String =
+    if (pinned.isDefined) s"$ident (time travel)" else ident.toString
   override def schema(): StructType = schema0
+  // A time-travel (pinned-snapshot) table is READ-ONLY: snapshots are
+  // immutable history, and advertising write capabilities would let
+  // `INSERT INTO t VERSION AS OF 2` plan before failing confusingly.
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(
+    if (pinned.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
+    else util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
 
@@ -839,7 +945,7 @@ private[sources] class GraftCatalogTable(
     }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftCatalogScanBuilder(ident, schema0)
+    new GraftCatalogScanBuilder(ident, schema0, pinned)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -865,7 +971,9 @@ private[sources] class GraftCatalogTable(
   * pruning that scan by the DML's WHERE would make the truncate-commit
   * drop every non-matching row.
   */
-private[sources] class GraftCatalogScanBuilder(ident: Identifier, schema: StructType)
+private[sources] class GraftCatalogScanBuilder(
+    ident: Identifier, schema: StructType,
+    pinned: Option[Vector[GraftCatalog.Segment]] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.sources.Filter
   private var pruning: Array[Filter] = Array.empty
@@ -885,23 +993,27 @@ private[sources] class GraftCatalogScanBuilder(ident: Identifier, schema: Struct
     required = StructType(
       schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
   override def build(): Scan =
-    GraftCatalogScan(ident, schema, pruning.toIndexedSeq, required)
+    GraftCatalogScan(ident, schema, pruning.toIndexedSeq, required, pinned)
 }
 
 private[sources] case class GraftCatalogScan(
     ident: Identifier, schema: StructType,
     pruning: IndexedSeq[org.apache.spark.sql.sources.Filter] = IndexedSeq.empty,
-    required: StructType = null)
+    required: StructType = null,
+    pinned: Option[Vector[GraftCatalog.Segment]] = None)
     extends Scan with Batch with SupportsReportStatistics {
   private def out: StructType = if (required == null) schema else required
   override def readSchema(): StructType = out
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftCatalogScan($ident, columns=[${out.fieldNames.mkString(", ")}], " +
-      s"zoneMapFilters=[${pruning.mkString(", ")}])"
+      s"zoneMapFilters=[${pruning.mkString(", ")}]" +
+      pinned.map(_ => ", pinnedSnapshot").getOrElse("") + ")"
 
+  // Time-travel scans plan against the PINNED snapshot list; live scans
+  // resolve the then-current list at plan time.
   private def survivors: Vector[GraftCatalog.Segment] =
-    GraftCatalog.segmentsOf(ident)
+    pinned.getOrElse(GraftCatalog.segmentsOf(ident))
       .filter(seg => pruning.forall(f => ZoneMap.mightMatch(f, schema, seg)))
 
   // One split per SURVIVING segment: the partition carries only the

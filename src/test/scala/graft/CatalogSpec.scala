@@ -398,6 +398,68 @@ class CatalogSpec extends AnyFunSuite {
       "an emptied namespace ceases to exist — consistent with dropNamespace=false")
   }
 
+  test("time travel: VERSION AS OF pins a commit; old versions survive OVERWRITE") {
+    import graft.sources.GraftCatalog
+    spark.sql("DROP TABLE IF EXISTS graft.tt.h")
+    spark.sql("CREATE TABLE graft.tt.h (id BIGINT) USING graft") // v0: empty
+    spark.sql("INSERT INTO graft.tt.h VALUES (1), (2)") // v1
+    spark.sql("INSERT INTO graft.tt.h VALUES (3)") // v2
+    spark.sql("INSERT OVERWRITE graft.tt.h VALUES (9)") // v3
+    assert(GraftCatalog.currentVersion("tt", "h").contains(3L))
+    def at(v: Int): Seq[Long] =
+      spark.sql(s"SELECT id FROM graft.tt.h VERSION AS OF $v ORDER BY id")
+        .as[Long].collect().toSeq
+    assert(at(0) == Seq.empty, "v0 is the empty just-created table")
+    assert(at(1) == Seq(1L, 2L))
+    assert(at(2) == Seq(1L, 2L, 3L), "appends accumulate across versions")
+    assert(at(3) == Seq(9L))
+    assert(spark.sql("SELECT id FROM graft.tt.h").as[Long].collect().toSeq == Seq(9L),
+      "the live table reads the latest commit")
+    // The v1/v2 segment files were replaced by the OVERWRITE but must
+    // still be readable through their snapshots (retention protects
+    // them from GC).
+    assert(GraftCatalog.tombstoneCount >= 2)
+    // TIMESTAMP AS OF resolves to the latest commit at-or-before t:
+    // "now" (well after v3) sees the current state.
+    val nowMicros = System.currentTimeMillis() * 1000L + 999999L
+    val ts = new java.sql.Timestamp(nowMicros / 1000L)
+    assert(spark.sql(s"SELECT id FROM graft.tt.h TIMESTAMP AS OF '$ts'")
+      .as[Long].collect().toSeq == Seq(9L))
+    // A version that never existed fails loudly.
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.tt.h VERSION AS OF 99").collect()
+    }
+    // A pinned snapshot is read-only: INSERT into a time-travel
+    // relation must be rejected, not silently rewrite history.
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft.tt.h VERSION AS OF 1 VALUES (7)")
+    }
+    // Vacuum expires history: superseded versions become unreadable and
+    // their exclusive files are deleted; the live table is untouched.
+    GraftCatalog.vacuumTombstones()
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.tt.h VERSION AS OF 1").collect()
+    }
+    assert(GraftCatalog.segmentFilesOnDisk("tt", "h") == 1)
+    assert(spark.sql("SELECT id FROM graft.tt.h").as[Long].collect().toSeq == Seq(9L))
+    spark.sql("DROP TABLE graft.tt.h")
+  }
+
+  test("time travel: ALTER TABLE versions the schema with the data") {
+    spark.sql("DROP TABLE IF EXISTS graft.tt.s")
+    spark.sql("CREATE TABLE graft.tt.s (k BIGINT) USING graft") // v0
+    spark.sql("INSERT INTO graft.tt.s VALUES (1)") // v1
+    spark.sql("ALTER TABLE graft.tt.s ADD COLUMNS (note STRING)") // v2
+    spark.sql("INSERT INTO graft.tt.s VALUES (2, 'x')") // v3
+    assert(spark.sql("SELECT * FROM graft.tt.s VERSION AS OF 1").columns.toSeq == Seq("k"),
+      "a pre-ALTER snapshot reads with the pre-ALTER schema")
+    assert(spark.sql("SELECT k FROM graft.tt.s VERSION AS OF 1").as[Long].collect().toSeq
+      == Seq(1L))
+    assert(spark.sql("SELECT * FROM graft.tt.s VERSION AS OF 3").columns.toSeq
+      == Seq("k", "note"))
+    spark.sql("DROP TABLE graft.tt.s")
+  }
+
   test("create rejects a duplicate identifier; analyzer enforces the declared schema") {
     spark.sql("DROP TABLE IF EXISTS graft.t3.once")
     spark.sql("CREATE TABLE graft.t3.once (x INT) USING graft")
