@@ -204,7 +204,55 @@ object PipelineQueries {
       .orderBy(col("source"))
   }
 
+  /** L8: sliding-window token chunking — split every document into
+    * fixed-size token chunks (C=128) with stride S=96 (32-token
+    * overlap), the standard pre-tokenizer windowing step for long-doc
+    * training corpora (each chunk keeps its doc provenance; overlap
+    * preserves cross-boundary context). Start positions are
+    * `sequence(1, max(n - overlap, 1), S)`: the last window is allowed
+    * to run short instead of emitting a spurious fully-contained tail
+    * chunk, and a doc shorter than C yields exactly one chunk. The
+    * whole expansion is a per-row generator (transform + explode) — at
+    * 100 TB chunking is MAP-SIDE ONLY; the tiny per-lang audit
+    * aggregate is the only exchange. The chunk-hash distinct count
+    * pins the chunk CONTENT (not just counts) to the oracle.
+    */
+  val l8ChunkOverlap: Q = Q(
+    "l8_chunk_overlap",
+    """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      |starts AS (SELECT doc_id, lang, t,
+      |             unnest(range(1, greatest(len(t) - 32, 1) + 1, 96)) AS st
+      |           FROM tok),
+      |chunks AS (SELECT doc_id, lang, t[st:st+127] AS chunk FROM starts)
+      |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+      |  CAST(sum(CASE WHEN len(chunk) < 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_short_chunks,
+      |  CAST(sum(len(chunk)) AS BIGINT) AS chunk_tokens,
+      |  count(DISTINCT md5(array_to_string(chunk, ' '))) AS n_distinct_chunks
+      |FROM chunks
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    val C = 128
+    val S = 96
+    val t = toks
+    val starts = sequence(lit(1), greatest(size(t) - (C - S), lit(1)), lit(S))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"), col("lang"),
+        explode(transform(starts, st => slice(t, st, lit(C)))).as("chunk"))
+      .select(
+        col("doc_id"), col("lang"), size(col("chunk")).as("clen"),
+        md5(array_join(col("chunk"), " ")).as("h"))
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("clen") < C, 1L).otherwise(0L)).as("n_short_chunks"),
+        sum(col("clen")).cast("long").as("chunk_tokens"),
+        countDistinct(col("h")).as("n_distinct_chunks"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[Q] = Seq(
     l8StratifiedSample, l8Decontaminate, l8PiiRedact,
-    l8RepetitionQuality, l8SequencePack)
+    l8RepetitionQuality, l8SequencePack, l8ChunkOverlap)
 }

@@ -315,6 +315,53 @@ object SourceQueries {
         |ORDER BY snap""".stripMargin)
   }
 
+  /** X5c: STORAGE-PARTITIONED JOIN through the catalog — both tables
+    * are identity-partitioned on the nation key, so the catalog's write
+    * path routes each key into its own segment (clustered write
+    * distribution), the scans report `KeyGroupedPartitioning`, and with
+    * v2 bucketing enabled the sort-merge join (MERGE hint keeps the
+    * tiny dim from broadcasting) consumes both sides' storage layout
+    * directly — NO shuffle exchange on either side of the join. This is
+    * the co-location move that makes a 100 TB fact ⋈ dim-partitioned
+    * join shuffle-free; `PartitionedCatalogSpec` asserts the
+    * exchange-free plan, this row pins the RESULT to the oracle.
+    */
+  val x5cPartitionedSpj: Q = Q(
+    "x5c_partitioned_spj",
+    """SELECT n_name, count(*) AS n_customers,
+      |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    Tables.customer(spark, dir).createOrReplaceTempView("x5c_customer_src")
+    Tables.nation(spark, dir).createOrReplaceTempView("x5c_nation_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.cust_p")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.nat_p")
+    spark.sql(
+      """CREATE TABLE graft.demo.cust_p
+        |  (c_custkey BIGINT, c_nationkey BIGINT, c_acctbal DOUBLE)
+        |USING graft PARTITIONED BY (c_nationkey)""".stripMargin)
+    spark.sql(
+      """CREATE TABLE graft.demo.nat_p (n_nationkey BIGINT, n_name STRING)
+        |USING graft PARTITIONED BY (n_nationkey)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.cust_p
+        |SELECT CAST(c_custkey AS BIGINT), CAST(c_nationkey AS BIGINT), c_acctbal
+        |FROM x5c_customer_src""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.nat_p
+        |SELECT CAST(n_nationkey AS BIGINT), n_name FROM x5c_nation_src""".stripMargin)
+    spark.sql(
+      """SELECT /*+ MERGE(c) */ n_name, count(*) AS n_customers,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+        |FROM graft.demo.cust_p c JOIN graft.demo.nat_p n
+        |  ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin)
+  }
+
   /** X6: catalog-resolved V2 FUNCTION — `graft.math.clamp` resolves
     * through `FunctionCatalog.loadFunction` (not the session registry)
     * and, carrying the `invoke` magic method, compiles to a direct call
@@ -347,5 +394,5 @@ object SourceQueries {
   val all: Seq[Q] = Seq(
     s2ParquetRoundtrip, s3CsvSource, s3JsonSource, s6CacheReuse,
     s7PartitionedSink, s8OrcRoundtrip, x1ScalarUdf, x3Generator, x4Dsv2Source,
-    x5CatalogSql, x5bTimeTravel, x6CatalogFunction)
+    x5CatalogSql, x5bTimeTravel, x5cPartitionedSpj, x6CatalogFunction)
 }

@@ -66,7 +66,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def loadTable(ident: Identifier): Table = {
     val entry = store.get(ident)
     if (entry == null) throw new NoSuchTableException(ident)
-    new GraftCatalogTable(ident, entry.schema, entry.dir)
+    new GraftCatalogTable(ident, entry.schema, entry.dir,
+      partitionCols = entry.partitionCols)
   }
 
   /** TIME TRAVEL (`SELECT … FROM graft.ns.t VERSION AS OF 2`): every
@@ -88,7 +89,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val snap = snapshotByVersion(ident, v).getOrElse(throw new NoSuchTableException(
       Identifier.of(ident.namespace, s"${ident.name} VERSION AS OF $v (expired or never committed)")))
     val entry = store.get(ident)
-    new GraftCatalogTable(ident, snap.schema, entry.dir, pinned = Some(snap.segments))
+    new GraftCatalogTable(ident, snap.schema, entry.dir, pinned = Some(snap.segments),
+      partitionCols = entry.partitionCols)
   }
 
   /** `TIMESTAMP AS OF`: Spark hands micros-since-epoch; resolve to the
@@ -100,21 +102,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       Identifier.of(ident.namespace,
         s"${ident.name} TIMESTAMP AS OF $timestamp (before first retained commit)")))
     val entry = store.get(ident)
-    new GraftCatalogTable(ident, snap.schema, entry.dir, pinned = Some(snap.segments))
+    new GraftCatalogTable(ident, snap.schema, entry.dir, pinned = Some(snap.segments),
+      partitionCols = entry.partitionCols)
   }
 
+  /** `PARTITIONED BY (col, …)` accepts IDENTITY transforms on top-level
+    * columns of zone-map-trackable type (the same set the stats writer
+    * understands — a partition value the pruner can't compare would be
+    * dead metadata). Each task routes rows into one segment PER
+    * PARTITION VALUE, the scan plans one split per value, and reports
+    * `KeyGroupedPartitioning` — the storage-partitioned-join layout.
+    */
   override def createTable(
       ident: Identifier,
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = mutate {
+    val partCols = partitions.toSeq.map { t =>
+      val refs = t.references()
+      if (t.name() != "identity" || refs.length != 1 || refs(0).fieldNames().length != 1)
+        throw new UnsupportedOperationException(
+          s"graft catalog supports only identity partition transforms on top-level columns, got: $t")
+      val name = refs(0).fieldNames()(0)
+      val f = schema.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column $name not in schema ${schema.simpleString}"))
+      f.dataType match {
+        case _: org.apache.spark.sql.types.NumericType |
+             org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.BooleanType => f.name
+        case dt => throw new UnsupportedOperationException(
+          s"graft catalog partitions on numeric/string/boolean columns, $name is $dt")
+      }
+    }
     val dir = Files.createTempDirectory(segmentRoot, "tbl-").toString
-    if (store.putIfAbsent(ident, TableEntry(schema, Vector.empty, dir)) != null) {
+    if (store.putIfAbsent(ident, TableEntry(schema, Vector.empty, dir, partCols)) != null) {
       deleteRecursively(Paths.get(dir))
       throw new TableAlreadyExistsException(ident.toString, ident.name())
     }
     publish(ident) // snapshot v0: the empty table
-    new GraftCatalogTable(ident, schema, dir)
+    new GraftCatalogTable(ident, schema, dir, partitionCols = partCols)
   }
 
   /** Schema evolution: ADD COLUMN (appended, nullable) migrates the
@@ -157,7 +184,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           s.foreach(written += _)
           s
         }
-        TableEntry(widenedSchema, widened, prev.dir)
+        prev.copy(schema = widenedSchema, segments = widened)
       })
       publish(ident) // old segments stay readable via retained snapshots
       new GraftCatalogTable(ident, result.schema, result.dir)
@@ -297,16 +324,21 @@ object GraftCatalog {
     extends Serializable
 
   /** One committed immutable segment file: `rows` length-prefixed
-    * UnsafeRow payloads at `path`, `bytes` on disk, and per-column
-    * zone-map `stats` (empty when collected under an unknown schema —
-    * then the segment is never pruned).
+    * UnsafeRow payloads at `path`, `bytes` on disk, per-column zone-map
+    * `stats` (empty when collected under an unknown schema — then the
+    * segment is never pruned), and — for identity-partitioned tables —
+    * the segment's partition `key` (external JVM values of the table's
+    * partition columns, in declaration order; every row in the segment
+    * shares it, the invariant the partition-aware writer enforces).
     */
   private[graft] case class Segment(
       path: String, rows: Long, bytes: Long = 0L,
-      stats: IndexedSeq[ColStat] = Vector.empty)
+      stats: IndexedSeq[ColStat] = Vector.empty,
+      key: IndexedSeq[Any] = Vector.empty)
 
   private[sources] case class TableEntry(
-      schema: StructType, segments: Vector[Segment], dir: String)
+      schema: StructType, segments: Vector[Segment], dir: String,
+      partitionCols: Seq[String] = Nil)
 
   private val store = new ConcurrentHashMap[Identifier, TableEntry]()
 
@@ -880,7 +912,9 @@ private[sources] object SegmentIO {
       f: UnsafeRow => Option[UnsafeRow]): Option[Segment] = {
     val w = new Writer(dir, outSchema)
     foreachRow(seg, inFields)(r => f(r).foreach(w.add))
-    w.finish()
+    // A rewrite never crosses partition boundaries: the rewritten
+    // segment inherits the source segment's partition key.
+    w.finish().map(_.copy(key = seg.key))
   }
 }
 
@@ -895,12 +929,16 @@ private[sources] object SegmentIO {
   */
 private[sources] class GraftCatalogTable(
     ident: Identifier, schema0: StructType, dir: String,
-    pinned: Option[Vector[GraftCatalog.Segment]] = None)
+    pinned: Option[Vector[GraftCatalog.Segment]] = None,
+    partitionCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations {
   override def name(): String =
     if (pinned.isDefined) s"$ident (time travel)" else ident.toString
   override def schema(): StructType = schema0
+  override def partitioning(): Array[Transform] =
+    partitionCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
   // A time-travel (pinned-snapshot) table is READ-ONLY: snapshots are
   // immutable history, and advertising write capabilities would let
   // `INSERT INTO t VERSION AS OF 2` plan before failing confusingly.
@@ -939,24 +977,40 @@ private[sources] class GraftCatalogTable(
         new WriteBuilder {
           override def build(): Write = new Write {
             override def toBatch: BatchWrite =
-              new GraftCatalogBatchWrite(ident, schema0, dir, truncateFirst = true)
+              new GraftCatalogBatchWrite(ident, schema0, dir, truncateFirst = true,
+                partCols = partitionCols)
           }
         }
     }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftCatalogScanBuilder(ident, schema0, pinned)
+    new GraftCatalogScanBuilder(ident, schema0, pinned, partitionCols)
 
+  /** Writes to a PARTITIONED table request a CLUSTERED distribution on
+    * the partition columns (`RequiresDistributionAndOrdering`): Spark
+    * shuffles the incoming rows so each partition value lands in one
+    * task — one segment per value instead of one per (value × task),
+    * the small-files story at scale. Unpartitioned tables request
+    * nothing and keep the incoming parallelism.
+    */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var truncateFirst = false
       override def truncate(): WriteBuilder = { truncateFirst = true; this }
-      override def build(): Write = new Write {
+      override def build(): Write = new Write with RequiresDistributionAndOrdering {
+        import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+        import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+        override def requiredDistribution(): Distribution =
+          if (partitionCols.isEmpty) Distributions.unspecified()
+          else Distributions.clustered(
+            partitionCols.map(c => Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+        override def requiredOrdering(): Array[SortOrder] = Array.empty
         override def toBatch: BatchWrite =
-          new GraftCatalogBatchWrite(ident, schema0, dir, truncateFirst)
+          new GraftCatalogBatchWrite(ident, schema0, dir, truncateFirst, partitionCols)
         // truncateFirst here = Complete output mode: replace-per-epoch.
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-          new GraftCatalogStreamingWrite(ident, schema0, dir, info.queryId(), truncateFirst)
+          new GraftCatalogStreamingWrite(ident, schema0, dir, info.queryId(), truncateFirst,
+            partitionCols)
       }
     }
 }
@@ -973,7 +1027,8 @@ private[sources] class GraftCatalogTable(
   */
 private[sources] class GraftCatalogScanBuilder(
     ident: Identifier, schema: StructType,
-    pinned: Option[Vector[GraftCatalog.Segment]] = None)
+    pinned: Option[Vector[GraftCatalog.Segment]] = None,
+    partitionCols: Seq[String] = Nil)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.sources.Filter
   private var pruning: Array[Filter] = Array.empty
@@ -993,21 +1048,24 @@ private[sources] class GraftCatalogScanBuilder(
     required = StructType(
       schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
   override def build(): Scan =
-    GraftCatalogScan(ident, schema, pruning.toIndexedSeq, required, pinned)
+    GraftCatalogScan(ident, schema, pruning.toIndexedSeq, required, pinned, partitionCols)
 }
 
 private[sources] case class GraftCatalogScan(
     ident: Identifier, schema: StructType,
     pruning: IndexedSeq[org.apache.spark.sql.sources.Filter] = IndexedSeq.empty,
     required: StructType = null,
-    pinned: Option[Vector[GraftCatalog.Segment]] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    pinned: Option[Vector[GraftCatalog.Segment]] = None,
+    partitionCols: Seq[String] = Nil)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsReportPartitioning {
   private def out: StructType = if (required == null) schema else required
   override def readSchema(): StructType = out
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftCatalogScan($ident, columns=[${out.fieldNames.mkString(", ")}], " +
       s"zoneMapFilters=[${pruning.mkString(", ")}]" +
+      (if (partitionCols.nonEmpty) s", keyGroupedBy=[${partitionCols.mkString(", ")}]" else "") +
       pinned.map(_ => ", pinnedSnapshot").getOrElse("") + ")"
 
   // Time-travel scans plan against the PINNED snapshot list; live scans
@@ -1016,16 +1074,56 @@ private[sources] case class GraftCatalogScan(
     pinned.getOrElse(GraftCatalog.segmentsOf(ident))
       .filter(seg => pruning.forall(f => ZoneMap.mightMatch(f, schema, seg)))
 
-  // One split per SURVIVING segment: the partition carries only the
-  // segment's (path, rows) — bytes stay on disk until the executor
-  // task opens its split, and a multi-segment table scans in parallel.
-  // Zone-map-pruned segments never even plan a task. numFields is the
-  // FULL width: that is the on-disk row layout; the reader projects
-  // down to `out` after deserialization.
+  // Deterministic order: groups sorted by key rendering, so repeated
+  // plans of the same state enumerate identically.
+  private def keyGroups: Seq[(IndexedSeq[Any], Vector[GraftCatalog.Segment])] =
+    survivors.groupBy(_.key).toSeq.sortBy(_._1.mkString(" "))
+
+  /** Unpartitioned: one split per SURVIVING segment — the partition
+    * carries only (path, rows); bytes stay on disk until the executor
+    * task opens its split, and a multi-segment table scans in parallel.
+    * Identity-partitioned: one split per PARTITION VALUE (all the
+    * value's segments, with the key exposed via `HasPartitionKey`) —
+    * the layout `KeyGroupedPartitioning` promises. Zone-map-pruned
+    * segments never even plan a task; for a filter on the partition
+    * column the zone map IS exact partition pruning (min = max = the
+    * value). numFields is the FULL width: that is the on-disk row
+    * layout; the reader projects down to `out` after deserialization.
+    */
   override def planInputPartitions(): Array[InputPartition] =
-    survivors
-      .map(s => GraftCatalogPartition(s.path, s.rows, schema.length): InputPartition)
-      .toArray
+    if (partitionCols.isEmpty)
+      survivors
+        .map(s => GraftCatalogPartition(Vector((s.path, s.rows)), schema.length): InputPartition)
+        .toArray
+    else {
+      import org.apache.spark.sql.catalyst.CatalystTypeConverters
+      keyGroups.map { case (key, segs) =>
+        val keyRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          key.map(CatalystTypeConverters.convertToCatalyst).toArray)
+        GraftCatalogKeyedPartition(
+          segs.map(s => (s.path, s.rows)), schema.length, keyRow): InputPartition
+      }.toArray
+    }
+
+  /** Storage-partitioned reads: an identity-partitioned table reports
+    * `KeyGroupedPartitioning` over its partition columns, so (with
+    * `spark.sql.sources.v2.bucketing.enabled`) a join of two tables
+    * co-partitioned on the key — or an aggregate grouping on it —
+    * skips its shuffle entirely: the scan's physical layout already
+    * satisfies the required clustering. This is the 100 TB co-location
+    * story (Iceberg-style SPJ), not an optimization of this demo store.
+    */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
+    val groups = if (partitionCols.isEmpty) Nil else keyGroups
+    if (groups.isEmpty) new UnknownPartitioning(survivors.length)
+    else new KeyGroupedPartitioning(
+      partitionCols.map(c =>
+        Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray,
+      groups.length)
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     GraftCatalogReaderFactory(schema, out)
 
@@ -1050,13 +1148,26 @@ private[sources] case class GraftCatalogScan(
   }
 }
 
+/** A scan split: one or more segment files read sequentially (one file
+  * for unpartitioned tables; all of a partition value's files for
+  * key-grouped scans, which must deliver the whole value in one split).
+  */
+private[sources] sealed trait GraftCatalogSplit extends InputPartition {
+  def files: Seq[(String, Long)] // (path, rows)
+  def numFields: Int
+}
 private[sources] case class GraftCatalogPartition(
-    path: String, rows: Long, numFields: Int) extends InputPartition
+    files: Seq[(String, Long)], numFields: Int) extends GraftCatalogSplit
+private[sources] case class GraftCatalogKeyedPartition(
+    files: Seq[(String, Long)], numFields: Int, keyRow: InternalRow)
+    extends GraftCatalogSplit with HasPartitionKey {
+  override def partitionKey(): InternalRow = keyRow
+}
 
 private[sources] case class GraftCatalogReaderFactory(
     full: StructType, required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftCatalogPartition]
+    val p = partition.asInstanceOf[GraftCatalogSplit]
     // Column-pruning projection, built once per split (codegen'd):
     // identity when nothing was pruned. The projection's output row is
     // instance-reused, same as the deserialization row — both within
@@ -1073,45 +1184,55 @@ private[sources] case class GraftCatalogReaderFactory(
         r => up(r)
       }
     new PartitionReader[InternalRow] {
-      private val in =
-        new DataInputStream(new BufferedInputStream(new FileInputStream(p.path), 1 << 16))
       private val row = new UnsafeRow(p.numFields)
       // Growable read buffer reused across records (grown on demand,
       // never shrunk): with the explicit-size pointTo the reader is
       // genuinely allocation-free per row, matching the reused-row
       // contract of PartitionReader (Spark copies when it retains).
       private var buf = new Array[Byte](1 << 10)
-      private var i = 0L
+      private val fileIter = p.files.iterator
+      private var in: DataInputStream = _
+      private var remaining = 0L
+      private def advance(): Boolean = {
+        if (in != null) { in.close(); in = null }
+        if (!fileIter.hasNext) false
+        else {
+          val (path, rows) = fileIter.next()
+          in = new DataInputStream(new BufferedInputStream(new FileInputStream(path), 1 << 16))
+          remaining = rows
+          if (rows > 0) true else advance() // a rowless file is never written, but be safe
+        }
+      }
       override def next(): Boolean =
-        if (i >= p.rows) false
+        if (remaining <= 0 && !advance()) false
         else {
           val size = in.readInt()
           if (size > buf.length) buf = new Array[Byte](math.max(size, buf.length << 1))
           in.readFully(buf, 0, size)
           row.pointTo(buf, size)
-          i += 1
+          remaining -= 1
           true
         }
       override def get(): InternalRow = proj(row)
-      override def close(): Unit = in.close()
+      override def close(): Unit = if (in != null) in.close()
     }
   }
 }
 
 private[sources] class GraftCatalogBatchWrite(
     ident: Identifier, target: StructType, dir: String,
-    truncateFirst: Boolean) extends BatchWrite {
+    truncateFirst: Boolean, partCols: Seq[String] = Nil) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    GraftSegmentWriterFactory(target, dir)
+    GraftSegmentWriterFactory(target, dir, partCols)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val segs = messages.collect { case m: GraftSegmentMessage => m }
       .sortBy(_.partitionId)
-      .flatMap(_.segment)
+      .flatMap(_.segments)
     GraftCatalog.install(ident, segs.toSeq, truncateFirst)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case m: GraftSegmentMessage => m }
-      .flatMap(_.segment).foreach(SegmentIO.delete)
+      .flatMap(_.segments).foreach(SegmentIO.delete)
 }
 
 /** Streaming write path (`writeStream.toTable("graft.ns.t")`): each
@@ -1126,37 +1247,38 @@ private[sources] class GraftCatalogBatchWrite(
   */
 private[sources] class GraftCatalogStreamingWrite(
     ident: Identifier, target: StructType, dir: String, queryId: String,
-    truncate: Boolean)
+    truncate: Boolean, partCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    GraftCatalogStreamingWriterFactory(target, dir)
+    GraftCatalogStreamingWriterFactory(target, dir, partCols)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val segs = messages.collect { case m: GraftSegmentMessage => m }
       .sortBy(_.partitionId)
-      .flatMap(_.segment)
+      .flatMap(_.segments)
     GraftCatalog.installEpoch(ident, queryId, epochId, segs.toSeq, truncate)
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case m: GraftSegmentMessage => m }
-      .flatMap(_.segment).foreach(SegmentIO.delete)
+      .flatMap(_.segments).foreach(SegmentIO.delete)
 }
 
 private[sources] case class GraftCatalogStreamingWriterFactory(
-    target: StructType, dir: String)
+    target: StructType, dir: String, partCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    GraftSegmentWriterFactory(target, dir).createWriter(partitionId, taskId)
+    GraftSegmentWriterFactory(target, dir, partCols).createWriter(partitionId, taskId)
 }
 
-/** Task commit message: the segment the task wrote (None for a rowless
-  * task — no file was created), never the rows themselves.
+/** Task commit message: the segments the task wrote (empty for a
+  * rowless task — no file was created; one per partition value seen for
+  * a partitioned table), never the rows themselves.
   */
 private[sources] case class GraftSegmentMessage(
-    partitionId: Int, segment: Option[GraftCatalog.Segment]) extends WriterCommitMessage
+    partitionId: Int, segments: Seq[GraftCatalog.Segment]) extends WriterCommitMessage
 
-/** Streams incoming rows to a segment file, projecting onto the TABLE
+/** Streams incoming rows to segment files, projecting onto the TABLE
   * schema first. Row-level rewrites (UPDATE / MERGE / rewrite-DELETE)
   * deliver rows with a leading `__row_operation` metadata column — and
   * deliver them RAW even though the LogicalWriteInfo schema claims the
@@ -1164,15 +1286,42 @@ private[sources] case class GraftSegmentMessage(
   * record width at runtime: the last `target.length` fields are the
   * data columns. Storing positionally would shift every field and read
   * back garbage.
+  *
+  * For an identity-partitioned table the task fans rows out into ONE
+  * WRITER PER PARTITION VALUE it sees (the segment↔key invariant the
+  * scan's split-per-value planning relies on). The write REQUESTS a
+  * clustered distribution (see `GraftCatalogTable.newWriteBuilder`), so
+  * in the common case each task sees few values; the per-task writer
+  * cap fails loudly on a pathological unclustered write instead of
+  * exhausting file handles.
   */
-private[sources] case class GraftSegmentWriterFactory(target: StructType, dir: String)
+private[sources] case class GraftSegmentWriterFactory(
+    target: StructType, dir: String, partCols: Seq[String] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+      import org.apache.spark.sql.types.StringType
       private var proj: UnsafeProjection = _
       private var projFields = -1
-      private val writer = new SegmentIO.Writer(dir, target)
+      private val keyIdx = partCols.map(target.fieldIndex).toArray
+      private val writers =
+        new scala.collection.mutable.LinkedHashMap[IndexedSeq[Any], SegmentIO.Writer]()
+      private val MaxWritersPerTask = 1000
+
+      // Partition key as EXTERNAL values (String, boxed numerics) —
+      // comparable to pushed-filter literals and stable in the
+      // metastore. UTF8String reads point into the reused row buffer:
+      // toString copies.
+      private def keyOf(row: UnsafeRow): IndexedSeq[Any] =
+        keyIdx.toIndexedSeq.map { i =>
+          if (row.isNullAt(i)) null
+          else target.fields(i).dataType match {
+            case StringType => row.getUTF8String(i).toString
+            case dt => row.get(i, dt)
+          }
+        }
+
       override def write(record: InternalRow): Unit = {
         if (record.numFields != projFields) {
           val offset = record.numFields - target.length
@@ -1184,11 +1333,22 @@ private[sources] case class GraftSegmentWriterFactory(target: StructType, dir: S
           proj = UnsafeProjection.create(exprs)
           projFields = record.numFields
         }
-        writer.add(proj(record))
+        val row = proj(record)
+        val key = if (keyIdx.isEmpty) Vector.empty else keyOf(row)
+        val w = writers.getOrElseUpdate(key, {
+          require(writers.size < MaxWritersPerTask,
+            s"task saw > $MaxWritersPerTask distinct partition values — " +
+              "repartition the input by the table's partition columns")
+          new SegmentIO.Writer(dir, target)
+        })
+        w.add(row)
       }
       override def commit(): WriterCommitMessage =
-        GraftSegmentMessage(partitionId, writer.finish())
-      override def abort(): Unit = writer.abort()
+        GraftSegmentMessage(partitionId,
+          writers.toSeq.flatMap { case (key, w) =>
+            w.finish().map(_.copy(key = key))
+          })
+      override def abort(): Unit = writers.values.foreach(_.abort())
       override def close(): Unit = ()
     }
 }

@@ -1,0 +1,142 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Identity-partitioned catalog tables: per-value segment routing at
+  * write, split-per-value planning with `HasPartitionKey`, and
+  * `KeyGroupedPartitioning` driving storage-partitioned (shuffle-free)
+  * joins and aggregates.
+  */
+class PartitionedCatalogSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s
+  }
+  import spark.implicits._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("partitioned write routes rows into one segment per value; scan plans one split per value") {
+    import graft.sources.GraftCatalog
+    spark.sql("DROP TABLE IF EXISTS graft.pt.a")
+    spark.sql(
+      "CREATE TABLE graft.pt.a (k STRING, v BIGINT) USING graft PARTITIONED BY (k)")
+    // 3 distinct keys arriving over 4 source partitions: the write's
+    // required clustered distribution shuffles them so each value lands
+    // in one task -> exactly 3 segments, one per value.
+    spark.range(0, 300, 1, 4)
+      .selectExpr("concat('k', id % 3) AS k", "id AS v")
+      .writeTo("graft.pt.a").append()
+    assert(GraftCatalog.rowCount("pt", "a") == 300L)
+    assert(GraftCatalog.segmentCount("pt", "a") == 3,
+      "clustered write distribution must yield one segment per partition value")
+    val df = spark.table("graft.pt.a")
+    assert(df.rdd.getNumPartitions == 3, "scan must plan one split per partition value")
+    assert(df.count() == 300L)
+    // Follow-up appends add segments but still one split per VALUE.
+    spark.sql("INSERT INTO graft.pt.a VALUES ('k0', 1000), ('k9', 1001)")
+    assert(spark.table("graft.pt.a").rdd.getNumPartitions == 4,
+      "4 distinct values -> 4 key-grouped splits, multi-segment values stay one split")
+    assert(spark.table("graft.pt.a").count() == 302L)
+    spark.sql("DROP TABLE graft.pt.a")
+  }
+
+  test("a filter on the partition column prunes whole partitions from the plan") {
+    spark.sql("DROP TABLE IF EXISTS graft.pt.p")
+    spark.sql(
+      "CREATE TABLE graft.pt.p (k STRING, v BIGINT) USING graft PARTITIONED BY (k)")
+    spark.range(0, 100, 1, 2)
+      .selectExpr("concat('k', id % 5) AS k", "id AS v")
+      .writeTo("graft.pt.p").append()
+    val q = spark.table("graft.pt.p").filter($"k" === "k3")
+    assert(q.rdd.getNumPartitions == 1,
+      "zone-map stats on the partition column are exact -> only k3's split plans")
+    assert(q.count() == 20L)
+    spark.sql("DROP TABLE graft.pt.p")
+  }
+
+  test("storage-partitioned join: co-partitioned tables join with NO shuffle") {
+    spark.sql("DROP TABLE IF EXISTS graft.pt.f")
+    spark.sql("DROP TABLE IF EXISTS graft.pt.d")
+    spark.sql(
+      "CREATE TABLE graft.pt.f (k STRING, amount BIGINT) USING graft PARTITIONED BY (k)")
+    spark.sql(
+      "CREATE TABLE graft.pt.d (k STRING, label STRING) USING graft PARTITIONED BY (k)")
+    spark.range(0, 400, 1, 4)
+      .selectExpr("concat('k', id % 4) AS k", "id AS amount")
+      .writeTo("graft.pt.f").append()
+    spark.range(0, 4, 1, 2)
+      .selectExpr("concat('k', id) AS k", "concat('label-', id) AS label")
+      .writeTo("graft.pt.d").append()
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      // isolate the SPJ path: no broadcast fallback for the small side
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val joined = spark.table("graft.pt.f").join(spark.table("graft.pt.d"), "k")
+      val plan = planOf(joined)
+      assert(!plan.contains("Exchange"),
+        s"co-partitioned catalog tables must storage-partition join (no shuffle):\n$plan")
+      assert(joined.count() == 400L)
+      // And the join is CORRECT, not just shuffle-free.
+      val sums = joined.groupBy("label").agg(org.apache.spark.sql.functions.sum("amount"))
+        .as[(String, Long)].collect().toMap
+      assert(sums("label-0") == (0 until 400 by 4).map(_.toLong).sum)
+
+      // Aggregation grouped on the partition key: the scan's
+      // KeyGroupedPartitioning already satisfies the clustering -> no
+      // exchange below the aggregate either.
+      val agg = spark.table("graft.pt.f").groupBy("k").count()
+      val aplan = planOf(agg.toDF)
+      assert(!aplan.contains("Exchange"),
+        s"group-by on the partition key must not shuffle:\n$aplan")
+      assert(agg.count() == 4L)
+    }
+    spark.sql("DROP TABLE graft.pt.f")
+    spark.sql("DROP TABLE graft.pt.d")
+  }
+
+  test("partitioned tables survive the rest of the lifecycle: DELETE, time travel, DESCRIBE") {
+    spark.sql("DROP TABLE IF EXISTS graft.pt.l")
+    spark.sql(
+      "CREATE TABLE graft.pt.l (k BIGINT, v STRING) USING graft PARTITIONED BY (k)")
+    spark.sql("INSERT INTO graft.pt.l VALUES (1, 'a'), (1, 'b'), (2, 'c')") // v1
+    spark.sql("DELETE FROM graft.pt.l WHERE k = 1") // v2
+    assert(spark.sql("SELECT v FROM graft.pt.l").as[String].collect().toSeq == Seq("c"))
+    assert(spark.sql("SELECT v FROM graft.pt.l VERSION AS OF 1 ORDER BY v")
+      .as[String].collect().toSeq == Seq("a", "b", "c"),
+      "pre-DELETE snapshot still readable, partition keys preserved through rewrite")
+    // Table metadata reports the partitioning (DESCRIBE path).
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val t = cat.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(Array("pt"), "l"))
+    assert(t.partitioning().map(_.toString).toSeq == Seq("identity(k)"))
+    spark.sql("DROP TABLE graft.pt.l")
+  }
+
+  test("non-identity transforms and unknown partition columns are rejected") {
+    spark.sql("DROP TABLE IF EXISTS graft.pt.bad")
+    intercept[Exception] {
+      spark.sql(
+        "CREATE TABLE graft.pt.bad (k STRING, ts TIMESTAMP) USING graft PARTITIONED BY (days(ts))")
+    }
+    intercept[Exception] {
+      spark.sql(
+        "CREATE TABLE graft.pt.bad (k STRING) USING graft PARTITIONED BY (nope)")
+    }
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f
+    finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
