@@ -52,7 +52,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * direct (codegen'd) method invocation — no row boxing on the hot
   * path; `produceResult` stays as the interpreted fallback.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog
+    with ProcedureCatalog {
   import GraftCatalog._
 
   private var catalogName: String = "graft"
@@ -260,6 +261,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     tables.nonEmpty
   }
 
+  // ---- ProcedureCatalog: CALL graft.system.compact('ns', 'tbl') ----
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      Array(Identifier.of(namespace, "compact"))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
+    if (ident.namespace.sameElements(Array("system")) && ident.name == "compact")
+      GraftCompactProcedure
+    else throw new UnsupportedOperationException(s"no such procedure: $ident")
+
   // ---- FunctionCatalog ----
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("math")))
@@ -270,6 +282,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     if (ident.namespace.sameElements(Array("math")) && ident.name == "clamp")
       GraftClampFunction
     else throw new NoSuchFunctionException(ident)
+}
+
+/** `CALL graft.system.compact(ns, table)` — the OPTIMIZE procedure,
+  * resolved through `ProcedureCatalog` (the SQL-native maintenance
+  * entry point, same surface Iceberg uses for `rewrite_data_files`).
+  * Returns one summary row; the work happens in
+  * `GraftCatalog.compact`.
+  */
+private[graft] object GraftCompactProcedure
+    extends procedures.UnboundProcedure with procedures.BoundProcedure {
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+
+  override def name(): String = "compact"
+  override def description(): String =
+    "compact(ns, table): fold each partition's segments into one"
+  override def bind(inputType: StructType): procedures.BoundProcedure = this
+  override def isDeterministic: Boolean = false // mutates table state
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("ns", StringType).comment("namespace").build(),
+    ProcedureParameter.in("table", StringType).comment("table name").build())
+
+  private val outSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("segments_before", IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("segments_after", IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("rows", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val ns = input.getUTF8String(0).toString
+    val table = input.getUTF8String(1).toString
+    val ident = Identifier.of(Array(ns), table)
+    val (before, after, rows) = GraftCatalog.compact(ident)
+    val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(ident.toString),
+        before, after, rows))
+    java.util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = outSchema
+      override def description(): String = s"GraftCompactResult($ident)"
+    }).iterator()
+  }
 }
 
 /** `graft.math.clamp(x, lo, hi)` — catalog-resolved scalar function. */
@@ -541,6 +595,38 @@ object GraftCatalog {
     replayed.foreach(SegmentIO.delete)
     if (applied) publish(ident)
     applied
+  }
+
+  /** OPTIMIZE-style segment compaction (`CALL graft.system.compact`):
+    * within each partition-key group, segments beyond the first are
+    * folded into ONE fresh segment (streamed, never materialized), the
+    * list swaps atomically as the next snapshot, and the small files
+    * retire through the usual retention GC. Returns
+    * (segmentsBefore, segmentsAfter, rows). The small-files answer for
+    * a long-running append/stream workload — same protocol as
+    * Delta OPTIMIZE / Iceberg rewrite_data_files at demo scale (a
+    * cluster deployment would run the rewrites as tasks; the commit
+    * path is identical).
+    */
+  private[sources] def compact(ident: Identifier): (Int, Int, Long) = mutate {
+    val entry = store.get(ident)
+    if (entry == null) throw new NoSuchTableException(ident)
+    val before = entry.segments.length
+    val rows = entry.segments.map(_.rows).sum
+    val compacted = entry.segments.groupBy(_.key).toSeq
+      .sortBy(_._1.mkString(" "))
+      .flatMap { case (key, segs) =>
+        if (segs.length <= 1) segs
+        else {
+          val w = new SegmentIO.Writer(entry.dir, entry.schema)
+          segs.foreach(seg =>
+            SegmentIO.foreachRow(seg, entry.schema.length)(w.add))
+          w.finish().map(_.copy(key = key)).toSeq
+        }
+      }.toVector
+    store.put(ident, entry.copy(segments = compacted))
+    publish(ident)
+    (before, compacted.length, rows)
   }
 
   /** Metadata-path DELETE: stream every segment through the filter into
@@ -1051,15 +1137,59 @@ private[sources] class GraftCatalogScanBuilder(
     GraftCatalogScan(ident, schema, pruning.toIndexedSeq, required, pinned, partitionCols)
 }
 
-private[sources] case class GraftCatalogScan(
+private[graft] case class GraftCatalogScan(
     ident: Identifier, schema: StructType,
     pruning: IndexedSeq[org.apache.spark.sql.sources.Filter] = IndexedSeq.empty,
     required: StructType = null,
     pinned: Option[Vector[GraftCatalog.Segment]] = None,
     partitionCols: Seq[String] = Nil)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsRuntimeV2Filtering {
   private def out: StructType = if (required == null) schema else required
+
+  /** Runtime V2 filtering (SPARK-35779 — the DSv2 dynamic-partition-
+    * pruning analogue): at execution time Spark hands the scan an IN
+    * predicate built from the OTHER join side's partition-key values;
+    * converted to a source `In` filter it rides the same zone-map
+    * pruning as static filters, and since identity partition values
+    * have min = max, it drops every partition value the join cannot
+    * match BEFORE planning tasks. Advertised only for the partition
+    * columns — the granularity at which skipping is exact. Transient
+    * state, not a constructor field: scan equality (exchange reuse)
+    * must ignore runtime narrowing.
+    */
+  @transient private var runtimePruning: IndexedSeq[org.apache.spark.sql.sources.Filter] =
+    IndexedSeq.empty
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    partitionCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(c)).toArray
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+    def ext(v: Any): Any = v match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case other => other
+    }
+    val converted = predicates.toIndexedSeq.flatMap { p =>
+      if (p.name() == "IN" && p.children().nonEmpty) {
+        p.children()(0) match {
+          case nr: NamedReference if nr.fieldNames().length == 1 =>
+            val vals = p.children().drop(1).toSeq.collect {
+              case l: V2Literal[_] => ext(l.value())
+            }
+            // All children after the ref must be literals, else the
+            // predicate is not a plain value-list IN — skip it.
+            if (vals.nonEmpty && vals.length == p.children().length - 1)
+              Some(org.apache.spark.sql.sources.In(nr.fieldNames()(0), vals.toArray))
+            else None
+          case _ => None
+        }
+      } else None
+    }
+    runtimePruning = converted.filter(ZoneMap.prunable(_, schema))
+  }
   override def readSchema(): StructType = out
   override def toBatch: Batch = this
   override def description(): String =
@@ -1069,10 +1199,16 @@ private[sources] case class GraftCatalogScan(
       pinned.map(_ => ", pinnedSnapshot").getOrElse("") + ")"
 
   // Time-travel scans plan against the PINNED snapshot list; live scans
-  // resolve the then-current list at plan time.
-  private def survivors: Vector[GraftCatalog.Segment] =
+  // resolve the then-current list at plan time. Static pushed filters
+  // and runtime join filters prune through the same zone maps.
+  private def survivors: Vector[GraftCatalog.Segment] = {
+    // transient field: null after executor-side deserialization (where
+    // survivors is never called — but a guard beats an NPE).
+    val rt = if (runtimePruning == null) IndexedSeq.empty else runtimePruning
     pinned.getOrElse(GraftCatalog.segmentsOf(ident))
-      .filter(seg => pruning.forall(f => ZoneMap.mightMatch(f, schema, seg)))
+      .filter(seg =>
+        (pruning ++ rt).forall(f => ZoneMap.mightMatch(f, schema, seg)))
+  }
 
   // Deterministic order: groups sorted by key rendering, so repeated
   // plans of the same state enumerate identically.

@@ -118,6 +118,57 @@ class PartitionedCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.pt.l")
   }
 
+  test("runtime V2 filtering prunes fact partitions from the dim side of a broadcast join") {
+    spark.sql("DROP TABLE IF EXISTS graft.rt.fact")
+    spark.sql(
+      "CREATE TABLE graft.rt.fact (k STRING, v BIGINT) USING graft PARTITIONED BY (k)")
+    spark.range(0, 800, 1, 4)
+      .selectExpr("concat('k', id % 8) AS k", "id AS v")
+      .writeTo("graft.rt.fact").append()
+    val dim = spark.range(0, 8).selectExpr("concat('k', id) AS dk", "id AS attr")
+      .filter($"dk" === "k5") // selective predicate on the dim side
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joined = spark.table("graft.rt.fact")
+        .join(org.apache.spark.sql.functions.broadcast(dim), $"k" === $"dk")
+      assert(joined.collect().length == 100)
+      val scan = joined.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.map(_.scan).collectFirst { case s: graft.sources.GraftCatalogScan => s }.get
+      assert(scan.planInputPartitions().length == 1,
+        "the dim side's runtime IN filter must prune the fact scan to one partition")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    spark.sql("DROP TABLE graft.rt.fact")
+  }
+
+  test("CALL graft.system.compact folds each partition's segments into one") {
+    import graft.sources.GraftCatalog
+    spark.sql("DROP TABLE IF EXISTS graft.opt.t")
+    spark.sql(
+      "CREATE TABLE graft.opt.t (k STRING, v BIGINT) USING graft PARTITIONED BY (k)")
+    // 4 separate single-key inserts -> 2 keys x 2 segments each.
+    spark.sql("INSERT INTO graft.opt.t VALUES ('a', 1), ('b', 2)")
+    spark.sql("INSERT INTO graft.opt.t VALUES ('a', 3), ('b', 4)")
+    assert(GraftCatalog.segmentCount("opt", "t") == 4)
+    val res = spark.sql("CALL graft.system.compact('opt', 't')").collect()
+    assert(res.length == 1)
+    assert(res(0).getAs[Int]("segments_before") == 4)
+    assert(res(0).getAs[Int]("segments_after") == 2,
+      "compaction folds to one segment per partition value")
+    assert(res(0).getAs[Long]("rows") == 4L)
+    assert(GraftCatalog.segmentCount("opt", "t") == 2)
+    // Data intact, partition layout intact (still one split per value).
+    assert(spark.sql("SELECT sum(v) FROM graft.opt.t").as[Long].head() == 10L)
+    assert(spark.table("graft.opt.t").rdd.getNumPartitions == 2)
+    // Compaction is a versioned commit: the pre-compaction snapshot is
+    // still readable.
+    val v = GraftCatalog.currentVersion("opt", "t").get
+    assert(spark.sql(s"SELECT count(*) FROM graft.opt.t VERSION AS OF ${v - 1}")
+      .as[Long].head() == 4L)
+    spark.sql("DROP TABLE graft.opt.t")
+  }
+
   test("non-identity transforms and unknown partition columns are rejected") {
     spark.sql("DROP TABLE IF EXISTS graft.pt.bad")
     intercept[Exception] {
