@@ -261,15 +261,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     tables.nonEmpty
   }
 
-  // ---- ProcedureCatalog: CALL graft.system.compact('ns', 'tbl') ----
+  // ---- ProcedureCatalog: CALL graft.system.{compact,history}(...) ----
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array(Identifier.of(namespace, "compact"))
+      Array(Identifier.of(namespace, "compact"), Identifier.of(namespace, "history"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
     if (ident.namespace.sameElements(Array("system")) && ident.name == "compact")
       GraftCompactProcedure
+    else if (ident.namespace.sameElements(Array("system")) && ident.name == "history")
+      GraftHistoryProcedure
     else throw new UnsupportedOperationException(s"no such procedure: $ident")
 
   // ---- FunctionCatalog ----
@@ -322,6 +324,52 @@ private[graft] object GraftCompactProcedure
       override def rows(): Array[InternalRow] = Array(row)
       override def readSchema(): StructType = outSchema
       override def description(): String = s"GraftCompactResult($ident)"
+    }).iterator()
+  }
+}
+
+/** `CALL graft.system.history(ns, table)` — the DESCRIBE HISTORY
+  * analogue: one row per RETAINED snapshot (version, commit time,
+  * segment count, row count, is_current), newest first. Versions
+  * outside the retention window have been vacuumed and no longer
+  * appear — exactly the set `VERSION AS OF` can still serve.
+  */
+private[graft] object GraftHistoryProcedure
+    extends procedures.UnboundProcedure with procedures.BoundProcedure {
+  import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, TimestampType}
+  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+
+  override def name(): String = "history"
+  override def description(): String =
+    "history(ns, table): retained snapshots, newest first"
+  override def bind(inputType: StructType): procedures.BoundProcedure = this
+  override def isDeterministic: Boolean = false // reads mutable state
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("ns", StringType).comment("namespace").build(),
+    ProcedureParameter.in("table", StringType).comment("table name").build())
+
+  private val outSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("version", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("committed_at", TimestampType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_segments", IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_rows", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("is_current", BooleanType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val ident = Identifier.of(
+      Array(input.getUTF8String(0).toString), input.getUTF8String(1).toString)
+    val snaps = GraftCatalog.retainedSnapshots(ident)
+    if (snaps.isEmpty) throw new NoSuchTableException(ident)
+    val latest = snaps.map(_.version).max
+    val outRows = snaps.sortBy(-_.version).map { s =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+        s.version, s.wallMs * 1000L, // micros for TimestampType
+        s.segments.length, s.segments.map(_.rows).sum, s.version == latest)): InternalRow
+    }.toArray
+    java.util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = outRows
+      override def readSchema(): StructType = outSchema
+      override def description(): String = s"GraftHistory($ident)"
     }).iterator()
   }
 }
@@ -505,6 +553,12 @@ object GraftCatalog {
       ident: Identifier, micros: Long): Option[CatalogSnapshot] =
     history.getOrDefault(ident, Vector.empty)
       .takeWhile(_.wallMs * 1000L <= micros).lastOption
+  /** Retained (time-travel-servable) snapshots of a table, oldest
+    * first; empty for an unknown table.
+    */
+  private[sources] def retainedSnapshots(ident: Identifier): Vector[CatalogSnapshot] =
+    history.getOrDefault(ident, Vector.empty)
+
   /** Test observability: latest committed version of a table. */
   private[graft] def currentVersion(ns: String, table: String): Option[Long] =
     history.getOrDefault(Identifier.of(Array(ns), table), Vector.empty)

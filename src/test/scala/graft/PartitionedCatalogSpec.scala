@@ -169,6 +169,46 @@ class PartitionedCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.opt.t")
   }
 
+  test("CALL graft.system.history lists retained snapshots, newest first") {
+    spark.sql("DROP TABLE IF EXISTS graft.h.t")
+    spark.sql("CREATE TABLE graft.h.t (v BIGINT) USING graft") // v0
+    spark.sql("INSERT INTO graft.h.t VALUES (1), (2)") // v1
+    spark.sql("INSERT INTO graft.h.t VALUES (3)") // v2
+    val h = spark.sql("CALL graft.system.history('h', 't')").collect()
+    assert(h.map(_.getAs[Long]("version")).toSeq == Seq(2L, 1L, 0L))
+    assert(h.map(_.getAs[Long]("n_rows")).toSeq == Seq(3L, 2L, 0L))
+    assert(h.map(_.getAs[Boolean]("is_current")).toSeq == Seq(true, false, false))
+    // Every listed version is actually servable by VERSION AS OF.
+    h.map(_.getAs[Long]("version")).foreach { v =>
+      spark.sql(s"SELECT * FROM graft.h.t VERSION AS OF $v").collect()
+    }
+    intercept[Exception] { spark.sql("CALL graft.system.history('h', 'nope')").collect() }
+    spark.sql("DROP TABLE graft.h.t")
+  }
+
+  test("streaming append into a PARTITIONED catalog table routes epochs per value") {
+    import graft.sources.GraftCatalog
+    spark.sql("DROP TABLE IF EXISTS graft.pt.st")
+    spark.sql(
+      "CREATE TABLE graft.pt.st (k STRING, v BIGINT) USING graft PARTITIONED BY (k)")
+    val src = java.nio.file.Files.createTempDirectory("graft_pt_stream_src_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pt_stream_ckpt_").toString
+    spark.range(0, 60, 1, 2).selectExpr("concat('k', id % 3) AS k", "id AS v")
+      .write.mode("overwrite").parquet(src)
+    val q = spark.readStream
+      .schema("k STRING, v BIGINT").parquet(src)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("graft.pt.st")
+    q.awaitTermination()
+    assert(GraftCatalog.rowCount("pt", "st") == 60L)
+    assert(spark.table("graft.pt.st").rdd.getNumPartitions == 3,
+      "streamed rows must land key-grouped: one split per partition value")
+    assert(spark.sql("SELECT count(DISTINCT k) FROM graft.pt.st").as[Long].head() == 3L)
+    spark.sql("DROP TABLE graft.pt.st")
+  }
+
   test("non-identity transforms and unknown partition columns are rejected") {
     spark.sql("DROP TABLE IF EXISTS graft.pt.bad")
     intercept[Exception] {
