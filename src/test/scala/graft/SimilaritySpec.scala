@@ -139,19 +139,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert((exact & ivf).size >= 8, s"recall ${(exact & ivf).size}/10")
   }
 
-  test("planted ANN fixtures: both indexes return exactly the 10 lowest planted copies") {
+  test("planted ANN fixtures: all three indexes return exactly the 10 lowest planted copies") {
     // The provable-recall contract behind the l3_ann_* oracles: a
     // bit-identical copy of the query vector shares its bucket in every
-    // SRP table and its IVF list, so the top-10 is the 10 lowest
-    // planted ids at sim 1.0 — deterministically, in both indexes.
+    // SRP table, its IVF list, and (MIPS-PQ encoding) the globally
+    // maximal ADC score, so the top-10 is the 10 lowest planted ids at
+    // sim 1.0 — deterministically, in all three indexes.
     val dir = "/root/testdata/sf0.001"
     val expect = (0 until 10).map(i => (1000000L + i, -1, 1.0))
     for (q <- Seq(graft.queries.SimilarityQueries.l3AnnLsh,
-                  graft.queries.SimilarityQueries.l3AnnIvf)) {
+                  graft.queries.SimilarityQueries.l3AnnIvf,
+                  graft.queries.SimilarityQueries.l3AnnIvfPq)) {
       val got = q.fn(spark, dir)
         .as[(Long, Int, Double)].collect().toSeq
       assert(got == expect, s"${q.name}: $got")
     }
+  }
+
+  test("IVF-PQ ANN recall vs brute force is >= 7/10 on sf0.01") {
+    // Raw approximate recall on the NATURAL corpus: ADC ranking over
+    // 4x16-centroid MIPS-PQ codes with exact re-rank of the top-64.
+    // Catches ADC/encoder regressions the planted oracle cannot (the
+    // planted copies dominate any correct-or-broken ADC ordering).
+    val dir = "/root/testdata/sf0.01"
+    val exact = graft.queries.SimilarityQueries.l3CosineTopK.fn(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    val e = graft.Tables.embeddings(spark, dir).persist()
+    val pq = graft.queries.SimilarityQueries.ivfPqTopK(spark, e, e)
+      .select("vec_id").as[Long].collect().toSet
+    e.unpersist()
+    assert((exact & pq).size >= 7, s"recall ${(exact & pq).size}/10")
   }
 
   test("native SrpBucket matches the HOF lshBucket construction bit-for-bit") {
