@@ -1169,15 +1169,71 @@ private[sources] class GraftCatalogScanBuilder(
     ident: Identifier, schema: StructType,
     pinned: Option[Vector[GraftCatalog.Segment]] = None,
     partitionCols: Seq[String] = Nil)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources.Filter
   private var pruning: Array[Filter] = Array.empty
+  private var sawFilters = false
+  private var pushedAggs: Option[Seq[GraftCatalogAgg]] = None
   private var required: StructType = schema
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    sawFilters = filters.nonEmpty
     pruning = filters.filter(ZoneMap.prunable(_, schema))
     filters // all residual: segment skipping never proves per-row match
   }
   override def pushedFilters(): Array[Filter] = pruning
+
+  /** METADATA-ONLY aggregates: an unfiltered global COUNT(*) / MIN /
+    * MAX over a zone-map-tracked column is answered from the segment
+    * statistics the writers already collected — COMPLETE pushdown, zero
+    * file reads (the parquet-footer-statistics move, served from the
+    * table format's own metadata). Declined whenever ANY filter exists
+    * (segment skipping never proves per-row match, so stats can't
+    * answer a filtered aggregate), for group-bys, and for columns the
+    * stats don't track — those run above the scan as usual. Correctness
+    * note: stat min/max ignore nulls exactly as SQL MIN/MAX do, a
+    * provably all-null column yields NULL, and string/NaN orderings in
+    * the stats writer match Spark's aggregate semantics.
+    */
+  private def translate(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Seq[GraftCatalogAgg]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.types._
+    if (sawFilters || agg.groupByExpressions.nonEmpty) return None
+    def trackedCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          schema.fields.find(_.name == nr.fieldNames()(0)).collect {
+            case f if (f.dataType match {
+              case LongType | IntegerType | ShortType | ByteType |
+                   DoubleType | FloatType | BooleanType | StringType => true
+              case _ => false
+            }) => f.name
+          }
+        case _ => None
+      }
+    val translated = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(GraftCatalogAgg.CountStar)
+      case m: Min => trackedCol(m.column).map(GraftCatalogAgg.MinCol)
+      case m: Max => trackedCol(m.column).map(GraftCatalogAgg.MaxCol)
+      case _ => None
+    }
+    if (translated.nonEmpty && translated.forall(_.isDefined)) Some(translated.flatten)
+    else None
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    translate(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    translate(agg) match {
+      case Some(t) => pushedAggs = Some(t); true
+      case None => false
+    }
   // Column pruning: segments store FULL rows (row-major), so pruning
   // can't skip disk bytes the way a columnar format does — but the
   // per-split projection below narrows every row before it enters the
@@ -1187,8 +1243,79 @@ private[sources] class GraftCatalogScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = StructType(
       schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
-  override def build(): Scan =
-    GraftCatalogScan(ident, schema, pruning.toIndexedSeq, required, pinned, partitionCols)
+  override def build(): Scan = pushedAggs match {
+    case Some(aggs) => GraftCatalogAggScan(ident, schema, pinned, aggs)
+    case None =>
+      GraftCatalogScan(ident, schema, pruning.toIndexedSeq, required, pinned, partitionCols)
+  }
+}
+
+/** The metadata-answerable aggregates over a catalog table. */
+private[graft] sealed trait GraftCatalogAgg extends Serializable
+private[graft] object GraftCatalogAgg {
+  case object CountStar extends GraftCatalogAgg
+  case class MinCol(name: String) extends GraftCatalogAgg
+  case class MaxCol(name: String) extends GraftCatalogAgg
+}
+
+/** O(1) scan for a completely-pushed aggregation: one carrier split,
+  * one row, every value folded from the committed segments' zone-map
+  * statistics at plan time — the segment files are never opened.
+  */
+private[graft] case class GraftCatalogAggScan(
+    ident: Identifier, schema: StructType,
+    pinned: Option[Vector[GraftCatalog.Segment]], aggs: Seq[GraftCatalogAgg])
+    extends Scan with Batch {
+  import org.apache.spark.sql.types._
+
+  private def colIndex(name: String): Int = schema.fieldIndex(name)
+
+  override def readSchema(): StructType = StructType(aggs.map {
+    case GraftCatalogAgg.CountStar => StructField("COUNT(*)", LongType, nullable = false)
+    case GraftCatalogAgg.MinCol(c) =>
+      StructField(s"MIN($c)", schema.fields(colIndex(c)).dataType, nullable = true)
+    case GraftCatalogAgg.MaxCol(c) =>
+      StructField(s"MAX($c)", schema.fields(colIndex(c)).dataType, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftCatalogAggScan($ident, aggs=[${aggs.mkString(", ")}], metadataOnly)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftCatalogPartition(Vector.empty, 0))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    val segs = pinned.getOrElse(GraftCatalog.segmentsOf(ident))
+    // Exact same-type comparison as the stats writer (externalized:
+    // UTF8String minima became String) — NaN largest, string binary
+    // order, matching Spark's MIN/MAX.
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y) < 0
+      case (x: java.lang.Float, y: java.lang.Float) => java.lang.Float.compare(x, y) < 0
+      case (x: java.lang.Boolean, y: java.lang.Boolean) => !x && y
+      case (x: String, y: String) => x.compareTo(y) < 0
+      case (x: Number, y: Number) => x.longValue() < y.longValue()
+      case _ => false
+    }
+    def fold(c: String, wantMin: Boolean): Any = {
+      val i = colIndex(c)
+      val vals = segs.flatMap { s =>
+        require(s.stats.length > i,
+          s"segment ${s.path} lacks stats for column $c — metadata aggregate unanswerable")
+        Option(if (wantMin) s.stats(i).min else s.stats(i).max)
+      }
+      if (vals.isEmpty) null
+      else CatalystTypeConverters.convertToCatalyst(
+        vals.reduce((a, b) => if (lt(a, b) == wantMin) a else b))
+    }
+    val row = InternalRow.fromSeq(aggs.map {
+      case GraftCatalogAgg.CountStar => segs.map(_.rows).sum
+      case GraftCatalogAgg.MinCol(c) => fold(c, wantMin = true)
+      case GraftCatalogAgg.MaxCol(c) => fold(c, wantMin = false)
+    })
+    GraftRangeSingleRowFactory(row)
+  }
 }
 
 private[graft] case class GraftCatalogScan(

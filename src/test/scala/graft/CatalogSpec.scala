@@ -460,6 +460,39 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.tt.s")
   }
 
+  test("metadata-only aggregates: unfiltered COUNT/MIN/MAX fold from segment stats, zero file reads") {
+    spark.sql("DROP TABLE IF EXISTS graft.agg.m")
+    spark.sql("CREATE TABLE graft.agg.m (k BIGINT, s STRING, d DOUBLE) USING graft")
+    spark.sql("INSERT INTO graft.agg.m VALUES (5, 'banana', 2.5), (1, 'apple', CAST('NaN' AS DOUBLE))")
+    spark.sql("INSERT INTO graft.agg.m VALUES (9, NULL, -3.0)")
+    val q = spark.sql("SELECT count(*), min(k), max(k), min(s), max(s), max(d) FROM graft.agg.m")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftCatalogAggScan"),
+      s"aggregate was not pushed to metadata:\n$plan")
+    val r = q.collect()(0)
+    assert(r.getLong(0) == 3L)
+    assert(r.getLong(1) == 1L && r.getLong(2) == 9L)
+    assert(r.getString(3) == "apple" && r.getString(4) == "banana",
+      "MIN/MAX(string) ignore the NULL and use binary order")
+    assert(r.getDouble(5).isNaN, "NaN is the largest double, matching Spark MAX")
+    // Empty table: COUNT 0, MIN/MAX NULL.
+    spark.sql("CREATE TABLE graft.agg.e (x INT) USING graft")
+    val er = spark.sql("SELECT count(*), min(x) FROM graft.agg.e").collect()(0)
+    assert(er.getLong(0) == 0L && er.isNullAt(1))
+    // A filter disables the metadata path (stats can't prove row-level
+    // matches) — the plain scan + real aggregate answers instead.
+    val fq = spark.sql("SELECT count(*) FROM graft.agg.m WHERE k > 2")
+    assert(!fq.queryExecution.executedPlan.toString.contains("GraftCatalogAggScan"))
+    assert(fq.as[Long].head() == 2L)
+    // Time travel composes: the pinned snapshot's stats answer.
+    val tq = spark.sql("SELECT count(*), max(k) FROM graft.agg.m VERSION AS OF 1")
+    assert(tq.queryExecution.executedPlan.toString.contains("GraftCatalogAggScan"))
+    val tr = tq.collect()(0)
+    assert(tr.getLong(0) == 2L && tr.getLong(1) == 5L)
+    spark.sql("DROP TABLE graft.agg.m")
+    spark.sql("DROP TABLE graft.agg.e")
+  }
+
   test("create rejects a duplicate identifier; analyzer enforces the declared schema") {
     spark.sql("DROP TABLE IF EXISTS graft.t3.once")
     spark.sql("CREATE TABLE graft.t3.once (x INT) USING graft")
