@@ -683,19 +683,29 @@ object GraftCatalog {
     (before, compacted.length, rows)
   }
 
-  /** Metadata-path DELETE: stream every segment through the filter into
-    * a compacted survivor segment, swap the list, GC the old files.
-    * (Driver-side streaming I/O, never a full materialization — on a
-    * cluster this would run as a rewrite job, same protocol.)
+  /** Metadata-path DELETE. Segments whose zone maps PROVE no row can
+    * match the predicate are kept byte-for-byte (no I/O — on a
+    * partitioned table, a partition-key DELETE touches only the
+    * matching partitions' files, the copy-on-write scoping that keeps
+    * a one-partition DELETE from rewriting 100 TB); the rest stream
+    * through the filter into compacted survivor segments. The list
+    * swaps atomically as the next snapshot. (Driver-side streaming
+    * I/O, never a full materialization — on a cluster the rewrites
+    * would run as tasks, same commit protocol.)
     */
   private[sources] def deleteWhere(
       ident: Identifier,
       schema: StructType,
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = mutate {
+    import org.apache.spark.sql.sources.{And, Filter}
+    val cond: Option[Filter] = filters.reduceOption(And.apply)
     store.compute(ident, (_, prev) => {
       require(prev != null, s"table $ident dropped mid-delete")
       val kept = prev.segments.flatMap { seg =>
-        SegmentIO.rewriteOpt(seg, prev.dir, prev.schema.length, prev.schema) { r =>
+        // mightMatch false ⇒ the conjunction provably matches no row of
+        // this segment ⇒ the DELETE cannot touch it: keep the file.
+        if (cond.exists(c => !ZoneMap.mightMatch(c, schema, seg))) Some(seg)
+        else SegmentIO.rewriteOpt(seg, prev.dir, prev.schema.length, prev.schema) { r =>
           if (filters.forall(GraftFilterEval.eval(_, schema, r))) None else Some(r)
         }
       }

@@ -209,6 +209,27 @@ class PartitionedCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.pt.st")
   }
 
+  test("DELETE on a partition key rewrites ONLY the matching partition's segments") {
+    import graft.sources.GraftCatalog
+    spark.sql("DROP TABLE IF EXISTS graft.del.p")
+    spark.sql(
+      "CREATE TABLE graft.del.p (k STRING, v BIGINT) USING graft PARTITIONED BY (k)")
+    spark.range(0, 100, 1, 2)
+      .selectExpr("concat('k', id % 5) AS k", "id AS v")
+      .writeTo("graft.del.p").append()
+    assert(GraftCatalog.segmentCount("del", "p") == 5)
+    GraftCatalog.vacuumTombstones() // isolate the replaced-file accounting
+    // Partial delete within one partition: zone maps prove the other 4
+    // partitions can't match, so exactly ONE segment is replaced.
+    spark.sql("DELETE FROM graft.del.p WHERE k = 'k2' AND v < 50")
+    assert(GraftCatalog.tombstoneCount == 1,
+      "only the matching partition's segment may be rewritten")
+    assert(spark.sql("SELECT count(*) FROM graft.del.p WHERE k = 'k2'")
+      .as[Long].head() == 10L)
+    assert(spark.sql("SELECT count(*) FROM graft.del.p").as[Long].head() == 90L)
+    spark.sql("DROP TABLE graft.del.p")
+  }
+
   test("non-identity transforms and unknown partition columns are rejected") {
     spark.sql("DROP TABLE IF EXISTS graft.pt.bad")
     intercept[Exception] {
