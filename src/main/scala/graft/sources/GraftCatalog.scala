@@ -1106,29 +1106,71 @@ private[sources] class GraftCatalogTable(
 
   /** GROUP-BASED row-level ops (UPDATE / MERGE INTO / complex DELETE):
     * Spark rewrites the statement into (scan the affected groups) ⋈
-    * (source) → recomputed rows → replace those groups. This table's one
-    * group is the WHOLE table — the op's scan reads everything and its
-    * write is the truncate-commit, so the replacement is atomic under
-    * the same two-phase protocol as INSERT OVERWRITE. (A production
-    * table format would scope groups to matched files/partitions.)
+    * (source) → recomputed rows → replace those groups. The GROUPS here
+    * are SEGMENTS: Spark's row-level scan planning pushes the
+    * operation's condition into this scan, segments whose zone maps
+    * prove the condition can't match are EXCLUDED from the rewrite and
+    * re-attached untouched at commit, and only the segments that might
+    * hold affected rows stream through the recompute — on a partitioned
+    * table a partition-key UPDATE/MERGE rewrites just those partitions
+    * (copy-on-write scoping, the Iceberg file-group shape). The scan is
+    * PINNED to the segment list it partitioned (kept + scanned is one
+    * consistent snapshot), and the commit swap is atomic under the same
+    * two-phase protocol as INSERT OVERWRITE. Exclusion is sound because
+    * zone-map pruning is conservative: a kept segment provably contains
+    * NO row the operation could change.
     */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     () => new RowLevelOperation {
+      // Segments excluded from the rewrite, re-attached at commit.
+      // Fed from two pruning stages: the STATIC condition pushdown at
+      // scan build, and Spark's RUNTIME group filter (MERGE computes
+      // the matching groups from the source side at execution) via the
+      // scan's onRuntimeExclude callback. Deduped by path — both
+      // stages may exclude, and planning may re-run.
+      @volatile private var kept: Vector[GraftCatalog.Segment] = Vector.empty
+      private def addKept(segs: Vector[GraftCatalog.Segment]): Unit = synchronized {
+        kept = (kept ++ segs).distinctBy(_.path)
+      }
       override def command(): RowLevelOperation.Command = info.command()
       override def description(): String = s"GraftRowLevel(${info.command()}, $ident)"
-      // NO zone-map pruning here, by design: this scan feeds the
-      // group-based rewrite whose write REPLACES the whole table (the
-      // one group). Pruning it by the DML's WHERE would silently drop
-      // every non-matching row at the truncate-commit.
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        () => GraftCatalogScan(ident, schema0)
+        new ScanBuilder with SupportsPushDownFilters {
+          import org.apache.spark.sql.sources.Filter
+          private var pruning: Array[Filter] = Array.empty
+          override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+            pruning = filters.filter(ZoneMap.prunable(_, schema0))
+            filters // all residual: the rewrite re-evaluates per row
+          }
+          override def pushedFilters(): Array[Filter] = pruning
+          override def build(): Scan = {
+            val (touch, keep) = GraftCatalog.segmentsOf(ident).partition(seg =>
+              pruning.forall(f => ZoneMap.mightMatch(f, schema0, seg)))
+            addKept(keep)
+            GraftCatalogScan(ident, schema0, pinned = Some(touch),
+              partitionCols = partitionCols, onRuntimeExclude = Some(addKept))
+          }
+        }
       override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
         new WriteBuilder {
           override def build(): Write = new Write {
-            override def toBatch: BatchWrite =
-              new GraftCatalogBatchWrite(ident, schema0, dir, truncateFirst = true,
-                partCols = partitionCols)
+            override def toBatch: BatchWrite = new BatchWrite {
+              private val inner = new GraftCatalogBatchWrite(
+                ident, schema0, dir, truncateFirst = true, partCols = partitionCols)
+              override def createBatchWriterFactory(
+                  pinfo: PhysicalWriteInfo): DataWriterFactory =
+                inner.createBatchWriterFactory(pinfo)
+              override def commit(messages: Array[WriterCommitMessage]): Unit = {
+                val rewritten = messages
+                  .collect { case m: GraftSegmentMessage => m }
+                  .sortBy(_.partitionId).flatMap(_.segments)
+                // Replace the table with kept (untouched) + rewritten.
+                GraftCatalog.install(ident, kept ++ rewritten, truncate = true)
+              }
+              override def abort(messages: Array[WriterCommitMessage]): Unit =
+                inner.abort(messages)
+            }
           }
         }
     }
@@ -1333,7 +1375,15 @@ private[graft] case class GraftCatalogScan(
     pruning: IndexedSeq[org.apache.spark.sql.sources.Filter] = IndexedSeq.empty,
     required: StructType = null,
     pinned: Option[Vector[GraftCatalog.Segment]] = None,
-    partitionCols: Seq[String] = Nil)
+    partitionCols: Seq[String] = Nil,
+    // Row-level-rewrite feedback channel: when Spark's runtime GROUP
+    // filter drops pinned segments from a rewrite scan, they are not
+    // rewritten — so they MUST be re-attached at the commit, or their
+    // rows are lost at the truncate-swap. The op registers this
+    // callback; a plain read scan leaves it None. (Function field:
+    // compared by reference in case-class equality — row-level scans
+    // are never exchange-reuse candidates, read scans never carry it.)
+    onRuntimeExclude: Option[Vector[GraftCatalog.Segment] => Unit] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeV2Filtering {
   private def out: StructType = if (required == null) schema else required
@@ -1379,7 +1429,13 @@ private[graft] case class GraftCatalogScan(
         }
       } else None
     }
-    runtimePruning = converted.filter(ZoneMap.prunable(_, schema))
+    val prev = if (runtimePruning == null) IndexedSeq.empty else runtimePruning
+    runtimePruning = prev ++ converted.filter(ZoneMap.prunable(_, schema))
+    for (cb <- onRuntimeExclude; segs <- pinned) {
+      val excluded = segs.filterNot(seg =>
+        runtimePruning.forall(f => ZoneMap.mightMatch(f, schema, seg)))
+      if (excluded.nonEmpty) cb(excluded)
+    }
   }
   override def readSchema(): StructType = out
   override def toBatch: Batch = this

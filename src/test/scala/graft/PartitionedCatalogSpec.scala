@@ -230,6 +230,47 @@ class PartitionedCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.del.p")
   }
 
+  test("UPDATE and MERGE rewrite only the segments their condition can touch") {
+    import graft.sources.GraftCatalog
+    spark.sql("DROP TABLE IF EXISTS graft.rl.p")
+    spark.sql(
+      "CREATE TABLE graft.rl.p (k STRING, v BIGINT) USING graft PARTITIONED BY (k)")
+    spark.range(0, 100, 1, 2)
+      .selectExpr("concat('k', id % 5) AS k", "id AS v")
+      .writeTo("graft.rl.p").append()
+    assert(GraftCatalog.segmentCount("rl", "p") == 5)
+    GraftCatalog.vacuumTombstones()
+    // UPDATE scoped to one partition: the other 4 segments must be kept
+    // byte-for-byte (re-attached at commit), only k1's is replaced.
+    spark.sql("UPDATE graft.rl.p SET v = v + 1000 WHERE k = 'k1'")
+    assert(GraftCatalog.tombstoneCount == 1,
+      "UPDATE must rewrite only the matching partition's segment")
+    assert(spark.sql("SELECT count(*) FROM graft.rl.p WHERE v >= 1000")
+      .as[Long].head() == 20L)
+    assert(spark.sql("SELECT count(*) FROM graft.rl.p").as[Long].head() == 100L)
+    // MERGE keyed on the partition column: same scoping through the
+    // merge's pushed condition.
+    GraftCatalog.vacuumTombstones()
+    spark.range(0, 1).selectExpr("'k3' AS k", "CAST(7777 AS BIGINT) AS v")
+      .createOrReplaceTempView("rl_src")
+    spark.sql(
+      """MERGE INTO graft.rl.p t USING rl_src s
+        |ON t.k = s.k AND t.v = 3
+        |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM graft.rl.p WHERE v = 7777")
+      .as[Long].head() == 1L)
+    assert(GraftCatalog.tombstoneCount <= 1,
+      "MERGE must not rewrite partitions its ON condition excludes")
+    assert(spark.sql("SELECT count(*) FROM graft.rl.p").as[Long].head() == 100L)
+    // An UPDATE whose condition matches nothing leaves every file alone.
+    GraftCatalog.vacuumTombstones()
+    spark.sql("UPDATE graft.rl.p SET v = 0 WHERE k = 'k99'")
+    assert(GraftCatalog.tombstoneCount == 0,
+      "a no-match UPDATE must be a metadata no-op")
+    assert(spark.sql("SELECT count(*) FROM graft.rl.p").as[Long].head() == 100L)
+    spark.sql("DROP TABLE graft.rl.p")
+  }
+
   test("non-identity transforms and unknown partition columns are rejected") {
     spark.sql("DROP TABLE IF EXISTS graft.pt.bad")
     intercept[Exception] {
