@@ -12,6 +12,7 @@ object SparkEntry {
 
   private def registry: Seq[Q] =
     graft.queries.RelationalQueries.all ++
+      graft.queries.FlagshipQueries.all ++
       graft.queries.JoinQueries.all ++
       graft.queries.AggregateQueries.all ++
       graft.queries.WindowQueries.all ++

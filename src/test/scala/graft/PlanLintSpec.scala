@@ -38,7 +38,8 @@ class PlanLintSpec extends AnyFunSuite {
   // scan — nothing to lint here.
   private def batchQueries: Seq[Q] =
     Seq(
-      queries.RelationalQueries.all, queries.JoinQueries.all,
+      queries.RelationalQueries.all, queries.FlagshipQueries.all,
+      queries.JoinQueries.all,
       queries.AggregateQueries.all, queries.WindowQueries.all,
       queries.SortSetQueries.all, queries.FunctionQueries.all,
       queries.SourceQueries.all, queries.TextQueries.all,
