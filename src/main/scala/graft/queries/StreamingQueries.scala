@@ -319,10 +319,60 @@ object StreamingQueries {
         |ORDER BY tag""".stripMargin)
   }
 
+  /** ST+X5 (change stream): the catalog table as a STREAMING SOURCE —
+    * its commit history replayed as micro-batches into another catalog
+    * table through one checkpoint. Leg 1 drains the empty initial
+    * snapshot (committing the checkpoint past the snapshot-load phase);
+    * three INSERT commits then land while the stream is down; leg 2
+    * restarts from the checkpoint with a 4-segment admission cap, so
+    * each commit replays as its own rate-limited micro-batch with
+    * exactly-once epoch commits on the sink side. The oracle is the
+    * closed-form range arithmetic — a duplicated or dropped commit on
+    * EITHER side of the pipe breaks the hash.
+    */
+  val st12CatalogChangeStream: Q = Q(
+    "st12_catalog_change_stream",
+    """SELECT i % 7 AS tag, count(*) AS n,
+      |  round(sum(i * 0.25), 4) AS total_val
+      |FROM range(0, 2000) t(i)
+      |GROUP BY 1
+      |ORDER BY tag""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.stream.src12")
+    spark.sql("DROP TABLE IF EXISTS graft.stream.sink12")
+    spark.sql(
+      "CREATE TABLE graft.stream.src12 (id BIGINT, val DOUBLE, tag BIGINT) USING graft")
+    spark.sql(
+      "CREATE TABLE graft.stream.sink12 (id BIGINT, val DOUBLE, tag BIGINT) USING graft")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_st12_").toString
+    def drain(): Unit = spark.readStream
+      .option("maxSegmentsPerTrigger", "4")
+      .table("graft.stream.src12")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("graft.stream.sink12")
+      .awaitTermination()
+    drain()
+    spark.sql(
+      "INSERT INTO graft.stream.src12 SELECT id, id * 0.25, id % 7 FROM range(0, 700, 1, 4)")
+    spark.sql(
+      "INSERT INTO graft.stream.src12 SELECT id, id * 0.25, id % 7 FROM range(700, 1400, 1, 4)")
+    spark.sql(
+      "INSERT INTO graft.stream.src12 SELECT id, id * 0.25, id % 7 FROM range(1400, 2000, 1, 4)")
+    drain()
+    spark.sql(
+      """SELECT tag, count(*) AS n, round(sum(val), 4) AS total_val
+        |FROM graft.stream.sink12
+        |GROUP BY tag
+        |ORDER BY tag""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     st2Tumbling, st3Sliding, st4SessionWindow, st5StreamDedup,
     st6StatefulOp, st6bTransformWithState, st7StreamStaticJoin,
-    st8StreamStreamJoin, st10CustomSourceStream, st11StreamToCatalog)
+    st8StreamStreamJoin, st10CustomSourceStream, st11StreamToCatalog,
+    st12CatalogChangeStream)
 }
 
 /** Per-user (count, sum) running state via a typed ValueState handle —

@@ -264,7 +264,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   // ---- ProcedureCatalog: CALL graft.system.{compact,history}(...) ----
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array(Identifier.of(namespace, "compact"), Identifier.of(namespace, "history"))
+      Array(Identifier.of(namespace, "compact"), Identifier.of(namespace, "history"),
+        Identifier.of(namespace, "zorder"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
@@ -272,6 +273,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       GraftCompactProcedure
     else if (ident.namespace.sameElements(Array("system")) && ident.name == "history")
       GraftHistoryProcedure
+    else if (ident.namespace.sameElements(Array("system")) && ident.name == "zorder")
+      GraftZorderProcedure
     else throw new UnsupportedOperationException(s"no such procedure: $ident")
 
   // ---- FunctionCatalog ----
@@ -324,6 +327,55 @@ private[graft] object GraftCompactProcedure
       override def rows(): Array[InternalRow] = Array(row)
       override def readSchema(): StructType = outSchema
       override def description(): String = s"GraftCompactResult($ident)"
+    }).iterator()
+  }
+}
+
+/** `CALL graft.system.zorder(ns, table, columns, target_segments)` —
+  * the OPTIMIZE ZORDER BY procedure: `columns` is a comma-separated
+  * list of up to 4 numeric columns; rows are rewritten in Z-value
+  * order into `target_segments` balanced segments (per partition
+  * group). Returns one summary row; the work happens in
+  * `GraftCatalog.zorder`.
+  */
+private[graft] object GraftZorderProcedure
+    extends procedures.UnboundProcedure with procedures.BoundProcedure {
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+
+  override def name(): String = "zorder"
+  override def description(): String =
+    "zorder(ns, table, columns, target_segments): rewrite segments in Z-order"
+  override def bind(inputType: StructType): procedures.BoundProcedure = this
+  override def isDeterministic: Boolean = false // mutates table state
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("ns", StringType).comment("namespace").build(),
+    ProcedureParameter.in("table", StringType).comment("table name").build(),
+    ProcedureParameter.in("columns", StringType)
+      .comment("comma-separated numeric columns (1..4)").build(),
+    ProcedureParameter.in("target_segments", IntegerType)
+      .comment("balanced output segments per partition group").build())
+
+  private val outSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("segments_before", IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("segments_after", IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("rows", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val ns = input.getUTF8String(0).toString
+    val table = input.getUTF8String(1).toString
+    val cols = input.getUTF8String(2).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val target = input.getInt(3)
+    val ident = Identifier.of(Array(ns), table)
+    val (before, after, rows) = GraftCatalog.zorder(ident, cols, target)
+    val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(ident.toString),
+        before, after, rows))
+    java.util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = outSchema
+      override def description(): String = s"GraftZorderResult($ident)"
     }).iterator()
   }
 }
@@ -681,6 +733,125 @@ object GraftCatalog {
     store.put(ident, entry.copy(segments = compacted))
     publish(ident)
     (before, compacted.length, rows)
+  }
+
+  /** OPTIMIZE ZORDER analogue (`CALL graft.system.zorder`): rewrite the
+    * table's segments so rows are ordered by the bit-interleaved
+    * Z-value of up to 4 numeric columns, then split into
+    * `targetSegments` balanced files per partition group. Zone maps
+    * collected on the rewrite (same writer as every commit) then give
+    * MULTI-dimensional segment skipping: after clustering, each
+    * segment's (min, max) hyper-rectangle on the Z columns is tight, so
+    * a conjunctive range filter on ANY clustered column — not just a
+    * sort prefix — prunes most files. This is the Delta
+    * `OPTIMIZE ZORDER BY` / Iceberg `rewrite_data_files(sort_order =>
+    * zorder(...))` move. Normalization is rank-free (min/max linear to
+    * 16 bits/column): cheap, stable, and exact enough for locality —
+    * clustering affects only pruning power, never results.
+    *
+    * Identity-partitioned tables cluster WITHIN each partition group
+    * (the partition column already is the coarse layout dimension).
+    * Driver-side streaming rewrite at demo scale, like compact(); on a
+    * cluster the same commit protocol would wrap a range-partitioned
+    * sort job. The swap publishes atomically as the next snapshot, so
+    * time travel and concurrent scans stay correct — and a streaming
+    * read sees it as a change commit (skip or fail, never duplicate).
+    */
+  private[sources] def zorder(
+      ident: Identifier, cols: Seq[String], targetSegments: Int): (Int, Int, Long) = mutate {
+    import org.apache.spark.sql.types._
+    val entry = store.get(ident)
+    if (entry == null) throw new NoSuchTableException(ident)
+    require(cols.nonEmpty && cols.length <= 4, "zorder takes 1..4 numeric columns")
+    require(targetSegments >= 1, "target_segments must be >= 1")
+    val schema = entry.schema
+    val zIdx: Array[Int] = cols.map { c =>
+      val i =
+        try schema.fieldIndex(c)
+        catch { case _: IllegalArgumentException => throw new IllegalArgumentException(
+          s"zorder column $c not in ${schema.simpleString}") }
+      if (entry.partitionCols.contains(c)) throw new IllegalArgumentException(
+        s"zorder column $c is a partition column — already the coarse layout dimension")
+      schema.fields(i).dataType match {
+        case LongType | IntegerType | ShortType | ByteType | DoubleType | FloatType => i
+        case dt => throw new UnsupportedOperationException(
+          s"zorder supports numeric columns, $c is $dt")
+      }
+    }.toArray
+
+    def numeric(row: UnsafeRow, i: Int): Double =
+      if (row.isNullAt(i)) Double.NaN
+      else schema.fields(i).dataType match {
+        case LongType => row.getLong(i).toDouble
+        case IntegerType => row.getInt(i).toDouble
+        case ShortType => row.getShort(i).toDouble
+        case ByteType => row.getByte(i).toDouble
+        case DoubleType => row.getDouble(i)
+        case FloatType => row.getFloat(i).toDouble
+        case _ => Double.NaN
+      }
+    // MSB-first round-robin interleave of 16 normalized bits per column.
+    def zvalue(norm: Array[Int]): Long = {
+      var z = 0L
+      var b = 15
+      while (b >= 0) {
+        var i = 0
+        while (i < norm.length) {
+          z = (z << 1) | ((norm(i) >> b) & 1); i += 1
+        }
+        b -= 1
+      }
+      z
+    }
+
+    val before = entry.segments.length
+    val totalRows = entry.segments.map(_.rows).sum
+    val rewritten = entry.segments.groupBy(_.key).toSeq
+      .sortBy(_._1.mkString(" "))
+      .flatMap { case (key, segs) =>
+        // Pass 1 (buffered): payload bytes + the z-column values.
+        val payloads = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        val vals = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        segs.foreach(seg => SegmentIO.foreachRow(seg, schema.length) { r =>
+          payloads += r.getBytes.clone()
+          vals += zIdx.map(numeric(r, _))
+        })
+        val n = payloads.length
+        if (n == 0) Nil
+        else {
+          val mins = Array.fill(zIdx.length)(Double.PositiveInfinity)
+          val maxs = Array.fill(zIdx.length)(Double.NegativeInfinity)
+          vals.foreach { v =>
+            var i = 0
+            while (i < v.length) {
+              if (!v(i).isNaN) {
+                if (v(i) < mins(i)) mins(i) = v(i)
+                if (v(i) > maxs(i)) maxs(i) = v(i)
+              }
+              i += 1
+            }
+          }
+          def norm16(v: Double, i: Int): Int =
+            if (v.isNaN || !(maxs(i) > mins(i))) 0
+            else math.min(65535, ((v - mins(i)) / (maxs(i) - mins(i)) * 65535.0).toInt)
+          val order = (0 until n).sortBy(r => zvalue(
+            Array.tabulate(zIdx.length)(i => norm16(vals(r)(i), i))))
+          val perSeg = math.max(1L, math.ceil(n.toDouble / targetSegments).toLong)
+          val row = new UnsafeRow(schema.length)
+          order.grouped(perSeg.toInt).flatMap { chunk =>
+            val w = new SegmentIO.Writer(entry.dir, schema)
+            chunk.foreach { r =>
+              val b = payloads(r)
+              row.pointTo(b, b.length)
+              w.add(row)
+            }
+            w.finish().map(_.copy(key = key))
+          }.toSeq
+        }
+      }.toVector
+    store.put(ident, entry.copy(segments = rewritten))
+    publish(ident)
+    (before, rewritten.length, totalRows)
   }
 
   /** Metadata-path DELETE. Segments whose zone maps PROVE no row can
@@ -1096,7 +1267,7 @@ private[sources] class GraftCatalogTable(
     if (pinned.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
     else util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     filters.forall(f => GraftFilterEval.supported(f, schema0))
@@ -1176,7 +1347,10 @@ private[sources] class GraftCatalogTable(
     }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftCatalogScanBuilder(ident, schema0, pinned, partitionCols)
+    new GraftCatalogScanBuilder(ident, schema0, pinned, partitionCols,
+      maxSegmentsPerTrigger =
+        Option(options.get("maxSegmentsPerTrigger")).map(_.toInt),
+      skipChangeCommits = options.getBoolean("skipChangeCommits", false))
 
   /** Writes to a PARTITIONED table request a CLUSTERED distribution on
     * the partition columns (`RequiresDistributionAndOrdering`): Spark
@@ -1220,7 +1394,9 @@ private[sources] class GraftCatalogTable(
 private[sources] class GraftCatalogScanBuilder(
     ident: Identifier, schema: StructType,
     pinned: Option[Vector[GraftCatalog.Segment]] = None,
-    partitionCols: Seq[String] = Nil)
+    partitionCols: Seq[String] = Nil,
+    maxSegmentsPerTrigger: Option[Int] = None,
+    skipChangeCommits: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources.Filter
@@ -1298,7 +1474,9 @@ private[sources] class GraftCatalogScanBuilder(
   override def build(): Scan = pushedAggs match {
     case Some(aggs) => GraftCatalogAggScan(ident, schema, pinned, aggs)
     case None =>
-      GraftCatalogScan(ident, schema, pruning.toIndexedSeq, required, pinned, partitionCols)
+      GraftCatalogScan(ident, schema, pruning.toIndexedSeq, required, pinned, partitionCols,
+        maxSegmentsPerTrigger = maxSegmentsPerTrigger,
+        skipChangeCommits = skipChangeCommits)
   }
 }
 
@@ -1383,7 +1561,9 @@ private[graft] case class GraftCatalogScan(
     // callback; a plain read scan leaves it None. (Function field:
     // compared by reference in case-class equality — row-level scans
     // are never exchange-reuse candidates, read scans never carry it.)
-    onRuntimeExclude: Option[Vector[GraftCatalog.Segment] => Unit] = None)
+    onRuntimeExclude: Option[Vector[GraftCatalog.Segment] => Unit] = None,
+    maxSegmentsPerTrigger: Option[Int] = None,
+    skipChangeCommits: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeV2Filtering {
   private def out: StructType = if (required == null) schema else required
@@ -1439,6 +1619,18 @@ private[graft] case class GraftCatalogScan(
   }
   override def readSchema(): StructType = out
   override def toBatch: Batch = this
+
+  /** Streaming read (`spark.readStream.table("graft.ns.t")`): the
+    * table's own snapshot history doubles as a CHANGE LOG — each
+    * committed version is one source "file batch". Pushed filters ride
+    * along: added segments are zone-map-pruned per micro-batch exactly
+    * as in the batch scan.
+    */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftCatalogMicroBatchStream(
+      ident, schema, out, pruning, maxSegmentsPerTrigger, skipChangeCommits)
+
   override def description(): String =
     s"GraftCatalogScan($ident, columns=[${out.fieldNames.mkString(", ")}], " +
       s"zoneMapFilters=[${pruning.mkString(", ")}]" +
@@ -1529,6 +1721,160 @@ private[graft] case class GraftCatalogScan(
       override def numRows: java.util.OptionalLong = java.util.OptionalLong.of(rows)
     }
   }
+}
+
+/** Streaming offset over a catalog table = the last fully consumed
+  * snapshot VERSION; -1 = nothing consumed yet (the next batch is the
+  * initial snapshot load). One long round-trips exactly through the
+  * checkpoint json.
+  */
+private[graft] case class GraftVersionOffset(v: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json: String = v.toString
+}
+
+/** MICRO_BATCH_READ over a catalog table — the table's commit history
+  * IS the change stream (the Delta/Iceberg incremental-read shape):
+  *
+  *  - Batch 0 (offset -1 → v): the full snapshot at stream start, read
+  *    as one batch — one split per segment, so the initial load scans
+  *    with full parallelism.
+  *  - Batch (u → v]: the segments ADDED by commits u+1..v, resolved
+  *    per-commit against retained snapshots. Append commits stream
+  *    through; a commit that REMOVES segments (OVERWRITE / DELETE /
+  *    UPDATE / MERGE / compaction / ALTER migration) is not expressible
+  *    as an append delta — it fails the stream loudly unless
+  *    `skipChangeCommits` is set (then the whole commit is skipped,
+  *    matching Delta's option of the same name: readers see only pure
+  *    appends).
+  *  - Admission control: `maxSegmentsPerTrigger` caps how many ADDED
+  *    segments one trigger admits (whole commits only — a version is
+  *    the atomic offset unit); Trigger.AvailableNow pins the target
+  *    version at start and drains to it through the same path;
+  *    Trigger.Once's ReadAllAvailable lifts the cap.
+  *
+  * Correctness leans on two catalog invariants: segment paths are
+  * unique forever (UUID-named, never reused), and snapshot retention
+  * protects every file a retained snapshot references — so a planned
+  * batch stays readable even if the table is rewritten mid-read. A
+  * restart whose checkpointed version has aged out of retention fails
+  * with an explicit pointer at `graft.catalog.retention.seconds`
+  * rather than silently re-snapshotting.
+  *
+  * Stateless by construction (the AvailableNow pin excepted): every
+  * batch derives from the (start, end] versions the engine hands back,
+  * which is what makes checkpoint recovery trivially exactly-once.
+  */
+private[graft] class GraftCatalogMicroBatchStream(
+    ident: Identifier, schema: StructType, out: StructType,
+    pruning: IndexedSeq[org.apache.spark.sql.sources.Filter],
+    maxSegmentsPerTrigger: Option[Int],
+    skipChangeCommits: Boolean)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{
+    CompositeReadLimit, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles}
+
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  private def latestVersion: Long =
+    GraftCatalog.retainedSnapshots(ident).lastOption.map(_.version).getOrElse(-1L)
+
+  private def snapshotOrFail(v: Long): GraftCatalog.CatalogSnapshot =
+    GraftCatalog.snapshotByVersion(ident, v).getOrElse(throw new IllegalStateException(
+      s"streaming read of $ident: snapshot v$v is no longer retained — the stream " +
+        "(or its checkpoint) fell behind the retention window; raise " +
+        "graft.catalog.retention.seconds / .snapshots or restart from a fresh checkpoint"))
+
+  /** Segments ADDED by commit v (relative to v-1), with the change-
+    * commit policy applied. v = 0 diffs against the empty table.
+    */
+  private def addedAt(v: Long): Vector[GraftCatalog.Segment] = {
+    val cur = snapshotOrFail(v)
+    if (cur.schema.length != schema.length)
+      throw new IllegalStateException(
+        s"streaming read of $ident: commit v$v was written under a different schema " +
+          s"(${cur.schema.simpleString} vs ${schema.simpleString}); restart the stream " +
+          "to pick up the evolved schema")
+    val prevPaths: Set[String] =
+      if (v == 0) Set.empty
+      else snapshotOrFail(v - 1).segments.map(_.path).toSet
+    val removed = prevPaths -- cur.segments.map(_.path).toSet
+    if (removed.nonEmpty) {
+      if (skipChangeCommits) Vector.empty
+      else throw new IllegalStateException(
+        s"streaming read of $ident: commit v$v removed ${removed.size} segment(s) " +
+          "(OVERWRITE/DELETE/UPDATE/MERGE/compact/ALTER) — not expressible as an " +
+          "append stream; set option skipChangeCommits=true to skip such commits")
+    } else cur.segments.filterNot(s => prevPaths.contains(s.path))
+  }
+
+  override def initialOffset(): Offset = GraftVersionOffset(-1L)
+  override def deserializeOffset(json: String): Offset = GraftVersionOffset(json.toLong)
+  override def commit(end: Offset): Unit = () // retention GC owns file lifetime
+  override def stop(): Unit = ()
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxSegmentsPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+  override def reportLatestOffset(): Offset = GraftVersionOffset(latestVersion)
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(latestVersion)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-controlled entry point")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftVersionOffset].v
+    val target = availableNowTarget.getOrElse(latestVersion)
+    if (target <= s) return GraftVersionOffset(s)
+    // Only capping limit kinds participate; min-rows / trigger hints
+    // never throttle a replayable log (same policy as GraftRangeSource).
+    def capOf(l: ReadLimit): Option[Int] = l match {
+      case _: ReadAllAvailable => Some(Int.MaxValue)
+      case f: ReadMaxFiles => Some(math.max(1, f.maxFiles()))
+      case c: CompositeReadLimit =>
+        val caps = c.getReadLimits.flatMap(capOf)
+        if (caps.isEmpty) None else Some(caps.min)
+      case _ => None
+    }
+    val cap = capOf(limit).orElse(maxSegmentsPerTrigger).getOrElse(Int.MaxValue)
+    if (s < 0) return GraftVersionOffset(target) // initial snapshot: one batch
+    var v = s
+    var admitted = 0
+    // Always advance at least one commit when available: a version is
+    // the atomic offset unit, so a single commit larger than the cap
+    // still ships whole (matching file-source maxFilesPerTrigger).
+    while (v < target && (admitted == 0 || admitted + addedAt(v + 1).length <= cap)) {
+      v += 1
+      admitted += addedAt(v).length
+    }
+    GraftVersionOffset(v)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftVersionOffset].v
+    val e = end.asInstanceOf[GraftVersionOffset].v
+    val segs: Vector[GraftCatalog.Segment] =
+      if (e <= s) Vector.empty
+      else if (s < 0) {
+        val snap = snapshotOrFail(e)
+        if (snap.schema.length != schema.length)
+          throw new IllegalStateException(
+            s"streaming read of $ident: snapshot v$e schema ${snap.schema.simpleString} " +
+              s"differs from the table's ${schema.simpleString}; restart the stream")
+        snap.segments
+      } else (s + 1 to e).toVector.flatMap(addedAt)
+    segs
+      .filter(seg => pruning.forall(f => ZoneMap.mightMatch(f, schema, seg)))
+      .map(seg =>
+        GraftCatalogPartition(Vector((seg.path, seg.rows)), schema.length): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftCatalogReaderFactory(schema, out)
 }
 
 /** A scan split: one or more segment files read sequentially (one file

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MICRO_BATCH_READ over catalog tables: the snapshot history as a
+  * change stream (`spark.readStream.table("graft.ns.t")`). Covers the
+  * initial snapshot load, live appends, checkpoint restart with
+  * exactly-once resumption, admission control, change-commit policy,
+  * and zone-map segment skipping inside micro-batch planning.
+  */
+class CatalogStreamReadSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s
+  }
+  import spark.implicits._
+
+  private def freshCkpt(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_csr_$tag").toString
+
+  test("initial snapshot, then live appends, each exactly once") {
+    spark.sql("DROP TABLE IF EXISTS graft.csr.src1")
+    spark.sql("CREATE TABLE graft.csr.src1 (k BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.csr.src1 VALUES (1,'a'), (2,'b')")
+    spark.sql("INSERT INTO graft.csr.src1 VALUES (3,'c')")
+    val q = spark.readStream.table("graft.csr.src1")
+      .writeStream.format("memory").queryName("csr1").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("csr1").as[(Long, String)].collect().sorted.toSeq ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      spark.sql("INSERT INTO graft.csr.src1 VALUES (4,'d')")
+      q.processAllAvailable()
+      assert(spark.table("csr1").as[(Long, String)].collect().sorted.toSeq ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    } finally q.stop()
+  }
+
+  test("checkpoint restart resumes at the committed version; maxSegmentsPerTrigger batches commits") {
+    spark.sql("DROP TABLE IF EXISTS graft.csr.src2")
+    spark.sql("DROP TABLE IF EXISTS graft.csr.sink2")
+    spark.sql("CREATE TABLE graft.csr.src2 (k BIGINT, v STRING) USING graft")
+    spark.sql("CREATE TABLE graft.csr.sink2 (k BIGINT, v STRING) USING graft")
+    val ckpt = freshCkpt("restart")
+    // Leg 1: drain the (empty) initial snapshot, so the checkpoint is
+    // committed PAST the snapshot-load phase.
+    spark.readStream.table("graft.csr.src2")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).toTable("graft.csr.sink2")
+      .awaitTermination()
+    assert(spark.table("graft.csr.sink2").isEmpty)
+    // Three separate commits while the stream is down.
+    spark.sql("INSERT INTO graft.csr.src2 VALUES (1,'a')")
+    spark.sql("INSERT INTO graft.csr.src2 VALUES (2,'b')")
+    spark.sql("INSERT INTO graft.csr.src2 VALUES (3,'c')")
+    // Leg 2: restart from the checkpoint with a 1-segment admission cap
+    // — the three commits must arrive as three micro-batches, and
+    // nothing from before the checkpoint re-emits.
+    val q2 = spark.readStream.option("maxSegmentsPerTrigger", "1")
+      .table("graft.csr.src2")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).toTable("graft.csr.sink2")
+    q2.awaitTermination()
+    assert(spark.table("graft.csr.sink2").as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    val nonEmptyBatches = q2.recentProgress.count(_.numInputRows > 0)
+    assert(nonEmptyBatches == 3,
+      s"expected 3 rate-limited micro-batches, saw $nonEmptyBatches:\n" +
+        q2.recentProgress.map(p => s"${p.batchId}: ${p.numInputRows}").mkString("\n"))
+    // Leg 3: nothing new -> nothing re-emitted (exactly-once across restarts).
+    spark.readStream.table("graft.csr.src2")
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).toTable("graft.csr.sink2")
+      .awaitTermination()
+    assert(spark.table("graft.csr.sink2").count() == 3)
+  }
+
+  test("a change commit (DELETE) fails the stream loudly") {
+    spark.sql("DROP TABLE IF EXISTS graft.csr.src3")
+    spark.sql("CREATE TABLE graft.csr.src3 (k BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.csr.src3 VALUES (1,'a'), (2,'b')")
+    val q = spark.readStream.table("graft.csr.src3")
+      .writeStream.format("memory").queryName("csr3").start()
+    try {
+      q.processAllAvailable()
+      spark.sql("DELETE FROM graft.csr.src3 WHERE k = 1")
+      spark.sql("INSERT INTO graft.csr.src3 VALUES (9,'z')")
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination()
+      }
+      val msg = e.getCause.getMessage
+      assert(msg.contains("skipChangeCommits"), msg)
+    } finally q.stop()
+  }
+
+  test("skipChangeCommits skips the rewrite commit but streams later appends") {
+    spark.sql("DROP TABLE IF EXISTS graft.csr.src4")
+    spark.sql("CREATE TABLE graft.csr.src4 (k BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.csr.src4 VALUES (1,'a'), (2,'b')")
+    val q = spark.readStream.option("skipChangeCommits", "true")
+      .table("graft.csr.src4")
+      .writeStream.format("memory").queryName("csr4").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("csr4").count() == 2)
+      // DELETE rewrites the table (segment removal) — skipped wholesale;
+      // the follow-up INSERT is a clean append and must arrive.
+      spark.sql("DELETE FROM graft.csr.src4 WHERE k = 1")
+      spark.sql("INSERT INTO graft.csr.src4 VALUES (9,'z')")
+      q.processAllAvailable()
+      assert(spark.table("csr4").as[(Long, String)].collect().sorted.toSeq ==
+        Seq((1L, "a"), (2L, "b"), (9L, "z")))
+    } finally q.stop()
+  }
+
+  test("zone-map filters skip whole segments in micro-batch planning") {
+    // Spark's optimizer does not (yet) run filter pushdown against
+    // MICRO_BATCH_READ scans — V2ScanRelationPushDown is batch-only —
+    // so this asserts the mechanism at the stream-planning level: a
+    // stream built with a pruning filter must plan no split for a
+    // segment whose zone map proves no row can match.
+    spark.sql("DROP TABLE IF EXISTS graft.csr.src5")
+    spark.sql("CREATE TABLE graft.csr.src5 (k BIGINT, v DOUBLE) USING graft")
+    // Two segments with disjoint k ranges (separate single-partition inserts).
+    spark.sql("INSERT INTO graft.csr.src5 SELECT id, id * 1.0 FROM range(0, 10, 1, 1)")
+    spark.sql("INSERT INTO graft.csr.src5 SELECT id, id * 1.0 FROM range(1000, 1010, 1, 1)")
+    import org.apache.spark.sql.connector.catalog.Identifier
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val ident = Identifier.of(Array("csr"), "src5")
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType)))
+    def stream(filters: org.apache.spark.sql.sources.Filter*) =
+      new graft.sources.GraftCatalogMicroBatchStream(
+        ident, schema, schema, filters.toIndexedSeq, None, false)
+    val latest = stream().reportLatestOffset()
+    val all = stream().planInputPartitions(graft.sources.GraftVersionOffset(-1), latest)
+    assert(all.length == 2, s"expected 2 segments, planned ${all.length}")
+    val pruned = stream(org.apache.spark.sql.sources.GreaterThanOrEqual("k", 1000L))
+      .planInputPartitions(graft.sources.GraftVersionOffset(-1), latest)
+    assert(pruned.length == 1, s"expected the k<10 segment skipped, planned ${pruned.length}")
+  }
+}
