@@ -362,6 +362,41 @@ object SourceQueries {
         |ORDER BY n_name""".stripMargin)
   }
 
+  /** X5d: ATOMIC CTAS/RTAS through `StagingTableCatalog` — the summary
+    * is CTAS'd into a staged table (data lands in a private dir, the
+    * metastore swap IS the commit), then REPLACE TABLE AS SELECT swaps
+    * it for a re-filtered version in one commit. The read-back sees
+    * exactly the post-RTAS rows; the oracle reproduces both steps'
+    * composition straight from the parquet source.
+    */
+  val x5dAtomicCtas: Q = Q(
+    "x5d_atomic_ctas",
+    """SELECT o_orderpriority, count(*) AS n,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total
+      |FROM orders
+      |WHERE o_orderstatus = 'F'
+      |GROUP BY o_orderpriority
+      |HAVING count(*) > 10
+      |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("x5d_orders_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.prio_summary")
+    spark.sql(
+      """CREATE TABLE graft.demo.prio_summary USING graft AS
+        |SELECT o_orderpriority, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4) AS total
+        |FROM x5d_orders_src
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority""".stripMargin)
+    spark.sql(
+      """REPLACE TABLE graft.demo.prio_summary USING graft AS
+        |SELECT * FROM graft.demo.prio_summary WHERE n > 10""".stripMargin)
+    spark.sql(
+      """SELECT o_orderpriority, n, total
+        |FROM graft.demo.prio_summary
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** X6: catalog-resolved V2 FUNCTION — `graft.math.clamp` resolves
     * through `FunctionCatalog.loadFunction` (not the session registry)
     * and, carrying the `invoke` magic method, compiles to a direct call
@@ -394,5 +429,5 @@ object SourceQueries {
   val all: Seq[Q] = Seq(
     s2ParquetRoundtrip, s3CsvSource, s3JsonSource, s6CacheReuse,
     s7PartitionedSink, s8OrcRoundtrip, x1ScalarUdf, x3Generator, x4Dsv2Source,
-    x5CatalogSql, x5bTimeTravel, x5cPartitionedSpj, x6CatalogFunction)
+    x5CatalogSql, x5bTimeTravel, x5cPartitionedSpj, x5dAtomicCtas, x6CatalogFunction)
 }

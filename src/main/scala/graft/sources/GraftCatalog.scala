@@ -53,7 +53,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * path; `produceResult` stays as the interpreted fallback.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog
-    with ProcedureCatalog {
+    with ProcedureCatalog with StagingTableCatalog {
   import GraftCatalog._
 
   private var catalogName: String = "graft"
@@ -114,12 +114,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * PARTITION VALUE, the scan plans one split per value, and reports
     * `KeyGroupedPartitioning` — the storage-partitioned-join layout.
     */
-  override def createTable(
-      ident: Identifier,
-      schema: StructType,
-      partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = mutate {
-    val partCols = partitions.toSeq.map { t =>
+  private def validatePartitionCols(
+      schema: StructType, partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map { t =>
       val refs = t.references()
       if (t.name() != "identity" || refs.length != 1 || refs(0).fieldNames().length != 1)
         throw new UnsupportedOperationException(
@@ -136,6 +133,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           s"graft catalog partitions on numeric/string/boolean columns, $name is $dt")
       }
     }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = mutate {
+    val partCols = validatePartitionCols(schema, partitions)
     val dir = Files.createTempDirectory(segmentRoot, "tbl-").toString
     if (store.putIfAbsent(ident, TableEntry(schema, Vector.empty, dir, partCols)) != null) {
       deleteRecursively(Paths.get(dir))
@@ -143,6 +147,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     }
     publish(ident) // snapshot v0: the empty table
     new GraftCatalogTable(ident, schema, dir, partitionCols = partCols)
+  }
+
+  // ---- StagingTableCatalog: atomic CTAS / RTAS ----
+  // Spark routes CREATE TABLE AS SELECT / REPLACE TABLE [AS SELECT]
+  // here when the catalog stages: the data lands in a PRIVATE segment
+  // directory first and the metastore swap happens only in
+  // commitStagedChanges() — a failed query leaves no half-written
+  // table (CTAS) and never exposes a dropped-but-not-yet-refilled
+  // window (RTAS), unlike the non-staging drop-create-insert fallback.
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
+    staged(ident, info, GraftStagedTable.Create)
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    if (!store.containsKey(ident)) throw new NoSuchTableException(ident)
+    staged(ident, info, GraftStagedTable.Replace)
+  }
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
+    staged(ident, info, GraftStagedTable.CreateOrReplace)
+
+  private def staged(
+      ident: Identifier, info: TableInfo, mode: GraftStagedTable.Mode): StagedTable = {
+    val schema = info.schema()
+    val partCols = validatePartitionCols(schema, info.partitions())
+    val dir = Files.createTempDirectory(segmentRoot, "stage-").toString
+    new GraftStagedTable(ident, schema, dir, partCols, mode)
   }
 
   /** Schema evolution: ADD COLUMN (appended, nullable) migrates the
@@ -510,7 +538,7 @@ object GraftCatalog {
   private[sources] lazy val segmentRoot: Path =
     Files.createTempDirectory("graft-catalog-")
 
-  private def deleteRecursively(p: Path): Unit = {
+  private[sources] def deleteRecursively(p: Path): Unit = {
     try {
       if (Files.isDirectory(p)) {
         val children = Files.list(p)
@@ -651,6 +679,38 @@ object GraftCatalog {
     * as the table's next snapshot. Replaced segments stay on disk while
     * any retained snapshot references them — see `publish`.
     */
+  /** Metastore swap for a STAGED (CTAS/RTAS) table: the staged entry —
+    * data already on disk in its private dir — becomes visible in one
+    * atomic step, or not at all. On Replace, the previous entry's
+    * segment files retire through the usual snapshot retention (the
+    * history continues under the same identifier, so time travel
+    * crosses the REPLACE and a streaming read sees one change commit);
+    * the old directory itself is GC'd with the last file that leaves
+    * it.
+    */
+  private[sources] def commitStaged(
+      ident: Identifier, entry: TableEntry, mode: GraftStagedTable.Mode): Unit = mutate {
+    def discard(): Unit = {
+      entry.segments.foreach(SegmentIO.delete)
+      deleteRecursively(Paths.get(entry.dir))
+    }
+    mode match {
+      case GraftStagedTable.Create =>
+        if (store.putIfAbsent(ident, entry) != null) {
+          discard()
+          throw new TableAlreadyExistsException(ident.toString, ident.name())
+        }
+      case GraftStagedTable.Replace =>
+        store.compute(ident, (_, prev) => {
+          if (prev == null) { discard(); throw new NoSuchTableException(ident) }
+          entry
+        })
+      case GraftStagedTable.CreateOrReplace =>
+        store.put(ident, entry)
+    }
+    publish(ident)
+  }
+
   private[sources] def install(
       ident: Identifier, segs: Seq[Segment], truncate: Boolean): Unit = mutate {
     store.compute(ident, (_, prev) => {
@@ -1379,6 +1439,75 @@ private[sources] class GraftCatalogTable(
             partitionCols)
       }
     }
+}
+
+private[sources] object GraftStagedTable {
+  sealed trait Mode
+  case object Create extends Mode
+  case object Replace extends Mode
+  case object CreateOrReplace extends Mode
+}
+
+/** The in-flight half of an atomic CTAS/RTAS: a write-only table whose
+  * job commit merely RECORDS the task segments (written into a private
+  * staging dir), leaving the metastore untouched until Spark calls
+  * `commitStagedChanges`. Abort deletes the staged files — the
+  * metastore never saw them, so failure is side-effect-free. Writes
+  * request the same clustered distribution as a committed partitioned
+  * table (one segment per partition value, not per value × task).
+  */
+private[sources] class GraftStagedTable(
+    ident: Identifier, schema0: StructType, dir: String,
+    partitionCols: Seq[String], mode: GraftStagedTable.Mode)
+    extends StagedTable with SupportsWrite {
+  @volatile private var stagedSegments: Vector[GraftCatalog.Segment] = Vector.empty
+
+  override def name(): String = s"$ident (staged)"
+  override def schema(): StructType = schema0
+  override def partitioning(): Array[Transform] =
+    partitionCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // The staging dir starts empty; REPLACE's truncate is a no-op here
+      // (the swap in commitStagedChanges is what replaces).
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new Write with RequiresDistributionAndOrdering {
+        import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+        import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+        override def requiredDistribution(): Distribution =
+          if (partitionCols.isEmpty) Distributions.unspecified()
+          else Distributions.clustered(
+            partitionCols.map(c =>
+              Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression)
+              .toArray)
+        override def requiredOrdering(): Array[SortOrder] = Array.empty
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory =
+            GraftSegmentWriterFactory(schema0, dir, partitionCols)
+          override def commit(messages: Array[WriterCommitMessage]): Unit =
+            stagedSegments = messages.collect { case m: GraftSegmentMessage => m }
+              .sortBy(_.partitionId).flatMap(_.segments).toVector
+          override def abort(messages: Array[WriterCommitMessage]): Unit =
+            messages.collect { case m: GraftSegmentMessage => m }
+              .flatMap(_.segments).foreach(SegmentIO.delete)
+        }
+      }
+    }
+
+  override def commitStagedChanges(): Unit =
+    GraftCatalog.commitStaged(
+      ident,
+      GraftCatalog.TableEntry(schema0, stagedSegments, dir, partitionCols),
+      mode)
+
+  override def abortStagedChanges(): Unit = {
+    stagedSegments.foreach(SegmentIO.delete)
+    GraftCatalog.deleteRecursively(Paths.get(dir))
+  }
 }
 
 /** Read-path ScanBuilder: accepts every filter Spark offers, keeps the
