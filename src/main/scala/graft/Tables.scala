@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, floor, lit, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
 
 /** Central loader for the driver-generated parquet tables
   * (/root/repo/TESTDATA.md). One parquet file per table under the
@@ -34,8 +34,12 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `div`, not `/`: ns epochs (~1.7e18) exceed a double's 53-bit
+    // mantissa, so float division truncates off-by-1µs on some rows —
+    // invisible to windowed aggregates, fatal to exact-µs arithmetic
+    // (w5_sessionize durations). Integer division is exact.
     table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(floor(col("ts") / lit(1000L)).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -137,5 +137,50 @@ object WindowQueries {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
-  val all: Seq[Q] = Seq(w1RankingRunning, w2Offsets, w3RangeFrame, w4Distribution)
+  /** W5: BATCH sessionization — the gap-based session op (ST4's batch
+    * twin) as the classic two-window composition: lag() marks a session
+    * start whenever the per-user gap exceeds 24 h, a running sum turns
+    * the marks into dense session ids, and a group-by aggregates each
+    * session. Boundary arithmetic is exact integer MICROSECONDS
+    * (`unix_micros` / `epoch_us`) in both engines, so no float or
+    * calendar-boundary semantics can flip a session split. At 100 TB:
+    * one shuffle on user_id, per-user sort within tasks, then the
+    * session aggregate reuses the same clustering — no second exchange.
+    */
+  val w5Sessionize: Q = Q(
+    "w5_sessionize",
+    """WITH g AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+      |         OR epoch_us(CAST(ts AS TIMESTAMP))
+      |            - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 86400000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+      |  FROM g)
+      |SELECT user_id, sess_id, count(*) AS n_events,
+      |  round(sum(value), 4) AS total_value,
+      |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+      |FROM s
+      |GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_id""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(w)))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 86400000000L, 1).otherwise(0))
+      .withColumn("sess_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("total_value"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"))
+      .orderBy(col("user_id"), col("sess_id"))
+  }
+
+  val all: Seq[Q] = Seq(w1RankingRunning, w2Offsets, w3RangeFrame, w4Distribution, w5Sessionize)
 }
