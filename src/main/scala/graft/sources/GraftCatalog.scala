@@ -444,7 +444,7 @@ private[graft] object GraftHistoryProcedure
     val outRows = snaps.sortBy(-_.version).map { s =>
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
         s.version, s.wallMs * 1000L, // micros for TimestampType
-        s.segments.length, s.segments.map(_.rows).sum, s.version == latest)): InternalRow
+        s.segments.length, s.segments.map(_.liveRows).sum, s.version == latest)): InternalRow
     }.toArray
     java.util.List.of[Scan](new LocalScan {
       override def rows(): Array[InternalRow] = outRows
@@ -512,11 +512,26 @@ object GraftCatalog {
     * the segment's partition `key` (external JVM values of the table's
     * partition columns, in declaration order; every row in the segment
     * shares it, the invariant the partition-aware writer enforces).
+    *
+    * `dv` is the segment's DELETION VECTOR (merge-on-read deletes —
+    * the Delta DV / Iceberg positional-delete shape): physical row
+    * ordinals a metadata DELETE removed without rewriting the file.
+    * The FILE stays immutable; the Segment ENTRY is replaced with a
+    * wider dv in the next snapshot, so time travel reads the same file
+    * under its older (smaller or absent) vector. Readers skip dv
+    * ordinals; compaction/Z-order/ALTER migrations materialize them
+    * away. Zone-map stats keep describing ALL physical rows —
+    * conservative, so pruning stays sound; MIN/MAX metadata aggregates
+    * must (and do) decline when a dv is present.
     */
   private[graft] case class Segment(
       path: String, rows: Long, bytes: Long = 0L,
       stats: IndexedSeq[ColStat] = Vector.empty,
-      key: IndexedSeq[Any] = Vector.empty)
+      key: IndexedSeq[Any] = Vector.empty,
+      dv: Option[scala.collection.immutable.BitSet] = None) {
+    def deletedRows: Long = dv.map(_.size.toLong).getOrElse(0L)
+    def liveRows: Long = rows - deletedRows
+  }
 
   private[sources] case class TableEntry(
       schema: StructType, segments: Vector[Segment], dir: String,
@@ -549,10 +564,19 @@ object GraftCatalog {
     } catch { case _: java.io.IOException => () } // best-effort GC
   }
 
-  /** Committed row count of a catalog table (test observability). */
+  /** Committed LIVE row count of a catalog table (test observability;
+    * deletion-vector rows are already subtracted).
+    */
   def rowCount(ns: String, table: String): Long =
     Option(store.get(Identifier.of(Array(ns), table)))
-      .map(_.segments.map(_.rows).sum).getOrElse(0L)
+      .map(_.segments.map(_.liveRows).sum).getOrElse(0L)
+
+  /** Rows deleted by deletion vectors but still physically present
+    * (test observability for the merge-on-read path).
+    */
+  private[graft] def dvDeletedRows(ns: String, table: String): Long =
+    Option(store.get(Identifier.of(Array(ns), table)))
+      .map(_.segments.map(_.deletedRows).sum).getOrElse(0L)
 
   /** Committed segment count (test observability for split planning). */
   def segmentCount(ns: String, table: String): Int =
@@ -778,11 +802,13 @@ object GraftCatalog {
     val entry = store.get(ident)
     if (entry == null) throw new NoSuchTableException(ident)
     val before = entry.segments.length
-    val rows = entry.segments.map(_.rows).sum
+    val rows = entry.segments.map(_.liveRows).sum
     val compacted = entry.segments.groupBy(_.key).toSeq
       .sortBy(_._1.mkString(" "))
       .flatMap { case (key, segs) =>
-        if (segs.length <= 1) segs
+        // A lone segment still rewrites when it carries a deletion
+        // vector — compaction is the dv materialization point.
+        if (segs.length <= 1 && segs.forall(_.dv.isEmpty)) segs
         else {
           val w = new SegmentIO.Writer(entry.dir, entry.schema)
           segs.foreach(seg =>
@@ -865,7 +891,7 @@ object GraftCatalog {
     }
 
     val before = entry.segments.length
-    val totalRows = entry.segments.map(_.rows).sum
+    val totalRows = entry.segments.map(_.liveRows).sum
     val rewritten = entry.segments.groupBy(_.key).toSeq
       .sortBy(_._1.mkString(" "))
       .flatMap { case (key, segs) =>
@@ -914,15 +940,26 @@ object GraftCatalog {
     (before, rewritten.length, totalRows)
   }
 
-  /** Metadata-path DELETE. Segments whose zone maps PROVE no row can
-    * match the predicate are kept byte-for-byte (no I/O — on a
-    * partitioned table, a partition-key DELETE touches only the
-    * matching partitions' files, the copy-on-write scoping that keeps
-    * a one-partition DELETE from rewriting 100 TB); the rest stream
-    * through the filter into compacted survivor segments. The list
-    * swaps atomically as the next snapshot. (Driver-side streaming
-    * I/O, never a full materialization — on a cluster the rewrites
-    * would run as tasks, same commit protocol.)
+  /** Metadata-path DELETE, MERGE-ON-READ first. Per segment:
+    *
+    *  - zone maps prove no match → kept byte-for-byte (no I/O; on a
+    *    partitioned table a partition-key DELETE touches only the
+    *    matching partitions' files);
+    *  - a MINORITY of live rows match → a DELETION VECTOR of their
+    *    physical ordinals is attached (merged with any existing one).
+    *    No data file is written — the 100 TB point-delete answer: a
+    *    1-row delete in a 1 GB segment costs a bitmap entry, not a
+    *    gigabyte rewrite. Readers skip dv ordinals; compact/Z-order
+    *    materialize them later;
+    *  - a MAJORITY match → copy-on-write rewrite of the survivors
+    *    (an almost-empty file plus an almost-full bitmap serves reads
+    *    worse than a small clean file); every row matching → the
+    *    segment simply leaves the list.
+    *
+    * The list swaps atomically as the next snapshot; a change stream
+    * treats a dv change exactly like a segment removal (change
+    * commit). Driver-side streaming I/O at demo scale — on a cluster
+    * the per-segment work runs as tasks, same commit protocol.
     */
   private[sources] def deleteWhere(
       ident: Identifier,
@@ -936,8 +973,29 @@ object GraftCatalog {
         // mightMatch false ⇒ the conjunction provably matches no row of
         // this segment ⇒ the DELETE cannot touch it: keep the file.
         if (cond.exists(c => !ZoneMap.mightMatch(c, schema, seg))) Some(seg)
-        else SegmentIO.rewriteOpt(seg, prev.dir, prev.schema.length, prev.schema) { r =>
-          if (filters.forall(GraftFilterEval.eval(_, schema, r))) None else Some(r)
+        else if (seg.rows > Int.MaxValue)
+          // not dv-addressable (ordinals are Int): straight rewrite
+          SegmentIO.rewriteOpt(seg, prev.dir, prev.schema.length, prev.schema) { r =>
+            if (filters.forall(GraftFilterEval.eval(_, schema, r))) None else Some(r)
+          }
+        else {
+          val hits = scala.collection.immutable.BitSet.newBuilder
+          var nHits = 0L
+          SegmentIO.foreachRowPhysical(seg, prev.schema.length) { (r, ord) =>
+            if (!seg.dv.exists(_.contains(ord.toInt)) &&
+                filters.forall(GraftFilterEval.eval(_, schema, r))) {
+              hits += ord.toInt; nHits += 1
+            }
+          }
+          val live = seg.liveRows
+          if (nHits == 0) Some(seg)
+          else if (nHits == live) None // whole segment deleted: file retires via retention
+          else if (nHits * 2 > live)
+            SegmentIO.rewriteOpt(seg, prev.dir, prev.schema.length, prev.schema) { r =>
+              if (filters.forall(GraftFilterEval.eval(_, schema, r))) None else Some(r)
+            }
+          else Some(seg.copy(dv =
+            Some(seg.dv.getOrElse(scala.collection.immutable.BitSet.empty) ++ hits.result())))
         }
       }
       prev.copy(segments = kept)
@@ -1261,7 +1319,20 @@ private[sources] object SegmentIO {
   /** Iterate a segment's rows. The yielded `UnsafeRow` is REUSED —
     * copy before retaining.
     */
-  def foreachRow(seg: Segment, numFields: Int)(f: UnsafeRow => Unit): Unit = {
+  /** Iterate a segment's LIVE rows (deletion-vector ordinals are read
+    * past and skipped, so every maintenance rewrite — compact, Z-order,
+    * ALTER migration, delete-rewrite — materializes deletes for free).
+    */
+  def foreachRow(seg: Segment, numFields: Int)(f: UnsafeRow => Unit): Unit =
+    foreachRowPhysical(seg, numFields) { (row, ord) =>
+      if (!seg.dv.exists(d => ord <= Int.MaxValue && d.contains(ord.toInt))) f(row)
+    }
+
+  /** Iterate ALL physical rows with their file ordinals — the
+    * deletion-vector builder's view (a DELETE must address rows by
+    * physical position, deleted-or-not).
+    */
+  def foreachRowPhysical(seg: Segment, numFields: Int)(f: (UnsafeRow, Long) => Unit): Unit = {
     val in = new DataInputStream(new BufferedInputStream(new FileInputStream(seg.path), 1 << 16))
     try {
       val row = new UnsafeRow(numFields)
@@ -1277,7 +1348,7 @@ private[sources] object SegmentIO {
         if (size > buf.length) buf = new Array[Byte](math.max(size, buf.length << 1))
         in.readFully(buf, 0, size)
         row.pointTo(buf, size)
-        f(row)
+        f(row, i)
         i += 1
       }
     } finally in.close()
@@ -1559,6 +1630,9 @@ private[sources] class GraftCatalogScanBuilder(
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.types._
     if (sawFilters || agg.groupByExpressions.nonEmpty) return None
+    // Deletion vectors poison MIN/MAX stats (the extremum may be a
+    // deleted row) but not COUNT(*) — liveRows is exact.
+    val anyDv = pinned.getOrElse(GraftCatalog.segmentsOf(ident)).exists(_.dv.nonEmpty)
     def trackedCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: NamedReference if nr.fieldNames().length == 1 =>
@@ -1573,8 +1647,8 @@ private[sources] class GraftCatalogScanBuilder(
       }
     val translated = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(GraftCatalogAgg.CountStar)
-      case m: Min => trackedCol(m.column).map(GraftCatalogAgg.MinCol)
-      case m: Max => trackedCol(m.column).map(GraftCatalogAgg.MaxCol)
+      case m: Min if !anyDv => trackedCol(m.column).map(GraftCatalogAgg.MinCol)
+      case m: Max if !anyDv => trackedCol(m.column).map(GraftCatalogAgg.MaxCol)
       case _ => None
     }
     if (translated.nonEmpty && translated.forall(_.isDefined)) Some(translated.flatten)
@@ -1669,7 +1743,7 @@ private[graft] case class GraftCatalogAggScan(
         vals.reduce((a, b) => if (lt(a, b) == wantMin) a else b))
     }
     val row = InternalRow.fromSeq(aggs.map {
-      case GraftCatalogAgg.CountStar => segs.map(_.rows).sum
+      case GraftCatalogAgg.CountStar => segs.map(_.liveRows).sum
       case GraftCatalogAgg.MinCol(c) => fold(c, wantMin = true)
       case GraftCatalogAgg.MaxCol(c) => fold(c, wantMin = false)
     })
@@ -1797,7 +1871,7 @@ private[graft] case class GraftCatalogScan(
   override def planInputPartitions(): Array[InputPartition] =
     if (partitionCols.isEmpty)
       survivors
-        .map(s => GraftCatalogPartition(Vector((s.path, s.rows)), schema.length): InputPartition)
+        .map(s => GraftCatalogPartition(Vector(GraftSegFile.of(s)), schema.length): InputPartition)
         .toArray
     else {
       import org.apache.spark.sql.catalyst.CatalystTypeConverters
@@ -1805,7 +1879,7 @@ private[graft] case class GraftCatalogScan(
         val keyRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           key.map(CatalystTypeConverters.convertToCatalyst).toArray)
         GraftCatalogKeyedPartition(
-          segs.map(s => (s.path, s.rows)), schema.length, keyRow): InputPartition
+          segs.map(GraftSegFile.of), schema.length, keyRow): InputPartition
       }.toArray
     }
 
@@ -1839,7 +1913,7 @@ private[graft] case class GraftCatalogScan(
     */
   override def estimateStatistics(): Statistics = {
     val segs = survivors
-    val rows = segs.map(_.rows).sum
+    val rows = segs.map(_.liveRows).sum
     val full = segs.map(s => if (s.bytes > 0) s.bytes else s.rows * (8L * (schema.length + 1))).sum
     val frac =
       if (schema.isEmpty) 1.0
@@ -1926,17 +2000,21 @@ private[graft] class GraftCatalogMicroBatchStream(
         s"streaming read of $ident: commit v$v was written under a different schema " +
           s"(${cur.schema.simpleString} vs ${schema.simpleString}); restart the stream " +
           "to pick up the evolved schema")
-    val prevPaths: Set[String] =
-      if (v == 0) Set.empty
-      else snapshotOrFail(v - 1).segments.map(_.path).toSet
-    val removed = prevPaths -- cur.segments.map(_.path).toSet
-    if (removed.nonEmpty) {
+    val prevSegs: Map[String, GraftCatalog.Segment] =
+      if (v == 0) Map.empty
+      else snapshotOrFail(v - 1).segments.map(s => s.path -> s).toMap
+    val removed = prevSegs.keySet -- cur.segments.map(_.path).toSet
+    // A deletion-vector change keeps the file path but removes rows —
+    // exactly as much a change commit as dropping the segment.
+    val dvChanged = cur.segments.exists(s => prevSegs.get(s.path).exists(_.dv != s.dv))
+    if (removed.nonEmpty || dvChanged) {
       if (skipChangeCommits) Vector.empty
       else throw new IllegalStateException(
-        s"streaming read of $ident: commit v$v removed ${removed.size} segment(s) " +
-          "(OVERWRITE/DELETE/UPDATE/MERGE/compact/ALTER) — not expressible as an " +
-          "append stream; set option skipChangeCommits=true to skip such commits")
-    } else cur.segments.filterNot(s => prevPaths.contains(s.path))
+        s"streaming read of $ident: commit v$v removed segment(s) or rows " +
+          "(OVERWRITE/DELETE/UPDATE/MERGE/compact/ALTER/deletion vector) — not " +
+          "expressible as an append stream; set option skipChangeCommits=true to skip " +
+          "such commits")
+    } else cur.segments.filterNot(s => prevSegs.contains(s.path))
   }
 
   override def initialOffset(): Offset = GraftVersionOffset(-1L)
@@ -1998,7 +2076,7 @@ private[graft] class GraftCatalogMicroBatchStream(
     segs
       .filter(seg => pruning.forall(f => ZoneMap.mightMatch(f, schema, seg)))
       .map(seg =>
-        GraftCatalogPartition(Vector((seg.path, seg.rows)), schema.length): InputPartition)
+        GraftCatalogPartition(Vector(GraftSegFile.of(seg)), schema.length): InputPartition)
       .toArray
   }
 
@@ -2010,14 +2088,23 @@ private[graft] class GraftCatalogMicroBatchStream(
   * for unpartitioned tables; all of a partition value's files for
   * key-grouped scans, which must deliver the whole value in one split).
   */
+/** What a task needs to read one segment file: path, physical row
+  * count, and the deletion vector to skip (None = all rows live).
+  */
+private[sources] case class GraftSegFile(
+    path: String, rows: Long, dv: Option[scala.collection.immutable.BitSet])
+private[sources] object GraftSegFile {
+  def of(s: GraftCatalog.Segment): GraftSegFile = GraftSegFile(s.path, s.rows, s.dv)
+}
+
 private[sources] sealed trait GraftCatalogSplit extends InputPartition {
-  def files: Seq[(String, Long)] // (path, rows)
+  def files: Seq[GraftSegFile]
   def numFields: Int
 }
 private[sources] case class GraftCatalogPartition(
-    files: Seq[(String, Long)], numFields: Int) extends GraftCatalogSplit
+    files: Seq[GraftSegFile], numFields: Int) extends GraftCatalogSplit
 private[sources] case class GraftCatalogKeyedPartition(
-    files: Seq[(String, Long)], numFields: Int, keyRow: InternalRow)
+    files: Seq[GraftSegFile], numFields: Int, keyRow: InternalRow)
     extends GraftCatalogSplit with HasPartitionKey {
   override def partitionKey(): InternalRow = keyRow
 }
@@ -2051,26 +2138,35 @@ private[sources] case class GraftCatalogReaderFactory(
       private val fileIter = p.files.iterator
       private var in: DataInputStream = _
       private var remaining = 0L
+      private var ordinal = 0L
+      private var dv: scala.collection.immutable.BitSet = _
       private def advance(): Boolean = {
         if (in != null) { in.close(); in = null }
         if (!fileIter.hasNext) false
         else {
-          val (path, rows) = fileIter.next()
-          in = new DataInputStream(new BufferedInputStream(new FileInputStream(path), 1 << 16))
-          remaining = rows
-          if (rows > 0) true else advance() // a rowless file is never written, but be safe
+          val f = fileIter.next()
+          in = new DataInputStream(new BufferedInputStream(new FileInputStream(f.path), 1 << 16))
+          remaining = f.rows
+          ordinal = 0L
+          dv = f.dv.orNull
+          if (f.rows > 0) true else advance() // a rowless file is never written, but be safe
         }
       }
-      override def next(): Boolean =
-        if (remaining <= 0 && !advance()) false
-        else {
+      // Deletion-vector rows are READ (the format is length-prefixed
+      // sequential, there is no seek index) but never emitted.
+      override def next(): Boolean = {
+        while (true) {
+          if (remaining <= 0 && !advance()) return false
           val size = in.readInt()
           if (size > buf.length) buf = new Array[Byte](math.max(size, buf.length << 1))
           in.readFully(buf, 0, size)
-          row.pointTo(buf, size)
           remaining -= 1
-          true
+          val deleted = dv != null && ordinal <= Int.MaxValue && dv.contains(ordinal.toInt)
+          ordinal += 1
+          if (!deleted) { row.pointTo(buf, size); return true }
         }
+        false // unreachable
+      }
       override def get(): InternalRow = proj(row)
       override def close(): Unit = if (in != null) in.close()
     }

@@ -220,10 +220,14 @@ class PartitionedCatalogSpec extends AnyFunSuite {
     assert(GraftCatalog.segmentCount("del", "p") == 5)
     GraftCatalog.vacuumTombstones() // isolate the replaced-file accounting
     // Partial delete within one partition: zone maps prove the other 4
-    // partitions can't match, so exactly ONE segment is replaced.
+    // partitions can't match, so exactly ONE segment is touched — and a
+    // half-partition delete is merge-on-read: a deletion vector on that
+    // segment, no file rewritten or retired at all.
     spark.sql("DELETE FROM graft.del.p WHERE k = 'k2' AND v < 50")
-    assert(GraftCatalog.tombstoneCount == 1,
-      "only the matching partition's segment may be rewritten")
+    assert(GraftCatalog.tombstoneCount == 0,
+      "a minority delete must attach a dv, not rewrite")
+    assert(GraftCatalog.dvDeletedRows("del", "p") == 10L,
+      "only the matching partition's segment may carry the dv")
     assert(spark.sql("SELECT count(*) FROM graft.del.p WHERE k = 'k2'")
       .as[Long].head() == 10L)
     assert(spark.sql("SELECT count(*) FROM graft.del.p").as[Long].head() == 90L)
