@@ -15,6 +15,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions()) // native fns + V2 view DDL/read
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: absorb session startup + first-query codegen outside the

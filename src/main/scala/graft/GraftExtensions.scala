@@ -58,5 +58,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.CosineLshRewrite)
     // Planner strategy for the TopKPerGroup custom logical operator.
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    // V2 views on graft catalogs: DDL interception at the parser (stock
+    // Spark rejects view commands on non-session catalogs before any
+    // injected rule could run) + late-binding read resolution.
+    ext.injectParser((session, delegate) =>
+      new graft.plans.GraftViewParser(session, delegate))
+    ext.injectResolutionRule(session => graft.plans.GraftViewReadRule(session))
   }
 }

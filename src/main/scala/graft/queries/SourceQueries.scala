@@ -397,6 +397,44 @@ object SourceQueries {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** X7: V2 CATALOG VIEWS — CREATE VIEW / SELECT-through-view / view-
+    * over-view on the graft catalog, wired by GraftExtensions (stock
+    * Spark has no V2 view DDL or read path; see
+    * plans/GraftViewSupport.scala). Late binding is load-bearing: the
+    * INSERT lands AFTER the views are defined, and the read must see
+    * it. The oracle composes the same two view bodies inline.
+    */
+  val x7CatalogView: Q = Q(
+    "x7_catalog_view",
+    """SELECT r_name, n_nations
+      |FROM (SELECT r_name, count(*) AS n_nations
+      |      FROM nation JOIN region ON n_regionkey = r_regionkey
+      |      GROUP BY r_name)
+      |WHERE n_nations >= 5
+      |ORDER BY r_name""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.nation(spark, dir).createOrReplaceTempView("x7_nation_src")
+    Tables.region(spark, dir).createOrReplaceTempView("x7_region_src")
+    spark.sql("DROP VIEW IF EXISTS graft.demo.region_counts")
+    spark.sql("DROP VIEW IF EXISTS graft.demo.big_regions")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.nations_v")
+    spark.sql(
+      "CREATE TABLE graft.demo.nations_v (n_nationkey INT, n_name STRING, r_name STRING) USING graft")
+    spark.sql(
+      """CREATE VIEW graft.demo.region_counts AS
+        |SELECT r_name, count(*) AS n_nations
+        |FROM graft.demo.nations_v GROUP BY r_name""".stripMargin)
+    spark.sql(
+      """CREATE VIEW graft.demo.big_regions AS
+        |SELECT r_name, n_nations FROM graft.demo.region_counts WHERE n_nations >= 5""".stripMargin)
+    // Rows land AFTER both views exist — late binding must see them.
+    spark.sql(
+      """INSERT INTO graft.demo.nations_v
+        |SELECT n_nationkey, n_name, r_name
+        |FROM x7_nation_src JOIN x7_region_src ON n_regionkey = r_regionkey""".stripMargin)
+    spark.sql("SELECT r_name, n_nations FROM graft.demo.big_regions ORDER BY r_name")
+  }
+
   /** X6: catalog-resolved V2 FUNCTION — `graft.math.clamp` resolves
     * through `FunctionCatalog.loadFunction` (not the session registry)
     * and, carrying the `invoke` magic method, compiles to a direct call
@@ -429,5 +467,6 @@ object SourceQueries {
   val all: Seq[Q] = Seq(
     s2ParquetRoundtrip, s3CsvSource, s3JsonSource, s6CacheReuse,
     s7PartitionedSink, s8OrcRoundtrip, x1ScalarUdf, x3Generator, x4Dsv2Source,
-    x5CatalogSql, x5bTimeTravel, x5cPartitionedSpj, x5dAtomicCtas, x6CatalogFunction)
+    x5CatalogSql, x5bTimeTravel, x5cPartitionedSpj, x5dAtomicCtas, x6CatalogFunction,
+    x7CatalogView)
 }

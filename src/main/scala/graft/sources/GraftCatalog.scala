@@ -53,7 +53,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * path; `produceResult` stays as the interpreted fallback.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog
-    with ProcedureCatalog with StagingTableCatalog {
+    with ProcedureCatalog with StagingTableCatalog with ViewCatalog {
   import GraftCatalog._
 
   private var catalogName: String = "graft"
@@ -68,7 +68,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val entry = store.get(ident)
     if (entry == null) throw new NoSuchTableException(ident)
     new GraftCatalogTable(ident, entry.schema, entry.dir,
-      partitionCols = entry.partitionCols)
+      partitionCols = entry.partitionCols, tableConstraints = entry.constraints)
+  }
+
+  /** Table constraints (Spark 4 ANSI constraints surface): the catalog
+    * STORES them and reports them on the loaded table; Spark's write
+    * planning enforces ENFORCED CHECK constraints on every INSERT (a
+    * violating row fails the job before commit). UNIQUE / PRIMARY KEY /
+    * FOREIGN KEY are accepted as informational (NOT ENFORCED) only —
+    * this engine never silently promises uniqueness it doesn't check.
+    */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
+  private def validateConstraint(
+      c: org.apache.spark.sql.connector.catalog.constraints.Constraint): Unit = c match {
+    case _: org.apache.spark.sql.connector.catalog.constraints.Check => ()
+    case other if !other.enforced() => ()
+    case other => throw new UnsupportedOperationException(
+      s"graft catalog enforces only CHECK constraints; declare ${other.name()} NOT ENFORCED")
   }
 
   /** TIME TRAVEL (`SELECT … FROM graft.ns.t VERSION AS OF 2`): every
@@ -149,6 +167,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     new GraftCatalogTable(ident, schema, dir, partitionCols = partCols)
   }
 
+  /** The TableInfo entry point is the one that carries CONSTRAINTS
+    * (`CREATE TABLE … CHECK (…)`); the 4-arg overload above loses them.
+    */
+  override def createTable(ident: Identifier, info: TableInfo): Table = mutate {
+    info.constraints().foreach(validateConstraint)
+    createTable(ident, info.schema(), info.partitions(), info.properties())
+    val result = store.compute(ident, (_, e) => {
+      require(e != null)
+      e.copy(constraints = info.constraints().toVector)
+    })
+    new GraftCatalogTable(ident, result.schema, result.dir,
+      partitionCols = result.partitionCols, tableConstraints = result.constraints)
+  }
+
   // ---- StagingTableCatalog: atomic CTAS / RTAS ----
   // Spark routes CREATE TABLE AS SELECT / REPLACE TABLE [AS SELECT]
   // here when the catalog stages: the data lands in a PRIVATE segment
@@ -187,6 +219,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = mutate {
     if (store.get(ident) == null) throw new NoSuchTableException(ident)
+    // Constraint-only ALTERs are pure metadata: no segment I/O.
+    if (changes.forall(c => c.isInstanceOf[TableChange.AddConstraint] ||
+        c.isInstanceOf[TableChange.DropConstraint])) {
+      val result = store.compute(ident, (_, prev) => {
+        require(prev != null, s"table $ident dropped mid-alter")
+        changes.foldLeft(prev) {
+          case (e, add: TableChange.AddConstraint) =>
+            validateConstraint(add.constraint())
+            if (e.constraints.exists(_.name() == add.constraint().name()))
+              throw new IllegalArgumentException(
+                s"constraint ${add.constraint().name()} already exists on $ident")
+            e.copy(constraints = e.constraints :+ add.constraint())
+          case (e, drop: TableChange.DropConstraint) =>
+            if (!e.constraints.exists(_.name() == drop.name()) && !drop.ifExists())
+              throw new IllegalArgumentException(
+                s"no such constraint ${drop.name()} on $ident")
+            e.copy(constraints = e.constraints.filterNot(_.name() == drop.name()))
+          case (e, _) => e
+        }
+      })
+      return new GraftCatalogTable(ident, result.schema, result.dir,
+        partitionCols = result.partitionCols, tableConstraints = result.constraints)
+    }
     val adds = changes.map {
       case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
         org.apache.spark.sql.types.StructField(
@@ -304,6 +359,61 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     else if (ident.namespace.sameElements(Array("system")) && ident.name == "zorder")
       GraftZorderProcedure
     else throw new UnsupportedOperationException(s"no such procedure: $ident")
+
+  // ---- ViewCatalog: persistent SQL views resolved through the ----
+  // ---- catalog (CREATE/ALTER/DROP/SHOW VIEWS, `SELECT FROM v`) ----
+  // A view stores the ORIGINAL query text plus the catalog/namespace
+  // context it was defined under; Spark re-parses and re-resolves on
+  // every read (late binding — the view tracks its base tables).
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns: Array[String] = namespace.toArray
+    views.keySet.asScala.filter(_.namespace.sameElements(ns))
+      .toArray.sortBy(_.name())
+  }
+
+  override def loadView(ident: Identifier): View = {
+    val v = views.get(ident)
+    if (v == null)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    v
+  }
+
+  override def createView(info: ViewInfo): View = mutate {
+    if (store.containsKey(info.ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        info.ident.toString, info.ident.name())
+    val v = GraftView(info.ident, info.sql(), info.currentCatalog(),
+      info.currentNamespace(), info.schema(), info.queryColumnNames(),
+      info.columnAliases(), info.columnComments(), info.properties())
+    if (views.putIfAbsent(info.ident, v) != null)
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(info.ident)
+    v
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = mutate {
+    val prev = loadView(ident).asInstanceOf[GraftView]
+    val props = new util.HashMap[String, String](prev.props)
+    changes.foreach {
+      case set: ViewChange.SetProperty => props.put(set.property(), set.value())
+      case rm: ViewChange.RemoveProperty => props.remove(rm.property())
+      case _ => ()
+    }
+    val next = prev.copy(props = util.Collections.unmodifiableMap(props))
+    views.put(ident, next)
+    next
+  }
+
+  override def dropView(ident: Identifier): Boolean = views.remove(ident) != null
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = mutate {
+    val v = views.get(oldIdent)
+    if (v == null)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent)
+    if (views.containsKey(newIdent) || store.containsKey(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
+    views.remove(oldIdent)
+    views.put(newIdent, v.copy(ident = newIdent))
+  }
 
   // ---- FunctionCatalog ----
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
@@ -535,9 +645,12 @@ object GraftCatalog {
 
   private[sources] case class TableEntry(
       schema: StructType, segments: Vector[Segment], dir: String,
-      partitionCols: Seq[String] = Nil)
+      partitionCols: Seq[String] = Nil,
+      constraints: Vector[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+        Vector.empty)
 
   private val store = new ConcurrentHashMap[Identifier, TableEntry]()
+  private[sources] val views = new ConcurrentHashMap[Identifier, GraftView]()
 
   /** Serializes all metastore MUTATIONS (create/drop/alter/rename/
     * commit). Mutation rates on a catalog are metadata-scale, so one
@@ -1379,12 +1492,44 @@ private[sources] object SegmentIO {
   * Predicates the evaluator can't prove (`canDeleteWhere` false) fail
   * the statement instead of deleting the wrong rows.
   */
+/** The catalog's metadata columns (the Iceberg `_file`/`_pos` shape):
+  * hidden from `SELECT *`, served by the scan when referenced.
+  * `_pos` is the PHYSICAL ordinal — rows masked by a deletion vector
+  * leave visible gaps, which is exactly what makes it useful for
+  * debugging merge-on-read state.
+  */
+private[sources] object GraftMetaCols {
+  import org.apache.spark.sql.types.{LongType, StringType}
+  val Segment = "_segment"
+  val Pos = "_pos"
+  val names: Seq[String] = Seq(Segment, Pos)
+  private final case class Col(
+      name: String, dataType: org.apache.spark.sql.types.DataType,
+      override val comment: String)
+      extends MetadataColumn {
+    override def isNullable: Boolean = false
+  }
+  val columns: Array[MetadataColumn] = Array(
+    Col(Segment, StringType, "segment file path serving this row"),
+    Col(Pos, LongType, "physical row ordinal within the segment (dv gaps visible)"))
+}
+
 private[sources] class GraftCatalogTable(
     ident: Identifier, schema0: StructType, dir: String,
     pinned: Option[Vector[GraftCatalog.Segment]] = None,
-    partitionCols: Seq[String] = Nil)
+    partitionCols: Seq[String] = Nil,
+    tableConstraints: Vector[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+      Vector.empty)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  override def metadataColumns(): Array[MetadataColumn] = GraftMetaCols.columns
+
+  /** Reported constraints drive Spark's own write-side enforcement of
+    * ENFORCED CHECKs (the engine never has to re-implement the check).
+    */
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    tableConstraints.toArray
   override def name(): String =
     if (pinned.isDefined) s"$ident (time travel)" else ident.toString
   override def schema(): StructType = schema0
@@ -1510,6 +1655,18 @@ private[sources] class GraftCatalogTable(
             partitionCols)
       }
     }
+}
+
+/** A stored catalog view: the definition-time query text + resolution
+  * context, re-resolved on every read (late binding).
+  */
+private[sources] case class GraftView(
+    ident: Identifier, query: String, currentCatalog: String,
+    currentNamespace: Array[String], schema: StructType,
+    queryColumnNames: Array[String], columnAliases: Array[String],
+    columnComments: Array[String], props: util.Map[String, String]) extends View {
+  override def name(): String = ident.toString
+  override def properties(): util.Map[String, String] = props
 }
 
 private[sources] object GraftStagedTable {
@@ -1672,8 +1829,11 @@ private[sources] class GraftCatalogScanBuilder(
   // any later exchange). Zone maps keep evaluating against the FULL
   // schema — a filter column does not have to survive the projection.
   override def pruneColumns(requiredSchema: StructType): Unit =
+    // Data columns keep schema order; requested METADATA columns
+    // (_segment/_pos) ride along — the reader synthesizes their values.
     required = StructType(
-      schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+      schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)) ++
+        requiredSchema.fields.filter(f => GraftMetaCols.names.contains(f.name)))
   override def build(): Scan = pushedAggs match {
     case Some(aggs) => GraftCatalogAggScan(ident, schema, pinned, aggs)
     case None =>
@@ -2113,20 +2273,29 @@ private[sources] case class GraftCatalogReaderFactory(
     full: StructType, required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftCatalogSplit]
+    val wantsMeta = required.fieldNames.exists(GraftMetaCols.names.contains)
     // Column-pruning projection, built once per split (codegen'd):
-    // identity when nothing was pruned. The projection's output row is
+    // identity when nothing was pruned. Requested metadata columns
+    // (_segment/_pos) bind past the data layout into a per-row meta
+    // struct joined on the right. The projection's output row is
     // instance-reused, same as the deserialization row — both within
     // the PartitionReader reuse contract.
+    val metaRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
     val proj: UnsafeRow => InternalRow =
-      if (required.length == full.length) identity
+      if (!wantsMeta && required.length == full.length) identity
       else {
         val exprs = required.fields.toSeq.map { f =>
-          val i = full.fieldIndex(f.name)
+          val i = f.name match {
+            case GraftMetaCols.Segment => full.length
+            case GraftMetaCols.Pos => full.length + 1
+            case n => full.fieldIndex(n)
+          }
           org.apache.spark.sql.catalyst.expressions.BoundReference(
             i, f.dataType, f.nullable): org.apache.spark.sql.catalyst.expressions.Expression
         }
         val up = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(exprs)
-        r => up(r)
+        if (wantsMeta) r => up(joined(r, metaRow)) else r => up(r)
       }
     new PartitionReader[InternalRow] {
       private val row = new UnsafeRow(p.numFields)
@@ -2149,6 +2318,8 @@ private[sources] case class GraftCatalogReaderFactory(
           remaining = f.rows
           ordinal = 0L
           dv = f.dv.orNull
+          if (wantsMeta)
+            metaRow.update(0, org.apache.spark.unsafe.types.UTF8String.fromString(f.path))
           if (f.rows > 0) true else advance() // a rowless file is never written, but be safe
         }
       }
@@ -2162,6 +2333,7 @@ private[sources] case class GraftCatalogReaderFactory(
           in.readFully(buf, 0, size)
           remaining -= 1
           val deleted = dv != null && ordinal <= Int.MaxValue && dv.contains(ordinal.toInt)
+          if (!deleted && wantsMeta) metaRow.update(1, ordinal)
           ordinal += 1
           if (!deleted) { row.pointTo(buf, size); return true }
         }

@@ -13,6 +13,7 @@ object SparkTestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/tmp/graft_test_warehouse")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions()) // prod extension path, incl. V2 views
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** V2 ViewCatalog (persistent late-binding SQL views) and ANSI table
+  * constraints (ENFORCED CHECK, write-side enforcement by Spark's own
+  * planning) on the graft catalog.
+  */
+class ViewConstraintSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s
+  }
+  import spark.implicits._
+
+  test("CREATE/SELECT/SHOW/DROP view lifecycle through SQL; rename/alter via API") {
+    spark.sql("DROP TABLE IF EXISTS graft.vw.base")
+    spark.sql("DROP VIEW IF EXISTS graft.vw.v1")
+    spark.sql("DROP VIEW IF EXISTS graft.vw.v2")
+    spark.sql("CREATE TABLE graft.vw.base (k BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.vw.base VALUES (1,'a'), (2,'b'), (3,'c')")
+    spark.sql("CREATE VIEW graft.vw.v1 AS SELECT k, upper(v) AS vu FROM graft.vw.base WHERE k >= 2")
+    assert(spark.sql("SELECT k, vu FROM graft.vw.v1 ORDER BY k")
+      .as[(Long, String)].collect().toSeq == Seq((2L, "B"), (3L, "C")))
+    // LATE BINDING: new base rows are visible without recreating the view
+    spark.sql("INSERT INTO graft.vw.base VALUES (4,'d')")
+    assert(spark.sql("SELECT count(*) FROM graft.vw.v1").as[Long].head() == 3L)
+    // views compose: a view over a view, and joins against base tables
+    spark.sql("CREATE VIEW graft.vw.v2 AS SELECT count(*) AS n FROM graft.vw.v1 WHERE k > 2")
+    assert(spark.sql("SELECT n FROM graft.vw.v2").as[Long].head() == 2L)
+    assert(spark.sql("SHOW VIEWS IN graft.vw").select("viewName")
+      .as[String].collect().toSeq == Seq("v1", "v2"))
+    // rename + property alter through the ViewCatalog API
+    import org.apache.spark.sql.connector.catalog.{Identifier, ViewChange}
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.ViewCatalog]
+    cat.alterView(Identifier.of(Array("vw"), "v2"),
+      ViewChange.setProperty("note", "demo"))
+    assert(cat.loadView(Identifier.of(Array("vw"), "v2")).properties().get("note") == "demo")
+    cat.renameView(Identifier.of(Array("vw"), "v2"), Identifier.of(Array("vw"), "v3"))
+    assert(spark.sql("SELECT n FROM graft.vw.v3").as[Long].head() == 2L)
+    assert(spark.sql("DROP VIEW graft.vw.v3").collect().isEmpty)
+    intercept[Exception] { spark.sql("SELECT * FROM graft.vw.v3").collect() }
+    // CREATE OR REPLACE + duplicate-create error + IF NOT EXISTS no-op
+    spark.sql("CREATE OR REPLACE VIEW graft.vw.v1 AS SELECT max(k) AS mk FROM graft.vw.base")
+    assert(spark.sql("SELECT mk FROM graft.vw.v1").as[Long].head() == 4L)
+    intercept[Exception] {
+      spark.sql("CREATE VIEW graft.vw.v1 AS SELECT 1 AS one")
+    }
+    spark.sql("CREATE VIEW IF NOT EXISTS graft.vw.v1 AS SELECT 1 AS one") // no-op
+    assert(spark.sql("SELECT mk FROM graft.vw.v1").as[Long].head() == 4L)
+    spark.sql("DROP VIEW graft.vw.v1")
+  }
+
+  test("ENFORCED CHECK constraints reject violating writes; DROP CONSTRAINT lifts them") {
+    spark.sql("DROP TABLE IF EXISTS graft.cn.t1")
+    spark.sql(
+      "CREATE TABLE graft.cn.t1 (k BIGINT, v DOUBLE, CONSTRAINT k_pos CHECK (k > 0)) USING graft")
+    spark.sql("INSERT INTO graft.cn.t1 VALUES (1, 0.5), (2, 1.5)")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft.cn.t1 VALUES (-1, 9.9)")
+    }
+    assert(e.getMessage.contains("CHECK_CONSTRAINT_VIOLATION"), e.getMessage)
+    assert(spark.sql("SELECT count(*) FROM graft.cn.t1").as[Long].head() == 2L,
+      "the violating job must not commit")
+    // ALTER TABLE ADD CONSTRAINT is metadata-only and immediately enforced
+    spark.sql("ALTER TABLE graft.cn.t1 ADD CONSTRAINT v_small CHECK (v < 10.0)")
+    val e2 = intercept[Exception] {
+      spark.sql("INSERT INTO graft.cn.t1 VALUES (5, 11.0)")
+    }
+    assert(e2.getMessage.contains("CHECK_CONSTRAINT_VIOLATION"))
+    spark.sql("ALTER TABLE graft.cn.t1 DROP CONSTRAINT v_small")
+    spark.sql("INSERT INTO graft.cn.t1 VALUES (5, 11.0)") // now fine
+    assert(spark.sql("SELECT count(*) FROM graft.cn.t1").as[Long].head() == 3L)
+    // informational (NOT ENFORCED) PK is accepted; an ENFORCED one is not
+    spark.sql("ALTER TABLE graft.cn.t1 ADD CONSTRAINT pk PRIMARY KEY (k) NOT ENFORCED")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.cn.t1 ADD CONSTRAINT u UNIQUE (v) ENFORCED")
+    }
+  }
+}
