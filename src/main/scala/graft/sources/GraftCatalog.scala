@@ -79,7 +79,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * this engine never silently promises uniqueness it doesn't check.
     */
   override def capabilities(): util.Set[TableCatalogCapability] =
-    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    util.EnumSet.of(
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      // Column DEFAULTs live in StructField metadata (CURRENT_DEFAULT /
+      // EXISTS_DEFAULT); Spark's analyzer fills omitted columns on
+      // INSERT once the catalog declares support — the schema persists
+      // through TableEntry untouched, so storage needs nothing extra.
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private def validateConstraint(
       c: org.apache.spark.sql.connector.catalog.constraints.Constraint): Unit = c match {
@@ -242,10 +248,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       return new GraftCatalogTable(ident, result.schema, result.dir,
         partitionCols = result.partitionCols, tableConstraints = result.constraints)
     }
-    val adds = changes.map {
+    // Each add: the widened field (DEFAULT sql kept in the standard
+    // CURRENT_DEFAULT/EXISTS_DEFAULT metadata keys so the analyzer
+    // fills omitted INSERT columns) + the backfill literal for rows
+    // that exist NOW (ANSI: evaluated default at ALTER time, else null).
+    val adds: Seq[(org.apache.spark.sql.types.StructField,
+        org.apache.spark.sql.catalyst.expressions.Literal)] = changes.map {
       case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
-        org.apache.spark.sql.types.StructField(
+        val base = org.apache.spark.sql.types.StructField(
           add.fieldNames()(0), add.dataType(), nullable = true)
+        Option(add.defaultValue()) match {
+          case Some(d) =>
+            val md = Option(d.getSql) match {
+              case Some(sql) => new org.apache.spark.sql.types.MetadataBuilder()
+                .putString("CURRENT_DEFAULT", sql)
+                .putString("EXISTS_DEFAULT", sql)
+                .build()
+              case None => base.metadata
+            }
+            (base.copy(metadata = md),
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                d.getValue.value(), d.getValue.dataType()))
+          case None =>
+            (base, org.apache.spark.sql.catalyst.expressions.Literal(null, add.dataType()))
+        }
       case other =>
         throw new UnsupportedOperationException(
           s"graft catalog supports only top-level ADD COLUMN, got: $other")
@@ -257,11 +283,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         val exprs = prev.schema.fields.zipWithIndex.map { case (of, i) =>
           org.apache.spark.sql.catalyst.expressions.BoundReference(
             i, of.dataType, of.nullable): org.apache.spark.sql.catalyst.expressions.Expression
-        }.toSeq ++ adds.map(f =>
-          org.apache.spark.sql.catalyst.expressions.Literal(null, f.dataType))
+        }.toSeq ++ adds.map(_._2)
         val proj =
           org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(exprs)
-        val widenedSchema = StructType(prev.schema.fields ++ adds)
+        val widenedSchema = StructType(prev.schema.fields ++ adds.map(_._1))
         val widened = prev.segments.flatMap { seg =>
           val s = SegmentIO.rewriteOpt(seg, prev.dir, prev.schema.length, widenedSchema)(
             r => Some(proj(r)))

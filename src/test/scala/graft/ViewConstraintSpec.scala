@@ -53,6 +53,29 @@ class ViewConstraintSpec extends AnyFunSuite {
     spark.sql("DROP VIEW graft.vw.v1")
   }
 
+  test("column DEFAULTs: CREATE-time, INSERT keyword, and ALTER ADD COLUMN backfill") {
+    spark.sql("DROP TABLE IF EXISTS graft.df.t1")
+    spark.sql(
+      "CREATE TABLE graft.df.t1 (k BIGINT, v STRING DEFAULT 'unset', n DOUBLE DEFAULT 2.5) USING graft")
+    spark.sql("INSERT INTO graft.df.t1 (k) VALUES (1)")
+    spark.sql("INSERT INTO graft.df.t1 VALUES (2, 'set', 9.0)")
+    spark.sql("INSERT INTO graft.df.t1 (k, v) VALUES (3, DEFAULT)")
+    assert(spark.sql("SELECT k, v, n FROM graft.df.t1 ORDER BY k")
+      .as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "unset", 2.5), (2L, "set", 9.0), (3L, "unset", 2.5)))
+    // ALTER-added column: existing rows backfill with the evaluated
+    // default (ANSI EXISTS_DEFAULT), future inserts fill CURRENT_DEFAULT.
+    spark.sql("ALTER TABLE graft.df.t1 ADD COLUMN extra STRING DEFAULT 'later'")
+    spark.sql("INSERT INTO graft.df.t1 (k) VALUES (4)")
+    assert(spark.sql("SELECT k, extra FROM graft.df.t1 ORDER BY k")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "later"), (2L, "later"), (3L, "later"), (4L, "later")))
+    // a default-less ALTER-added column still backfills null
+    spark.sql("ALTER TABLE graft.df.t1 ADD COLUMN free STRING")
+    assert(spark.sql("SELECT count(*) FROM graft.df.t1 WHERE free IS NULL")
+      .as[Long].head() == 4L)
+  }
+
   test("ENFORCED CHECK constraints reject violating writes; DROP CONSTRAINT lifts them") {
     spark.sql("DROP TABLE IF EXISTS graft.cn.t1")
     spark.sql(
