@@ -25,9 +25,62 @@ object ConnectedComponents {
 
   /** edges: two numeric columns (i, j). Returns (v, component) where
     * component = min vertex id reachable from v.
+    *
+    * ADAPTIVE strategy, decided from one cheap count: below
+    * `smallGraphThreshold` edges the whole graph union-finds inside a
+    * single EXECUTOR task (one job, zero iterations) — near-dup edge
+    * sets are typically tiny relative to the corpus, and 4–6 iterative
+    * shuffle rounds over a few thousand edges is pure scheduling
+    * overhead. Above it, the iterative label-propagation path scales
+    * to graphs no single task can hold. Both paths compute the same
+    * min-label fixpoint (equivalence property-tested in OperatorSpec).
     */
-  def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = edges.toDF("i", "j")
+  def run(
+      edges: DataFrame, maxIter: Int = 20,
+      smallGraphThreshold: Long = 100000): DataFrame = {
+    val symIn = edges.toDF("i", "j").persist()
+    val nEdges = symIn.count()
+    val out =
+      if (nEdges <= smallGraphThreshold) runLocal(symIn)
+      else runIterative(symIn, maxIter)
+    symIn.unpersist()
+    out
+  }
+
+  /** Single-task union-find (path halving + union by min label). The
+    * edge list rides ONE shuffle to one task; output is (v, component)
+    * for every endpoint. Memory = O(vertices) in that task — gated by
+    * the caller's edge-count check.
+    */
+  private def runLocal(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val ds = sym.select(col("i").cast("long"), col("j").cast("long")).as[(Long, Long)]
+    ds.repartition(1).mapPartitions { it =>
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) {
+          parent.put(r, parent.get(parent.get(r))) // path halving
+          r = parent.get(r)
+        }
+        r
+      }
+      def add(x: Long): Unit = if (!parent.containsKey(x)) parent.put(x, x)
+      it.foreach { case (i, j) =>
+        add(i); add(j)
+        val (ri, rj) = (find(i), find(j))
+        // union by MIN label: the root IS the component id
+        if (ri < rj) parent.put(rj, ri) else if (rj < ri) parent.put(ri, rj)
+      }
+      val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      parent.keySet().forEach(v => res += ((v, find(v))))
+      res.iterator
+    }.toDF("v", "component")
+  }
+
+  private def runIterative(edges: DataFrame, maxIter: Int): DataFrame = {
+    val sym = edges
     // Symmetrized adjacency WITH self-loops: v's next label is then
     // min(component over dst ∈ neighbors(v) ∪ {v}) — ONE join + ONE
     // aggregate per round, instead of the neighbor-min join PLUS a

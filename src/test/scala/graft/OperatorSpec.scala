@@ -101,6 +101,22 @@ class OperatorSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("ConnectedComponents: local union-find and iterative propagation agree on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 30 + trial * 10
+      val edges = Seq.fill(n)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(e => e._1 != e._2).toDF("i", "j")
+      val local = graft.operators.ConnectedComponents
+        .run(edges) // below threshold -> single-task union-find
+        .as[(Long, Long)].collect().toMap
+      val iter = graft.operators.ConnectedComponents
+        .run(edges, smallGraphThreshold = 0) // force iterative
+        .as[(Long, Long)].collect().toMap
+      assert(local == iter, s"trial $trial: paths disagree")
+    }
+  }
+
   test("A6: approx_count_distinct is within rsd bounds of exact") {
     val df = (1 to 5000).map(i => (i % 700L)).toDF("v")
     val r = df.agg(
