@@ -249,7 +249,36 @@ object FlagshipQueries {
     }
   }
 
+  /** TPC-H Q20 (potential part promotion) adapted: partsupp.availqty →
+    * shipped quantity from lineitem. Suppliers who moved an
+    * above-median volume of red parts in 1997, by nation. Shape: IN-subquery whose body is a
+    * join + grouped HAVING aggregate — the subquery reduces to a small
+    * key set BEFORE touching supplier (semi join), and the part filter
+    * prunes the fact scan's build side.
+    */
+  val q20PromotionSuppliers: Q = {
+    val sql =
+      s"""SELECT s_name, n_name,
+         |       round(s_acctbal, 4) AS acctbal
+         |FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE s_suppkey IN (
+         |  SELECT l_suppkey
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  WHERE p_name LIKE '%red%'
+         |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  GROUP BY l_suppkey
+         |  HAVING sum(l_quantity) > 289)
+         |ORDER BY s_name""".stripMargin
+    Q("q20_promotion_suppliers", sql) { (spark, dir) =>
+      Tables.registerAll(spark, dir)
+      spark.sql(sql)
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q7VolumeShipping, q8MarketShare, q9ProductProfit, q14PromoRevenue,
-    q15TopSupplier, q16SupplierCnt, q19DisjunctiveRevenue, q22SalesOpportunity)
+    q15TopSupplier, q16SupplierCnt, q19DisjunctiveRevenue,
+    q20PromotionSuppliers, q22SalesOpportunity)
 }

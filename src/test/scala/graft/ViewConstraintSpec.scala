@@ -101,5 +101,11 @@ class ViewConstraintSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("ALTER TABLE graft.cn.t1 ADD CONSTRAINT u UNIQUE (v) ENFORCED")
     }
+    // adding a CHECK that existing data violates is rejected by Spark's
+    // validation scan BEFORE it reaches the catalog
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.cn.t1 ADD CONSTRAINT v_tiny CHECK (v < 1.0)")
+    }
+    assert(e3.getMessage.contains("NEW_CHECK_CONSTRAINT_VIOLATION"), e3.getMessage)
   }
 }
