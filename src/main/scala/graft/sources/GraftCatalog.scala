@@ -373,7 +373,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array(Identifier.of(namespace, "compact"), Identifier.of(namespace, "history"),
-        Identifier.of(namespace, "zorder"))
+        Identifier.of(namespace, "zorder"), Identifier.of(namespace, "vacuum"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
@@ -383,6 +383,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       GraftHistoryProcedure
     else if (ident.namespace.sameElements(Array("system")) && ident.name == "zorder")
       GraftZorderProcedure
+    else if (ident.namespace.sameElements(Array("system")) && ident.name == "vacuum")
+      GraftVacuumProcedure
     else throw new UnsupportedOperationException(s"no such procedure: $ident")
 
   // ---- ViewCatalog: persistent SQL views resolved through the ----
@@ -539,6 +541,45 @@ private[graft] object GraftZorderProcedure
       override def rows(): Array[InternalRow] = Array(row)
       override def readSchema(): StructType = outSchema
       override def description(): String = s"GraftZorderResult($ident)"
+    }).iterator()
+  }
+}
+
+/** `CALL graft.system.vacuum(ns, table)` — manual retention override:
+  * expires all non-current snapshots and deletes files only they
+  * referenced. One summary row; work in `GraftCatalog.vacuumTable`.
+  */
+private[graft] object GraftVacuumProcedure
+    extends procedures.UnboundProcedure with procedures.BoundProcedure {
+  import org.apache.spark.sql.types.{IntegerType, StringType}
+  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+
+  override def name(): String = "vacuum"
+  override def description(): String =
+    "vacuum(ns, table): expire non-current snapshots and GC their files"
+  override def bind(inputType: StructType): procedures.BoundProcedure = this
+  override def isDeterministic: Boolean = false // mutates table state
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("ns", StringType).comment("namespace").build(),
+    ProcedureParameter.in("table", StringType).comment("table name").build())
+
+  private val outSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("snapshots_expired", IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("files_deleted", IntegerType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val ns = input.getUTF8String(0).toString
+    val table = input.getUTF8String(1).toString
+    val ident = Identifier.of(Array(ns), table)
+    val (expired, deleted) = GraftCatalog.vacuumTable(ident)
+    val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(ident.toString),
+        expired, deleted))
+    java.util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = outSchema
+      override def description(): String = s"GraftVacuumResult($ident)"
     }).iterator()
   }
 }
@@ -820,6 +861,29 @@ object GraftCatalog {
   /** Test hook (vacuum-now): drop every non-current snapshot and delete
     * the files only they referenced — `VACUUM t RETAIN 0` semantics.
     */
+  /** Per-table VACUUM (`CALL graft.system.vacuum`): expire every
+    * retained snapshot except the current one and delete the files only
+    * they referenced — the manual override of the time-based retention
+    * GC (the Delta VACUUM shape: after it, time travel to superseded
+    * versions is gone by user choice). Returns
+    * (snapshotsExpired, filesDeleted).
+    */
+  private[sources] def vacuumTable(ident: Identifier): (Int, Int) = mutate {
+    val entry = store.get(ident)
+    if (entry == null) throw new NoSuchTableException(ident)
+    val hist = history.getOrDefault(ident, Vector.empty)
+    val keepSegs = entry.segments
+    val live = keepSegs.map(_.path).toSet
+    val dropped = hist.flatMap(_.segments).distinctBy(_.path)
+      .filterNot(s => live.contains(s.path))
+    dropped.foreach(SegmentIO.delete)
+    val expired = (hist.length - 1).max(0)
+    history.put(ident,
+      hist.lastOption.map(s => Vector(s.copy(segments = keepSegs)))
+        .getOrElse(Vector.empty))
+    (expired, dropped.length)
+  }
+
   private[graft] def vacuumTombstones(): Unit = mutate {
     history.asScala.keys.toSeq.foreach { ident =>
       val entry = store.get(ident)
@@ -1651,7 +1715,8 @@ private[sources] class GraftCatalogTable(
     new GraftCatalogScanBuilder(ident, schema0, pinned, partitionCols,
       maxSegmentsPerTrigger =
         Option(options.get("maxSegmentsPerTrigger")).map(_.toInt),
-      skipChangeCommits = options.getBoolean("skipChangeCommits", false))
+      skipChangeCommits = options.getBoolean("skipChangeCommits", false),
+      startingVersion = Option(options.get("startingVersion")).map(_.toLong))
 
   /** Writes to a PARTITIONED table request a CLUSTERED distribution on
     * the partition columns (`RequiresDistributionAndOrdering`): Spark
@@ -1778,7 +1843,8 @@ private[sources] class GraftCatalogScanBuilder(
     pinned: Option[Vector[GraftCatalog.Segment]] = None,
     partitionCols: Seq[String] = Nil,
     maxSegmentsPerTrigger: Option[Int] = None,
-    skipChangeCommits: Boolean = false)
+    skipChangeCommits: Boolean = false,
+    startingVersion: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources.Filter
@@ -1864,7 +1930,8 @@ private[sources] class GraftCatalogScanBuilder(
     case None =>
       GraftCatalogScan(ident, schema, pruning.toIndexedSeq, required, pinned, partitionCols,
         maxSegmentsPerTrigger = maxSegmentsPerTrigger,
-        skipChangeCommits = skipChangeCommits)
+        skipChangeCommits = skipChangeCommits,
+        startingVersion = startingVersion)
   }
 }
 
@@ -1951,7 +2018,8 @@ private[graft] case class GraftCatalogScan(
     // are never exchange-reuse candidates, read scans never carry it.)
     onRuntimeExclude: Option[Vector[GraftCatalog.Segment] => Unit] = None,
     maxSegmentsPerTrigger: Option[Int] = None,
-    skipChangeCommits: Boolean = false)
+    skipChangeCommits: Boolean = false,
+    startingVersion: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeV2Filtering {
   private def out: StructType = if (required == null) schema else required
@@ -2017,7 +2085,8 @@ private[graft] case class GraftCatalogScan(
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftCatalogMicroBatchStream(
-      ident, schema, out, pruning, maxSegmentsPerTrigger, skipChangeCommits)
+      ident, schema, out, pruning, maxSegmentsPerTrigger, skipChangeCommits,
+      startingVersion)
 
   override def description(): String =
     s"GraftCatalogScan($ident, columns=[${out.fieldNames.mkString(", ")}], " +
@@ -2157,7 +2226,8 @@ private[graft] class GraftCatalogMicroBatchStream(
     ident: Identifier, schema: StructType, out: StructType,
     pruning: IndexedSeq[org.apache.spark.sql.sources.Filter],
     maxSegmentsPerTrigger: Option[Int],
-    skipChangeCommits: Boolean)
+    skipChangeCommits: Boolean,
+    startingVersion: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -2202,7 +2272,12 @@ private[graft] class GraftCatalogMicroBatchStream(
     } else cur.segments.filterNot(s => prevSegs.contains(s.path))
   }
 
-  override def initialOffset(): Offset = GraftVersionOffset(-1L)
+  /** Default: -1 (the next batch is the full initial snapshot). With
+    * `startingVersion = v`, history replays from commit v onward and
+    * the snapshot load is skipped — the Delta option of the same name.
+    */
+  override def initialOffset(): Offset =
+    GraftVersionOffset(startingVersion.map(v => math.max(-1L, v - 1)).getOrElse(-1L))
   override def deserializeOffset(json: String): Offset = GraftVersionOffset(json.toLong)
   override def commit(end: Offset): Unit = () // retention GC owns file lifetime
   override def stop(): Unit = ()

@@ -116,6 +116,45 @@ class CatalogStreamReadSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("startingVersion skips the snapshot and replays history from that commit") {
+    spark.sql("DROP TABLE IF EXISTS graft.csr.src6")
+    spark.sql("CREATE TABLE graft.csr.src6 (k BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.csr.src6 VALUES (1,'old')") // commit v1
+    val vNext = spark.sql("CALL graft.system.history('csr', 'src6')")
+      .select("version").as[Long].collect().max + 1
+    spark.sql("INSERT INTO graft.csr.src6 VALUES (2,'new')") // commit vNext
+    val q = spark.readStream.option("startingVersion", vNext.toString)
+      .table("graft.csr.src6")
+      .writeStream.format("memory").queryName("csr6").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("csr6").as[(Long, String)].collect().toSeq == Seq((2L, "new")),
+        "rows committed before startingVersion must not replay")
+      spark.sql("INSERT INTO graft.csr.src6 VALUES (3,'live')")
+      q.processAllAvailable()
+      assert(spark.table("csr6").count() == 2)
+    } finally q.stop()
+  }
+
+  test("batch reader options versionAsOf/timestampAsOf pin a snapshot; vacuum expires it") {
+    spark.sql("DROP TABLE IF EXISTS graft.csr.tt")
+    spark.sql("CREATE TABLE graft.csr.tt (k BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.csr.tt VALUES (1)")
+    val v = spark.sql("CALL graft.system.history('csr', 'tt')")
+      .select("version").as[Long].collect().max
+    spark.sql("INSERT INTO graft.csr.tt VALUES (2)")
+    assert(spark.read.option("versionAsOf", v.toString).table("graft.csr.tt").count() == 1)
+    assert(spark.read.table("graft.csr.tt").count() == 2)
+    // VACUUM: non-current snapshots expire, current data untouched
+    val res = spark.sql("CALL graft.system.vacuum('csr', 'tt')").collect()
+    assert(res(0).getInt(1) >= 2, res.mkString) // v0 (empty) + v1 expired
+    assert(spark.read.table("graft.csr.tt").count() == 2)
+    intercept[Exception] {
+      spark.read.option("versionAsOf", v.toString).table("graft.csr.tt").collect()
+    }
+    assert(spark.sql("CALL graft.system.history('csr', 'tt')").count() == 1)
+  }
+
   test("zone-map filters skip whole segments in micro-batch planning") {
     // Spark's optimizer does not (yet) run filter pushdown against
     // MICRO_BATCH_READ scans — V2ScanRelationPushDown is batch-only —
