@@ -155,6 +155,24 @@ class CatalogStreamReadSpec extends AnyFunSuite {
     assert(spark.sql("CALL graft.system.history('csr', 'tt')").count() == 1)
   }
 
+  test("concurrent INSERT jobs both commit: no lost segments, every row exactly once") {
+    spark.sql("DROP TABLE IF EXISTS graft.csr.cw")
+    spark.sql("CREATE TABLE graft.csr.cw (k BIGINT) USING graft")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (0 until 4).map { w =>
+      Future {
+        spark.sql(s"INSERT INTO graft.csr.cw SELECT id FROM range(${w * 1000}, ${w * 1000 + 1000}, 1, 2)")
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    assert(spark.sql("SELECT count(*), count(DISTINCT k) FROM graft.csr.cw")
+      .as[(Long, Long)].head() == ((4000L, 4000L)))
+    // 4 commits × 2 segments each, all present
+    assert(graft.sources.GraftCatalog.segmentCount("csr", "cw") == 8)
+  }
+
   test("zone-map filters skip whole segments in micro-batch planning") {
     // Spark's optimizer does not (yet) run filter pushdown against
     // MICRO_BATCH_READ scans — V2ScanRelationPushDown is batch-only —
