@@ -211,23 +211,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     new GraftStagedTable(ident, schema, dir, partCols, mode)
   }
 
-  /** Schema evolution: ADD COLUMN (appended, nullable) migrates the
-    * committed segments eagerly — each segment is streamed through ONE
-    * re-projection to the fully widened layout (NULL in every new slot)
-    * into a fresh segment, and the schema + segment list swap atomically
-    * (a lazy per-read pad would leave mixed layouts on disk). Everything
-    * else (drop/rename/retype) is rejected: narrowing changes silently
-    * break readers. All changes are VALIDATED before any segment I/O —
-    * a multi-change ALTER with a late unsupported change must fail
-    * without having written (and then orphaned) widened files — and a
-    * mid-rewrite I/O failure deletes the unpublished fresh segments
-    * before rethrowing.
+  /** Schema evolution. ADD COLUMN (appended, nullable, optional
+    * DEFAULT) migrates the committed segments eagerly — each segment is
+    * streamed through ONE re-projection to the fully widened layout
+    * (backfill default or NULL in every new slot) into a fresh segment,
+    * and the schema + segment list swap atomically (a lazy per-read pad
+    * would leave mixed layouts on disk). RENAME COLUMN is pure metadata
+    * (positional storage). DROP COLUMN re-projects the slot out of
+    * every row, same machinery in reverse. Retype is rejected. All
+    * changes are VALIDATED before any segment I/O — a multi-change
+    * ALTER with a late unsupported change must fail without having
+    * written (and then orphaned) files — and a mid-rewrite I/O failure
+    * deletes the unpublished fresh segments before rethrowing.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = mutate {
     if (store.get(ident) == null) throw new NoSuchTableException(ident)
     // Constraint-only ALTERs are pure metadata: no segment I/O.
     if (changes.forall(c => c.isInstanceOf[TableChange.AddConstraint] ||
         c.isInstanceOf[TableChange.DropConstraint])) {
+      // NOTE: no `return` anywhere in this method — alterTable's body is
+      // a closure (mutate {}), where `return` compiles to a
+      // NonLocalReturnControl THROWABLE that a careless catch would
+      // swallow (the DeleteColumn cleanup below caught exactly that and
+      // deleted freshly migrated segments). Branches yield values.
       val result = store.compute(ident, (_, prev) => {
         require(prev != null, s"table $ident dropped mid-alter")
         changes.foldLeft(prev) {
@@ -245,9 +251,89 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           case (e, _) => e
         }
       })
-      return new GraftCatalogTable(ident, result.schema, result.dir,
+      new GraftCatalogTable(ident, result.schema, result.dir,
         partitionCols = result.partitionCols, tableConstraints = result.constraints)
     }
+    // RENAME COLUMN is PURE METADATA here: segments store rows
+    // positionally (UnsafeRow ordinals), so only the schema's field
+    // name changes — no file touched, instant at any size. Renames of
+    // partition columns follow through; a column referenced by a CHECK
+    // constraint refuses (the stored predicate text would dangle).
+    else if (changes.forall(_.isInstanceOf[TableChange.RenameColumn])) {
+      val result = store.compute(ident, (_, prev) => {
+        require(prev != null, s"table $ident dropped mid-alter")
+        changes.foldLeft(prev) { case (e, rn: TableChange.RenameColumn) =>
+          if (rn.fieldNames().length != 1) throw new UnsupportedOperationException(
+            s"graft catalog renames only top-level columns, got ${rn.fieldNames().mkString(".")}")
+          val from = rn.fieldNames()(0)
+          val i = e.schema.fieldIndex(from)
+          if (e.schema.fieldNames.contains(rn.newName()))
+            throw new IllegalArgumentException(s"column ${rn.newName()} already exists")
+          if (e.constraints.exists(_.toDDL.contains(from)))
+            throw new UnsupportedOperationException(
+              s"column $from is referenced by a constraint; drop it first")
+          val fields = e.schema.fields.clone()
+          fields(i) = fields(i).copy(name = rn.newName())
+          e.copy(
+            schema = StructType(fields),
+            partitionCols = e.partitionCols.map(c => if (c == from) rn.newName() else c))
+        }
+      })
+      publish(ident)
+      new GraftCatalogTable(ident, result.schema, result.dir,
+        partitionCols = result.partitionCols, tableConstraints = result.constraints)
+    }
+    // DROP COLUMN: positional layout means the column's slot must leave
+    // every row — one streamed re-projection per segment (the ADD
+    // COLUMN migration machinery in reverse), atomic swap at the end.
+    else if (changes.forall(_.isInstanceOf[TableChange.DeleteColumn])) {
+      val written = scala.collection.mutable.ArrayBuffer[Segment]()
+      try {
+        val result = store.compute(ident, (_, prev) => {
+          require(prev != null, s"table $ident dropped mid-alter")
+          val dropNames = changes.map { case d: TableChange.DeleteColumn =>
+            if (d.fieldNames().length != 1) throw new UnsupportedOperationException(
+              s"graft catalog drops only top-level columns, got ${d.fieldNames().mkString(".")}")
+            val n = d.fieldNames()(0)
+            if (!prev.schema.fieldNames.contains(n) && !java.lang.Boolean.TRUE.equals(d.ifExists()))
+              throw new IllegalArgumentException(s"no such column $n")
+            n
+          }.toSet
+          if (prev.partitionCols.exists(dropNames)) throw new UnsupportedOperationException(
+            "cannot drop a partition column")
+          if (prev.constraints.exists(c => dropNames.exists(c.toDDL.contains)))
+            throw new UnsupportedOperationException(
+              "cannot drop a column referenced by a constraint; drop the constraint first")
+          val keepIdx = prev.schema.fields.zipWithIndex
+            .filterNot { case (f, _) => dropNames.contains(f.name) }.map(_._2)
+          if (keepIdx.isEmpty) throw new UnsupportedOperationException(
+            "cannot drop every column of a table")
+          val narrowed = StructType(keepIdx.map(prev.schema.fields(_)))
+          val exprs = keepIdx.toSeq.map { i =>
+            val f = prev.schema.fields(i)
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              i, f.dataType, f.nullable): org.apache.spark.sql.catalyst.expressions.Expression
+          }
+          val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(exprs)
+          val migrated = prev.segments.flatMap { seg =>
+            val s = SegmentIO.rewriteOpt(seg, prev.dir, prev.schema.length, narrowed)(
+              r => Some(proj(r)))
+            s.foreach(written += _)
+            s
+          }
+          prev.copy(schema = narrowed, segments = migrated)
+        })
+        publish(ident) // old segments stay readable via retained snapshots
+        new GraftCatalogTable(ident, result.schema, result.dir,
+          partitionCols = result.partitionCols, tableConstraints = result.constraints)
+      } catch { case scala.util.control.NonFatal(e) =>
+        written.foreach(SegmentIO.delete)
+        throw e
+      }
+    } else alterAddColumns(ident, changes)
+  }
+
+  private def alterAddColumns(ident: Identifier, changes: Seq[TableChange]): Table = {
     // Each add: the widened field (DEFAULT sql kept in the standard
     // CURRENT_DEFAULT/EXISTS_DEFAULT metadata keys so the analyzer
     // fills omitted INSERT columns) + the backfill literal for rows
@@ -296,8 +382,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         prev.copy(schema = widenedSchema, segments = widened)
       })
       publish(ident) // old segments stay readable via retained snapshots
-      new GraftCatalogTable(ident, result.schema, result.dir)
-    } catch { case e: Throwable =>
+      new GraftCatalogTable(ident, result.schema, result.dir,
+        partitionCols = result.partitionCols, tableConstraints = result.constraints)
+    } catch { case scala.util.control.NonFatal(e) =>
       written.foreach(SegmentIO.delete) // never published — GC immediately
       throw e
     }

@@ -102,7 +102,7 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.t5.m")
   }
 
-  test("ALTER TABLE ADD COLUMN migrates committed rows; other changes are rejected") {
+  test("ALTER TABLE ADD COLUMN migrates committed rows; retype is rejected") {
     spark.sql("DROP TABLE IF EXISTS graft.t6.e")
     spark.sql("CREATE TABLE graft.t6.e (k BIGINT) USING graft")
     spark.sql("INSERT INTO graft.t6.e VALUES (1), (2)")
@@ -117,12 +117,10 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT k, score FROM graft.t6.e ORDER BY k")
       .as[(Long, Option[Double])].collect().toSeq ==
       Seq((1L, Some(1.5)), (2L, None), (3L, Some(0.5))))
-    // Narrowing/renaming changes are refused.
+    // DROP/RENAME COLUMN are supported (SchemaEvolutionSpec); RETYPE
+    // is the one change that stays refused (silent reader breakage).
     intercept[Exception] {
-      spark.sql("ALTER TABLE graft.t6.e DROP COLUMN score")
-    }
-    intercept[Exception] {
-      spark.sql("ALTER TABLE graft.t6.e RENAME COLUMN score TO s2")
+      spark.sql("ALTER TABLE graft.t6.e ALTER COLUMN score TYPE STRING")
     }
     assert(spark.sql("SELECT count(*) FROM graft.t6.e").as[Long].head() == 3L)
     spark.sql("DROP TABLE graft.t6.e")

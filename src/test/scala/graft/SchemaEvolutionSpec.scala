@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GraftCatalog
+
+/** RENAME COLUMN (pure metadata over positional storage) and DROP
+  * COLUMN (streamed re-projection) on catalog tables — with the
+  * guards: partition columns and constraint-referenced columns refuse.
+  */
+class SchemaEvolutionSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s
+  }
+  import spark.implicits._
+
+  test("RENAME COLUMN is metadata-only: no file rewritten, data intact, old name gone") {
+    spark.sql("DROP TABLE IF EXISTS graft.se.r")
+    spark.sql("CREATE TABLE graft.se.r (k BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.se.r VALUES (1,'a'), (2,'b')")
+    val files = GraftCatalog.segmentFilesOnDisk("se", "r")
+    spark.sql("ALTER TABLE graft.se.r RENAME COLUMN v TO label")
+    assert(GraftCatalog.segmentFilesOnDisk("se", "r") == files, "rename must not touch files")
+    assert(spark.table("graft.se.r").columns.toSeq == Seq("k", "label"))
+    assert(spark.sql("SELECT label FROM graft.se.r WHERE k = 2").as[String].head() == "b")
+    intercept[Exception] { spark.sql("SELECT v FROM graft.se.r").collect() }
+    // rename onto an existing name refuses
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.se.r RENAME COLUMN label TO k")
+    }
+    // partition-column rename follows through to the layout metadata
+    spark.sql("DROP TABLE IF EXISTS graft.se.rp")
+    spark.sql(
+      "CREATE TABLE graft.se.rp (k BIGINT, p STRING) USING graft PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft.se.rp VALUES (1,'x'), (2,'y')")
+    spark.sql("ALTER TABLE graft.se.rp RENAME COLUMN p TO region")
+    assert(spark.sql("SELECT count(*) FROM graft.se.rp WHERE region = 'x'")
+      .as[Long].head() == 1L)
+  }
+
+  test("DROP COLUMN re-projects rows; guards protect partition/constraint columns") {
+    spark.sql("DROP TABLE IF EXISTS graft.se.d")
+    spark.sql("CREATE TABLE graft.se.d (k BIGINT, junk STRING, v DOUBLE) USING graft")
+    spark.sql("INSERT INTO graft.se.d VALUES (1,'x',0.5), (2,'y',1.5)")
+    spark.sql("ALTER TABLE graft.se.d DROP COLUMN junk")
+    assert(spark.table("graft.se.d").columns.toSeq == Seq("k", "v"))
+    assert(spark.sql("SELECT k, v FROM graft.se.d ORDER BY k")
+      .as[(Long, Double)].collect().toSeq == Seq((1L, 0.5), (2L, 1.5)))
+    // inserts against the narrowed schema work
+    spark.sql("INSERT INTO graft.se.d VALUES (3, 2.5)")
+    assert(spark.sql("SELECT count(*) FROM graft.se.d").as[Long].head() == 3L)
+    // a constraint-referenced column refuses to drop (or rename)
+    spark.sql("ALTER TABLE graft.se.d ADD CONSTRAINT v_pos CHECK (v > 0)")
+    intercept[Exception] { spark.sql("ALTER TABLE graft.se.d DROP COLUMN v") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.se.d RENAME COLUMN v TO w")
+    }
+    spark.sql("ALTER TABLE graft.se.d DROP CONSTRAINT v_pos")
+    spark.sql("ALTER TABLE graft.se.d DROP COLUMN v")
+    assert(spark.table("graft.se.d").columns.toSeq == Seq("k"))
+    // partition columns never drop
+    spark.sql("DROP TABLE IF EXISTS graft.se.dp")
+    spark.sql(
+      "CREATE TABLE graft.se.dp (k BIGINT, p STRING) USING graft PARTITIONED BY (p)")
+    intercept[Exception] { spark.sql("ALTER TABLE graft.se.dp DROP COLUMN p") }
+    // zone maps survive the migration: a k filter still prunes
+    spark.sql("DROP TABLE IF EXISTS graft.se.z")
+    spark.sql("CREATE TABLE graft.se.z (k BIGINT, junk STRING) USING graft")
+    spark.sql("INSERT INTO graft.se.z SELECT id, 'x' FROM range(0, 100, 1, 2)")
+    spark.sql("ALTER TABLE graft.se.z DROP COLUMN junk")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val sb = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("se"), "z"))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+    sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+      .pushFilters(Array(org.apache.spark.sql.sources.LessThan("k", 10L)))
+    assert(sb.build().toBatch.planInputPartitions().length == 1,
+      "post-drop segments must carry fresh zone maps")
+  }
+}
