@@ -283,6 +283,69 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       new GraftCatalogTable(ident, result.schema, result.dir,
         partitionCols = result.partitionCols, tableConstraints = result.constraints)
     }
+    // ALTER COLUMN TYPE: only SAFE WIDENINGS (every old value exactly
+    // representable in the new type) — int-family upward, float→double
+    // — via the same streamed re-projection; anything lossy stays
+    // rejected (silent reader breakage).
+    else if (changes.forall(_.isInstanceOf[TableChange.UpdateColumnType])) {
+      import org.apache.spark.sql.types._
+      def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+        case (ByteType, ShortType | IntegerType | LongType) => true
+        case (ShortType, IntegerType | LongType) => true
+        case (IntegerType, LongType) => true
+        case (FloatType, DoubleType) => true
+        case _ => false
+      }
+      val written = scala.collection.mutable.ArrayBuffer[Segment]()
+      try {
+        val result = store.compute(ident, (_, prev) => {
+          require(prev != null, s"table $ident dropped mid-alter")
+          val updates: Map[String, org.apache.spark.sql.types.DataType] =
+            changes.map { case u: TableChange.UpdateColumnType =>
+              if (u.fieldNames().length != 1) throw new UnsupportedOperationException(
+                s"graft catalog retypes only top-level columns, got ${u.fieldNames().mkString(".")}")
+              val n = u.fieldNames()(0)
+              val f = prev.schema.fields.find(_.name == n).getOrElse(
+                throw new IllegalArgumentException(s"no such column $n"))
+              if (!widens(f.dataType, u.newDataType()))
+                throw new UnsupportedOperationException(
+                  s"unsupported retype of $n: ${f.dataType.simpleString} -> " +
+                    s"${u.newDataType().simpleString} is not a safe widening")
+              if (prev.partitionCols.contains(n)) throw new UnsupportedOperationException(
+                "cannot retype a partition column")
+              if (prev.constraints.exists(_.toDDL.contains(n)))
+                throw new UnsupportedOperationException(
+                  s"column $n is referenced by a constraint; drop it first")
+              n -> u.newDataType()
+            }.toMap
+          val widenedSchema = StructType(prev.schema.fields.map(f =>
+            updates.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f)))
+          val exprs = prev.schema.fields.zipWithIndex.map { case (f, i) =>
+            val ref = org.apache.spark.sql.catalyst.expressions.BoundReference(
+              i, f.dataType, f.nullable)
+            updates.get(f.name) match {
+              case Some(t) => org.apache.spark.sql.catalyst.expressions.Cast(
+                ref, t, Some("UTC")): org.apache.spark.sql.catalyst.expressions.Expression
+              case None => ref: org.apache.spark.sql.catalyst.expressions.Expression
+            }
+          }.toSeq
+          val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(exprs)
+          val migrated = prev.segments.flatMap { seg =>
+            val s = SegmentIO.rewriteOpt(seg, prev.dir, prev.schema.length, widenedSchema)(
+              r => Some(proj(r)))
+            s.foreach(written += _)
+            s
+          }
+          prev.copy(schema = widenedSchema, segments = migrated)
+        })
+        publish(ident)
+        new GraftCatalogTable(ident, result.schema, result.dir,
+          partitionCols = result.partitionCols, tableConstraints = result.constraints)
+      } catch { case scala.util.control.NonFatal(e) =>
+        written.foreach(SegmentIO.delete)
+        throw e
+      }
+    }
     // DROP COLUMN: positional layout means the column's slot must leave
     // every row — one streamed re-projection per segment (the ADD
     // COLUMN migration machinery in reverse), atomic swap at the end.

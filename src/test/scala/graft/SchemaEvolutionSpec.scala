@@ -40,6 +40,28 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       .as[Long].head() == 1L)
   }
 
+  test("ALTER COLUMN TYPE widens safely (int->bigint, float->double); lossy retypes refuse") {
+    spark.sql("DROP TABLE IF EXISTS graft.se.w")
+    spark.sql("CREATE TABLE graft.se.w (k INT, x FLOAT) USING graft")
+    spark.sql("INSERT INTO graft.se.w VALUES (2147483647, CAST(1.5 AS FLOAT)), (-1, CAST(-0.25 AS FLOAT))")
+    spark.sql("ALTER TABLE graft.se.w ALTER COLUMN k TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.se.w ALTER COLUMN x TYPE DOUBLE")
+    assert(spark.table("graft.se.w").schema.map(_.dataType.simpleString) ==
+      Seq("bigint", "double"))
+    assert(spark.sql("SELECT k, x FROM graft.se.w ORDER BY k")
+      .as[(Long, Double)].collect().toSeq == Seq((-1L, -0.25), (2147483647L, 1.5)))
+    // the widened column accepts values beyond the old range
+    spark.sql("INSERT INTO graft.se.w VALUES (9999999999, 2.5)")
+    assert(spark.sql("SELECT max(k) FROM graft.se.w").as[Long].head() == 9999999999L)
+    // narrowing / cross-family retypes refuse
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.se.w ALTER COLUMN k TYPE INT")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.se.w ALTER COLUMN x TYPE STRING")
+    }
+  }
+
   test("DROP COLUMN re-projects rows; guards protect partition/constraint columns") {
     spark.sql("DROP TABLE IF EXISTS graft.se.d")
     spark.sql("CREATE TABLE graft.se.d (k BIGINT, junk STRING, v DOUBLE) USING graft")
