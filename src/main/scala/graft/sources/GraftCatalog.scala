@@ -492,8 +492,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * accepted as a no-op — the namespace materializes with its first
     * table; an emptied namespace ceases to exist).
     */
+  // A namespace exists iff it holds tables OR views (implicit-namespace
+  // catalog: nothing to create or drop independently).
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.length == 1 && listTables(namespace).nonEmpty
+    namespace.length == 1 &&
+      (listTables(namespace).nonEmpty || listViews(namespace.toIndexedSeq: _*).nonEmpty)
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(namespace))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
