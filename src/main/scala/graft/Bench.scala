@@ -10,12 +10,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // Comma-separated name-prefix filter for isolated/bisect runs
+    // (e.g. SPARK_GRAFT_BENCH_FILTER=st2,st7); empty = all queries.
+    val filter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", "")
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions()) // native fns + V2 view DDL/read
+    // Extensions on by default (native fns + V2 view DDL/read);
+    // SPARK_GRAFT_BENCH_NOEXT=1 exists solely to bisect extension cost.
+    val spark = (if (sys.env.contains("SPARK_GRAFT_BENCH_NOEXT")) builder
+                 else builder.withExtensions(new GraftExtensions()))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: absorb session startup + first-query codegen outside the
@@ -30,7 +37,13 @@ object Bench {
     // runs is robust to one bad run while keeping total bench time bounded.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val errors = scala.collection.mutable.SortedMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val picked = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => filter.isEmpty || filter.exists(n.startsWith) }
+    // Keep min + spread alongside the median: a median captured under
+    // external load (driver compiling next door) can read 1.4× the same
+    // binary's quiet-box run; min-of-reps is the load-robust floor and
+    // (max-min)/median flags which rows the load actually hit.
+    val stats = picked.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
@@ -44,9 +57,10 @@ object Bench {
         // total slowdown across 62 queries without this).
         spark.catalog.clearCache()
         elapsed
-      }
-      name -> times.sorted.apply(reps / 2)
+      }.sorted
+      (name, times(reps / 2), times.head, times.last)
     }
+    val results = stats.map { case (n, med, _, _) => (n, med) }
     def jstr(s: String): String =
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\n\\r\\t]", " ") + "\""
@@ -60,10 +74,18 @@ object Bench {
     // committed with the snapshot); stdout gets a line GUARANTEED to fit
     // the tail: totals + errors always, then per-query times (3-decimal,
     // slowest first) only while the line stays under the budget.
+    val mins = stats.map { case (k, _, mn, _) => s"${jstr(k)}:$mn" }.mkString("{", ",", "}")
+    val spreads = stats.map { case (k, med, mn, mx) =>
+      s"${jstr(k)}:${math.rint((mx - mn) / math.max(med, 1e-9) * 1000) / 1000}"
+    }.mkString("{", ",", "}")
+    val totalMin = stats.map(_._3).sum
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"reps":$reps,"queries":$qs,"min":$mins,"spread":$spreads,"errors":$errs,"sf":${jstr(sfDir)}}"""
+    // A filtered run writes a scratch artifact so it can never clobber
+    // the committed full-suite numbers with a partial total.
+    val artifact = if (filter.isEmpty) "bench_full.json" else "bench_filtered.json"
     try {
-      val w = new java.io.PrintWriter("bench_full.json")
+      val w = new java.io.PrintWriter(artifact)
       try w.println(fullLine) finally w.close()
     } catch { case e: java.io.IOException =>
       System.err.println(s"[bench] bench_full.json write failed: $e") }
@@ -78,7 +100,7 @@ object Bench {
       sb.append(e); used = sb.length; shown += 1
     }
     println(
-      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.length},"n_shown":$shown,"queries":{$sb},"errors":$errs,"sf":${jstr(sfDir)},"full":"bench_full.json"}""")
+      s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","total_min":${math.rint(totalMin * 1000) / 1000},"n_queries":${results.length},"n_shown":$shown,"queries":{$sb},"errors":$errs,"sf":${jstr(sfDir)},"full":${jstr(artifact)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

