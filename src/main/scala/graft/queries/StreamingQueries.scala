@@ -251,11 +251,36 @@ object StreamingQueries {
       col("v_user") === col("c_user") &&
         col("c_ts") > col("v_ts") &&
         col("c_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
-    val rows = StreamingOps.runToBatch(spark, joined, "append", "st8_sink")
-    rows.groupBy(col("view_type"))
-      .agg(
-        count(lit(1)).as("n_pairs"),
-        round(avg(col("c_ts").cast("long") - col("v_ts").cast("long")), 4).as("avg_lag_sec"))
+    // Reduce INSIDE each micro-batch (foreachBatch): the join's O(pairs)
+    // output is aggregated on the executors down to one (count, lag-sum)
+    // row per view_type before anything reaches the driver; partials
+    // from successive batches merge exactly (long sums). At 100 TB the
+    // driver holds O(batches x types) rows, never the pair fan-out. A
+    // fully in-stream chained aggregation (join -> windowed agg, append
+    // mode) is Spark-4-legal but drops the tail windows at AvailableNow
+    // termination because the final watermark never passes them — the
+    // closed-stream variant with a watermark-advancing sentinel is
+    // st13; for a replay whose total must match a batch oracle exactly,
+    // per-batch executor-side reduction is the correct shape.
+    val acc = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    StreamingOps.runForeachBatch(spark, joined, (batch, _) => {
+      batch.groupBy(col("view_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("c_ts").cast("long") - col("v_ts").cast("long")).as("lag_sum"))
+        .collect()
+        .foreach { r =>
+          acc.merge(r.getString(0), (r.getLong(1), r.getLong(2)),
+            (a, b) => (a._1 + b._1, a._2 + b._2))
+        }
+    })
+    import scala.jdk.CollectionConverters._
+    val partials = acc.asScala.toSeq.map { case (k, (n, l)) => (k, n, l) }
+    spark.createDataFrame(partials)
+      .toDF("view_type", "n_pairs", "lag_sum")
+      .select(
+        col("view_type"), col("n_pairs"),
+        round(col("lag_sum") / col("n_pairs"), 4).as("avg_lag_sec"))
       .orderBy(col("view_type"))
   }
 
@@ -368,11 +393,64 @@ object StreamingQueries {
         |ORDER BY tag""".stripMargin)
   }
 
+  /** ST13 (chained stateful operators, Spark-4 surface): a stream-stream
+    * interval join FEEDING a tumbling-window aggregation in ONE streaming
+    * query — two stateful operators, watermark propagated through the
+    * join into the window. Append mode only emits a window once the
+    * watermark passes its end, and an AvailableNow replay's final
+    * watermark stops `delay` short of max event time — so the fixture
+    * carries a sentinel row on BOTH sides (join watermark = min of
+    * sides) far past the data, closing every real window before the
+    * stream terminates. Synthetic MemoryStream input with closed-form
+    * arithmetic as the oracle; the late-row admission/drop behavior of
+    * the same chained plan is asserted in StreamingSpec ("ST13").
+    *
+    * Fixture: user u in [0,100): view at 1000+u, click at
+    * 1030+u+(u%20) epoch-seconds — every lag is 30..49 s, inside the
+    * 10-minute join bound, so exactly 100 pairs, windowed on click time.
+    */
+  val st13JoinThenWindowAgg: Q = Q(
+    "st13_join_window_agg",
+    """SELECT (1030 + i + i % 20) // 60 * 60 AS w_start, count(*) AS n_pairs
+      |FROM range(0, 100) t(i)
+      |GROUP BY 1
+      |ORDER BY w_start""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, String, Long)] // (user_id, event_type, epoch_sec)
+    val data = (0L until 100L).flatMap { u =>
+      Seq((u, "view", 1000L + u), (u, "click", 1030L + u + u % 20))
+    }
+    in.addData(data)
+    // Sentinels: no self-pair (c_ts > v_ts is strict), but they push both
+    // sides' watermarks to 100000-30s — past every real window's end.
+    in.addData(Seq((-1L, "view", 100000L), (-1L, "click", 100000L)))
+    val evs = in.toDF().toDF("user_id", "event_type", "epoch")
+      .withColumn("ts", timestamp_seconds(col("epoch")))
+    val views = evs.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "30 seconds")
+    val clicks = evs.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "30 seconds")
+    val agg = views.join(
+        clicks,
+        col("v_user") === col("c_user") &&
+          col("c_ts") > col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"))
+      .groupBy(window(col("c_ts"), "60 seconds"))
+      .agg(count(lit(1)).as("n_pairs"))
+    StreamingOps.runToBatch(spark, agg, "append", "st13_sink")
+      .select(col("window.start").cast("long").as("w_start"), col("n_pairs"))
+      .orderBy(col("w_start"))
+  }
+
   val all: Seq[Q] = Seq(
     st2Tumbling, st3Sliding, st4SessionWindow, st5StreamDedup,
     st6StatefulOp, st6bTransformWithState, st7StreamStaticJoin,
     st8StreamStreamJoin, st10CustomSourceStream, st11StreamToCatalog,
-    st12CatalogChangeStream)
+    st12CatalogChangeStream, st13JoinThenWindowAgg)
 }
 
 /** Per-user (count, sum) running state via a typed ValueState handle —

@@ -118,4 +118,29 @@ object StreamingOps {
     spark.catalog.dropTempView(name)
     out
   }
+
+  /** Drive a streaming DataFrame through `foreachBatch` to completion
+    * (same conf discipline as [[runToBatch]]). For queries whose raw
+    * stream output is large but whose per-batch AGGREGATE is small —
+    * e.g. a stream-stream join emitting O(pairs) rows that reduce to a
+    * handful of groups: the reduction runs on the executors inside each
+    * micro-batch and only the reduced rows ever reach the driver,
+    * instead of the memory sink accumulating every raw pair.
+    */
+  def runForeachBatch(
+      spark: SparkSession,
+      sdf: DataFrame,
+      f: (DataFrame, Long) => Unit): Unit = {
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+    try {
+      sdf.writeStream
+        .outputMode("append")
+        .foreachBatch(f)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
 }

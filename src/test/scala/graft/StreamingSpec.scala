@@ -45,6 +45,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ST13: chained join->window agg admits late-but-in-watermark rows, drops expired ones") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val evs = in.toDF().toDF("user_id", "event_type", "ts")
+    val views = evs.filter($"event_type" === "view")
+      .select($"user_id".as("v_user"), $"ts".as("v_ts"))
+      .withWatermark("v_ts", "5 minutes")
+    val clicks = evs.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "5 minutes")
+    // Two stateful operators chained in one streaming query: interval
+    // join, then a tumbling window over the join output's event time.
+    val agg = views.join(
+        clicks,
+        $"v_user" === $"c_user" && $"c_ts" > $"v_ts" &&
+          $"c_ts" <= $"v_ts" + expr("INTERVAL 10 MINUTES"))
+      .groupBy(window($"c_ts", "10 minutes"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select($"window.start".as("win"), $"n_pairs")
+    val q = agg.writeStream.format("memory").queryName("st13_test_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // Batch 1: two complete pairs in the 10:00 window; max event time
+      // 10:04 keeps the watermark (10:04 - 5m) before the window end, so
+      // nothing emits yet.
+      in.addData((1L, "view", ts(0)), (1L, "click", ts(2)),
+                 (2L, "view", ts(1)), (2L, "click", ts(4)))
+      q.processAllAvailable()
+      // Batch 2: a LATE click at 10:03 — behind max-seen event time but
+      // inside the 5-minute watermark delay → must still join and count.
+      in.addData((1L, "click", ts(3)))
+      q.processAllAvailable()
+      // Batch 3: sentinels push both sides' watermarks past everything;
+      // the finalized 10:00 window emits with all three pairs.
+      in.addData((99L, "view", ts(50)), (99L, "click", ts(50)))
+      q.processAllAvailable()
+      val wins = spark.table("st13_test_sink").as[(Timestamp, Long)].collect().toMap
+      assert(wins.get(Timestamp.valueOf("2024-01-01 10:00:00")).contains(3L),
+        s"late-but-admissible click must be joined and windowed; got $wins")
+      // Batch 4: a click at 10:05 is now far behind the watermark
+      // (10:45) → dropped by BOTH stateful operators; no new window row.
+      in.addData((2L, "click", ts(5)))
+      q.processAllAvailable()
+      val after = spark.table("st13_test_sink").as[(Timestamp, Long)].collect().toMap
+      assert(after == wins, s"expired row must be dropped, got $after vs $wins")
+    } finally q.stop()
+  }
+
   test("ST6: mapGroupsWithState accumulates across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Int)]
