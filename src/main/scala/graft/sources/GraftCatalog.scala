@@ -57,14 +57,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   import GraftCatalog._
 
   private var catalogName: String = "graft"
-  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+  /** `spark.sql.catalog.<name>.root=/durable/path` switches the
+    * JVM-wide metastore into persistent mode: segments live under the
+    * path and every mutation also writes a [[GraftLedger]] document, so
+    * the catalog state survives a restart (first configured root wins).
+    */
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    Option(options.get("root")).foreach(r => requestRoot(Paths.get(r)))
+    ensureLoaded()
+  }
   override def name(): String = catalogName
 
-  override def listTables(namespace: Array[String]): Array[Identifier] =
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    ensureLoaded()
     store.keySet().asScala.filter(_.namespace.sameElements(namespace)).toArray
+  }
 
   override def loadTable(ident: Identifier): Table = {
+    ensureLoaded()
     val entry = store.get(ident)
     if (entry == null) throw new NoSuchTableException(ident)
     new GraftCatalogTable(ident, entry.schema, entry.dir,
@@ -105,6 +116,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * Delta/Iceberg `VERSION AS OF` contract at demo scale.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
+    ensureLoaded()
     if (store.get(ident) == null) throw new NoSuchTableException(ident)
     val v =
       try version.toLong
@@ -122,6 +134,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * latest retained snapshot committed at or before that instant.
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    ensureLoaded()
     if (store.get(ident) == null) throw new NoSuchTableException(ident)
     val snap = snapshotByTime(ident, timestamp).getOrElse(throw new NoSuchTableException(
       Identifier.of(ident.namespace,
@@ -183,6 +196,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       require(e != null)
       e.copy(constraints = info.constraints().toVector)
     })
+    persistTable(ident) // constraints landed after the v0 publish
     new GraftCatalogTable(ident, result.schema, result.dir,
       partitionCols = result.partitionCols, tableConstraints = result.constraints)
   }
@@ -205,10 +219,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   private def staged(
       ident: Identifier, info: TableInfo, mode: GraftStagedTable.Mode): StagedTable = {
+    // CTAS/RTAS carries constraints through TableInfo exactly like the
+    // non-staged createTable path: validate NOW (before any data is
+    // written) and store them with the committed entry, so an INSERT
+    // into the CTAS'd table enforces its CHECKs.
+    info.constraints().foreach(validateConstraint)
     val schema = info.schema()
     val partCols = validatePartitionCols(schema, info.partitions())
     val dir = Files.createTempDirectory(segmentRoot, "stage-").toString
-    new GraftStagedTable(ident, schema, dir, partCols, mode)
+    new GraftStagedTable(ident, schema, dir, partCols, mode,
+      info.constraints().toVector)
   }
 
   /** Schema evolution. ADD COLUMN (appended, nullable, optional
@@ -251,6 +271,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           case (e, _) => e
         }
       })
+      persistTable(ident) // constraint-only ALTER publishes no snapshot
       new GraftCatalogTable(ident, result.schema, result.dir,
         partitionCols = result.partitionCols, tableConstraints = result.constraints)
     }
@@ -460,6 +481,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     history.remove(ident) // snapshots die with the table
     val entry = store.remove(ident)
     if (entry != null) deleteRecursively(Paths.get(entry.dir))
+    persistTable(ident) // deletes the ledger document
     entry != null
   }
 
@@ -480,11 +502,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     epochs.asScala.toSeq.foreach { case (k @ (id, qid), e) =>
       if (id == oldIdent) { epochs.remove(k); epochs.put((newIdent, qid), e) }
     }
+    persistTable(oldIdent) // old document deleted ...
+    persistTable(newIdent) // ... new one written
   }
 
   // ---- SupportsNamespaces: implicit single-level namespaces ----
-  override def listNamespaces(): Array[Array[String]] =
-    store.keySet().asScala.map(_.namespace.toSeq).toSet.map((s: Seq[String]) => s.toArray).toArray
+  // Derived from BOTH stores: a views-only namespace exists (it is
+  // SHOW NAMESPACES-visible and namespaceExists-true), consistent with
+  // dropNamespace CASCADE clearing its views.
+  override def listNamespaces(): Array[Array[String]] = {
+    ensureLoaded()
+    (store.keySet().asScala.map(_.namespace.toSeq) ++
+      views.keySet().asScala.map(_.namespace.toSeq))
+      .toSet.map((s: Seq[String]) => s.toArray).toArray
+  }
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
     Array.empty
   /** Consistent with the implicit-namespace model AND dropNamespace: a
@@ -515,11 +546,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     */
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = mutate {
     val tables = listTables(namespace)
-    if (!cascade && tables.nonEmpty)
+    val nsViews = listViews(namespace.toIndexedSeq: _*)
+    if (!cascade && (tables.nonEmpty || nsViews.nonEmpty))
       throw NonEmptyNamespaceException(
-        namespace, s"${tables.length} table(s) present; use CASCADE", None)
+        namespace,
+        s"${tables.length} table(s), ${nsViews.length} view(s) present; use CASCADE", None)
     tables.foreach(dropTable)
-    tables.nonEmpty
+    nsViews.foreach(dropView) // CASCADE clears views too, not just tables
+    tables.nonEmpty || nsViews.nonEmpty
   }
 
   // ---- ProcedureCatalog: CALL graft.system.{compact,history}(...) ----
@@ -546,12 +580,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   // context it was defined under; Spark re-parses and re-resolves on
   // every read (late binding — the view tracks its base tables).
   override def listViews(namespace: String*): Array[Identifier] = {
+    ensureLoaded()
     val ns: Array[String] = namespace.toArray
     views.keySet.asScala.filter(_.namespace.sameElements(ns))
       .toArray.sortBy(_.name())
   }
 
   override def loadView(ident: Identifier): View = {
+    ensureLoaded()
     val v = views.get(ident)
     if (v == null)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
@@ -567,6 +603,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       info.columnAliases(), info.columnComments(), info.properties())
     if (views.putIfAbsent(info.ident, v) != null)
       throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(info.ident)
+    persistView(info.ident)
     v
   }
 
@@ -580,10 +617,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     }
     val next = prev.copy(props = util.Collections.unmodifiableMap(props))
     views.put(ident, next)
+    persistView(ident)
     next
   }
 
-  override def dropView(ident: Identifier): Boolean = views.remove(ident) != null
+  override def dropView(ident: Identifier): Boolean = mutate {
+    val dropped = views.remove(ident) != null
+    if (dropped) persistView(ident)
+    dropped
+  }
 
   override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = mutate {
     val v = views.get(oldIdent)
@@ -593,6 +635,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
     views.remove(oldIdent)
     views.put(newIdent, v.copy(ident = newIdent))
+    persistView(oldIdent)
+    persistView(newIdent)
   }
 
   // ---- FunctionCatalog ----
@@ -881,9 +925,114 @@ object GraftCatalog {
 
   /** JVM-wide segment root (a cluster deployment points this at shared
     * storage; `local[*]` executors and driver share the local FS).
+    *
+    * Two modes: EPHEMERAL (no `root` catalog option — a temp dir, state
+    * dies with the JVM, zero persistence overhead; every pre-existing
+    * test and query runs here) and PERSISTENT (`spark.sql.catalog.<n>
+    * .root=/path` — segment files live under the path and every
+    * metastore mutation also writes the table's [[GraftLedger]]
+    * document, so tables/history/epochs/views survive a restart). The
+    * root is JVM-wide because the metastore maps are: the FIRST
+    * configured root wins, matching the single-metastore model.
     */
-  private[sources] lazy val segmentRoot: Path =
-    Files.createTempDirectory("graft-catalog-")
+  private val rootRef = new java.util.concurrent.atomic.AtomicReference[Path](null)
+  @volatile private var autoRoot = false // rootRef holds a self-created temp dir
+  @volatile private var persistent = false
+  private[sources] def segmentRoot: Path = {
+    val cur = rootRef.get()
+    if (cur != null) cur
+    else {
+      val t = Files.createTempDirectory("graft-catalog-")
+      if (rootRef.compareAndSet(null, t)) { autoRoot = true; t }
+      else { deleteRecursively(t); rootRef.get() }
+    }
+  }
+
+  /** Install a durable catalog root (from the `root` catalog option).
+    * An auto-created temp root upgrades in place (tables created before
+    * the upgrade keep their temp-dir segment paths and stay ephemeral
+    * until their next commit re-publishes them); a DIFFERENT configured
+    * root is rejected loudly — two durable roots under one JVM-wide
+    * metastore would silently cross-write.
+    */
+  private[sources] def requestRoot(p: Path): Unit = mutate {
+    val norm = p.toAbsolutePath.normalize()
+    Files.createDirectories(norm)
+    if (rootRef.compareAndSet(null, norm)) { persistent = true }
+    else if (autoRoot) { rootRef.set(norm); autoRoot = false; persistent = true }
+    else if (rootRef.get() != norm)
+      throw new IllegalStateException(
+        s"graft catalog root already bound to ${rootRef.get()}; cannot rebind to $norm " +
+          "(one durable root per JVM)")
+    else persistent = true
+  }
+
+  /** One-time lazy load of the durable ledger into the in-memory maps.
+    * Idempotent and cheap once armed; re-armed by
+    * [[resetInMemoryStateForTest]] to simulate a JVM restart in-process.
+    */
+  private val ledgerLoaded = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private[sources] def ensureLoaded(): Unit =
+    if (persistent && !ledgerLoaded.get()) mutate {
+      if (!ledgerLoaded.get()) {
+        val root = segmentRoot
+        val mono = System.nanoTime()
+        GraftLedger.readAll(GraftLedger.tablesDir(root)).foreach { json =>
+          val (ident, entry, hist, eps) = GraftLedger.decodeTable(json, mono)
+          store.putIfAbsent(ident, entry)
+          if (hist.nonEmpty) history.putIfAbsent(ident, hist)
+          eps.foreach { case (qid, e) =>
+            epochs.putIfAbsent((ident, qid), java.lang.Long.valueOf(e))
+          }
+        }
+        GraftLedger.readAll(GraftLedger.viewsDir(root)).foreach { json =>
+          val v = GraftLedger.decodeView(json)
+          views.putIfAbsent(v.ident, v)
+        }
+        ledgerLoaded.set(true)
+      }
+    }
+
+  /** Write (or delete) the table's ledger document. Call under
+    * `mutate {}` after the in-memory swap; no-op in ephemeral mode.
+    */
+  private[sources] def persistTable(ident: Identifier): Unit = {
+    if (!persistent) return
+    val dir = GraftLedger.tablesDir(segmentRoot)
+    val entry = store.get(ident)
+    if (entry == null) GraftLedger.delete(dir, ident)
+    else {
+      val eps = epochs.asScala.collect {
+        case ((id, qid), e) if id == ident => qid -> e.longValue()
+      }.toMap
+      GraftLedger.write(dir, ident, GraftLedger.encodeTable(
+        ident, entry, history.getOrDefault(ident, Vector.empty), eps))
+    }
+  }
+
+  private[sources] def persistView(ident: Identifier): Unit = {
+    if (!persistent) return
+    val dir = GraftLedger.viewsDir(segmentRoot)
+    val v = views.get(ident)
+    if (v == null) GraftLedger.delete(dir, ident)
+    else GraftLedger.write(dir, ident, GraftLedger.encodeView(v))
+  }
+
+  /** Test hook: drop the given identifiers from the IN-MEMORY metastore
+    * without touching disk and re-arm the ledger load — the closest an
+    * in-process test can get to killing and restarting the JVM for
+    * those tables. Targeted (not a global wipe) because suites share
+    * the JVM-wide metastore and may run concurrently.
+    */
+  private[graft] def resetInMemoryStateForTest(idents: Identifier*): Unit = mutate {
+    idents.foreach { ident =>
+      store.remove(ident)
+      views.remove(ident)
+      history.remove(ident)
+      epochs.keySet.asScala.filter(_._1 == ident).foreach(epochs.remove)
+    }
+    ledgerLoaded.set(false)
+  }
 
   private[sources] def deleteRecursively(p: Path): Unit = {
     try {
@@ -980,6 +1129,7 @@ object GraftCatalog {
       .flatMap(_.segments).distinctBy(_.path)
       .filterNot(s => live.contains(s.path))
       .foreach(SegmentIO.delete)
+    persistTable(ident) // durable-mode ledger write; no-op otherwise
   }
 
   private[graft] def snapshotByVersion(
@@ -1034,6 +1184,7 @@ object GraftCatalog {
     history.put(ident,
       hist.lastOption.map(s => Vector(s.copy(segments = keepSegs)))
         .getOrElse(Vector.empty))
+    persistTable(ident)
     (expired, dropped.length)
   }
 
@@ -1050,6 +1201,7 @@ object GraftCatalog {
           hist.lastOption.map(s => Vector(s.copy(segments = entry.segments)))
             .getOrElse(Vector.empty))
       }
+      persistTable(ident)
     }
   }
 
@@ -1929,7 +2081,9 @@ private[sources] object GraftStagedTable {
   */
 private[sources] class GraftStagedTable(
     ident: Identifier, schema0: StructType, dir: String,
-    partitionCols: Seq[String], mode: GraftStagedTable.Mode)
+    partitionCols: Seq[String], mode: GraftStagedTable.Mode,
+    stagedConstraints: Vector[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+      Vector.empty)
     extends StagedTable with SupportsWrite {
   @volatile private var stagedSegments: Vector[GraftCatalog.Segment] = Vector.empty
 
@@ -1972,7 +2126,8 @@ private[sources] class GraftStagedTable(
   override def commitStagedChanges(): Unit =
     GraftCatalog.commitStaged(
       ident,
-      GraftCatalog.TableEntry(schema0, stagedSegments, dir, partitionCols),
+      GraftCatalog.TableEntry(schema0, stagedSegments, dir, partitionCols,
+        stagedConstraints),
       mode)
 
   override def abortStagedChanges(): Unit = {

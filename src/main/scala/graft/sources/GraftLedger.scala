@@ -1,0 +1,278 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.constraints.{Check, Constraint}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Durable metastore ledger for [[GraftCatalog]] (the restart story —
+  * the Delta `_delta_log` / Iceberg metadata-file role, one JSON
+  * document per table instead of a commit log, because the catalog
+  * already serializes mutations under one lock and publishes whole
+  * snapshot lists).
+  *
+  * Layout under the catalog root:
+  * {{{
+  *   <root>/_ledger/tables/<enc(ns)>~<enc(name)>.json
+  *   <root>/_ledger/views/<enc(ns)>~<enc(name)>.json
+  * }}}
+  * Each table document carries the CURRENT entry (schema, segment list,
+  * partition columns, constraints), the retained snapshot HISTORY
+  * (time travel survives a restart) and the streaming EPOCH ledger
+  * (exactly-once survives a restart). Writes are atomic
+  * (temp file + ATOMIC_MOVE) and happen under the catalog's mutation
+  * lock, so a reader process never observes a torn document.
+  *
+  * Zone-map min/max values are persisted SELF-DESCRIBING
+  * (`{"t":"i32","v":7}`) rather than relying on the current schema:
+  * historical snapshots may carry schemas that later ALTERs widened,
+  * and a stat decoded under the wrong type would silently mis-prune.
+  *
+  * Single-writer-per-root assumption, same as Delta without a commit
+  * coordinator: two concurrent JVMs mutating one root will last-write-
+  * win at file granularity. (A cluster deployment would swap this
+  * class for a catalog service; everything above the ledger is
+  * unchanged.)
+  */
+private[sources] object GraftLedger {
+  import GraftCatalog.{CatalogSnapshot, ColStat, Segment, TableEntry}
+
+  private val M = new ObjectMapper()
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def fileName(ident: Identifier): String =
+    (ident.namespace().map(enc) :+ enc(ident.name())).mkString("~") + ".json"
+
+  def tablesDir(root: Path): Path = root.resolve("_ledger").resolve("tables")
+  def viewsDir(root: Path): Path = root.resolve("_ledger").resolve("views")
+
+  // ---- typed scalar codec (the zone-map / partition-key value types) ----
+
+  private def valNode(v: Any): JsonNode = {
+    val o = M.createObjectNode()
+    v match {
+      case null => return M.nullNode()
+      case x: java.lang.Long => o.put("t", "i64").put("v", x.longValue())
+      case x: java.lang.Integer => o.put("t", "i32").put("v", x.intValue())
+      case x: java.lang.Short => o.put("t", "i16").put("v", x.intValue())
+      case x: java.lang.Byte => o.put("t", "i8").put("v", x.intValue())
+      case x: java.lang.Double => o.put("t", "f64").put("v", x.doubleValue())
+      case x: java.lang.Float => o.put("t", "f32").put("v", x.floatValue())
+      case x: java.lang.Boolean => o.put("t", "bool").put("v", x.booleanValue())
+      case x: String => o.put("t", "str").put("v", x)
+      case other => throw new IllegalArgumentException(
+        s"unpersistable metastore value type: ${other.getClass.getName}")
+    }
+    o
+  }
+
+  private def valOf(n: JsonNode): Any =
+    if (n == null || n.isNull) null
+    else n.get("t").asText() match {
+      case "i64" => java.lang.Long.valueOf(n.get("v").asLong())
+      case "i32" => java.lang.Integer.valueOf(n.get("v").asInt())
+      case "i16" => java.lang.Short.valueOf(n.get("v").asInt().toShort)
+      case "i8" => java.lang.Byte.valueOf(n.get("v").asInt().toByte)
+      case "f64" => java.lang.Double.valueOf(n.get("v").asDouble())
+      case "f32" => java.lang.Float.valueOf(n.get("v").asDouble().toFloat)
+      case "bool" => java.lang.Boolean.valueOf(n.get("v").asBoolean())
+      case "str" => n.get("v").asText()
+      case t => throw new IllegalArgumentException(s"unknown ledger value tag: $t")
+    }
+
+  // ---- segments ----
+
+  private def segNode(s: Segment): ObjectNode = {
+    val o = M.createObjectNode()
+    o.put("path", s.path).put("rows", s.rows).put("bytes", s.bytes)
+    val st = o.putArray("stats")
+    s.stats.foreach { cs =>
+      val c = M.createObjectNode()
+      c.set("min", valNode(cs.min)); c.set("max", valNode(cs.max))
+      c.put("nulls", cs.nulls)
+      st.add(c)
+    }
+    val k = o.putArray("key")
+    s.key.foreach(v => k.add(valNode(v)))
+    s.dv.foreach { bits =>
+      val d = o.putArray("dv")
+      bits.foreach(d.add)
+    }
+    o
+  }
+
+  private def segOf(n: JsonNode): Segment = {
+    val stats = n.get("stats").elements().asScala.map { c =>
+      ColStat(valOf(c.get("min")), valOf(c.get("max")), c.get("nulls").asLong())
+    }.toVector
+    val key = n.get("key").elements().asScala.map(valOf).toVector
+    val dv = Option(n.get("dv")).map { d =>
+      scala.collection.immutable.BitSet(d.elements().asScala.map(_.asInt()).toSeq: _*)
+    }
+    Segment(n.get("path").asText(), n.get("rows").asLong(),
+      n.get("bytes").asLong(), stats, key, dv)
+  }
+
+  // ---- constraints (CHECK round-trips exactly; anything else is
+  // informational-only here and recorded as DDL text) ----
+
+  private def constraintNode(c: Constraint): ObjectNode = {
+    val o = M.createObjectNode()
+    c match {
+      case ck: Check =>
+        o.put("kind", "check").put("name", ck.name())
+          .put("predicateSql", ck.predicateSql())
+          .put("enforced", ck.enforced()).put("rely", ck.rely())
+          .put("status", ck.validationStatus().name())
+      case other =>
+        o.put("kind", "ddl").put("name", other.name()).put("ddl", other.toDDL)
+    }
+    o
+  }
+
+  private def constraintOf(n: JsonNode): Option[Constraint] =
+    n.get("kind").asText() match {
+      case "check" =>
+        Some(Constraint.check(n.get("name").asText())
+          .predicateSql(n.get("predicateSql").asText())
+          .enforced(n.get("enforced").asBoolean())
+          .rely(n.get("rely").asBoolean())
+          .validationStatus(
+            Constraint.ValidationStatus.valueOf(n.get("status").asText()))
+          .build())
+      // Non-CHECK constraints are accepted NOT ENFORCED and carry no
+      // enforcement state — dropping them on reload loses only their
+      // SHOW DDL echo, never a correctness guarantee.
+      case _ => None
+    }
+
+  // ---- table document ----
+
+  def encodeTable(
+      ident: Identifier, entry: TableEntry,
+      history: Vector[CatalogSnapshot],
+      epochs: Map[String, Long]): String = {
+    val o = M.createObjectNode()
+    val ns = o.putArray("namespace")
+    ident.namespace().foreach(ns.add)
+    o.put("name", ident.name())
+    o.put("schema", entry.schema.json)
+    o.put("dir", entry.dir)
+    val pc = o.putArray("partitionCols")
+    entry.partitionCols.foreach(pc.add)
+    val segs = o.putArray("segments")
+    entry.segments.foreach(s => segs.add(segNode(s)))
+    val cons = o.putArray("constraints")
+    entry.constraints.foreach(c => cons.add(constraintNode(c)))
+    val hist = o.putArray("history")
+    history.foreach { snap =>
+      val h = M.createObjectNode()
+      h.put("version", snap.version).put("wallMs", snap.wallMs)
+      h.put("schema", snap.schema.json)
+      val hs = h.putArray("segments")
+      snap.segments.foreach(s => hs.add(segNode(s)))
+      hist.add(h)
+    }
+    val ep = o.putObject("epochs")
+    epochs.foreach { case (qid, e) => ep.put(qid, e) }
+    M.writerWithDefaultPrettyPrinter().writeValueAsString(o)
+  }
+
+  /** Decoded table document. Snapshot `mono` stamps are REBASED to the
+    * loading JVM's clock (nanoTime bases differ across processes); every
+    * reloaded snapshot gets a fresh retention window, which errs on the
+    * side of keeping time travel alive after a restart.
+    */
+  def decodeTable(json: String, monoNow: Long)
+      : (Identifier, TableEntry, Vector[CatalogSnapshot], Map[String, Long]) = {
+    val o = M.readTree(json)
+    val ns = o.get("namespace").elements().asScala.map(_.asText()).toArray
+    val ident = Identifier.of(ns, o.get("name").asText())
+    val schema = DataType.fromJson(o.get("schema").asText()).asInstanceOf[StructType]
+    val segs = o.get("segments").elements().asScala.map(segOf).toVector
+    val partCols = o.get("partitionCols").elements().asScala.map(_.asText()).toSeq
+    val cons = o.get("constraints").elements().asScala.flatMap(constraintOf).toVector
+    val entry = TableEntry(schema, segs, o.get("dir").asText(), partCols, cons)
+    val hist = o.get("history").elements().asScala.map { h =>
+      CatalogSnapshot(
+        h.get("version").asLong(), h.get("wallMs").asLong(), monoNow,
+        DataType.fromJson(h.get("schema").asText()).asInstanceOf[StructType],
+        h.get("segments").elements().asScala.map(segOf).toVector)
+    }.toVector
+    val ep = Option(o.get("epochs")).map { e =>
+      e.properties().asScala.map(kv => kv.getKey -> kv.getValue.asLong()).toMap
+    }.getOrElse(Map.empty[String, Long])
+    (ident, entry, hist, ep)
+  }
+
+  // ---- view document ----
+
+  def encodeView(v: GraftView): String = {
+    val o = M.createObjectNode()
+    val ns = o.putArray("namespace")
+    v.ident.namespace().foreach(ns.add)
+    o.put("name", v.ident.name())
+    o.put("query", v.query)
+    o.put("currentCatalog", v.currentCatalog)
+    val cns = o.putArray("currentNamespace")
+    v.currentNamespace.foreach(cns.add)
+    o.put("schema", v.schema.json)
+    val qc = o.putArray("queryColumnNames"); v.queryColumnNames.foreach(qc.add)
+    val ca = o.putArray("columnAliases"); v.columnAliases.foreach(ca.add)
+    val cc = o.putArray("columnComments")
+    v.columnComments.foreach(c => if (c == null) cc.addNull() else cc.add(c))
+    val pr = o.putObject("props")
+    v.props.asScala.foreach { case (k, vv) => pr.put(k, vv) }
+    M.writerWithDefaultPrettyPrinter().writeValueAsString(o)
+  }
+
+  def decodeView(json: String): GraftView = {
+    val o = M.readTree(json)
+    def strs(f: String): Array[String] =
+      o.get(f).elements().asScala.map(n => if (n.isNull) null else n.asText()).toArray
+    val ident = Identifier.of(strs("namespace"), o.get("name").asText())
+    val props = new java.util.HashMap[String, String]()
+    o.get("props").properties().asScala.foreach(kv => props.put(kv.getKey, kv.getValue.asText()))
+    GraftView(ident, o.get("query").asText(), o.get("currentCatalog").asText(),
+      strs("currentNamespace"),
+      DataType.fromJson(o.get("schema").asText()).asInstanceOf[StructType],
+      strs("queryColumnNames"), strs("columnAliases"), strs("columnComments"),
+      java.util.Collections.unmodifiableMap(props))
+  }
+
+  // ---- atomic file IO ----
+
+  def write(dir: Path, ident: Identifier, json: String): Unit = {
+    Files.createDirectories(dir)
+    val target = dir.resolve(fileName(ident))
+    val tmp = Files.createTempFile(dir, ".tmp-", ".json")
+    try {
+      Files.writeString(tmp, json)
+      Files.move(tmp, target,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  def delete(dir: Path, ident: Identifier): Unit = {
+    try Files.deleteIfExists(dir.resolve(fileName(ident)))
+    catch { case _: java.io.IOException => () }
+  }
+
+  def readAll(dir: Path): Seq[String] = {
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq
+      .filter(p => p.getFileName.toString.endsWith(".json") &&
+        !p.getFileName.toString.startsWith(".tmp-"))
+      .sortBy(_.getFileName.toString)
+      .map(Files.readString)
+    finally s.close()
+  }
+}
