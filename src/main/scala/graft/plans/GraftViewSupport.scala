@@ -175,35 +175,51 @@ case class GraftShowViewsCommand(parts: Seq[String], pattern: Option[String])
 case class GraftViewReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
   import GraftViewSupport._
 
+  private def isGraftView(parts: Seq[String]): Boolean =
+    parts.length >= 3 && isGraftCatalog(spark, parts.head) &&
+      viewCatalog(spark, parts.head).viewExists(identOf(parts))
+
+  /** Expand one view reference into its re-parsed, re-qualified body —
+    * RECURSIVELY: nested graft-view references expand within this same
+    * invocation, while the cycle-detection stack is still live. (A
+    * one-level-per-fixed-point-iteration expansion would pop the stack
+    * before the nested reference resolves, so a cycle A→B→A would never
+    * trip the guard — it would just grind the analyzer to its
+    * max-iterations abort.)
+    */
+  private def expand(parts: Seq[String]): LogicalPlan = {
+    val ident = identOf(parts)
+    val key = (parts.head, ident)
+    if (expanding.get().contains(key))
+      throw new IllegalStateException(
+        s"recursive view reference: ${parts.mkString(".")} (expansion chain " +
+          s"${(key :: expanding.get()).reverse.map(_._2).mkString(" -> ")})")
+    expanding.set(key :: expanding.get())
+    try {
+      val v = viewCatalog(spark, parts.head).loadView(ident)
+      val parsed = spark.sessionState.sqlParser.parsePlan(v.query)
+      val qualified = parsed.transformUp {
+        case r @ UnresolvedRelation(ps, opts, streaming) if ps.length <= 2 &&
+            !spark.sessionState.catalog.isTempView(ps) =>
+          val full =
+            if (ps.length == 1) v.currentCatalog +: v.currentNamespace.toSeq :+ ps.head
+            else v.currentCatalog +: ps
+          UnresolvedRelation(full, opts, streaming)
+      }
+      val nested = qualified.transformUp {
+        case UnresolvedRelation(ps, _, false) if isGraftView(ps) => expand(ps)
+      }
+      val aliased =
+        if (v.columnAliases.sameElements(v.queryColumnNames)) nested
+        else Project(
+          v.queryColumnNames.zip(v.columnAliases).toSeq.map { case (q, a) =>
+            Alias(UnresolvedAttribute.quoted(q), a)()
+          }, nested)
+      SubqueryAlias(parts, aliased)
+    } finally expanding.set(expanding.get().tail)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case u @ UnresolvedRelation(parts, _, false) if parts.length >= 3 &&
-        isGraftCatalog(spark, parts.head) &&
-        viewCatalog(spark, parts.head).viewExists(identOf(parts)) =>
-      val ident = identOf(parts)
-      val key = (parts.head, ident)
-      if (expanding.get().contains(key))
-        throw new IllegalStateException(
-          s"recursive view reference: ${parts.mkString(".")} (expansion chain " +
-            s"${expanding.get().reverse.map(_._2).mkString(" -> ")})")
-      expanding.set(key :: expanding.get())
-      try {
-        val v = viewCatalog(spark, parts.head).loadView(ident)
-        val parsed = spark.sessionState.sqlParser.parsePlan(v.query)
-        val qualified = parsed.transformUp {
-          case r @ UnresolvedRelation(ps, opts, streaming) if ps.length <= 2 &&
-              !spark.sessionState.catalog.isTempView(ps) =>
-            val full =
-              if (ps.length == 1) v.currentCatalog +: v.currentNamespace.toSeq :+ ps.head
-              else v.currentCatalog +: ps
-            UnresolvedRelation(full, opts, streaming)
-        }
-        val aliased =
-          if (v.columnAliases.sameElements(v.queryColumnNames)) qualified
-          else Project(
-            v.queryColumnNames.zip(v.columnAliases).toSeq.map { case (q, a) =>
-              Alias(UnresolvedAttribute.quoted(q), a)()
-            }, qualified)
-        SubqueryAlias(parts, aliased)
-      } finally expanding.set(expanding.get().tail)
+    case UnresolvedRelation(parts, _, false) if isGraftView(parts) => expand(parts)
   }
 }

@@ -2234,7 +2234,17 @@ private[sources] class GraftCatalogScanBuilder(
       schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)) ++
         requiredSchema.fields.filter(f => GraftMetaCols.names.contains(f.name)))
   override def build(): Scan = pushedAggs match {
-    case Some(aggs) => GraftCatalogAggScan(ident, schema, pinned, aggs)
+    // PIN the segment list NOW: the dv guard in translate() ran against
+    // the then-current list, and execution may happen arbitrarily later
+    // — a DELETE attaching a deletion vector in between must not let a
+    // deleted row's value surface as the MIN/MAX. With the list pinned,
+    // the scan computes over exactly the snapshot the guard saw (and
+    // retention protects the files); any dv that nonetheless races into
+    // the pinned list between translate() and here triggers the exact
+    // per-segment fallback inside the scan.
+    case Some(aggs) =>
+      GraftCatalogAggScan(ident, schema,
+        Some(pinned.getOrElse(GraftCatalog.segmentsOf(ident))), aggs)
     case None =>
       GraftCatalogScan(ident, schema, pruning.toIndexedSeq, required, pinned, partitionCols,
         maxSegmentsPerTrigger = maxSegmentsPerTrigger,
@@ -2291,12 +2301,40 @@ private[graft] case class GraftCatalogAggScan(
       case (x: Number, y: Number) => x.longValue() < y.longValue()
       case _ => false
     }
+    // Exact extremum over a dv-carrying segment's LIVE rows: zone-map
+    // stats describe ALL physical rows, so a deleted row's value could
+    // be the stats extremum. Only reached when a deletion vector raced
+    // in between the builder's dv guard and scan build — rare by
+    // construction, and bounded to the raced segments.
+    def exactSegExtremum(s: GraftCatalog.Segment, i: Int, wantMin: Boolean): Option[Any] = {
+      val dt = schema.fields(i).dataType
+      var best: Any = null
+      SegmentIO.foreachRow(s, schema.length) { r =>
+        if (!r.isNullAt(i)) {
+          val v: Any = dt match {
+            case LongType => r.getLong(i)
+            case IntegerType => r.getInt(i)
+            case ShortType => r.getShort(i)
+            case ByteType => r.getByte(i)
+            case DoubleType => r.getDouble(i)
+            case FloatType => r.getFloat(i)
+            case BooleanType => r.getBoolean(i)
+            case StringType => r.getUTF8String(i).toString
+            case other => throw new IllegalStateException(
+              s"untracked column type $other reached the metadata aggregate")
+          }
+          if (best == null || lt(v, best) == wantMin) best = v
+        }
+      }
+      Option(best)
+    }
     def fold(c: String, wantMin: Boolean): Any = {
       val i = colIndex(c)
       val vals = segs.flatMap { s =>
         require(s.stats.length > i,
           s"segment ${s.path} lacks stats for column $c — metadata aggregate unanswerable")
-        Option(if (wantMin) s.stats(i).min else s.stats(i).max)
+        if (s.dv.isEmpty) Option(if (wantMin) s.stats(i).min else s.stats(i).max)
+        else exactSegExtremum(s, i, wantMin)
       }
       if (vals.isEmpty) null
       else CatalystTypeConverters.convertToCatalyst(
@@ -2558,7 +2596,15 @@ private[graft] class GraftCatalogMicroBatchStream(
     */
   private def addedAt(v: Long): Vector[GraftCatalog.Segment] = {
     val cur = snapshotOrFail(v)
-    if (cur.schema.length != schema.length)
+    // Per-field TYPE comparison, not just arity: an ALTER COLUMN TYPE
+    // widening keeps the field count but rewrites segments under the
+    // new layout — decoding those bytes with the stream's stale
+    // narrower schema (e.g. a LongType slot read via getInt) would
+    // silently corrupt values. Field NAMES are exempt (RENAME COLUMN is
+    // metadata-only over positional storage; the bytes are identical).
+    if (cur.schema.length != schema.length ||
+        cur.schema.fields.zip(schema.fields).exists {
+          case (a, b) => a.dataType != b.dataType })
       throw new IllegalStateException(
         s"streaming read of $ident: commit v$v was written under a different schema " +
           s"(${cur.schema.simpleString} vs ${schema.simpleString}); restart the stream " +

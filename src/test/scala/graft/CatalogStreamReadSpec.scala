@@ -116,6 +116,34 @@ class CatalogStreamReadSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("post-widening appends fail a stale-schema stream even under skipChangeCommits") {
+    spark.sql("DROP TABLE IF EXISTS graft.csr.src5")
+    spark.sql("CREATE TABLE graft.csr.src5 (k INT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.csr.src5 VALUES (1,'a')")
+    val q = spark.readStream.option("skipChangeCommits", "true")
+      .table("graft.csr.src5")
+      .writeStream.format("memory").queryName("csr5").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("csr5").count() == 1)
+      // ALTER COLUMN TYPE keeps the FIELD COUNT but rewrites segments
+      // under the widened layout. The rewrite commit itself is skipped
+      // (skipChangeCommits), but the follow-up APPEND was written under
+      // the widened schema — decoding it with the stream's stale INT
+      // schema would read the LongType slot via getInt and silently
+      // corrupt out-of-range values. The guard must fail the stream.
+      spark.sql("ALTER TABLE graft.csr.src5 ALTER COLUMN k TYPE BIGINT")
+      spark.sql("INSERT INTO graft.csr.src5 VALUES (5000000000, 'big')")
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(10000)
+      }
+      def chain(t: Throwable): String =
+        if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+      assert(chain(e).contains("restart the stream"), chain(e))
+    } finally q.stop()
+  }
+
   test("startingVersion skips the snapshot and replays history from that commit") {
     spark.sql("DROP TABLE IF EXISTS graft.csr.src6")
     spark.sql("CREATE TABLE graft.csr.src6 (k BIGINT, v STRING) USING graft")

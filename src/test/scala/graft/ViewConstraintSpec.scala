@@ -108,4 +108,73 @@ class ViewConstraintSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("NEW_CHECK_CONSTRAINT_VIOLATION"), e3.getMessage)
   }
+
+  test("view cycle (A->B->A) fails with an explicit recursive-view error") {
+    spark.sql("DROP VIEW IF EXISTS graft.cyc.a")
+    spark.sql("DROP VIEW IF EXISTS graft.cyc.b")
+    spark.sql("DROP TABLE IF EXISTS graft.cyc.base")
+    spark.sql("CREATE TABLE graft.cyc.base (n INT) USING graft")
+    spark.sql("INSERT INTO graft.cyc.base VALUES (1)")
+    // Definition-time analysis forbids creating a cycle directly, so
+    // build it via REPLACE: b -> base, a -> b, then b -> a.
+    spark.sql("CREATE VIEW graft.cyc.b AS SELECT n FROM graft.cyc.base")
+    spark.sql("CREATE VIEW graft.cyc.a AS SELECT n FROM graft.cyc.b")
+    spark.sql("CREATE OR REPLACE VIEW graft.cyc.b AS SELECT n FROM graft.cyc.a")
+    val e = intercept[Exception] { spark.sql("SELECT n FROM graft.cyc.a").collect() }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(chain(e).contains("recursive view reference"),
+      s"cycle must fail explicitly, not via analyzer max-iterations: ${chain(e)}")
+    spark.sql("DROP VIEW graft.cyc.b")
+    spark.sql("DROP VIEW graft.cyc.a")
+    spark.sql("DROP TABLE graft.cyc.base")
+  }
+
+  test("views-only namespace is listed and DROP NAMESPACE CASCADE clears it") {
+    spark.sql("DROP VIEW IF EXISTS graft.vonly.v")
+    spark.sql("DROP TABLE IF EXISTS graft.vonly_t.base")
+    spark.sql("CREATE TABLE graft.vonly_t.base (n INT) USING graft")
+    spark.sql("CREATE VIEW graft.vonly.v AS SELECT n FROM graft.vonly_t.base")
+    // The views-only namespace shows up in SHOW NAMESPACES...
+    assert(spark.sql("SHOW NAMESPACES IN graft").select("namespace")
+      .as[String].collect().contains("vonly"))
+    // ...a non-cascade drop refuses (it is not empty)...
+    intercept[Exception] { spark.sql("DROP NAMESPACE graft.vonly") }
+    // ...and CASCADE drops the views with it (returns true => namespace gone).
+    spark.sql("DROP NAMESPACE graft.vonly CASCADE")
+    assert(!spark.sql("SHOW NAMESPACES IN graft").select("namespace")
+      .as[String].collect().contains("vonly"))
+    intercept[Exception] { spark.sql("SELECT * FROM graft.vonly.v").collect() }
+    spark.sql("DROP TABLE graft.vonly_t.base")
+  }
+
+  test("staged create (CTAS commit path) carries CHECK constraints into the table") {
+    // Spark's parser forbids constraint clauses in CTAS SQL, but the
+    // DSv2 staging API carries them via TableInfo — the path a
+    // programmatic writer (or a future parser) takes. The staged commit
+    // must store them exactly like the non-staged createTable path.
+    import org.apache.spark.sql.connector.catalog.{Column, Identifier, StagingTableCatalog, TableInfo}
+    import org.apache.spark.sql.connector.catalog.constraints.Constraint
+    spark.sql("DROP TABLE IF EXISTS graft.cn.staged")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[StagingTableCatalog]
+    val ident = Identifier.of(Array("cn"), "staged")
+    val info = new TableInfo.Builder()
+      .withColumns(Array(Column.create("x", org.apache.spark.sql.types.IntegerType)))
+      .withProperties(java.util.Collections.emptyMap[String, String]())
+      .withPartitions(Array.empty)
+      .withConstraints(Array[Constraint](
+        Constraint.check("pos").predicateSql("x > 0").enforced(true).build()))
+      .build()
+    val stagedTable = cat.stageCreate(ident, info)
+    stagedTable.commitStagedChanges() // empty CTAS: metastore swap only
+    // The constraint survived the staged commit: a violating INSERT fails.
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft.cn.staged VALUES (-1)")
+    }
+    assert(e.getMessage.contains("CHECK_CONSTRAINT_VIOLATION"), e.getMessage)
+    spark.sql("INSERT INTO graft.cn.staged VALUES (5)")
+    assert(spark.sql("SELECT x FROM graft.cn.staged").as[Int].head() == 5)
+    spark.sql("DROP TABLE graft.cn.staged")
+  }
 }
