@@ -455,8 +455,17 @@ object SimilarityQueries {
     */
   private[graft] def ivfTopK(
       spark: SparkSession, train: DataFrame, data: DataFrame,
-      k: Int = 16, nprobe: Int = 4): DataFrame = {
-    val codebook = KMeansCodebook.train(train, k, iters = 3)
+      k: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfTopKWithCodebook(spark, KMeansCodebook.train(train, k, iters = 3), data, nprobe)
+
+  /** IVF serving path against an ALREADY-TRAINED codebook (the one-row
+    * `cents` form) — what `l3_ann_ivf_saved` runs after
+    * `CALL graft.system.train_ann` persisted the codebook: zero
+    * training passes per query, same probe/rerank plan.
+    */
+  private[graft] def ivfTopKWithCodebook(
+      spark: SparkSession, codebook: DataFrame, data: DataFrame,
+      nprobe: Int = 4): DataFrame = {
     val centroids = codebook.select(explode(col("cents")).as("c"))
       .select(col("c.cid").as("cid"), col("c.cvec").as("cvec"))
     val assigned = data
@@ -498,6 +507,36 @@ object SimilarityQueries {
     // parquet scans of the widest table per run.
     val e = Tables.embeddings(spark, dir).persist()
     ivfTopK(spark, e, withPlantedCopies(e))
+  }
+
+  /** L3 (IVF with a PERSISTED codebook): the train-once/serve-many
+    * product shape. The first invocation per corpus trains via
+    * `CALL graft.system.train_ann` and stores the codebook as a catalog
+    * table (cid, cvec — k rows); every later invocation loads those k
+    * rows and pays ZERO training passes — only the broadcast-assignment
+    * probe/rerank plan of `ivfTopKWithCodebook`. The codebook table is
+    * keyed by the corpus dir, so sf0.01 and sf0.1 never cross-serve.
+    * Training is deterministic (k-lowest-id seeds), so trained-now vs
+    * loaded-from-catalog yields the identical codebook — which is what
+    * keeps this row on the same exact planted-copy oracle as l3_ann_ivf.
+    */
+  val l3AnnIvfSaved: Q = Q(
+    "l3_ann_ivf_saved",
+    annOracleSql) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    val tbl = "codebook_" + java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+    val full = s"graft.ann.$tbl"
+    val e = Tables.embeddings(spark, dir).persist()
+    if (scala.util.Try(spark.table(full).isEmpty).getOrElse(true)) {
+      e.createOrReplaceTempView("graft_ann_train_src")
+      spark.sql(
+        s"CALL graft.system.train_ann('graft_ann_train_src', 'ann', '$tbl', 16, 3)")
+    }
+    // k rows -> the one-row cents form the serving path consumes
+    // (cid-sorted so argmax tie-breaks match the trained order).
+    val codebook = spark.table(full)
+      .agg(array_sort(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
+    ivfTopKWithCodebook(spark, codebook, withPlantedCopies(e))
   }
 
   /** L3 (IVF-PQ memory-scale path): product-quantized ANN — the FAISS
@@ -687,5 +726,5 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(
     l3CosineTopK, l3AnnLsh, l4NgramJaccard, l4EmbeddingNearDup,
-    l3AnnIvf, l3AnnIvfPq, l2MinHashLsh, l2DedupClusters, l2SimHash)
+    l3AnnIvf, l3AnnIvfSaved, l3AnnIvfPq, l2MinHashLsh, l2DedupClusters, l2SimHash)
 }

@@ -560,7 +560,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array(Identifier.of(namespace, "compact"), Identifier.of(namespace, "history"),
-        Identifier.of(namespace, "zorder"), Identifier.of(namespace, "vacuum"))
+        Identifier.of(namespace, "zorder"), Identifier.of(namespace, "vacuum"),
+        Identifier.of(namespace, "train_ann"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
@@ -572,6 +573,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       GraftZorderProcedure
     else if (ident.namespace.sameElements(Array("system")) && ident.name == "vacuum")
       GraftVacuumProcedure
+    else if (ident.namespace.sameElements(Array("system")) && ident.name == "train_ann")
+      GraftTrainAnnProcedure
     else throw new UnsupportedOperationException(s"no such procedure: $ident")
 
   // ---- ViewCatalog: persistent SQL views resolved through the ----
@@ -2050,6 +2053,71 @@ private[sources] class GraftCatalogTable(
             partitionCols)
       }
     }
+}
+
+/** `CALL graft.system.train_ann(source, ns, table, k, iters)` — train
+  * an ANN coarse-quantizer codebook ONCE and persist it as a catalog
+  * table (cid BIGINT, cvec ARRAY<FLOAT>), so every subsequent ANN query
+  * loads k rows instead of re-running distributed k-means over the
+  * corpus (the FAISS train-once/serve-many shape). `source` is any
+  * readable table/view name with (vec_id, embedding) columns; the write
+  * lands through the staged CREATE OR REPLACE path, so retraining swaps
+  * the codebook atomically and readers never see a half-written one.
+  */
+private[graft] object GraftTrainAnnProcedure
+    extends procedures.UnboundProcedure with procedures.BoundProcedure {
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+
+  override def name(): String = "train_ann"
+  override def description(): String =
+    "train_ann(source, ns, table, k, iters): persist a k-means ANN codebook as a catalog table"
+  override def bind(inputType: StructType): procedures.BoundProcedure = this
+  override def isDeterministic: Boolean = false // writes a table
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("source", StringType)
+      .comment("readable table/view with (vec_id, embedding)").build(),
+    ProcedureParameter.in("ns", StringType).comment("destination namespace").build(),
+    ProcedureParameter.in("table", StringType).comment("destination table").build(),
+    ProcedureParameter.in("k", IntegerType).comment("number of centroids").build(),
+    ProcedureParameter.in("iters", IntegerType).comment("Lloyd's rounds").build())
+
+  private val outSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("centroids", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    import org.apache.spark.sql.functions.{col, explode}
+    val source = input.getUTF8String(0).toString
+    val ns = input.getUTF8String(1).toString
+    val table = input.getUTF8String(2).toString
+    val k = input.getInt(3)
+    val iters = input.getInt(4)
+    val spark = org.apache.spark.sql.SparkSession.active
+    // Resolve this catalog's Spark-facing name from the session conf
+    // (the procedure object is shared; companion state is JVM-wide, so
+    // any graft-class registration reaches the same metastore).
+    val catName = spark.conf.getAll.collectFirst {
+      case (key, value) if key.startsWith("spark.sql.catalog.") &&
+          !key.substring("spark.sql.catalog.".length).contains(".") &&
+          value == classOf[GraftCatalog].getName =>
+        key.substring("spark.sql.catalog.".length)
+    }.getOrElse(throw new IllegalStateException(
+      "train_ann: no graft catalog registered in this session"))
+    val cb = graft.operators.KMeansCodebook.train(spark.table(source), k, iters)
+      .select(explode(col("cents")).as("c"))
+      .select(col("c.cid").as("cid"), col("c.cvec").as("cvec"))
+    cb.writeTo(s"$catName.$ns.$table").createOrReplace()
+    val n = GraftCatalog.rowCount(ns, table)
+    val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"$ns.$table"), n))
+    java.util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = outSchema
+      override def description(): String = s"GraftTrainAnnResult($ns.$table)"
+    }).iterator()
+  }
 }
 
 /** A stored catalog view: the definition-time query text + resolution

@@ -504,4 +504,23 @@ class CatalogSpec extends AnyFunSuite {
     }
     spark.sql("DROP TABLE graft.t3.once")
   }
+
+  test("CALL graft.system.train_ann persists a codebook; retrain swaps it atomically") {
+    import org.apache.spark.sql.functions.{array, col, lit}
+    spark.sql("DROP TABLE IF EXISTS graft.annx.cb")
+    spark.range(0, 40).select(
+      col("id").as("vec_id"),
+      array((0 until 4).map(i => (col("id") * (i + 1)).cast("float")): _*).as("embedding"))
+      .createOrReplaceTempView("train_ann_fixture")
+    val out = spark.sql(
+      "CALL graft.system.train_ann('train_ann_fixture', 'annx', 'cb', 8, 1)")
+      .collect().head
+    assert(out.getString(0) == "annx.cb" && out.getLong(1) == 8L)
+    assert(spark.table("graft.annx.cb").count() == 8L)
+    assert(spark.table("graft.annx.cb").schema.fieldNames.toSeq == Seq("cid", "cvec"))
+    // Retrain with a different k REPLACES the codebook (staged swap).
+    spark.sql("CALL graft.system.train_ann('train_ann_fixture', 'annx', 'cb', 4, 0)")
+    assert(spark.table("graft.annx.cb").count() == 4L)
+    spark.sql("DROP TABLE graft.annx.cb")
+  }
 }
