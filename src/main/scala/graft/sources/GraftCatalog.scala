@@ -561,7 +561,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     if (namespace.sameElements(Array("system")))
       Array(Identifier.of(namespace, "compact"), Identifier.of(namespace, "history"),
         Identifier.of(namespace, "zorder"), Identifier.of(namespace, "vacuum"),
-        Identifier.of(namespace, "train_ann"))
+        Identifier.of(namespace, "train_ann"), Identifier.of(namespace, "analyze"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
@@ -575,6 +575,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       GraftVacuumProcedure
     else if (ident.namespace.sameElements(Array("system")) && ident.name == "train_ann")
       GraftTrainAnnProcedure
+    else if (ident.namespace.sameElements(Array("system")) && ident.name == "analyze")
+      GraftAnalyzeProcedure
     else throw new UnsupportedOperationException(s"no such procedure: $ident")
 
   // ---- ViewCatalog: persistent SQL views resolved through the ----
@@ -909,11 +911,18 @@ object GraftCatalog {
     def liveRows: Long = rows - deletedRows
   }
 
+  /** Per-column ANALYZE output (`CALL graft.system.analyze`): distinct
+    * and null counts over the table's live rows at analyze time. The
+    * cardinality side of CBO — zone maps already carry min/max.
+    */
+  private[graft] case class ColAnalysis(ndv: Long, nulls: Long)
+
   private[sources] case class TableEntry(
       schema: StructType, segments: Vector[Segment], dir: String,
       partitionCols: Seq[String] = Nil,
       constraints: Vector[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
-        Vector.empty)
+        Vector.empty,
+      analyzed: Map[String, ColAnalysis] = Map.empty)
 
   private val store = new ConcurrentHashMap[Identifier, TableEntry]()
   private[sources] val views = new ConcurrentHashMap[Identifier, GraftView]()
@@ -1257,6 +1266,22 @@ object GraftCatalog {
 
   private[sources] def segmentsOf(ident: Identifier): Vector[Segment] =
     Option(store.get(ident)).map(_.segments).getOrElse(Vector.empty)
+
+  private[graft] def analyzedOf(ident: Identifier): Map[String, ColAnalysis] =
+    Option(store.get(ident)).map(_.analyzed).getOrElse(Map.empty)
+
+  /** Install ANALYZE results. Pure statistics metadata: updates the
+    * entry (and the durable ledger) without publishing a snapshot —
+    * stats are advisory to the planner, not part of the data's history.
+    */
+  private[sources] def installColStats(
+      ident: Identifier, analysis: Map[String, ColAnalysis]): Unit = mutate {
+    store.compute(ident, (_, prev) => {
+      if (prev == null) throw new NoSuchTableException(ident)
+      prev.copy(analyzed = analysis)
+    })
+    persistTable(ident)
+  }
 
   /** Last committed streaming epoch per (table, STREAMING QUERY) — the
     * exactly-once ledger: a replayed epoch after failure/restart commits
@@ -2055,6 +2080,72 @@ private[sources] class GraftCatalogTable(
     }
 }
 
+/** `CALL graft.system.analyze(ns, table)` — the ANALYZE TABLE
+  * equivalent: ONE aggregate pass over the table's live rows computes
+  * per-column distinct (HLL, same approximation Spark's own ANALYZE
+  * uses) and null counts, stored on the entry and reported through the
+  * DSv2 `Statistics.columnStats()` surface — which is what gives
+  * `CostBasedJoinReorder` real join-key cardinalities for ad-hoc
+  * multi-table joins over catalog tables (with spark.sql.cbo.enabled +
+  * joinReorder.enabled). Row counts and min/max were already exact
+  * from segments/zone maps; NDV is the piece only a data pass can add.
+  */
+private[graft] object GraftAnalyzeProcedure
+    extends procedures.UnboundProcedure with procedures.BoundProcedure {
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+
+  override def name(): String = "analyze"
+  override def description(): String =
+    "analyze(ns, table): compute per-column distinct/null counts for the CBO"
+  override def bind(inputType: StructType): procedures.BoundProcedure = this
+  override def isDeterministic: Boolean = false // mutates stored stats
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("ns", StringType).comment("namespace").build(),
+    ProcedureParameter.in("table", StringType).comment("table name").build())
+
+  private val outSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("columns_analyzed", IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("rows", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, col, count, when}
+    val ns = input.getUTF8String(0).toString
+    val table = input.getUTF8String(1).toString
+    val ident = Identifier.of(Array(ns), table)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val catName = spark.conf.getAll.collectFirst {
+      case (key, value) if key.startsWith("spark.sql.catalog.") &&
+          !key.substring("spark.sql.catalog.".length).contains(".") &&
+          value == classOf[GraftCatalog].getName =>
+        key.substring("spark.sql.catalog.".length)
+    }.getOrElse(throw new IllegalStateException(
+      "analyze: no graft catalog registered in this session"))
+    val df = spark.table(s"$catName.$ns.$table") // throws NoSuchTable if absent
+    val cols = df.columns.toSeq
+    val aggs = cols.flatMap { c =>
+      Seq(approx_count_distinct(col(c)).as(s"ndv_$c"),
+        count(when(col(c).isNull, 1)).as(s"nulls_$c"))
+    }
+    val r = df.agg(count(org.apache.spark.sql.functions.lit(1)).as("n"), aggs: _*)
+      .collect().head
+    val rows = r.getAs[Long]("n")
+    val analysis = cols.map { c =>
+      c -> GraftCatalog.ColAnalysis(r.getAs[Long](s"ndv_$c"), r.getAs[Long](s"nulls_$c"))
+    }.toMap
+    GraftCatalog.installColStats(ident, analysis)
+    val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(s"$ns.$table"),
+        cols.length, rows))
+    java.util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = outSchema
+      override def description(): String = s"GraftAnalyzeResult($ns.$table)"
+    }).iterator()
+  }
+}
+
 /** `CALL graft.system.train_ann(source, ns, table, k, iters)` — train
   * an ANN coarse-quantizer codebook ONCE and persist it as a catalog
   * table (cid BIGINT, cvec ARRAY<FLOAT>), so every subsequent ANN query
@@ -2587,9 +2678,33 @@ private[graft] case class GraftCatalogScan(
       if (schema.isEmpty) 1.0
       else (out.length.toDouble.max(1.0)) / schema.length
     val bytes = (full * frac).toLong.max(if (rows > 0) 1L else 0L)
+    // ANALYZE-produced per-column stats (distinct + null counts) ride
+    // the V2 columnStats surface into the CBO: with
+    // spark.sql.cbo.{enabled,joinReorder.enabled}, join estimation gets
+    // real key cardinalities and CostBasedJoinReorder can re-order
+    // ad-hoc catalog joins (asserted in CboJoinReorderSpec).
+    val analyzed = GraftCatalog.analyzedOf(ident)
     new Statistics {
       override def sizeInBytes: java.util.OptionalLong = java.util.OptionalLong.of(bytes)
       override def numRows: java.util.OptionalLong = java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        analyzed.foreach { case (name, a) =>
+          m.put(
+            org.apache.spark.sql.connector.expressions.Expressions.column(name),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(a.ndv)
+              override def nullCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(a.nulls)
+            })
+        }
+        m
+      }
     }
   }
 }

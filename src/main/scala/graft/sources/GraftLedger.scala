@@ -182,6 +182,12 @@ private[sources] object GraftLedger {
     }
     val ep = o.putObject("epochs")
     epochs.foreach { case (qid, e) => ep.put(qid, e) }
+    val an = o.putObject("analyzed")
+    entry.analyzed.foreach { case (c, a) =>
+      val n = M.createObjectNode()
+      n.put("ndv", a.ndv).put("nulls", a.nulls)
+      an.set[com.fasterxml.jackson.databind.JsonNode](c, n): Unit
+    }
     M.writerWithDefaultPrettyPrinter().writeValueAsString(o)
   }
 
@@ -199,7 +205,13 @@ private[sources] object GraftLedger {
     val segs = o.get("segments").elements().asScala.map(segOf).toVector
     val partCols = o.get("partitionCols").elements().asScala.map(_.asText()).toSeq
     val cons = o.get("constraints").elements().asScala.flatMap(constraintOf).toVector
-    val entry = TableEntry(schema, segs, o.get("dir").asText(), partCols, cons)
+    val analyzed = Option(o.get("analyzed")).map { a =>
+      a.properties().asScala.map { kv =>
+        kv.getKey -> GraftCatalog.ColAnalysis(
+          kv.getValue.get("ndv").asLong(), kv.getValue.get("nulls").asLong())
+      }.toMap
+    }.getOrElse(Map.empty[String, GraftCatalog.ColAnalysis])
+    val entry = TableEntry(schema, segs, o.get("dir").asText(), partCols, cons, analyzed)
     val hist = o.get("history").elements().asScala.map { h =>
       CatalogSnapshot(
         h.get("version").asLong(), h.get("wallMs").asLong(), monoNow,

@@ -111,6 +111,22 @@ class PersistentCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE pgraft.pns.base")
   }
 
+  test("ANALYZE column statistics survive a restart") {
+    spark.sql("DROP TABLE IF EXISTS pgraft.pns.an")
+    spark.sql("CREATE TABLE pgraft.pns.an (k BIGINT) USING graft")
+    spark.sql("INSERT INTO pgraft.pns.an SELECT id % 50 FROM range(0, 1000)")
+    spark.sql("CALL pgraft.system.analyze('pns', 'an')")
+    val before = GraftCatalog.analyzedOf(ident("pns", "an"))("k")
+    assert(before.ndv > 0)
+
+    GraftCatalog.resetInMemoryStateForTest(ident("pns", "an"))
+
+    spark.sql("SELECT count(*) FROM pgraft.pns.an").collect() // trigger reload
+    assert(GraftCatalog.analyzedOf(ident("pns", "an"))("k") == before,
+      "reloaded entry must carry the analyzed column stats")
+    spark.sql("DROP TABLE pgraft.pns.an")
+  }
+
   test("streaming exactly-once epoch ledger survives a restart") {
     spark.sql("DROP TABLE IF EXISTS pgraft.pns.sink")
     spark.sql("CREATE TABLE pgraft.pns.sink (id BIGINT) USING graft")
