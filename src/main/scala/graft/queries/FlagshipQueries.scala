@@ -4,7 +4,9 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.functions._
 
 /** TPC-H-derived flagship queries 2/2 (SURVEY.md §2b composite realism
-  * rows; complements q1..q18 in [[RelationalQueries]]). Each is adapted
+  * rows; complements q1..q18 in [[RelationalQueries]] — together the
+  * full 22-query shape battery: every TPC-H query's join/subquery
+  * structure is represented here or there). Each is adapted
   * to the driver schema (TESTDATA.md — no partsupp table, no
   * l_commitdate/l_receiptdate/c_phone columns), keeps the join/subquery
   * SHAPE of its TPC-H ancestor, and runs the same ANSI string through
@@ -277,8 +279,181 @@ object FlagshipQueries {
     }
   }
 
+  /** TPC-H Q2 (minimum-cost supplier) adapted: no partsupp, so the
+    * supplier×part relation is DERIVED from lineitem — per-(part,
+    * supplier) minimum observed unit price stands in for ps_supplycost.
+    * The shape is the point of Q2: a correlated scalar subquery whose
+    * body is itself a 4-table join (min cost among the part's suppliers
+    * WITHIN the region), equality-joined back to the outer row. Spark
+    * decorrelates it to one aggregate + one equi join; the CTE is the
+    * same text in both engines so the derived costs are bit-identical
+    * doubles (min of per-row divisions — no reassociation). At scale:
+    * the CTE is a map-side-combinable agg over the fact, everything
+    * downstream joins small dimensions (supplier 10k/TB, nation,
+    * region broadcast).
+    */
+  val q2MinCostSupplier: Q = {
+    val sql =
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         min(l_extendedprice / l_quantity) AS ps_supplycost
+        |  FROM lineitem
+        |  GROUP BY l_partkey, l_suppkey
+        |)
+        |SELECT round(s_acctbal, 4) AS s_acctbal, s_name, n_name,
+        |       p_partkey, p_brand, round(ps_supplycost, 4) AS supplycost
+        |FROM part
+        |JOIN ps ON p_partkey = ps_partkey
+        |JOIN supplier ON s_suppkey = ps_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_type = 'LARGE' AND r_name = 'ASIA'
+        |  AND ps_supplycost = (
+        |    SELECT min(ps2.ps_supplycost)
+        |    FROM ps ps2
+        |    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'ASIA')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin
+    Q("q2_min_cost_supplier", sql) { (spark, dir) =>
+      Tables.registerAll(spark, dir)
+      spark.sql(sql)
+    }
+  }
+
+  /** TPC-H Q11 (important stock) adapted: part "value" = decimal-exact
+    * revenue its suppliers in one nation moved, kept if above a fixed
+    * fraction of the nation total. Shape: grouped agg + HAVING against
+    * an UNCORRELATED scalar subquery re-aggregating the same relation
+    * (planned once, broadcast as a single row). The nation filter
+    * reduces suppliers ~25× before the fact join probes.
+    */
+  val q11ImportantParts: Q = {
+    val sql =
+      """SELECT l_partkey,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 4)
+        |         AS part_value
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_13'
+        |GROUP BY l_partkey
+        |HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) > (
+        |  SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) * 0.001
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_13')
+        |ORDER BY part_value DESC, l_partkey""".stripMargin
+    Q("q11_important_parts", sql) { (spark, dir) =>
+      Tables.registerAll(spark, dir)
+      spark.sql(sql)
+    }
+  }
+
+  /** TPC-H Q12 (shipping priority by mode) adapted: no l_shipmode /
+    * l_commitdate / l_receiptdate, so "mode" is the return flag and
+    * "late" is shipping >60 days after the order date. The shape is
+    * Q12's: fact⋈fact join (orders⋈lineitem), a date-window scan
+    * filter, and the dual conditional aggregate splitting one pass by
+    * priority class. The interval predicate is a post-join residual
+    * (it references both sides); the year window pushes to the
+    * lineitem scan.
+    */
+  val q12LateShipments: Q = {
+    val sql =
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_returnflag IN ('A', 'R')
+        |  AND l_shipdate > o_orderdate + INTERVAL '60' DAY
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+    Q("q12_late_shipments", sql) { (spark, dir) =>
+      Tables.registerAll(spark, dir)
+      spark.sql(sql)
+    }
+  }
+
+  /** TPC-H Q13 (customer order-count distribution) adapted: the
+    * o_comment NOT LIKE exclusion becomes a priority exclusion (any
+    * non-trivial join-side predicate preserves the shape). Two-level
+    * aggregation over a LEFT OUTER join — customers with zero
+    * qualifying orders MUST surface in the c_count=0 bucket, which is
+    * exactly what an inner join would lose. At scale the first agg
+    * shuffles on c_custkey (same key as the join — one exchange), the
+    * second on the tiny count domain.
+    */
+  val q13OrderDistribution: Q = {
+    val sql =
+      """WITH c_orders AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey
+        |)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin
+    Q("q13_order_distribution", sql) { (spark, dir) =>
+      Tables.registerAll(spark, dir)
+      spark.sql(sql)
+    }
+  }
+
+  /** TPC-H Q21 (suppliers who kept orders waiting) adapted: "late" =
+    * shipped >60 days after order date (no receipt/commit dates). The
+    * full Q21 correlation battery survives: for finished orders where
+    * THIS supplier shipped late, EXISTS another supplier on the same
+    * order (multi-supplier order) and NOT EXISTS another supplier who
+    * was ALSO late — i.e. this supplier alone held the order up. Spark
+    * plans the pair as a left-semi + left-anti join on l_orderkey;
+    * both probe sides are the already-filtered l1 rows, and the
+    * EXISTS sides are map-side-prunable distinct key sets.
+    */
+  val q21WaitingSuppliers: Q = {
+    val sql =
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL '60' DAY
+        |  AND n_name = 'NATION_13'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o3.o_orderdate + INTERVAL '60' DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin
+    Q("q21_waiting_suppliers", sql) { (spark, dir) =>
+      Tables.registerAll(spark, dir)
+      spark.sql(sql)
+    }
+  }
+
   val all: Seq[Q] = Seq(
-    q7VolumeShipping, q8MarketShare, q9ProductProfit, q14PromoRevenue,
-    q15TopSupplier, q16SupplierCnt, q19DisjunctiveRevenue,
-    q20PromotionSuppliers, q22SalesOpportunity)
+    q2MinCostSupplier, q7VolumeShipping, q8MarketShare, q9ProductProfit,
+    q11ImportantParts, q12LateShipments, q13OrderDistribution,
+    q14PromoRevenue, q15TopSupplier, q16SupplierCnt,
+    q19DisjunctiveRevenue, q20PromotionSuppliers, q21WaitingSuppliers,
+    q22SalesOpportunity)
 }

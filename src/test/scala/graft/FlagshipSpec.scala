@@ -76,4 +76,43 @@ class FlagshipSpec extends AnyFunSuite {
     val pairs = rows.map(r => (r.getString(0), r.getString(1))).toSet
     assert(pairs == Set(("NATION_18", "NATION_19"), ("NATION_19", "NATION_18")))
   }
+
+  test("q2: the correlated min-cost subquery decorrelates to an aggregate + equi join") {
+    // No per-row subquery execution: the optimized plan has ZERO
+    // remaining (scalar-)subquery expressions — the inner min-per-part
+    // aggregate is joined back on equality instead.
+    val opt = queries.FlagshipQueries.q2MinCostSupplier.fn(spark, dir)
+      .queryExecution.optimizedPlan
+    val subq = opt.collectWithSubqueries {
+      case p => p.expressions.flatMap(_.collect {
+        case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => s
+      })
+    }.flatten
+    assert(subq.isEmpty, s"expected full decorrelation, found: $subq")
+    val aggs = opt.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.size >= 2, "expected the derived-cost agg AND the min-per-part agg")
+  }
+
+  test("q21: EXISTS/NOT EXISTS pair lowers to one semi and one anti join") {
+    val opt = queries.FlagshipQueries.q21WaitingSuppliers.fn(spark, dir)
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    val types = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.joinType
+    }
+    assert(types.contains(LeftSemi), s"expected a semi join in $types")
+    assert(types.contains(LeftAnti), s"expected an anti join in $types")
+  }
+
+  test("q13: zero-order customers survive the left outer join into the 0 bucket") {
+    val rows = queries.FlagshipQueries.q13OrderDistribution.fn(spark, dir).collect()
+    val counts = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Every customer appears in exactly one bucket.
+    val nCustomers = spark.read
+      .parquet(s"$dir/customer.parquet").count()
+    assert(counts.values.sum == nCustomers,
+      s"distribution must partition all $nCustomers customers, got ${counts.values.sum}")
+  }
 }
