@@ -561,7 +561,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     if (namespace.sameElements(Array("system")))
       Array(Identifier.of(namespace, "compact"), Identifier.of(namespace, "history"),
         Identifier.of(namespace, "zorder"), Identifier.of(namespace, "vacuum"),
-        Identifier.of(namespace, "train_ann"), Identifier.of(namespace, "analyze"))
+        Identifier.of(namespace, "train_ann"), Identifier.of(namespace, "train_ann_pq"),
+        Identifier.of(namespace, "analyze"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
@@ -575,6 +576,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       GraftVacuumProcedure
     else if (ident.namespace.sameElements(Array("system")) && ident.name == "train_ann")
       GraftTrainAnnProcedure
+    else if (ident.namespace.sameElements(Array("system")) && ident.name == "train_ann_pq")
+      GraftTrainAnnPqProcedure
     else if (ident.namespace.sameElements(Array("system")) && ident.name == "analyze")
       GraftAnalyzeProcedure
     else throw new UnsupportedOperationException(s"no such procedure: $ident")
@@ -2207,6 +2210,78 @@ private[graft] object GraftTrainAnnProcedure
       override def rows(): Array[InternalRow] = Array(row)
       override def readSchema(): StructType = outSchema
       override def description(): String = s"GraftTrainAnnResult($ns.$table)"
+    }).iterator()
+  }
+}
+
+/** `CALL graft.system.train_ann_pq(source, ns, table, m, sub, ks, iters)`
+  * — the product-quantization half of train-once/serve-many ANN:
+  * trains all `m` sub-codebooks in ONE data pass
+  * (`KMeansCodebook.trainSubspaces`) and persists them as a catalog
+  * table (s INT, cid BIGINT, cvec ARRAY<FLOAT>) — m×ks rows, each
+  * sub-vector centroid keyed by its subspace. Together with the coarse
+  * codebook from `train_ann`, a saved-index IVF-PQ query pays zero
+  * training passes: it loads k + m×ks small rows, broadcasts both, and
+  * runs only the encode/probe/ADC/re-rank plan. Retraining swaps the
+  * table atomically through the staged CREATE OR REPLACE path.
+  */
+private[graft] object GraftTrainAnnPqProcedure
+    extends procedures.UnboundProcedure with procedures.BoundProcedure {
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+
+  override def name(): String = "train_ann_pq"
+  override def description(): String =
+    "train_ann_pq(source, ns, table, m, sub, ks, iters): persist PQ sub-codebooks as a catalog table"
+  override def bind(inputType: StructType): procedures.BoundProcedure = this
+  override def isDeterministic: Boolean = false // writes a table
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("source", StringType)
+      .comment("readable table/view with (vec_id, embedding)").build(),
+    ProcedureParameter.in("ns", StringType).comment("destination namespace").build(),
+    ProcedureParameter.in("table", StringType).comment("destination table").build(),
+    ProcedureParameter.in("m", IntegerType).comment("number of subspaces").build(),
+    ProcedureParameter.in("sub", IntegerType).comment("sub-vector width").build(),
+    ProcedureParameter.in("ks", IntegerType).comment("sub-centroids per subspace").build(),
+    ProcedureParameter.in("iters", IntegerType).comment("Lloyd's rounds").build())
+
+  private val outSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("subspaces", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("centroids", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    import org.apache.spark.sql.functions.{col, explode, posexplode}
+    val source = input.getUTF8String(0).toString
+    val ns = input.getUTF8String(1).toString
+    val table = input.getUTF8String(2).toString
+    val m = input.getInt(3)
+    val sub = input.getInt(4)
+    val ks = input.getInt(5)
+    val iters = input.getInt(6)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val catName = spark.conf.getAll.collectFirst {
+      case (key, value) if key.startsWith("spark.sql.catalog.") &&
+          !key.substring("spark.sql.catalog.".length).contains(".") &&
+          value == classOf[GraftCatalog].getName =>
+        key.substring("spark.sql.catalog.".length)
+    }.getOrElse(throw new IllegalStateException(
+      "train_ann_pq: no graft catalog registered in this session"))
+    val pqRows = graft.operators.KMeansCodebook
+      .trainSubspaces(spark.table(source), m, sub, ks, iters)
+      .select(posexplode(col("pq")).as(Seq("s", "book")))
+      .select(col("s"), explode(col("book")).as("c"))
+      .select(col("s"), col("c.cid").as("cid"), col("c.cvec").as("cvec"))
+    pqRows.writeTo(s"$catName.$ns.$table").createOrReplace()
+    val n = GraftCatalog.rowCount(ns, table)
+    val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"$ns.$table"),
+        m.toLong, n))
+    java.util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = outSchema
+      override def description(): String = s"GraftTrainAnnPqResult($ns.$table)"
     }).iterator()
   }
 }

@@ -523,4 +523,26 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.table("graft.annx.cb").count() == 4L)
     spark.sql("DROP TABLE graft.annx.cb")
   }
+
+  test("CALL graft.system.train_ann_pq persists m sub-codebooks of ks centroids each") {
+    import org.apache.spark.sql.functions.{array, col}
+    spark.sql("DROP TABLE IF EXISTS graft.annx.pq")
+    spark.range(0, 40).select(
+      col("id").as("vec_id"),
+      array((0 until 8).map(i => (col("id") * (i + 1)).cast("float")): _*).as("embedding"))
+      .createOrReplaceTempView("train_ann_pq_fixture")
+    val out = spark.sql(
+      "CALL graft.system.train_ann_pq('train_ann_pq_fixture', 'annx', 'pq', 4, 2, 5, 1)")
+      .collect().head
+    assert(out.getString(0) == "annx.pq" && out.getLong(1) == 4L && out.getLong(2) == 20L)
+    val pq = spark.table("graft.annx.pq")
+    assert(pq.schema.fieldNames.toSeq == Seq("s", "cid", "cvec"))
+    // every subspace carries exactly ks centroids of width sub
+    import spark.implicits._
+    val perS = pq.groupBy("s").count().as[(Int, Long)].collect().toMap
+    assert(perS == Map(0 -> 5L, 1 -> 5L, 2 -> 5L, 3 -> 5L), s"$perS")
+    assert(pq.select(org.apache.spark.sql.functions.size(col("cvec")))
+      .as[Int].collect().forall(_ == 2))
+    spark.sql("DROP TABLE graft.annx.pq")
+  }
 }
