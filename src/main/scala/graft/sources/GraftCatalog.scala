@@ -904,12 +904,19 @@ object GraftCatalog {
     * away. Zone-map stats keep describing ALL physical rows —
     * conservative, so pruning stays sound; MIN/MAX metadata aggregates
     * must (and do) decline when a dv is present.
+    *
+    * `blooms` holds an optional per-column [[SegmentBloom]] bit array
+    * (positionally aligned with `stats`; empty for pre-bloom segments
+    * loaded from an old ledger) for point-predicate skipping on
+    * high-NDV columns where min/max can't prune. Same ALL-physical-
+    * rows convention as `stats`.
     */
   private[graft] case class Segment(
       path: String, rows: Long, bytes: Long = 0L,
       stats: IndexedSeq[ColStat] = Vector.empty,
       key: IndexedSeq[Any] = Vector.empty,
-      dv: Option[scala.collection.immutable.BitSet] = None) {
+      dv: Option[scala.collection.immutable.BitSet] = None,
+      blooms: IndexedSeq[Option[Array[Long]]] = Vector.empty) {
     def deletedRows: Long = dv.map(_.size.toLong).getOrElse(0L)
     def liveRows: Long = rows - deletedRows
   }
@@ -1618,12 +1625,13 @@ private[sources] object GraftFilterEval {
 }
 
 /** Zone-map pruning: decides, from a segment's per-column min/max/null
-  * stats, whether a pushed Filter can PROVABLY match no row of the
+  * stats — plus its [[SegmentBloom]] bits for point predicates —
+  * whether a pushed Filter can PROVABLY match no row of the
   * segment — then the scan skips the file entirely (parquet row-group
-  * statistics, Delta data-skipping, same move). Everything here is
-  * conservative: any unknown shape, type, or missing stat keeps the
-  * segment. Pruning is file-level and therefore INEXACT — Spark always
-  * re-applies the full predicate above the scan.
+  * statistics + column Bloom filters, Delta data-skipping, same move).
+  * Everything here is conservative: any unknown shape, type, or
+  * missing stat keeps the segment. Pruning is file-level and therefore
+  * INEXACT — Spark always re-applies the full predicate above the scan.
   */
 private[graft] object ZoneMap {
   import org.apache.spark.sql.sources._
@@ -1666,6 +1674,28 @@ private[graft] object ZoneMap {
     if (i < 0 || seg.stats.length <= i) None else Some(seg.stats(i))
   }
 
+  /** Bloom probe: true only when the column carries [[SegmentBloom]]
+    * bits, the literal's type family matches the column's (the
+    * canonical hash is only meaningful within a family — integrals
+    * hash via longValue, strings via UTF-8 bytes), and the bits PROVE
+    * absence. Anything else — no bloom (old ledger segment, builder
+    * overflow, untracked type), family mismatch — keeps the segment.
+    */
+  private def bloomMiss(schema: StructType, seg: Segment, attr: String, v: Any): Boolean = {
+    val i = schema.fieldNames.indexOf(attr)
+    if (i < 0 || seg.blooms.length <= i || v == null) false
+    else seg.blooms(i).exists { bits =>
+      val compatible = (schema.fields(i).dataType, v) match {
+        case (LongType | IntegerType | ShortType | ByteType,
+              _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+              _: java.lang.Byte) => true
+        case (StringType, _: String) => true
+        case _ => false
+      }
+      compatible && SegmentBloom.hashOf(v).exists(h => !SegmentBloom.contains(bits, h))
+    }
+  }
+
   /** Column provably all-null in this segment: a tracked column with no
     * surviving min and every row counted null. (An UNtracked column
     * also has a null min but nulls == 0 < rows, so it never triggers.)
@@ -1705,11 +1735,13 @@ private[graft] object ZoneMap {
     def outOfRange(attr: String, v: Any): Boolean =
       v != null && withStat(attr)(s =>
         cmp(v, s.min).exists(_ < 0) || cmp(v, s.max).exists(_ > 0))
+    def misses(attr: String, v: Any): Boolean =
+      outOfRange(attr, v) || bloomMiss(schema, seg, attr, v)
     f match {
-      case EqualTo(a, v) => outOfRange(a, v)
+      case EqualTo(a, v) => misses(a, v)
       case EqualNullSafe(a, v) =>
         if (v == null) stat(schema, seg, a).exists(_.nulls == 0)
-        else outOfRange(a, v)
+        else misses(a, v)
       case GreaterThan(a, v) =>
         v != null && withStat(a)(s => cmp(s.max, v).exists(_ <= 0))
       case GreaterThanOrEqual(a, v) =>
@@ -1718,7 +1750,7 @@ private[graft] object ZoneMap {
         v != null && withStat(a)(s => cmp(s.min, v).exists(_ >= 0))
       case LessThanOrEqual(a, v) =>
         v != null && withStat(a)(s => cmp(s.min, v).exists(_ > 0))
-      case In(a, vs) => vs.nonEmpty && vs.forall(v => outOfRange(a, v))
+      case In(a, vs) => vs.nonEmpty && vs.forall(v => misses(a, v))
       case IsNull(a) => stat(schema, seg, a).exists(_.nulls == 0)
       case IsNotNull(a) => stat(schema, seg, a).exists(s => allNull(s, seg))
       case StringStartsWith(a, p) =>
@@ -1779,6 +1811,11 @@ private[sources] object SegmentIO {
            DoubleType | FloatType | BooleanType | StringType => true
       case _ => false
     })
+    // Bloom-tracked columns (point-lookup-shaped types) get a distinct-
+    // hash builder; floats/booleans don't (degenerate point equality).
+    private val blooms: Array[SegmentBloom.Builder] =
+      schema.fields.map(f =>
+        if (SegmentBloom.trackable(f.dataType)) new SegmentBloom.Builder else null)
 
     private def colValue(row: UnsafeRow, i: Int): Any = schema.fields(i).dataType match {
       case LongType => row.getLong(i)
@@ -1828,6 +1865,7 @@ private[sources] object SegmentIO {
             val v = colValue(row, i)
             if (mins(i) == null || lt(v, mins(i))) mins(i) = v
             if (maxs(i) == null || lt(maxs(i), v)) maxs(i) = v
+            if (blooms(i) != null) blooms(i).add(v)
           }
         }
         i += 1
@@ -1845,7 +1883,9 @@ private[sources] object SegmentIO {
           case other => other
         }
         val stats = Vector.tabulate(width)(i => ColStat(ext(mins(i)), ext(maxs(i)), nulls(i)))
-        Some(Segment(path, n, bytes, stats))
+        val bl = Vector.tabulate(width)(i =>
+          if (blooms(i) == null) None else blooms(i).result())
+        Some(Segment(path, n, bytes, stats, blooms = bl))
       }
     def abort(): Unit = {
       if (out != null) out.close()
@@ -2606,21 +2646,36 @@ private[graft] case class GraftCatalogScan(
 
   /** Runtime V2 filtering (SPARK-35779 — the DSv2 dynamic-partition-
     * pruning analogue): at execution time Spark hands the scan an IN
-    * predicate built from the OTHER join side's partition-key values;
+    * predicate built from the OTHER join side's join-key values;
     * converted to a source `In` filter it rides the same zone-map
-    * pruning as static filters, and since identity partition values
-    * have min = max, it drops every partition value the join cannot
-    * match BEFORE planning tasks. Advertised only for the partition
-    * columns — the granularity at which skipping is exact. Transient
-    * state, not a constructor field: scan equality (exchange reuse)
-    * must ignore runtime narrowing.
+    * pruning as static filters. Two granularities:
+    *  - partition columns: identity partition values have min = max,
+    *    so the IN drops every partition value the join cannot match
+    *    BEFORE planning tasks — exact partition-level DPP;
+    *  - bloom-tracked columns (string/integral): per-segment
+    *    [[SegmentBloom]] bits prove absence of every probe value, so a
+    *    broadcast join on a high-NDV UNSORTED key skips the segments
+    *    that hold none of the build side's keys — runtime bloom join
+    *    pruning, the move that turns "fact ⋈ filtered dim" from a full
+    *    fact scan into reading only the matching segments at 100 TB.
+    * Transient state, not a constructor field: scan equality (exchange
+    * reuse) must ignore runtime narrowing.
     */
   @transient private var runtimePruning: IndexedSeq[org.apache.spark.sql.sources.Filter] =
     IndexedSeq.empty
 
-  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    partitionCols.map(c =>
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // Only columns the scan still OUTPUTS: Spark resolves these refs
+    // against the (column-pruned) relation output, and a reference to
+    // a pruned-away column fails analysis — a join key is always in
+    // the output, so nothing prunable is lost by restricting.
+    val visible = out.fieldNames.toSet
+    val bloomCols = schema.fields.collect {
+      case f if SegmentBloom.trackable(f.dataType) && visible(f.name) => f.name
+    }
+    (partitionCols.filter(visible) ++ bloomCols).distinct.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.column(c)).toArray
+  }
 
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
@@ -2637,8 +2692,11 @@ private[graft] case class GraftCatalogScan(
               case l: V2Literal[_] => ext(l.value())
             }
             // All children after the ref must be literals, else the
-            // predicate is not a plain value-list IN — skip it.
-            if (vals.nonEmpty && vals.length == p.children().length - 1)
+            // predicate is not a plain value-list IN — skip it. A list
+            // past MaxDistinct can't prune anything a bloom tracks
+            // (and would cost list × segment probes on the driver).
+            if (vals.nonEmpty && vals.length == p.children().length - 1 &&
+                vals.length <= SegmentBloom.MaxDistinct)
               Some(org.apache.spark.sql.sources.In(nr.fieldNames()(0), vals.toArray))
             else None
           case _ => None

@@ -105,6 +105,20 @@ private[sources] object GraftLedger {
       val d = o.putArray("dv")
       bits.foreach(d.add)
     }
+    if (s.blooms.nonEmpty) {
+      // One entry per column, positionally aligned with "stats":
+      // base64 of the little-endian long-array bits, or null for a
+      // column without a bloom.
+      val bl = o.putArray("blooms")
+      s.blooms.foreach {
+        case Some(bits) =>
+          val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.asLongBuffer().put(bits)
+          bl.add(java.util.Base64.getEncoder.encodeToString(bb.array()))
+        case None => bl.add(M.nullNode())
+      }
+    }
     o
   }
 
@@ -116,8 +130,21 @@ private[sources] object GraftLedger {
     val dv = Option(n.get("dv")).map { d =>
       scala.collection.immutable.BitSet(d.elements().asScala.map(_.asInt()).toSeq: _*)
     }
+    // Absent node (pre-bloom ledger) → empty: pruning just skips blooms.
+    val blooms = Option(n.get("blooms")).map { b =>
+      b.elements().asScala.map { e =>
+        if (e.isNull) None
+        else {
+          val bytes = java.util.Base64.getDecoder.decode(e.asText())
+          val bits = new Array[Long](bytes.length / 8)
+          java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).asLongBuffer().get(bits)
+          Some(bits)
+        }
+      }.toVector
+    }.getOrElse(Vector.empty)
     Segment(n.get("path").asText(), n.get("rows").asLong(),
-      n.get("bytes").asLong(), stats, key, dv)
+      n.get("bytes").asLong(), stats, key, dv, blooms)
   }
 
   // ---- constraints (CHECK round-trips exactly; anything else is

@@ -290,6 +290,100 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.zm.t")
   }
 
+  test("segment blooms: point lookups skip segments whose ranges all overlap") {
+    import graft.sources.GraftCatalog
+    import org.apache.spark.sql.sources._
+    spark.sql("DROP TABLE IF EXISTS graft.bf.t")
+    spark.sql("CREATE TABLE graft.bf.t (id BIGINT, sk BIGINT, ukey STRING) USING graft")
+    // range(0,1000,1,8): task p owns the contiguous ids [125p, 125p+125).
+    //  - ukey = md5(id): every segment's string range spans ~the whole
+    //    hex keyspace, so zone maps can NEVER prune a ukey point lookup.
+    //  - sk = (id%125)*64 + p: segment p holds exactly the values
+    //    ≡ p (mod 64) in [p, 7936+p] — ranges overlap almost entirely,
+    //    but each value lives in exactly one segment.
+    spark.sql(
+      """INSERT INTO graft.bf.t
+        |SELECT id, (id % 125) * 64 + CAST(id / 125 AS BIGINT),
+        |       md5(CAST(id AS STRING))
+        |FROM range(0, 1000, 1, 8)""".stripMargin)
+    assert(GraftCatalog.segmentCount("bf", "t") == 8)
+    def plannedParts(pred: Filter*): Int = {
+      val cat = spark.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      val sb = cat.loadTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array("bf"), "t"))
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+      sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+        .pushFilters(pred.toArray)
+      sb.build().toBatch.planInputPartitions().length
+    }
+    assert(plannedParts() == 8)
+    // Deterministic bits over deterministic data: the expected counts
+    // are exact (a false positive would fail every run, not flake).
+    val k500 = spark.sql("SELECT md5('500')").as[String].head()
+    val k1 = spark.sql("SELECT md5('1')").as[String].head()
+    assert(plannedParts(EqualTo("ukey", k500)) == 1,
+      "present key must plan only its home segment")
+    assert(plannedParts(EqualTo("ukey", "0000-not-a-real-key")) == 0,
+      "absent key inside every range must be bloom-pruned everywhere")
+    // id 500 lives in segment 4; id 1 in segment 0 — IN plans both.
+    assert(plannedParts(In("ukey", Array[Any](k500, k1))) == 2)
+    // Integral bloom: value 3*64+2 exists only in segment 2; value
+    // 50 (≡ 50 mod 64) exists in no segment but is inside every range.
+    assert(plannedParts(EqualTo("sk", 3L * 64 + 2)) == 1)
+    assert(plannedParts(EqualTo("sk", 50L)) == 0)
+    // End-to-end exactness above the pruned scan.
+    assert(spark.sql(s"SELECT id FROM graft.bf.t WHERE ukey = '$k500'")
+      .as[Long].head() == 500L)
+    assert(spark.sql("SELECT count(*) FROM graft.bf.t WHERE sk = 50")
+      .as[Long].head() == 0L)
+    spark.sql("DROP TABLE graft.bf.t")
+  }
+
+  test("runtime bloom join pruning: dim-side keys skip fact segments at execution") {
+    spark.sql("DROP TABLE IF EXISTS graft.bfj.fact")
+    spark.sql("CREATE TABLE graft.bfj.fact (ukey STRING, v BIGINT) USING graft")
+    // UNPARTITIONED fact, 8 segments of md5 keys: every segment's
+    // [min, max] string range spans the hex keyspace, so any skipping
+    // below can only come from the runtime IN probing segment blooms.
+    spark.sql(
+      """INSERT INTO graft.bfj.fact
+        |SELECT md5(CAST(id AS STRING)), id FROM range(0, 1000, 1, 8)""".stripMargin)
+    // A non-partition bloom-tracked column must be advertised for
+    // runtime V2 filtering — that's what lets the planner wire the
+    // dim side's keys into this scan at all.
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val attrs = cat.loadTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array("bfj"), "fact"))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+      .build().asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]
+      .filterAttributes().map(_.describe()).toSet
+    assert(attrs.contains("ukey"))
+    // Dim keeps ids 1 and 500 — their md5 keys live in fact segments 0
+    // and 4 (range(0,1000,1,8): task p owns [125p, 125p+125)).
+    val dim = spark.sql(
+      "SELECT md5(CAST(id AS STRING)) AS dk, id AS attr FROM range(0, 1000)")
+      .filter($"attr" === 1L || $"attr" === 500L)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val joined = spark.table("graft.bfj.fact")
+        .join(org.apache.spark.sql.functions.broadcast(dim), $"ukey" === $"dk")
+      assert(joined.collect().length == 2)
+      val scan = joined.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.map(_.scan).collectFirst { case s: graft.sources.GraftCatalogScan => s }.get
+      // Deterministic hashes over deterministic data: 2 exactly, or a
+      // designed-in failure — never a flake.
+      assert(scan.planInputPartitions().length == 2,
+        "dim keys must bloom-prune the fact scan to the two home segments")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    spark.sql("DROP TABLE graft.bfj.fact")
+  }
+
   test("column pruning narrows the catalog scan to the required columns") {
     spark.sql("DROP TABLE IF EXISTS graft.cp.t")
     spark.sql("CREATE TABLE graft.cp.t (k BIGINT, a STRING, b DOUBLE) USING graft")

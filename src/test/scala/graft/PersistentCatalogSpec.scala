@@ -74,6 +74,37 @@ class PersistentCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE pgraft.pns.dv")
   }
 
+  test("segment bloom filters survive a restart and keep skipping segments") {
+    spark.sql("DROP TABLE IF EXISTS pgraft.pns.bf")
+    spark.sql("CREATE TABLE pgraft.pns.bf (id BIGINT, ukey STRING) USING graft")
+    // 4 segments of md5 keys: every segment's [min,max] spans the hex
+    // keyspace, so post-restart skipping can only come from blooms
+    // having round-tripped through the ledger.
+    spark.sql(
+      "INSERT INTO pgraft.pns.bf SELECT id, md5(CAST(id AS STRING)) FROM range(0, 400, 1, 4)")
+    def plannedParts(key: String): Int = {
+      val cat = spark.sessionState.catalogManager.catalog("pgraft")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      val sb = cat.loadTable(ident("pns", "bf"))
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+      sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+        .pushFilters(Array(org.apache.spark.sql.sources.EqualTo("ukey", key)))
+      sb.build().toBatch.planInputPartitions().length
+    }
+    val k42 = spark.sql("SELECT md5('42')").as[String].head()
+    assert(plannedParts(k42) == 1 && plannedParts("nope-key") == 0,
+      "precondition: blooms skip before the restart")
+
+    GraftCatalog.resetInMemoryStateForTest(ident("pns", "bf"))
+
+    assert(plannedParts(k42) == 1, "reloaded bloom must still hit the home segment")
+    assert(plannedParts("nope-key") == 0, "reloaded bloom must still prove absence")
+    assert(spark.sql(s"SELECT id FROM pgraft.pns.bf WHERE ukey = '$k42'")
+      .as[Long].head() == 42L)
+    spark.sql("DROP TABLE pgraft.pns.bf")
+  }
+
   test("CHECK constraints survive a restart and keep enforcing") {
     spark.sql("DROP TABLE IF EXISTS pgraft.pns.ck")
     spark.sql(

@@ -109,6 +109,62 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(ZoneMap.mightMatch(EqualTo("id", big), schema, s2))
   }
 
+  test("bloom bits prune point lookups the min/max range cannot") {
+    import graft.sources.SegmentBloom
+    import org.apache.spark.unsafe.types.UTF8String
+    // Write side hands the builder UTF8String (the segment writer's
+    // value type); probes arrive as java.lang.String from pushed
+    // filters. The canonical hash must make them meet.
+    val nb = new SegmentBloom.Builder
+    Seq("ham", "hog", "pig").foreach(v => nb.add(UTF8String.fromString(v)))
+    val ib = new SegmentBloom.Builder
+    Seq(100L, 150L, 200L).foreach(v => ib.add(java.lang.Long.valueOf(v)))
+    val segB = seg.copy(blooms = Vector(
+      ib.result(), nb.result(), None, None, None))
+    def keepB(f: Filter): Boolean = ZoneMap.mightMatch(f, schema, segB)
+    // "hat" sits inside ["ham","pig"] — ranges keep it, the bloom proves
+    // absence; present values always hit (no false negatives).
+    assert(!keepB(EqualTo("name", "hat")) && keepB(EqualTo("name", "hog")))
+    assert(!keepB(EqualNullSafe("name", "hat")) && keepB(EqualNullSafe("name", "hog")))
+    // Integrals canonicalize via longValue: an Integer literal probes
+    // the Long column's bloom correctly (both directions).
+    assert(!keepB(EqualTo("id", 151L)) && keepB(EqualTo("id", 150L)))
+    assert(!keepB(EqualTo("id", 151)) && keepB(EqualTo("id", 150)))
+    // IN prunes only when EVERY member misses.
+    assert(!keepB(In("name", Array("hat", "hut"))))
+    assert(keepB(In("name", Array("hat", "hog"))))
+    // Type-family mismatch (string literal on a long column) never
+    // consults the bloom — conservative, matches the range pruner.
+    assert(keepB(EqualTo("id", "151")))
+    // A segment without blooms (old ledger) behaves exactly as before.
+    assert(keep(EqualTo("name", "hat")))
+  }
+
+  test("bloom builder: no false negatives over a dense key set; overflow and empty yield None") {
+    import graft.sources.SegmentBloom
+    val b = new SegmentBloom.Builder
+    (0L until 5000L).foreach(v => b.add(java.lang.Long.valueOf(v)))
+    val bits = b.result().get
+    (0L until 5000L).foreach { v =>
+      assert(SegmentBloom.contains(bits, SegmentBloom.hashOf(v).get),
+        s"present value $v must always hit")
+    }
+    // fp stays near the designed ~0.8%: probe 10k absent keys.
+    val fps = (100000L until 110000L).count(v =>
+      SegmentBloom.contains(bits, SegmentBloom.hashOf(v).get))
+    assert(fps < 300, s"false-positive rate degenerate: $fps / 10000")
+    // Builder gives up past MaxDistinct (no bloom beats a giant bloom)
+    val big = new SegmentBloom.Builder
+    (0L to SegmentBloom.MaxDistinct.toLong).foreach(v => big.add(java.lang.Long.valueOf(v)))
+    assert(big.result().isEmpty)
+    // ... and an empty or untrackable-typed column yields None too
+    // (an empty bloom would prune every probe).
+    assert(new SegmentBloom.Builder().result().isEmpty)
+    val fb = new SegmentBloom.Builder
+    fb.add(java.lang.Double.valueOf(1.5))
+    assert(fb.result().isEmpty)
+  }
+
   test("prunable() reports exactly the shapes the pruner understands") {
     assert(ZoneMap.prunable(EqualTo("id", 1L), schema))
     assert(ZoneMap.prunable(In("id", Array(1L, 2L)), schema))
