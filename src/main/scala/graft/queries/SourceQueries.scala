@@ -464,9 +464,60 @@ object SourceQueries {
         |ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** X8: INCREMENTAL MATERIALIZED VIEW — `CALL graft.system.create_mv`
+    * materializes a grouped aggregate of a catalog table, a second
+    * INSERT batch plus a DELETE mutate the base, and
+    * `CALL graft.system.refresh_mv` folds ONLY the touched groups back
+    * in (snapshot segment diff → group-restricted recompute → one
+    * atomic MERGE; `GraftMaterializedView.scala`). The query reads the
+    * refreshed MV TABLE — the oracle recomputes the same aggregate from
+    * the parquet source's equivalent final state, proving refresh
+    * converged to exactly the full-recompute answer. Decimal-exact sum
+    * (order-independent) rounded back to DOUBLE in both dialects.
+    */
+  val x8MaterializedView: Q = Q(
+    "x8_materialized_view",
+    """SELECT o_orderpriority, count(*) AS cnt,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
+      |FROM orders
+      |WHERE o_orderkey <= 1000 AND o_totalprice >= 50000
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("x8_orders_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.mv_orders")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.mv_pri")
+    spark.sql(
+      """CREATE TABLE graft.demo.mv_orders
+        |  (o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE)
+        |USING graft""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.mv_orders
+        |SELECT o_orderkey, o_orderpriority, o_totalprice
+        |FROM x8_orders_src WHERE o_orderkey <= 600""".stripMargin)
+    spark.sql(
+      """CALL graft.system.create_mv('demo', 'mv_pri', 'demo.mv_orders',
+        |  'o_orderpriority',
+        |  'count(*) AS cnt, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS dec_total')""".stripMargin)
+      .collect()
+    // Base mutates AFTER materialization: an append batch and a DELETE
+    // (merge-on-read dv or copy-on-write — refresh handles both).
+    spark.sql(
+      """INSERT INTO graft.demo.mv_orders
+        |SELECT o_orderkey, o_orderpriority, o_totalprice
+        |FROM x8_orders_src WHERE o_orderkey > 600 AND o_orderkey <= 1000""".stripMargin)
+    spark.sql("DELETE FROM graft.demo.mv_orders WHERE o_totalprice < 50000")
+    spark.sql("CALL graft.system.refresh_mv('demo', 'mv_pri')").collect()
+    spark.sql(
+      """SELECT o_orderpriority, cnt,
+        |  round(CAST(dec_total AS DOUBLE), 4) AS total
+        |FROM graft.demo.mv_pri
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     s2ParquetRoundtrip, s3CsvSource, s3JsonSource, s6CacheReuse,
     s7PartitionedSink, s8OrcRoundtrip, x1ScalarUdf, x3Generator, x4Dsv2Source,
     x5CatalogSql, x5bTimeTravel, x5cPartitionedSpj, x5dAtomicCtas, x6CatalogFunction,
-    x7CatalogView)
+    x7CatalogView, x8MaterializedView)
 }

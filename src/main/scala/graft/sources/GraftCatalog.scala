@@ -177,8 +177,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = mutate {
     val partCols = validatePartitionCols(schema, partitions)
+    val props = userProps(properties)
+    props.get(WriteOrderProp).foreach(validateWriteOrder(schema, _))
     val dir = Files.createTempDirectory(segmentRoot, "tbl-").toString
-    if (store.putIfAbsent(ident, TableEntry(schema, Vector.empty, dir, partCols)) != null) {
+    if (store.putIfAbsent(ident,
+        TableEntry(schema, Vector.empty, dir, partCols, props = props)) != null) {
       deleteRecursively(Paths.get(dir))
       throw new TableAlreadyExistsException(ident.toString, ident.name())
     }
@@ -228,7 +231,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val partCols = validatePartitionCols(schema, info.partitions())
     val dir = Files.createTempDirectory(segmentRoot, "stage-").toString
     new GraftStagedTable(ident, schema, dir, partCols, mode,
-      info.constraints().toVector)
+      info.constraints().toVector, userProps(info.properties()))
   }
 
   /** Schema evolution. ADD COLUMN (appended, nullable, optional
@@ -246,8 +249,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = mutate {
     if (store.get(ident) == null) throw new NoSuchTableException(ident)
+    // Property-only ALTERs (SET/UNSET TBLPROPERTIES) are pure metadata:
+    // no segment I/O, no new snapshot.
+    if (changes.forall(c => c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty])) {
+      val result = store.compute(ident, (_, prev) => {
+        require(prev != null, s"table $ident dropped mid-alter")
+        changes.foldLeft(prev) {
+          case (e, s: TableChange.SetProperty) =>
+            if (ReservedProps.contains(s.property()) || s.property().startsWith("option."))
+              throw new UnsupportedOperationException(
+                s"table property '${s.property()}' is reserved")
+            if (s.property() == WriteOrderProp) validateWriteOrder(e.schema, s.value())
+            e.copy(props = e.props + (s.property() -> s.value()))
+          case (e, r: TableChange.RemoveProperty) =>
+            e.copy(props = e.props - r.property())
+          case (e, _) => e // unreachable under the forall guard
+        }
+      })
+      persistTable(ident)
+      new GraftCatalogTable(ident, result.schema, result.dir,
+        partitionCols = result.partitionCols, tableConstraints = result.constraints)
+    }
     // Constraint-only ALTERs are pure metadata: no segment I/O.
-    if (changes.forall(c => c.isInstanceOf[TableChange.AddConstraint] ||
+    else if (changes.forall(c => c.isInstanceOf[TableChange.AddConstraint] ||
         c.isInstanceOf[TableChange.DropConstraint])) {
       // NOTE: no `return` anywhere in this method — alterTable's body is
       // a closure (mutate {}), where `return` compiles to a
@@ -562,7 +587,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       Array(Identifier.of(namespace, "compact"), Identifier.of(namespace, "history"),
         Identifier.of(namespace, "zorder"), Identifier.of(namespace, "vacuum"),
         Identifier.of(namespace, "train_ann"), Identifier.of(namespace, "train_ann_pq"),
-        Identifier.of(namespace, "analyze"))
+        Identifier.of(namespace, "analyze"), Identifier.of(namespace, "create_mv"),
+        Identifier.of(namespace, "refresh_mv"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
@@ -580,6 +606,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       GraftTrainAnnPqProcedure
     else if (ident.namespace.sameElements(Array("system")) && ident.name == "analyze")
       GraftAnalyzeProcedure
+    else if (ident.namespace.sameElements(Array("system")) && ident.name == "create_mv")
+      GraftCreateMvProcedure
+    else if (ident.namespace.sameElements(Array("system")) && ident.name == "refresh_mv")
+      GraftRefreshMvProcedure
     else throw new UnsupportedOperationException(s"no such procedure: $ident")
 
   // ---- ViewCatalog: persistent SQL views resolved through the ----
@@ -932,7 +962,69 @@ object GraftCatalog {
       partitionCols: Seq[String] = Nil,
       constraints: Vector[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
         Vector.empty,
-      analyzed: Map[String, ColAnalysis] = Map.empty)
+      analyzed: Map[String, ColAnalysis] = Map.empty,
+      props: Map[String, String] = Map.empty)
+
+  /** `'graft.write.order'='c1,c2'`: declared write ordering — every
+    * batch INSERT range-partitions + sorts on these columns (see
+    * `newWriteBuilder`).
+    */
+  private[sources] val WriteOrderProp = "graft.write.order"
+
+  /** Validate a write-order property value against the table schema —
+    * a typo'd column must fail at SET/CREATE time, not corrupt layout
+    * expectations silently.
+    */
+  private def validateWriteOrder(schema: StructType, value: String): Unit = {
+    val missing = value.split(',').map(_.trim).filter(_.nonEmpty)
+      .filterNot(schema.fieldNames.contains)
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      s"$WriteOrderProp names columns not in the schema: ${missing.mkString(", ")}")
+  }
+
+  /** Engine-reserved / Spark-synthesized property keys that are NOT
+    * user table properties: storing them would echo stale provider/
+    * location metadata back through SHOW TBLPROPERTIES.
+    */
+  private val ReservedProps =
+    Set("provider", "location", "owner", "external", "comment",
+      "is_managed_location")
+  private[sources] def userProps(m: util.Map[String, String]): Map[String, String] =
+    m.asScala.filterNot { case (k, _) =>
+      ReservedProps.contains(k) || k.startsWith("option.")
+    }.toMap
+
+  /** Live user properties of a table (empty map for unknown tables —
+    * `properties()` is served off the loaded table which may outlive a
+    * concurrent DROP; an empty map is the honest degraded answer).
+    */
+  private[sources] def tablePropsJava(ident: Identifier): util.Map[String, String] = {
+    ensureLoaded()
+    val e = store.get(ident)
+    val m = new util.HashMap[String, String]()
+    if (e != null) e.props.foreach { case (k, v) => m.put(k, v) }
+    util.Collections.unmodifiableMap(m)
+  }
+
+  /** Internal metadata-only property patch (MV refresh bookkeeping):
+    * merges `set`, drops `unset`, persists. No segment I/O, no new
+    * snapshot — properties are catalog metadata, not table data.
+    */
+  private[sources] def patchTableProps(
+      ident: Identifier, set: Map[String, String],
+      unset: Set[String] = Set.empty): Unit = mutate {
+    if (store.get(ident) == null) throw new NoSuchTableException(ident)
+    store.compute(ident, (_, prev) => {
+      require(prev != null, s"table $ident dropped mid-alter")
+      prev.copy(props = prev.props -- unset ++ set)
+    })
+    persistTable(ident)
+  }
+
+  /** Test hook: force MV bookkeeping props into a known state. */
+  private[graft] def patchTablePropsForTest(
+      ns: String, table: String, set: Map[String, String]): Unit =
+    patchTableProps(Identifier.of(Array(ns), table), set)
 
   private val store = new ConcurrentHashMap[Identifier, TableEntry]()
   private[sources] val views = new ConcurrentHashMap[Identifier, GraftView]()
@@ -1990,6 +2082,13 @@ private[sources] class GraftCatalogTable(
 
   override def metadataColumns(): Array[MetadataColumn] = GraftMetaCols.columns
 
+  /** Live lookup, not a constructor snapshot: properties are catalog
+    * metadata (SHOW TBLPROPERTIES must see a concurrent SET), and a
+    * live read keeps every loadTable call site prop-agnostic.
+    */
+  override def properties(): util.Map[String, String] =
+    GraftCatalog.tablePropsJava(ident)
+
   /** Reported constraints drive Spark's own write-side enforcement of
     * ENFORCED CHECKs (the engine never has to re-implement the check).
     */
@@ -2098,8 +2197,20 @@ private[sources] class GraftCatalogTable(
     * the partition columns (`RequiresDistributionAndOrdering`): Spark
     * shuffles the incoming rows so each partition value lands in one
     * task — one segment per value instead of one per (value × task),
-    * the small-files story at scale. Unpartitioned tables request
-    * nothing and keep the incoming parallelism.
+    * the small-files story at scale.
+    *
+    * A DECLARED WRITE ORDER (`'graft.write.order'='c1,c2'`
+    * TBLPROPERTY — the Iceberg `WRITE ORDERED BY` shape) makes an
+    * unpartitioned table request a RANGE distribution + sort on those
+    * columns instead: every INSERT range-partitions its rows, so each
+    * segment lands with NARROW, DISJOINT [min,max] on the order
+    * columns and zone-map pruning is selective from ingestion on — no
+    * `CALL graft.system.zorder` rewrite needed to make point/range
+    * predicates skip. (Partition clustering wins when both are set:
+    * the order then sorts WITHIN each partition's segment, tightening
+    * nothing across segments but keeping runs scan-friendly.)
+    * Unpartitioned, unordered tables request nothing and keep the
+    * incoming parallelism.
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -2108,11 +2219,23 @@ private[sources] class GraftCatalogTable(
       override def build(): Write = new Write with RequiresDistributionAndOrdering {
         import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
         import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+        // Resolved at write-build time (not cached): order columns a
+        // later ALTER dropped are silently skipped — the write must
+        // not fail for a stale layout hint.
+        private def orderCols: Seq[String] =
+          Option(GraftCatalog.tablePropsJava(ident).get(GraftCatalog.WriteOrderProp))
+            .map(_.split(',').map(_.trim).filter(schema0.fieldNames.contains).toSeq)
+            .getOrElse(Nil)
+        private def sortOrders: Array[SortOrder] =
+          orderCols.map(c => Expressions.sort(
+            Expressions.column(c),
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
         override def requiredDistribution(): Distribution =
-          if (partitionCols.isEmpty) Distributions.unspecified()
-          else Distributions.clustered(
+          if (partitionCols.nonEmpty) Distributions.clustered(
             partitionCols.map(c => Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
-        override def requiredOrdering(): Array[SortOrder] = Array.empty
+          else if (orderCols.nonEmpty) Distributions.ordered(sortOrders)
+          else Distributions.unspecified()
+        override def requiredOrdering(): Array[SortOrder] = sortOrders
         override def toBatch: BatchWrite =
           new GraftCatalogBatchWrite(ident, schema0, dir, truncateFirst, partitionCols)
         // truncateFirst here = Complete output mode: replace-per-epoch.
@@ -2357,7 +2480,8 @@ private[sources] class GraftStagedTable(
     ident: Identifier, schema0: StructType, dir: String,
     partitionCols: Seq[String], mode: GraftStagedTable.Mode,
     stagedConstraints: Vector[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
-      Vector.empty)
+      Vector.empty,
+    stagedProps: Map[String, String] = Map.empty)
     extends StagedTable with SupportsWrite {
   @volatile private var stagedSegments: Vector[GraftCatalog.Segment] = Vector.empty
 
@@ -2401,7 +2525,7 @@ private[sources] class GraftStagedTable(
     GraftCatalog.commitStaged(
       ident,
       GraftCatalog.TableEntry(schema0, stagedSegments, dir, partitionCols,
-        stagedConstraints),
+        stagedConstraints, props = stagedProps),
       mode)
 
   override def abortStagedChanges(): Unit = {

@@ -215,6 +215,8 @@ private[sources] object GraftLedger {
       n.put("ndv", a.ndv).put("nulls", a.nulls)
       an.set[com.fasterxml.jackson.databind.JsonNode](c, n): Unit
     }
+    val pr = o.putObject("props")
+    entry.props.foreach { case (k, v) => pr.put(k, v) }
     M.writerWithDefaultPrettyPrinter().writeValueAsString(o)
   }
 
@@ -238,7 +240,12 @@ private[sources] object GraftLedger {
           kv.getValue.get("ndv").asLong(), kv.getValue.get("nulls").asLong())
       }.toMap
     }.getOrElse(Map.empty[String, GraftCatalog.ColAnalysis])
-    val entry = TableEntry(schema, segs, o.get("dir").asText(), partCols, cons, analyzed)
+    // Absent node (pre-props ledger) → empty map.
+    val props = Option(o.get("props")).map { p =>
+      p.properties().asScala.map(kv => kv.getKey -> kv.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
+    val entry =
+      TableEntry(schema, segs, o.get("dir").asText(), partCols, cons, analyzed, props)
     val hist = o.get("history").elements().asScala.map { h =>
       CatalogSnapshot(
         h.get("version").asLong(), h.get("wallMs").asLong(), monoNow,

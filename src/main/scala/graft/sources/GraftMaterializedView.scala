@@ -1,0 +1,327 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog.{Identifier, procedures}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Incremental MATERIALIZED VIEWS over catalog tables —
+  * `CALL graft.system.create_mv(...)` / `CALL graft.system.refresh_mv(...)`.
+  *
+  * An MV here is an ordinary catalog table (queryable, droppable,
+  * time-travelable like any other) whose definition — source table,
+  * GROUP BY columns, aggregate list — and last-refreshed source
+  * version live in its TBLPROPERTIES. Refresh is INCREMENTAL by
+  * snapshot diff, the move that matters at 100 TB: a day's appends
+  * touch a handful of group keys, so refresh cost should track the
+  * CHANGED data, never the base table size.
+  *
+  * The refresh algorithm (group-restricted recompute, the classic
+  * summary-delta method — self-maintainable aggregates need no base
+  * scan at all, but arbitrary aggregates do; recomputing ONLY the
+  * touched groups supports every aggregate Spark has, including
+  * non-distributive ones like `count(distinct)` and `percentile`):
+  *
+  *  1. Diff the base table's retained snapshots between the MV's
+  *     recorded version v0 and the current v1: segment ADDED, segment
+  *     REMOVED, deletion-vector CHANGED. Pure metadata — no data read.
+  *  2. Collect the DISTINCT group keys present in the changed segments
+  *     only (`_segment` metadata-column filter; removed segments are
+  *     read through `VERSION AS OF v0`, which snapshot retention keeps
+  *     on disk). Every group whose rows changed is in this set; groups
+  *     whose segments didn't change CANNOT have changed — their MV rows
+  *     are provably still correct.
+  *  3. Recompute those groups from the current base: a null-safe
+  *     left-semi join of base against the touched keys (which rides
+  *     zone-map/Bloom segment skipping on the base scan), then the
+  *     original GROUP BY. Cost ∝ segments holding touched groups.
+  *  4. Apply in ONE atomic MERGE: touched keys outer-joined to the
+  *     recomputed rows; matched+recomputed → UPDATE, unmatched-in-MV →
+  *     INSERT, touched-but-vanished (last row of the group deleted) →
+  *     DELETE.
+  *
+  * Fallbacks keep refresh always-correct: if the v0 snapshot aged out
+  * of retention, or the base schema changed between v0 and v1, refresh
+  * degrades to a full recompute through the atomic REPLACE TABLE AS
+  * SELECT path. A crash between MERGE and the version-property bump
+  * re-runs the same diff on the next refresh — recomputing a touched
+  * group is idempotent, so the retry converges.
+  */
+private[graft] object GraftMvOps {
+  import org.apache.spark.sql.functions.{col, expr, lit}
+
+  val SourceProp = "graft.mv.source"
+  val GroupProp = "graft.mv.group"
+  val AggsProp = "graft.mv.aggs"
+  val VersionProp = "graft.mv.version"
+  /** Marker column in the MERGE source: null ⇔ the touched group has no
+    * surviving base rows (vanished) — an agg column can't serve as the
+    * marker because `min(x)` of a live group is legitimately null.
+    */
+  private val Present = "__graft_mv_present"
+  private val SegAlias = "__graft_mv_seg"
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** The Spark-facing name this session registered the graft catalog
+    * under (the catalog class is a JVM-wide metastore, but SQL needs
+    * the session's name for it).
+    */
+  def catalogName(spark: SparkSession): String =
+    spark.conf.getAll.collectFirst {
+      case (key, value) if key.startsWith("spark.sql.catalog.") &&
+          !key.substring("spark.sql.catalog.".length).contains(".") &&
+          value == classOf[GraftCatalog].getName =>
+        key.substring("spark.sql.catalog.".length)
+    }.getOrElse(throw new IllegalStateException(
+      "no graft catalog registered in this session"))
+
+  /** Top-level comma split, parens-aware: `sum(a) AS x, corr(a,b) AS y`
+    * must not split inside `corr(a,b)`.
+    */
+  def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0
+    val sb = new StringBuilder
+    s.foreach {
+      case '(' => depth += 1; sb += '('
+      case ')' => depth -= 1; sb += ')'
+      case ',' if depth == 0 => out += sb.toString.trim; sb.clear()
+      case c => sb += c
+    }
+    if (sb.nonEmpty) out += sb.toString.trim
+    out.toSeq.filter(_.nonEmpty)
+  }
+
+  private def q(n: String): String = s"`${n.replace("`", "``")}`"
+
+  private def parseSource(source: String): (String, String) =
+    source.split('.') match {
+      case Array(ns, tbl) if ns.nonEmpty && tbl.nonEmpty => (ns, tbl)
+      case _ => throw new IllegalArgumentException(
+        s"mv source must be '<namespace>.<table>' within the graft catalog, got '$source'")
+    }
+
+  private def fqn(cat: String, ns: String, tbl: String): String =
+    s"${q(cat)}.${q(ns)}.${q(tbl)}"
+
+  private def aggregateAt(
+      spark: SparkSession, cat: String, sns: String, stbl: String,
+      version: Long, groupCols: Seq[String], aggList: Seq[String]): DataFrame =
+    spark.sql(s"SELECT * FROM ${fqn(cat, sns, stbl)} VERSION AS OF $version")
+      .groupBy(groupCols.map(col): _*)
+      .agg(expr(aggList.head), aggList.tail.map(expr): _*)
+
+  /** CREATE (or replace) the MV: one full aggregate of the source
+    * PINNED at its current version (a concurrent append between read
+    * and commit lands in the NEXT refresh's diff instead of silently
+    * half-appearing), committed atomically with the definition props.
+    */
+  def create(spark: SparkSession, ns: String, name: String,
+      source: String, group: String, aggs: String): (String, Long, Long) = {
+    val cat = catalogName(spark)
+    val (sns, stbl) = parseSource(source)
+    val v0 = GraftCatalog.currentVersion(sns, stbl).getOrElse(
+      throw new NoSuchTableException(Identifier.of(Array(sns), stbl)))
+    val groupCols = group.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val aggList = splitTop(aggs)
+    require(groupCols.nonEmpty, "create_mv: group_cols must name at least one column")
+    require(aggList.nonEmpty, "create_mv: aggs must hold at least one aggregate")
+    require(!groupCols.contains(Present) && !groupCols.contains(SegAlias),
+      s"create_mv: group column may not be named $Present / $SegAlias")
+    aggregateAt(spark, cat, sns, stbl, v0, groupCols, aggList)
+      .writeTo(fqn(cat, ns, name))
+      .tableProperty(SourceProp, s"$sns.$stbl")
+      .tableProperty(GroupProp, groupCols.mkString(","))
+      .tableProperty(AggsProp, aggs)
+      .tableProperty(VersionProp, v0.toString)
+      .createOrReplace()
+    ("full", GraftCatalog.rowCount(ns, name), v0)
+  }
+
+  /** Refresh: returns (mode, groups, source_version) where mode is
+    * "noop" (already current), "incremental" (groups = touched group
+    * count) or "full" (groups = MV row count after recompute).
+    */
+  def refresh(spark: SparkSession, ns: String, name: String): (String, Long, Long) = {
+    val cat = catalogName(spark)
+    val ident = Identifier.of(Array(ns), name)
+    val props = GraftCatalog.tablePropsJava(ident).asScala
+    if (GraftCatalog.currentVersion(ns, name).isEmpty)
+      throw new NoSuchTableException(ident)
+    val source = props.getOrElse(SourceProp, throw new IllegalArgumentException(
+      s"$ns.$name is not a materialized view (no $SourceProp table property)"))
+    val (sns, stbl) = parseSource(source)
+    val sIdent = Identifier.of(Array(sns), stbl)
+    val groupCols = props(GroupProp).split(',').toSeq
+    val aggList = splitTop(props(AggsProp))
+    val v0 = props(VersionProp).toLong
+    val v1 = GraftCatalog.currentVersion(sns, stbl).getOrElse(
+      throw new NoSuchTableException(sIdent))
+    if (v1 == v0) return ("noop", 0L, v0)
+
+    def fullRefresh(): (String, Long, Long) = {
+      aggregateAt(spark, cat, sns, stbl, v1, groupCols, aggList)
+        .writeTo(fqn(cat, ns, name))
+        .tableProperty(SourceProp, source)
+        .tableProperty(GroupProp, props(GroupProp))
+        .tableProperty(AggsProp, props(AggsProp))
+        .tableProperty(VersionProp, v1.toString)
+        .replace() // atomic RTAS swap — readers never see a torn MV
+      ("full", GraftCatalog.rowCount(ns, name), v1)
+    }
+
+    (GraftCatalog.snapshotByVersion(sIdent, v0),
+        GraftCatalog.snapshotByVersion(sIdent, v1)) match {
+      // Incremental path needs BOTH snapshots retained and the schema
+      // unchanged (an ALTER between refreshes invalidates per-column
+      // reasoning — rare, and full recompute is always correct).
+      case (Some(s0), Some(s1)) if s0.schema == s1.schema =>
+        val m0 = s0.segments.map(s => s.path -> s).toMap
+        val m1 = s1.segments.map(s => s.path -> s).toMap
+        val added = m1.keySet -- m0.keySet
+        val removed = m0.keySet -- m1.keySet
+        val dvChanged = (m0.keySet & m1.keySet).filter(p => m0(p).dv != m1(p).dv)
+        if (added.isEmpty && removed.isEmpty && dvChanged.isEmpty) {
+          // Metadata-only commits (e.g. property churn) moved the
+          // version without touching data.
+          GraftCatalog.patchTableProps(ident, Map(VersionProp -> v1.toString))
+          ("noop", 0L, v1)
+        } else {
+          // Group keys living in changed segments only. A dv-changed
+          // segment contributes ALL its physical rows' keys — a
+          // conservative superset (recomputing an unchanged group is
+          // correct, merely unnecessary) that avoids diffing bitmaps.
+          def keysAt(version: Long, paths: Set[String]): DataFrame = {
+            val sel = (groupCols.map(q) :+ s"${q("_segment")} AS ${q(SegAlias)}")
+              .mkString(", ")
+            spark.sql(
+              s"SELECT $sel FROM ${fqn(cat, sns, stbl)} VERSION AS OF $version")
+              .where(col(SegAlias).isin(paths.toSeq: _*))
+              .select(groupCols.map(col): _*)
+          }
+          val touched = keysAt(v1, added ++ dvChanged)
+            .unionAll(keysAt(v0, removed ++ dvChanged))
+            .distinct()
+          val touchedCount = touched.count()
+          val cur = spark.sql(
+            s"SELECT * FROM ${fqn(cat, sns, stbl)} VERSION AS OF $v1")
+          // Null-safe semi join: a NULL group key is a real group under
+          // GROUP BY semantics and must restrict/recompute like any
+          // other.
+          val semiCond = groupCols.map(c => cur(c) <=> touched(c)).reduce(_ && _)
+          val recomputed = cur.join(touched, semiCond, "left_semi")
+            .groupBy(groupCols.map(col): _*)
+            .agg(expr(aggList.head), aggList.tail.map(expr): _*)
+            .withColumn(Present, lit(true))
+          val outerCond =
+            groupCols.map(c => touched(c) <=> recomputed(c)).reduce(_ && _)
+          val aggOutCols = recomputed.columns.toSeq
+            .filterNot(c => groupCols.contains(c) || c == Present)
+          val mergeSrc = touched.join(recomputed, outerCond, "left_outer")
+            .select(groupCols.map(touched(_)) ++
+              aggOutCols.map(recomputed(_)) :+ recomputed(Present): _*)
+          val view = s"__graft_mv_src_${viewSeq.incrementAndGet()}"
+          mergeSrc.createOrReplaceTempView(view)
+          try {
+            val on = groupCols.map(c => s"t.${q(c)} <=> s.${q(c)}").mkString(" AND ")
+            val sets = aggOutCols.map(c => s"t.${q(c)} = s.${q(c)}").mkString(", ")
+            val insCols = (groupCols ++ aggOutCols).map(q).mkString(", ")
+            val insVals = (groupCols ++ aggOutCols).map(c => s"s.${q(c)}").mkString(", ")
+            spark.sql(
+              s"""MERGE INTO ${fqn(cat, ns, name)} t
+                 |USING ${q(view)} s
+                 |ON $on
+                 |WHEN MATCHED AND s.${q(Present)} IS NULL THEN DELETE
+                 |WHEN MATCHED THEN UPDATE SET $sets
+                 |WHEN NOT MATCHED AND s.${q(Present)} IS NOT NULL THEN
+                 |  INSERT ($insCols) VALUES ($insVals)""".stripMargin)
+          } finally spark.catalog.dropTempView(view)
+          GraftCatalog.patchTableProps(ident, Map(VersionProp -> v1.toString))
+          ("incremental", touchedCount, v1)
+        }
+      case _ => fullRefresh()
+    }
+  }
+}
+
+/** Shared result shape + row assembly for the two MV procedures. */
+private[sources] trait GraftMvProcedureBase
+    extends procedures.UnboundProcedure with procedures.BoundProcedure {
+  override def bind(inputType: StructType): procedures.BoundProcedure = this
+  override def isDeterministic: Boolean = false // mutates catalog state
+
+  protected val outSchema: StructType = StructType(Seq(
+    StructField("table", StringType, nullable = false),
+    StructField("mode", StringType, nullable = false),
+    StructField("groups", LongType, nullable = false),
+    StructField("source_version", LongType, nullable = false)))
+
+  protected def resultScan(
+      table: String, mode: String, groups: Long, version: Long): java.util.Iterator[Scan] = {
+    val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString(table),
+        org.apache.spark.unsafe.types.UTF8String.fromString(mode),
+        groups, version))
+    val schema = outSchema
+    java.util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = schema
+      override def description(): String = s"GraftMvResult($table)"
+    }).iterator()
+  }
+}
+
+/** `CALL graft.system.create_mv(ns, table, source, group_cols, aggs)`. */
+private[graft] object GraftCreateMvProcedure extends GraftMvProcedureBase {
+  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+
+  override def name(): String = "create_mv"
+  override def description(): String =
+    "create_mv(ns, table, source, group_cols, aggs): materialize a grouped aggregate of a catalog table"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("ns", StringType).comment("MV namespace").build(),
+    ProcedureParameter.in("table", StringType).comment("MV table name").build(),
+    ProcedureParameter.in("source", StringType)
+      .comment("source catalog table as '<ns>.<table>'").build(),
+    ProcedureParameter.in("group_cols", StringType)
+      .comment("comma-separated GROUP BY columns").build(),
+    ProcedureParameter.in("aggs", StringType)
+      .comment("comma-separated aggregate expressions, each aliased (e.g. 'sum(v) AS total')")
+      .build())
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val ns = input.getUTF8String(0).toString
+    val table = input.getUTF8String(1).toString
+    val source = input.getUTF8String(2).toString
+    val group = input.getUTF8String(3).toString
+    val aggs = input.getUTF8String(4).toString
+    val spark = org.apache.spark.sql.SparkSession.active
+    val (mode, groups, version) = GraftMvOps.create(spark, ns, table, source, group, aggs)
+    resultScan(s"$ns.$table", mode, groups, version)
+  }
+}
+
+/** `CALL graft.system.refresh_mv(ns, table)`. */
+private[graft] object GraftRefreshMvProcedure extends GraftMvProcedureBase {
+  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+
+  override def name(): String = "refresh_mv"
+  override def description(): String =
+    "refresh_mv(ns, table): incrementally refresh a materialized view from its source's changed segments"
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("ns", StringType).comment("MV namespace").build(),
+    ProcedureParameter.in("table", StringType).comment("MV table name").build())
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val ns = input.getUTF8String(0).toString
+    val table = input.getUTF8String(1).toString
+    val spark = org.apache.spark.sql.SparkSession.active
+    val (mode, groups, version) = GraftMvOps.refresh(spark, ns, table)
+    resultScan(s"$ns.$table", mode, groups, version)
+  }
+}

@@ -384,6 +384,60 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.bfj.fact")
   }
 
+  test("declared write order range-clusters ingestion so zone maps prune from insert on") {
+    import graft.sources.GraftCatalog
+    import org.apache.spark.sql.sources._
+    spark.sql("DROP TABLE IF EXISTS graft.wo.t")
+    spark.sql("DROP TABLE IF EXISTS graft.wo.ctl")
+    spark.sql(
+      """CREATE TABLE graft.wo.t (ts BIGINT, v BIGINT) USING graft
+        |TBLPROPERTIES ('graft.write.order'='ts')""".stripMargin)
+    spark.sql("CREATE TABLE graft.wo.ctl (ts BIGINT, v BIGINT) USING graft")
+    // Adversarial ingestion: (id*37)%1000 permutes 0..999 round-robin
+    // across 8 tasks, so WITHOUT a range shuffle every segment spans
+    // ~the whole ts domain and zone maps can prune nothing.
+    val ins = "SELECT (id * 37) % 1000 AS ts, id AS v FROM range(0, 1000, 1, 8)"
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // keep the range shuffle's partitioning visible
+    try {
+      spark.sql(s"INSERT INTO graft.wo.t $ins")
+      spark.sql(s"INSERT INTO graft.wo.ctl $ins")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    // Ordered table: one segment per RANGE partition (the test
+    // session's 4 shuffle partitions → 4 disjoint ts ranges); control:
+    // one per input task, each spanning ~the whole domain.
+    val orderedSegs = GraftCatalog.segmentCount("wo", "t")
+    val controlSegs = GraftCatalog.segmentCount("wo", "ctl")
+    assert(orderedSegs > 1 && controlSegs == 8)
+    def plannedParts(ns: String, tbl: String): Int = {
+      val cat = spark.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      val sb = cat.loadTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array(ns), tbl))
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+      sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+        .pushFilters(Array[Filter](
+          GreaterThanOrEqual("ts", 0L), LessThan("ts", 100L)))
+      sb.build().toBatch.planInputPartitions().length
+    }
+    // A 10% ts range over range-clustered segments plans a handful of
+    // splits; over the unordered control it must read ALL segments.
+    val pruned = plannedParts("wo", "t")
+    assert(pruned <= (orderedSegs / 4).max(2),
+      s"range query should prune range-clustered segments, planned $pruned of $orderedSegs")
+    assert(plannedParts("wo", "ctl") == controlSegs)
+    // Exactness above the pruned scan: (id*37)%1000 is a permutation.
+    assert(spark.sql("SELECT count(*) FROM graft.wo.t WHERE ts >= 0 AND ts < 100")
+      .as[Long].head() == 100L)
+    // A typo'd order column fails at SET time, not at write time.
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graft.wo.t SET TBLPROPERTIES ('graft.write.order'='nope')"))
+    assert(e.getMessage.contains("not in the schema"))
+    spark.sql("DROP TABLE graft.wo.t")
+    spark.sql("DROP TABLE graft.wo.ctl")
+  }
+
   test("column pruning narrows the catalog scan to the required columns") {
     spark.sql("DROP TABLE IF EXISTS graft.cp.t")
     spark.sql("CREATE TABLE graft.cp.t (k BIGINT, a STRING, b DOUBLE) USING graft")

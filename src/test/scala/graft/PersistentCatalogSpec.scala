@@ -105,6 +105,32 @@ class PersistentCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE pgraft.pns.bf")
   }
 
+  test("table properties survive a restart (MV definitions stay refreshable)") {
+    spark.sql("DROP TABLE IF EXISTS pgraft.pns.mvb")
+    spark.sql("DROP TABLE IF EXISTS pgraft.pns.mva")
+    spark.sql("CREATE TABLE pgraft.pns.mvb (g STRING, v BIGINT) USING graft")
+    spark.sql("INSERT INTO pgraft.pns.mvb VALUES ('a', 1), ('b', 2)")
+    spark.sql(
+      "CALL graft.system.create_mv('pns', 'mva', 'pns.mvb', 'g', 'sum(v) AS total')")
+      .collect()
+
+    GraftCatalog.resetInMemoryStateForTest(ident("pns", "mvb"))
+    GraftCatalog.resetInMemoryStateForTest(ident("pns", "mva"))
+
+    // The MV definition props reloaded from the ledger: a post-restart
+    // append still refreshes INCREMENTALLY (needs source/group/aggs AND
+    // the recorded version, plus the source's snapshot history).
+    spark.sql("INSERT INTO pgraft.pns.mvb VALUES ('b', 10)")
+    val (mode, groups) = spark.sql("CALL graft.system.refresh_mv('pns', 'mva')")
+      .select("mode", "groups").as[(String, Long)].head()
+    assert(mode == "incremental" && groups == 1,
+      s"post-restart refresh must stay incremental, got ($mode, $groups)")
+    assert(spark.sql("SELECT total FROM pgraft.pns.mva WHERE g = 'b'")
+      .as[Long].head() == 12L)
+    spark.sql("DROP TABLE pgraft.pns.mva")
+    spark.sql("DROP TABLE pgraft.pns.mvb")
+  }
+
   test("CHECK constraints survive a restart and keep enforcing") {
     spark.sql("DROP TABLE IF EXISTS pgraft.pns.ck")
     spark.sql(
