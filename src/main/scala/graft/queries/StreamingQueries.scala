@@ -446,11 +446,59 @@ object StreamingQueries {
       .orderBy(col("w_start"))
   }
 
+  /** ST14 (continuous MV maintenance): the streaming half of
+    * `graft.system.refresh_mv`. Each micro-batch of a custom-source
+    * stream appends to a catalog BASE table and immediately refreshes
+    * its MATERIALIZED VIEW — the refresh's snapshot diff sees exactly
+    * the one appended commit, so every epoch does incremental
+    * touched-group work, never a full recompute. The final read comes
+    * from the MV TABLE; the closed-form oracle proves the
+    * epoch-by-epoch refreshes converged to exactly the full aggregate
+    * (a dropped epoch, double-applied refresh, or wrong touched-group
+    * diff breaks the hash). This is the "streaming ingest +
+    * always-fresh rollup" pattern at its 100 TB shape: per-epoch cost
+    * tracks the epoch's data, the rollup stays queryable throughout.
+    */
+  val st14StreamingMv: Q = Q(
+    "st14_streaming_mv",
+    """SELECT i % 7 AS tag, count(*) AS n,
+      |  round(sum(i * 0.25), 4) AS total_val
+      |FROM range(0, 2000) t(i)
+      |GROUP BY 1
+      |ORDER BY tag""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.stream.base14")
+    spark.sql("DROP TABLE IF EXISTS graft.stream.mv14")
+    spark.sql(
+      "CREATE TABLE graft.stream.base14 (id BIGINT, val DOUBLE, tag BIGINT) USING graft")
+    spark.sql(
+      """CALL graft.system.create_mv('stream', 'mv14', 'stream.base14',
+        |  'tag', 'count(*) AS n, sum(CAST(val AS DECIMAL(18,2))) AS dec_total')""".stripMargin)
+      .collect()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_st14_").toString
+    spark.readStream.format("graft-range")
+      .option("end", "2000").option("rowsPerBatch", "500")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.writeTo("graft.stream.base14").append()
+        batch.sparkSession.sql("CALL graft.system.refresh_mv('stream', 'mv14')")
+          .collect(): Unit
+      }
+      .start().awaitTermination()
+    spark.sql(
+      """SELECT tag, n, round(CAST(dec_total AS DOUBLE), 4) AS total_val
+        |FROM graft.stream.mv14
+        |ORDER BY tag""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     st2Tumbling, st3Sliding, st4SessionWindow, st5StreamDedup,
     st6StatefulOp, st6bTransformWithState, st7StreamStaticJoin,
     st8StreamStreamJoin, st10CustomSourceStream, st11StreamToCatalog,
-    st12CatalogChangeStream, st13JoinThenWindowAgg)
+    st12CatalogChangeStream, st13JoinThenWindowAgg, st14StreamingMv)
 }
 
 /** Per-user (count, sum) running state via a typed ValueState handle —

@@ -150,6 +150,42 @@ class MaterializedViewSpec extends AnyFunSuite {
   private def mvRows2(tbl: String): Seq[(String, Double)] =
     spark.sql(s"SELECT g, total FROM $tbl ORDER BY g").as[(String, Double)].collect().toSeq
 
+  test("streaming maintenance: every per-epoch refresh is incremental, never full") {
+    spark.sql("DROP TABLE IF EXISTS graft.mvs.base")
+    spark.sql("DROP TABLE IF EXISTS graft.mvs.agg")
+    spark.sql("CREATE TABLE graft.mvs.base (id BIGINT, val DOUBLE, tag BIGINT) USING graft")
+    spark.sql(
+      "CALL graft.system.create_mv('mvs', 'agg', 'mvs.base', 'tag', 'count(*) AS n, sum(val) AS total')")
+      .collect()
+    val modes = scala.collection.mutable.ArrayBuffer[String]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mvs_").toString
+    spark.readStream.format("graft-range")
+      .option("end", "800").option("rowsPerBatch", "200")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.writeTo("graft.mvs.base").append()
+        modes.synchronized {
+          modes += batch.sparkSession
+            .sql("CALL graft.system.refresh_mv('mvs', 'agg')")
+            .select("mode").as(org.apache.spark.sql.Encoders.STRING).head()
+        }: Unit
+      }
+      .start().awaitTermination()
+    assert(modes.nonEmpty && modes.forall(_ == "incremental"),
+      s"per-epoch refreshes must all be incremental, got $modes")
+    // The MV equals a from-scratch aggregate of the base.
+    val direct = spark.sql(
+      "SELECT tag, count(*) AS n, sum(val) AS total FROM graft.mvs.base GROUP BY tag ORDER BY tag")
+      .collect().toSeq
+    val mv = spark.sql("SELECT tag, n, total FROM graft.mvs.agg ORDER BY tag").collect().toSeq
+    assert(mv == direct)
+    spark.sql("DROP TABLE graft.mvs.agg")
+    spark.sql("DROP TABLE graft.mvs.base")
+  }
+
   test("refresh of a non-MV table and unknown MV fail loudly") {
     spark.sql("DROP TABLE IF EXISTS graft.mv7.plain")
     spark.sql("CREATE TABLE graft.mv7.plain (k BIGINT) USING graft")
