@@ -64,5 +64,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectParser((session, delegate) =>
       new graft.plans.GraftViewParser(session, delegate))
     ext.injectResolutionRule(session => graft.plans.GraftViewReadRule(session))
+    // Transparent materialized-view rewrite: EXACT (freshness-gated),
+    // so on by default — spark.graft.mvRewrite.enabled=false disables.
+    ext.injectResolutionRule(session => graft.plans.MvRewriteRule(session))
   }
 }

@@ -1,0 +1,200 @@
+package graft.plans
+
+import scala.annotation.tailrec
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedStar}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, ExprId, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import graft.sources.{GraftCatalog, GraftMvOps}
+
+/** TRANSPARENT MATERIALIZED-VIEW REWRITE — the aggregate-navigator
+  * move (Calcite/BigQuery/Snowflake shape): a query that aggregates a
+  * catalog table with exactly the GROUP BY columns and aggregate
+  * expressions of one of its materialized views, while that MV is
+  * FRESH (its recorded source version == the source's current
+  * version), is rewritten to read the MV table instead — turning a
+  * full-table aggregation into a scan of the (usually tiny)
+  * pre-aggregated result. At 100 TB this is the difference between
+  * re-reading the fact table for every dashboard query and answering
+  * from a rollup the ingest pipeline already maintains incrementally.
+  *
+  * Soundness gates (all must hold, else the plan is untouched):
+  *  - the aggregate's child is the bare source relation (no Filter —
+  *    the MV has no WHERE, so a filtered aggregate must not match);
+  *  - every grouping expression is a plain column that is exactly the
+  *    MV's GROUP BY set;
+  *  - every aggregate output matches one of the MV's stored aggregate
+  *    expressions STRUCTURALLY (the MV's spec is parsed, its columns
+  *    bound against the same source relation, and both sides compared
+  *    by name-normalized canonical SQL — `count(*)` ≡ `count(1)`,
+  *    qualifiers and case are immaterial, `sum(a)` ≢ `sum(b)`);
+  *  - output types agree exactly;
+  *  - the MV is fresh AT ANALYSIS TIME (same consistency contract as
+  *    any compiled plan: a write racing query planning wins or loses
+  *    at the version lookup, exactly as it would at scan pinning).
+  *
+  * The rewrite preserves the original output `ExprId`s through
+  * aliases, so parent operators (sorts, filters above the aggregate,
+  * joins) are oblivious. Runs as a resolution rule: the substituted
+  * relation then flows through the NORMAL optimizer — column pruning
+  * and filter pushdown apply to the MV scan like any other table.
+  * Enabled by default (it is exact, unlike the LSH rewrite); disable
+  * with `spark.graft.mvRewrite.enabled=false`.
+  */
+case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  val EnabledKey = "spark.graft.mvRewrite.enabled"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(EnabledKey, "true").toBoolean) return plan
+    // Whole-PLAN resolution gate, not per-Aggregate: constructs the
+    // analyzer finishes by REWRITING the aggregate (HAVING pushes its
+    // condition's aggregates into the Aggregate's output; ORDER BY
+    // aggregate aliases likewise) would find their Aggregate gone if
+    // we fired mid-fixed-point. Once the plan is fully resolved the
+    // resolution batch still iterates, so the rewrite always gets its
+    // turn — just last.
+    if (!plan.resolved) return plan
+    plan.transformUp {
+      case agg: Aggregate if agg.resolved =>
+        rewrite(agg).getOrElse(agg)
+    }
+  }
+
+  @tailrec private def stripToRelation(p: LogicalPlan): Option[DataSourceV2Relation] =
+    p match {
+      case s: SubqueryAlias => stripToRelation(s.child)
+      case r: DataSourceV2Relation => Some(r)
+      case _ => None
+    }
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val relation = stripToRelation(agg.child) match {
+      case Some(r) if r.catalog.exists(_.isInstanceOf[GraftCatalog]) && r.identifier.isDefined => r
+      case _ => return None
+    }
+    val srcIdent = relation.identifier.get
+    if (srcIdent.namespace().length != 1) return None
+    val resolver = conf.resolver
+
+    // Grouping must be plain source columns.
+    val groupAttrs: Seq[Attribute] = agg.groupingExpressions.map {
+      case a: Attribute => a
+      case _ => return None
+    }
+
+    val candidates =
+      GraftCatalog.freshMvsFor(srcIdent.namespace()(0), srcIdent.name())
+    if (candidates.isEmpty) return None
+
+    candidates.view.flatMap { case (mvIdent, props) =>
+      tryCandidate(agg, relation, groupAttrs, mvIdent, props, resolver)
+    }.headOption
+  }
+
+  private def tryCandidate(
+      agg: Aggregate, relation: DataSourceV2Relation, groupAttrs: Seq[Attribute],
+      mvIdent: Identifier, props: Map[String, String],
+      resolver: (String, String) => Boolean): Option[LogicalPlan] = {
+    val mvGroupCols = props(GraftMvOps.GroupProp).split(',').toSeq
+    // Exact grouping-set match (order-free).
+    if (groupAttrs.length != mvGroupCols.length) return None
+    if (!mvGroupCols.forall(c => groupAttrs.exists(a => resolver(a.name, c)))) return None
+    if (groupAttrs.map(_.name.toLowerCase).distinct.length != groupAttrs.length) return None
+
+    // Bind each MV aggregate spec against the SAME source relation and
+    // key it by normalized canonical SQL. Any unresolvable spec kills
+    // the candidate (never rewrite on a guess).
+    val specs: Seq[(String, String)] = GraftMvOps.splitTop(props(GraftMvOps.AggsProp)).map { item =>
+      resolveSpec(item, relation) match {
+        case Some(al: Alias) => norm(al.child) -> al.name
+        case _ => return None
+      }
+    }
+    val specByKey = specs.toMap
+    if (specByKey.size != specs.length) return None // ambiguous duplicate aggs
+
+    // Map every aggregate output onto an MV column.
+    val mapped: Seq[(NamedExpression, String)] = agg.aggregateExpressions.map {
+      case a: Attribute if mvGroupCols.exists(resolver(a.name, _)) =>
+        a -> mvGroupCols.find(resolver(a.name, _)).get
+      case al @ Alias(child: Attribute, _) if mvGroupCols.exists(resolver(child.name, _)) =>
+        al -> mvGroupCols.find(resolver(child.name, _)).get
+      case al: Alias =>
+        specByKey.get(norm(al.child)) match {
+          case Some(col) => al -> col
+          case None => return None
+        }
+      case _ => return None
+    }
+
+    // Load the MV relation; map names to its output; types must agree.
+    val catalog = relation.catalog.get.asInstanceOf[TableCatalog]
+    val mvTable =
+      try catalog.loadTable(mvIdent)
+      catch { case NonFatal(_) => return None }
+    val mvRelation = DataSourceV2Relation.create(mvTable, relation.catalog, Some(mvIdent))
+    val outputs = mapped.map { case (orig, mvCol) =>
+      val mvAttr = mvRelation.output.find(a => resolver(a.name, mvCol)).getOrElse(return None)
+      if (mvAttr.dataType != orig.dataType) return None
+      Alias(mvAttr, orig.name)(exprId = orig.exprId)
+    }
+    Some(Project(outputs, mvRelation))
+  }
+
+  /** Minimal spec binder: column references resolve against the source
+    * relation's output, functions through the session registry
+    * (aggregates wrapped exactly as the analyzer would), `count(*)` →
+    * `count(1)`, timezone-needing casts stamped with the session zone.
+    * Anything it cannot bind returns None — the rewrite then simply
+    * does not fire.
+    */
+  private def resolveSpec(spec: String, relation: DataSourceV2Relation): Option[Expression] = {
+    val parsed =
+      try session.sessionState.sqlParser.parseExpression(spec)
+      catch { case NonFatal(_) => return None }
+    val resolver = conf.resolver
+    var failed = false
+    val bound = parsed.transformUp {
+      case u: UnresolvedAttribute if u.nameParts.length == 1 =>
+        relation.output.find(a => resolver(a.name, u.nameParts.head)).getOrElse {
+          failed = true; u
+        }
+      case u: UnresolvedFunction if u.nameParts.length == 1 =>
+        val args = u.arguments.map {
+          case _: UnresolvedStar => Literal(1)
+          case other => other
+        }
+        try {
+          session.sessionState.functionRegistry
+            .lookupFunction(FunctionIdentifier(u.nameParts.head), args) match {
+            case af: AggregateFunction => af.toAggregateExpression(u.isDistinct)
+            case other => other
+          }
+        } catch { case NonFatal(_) => failed = true; u }
+      case c: Cast if c.needsTimeZone && c.timeZoneId.isEmpty =>
+        c.withTimeZone(conf.sessionLocalTimeZone)
+    }
+    if (failed || !bound.resolved) None else Some(bound)
+  }
+
+  /** Name-normalized structural key: attribute identity by lowercase
+    * NAME (not ExprId — the two sides bind independently), qualifiers
+    * stripped, then canonical SQL text. Exact-match comparison — no
+    * algebraic equivalences beyond what `.sql` normalizes.
+    */
+  private def norm(e: Expression): String =
+    e.transformUp {
+      case a: AttributeReference =>
+        AttributeReference(a.name.toLowerCase, a.dataType, nullable = true)(
+          exprId = ExprId(0), qualifier = Nil)
+    }.sql.toLowerCase
+}

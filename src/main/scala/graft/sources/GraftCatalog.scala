@@ -1026,6 +1026,24 @@ object GraftCatalog {
       ns: String, table: String, set: Map[String, String]): Unit =
     patchTableProps(Identifier.of(Array(ns), table), set)
 
+  /** Materialized views of `sourceNs.sourceTbl` that are FRESH (their
+    * recorded source version is the source's current version) — the
+    * candidates the transparent MV rewrite may substitute for an
+    * aggregate over the source. Deterministic order (by identifier) so
+    * plan choice is stable across runs.
+    */
+  private[graft] def freshMvsFor(
+      sourceNs: String, sourceTbl: String): Seq[(Identifier, Map[String, String])] = {
+    ensureLoaded()
+    val cur = currentVersion(sourceNs, sourceTbl)
+    val src = s"$sourceNs.$sourceTbl"
+    store.asScala.toSeq.collect {
+      case (id, e) if e.props.get(GraftMvOps.SourceProp).contains(src) &&
+          cur.exists(v => e.props.get(GraftMvOps.VersionProp).contains(v.toString)) =>
+        (id, e.props)
+    }.sortBy(_._1.toString)
+  }
+
   private val store = new ConcurrentHashMap[Identifier, TableEntry]()
   private[sources] val views = new ConcurrentHashMap[Identifier, GraftView]()
 

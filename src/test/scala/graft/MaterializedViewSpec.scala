@@ -186,6 +186,70 @@ class MaterializedViewSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.mvs.base")
   }
 
+  test("transparent MV rewrite: matching aggregate reads the fresh MV, gates respected") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    def scannedTables(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.identifier.map(_.toString).getOrElse("")
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.identifier.map(_.toString).getOrElse("")
+      }
+    def hasAgg(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.exists(_.isInstanceOf[Aggregate])
+    spark.sql("DROP TABLE IF EXISTS graft.mvr.base")
+    spark.sql("DROP TABLE IF EXISTS graft.mvr.agg")
+    spark.sql("CREATE TABLE graft.mvr.base (g STRING, v BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.mvr.base VALUES ('a', 1), ('a', 2), ('b', 10)")
+    spark.sql(
+      "CALL graft.system.create_mv('mvr', 'agg', 'mvr.base', 'g', 'count(*) AS cnt, sum(v) AS total')")
+      .collect()
+    val q = "SELECT g, count(*) AS c, sum(v) AS s FROM graft.mvr.base GROUP BY g"
+    // Fresh MV + exact match -> the aggregate disappears; the plan
+    // scans the MV table instead of the base.
+    val rewritten = spark.sql(q)
+    assert(!hasAgg(rewritten), "matching aggregate should be answered by the MV")
+    assert(scannedTables(rewritten).exists(_.contains("agg")))
+    // ...and returns exactly what the un-rewritten aggregate returns.
+    spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+    val direct =
+      try spark.sql(q).collect().toSeq
+      finally spark.conf.set("spark.graft.mvRewrite.enabled", "true")
+    assert(rewritten.collect().toSeq.sortBy(_.getString(0)) == direct.sortBy(_.getString(0)))
+    // count(*) ≡ count(1); column order and aliases immaterial.
+    val variant = spark.sql(
+      "SELECT sum(v) AS s2, g, count(1) AS c2 FROM graft.mvr.base GROUP BY g")
+    assert(!hasAgg(variant))
+    // Gate: STALE MV (base changed since refresh) must not rewrite...
+    spark.sql("INSERT INTO graft.mvr.base VALUES ('c', 5)")
+    assert(hasAgg(spark.sql(q)), "stale MV must not answer the query")
+    // ...until a refresh makes it fresh again.
+    spark.sql("CALL graft.system.refresh_mv('mvr', 'agg')").collect()
+    val afterRefresh = spark.sql(q)
+    assert(!hasAgg(afterRefresh))
+    assert(afterRefresh.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1) == Seq(("a", 2L, 3L), ("b", 1L, 10L), ("c", 1L, 5L)))
+    // Gate: different aggregate (avg) -> no rewrite.
+    assert(hasAgg(spark.sql("SELECT g, avg(v) AS m FROM graft.mvr.base GROUP BY g")))
+    // Gate: sum over a DIFFERENT column must not match sum(v).
+    assert(hasAgg(spark.sql(
+      "SELECT g, count(*) AS c, sum(length(g)) AS s FROM graft.mvr.base GROUP BY g")))
+    // Gate: a WHERE on the base -> no rewrite (the MV has no filter).
+    assert(hasAgg(spark.sql(
+      "SELECT g, count(*) AS c FROM graft.mvr.base WHERE v > 1 GROUP BY g")))
+    // Gate: different grouping -> no rewrite. (Not the global-agg
+    // shape: an ungrouped count is answered by the scan's own COUNT
+    // pushdown, legitimately leaving no Aggregate either way.)
+    assert(hasAgg(spark.sql(
+      "SELECT g, v, count(*) AS c FROM graft.mvr.base GROUP BY g, v")))
+    // Parent operators above the rewritten aggregate stay intact.
+    val ordered = spark.sql(q + " HAVING count(*) > 1 ORDER BY g")
+    assert(!hasAgg(ordered))
+    assert(ordered.collect().map(_.getString(0)).toSeq == Seq("a"))
+    spark.sql("DROP TABLE graft.mvr.agg")
+    spark.sql("DROP TABLE graft.mvr.base")
+  }
+
   test("refresh of a non-MV table and unknown MV fail loudly") {
     spark.sql("DROP TABLE IF EXISTS graft.mv7.plain")
     spark.sql("CREATE TABLE graft.mv7.plain (k BIGINT) USING graft")
