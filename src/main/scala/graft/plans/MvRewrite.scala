@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, ExprId, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
@@ -25,6 +25,14 @@ import graft.sources.{GraftCatalog, GraftMvOps}
   * pre-aggregated result. At 100 TB this is the difference between
   * re-reading the fact table for every dashboard query and answering
   * from a rollup the ingest pipeline already maintains incrementally.
+  *
+  * Two match shapes:
+  *  - EXACT: query grouping set == MV grouping set → plain MV scan;
+  *  - ROLLUP: query grouping ⊂ MV grouping (including the global
+  *    aggregate) AND every aggregate is rollup-derivable
+  *    (sum→sum-of-sums, count→sum-of-counts, min→min, max→max; never
+  *    DISTINCT/FILTER or non-distributive aggs) → re-aggregate the
+  *    MV's rows at the coarser grain.
   *
   * Soundness gates (all must hold, else the plan is untouched):
   *  - the aggregate's child is the bare source relation (no Filter —
@@ -105,10 +113,15 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       mvIdent: Identifier, props: Map[String, String],
       resolver: (String, String) => Boolean): Option[LogicalPlan] = {
     val mvGroupCols = props(GraftMvOps.GroupProp).split(',').toSeq
-    // Exact grouping-set match (order-free).
-    if (groupAttrs.length != mvGroupCols.length) return None
-    if (!mvGroupCols.forall(c => groupAttrs.exists(a => resolver(a.name, c)))) return None
     if (groupAttrs.map(_.name.toLowerCase).distinct.length != groupAttrs.length) return None
+    // Grouping relationship: EXACT (same set → scan the MV as-is) or
+    // ROLLUP (query groups ⊂ MV groups, incl. the global aggregate →
+    // re-aggregate the MV's — far fewer — rows).
+    val exact = groupAttrs.length == mvGroupCols.length &&
+      mvGroupCols.forall(c => groupAttrs.exists(a => resolver(a.name, c)))
+    val rollup = !exact &&
+      groupAttrs.forall(a => mvGroupCols.exists(c => resolver(c, a.name)))
+    if (!exact && !rollup) return None
 
     // Bind each MV aggregate spec against the SAME source relation and
     // key it by normalized canonical SQL. Any unresolvable spec kills
@@ -122,32 +135,69 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     val specByKey = specs.toMap
     if (specByKey.size != specs.length) return None // ambiguous duplicate aggs
 
-    // Map every aggregate output onto an MV column.
-    val mapped: Seq[(NamedExpression, String)] = agg.aggregateExpressions.map {
-      case a: Attribute if mvGroupCols.exists(resolver(a.name, _)) =>
-        a -> mvGroupCols.find(resolver(a.name, _)).get
-      case al @ Alias(child: Attribute, _) if mvGroupCols.exists(resolver(child.name, _)) =>
-        al -> mvGroupCols.find(resolver(child.name, _)).get
-      case al: Alias =>
-        specByKey.get(norm(al.child)) match {
-          case Some(col) => al -> col
-          case None => return None
-        }
-      case _ => return None
-    }
-
-    // Load the MV relation; map names to its output; types must agree.
+    // Load the MV relation up front; both paths bind to its output.
     val catalog = relation.catalog.get.asInstanceOf[TableCatalog]
     val mvTable =
       try catalog.loadTable(mvIdent)
       catch { case NonFatal(_) => return None }
     val mvRelation = DataSourceV2Relation.create(mvTable, relation.catalog, Some(mvIdent))
-    val outputs = mapped.map { case (orig, mvCol) =>
-      val mvAttr = mvRelation.output.find(a => resolver(a.name, mvCol)).getOrElse(return None)
-      if (mvAttr.dataType != orig.dataType) return None
-      Alias(mvAttr, orig.name)(exprId = orig.exprId)
+    def mvAttr(col: String): Option[Attribute] =
+      mvRelation.output.find(a => resolver(a.name, col))
+    def groupColFor(a: Attribute): Option[String] = mvGroupCols.find(resolver(_, a.name))
+
+    if (exact) {
+      // Map every aggregate output onto an MV column; types must agree.
+      val outputs = agg.aggregateExpressions.map {
+        case a: Attribute if groupColFor(a).isDefined =>
+          val m = mvAttr(groupColFor(a).get).getOrElse(return None)
+          if (m.dataType != a.dataType) return None
+          Alias(m, a.name)(exprId = a.exprId)
+        case al @ Alias(child: Attribute, _) if groupColFor(child).isDefined =>
+          val m = mvAttr(groupColFor(child).get).getOrElse(return None)
+          if (m.dataType != al.dataType) return None
+          Alias(m, al.name)(exprId = al.exprId)
+        case al: Alias =>
+          val m = specByKey.get(norm(al.child)).flatMap(mvAttr).getOrElse(return None)
+          if (m.dataType != al.dataType) return None
+          Alias(m, al.name)(exprId = al.exprId)
+        case _ => return None
+      }
+      Some(Project(outputs, mvRelation))
+    } else {
+      // ROLLUP: re-aggregate the MV. Derivable shapes only — sum→sum,
+      // count→sum (a count of counts is wrong; a sum of counts is the
+      // count), min→min, max→max. DISTINCT/FILTER aggregates and
+      // anything non-distributive (avg, stddev, count(distinct)) are
+      // NOT derivable from a coarser rollup and kill the candidate.
+      val outputs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+        case a: Attribute if groupColFor(a).isDefined =>
+          val m = mvAttr(groupColFor(a).get).getOrElse(return None)
+          if (m.dataType != a.dataType) return None
+          Alias(m, a.name)(exprId = a.exprId)
+        case al @ Alias(child: Attribute, _) if groupColFor(child).isDefined =>
+          val m = mvAttr(groupColFor(child).get).getOrElse(return None)
+          if (m.dataType != al.dataType) return None
+          Alias(m, al.name)(exprId = al.exprId)
+        case al @ Alias(ae: AggregateExpression, _)
+            if !ae.isDistinct && ae.filter.isEmpty =>
+          val src = specByKey.get(norm(ae)).flatMap(mvAttr).getOrElse(return None)
+          val reagg = ae.aggregateFunction match {
+            case _: Sum | _: Count => Sum(src).toAggregateExpression()
+            case _: Min => Min(src).toAggregateExpression()
+            case _: Max => Max(src).toAggregateExpression()
+            case _ => return None
+          }
+          // Re-summing widens decimal precision; cast restores the
+          // original type EXACTLY (always a widening, never lossy).
+          val shaped =
+            if (reagg.dataType == al.dataType) reagg else Cast(reagg, al.dataType)
+          Alias(shaped, al.name)(exprId = al.exprId)
+        case _ => return None
+      }
+      val newGroups: Seq[Expression] =
+        groupAttrs.map(a => groupColFor(a).flatMap(mvAttr).getOrElse(return None))
+      Some(Aggregate(newGroups, outputs, mvRelation))
     }
-    Some(Project(outputs, mvRelation))
   }
 
   /** Minimal spec binder: column references resolve against the source

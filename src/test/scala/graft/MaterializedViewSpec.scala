@@ -250,6 +250,52 @@ class MaterializedViewSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.mvr.base")
   }
 
+  test("rollup navigation: coarser grouping re-aggregates the MV, never the base") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    def plan(df: org.apache.spark.sql.DataFrame) = df.queryExecution.optimizedPlan
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      plan(df).collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.identifier.map(_.toString).getOrElse("")
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.identifier.map(_.toString).getOrElse("")
+      }
+    spark.sql("DROP TABLE IF EXISTS graft.roll.base")
+    spark.sql("DROP TABLE IF EXISTS graft.roll.agg")
+    spark.sql("CREATE TABLE graft.roll.base (r STRING, p STRING, v BIGINT) USING graft")
+    spark.sql(
+      """INSERT INTO graft.roll.base VALUES
+        |  ('eu', 'a', 1), ('eu', 'a', 2), ('eu', 'b', 10), ('us', 'a', 5), ('us', 'c', 7)""".stripMargin)
+    spark.sql(
+      """CALL graft.system.create_mv('roll', 'agg', 'roll.base', 'r,p',
+        |  'count(*) AS cnt, sum(v) AS total, min(v) AS lo, max(v) AS hi')""".stripMargin)
+      .collect()
+    // Coarser grain (by r only): derivable -> re-aggregate the MV.
+    val q = """SELECT r, count(*) AS c, sum(v) AS s, min(v) AS lo, max(v) AS hi
+              |FROM graft.roll.base GROUP BY r""".stripMargin
+    val rolled = spark.sql(q)
+    assert(scans(rolled).exists(_.contains("agg")) && !scans(rolled).exists(_.contains("base")),
+      s"rollup must read the MV, scanned: ${scans(rolled)}")
+    spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+    val direct =
+      try spark.sql(q).collect().toSeq.sortBy(_.getString(0))
+      finally spark.conf.set("spark.graft.mvRewrite.enabled", "true")
+    assert(rolled.collect().toSeq.sortBy(_.getString(0)) == direct)
+    assert(direct.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      == Seq(("eu", 3L, 13L, 1L, 10L), ("us", 2L, 12L, 5L, 7L)))
+    // Global aggregate: the coarsest rollup of all.
+    val global = spark.sql("SELECT count(*) AS c, sum(v) AS s FROM graft.roll.base")
+    assert(scans(global).exists(_.contains("agg")) && !scans(global).exists(_.contains("base")))
+    assert(global.collect().head.getLong(0) == 5L && global.collect().head.getLong(1) == 25L)
+    // Gates: avg is not rollup-derivable; count(DISTINCT) never is.
+    val avgQ = spark.sql("SELECT r, avg(v) AS m FROM graft.roll.base GROUP BY r")
+    assert(scans(avgQ).exists(_.contains("base")))
+    val cdQ = spark.sql("SELECT r, count(DISTINCT v) AS d FROM graft.roll.base GROUP BY r")
+    assert(scans(cdQ).exists(_.contains("base")))
+    spark.sql("DROP TABLE graft.roll.agg")
+    spark.sql("DROP TABLE graft.roll.base")
+  }
+
   test("refresh of a non-MV table and unknown MV fail loudly") {
     spark.sql("DROP TABLE IF EXISTS graft.mv7.plain")
     spark.sql("CREATE TABLE graft.mv7.plain (k BIGINT) USING graft")
