@@ -118,11 +118,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def loadTable(ident: Identifier, version: String): Table = {
     ensureLoaded()
     if (store.get(ident) == null) throw new NoSuchTableException(ident)
+    // Numeric commit id, or a TAG name (`'graft.tag.<name>'='<v>'`
+    // table property — `VERSION AS OF 'stable'` reads the snapshot the
+    // tag pins; tagged snapshots never age out of retention).
     val v =
       try version.toLong
       catch { case _: NumberFormatException =>
-        throw new IllegalArgumentException(
-          s"graft catalog versions are numeric commit ids, got '$version'") }
+        store.get(ident).props.get(TagPropPrefix + version) match {
+          case Some(tv) => tv.toLong
+          case None => throw new IllegalArgumentException(
+            s"graft catalog versions are numeric commit ids or tag names; " +
+              s"'$version' is neither (no '$TagPropPrefix$version' property)")
+        }
+      }
     val snap = snapshotByVersion(ident, v).getOrElse(throw new NoSuchTableException(
       Identifier.of(ident.namespace, s"${ident.name} VERSION AS OF $v (expired or never committed)")))
     val entry = store.get(ident)
@@ -261,6 +269,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
               throw new UnsupportedOperationException(
                 s"table property '${s.property()}' is reserved")
             if (s.property() == WriteOrderProp) validateWriteOrder(e.schema, s.value())
+            if (s.property().startsWith(TagPropPrefix)) {
+              val v =
+                try s.value().toLong
+                catch { case _: NumberFormatException =>
+                  throw new IllegalArgumentException(
+                    s"tag '${s.property()}' must name a numeric snapshot version, got '${s.value()}'")
+                }
+              if (!retainedSnapshots(ident).exists(_.version == v))
+                throw new IllegalArgumentException(
+                  s"tag '${s.property()}' targets version $v, which is not a retained snapshot")
+            }
             e.copy(props = e.props + (s.property() -> s.value()))
           case (e, r: TableChange.RemoveProperty) =>
             e.copy(props = e.props - r.property())
@@ -971,6 +990,15 @@ object GraftCatalog {
     */
   private[sources] val WriteOrderProp = "graft.write.order"
 
+  /** `'graft.tag.<name>'='<version>'`: a SNAPSHOT TAG (the Iceberg tag
+    * shape on the property surface) — `VERSION AS OF '<name>'` resolves
+    * through it, and `publish` exempts tagged snapshots from retention
+    * expiry (time AND count), so a tagged version stays readable and
+    * its segment files GC-protected until the tag is UNSET. Validated
+    * at SET time against the retained history.
+    */
+  private[sources] val TagPropPrefix = "graft.tag."
+
   /** Validate a write-order property value against the table schema —
     * a typo'd column must fail at SET/CREATE time, not corrupt layout
     * expectations silently.
@@ -1252,8 +1280,16 @@ object GraftCatalog {
       System.currentTimeMillis(), now, entry.schema, entry.segments)
     val all = hist :+ snap
     val cutoff = now - RetentionNanos
-    val retained = all.drop((all.length - MaxSnapshots).max(0))
+    // Tagged snapshots are exempt from BOTH expiry axes (age and the
+    // count cap): a tag is an explicit promise the version stays
+    // readable — the cap still bounds the UNTAGGED churn.
+    val taggedVersions: Set[Long] = entry.props.collect {
+      case (k, v) if k.startsWith(TagPropPrefix) && v.forall(_.isDigit) => v.toLong
+    }.toSet
+    val (taggedSnaps, untagged) = all.partition(s => taggedVersions.contains(s.version))
+    val keptUntagged = untagged.drop((untagged.length - MaxSnapshots).max(0))
       .dropWhile(s => s.mono < cutoff && s != all.last)
+    val retained = (taggedSnaps ++ keptUntagged).sortBy(_.version)
     history.put(ident, retained)
     val live = retained.flatMap(_.segments.map(_.path)).toSet ++
       entry.segments.map(_.path)

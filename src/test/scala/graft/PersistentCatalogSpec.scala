@@ -131,6 +131,20 @@ class PersistentCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE pgraft.pns.mvb")
   }
 
+  test("snapshot tags survive a restart and keep resolving") {
+    spark.sql("DROP TABLE IF EXISTS pgraft.pns.tg")
+    spark.sql("CREATE TABLE pgraft.pns.tg (k BIGINT) USING graft")
+    spark.sql("INSERT INTO pgraft.pns.tg VALUES (1)") // v1
+    spark.sql("INSERT INTO pgraft.pns.tg VALUES (2)") // v2
+    spark.sql("ALTER TABLE pgraft.pns.tg SET TBLPROPERTIES ('graft.tag.rel'='1')")
+
+    GraftCatalog.resetInMemoryStateForTest(ident("pns", "tg"))
+
+    assert(spark.sql("SELECT k FROM pgraft.pns.tg VERSION AS OF 'rel' ORDER BY k")
+      .as[Long].collect().toSeq == Seq(1L))
+    spark.sql("DROP TABLE pgraft.pns.tg")
+  }
+
   test("CHECK constraints survive a restart and keep enforcing") {
     spark.sql("DROP TABLE IF EXISTS pgraft.pns.ck")
     spark.sql(
