@@ -1490,21 +1490,80 @@ object GraftCatalog {
     * path is identical).
     */
   private[sources] def compact(ident: Identifier): (Int, Int, Long) = mutate {
+    import org.apache.spark.sql.types._
     val entry = store.get(ident)
     if (entry == null) throw new NoSuchTableException(ident)
     val before = entry.segments.length
     val rows = entry.segments.map(_.liveRows).sum
+    // A declared write order obliges compaction to PRESERVE range
+    // clustering: successive INSERTs are each internally range-disjoint
+    // but overlap ACROSS inserts, so a naive fold-to-one would erase
+    // the layout the order bought. Instead the group's rows are folded
+    // in sorted order and split at a byte target — output segments are
+    // globally range-DISJOINT on the order columns (compaction then
+    // IMPROVES pruning rather than destroying it).
+    val orderIdx: Array[Int] = entry.props.get(WriteOrderProp)
+      .map(_.split(',').map(_.trim).filter(entry.schema.fieldNames.contains)
+        .map(entry.schema.fieldIndex))
+      .getOrElse(Array.empty)
+    def cmpAt(a: UnsafeRow, b: UnsafeRow, i: Int): Int = {
+      val an = a.isNullAt(i); val bn = b.isNullAt(i)
+      if (an && bn) 0
+      else if (an) -1 // NULLS FIRST, matching the write path's sort
+      else if (bn) 1
+      else entry.schema.fields(i).dataType match {
+        case LongType => java.lang.Long.compare(a.getLong(i), b.getLong(i))
+        case IntegerType => Integer.compare(a.getInt(i), b.getInt(i))
+        case ShortType => java.lang.Short.compare(a.getShort(i), b.getShort(i))
+        case ByteType => java.lang.Byte.compare(a.getByte(i), b.getByte(i))
+        case DoubleType => java.lang.Double.compare(a.getDouble(i), b.getDouble(i))
+        case FloatType => java.lang.Float.compare(a.getFloat(i), b.getFloat(i))
+        case BooleanType => java.lang.Boolean.compare(a.getBoolean(i), b.getBoolean(i))
+        case StringType => a.getUTF8String(i).compareTo(b.getUTF8String(i))
+        case _ => 0
+      }
+    }
     val compacted = entry.segments.groupBy(_.key).toSeq
       .sortBy(_._1.mkString(" "))
       .flatMap { case (key, segs) =>
         // A lone segment still rewrites when it carries a deletion
         // vector — compaction is the dv materialization point.
         if (segs.length <= 1 && segs.forall(_.dv.isEmpty)) segs
-        else {
+        else if (orderIdx.isEmpty) {
           val w = new SegmentIO.Writer(entry.dir, entry.schema)
           segs.foreach(seg =>
             SegmentIO.foreachRow(seg, entry.schema.length)(w.add))
           w.finish().map(_.copy(key = key)).toSeq
+        } else {
+          val payloads = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+          segs.foreach(seg => SegmentIO.foreachRow(seg, entry.schema.length) { r =>
+            payloads += r.getBytes.clone()
+          })
+          val ra = new UnsafeRow(entry.schema.length)
+          val rb = new UnsafeRow(entry.schema.length)
+          def lt(a: Array[Byte], b: Array[Byte]): Boolean = {
+            ra.pointTo(a, a.length); rb.pointTo(b, b.length)
+            var i = 0
+            while (i < orderIdx.length) {
+              val c = cmpAt(ra, rb, orderIdx(i))
+              if (c != 0) return c < 0
+              i += 1
+            }
+            false
+          }
+          val sorted = payloads.sortWith(lt)
+          val totalBytes = segs.map(s =>
+            if (s.bytes > 0) s.bytes else s.rows * 8L * (entry.schema.length + 1)).sum
+          val target = sys.props
+            .getOrElse("graft.compact.targetBytes", (64L * 1024 * 1024).toString).toLong
+          val outSegs = math.max(1, math.ceil(totalBytes.toDouble / target).toInt)
+          val perSeg = math.max(1, math.ceil(sorted.length.toDouble / outSegs).toInt)
+          val row = new UnsafeRow(entry.schema.length)
+          sorted.grouped(perSeg).flatMap { chunk =>
+            val w = new SegmentIO.Writer(entry.dir, entry.schema)
+            chunk.foreach { b => row.pointTo(b, b.length); w.add(row) }
+            w.finish().map(_.copy(key = key))
+          }.toSeq
         }
       }.toVector
     store.put(ident, entry.copy(segments = compacted))
@@ -2606,12 +2665,23 @@ private[sources] class GraftCatalogScanBuilder(
     skipChangeCommits: Boolean = false,
     startingVersion: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
   import org.apache.spark.sql.sources.Filter
   private var pruning: Array[Filter] = Array.empty
   private var sawFilters = false
   private var pushedAggs: Option[Seq[GraftCatalogAgg]] = None
   private var required: StructType = schema
+  private var limit: Option[Int] = None
+
+  /** LIMIT pushdown at SEGMENT granularity: `LIMIT n` plans only as
+    * many segments as needed to cover n live rows (exact per-segment
+    * liveRows from the metastore) instead of every segment — the
+    * interactive-preview move on a huge table. Partially pushed
+    * (default `isPartiallyPushed` = true): file-level capping
+    * over-delivers within the last segment, so Spark's own Limit stays
+    * on top for row exactness.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     sawFilters = filters.nonEmpty
     pruning = filters.filter(ZoneMap.prunable(_, schema))
@@ -2701,7 +2771,8 @@ private[sources] class GraftCatalogScanBuilder(
       GraftCatalogScan(ident, schema, pruning.toIndexedSeq, required, pinned, partitionCols,
         maxSegmentsPerTrigger = maxSegmentsPerTrigger,
         skipChangeCommits = skipChangeCommits,
-        startingVersion = startingVersion)
+        startingVersion = startingVersion,
+        limit = limit)
   }
 }
 
@@ -2817,7 +2888,8 @@ private[graft] case class GraftCatalogScan(
     onRuntimeExclude: Option[Vector[GraftCatalog.Segment] => Unit] = None,
     maxSegmentsPerTrigger: Option[Int] = None,
     skipChangeCommits: Boolean = false,
-    startingVersion: Option[Long] = None)
+    startingVersion: Option[Long] = None,
+    limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeV2Filtering {
   private def out: StructType = if (required == null) schema else required
@@ -2938,9 +3010,30 @@ private[graft] case class GraftCatalogScan(
     * value). numFields is the FULL width: that is the on-disk row
     * layout; the reader projects down to `out` after deserialization.
     */
+  /** Pushed-LIMIT segment capping: enough segments (by exact metastore
+    * liveRows) to cover the limit, in list order. Unpartitioned scans
+    * only — a key-grouped scan must plan one task per key to honor the
+    * `KeyGroupedPartitioning` it reported.
+    */
+  private def capForLimit(
+      segs: Vector[GraftCatalog.Segment]): Vector[GraftCatalog.Segment] =
+    limit match {
+      case Some(n) if partitionCols.isEmpty =>
+        var acc = 0L
+        val buf = Vector.newBuilder[GraftCatalog.Segment]
+        val it = segs.iterator
+        while (it.hasNext && acc < n) {
+          val s = it.next()
+          buf += s
+          acc += s.liveRows
+        }
+        buf.result()
+      case _ => segs
+    }
+
   override def planInputPartitions(): Array[InputPartition] =
     if (partitionCols.isEmpty)
-      survivors
+      capForLimit(survivors)
         .map(s => GraftCatalogPartition(Vector(GraftSegFile.of(s)), schema.length): InputPartition)
         .toArray
     else {
@@ -2965,7 +3058,7 @@ private[graft] case class GraftCatalogScan(
     import org.apache.spark.sql.connector.expressions.Expressions
     import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
     val groups = if (partitionCols.isEmpty) Nil else keyGroups
-    if (groups.isEmpty) new UnknownPartitioning(survivors.length)
+    if (groups.isEmpty) new UnknownPartitioning(capForLimit(survivors).length)
     else new KeyGroupedPartitioning(
       partitionCols.map(c =>
         Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray,
@@ -2982,7 +3075,7 @@ private[graft] case class GraftCatalogScan(
     * width estimate so sizeInBytes never reads 0 for a non-empty table.
     */
   override def estimateStatistics(): Statistics = {
-    val segs = survivors
+    val segs = capForLimit(survivors)
     val rows = segs.map(_.liveRows).sum
     val full = segs.map(s => if (s.bytes > 0) s.bytes else s.rows * (8L * (schema.length + 1))).sum
     val frac =

@@ -438,6 +438,85 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.wo.ctl")
   }
 
+  test("LIMIT pushdown caps planned segments; exactness preserved above the scan") {
+    spark.sql("DROP TABLE IF EXISTS graft.lim.t")
+    spark.sql("CREATE TABLE graft.lim.t (k BIGINT) USING graft")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // 8 segments of 125 rows each.
+      spark.sql("INSERT INTO graft.lim.t SELECT id FROM range(0, 1000, 1, 8)")
+      assert(graft.sources.GraftCatalog.segmentCount("lim", "t") == 8)
+      val q = spark.sql("SELECT k FROM graft.lim.t LIMIT 10")
+      val scans = q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      assert(scans.nonEmpty)
+      // 10 rows fit in the first 125-row segment: ONE planned split.
+      assert(scans.head.inputPartitions.length == 1,
+        s"LIMIT 10 should plan 1 segment, planned ${scans.head.inputPartitions.length}")
+      assert(q.collect().length == 10)
+      // A larger limit spans just enough segments (300 -> 3 of 125).
+      val q2 = spark.sql("SELECT k FROM graft.lim.t LIMIT 300")
+      val s2 = q2.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.head
+      assert(s2.inputPartitions.length == 3)
+      assert(q2.collect().length == 300)
+      // No limit: all 8 planned.
+      val s3 = spark.sql("SELECT k FROM graft.lim.t").queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.head
+      assert(s3.inputPartitions.length == 8)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    spark.sql("DROP TABLE graft.lim.t")
+  }
+
+  test("compaction preserves declared write order: folded segments stay range-disjoint") {
+    import graft.sources.GraftCatalog
+    import org.apache.spark.sql.sources._
+    spark.sql("DROP TABLE IF EXISTS graft.woc.t")
+    spark.sql(
+      """CREATE TABLE graft.woc.t (ts BIGINT) USING graft
+        |TBLPROPERTIES ('graft.write.order'='ts')""".stripMargin)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // Two INSERTs: each is internally range-disjoint (4 segments),
+      // but the two insert generations OVERLAP — a narrow range then
+      // hits one segment per generation.
+      spark.sql("INSERT INTO graft.woc.t SELECT (id * 37) % 1000 FROM range(0, 1000, 1, 8)")
+      spark.sql("INSERT INTO graft.woc.t SELECT (id * 59) % 1000 FROM range(0, 1000, 1, 8)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    val beforeSegs = GraftCatalog.segmentCount("woc", "t")
+    assert(beforeSegs == 8)
+    def plannedParts(): Int = {
+      val cat = spark.sessionState.catalogManager.catalog("graft")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      val sb = cat.loadTable(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array("woc"), "t"))
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+        .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+      sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+        .pushFilters(Array[Filter](GreaterThanOrEqual("ts", 0L), LessThan("ts", 100L)))
+      sb.build().toBatch.planInputPartitions().length
+    }
+    assert(plannedParts() == 2, "pre-compact: one overlapping segment per insert generation")
+    // Small byte target -> several output segments, now globally
+    // range-disjoint: the same narrow range plans exactly ONE.
+    System.setProperty("graft.compact.targetBytes", "10000")
+    try spark.sql("CALL graft.system.compact('woc', 't')").collect()
+    finally System.clearProperty("graft.compact.targetBytes")
+    val afterSegs = GraftCatalog.segmentCount("woc", "t")
+    assert(afterSegs > 1 && afterSegs < beforeSegs,
+      s"expected a multi-segment compaction, got $afterSegs")
+    assert(plannedParts() == 1,
+      "post-compact: sorted fold must leave the narrow range in one segment")
+    assert(spark.sql("SELECT count(*) FROM graft.woc.t").as[Long].head() == 2000L)
+    assert(spark.sql("SELECT count(*) FROM graft.woc.t WHERE ts < 100").as[Long].head() == 200L)
+    spark.sql("DROP TABLE graft.woc.t")
+  }
+
   test("column pruning narrows the catalog scan to the required columns") {
     spark.sql("DROP TABLE IF EXISTS graft.cp.t")
     spark.sql("CREATE TABLE graft.cp.t (k BIGINT, a STRING, b DOUBLE) USING graft")
