@@ -515,9 +515,62 @@ object SourceQueries {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** X9: TRANSPARENT MV REWRITE WITH ROLLUP NAVIGATION, differentially
+    * verified — the MV is defined at (priority × status) grain; the
+    * query aggregates the BASE table by priority only, so the analyzer
+    * rule substitutes the MV and derives the coarser grain from its
+    * rows (sum-of-sums, sum-of-counts, min-of-mins, max-of-maxs;
+    * `MvRewriteRule`, rollup plan-asserted in `MaterializedViewSpec`).
+    * The DuckDB oracle recomputes the same aggregate from the raw
+    * parquet — a wrong derivation (count-of-counts, double-counted
+    * group, missed NULL group) breaks the hash. Inner/outer split
+    * keeps the inner aggregate EXACTLY the MV-matchable shape; the
+    * outer SELECT applies the decimal→double presentation rounding.
+    */
+  val x9MvRollup: Q = Q(
+    "x9_mv_rollup",
+    """SELECT o_orderpriority, count(*) AS cnt,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total,
+      |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      |FROM orders
+      |WHERE o_orderkey <= 900
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("x9_orders_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.rw_orders")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.rw_pri")
+    spark.sql(
+      """CREATE TABLE graft.demo.rw_orders
+        |  (o_orderkey BIGINT, o_orderpriority STRING, o_orderstatus STRING,
+        |   o_totalprice DOUBLE) USING graft""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.rw_orders
+        |SELECT o_orderkey, o_orderpriority, o_orderstatus, o_totalprice
+        |FROM x9_orders_src WHERE o_orderkey <= 900""".stripMargin)
+    spark.sql(
+      """CALL graft.system.create_mv('demo', 'rw_pri', 'demo.rw_orders',
+        |  'o_orderpriority,o_orderstatus',
+        |  'count(*) AS cnt, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS dec_total,
+        |   min(o_totalprice) AS lo, max(o_totalprice) AS hi')""".stripMargin)
+      .collect()
+    // Aggregates the BASE at the coarser grain — transparently served
+    // by re-aggregating the fresh MV's (priority × status) rows.
+    spark.sql(
+      """SELECT o_orderpriority, cnt,
+        |  round(CAST(dt AS DOUBLE), 4) AS total, lo, hi
+        |FROM (
+        |  SELECT o_orderpriority, count(*) AS cnt,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS dt,
+        |    min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |  FROM graft.demo.rw_orders
+        |  GROUP BY o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     s2ParquetRoundtrip, s3CsvSource, s3JsonSource, s6CacheReuse,
     s7PartitionedSink, s8OrcRoundtrip, x1ScalarUdf, x3Generator, x4Dsv2Source,
     x5CatalogSql, x5bTimeTravel, x5cPartitionedSpj, x5dAtomicCtas, x6CatalogFunction,
-    x7CatalogView, x8MaterializedView)
+    x7CatalogView, x8MaterializedView, x9MvRollup)
 }

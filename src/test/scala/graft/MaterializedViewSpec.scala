@@ -287,6 +287,20 @@ class MaterializedViewSpec extends AnyFunSuite {
     val global = spark.sql("SELECT count(*) AS c, sum(v) AS s FROM graft.roll.base")
     assert(scans(global).exists(_.contains("agg")) && !scans(global).exists(_.contains("base")))
     assert(global.collect().head.getLong(0) == 5L && global.collect().head.getLong(1) == 25L)
+    // Decimal-cast aggregate (the x9_mv_rollup oracle shape): the
+    // re-sum widens precision and must cast back — still MV-served.
+    spark.sql("DROP TABLE IF EXISTS graft.roll.dagg")
+    spark.sql(
+      """CALL graft.system.create_mv('roll', 'dagg', 'roll.base', 'r,p',
+        |  'count(*) AS cnt, sum(CAST(v AS DECIMAL(18,2))) AS dt')""".stripMargin).collect()
+    val decQ = spark.sql(
+      """SELECT r, count(*) AS c, sum(CAST(v AS DECIMAL(18,2))) AS s
+        |FROM graft.roll.base GROUP BY r""".stripMargin)
+    assert(scans(decQ).exists(_.contains("dagg")) && !scans(decQ).exists(_.contains("base")),
+      s"decimal rollup must be MV-served, scanned ${scans(decQ)}")
+    assert(decQ.collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).doubleValue()))
+      .toSeq.sortBy(_._1) == Seq(("eu", 3L, 13.0), ("us", 2L, 12.0)))
+    spark.sql("DROP TABLE graft.roll.dagg")
     // Gates: avg is not rollup-derivable; count(DISTINCT) never is.
     val avgQ = spark.sql("SELECT r, avg(v) AS m FROM graft.roll.base GROUP BY r")
     assert(scans(avgQ).exists(_.contains("base")))
