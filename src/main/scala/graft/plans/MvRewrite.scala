@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, ExprId, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -35,8 +35,12 @@ import graft.sources.{GraftCatalog, GraftMvOps}
   *    MV's rows at the coarser grain.
   *
   * Soundness gates (all must hold, else the plan is untouched):
-  *  - the aggregate's child is the bare source relation (no Filter —
-  *    the MV has no WHERE, so a filtered aggregate must not match);
+  *  - the aggregate's child is the source relation, either bare or
+  *    under ONE WHERE that references MV GROUP columns exclusively —
+  *    such a filter commutes with the pre-aggregation (the MV's rows
+  *    partition exactly by the group columns) and is remapped onto the
+  *    MV scan, where it rides zone-map pruning; any filter touching a
+  *    non-group column kills the match;
   *  - every grouping expression is a plain column that is exactly the
   *    MV's GROUP BY set;
   *  - every aggregate output matches one of the MV's stored aggregate
@@ -84,9 +88,26 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** The aggregate's child, as (optional WHERE condition, relation).
+    * One Filter directly below the aggregate is admissible — whether
+    * it commutes with the MV substitution is decided later, once the
+    * candidate's group columns are known.
+    */
+  @tailrec private def stripChild(
+      p: LogicalPlan): Option[(Option[Expression], DataSourceV2Relation)] =
+    p match {
+      case s: SubqueryAlias => stripChild(s.child)
+      case f: Filter =>
+        stripToRelation(f.child).map(r => (Some(f.condition), r))
+      case r: DataSourceV2Relation => Some((None, r))
+      case _ => None
+    }
+
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val relation = stripToRelation(agg.child) match {
-      case Some(r) if r.catalog.exists(_.isInstanceOf[GraftCatalog]) && r.identifier.isDefined => r
+    val (filterCond, relation) = stripChild(agg.child) match {
+      case Some((c, r))
+          if r.catalog.exists(_.isInstanceOf[GraftCatalog]) && r.identifier.isDefined =>
+        (c, r)
       case _ => return None
     }
     val srcIdent = relation.identifier.get
@@ -104,16 +125,29 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     if (candidates.isEmpty) return None
 
     candidates.view.flatMap { case (mvIdent, props) =>
-      tryCandidate(agg, relation, groupAttrs, mvIdent, props, resolver)
+      tryCandidate(agg, relation, groupAttrs, filterCond, mvIdent, props, resolver)
     }.headOption
   }
 
   private def tryCandidate(
       agg: Aggregate, relation: DataSourceV2Relation, groupAttrs: Seq[Attribute],
+      filterCond: Option[Expression],
       mvIdent: Identifier, props: Map[String, String],
       resolver: (String, String) => Boolean): Option[LogicalPlan] = {
     val mvGroupCols = props(GraftMvOps.GroupProp).split(',').toSeq
     if (groupAttrs.map(_.name.toLowerCase).distinct.length != groupAttrs.length) return None
+    // A WHERE below the aggregate commutes with the MV substitution
+    // only when it references MV GROUP columns exclusively (the MV's
+    // rows partition exactly by those, so slicing them before or after
+    // pre-aggregation is the same set of input rows), is deterministic,
+    // and carries no subquery.
+    val condAdmissible = filterCond.forall { c =>
+      c.deterministic &&
+        c.find(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])
+          .isEmpty &&
+        c.references.forall(a => mvGroupCols.exists(resolver(_, a.name)))
+    }
+    if (!condAdmissible) return None
     // Grouping relationship: EXACT (same set → scan the MV as-is) or
     // ROLLUP (query groups ⊂ MV groups, incl. the global aggregate →
     // re-aggregate the MV's — far fewer — rows).
@@ -145,6 +179,24 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       mvRelation.output.find(a => resolver(a.name, col))
     def groupColFor(a: Attribute): Option[String] = mvGroupCols.find(resolver(_, a.name))
 
+    // The (possibly filtered) MV input: base group-column references in
+    // the WHERE are remapped onto the MV's own columns, so the slice
+    // rides the MV scan's zone-map pruning.
+    var condMapped = true
+    val mvChild: LogicalPlan = filterCond match {
+      case None => mvRelation
+      case Some(c) =>
+        val mapped = c.transformUp {
+          case a: AttributeReference =>
+            mvGroupCols.find(resolver(_, a.name)).flatMap(mvAttr) match {
+              case Some(m) => m
+              case None => condMapped = false; a
+            }
+        }
+        Filter(mapped, mvRelation)
+    }
+    if (!condMapped) return None
+
     if (exact) {
       // Map every aggregate output onto an MV column; types must agree.
       val outputs = agg.aggregateExpressions.map {
@@ -162,7 +214,7 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
           Alias(m, al.name)(exprId = al.exprId)
         case _ => return None
       }
-      Some(Project(outputs, mvRelation))
+      Some(Project(outputs, mvChild))
     } else {
       // ROLLUP: re-aggregate the MV. Derivable shapes only — sum→sum,
       // count→sum (a count of counts is wrong; a sum of counts is the
@@ -196,7 +248,7 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       }
       val newGroups: Seq[Expression] =
         groupAttrs.map(a => groupColFor(a).flatMap(mvAttr).getOrElse(return None))
-      Some(Aggregate(newGroups, outputs, mvRelation))
+      Some(Aggregate(newGroups, outputs, mvChild))
     }
   }
 

@@ -1068,8 +1068,12 @@ object GraftCatalog {
     store.asScala.toSeq.collect {
       case (id, e) if e.props.get(GraftMvOps.SourceProp).contains(src) &&
           cur.exists(v => e.props.get(GraftMvOps.VersionProp).contains(v.toString)) =>
-        (id, e.props)
-    }.sortBy(_._1.toString)
+        (id, e.props, e.segments.map(_.liveRows).sum)
+    // Smallest MV first (identifier tiebreak keeps plan choice stable):
+    // when several fresh MVs can serve a query, the fewest
+    // pre-aggregated rows win.
+    }.sortBy { case (id, _, rows) => (rows, id.toString) }
+      .map { case (id, props, _) => (id, props) }
   }
 
   private val store = new ConcurrentHashMap[Identifier, TableEntry]()
@@ -2980,6 +2984,7 @@ private[graft] case class GraftCatalogScan(
     s"GraftCatalogScan($ident, columns=[${out.fieldNames.mkString(", ")}], " +
       s"zoneMapFilters=[${pruning.mkString(", ")}]" +
       (if (partitionCols.nonEmpty) s", keyGroupedBy=[${partitionCols.mkString(", ")}]" else "") +
+      limit.map(n => s", pushedLimit=$n").getOrElse("") +
       pinned.map(_ => ", pinnedSnapshot").getOrElse("") + ")"
 
   // Time-travel scans plan against the PINNED snapshot list; live scans

@@ -234,9 +234,17 @@ class MaterializedViewSpec extends AnyFunSuite {
     // Gate: sum over a DIFFERENT column must not match sum(v).
     assert(hasAgg(spark.sql(
       "SELECT g, count(*) AS c, sum(length(g)) AS s FROM graft.mvr.base GROUP BY g")))
-    // Gate: a WHERE on the base -> no rewrite (the MV has no filter).
+    // Gate: a WHERE on a NON-group column -> no rewrite (slices rows
+    // inside groups, which the MV cannot reproduce).
     assert(hasAgg(spark.sql(
       "SELECT g, count(*) AS c FROM graft.mvr.base WHERE v > 1 GROUP BY g")))
+    // ...but a WHERE on a GROUP column commutes: served from the MV
+    // with the slice remapped onto the MV scan.
+    val sliced = spark.sql(
+      "SELECT g, count(*) AS c, sum(v) AS s FROM graft.mvr.base WHERE g = 'a' GROUP BY g")
+    assert(!hasAgg(sliced), "group-column WHERE must still be MV-served")
+    assert(sliced.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq(("a", 2L, 3L)))
     // Gate: different grouping -> no rewrite. (Not the global-agg
     // shape: an ungrouped count is answered by the scan's own COUNT
     // pushdown, legitimately leaving no Aggregate either way.)
@@ -287,6 +295,15 @@ class MaterializedViewSpec extends AnyFunSuite {
     val global = spark.sql("SELECT count(*) AS c, sum(v) AS s FROM graft.roll.base")
     assert(scans(global).exists(_.contains("agg")) && !scans(global).exists(_.contains("base")))
     assert(global.collect().head.getLong(0) == 5L && global.collect().head.getLong(1) == 25L)
+    // WHERE on an MV group column that the query does NOT group by:
+    // commutes (MV rows partition by (r, p)), so the sliced rollup is
+    // still MV-served with the filter remapped onto the MV scan.
+    val slicedRoll = spark.sql(
+      "SELECT r, sum(v) AS s FROM graft.roll.base WHERE p = 'a' GROUP BY r")
+    assert(scans(slicedRoll).exists(_.contains("agg")) &&
+      !scans(slicedRoll).exists(_.contains("base")))
+    assert(slicedRoll.collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+      == Seq(("eu", 3L), ("us", 5L)))
     // Decimal-cast aggregate (the x9_mv_rollup oracle shape): the
     // re-sum widens precision and must cast back — still MV-served.
     spark.sql("DROP TABLE IF EXISTS graft.roll.dagg")
