@@ -75,6 +75,11 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     // resolution batch still iterates, so the rewrite always gets its
     // turn — just last.
     if (!plan.resolved) return plan
+    // Metastore pre-gate: no MVs anywhere → no per-plan traversal. An
+    // analyzer rule runs on EVERY fixed-point iteration of EVERY query
+    // (iterative operators analyze hundreds of plans); the common
+    // MV-free session must pay nothing beyond this map probe.
+    if (!GraftCatalog.anyMvDefined) return plan
     plan.transformUp {
       case agg: Aggregate if agg.resolved =>
         rewrite(agg).getOrElse(agg)

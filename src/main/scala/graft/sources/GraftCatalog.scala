@@ -1054,6 +1054,16 @@ object GraftCatalog {
       ns: String, table: String, set: Map[String, String]): Unit =
     patchTableProps(Identifier.of(Array(ns), table), set)
 
+  /** Fast pre-gate for the MV rewrite rule: whether ANY table in the
+    * metastore is a materialized view. False for the overwhelmingly
+    * common MV-free session, letting the analyzer rule exit before any
+    * per-plan work.
+    */
+  private[graft] def anyMvDefined: Boolean = {
+    ensureLoaded()
+    store.asScala.exists(_._2.props.contains(GraftMvOps.SourceProp))
+  }
+
   /** Materialized views of `sourceNs.sourceTbl` that are FRESH (their
     * recorded source version is the source's current version) — the
     * candidates the transparent MV rewrite may substitute for an
