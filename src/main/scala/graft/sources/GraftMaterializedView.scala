@@ -142,11 +142,29 @@ private[graft] object GraftMvOps {
     ("full", GraftCatalog.rowCount(ns, name), v0)
   }
 
+  /** Per-MV refresh serialization: two interleaved refreshes of the
+    * same MV could otherwise race their MERGEs — a v0→v1 diff's MERGE
+    * landing AFTER a v0→v2 diff's would overwrite groups with STALE
+    * aggregates while the version property says v2. The lock makes
+    * refreshes of one MV strictly sequential (in-JVM, matching the
+    * metastore's own scope); distinct MVs refresh concurrently.
+    */
+  private val refreshLocks =
+    new java.util.concurrent.ConcurrentHashMap[Identifier, Object]()
+
   /** Refresh: returns (mode, groups, source_version) where mode is
     * "noop" (already current), "incremental" (groups = touched group
     * count) or "full" (groups = MV row count after recompute).
     */
   def refresh(spark: SparkSession, ns: String, name: String): (String, Long, Long) = {
+    val ident0 = Identifier.of(Array(ns), name)
+    refreshLocks.computeIfAbsent(ident0, _ => new Object).synchronized {
+      refreshLocked(spark, ns, name)
+    }
+  }
+
+  private def refreshLocked(
+      spark: SparkSession, ns: String, name: String): (String, Long, Long) = {
     val cat = catalogName(spark)
     val ident = Identifier.of(Array(ns), name)
     val props = GraftCatalog.tablePropsJava(ident).asScala
