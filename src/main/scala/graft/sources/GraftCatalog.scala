@@ -125,7 +125,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       try version.toLong
       catch { case _: NumberFormatException =>
         store.get(ident).props.get(TagPropPrefix + version) match {
-          case Some(tv) => tv.toLong
+          case Some(tv) =>
+            try tv.toLong
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"tag '$version' has a malformed target version '$tv'")
+            }
           case None => throw new IllegalArgumentException(
             s"graft catalog versions are numeric commit ids or tag names; " +
               s"'$version' is neither (no '$TagPropPrefix$version' property)")
@@ -187,6 +192,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     val partCols = validatePartitionCols(schema, partitions)
     val props = userProps(properties)
     props.get(WriteOrderProp).foreach(validateWriteOrder(schema, _))
+    // CREATE-time tags can only be malformed (no history exists yet to
+    // validate against) — reject non-numeric targets here so a later
+    // VERSION AS OF '<tag>' never trips over garbage.
+    props.foreach { case (k, v) =>
+      if (k.startsWith(TagPropPrefix) && !(v.nonEmpty && v.forall(_.isDigit)))
+        throw new IllegalArgumentException(
+          s"tag '$k' must name a numeric snapshot version, got '$v'")
+    }
     val dir = Files.createTempDirectory(segmentRoot, "tbl-").toString
     if (store.putIfAbsent(ident,
         TableEntry(schema, Vector.empty, dir, partCols, props = props)) != null) {

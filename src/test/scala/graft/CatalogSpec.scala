@@ -517,6 +517,28 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.woc.t")
   }
 
+  test("streaming writes into a write-ordered table succeed and stay exact") {
+    spark.sql("DROP TABLE IF EXISTS graft.wos.t")
+    spark.sql(
+      """CREATE TABLE graft.wos.t (id BIGINT, val DOUBLE, tag BIGINT) USING graft
+        |TBLPROPERTIES ('graft.write.order'='id')""".stripMargin)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_wos_").toString
+    // The ordered distribution is declared on the shared Write; the
+    // micro-batch path must either honor or tolerate it — a failed
+    // stream here means ordered tables silently can't be sinks.
+    spark.readStream.format("graft-range")
+      .option("end", "400").option("rowsPerBatch", "200")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("graft.wos.t")
+      .awaitTermination()
+    assert(spark.sql("SELECT count(*) FROM graft.wos.t").as[Long].head() == 400L)
+    assert(spark.sql("SELECT sum(id) FROM graft.wos.t").as[Long].head() == 399L * 400 / 2)
+    spark.sql("DROP TABLE graft.wos.t")
+  }
+
   test("column pruning narrows the catalog scan to the required columns") {
     spark.sql("DROP TABLE IF EXISTS graft.cp.t")
     spark.sql("CREATE TABLE graft.cp.t (k BIGINT, a STRING, b DOUBLE) USING graft")
