@@ -1,6 +1,5 @@
 package graft.plans
 
-import scala.annotation.tailrec
 import scala.util.control.NonFatal
 
 import org.apache.spark.sql.SparkSession
@@ -86,24 +85,28 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  @tailrec private def stripToRelation(p: LogicalPlan): Option[DataSourceV2Relation] =
-    p match {
-      case s: SubqueryAlias => stripToRelation(s.child)
-      case r: DataSourceV2Relation => Some(r)
-      case _ => None
-    }
-
   /** The aggregate's child, as (optional WHERE condition, relation).
     * One Filter directly below the aggregate is admissible — whether
     * it commutes with the MV substitution is decided later, once the
-    * candidate's group columns are known.
+    * candidate's group columns are known. Pass-through projections
+    * (bare attributes, no aliasing — what a `SELECT *` VIEW expansion
+    * inserts) are transparent: they neither rename nor compute, so the
+    * aggregate's expressions still reference the relation's columns by
+    * their original names.
     */
-  @tailrec private def stripChild(
+  private def stripChild(
       p: LogicalPlan): Option[(Option[Expression], DataSourceV2Relation)] =
     p match {
       case s: SubqueryAlias => stripChild(s.child)
+      case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        stripChild(pr.child)
       case f: Filter =>
-        stripToRelation(f.child).map(r => (Some(f.condition), r))
+        stripChild(f.child).flatMap {
+          // At most ONE filter on the path (two conjoin fine, but keep
+          // the shape simple and predictable).
+          case (None, r) => Some((Some(f.condition), r))
+          case _ => None
+        }
       case r: DataSourceV2Relation => Some((None, r))
       case _ => None
     }

@@ -327,6 +327,38 @@ class MaterializedViewSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.roll.base")
   }
 
+  test("MV rewrite composes with V2 views: aggregating through a view is MV-served") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.identifier.map(_.toString).getOrElse("")
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.identifier.map(_.toString).getOrElse("")
+      }
+    spark.sql("DROP VIEW IF EXISTS graft.mvv.v")
+    spark.sql("DROP TABLE IF EXISTS graft.mvv.base")
+    spark.sql("DROP TABLE IF EXISTS graft.mvv.agg")
+    spark.sql("CREATE TABLE graft.mvv.base (g STRING, v BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.mvv.base VALUES ('a', 1), ('a', 2), ('b', 10)")
+    spark.sql(
+      "CALL graft.system.create_mv('mvv', 'agg', 'mvv.base', 'g', 'count(*) AS cnt, sum(v) AS total')")
+      .collect()
+    // A SELECT * view expands to a pass-through projection over the
+    // base relation — transparent to the rewrite.
+    spark.sql("CREATE VIEW graft.mvv.v AS SELECT * FROM graft.mvv.base")
+    val q = spark.sql(
+      "SELECT g, count(*) AS c, sum(v) AS s FROM graft.mvv.v GROUP BY g")
+    assert(!q.queryExecution.optimizedPlan.exists(_.isInstanceOf[Aggregate]),
+      "aggregate through the view should be answered by the MV")
+    assert(scans(q).exists(_.contains("agg")) && !scans(q).exists(_.contains("base")))
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+      == Seq(("a", 2L, 3L), ("b", 1L, 10L)))
+    spark.sql("DROP VIEW graft.mvv.v")
+    spark.sql("DROP TABLE graft.mvv.agg")
+    spark.sql("DROP TABLE graft.mvv.base")
+  }
+
   test("concurrent refreshes of one MV serialize and converge") {
     spark.sql("DROP TABLE IF EXISTS graft.mvc.base")
     spark.sql("DROP TABLE IF EXISTS graft.mvc.agg")
