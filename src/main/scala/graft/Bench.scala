@@ -56,6 +56,15 @@ object Bench {
         // dominate DRIVER time for later large-plan queries (measured 2.4×
         // total slowdown across 62 queries without this).
         spark.catalog.clearCache()
+        // And stop any streaming query a row accidentally left running —
+        // a leaked stream's trigger loop would silently tax every later
+        // row in the suite (the r9 x5c/x5d in-suite slowdown was this
+        // SHAPE of defect; bisection showed it was driver-box load, but
+        // the insurance is one no-op call when nothing leaked).
+        spark.streams.active.foreach { q =>
+          System.err.println(s"[bench] $name leaked streaming query ${q.name}; stopping")
+          try q.stop() catch { case _: Throwable => () }
+        }
         elapsed
       }.sorted
       (name, times(reps / 2), times.head, times.last)

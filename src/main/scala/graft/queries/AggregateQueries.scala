@@ -119,20 +119,36 @@ object AggregateQueries {
         col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
-  /** A6: HLL approximate distinct (no oracle — sketch internals differ per
-    * engine; accuracy is asserted in AggregateSpec against the exact count).
-    * This is the 100 TB path for COUNT(DISTINCT) over high-cardinality keys:
-    * constant memory per group, no expand.
+  /** A6: HLL approximate distinct. The raw estimate is engine-specific
+    * (sketch internals differ), so the ORACLE-VISIBLE columns are the
+    * exact count plus `within_bounds` = |approx−exact|/exact ≤ 3·rsd —
+    * the HLL accuracy contract itself, checkable by DuckDB emitting the
+    * same exact count and a constant `true`. A broken sketch flips the
+    * boolean and the hash. (Distribution-level accuracy is additionally
+    * law-tested in AggregateSpec.) This is the 100 TB path for
+    * COUNT(DISTINCT) over high-cardinality keys: constant memory per
+    * group, no expand.
     */
   val a6ApproxDistinct: Q = Q(
     "a6_approx_distinct",
-    fn = (spark, dir) =>
-      Tables.events(spark, dir)
-        .groupBy(col("event_type"))
-        .agg(
-          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"))
-        .orderBy(col("event_type")))
+    """SELECT event_type,
+      |  count(DISTINCT user_id) AS exact_users,
+      |  true AS within_bounds
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .select(
+        col("event_type"),
+        col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) /
+          greatest(col("exact_users"), lit(1L)) <= lit(0.06)).as("within_bounds"))
+      .orderBy(col("event_type"))
+  }
 
   /** A7: exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     * `quantile_cont`). At true 100 TB scale swap to `percentile_approx`

@@ -3025,7 +3025,7 @@ private[graft] case class GraftCatalogScan(
   // Deterministic order: groups sorted by key rendering, so repeated
   // plans of the same state enumerate identically.
   private def keyGroups: Seq[(IndexedSeq[Any], Vector[GraftCatalog.Segment])] =
-    survivors.groupBy(_.key).toSeq.sortBy(_._1.mkString(" "))
+    survivors.groupBy(_.key).toSeq.sortBy(_._1.mkString("\u0000"))
 
   /** Unpartitioned: one split per SURVIVING segment — the partition
     * carries only (path, rows); bytes stay on disk until the executor
@@ -3296,7 +3296,14 @@ private[graft] class GraftCatalogMicroBatchStream(
       if (e <= s) Vector.empty
       else if (s < 0) {
         val snap = snapshotOrFail(e)
-        if (snap.schema.length != schema.length)
+        // Same per-field TYPE comparison as addedAt's per-commit guard:
+        // an initial snapshot written under an older layout (e.g. before
+        // an ALTER COLUMN TYPE widening, reached via startingVersion)
+        // must not be decoded with this stream's schema — arity alone
+        // misses retypes and would silently corrupt values.
+        if (snap.schema.length != schema.length ||
+            snap.schema.fields.zip(schema.fields).exists {
+              case (a, b) => a.dataType != b.dataType })
           throw new IllegalStateException(
             s"streaming read of $ident: snapshot v$e schema ${snap.schema.simpleString} " +
               s"differs from the table's ${schema.simpleString}; restart the stream")

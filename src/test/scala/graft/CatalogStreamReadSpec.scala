@@ -144,6 +144,55 @@ class CatalogStreamReadSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("initial snapshot load under a stale (pre-widening) stream schema fails loudly") {
+    // The window: a stream object captures the table schema at load
+    // time; an ALTER COLUMN TYPE widening lands BEFORE the first
+    // micro-batch plans. The initial-snapshot guard must compare field
+    // TYPES (arity is unchanged by a retype) — decoding the widened
+    // snapshot with the stale narrow schema would getInt a LongType
+    // slot and silently corrupt values.
+    spark.sql("DROP TABLE IF EXISTS graft.csr.src7")
+    spark.sql("CREATE TABLE graft.csr.src7 (k INT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.csr.src7 VALUES (1,'a')")
+    import org.apache.spark.sql.connector.catalog.Identifier
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    val staleSchema = StructType(Seq(
+      StructField("k", IntegerType), StructField("v", StringType)))
+    val stream = new graft.sources.GraftCatalogMicroBatchStream(
+      Identifier.of(Array("csr"), "src7"), staleSchema, staleSchema,
+      IndexedSeq.empty, None, false)
+    spark.sql("ALTER TABLE graft.csr.src7 ALTER COLUMN k TYPE BIGINT")
+    spark.sql("INSERT INTO graft.csr.src7 VALUES (5000000000, 'big')")
+    val latest = stream.reportLatestOffset()
+    val e = intercept[IllegalStateException] {
+      stream.planInputPartitions(graft.sources.GraftVersionOffset(-1), latest)
+    }
+    assert(e.getMessage.contains("restart the stream"), e.getMessage)
+  }
+
+  test("startingVersion replay of pre-widening commits fails loudly under the evolved schema") {
+    // Mirror image of the stale-stream case: the stream holds the NEW
+    // (widened) schema but startingVersion points at commits written
+    // under the old layout — the per-commit guard must refuse to decode
+    // them rather than widen bytes positionally.
+    spark.sql("DROP TABLE IF EXISTS graft.csr.src8")
+    spark.sql("CREATE TABLE graft.csr.src8 (k INT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.csr.src8 VALUES (1,'old')") // narrow-layout commit
+    spark.sql("ALTER TABLE graft.csr.src8 ALTER COLUMN k TYPE BIGINT")
+    val q = spark.readStream.option("startingVersion", "1")
+      .table("graft.csr.src8")
+      .writeStream.format("memory").queryName("csr8").start()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(10000)
+      }
+      def chain(t: Throwable): String =
+        if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+      assert(chain(e).contains("different schema"), chain(e))
+    } finally q.stop()
+  }
+
   test("startingVersion skips the snapshot and replays history from that commit") {
     spark.sql("DROP TABLE IF EXISTS graft.csr.src6")
     spark.sql("CREATE TABLE graft.csr.src6 (k BIGINT, v STRING) USING graft")
