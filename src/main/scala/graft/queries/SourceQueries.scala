@@ -397,6 +397,82 @@ object SourceQueries {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** X5e: ROW-LEVEL DML end-to-end through `SupportsRowLevelOperations`
+    * — UPDATE (group-scoped copy-on-write rewrite), MERGE INTO with
+    * both MATCHED (additive update) and NOT MATCHED (insert of negated
+    * keys, disjoint by construction) branches, then DELETE (deletion-
+    * vector merge-on-read path), with the FINAL TABLE STATE aggregated
+    * and pinned to the oracle. The DuckDB side replays the same three
+    * mutations as pure CTE algebra over the raw parquet: UPDATE = CASE
+    * projection, MERGE = left join (matched add) ⊎ inserted rows,
+    * DELETE = the kept-rows predicate. Every per-row double op is the
+    * same IEEE expression on both sides, so the decimal-summed hash is
+    * exact. A wrong rewrite scope (rows rewritten that the WHERE did
+    * not select), a dv mask applied to the wrong segment, or a MERGE
+    * branch misfire all land in the final state and break the hash.
+    */
+  val x5eRowLevelDml: Q = Q(
+    "x5e_row_level_dml",
+    """WITH upd AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CASE WHEN c_mktsegment = 'BUILDING'
+      |         THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal
+      |  FROM customer
+      |), merged AS (
+      |  SELECT u.c_custkey, u.c_mktsegment,
+      |    u.c_acctbal + COALESCE(m.c_acctbal, 0.0) AS c_acctbal
+      |  FROM upd u
+      |  LEFT JOIN (SELECT c_custkey, c_acctbal FROM customer
+      |             WHERE c_custkey % 10 = 0) m
+      |    ON u.c_custkey = m.c_custkey
+      |  UNION ALL
+      |  SELECT -c_custkey, c_mktsegment, c_acctbal FROM customer
+      |  WHERE c_custkey % 10 = 1
+      |)
+      |SELECT c_mktsegment, count(*) AS n,
+      |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+      |FROM merged WHERE c_acctbal >= 0
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.customer(spark, dir).createOrReplaceTempView("x5e_customer_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.cust_dml")
+    spark.sql(
+      """CREATE TABLE graft.demo.cust_dml
+        |  (c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE)
+        |USING graft""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.cust_dml
+        |SELECT CAST(c_custkey AS BIGINT), c_mktsegment, c_acctbal
+        |FROM x5e_customer_src""".stripMargin)
+    spark.sql(
+      """UPDATE graft.demo.cust_dml SET c_acctbal = c_acctbal + 100.0
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+    // Matched keys (k % 10 = 0) add the source balance; negated keys
+    // (k % 10 = 1) can never match an existing positive key → insert.
+    spark.sql(
+      """MERGE INTO graft.demo.cust_dml t
+        |USING (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS seg,
+        |         c_acctbal AS bal
+        |  FROM x5e_customer_src WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT CAST(-c_custkey AS BIGINT), c_mktsegment, c_acctbal
+        |  FROM x5e_customer_src WHERE c_custkey % 10 = 1
+        |) s
+        |ON t.c_custkey = s.k
+        |WHEN MATCHED THEN UPDATE SET c_acctbal = t.c_acctbal + s.bal
+        |WHEN NOT MATCHED THEN
+        |  INSERT (c_custkey, c_mktsegment, c_acctbal) VALUES (s.k, s.seg, s.bal)""".stripMargin)
+    spark.sql("DELETE FROM graft.demo.cust_dml WHERE c_acctbal < 0")
+    spark.sql(
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+        |FROM graft.demo.cust_dml
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
   /** X7: V2 CATALOG VIEWS — CREATE VIEW / SELECT-through-view / view-
     * over-view on the graft catalog, wired by GraftExtensions (stock
     * Spark has no V2 view DDL or read path; see
@@ -571,6 +647,7 @@ object SourceQueries {
   val all: Seq[Q] = Seq(
     s2ParquetRoundtrip, s3CsvSource, s3JsonSource, s6CacheReuse,
     s7PartitionedSink, s8OrcRoundtrip, x1ScalarUdf, x3Generator, x4Dsv2Source,
-    x5CatalogSql, x5bTimeTravel, x5cPartitionedSpj, x5dAtomicCtas, x6CatalogFunction,
+    x5CatalogSql, x5bTimeTravel, x5cPartitionedSpj, x5dAtomicCtas, x5eRowLevelDml,
+    x6CatalogFunction,
     x7CatalogView, x8MaterializedView, x9MvRollup)
 }
