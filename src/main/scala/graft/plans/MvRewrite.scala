@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, ExprId, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -63,6 +63,7 @@ import graft.sources.{GraftCatalog, GraftMvOps}
 case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   val EnabledKey = "spark.graft.mvRewrite.enabled"
+  val StaleEnabledKey = "spark.graft.mvRewrite.stale.enabled"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(EnabledKey, "true").toBoolean) return plan
@@ -118,6 +119,10 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
         (c, r)
       case _ => return None
     }
+    // A `VERSION/TIMESTAMP AS OF` scan resolves to the SAME relation
+    // shape but with a snapshot-pinned table; it asks about history and
+    // must never be answered from the (current) MV.
+    if (GraftCatalog.isPinnedTable(relation.table)) return None
     val srcIdent = relation.identifier.get
     if (srcIdent.namespace().length != 1) return None
     val resolver = conf.resolver
@@ -128,13 +133,17 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => return None
     }
 
-    val candidates =
+    val fresh =
       GraftCatalog.freshMvsFor(srcIdent.namespace()(0), srcIdent.name())
-    if (candidates.isEmpty) return None
-
-    candidates.view.flatMap { case (mvIdent, props) =>
+    fresh.view.flatMap { case (mvIdent, props) =>
       tryCandidate(agg, relation, groupAttrs, filterCond, mvIdent, props, resolver)
-    }.headOption
+    }.headOption.orElse {
+      if (!conf.getConfString(StaleEnabledKey, "true").toBoolean) None
+      else GraftCatalog.staleMvsFor(srcIdent.namespace()(0), srcIdent.name())
+        .view.flatMap { case (mvIdent, _) =>
+          tryStaleCandidate(agg, relation, groupAttrs, filterCond, mvIdent, resolver)
+        }.headOption
+    }
   }
 
   private def tryCandidate(
@@ -258,6 +267,186 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
         groupAttrs.map(a => groupColFor(a).flatMap(mvAttr).getOrElse(return None))
       Some(Aggregate(newGroups, outputs, mvChild))
     }
+  }
+
+  /** STALE-TOLERANT rewrite (delta-union): an MV whose source has only
+    * APPENDED segments since the MV's recorded version v0 can still
+    * answer — as MV ⊎ re-aggregate(delta), where the delta scan reads
+    * EXACTLY the segments appended after v0 (a pinned scan; zone maps,
+    * blooms and column pruning apply). This is the incremental-query
+    * shape the freshness gate alone forfeits: at 100 TB the MV covers
+    * years of history and the delta is one day's appends, so the query
+    * costs MV-size + delta-size instead of a full base scan — WITHOUT
+    * requiring the user to refresh first.
+    *
+    * Extra gates beyond the fresh path:
+    *  - every commit v0..current must be append-only (no segment
+    *    removed, no deletion vector changed, schema identical) and the
+    *    snapshot chain fully retained — else decline (base scan);
+    *  - every QUERY aggregate must be merge-derivable (sum/count/min/
+    *    max, no DISTINCT/FILTER): the MV's partial and the delta's
+    *    partial are combined by a final merge aggregate, which rolls up
+    *    count via sum-of-counts exactly like the rollup path. This
+    *    holds even for an exact grouping match — a group can live in
+    *    both branches;
+    *  - consistency protocol against a concurrent refresh: ONE atomic
+    *    entry snapshot provides both the pinned MV segments and the
+    *    props (immutable `TableEntry` — data and recorded version
+    *    cannot tear), and the refresh-in-flight flag
+    *    ([[GraftMvOps.RefreshingProp]], set before the refresh MERGE,
+    *    cleared atomically with its version bump) closes the
+    *    data@v1/props@v0 window. The delta is then computed from the
+    *    snapshot's v0 to the source's current version — the answer is
+    *    the source at that serialization point regardless of what the
+    *    live MV entry does meanwhile.
+    */
+  private def tryStaleCandidate(
+      agg: Aggregate, relation: DataSourceV2Relation, groupAttrs: Seq[Attribute],
+      filterCond: Option[Expression], mvIdent: Identifier,
+      resolver: (String, String) => Boolean): Option[LogicalPlan] = {
+    val (mvTable, props) = GraftCatalog.mvEntrySnapshot(mvIdent).getOrElse(return None)
+    if (props.contains(GraftMvOps.RefreshingProp)) return None
+    val v0 = props.get(GraftMvOps.VersionProp) match {
+      case Some(s) if s.nonEmpty && s.forall(_.isDigit) => s.toLong
+      case _ => return None
+    }
+    val mvGroupCols =
+      props.get(GraftMvOps.GroupProp).map(_.split(',').toSeq).getOrElse(return None)
+    if (groupAttrs.map(_.name.toLowerCase).distinct.length != groupAttrs.length) return None
+    // Same WHERE admissibility as the fresh path: group columns only.
+    val condAdmissible = filterCond.forall { c =>
+      c.deterministic &&
+        c.find(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])
+          .isEmpty &&
+        c.references.forall(a => mvGroupCols.exists(resolver(_, a.name)))
+    }
+    if (!condAdmissible) return None
+    // Exact or coarser grouping both funnel into the one merge
+    // aggregate; finer grouping cannot be served.
+    if (!groupAttrs.forall(a => mvGroupCols.exists(c => resolver(c, a.name)))) return None
+
+    val srcIdent = relation.identifier.get
+    val delta = GraftCatalog.appendOnlyDeltaSince(
+      srcIdent.namespace()(0), srcIdent.name(), v0).getOrElse(return None)
+
+    // Bind the MV's aggregate specs against the source relation and key
+    // them like the fresh path; remember each spec's raw text so it can
+    // be RE-bound against the delta relation below.
+    val aggsProp = props.getOrElse(GraftMvOps.AggsProp, return None)
+    val specs: Seq[(String, String, String)] = GraftMvOps.splitTop(aggsProp).map { item =>
+      resolveSpec(item, relation) match {
+        case Some(al: Alias) => (norm(al.child), al.name, item)
+        case _ => return None
+      }
+    }
+    val specByKey: Map[String, String] = specs.map(t => t._1 -> t._2).toMap
+    if (specByKey.size != specs.length) return None
+    val itemByName: Map[String, String] = specs.map(t => t._2 -> t._3).toMap
+
+    // Plan the output shape FIRST: which MV agg columns the query
+    // needs, and that every query aggregate is merge-derivable.
+    val neededAggCols: Seq[String] = agg.aggregateExpressions.flatMap {
+      case a: Attribute if mvGroupCols.exists(resolver(_, a.name)) => None
+      case Alias(child: Attribute, _) if mvGroupCols.exists(resolver(_, child.name)) => None
+      case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case _: Sum | _: Count | _: Min | _: Max =>
+            Some(specByKey.getOrElse(norm(ae), return None))
+          case _ => return None
+        }
+      case _ => return None
+    }.distinct
+    val unionCols: Seq[String] = mvGroupCols ++ neededAggCols
+
+    // MV branch: pinned scan of the snapshot's segments, WHERE remapped
+    // onto MV columns, projected to the union shape.
+    val mvRelation = DataSourceV2Relation.create(mvTable, relation.catalog, Some(mvIdent))
+    def mvAttr(col: String): Option[Attribute] =
+      mvRelation.output.find(a => resolver(a.name, col))
+    def groupColFor(a: Attribute): Option[String] = mvGroupCols.find(resolver(_, a.name))
+    var condMapped = true
+    val mvChild: LogicalPlan = filterCond match {
+      case None => mvRelation
+      case Some(c) =>
+        val mapped = c.transformUp {
+          case a: AttributeReference =>
+            mvGroupCols.find(resolver(_, a.name)).flatMap(mvAttr) match {
+              case Some(m) => m
+              case None => condMapped = false; a
+            }
+        }
+        Filter(mapped, mvRelation)
+    }
+    if (!condMapped) return None
+    val mvPart = Project(unionCols.map(c => mvAttr(c).getOrElse(return None)), mvChild)
+
+    // Delta branch: the appended segments as a pinned scan of the
+    // SOURCE, aggregated to the same shape by the MV's own specs.
+    val combined: LogicalPlan =
+      if (delta.isEmpty) mvPart // metadata-only version drift: MV data is current
+      else {
+        val deltaTable =
+          GraftCatalog.segmentPinnedTable(srcIdent, delta).getOrElse(return None)
+        val deltaRelation =
+          DataSourceV2Relation.create(deltaTable, relation.catalog, Some(srcIdent))
+        def deltaAttr(col: String): Option[Attribute] =
+          deltaRelation.output.find(a => resolver(a.name, col))
+        val deltaChild: LogicalPlan = filterCond match {
+          case None => deltaRelation
+          case Some(c) =>
+            var ok = true
+            val mapped = c.transformUp {
+              case a: AttributeReference => deltaAttr(a.name) match {
+                case Some(d) => d
+                case None => ok = false; a
+              }
+            }
+            if (!ok) return None
+            Filter(mapped, deltaRelation)
+        }
+        val deltaGroups: Seq[NamedExpression] =
+          mvGroupCols.map(c => deltaAttr(c).getOrElse(return None))
+        val deltaAggs: Seq[NamedExpression] = neededAggCols.map { n =>
+          resolveSpec(itemByName(n), deltaRelation) match {
+            case Some(al: Alias) => al
+            case _ => return None
+          }
+        }
+        val deltaPart = Aggregate(deltaGroups, deltaGroups ++ deltaAggs, deltaChild)
+        // Union is positional: both branches emit unionCols in order and
+        // must agree on types exactly (no silent coercion).
+        if (mvPart.output.map(_.dataType) != deltaPart.output.map(_.dataType)) return None
+        Union(mvPart :: deltaPart :: Nil)
+      }
+    def unionAttr(col: String): Attribute = combined.output(unionCols.indexOf(col))
+
+    // Final merge aggregate at the QUERY's grain, output ExprIds
+    // preserved so parent operators are oblivious.
+    val outputs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: Attribute if groupColFor(a).isDefined =>
+        val m = unionAttr(groupColFor(a).get)
+        if (m.dataType != a.dataType) return None
+        Alias(m, a.name)(exprId = a.exprId)
+      case al @ Alias(child: Attribute, _) if groupColFor(child).isDefined =>
+        val m = unionAttr(groupColFor(child).get)
+        if (m.dataType != al.dataType) return None
+        Alias(m, al.name)(exprId = al.exprId)
+      case al @ Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
+        val src = unionAttr(specByKey(norm(ae)))
+        val reagg = ae.aggregateFunction match {
+          case _: Sum | _: Count => Sum(src).toAggregateExpression()
+          case _: Min => Min(src).toAggregateExpression()
+          case _: Max => Max(src).toAggregateExpression()
+          case _ => return None
+        }
+        val shaped =
+          if (reagg.dataType == al.dataType) reagg else Cast(reagg, al.dataType)
+        Alias(shaped, al.name)(exprId = al.exprId)
+      case _ => return None
+    }
+    val newGroups: Seq[Expression] =
+      groupAttrs.map(a => groupColFor(a).map(unionAttr).getOrElse(return None))
+    Some(Aggregate(newGroups, outputs, combined))
   }
 
   /** Minimal spec binder: column references resolve against the source

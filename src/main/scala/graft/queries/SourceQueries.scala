@@ -644,10 +644,66 @@ object SourceQueries {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** X9b: STALE-TOLERANT MV REWRITE (delta-union), differentially
+    * verified — the MV is built over the first batch, a second batch is
+    * appended and NO refresh runs. The rewrite answers the aggregate as
+    * MV ⊎ re-aggregate(appended segments only): `MvRewriteRule
+    * .tryStaleCandidate` pins the MV entry snapshot, proves the history
+    * append-only via the snapshot-chain diff, and merges with
+    * sum/sum-of-counts/min/max (delta-only scan plan-asserted in
+    * `MaterializedViewSpec`). The DuckDB oracle recomputes from the raw
+    * parquet over BOTH batches — a double-counted group, a missed
+    * delta row, or serving the stale MV alone all break the hash.
+    */
+  val x9bStaleMv: Q = Q(
+    "x9b_stale_mv",
+    """SELECT o_orderpriority, count(*) AS cnt,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total,
+      |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      |FROM orders
+      |WHERE o_orderkey <= 1200
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("x9b_orders_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.sd_orders")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.sd_pri")
+    spark.sql(
+      """CREATE TABLE graft.demo.sd_orders
+        |  (o_orderkey BIGINT, o_orderpriority STRING, o_orderstatus STRING,
+        |   o_totalprice DOUBLE) USING graft""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.sd_orders
+        |SELECT o_orderkey, o_orderpriority, o_orderstatus, o_totalprice
+        |FROM x9b_orders_src WHERE o_orderkey <= 800""".stripMargin)
+    spark.sql(
+      """CALL graft.system.create_mv('demo', 'sd_pri', 'demo.sd_orders',
+        |  'o_orderpriority,o_orderstatus',
+        |  'count(*) AS cnt, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS dec_total,
+        |   min(o_totalprice) AS lo, max(o_totalprice) AS hi')""".stripMargin)
+      .collect()
+    // Appended AFTER materialization, NEVER refreshed: the aggregate
+    // below must still be exact — MV rows plus the appended segments.
+    spark.sql(
+      """INSERT INTO graft.demo.sd_orders
+        |SELECT o_orderkey, o_orderpriority, o_orderstatus, o_totalprice
+        |FROM x9b_orders_src WHERE o_orderkey > 800 AND o_orderkey <= 1200""".stripMargin)
+    spark.sql(
+      """SELECT o_orderpriority, cnt,
+        |  round(CAST(dt AS DOUBLE), 4) AS total, lo, hi
+        |FROM (
+        |  SELECT o_orderpriority, count(*) AS cnt,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS dt,
+        |    min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |  FROM graft.demo.sd_orders
+        |  GROUP BY o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     s2ParquetRoundtrip, s3CsvSource, s3JsonSource, s6CacheReuse,
     s7PartitionedSink, s8OrcRoundtrip, x1ScalarUdf, x3Generator, x4Dsv2Source,
     x5CatalogSql, x5bTimeTravel, x5cPartitionedSpj, x5dAtomicCtas, x5eRowLevelDml,
     x6CatalogFunction,
-    x7CatalogView, x8MaterializedView, x9MvRollup)
+    x7CatalogView, x8MaterializedView, x9MvRollup, x9bStaleMv)
 }

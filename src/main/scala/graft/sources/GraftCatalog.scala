@@ -1099,6 +1099,104 @@ object GraftCatalog {
       .map { case (id, props, _) => (id, props) }
   }
 
+  /** Whether a Table instance is a graft table reading a PINNED
+    * snapshot (a `VERSION/TIMESTAMP AS OF` load or a segment-pinned
+    * delta scan). The MV rewrite must decline such relations: a
+    * versioned aggregate asks about HISTORY, and answering it from the
+    * (current) MV would silently time-travel the answer forward.
+    */
+  private[graft] def isPinnedTable(t: org.apache.spark.sql.connector.catalog.Table): Boolean =
+    t match {
+      case g: GraftCatalogTable => g.isPinned
+      case _ => false
+    }
+
+  /** Stale MVs of `sourceNs.sourceTbl` (recorded version strictly
+    * behind the source's current version) — delta-union rewrite
+    * candidates, smallest first like [[freshMvsFor]]. Discovery only:
+    * the per-candidate consistency protocol lives in `MvRewriteRule`
+    * (entry snapshot + refresh-in-flight check + version re-read).
+    */
+  private[graft] def staleMvsFor(
+      sourceNs: String, sourceTbl: String): Seq[(Identifier, Map[String, String])] = {
+    ensureLoaded()
+    val cur = currentVersion(sourceNs, sourceTbl).getOrElse(return Nil)
+    val src = s"$sourceNs.$sourceTbl"
+    store.asScala.toSeq.collect {
+      case (id, e) if e.props.get(GraftMvOps.SourceProp).contains(src) &&
+          e.props.get(GraftMvOps.VersionProp).exists(v =>
+            v.nonEmpty && v.forall(_.isDigit) && v.toLong < cur) =>
+        (id, e.props, e.segments.map(_.liveRows).sum)
+    }.sortBy { case (id, _, rows) => (rows, id.toString) }
+      .map { case (id, props, _) => (id, props) }
+  }
+
+  /** One CONSISTENT view of an MV for the stale-delta rewrite: a
+    * read-only table pinned to the entry's segment list plus the SAME
+    * entry's properties. `TableEntry` is immutable and mutations swap
+    * whole entries, so the pinned data and the recorded source version
+    * cannot tear against each other — the race a live `loadTable` +
+    * separate `properties()` read would reintroduce.
+    */
+  private[graft] def mvEntrySnapshot(
+      ident: Identifier): Option[(Table, Map[String, String])] = {
+    ensureLoaded()
+    Option(store.get(ident)).map { e =>
+      (new GraftCatalogTable(ident, e.schema, e.dir, pinned = Some(e.segments),
+        partitionCols = e.partitionCols), e.props)
+    }
+  }
+
+  /** Live value of one table property (None if table or key absent). */
+  private[graft] def tableProp(ident: Identifier, key: String): Option[String] = {
+    ensureLoaded()
+    Option(store.get(ident)).flatMap(_.props.get(key))
+  }
+
+  /** Segments appended to `ns.tbl` STRICTLY AFTER version `fromV`,
+    * provided every commit since is append-only — no segment removed,
+    * no deletion vector changed, schema identical — and the snapshot
+    * chain fromV..current is fully retained. None otherwise. Pure
+    * metadata (the same snapshot diff the MV refresh and the change
+    * stream use); at 100 TB this is a walk over segment LISTS, never
+    * data.
+    */
+  private[graft] def appendOnlyDeltaSince(
+      ns: String, tbl: String, fromV: Long): Option[Vector[Segment]] = {
+    val ident = Identifier.of(Array(ns), tbl)
+    val hist = retainedSnapshots(ident)
+    val last = hist.lastOption.getOrElse(return None)
+    val chain = hist.filter(_.version >= fromV)
+    // Contiguity: every version fromV..current must be retained, or the
+    // pairwise diffs below would silently skip a commit.
+    if (chain.isEmpty || chain.head.version != fromV ||
+        !chain.map(_.version).sameElements(fromV to last.version)) return None
+    var prev = chain.head
+    val delta = Vector.newBuilder[Segment]
+    chain.tail.foreach { s =>
+      if (s.schema != prev.schema) return None
+      val prevByPath = prev.segments.map(x => x.path -> x).toMap
+      val curPaths = s.segments.map(_.path).toSet
+      if ((prevByPath.keySet -- curPaths).nonEmpty) return None
+      if (s.segments.exists(x => prevByPath.get(x.path).exists(_.dv != x.dv))) return None
+      delta ++= s.segments.filterNot(x => prevByPath.contains(x.path))
+      prev = s
+    }
+    Some(delta.result())
+  }
+
+  /** Read-only table over EXACTLY `segs` of an existing table — the
+    * stale-delta rewrite's delta scan (zone maps, blooms, and column
+    * pruning apply to it like any pinned time-travel scan).
+    */
+  private[graft] def segmentPinnedTable(
+      ident: Identifier, segs: Vector[Segment]): Option[Table] = {
+    ensureLoaded()
+    Option(store.get(ident)).map(e =>
+      new GraftCatalogTable(ident, e.schema, e.dir, pinned = Some(segs),
+        partitionCols = e.partitionCols))
+  }
+
   private val store = new ConcurrentHashMap[Identifier, TableEntry]()
   private[sources] val views = new ConcurrentHashMap[Identifier, GraftView]()
 
@@ -2234,6 +2332,11 @@ private[sources] class GraftCatalogTable(
     */
   override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
     tableConstraints.toArray
+  /** Whether this table instance reads a PINNED snapshot (time travel /
+    * stale-delta scan) rather than the live segment list.
+    */
+  private[sources] def isPinned: Boolean = pinned.isDefined
+
   override def name(): String =
     if (pinned.isDefined) s"$ident (time travel)" else ident.toString
   override def schema(): StructType = schema0

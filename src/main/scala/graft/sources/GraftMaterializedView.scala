@@ -58,6 +58,18 @@ private[graft] object GraftMvOps {
   val GroupProp = "graft.mv.group"
   val AggsProp = "graft.mv.aggs"
   val VersionProp = "graft.mv.version"
+  /** Refresh-in-flight marker. An incremental refresh lands its MERGE
+    * and bumps [[VersionProp]] in TWO commits; between them the MV
+    * entry reads data@v1 / props@v0 — exactly the window where the
+    * stale-delta rewrite would double-count the delta. The flag is set
+    * before the MERGE and cleared ATOMICALLY with the version bump, so
+    * any entry snapshot either predates the MERGE (consistent at v0),
+    * carries the flag (rewrite declines), or postdates the bump
+    * (consistent at v1). A crash mid-window leaves the flag up — the
+    * stale rewrite stays safely off for that MV until the next
+    * successful refresh clears it.
+    */
+  val RefreshingProp = "graft.mv.refreshing"
   /** Marker column in the MERGE source: null ⇔ the touched group has no
     * surviving base rows (vanished) — an agg column can't serve as the
     * marker because `min(x)` of a live group is legitimately null.
@@ -244,6 +256,7 @@ private[graft] object GraftMvOps {
               aggOutCols.map(recomputed(_)) :+ recomputed(Present): _*)
           val view = s"__graft_mv_src_${viewSeq.incrementAndGet()}"
           mergeSrc.createOrReplaceTempView(view)
+          GraftCatalog.patchTableProps(ident, Map(RefreshingProp -> "true"))
           try {
             val on = groupCols.map(c => s"t.${q(c)} <=> s.${q(c)}").mkString(" AND ")
             val sets = aggOutCols.map(c => s"t.${q(c)} = s.${q(c)}").mkString(", ")
@@ -258,7 +271,8 @@ private[graft] object GraftMvOps {
                  |WHEN NOT MATCHED AND s.${q(Present)} IS NOT NULL THEN
                  |  INSERT ($insCols) VALUES ($insVals)""".stripMargin)
           } finally spark.catalog.dropTempView(view)
-          GraftCatalog.patchTableProps(ident, Map(VersionProp -> v1.toString))
+          GraftCatalog.patchTableProps(ident, Map(VersionProp -> v1.toString),
+            unset = Set(RefreshingProp))
           ("incremental", touchedCount, v1)
         }
       case _ => fullRefresh()

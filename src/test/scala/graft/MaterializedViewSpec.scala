@@ -359,6 +359,115 @@ class MaterializedViewSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.mvv.base")
   }
 
+  test("stale-delta rewrite: append-only staleness is served as MV ⊎ delta, reading only the delta segments") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    spark.sql("DROP TABLE IF EXISTS graft.sd.base")
+    spark.sql("DROP TABLE IF EXISTS graft.sd.agg")
+    spark.sql("CREATE TABLE graft.sd.base (g STRING, v BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.sd.base VALUES ('a', 1), ('a', 2), ('b', 10)")
+    spark.sql(
+      "CALL graft.system.create_mv('sd', 'agg', 'sd.base', 'g', 'count(*) AS cnt, sum(v) AS total')")
+      .collect()
+    val segsAtMv = graft.sources.GraftCatalog.segmentCount("sd", "base")
+    // Append WITHOUT refreshing: touches existing group b, adds group c.
+    spark.sql("INSERT INTO graft.sd.base VALUES ('b', 20), ('c', 5)")
+    val totalSegs = graft.sources.GraftCatalog.segmentCount("sd", "base")
+    val deltaSegs = totalSegs - segsAtMv
+    assert(deltaSegs > 0 && segsAtMv > 0)
+    val q = "SELECT g, count(*) AS c, sum(v) AS s FROM graft.sd.base GROUP BY g"
+    spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+    val direct =
+      try spark.sql(q).collect().toSeq.sortBy(_.getString(0))
+      finally spark.conf.set("spark.graft.mvRewrite.enabled", "true")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = spark.sql(q)
+      val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+      val mvScan = scans.filter(_.output.exists(_.name == "cnt"))
+      val baseScan = scans.filter(_.output.exists(_.name == "v"))
+      assert(mvScan.nonEmpty, s"stale-delta plan must read the MV, scans: $scans")
+      assert(baseScan.nonEmpty, "stale-delta plan must read the delta")
+      // The load-bearing claim: the base-side scan plans ONLY the
+      // segments appended after the MV's version — never the full base.
+      assert(baseScan.head.inputPartitions.length == deltaSegs,
+        s"delta scan must plan $deltaSegs appended segment(s), " +
+          s"planned ${baseScan.head.inputPartitions.length} of $totalSegs total")
+      assert(df.collect().toSeq.sortBy(_.getString(0)) == direct)
+      assert(direct.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        == Seq(("a", 2L, 3L), ("b", 2L, 30L), ("c", 1L, 5L)))
+      // Coarser grain (global) and a group-column WHERE ride the same path.
+      val global = spark.sql("SELECT count(*) AS c, sum(v) AS s FROM graft.sd.base")
+      assert(global.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+        .exists(_.output.exists(_.name == "cnt")), "global rollup must be MV⊎delta-served")
+      assert(global.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((5L, 38L)))
+      val sliced = spark.sql(
+        "SELECT g, sum(v) AS s FROM graft.sd.base WHERE g = 'b' GROUP BY g")
+      assert(sliced.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("b", 30L)))
+      // avg is not merge-derivable: full base scan, still correct.
+      val avgQ = spark.sql("SELECT g, avg(v) AS m FROM graft.sd.base GROUP BY g")
+      assert(!avgQ.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+        .exists(_.output.exists(_.name == "cnt")))
+      // Refresh-in-flight flag closes the double-count window: the
+      // stale path must decline while it is up.
+      graft.sources.GraftCatalog.patchTablePropsForTest(
+        "sd", "agg", Map("graft.mv.refreshing" -> "true"))
+      val gated = spark.sql(q)
+      val gatedBase = gated.queryExecution.executedPlan
+        .collect { case b: BatchScanExec => b }.filter(_.output.exists(_.name == "v"))
+      assert(gatedBase.nonEmpty && gatedBase.head.inputPartitions.length == totalSegs,
+        "refresh-in-flight must gate to a full base scan")
+      // A real refresh clears the flag (atomically with its version
+      // bump) and the FRESH path takes over.
+      val (mode, _, _) = call("CALL graft.system.refresh_mv('sd', 'agg')")
+      assert(mode == "incremental")
+      assert(!spark.sql(s"SHOW TBLPROPERTIES graft.sd.agg")
+        .as[(String, String)].collect().toMap.contains("graft.mv.refreshing"))
+      assert(spark.sql(q).collect().toSeq.sortBy(_.getString(0)) == direct)
+      // A NON-append commit (DELETE flips a deletion vector) kills the
+      // stale path: back to the base, still correct.
+      spark.sql("INSERT INTO graft.sd.base VALUES ('c', 7)")
+      spark.sql("DELETE FROM graft.sd.base WHERE g = 'a' AND v = 1")
+      val afterDml = spark.sql(q)
+      assert(!afterDml.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+        .exists(_.output.exists(_.name == "cnt")),
+        "non-append history must not be stale-delta-served")
+      assert(afterDml.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1) == Seq(("a", 1L, 2L), ("b", 2L, 30L), ("c", 2L, 12L)))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    spark.sql("DROP TABLE graft.sd.agg")
+    spark.sql("DROP TABLE graft.sd.base")
+  }
+
+  test("time-travel aggregates are never MV-served (fresh or stale)") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    spark.sql("DROP TABLE IF EXISTS graft.tt2.base")
+    spark.sql("DROP TABLE IF EXISTS graft.tt2.agg")
+    spark.sql("CREATE TABLE graft.tt2.base (g STRING, v BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.tt2.base VALUES ('a', 1), ('b', 2)")
+    val v0 = graft.sources.GraftCatalog.currentVersion("tt2", "base").get
+    spark.sql("INSERT INTO graft.tt2.base VALUES ('a', 10), ('c', 3)")
+    // MV is FRESH at the current version; the versioned aggregate asks
+    // about v0 and must NOT be answered from it.
+    spark.sql(
+      "CALL graft.system.create_mv('tt2', 'agg', 'tt2.base', 'g', 'count(*) AS cnt, sum(v) AS total')")
+      .collect()
+    val old = spark.sql(
+      s"SELECT g, count(*) AS c, sum(v) AS s FROM graft.tt2.base VERSION AS OF $v0 GROUP BY g")
+    assert(!old.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+      .exists(_.output.exists(_.name == "cnt")),
+      "VERSION AS OF aggregate must scan the pinned snapshot, not the MV")
+    assert(old.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+      == Seq(("a", 1L, 1L), ("b", 1L, 2L)))
+    // DISTINCT shape (no aggregate functions) through time travel: the
+    // exact-match path must decline identically.
+    val oldDistinct = spark.sql(
+      s"SELECT DISTINCT g FROM graft.tt2.base VERSION AS OF $v0")
+    assert(oldDistinct.collect().map(_.getString(0)).toSeq.sorted == Seq("a", "b"))
+    spark.sql("DROP TABLE graft.tt2.agg")
+    spark.sql("DROP TABLE graft.tt2.base")
+  }
+
   test("concurrent refreshes of one MV serialize and converge") {
     spark.sql("DROP TABLE IF EXISTS graft.mvc.base")
     spark.sql("DROP TABLE IF EXISTS graft.mvc.agg")
