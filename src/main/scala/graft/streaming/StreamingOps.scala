@@ -22,17 +22,17 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS); the vectorized reader only
-    * accepts it as a raw long (`nanosAsLong`), so the stream schema takes
-    * ns and converts to a µs TimestampType — same truncation DuckDB does.
+  /** The file stream source needs an explicit schema; probe the staged
+    * file's REAL batch schema instead of hardcoding one. The driver has
+    * shipped `events.ts` as both TIMESTAMP(NANOS) (readable only as a raw
+    * long via `nanosAsLong`) and plain TIMESTAMP(MICROS)/NTZ across
+    * testdata generations — a hardcoded LongType schema silently read the
+    * µs-encoded int64 as a long and compressed every timestamp 1000×
+    * (wrong window counts, not an error). Probing is a driver-side
+    * footer read, negligible next to starting a streaming query.
     */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  private def probedSchema(spark: SparkSession, stagedDir: String): StructType =
+    spark.read.parquet(stagedDir).schema
 
   /** The file stream source lists a DIRECTORY of arriving files; the
     * testdata table is a single file, so stage it into a per-sf temp dir.
@@ -70,10 +70,17 @@ object StreamingOps {
 
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(stagedEventsDir(dir))
-      .withColumn("ts", timestamp_micros(floor(col("ts") / lit(1000L)).cast("long")))
+    val staged = stagedEventsDir(dir)
+    val schema = probedSchema(spark, staged)
+    val raw = spark.readStream.schema(schema).parquet(staged)
+    schema("ts").dataType match {
+      // ns-as-long generation: exact integer ns→µs truncation (same as
+      // DuckDB's read of the same file).
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Run a streaming DataFrame to completion into a memory sink; return
