@@ -813,8 +813,9 @@ private[graft] object GraftZorderProcedure
 }
 
 /** `CALL graft.system.vacuum(ns, table)` — manual retention override:
-  * expires all non-current snapshots and deletes files only they
-  * referenced. One summary row; work in `GraftCatalog.vacuumTable`.
+  * expires all non-current UNTAGGED snapshots and deletes files only
+  * they referenced (tags keep their pinned versions readable). One
+  * summary row; work in `GraftCatalog.vacuumTable`.
   */
 private[graft] object GraftVacuumProcedure
     extends procedures.UnboundProcedure with procedures.BoundProcedure {
@@ -1461,22 +1462,28 @@ object GraftCatalog {
     * retained snapshot except the current one and delete the files only
     * they referenced — the manual override of the time-based retention
     * GC (the Delta VACUUM shape: after it, time travel to superseded
-    * versions is gone by user choice). Returns
-    * (snapshotsExpired, filesDeleted).
+    * versions is gone by user choice). TAGGED snapshots are exempt,
+    * exactly as in [[publish]]'s retention pass: a tag is an explicit
+    * promise the version stays readable, and a manual vacuum must not
+    * silently break it — drop the tag first if that's what you mean.
+    * Returns (snapshotsExpired, filesDeleted).
     */
   private[sources] def vacuumTable(ident: Identifier): (Int, Int) = mutate {
     val entry = store.get(ident)
     if (entry == null) throw new NoSuchTableException(ident)
     val hist = history.getOrDefault(ident, Vector.empty)
-    val keepSegs = entry.segments
-    val live = keepSegs.map(_.path).toSet
+    val taggedVersions: Set[Long] = entry.props.collect {
+      case (k, v) if k.startsWith(TagPropPrefix) && v.forall(_.isDigit) => v.toLong
+    }.toSet
+    val kept = hist.filter(s =>
+      taggedVersions.contains(s.version) || hist.lastOption.contains(s))
+    val live = (entry.segments ++ kept.flatMap(_.segments)).map(_.path).toSet
     val dropped = hist.flatMap(_.segments).distinctBy(_.path)
       .filterNot(s => live.contains(s.path))
     dropped.foreach(SegmentIO.delete)
-    val expired = (hist.length - 1).max(0)
+    val expired = hist.length - kept.length
     history.put(ident,
-      hist.lastOption.map(s => Vector(s.copy(segments = keepSegs)))
-        .getOrElse(Vector.empty))
+      kept.map(s => if (hist.lastOption.contains(s)) s.copy(segments = entry.segments) else s))
     persistTable(ident)
     (expired, dropped.length)
   }

@@ -54,4 +54,28 @@ class SnapshotTagSpec extends AnyFunSuite {
       .getMessage.contains("not a retained snapshot"))
     spark.sql("DROP TABLE graft.tags.t")
   }
+
+  test("CALL graft.system.vacuum keeps tagged snapshots readable, expires untagged") {
+    spark.sql("DROP TABLE IF EXISTS graft.tags.v")
+    spark.sql("CREATE TABLE graft.tags.v (k BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.tags.v VALUES (1)") // v1
+    spark.sql("INSERT INTO graft.tags.v VALUES (2)") // v2: {1,2}
+    spark.sql("INSERT INTO graft.tags.v VALUES (3)") // v3: {1,2,3}
+    spark.sql("ALTER TABLE graft.tags.v SET TBLPROPERTIES ('graft.tag.release'='1')")
+    val row = spark.sql("CALL graft.system.vacuum('tags', 'v')").collect().head
+    // Expirable: v0 (empty CREATE snapshot) and v2 — v1 is tagged,
+    // v3 is current.
+    assert(row.getAs[Int]("snapshots_expired") == 2,
+      s"expected exactly the untagged v0+v2 expired, got $row")
+    // The tag's promise survives the manual vacuum — data AND files.
+    assert(spark.sql("SELECT k FROM graft.tags.v VERSION AS OF 'release' ORDER BY k")
+      .as[Long].collect().toSeq == Seq(1L))
+    // The untagged superseded version is gone by user choice.
+    intercept[Exception](
+      spark.sql("SELECT k FROM graft.tags.v VERSION AS OF 2").collect())
+    // Current state untouched.
+    assert(spark.sql("SELECT k FROM graft.tags.v ORDER BY k")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+    spark.sql("DROP TABLE graft.tags.v")
+  }
 }
