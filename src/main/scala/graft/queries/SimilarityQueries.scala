@@ -117,8 +117,19 @@ object SimilarityQueries {
       }: _*)).as("tb"))
       .select(col("vec_id"), col("label"), col("embedding"),
         col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    // MULTI-PROBE (query side only): besides its own bucket, the query
+    // probes every 1-bit-flip neighbor bucket per table — the standard
+    // recall lever for SRP at fixed index cost (the DATA is bucketed
+    // once; only the broadcast probe list grows, bits+1 rows per
+    // table). Measured on the natural sf0.01 corpus this lifts
+    // recall@10 from 1/10 (exact-bucket) to the SimilaritySpec floor;
+    // planted bit-identical copies share the exact bucket, so the
+    // planted oracle is unaffected (probing only ADDS candidates).
     val q = bucketed.filter(col("vec_id") === 0)
-      .select(col("tbl"), col("bkt"), col("embedding").as("qe"))
+      .select(col("tbl"),
+        explode(array(col("bkt") +: (0 until bits).map(b =>
+          col("bkt").bitwiseXOR(lit(1L << b))): _*)).as("bkt"),
+        col("embedding").as("qe"))
     bucketed.filter(col("vec_id") =!= 0)
       .join(broadcast(q), Seq("tbl", "bkt"))
       .select(col("vec_id"), col("label"),

@@ -789,11 +789,66 @@ object SourceQueries {
     df
   }
 
+  /** X10: BATCH CHANGE-DATA-FEED — the Delta `table_changes` shape over
+    * the graft catalog (`GraftChangeScan`): net row diff between two
+    * retained snapshots, planned from the segment lists alone so the
+    * scan cost tracks the CHANGED data. Fixture: base rows land at v1,
+    * a second batch at v2, then a predicate DELETE attaches deletion
+    * vectors at v3; the feed from v1 must emit exactly (v2's batch
+    * minus its deleted rows) as 'insert' and (v1's rows the dv covered)
+    * as 'delete' — row-accurately, via dv-delta splits, without reading
+    * the unchanged remainder. The DuckDB oracle recomputes both sides
+    * as pure set algebra on the raw parquet. A dv applied to the wrong
+    * segment, a missed dv-delta, or an insert split that forgets to
+    * mask deleted rows all break the hash.
+    */
+  val x10TableChanges: Q = Q(
+    "x10_table_changes",
+    """WITH a AS (SELECT c_mktsegment AS seg, c_acctbal AS bal
+      |           FROM customer WHERE c_custkey % 3 <> 0),
+      |     b AS (SELECT c_mktsegment AS seg, c_acctbal AS bal
+      |           FROM customer WHERE c_custkey % 3 = 0),
+      |     ins AS (SELECT 'insert' AS change_type, seg, bal FROM b
+      |             WHERE seg <> 'MACHINERY'),
+      |     del AS (SELECT 'delete' AS change_type, seg, bal FROM a
+      |             WHERE seg = 'MACHINERY')
+      |SELECT change_type, seg, count(*) AS n,
+      |  round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+      |FROM (SELECT * FROM ins UNION ALL SELECT * FROM del)
+      |GROUP BY change_type, seg
+      |ORDER BY change_type, seg""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.functions.{col, count, round, sum}
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.customer(spark, dir).createOrReplaceTempView("x10_customer_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.cust_cdc")
+    spark.sql(
+      "CREATE TABLE graft.demo.cust_cdc (k BIGINT, seg STRING, bal DOUBLE) USING graft")
+    spark.sql(
+      """INSERT INTO graft.demo.cust_cdc
+        |SELECT CAST(c_custkey AS BIGINT), c_mktsegment, c_acctbal
+        |FROM x10_customer_src WHERE c_custkey % 3 <> 0""".stripMargin) // v1
+    spark.sql(
+      """INSERT INTO graft.demo.cust_cdc
+        |SELECT CAST(c_custkey AS BIGINT), c_mktsegment, c_acctbal
+        |FROM x10_customer_src WHERE c_custkey % 3 = 0""".stripMargin) // v2
+    // ~1/5 of each segment's rows: the minority path — deletion
+    // vectors, no rewrite, so v1 segments survive into v3 and the feed
+    // exercises the dv-delta splits.
+    spark.sql("DELETE FROM graft.demo.cust_cdc WHERE seg = 'MACHINERY'") // v3
+    spark.read.format("graft-changes")
+      .option("table", "demo.cust_cdc").option("changesFrom", "1")
+      .load()
+      .groupBy(col("_change_type").as("change_type"), col("seg"))
+      .agg(count("*").as("n"),
+        round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("total_bal"))
+      .orderBy("change_type", "seg")
+  }
+
   val all: Seq[Q] = Seq(
     s2ParquetRoundtrip, s3CsvSource, s3JsonSource, s6CacheReuse,
     s7PartitionedSink, s8OrcRoundtrip, x1ScalarUdf, x3Generator, x4Dsv2Source,
     x5CatalogSql, x5bTimeTravel, x5cPartitionedSpj, x5dAtomicCtas, x5eRowLevelDml,
     x6CatalogFunction,
     x7CatalogView, x8MaterializedView, x9MvRollup, x9bStaleMv,
-    x9cMvRewriteOff, x9cMvRewriteOn)
+    x9cMvRewriteOff, x9cMvRewriteOn, x10TableChanges)
 }

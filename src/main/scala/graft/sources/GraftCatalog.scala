@@ -121,21 +121,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // Numeric commit id, or a TAG name (`'graft.tag.<name>'='<v>'`
     // table property — `VERSION AS OF 'stable'` reads the snapshot the
     // tag pins; tagged snapshots never age out of retention).
-    val v =
-      try version.toLong
-      catch { case _: NumberFormatException =>
-        store.get(ident).props.get(TagPropPrefix + version) match {
-          case Some(tv) =>
-            try tv.toLong
-            catch { case _: NumberFormatException =>
-              throw new IllegalArgumentException(
-                s"tag '$version' has a malformed target version '$tv'")
-            }
-          case None => throw new IllegalArgumentException(
-            s"graft catalog versions are numeric commit ids or tag names; " +
-              s"'$version' is neither (no '$TagPropPrefix$version' property)")
-        }
-      }
+    val v = GraftCatalog.resolveVersionString(ident, version)
     val snap = snapshotByVersion(ident, v).getOrElse(throw new NoSuchTableException(
       Identifier.of(ident.namespace, s"${ident.name} VERSION AS OF $v (expired or never committed)")))
     val entry = store.get(ident)
@@ -1425,6 +1411,26 @@ object GraftCatalog {
       .foreach(SegmentIO.delete)
     persistTable(ident) // durable-mode ledger write; no-op otherwise
   }
+
+  /** Resolve a user-supplied version string — a numeric commit id or a
+    * TAG name (`'graft.tag.<name>'='<v>'` table property). Shared by
+    * `VERSION AS OF` loads and the change-feed reader options.
+    */
+  private[sources] def resolveVersionString(ident: Identifier, version: String): Long =
+    try version.toLong
+    catch { case _: NumberFormatException =>
+      Option(store.get(ident)).flatMap(_.props.get(TagPropPrefix + version)) match {
+        case Some(tv) =>
+          try tv.toLong
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"tag '$version' has a malformed target version '$tv'")
+          }
+        case None => throw new IllegalArgumentException(
+          s"graft catalog versions are numeric commit ids or tag names; " +
+            s"'$version' is neither (no '$TagPropPrefix$version' property)")
+      }
+    }
 
   private[graft] def snapshotByVersion(
       ident: Identifier, v: Long): Option[CatalogSnapshot] =

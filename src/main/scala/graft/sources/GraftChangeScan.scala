@@ -1,0 +1,234 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, DataInputStream, FileInputStream}
+
+import scala.collection.immutable.BitSet
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, GenericInternalRow, JoinedRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** BATCH CHANGE-DATA-FEED over a catalog table (the Delta
+  * `table_changes` / Iceberg changelog-scan shape): the NET row-level
+  * difference between two retained snapshots, served as a distributed
+  * scan whose cost is proportional to the CHANGED data, never the table.
+  *
+  * Surface:
+  * {{{
+  *   spark.read
+  *     .option("changesFrom", "1")     // version number or tag name
+  *     .option("changesTo", "3")      // optional; default current version
+  *     .table("graft.ns.t")
+  * }}}
+  * Output = the table's columns plus `_change_type` ('insert' |
+  * 'delete'). An UPDATE (copy-on-write rewrite) appears as its
+  * delete+insert pair, exactly like Delta CDF without per-row update
+  * tracking.
+  *
+  * Semantics are the NET diff of live row sets (live(to) \ live(from) as
+  * inserts, live(from) \ live(to) as deletes), computed STRUCTURALLY
+  * from the segment lists — a pure metadata diff at plan time:
+  *  - a segment only in `to` plans one 'insert' split over its
+  *    live-at-`to` rows;
+  *  - a segment only in `from` plans one 'delete' split over its
+  *    live-at-`from` rows;
+  *  - a segment in both whose deletion vector GREW plans one 'delete'
+  *    split emitting exactly the dv-delta ordinals (merge-on-read
+  *    deletes surface row-accurately without any rewrite).
+  * Unchanged segments plan nothing. At 100 TB that is the whole point:
+  * a day of appends + scattered deletes over a petabyte table reads
+  * only the day's segments and the dv'd positions.
+  *
+  * Honest cap: a maintenance rewrite that rewrites rows into new files
+  * without changing them (compaction / Z-order) is indistinguishable
+  * from churn at this layer and will surface as delete+insert pairs of
+  * identical rows — net-correct, but noisy; diff across the rewrite
+  * only if that's acceptable. A schema change between the two versions
+  * makes old segments unreadable under the new layout, so it fails
+  * loudly rather than mis-decoding.
+  */
+private[sources] class GraftChangeScanBuilder(
+    ident: Identifier, from: GraftCatalog.CatalogSnapshot,
+    to: GraftCatalog.CatalogSnapshot) extends ScanBuilder {
+  override def build(): Scan = GraftChangeScan(ident, from, to)
+}
+
+/** Format entry point for the change feed. A `.table()` read cannot
+  * widen the relation schema (the analyzer resolves columns against
+  * the TABLE, before any scan exists), so — like Delta's
+  * `readChangeFeed` — the CDF is its own source:
+  * {{{
+  *   spark.read.format("graft-changes")
+  *     .option("table", "ns.t")
+  *     .option("changesFrom", "1")        // version or tag
+  *     .option("changesTo", "stable")     // optional; default current
+  *     .load()
+  * }}}
+  * Registered as `graft-changes` via DataSourceRegister (also reachable
+  * by class name). State is the shared catalog singleton, so it reads
+  * whatever the session's graft catalog committed.
+  */
+class GraftChangeFeed extends org.apache.spark.sql.connector.catalog.TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  import java.util.{Map => JMap}
+  import org.apache.spark.sql.connector.expressions.Transform
+  import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+  override def shortName(): String = "graft-changes"
+
+  private def resolve(options: CaseInsensitiveStringMap)
+      : (Identifier, GraftCatalog.CatalogSnapshot, GraftCatalog.CatalogSnapshot) = {
+    val t = Option(options.get("table")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-changes requires option 'table' = '<namespace>.<name>'"))
+    val parts = t.split('.')
+    require(parts.length >= 2, s"graft-changes table '$t' must be namespace-qualified")
+    val ident = Identifier.of(parts.init, parts.last)
+    def snap(s: String): GraftCatalog.CatalogSnapshot = {
+      val v = GraftCatalog.resolveVersionString(ident, s)
+      GraftCatalog.snapshotByVersion(ident, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"change feed over $ident: version $v is expired or never committed"))
+    }
+    val from = snap(Option(options.get("changesFrom")).getOrElse(
+      throw new IllegalArgumentException("graft-changes requires option 'changesFrom'")))
+    val to = Option(options.get("changesTo")).map(snap).getOrElse(
+      GraftCatalog.retainedSnapshots(ident).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"change feed over $ident: table has no committed snapshots")))
+    (ident, from, to)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (ident, from, to) = resolve(options)
+    GraftChangeScan(ident, from, to).readSchema()
+  }
+
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): org.apache.spark.sql.connector.catalog.Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val (ident, from, to) = resolve(opts)
+    new org.apache.spark.sql.connector.catalog.Table
+        with org.apache.spark.sql.connector.catalog.SupportsRead {
+      override def name(): String =
+        s"graft-changes($ident, v${from.version}..v${to.version})"
+      override def schema(): StructType = GraftChangeScan(ident, from, to).readSchema()
+      override def capabilities(): java.util.Set[
+          org.apache.spark.sql.connector.catalog.TableCapability] =
+        java.util.EnumSet.of(
+          org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+      override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+        new GraftChangeScanBuilder(ident, from, to)
+    }
+  }
+}
+
+/** One change split: emit `file`'s rows as `changeType`, skipping
+  * `skip` ordinals (the dv at the emitting snapshot), and — when
+  * `emitOnly` is set — emitting ONLY those ordinals (the dv-delta
+  * delete case).
+  */
+private[sources] case class GraftChangePartition(
+    file: GraftSegFile, numFields: Int, changeType: String,
+    emitOnly: Option[BitSet]) extends InputPartition
+
+private[sources] case class GraftChangeScan(
+    ident: Identifier, from: GraftCatalog.CatalogSnapshot,
+    to: GraftCatalog.CatalogSnapshot) extends Scan with Batch {
+
+  private def dataSchema: StructType = {
+    // Loud guard, not silent corruption: segments written under a
+    // different layout cannot be decoded by field-count-shifted
+    // readers.
+    require(from.schema == to.schema,
+      s"change feed over $ident: schema changed between version " +
+        s"${from.version} and ${to.version}; diff within one schema epoch")
+    to.schema
+  }
+
+  override def readSchema(): StructType =
+    StructType(dataSchema.fields :+
+      StructField("_change_type", StringType, nullable = false))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftChangeScan($ident, from=v${from.version}, to=v${to.version})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val width = dataSchema.length
+    val fromByPath = from.segments.map(s => s.path -> s).toMap
+    val toByPath = to.segments.map(s => s.path -> s).toMap
+    val inserts = to.segments.filterNot(s => fromByPath.contains(s.path)).map(s =>
+      GraftChangePartition(GraftSegFile.of(s), width, "insert", None))
+    val deletes = from.segments.filterNot(s => toByPath.contains(s.path)).map(s =>
+      GraftChangePartition(GraftSegFile.of(s), width, "delete", None))
+    val dvDeltas = to.segments.flatMap { t =>
+      fromByPath.get(t.path).flatMap { f =>
+        val delta = t.dv.getOrElse(BitSet.empty) &~ f.dv.getOrElse(BitSet.empty)
+        if (delta.isEmpty) None
+        // Emit the deleted rows' CONTENT: read the shared file, emit
+        // only the delta ordinals (they were live at `from`).
+        else Some(GraftChangePartition(
+          GraftSegFile(t.path, t.rows, dv = None), width, "delete", Some(delta)))
+      }
+    }
+    (inserts ++ deletes ++ dvDeltas).toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftChangeReaderFactory(dataSchema)
+}
+
+private[sources] case class GraftChangeReaderFactory(data: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftChangePartition]
+    // Data columns bind positionally; _change_type joins on the right
+    // as a constant — same reused-row discipline as the main catalog
+    // reader (Spark copies when it retains).
+    val metaRow = new GenericInternalRow(1)
+    metaRow.update(0, UTF8String.fromString(p.changeType))
+    val joined = new JoinedRow
+    val exprs: Seq[Expression] =
+      data.fields.toSeq.zipWithIndex.map { case (f, i) =>
+        BoundReference(i, f.dataType, f.nullable): Expression
+      } :+ BoundReference(data.length, StringType, nullable = false)
+    val proj = UnsafeProjection.create(exprs)
+    new PartitionReader[InternalRow] {
+      private val row = new UnsafeRow(p.numFields)
+      private var buf = new Array[Byte](1 << 10)
+      private var in: DataInputStream = _
+      private var remaining = 0L
+      private var ordinal = -1L
+      private def open(): Unit = {
+        in = new DataInputStream(
+          new BufferedInputStream(new FileInputStream(p.file.path), 1 << 16))
+        remaining = p.file.rows
+      }
+      private def emit(ord: Long): Boolean =
+        p.emitOnly match {
+          case Some(only) => ord <= Int.MaxValue && only.contains(ord.toInt)
+          case None =>
+            !p.file.dv.exists(d => ord <= Int.MaxValue && d.contains(ord.toInt))
+        }
+      override def next(): Boolean = {
+        if (in == null) open()
+        while (remaining > 0) {
+          val size = in.readInt()
+          if (size > buf.length) buf = new Array[Byte](math.max(size, buf.length << 1))
+          in.readFully(buf, 0, size)
+          row.pointTo(buf, size)
+          remaining -= 1
+          ordinal += 1
+          if (emit(ordinal)) return true
+        }
+        false
+      }
+      override def get(): InternalRow = proj(joined(row, metaRow))
+      override def close(): Unit = if (in != null) in.close()
+    }
+  }
+}

@@ -139,6 +139,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert((exact & ivf).size >= 8, s"recall ${(exact & ivf).size}/10")
   }
 
+  test("SRP-LSH ANN recall vs brute force is >= 6/10 on sf0.01") {
+    // Natural-corpus recall for the third ANN index (IVF and IVF-PQ have
+    // the same check below/above). SRP with 4 tables x 8 bits is the
+    // coarsest of the three indexes, so its floor is lower — the planted
+    // fixture proves exactness on bucket-identical vectors; this proves
+    // the bucketing still surfaces most TRUE neighbors when nothing is
+    // planted. The measured value is logged so a recall drift shows in
+    // test output before it crosses the floor.
+    val dir = "/root/testdata/sf0.01"
+    val exact = graft.queries.SimilarityQueries.l3CosineTopK.fn(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    val lsh = graft.queries.SimilarityQueries
+      .srpAnnTopK(spark, graft.Tables.embeddings(spark, dir))
+      .select("vec_id").as[Long].collect().toSet
+    info(s"SRP-LSH recall@10 = ${(exact & lsh).size}/10")
+    assert((exact & lsh).size >= 6, s"recall ${(exact & lsh).size}/10")
+  }
+
   test("planted ANN fixtures: all three indexes return exactly the 10 lowest planted copies") {
     // The provable-recall contract behind the l3_ann_* oracles: a
     // bit-identical copy of the query vector shares its bucket in every
