@@ -844,11 +844,72 @@ object SourceQueries {
       .orderBy("change_type", "seg")
   }
 
+  /** X11: RESTORE + zero-copy CLONE as one differential story. A base
+    * batch lands and is TAGGED; a second batch lands on main; the tag
+    * is CLONED to a branch table (metadata-only — the branch SHARES the
+    * base files); the branch takes its own third batch; main is
+    * RESTORED to the tag (undoing its second batch as a forward
+    * commit). Final states — main = base, branch = base ∪ branch-batch
+    * — are aggregated side by side. The DuckDB oracle is pure slice
+    * algebra on the raw parquet. A restore that pins the wrong
+    * snapshot, a clone that sees post-tag writes, or a GC that ate a
+    * shared file all break the hash.
+    */
+  val x11RestoreClone: Q = Q(
+    "x11_restore_clone",
+    """WITH base AS (SELECT c_mktsegment AS seg, c_acctbal AS bal
+      |              FROM customer WHERE c_custkey % 4 = 1),
+      |     branch_batch AS (SELECT c_mktsegment AS seg, c_acctbal AS bal
+      |                      FROM customer WHERE c_custkey % 4 = 3),
+      |     both_tables AS (
+      |       SELECT 'main' AS side, seg, bal FROM base
+      |       UNION ALL
+      |       SELECT 'branch' AS side, seg, bal FROM base
+      |       UNION ALL
+      |       SELECT 'branch' AS side, seg, bal FROM branch_batch)
+      |SELECT side, seg, count(*) AS n,
+      |  round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+      |FROM both_tables
+      |GROUP BY side, seg
+      |ORDER BY side, seg""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.functions.{col, count, lit, round, sum}
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.customer(spark, dir).createOrReplaceTempView("x11_customer_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.cust_branch")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.cust_main")
+    spark.sql(
+      "CREATE TABLE graft.demo.cust_main (k BIGINT, seg STRING, bal DOUBLE) USING graft")
+    spark.sql(
+      """INSERT INTO graft.demo.cust_main
+        |SELECT CAST(c_custkey AS BIGINT), c_mktsegment, c_acctbal
+        |FROM x11_customer_src WHERE c_custkey % 4 = 1""".stripMargin) // v1: base
+    spark.sql(
+      "ALTER TABLE graft.demo.cust_main SET TBLPROPERTIES ('graft.tag.base'='1')")
+    spark.sql(
+      """INSERT INTO graft.demo.cust_main
+        |SELECT CAST(c_custkey AS BIGINT), c_mktsegment, c_acctbal
+        |FROM x11_customer_src WHERE c_custkey % 4 = 2""".stripMargin) // v2: to undo
+    spark.sql(
+      "CALL graft.system.clone('demo', 'cust_main', 'demo', 'cust_branch', 'base')")
+    spark.sql(
+      """INSERT INTO graft.demo.cust_branch
+        |SELECT CAST(c_custkey AS BIGINT), c_mktsegment, c_acctbal
+        |FROM x11_customer_src WHERE c_custkey % 4 = 3""".stripMargin)
+    spark.sql("CALL graft.system.restore('demo', 'cust_main', 'base')")
+    spark.table("graft.demo.cust_main").select(lit("main").as("side"), col("seg"), col("bal"))
+      .unionAll(spark.table("graft.demo.cust_branch")
+        .select(lit("branch").as("side"), col("seg"), col("bal")))
+      .groupBy("side", "seg")
+      .agg(count("*").as("n"),
+        round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("total_bal"))
+      .orderBy("side", "seg")
+  }
+
   val all: Seq[Q] = Seq(
     s2ParquetRoundtrip, s3CsvSource, s3JsonSource, s6CacheReuse,
     s7PartitionedSink, s8OrcRoundtrip, x1ScalarUdf, x3Generator, x4Dsv2Source,
     x5CatalogSql, x5bTimeTravel, x5cPartitionedSpj, x5dAtomicCtas, x5eRowLevelDml,
     x6CatalogFunction,
     x7CatalogView, x8MaterializedView, x9MvRollup, x9bStaleMv,
-    x9cMvRewriteOff, x9cMvRewriteOn, x10TableChanges)
+    x9cMvRewriteOff, x9cMvRewriteOn, x10TableChanges, x11RestoreClone)
 }

@@ -521,9 +521,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // Clear the streaming-epoch ledger too: a re-created table must not
     // inherit old high-watermarks and silently skip early epochs.
     epochs.keySet.asScala.filter(_._1 == ident).foreach(epochs.remove)
-    history.remove(ident) // snapshots die with the table
+    val hist = Option(history.remove(ident)).getOrElse(Vector.empty)
     val entry = store.remove(ident)
-    if (entry != null) deleteRecursively(Paths.get(entry.dir))
+    if (entry != null) {
+      // A shallow clone may still serve reads from this table's files:
+      // delete only the unreferenced ones, and take the directory down
+      // only when nothing in it had to be spared.
+      val candidates = (entry.segments ++ hist.flatMap(_.segments)).distinctBy(_.path)
+      val (shared, dead) =
+        candidates.partition(s => GraftCatalog.referencedByOther(ident, s.path))
+      dead.foreach(SegmentIO.delete)
+      if (shared.isEmpty) deleteRecursively(Paths.get(entry.dir))
+    }
     persistTable(ident) // deletes the ledger document
     entry != null
   }
@@ -606,7 +615,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         Identifier.of(namespace, "zorder"), Identifier.of(namespace, "vacuum"),
         Identifier.of(namespace, "train_ann"), Identifier.of(namespace, "train_ann_pq"),
         Identifier.of(namespace, "analyze"), Identifier.of(namespace, "create_mv"),
-        Identifier.of(namespace, "refresh_mv"))
+        Identifier.of(namespace, "refresh_mv"), Identifier.of(namespace, "restore"),
+        Identifier.of(namespace, "clone"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
@@ -628,6 +638,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       GraftCreateMvProcedure
     else if (ident.namespace.sameElements(Array("system")) && ident.name == "refresh_mv")
       GraftRefreshMvProcedure
+    else if (ident.namespace.sameElements(Array("system")) && ident.name == "restore")
+      GraftRestoreProcedure
+    else if (ident.namespace.sameElements(Array("system")) && ident.name == "clone")
+      GraftCloneProcedure
     else throw new UnsupportedOperationException(s"no such procedure: $ident")
 
   // ---- ViewCatalog: persistent SQL views resolved through the ----
@@ -834,6 +848,101 @@ private[graft] object GraftVacuumProcedure
       override def rows(): Array[InternalRow] = Array(row)
       override def readSchema(): StructType = outSchema
       override def description(): String = s"GraftVacuumResult($ident)"
+    }).iterator()
+  }
+}
+
+/** `CALL graft.system.restore(ns, table, version)` — roll the table's
+  * CURRENT state back to a retained snapshot (or tag) as a NEW commit:
+  * pure metadata, the snapshot's files are still on disk. Work in
+  * `GraftCatalog.restoreTable`.
+  */
+private[graft] object GraftRestoreProcedure
+    extends procedures.UnboundProcedure with procedures.BoundProcedure {
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+
+  override def name(): String = "restore"
+  override def description(): String =
+    "restore(ns, table, version): make a retained snapshot (or tag) the current state"
+  override def bind(inputType: StructType): procedures.BoundProcedure = this
+  override def isDeterministic: Boolean = false // mutates table state
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("ns", StringType).comment("namespace").build(),
+    ProcedureParameter.in("table", StringType).comment("table name").build(),
+    ProcedureParameter.in("version", StringType)
+      .comment("snapshot version number or tag name").build())
+
+  private val outSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("restored_version", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("new_version", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("segments", IntegerType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val ns = input.getUTF8String(0).toString
+    val table = input.getUTF8String(1).toString
+    val ident = Identifier.of(Array(ns), table)
+    val v = GraftCatalog.resolveVersionString(ident, input.getUTF8String(2).toString)
+    val (restored, nSegs) = GraftCatalog.restoreTable(ident, v)
+    val newV = GraftCatalog.currentVersion(ns, table).getOrElse(-1L)
+    val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(ident.toString),
+        restored, newV, nSegs))
+    java.util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = outSchema
+      override def description(): String = s"GraftRestoreResult($ident)"
+    }).iterator()
+  }
+}
+
+/** `CALL graft.system.clone(ns, table, target_ns, target_table,
+  * version)` — zero-copy shallow clone at a version or tag ('' =
+  * current). Work in `GraftCatalog.cloneTable`; shared files are
+  * protected by the cross-table GC guard.
+  */
+private[graft] object GraftCloneProcedure
+    extends procedures.UnboundProcedure with procedures.BoundProcedure {
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+
+  override def name(): String = "clone"
+  override def description(): String =
+    "clone(ns, table, target_ns, target_table, version): zero-copy clone ('' = current)"
+  override def bind(inputType: StructType): procedures.BoundProcedure = this
+  override def isDeterministic: Boolean = false // creates a table
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("ns", StringType).comment("source namespace").build(),
+    ProcedureParameter.in("table", StringType).comment("source table").build(),
+    ProcedureParameter.in("target_ns", StringType).comment("target namespace").build(),
+    ProcedureParameter.in("target_table", StringType).comment("target table").build(),
+    ProcedureParameter.in("version", StringType)
+      .comment("source version number or tag; '' = current").build())
+
+  private val outSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("source", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("target", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("source_version", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("segments", IntegerType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val src = Identifier.of(
+      Array(input.getUTF8String(0).toString), input.getUTF8String(1).toString)
+    val dst = Identifier.of(
+      Array(input.getUTF8String(2).toString), input.getUTF8String(3).toString)
+    val vStr = input.getUTF8String(4).toString
+    val v = if (vStr.isEmpty) None
+            else Some(GraftCatalog.resolveVersionString(src, vStr))
+    val (srcV, nSegs) = GraftCatalog.cloneTable(src, dst, v)
+    val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(src.toString),
+        org.apache.spark.unsafe.types.UTF8String.fromString(dst.toString),
+        srcV, nSegs))
+    java.util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = outSchema
+      override def description(): String = s"GraftCloneResult($src -> $dst)"
     }).iterator()
   }
 }
@@ -1408,8 +1517,78 @@ object GraftCatalog {
     all.takeWhile(!retained.headOption.contains(_))
       .flatMap(_.segments).distinctBy(_.path)
       .filterNot(s => live.contains(s.path))
-      .foreach(SegmentIO.delete)
+      .foreach(gcDelete(ident, _))
     persistTable(ident) // durable-mode ledger write; no-op otherwise
+  }
+
+  /** True when any OTHER table's current state or retained history
+    * references `path` — the shallow-CLONE GC guard: a clone shares the
+    * source's segment files (zero-copy), so every published-file delete
+    * must first prove no other table still serves reads from it. The
+    * scan is metadata-only (in-memory entries + histories); on a real
+    * cluster this is the metastore's reference count, maintained
+    * incrementally instead of recomputed.
+    */
+  private def referencedByOther(self: Identifier, path: String): Boolean =
+    store.asScala.exists { case (id, e) =>
+      id != self && e.segments.exists(_.path == path)
+    } || history.asScala.exists { case (id, h) =>
+      id != self && h.exists(_.segments.exists(_.path == path))
+    }
+
+  /** GC a published segment file of `self`, sparing files a clone (or
+    * clone source) still references.
+    */
+  private def gcDelete(self: Identifier, seg: Segment): Unit =
+    if (!referencedByOther(self, seg.path)) SegmentIO.delete(seg)
+
+  /** RESTORE (`CALL graft.system.restore`): make the table's CURRENT
+    * state the given retained snapshot's schema + segment list, as a
+    * NEW commit — the Delta RESTORE shape: history moves forward (the
+    * restore itself is a change commit, streams see it), nothing is
+    * rewritten (the snapshot's files are still on disk, retention has
+    * been protecting them). The undo button for a bad DML/overwrite.
+    */
+  private[sources] def restoreTable(ident: Identifier, version: Long): (Long, Int) = mutate {
+    val entry = store.get(ident)
+    if (entry == null) throw new NoSuchTableException(ident)
+    val snap = snapshotByVersion(ident, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"restore $ident: version $version is expired or never committed"))
+    store.put(ident, entry.copy(schema = snap.schema, segments = snap.segments))
+    publish(ident)
+    (version, snap.segments.length)
+  }
+
+  /** Zero-copy CLONE (`CALL graft.system.clone`): create `dst` whose
+    * initial state IS `src`'s state at `version` (default current) —
+    * metadata only, the segment FILES are shared, no byte is copied
+    * (the Delta shallow-clone shape: branch a 100 TB table in
+    * milliseconds for an experiment). From then on the tables evolve
+    * independently: writes land in the clone's own dir, and every GC
+    * path consults [[referencedByOther]] so neither table's retention,
+    * vacuum, or DROP can delete a shared file the other still reads.
+    * Tags are NOT carried over — they pin versions of the SOURCE's
+    * history, which the clone does not have.
+    */
+  private[sources] def cloneTable(
+      src: Identifier, dst: Identifier, version: Option[Long]): (Long, Int) = mutate {
+    val e = store.get(src)
+    if (e == null) throw new NoSuchTableException(src)
+    if (store.containsKey(dst))
+      throw new TableAlreadyExistsException(dst.toString, dst.name())
+    val snap = version match {
+      case Some(v) => snapshotByVersion(src, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"clone $src: version $v is expired or never committed"))
+      case None => history.getOrDefault(src, Vector.empty).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"clone $src: no committed snapshots"))
+    }
+    val dir = Files.createTempDirectory(segmentRoot, "tbl-").toString
+    store.put(dst, TableEntry(snap.schema, snap.segments, dir, e.partitionCols,
+      e.constraints, Map.empty, e.props.filterNot(_._1.startsWith(TagPropPrefix))))
+    publish(dst)
+    (snap.version, snap.segments.length)
   }
 
   /** Resolve a user-supplied version string — a numeric commit id or a
@@ -1486,7 +1665,7 @@ object GraftCatalog {
     val live = (entry.segments ++ kept.flatMap(_.segments)).map(_.path).toSet
     val dropped = hist.flatMap(_.segments).distinctBy(_.path)
       .filterNot(s => live.contains(s.path))
-    dropped.foreach(SegmentIO.delete)
+    dropped.foreach(gcDelete(ident, _))
     val expired = hist.length - kept.length
     history.put(ident,
       kept.map(s => if (hist.lastOption.contains(s)) s.copy(segments = entry.segments) else s))
@@ -1498,11 +1677,14 @@ object GraftCatalog {
     history.asScala.keys.toSeq.foreach { ident =>
       val entry = store.get(ident)
       val hist = history.getOrDefault(ident, Vector.empty)
-      if (entry == null) { history.remove(ident); hist.flatMap(_.segments).foreach(SegmentIO.delete) }
+      if (entry == null) {
+        history.remove(ident)
+        hist.flatMap(_.segments).foreach(gcDelete(ident, _))
+      }
       else {
         val current = entry.segments.map(_.path).toSet
         hist.flatMap(_.segments).distinctBy(_.path)
-          .filterNot(s => current.contains(s.path)).foreach(SegmentIO.delete)
+          .filterNot(s => current.contains(s.path)).foreach(gcDelete(ident, _))
         history.put(ident,
           hist.lastOption.map(s => Vector(s.copy(segments = entry.segments)))
             .getOrElse(Vector.empty))
