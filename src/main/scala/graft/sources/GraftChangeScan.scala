@@ -138,7 +138,8 @@ private[sources] case class GraftChangePartition(
 
 private[sources] case class GraftChangeScan(
     ident: Identifier, from: GraftCatalog.CatalogSnapshot,
-    to: GraftCatalog.CatalogSnapshot) extends Scan with Batch {
+    to: GraftCatalog.CatalogSnapshot) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   private def dataSchema: StructType = {
     // Loud guard, not silent corruption: segments written under a
@@ -180,6 +181,24 @@ private[sources] case class GraftChangeScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftChangeReaderFactory(dataSchema)
+
+  /** Exact row/size stats from the planned diff — the usual CDC
+    * consumer is `MERGE INTO target USING changes`, and a small diff
+    * should auto-broadcast into that join instead of shuffling the
+    * target. Derived from the same metadata the planner just walked.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val parts = planInputPartitions().map(_.asInstanceOf[GraftChangePartition])
+    val rows = parts.map { p =>
+      p.emitOnly.map(_.size.toLong).getOrElse(
+        p.file.rows - p.file.dv.map(_.size.toLong).getOrElse(0L))
+    }.sum
+    val bytes = rows * (8L * (dataSchema.length + 2)).max(1L)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes: java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows: java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
 }
 
 private[sources] case class GraftChangeReaderFactory(data: StructType)

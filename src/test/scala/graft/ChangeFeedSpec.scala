@@ -63,6 +63,25 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(got.exists { case (t, k, v) => t == "delete" && k == 15L && v == "b15" })
   }
 
+  test("a small change feed reports exact stats and auto-broadcasts into a consuming join") {
+    // The canonical consumer is `MERGE INTO target USING changes`: the
+    // planner must see the diff's REAL size (rows emitted, not table
+    // size) — without reported stats a V2 relation defaults to huge and
+    // never broadcasts.
+    spark.sql("DROP TABLE IF EXISTS graft.cdc.s")
+    spark.sql("CREATE TABLE graft.cdc.s (k BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.cdc.s SELECT id, concat('x', id) FROM range(0, 1000)") // v1
+    spark.sql("INSERT INTO graft.cdc.s VALUES (2000, 'new')") // v2
+    val feed = spark.read.format("graft-changes")
+      .option("table", "cdc.s").option("changesFrom", "1").load()
+    val joined = spark.table("graft.cdc.s").join(feed.select("k", "_change_type"), "k")
+    val phys = joined.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"),
+      s"1-row change feed should broadcast into the join, got:\n$phys")
+    assert(joined.count() == 1)
+    spark.sql("DROP TABLE graft.cdc.s")
+  }
+
   test("schema change across the range fails loudly, within an epoch works") {
     spark.sql("ALTER TABLE graft.cdc.t ADD COLUMN extra BIGINT") // v5
     val e = intercept[Exception](changes("1").collect())
