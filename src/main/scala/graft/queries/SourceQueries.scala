@@ -789,6 +789,37 @@ object SourceQueries {
     df
   }
 
+  /** X5f: PARTITION-PROFILE metadata aggregate — `GROUP BY` on the
+    * partition column with COUNT/MIN/MAX folds per segment key from
+    * the metastore's zone-map stats (GraftCatalogAggScan, grouped):
+    * zero file reads, result size = partition count. The 100 TB
+    * "describe my partitions" query as a metastore lookup. The oracle
+    * recomputes the same profile from the raw parquet; the
+    * metadata-only plan shape is asserted in CatalogSpec.
+    */
+  val x5fPartitionProfile: Q = Q(
+    "x5f_partition_profile",
+    """SELECT c_mktsegment AS seg, count(*) AS n,
+      |  min(c_custkey) AS lo, max(c_custkey) AS hi
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY seg""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.customer(spark, dir).createOrReplaceTempView("x5f_customer_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.cust_profile")
+    spark.sql(
+      """CREATE TABLE graft.demo.cust_profile (seg STRING, ck BIGINT)
+        |USING graft PARTITIONED BY (seg)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.cust_profile
+        |SELECT c_mktsegment, CAST(c_custkey AS BIGINT) FROM x5f_customer_src""".stripMargin)
+    spark.sql(
+      """SELECT seg, count(*) AS n, min(ck) AS lo, max(ck) AS hi
+        |FROM graft.demo.cust_profile
+        |GROUP BY seg
+        |ORDER BY seg""".stripMargin)
+  }
+
   /** X10: BATCH CHANGE-DATA-FEED — the Delta `table_changes` shape over
     * the graft catalog (`GraftChangeScan`): net row diff between two
     * retained snapshots, planned from the segment lists alone so the
@@ -911,5 +942,6 @@ object SourceQueries {
     x5CatalogSql, x5bTimeTravel, x5cPartitionedSpj, x5dAtomicCtas, x5eRowLevelDml,
     x6CatalogFunction,
     x7CatalogView, x8MaterializedView, x9MvRollup, x9bStaleMv,
-    x9cMvRewriteOff, x9cMvRewriteOn, x10TableChanges, x11RestoreClone)
+    x9cMvRewriteOff, x9cMvRewriteOn, x5fPartitionProfile,
+    x10TableChanges, x11RestoreClone)
 }

@@ -3026,13 +3026,33 @@ private[sources] class GraftCatalogScanBuilder(
     * provably all-null column yields NULL, and string/NaN orderings in
     * the stats writer match Spark's aggregate semantics.
     */
+  /** GROUPED metadata aggregates ride the same stats when every
+    * grouping expression is a PARTITION column (any subset, any
+    * order): segments are keyed by the full partition tuple, so
+    * `GROUP BY part_col` folds per projected key — the
+    * partition-profile query (`SELECT dt, count(*) … GROUP BY dt`)
+    * answered without opening a file, which at 100 TB is the
+    * difference between a metastore lookup and a full scan.
+    */
+  private def groupCols(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Seq[String]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    val named = agg.groupByExpressions.toSeq.map {
+      case nr: NamedReference if nr.fieldNames().length == 1 &&
+          partitionCols.contains(nr.fieldNames()(0)) => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    if (named.forall(_.isDefined)) Some(named.flatten) else None
+  }
+
   private def translate(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[Seq[GraftCatalogAgg]] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.types._
-    if (sawFilters || agg.groupByExpressions.nonEmpty) return None
+    if (sawFilters || groupCols(agg).isEmpty) return None
     // Deletion vectors poison MIN/MAX stats (the extremum may be a
     // deleted row) but not COUNT(*) — liveRows is exact.
     val anyDv = pinned.getOrElse(GraftCatalog.segmentsOf(ident)).exists(_.dv.nonEmpty)
@@ -3065,9 +3085,13 @@ private[sources] class GraftCatalogScanBuilder(
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
     translate(agg) match {
-      case Some(t) => pushedAggs = Some(t); true
+      case Some(t) =>
+        pushedAggs = Some(t)
+        pushedGroupBy = groupCols(agg).getOrElse(Nil)
+        true
       case None => false
     }
+  private var pushedGroupBy: Seq[String] = Nil
   // Column pruning: segments store FULL rows (row-major), so pruning
   // can't skip disk bytes the way a columnar format does — but the
   // per-split projection below narrows every row before it enters the
@@ -3091,7 +3115,8 @@ private[sources] class GraftCatalogScanBuilder(
     // per-segment fallback inside the scan.
     case Some(aggs) =>
       GraftCatalogAggScan(ident, schema,
-        Some(pinned.getOrElse(GraftCatalog.segmentsOf(ident))), aggs)
+        Some(pinned.getOrElse(GraftCatalog.segmentsOf(ident))), aggs,
+        partitionCols, pushedGroupBy)
     case None =>
       GraftCatalogScan(ident, schema, pruning.toIndexedSeq, required, pinned, partitionCols,
         maxSegmentsPerTrigger = maxSegmentsPerTrigger,
@@ -3115,22 +3140,28 @@ private[graft] object GraftCatalogAgg {
   */
 private[graft] case class GraftCatalogAggScan(
     ident: Identifier, schema: StructType,
-    pinned: Option[Vector[GraftCatalog.Segment]], aggs: Seq[GraftCatalogAgg])
+    pinned: Option[Vector[GraftCatalog.Segment]], aggs: Seq[GraftCatalogAgg],
+    partitionCols: Seq[String] = Nil, groupBy: Seq[String] = Nil)
     extends Scan with Batch {
   import org.apache.spark.sql.types._
 
   private def colIndex(name: String): Int = schema.fieldIndex(name)
 
-  override def readSchema(): StructType = StructType(aggs.map {
-    case GraftCatalogAgg.CountStar => StructField("COUNT(*)", LongType, nullable = false)
-    case GraftCatalogAgg.MinCol(c) =>
-      StructField(s"MIN($c)", schema.fields(colIndex(c)).dataType, nullable = true)
-    case GraftCatalogAgg.MaxCol(c) =>
-      StructField(s"MAX($c)", schema.fields(colIndex(c)).dataType, nullable = true)
-  })
+  // Complete-pushdown output contract: grouping columns FIRST (in the
+  // query's order), then the aggregate columns.
+  override def readSchema(): StructType = StructType(
+    groupBy.map(c => schema.fields(colIndex(c))) ++ aggs.map {
+      case GraftCatalogAgg.CountStar => StructField("COUNT(*)", LongType, nullable = false)
+      case GraftCatalogAgg.MinCol(c) =>
+        StructField(s"MIN($c)", schema.fields(colIndex(c)).dataType, nullable = true)
+      case GraftCatalogAgg.MaxCol(c) =>
+        StructField(s"MAX($c)", schema.fields(colIndex(c)).dataType, nullable = true)
+    })
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftCatalogAggScan($ident, aggs=[${aggs.mkString(", ")}], metadataOnly)"
+    s"GraftCatalogAggScan($ident, aggs=[${aggs.mkString(", ")}]" +
+      (if (groupBy.nonEmpty) s", groupBy=[${groupBy.mkString(", ")}]" else "") +
+      ", metadataOnly)"
 
   override def planInputPartitions(): Array[InputPartition] =
     Array(GraftCatalogPartition(Vector.empty, 0))
@@ -3176,9 +3207,9 @@ private[graft] case class GraftCatalogAggScan(
       }
       Option(best)
     }
-    def fold(c: String, wantMin: Boolean): Any = {
+    def fold(group: Vector[GraftCatalog.Segment], c: String, wantMin: Boolean): Any = {
       val i = colIndex(c)
-      val vals = segs.flatMap { s =>
+      val vals = group.flatMap { s =>
         require(s.stats.length > i,
           s"segment ${s.path} lacks stats for column $c — metadata aggregate unanswerable")
         if (s.dv.isEmpty) Option(if (wantMin) s.stats(i).min else s.stats(i).max)
@@ -3188,13 +3219,44 @@ private[graft] case class GraftCatalogAggScan(
       else CatalystTypeConverters.convertToCatalyst(
         vals.reduce((a, b) => if (lt(a, b) == wantMin) a else b))
     }
-    val row = InternalRow.fromSeq(aggs.map {
-      case GraftCatalogAgg.CountStar => segs.map(_.liveRows).sum
-      case GraftCatalogAgg.MinCol(c) => fold(c, wantMin = true)
-      case GraftCatalogAgg.MaxCol(c) => fold(c, wantMin = false)
-    })
-    GraftRangeSingleRowFactory(row)
+    def aggRow(group: Vector[GraftCatalog.Segment]): Seq[Any] = aggs.map {
+      case GraftCatalogAgg.CountStar => group.map(_.liveRows).sum
+      case GraftCatalogAgg.MinCol(c) => fold(group, c, wantMin = true)
+      case GraftCatalogAgg.MaxCol(c) => fold(group, c, wantMin = false)
+    }
+    val rows: Array[InternalRow] =
+      if (groupBy.isEmpty) Array(InternalRow.fromSeq(aggRow(segs)))
+      else {
+        // One output row per DISTINCT projection of the partition tuple
+        // onto the requested grouping columns (empty partitions have no
+        // segments and so — correctly — no row, same as a real GROUP
+        // BY). Deterministic order for plan stability; result size is
+        // partition-count-bounded metadata.
+        val idx = groupBy.map(partitionCols.indexOf)
+        segs.groupBy(s => idx.map(s.key(_)))
+          .toSeq.sortBy(_._1.mkString(" "))
+          .map { case (kv, group) =>
+            InternalRow.fromSeq(
+              kv.map(CatalystTypeConverters.convertToCatalyst) ++ aggRow(group))
+          }.toArray
+      }
+    GraftRowsFactory(rows)
   }
+}
+
+/** Emits a fixed driver-computed row set from one carrier partition —
+  * the multi-row twin of `GraftRangeSingleRowFactory` (metadata
+  * aggregates, grouped or global).
+  */
+private[graft] case class GraftRowsFactory(rows: Array[InternalRow])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = rows(i)
+      override def close(): Unit = ()
+    }
 }
 
 private[graft] case class GraftCatalogScan(

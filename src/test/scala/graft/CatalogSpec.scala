@@ -740,6 +740,37 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.agg.e")
   }
 
+  test("grouped metadata aggregates: GROUP BY partition column folds per segment key, zero file reads") {
+    spark.sql("DROP TABLE IF EXISTS graft.agg.g")
+    spark.sql(
+      "CREATE TABLE graft.agg.g (region STRING, k BIGINT) USING graft PARTITIONED BY (region)")
+    spark.range(0, 90)
+      .selectExpr("concat('r', id % 3) AS region", "id AS k")
+      .writeTo("graft.agg.g").append()
+    // The partition-profile query: answered from the metastore alone.
+    val q = spark.sql(
+      "SELECT region, count(*) AS n, min(k) AS lo, max(k) AS hi FROM graft.agg.g GROUP BY region ORDER BY region")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftCatalogAggScan") && plan.contains("groupBy=[region]"),
+      s"grouped aggregate was not pushed to metadata:\n$plan")
+    assert(q.as[(String, Long, Long, Long)].collect().toSeq == Seq(
+      ("r0", 30L, 0L, 87L), ("r1", 30L, 1L, 88L), ("r2", 30L, 2L, 89L)))
+    // Grouping on a NON-partition column must not push (per-row work).
+    val ng = spark.sql("SELECT k % 2, count(*) FROM graft.agg.g GROUP BY k % 2")
+    assert(!ng.queryExecution.executedPlan.toString.contains("GraftCatalogAggScan"))
+    assert(ng.count() == 2)
+    // A deletion vector keeps grouped COUNT exact (liveRows) while
+    // MIN/MAX correctly fall back off the metadata path... COUNT alone
+    // still folds.
+    spark.sql("DELETE FROM graft.agg.g WHERE k = 3") // dv on r0's segment
+    val qc = spark.sql(
+      "SELECT region, count(*) AS n FROM graft.agg.g GROUP BY region ORDER BY region")
+    assert(qc.queryExecution.executedPlan.toString.contains("GraftCatalogAggScan"))
+    assert(qc.as[(String, Long)].collect().toSeq == Seq(
+      ("r0", 29L), ("r1", 30L), ("r2", 30L)))
+    spark.sql("DROP TABLE graft.agg.g")
+  }
+
   test("create rejects a duplicate identifier; analyzer enforces the declared schema") {
     spark.sql("DROP TABLE IF EXISTS graft.t3.once")
     spark.sql("CREATE TABLE graft.t3.once (x INT) USING graft")
