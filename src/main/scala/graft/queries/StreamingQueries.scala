@@ -494,11 +494,60 @@ object StreamingQueries {
         |ORDER BY tag""".stripMargin)
   }
 
+  /** ST15: STREAMING CHANGE-DATA-FEED — `readStream` on the
+    * `graft-changes` source replays a catalog table's commit history as
+    * row-level CDC micro-batches, ONE COMMIT PER BATCH (admission-
+    * controlled: a multi-commit batch would net-out an insert+delete
+    * pair and a CDC consumer would miss it). The fixture commits an
+    * append, a second append, then a deletion-vector DELETE; the
+    * stream must deliver every insert AND the delete AS DATA — the
+    * commit shape the plain catalog stream refuses. The oracle
+    * recomputes the full feed as slice algebra: inserts = both
+    * batches, deletes = the dv'd rows.
+    */
+  val st15ChangeFeedStream: Q = Q(
+    "st15_change_feed_stream",
+    """WITH a AS (SELECT c_mktsegment AS seg, c_acctbal AS bal FROM customer),
+      |     feed AS (
+      |       SELECT 'insert' AS change_type, seg, bal FROM a
+      |       UNION ALL
+      |       SELECT 'delete' AS change_type, seg, bal FROM a
+      |       WHERE seg = 'MACHINERY')
+      |SELECT change_type, seg, count(*) AS n,
+      |  round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+      |FROM feed
+      |GROUP BY change_type, seg
+      |ORDER BY change_type, seg""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.functions.{col, count, round, sum}
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.customer(spark, dir).createOrReplaceTempView("st15_customer_src")
+    spark.sql("DROP TABLE IF EXISTS graft.stream.cdc15")
+    spark.sql(
+      "CREATE TABLE graft.stream.cdc15 (k BIGINT, seg STRING, bal DOUBLE) USING graft")
+    spark.sql(
+      """INSERT INTO graft.stream.cdc15
+        |SELECT CAST(c_custkey AS BIGINT), c_mktsegment, c_acctbal
+        |FROM st15_customer_src WHERE c_custkey % 3 <> 0""".stripMargin) // v1
+    spark.sql(
+      """INSERT INTO graft.stream.cdc15
+        |SELECT CAST(c_custkey AS BIGINT), c_mktsegment, c_acctbal
+        |FROM st15_customer_src WHERE c_custkey % 3 = 0""".stripMargin) // v2
+    spark.sql("DELETE FROM graft.stream.cdc15 WHERE seg = 'MACHINERY'") // v3: dv
+    val feed = spark.readStream.format("graft-changes")
+      .option("table", "stream.cdc15").option("changesFrom", "0").load()
+    StreamingOps.runToBatch(spark, feed, "append", "st15_feed")
+      .groupBy(col("_change_type").as("change_type"), col("seg"))
+      .agg(count("*").as("n"),
+        round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("total_bal"))
+      .orderBy("change_type", "seg")
+  }
+
   val all: Seq[Q] = Seq(
     st2Tumbling, st3Sliding, st4SessionWindow, st5StreamDedup,
     st6StatefulOp, st6bTransformWithState, st7StreamStaticJoin,
     st8StreamStreamJoin, st10CustomSourceStream, st11StreamToCatalog,
-    st12CatalogChangeStream, st13JoinThenWindowAgg, st14StreamingMv)
+    st12CatalogChangeStream, st13JoinThenWindowAgg, st14StreamingMv,
+    st15ChangeFeedStream)
 }
 
 /** Per-user (count, sum) running state via a typed ValueState handle —

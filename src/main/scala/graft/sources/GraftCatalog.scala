@@ -3234,7 +3234,7 @@ private[graft] case class GraftCatalogAggScan(
         // partition-count-bounded metadata.
         val idx = groupBy.map(partitionCols.indexOf)
         segs.groupBy(s => idx.map(s.key(_)))
-          .toSeq.sortBy(_._1.mkString(" "))
+          .toSeq.sortBy(_._1.mkString("\u0000"))
           .map { case (kv, group) =>
             InternalRow.fromSeq(
               kv.map(CatalystTypeConverters.convertToCatalyst) ++ aggRow(group))

@@ -120,7 +120,8 @@ class GraftChangeFeed extends org.apache.spark.sql.connector.catalog.TableProvid
       override def capabilities(): java.util.Set[
           org.apache.spark.sql.connector.catalog.TableCapability] =
         java.util.EnumSet.of(
-          org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+          org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ,
+          org.apache.spark.sql.connector.catalog.TableCapability.MICRO_BATCH_READ)
       override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
         new GraftChangeScanBuilder(ident, from, to)
     }
@@ -155,29 +156,15 @@ private[sources] case class GraftChangeScan(
     StructType(dataSchema.fields :+
       StructField("_change_type", StringType, nullable = false))
   override def toBatch: Batch = this
+  override def toMicroBatchStream(
+      checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftChangeMicroBatchStream(ident, from.version, dataSchema)
   override def description(): String =
     s"GraftChangeScan($ident, from=v${from.version}, to=v${to.version})"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val width = dataSchema.length
-    val fromByPath = from.segments.map(s => s.path -> s).toMap
-    val toByPath = to.segments.map(s => s.path -> s).toMap
-    val inserts = to.segments.filterNot(s => fromByPath.contains(s.path)).map(s =>
-      GraftChangePartition(GraftSegFile.of(s), width, "insert", None))
-    val deletes = from.segments.filterNot(s => toByPath.contains(s.path)).map(s =>
-      GraftChangePartition(GraftSegFile.of(s), width, "delete", None))
-    val dvDeltas = to.segments.flatMap { t =>
-      fromByPath.get(t.path).flatMap { f =>
-        val delta = t.dv.getOrElse(BitSet.empty) &~ f.dv.getOrElse(BitSet.empty)
-        if (delta.isEmpty) None
-        // Emit the deleted rows' CONTENT: read the shared file, emit
-        // only the delta ordinals (they were live at `from`).
-        else Some(GraftChangePartition(
-          GraftSegFile(t.path, t.rows, dv = None), width, "delete", Some(delta)))
-      }
-    }
-    (inserts ++ deletes ++ dvDeltas).toArray[InputPartition]
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftChangeScan.diffPartitions(from, to, dataSchema.length)
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftChangeReaderFactory(dataSchema)
@@ -198,6 +185,110 @@ private[sources] case class GraftChangeScan(
       override def sizeInBytes: java.util.OptionalLong = java.util.OptionalLong.of(bytes)
       override def numRows: java.util.OptionalLong = java.util.OptionalLong.of(rows)
     }
+  }
+}
+
+/** STREAMING change feed (`spark.readStream.format("graft-changes")`):
+  * the table's commit history replayed as row-level CDC micro-batches —
+  * each batch is the structural diff between two committed versions
+  * (insert rows from added segments, delete rows from removed segments
+  * and deletion-vector deltas), with `_change_type` attached. Unlike
+  * the plain catalog stream (append-only, change commits fail or skip),
+  * this source EXPRESSES deletes/updates as data — the feed a
+  * downstream MERGE keeps a replica in sync with. Offsets are plain
+  * versions; a restart resumes from the checkpoint; falling behind
+  * retention fails loudly with the same remedy message as the catalog
+  * stream.
+  */
+private[sources] class GraftChangeMicroBatchStream(
+    ident: Identifier, startVersion: Long, dataSchema: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  private def snapshotOrFail(v: Long): GraftCatalog.CatalogSnapshot = {
+    val s = GraftCatalog.snapshotByVersion(ident, v).getOrElse(
+      throw new IllegalStateException(
+        s"change-feed stream of $ident: snapshot v$v is no longer retained — the " +
+          "stream (or its checkpoint) fell behind the retention window; raise " +
+          "graft.catalog.retention.seconds / .snapshots or restart from a fresh " +
+          "checkpoint"))
+    if (s.schema != dataSchema)
+      throw new IllegalStateException(
+        s"change-feed stream of $ident: commit v$v was written under a different " +
+          s"schema (${s.schema.simpleString} vs ${dataSchema.simpleString}); restart " +
+          "the stream to pick up the evolved schema")
+    s
+  }
+
+  private def currentVersion: Long =
+    GraftCatalog.retainedSnapshots(ident).lastOption.map(_.version).getOrElse(-1L)
+      .max(startVersion)
+
+  override def initialOffset(): Offset = GraftVersionOffset(startVersion)
+  override def deserializeOffset(json: String): Offset = GraftVersionOffset(json.toLong)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-controlled entry point")
+  /** ONE COMMIT PER BATCH, always: a multi-commit batch would be the
+    * NET diff of its endpoints, silently collapsing an insert+delete
+    * that both happened inside the batch — a CDC consumer must see
+    * every intermediate change exactly once. AvailableNow drains
+    * commit-by-commit to the prepared target.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftVersionOffset].v
+    val target = availableNowTarget.getOrElse(currentVersion)
+    GraftVersionOffset(math.min(s + 1, target).max(s))
+  }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = GraftVersionOffset(currentVersion)
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(currentVersion)
+  override def commit(end: Offset): Unit = () // retention GC owns file lifetime
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftVersionOffset].v
+    val e = end.asInstanceOf[GraftVersionOffset].v
+    if (e <= s) Array.empty
+    // The batch is the structural diff s → e (net within the batch,
+    // per-commit when the trigger keeps up — one commit per batch).
+    else GraftChangeScan.diffPartitions(
+      snapshotOrFail(s), snapshotOrFail(e), dataSchema.length)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftChangeReaderFactory(dataSchema)
+}
+
+private[sources] object GraftChangeScan {
+  /** The structural snapshot diff both the batch scan and the
+    * streaming source plan from: one split per changed segment.
+    */
+  private[sources] def diffPartitions(
+      from: GraftCatalog.CatalogSnapshot, to: GraftCatalog.CatalogSnapshot,
+      width: Int): Array[InputPartition] = {
+    val fromByPath = from.segments.map(s => s.path -> s).toMap
+    val toByPath = to.segments.map(s => s.path -> s).toMap
+    val inserts = to.segments.filterNot(s => fromByPath.contains(s.path)).map(s =>
+      GraftChangePartition(GraftSegFile.of(s), width, "insert", None))
+    val deletes = from.segments.filterNot(s => toByPath.contains(s.path)).map(s =>
+      GraftChangePartition(GraftSegFile.of(s), width, "delete", None))
+    val dvDeltas = to.segments.flatMap { t =>
+      fromByPath.get(t.path).flatMap { f =>
+        val delta = t.dv.getOrElse(BitSet.empty) &~ f.dv.getOrElse(BitSet.empty)
+        if (delta.isEmpty) None
+        // Emit the deleted rows' CONTENT: read the shared file, emit
+        // only the delta ordinals (they were live at `from`).
+        else Some(GraftChangePartition(
+          GraftSegFile(t.path, t.rows, dv = None), width, "delete", Some(delta)))
+      }
+    }
+    (inserts ++ deletes ++ dvDeltas).toArray[InputPartition]
   }
 }
 
