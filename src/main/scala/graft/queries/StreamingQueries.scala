@@ -542,12 +542,86 @@ object StreamingQueries {
       .orderBy("change_type", "seg")
   }
 
+  /** ST16: CDC REPLICATION END-TO-END — the reason change feeds exist.
+    * A replica table is maintained purely by APPLYING the streaming
+    * change feed: per micro-batch (= per commit), insert rows upsert
+    * via MERGE and delete rows delete via MERGE, with the
+    * delete-then-insert pair of an UPDATE commit resolved
+    * insert-wins-per-key inside the batch (the standard CDC-apply
+    * collapse; both MERGEs are idempotent, so a replayed batch after a
+    * failure re-applies harmlessly — exactly-once effect). The source
+    * takes an append, a second append, a copy-on-write UPDATE, and a
+    * deletion-vector DELETE; the replica — which never read the source
+    * table, only the feed — must converge to the source's final state,
+    * which the oracle recomputes directly from the raw parquet.
+    */
+  val st16CdcReplica: Q = Q(
+    "st16_cdc_replica",
+    """WITH src AS (
+      |  SELECT c_custkey AS k, c_mktsegment AS seg,
+      |    CASE WHEN c_mktsegment = 'BUILDING'
+      |         THEN c_acctbal + 100.0 ELSE c_acctbal END AS bal
+      |  FROM customer)
+      |SELECT seg, count(*) AS n,
+      |  round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+      |FROM src WHERE seg <> 'MACHINERY'
+      |GROUP BY seg
+      |ORDER BY seg""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.functions.{col, count, round, sum}
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.customer(spark, dir).createOrReplaceTempView("st16_customer_src")
+    spark.sql("DROP TABLE IF EXISTS graft.stream.cdc16")
+    spark.sql("DROP TABLE IF EXISTS graft.stream.replica16")
+    spark.sql(
+      "CREATE TABLE graft.stream.cdc16 (k BIGINT, seg STRING, bal DOUBLE) USING graft")
+    spark.sql(
+      "CREATE TABLE graft.stream.replica16 (k BIGINT, seg STRING, bal DOUBLE) USING graft")
+    spark.sql(
+      """INSERT INTO graft.stream.cdc16
+        |SELECT CAST(c_custkey AS BIGINT), c_mktsegment, c_acctbal
+        |FROM st16_customer_src WHERE c_custkey % 3 <> 0""".stripMargin) // v1
+    spark.sql(
+      """INSERT INTO graft.stream.cdc16
+        |SELECT CAST(c_custkey AS BIGINT), c_mktsegment, c_acctbal
+        |FROM st16_customer_src WHERE c_custkey % 3 = 0""".stripMargin) // v2
+    spark.sql(
+      """UPDATE graft.stream.cdc16 SET bal = bal + 100.0
+        |WHERE seg = 'BUILDING'""".stripMargin) // v3: CoW → delete+insert pairs
+    spark.sql("DELETE FROM graft.stream.cdc16 WHERE seg = 'MACHINERY'") // v4: dv
+    val feed = spark.readStream.format("graft-changes")
+      .option("table", "stream.cdc16").option("changesFrom", "0").load()
+    StreamingOps.runForeachBatch(spark, feed, (batch, _) => {
+      // CDC apply: within a commit, an UPDATE surfaces as delete(old)+
+      // insert(new) on the SAME key — insert wins; a key with only a
+      // delete is a real delete.
+      val ups = batch.filter(col("_change_type") === "insert").select("k", "seg", "bal")
+      val dels = batch.filter(col("_change_type") === "delete").select("k")
+        .except(ups.select("k"))
+      val s = batch.sparkSession
+      ups.createOrReplaceTempView("st16_ups")
+      dels.createOrReplaceTempView("st16_dels")
+      s.sql(
+        """MERGE INTO graft.stream.replica16 t USING st16_ups s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET seg = s.seg, bal = s.bal
+          |WHEN NOT MATCHED THEN INSERT (k, seg, bal) VALUES (s.k, s.seg, s.bal)""".stripMargin)
+      s.sql(
+        """MERGE INTO graft.stream.replica16 t USING st16_dels s ON t.k = s.k
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+      ()
+    })
+    spark.table("graft.stream.replica16")
+      .groupBy("seg")
+      .agg(count("*").as("n"),
+        round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("total_bal"))
+      .orderBy("seg")
+  }
+
   val all: Seq[Q] = Seq(
     st2Tumbling, st3Sliding, st4SessionWindow, st5StreamDedup,
     st6StatefulOp, st6bTransformWithState, st7StreamStaticJoin,
     st8StreamStreamJoin, st10CustomSourceStream, st11StreamToCatalog,
     st12CatalogChangeStream, st13JoinThenWindowAgg, st14StreamingMv,
-    st15ChangeFeedStream)
+    st15ChangeFeedStream, st16CdcReplica)
 }
 
 /** Per-user (count, sum) running state via a typed ValueState handle —
