@@ -766,10 +766,15 @@ object SourceQueries {
   val x9cMvRewriteOff: Q = Q("x9c_mv_rewrite_off", x9cOracle) { (spark, dir) =>
     ensureMvRewriteBench(spark, dir)
     spark.conf.set("spark.graft.mvRewrite.enabled", "false")
-    // spark.sql analyzes EAGERLY (Dataset.ofRows asserts analysis), so
-    // the rewrite decision is baked into the returned plan here, under
-    // the disabled conf — later execution re-uses that plan.
-    try x9cQuery(spark)
+    // EXECUTE (localCheckpoint), don't just analyze, under the disabled
+    // conf: the bench's later `.count()` wraps the returned Dataset in
+    // a new plan and RE-RUNS the analyzer — by then the conf is back on
+    // and MvRewriteRule happily re-fires on the resolved subtree, so a
+    // merely-analyzed plan silently benched MV-vs-MV (caught when the
+    // pair's numbers were identical; probed via optimizedPlan of the
+    // count wrapper). Checkpointing pins the BASE aggregation's
+    // execution inside the timed fn; the count above it is 3 rows.
+    try x9cQuery(spark).localCheckpoint()
     finally spark.conf.set("spark.graft.mvRewrite.enabled", "true")
   }
 
