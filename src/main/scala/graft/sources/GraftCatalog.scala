@@ -531,7 +531,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       val (shared, dead) =
         candidates.partition(s => GraftCatalog.referencedByOther(ident, s.path))
       dead.foreach(SegmentIO.delete)
-      if (shared.isEmpty) deleteRecursively(Paths.get(entry.dir))
+      // The dir must survive only if a SPARED file actually lives in it
+      // — a clone whose shared segments all reside in the SOURCE's dir
+      // must still get its own (now-empty) dir removed.
+      if (!shared.exists(_.path.startsWith(entry.dir)))
+        deleteRecursively(Paths.get(entry.dir))
     }
     persistTable(ident) // deletes the ledger document
     entry != null
@@ -3244,9 +3248,9 @@ private[graft] case class GraftCatalogAggScan(
   }
 }
 
-/** Emits a fixed driver-computed row set from one carrier partition —
-  * the multi-row twin of `GraftRangeSingleRowFactory` (metadata
-  * aggregates, grouped or global).
+/** Emits a fixed driver-computed row set from one carrier partition
+  * (metadata aggregates — grouped or global — and the range source's
+  * completely-pushed aggregate row).
   */
 private[graft] case class GraftRowsFactory(rows: Array[InternalRow])
     extends PartitionReaderFactory {

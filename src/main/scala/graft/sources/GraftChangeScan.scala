@@ -50,12 +50,6 @@ import org.apache.spark.unsafe.types.UTF8String
   * makes old segments unreadable under the new layout, so it fails
   * loudly rather than mis-decoding.
   */
-private[sources] class GraftChangeScanBuilder(
-    ident: Identifier, from: GraftCatalog.CatalogSnapshot,
-    to: GraftCatalog.CatalogSnapshot) extends ScanBuilder {
-  override def build(): Scan = GraftChangeScan(ident, from, to)
-}
-
 /** Format entry point for the change feed. A `.table()` read cannot
   * widen the relation schema (the analyzer resolves columns against
   * the TABLE, before any scan exists), so — like Delta's
@@ -79,32 +73,33 @@ class GraftChangeFeed extends org.apache.spark.sql.connector.catalog.TableProvid
 
   override def shortName(): String = "graft-changes"
 
+  /** Identifier + option strings only — NO snapshot resolution here:
+    * load()/getTable run on every stream (re)start, and a checkpointed
+    * stream must come up even when the original `changesFrom` version
+    * has aged out of retention (only offsets matter then). Batch reads
+    * resolve eagerly inside the scan's toBatch.
+    */
   private def resolve(options: CaseInsensitiveStringMap)
-      : (Identifier, GraftCatalog.CatalogSnapshot, GraftCatalog.CatalogSnapshot) = {
+      : (Identifier, String, Option[String]) = {
     val t = Option(options.get("table")).getOrElse(
       throw new IllegalArgumentException(
         "graft-changes requires option 'table' = '<namespace>.<name>'"))
     val parts = t.split('.')
     require(parts.length >= 2, s"graft-changes table '$t' must be namespace-qualified")
     val ident = Identifier.of(parts.init, parts.last)
-    def snap(s: String): GraftCatalog.CatalogSnapshot = {
-      val v = GraftCatalog.resolveVersionString(ident, s)
-      GraftCatalog.snapshotByVersion(ident, v).getOrElse(
-        throw new IllegalArgumentException(
-          s"change feed over $ident: version $v is expired or never committed"))
-    }
-    val from = snap(Option(options.get("changesFrom")).getOrElse(
-      throw new IllegalArgumentException("graft-changes requires option 'changesFrom'")))
-    val to = Option(options.get("changesTo")).map(snap).getOrElse(
-      GraftCatalog.retainedSnapshots(ident).lastOption.getOrElse(
-        throw new IllegalArgumentException(
-          s"change feed over $ident: table has no committed snapshots")))
-    (ident, from, to)
+    val from = Option(options.get("changesFrom")).getOrElse(
+      throw new IllegalArgumentException("graft-changes requires option 'changesFrom'"))
+    (ident, from, Option(options.get("changesTo")))
   }
+
+  private def currentSchema(ident: Identifier): StructType =
+    GraftCatalog.retainedSnapshots(ident).lastOption.map(_.schema).getOrElse(
+      throw new IllegalArgumentException(
+        s"change feed over $ident: table has no committed snapshots"))
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (ident, from, to) = resolve(options)
-    GraftChangeScan(ident, from, to).readSchema()
+    GraftChangeFeedScan(ident, from, to, currentSchema(ident)).readSchema()
   }
 
   override def getTable(
@@ -115,15 +110,19 @@ class GraftChangeFeed extends org.apache.spark.sql.connector.catalog.TableProvid
     new org.apache.spark.sql.connector.catalog.Table
         with org.apache.spark.sql.connector.catalog.SupportsRead {
       override def name(): String =
-        s"graft-changes($ident, v${from.version}..v${to.version})"
-      override def schema(): StructType = GraftChangeScan(ident, from, to).readSchema()
+        s"graft-changes($ident, from=$from${to.fold("")(t => s", to=$t")})"
+      override def schema(): StructType =
+        GraftChangeFeedScan(ident, from, to, currentSchema(ident)).readSchema()
       override def capabilities(): java.util.Set[
           org.apache.spark.sql.connector.catalog.TableCapability] =
         java.util.EnumSet.of(
           org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ,
           org.apache.spark.sql.connector.catalog.TableCapability.MICRO_BATCH_READ)
       override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-        new GraftChangeScanBuilder(ident, from, to)
+        new ScanBuilder {
+          override def build(): Scan =
+            GraftChangeFeedScan(ident, from, to, currentSchema(ident))
+        }
     }
   }
 }
@@ -135,7 +134,7 @@ class GraftChangeFeed extends org.apache.spark.sql.connector.catalog.TableProvid
   */
 private[sources] case class GraftChangePartition(
     file: GraftSegFile, numFields: Int, changeType: String,
-    emitOnly: Option[BitSet]) extends InputPartition
+    emitOnly: Option[BitSet], fileBytes: Long = 0L) extends InputPartition
 
 private[sources] case class GraftChangeScan(
     ident: Identifier, from: GraftCatalog.CatalogSnapshot,
@@ -156,10 +155,6 @@ private[sources] case class GraftChangeScan(
     StructType(dataSchema.fields :+
       StructField("_change_type", StringType, nullable = false))
   override def toBatch: Batch = this
-  override def toMicroBatchStream(
-      checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftChangeMicroBatchStream(ident, from.version, dataSchema)
   override def description(): String =
     s"GraftChangeScan($ident, from=v${from.version}, to=v${to.version})"
 
@@ -176,11 +171,18 @@ private[sources] case class GraftChangeScan(
     */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     val parts = planInputPartitions().map(_.asInstanceOf[GraftChangePartition])
-    val rows = parts.map { p =>
+    def emitted(p: GraftChangePartition): Long =
       p.emitOnly.map(_.size.toLong).getOrElse(
         p.file.rows - p.file.dv.map(_.size.toLong).getOrElse(0L))
-    }.sum
-    val bytes = rows * (8L * (dataSchema.length + 2)).max(1L)
+    val rows = parts.map(emitted).sum
+    // REAL file bytes scaled by the emitted-row fraction — a flat
+    // bytes-per-field guess undercounts wide string rows badly enough
+    // to wrongly auto-broadcast a multi-hundred-MB diff.
+    val bytes = parts.map { p =>
+      if (p.fileBytes > 0 && p.file.rows > 0)
+        (p.fileBytes * emitted(p)) / p.file.rows
+      else emitted(p) * 8L * (dataSchema.length + 2)
+    }.sum.max(if (rows > 0) 1L else 0L)
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes: java.util.OptionalLong = java.util.OptionalLong.of(bytes)
       override def numRows: java.util.OptionalLong = java.util.OptionalLong.of(rows)
@@ -200,8 +202,67 @@ private[sources] case class GraftChangeScan(
   * retention fails loudly with the same remedy message as the catalog
   * stream.
   */
+/** The Scan handed to Spark by the `graft-changes` source. Version
+  * RESOLUTION is mode-dependent, which is why this wrapper exists:
+  *  - BATCH resolves both endpoints eagerly (an expired version is an
+  *    immediate, correct error);
+  *  - STREAMING must NOT resolve `changesFrom` to a snapshot at all —
+  *    it is only the INITIAL offset, consulted when no checkpoint
+  *    exists. A restarted stream whose checkpoint is at v100 must not
+  *    die because v0 aged out of retention (or its schema epoch) —
+  *    only the string→version mapping is needed, never the snapshot.
+  *    `changesTo`, when set, bounds the stream: offsets never advance
+  *    past it (the feed drains and idles — the batch option means the
+  *    same thing in both modes).
+  */
+private[sources] case class GraftChangeFeedScan(
+    ident: Identifier, fromStr: String, toStr: Option[String],
+    dataSchema: StructType) extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  private def snap(s: String): GraftCatalog.CatalogSnapshot = {
+    val v = GraftCatalog.resolveVersionString(ident, s)
+    GraftCatalog.snapshotByVersion(ident, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"change feed over $ident: version $v is expired or never committed"))
+  }
+  private def resolvedBatch: GraftChangeScan = {
+    val to = toStr.map(snap).getOrElse(
+      GraftCatalog.retainedSnapshots(ident).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"change feed over $ident: table has no committed snapshots")))
+    GraftChangeScan(ident, snap(fromStr), to)
+  }
+
+  override def readSchema(): StructType =
+    StructType(dataSchema.fields :+
+      StructField("_change_type", StringType, nullable = false))
+  override def toBatch: Batch = resolvedBatch
+  override def toMicroBatchStream(
+      checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftChangeMicroBatchStream(
+      ident, GraftCatalog.resolveVersionString(ident, fromStr),
+      toStr.map(GraftCatalog.resolveVersionString(ident, _)), dataSchema)
+  override def description(): String =
+    s"GraftChangeFeedScan($ident, from=$fromStr${toStr.fold("")(t => s", to=$t")})"
+  /** Real stats for the batch/MERGE path; a streaming context where
+    * the start version already expired must not die in an estimate.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    try resolvedBatch.estimateStatistics()
+    catch {
+      case _: IllegalArgumentException =>
+        new org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes: java.util.OptionalLong = java.util.OptionalLong.empty()
+          override def numRows: java.util.OptionalLong = java.util.OptionalLong.empty()
+        }
+    }
+}
+
 private[sources] class GraftChangeMicroBatchStream(
-    ident: Identifier, startVersion: Long, dataSchema: StructType)
+    ident: Identifier, startVersion: Long, endVersion: Option[Long],
+    dataSchema: StructType)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -224,9 +285,12 @@ private[sources] class GraftChangeMicroBatchStream(
     s
   }
 
-  private def currentVersion: Long =
-    GraftCatalog.retainedSnapshots(ident).lastOption.map(_.version).getOrElse(-1L)
+  private def currentVersion: Long = {
+    val cur = GraftCatalog.retainedSnapshots(ident).lastOption.map(_.version).getOrElse(-1L)
       .max(startVersion)
+    // changesTo bounds the stream: drain to it, then idle.
+    endVersion.fold(cur)(math.min(cur, _))
+  }
 
   override def initialOffset(): Offset = GraftVersionOffset(startVersion)
   override def deserializeOffset(json: String): Offset = GraftVersionOffset(json.toLong)
@@ -275,17 +339,32 @@ private[sources] object GraftChangeScan {
     val fromByPath = from.segments.map(s => s.path -> s).toMap
     val toByPath = to.segments.map(s => s.path -> s).toMap
     val inserts = to.segments.filterNot(s => fromByPath.contains(s.path)).map(s =>
-      GraftChangePartition(GraftSegFile.of(s), width, "insert", None))
+      GraftChangePartition(GraftSegFile.of(s), width, "insert", None, s.bytes))
     val deletes = from.segments.filterNot(s => toByPath.contains(s.path)).map(s =>
-      GraftChangePartition(GraftSegFile.of(s), width, "delete", None))
+      GraftChangePartition(GraftSegFile.of(s), width, "delete", None, s.bytes))
     val dvDeltas = to.segments.flatMap { t =>
-      fromByPath.get(t.path).flatMap { f =>
-        val delta = t.dv.getOrElse(BitSet.empty) &~ f.dv.getOrElse(BitSet.empty)
-        if (delta.isEmpty) None
-        // Emit the deleted rows' CONTENT: read the shared file, emit
-        // only the delta ordinals (they were live at `from`).
-        else Some(GraftChangePartition(
-          GraftSegFile(t.path, t.rows, dv = None), width, "delete", Some(delta)))
+      fromByPath.get(t.path).toSeq.flatMap { f =>
+        val fdv = f.dv.getOrElse(BitSet.empty)
+        val tdv = t.dv.getOrElse(BitSet.empty)
+        // Grown dv: rows live at `from`, dead at `to` — deletes.
+        val grown = tdv &~ fdv
+        // SHRUNKEN dv: rows dead at `from`, live at `to` — INSERTS.
+        // This is not hypothetical: RESTORE re-publishes an older
+        // snapshot's smaller (or absent) dv on the SAME segment path,
+        // resurrecting rows; a feed that only watched dv growth would
+        // emit an empty diff for the restore commit and a CDC replica
+        // would permanently diverge.
+        val shrunk = fdv &~ tdv
+        Seq(
+          grown -> "delete",
+          shrunk -> "insert"
+        ).collect { case (delta, kind) if delta.nonEmpty =>
+          // Emit the rows' CONTENT: read the shared file, emit only the
+          // delta ordinals.
+          GraftChangePartition(
+            GraftSegFile(t.path, t.rows, dv = None), width, kind,
+            Some(delta), t.bytes)
+        }
       }
     }
     (inserts ++ deletes ++ dvDeltas).toArray[InputPartition]

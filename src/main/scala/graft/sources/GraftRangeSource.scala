@@ -239,19 +239,8 @@ private[graft] case class GraftRangeAggScan(lo: Long, hi: Long, aggs: Seq[GraftR
       case GraftRangeAgg.MinId => if (n > 0) lo else null
       case GraftRangeAgg.MaxId => if (n > 0) hi - 1 else null
     })
-    GraftRangeSingleRowFactory(row)
+    GraftRowsFactory(Array(row))
   }
-}
-
-private[graft] case class GraftRangeSingleRowFactory(row: InternalRow)
-    extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PartitionReader[InternalRow] {
-      private var emitted = false
-      override def next(): Boolean = { val r = !emitted; emitted = true; r }
-      override def get(): InternalRow = row
-      override def close(): Unit = ()
-    }
 }
 
 private[graft] case class GraftRangeScan(

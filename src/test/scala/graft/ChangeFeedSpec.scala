@@ -117,6 +117,82 @@ class ChangeFeedSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.cdc.f")
   }
 
+  test("RESTORE resurrections surface as inserts (dv shrink), batch and stream") {
+    // RESTORE re-publishes an older snapshot's smaller dv on the SAME
+    // segment path — rows come back to life. A feed that only watched
+    // dv growth emitted an empty diff for the restore commit and a CDC
+    // replica diverged permanently (found by review, fixed, pinned
+    // here).
+    spark.sql("DROP TABLE IF EXISTS graft.cdc.r")
+    spark.sql("CREATE TABLE graft.cdc.r (k BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.cdc.r VALUES (1), (2), (3)") // v1
+    spark.sql("DELETE FROM graft.cdc.r WHERE k = 2") // v2: dv
+    spark.sql("CALL graft.system.restore('cdc', 'r', '1')") // v3: dv shrinks back
+    // Batch: the v2→v3 diff is exactly the resurrected row.
+    val got = spark.read.format("graft-changes")
+      .option("table", "cdc.r").option("changesFrom", "2").option("changesTo", "3")
+      .load().select("_change_type", "k").as[(String, Long)].collect().toSet
+    assert(got == Set(("insert", 2L)), s"restore must surface the resurrection, got $got")
+    // Stream: the per-commit replay sees delete(2) then insert(2).
+    import org.apache.spark.sql.streaming.Trigger
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    spark.readStream.format("graft-changes")
+      .option("table", "cdc.r").option("changesFrom", "1").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        seen.synchronized {
+          seen ++= df.select("_change_type", "k").as[(String, Long)].collect()
+            .map { case (t, k) => (id, t, k) }
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    assert(seen.map { case (_, t, k) => (t, k) }.toSet ==
+      Set(("delete", 2L), ("insert", 2L)))
+    // The delete arrives in an earlier batch than the resurrection —
+    // per-commit ordering a replica can apply naively.
+    val delB = seen.collectFirst { case (b, "delete", 2L) => b }.get
+    val insB = seen.collectFirst { case (b, "insert", 2L) => b }.get
+    assert(delB < insB)
+    spark.sql("DROP TABLE graft.cdc.r")
+  }
+
+  test("streaming load() does not resolve changesFrom eagerly; changesTo bounds the stream") {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sql("DROP TABLE IF EXISTS graft.cdc.b")
+    spark.sql("CREATE TABLE graft.cdc.b (k BIGINT) USING graft")
+    (1 to 4).foreach(i => spark.sql(s"INSERT INTO graft.cdc.b VALUES ($i)")) // v1..v4
+    // A future (never-committed) start version must not fail at load()
+    // or start() — the stream simply has nothing to deliver yet. This
+    // is the observable half of lazy resolution: the batch path throws
+    // for the same option, the streaming path must not.
+    intercept[Exception](spark.read.format("graft-changes")
+      .option("table", "cdc.b").option("changesFrom", "999").load().collect())
+    val futureRows = scala.collection.mutable.ArrayBuffer[Long]()
+    spark.readStream.format("graft-changes")
+      .option("table", "cdc.b").option("changesFrom", "999").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        futureRows.synchronized { futureRows ++= df.select("k").as[Long].collect() }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    assert(futureRows.isEmpty)
+    // changesTo caps the stream: only commits (1, 3] arrive.
+    val bounded = scala.collection.mutable.ArrayBuffer[Long]()
+    spark.readStream.format("graft-changes")
+      .option("table", "cdc.b").option("changesFrom", "1").option("changesTo", "3")
+      .load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        bounded.synchronized { bounded ++= df.select("k").as[Long].collect() }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    assert(bounded.sorted == Seq(2L, 3L), s"expected commits (1,3], got $bounded")
+    spark.sql("DROP TABLE graft.cdc.b")
+  }
+
   test("schema change across the range fails loudly, within an epoch works") {
     spark.sql("ALTER TABLE graft.cdc.t ADD COLUMN extra BIGINT") // v5
     val e = intercept[Exception](changes("1").collect())

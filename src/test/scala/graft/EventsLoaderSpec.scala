@@ -30,8 +30,11 @@ class EventsLoaderSpec extends AnyFunSuite {
     val d = Files.createTempDirectory(s"graft_events_$suffix")
     val stage = d.resolve("_stage")
     df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-    val part = Files.list(stage).filter(_.getFileName.toString.endsWith(".parquet"))
-      .findFirst().orElseThrow()
+    val listing = Files.list(stage)
+    val part =
+      try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow()
+      finally listing.close()
     Files.move(part, d.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
     d.toString
   }
