@@ -1103,6 +1103,12 @@ object GraftCatalog {
     */
   private[sources] val WriteOrderProp = "graft.write.order"
 
+  /** `'graft.autocompact.segments'='N'`: data commits leaving ≥ N
+    * segments trigger an immediate follow-up compaction commit (see
+    * `maybeAutoCompact`).
+    */
+  private[sources] val AutoCompactProp = "graft.autocompact.segments"
+
   /** `'graft.tag.<name>'='<version>'`: a SNAPSHOT TAG (the Iceberg tag
     * shape on the property surface) — `VERSION AS OF '<name>'` resolves
     * through it, and `publish` exempts tagged snapshots from retention
@@ -1736,13 +1742,49 @@ object GraftCatalog {
 
   private[sources] def install(
       ident: Identifier, segs: Seq[Segment], truncate: Boolean): Unit = mutate {
+    val threshold = autoCompactThreshold(ident) // validate pre-commit
     store.compute(ident, (_, prev) => {
       require(prev != null, s"table $ident dropped mid-write")
       if (truncate) prev.copy(segments = segs.toVector)
       else prev.copy(segments = prev.segments ++ segs)
     })
     publish(ident)
+    maybeAutoCompact(ident, threshold)
   }
+
+  /** AUTO-COMPACTION (`'graft.autocompact.segments'='N'` TBLPROPERTY —
+    * the Delta autoCompact shape, opt-in): any data commit that leaves
+    * the table with ≥ N segments immediately folds them (same
+    * order-preserving compaction as `CALL graft.system.compact`) as a
+    * follow-up commit, so a long-running append/streaming workload
+    * keeps a bounded segment count without an external OPTIMIZE cron —
+    * the operational answer to the small-files problem. The compaction
+    * is its own CHANGE commit in the history (time travel still sees
+    * the pre-compact version; an append-only change stream on the
+    * table needs `skipChangeCommits`, which is why this is opt-in). A
+    * malformed threshold fails the commit loudly rather than silently
+    * never compacting.
+    */
+  /** Parse + validate the threshold BEFORE the data commit — a typo'd
+    * property must fail the statement without having landed rows.
+    */
+  private def autoCompactThreshold(ident: Identifier): Option[Int] =
+    Option(store.get(ident)).flatMap(_.props.get(AutoCompactProp)).map { v =>
+      val n =
+        try v.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$AutoCompactProp must be an integer >= 2, got '$v'")
+        }
+      require(n >= 2, s"$AutoCompactProp must be >= 2, got $n")
+      n
+    }
+
+  private def maybeAutoCompact(ident: Identifier, threshold: Option[Int]): Unit =
+    threshold.foreach { n =>
+      val entry = store.get(ident)
+      if (entry != null && entry.segments.length >= n) { compact(ident); () }
+    }
 
   private[sources] def segmentsOf(ident: Identifier): Vector[Segment] =
     Option(store.get(ident)).map(_.segments).getOrElse(Vector.empty)
@@ -1798,7 +1840,7 @@ object GraftCatalog {
     // immediately (no snapshot ever referenced them); an applied epoch
     // publishes a snapshot and retention protects what it replaced.
     replayed.foreach(SegmentIO.delete)
-    if (applied) publish(ident)
+    if (applied) { publish(ident); maybeAutoCompact(ident, autoCompactThreshold(ident)) }
     applied
   }
 

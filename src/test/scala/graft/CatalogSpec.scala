@@ -771,6 +771,36 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.agg.g")
   }
 
+  test("auto-compaction keeps the segment count bounded across many small commits") {
+    import graft.sources.GraftCatalog
+    spark.sql("DROP TABLE IF EXISTS graft.ac.t")
+    spark.sql("DROP TABLE IF EXISTS graft.ac.control")
+    spark.sql(
+      """CREATE TABLE graft.ac.t (k BIGINT) USING graft
+        |TBLPROPERTIES ('graft.autocompact.segments'='4')""".stripMargin)
+    spark.sql("CREATE TABLE graft.ac.control (k BIGINT) USING graft")
+    (1 to 10).foreach { i =>
+      spark.sql(s"INSERT INTO graft.ac.t SELECT $i")
+      spark.sql(s"INSERT INTO graft.ac.control SELECT $i")
+    }
+    // Control accumulates one segment per commit; the auto-compacting
+    // table folds every time it reaches the threshold.
+    assert(GraftCatalog.segmentCount("ac", "control") == 10)
+    assert(GraftCatalog.segmentCount("ac", "t") < 4,
+      s"expected < 4 segments, got ${GraftCatalog.segmentCount("ac", "t")}")
+    // Compaction is invisible to the data.
+    assert(spark.sql("SELECT k FROM graft.ac.t ORDER BY k").as[Long].collect().toSeq
+      == (1L to 10L))
+    // Malformed threshold fails the NEXT commit loudly, BEFORE any rows
+    // land (validated pre-commit).
+    spark.sql("ALTER TABLE graft.ac.t SET TBLPROPERTIES ('graft.autocompact.segments'='soon')")
+    val e = intercept[Exception](spark.sql("INSERT INTO graft.ac.t SELECT 99"))
+    assert(e.getMessage != null && e.getMessage.contains("graft.autocompact.segments"))
+    assert(spark.sql("SELECT count(*) FROM graft.ac.t WHERE k = 99").as[Long].head() == 0L)
+    spark.sql("DROP TABLE graft.ac.t")
+    spark.sql("DROP TABLE graft.ac.control")
+  }
+
   test("create rejects a duplicate identifier; analyzer enforces the declared schema") {
     spark.sql("DROP TABLE IF EXISTS graft.t3.once")
     spark.sql("CREATE TABLE graft.t3.once (x INT) USING graft")
