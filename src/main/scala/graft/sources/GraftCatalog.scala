@@ -533,8 +533,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       dead.foreach(SegmentIO.delete)
       // The dir must survive only if a SPARED file actually lives in it
       // — a clone whose shared segments all reside in the SOURCE's dir
-      // must still get its own (now-empty) dir removed.
-      if (!shared.exists(_.path.startsWith(entry.dir)))
+      // must still get its own (now-empty) dir removed. Separator-
+      // bounded compare: /x/tbl-1 must not claim /x/tbl-1234/seg.
+      val dirPrefix = entry.dir.stripSuffix(java.io.File.separator) + java.io.File.separator
+      if (!shared.exists(_.path.startsWith(dirPrefix)))
         deleteRecursively(Paths.get(entry.dir))
     }
     persistTable(ident) // deletes the ledger document
@@ -1780,10 +1782,28 @@ object GraftCatalog {
       n
     }
 
+  /** Trigger only when compaction will actually REDUCE some partition
+    * group: a group at/over the threshold whose segment count also
+    * exceeds what the byte target would re-split it into. Without the
+    * second condition a table with ≥ N partition groups — or more than
+    * N × targetBytes of ordered data in one group — would re-run a
+    * full-table rewrite on EVERY subsequent commit (under the global
+    * mutation lock) while never getting below the threshold.
+    */
   private def maybeAutoCompact(ident: Identifier, threshold: Option[Int]): Unit =
     threshold.foreach { n =>
       val entry = store.get(ident)
-      if (entry != null && entry.segments.length >= n) { compact(ident); () }
+      if (entry != null) {
+        val target = sys.props
+          .getOrElse("graft.compact.targetBytes", (64L * 1024 * 1024).toString).toLong
+        val wouldReduce = entry.segments.groupBy(_.key).values.exists { g =>
+          val bytes = g.map(s =>
+            if (s.bytes > 0) s.bytes else s.rows * 8L * (entry.schema.length + 1)).sum
+          val post = math.max(1, math.ceil(bytes.toDouble / target).toInt)
+          g.length >= n && g.length > post
+        }
+        if (wouldReduce) { compact(ident); () }
+      }
     }
 
   private[sources] def segmentsOf(ident: Identifier): Vector[Segment] =
@@ -1822,6 +1842,11 @@ object GraftCatalog {
   private[sources] def installEpoch(
       ident: Identifier, queryId: String, epochId: Long,
       segs: Seq[Segment], truncate: Boolean): Boolean = mutate {
+    // Same pre-commit validation as `install`: a malformed autocompact
+    // property must fail the epoch BEFORE it lands — post-publish it
+    // would kill the streaming query in a crash loop that makes one
+    // committed epoch of progress per restart.
+    val threshold = autoCompactThreshold(ident)
     var applied = false
     var replayed: Seq[Segment] = Nil
     store.compute(ident, (_, prev) => {
@@ -1840,7 +1865,7 @@ object GraftCatalog {
     // immediately (no snapshot ever referenced them); an applied epoch
     // publishes a snapshot and retention protects what it replaced.
     replayed.foreach(SegmentIO.delete)
-    if (applied) { publish(ident); maybeAutoCompact(ident, autoCompactThreshold(ident)) }
+    if (applied) { publish(ident); maybeAutoCompact(ident, threshold) }
     applied
   }
 

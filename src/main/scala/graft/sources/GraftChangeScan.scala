@@ -97,9 +97,23 @@ class GraftChangeFeed extends org.apache.spark.sql.connector.catalog.TableProvid
       throw new IllegalArgumentException(
         s"change feed over $ident: table has no committed snapshots"))
 
+  /** The data schema the feed ADVERTISES must match what the reader
+    * DECODES: a bounded range pinned inside a pre-evolution epoch reads
+    * old-layout rows, so advertise the `changesTo` snapshot's schema
+    * when it is retained (the batch reader's own layout); otherwise the
+    * current schema (unbounded feeds end at current, and a
+    * checkpoint-resumed stream's per-commit guard enforces match).
+    */
+  private def feedDataSchema(ident: Identifier, toStr: Option[String]): StructType =
+    toStr.flatMap { s =>
+      try GraftCatalog.snapshotByVersion(
+        ident, GraftCatalog.resolveVersionString(ident, s)).map(_.schema)
+      catch { case _: IllegalArgumentException => None }
+    }.getOrElse(currentSchema(ident))
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (ident, from, to) = resolve(options)
-    GraftChangeFeedScan(ident, from, to, currentSchema(ident)).readSchema()
+    GraftChangeFeedScan(ident, from, to, feedDataSchema(ident, to)).readSchema()
   }
 
   override def getTable(
@@ -112,7 +126,7 @@ class GraftChangeFeed extends org.apache.spark.sql.connector.catalog.TableProvid
       override def name(): String =
         s"graft-changes($ident, from=$from${to.fold("")(t => s", to=$t")})"
       override def schema(): StructType =
-        GraftChangeFeedScan(ident, from, to, currentSchema(ident)).readSchema()
+        GraftChangeFeedScan(ident, from, to, feedDataSchema(ident, to)).readSchema()
       override def capabilities(): java.util.Set[
           org.apache.spark.sql.connector.catalog.TableCapability] =
         java.util.EnumSet.of(
@@ -121,7 +135,7 @@ class GraftChangeFeed extends org.apache.spark.sql.connector.catalog.TableProvid
       override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
         new ScanBuilder {
           override def build(): Scan =
-            GraftChangeFeedScan(ident, from, to, currentSchema(ident))
+            GraftChangeFeedScan(ident, from, to, feedDataSchema(ident, to))
         }
     }
   }

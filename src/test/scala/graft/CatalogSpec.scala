@@ -801,6 +801,30 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.ac.control")
   }
 
+  test("auto-compaction converges: it never re-fires when folding cannot reduce a group") {
+    import graft.sources.GraftCatalog
+    // 5 partition groups with one segment each >= threshold 4: compact
+    // cannot fold below the group count, so firing would rewrite the
+    // whole table ON EVERY COMMIT forever. The trigger must see that no
+    // GROUP would shrink and stay quiet: each insert mints exactly one
+    // commit (no follow-up compaction commit).
+    spark.sql("DROP TABLE IF EXISTS graft.ac.p")
+    spark.sql(
+      """CREATE TABLE graft.ac.p (g STRING, k BIGINT) USING graft
+        |PARTITIONED BY (g)
+        |TBLPROPERTIES ('graft.autocompact.segments'='4')""".stripMargin)
+    (0 until 5).foreach(i => spark.sql(s"INSERT INTO graft.ac.p VALUES ('g$i', $i)"))
+    val v5 = GraftCatalog.currentVersion("ac", "p").get
+    assert(v5 == 5L, s"5 single-group inserts must mint exactly 5 commits, got $v5")
+    assert(GraftCatalog.segmentCount("ac", "p") == 5)
+    // But when one GROUP accumulates past the threshold, it folds.
+    (0 until 4).foreach(i => spark.sql(s"INSERT INTO graft.ac.p VALUES ('g0', ${100 + i})"))
+    assert(GraftCatalog.segmentCount("ac", "p") < 9,
+      s"hot group must have been folded, got ${GraftCatalog.segmentCount("ac", "p")}")
+    assert(spark.sql("SELECT count(*) FROM graft.ac.p").as[Long].head() == 9L)
+    spark.sql("DROP TABLE graft.ac.p")
+  }
+
   test("create rejects a duplicate identifier; analyzer enforces the declared schema") {
     spark.sql("DROP TABLE IF EXISTS graft.t3.once")
     spark.sql("CREATE TABLE graft.t3.once (x INT) USING graft")

@@ -202,6 +202,14 @@ class ChangeFeedSpec extends AnyFunSuite {
     spark.sql("INSERT INTO graft.cdc.t VALUES (100, 'c', 7)") // v6
     assert(changes("5").select("_change_type", "k", "extra")
       .as[(String, Long, Long)].collect().toSet == Set(("insert", 100L, 7L)))
+    // A bounded range pinned INSIDE the pre-evolution epoch reads with
+    // the OLD schema — advertising the current (wider) schema while
+    // decoding old-layout rows would read past the field region.
+    val pre = changes("1", Some("2"))
+    assert(!pre.columns.contains("extra"),
+      s"pre-evolution range must advertise the old schema, got ${pre.columns.toSeq}")
+    assert(pre.select("_change_type", "k").as[(String, Long)].collect().toSet ==
+      (10L until 20L).map(("insert", _)).toSet)
     spark.sql("DROP TABLE graft.cdc.t")
   }
 }
