@@ -189,7 +189,51 @@ object SortSetQueries {
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
   }
 
+  /** U6: RECURSIVE CTE (Spark 4's WITH RECURSIVE) — iterative
+    * hierarchy traversal as a declarative query, the operator family
+    * behind org charts, BOM explosions, and graph reachability. The
+    * customer keys form an implicit binary tree (parent = k DIV 2,
+    * rooted at 1, keys strictly increase downward so recursion
+    * provably terminates); the query walks the whole subtree of the
+    * root and rolls account balance up per depth. Spark executes this
+    * as an iterative union (one join per level over the previous
+    * frontier — at 100 TB each level is a broadcast/shuffle join of
+    * frontier × table, cost ∝ frontier size, never re-scanning
+    * produced levels); DuckDB recomputes with its own recursive CTE —
+    * the only dialect split is integer division (`DIV` vs `//`).
+    */
+  val u6RecursiveCte: Q = Q(
+    "u6_recursive_cte",
+    """WITH RECURSIVE tree AS (
+      |  SELECT c_custkey, c_acctbal, 0 AS depth FROM customer WHERE c_custkey = 1
+      |  UNION ALL
+      |  SELECT c.c_custkey, c.c_acctbal, t.depth + 1
+      |  FROM customer c JOIN tree t ON c.c_custkey // 2 = t.c_custkey
+      |  WHERE t.depth < 40
+      |)
+      |SELECT depth, count(*) AS n,
+      |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS bal
+      |FROM tree
+      |GROUP BY depth
+      |ORDER BY depth""".stripMargin) { (spark, dir) =>
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    spark.sql(
+      """WITH RECURSIVE tree AS (
+        |  SELECT c_custkey, c_acctbal, 0 AS depth FROM customer WHERE c_custkey = 1
+        |  UNION ALL
+        |  SELECT c.c_custkey, c.c_acctbal, t.depth + 1
+        |  FROM customer c JOIN tree t ON c.c_custkey DIV 2 = t.c_custkey
+        |  WHERE t.depth < 40
+        |)
+        |SELECT depth, count(*) AS n,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS bal
+        |FROM tree
+        |GROUP BY depth
+        |ORDER BY depth""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     t2PartitionSort, t4TopK, t5TopKPerGroup, t5bTopKNative,
-    u1UnionAll, u2UnionDistinct, u3Intersect, u4Except, u5Unpivot)
+    u1UnionAll, u2UnionDistinct, u3Intersect, u4Except, u5Unpivot,
+    u6RecursiveCte)
 }
