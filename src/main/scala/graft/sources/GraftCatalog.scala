@@ -1080,7 +1080,15 @@ object GraftCatalog {
       stats: IndexedSeq[ColStat] = Vector.empty,
       key: IndexedSeq[Any] = Vector.empty,
       dv: Option[scala.collection.immutable.BitSet] = None,
-      blooms: IndexedSeq[Option[Array[Long]]] = Vector.empty) {
+      blooms: IndexedSeq[Option[Array[Long]]] = Vector.empty,
+      // PROVENANCE flag: rows are sorted on the table's declared write
+      // order. Set ONLY by producers that provably sort (the ordered
+      // batch-insert path, compaction's sorted fold); every rewrite
+      // that may perturb values or order (UPDATE, zorder, ALTER
+      // migration) defaults false — reporting a false ordering would
+      // make Spark skip required sorts and return WRONG results, so
+      // losing the flag is always the safe direction.
+      sorted: Boolean = false) {
     def deletedRows: Long = dv.map(_.size.toLong).getOrElse(0L)
     def liveRows: Long = rows - deletedRows
   }
@@ -1953,7 +1961,9 @@ object GraftCatalog {
           sorted.grouped(perSeg).flatMap { chunk =>
             val w = new SegmentIO.Writer(entry.dir, entry.schema)
             chunk.foreach { b => row.pointTo(b, b.length); w.add(row) }
-            w.finish().map(_.copy(key = key))
+            // The sorted fold provably orders output on the write-order
+            // columns — carry the provenance flag.
+            w.finish().map(_.copy(key = key, sorted = orderIdx.nonEmpty))
           }.toSeq
         }
       }.toVector
@@ -1990,6 +2000,11 @@ object GraftCatalog {
     val entry = store.get(ident)
     if (entry == null) throw new NoSuchTableException(ident)
     require(cols.nonEmpty && cols.length <= 4, "zorder takes 1..4 numeric columns")
+    // Z-ordering interleaves bits: output segments are NOT sorted on
+    // any single column, which would silently contradict the declared
+    // write order (and the sort-elimination the scan reports from it).
+    require(!entry.props.contains(WriteOrderProp),
+      s"zorder conflicts with declared write order ('$WriteOrderProp'); UNSET it first")
     require(targetSegments >= 1, "target_segments must be >= 1")
     val schema = entry.schema
     val zIdx: Array[Int] = cols.map { c =>
@@ -2746,7 +2761,8 @@ private[sources] class GraftCatalogTable(
           else Distributions.unspecified()
         override def requiredOrdering(): Array[SortOrder] = sortOrders
         override def toBatch: BatchWrite =
-          new GraftCatalogBatchWrite(ident, schema0, dir, truncateFirst, partitionCols)
+          new GraftCatalogBatchWrite(ident, schema0, dir, truncateFirst, partitionCols,
+            sortedWrite = orderCols.nonEmpty)
         // truncateFirst here = Complete output mode: replace-per-epoch.
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           new GraftCatalogStreamingWrite(ident, schema0, dir, info.queryId(), truncateFirst,
@@ -3349,8 +3365,45 @@ private[graft] case class GraftCatalogScan(
     startingVersion: Option[Long] = None,
     limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsReportPartitioning with SupportsRuntimeV2Filtering {
+    with SupportsReportPartitioning with SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   private def out: StructType = if (required == null) schema else required
+
+  /** REPORTED SORT ORDER (the Iceberg sorted-tables move): when every
+    * split's rows are provably sorted on the table's declared write
+    * order — each surviving segment carries the provenance flag, and a
+    * keyed split holds at most ONE segment — the scan reports
+    * (partitionCols ++ orderCols) ascending-nulls-first. Combined with
+    * `KeyGroupedPartitioning` this makes a co-partitioned co-sorted
+    * join exchange-free AND sort-free: EnsureRequirements sees the
+    * required ordering already satisfied and plans no SortExec. The
+    * partition columns lead the reported order soundly because each
+    * split holds exactly one partition value (constant ⇒ trivially
+    * sorted); correctness rests on the per-segment `sorted` flag, which
+    * every order-perturbing rewrite clears (see Segment.sorted). Only
+    * the longest prefix that survives column pruning is reported —
+    * ordering expressions must resolve against the scan's output.
+    */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val orderCols = Option(GraftCatalog.tablePropsJava(ident).get(GraftCatalog.WriteOrderProp))
+      .map(_.split(',').map(_.trim).filter(schema.fieldNames.contains).toSeq)
+      .getOrElse(Nil)
+    if (orderCols.isEmpty) return Array.empty
+    val segs = survivors
+    val eachSplitSorted =
+      segs.forall(_.sorted) &&
+        (partitionCols.isEmpty || segs.groupBy(_.key).values.forall(_.length <= 1))
+    if (!eachSplitSorted) return Array.empty
+    val visible = out.fieldNames.toSet
+    (partitionCols ++ orderCols).distinct
+      .takeWhile(visible.contains)
+      .map(c => Expressions.sort(
+        Expressions.column(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+        : org.apache.spark.sql.connector.expressions.SortOrder)
+      .toArray
+  }
 
   /** Runtime V2 filtering (SPARK-35779 — the DSv2 dynamic-partition-
     * pruning analogue): at execution time Spark hands the scan an IN
@@ -3854,9 +3907,10 @@ private[sources] case class GraftCatalogReaderFactory(
 
 private[sources] class GraftCatalogBatchWrite(
     ident: Identifier, target: StructType, dir: String,
-    truncateFirst: Boolean, partCols: Seq[String] = Nil) extends BatchWrite {
+    truncateFirst: Boolean, partCols: Seq[String] = Nil,
+    sortedWrite: Boolean = false) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    GraftSegmentWriterFactory(target, dir, partCols)
+    GraftSegmentWriterFactory(target, dir, partCols, sortedWrite)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val segs = messages.collect { case m: GraftSegmentMessage => m }
       .sortBy(_.partitionId)
@@ -3929,7 +3983,11 @@ private[sources] case class GraftSegmentMessage(
   * exhausting file handles.
   */
 private[sources] case class GraftSegmentWriterFactory(
-    target: StructType, dir: String, partCols: Seq[String] = Nil)
+    target: StructType, dir: String, partCols: Seq[String] = Nil,
+    // The write requested (and Spark therefore delivered) a per-task
+    // sort on the declared write order — finished segments carry the
+    // provenance flag the scan's reported ordering depends on.
+    sortedWrite: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -3979,7 +4037,7 @@ private[sources] case class GraftSegmentWriterFactory(
       override def commit(): WriterCommitMessage =
         GraftSegmentMessage(partitionId,
           writers.toSeq.flatMap { case (key, w) =>
-            w.finish().map(_.copy(key = key))
+            w.finish().map(_.copy(key = key, sorted = sortedWrite))
           })
       override def abort(): Unit = writers.values.foreach(_.abort())
       override def close(): Unit = ()

@@ -92,6 +92,7 @@ private[sources] object GraftLedger {
   private def segNode(s: Segment): ObjectNode = {
     val o = M.createObjectNode()
     o.put("path", s.path).put("rows", s.rows).put("bytes", s.bytes)
+    if (s.sorted) o.put("sorted", true)
     val st = o.putArray("stats")
     s.stats.foreach { cs =>
       val c = M.createObjectNode()
@@ -144,7 +145,10 @@ private[sources] object GraftLedger {
       }.toVector
     }.getOrElse(Vector.empty)
     Segment(n.get("path").asText(), n.get("rows").asLong(),
-      n.get("bytes").asLong(), stats, key, dv, blooms)
+      n.get("bytes").asLong(), stats, key, dv, blooms,
+      // Absent node (pre-sorted-flag ledger) => false: the scan just
+      // reports no ordering, which is always safe.
+      sorted = Option(n.get("sorted")).exists(_.asBoolean()))
   }
 
   // ---- constraints (CHECK round-trips exactly; anything else is
