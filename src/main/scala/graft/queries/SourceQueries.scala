@@ -825,6 +825,60 @@ object SourceQueries {
         |ORDER BY seg""".stripMargin)
   }
 
+  /** X5g: CO-PARTITIONED CO-SORTED JOIN — the full physical-layout
+    * payoff in one row: both catalog tables identity-partitioned on
+    * the nation key AND write-ordered on the account balance, so the
+    * storage-partitioned sort-merge join plans with NO exchange (v2
+    * bucketing over KeyGroupedPartitioning) and NO sort (the scans
+    * REPORT their provable per-split order via SupportsReportOrdering
+    * — segment provenance flags, single sorted segment per key group).
+    * The oracle recomputes the join from raw parquet; the plan shape
+    * itself is asserted in OrderedScanSpec.
+    */
+  val x5gCosortedJoin: Q = Q(
+    "x5g_cosorted_join",
+    """SELECT c.c_nationkey AS nk, count(*) AS pairs,
+      |  round(CAST(sum(CAST(c.c_acctbal + s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+      |    AS bal_sum
+      |FROM customer c
+      |JOIN supplier s ON c.c_nationkey = s.s_nationkey
+      |GROUP BY c.c_nationkey
+      |ORDER BY nk""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.customer(spark, dir).createOrReplaceTempView("x5g_customer_src")
+    Tables.supplier(spark, dir).createOrReplaceTempView("x5g_supplier_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.cust_sorted")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.supp_sorted")
+    spark.sql(
+      """CREATE TABLE graft.demo.cust_sorted (nk INT, bal DOUBLE) USING graft
+        |PARTITIONED BY (nk) TBLPROPERTIES ('graft.write.order'='bal')""".stripMargin)
+    spark.sql(
+      """CREATE TABLE graft.demo.supp_sorted (nk INT, bal DOUBLE) USING graft
+        |PARTITIONED BY (nk) TBLPROPERTIES ('graft.write.order'='bal')""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft.demo.cust_sorted SELECT c_nationkey, c_acctbal FROM x5g_customer_src")
+    spark.sql(
+      "INSERT INTO graft.demo.supp_sorted SELECT s_nationkey, s_acctbal FROM x5g_supplier_src")
+    val prev = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try
+      spark.sql(
+        """SELECT c.nk AS nk, count(*) AS pairs,
+          |  round(CAST(sum(CAST(c.bal + s.bal AS DECIMAL(18,2))) AS DOUBLE), 2)
+          |    AS bal_sum
+          |FROM graft.demo.cust_sorted c
+          |JOIN graft.demo.supp_sorted s ON c.nk = s.nk
+          |GROUP BY c.nk
+          |ORDER BY nk""".stripMargin)
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** X10: BATCH CHANGE-DATA-FEED — the Delta `table_changes` shape over
     * the graft catalog (`GraftChangeScan`): net row diff between two
     * retained snapshots, planned from the segment lists alone so the
@@ -947,6 +1001,6 @@ object SourceQueries {
     x5CatalogSql, x5bTimeTravel, x5cPartitionedSpj, x5dAtomicCtas, x5eRowLevelDml,
     x6CatalogFunction,
     x7CatalogView, x8MaterializedView, x9MvRollup, x9bStaleMv,
-    x9cMvRewriteOff, x9cMvRewriteOn, x5fPartitionProfile,
+    x9cMvRewriteOff, x9cMvRewriteOn, x5fPartitionProfile, x5gCosortedJoin,
     x10TableChanges, x11RestoreClone)
 }
