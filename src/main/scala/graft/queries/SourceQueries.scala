@@ -864,6 +864,11 @@ object SourceQueries {
       "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // EXECUTE inside the conf window (localCheckpoint): the harness
+    // runs the returned DataFrame only after this closure's finally
+    // restored the confs — a merely-analyzed plan would re-plan as a
+    // default broadcast join and the row would demonstrate nothing
+    // (the x9c lesson, second verse).
     try
       spark.sql(
         """SELECT c.nk AS nk, count(*) AS pairs,
@@ -872,7 +877,7 @@ object SourceQueries {
           |FROM graft.demo.cust_sorted c
           |JOIN graft.demo.supp_sorted s ON c.nk = s.nk
           |GROUP BY c.nk
-          |ORDER BY nk""".stripMargin)
+          |ORDER BY nk""".stripMargin).localCheckpoint()
     finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)

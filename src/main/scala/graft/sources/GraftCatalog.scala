@@ -260,6 +260,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // no segment I/O, no new snapshot.
     if (changes.forall(c => c.isInstanceOf[TableChange.SetProperty] ||
         c.isInstanceOf[TableChange.RemoveProperty])) {
+      // CHANGING the declared write order makes every existing
+      // sorted-provenance flag a claim about the WRONG columns — the
+      // scan reads the LIVE property, so stale flags would let it
+      // report an ordering the rows don't have (skipped sorts ⇒ wrong
+      // join results). Clear flags on the entry AND the retained
+      // history (pinned time-travel scans read old segment lists
+      // against the live property); new ordered writes and compaction
+      // re-earn them.
+      val orderChanged = changes.exists {
+        case s: TableChange.SetProperty if s.property() == WriteOrderProp =>
+          !Option(store.get(ident)).flatMap(_.props.get(WriteOrderProp))
+            .contains(s.value())
+        case _ => false
+      }
       val result = store.compute(ident, (_, prev) => {
         require(prev != null, s"table $ident dropped mid-alter")
         changes.foldLeft(prev) {
@@ -285,6 +299,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           case (e, _) => e // unreachable under the forall guard
         }
       })
+      if (orderChanged) clearSortedFlags(ident)
       persistTable(ident)
       new GraftCatalogTable(ident, result.schema, result.dir,
         partitionCols = result.partitionCols, tableConstraints = result.constraints)
@@ -324,6 +339,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // partition columns follow through; a column referenced by a CHECK
     // constraint refuses (the stored predicate text would dangle).
     else if (changes.forall(_.isInstanceOf[TableChange.RenameColumn])) {
+      // A rename that touches a name appearing in the declared write
+      // order re-binds the LIVE property to different physical data
+      // (either the order column vanished under a new name, or another
+      // column took the order column's name) — either way the per-
+      // segment sorted flags no longer describe the property's columns.
+      val orderTouched = {
+        val orderCols = Option(store.get(ident))
+          .flatMap(_.props.get(WriteOrderProp))
+          .map(_.split(',').map(_.trim).toSet).getOrElse(Set.empty[String])
+        changes.exists {
+          case rn: TableChange.RenameColumn =>
+            rn.fieldNames().length == 1 &&
+              (orderCols.contains(rn.fieldNames()(0)) || orderCols.contains(rn.newName()))
+          case _ => false
+        }
+      }
       val result = store.compute(ident, (_, prev) => {
         require(prev != null, s"table $ident dropped mid-alter")
         changes.foldLeft(prev) { case (e, rn: TableChange.RenameColumn) =>
@@ -343,6 +374,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
             partitionCols = e.partitionCols.map(c => if (c == from) rn.newName() else c))
         }
       })
+      if (orderTouched) clearSortedFlags(ident)
       publish(ident)
       new GraftCatalogTable(ident, result.schema, result.dir,
         partitionCols = result.partitionCols, tableConstraints = result.constraints)
@@ -1118,6 +1150,49 @@ object GraftCatalog {
     * `maybeAutoCompact`).
     */
   private[sources] val AutoCompactProp = "graft.autocompact.segments"
+
+  /** THE one parser of `'graft.write.order'`: the write path's sort,
+    * compaction's fold, and the scan's reported ordering must agree on
+    * the column list — a desynchronized copy would let the scan report
+    * an order the writer didn't produce.
+    */
+  private[sources] def writeOrderCols(
+      props: Map[String, String], schema: StructType): Seq[String] =
+    props.get(WriteOrderProp)
+      .map(_.split(',').map(_.trim).filter(schema.fieldNames.contains).toSeq)
+      .getOrElse(Nil)
+
+  /** Order-column types whose sortedness the engine can PROVE end to
+    * end (compact's comparator handles them; the reported ordering is
+    * only ever claimed over these). Other types still sort fine at
+    * write time — they just never earn the provenance flag.
+    */
+  private[sources] def sortProvableType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType |
+           DoubleType | FloatType | BooleanType | StringType => true
+      case _ => false
+    }
+  }
+
+  /** Drop every sorted-provenance flag of a table — entry AND retained
+    * history (pinned time-travel scans read old segment lists against
+    * the LIVE write-order property, so stale flags there are just as
+    * dangerous). Called when the declared order is changed or re-bound
+    * by a rename; always safe (the scan degrades to planned sorts).
+    */
+  private[sources] def clearSortedFlags(ident: Identifier): Unit = mutate {
+    store.computeIfPresent(ident, (_, e) =>
+      if (e.segments.exists(_.sorted))
+        e.copy(segments = e.segments.map(_.copy(sorted = false)))
+      else e)
+    history.computeIfPresent(ident, (_, h) =>
+      h.map(s =>
+        if (s.segments.exists(_.sorted))
+          s.copy(segments = s.segments.map(_.copy(sorted = false)))
+        else s))
+  }
 
   /** `'graft.tag.<name>'='<version>'`: a SNAPSHOT TAG (the Iceberg tag
     * shape on the property surface) — `VERSION AS OF '<name>'` resolves
@@ -1901,10 +1976,13 @@ object GraftCatalog {
     // in sorted order and split at a byte target — output segments are
     // globally range-DISJOINT on the order columns (compaction then
     // IMPROVES pruning rather than destroying it).
-    val orderIdx: Array[Int] = entry.props.get(WriteOrderProp)
-      .map(_.split(',').map(_.trim).filter(entry.schema.fieldNames.contains)
-        .map(entry.schema.fieldIndex))
-      .getOrElse(Array.empty)
+    val orderIdx: Array[Int] =
+      writeOrderCols(entry.props, entry.schema).map(entry.schema.fieldIndex).toArray
+    // The sorted-provenance stamp below is only honest when the fold's
+    // comparator actually handles every order column's type — cmpAt
+    // falls back to 0 for anything else, which INTERLEAVES runs.
+    val orderProvable = orderIdx.nonEmpty &&
+      orderIdx.forall(i => sortProvableType(entry.schema.fields(i).dataType))
     def cmpAt(a: UnsafeRow, b: UnsafeRow, i: Int): Int = {
       val an = a.isNullAt(i); val bn = b.isNullAt(i)
       if (an && bn) 0
@@ -1962,8 +2040,9 @@ object GraftCatalog {
             val w = new SegmentIO.Writer(entry.dir, entry.schema)
             chunk.foreach { b => row.pointTo(b, b.length); w.add(row) }
             // The sorted fold provably orders output on the write-order
-            // columns — carry the provenance flag.
-            w.finish().map(_.copy(key = key, sorted = orderIdx.nonEmpty))
+            // columns — carry the provenance flag (only for types the
+            // comparator really compares).
+            w.finish().map(_.copy(key = key, sorted = orderProvable))
           }.toSeq
         }
       }.toVector
@@ -2747,9 +2826,8 @@ private[sources] class GraftCatalogTable(
         // later ALTER dropped are silently skipped — the write must
         // not fail for a stale layout hint.
         private def orderCols: Seq[String] =
-          Option(GraftCatalog.tablePropsJava(ident).get(GraftCatalog.WriteOrderProp))
-            .map(_.split(',').map(_.trim).filter(schema0.fieldNames.contains).toSeq)
-            .getOrElse(Nil)
+          GraftCatalog.writeOrderCols(
+            GraftCatalog.tablePropsJava(ident).asScala.toMap, schema0)
         private def sortOrders: Array[SortOrder] =
           orderCols.map(c => Expressions.sort(
             Expressions.column(c),
@@ -3386,9 +3464,8 @@ private[graft] case class GraftCatalogScan(
     */
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     import org.apache.spark.sql.connector.expressions.Expressions
-    val orderCols = Option(GraftCatalog.tablePropsJava(ident).get(GraftCatalog.WriteOrderProp))
-      .map(_.split(',').map(_.trim).filter(schema.fieldNames.contains).toSeq)
-      .getOrElse(Nil)
+    val orderCols = GraftCatalog.writeOrderCols(
+      GraftCatalog.tablePropsJava(ident).asScala.toMap, schema)
     if (orderCols.isEmpty) return Array.empty
     val segs = survivors
     val eachSplitSorted =

@@ -84,6 +84,52 @@ class OrderedScanSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.os.b")
   }
 
+  test("changing or re-binding the declared order clears sorted provenance") {
+    // The flags are claims about the OLD order columns: after ALTER SET
+    // a different 'graft.write.order' (or a rename that re-binds an
+    // order name), the scan reading the LIVE property must not report
+    // an ordering the rows don't have — skipped sorts would mean wrong
+    // join results. The fix clears every flag; sorts come back until
+    // new ordered writes or compaction re-earn them.
+    spark.sql("DROP TABLE IF EXISTS graft.os.c")
+    spark.sql("DROP TABLE IF EXISTS graft.os.d")
+    for (t <- Seq("c", "d")) {
+      spark.sql(
+        s"""CREATE TABLE graft.os.$t (k STRING, v BIGINT, w BIGINT) USING graft
+           |PARTITIONED BY (k)
+           |TBLPROPERTIES ('graft.write.order'='v')""".stripMargin)
+      spark.range(0, 100, 1, 4)
+        .selectExpr("concat('k', id % 2) AS k", "id AS v", "(97 - id) % 100 AS w")
+        .writeTo(s"graft.os.$t").append()
+    }
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val d2 = spark.table("graft.os.d").selectExpr("k", "v AS v2", "w AS w2")
+      def joinPlan(): String =
+        planOf(spark.table("graft.os.c").join(d2, Seq("k")))
+      assert(!joinPlan().contains("Sort ["), "baseline: co-sorted join is sort-free")
+      // Re-declare the order on a DIFFERENT column: rows are still
+      // physically sorted on v, not w — the report must vanish.
+      spark.sql("ALTER TABLE graft.os.c SET TBLPROPERTIES ('graft.write.order'='w')")
+      assert(joinPlan().contains("Sort ["),
+        "stale provenance after an order change must not suppress sorts")
+      // A new ordered write earns the flag for ITS segment only — the
+      // group is now mixed (old unflagged + new flagged), still no
+      // report; compaction then folds each group sorted under the NEW
+      // order and the sort-free plan returns.
+      spark.sql("INSERT INTO graft.os.c VALUES ('k0', 500, 500), ('k1', 501, 501)")
+      assert(joinPlan().contains("Sort ["),
+        "a mixed flagged/unflagged group must not report")
+      spark.sql("CALL graft.system.compact('os', 'c')").collect()
+      assert(!joinPlan().contains("Sort ["),
+        "compaction re-sorts on the new order and restores the report")
+    }
+    spark.sql("DROP TABLE graft.os.c")
+    spark.sql("DROP TABLE graft.os.d")
+  }
+
   test("no declared order or unproven layout reports nothing; zorder conflicts loudly") {
     spark.sql("DROP TABLE IF EXISTS graft.os.plain")
     spark.sql(
