@@ -107,7 +107,7 @@ class GraftChangeFeed extends org.apache.spark.sql.connector.catalog.TableProvid
   private def feedDataSchema(ident: Identifier, toStr: Option[String]): StructType =
     toStr.flatMap { s =>
       try GraftCatalog.snapshotByVersion(
-        ident, GraftCatalog.resolveVersionString(ident, s)).map(_.schema)
+        ident, GraftChangeScan.resolveBoundVersion(ident, s)).map(_.schema)
       catch { case _: IllegalArgumentException => None }
     }.getOrElse(currentSchema(ident))
 
@@ -235,7 +235,7 @@ private[sources] case class GraftChangeFeedScan(
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   private def snap(s: String): GraftCatalog.CatalogSnapshot = {
-    val v = GraftCatalog.resolveVersionString(ident, s)
+    val v = GraftChangeScan.resolveBoundVersion(ident, s)
     GraftCatalog.snapshotByVersion(ident, v).getOrElse(
       throw new IllegalArgumentException(
         s"change feed over $ident: version $v is expired or never committed"))
@@ -256,8 +256,8 @@ private[sources] case class GraftChangeFeedScan(
       checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftChangeMicroBatchStream(
-      ident, GraftCatalog.resolveVersionString(ident, fromStr),
-      toStr.map(GraftCatalog.resolveVersionString(ident, _)), dataSchema)
+      ident, GraftChangeScan.resolveBoundVersion(ident, fromStr),
+      toStr.map(GraftChangeScan.resolveBoundVersion(ident, _)), dataSchema)
   override def description(): String =
     s"GraftChangeFeedScan($ident, from=$fromStr${toStr.fold("")(t => s", to=$t")})"
   /** Real stats for the batch/MERGE path; a streaming context where
@@ -344,6 +344,30 @@ private[sources] class GraftChangeMicroBatchStream(
 }
 
 private[sources] object GraftChangeScan {
+  /** Resolve a change-feed BOUND: a version number, a tag name, or a
+    * TIMESTAMP (ISO-8601 instant, or `yyyy-MM-dd HH:mm:ss[.f]` read as
+    * UTC — never the JVM's local zone) resolved to the latest snapshot
+    * committed at or before it, mirroring `TIMESTAMP AS OF`.
+    */
+  private[sources] def resolveBoundVersion(ident: Identifier, s: String): Long =
+    try GraftCatalog.resolveVersionString(ident, s)
+    catch { case versionErr: IllegalArgumentException =>
+      val inst =
+        try Some(java.time.Instant.parse(s))
+        catch { case _: java.time.format.DateTimeParseException =>
+          try Some(java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC))
+          catch { case _: java.time.format.DateTimeParseException => None }
+        }
+      inst match {
+        case None => throw versionErr
+        case Some(i) =>
+          val micros = i.getEpochSecond * 1000000L + i.getNano / 1000L
+          GraftCatalog.snapshotByTime(ident, micros).map(_.version).getOrElse(
+            throw new IllegalArgumentException(
+              s"change feed over $ident: no snapshot committed at or before '$s'"))
+      }
+    }
   /** The structural snapshot diff both the batch scan and the
     * streaming source plan from: one split per changed segment.
     */

@@ -193,6 +193,28 @@ class ChangeFeedSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.cdc.b")
   }
 
+  test("timestamp bounds resolve to the latest snapshot at or before them") {
+    spark.sql("DROP TABLE IF EXISTS graft.cdc.ts")
+    spark.sql("CREATE TABLE graft.cdc.ts (k BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.cdc.ts VALUES (1)") // v1
+    Thread.sleep(30)
+    val betweenV1andV2 = java.time.Instant.now().toString
+    Thread.sleep(30)
+    spark.sql("INSERT INTO graft.cdc.ts VALUES (2)") // v2
+    spark.sql("INSERT INTO graft.cdc.ts VALUES (3)") // v3
+    // changesFrom as a timestamp between v1 and v2 = "everything since
+    // that moment": exactly the v2 and v3 appends.
+    val got = spark.read.format("graft-changes")
+      .option("table", "cdc.ts").option("changesFrom", betweenV1andV2)
+      .load().select("_change_type", "k").as[(String, Long)].collect().toSet
+    assert(got == Set(("insert", 2L), ("insert", 3L)), s"got $got")
+    // A pre-history timestamp fails loudly rather than guessing.
+    intercept[Exception](spark.read.format("graft-changes")
+      .option("table", "cdc.ts").option("changesFrom", "1970-01-01T00:00:00Z")
+      .load().collect())
+    spark.sql("DROP TABLE graft.cdc.ts")
+  }
+
   test("schema change across the range fails loudly, within an epoch works") {
     spark.sql("ALTER TABLE graft.cdc.t ADD COLUMN extra BIGINT") // v5
     val e = intercept[Exception](changes("1").collect())
