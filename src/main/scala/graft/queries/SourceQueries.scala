@@ -884,6 +884,60 @@ object SourceQueries {
     }
   }
 
+  /** X5h: PARTITION-SCOPED + DYNAMIC INSERT OVERWRITE — the idempotent
+    * backfill pipeline as one differential row: full load, then a
+    * static `PARTITION (seg='MACHINERY')` overwrite halving that
+    * partition's balances, then a DYNAMIC overwrite replacing only the
+    * partitions present in its input (BUILDING doubled) — AUTOMOBILE
+    * and the rest must ride through both untouched. The DuckDB oracle
+    * recomputes the final state as CASE algebra; a dropped partition,
+    * an over-wide replace, or a non-atomic swap breaks the hash.
+    */
+  val x5hPartitionOverwrite: Q = Q(
+    "x5h_partition_overwrite",
+    """WITH final AS (
+      |  SELECT c_custkey AS k, c_mktsegment AS seg,
+      |    CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal * 0.5
+      |         WHEN c_mktsegment = 'BUILDING' THEN c_acctbal * 2.0
+      |         ELSE c_acctbal END AS bal
+      |  FROM customer)
+      |SELECT seg, count(*) AS n,
+      |  round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+      |FROM final
+      |GROUP BY seg
+      |ORDER BY seg""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.functions.{col, count, round, sum}
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.customer(spark, dir).createOrReplaceTempView("x5h_customer_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.cust_bf")
+    spark.sql(
+      """CREATE TABLE graft.demo.cust_bf (k BIGINT, seg STRING, bal DOUBLE)
+        |USING graft PARTITIONED BY (seg)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.cust_bf
+        |SELECT CAST(c_custkey AS BIGINT), c_mktsegment, c_acctbal
+        |FROM x5h_customer_src""".stripMargin) // v1: full load
+    spark.sql(
+      """INSERT OVERWRITE graft.demo.cust_bf PARTITION (seg = 'MACHINERY')
+        |SELECT CAST(c_custkey AS BIGINT), c_acctbal * 0.5
+        |FROM x5h_customer_src WHERE c_mktsegment = 'MACHINERY'""".stripMargin)
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.sql(
+      """INSERT OVERWRITE graft.demo.cust_bf
+        |SELECT CAST(c_custkey AS BIGINT), c_mktsegment, c_acctbal * 2.0
+        |FROM x5h_customer_src WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+    finally prevMode match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    spark.table("graft.demo.cust_bf")
+      .groupBy("seg")
+      .agg(count("*").as("n"),
+        round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("total_bal"))
+      .orderBy("seg")
+  }
+
   /** X10: BATCH CHANGE-DATA-FEED — the Delta `table_changes` shape over
     * the graft catalog (`GraftChangeScan`): net row diff between two
     * retained snapshots, planned from the segment lists alone so the
@@ -1007,5 +1061,5 @@ object SourceQueries {
     x6CatalogFunction,
     x7CatalogView, x8MaterializedView, x9MvRollup, x9bStaleMv,
     x9cMvRewriteOff, x9cMvRewriteOn, x5fPartitionProfile, x5gCosortedJoin,
-    x10TableChanges, x11RestoreClone)
+    x5hPartitionOverwrite, x10TableChanges, x11RestoreClone)
 }

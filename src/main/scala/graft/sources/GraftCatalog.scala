@@ -1889,6 +1889,33 @@ object GraftCatalog {
       }
     }
 
+  /** Partition-scoped / dynamic INSERT OVERWRITE commit: replace only
+    * the segments the filters (or the incoming keys) cover, atomically
+    * with the append. For EqualTo-on-identity-partition filters the
+    * zone-map match IS equality (min = max = the value), so segment
+    * granularity loses nothing.
+    */
+  private[sources] def installOverwrite(
+      ident: Identifier, segs: Seq[Segment],
+      filters: Option[Seq[org.apache.spark.sql.sources.Filter]],
+      dynamic: Boolean): Unit = mutate {
+    val threshold = autoCompactThreshold(ident)
+    store.compute(ident, (_, prev) => {
+      require(prev != null, s"table $ident dropped mid-write")
+      val kept = filters match {
+        case Some(fs) =>
+          prev.segments.filterNot(s =>
+            fs.forall(f => ZoneMap.mightMatch(f, prev.schema, s)))
+        case None => // dynamic: replace the partitions the write touched
+          val newKeys = segs.map(_.key).toSet
+          prev.segments.filterNot(s => newKeys.contains(s.key))
+      }
+      prev.copy(segments = kept ++ segs)
+    })
+    publish(ident)
+    maybeAutoCompact(ident, threshold)
+  }
+
   private[sources] def segmentsOf(ident: Identifier): Vector[Segment] =
     Option(store.get(ident)).map(_.segments).getOrElse(Vector.empty)
 
@@ -2710,6 +2737,7 @@ private[sources] class GraftCatalogTable(
     if (pinned.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
     else util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
@@ -2815,10 +2843,51 @@ private[sources] class GraftCatalogTable(
     * Unpartitioned, unordered tables request nothing and keep the
     * incoming parallelism.
     */
+  /** PARTITION-SCOPED and DYNAMIC `INSERT OVERWRITE` — the idempotent
+    * backfill primitive: replace exactly one partition's (or the
+    * incoming keys') data in one atomic commit, never the table.
+    *  - `SupportsOverwrite`: accepts only conjunctions of EqualTo on
+    *    partition columns (what `PARTITION (k='a')` compiles to) —
+    *    segment granularity is EXACT there (identity partitions have
+    *    min = max = the value, so the zone-map match is equality, not
+    *    might-match). Anything else is refused loudly, and plain
+    *    `INSERT OVERWRITE` without a clause degenerates to truncate.
+    *  - `SupportsDynamicOverwrite` (`partitionOverwriteMode=dynamic`):
+    *    at commit, segments whose partition key appears among the
+    *    INCOMING segments' keys are replaced; untouched partitions
+    *    survive. A failed job commits nothing either way.
+    */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsTruncate
+        with org.apache.spark.sql.connector.write.SupportsOverwrite
+        with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+      import org.apache.spark.sql.sources.{AlwaysTrue, EqualTo, EqualNullSafe, Filter}
       private var truncateFirst = false
+      private var overwriteFilters: Option[Seq[Filter]] = None
+      private var dynamicOverwrite = false
       override def truncate(): WriteBuilder = { truncateFirst = true; this }
+      private def partitionAligned(f: Filter): Boolean = f match {
+        case EqualTo(c, _) => partitionCols.contains(c)
+        case EqualNullSafe(c, _) => partitionCols.contains(c)
+        case _: AlwaysTrue => true
+        case _ => false
+      }
+      override def canOverwrite(filters: Array[Filter]): Boolean =
+        filters.forall(partitionAligned)
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        require(filters.forall(partitionAligned),
+          s"graft overwrite supports only partition-column equality filters, " +
+            s"got [${filters.mkString(", ")}]")
+        if (filters.forall(_.isInstanceOf[AlwaysTrue])) truncateFirst = true
+        else overwriteFilters = Some(filters.toSeq.filterNot(_.isInstanceOf[AlwaysTrue]))
+        this
+      }
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        require(partitionCols.nonEmpty,
+          "dynamic partition overwrite needs a partitioned table")
+        dynamicOverwrite = true
+        this
+      }
       override def build(): Write = new Write with RequiresDistributionAndOrdering {
         import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
         import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
@@ -2840,7 +2909,9 @@ private[sources] class GraftCatalogTable(
         override def requiredOrdering(): Array[SortOrder] = sortOrders
         override def toBatch: BatchWrite =
           new GraftCatalogBatchWrite(ident, schema0, dir, truncateFirst, partitionCols,
-            sortedWrite = orderCols.nonEmpty)
+            sortedWrite = orderCols.nonEmpty,
+            overwriteFilters = overwriteFilters,
+            dynamicOverwrite = dynamicOverwrite)
         // truncateFirst here = Complete output mode: replace-per-epoch.
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           new GraftCatalogStreamingWrite(ident, schema0, dir, info.queryId(), truncateFirst,
@@ -3985,14 +4056,18 @@ private[sources] case class GraftCatalogReaderFactory(
 private[sources] class GraftCatalogBatchWrite(
     ident: Identifier, target: StructType, dir: String,
     truncateFirst: Boolean, partCols: Seq[String] = Nil,
-    sortedWrite: Boolean = false) extends BatchWrite {
+    sortedWrite: Boolean = false,
+    overwriteFilters: Option[Seq[org.apache.spark.sql.sources.Filter]] = None,
+    dynamicOverwrite: Boolean = false) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     GraftSegmentWriterFactory(target, dir, partCols, sortedWrite)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val segs = messages.collect { case m: GraftSegmentMessage => m }
       .sortBy(_.partitionId)
       .flatMap(_.segments)
-    GraftCatalog.install(ident, segs.toSeq, truncateFirst)
+    if (overwriteFilters.isDefined || dynamicOverwrite)
+      GraftCatalog.installOverwrite(ident, segs.toSeq, overwriteFilters, dynamicOverwrite)
+    else GraftCatalog.install(ident, segs.toSeq, truncateFirst)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case m: GraftSegmentMessage => m }
