@@ -161,12 +161,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       val f = schema.fields.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"partition column $name not in schema ${schema.simpleString}"))
+      // EXACTLY the stats-writer's tracked set (the doc above promises
+      // it): a partition type the zone maps can't compare would make
+      // partition pruning a silent no-op and — worse — partition-
+      // scoped OVERWRITE unable to prove which segments to replace.
+      // NumericType used to admit DecimalType here, which is untracked;
+      // that mismatch made a DECIMAL-partitioned static overwrite wipe
+      // unrelated partitions.
       f.dataType match {
-        case _: org.apache.spark.sql.types.NumericType |
+        case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType |
              org.apache.spark.sql.types.StringType |
              org.apache.spark.sql.types.BooleanType => f.name
         case dt => throw new UnsupportedOperationException(
-          s"graft catalog partitions on numeric/string/boolean columns, $name is $dt")
+          s"graft catalog partitions on integral/floating/string/boolean columns, $name is $dt")
       }
     }
 
@@ -1826,16 +1835,10 @@ object GraftCatalog {
   }
 
   private[sources] def install(
-      ident: Identifier, segs: Seq[Segment], truncate: Boolean): Unit = mutate {
-    val threshold = autoCompactThreshold(ident) // validate pre-commit
-    store.compute(ident, (_, prev) => {
-      require(prev != null, s"table $ident dropped mid-write")
-      if (truncate) prev.copy(segments = segs.toVector)
-      else prev.copy(segments = prev.segments ++ segs)
-    })
-    publish(ident)
-    maybeAutoCompact(ident, threshold)
-  }
+      ident: Identifier, segs: Seq[Segment], truncate: Boolean): Unit =
+    commitSegments(ident) { prev =>
+      if (truncate) segs.toVector else prev.segments ++ segs
+    }
 
   /** AUTO-COMPACTION (`'graft.autocompact.segments'='N'` TBLPROPERTY —
     * the Delta autoCompact shape, opt-in): any data commit that leaves
@@ -1889,31 +1892,58 @@ object GraftCatalog {
       }
     }
 
+  /** ONE commit shell for every batch data commit (plain append,
+    * truncate, partition-scoped/dynamic overwrite): pre-commit
+    * validation, the dropped-mid-write guard, the snapshot publish, and
+    * the auto-compaction check live here exactly once — two copies of
+    * this protocol had already started to drift (the epoch path's
+    * validation ordering bug).
+    */
+  private def commitSegments(ident: Identifier)(
+      transform: TableEntry => Vector[Segment]): Unit = mutate {
+    val threshold = autoCompactThreshold(ident) // validate pre-commit
+    store.compute(ident, (_, prev) => {
+      require(prev != null, s"table $ident dropped mid-write")
+      prev.copy(segments = transform(prev))
+    })
+    publish(ident)
+    maybeAutoCompact(ident, threshold)
+  }
+
   /** Partition-scoped / dynamic INSERT OVERWRITE commit: replace only
     * the segments the filters (or the incoming keys) cover, atomically
-    * with the append. For EqualTo-on-identity-partition filters the
-    * zone-map match IS equality (min = max = the value), so segment
-    * granularity loses nothing.
+    * with the append. Matching is on the segment's PARTITION KEY
+    * VALUES, never zone maps: might-match is conservative toward
+    * keeping segments on reads, which is the DELETING direction here —
+    * an untracked-stats segment would match everything and an
+    * unrelated partition would be wiped. Key equality is exact for
+    * every admitted partition type (filter literals arrive coerced to
+    * the column type, keys store the same boxed externals).
     */
   private[sources] def installOverwrite(
       ident: Identifier, segs: Seq[Segment],
       filters: Option[Seq[org.apache.spark.sql.sources.Filter]],
-      dynamic: Boolean): Unit = mutate {
-    val threshold = autoCompactThreshold(ident)
-    store.compute(ident, (_, prev) => {
-      require(prev != null, s"table $ident dropped mid-write")
-      val kept = filters match {
-        case Some(fs) =>
-          prev.segments.filterNot(s =>
-            fs.forall(f => ZoneMap.mightMatch(f, prev.schema, s)))
-        case None => // dynamic: replace the partitions the write touched
-          val newKeys = segs.map(_.key).toSet
-          prev.segments.filterNot(s => newKeys.contains(s.key))
-      }
-      prev.copy(segments = kept ++ segs)
-    })
-    publish(ident)
-    maybeAutoCompact(ident, threshold)
+      dynamic: Boolean): Unit = commitSegments(ident) { prev =>
+    import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter}
+    val kept = filters match {
+      case Some(fs) =>
+        val idx = prev.partitionCols.zipWithIndex.toMap
+        def keyMatches(s: Segment, f: Filter): Boolean = f match {
+          case EqualTo(c, v) =>
+            val k = s.key(idx(c))
+            k != null && k == v
+          case EqualNullSafe(c, v) =>
+            val k = s.key(idx(c))
+            if (v == null) k == null else k != null && k == v
+          case _ => throw new IllegalStateException(
+            s"non-partition-equality filter $f reached overwrite commit")
+        }
+        prev.segments.filterNot(s => fs.forall(keyMatches(s, _)))
+      case None => // dynamic: replace the partitions the write touched
+        val newKeys = segs.map(_.key).toSet
+        prev.segments.filterNot(s => newKeys.contains(s.key))
+    }
+    kept ++ segs.toVector
   }
 
   private[sources] def segmentsOf(ident: Identifier): Vector[Segment] =

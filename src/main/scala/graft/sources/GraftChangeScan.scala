@@ -345,20 +345,33 @@ private[sources] class GraftChangeMicroBatchStream(
 
 private[sources] object GraftChangeScan {
   /** Resolve a change-feed BOUND: a version number, a tag name, or a
-    * TIMESTAMP (ISO-8601 instant, or `yyyy-MM-dd HH:mm:ss[.f]` read as
-    * UTC — never the JVM's local zone) resolved to the latest snapshot
-    * committed at or before it, mirroring `TIMESTAMP AS OF`.
+    * TIMESTAMP resolved to the latest snapshot committed at or before
+    * it, mirroring `TIMESTAMP AS OF` — including its TIMEZONE
+    * semantics: zone-less forms (`yyyy-MM-dd[ HH:mm:ss[.f]]`) are read
+    * in the SESSION timezone exactly as Spark parses the `AS OF`
+    * literal (never the JVM default zone); explicit-offset ISO forms
+    * and `...Z` instants carry their own zone.
     */
   private[sources] def resolveBoundVersion(ident: Identifier, s: String): Long =
     try GraftCatalog.resolveVersionString(ident, s)
     catch { case versionErr: IllegalArgumentException =>
-      val inst =
-        try Some(java.time.Instant.parse(s))
-        catch { case _: java.time.format.DateTimeParseException =>
-          try Some(java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-            .toInstant(java.time.ZoneOffset.UTC))
-          catch { case _: java.time.format.DateTimeParseException => None }
-        }
+      import java.time._
+      import java.time.format.DateTimeParseException
+      def sessionZone: ZoneId = ZoneId.of(
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+      val inst: Option[Instant] =
+        (try Some(Instant.parse(s))
+         catch { case _: DateTimeParseException => None })
+          .orElse(
+            try Some(OffsetDateTime.parse(s).toInstant)
+            catch { case _: DateTimeParseException => None })
+          .orElse(
+            try Some(LocalDateTime.parse(s.replace(' ', 'T'))
+              .atZone(sessionZone).toInstant)
+            catch { case _: DateTimeParseException => None })
+          .orElse(
+            try Some(LocalDate.parse(s).atStartOfDay(sessionZone).toInstant)
+            catch { case _: DateTimeParseException => None })
       inst match {
         case None => throw versionErr
         case Some(i) =>
@@ -368,6 +381,7 @@ private[sources] object GraftChangeScan {
               s"change feed over $ident: no snapshot committed at or before '$s'"))
       }
     }
+
   /** The structural snapshot diff both the batch scan and the
     * streaming source plan from: one split per changed segment.
     */

@@ -208,9 +208,17 @@ class ChangeFeedSpec extends AnyFunSuite {
       .option("table", "cdc.ts").option("changesFrom", betweenV1andV2)
       .load().select("_change_type", "k").as[(String, Long)].collect().toSet
     assert(got == Set(("insert", 2L), ("insert", 3L)), s"got $got")
-    // A pre-history timestamp fails loudly rather than guessing.
+    // Offset-carrying ISO form works too (same instant, +02:00 notation).
+    val offsetForm = java.time.OffsetDateTime
+      .ofInstant(java.time.Instant.parse(betweenV1andV2), java.time.ZoneOffset.ofHours(2))
+      .toString
+    assert(spark.read.format("graft-changes")
+      .option("table", "cdc.ts").option("changesFrom", offsetForm)
+      .load().count() == 2)
+    // A pre-history timestamp fails loudly rather than guessing —
+    // bare-date form exercised at the same time.
     intercept[Exception](spark.read.format("graft-changes")
-      .option("table", "cdc.ts").option("changesFrom", "1970-01-01T00:00:00Z")
+      .option("table", "cdc.ts").option("changesFrom", "1970-01-01")
       .load().collect())
     spark.sql("DROP TABLE graft.cdc.ts")
   }

@@ -36,20 +36,27 @@ class PartitionOverwriteSpec extends AnyFunSuite {
   }
 
   test("dynamic mode replaces only the partitions the write touches") {
+    // Self-contained fixture — no dependence on the previous test's
+    // leftover state or ordering.
+    spark.sql("DROP TABLE IF EXISTS graft.po.d")
+    spark.sql(
+      "CREATE TABLE graft.po.d (k STRING, v BIGINT) USING graft PARTITIONED BY (k)")
+    spark.sql("INSERT INTO graft.po.d VALUES ('a', 1), ('b', 10), ('c', 20)")
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      spark.sql("INSERT OVERWRITE graft.po.t VALUES ('b', 999), ('d', 7)")
+      spark.sql("INSERT OVERWRITE graft.po.d VALUES ('b', 999), ('d', 7)")
       // b replaced, d created, a and c untouched.
-      assert(rows("graft.po.t") ==
-        Set(("a", 100L), ("a", 101L), ("b", 999L), ("c", 20L), ("d", 7L)))
+      assert(rows("graft.po.d") ==
+        Set(("a", 1L), ("b", 999L), ("c", 20L), ("d", 7L)))
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
     // Static mode without a partition clause = full replace (truncate).
-    spark.sql("INSERT OVERWRITE graft.po.t VALUES ('z', 1)")
-    assert(rows("graft.po.t") == Set(("z", 1L)))
-    spark.sql("DROP TABLE graft.po.t")
+    spark.sql("INSERT OVERWRITE graft.po.d VALUES ('z', 1)")
+    assert(rows("graft.po.d") == Set(("z", 1L)))
+    spark.sql("DROP TABLE graft.po.d")
+    spark.sql("DROP TABLE IF EXISTS graft.po.t")
   }
 }
