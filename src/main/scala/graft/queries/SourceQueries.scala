@@ -993,6 +993,52 @@ object SourceQueries {
       .orderBy("change_type", "seg")
   }
 
+  /** X10b: PAIRED-UPDATE CDC — a copy-on-write UPDATE commit carries
+    * rewrite provenance (new segment → the segment it rewrote), and
+    * the change feed reads each pair in LOCKSTEP, emitting
+    * `update_preimage`/`update_postimage` for exactly the rows whose
+    * bytes changed — the Delta CDF `table_changes` update shape. Rows
+    * the rewrite copied unchanged emit NOTHING, which is the whole
+    * point: the feed's output is proportional to the changed rows, not
+    * the rewritten bytes. The oracle recomputes both images as slice
+    * algebra over the raw parquet.
+    */
+  val x10bCdcUpdatePairs: Q = Q(
+    "x10b_cdc_update_pairs",
+    """WITH a AS (SELECT c_mktsegment AS seg, c_acctbal AS bal FROM customer),
+      |     feed AS (
+      |       SELECT 'update_preimage' AS change_type, seg, bal FROM a
+      |       WHERE seg = 'FURNITURE'
+      |       UNION ALL
+      |       SELECT 'update_postimage' AS change_type, seg, bal + 100.0 AS bal
+      |       FROM a WHERE seg = 'FURNITURE')
+      |SELECT change_type, count(*) AS n,
+      |  round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+      |FROM feed
+      |GROUP BY change_type
+      |ORDER BY change_type""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.functions.{col, count, round, sum}
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.customer(spark, dir).createOrReplaceTempView("x10b_customer_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.cust_upd")
+    spark.sql(
+      "CREATE TABLE graft.demo.cust_upd (k BIGINT, seg STRING, bal DOUBLE) USING graft")
+    spark.sql(
+      """INSERT INTO graft.demo.cust_upd
+        |SELECT CAST(c_custkey AS BIGINT), c_mktsegment, c_acctbal
+        |FROM x10b_customer_src""".stripMargin) // v1
+    spark.sql(
+      """UPDATE graft.demo.cust_upd SET bal = bal + 100.0
+        |WHERE seg = 'FURNITURE'""".stripMargin) // v2: CoW rewrite + provenance
+    spark.read.format("graft-changes")
+      .option("table", "demo.cust_upd").option("changesFrom", "1")
+      .load()
+      .groupBy(col("_change_type").as("change_type"))
+      .agg(count("*").as("n"),
+        round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("total_bal"))
+      .orderBy("change_type")
+  }
+
   /** X11: RESTORE + zero-copy CLONE as one differential story. A base
     * batch lands and is TAGGED; a second batch lands on main; the tag
     * is CLONED to a branch table (metadata-only — the branch SHARES the
@@ -1061,5 +1107,5 @@ object SourceQueries {
     x6CatalogFunction,
     x7CatalogView, x8MaterializedView, x9MvRollup, x9bStaleMv,
     x9cMvRewriteOff, x9cMvRewriteOn, x5fPartitionProfile, x5gCosortedJoin,
-    x5hPartitionOverwrite, x10TableChanges, x11RestoreClone)
+    x5hPartitionOverwrite, x10TableChanges, x10bCdcUpdatePairs, x11RestoreClone)
 }

@@ -501,9 +501,13 @@ object StreamingQueries {
     * pair and a CDC consumer would miss it). The fixture commits an
     * append, a second append, then a deletion-vector DELETE; the
     * stream must deliver every insert AND the delete AS DATA — the
-    * commit shape the plain catalog stream refuses. The oracle
-    * recomputes the full feed as slice algebra: inserts = both
-    * batches, deletes = the dv'd rows.
+    * commit shape the plain catalog stream refuses — and a
+    * copy-on-write UPDATE must arrive as PAIRED
+    * update_preimage/update_postimage rows for exactly the changed
+    * rows (rewrite provenance + lockstep byte-compare; unchanged
+    * rewritten rows emit nothing). The oracle recomputes the full feed
+    * as slice algebra: inserts = both batches, deletes = the dv'd
+    * rows, update pairs = the AUTOMOBILE rows before/after the +50.
     */
   val st15ChangeFeedStream: Q = Q(
     "st15_change_feed_stream",
@@ -512,7 +516,13 @@ object StreamingQueries {
       |       SELECT 'insert' AS change_type, seg, bal FROM a
       |       UNION ALL
       |       SELECT 'delete' AS change_type, seg, bal FROM a
-      |       WHERE seg = 'MACHINERY')
+      |       WHERE seg = 'MACHINERY'
+      |       UNION ALL
+      |       SELECT 'update_preimage' AS change_type, seg, bal FROM a
+      |       WHERE seg = 'AUTOMOBILE'
+      |       UNION ALL
+      |       SELECT 'update_postimage' AS change_type, seg, bal + 50.0 AS bal
+      |       FROM a WHERE seg = 'AUTOMOBILE')
       |SELECT change_type, seg, count(*) AS n,
       |  round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
       |FROM feed
@@ -533,6 +543,9 @@ object StreamingQueries {
         |SELECT CAST(c_custkey AS BIGINT), c_mktsegment, c_acctbal
         |FROM st15_customer_src WHERE c_custkey % 3 = 0""".stripMargin) // v2
     spark.sql("DELETE FROM graft.stream.cdc15 WHERE seg = 'MACHINERY'") // v3: dv
+    spark.sql(
+      """UPDATE graft.stream.cdc15 SET bal = bal + 50.0
+        |WHERE seg = 'AUTOMOBILE'""".stripMargin) // v4: CoW → paired updates
     val feed = spark.readStream.format("graft-changes")
       .option("table", "stream.cdc15").option("changesFrom", "0").load()
     StreamingOps.runToBatch(spark, feed, "append", "st15_feed")
@@ -544,12 +557,13 @@ object StreamingQueries {
 
   /** ST16: CDC REPLICATION END-TO-END — the reason change feeds exist.
     * A replica table is maintained purely by APPLYING the streaming
-    * change feed: per micro-batch (= per commit), insert rows upsert
-    * via MERGE and delete rows delete via MERGE, with the
-    * delete-then-insert pair of an UPDATE commit resolved
-    * insert-wins-per-key inside the batch (the standard CDC-apply
-    * collapse; both MERGEs are idempotent, so a replayed batch after a
-    * failure re-applies harmlessly — exactly-once effect). The source
+    * change feed: per micro-batch (= per commit), upsert rows (inserts
+    * and update POSTIMAGES — the paired-update CDC form consumed
+    * directly, no per-key collapse needed for updates) MERGE-upsert,
+    * delete rows MERGE-delete; preimages carry no apply-side work in a
+    * key-matched MERGE. Both MERGEs are idempotent, so a replayed
+    * batch after a failure re-applies harmlessly — exactly-once
+    * effect. The source
     * takes an append, a second append, a copy-on-write UPDATE, and a
     * deletion-vector DELETE; the replica — which never read the source
     * table, only the feed — must converge to the source's final state,
@@ -591,10 +605,14 @@ object StreamingQueries {
     val feed = spark.readStream.format("graft-changes")
       .option("table", "stream.cdc16").option("changesFrom", "0").load()
     StreamingOps.runForeachBatch(spark, feed, (batch, _) => {
-      // CDC apply: within a commit, an UPDATE surfaces as delete(old)+
-      // insert(new) on the SAME key — insert wins; a key with only a
-      // delete is a real delete.
-      val ups = batch.filter(col("_change_type") === "insert").select("k", "seg", "bal")
+      // CDC apply: update POSTIMAGES upsert directly (the paired form —
+      // preimages need nothing, the MERGE matches on key); plain
+      // inserts upsert; a key with only a delete is a real delete.
+      // The per-key collapse (`except`) still guards the unpaired
+      // delete+insert fallback a provenance-less rewrite emits.
+      val ups = batch
+        .filter(col("_change_type").isin("insert", "update_postimage"))
+        .select("k", "seg", "bal")
       val dels = batch.filter(col("_change_type") === "delete").select("k")
         .except(ups.select("k"))
       val s = batch.sparkSession

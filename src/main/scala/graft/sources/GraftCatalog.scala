@@ -126,7 +126,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       Identifier.of(ident.namespace, s"${ident.name} VERSION AS OF $v (expired or never committed)")))
     val entry = store.get(ident)
     new GraftCatalogTable(ident, snap.schema, entry.dir, pinned = Some(snap.segments),
-      partitionCols = entry.partitionCols)
+      partitionCols = snap.partitionCols)
   }
 
   /** `TIMESTAMP AS OF`: Spark hands micros-since-epoch; resolve to the
@@ -140,7 +140,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         s"${ident.name} TIMESTAMP AS OF $timestamp (before first retained commit)")))
     val entry = store.get(ident)
     new GraftCatalogTable(ident, snap.schema, entry.dir, pinned = Some(snap.segments),
-      partitionCols = entry.partitionCols)
+      partitionCols = snap.partitionCols)
   }
 
   /** `PARTITIONED BY (col, …)` accepts IDENTITY transforms on top-level
@@ -1569,7 +1569,22 @@ object GraftCatalog {
     */
   private[graft] case class CatalogSnapshot(
       version: Long, wallMs: Long, mono: Long,
-      schema: StructType, segments: Vector[Segment])
+      schema: StructType, segments: Vector[Segment],
+      // Snapshotted ALONGSIDE schema/segments so RESTORE/CLONE re-pair
+      // them: a rename rewrites partitionCols to the new name, and a
+      // restore to a pre-rename version that kept CURRENT partitionCols
+      // would reference columns absent from the restored schema —
+      // bricking every subsequent load/write of the table.
+      partitionCols: Seq[String] = Nil,
+      constraints: Vector[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+        Vector.empty,
+      // CDC provenance for copy-on-write UPDATE commits: added segment
+      // path → the removed segment it REWROTE (recorded by the
+      // row-level commit when the task↔segment correspondence is
+      // provable). Lets the change feed emit paired
+      // update_preimage/update_postimage rows instead of opaque
+      // delete+insert — the Delta CDF `table_changes` update shape.
+      rewrites: Map[String, String] = Map.empty)
 
   private val history = new ConcurrentHashMap[Identifier, Vector[CatalogSnapshot]]()
 
@@ -1595,14 +1610,15 @@ object GraftCatalog {
     * retained snapshot references. Call under `mutate {}` after the
     * metastore swap.
     */
-  private def publish(ident: Identifier): Unit = {
+  private def publish(ident: Identifier, rewrites: Map[String, String] = Map.empty): Unit = {
     val entry = store.get(ident)
     if (entry == null) return
     val now = System.nanoTime()
     val hist = history.getOrDefault(ident, Vector.empty)
     val snap = CatalogSnapshot(
       hist.lastOption.map(_.version + 1).getOrElse(0L),
-      System.currentTimeMillis(), now, entry.schema, entry.segments)
+      System.currentTimeMillis(), now, entry.schema, entry.segments,
+      entry.partitionCols, entry.constraints, rewrites)
     val all = hist :+ snap
     val cutoff = now - RetentionNanos
     // Tagged snapshots are exempt from BOTH expiry axes (age and the
@@ -1659,7 +1675,8 @@ object GraftCatalog {
     val snap = snapshotByVersion(ident, version).getOrElse(
       throw new IllegalArgumentException(
         s"restore $ident: version $version is expired or never committed"))
-    store.put(ident, entry.copy(schema = snap.schema, segments = snap.segments))
+    store.put(ident, entry.copy(schema = snap.schema, segments = snap.segments,
+      partitionCols = snap.partitionCols, constraints = snap.constraints))
     publish(ident)
     (version, snap.segments.length)
   }
@@ -1689,8 +1706,8 @@ object GraftCatalog {
         throw new IllegalArgumentException(s"clone $src: no committed snapshots"))
     }
     val dir = Files.createTempDirectory(segmentRoot, "tbl-").toString
-    store.put(dst, TableEntry(snap.schema, snap.segments, dir, e.partitionCols,
-      e.constraints, Map.empty, e.props.filterNot(_._1.startsWith(TagPropPrefix))))
+    store.put(dst, TableEntry(snap.schema, snap.segments, dir, snap.partitionCols,
+      snap.constraints, Map.empty, e.props.filterNot(_._1.startsWith(TagPropPrefix))))
     publish(dst)
     (snap.version, snap.segments.length)
   }
@@ -1835,8 +1852,9 @@ object GraftCatalog {
   }
 
   private[sources] def install(
-      ident: Identifier, segs: Seq[Segment], truncate: Boolean): Unit =
-    commitSegments(ident) { prev =>
+      ident: Identifier, segs: Seq[Segment], truncate: Boolean,
+      rewrites: Map[String, String] = Map.empty): Unit =
+    commitSegments(ident, rewrites) { prev =>
       if (truncate) segs.toVector else prev.segments ++ segs
     }
 
@@ -1882,13 +1900,20 @@ object GraftCatalog {
       if (entry != null) {
         val target = sys.props
           .getOrElse("graft.compact.targetBytes", (64L * 1024 * 1024).toString).toLong
-        val wouldReduce = entry.segments.groupBy(_.key).values.exists { g =>
-          val bytes = g.map(s =>
-            if (s.bytes > 0) s.bytes else s.rows * 8L * (entry.schema.length + 1)).sum
-          val post = math.max(1, math.ceil(bytes.toDouble / target).toInt)
-          g.length >= n && g.length > post
-        }
-        if (wouldReduce) { compact(ident); () }
+        // Compact ONLY the partition groups that satisfy the reduce
+        // predicate — this runs synchronously inside the committing
+        // writer's mutation lock, and a single hot partition must not
+        // make every commit pay an O(table) rewrite of all the cold
+        // ones (nor block other catalog mutations for that long).
+        val hotKeys = entry.segments.groupBy(_.key).collect {
+          case (key, g) if {
+            val bytes = g.map(s =>
+              if (s.bytes > 0) s.bytes else s.rows * 8L * (entry.schema.length + 1)).sum
+            val post = math.max(1, math.ceil(bytes.toDouble / target).toInt)
+            g.length >= n && g.length > post
+          } => key
+        }.toSet
+        if (hotKeys.nonEmpty) { compact(ident, onlyKeys = Some(hotKeys)); () }
       }
     }
 
@@ -1899,14 +1924,14 @@ object GraftCatalog {
     * this protocol had already started to drift (the epoch path's
     * validation ordering bug).
     */
-  private def commitSegments(ident: Identifier)(
+  private def commitSegments(ident: Identifier, rewrites: Map[String, String] = Map.empty)(
       transform: TableEntry => Vector[Segment]): Unit = mutate {
     val threshold = autoCompactThreshold(ident) // validate pre-commit
     store.compute(ident, (_, prev) => {
       require(prev != null, s"table $ident dropped mid-write")
       prev.copy(segments = transform(prev))
     })
-    publish(ident)
+    publish(ident, rewrites)
     maybeAutoCompact(ident, threshold)
   }
 
@@ -2020,7 +2045,13 @@ object GraftCatalog {
     * cluster deployment would run the rewrites as tasks; the commit
     * path is identical).
     */
-  private[sources] def compact(ident: Identifier): (Int, Int, Long) = mutate {
+  /** `onlyKeys`: restrict the fold to these partition-group keys
+    * (auto-compaction's scoped path — groups outside the scope pass
+    * through byte-identical); None = every group (the `CALL` path).
+    */
+  private[sources] def compact(
+      ident: Identifier,
+      onlyKeys: Option[Set[IndexedSeq[Any]]] = None): (Int, Int, Long) = mutate {
     import org.apache.spark.sql.types._
     val entry = store.get(ident)
     if (entry == null) throw new NoSuchTableException(ident)
@@ -2062,7 +2093,8 @@ object GraftCatalog {
       .flatMap { case (key, segs) =>
         // A lone segment still rewrites when it carries a deletion
         // vector — compaction is the dv materialization point.
-        if (segs.length <= 1 && segs.forall(_.dv.isEmpty)) segs
+        if (onlyKeys.exists(!_.contains(key))) segs
+        else if (segs.length <= 1 && segs.forall(_.dv.isEmpty)) segs
         else if (orderIdx.isEmpty) {
           val w = new SegmentIO.Writer(entry.dir, entry.schema)
           segs.foreach(seg =>
@@ -2802,6 +2834,12 @@ private[sources] class GraftCatalogTable(
       // scan's onRuntimeExclude callback. Deduped by path — both
       // stages may exclude, and planning may re-run.
       @volatile private var kept: Vector[GraftCatalog.Segment] = Vector.empty
+      // Touched segments IN SCAN-PARTITION ORDER (the pinned vector the
+      // rewrite scan planned one split per segment from) — the basis of
+      // CDC rewrite provenance: with no exchange between the scan and
+      // the replace-data write, writer task i's output segment IS the
+      // rewrite of touched(i).
+      @volatile private var touched: Vector[GraftCatalog.Segment] = Vector.empty
       private def addKept(segs: Vector[GraftCatalog.Segment]): Unit = synchronized {
         kept = (kept ++ segs).distinctBy(_.path)
       }
@@ -2820,6 +2858,7 @@ private[sources] class GraftCatalogTable(
             val (touch, keep) = GraftCatalog.segmentsOf(ident).partition(seg =>
               pruning.forall(f => ZoneMap.mightMatch(f, schema0, seg)))
             addKept(keep)
+            touched = touch
             GraftCatalogScan(ident, schema0, pinned = Some(touch),
               partitionCols = partitionCols, onRuntimeExclude = Some(addKept))
           }
@@ -2834,11 +2873,38 @@ private[sources] class GraftCatalogTable(
                   pinfo: PhysicalWriteInfo): DataWriterFactory =
                 inner.createBatchWriterFactory(pinfo)
               override def commit(messages: Array[WriterCommitMessage]): Unit = {
-                val rewritten = messages
-                  .collect { case m: GraftSegmentMessage => m }
-                  .sortBy(_.partitionId).flatMap(_.segments)
+                val msgs = messages.collect { case m: GraftSegmentMessage => m }
+                val rewritten = msgs.sortBy(_.partitionId).flatMap(_.segments)
+                // CDC REWRITE PROVENANCE (UPDATE, unpartitioned scans
+                // only — keyed scans group several segments per split,
+                // so no per-segment correspondence exists): with no
+                // exchange in the replace-data plan, writer task i
+                // rewrote touched-after-runtime-exclusion segment i.
+                // Record added→source pairs only where the task emitted
+                // EXACTLY one segment whose row count equals the
+                // source's live rows (UPDATE preserves cardinality; a
+                // partition-column update that re-routes rows, or any
+                // plan that broke the correspondence, fails the count
+                // check and falls back to plain delete+insert CDC).
+                val rewrites: Map[String, String] =
+                  if (info.command() != RowLevelOperation.Command.UPDATE ||
+                      partitionCols.nonEmpty) Map.empty
+                  else {
+                    val keptPaths = kept.map(_.path).toSet
+                    val executed = touched.filterNot(s => keptPaths.contains(s.path))
+                    val byTask = msgs.map(m => m.partitionId -> m.segments).toMap
+                    executed.indices.flatMap { i =>
+                      byTask.get(i) match {
+                        case Some(segs) if segs.length == 1 &&
+                            segs.head.rows == executed(i).liveRows =>
+                          Some(segs.head.path -> executed(i).path)
+                        case _ => None
+                      }
+                    }.toMap
+                  }
                 // Replace the table with kept (untouched) + rewritten.
-                GraftCatalog.install(ident, kept ++ rewritten, truncate = true)
+                GraftCatalog.install(ident, kept ++ rewritten, truncate = true,
+                  rewrites = rewrites)
               }
               override def abort(messages: Array[WriterCommitMessage]): Unit =
                 inner.abort(messages)

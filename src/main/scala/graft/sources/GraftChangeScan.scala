@@ -24,9 +24,23 @@ import org.apache.spark.unsafe.types.UTF8String
   *     .table("graft.ns.t")
   * }}}
   * Output = the table's columns plus `_change_type` ('insert' |
-  * 'delete'). An UPDATE (copy-on-write rewrite) appears as its
-  * delete+insert pair, exactly like Delta CDF without per-row update
-  * tracking.
+  * 'delete' | 'update_preimage' | 'update_postimage'). A copy-on-write
+  * UPDATE commit carries rewrite provenance (added segment → source
+  * segment, recorded at commit, `CatalogSnapshot.rewrites`), and the
+  * feed reads each (source, rewritten) pair IN LOCKSTEP, emitting the
+  * paired pre/post images for exactly the rows whose bytes changed —
+  * the Delta CDF `table_changes` update shape. Rows the rewrite copied
+  * unchanged emit nothing. Where provenance is absent (partitioned
+  * rewrites, MERGE, row-count changes), the commit degrades to the
+  * delete+insert pair form — always net-correct, just unpaired.
+  *
+  * BOUND CONVENTION — `changesFrom` is EXCLUSIVE: the feed is the diff
+  * of snapshot STATES, `live(to) \ live(from)` — changes made BY
+  * commit `from` itself are not included (they are part of reaching
+  * state `from`). Delta's `table_changes(start, end)` start bound is
+  * INCLUSIVE of the start commit; to get that behavior here, pass
+  * `changesFrom = start - 1`. Both feed modes (batch and streaming)
+  * use the same convention.
   *
   * Semantics are the NET diff of live row sets (live(to) \ live(from) as
   * inserts, live(from) \ live(to) as deletes), computed STRUCTURALLY
@@ -57,7 +71,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * {{{
   *   spark.read.format("graft-changes")
   *     .option("table", "ns.t")
-  *     .option("changesFrom", "1")        // version or tag
+  *     .option("changesFrom", "1")        // version or tag — EXCLUSIVE
+  *                                        // (state diff; Delta-style
+  *                                        // inclusive start = pass start-1)
   *     .option("changesTo", "stable")     // optional; default current
   *     .load()
   * }}}
@@ -121,12 +137,22 @@ class GraftChangeFeed extends org.apache.spark.sql.connector.catalog.TableProvid
       properties: JMap[String, String]): org.apache.spark.sql.connector.catalog.Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val (ident, from, to) = resolve(opts)
+    // Honor the schema Spark hands back (the inferSchema result, i.e.
+    // readSchema = data + _change_type) instead of re-resolving live
+    // catalog state: a schema-evolving commit landing between analysis
+    // and scan construction must not shift the advertised schema
+    // mid-query — the analyzer already resolved columns against THIS
+    // one, so it is the single consistent view for the whole read.
+    val data: StructType =
+      if (schema.nonEmpty && schema.fields.last.name == "_change_type")
+        StructType(schema.fields.dropRight(1))
+      else feedDataSchema(ident, to) // defensive: unexpected caller-supplied schema
     new org.apache.spark.sql.connector.catalog.Table
         with org.apache.spark.sql.connector.catalog.SupportsRead {
       override def name(): String =
         s"graft-changes($ident, from=$from${to.fold("")(t => s", to=$t")})"
       override def schema(): StructType =
-        GraftChangeFeedScan(ident, from, to, feedDataSchema(ident, to)).readSchema()
+        GraftChangeFeedScan(ident, from, to, data).readSchema()
       override def capabilities(): java.util.Set[
           org.apache.spark.sql.connector.catalog.TableCapability] =
         java.util.EnumSet.of(
@@ -135,7 +161,7 @@ class GraftChangeFeed extends org.apache.spark.sql.connector.catalog.TableProvid
       override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
         new ScanBuilder {
           override def build(): Scan =
-            GraftChangeFeedScan(ident, from, to, feedDataSchema(ident, to))
+            GraftChangeFeedScan(ident, from, to, data)
         }
     }
   }
@@ -150,6 +176,18 @@ private[sources] case class GraftChangePartition(
     file: GraftSegFile, numFields: Int, changeType: String,
     emitOnly: Option[BitSet], fileBytes: Long = 0L) extends InputPartition
 
+/** One PAIRED update split (a CoW-UPDATE-rewritten segment with
+  * recorded provenance): read `pre` (live rows, skipping its dv) and
+  * `post` in lockstep — same live ordinal = same logical row — and for
+  * each position whose row bytes CHANGED emit the `update_preimage` /
+  * `update_postimage` pair; byte-identical positions (rows the rewrite
+  * copied untouched) emit nothing. Planned only when live(pre) ==
+  * rows(post), which a cardinality-preserving UPDATE guarantees.
+  */
+private[sources] case class GraftChangeUpdatePartition(
+    pre: GraftSegFile, post: GraftSegFile, numFields: Int,
+    fileBytes: Long = 0L) extends InputPartition
+
 private[sources] case class GraftChangeScan(
     ident: Identifier, from: GraftCatalog.CatalogSnapshot,
     to: GraftCatalog.CatalogSnapshot) extends Scan with Batch
@@ -158,8 +196,12 @@ private[sources] case class GraftChangeScan(
   private def dataSchema: StructType = {
     // Loud guard, not silent corruption: segments written under a
     // different layout cannot be decoded by field-count-shifted
-    // readers.
-    require(from.schema == to.schema,
+    // readers. Decode depends on field count + data types only —
+    // nullability/metadata-only differences are byte-compatible.
+    require(from.schema.length == to.schema.length &&
+        !from.schema.fields.zip(to.schema.fields).exists {
+          case (a, b) => a.dataType != b.dataType
+        },
       s"change feed over $ident: schema changed between version " +
         s"${from.version} and ${to.version}; diff within one schema epoch")
     to.schema
@@ -173,7 +215,7 @@ private[sources] case class GraftChangeScan(
     s"GraftChangeScan($ident, from=v${from.version}, to=v${to.version})"
 
   override def planInputPartitions(): Array[InputPartition] =
-    GraftChangeScan.diffPartitions(from, to, dataSchema.length)
+    GraftChangeScan.diffPartitions(ident, from, to, dataSchema.length)
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftChangeReaderFactory(dataSchema)
@@ -184,18 +226,25 @@ private[sources] case class GraftChangeScan(
     * target. Derived from the same metadata the planner just walked.
     */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val parts = planInputPartitions().map(_.asInstanceOf[GraftChangePartition])
-    def emitted(p: GraftChangePartition): Long =
-      p.emitOnly.map(_.size.toLong).getOrElse(
-        p.file.rows - p.file.dv.map(_.size.toLong).getOrElse(0L))
+    val parts = planInputPartitions()
+    def emitted(p: InputPartition): Long = p match {
+      case c: GraftChangePartition =>
+        c.emitOnly.map(_.size.toLong).getOrElse(
+          c.file.rows - c.file.dv.map(_.size.toLong).getOrElse(0L))
+      // Paired update split: emits ≤ 2 × live rows (only CHANGED
+      // positions emit; unknowable without reading — bound above).
+      case u: GraftChangeUpdatePartition => 2L * u.post.rows
+      case _ => 0L
+    }
     val rows = parts.map(emitted).sum
     // REAL file bytes scaled by the emitted-row fraction — a flat
     // bytes-per-field guess undercounts wide string rows badly enough
     // to wrongly auto-broadcast a multi-hundred-MB diff.
-    val bytes = parts.map { p =>
-      if (p.fileBytes > 0 && p.file.rows > 0)
-        (p.fileBytes * emitted(p)) / p.file.rows
-      else emitted(p) * 8L * (dataSchema.length + 2)
+    val bytes = parts.map {
+      case c: GraftChangePartition if c.fileBytes > 0 && c.file.rows > 0 =>
+        (c.fileBytes * emitted(c)) / c.file.rows
+      case u: GraftChangeUpdatePartition if u.fileBytes > 0 => u.fileBytes
+      case p => emitted(p) * 8L * (dataSchema.length + 2)
     }.sum.max(if (rows > 0) 1L else 0L)
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes: java.util.OptionalLong = java.util.OptionalLong.of(bytes)
@@ -291,7 +340,16 @@ private[sources] class GraftChangeMicroBatchStream(
           "stream (or its checkpoint) fell behind the retention window; raise " +
           "graft.catalog.retention.seconds / .snapshots or restart from a fresh " +
           "checkpoint"))
-    if (s.schema != dataSchema)
+    // Compare only what DECODING depends on — field count and data
+    // types. Full StructType equality includes nullability and field
+    // metadata, and a metadata-only table change (no physical layout
+    // change) would permanently wedge the stream: every restart
+    // re-resolves the current schema, yet all pre-change commits would
+    // still compare unequal despite being byte-decodable.
+    if (s.schema.length != dataSchema.length ||
+        s.schema.fields.zip(dataSchema.fields).exists {
+          case (a, b) => a.dataType != b.dataType
+        })
       throw new IllegalStateException(
         s"change-feed stream of $ident: commit v$v was written under a different " +
           s"schema (${s.schema.simpleString} vs ${dataSchema.simpleString}); restart " +
@@ -336,7 +394,7 @@ private[sources] class GraftChangeMicroBatchStream(
     // The batch is the structural diff s → e (net within the batch,
     // per-commit when the trigger keeps up — one commit per batch).
     else GraftChangeScan.diffPartitions(
-      snapshotOrFail(s), snapshotOrFail(e), dataSchema.length)
+      ident, snapshotOrFail(s), snapshotOrFail(e), dataSchema.length)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -382,17 +440,59 @@ private[sources] object GraftChangeScan {
       }
     }
 
+  /** Rewrite provenance composed across every commit in (fromV, toV]:
+    * current segment path → the path it (transitively) rewrote, as of
+    * `fromV`. A chain (v1 rewrote S→S', v2 rewrote S'→S'') composes to
+    * S''→S, so a multi-commit batch diff still pairs endpoints.
+    * Metadata-only: a walk over the retained snapshots' recorded maps.
+    */
+  private def composedRewrites(
+      ident: Identifier, fromV: Long, toV: Long): Map[String, String] = {
+    var orig = Map.empty[String, String]
+    GraftCatalog.retainedSnapshots(ident)
+      .filter(s => s.version > fromV && s.version <= toV)
+      .foreach(_.rewrites.foreach { case (added, src) =>
+        orig = (orig - src) + (added -> orig.getOrElse(src, src))
+      })
+    orig
+  }
+
   /** The structural snapshot diff both the batch scan and the
-    * streaming source plan from: one split per changed segment.
+    * streaming source plan from: one split per changed segment — or
+    * one PAIRED split per provenance-recorded CoW-UPDATE rewrite.
     */
   private[sources] def diffPartitions(
+      ident: Identifier,
       from: GraftCatalog.CatalogSnapshot, to: GraftCatalog.CatalogSnapshot,
       width: Int): Array[InputPartition] = {
     val fromByPath = from.segments.map(s => s.path -> s).toMap
     val toByPath = to.segments.map(s => s.path -> s).toMap
-    val inserts = to.segments.filterNot(s => fromByPath.contains(s.path)).map(s =>
+    // PAIRED UPDATES first: an added segment whose recorded rewrite
+    // source is a removed segment, with matching cardinality (live
+    // rows at `from` == physical rows of the rewrite) and no dv
+    // acquired since the rewrite (a later in-range delete must surface
+    // as deletes, which the fallback form does). Everything paired
+    // here is excluded from the plain insert/delete planning below.
+    val rewrites = composedRewrites(ident, from.version, to.version)
+    val paired: Vector[(GraftCatalog.Segment, GraftCatalog.Segment)] =
+      to.segments.filterNot(s => fromByPath.contains(s.path)).flatMap { added =>
+        rewrites.get(added.path).flatMap(fromByPath.get).collect {
+          case src if !toByPath.contains(src.path) && added.dv.isEmpty &&
+              src.liveRows == added.rows => (src, added)
+        }
+      }
+    val pairedAdded = paired.map(_._2.path).toSet
+    val pairedRemoved = paired.map(_._1.path).toSet
+    val updates = paired.map { case (src, added) =>
+      GraftChangeUpdatePartition(
+        GraftSegFile.of(src), GraftSegFile(added.path, added.rows, dv = None),
+        width, src.bytes + added.bytes)
+    }
+    val inserts = to.segments.filterNot(s =>
+      fromByPath.contains(s.path) || pairedAdded.contains(s.path)).map(s =>
       GraftChangePartition(GraftSegFile.of(s), width, "insert", None, s.bytes))
-    val deletes = from.segments.filterNot(s => toByPath.contains(s.path)).map(s =>
+    val deletes = from.segments.filterNot(s =>
+      toByPath.contains(s.path) || pairedRemoved.contains(s.path)).map(s =>
       GraftChangePartition(GraftSegFile.of(s), width, "delete", None, s.bytes))
     val dvDeltas = to.segments.flatMap { t =>
       fromByPath.get(t.path).toSeq.flatMap { f =>
@@ -419,13 +519,100 @@ private[sources] object GraftChangeScan {
         }
       }
     }
-    (inserts ++ deletes ++ dvDeltas).toArray[InputPartition]
+    ((updates: Vector[InputPartition]) ++ inserts ++ deletes ++ dvDeltas)
+      .toArray
   }
 }
 
 private[sources] case class GraftChangeReaderFactory(data: StructType)
     extends PartitionReaderFactory {
+
+  /** Length-prefixed segment cursor shared by the change readers. */
+  private class SegCursor(path: String, total: Long) {
+    private val in = new DataInputStream(
+      new BufferedInputStream(new FileInputStream(path), 1 << 16))
+    var buf = new Array[Byte](1 << 10)
+    var size = 0
+    private var remaining = total
+    var ordinal: Long = -1L
+    def readNext(): Boolean =
+      if (remaining <= 0) false
+      else {
+        size = in.readInt()
+        if (size > buf.length) buf = new Array[Byte](math.max(size, buf.length << 1))
+        in.readFully(buf, 0, size)
+        remaining -= 1
+        ordinal += 1
+        true
+      }
+    def close(): Unit = in.close()
+  }
+
+  /** Paired update reader: pre/post files advanced in lockstep over
+    * LIVE pre ordinals; byte-identical positions are skipped (rows the
+    * rewrite copied unchanged), differing positions emit the
+    * `update_preimage` row then the `update_postimage` row. Cost is
+    * one sequential read of each file — the same bytes the unpaired
+    * delete+insert form read, minus the duplicated emission.
+    */
+  private def pairedReader(p: GraftChangeUpdatePartition): PartitionReader[InternalRow] = {
+    val metaRow = new GenericInternalRow(1)
+    val joined = new JoinedRow
+    val exprs: Seq[Expression] =
+      data.fields.toSeq.zipWithIndex.map { case (f, i) =>
+        BoundReference(i, f.dataType, f.nullable): Expression
+      } :+ BoundReference(data.length, StringType, nullable = false)
+    val proj = UnsafeProjection.create(exprs)
+    new PartitionReader[InternalRow] {
+      private val row = new UnsafeRow(p.numFields)
+      private var pre: SegCursor = _
+      private var post: SegCursor = _
+      private var emitPost = false // a pre was just emitted; its post is due
+      private def liveNextPre(): Boolean = {
+        while (pre.readNext()) {
+          val dead = p.pre.dv.exists(d =>
+            pre.ordinal <= Int.MaxValue && d.contains(pre.ordinal.toInt))
+          if (!dead) return true
+        }
+        false
+      }
+      override def next(): Boolean = {
+        if (pre == null) {
+          pre = new SegCursor(p.pre.path, p.pre.rows)
+          post = new SegCursor(p.post.path, p.post.rows)
+        }
+        if (emitPost) {
+          row.pointTo(post.buf, post.size)
+          metaRow.update(0, UTF8String.fromString("update_postimage"))
+          emitPost = false
+          return true
+        }
+        while (liveNextPre() && post.readNext()) {
+          val same = pre.size == post.size &&
+            java.util.Arrays.equals(
+              pre.buf, 0, pre.size, post.buf, 0, post.size)
+          if (!same) {
+            row.pointTo(pre.buf, pre.size)
+            metaRow.update(0, UTF8String.fromString("update_preimage"))
+            emitPost = true
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = proj(joined(row, metaRow))
+      override def close(): Unit = {
+        if (pre != null) pre.close()
+        if (post != null) post.close()
+      }
+    }
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    partition match {
+      case u: GraftChangeUpdatePartition => return pairedReader(u)
+      case _ => ()
+    }
     val p = partition.asInstanceOf[GraftChangePartition]
     // Data columns bind positionally; _change_type joins on the right
     // as a constant — same reused-row discipline as the main catalog

@@ -209,6 +209,14 @@ private[sources] object GraftLedger {
       h.put("schema", snap.schema.json)
       val hs = h.putArray("segments")
       snap.segments.foreach(s => hs.add(segNode(s)))
+      val hpc = h.putArray("partitionCols")
+      snap.partitionCols.foreach(hpc.add)
+      val hcons = h.putArray("constraints")
+      snap.constraints.foreach(c => hcons.add(constraintNode(c)))
+      if (snap.rewrites.nonEmpty) {
+        val hr = h.putObject("rewrites")
+        snap.rewrites.foreach { case (a, s) => hr.put(a, s) }
+      }
       hist.add(h)
     }
     val ep = o.putObject("epochs")
@@ -254,7 +262,17 @@ private[sources] object GraftLedger {
       CatalogSnapshot(
         h.get("version").asLong(), h.get("wallMs").asLong(), monoNow,
         DataType.fromJson(h.get("schema").asText()).asInstanceOf[StructType],
-        h.get("segments").elements().asScala.map(segOf).toVector)
+        h.get("segments").elements().asScala.map(segOf).toVector,
+        // Pre-spec-snapshot ledgers carry no per-snapshot partition
+        // info — fall back to the entry's CURRENT values (the old,
+        // weaker behavior) rather than silently un-partitioning.
+        Option(h.get("partitionCols"))
+          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(partCols),
+        Option(h.get("constraints"))
+          .map(_.elements().asScala.flatMap(constraintOf).toVector).getOrElse(cons),
+        Option(h.get("rewrites")).map { r =>
+          r.properties().asScala.map(kv => kv.getKey -> kv.getValue.asText()).toMap
+        }.getOrElse(Map.empty[String, String]))
     }.toVector
     val ep = Option(o.get("epochs")).map { e =>
       e.properties().asScala.map(kv => kv.getKey -> kv.getValue.asLong()).toMap

@@ -817,10 +817,23 @@ class CatalogSpec extends AnyFunSuite {
     val v5 = GraftCatalog.currentVersion("ac", "p").get
     assert(v5 == 5L, s"5 single-group inserts must mint exactly 5 commits, got $v5")
     assert(GraftCatalog.segmentCount("ac", "p") == 5)
-    // But when one GROUP accumulates past the threshold, it folds.
+    // But when one GROUP accumulates past the threshold, it folds —
+    // and ONLY that group: the fold runs inside the committing
+    // writer's mutation lock, so a hot partition must not make the
+    // commit pay an O(table) rewrite of the cold groups. Cold groups'
+    // segment FILES must come through byte-identical (same paths).
+    val coldBefore = spark.sql(
+      "SELECT DISTINCT _segment FROM graft.ac.p WHERE g <> 'g0'")
+      .as[String].collect().toSet
     (0 until 4).foreach(i => spark.sql(s"INSERT INTO graft.ac.p VALUES ('g0', ${100 + i})"))
     assert(GraftCatalog.segmentCount("ac", "p") < 9,
       s"hot group must have been folded, got ${GraftCatalog.segmentCount("ac", "p")}")
+    val coldAfter = spark.sql(
+      "SELECT DISTINCT _segment FROM graft.ac.p WHERE g <> 'g0'")
+      .as[String].collect().toSet
+    assert(coldAfter == coldBefore,
+      s"auto-compaction must be scoped to the hot group; cold segments changed: " +
+        s"before=$coldBefore after=$coldAfter")
     assert(spark.sql("SELECT count(*) FROM graft.ac.p").as[Long].head() == 9L)
     spark.sql("DROP TABLE graft.ac.p")
   }

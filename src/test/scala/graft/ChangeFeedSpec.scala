@@ -52,15 +52,55 @@ class ChangeFeedSpec extends AnyFunSuite {
       .collect().toSet == Set(("delete", 3L), ("delete", 12L)))
   }
 
-  test("update surfaces as its delete+insert pair") {
-    // Copy-on-write UPDATE rewrites the matching group's segments: the
-    // old file leaves, the new one lands — delete(old rows) +
-    // insert(new rows), the Delta-CDF-without-update-tracking shape.
+  test("update surfaces as paired update_preimage/update_postimage rows") {
+    // Copy-on-write UPDATE records rewrite provenance (new segment →
+    // the segment it rewrote); the feed reads the pair in lockstep and
+    // emits pre/post images for EXACTLY the rows whose bytes changed —
+    // the Delta CDF update shape. Rows the rewrite copied unchanged
+    // (the other 8 live rows of the touched segment) emit NOTHING.
     spark.sql("UPDATE graft.cdc.t SET v = 'upd' WHERE k = 15") // v4
     val got = changes("3").select("_change_type", "k", "v")
       .as[(String, Long, String)].collect().toSet
-    assert(got.contains(("insert", 15L, "upd")))
-    assert(got.exists { case (t, k, v) => t == "delete" && k == 15L && v == "b15" })
+    assert(got == Set(
+      ("update_preimage", 15L, "b15"),
+      ("update_postimage", 15L, "upd")),
+      s"expected exactly the changed row's pre/post pair, got $got")
+  }
+
+  test("chained rewrites compose across a multi-commit diff; partitioned updates fall back") {
+    // Two successive UPDATEs rewrite the same segment twice (S → S' →
+    // S''). A batch diff spanning both commits must compose the
+    // provenance chain and pair the ENDPOINTS: preimage = original
+    // values, postimage = final values, one pair per net-changed row.
+    spark.sql("DROP TABLE IF EXISTS graft.cdc.ch")
+    spark.sql("CREATE TABLE graft.cdc.ch (k BIGINT, v BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.cdc.ch SELECT id, id * 10 FROM range(0, 8)") // v1
+    spark.sql("UPDATE graft.cdc.ch SET v = v + 1 WHERE k = 2") // v2
+    spark.sql("UPDATE graft.cdc.ch SET v = v + 1 WHERE k = 5") // v3
+    val got = spark.read.format("graft-changes")
+      .option("table", "cdc.ch").option("changesFrom", "1").load()
+      .select("_change_type", "k", "v").as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("update_preimage", 2L, 20L), ("update_postimage", 2L, 21L),
+      ("update_preimage", 5L, 50L), ("update_postimage", 5L, 51L)),
+      s"endpoint pairs for the two net-changed rows only, got $got")
+    spark.sql("DROP TABLE graft.cdc.ch")
+
+    // Partitioned tables: the rewrite scan groups segments per key, so
+    // no per-segment correspondence is provable — provenance is not
+    // recorded and the UPDATE degrades to delete+insert (net-correct).
+    spark.sql("DROP TABLE IF EXISTS graft.cdc.pu")
+    spark.sql(
+      "CREATE TABLE graft.cdc.pu (k BIGINT, p STRING) USING graft PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft.cdc.pu VALUES (1, 'a'), (2, 'a'), (3, 'b')") // v1
+    spark.sql("UPDATE graft.cdc.pu SET k = k + 10 WHERE p = 'a'") // v2
+    val pg = spark.read.format("graft-changes")
+      .option("table", "cdc.pu").option("changesFrom", "1").load()
+      .select("_change_type", "k").as[(String, Long)].collect().toSet
+    assert(pg == Set(
+      ("delete", 1L), ("delete", 2L), ("insert", 11L), ("insert", 12L)),
+      s"partitioned rewrite falls back to delete+insert, got $pg")
+    spark.sql("DROP TABLE graft.cdc.pu")
   }
 
   test("a small change feed reports exact stats and auto-broadcasts into a consuming join") {

@@ -79,6 +79,39 @@ class CloneRestoreSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.cr.t")
   }
 
+  test("restore/clone to a pre-rename version re-pairs partition cols with the schema") {
+    // Partition-column rename rewrites the entry's partitionCols; a
+    // restore (or clone) to a PRE-rename version must install the
+    // partition spec THAT VERSION had, not the current one — otherwise
+    // the restored table's partition columns reference a name absent
+    // from its schema and every subsequent load/write fails.
+    spark.sql("DROP TABLE IF EXISTS graft.cr.pr")
+    spark.sql("DROP TABLE IF EXISTS graft.cr.prc")
+    spark.sql("CREATE TABLE graft.cr.pr (k BIGINT, p STRING) USING graft PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft.cr.pr VALUES (1, 'a'), (2, 'b')") // v1: schema (k, p)
+    spark.sql("ALTER TABLE graft.cr.pr RENAME COLUMN p TO region") // v2: schema (k, region)
+    spark.sql("INSERT INTO graft.cr.pr VALUES (3, 'c')") // v3
+
+    // Clone the pre-rename version: its spec must say `p`, and both
+    // reads and partition-pruned reads must work against it.
+    spark.sql("CALL graft.system.clone('cr', 'pr', 'cr', 'prc', '1')")
+    assert(spark.table("graft.cr.prc").columns.toSeq == Seq("k", "p"))
+    assert(spark.sql("SELECT k FROM graft.cr.prc WHERE p = 'b'")
+      .as[Long].collect().toSeq == Seq(2L))
+    spark.sql("INSERT INTO graft.cr.prc VALUES (4, 'd')")
+    assert(ks("graft.cr.prc") == Seq(1L, 2L, 4L))
+
+    // Restore the source to v1: same re-pairing on the original table.
+    spark.sql("CALL graft.system.restore('cr', 'pr', '1')")
+    assert(spark.table("graft.cr.pr").columns.toSeq == Seq("k", "p"))
+    assert(spark.sql("SELECT k FROM graft.cr.pr WHERE p = 'a'")
+      .as[Long].collect().toSeq == Seq(1L))
+    spark.sql("INSERT INTO graft.cr.pr VALUES (5, 'e')")
+    assert(ks("graft.cr.pr") == Seq(1L, 2L, 5L))
+    spark.sql("DROP TABLE graft.cr.pr")
+    spark.sql("DROP TABLE graft.cr.prc")
+  }
+
   test("clone at '' clones the current version; name collisions fail loudly") {
     spark.sql("DROP TABLE IF EXISTS graft.cr.a")
     spark.sql("DROP TABLE IF EXISTS graft.cr.b")
