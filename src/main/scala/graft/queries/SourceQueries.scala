@@ -938,6 +938,59 @@ object SourceQueries {
       .orderBy("seg")
   }
 
+  /** X5i: PARTITION-SPEC EVOLUTION — `CALL graft.system.set_partitioning`
+    * changes the identity-partition columns as a METADATA-ONLY commit
+    * (the Iceberg ALTER…PARTITION FIELD shape): era-1 segments keep
+    * the old spec and key, era-2 writes route by the new spec, and the
+    * mixed-era scan unions both layouts (keys are not trusted — no
+    * KeyGroupedPartitioning claim — while zone maps keep pruning on
+    * the new column; `CALL compact` migrates, asserted in
+    * PartitionedCatalogSpec). Fixture: customers land partitioned by
+    * market segment, the spec evolves to the %-3 cohort column, a
+    * second batch lands under the new spec; the aggregate crosses both
+    * eras. The DuckDB oracle is the same union recomputed from parquet.
+    */
+  val x5iPartitionEvolution: Q = Q(
+    "x5i_partition_evolution",
+    """WITH all_rows AS (
+      |  SELECT c_custkey AS k, c_mktsegment AS seg,
+      |    CAST(c_custkey % 3 AS BIGINT) AS cohort, c_acctbal AS bal
+      |  FROM customer),
+      |     both_eras AS (
+      |  SELECT * FROM all_rows WHERE k % 2 = 0
+      |  UNION ALL
+      |  SELECT * FROM all_rows WHERE k % 2 = 1)
+      |SELECT cohort, count(*) AS n,
+      |  round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+      |FROM both_eras
+      |GROUP BY cohort
+      |ORDER BY cohort""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.functions.{col, count, round, sum}
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.customer(spark, dir).createOrReplaceTempView("x5i_customer_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.cust_ev")
+    spark.sql(
+      """CREATE TABLE graft.demo.cust_ev
+        |(k BIGINT, seg STRING, cohort BIGINT, bal DOUBLE)
+        |USING graft PARTITIONED BY (seg)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.cust_ev
+        |SELECT CAST(c_custkey AS BIGINT), c_mktsegment,
+        |  CAST(c_custkey % 3 AS BIGINT), c_acctbal
+        |FROM x5i_customer_src WHERE c_custkey % 2 = 0""".stripMargin) // era 1
+    spark.sql("CALL graft.system.set_partitioning('demo', 'cust_ev', 'cohort')").collect()
+    spark.sql(
+      """INSERT INTO graft.demo.cust_ev
+        |SELECT CAST(c_custkey AS BIGINT), c_mktsegment,
+        |  CAST(c_custkey % 3 AS BIGINT), c_acctbal
+        |FROM x5i_customer_src WHERE c_custkey % 2 = 1""".stripMargin) // era 2
+    spark.table("graft.demo.cust_ev")
+      .groupBy("cohort")
+      .agg(count("*").as("n"),
+        round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("total_bal"))
+      .orderBy("cohort")
+  }
+
   /** X10: BATCH CHANGE-DATA-FEED — the Delta `table_changes` shape over
     * the graft catalog (`GraftChangeScan`): net row diff between two
     * retained snapshots, planned from the segment lists alone so the
@@ -1107,5 +1160,6 @@ object SourceQueries {
     x6CatalogFunction,
     x7CatalogView, x8MaterializedView, x9MvRollup, x9bStaleMv,
     x9cMvRewriteOff, x9cMvRewriteOn, x5fPartitionProfile, x5gCosortedJoin,
-    x5hPartitionOverwrite, x10TableChanges, x10bCdcUpdatePairs, x11RestoreClone)
+    x5hPartitionOverwrite, x5iPartitionEvolution, x10TableChanges,
+    x10bCdcUpdatePairs, x11RestoreClone)
 }

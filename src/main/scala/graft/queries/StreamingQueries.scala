@@ -206,6 +206,70 @@ object StreamingQueries {
     }
   }
 
+  /** ST6c: EVENT-TIME TIMERS + STATE TTL — gap sessionization built
+    * directly on `transformWithState` timers (TimeMode.EventTime):
+    * sessions closed by observed data emit inline; each user's
+    * trailing open session emits when the WATERMARK crosses
+    * lastTs + gap and its registered timer fires (state cleared on
+    * fire — bounded per-user state). The closed-form oracle recomputes
+    * both emission classes: every non-trailing session, plus trailing
+    * sessions whose timer (last_ts + 17 min) precedes the terminal
+    * watermark (max ts − 7 min). Session arithmetic is µs-exact on
+    * both sides (`unix_micros`). State TTL is a ProcessingTime-mode
+    * feature in Spark and is pinned separately (StreamingSpec
+    * "ST6c TTL").
+    */
+  val st6cTimerSessions: Q = Q(
+    "st6c_timer_sessions",
+    """WITH mx AS (SELECT max(ts) AS m FROM events),
+      |s AS (SELECT user_id, ts, value,
+      |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |            <= INTERVAL 17 MINUTE THEN 0 ELSE 1 END AS new_sess
+      |  FROM events),
+      |g AS (SELECT user_id, ts, value,
+      |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |                      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM s),
+      |sess AS (SELECT user_id, sid, count(*) AS n_events,
+      |           sum(value) AS sum_value, max(ts) AS last_ts
+      |         FROM g GROUP BY 1, 2),
+      |emitted AS (
+      |  SELECT e.n_events, e.sum_value FROM sess e, mx
+      |  WHERE e.sid < (SELECT max(s2.sid) FROM sess s2 WHERE s2.user_id = e.user_id)
+      |     OR e.last_ts + INTERVAL 17 MINUTE < mx.m - INTERVAL 7 MINUTE)
+      |SELECT n_events AS session_size, count(*) AS n_sessions,
+      |  round(CAST(sum(sum_value) AS DOUBLE), 2) AS sum_value
+      |FROM emitted
+      |GROUP BY n_events
+      |ORDER BY session_size""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val typed = StreamingOps.eventsStream(spark, dir)
+        .withWatermark("ts", "7 minutes")
+        .selectExpr("user_id", "unix_micros(ts) AS ts_us", "value")
+        .as[(Long, Long, Double)]
+      val sessions = typed
+        .groupByKey(_._1)
+        .transformWithState(
+          new SessionTimerProcessor(gapUs = 17L * 60 * 1000 * 1000, ttl = None),
+          org.apache.spark.sql.streaming.TimeMode.EventTime(),
+          org.apache.spark.sql.streaming.OutputMode.Append(),
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
+        .toDF("user_id", "n_events", "sum_value")
+      StreamingOps.runToBatch(spark, sessions, "append", "st6c_sink")
+        .groupBy(col("n_events").as("session_size"))
+        .agg(count(lit(1)).as("n_sessions"),
+          round(sum(col("sum_value")), 2).as("sum_value"))
+        .orderBy(col("session_size"))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   /** ST7: stream–static join — streaming events enriched with the static
     * customer dimension (broadcast at any scale), then aggregated.
     */
@@ -636,10 +700,102 @@ object StreamingQueries {
 
   val all: Seq[Q] = Seq(
     st2Tumbling, st3Sliding, st4SessionWindow, st5StreamDedup,
-    st6StatefulOp, st6bTransformWithState, st7StreamStaticJoin,
+    st6StatefulOp, st6bTransformWithState, st6cTimerSessions, st7StreamStaticJoin,
     st8StreamStreamJoin, st10CustomSourceStream, st11StreamToCatalog,
     st12CatalogChangeStream, st13JoinThenWindowAgg, st14StreamingMv,
     st15ChangeFeedStream, st16CdcReplica)
+}
+
+/** Event-time-timer sessionizer behind st6c: per-user gap sessions via
+  * `transformWithState` in `TimeMode.EventTime`. Sessions CLOSED BY
+  * DATA (a later event proves the gap elapsed) emit from
+  * `handleInputRows`; each user's trailing OPEN session emits from
+  * `handleExpiredTimer` when the WATERMARK passes lastTs + gap — the
+  * timer-driven flush that makes gap sessionization work on an
+  * infinite stream (state + timer are dropped on fire, so per-user
+  * state is bounded by one open session). The session ValueState
+  * carries a TTL (wall-clock) — sized far above the run here so
+  * results stay closed-form; expiry behavior is pinned in
+  * StreamingSpec ("ST6c TTL").
+  *
+  * Input: (user_id, tsMs, value); output: (user_id, n_events,
+  * sum_value) per emitted session.
+  */
+private[graft] class SessionTimerProcessor(gapUs: Long, ttl: Option[java.time.Duration])
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Double), (Long, Long, Double)] {
+  // (n, sum, lastTsUs, registeredTimerMs) of the user's OPEN session.
+  // Session arithmetic stays in MICROSECONDS (the event precision the
+  // oracle compares at); only the registered timer is ms (the handle's
+  // unit), rounded UP so the timer never fires before the µs-exact
+  // close instant.
+  @transient private var sess
+      : org.apache.spark.sql.streaming.ValueState[(Long, Double, Long, Long)] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    // Spark permits state TTL only in TimeMode.ProcessingTime — an
+    // event-time-timer processor therefore runs TTL-less (None here);
+    // the TTL surface is exercised by the processing-time test in
+    // StreamingSpec ("ST6c TTL").
+    sess = getHandle.getValueState[(Long, Double, Long, Long)]("sess",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble,
+        Encoders.scalaLong, Encoders.scalaLong),
+      ttl.map(org.apache.spark.sql.streaming.TTLConfig(_))
+        .getOrElse(org.apache.spark.sql.streaming.TTLConfig.NONE))
+
+  override def handleInputRows(
+      user: Long,
+      rows: Iterator[(Long, Long, Double)],
+      timers: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Double)] = {
+    // A micro-batch delivers a key's rows UNORDERED; gap sessionization
+    // is order-dependent, so sort the batch's rows by event time. Rows
+    // older than the current open session's tail are late-but-within-
+    // watermark stragglers — they extend or back-fill deterministically
+    // because the sort puts them in place and the watermark guarantee
+    // means no session they belong to has already been flushed.
+    val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+    val out = Vector.newBuilder[(Long, Long, Double)]
+    var (n, sum, lastTs, timer) =
+      if (sess.exists()) sess.get() else (0L, 0.0, Long.MinValue, Long.MinValue)
+    sorted.foreach { case (_, ts, v) =>
+      if (n > 0 && ts - lastTs > gapUs) {
+        // Gap proven by data: the open session is closed — emit now,
+        // no timer needed.
+        out += ((user, n, sum))
+        n = 0L; sum = 0.0
+      }
+      n += 1; sum += v; lastTs = math.max(lastTs, ts)
+    }
+    if (timer != Long.MinValue) getHandle.deleteTimer(timer)
+    val newTimer = (lastTs + gapUs + 999L) / 1000L // µs → ms, ceil
+    getHandle.registerTimer(newTimer)
+    sess.update((n, sum, lastTs, newTimer))
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(
+      user: Long,
+      timers: org.apache.spark.sql.streaming.TimerValues,
+      expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[(Long, Long, Double)] = {
+    // Watermark passed lastTs + gap: no in-flight event can extend the
+    // session — flush it and drop ALL per-user state (bounded state).
+    // A firing timer must match the one the CURRENT state registered:
+    // timers live outside the TTL'd value, so after a TTL expiry (or
+    // any path that lost state without deleting its timer) a STALE
+    // timer can fire — honoring it would flush a fresh session early.
+    val result =
+      if (sess.exists()) {
+        val (n, sum, _, t) = sess.get()
+        if (t == expired.getExpiryTimeInMs) {
+          sess.clear()
+          Iterator.single((user, n, sum))
+        } else Iterator.empty
+      } else Iterator.empty
+    result
+  }
 }
 
 /** Per-user (count, sum) running state via a typed ValueState handle —

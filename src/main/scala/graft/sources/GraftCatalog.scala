@@ -663,7 +663,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         Identifier.of(namespace, "train_ann"), Identifier.of(namespace, "train_ann_pq"),
         Identifier.of(namespace, "analyze"), Identifier.of(namespace, "create_mv"),
         Identifier.of(namespace, "refresh_mv"), Identifier.of(namespace, "restore"),
-        Identifier.of(namespace, "clone"))
+        Identifier.of(namespace, "clone"), Identifier.of(namespace, "set_partitioning"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
@@ -689,6 +689,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       GraftRestoreProcedure
     else if (ident.namespace.sameElements(Array("system")) && ident.name == "clone")
       GraftCloneProcedure
+    else if (ident.namespace.sameElements(Array("system")) && ident.name == "set_partitioning")
+      GraftSetPartitioningProcedure
     else throw new UnsupportedOperationException(s"no such procedure: $ident")
 
   // ---- ViewCatalog: persistent SQL views resolved through the ----
@@ -895,6 +897,52 @@ private[graft] object GraftVacuumProcedure
       override def rows(): Array[InternalRow] = Array(row)
       override def readSchema(): StructType = outSchema
       override def description(): String = s"GraftVacuumResult($ident)"
+    }).iterator()
+  }
+}
+
+/** `CALL graft.system.set_partitioning(ns, table, cols)` — partition-
+  * spec evolution as a metadata-only commit: `cols` is a comma-
+  * separated identity-column list ('' = unpartitioned). Old segments
+  * keep their spec; new writes route by the new one; compaction
+  * migrates. Work in `GraftCatalog.setPartitioning`.
+  */
+private[graft] object GraftSetPartitioningProcedure
+    extends procedures.UnboundProcedure with procedures.BoundProcedure {
+  import org.apache.spark.sql.types.{LongType, StringType}
+  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+
+  override def name(): String = "set_partitioning"
+  override def description(): String =
+    "set_partitioning(ns, table, cols): metadata-only partition-spec evolution"
+  override def bind(inputType: StructType): procedures.BoundProcedure = this
+  override def isDeterministic: Boolean = false // mutates table state
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("ns", StringType).comment("namespace").build(),
+    ProcedureParameter.in("table", StringType).comment("table name").build(),
+    ProcedureParameter.in("cols", StringType)
+      .comment("comma-separated identity partition columns ('' = none)").build())
+
+  private val outSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("version", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("old_spec", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("new_spec", StringType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val ns = input.getUTF8String(0).toString
+    val table = input.getUTF8String(1).toString
+    val ident = Identifier.of(Array(ns), table)
+    val cols = input.getUTF8String(2).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val (v, old) = GraftCatalog.setPartitioning(ident, cols)
+    val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(ident.toString),
+        v, org.apache.spark.unsafe.types.UTF8String.fromString(old.mkString(",")),
+        org.apache.spark.unsafe.types.UTF8String.fromString(cols.mkString(","))))
+    java.util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = outSchema
+      override def description(): String = s"GraftSetPartitioningResult($ident)"
     }).iterator()
   }
 }
@@ -1129,7 +1177,17 @@ object GraftCatalog {
       // migration) defaults false — reporting a false ordering would
       // make Spark skip required sorts and return WRONG results, so
       // losing the flag is always the safe direction.
-      sorted: Boolean = false) {
+      sorted: Boolean = false,
+      // The partition COLUMNS `key` is valued over — the spec the
+      // segment was WRITTEN under. Partition-spec evolution
+      // (`CALL graft.system.set_partitioning`) is metadata-only: old
+      // segments keep their old spec, and every key-trusting path
+      // (SPJ reporting, keyed splits, metadata group-by, partition
+      // overwrite, per-group compaction) checks spec == the table's
+      // CURRENT partitionCols before treating `key` as meaningful.
+      // Zone maps cover every column, so scans of mixed-era tables
+      // still prune on the new partition column without trusting keys.
+      spec: Seq[String] = Nil) {
     def deletedRows: Long = dv.map(_.size.toLong).getOrElse(0L)
     def liveRows: Long = rows - deletedRows
   }
@@ -1681,6 +1739,40 @@ object GraftCatalog {
     (version, snap.segments.length)
   }
 
+  /** PARTITION-SPEC EVOLUTION (`CALL graft.system.set_partitioning`):
+    * change the table's identity-partition columns as a METADATA-ONLY
+    * commit — the Iceberg `ALTER TABLE … ADD/DROP PARTITION FIELD`
+    * shape. No byte is rewritten: existing segments keep the spec
+    * (and key) they were written under, NEW writes route by the new
+    * spec, and scans of the mixed-era table degrade from keyed splits
+    * to per-segment splits (zone maps still prune on the new column —
+    * see `uniformSpec`). `CALL graft.system.compact` migrates old-era
+    * groups into the new spec, after which keyed layout (SPJ,
+    * metadata group-bys, partition overwrite) re-engages.
+    */
+  private[sources] def setPartitioning(
+      ident: Identifier, cols: Seq[String]): (Long, Seq[String]) = mutate {
+    import org.apache.spark.sql.types._
+    val entry = store.get(ident)
+    if (entry == null) throw new NoSuchTableException(ident)
+    cols.foreach { name =>
+      val f = entry.schema.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column $name not in schema ${entry.schema.simpleString}"))
+      f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType |
+             DoubleType | FloatType | StringType | BooleanType => ()
+        case dt => throw new UnsupportedOperationException(
+          s"graft catalog partitions on integral/floating/string/boolean columns, $name is $dt")
+      }
+    }
+    val old = entry.partitionCols
+    store.put(ident, entry.copy(partitionCols = cols))
+    publish(ident)
+    val v = history.getOrDefault(ident, Vector.empty).lastOption.map(_.version).getOrElse(-1L)
+    (v, old)
+  }
+
   /** Zero-copy CLONE (`CALL graft.system.clone`): create `dst` whose
     * initial state IS `src`'s state at `version` (default current) —
     * metadata only, the segment FILES are shared, no byte is copied
@@ -1905,7 +1997,7 @@ object GraftCatalog {
         // writer's mutation lock, and a single hot partition must not
         // make every commit pay an O(table) rewrite of all the cold
         // ones (nor block other catalog mutations for that long).
-        val hotKeys = entry.segments.groupBy(_.key).collect {
+        val hotKeys = entry.segments.groupBy(s => (s.spec, s.key)).collect {
           case (key, g) if {
             val bytes = g.map(s =>
               if (s.bytes > 0) s.bytes else s.rows * 8L * (entry.schema.length + 1)).sum
@@ -1950,6 +2042,18 @@ object GraftCatalog {
       filters: Option[Seq[org.apache.spark.sql.sources.Filter]],
       dynamic: Boolean): Unit = commitSegments(ident) { prev =>
     import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, Filter}
+    // Key matching is only meaningful against keys valued over the
+    // CURRENT spec. After a partition-spec evolution, old-era segments'
+    // keys name DIFFERENT columns: matching could wipe an unrelated
+    // partition (or keep rows the overwrite semantics say must go).
+    // Fail the statement with the remedy instead of either corruption.
+    prev.segments.find(_.spec != prev.partitionCols).foreach { s =>
+      throw new UnsupportedOperationException(
+        s"partition-scoped overwrite of $ident: segment ${s.path} was written " +
+          s"under partition spec (${s.spec.mkString(", ")}) but the table is now " +
+          s"partitioned by (${prev.partitionCols.mkString(", ")}); run " +
+          "CALL graft.system.compact to migrate, or use full INSERT OVERWRITE")
+    }
     val kept = filters match {
       case Some(fs) =>
         val idx = prev.partitionCols.zipWithIndex.toMap
@@ -2051,7 +2155,7 @@ object GraftCatalog {
     */
   private[sources] def compact(
       ident: Identifier,
-      onlyKeys: Option[Set[IndexedSeq[Any]]] = None): (Int, Int, Long) = mutate {
+      onlyKeys: Option[Set[(Seq[String], IndexedSeq[Any])]] = None): (Int, Int, Long) = mutate {
     import org.apache.spark.sql.types._
     val entry = store.get(ident)
     if (entry == null) throw new NoSuchTableException(ident)
@@ -2088,18 +2192,46 @@ object GraftCatalog {
         case _ => 0
       }
     }
-    val compacted = entry.segments.groupBy(_.key).toSeq
-      .sortBy(_._1.mkString(" "))
-      .flatMap { case (key, segs) =>
+    // Group by (spec, key): after a partition-spec evolution, equal key
+    // VECTORS under different specs are different partitions — folding
+    // them together would mint a segment whose key lies about one era.
+    val compacted = entry.segments.groupBy(s => (s.spec, s.key)).toSeq
+      .sortBy { case ((spec, key), _) => spec.mkString(" ") + " " + key.mkString(" ") }
+      .flatMap { case ((spec, key), segs) =>
         // A lone segment still rewrites when it carries a deletion
         // vector — compaction is the dv materialization point.
-        if (onlyKeys.exists(!_.contains(key))) segs
+        if (onlyKeys.exists(!_.contains((spec, key)))) segs
+        else if (spec != entry.partitionCols) {
+          // PARTITION-SPEC MIGRATION: a group written under an older
+          // spec re-routes its live rows into segments keyed by the
+          // CURRENT spec — compaction is the era-migration point (the
+          // Iceberg rewrite_data_files answer to spec evolution).
+          // `sorted` stays false: re-routing may interleave runs.
+          val newIdx = entry.partitionCols.map(entry.schema.fieldIndex).toArray
+          def keyOf(r: UnsafeRow): IndexedSeq[Any] =
+            newIdx.toIndexedSeq.map { i =>
+              if (r.isNullAt(i)) null
+              else entry.schema.fields(i).dataType match {
+                case StringType => r.getUTF8String(i).toString
+                case dt => r.get(i, dt)
+              }
+            }
+          val writers =
+            new scala.collection.mutable.LinkedHashMap[IndexedSeq[Any], SegmentIO.Writer]()
+          segs.foreach(seg => SegmentIO.foreachRow(seg, entry.schema.length) { r =>
+            writers.getOrElseUpdate(keyOf(r),
+              new SegmentIO.Writer(entry.dir, entry.schema)).add(r)
+          })
+          writers.toSeq.flatMap { case (k, w) =>
+            w.finish().map(_.copy(key = k, spec = entry.partitionCols))
+          }
+        }
         else if (segs.length <= 1 && segs.forall(_.dv.isEmpty)) segs
         else if (orderIdx.isEmpty) {
           val w = new SegmentIO.Writer(entry.dir, entry.schema)
           segs.foreach(seg =>
             SegmentIO.foreachRow(seg, entry.schema.length)(w.add))
-          w.finish().map(_.copy(key = key)).toSeq
+          w.finish().map(_.copy(key = key, spec = spec)).toSeq
         } else {
           val payloads = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
           segs.foreach(seg => SegmentIO.foreachRow(seg, entry.schema.length) { r =>
@@ -2131,7 +2263,7 @@ object GraftCatalog {
             // The sorted fold provably orders output on the write-order
             // columns — carry the provenance flag (only for types the
             // comparator really compares).
-            w.finish().map(_.copy(key = key, sorted = orderProvable))
+            w.finish().map(_.copy(key = key, sorted = orderProvable, spec = spec))
           }.toSeq
         }
       }.toVector
@@ -2216,9 +2348,9 @@ object GraftCatalog {
 
     val before = entry.segments.length
     val totalRows = entry.segments.map(_.liveRows).sum
-    val rewritten = entry.segments.groupBy(_.key).toSeq
-      .sortBy(_._1.mkString(" "))
-      .flatMap { case (key, segs) =>
+    val rewritten = entry.segments.groupBy(s => (s.spec, s.key)).toSeq
+      .sortBy { case ((spec, key), _) => spec.mkString(" ") + " " + key.mkString(" ") }
+      .flatMap { case ((spec, key), segs) =>
         // Pass 1 (buffered): payload bytes + the z-column values.
         val payloads = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
         val vals = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
@@ -2255,7 +2387,7 @@ object GraftCatalog {
               row.pointTo(b, b.length)
               w.add(row)
             }
-            w.finish().map(_.copy(key = key))
+            w.finish().map(_.copy(key = key, spec = spec))
           }.toSeq
         }
       }.toVector
@@ -2722,8 +2854,9 @@ private[sources] object SegmentIO {
     val w = new Writer(dir, outSchema)
     foreachRow(seg, inFields)(r => f(r).foreach(w.add))
     // A rewrite never crosses partition boundaries: the rewritten
-    // segment inherits the source segment's partition key.
-    w.finish().map(_.copy(key = seg.key))
+    // segment inherits the source segment's partition key (and the
+    // spec that key is valued over).
+    w.finish().map(_.copy(key = seg.key, spec = seg.spec))
   }
 }
 
@@ -3385,6 +3518,13 @@ private[sources] class GraftCatalogScanBuilder(
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.types._
     if (sawFilters || groupCols(agg).isEmpty) return None
+    // GROUPED metadata aggregates fold per segment KEY — only sound
+    // when every segment's key is valued over the CURRENT spec. A
+    // mixed-era table (post spec-evolution, pre-compaction) answers
+    // grouped profiles from data, not metadata.
+    if (groupCols(agg).exists(_.nonEmpty) &&
+        pinned.getOrElse(GraftCatalog.segmentsOf(ident))
+          .exists(_.spec != partitionCols)) return None
     // Deletion vectors poison MIN/MAX stats (the extremum may be a
     // deleted row) but not COUNT(*) — liveRows is exact.
     val anyDv = pinned.getOrElse(GraftCatalog.segmentsOf(ident)).exists(_.dv.nonEmpty)
@@ -3637,7 +3777,8 @@ private[graft] case class GraftCatalogScan(
     val segs = survivors
     val eachSplitSorted =
       segs.forall(_.sorted) &&
-        (partitionCols.isEmpty || segs.groupBy(_.key).values.forall(_.length <= 1))
+        (partitionCols.isEmpty ||
+          (uniformSpec && segs.groupBy(_.key).values.forall(_.length <= 1)))
     if (!eachSplitSorted) return Array.empty
     val visible = out.fieldNames.toSet
     (partitionCols ++ orderCols).distinct
@@ -3755,6 +3896,23 @@ private[graft] case class GraftCatalogScan(
   private def keyGroups: Seq[(IndexedSeq[Any], Vector[GraftCatalog.Segment])] =
     survivors.groupBy(_.key).toSeq.sortBy(_._1.mkString("\u0000"))
 
+  /** Keys are trustworthy only when EVERY segment was written under
+    * the table's CURRENT partition spec. After a spec evolution
+    * (`CALL graft.system.set_partitioning`) a mixed-era scan must not
+    * report `KeyGroupedPartitioning` (old keys value DIFFERENT columns
+    * -- an SPJ co-location claim would be a wrong-results bug) nor plan
+    * keyed splits; it degrades to one split per segment, where zone
+    * maps still prune on the new partition column (identity-routed
+    * min = max makes zone-map pruning exact partition pruning, and
+    * OLD segments carry zone maps for the new column like any other
+    * column). Decided once per scan over the full pre-runtime-filter
+    * list so outputPartitioning and planInputPartitions cannot
+    * disagree.
+    */
+  @transient private lazy val uniformSpec: Boolean =
+    pinned.getOrElse(GraftCatalog.segmentsOf(ident)).forall(_.spec == partitionCols)
+  private def keyedLayout: Boolean = partitionCols.nonEmpty && uniformSpec
+
   /** Unpartitioned: one split per SURVIVING segment — the partition
     * carries only (path, rows); bytes stay on disk until the executor
     * task opens its split, and a multi-segment table scans in parallel.
@@ -3788,7 +3946,7 @@ private[graft] case class GraftCatalogScan(
     }
 
   override def planInputPartitions(): Array[InputPartition] =
-    if (partitionCols.isEmpty)
+    if (!keyedLayout)
       capForLimit(survivors)
         .map(s => GraftCatalogPartition(Vector(GraftSegFile.of(s)), schema.length): InputPartition)
         .toArray
@@ -3813,7 +3971,7 @@ private[graft] case class GraftCatalogScan(
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     import org.apache.spark.sql.connector.expressions.Expressions
     import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
-    val groups = if (partitionCols.isEmpty) Nil else keyGroups
+    val groups = if (!keyedLayout) Nil else keyGroups
     if (groups.isEmpty) new UnknownPartitioning(capForLimit(survivors).length)
     else new KeyGroupedPartitioning(
       partitionCols.map(c =>
@@ -4285,7 +4443,7 @@ private[sources] case class GraftSegmentWriterFactory(
       override def commit(): WriterCommitMessage =
         GraftSegmentMessage(partitionId,
           writers.toSeq.flatMap { case (key, w) =>
-            w.finish().map(_.copy(key = key, sorted = sortedWrite))
+            w.finish().map(_.copy(key = key, sorted = sortedWrite, spec = partCols))
           })
       override def abort(): Unit = writers.values.foreach(_.abort())
       override def close(): Unit = ()

@@ -93,6 +93,10 @@ private[sources] object GraftLedger {
     val o = M.createObjectNode()
     o.put("path", s.path).put("rows", s.rows).put("bytes", s.bytes)
     if (s.sorted) o.put("sorted", true)
+    if (s.spec.nonEmpty) {
+      val sp = o.putArray("spec")
+      s.spec.foreach(sp.add)
+    }
     val st = o.putArray("stats")
     s.stats.foreach { cs =>
       val c = M.createObjectNode()
@@ -148,7 +152,12 @@ private[sources] object GraftLedger {
       n.get("bytes").asLong(), stats, key, dv, blooms,
       // Absent node (pre-sorted-flag ledger) => false: the scan just
       // reports no ordering, which is always safe.
-      sorted = Option(n.get("sorted")).exists(_.asBoolean()))
+      sorted = Option(n.get("sorted")).exists(_.asBoolean()),
+      // Absent node (pre-spec ledger): a keyed segment was necessarily
+      // written under the table's then-only spec — the caller patches
+      // it to the entry's partitionCols (see decodeTable); Nil here.
+      spec = Option(n.get("spec"))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))
   }
 
   // ---- constraints (CHECK round-trips exactly; anything else is
@@ -256,18 +265,24 @@ private[sources] object GraftLedger {
     val props = Option(o.get("props")).map { p =>
       p.properties().asScala.map(kv => kv.getKey -> kv.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
+    // Pre-spec ledgers: a keyed segment was written under the only
+    // spec the table then had — its snapshot's (or entry's) cols.
+    def patchSpec(ss: Vector[Segment], spec: Seq[String]): Vector[Segment] =
+      ss.map(s => if (s.spec.isEmpty && s.key.nonEmpty) s.copy(spec = spec) else s)
     val entry =
-      TableEntry(schema, segs, o.get("dir").asText(), partCols, cons, analyzed, props)
+      TableEntry(schema, patchSpec(segs, partCols), o.get("dir").asText(),
+        partCols, cons, analyzed, props)
     val hist = o.get("history").elements().asScala.map { h =>
+      val snapCols = Option(h.get("partitionCols"))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(partCols)
       CatalogSnapshot(
         h.get("version").asLong(), h.get("wallMs").asLong(), monoNow,
         DataType.fromJson(h.get("schema").asText()).asInstanceOf[StructType],
-        h.get("segments").elements().asScala.map(segOf).toVector,
+        patchSpec(h.get("segments").elements().asScala.map(segOf).toVector, snapCols),
         // Pre-spec-snapshot ledgers carry no per-snapshot partition
         // info — fall back to the entry's CURRENT values (the old,
         // weaker behavior) rather than silently un-partitioning.
-        Option(h.get("partitionCols"))
-          .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(partCols),
+        snapCols,
         Option(h.get("constraints"))
           .map(_.elements().asScala.flatMap(constraintOf).toVector).getOrElse(cons),
         Option(h.get("rewrites")).map { r =>

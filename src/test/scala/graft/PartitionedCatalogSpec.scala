@@ -275,6 +275,68 @@ class PartitionedCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.rl.p")
   }
 
+  test("partition-spec evolution: metadata-only commit, mixed eras correct, compact migrates") {
+    import graft.sources.GraftCatalog
+    spark.sql("DROP TABLE IF EXISTS graft.pt.ev")
+    spark.sql(
+      "CREATE TABLE graft.pt.ev (u STRING, d STRING, v BIGINT) USING graft PARTITIONED BY (u)")
+    spark.range(0, 60, 1, 2)
+      .selectExpr("concat('u', id % 3) AS u", "concat('d', id % 2) AS d", "id AS v")
+      .writeTo("graft.pt.ev").append() // era 1: 3 u-keyed segments
+    val era1Version = GraftCatalog.currentVersion("pt", "ev").get
+    val filesBefore = GraftCatalog.segmentFilesOnDisk("pt", "ev")
+
+    // Evolve the spec: METADATA-ONLY — no file touched.
+    spark.sql("CALL graft.system.set_partitioning('pt', 'ev', 'd')").collect()
+    assert(GraftCatalog.segmentFilesOnDisk("pt", "ev") == filesBefore,
+      "spec evolution must not rewrite a byte")
+
+    spark.range(100, 140, 1, 2)
+      .selectExpr("'ux' AS u", "concat('d', id % 2) AS d", "id AS v")
+      .writeTo("graft.pt.ev").append() // era 2: 2 d-keyed segments
+    assert(GraftCatalog.segmentCount("pt", "ev") == 5)
+
+    // Mixed-era scans: keys are NOT trusted — one split per segment,
+    // no KeyGroupedPartitioning — but results union both layouts.
+    assert(spark.table("graft.pt.ev").rdd.getNumPartitions == 5,
+      "mixed specs must degrade to per-segment splits")
+    assert(spark.table("graft.pt.ev").count() == 100L)
+    // Zone maps still prune on the NEW partition column: era-2's d0
+    // segment drops; era-1 segments mix d values and must all stay.
+    val q = spark.table("graft.pt.ev").filter($"d" === "d1")
+    assert(q.rdd.getNumPartitions == 4,
+      "d-filter must prune the era-2 d0 segment (3 era-1 + 1 era-2 remain)")
+    assert(q.count() == 50L)
+    // Grouped METADATA aggregates must not fold stale keys: the
+    // group-by runs from data (no metadata-agg scan in the plan).
+    val prof = spark.sql("SELECT d, count(*) AS n FROM graft.pt.ev GROUP BY d")
+    assert(!planOf(prof).contains("GraftCatalogAggScan"),
+      "mixed-era grouped aggregate must not ride segment keys")
+    // Partition-scoped overwrite refuses rather than risk wiping or
+    // keeping the wrong era.
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO graft.pt.ev REPLACE WHERE d = 'd0' VALUES ('ux', 'd0', 1)"))
+    assert(e.getMessage != null && e.getMessage.contains("partition spec"),
+      s"got: ${e.getMessage}")
+
+    // Time travel into era 1 re-pairs the OLD spec with its segments:
+    // uniform again, so keyed layout applies (one split per u value).
+    assert(spark.sql(s"SELECT * FROM graft.pt.ev VERSION AS OF $era1Version")
+      .rdd.getNumPartitions == 3)
+
+    // Compaction migrates era-1 groups into the current spec; keyed
+    // layout (and metadata group-bys) re-engage.
+    spark.sql("CALL graft.system.compact('pt', 'ev')").collect()
+    assert(spark.table("graft.pt.ev").rdd.getNumPartitions == 2,
+      "post-migration scan must plan one split per d value")
+    assert(spark.table("graft.pt.ev").count() == 100L)
+    val prof2 = spark.sql("SELECT d, count(*) AS n FROM graft.pt.ev GROUP BY d ORDER BY d")
+    assert(planOf(prof2).contains("GraftCatalogAggScan"),
+      "uniform-spec grouped count must answer from segment metadata")
+    assert(prof2.as[(String, Long)].collect().toSeq == Seq(("d0", 50L), ("d1", 50L)))
+    spark.sql("DROP TABLE graft.pt.ev")
+  }
+
   test("non-identity transforms and unknown partition columns are rejected") {
     spark.sql("DROP TABLE IF EXISTS graft.pt.bad")
     intercept[Exception] {

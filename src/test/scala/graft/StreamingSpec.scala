@@ -316,6 +316,149 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("ST6c: event-time timers flush trailing sessions across batches; fired state clears") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val sessions = in.toDF().toDF("ts", "user", "value")
+      .withWatermark("ts", "5 minutes")
+      .selectExpr("user", "unix_micros(ts) AS ts_us", "value")
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new graft.queries.SessionTimerProcessor(
+          gapUs = 10L * 60 * 1000 * 1000, ttl = None),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append(),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble))
+      .toDF("user", "n_events", "sum_value")
+    val q = sessions.writeStream.format("memory")
+      .queryName("st6c_sink").outputMode(OutputMode.Append()).start()
+    def got: Set[(Long, Long, Double)] =
+      spark.table("st6c_sink").as[(Long, Long, Double)].collect().toSet
+    try {
+      // Batch 1: open sessions for users 1 and 2; nothing emits
+      // (watermark 10:02-5min=09:57 precedes every timer).
+      in.addData((ts(0), 1L, 1.0), (ts(2), 1L, 2.0), (ts(1), 2L, 10.0))
+      q.processAllAvailable()
+      assert(got == Set.empty)
+      // Batch 2: user 1's 10:40 event closes session A BY DATA (gap
+      // observed); user 2's late-but-in-watermark 10:03 event extends
+      // the open session. The new watermark (10:40-5min=10:35) then
+      // passes user 2's timer (10:03+10min) -> timer flush, state
+      // cleared. User 1's trailing session (timer 10:50) stays open.
+      in.addData((ts(40), 1L, 4.0), (ts(3), 2L, 20.0))
+      q.processAllAvailable()
+      assert(got == Set((1L, 2L, 3.0), (2L, 2L, 30.0)),
+        s"data-closed session + timer-flushed session, got $got")
+      // Fired state CLEARED: user 2's next session starts fresh —
+      // closing it by data shows 1 event, not 3.
+      in.addData((Timestamp.valueOf("2024-01-01 11:30:00"), 2L, 50.0))
+      q.processAllAvailable()
+      in.addData((Timestamp.valueOf("2024-01-01 12:00:00"), 2L, 60.0))
+      q.processAllAvailable()
+      assert(got.contains((2L, 1L, 50.0)),
+        s"state must clear on timer fire; got $got")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("st6c_sink")
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("ST6c TTL: an expired state value is gone — the next batch starts from zero") {
+    // Spark allows state TTL only in TimeMode.ProcessingTime, so the
+    // TTL surface gets its own processing-time processor: a running
+    // sum whose state expires after 50 ms of wall clock.
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[(String, Int)]
+    class TtlSum extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Int), (String, Long)] {
+      @transient private var sum: org.apache.spark.sql.streaming.ValueState[Long] = _
+      override def init(
+          outputMode: OutputMode,
+          timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+        sum = getHandle.getValueState[Long]("sum",
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofMillis(50)))
+      override def handleInputRows(
+          key: String,
+          rows: Iterator[(String, Int)],
+          timers: org.apache.spark.sql.streaming.TimerValues): Iterator[(String, Long)] = {
+        val n = (if (sum.exists()) sum.get() else 0L) + rows.map(_._2).sum
+        sum.update(n)
+        Iterator.single((key, n))
+      }
+    }
+    val out = in.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new TtlSum,
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(), OutputMode.Update(),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong))
+    // A ProcessingTime-mode transformWithState stream re-triggers
+    // batches continuously (shouldRunAnotherBatch is always true —
+    // processing time must advance for TTL/timers), so NEITHER
+    // processAllAvailable NOR Trigger.AvailableNow ever settles.
+    // Drive it as two short-lived queries over ONE checkpoint: poll
+    // the sink for the expected row, stop(), let the wall clock pass
+    // the TTL, restart — state survives via the checkpoint, the TTL
+    // clock keeps running between runs.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_st6c_ttl_ckpt").toString
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val got = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    // foreachBatch, not the memory sink: only checkpoint-recoverable
+    // sinks can restart from the same checkpoint, which is how state
+    // survives across the two short-lived queries.
+    def startQ() = out.toDF("k", "n").writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val batch = df.as[(String, Long)].collect()
+        got.synchronized { got ++= batch }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    def rows: Seq[(String, Long)] = got.synchronized(got.toSeq)
+    def awaitRow(r: (String, Long)): Unit = {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (!rows.contains(r) && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(rows.contains(r), s"timed out waiting for $r; sink has $rows")
+    }
+    try {
+      val q1 = startQ()
+      try { in.addData(("a", 5)); awaitRow(("a", 5L)) } finally q1.stop()
+      Thread.sleep(300) // >> 50ms TTL: the stored 5 expires
+      val q2 = startQ()
+      try {
+        in.addData(("a", 2))
+        // Post-TTL the state is gone: the sum restarts at 2 — an
+        // accumulated 7 would mean the expired value was served.
+        awaitRow(("a", 2L))
+        assert(!rows.contains(("a", 7L)),
+          s"post-TTL batch must start from zero (2), not accumulate (7); got $rows")
+      } finally q2.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("S5b: restart from checkpoint resumes exactly-once (no dupes, no loss)") {
     // The recovery half of the exactly-once contract: stop the query,
     // start a NEW query from the same checkpoint, feed more data — the
