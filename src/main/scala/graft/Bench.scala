@@ -18,6 +18,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Engine default, matching Verify: SPJ reads the catalog layout.
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
     // Extensions on by default (native fns + V2 view DDL/read);
     // SPARK_GRAFT_BENCH_NOEXT=1 exists solely to bisect extension cost.
@@ -88,8 +90,40 @@ object Bench {
       s"${jstr(k)}:${math.rint((mx - mn) / math.max(med, 1e-9) * 1000) / 1000}"
     }.mkString("{", ",", "}")
     val totalMin = stats.map(_._3).sum
+    // QUALITY metrics alongside the timings, so a regression in ANN
+    // recall or in the MV-rewrite win shows up in the bench diff — not
+    // only as a test failure. ann_ivf_recall_at10: natural-corpus
+    // (no planted copies) IVF top-10 overlap with the brute-force
+    // exact top-10 — the same computation SimilaritySpec floors at
+    // 8/10. mv_rewrite_speedup: median(x9c_mv_rewrite_off) /
+    // median(x9c_mv_rewrite_on), the measured benefit of the
+    // transparent rewrite on identical semantics.
+    val quality: String = {
+      val parts = scala.collection.mutable.ArrayBuffer[String]()
+      if (filter.isEmpty) {
+        try {
+          val exact = graft.queries.SimilarityQueries.l3CosineTopK.fn(spark, sfDir)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          val e = graft.Tables.embeddings(spark, sfDir).persist()
+          val ivf = graft.queries.SimilarityQueries.ivfTopK(spark, e, e)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          e.unpersist()
+          spark.catalog.clearCache()
+          parts += s""""ann_ivf_recall_at10":${(exact & ivf).size / 10.0}"""
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] recall metric failed: $e")
+        }
+        val med = results.toMap
+        for {
+          off <- med.get("x9c_mv_rewrite_off")
+          on <- med.get("x9c_mv_rewrite_on")
+          if on > 0
+        } parts += s""""mv_rewrite_speedup":${math.rint(off / on * 1000) / 1000}"""
+      }
+      parts.mkString("{", ",", "}")
+    }
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"reps":$reps,"queries":$qs,"min":$mins,"spread":$spreads,"errors":$errs,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"reps":$reps,"queries":$qs,"min":$mins,"spread":$spreads,"quality":$quality,"errors":$errs,"sf":${jstr(sfDir)}}"""
     // A filtered run writes a scratch artifact so it can never clobber
     // the committed full-suite numbers with a partial total.
     val artifact = if (filter.isEmpty) "bench_full.json" else "bench_filtered.json"

@@ -11,6 +11,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Engine default: storage-partitioned joins consume the catalog's
+      // KeyGroupedPartitioning (set at build, not per-query — a session
+      // conf toggled inside a query closure would not survive to the
+      // harness's later execution of the returned DataFrame).
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions()) // native fns + V2 view DDL/read
       .getOrCreate()

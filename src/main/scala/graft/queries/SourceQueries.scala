@@ -859,29 +859,21 @@ object SourceQueries {
       "INSERT INTO graft.demo.cust_sorted SELECT c_nationkey, c_acctbal FROM x5g_customer_src")
     spark.sql(
       "INSERT INTO graft.demo.supp_sorted SELECT s_nationkey, s_acctbal FROM x5g_supplier_src")
-    val prev = Seq(
-      "spark.sql.sources.v2.bucketing.enabled",
-      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
-    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    // EXECUTE inside the conf window (localCheckpoint): the harness
-    // runs the returned DataFrame only after this closure's finally
-    // restored the confs — a merely-analyzed plan would re-plan as a
-    // default broadcast join and the row would demonstrate nothing
-    // (the x9c lesson, second verse).
-    try
-      spark.sql(
-        """SELECT c.nk AS nk, count(*) AS pairs,
-          |  round(CAST(sum(CAST(c.bal + s.bal AS DECIMAL(18,2))) AS DOUBLE), 2)
-          |    AS bal_sum
-          |FROM graft.demo.cust_sorted c
-          |JOIN graft.demo.supp_sorted s ON c.nk = s.nk
-          |GROUP BY c.nk
-          |ORDER BY nk""".stripMargin).localCheckpoint()
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
+    // No conf window, no checkpoint: v2 bucketing is an engine-level
+    // session default (set at build in Verify/Bench/tests), and the
+    // MERGE hint — not a broadcast-threshold override — keeps the join
+    // a sort-merge join, which the co-partitioned co-sorted layout then
+    // plans with NO exchange and NO sort (OrderedScanSpec asserts the
+    // plan shape). The returned DataFrame is plan-stable whenever the
+    // harness executes it.
+    spark.sql(
+      """SELECT /*+ MERGE(s) */ c.nk AS nk, count(*) AS pairs,
+        |  round(CAST(sum(CAST(c.bal + s.bal AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS bal_sum
+        |FROM graft.demo.cust_sorted c
+        |JOIN graft.demo.supp_sorted s ON c.nk = s.nk
+        |GROUP BY c.nk
+        |ORDER BY nk""".stripMargin)
   }
 
   /** X5h: PARTITION-SCOPED + DYNAMIC INSERT OVERWRITE — the idempotent

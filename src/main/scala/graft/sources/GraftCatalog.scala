@@ -2993,7 +2993,8 @@ private[sources] class GraftCatalogTable(
             addKept(keep)
             touched = touch
             GraftCatalogScan(ident, schema0, pinned = Some(touch),
-              partitionCols = partitionCols, onRuntimeExclude = Some(addKept))
+              partitionCols = partitionCols, onRuntimeExclude = Some(addKept),
+              rowLevel = true)
           }
         }
       override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
@@ -3748,7 +3749,17 @@ private[graft] case class GraftCatalogScan(
     maxSegmentsPerTrigger: Option[Int] = None,
     skipChangeCommits: Boolean = false,
     startingVersion: Option[Long] = None,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    // True for ROW-LEVEL (UPDATE/MERGE/DELETE rewrite) scans: Spark's
+    // runtime GROUP filter builds ONE IN-subquery over ALL advertised
+    // filter attributes, and a multi-column probe becomes
+    // `named_struct(...) IN subquery` — untranslatable to a source
+    // filter (WARN + zero pruning). A row-level scan therefore
+    // advertises a SINGLE best column (partition col first, else the
+    // first bloom-tracked column), turning the probe into a
+    // translatable one-column IN that rides zone-map/bloom skipping.
+    // Read scans keep the full set — join DPP builds per-key filters.
+    rowLevel: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -3819,7 +3830,11 @@ private[graft] case class GraftCatalogScan(
     val bloomCols = schema.fields.collect {
       case f if SegmentBloom.trackable(f.dataType) && visible(f.name) => f.name
     }
-    (partitionCols.filter(visible) ++ bloomCols).distinct.map(c =>
+    val all = (partitionCols.filter(visible) ++ bloomCols).distinct
+    // Row-level scans: one column, so the group-filter probe stays a
+    // translatable single-column IN (see the `rowLevel` param doc).
+    val chosen = if (rowLevel) all.take(1) else all
+    chosen.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.column(c)).toArray
   }
 

@@ -236,9 +236,34 @@ private[graft] object GraftMvOps {
           val touched = keysAt(v1, added ++ dvChanged)
             .unionAll(keysAt(v0, removed ++ dvChanged))
             .distinct()
-          val touchedCount = touched.count()
-          val cur = spark.sql(
+          // Inline the touched keys as PER-COLUMN literal IN filters on
+          // the recompute scan when they fit a driver-side probe: a
+          // multi-column key otherwise reaches the source only as a
+          // `named_struct(...) IN subquery` runtime filter, which no
+          // source can translate — per-column INs push down statically
+          // and ride zone-map/Bloom segment skipping on every key
+          // column, so the recompute reads the touched groups' files,
+          // not the table. Conjunctive per-column supersets of the key
+          // set: never drops a touched row, the semi join below stays
+          // the exact membership test.
+          val MaxInlineProbe = 1000
+          val touchedLocal = touched.limit(MaxInlineProbe + 1).collect()
+          val touchedCount =
+            if (touchedLocal.length <= MaxInlineProbe) touchedLocal.length.toLong
+            else touched.count()
+          val curAll = spark.sql(
             s"SELECT * FROM ${fqn(cat, sns, stbl)} VERSION AS OF $v1")
+          val cur =
+            if (touchedLocal.isEmpty || touchedLocal.length > MaxInlineProbe) curAll
+            else groupCols.zipWithIndex.foldLeft(curAll) { case (df, (c, i)) =>
+              val vs = touchedLocal.map(_.get(i)).toSeq.distinct
+              val nonNull = vs.filterNot(_ == null)
+              // A NULL group key is a real group: keep NULL rows
+              // whenever any touched key is NULL in this column.
+              val base =
+                if (nonNull.isEmpty) lit(false) else col(c).isin(nonNull: _*)
+              df.where(if (vs.contains(null)) base || col(c).isNull else base)
+            }
           // Null-safe semi join: a NULL group key is a real group under
           // GROUP BY semantics and must restrict/recompute like any
           // other.

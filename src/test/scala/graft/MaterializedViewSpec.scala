@@ -113,6 +113,59 @@ class MaterializedViewSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.mv4.base")
   }
 
+  test("multi-column group keys refresh via per-column pushed INs — no named_struct probe") {
+    // A compound group key used to reach the source scans only as a
+    // `named_struct(...) IN subquery` runtime filter — untranslatable
+    // (WARN, zero pruning). The refresh now inlines the touched keys
+    // as per-column literal INs (source side) and the row-level scan
+    // advertises a single runtime-filter column (MERGE target side).
+    // Capture the log to prove the untranslatable probe is GONE, and
+    // check the refresh stays incremental + correct on compound keys.
+    import org.apache.logging.log4j.Level
+    import org.apache.logging.log4j.core.{LogEvent, LoggerContext}
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    spark.sql("DROP TABLE IF EXISTS graft.mv9.base")
+    spark.sql("DROP TABLE IF EXISTS graft.mv9.agg")
+    spark.sql("CREATE TABLE graft.mv9.base (g1 STRING, g2 BIGINT, v BIGINT) USING graft")
+    spark.sql(
+      """INSERT INTO graft.mv9.base VALUES
+        |('a', 1, 10), ('a', 2, 20), ('b', 1, 30), ('b', 2, 40)""".stripMargin)
+    call("CALL graft.system.create_mv('mv9', 'agg', 'mv9.base', 'g1, g2', 'sum(v) AS total')")
+
+    val warns = scala.collection.mutable.Buffer[String]()
+    val app = new AbstractAppender(
+      "graft-mv9-capture", null, null, true,
+      Array.empty[org.apache.logging.log4j.core.config.Property]) {
+      override def append(e: LogEvent): Unit =
+        warns.synchronized { warns += e.getMessage.getFormattedMessage; () }
+    }
+    app.start()
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[LoggerContext]
+    val root = ctx.getConfiguration.getRootLogger
+    root.addAppender(app, Level.WARN, null)
+    try {
+      spark.sql("INSERT INTO graft.mv9.base VALUES ('a', 2, 5)")
+      val (mode, groups, _) = call("CALL graft.system.refresh_mv('mv9', 'agg')")
+      assert(mode == "incremental" && groups == 1,
+        s"compound-key refresh must stay incremental, got ($mode, $groups)")
+    } finally {
+      root.removeAppender("graft-mv9-capture")
+      app.stop()
+      ctx.updateLoggers()
+    }
+    val structProbes = warns.synchronized(warns.filter(m =>
+      m.contains("named_struct") && m.contains("IN subquery")))
+    assert(structProbes.isEmpty,
+      s"refresh must not plan an untranslatable struct probe: $structProbes")
+    assert(spark.sql("SELECT total FROM graft.mv9.agg WHERE g1 = 'a' AND g2 = 2")
+      .as[Double].head() == 25.0)
+    assert(spark.sql("SELECT total FROM graft.mv9.agg WHERE g1 = 'b' AND g2 = 1")
+      .as[Double].head() == 30.0)
+    spark.sql("DROP TABLE graft.mv9.agg")
+    spark.sql("DROP TABLE graft.mv9.base")
+  }
+
   test("non-distributive aggregates (count distinct) stay exact under incremental refresh") {
     spark.sql("DROP TABLE IF EXISTS graft.mv5.base")
     spark.sql("DROP TABLE IF EXISTS graft.mv5.agg")

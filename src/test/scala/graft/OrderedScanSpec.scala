@@ -84,6 +84,28 @@ class OrderedScanSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.os.b")
   }
 
+  test("the x5g registry row itself plans checkpoint-free, exchange-free and sort-free") {
+    // The registry closure must return a DataFrame whose PLAN carries
+    // the demonstration — no localCheckpoint materialization hiding a
+    // re-planned join, no exchange, no sort. Execute the actual
+    // fixture the way the harness does (session defaults only; the
+    // MERGE hint, not a conf window, pins the join shape).
+    val df = graft.queries.SourceQueries.x5gCosortedJoin.fn(spark, "/root/testdata/sf0.001")
+    df.collect() // finalize AQE
+    // AQE's toString prints the initial plan too — assert on the FINAL.
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Checkpoint") && !plan.contains("ExistingRDD"),
+      s"x5g must not materialize via checkpoint:\n$plan")
+    assert(plan.contains("SortMergeJoin"), s"MERGE hint must hold:\n$plan")
+    // The final ORDER BY legitimately plans ONE range exchange + ONE
+    // sort; the join and the aggregation must contribute none — no
+    // hash-partitioned shuffle anywhere, no SMJ/agg sort.
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"join/agg must consume the storage layout, not shuffle:\n$plan")
+    assert(plan.sliding("Sort [".length).count(_ == "Sort [") == 1,
+      s"only the final ORDER BY may sort:\n$plan")
+  }
+
   test("changing or re-binding the declared order clears sorted provenance") {
     // The flags are claims about the OLD order columns: after ALTER SET
     // a different 'graft.write.order' (or a rename that re-binds an

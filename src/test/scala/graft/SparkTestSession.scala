@@ -12,6 +12,8 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "/tmp/graft_test_warehouse")
+      // Engine default, matching Verify/Bench: SPJ reads the layout.
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions()) // prod extension path, incl. V2 views
       .getOrCreate()
