@@ -669,15 +669,19 @@ object StreamingQueries {
     val feed = spark.readStream.format("graft-changes")
       .option("table", "stream.cdc16").option("changesFrom", "0").load()
     StreamingOps.runForeachBatch(spark, feed, (batch, _) => {
-      // CDC apply: update POSTIMAGES upsert directly (the paired form —
-      // preimages need nothing, the MERGE matches on key); plain
-      // inserts upsert; a key with only a delete is a real delete.
-      // The per-key collapse (`except`) still guards the unpaired
+      // CDC apply: update POSTIMAGES upsert directly (the paired form);
+      // plain inserts upsert; a key that appears only on the REMOVE
+      // side of the batch — a 'delete' row, or an update_preimage
+      // whose key no postimage re-asserts (a key-CHANGING update moves
+      // the row: old key must leave the replica) — is a real delete.
+      // The same except-collapse also guards the unpaired
       // delete+insert fallback a provenance-less rewrite emits.
       val ups = batch
         .filter(col("_change_type").isin("insert", "update_postimage"))
         .select("k", "seg", "bal")
-      val dels = batch.filter(col("_change_type") === "delete").select("k")
+      val dels = batch
+        .filter(col("_change_type").isin("delete", "update_preimage"))
+        .select("k")
         .except(ups.select("k"))
       val s = batch.sparkSession
       ups.createOrReplaceTempView("st16_ups")

@@ -380,7 +380,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           fields(i) = fields(i).copy(name = rn.newName())
           e.copy(
             schema = StructType(fields),
-            partitionCols = e.partitionCols.map(c => if (c == from) rn.newName() else c))
+            partitionCols = e.partitionCols.map(c => if (c == from) rn.newName() else c),
+            // Segments' spec names the SAME columns under their new
+            // name — a rename is metadata-only and must not make
+            // existing segments look like a foreign partition era
+            // (which would disable keyed layout and make partition
+            // overwrite demand a pointless full migration). History
+            // snapshots keep the OLD names paired with the old schema;
+            // only the live entry re-pairs.
+            segments = e.segments.map(s =>
+              if (s.spec.contains(from))
+                s.copy(spec = s.spec.map(c => if (c == from) rn.newName() else c))
+              else s))
         }
       })
       if (orderTouched) clearSortedFlags(ident)
@@ -2207,9 +2218,10 @@ object GraftCatalog {
           // CURRENT spec — compaction is the era-migration point (the
           // Iceberg rewrite_data_files answer to spec evolution).
           // `sorted` stays false: re-routing may interleave runs.
-          val newIdx = entry.partitionCols.map(entry.schema.fieldIndex).toArray
+          val newIdx: IndexedSeq[Int] =
+            entry.partitionCols.map(entry.schema.fieldIndex).toIndexedSeq
           def keyOf(r: UnsafeRow): IndexedSeq[Any] =
-            newIdx.toIndexedSeq.map { i =>
+            newIdx.map { i =>
               if (r.isNullAt(i)) null
               else entry.schema.fields(i).dataType match {
                 case StringType => r.getUTF8String(i).toString

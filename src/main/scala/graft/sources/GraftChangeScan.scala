@@ -196,12 +196,8 @@ private[sources] case class GraftChangeScan(
   private def dataSchema: StructType = {
     // Loud guard, not silent corruption: segments written under a
     // different layout cannot be decoded by field-count-shifted
-    // readers. Decode depends on field count + data types only —
-    // nullability/metadata-only differences are byte-compatible.
-    require(from.schema.length == to.schema.length &&
-        !from.schema.fields.zip(to.schema.fields).exists {
-          case (a, b) => a.dataType != b.dataType
-        },
+    // readers.
+    require(GraftChangeScan.decodeCompatible(from.schema, to.schema),
       s"change feed over $ident: schema changed between version " +
         s"${from.version} and ${to.version}; diff within one schema epoch")
     to.schema
@@ -340,16 +336,13 @@ private[sources] class GraftChangeMicroBatchStream(
           "stream (or its checkpoint) fell behind the retention window; raise " +
           "graft.catalog.retention.seconds / .snapshots or restart from a fresh " +
           "checkpoint"))
-    // Compare only what DECODING depends on — field count and data
-    // types. Full StructType equality includes nullability and field
-    // metadata, and a metadata-only table change (no physical layout
-    // change) would permanently wedge the stream: every restart
-    // re-resolves the current schema, yet all pre-change commits would
-    // still compare unequal despite being byte-decodable.
-    if (s.schema.length != dataSchema.length ||
-        s.schema.fields.zip(dataSchema.fields).exists {
-          case (a, b) => a.dataType != b.dataType
-        })
+    // Compare only what DECODING depends on (decodeCompatible). Full
+    // StructType equality includes nullability and field metadata, and
+    // a metadata-only table change (no physical layout change) would
+    // permanently wedge the stream: every restart re-resolves the
+    // current schema, yet all pre-change commits would still compare
+    // unequal despite being byte-decodable.
+    if (!GraftChangeScan.decodeCompatible(s.schema, dataSchema))
       throw new IllegalStateException(
         s"change-feed stream of $ident: commit v$v was written under a different " +
           s"schema (${s.schema.simpleString} vs ${dataSchema.simpleString}); restart " +
@@ -402,6 +395,16 @@ private[sources] class GraftChangeMicroBatchStream(
 }
 
 private[sources] object GraftChangeScan {
+  /** THE decode-compatibility predicate for both feed modes: two
+    * layouts decode each other's bytes iff field count and per-field
+    * data types match — nullability and field metadata are not part of
+    * the physical layout. One definition so the batch scan and the
+    * micro-batch stream can never diverge on what "compatible" means.
+    */
+  private[sources] def decodeCompatible(a: StructType, b: StructType): Boolean =
+    a.length == b.length &&
+      !a.fields.zip(b.fields).exists { case (x, y) => x.dataType != y.dataType }
+
   /** Resolve a change-feed BOUND: a version number, a tag name, or a
     * TIMESTAMP resolved to the latest snapshot committed at or before
     * it, mirroring `TIMESTAMP AS OF` — including its TIMEZONE
@@ -565,6 +568,10 @@ private[sources] case class GraftChangeReaderFactory(data: StructType)
     val proj = UnsafeProjection.create(exprs)
     new PartitionReader[InternalRow] {
       private val row = new UnsafeRow(p.numFields)
+      // Constant tags allocated once, not per emitted row (same
+      // reused-row discipline as the plain change reader).
+      private val PreTag = UTF8String.fromString("update_preimage")
+      private val PostTag = UTF8String.fromString("update_postimage")
       private var pre: SegCursor = _
       private var post: SegCursor = _
       private var emitPost = false // a pre was just emitted; its post is due
@@ -583,7 +590,7 @@ private[sources] case class GraftChangeReaderFactory(data: StructType)
         }
         if (emitPost) {
           row.pointTo(post.buf, post.size)
-          metaRow.update(0, UTF8String.fromString("update_postimage"))
+          metaRow.update(0, PostTag)
           emitPost = false
           return true
         }
@@ -593,7 +600,7 @@ private[sources] case class GraftChangeReaderFactory(data: StructType)
               pre.buf, 0, pre.size, post.buf, 0, post.size)
           if (!same) {
             row.pointTo(pre.buf, pre.size)
-            metaRow.update(0, UTF8String.fromString("update_preimage"))
+            metaRow.update(0, PreTag)
             emitPost = true
             return true
           }

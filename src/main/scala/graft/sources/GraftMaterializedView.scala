@@ -253,8 +253,20 @@ private[graft] object GraftMvOps {
             else touched.count()
           val curAll = spark.sql(
             s"SELECT * FROM ${fqn(cat, sns, stbl)} VERSION AS OF $v1")
+          // Literal INs exist only for atomic key types — an array/map/
+          // struct group key can't become a Literal (and no zone map
+          // tracks it anyway): fall through to the semi join alone.
+          val atomicKeys = groupCols.forall(c =>
+            s1.schema.fields.find(_.name == c).exists(_.dataType match {
+              case _: org.apache.spark.sql.types.ArrayType |
+                   _: org.apache.spark.sql.types.MapType |
+                   _: org.apache.spark.sql.types.StructType |
+                   _: org.apache.spark.sql.types.VariantType => false
+              case _ => true
+            }))
           val cur =
-            if (touchedLocal.isEmpty || touchedLocal.length > MaxInlineProbe) curAll
+            if (!atomicKeys || touchedLocal.isEmpty ||
+                touchedLocal.length > MaxInlineProbe) curAll
             else groupCols.zipWithIndex.foldLeft(curAll) { case (df, (c, i)) =>
               val vs = touchedLocal.map(_.get(i)).toSeq.distinct
               val nonNull = vs.filterNot(_ == null)

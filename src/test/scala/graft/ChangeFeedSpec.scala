@@ -103,6 +103,34 @@ class ChangeFeedSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.cdc.pu")
   }
 
+  test("key-changing paired updates: preimage keys without a postimage are replica deletes") {
+    // An unpartitioned UPDATE that rewrites the MERGE KEY still pairs
+    // (cardinality preserved): the feed emits preimage(k=1)/
+    // postimage(k=11). The CDC-apply rule (st16's recipe) must treat a
+    // preimage key no postimage re-asserts as a DELETE — otherwise the
+    // replica keeps the stale old-key row forever.
+    spark.sql("DROP TABLE IF EXISTS graft.cdc.kc")
+    spark.sql("CREATE TABLE graft.cdc.kc (k BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.cdc.kc VALUES (1, 'a'), (2, 'b')") // v1
+    spark.sql("UPDATE graft.cdc.kc SET k = k + 10 WHERE k = 1") // v2: key-changing
+    val batch = spark.read.format("graft-changes")
+      .option("table", "cdc.kc").option("changesFrom", "1").load()
+    val got = batch.select("_change_type", "k").as[(String, Long)].collect().toSet
+    assert(got == Set(("update_preimage", 1L), ("update_postimage", 11L)),
+      s"key-changing unpartitioned update must pair, got $got")
+    // The apply rule, as data: upserts = insert+postimage; deletes =
+    // (delete+preimage) minus upserted keys.
+    import org.apache.spark.sql.functions.col
+    val ups = batch.filter(col("_change_type").isin("insert", "update_postimage"))
+      .select("k")
+    val dels = batch.filter(col("_change_type").isin("delete", "update_preimage"))
+      .select("k").except(ups)
+    assert(ups.as[Long].collect().toSet == Set(11L))
+    assert(dels.as[Long].collect().toSet == Set(1L),
+      "the orphaned preimage key must become a replica delete")
+    spark.sql("DROP TABLE graft.cdc.kc")
+  }
+
   test("a small change feed reports exact stats and auto-broadcasts into a consuming join") {
     // The canonical consumer is `MERGE INTO target USING changes`: the
     // planner must see the diff's REAL size (rows emitted, not table

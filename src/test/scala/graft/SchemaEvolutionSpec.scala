@@ -38,6 +38,17 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     spark.sql("ALTER TABLE graft.se.rp RENAME COLUMN p TO region")
     assert(spark.sql("SELECT count(*) FROM graft.se.rp WHERE region = 'x'")
       .as[Long].head() == 1L)
+    // The rename re-pairs each SEGMENT's spec with the new name too: a
+    // metadata-only rename must not make existing segments look like a
+    // foreign partition era — keyed layout (one split per value) stays
+    // engaged and partition-scoped overwrite keeps working without any
+    // migration.
+    assert(spark.table("graft.se.rp").rdd.getNumPartitions == 2,
+      "rename must keep the keyed (one split per value) layout")
+    spark.sql(
+      "INSERT OVERWRITE graft.se.rp PARTITION (region = 'x') VALUES (10)")
+    assert(spark.sql("SELECT k FROM graft.se.rp ORDER BY k")
+      .as[Long].collect().toSeq == Seq(2L, 10L))
   }
 
   test("ALTER COLUMN TYPE widens safely (int->bigint, float->double); lossy retypes refuse") {
