@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Secondary SCALE datapoint (`runMain graft.ScaleSpot`): stage a ~10×
+  * copy of the sf0.1 testdata (TPC-H-style self-scaling: ten DISJOINT
+  * consistent universes — every fact/bridge key shifted by the same
+  * per-copy offset so join fan-outs keep their shape; dimension tables
+  * `region`/`nation` stay fixed and every copy's foreign keys still
+  * resolve) and time the suite's historically slowest rows plus a core
+  * relational/dedup slice against it. Correctness at this SF is not
+  * oracle-checked (the per-round gate does that at sf0.01); this run
+  * exists to validate empirically that the plans the SCALE.md stories
+  * describe keep scaling ~linearly at 10× the per-round bench volume —
+  * the cheapest datapoint short of a real cluster.
+  *
+  * Writes one JSON line to `bench_scale_spot.json`.
+  */
+object ScaleSpot {
+  // (table, columns to shift per copy). Offsets = max(col)+1 of the
+  // base slice, so copies are disjoint; the SAME logical offset is
+  // applied to both sides of every join key (c_custkey ↔ o_custkey ↔
+  // events.user_id, o_orderkey ↔ l_orderkey, p_partkey ↔ l_partkey,
+  // s_suppkey ↔ l_suppkey).
+  private val Copies = 10
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions())
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    stage(spark, baseDir, outDir)
+
+    // Historically slowest rows + a representative relational/dedup/
+    // similarity slice. Streaming fixtures replay the 10× events file;
+    // the ANN row retrains on the 10× embedding corpus.
+    val picks = Seq(
+      "q1_pricing_summary", "q9_product_profit", "q18_large_orders",
+      "j2_shuffle_join", "j8_asof_join",
+      "l1_exact_dedup", "l2_minhash_lsh_neardup", "l3_ann_ivfpq",
+      "l5_tfidf_top_terms", "l8_ngram_decontaminate",
+      "st2_tumbling_window", "st4_session_window", "st6c_timer_sessions",
+      "st8_stream_stream_join", "st13_join_window_agg",
+      "st14_streaming_mv", "st15_change_feed_stream", "st16_cdc_replica")
+    val qs = SparkEntry.queries
+    val times = picks.flatMap { name =>
+      qs.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        try { fn(spark, outDir).count(); () }
+        catch { case e: Throwable =>
+          System.err.println(s"[scale-spot] $name FAILED: ${e.getMessage}")
+        }
+        spark.catalog.clearCache()
+        spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    def jstr(s: String) = "\"" + s.replace("\"", "\\\"") + "\""
+    val qjson = times.map { case (k, v) =>
+      s"${jstr(k)}:${math.rint(v * 1000) / 1000}"
+    }.mkString("{", ",", "}")
+    val total = math.rint(times.map(_._2).sum * 1000) / 1000
+    val line =
+      s"""{"metric":"scale_spot_total","value":$total,"unit":"sec","copies":$Copies,"base":${jstr(baseDir)},"queries":$qjson}"""
+    println(line)
+    val w = new java.io.PrintWriter("bench_scale_spot.json")
+    try w.println(line) finally w.close()
+    spark.stop()
+  }
+
+  /** Stage the 10× slice (idempotent: skips when the marker matches). */
+  private def stage(spark: SparkSession, baseDir: String, outDir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val marker = Paths.get(outDir, s"_staged_${Copies}x_v2")
+    if (Files.exists(marker)) return
+    Files.createDirectories(Paths.get(outDir))
+    def base(t: String): DataFrame = spark.read.parquet(s"$baseDir/$t.parquet")
+    def offsetOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).head().getLong(0) + 1
+    // Dimension tables: fixed, every copy's FKs resolve against them.
+    for (t <- Seq("region", "nation", "part", "supplier"))
+      base(t).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    val custOff = offsetOf(base("customer"), "c_custkey")
+    val ordOff = offsetOf(base("orders"), "o_orderkey")
+    val evtOff = offsetOf(base("events"), "event_id")
+    val docOff = offsetOf(base("documents"), "doc_id")
+    val vecOff = offsetOf(base("embeddings"), "vec_id")
+    def scaled(t: String, shifts: Map[String, Long]): DataFrame = {
+      val b = base(t)
+      (0 until Copies).map { i =>
+        shifts.foldLeft(b) { case (df, (c, off)) =>
+          df.withColumn(c, col(c) + lit(i * off))
+        }
+      }.reduce(_ unionAll _)
+    }
+    // part/supplier stay 1× (dimensions): l_partkey/l_suppkey are NOT
+    // shifted, so every copy's lineitems still join them — the TPC-H
+    // dim-versus-fact scaling shape.
+    scaled("customer", Map("c_custkey" -> custOff))
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+    scaled("orders", Map("o_orderkey" -> ordOff, "o_custkey" -> custOff))
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    scaled("lineitem", Map("l_orderkey" -> ordOff))
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    // events must land as a single parquet FILE (not a directory): the
+    // streaming harness stages `<dir>/events.parquet` with a file
+    // copy, and a directory there stages as an empty dir → schema
+    // inference fails for every file-stream fixture.
+    val evTmp = s"$outDir/_events_tmp"
+    scaled("events", Map("event_id" -> evtOff, "user_id" -> custOff))
+      .coalesce(1).write.mode("overwrite").parquet(evTmp)
+    val part = Files.list(Paths.get(evTmp)).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no part file in $evTmp"))
+    val evDst = Paths.get(s"$outDir/events.parquet")
+    if (Files.isDirectory(evDst)) {
+      val s = Files.list(evDst)
+      try s.iterator().asScala.foreach(Files.delete) finally s.close()
+      Files.delete(evDst)
+    } else Files.deleteIfExists(evDst): Unit
+    Files.move(part, evDst)
+    val rest = Files.list(Paths.get(evTmp))
+    try rest.iterator().asScala.foreach(Files.delete) finally rest.close()
+    Files.delete(Paths.get(evTmp))
+    scaled("documents", Map("doc_id" -> docOff))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    scaled("embeddings", Map("vec_id" -> vecOff))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    Files.createFile(marker)
+    ()
+  }
+}
