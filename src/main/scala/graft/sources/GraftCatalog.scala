@@ -1744,9 +1744,24 @@ object GraftCatalog {
     val snap = snapshotByVersion(ident, version).getOrElse(
       throw new IllegalArgumentException(
         s"restore $ident: version $version is expired or never committed"))
+    // A restore that UNDOES recorded rewrites is itself a rewrite in
+    // reverse: if the chain restoredV→current rewrote S into S', this
+    // commit replaces S' with S — record S → S' (re-added → the
+    // segment it supersedes), so the change feed emits the undo as
+    // paired reverse update_preimage/update_postimage rows instead of
+    // a full delete+insert of both files. Same guards as any pairing
+    // (cardinality, dv) decide per segment at read time.
+    val curByPath = entry.segments.map(s => s.path -> s).toMap
+    val curV = history.getOrDefault(ident, Vector.empty)
+      .lastOption.map(_.version).getOrElse(version)
+    val reverseRewrites: Map[String, String] =
+      GraftChangeScan.composedRewrites(ident, version, curV).collect {
+        case (cur, orig) if curByPath.contains(cur) &&
+            snap.segments.exists(_.path == orig) => orig -> cur
+      }
     store.put(ident, entry.copy(schema = snap.schema, segments = snap.segments,
       partitionCols = snap.partitionCols, constraints = snap.constraints))
-    publish(ident)
+    publish(ident, reverseRewrites)
     (version, snap.segments.length)
   }
 

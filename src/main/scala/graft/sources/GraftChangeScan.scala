@@ -449,7 +449,7 @@ private[sources] object GraftChangeScan {
     * S''→S, so a multi-commit batch diff still pairs endpoints.
     * Metadata-only: a walk over the retained snapshots' recorded maps.
     */
-  private def composedRewrites(
+  private[sources] def composedRewrites(
       ident: Identifier, fromV: Long, toV: Long): Map[String, String] = {
     var orig = Map.empty[String, String]
     GraftCatalog.retainedSnapshots(ident)

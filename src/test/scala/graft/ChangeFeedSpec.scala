@@ -131,6 +131,30 @@ class ChangeFeedSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.cdc.kc")
   }
 
+  test("RESTORE that undoes a paired update emits REVERSE update pairs") {
+    // v2 rewrote S into S' (paired UPDATE); restoring to v1 replaces
+    // S' with S again — the undo commit records the inverse provenance
+    // (S → S'), so the feed emits the reversal as its own pre/post
+    // pair for exactly the changed row, not a delete+insert of both
+    // files. And the v1→v3 endpoint diff stays empty: state-wise,
+    // nothing changed.
+    spark.sql("DROP TABLE IF EXISTS graft.cdc.rr")
+    spark.sql("CREATE TABLE graft.cdc.rr (k BIGINT, v BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.cdc.rr SELECT id, id * 10 FROM range(0, 6)") // v1
+    spark.sql("UPDATE graft.cdc.rr SET v = 99 WHERE k = 2") // v2: paired rewrite
+    spark.sql("CALL graft.system.restore('cdc', 'rr', '1')").collect() // v3: the undo
+    def ch(from: String, to: String): Set[(String, Long, Long)] =
+      spark.read.format("graft-changes")
+        .option("table", "cdc.rr")
+        .option("changesFrom", from).option("changesTo", to).load()
+        .select("_change_type", "k", "v").as[(String, Long, Long)].collect().toSet
+    assert(ch("2", "3") == Set(
+      ("update_preimage", 2L, 99L), ("update_postimage", 2L, 20L)),
+      s"the restore commit must pair as a reverse update, got ${ch("2", "3")}")
+    assert(ch("1", "3").isEmpty, "v1 -> v3 is a state no-op")
+    spark.sql("DROP TABLE graft.cdc.rr")
+  }
+
   test("a small change feed reports exact stats and auto-broadcasts into a consuming join") {
     // The canonical consumer is `MERGE INTO target USING changes`: the
     // planner must see the diff's REAL size (rows emitted, not table
