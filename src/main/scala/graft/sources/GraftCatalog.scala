@@ -1653,7 +1653,14 @@ object GraftCatalog {
       // provable). Lets the change feed emit paired
       // update_preimage/update_postimage rows instead of opaque
       // delete+insert — the Delta CDF `table_changes` update shape.
-      rewrites: Map[String, String] = Map.empty)
+      rewrites: Map[String, String] = Map.empty,
+      // False for commits that rearrange FILES but change no logical
+      // row — compaction, Z-order, spec evolution (the Delta
+      // `dataChange=false` flag): append streams ride through them
+      // silently (re-emitting folded segments would duplicate rows;
+      // failing would make auto-compaction stream-hostile) and the
+      // CDC feed emits nothing for them.
+      dataChange: Boolean = true)
 
   private val history = new ConcurrentHashMap[Identifier, Vector[CatalogSnapshot]]()
 
@@ -1679,7 +1686,9 @@ object GraftCatalog {
     * retained snapshot references. Call under `mutate {}` after the
     * metastore swap.
     */
-  private def publish(ident: Identifier, rewrites: Map[String, String] = Map.empty): Unit = {
+  private def publish(
+      ident: Identifier, rewrites: Map[String, String] = Map.empty,
+      dataChange: Boolean = true): Unit = {
     val entry = store.get(ident)
     if (entry == null) return
     val now = System.nanoTime()
@@ -1687,7 +1696,7 @@ object GraftCatalog {
     val snap = CatalogSnapshot(
       hist.lastOption.map(_.version + 1).getOrElse(0L),
       System.currentTimeMillis(), now, entry.schema, entry.segments,
-      entry.partitionCols, entry.constraints, rewrites)
+      entry.partitionCols, entry.constraints, rewrites, dataChange)
     val all = hist :+ snap
     val cutoff = now - RetentionNanos
     // Tagged snapshots are exempt from BOTH expiry axes (age and the
@@ -1794,7 +1803,7 @@ object GraftCatalog {
     }
     val old = entry.partitionCols
     store.put(ident, entry.copy(partitionCols = cols))
-    publish(ident)
+    publish(ident, dataChange = false) // metadata-only: no logical row changed
     val v = history.getOrDefault(ident, Vector.empty).lastOption.map(_.version).getOrElse(-1L)
     (v, old)
   }
@@ -1983,11 +1992,11 @@ object GraftCatalog {
     * follow-up commit, so a long-running append/streaming workload
     * keeps a bounded segment count without an external OPTIMIZE cron —
     * the operational answer to the small-files problem. The compaction
-    * is its own CHANGE commit in the history (time travel still sees
-    * the pre-compact version; an append-only change stream on the
-    * table needs `skipChangeCommits`, which is why this is opt-in). A
-    * malformed threshold fails the commit loudly rather than silently
-    * never compacting.
+    * is its own commit in the history (time travel still sees the
+    * pre-compact version) but carries `dataChange=false`, so append
+    * streams ride through it silently and the CDC feed emits nothing
+    * for it — auto-compaction is stream-safe. A malformed threshold
+    * fails the commit loudly rather than silently never compacting.
     */
   /** Parse + validate the threshold BEFORE the data commit — a typo'd
     * property must fail the statement without having landed rows.
@@ -2295,7 +2304,9 @@ object GraftCatalog {
         }
       }.toVector
     store.put(ident, entry.copy(segments = compacted))
-    publish(ident)
+    // Logical no-op commit (files rearranged, no row changed): streams
+    // ride through, the CDC feed emits nothing — dataChange=false.
+    publish(ident, dataChange = false)
     (before, compacted.length, rows)
   }
 
@@ -2419,7 +2430,7 @@ object GraftCatalog {
         }
       }.toVector
     store.put(ident, entry.copy(segments = rewritten))
-    publish(ident)
+    publish(ident, dataChange = false) // re-clustering: logical no-op
     (before, rewritten.length, totalRows)
   }
 
@@ -4139,6 +4150,12 @@ private[graft] class GraftCatalogMicroBatchStream(
     */
   private def addedAt(v: Long): Vector[GraftCatalog.Segment] = {
     val cur = snapshotOrFail(v)
+    // dataChange=false commits (compaction / Z-order / spec evolution)
+    // rearrange files without changing any logical row: emitting their
+    // folded segments would DUPLICATE rows the stream already
+    // delivered, and failing would make auto-compaction stream-hostile
+    // — skip silently, exactly Delta's dataChange=false semantics.
+    if (!cur.dataChange) return Vector.empty
     // Per-field TYPE comparison, not just arity: an ALTER COLUMN TYPE
     // widening keeps the field count but rewrites segments under the
     // new layout — decoding those bytes with the stream's stale

@@ -384,6 +384,10 @@ private[sources] class GraftChangeMicroBatchStream(
     val s = start.asInstanceOf[GraftVersionOffset].v
     val e = end.asInstanceOf[GraftVersionOffset].v
     if (e <= s) Array.empty
+    // A dataChange=false commit (compaction / Z-order / spec
+    // evolution) changed no logical row: its batch is EMPTY — the
+    // Delta-CDF treatment of OPTIMIZE commits.
+    else if (!snapshotOrFail(e).dataChange) Array.empty
     // The batch is the structural diff s → e (net within the batch,
     // per-commit when the trigger keeps up — one commit per batch).
     else GraftChangeScan.diffPartitions(
@@ -468,6 +472,14 @@ private[sources] object GraftChangeScan {
       ident: Identifier,
       from: GraftCatalog.CatalogSnapshot, to: GraftCatalog.CatalogSnapshot,
       width: Int): Array[InputPartition] = {
+    // A range consisting ONLY of dataChange=false commits changed no
+    // logical row — empty diff, however the files moved. (A MIXED
+    // range still plans the endpoint diff; a mid-range compaction then
+    // surfaces as delete+insert churn — the documented honest cap.)
+    val commits = GraftCatalog.retainedSnapshots(ident)
+      .filter(s => s.version > from.version && s.version <= to.version)
+    if (commits.nonEmpty && commits.forall(!_.dataChange))
+      return Array.empty
     val fromByPath = from.segments.map(s => s.path -> s).toMap
     val toByPath = to.segments.map(s => s.path -> s).toMap
     // PAIRED UPDATES first: an added segment whose recorded rewrite

@@ -226,6 +226,7 @@ private[sources] object GraftLedger {
         val hr = h.putObject("rewrites")
         snap.rewrites.foreach { case (a, s) => hr.put(a, s) }
       }
+      if (!snap.dataChange) h.put("dataChange", false)
       hist.add(h)
     }
     val ep = o.putObject("epochs")
@@ -287,7 +288,10 @@ private[sources] object GraftLedger {
           .map(_.elements().asScala.flatMap(constraintOf).toVector).getOrElse(cons),
         Option(h.get("rewrites")).map { r =>
           r.properties().asScala.map(kv => kv.getKey -> kv.getValue.asText()).toMap
-        }.getOrElse(Map.empty[String, String]))
+        }.getOrElse(Map.empty[String, String]),
+        // Absent node (pre-flag ledger) => true: treating an old no-op
+        // commit as a data commit is the conservative direction.
+        dataChange = Option(h.get("dataChange")).forall(_.asBoolean()))
     }.toVector
     val ep = Option(o.get("epochs")).map { e =>
       e.properties().asScala.map(kv => kv.getKey -> kv.getValue.asLong()).toMap

@@ -96,6 +96,30 @@ class CatalogStreamReadSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("compaction (dataChange=false) streams through silently — no failure, no duplicates") {
+    // Compaction rearranges files without changing a logical row (the
+    // Delta dataChange=false shape): a DEFAULT append stream (no
+    // skipChangeCommits) must ride through it — failing would make
+    // auto-compaction stream-hostile, re-emitting the folded segments
+    // would duplicate every already-delivered row.
+    spark.sql("DROP TABLE IF EXISTS graft.csr.cmp")
+    spark.sql("CREATE TABLE graft.csr.cmp (k BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.csr.cmp VALUES (1), (2)")
+    val q = spark.readStream.table("graft.csr.cmp")
+      .writeStream.format("memory").queryName("csr_cmp").start()
+    try {
+      q.processAllAvailable()
+      spark.sql("INSERT INTO graft.csr.cmp VALUES (3)")
+      spark.sql("CALL graft.system.compact('csr', 'cmp')").collect()
+      spark.sql("INSERT INTO graft.csr.cmp VALUES (4)")
+      q.processAllAvailable()
+      assert(spark.table("csr_cmp").as[Long].collect().sorted.toSeq ==
+        Seq(1L, 2L, 3L, 4L),
+        "every append exactly once, the compaction commit invisible")
+    } finally q.stop()
+    spark.sql("DROP TABLE graft.csr.cmp")
+  }
+
   test("skipChangeCommits skips the rewrite commit but streams later appends") {
     spark.sql("DROP TABLE IF EXISTS graft.csr.src4")
     spark.sql("CREATE TABLE graft.csr.src4 (k BIGINT, v STRING) USING graft")

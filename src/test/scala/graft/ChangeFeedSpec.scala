@@ -131,6 +131,39 @@ class ChangeFeedSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.cdc.kc")
   }
 
+  test("compaction commits emit no CDC rows (dataChange=false), batch and stream") {
+    spark.sql("DROP TABLE IF EXISTS graft.cdc.cp")
+    spark.sql("CREATE TABLE graft.cdc.cp (k BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.cdc.cp VALUES (1)") // v1
+    spark.sql("INSERT INTO graft.cdc.cp VALUES (2)") // v2
+    spark.sql("CALL graft.system.compact('cdc', 'cp')").collect() // v3: no-op commit
+    def feed(from: String, to: String) =
+      spark.read.format("graft-changes").option("table", "cdc.cp")
+        .option("changesFrom", from).option("changesTo", to).load()
+    // The compact-only range is empty however the files moved…
+    assert(feed("2", "3").count() == 0,
+      "a compaction changed no logical row — its diff must be empty")
+    // …and a range SPANNING it still nets the real changes exactly.
+    assert(feed("0", "3").select("k").as[Long].collect().toSet == Set(1L, 2L))
+    // Streaming: the commit-per-batch replay delivers v1, v2 as
+    // inserts and v3 as an EMPTY batch — same totals, no churn.
+    import org.apache.spark.sql.streaming.Trigger
+    val got = scala.collection.mutable.Set[(String, Long)]()
+    spark.readStream.format("graft-changes")
+      .option("table", "cdc.cp").option("changesFrom", "0").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        got.synchronized {
+          got ++= df.select("_change_type", "k").as[(String, Long)].collect()
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    assert(got.toSet == Set(("insert", 1L), ("insert", 2L)),
+      s"stream must deliver the inserts and skip the compaction, got $got")
+    spark.sql("DROP TABLE graft.cdc.cp")
+  }
+
   test("RESTORE that undoes a paired update emits REVERSE update pairs") {
     // v2 rewrote S into S' (paired UPDATE); restoring to v1 replaces
     // S' with S again — the undo commit records the inverse provenance
