@@ -104,7 +104,11 @@ object CosineSim {
     * registry and return a Column-level handle.
     */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    // Quiet idempotence: skip when already registered — replacing
+    // logs a per-query WARN that swamps the bench tail.
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       (args: Seq[Expression]) => CosineSim(args(0), args(1)),
       "built-in")

@@ -81,7 +81,11 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 object SimHash64 {
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    // Quiet idempotence: skip when already registered — replacing
+    // logs a per-query WARN that swamps the bench tail.
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64",
       (args: Seq[Expression]) => SimHash64(args(0)),
       "built-in")

@@ -87,7 +87,11 @@ object SrpBucket {
 
   /** Register `srp_bucket(vec, bits, seed)` (bits/seed must be literals). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    // Quiet idempotence: skip when already registered — replacing
+    // logs a per-query WARN that swamps the bench tail.
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("srp_bucket")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "srp_bucket",
       (args: Seq[Expression]) => {
         val bits = args(1) match {

@@ -44,9 +44,14 @@ object StreamingOps {
     */
   private def stagedEventsDir(dir: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    // "d" prefix: the sanitized name would otherwise start with "_"
+    // (from the leading "/"), and Hadoop treats leading-underscore
+    // basenames as HIDDEN paths — batch-side resolution then logs
+    // "All paths were ignored" per stream start and any listing-based
+    // consumer would skip the directory outright.
     val stage = Paths.get(
       System.getProperty("java.io.tmpdir"), "graft_stream",
-      dir.replaceAll("[^a-zA-Z0-9]", "_"))
+      "d" + dir.replaceAll("[^a-zA-Z0-9]", "_"))
     Files.createDirectories(stage)
     val src = Paths.get(dir, "events.parquet")
     val dst = stage.resolve("events.parquet")
