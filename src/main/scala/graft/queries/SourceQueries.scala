@@ -1145,6 +1145,68 @@ object SourceQueries {
       .orderBy("side", "seg")
   }
 
+  /** X12: BRANCH write-audit-publish (the Iceberg/Nessie WAP shape).
+    * Production lands a base batch on main; an `audit` branch is cut
+    * zero-copy; the STAGING batch is written to the branch, audited
+    * there, and its failures deleted on the branch — main serves the
+    * base batch untouched throughout (asserted mid-flight via the
+    * pre-publish aggregate); `publish_branch` then fast-forwards main
+    * to the audited state as ONE commit. The final result aggregates
+    * main's published state next to the frozen pre-publish era read
+    * back through `VERSION AS OF`. The DuckDB oracle is slice algebra
+    * on the raw parquet — a branch write leaking to main early, a
+    * publish that loses the audit's DELETE, or time travel crossing
+    * the publish wrongly all break the hash.
+    */
+  val x12BranchWap: Q = Q(
+    "x12_branch_wap",
+    """WITH base AS (SELECT c_mktsegment AS seg, c_acctbal AS bal
+      |              FROM customer WHERE c_custkey % 4 = 1),
+      |     staged AS (SELECT c_mktsegment AS seg, c_acctbal AS bal
+      |                FROM customer WHERE c_custkey % 4 = 2 AND c_acctbal >= 0),
+      |     eras AS (
+      |       SELECT 'published' AS era, seg, bal FROM base
+      |       UNION ALL
+      |       SELECT 'published' AS era, seg, bal FROM staged
+      |       UNION ALL
+      |       SELECT 'pre_publish' AS era, seg, bal FROM base)
+      |SELECT era, seg, count(*) AS n,
+      |  round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+      |FROM eras
+      |GROUP BY era, seg
+      |ORDER BY era, seg""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.functions.{col, count, lit, round, sum}
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.customer(spark, dir).createOrReplaceTempView("x12_customer_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.cust_wap")
+    spark.sql(
+      "CREATE TABLE graft.demo.cust_wap (k BIGINT, seg STRING, bal DOUBLE) USING graft")
+    spark.sql(
+      """INSERT INTO graft.demo.cust_wap
+        |SELECT CAST(c_custkey AS BIGINT), c_mktsegment, c_acctbal
+        |FROM x12_customer_src WHERE c_custkey % 4 = 1""".stripMargin) // v1: production
+    spark.sql("CALL graft.system.create_branch('demo', 'cust_wap', 'audit', '')")
+    spark.sql(
+      """INSERT INTO graft.demo.`cust_wap@audit`
+        |SELECT CAST(c_custkey AS BIGINT), c_mktsegment, c_acctbal
+        |FROM x12_customer_src WHERE c_custkey % 4 = 2""".stripMargin) // staged batch
+    // The audit: negative balances are data-quality failures — fixed on
+    // the branch, invisible to main.
+    spark.sql("DELETE FROM graft.demo.`cust_wap@audit` WHERE bal < 0 AND k % 4 = 2")
+    require(spark.table("graft.demo.cust_wap").count() ==
+      spark.sql("SELECT * FROM graft.demo.cust_wap VERSION AS OF 1").count(),
+      "main must be untouched while the audit is in flight")
+    spark.sql("CALL graft.system.publish_branch('demo', 'cust_wap', 'audit')")
+    spark.table("graft.demo.cust_wap")
+      .select(lit("published").as("era"), col("seg"), col("bal"))
+      .unionAll(spark.sql("SELECT * FROM graft.demo.cust_wap VERSION AS OF 1")
+        .select(lit("pre_publish").as("era"), col("seg"), col("bal")))
+      .groupBy("era", "seg")
+      .agg(count("*").as("n"),
+        round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("total_bal"))
+      .orderBy("era", "seg")
+  }
+
   val all: Seq[Q] = Seq(
     s2ParquetRoundtrip, s3CsvSource, s3JsonSource, s6CacheReuse,
     s7PartitionedSink, s8OrcRoundtrip, x1ScalarUdf, x3Generator, x4Dsv2Source,
@@ -1153,5 +1215,5 @@ object SourceQueries {
     x7CatalogView, x8MaterializedView, x9MvRollup, x9bStaleMv,
     x9cMvRewriteOff, x9cMvRewriteOn, x5fPartitionProfile, x5gCosortedJoin,
     x5hPartitionOverwrite, x5iPartitionEvolution, x10TableChanges,
-    x10bCdcUpdatePairs, x11RestoreClone)
+    x10bCdcUpdatePairs, x11RestoreClone, x12BranchWap)
 }

@@ -184,6 +184,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = mutate {
+    GraftCatalog.requireNotBranchName(ident)
     val partCols = validatePartitionCols(schema, partitions)
     val props = userProps(properties)
     props.get(WriteOrderProp).foreach(validateWriteOrder(schema, _))
@@ -243,6 +244,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // written) and store them with the committed entry, so an INSERT
     // into the CTAS'd table enforces its CHECKs.
     info.constraints().foreach(validateConstraint)
+    GraftCatalog.requireNotBranchName(ident)
     val schema = info.schema()
     val partCols = validatePartitionCols(schema, info.partitions())
     val dir = Files.createTempDirectory(segmentRoot, "stage-").toString
@@ -569,31 +571,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     }
   }
 
-  override def dropTable(ident: Identifier): Boolean = mutate {
-    // Clear the streaming-epoch ledger too: a re-created table must not
-    // inherit old high-watermarks and silently skip early epochs.
-    epochs.keySet.asScala.filter(_._1 == ident).foreach(epochs.remove)
-    val hist = Option(history.remove(ident)).getOrElse(Vector.empty)
-    val entry = store.remove(ident)
-    if (entry != null) {
-      // A shallow clone may still serve reads from this table's files:
-      // delete only the unreferenced ones, and take the directory down
-      // only when nothing in it had to be spared.
-      val candidates = (entry.segments ++ hist.flatMap(_.segments)).distinctBy(_.path)
-      val (shared, dead) =
-        candidates.partition(s => GraftCatalog.referencedByOther(ident, s.path))
-      dead.foreach(SegmentIO.delete)
-      // The dir must survive only if a SPARED file actually lives in it
-      // — a clone whose shared segments all reside in the SOURCE's dir
-      // must still get its own (now-empty) dir removed. Separator-
-      // bounded compare: /x/tbl-1 must not claim /x/tbl-1234/seg.
-      val dirPrefix = entry.dir.stripSuffix(java.io.File.separator) + java.io.File.separator
-      if (!shared.exists(_.path.startsWith(dirPrefix)))
-        deleteRecursively(Paths.get(entry.dir))
-    }
-    persistTable(ident) // deletes the ledger document
-    entry != null
-  }
+  override def dropTable(ident: Identifier): Boolean =
+    GraftCatalog.dropEntry(ident)
 
   /** Atomic under the global mutation lock: a concurrent job commit
     * against the OLD identifier either lands before the rename (and
@@ -602,6 +581,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * silently dropped, and at no instant do both identifiers resolve.
     */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = mutate {
+    // Branches are published or dropped, never renamed: the '@' naming
+    // convention IS how publish_branch resolves them, and renaming a
+    // plain table ONTO an '@' name would forge one.
+    GraftCatalog.requireNotBranchName(newIdent)
+    if (oldIdent.name.contains("@"))
+      throw new UnsupportedOperationException(
+        s"$oldIdent is a branch — publish it (CALL graft.system.publish_branch) " +
+          "or drop it; branches cannot be renamed")
     val entry = store.get(oldIdent)
     if (entry == null) throw new NoSuchTableException(oldIdent)
     if (store.containsKey(newIdent))
@@ -674,7 +661,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         Identifier.of(namespace, "train_ann"), Identifier.of(namespace, "train_ann_pq"),
         Identifier.of(namespace, "analyze"), Identifier.of(namespace, "create_mv"),
         Identifier.of(namespace, "refresh_mv"), Identifier.of(namespace, "restore"),
-        Identifier.of(namespace, "clone"), Identifier.of(namespace, "set_partitioning"))
+        Identifier.of(namespace, "clone"), Identifier.of(namespace, "set_partitioning"),
+        Identifier.of(namespace, "create_branch"), Identifier.of(namespace, "publish_branch"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
@@ -702,6 +690,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       GraftCloneProcedure
     else if (ident.namespace.sameElements(Array("system")) && ident.name == "set_partitioning")
       GraftSetPartitioningProcedure
+    else if (ident.namespace.sameElements(Array("system")) && ident.name == "create_branch")
+      GraftCreateBranchProcedure
+    else if (ident.namespace.sameElements(Array("system")) && ident.name == "publish_branch")
+      GraftPublishBranchProcedure
     else throw new UnsupportedOperationException(s"no such procedure: $ident")
 
   // ---- ViewCatalog: persistent SQL views resolved through the ----
@@ -1053,6 +1045,95 @@ private[graft] object GraftCloneProcedure
   }
 }
 
+/** `CALL graft.system.create_branch(ns, table, branch, version)` — cut
+  * a zero-copy WAP branch of a catalog table at a version or tag
+  * ('' = current). The branch lives at `ns.<table>@<branch>` (backtick
+  * it in SQL) and takes writes/DML in isolation; work in
+  * `GraftCatalog.createBranch`.
+  */
+private[graft] object GraftCreateBranchProcedure
+    extends procedures.UnboundProcedure with procedures.BoundProcedure {
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+
+  override def name(): String = "create_branch"
+  override def description(): String =
+    "create_branch(ns, table, branch, version): zero-copy WAP branch ('' = current)"
+  override def bind(inputType: StructType): procedures.BoundProcedure = this
+  override def isDeterministic: Boolean = false // creates a table entry
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("ns", StringType).comment("namespace").build(),
+    ProcedureParameter.in("table", StringType).comment("table name").build(),
+    ProcedureParameter.in("branch", StringType).comment("branch name").build(),
+    ProcedureParameter.in("version", StringType)
+      .comment("source version number or tag; '' = current").build())
+
+  private val outSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("branch", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("base_version", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("segments", IntegerType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val src = Identifier.of(
+      Array(input.getUTF8String(0).toString), input.getUTF8String(1).toString)
+    val branch = input.getUTF8String(2).toString
+    val vStr = input.getUTF8String(3).toString
+    val v = if (vStr.isEmpty) None
+            else Some(GraftCatalog.resolveVersionString(src, vStr))
+    val (baseV, nSegs) = GraftCatalog.createBranch(src, branch, v)
+    val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(
+        GraftCatalog.branchIdent(src, branch).toString), baseV, nSegs))
+    java.util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = outSchema
+      override def description(): String = s"GraftCreateBranchResult($src@$branch)"
+    }).iterator()
+  }
+}
+
+/** `CALL graft.system.publish_branch(ns, table, branch)` — fast-forward
+  * the table to the branch's state as one atomic commit and drop the
+  * branch (refuses if the table took data commits since the branch was
+  * cut). Work in `GraftCatalog.publishBranch`.
+  */
+private[graft] object GraftPublishBranchProcedure
+    extends procedures.UnboundProcedure with procedures.BoundProcedure {
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+
+  override def name(): String = "publish_branch"
+  override def description(): String =
+    "publish_branch(ns, table, branch): fast-forward the table to the branch state"
+  override def bind(inputType: StructType): procedures.BoundProcedure = this
+  override def isDeterministic: Boolean = false // mutates table state
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("ns", StringType).comment("namespace").build(),
+    ProcedureParameter.in("table", StringType).comment("table name").build(),
+    ProcedureParameter.in("branch", StringType).comment("branch name").build())
+
+  private val outSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("new_version", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("branch_commits", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("segments", IntegerType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val src = Identifier.of(
+      Array(input.getUTF8String(0).toString), input.getUTF8String(1).toString)
+    val branch = input.getUTF8String(2).toString
+    val (newV, branchCommits, nSegs) = GraftCatalog.publishBranch(src, branch)
+    val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(src.toString),
+        newV, branchCommits, nSegs))
+    java.util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = outSchema
+      override def description(): String = s"GraftPublishBranchResult($src@$branch)"
+    }).iterator()
+  }
+}
+
 /** `CALL graft.system.history(ns, table)` — the DESCRIBE HISTORY
   * analogue: one row per RETAINED snapshot (version, commit time,
   * segment count, row count, is_current), newest first. Versions
@@ -1229,6 +1310,15 @@ object GraftCatalog {
     */
   private[sources] val AutoCompactProp = "graft.autocompact.segments"
 
+  /** Branch provenance, stamped by `createBranch` and read by
+    * `publishBranch`: the table this entry branches
+    * (`graft.branch.of` = "ns.table") and the source version it was
+    * cut at (`graft.branch.base`). Reserved — forged provenance would
+    * let a publish overwrite an unrelated table.
+    */
+  private[sources] val BranchOfProp = "graft.branch.of"
+  private[sources] val BranchBaseProp = "graft.branch.base"
+
   /** THE one parser of `'graft.write.order'`: the write path's sort,
     * compaction's fold, and the scan's reported ordering must agree on
     * the column list — a desynchronized copy would let the scan report
@@ -1298,7 +1388,7 @@ object GraftCatalog {
     */
   private val ReservedProps =
     Set("provider", "location", "owner", "external", "comment",
-      "is_managed_location")
+      "is_managed_location", BranchOfProp, BranchBaseProp)
   private[sources] def userProps(m: util.Map[String, String]): Map[String, String] =
     m.asScala.filterNot { case (k, _) =>
       ReservedProps.contains(k) || k.startsWith("option.")
@@ -1833,10 +1923,134 @@ object GraftCatalog {
         throw new IllegalArgumentException(s"clone $src: no committed snapshots"))
     }
     val dir = Files.createTempDirectory(segmentRoot, "tbl-").toString
+    // Tags pin versions of the SOURCE's history (which the clone does
+    // not have) and branch provenance describes the SOURCE's lineage —
+    // neither is true of the new table, so neither is carried over.
     store.put(dst, TableEntry(snap.schema, snap.segments, dir, snap.partitionCols,
-      snap.constraints, Map.empty, e.props.filterNot(_._1.startsWith(TagPropPrefix))))
+      snap.constraints, Map.empty, e.props.filterNot(p =>
+        p._1.startsWith(TagPropPrefix) || p._1 == BranchOfProp || p._1 == BranchBaseProp)))
     publish(dst)
     (snap.version, snap.segments.length)
+  }
+
+  /** The identifier a branch of `table` lives under: `<table>@<branch>`
+    * in the same namespace — a real catalog identifier, so every
+    * existing surface (SELECT with backticks, INSERT, DML, time travel,
+    * streaming reads, DROP TABLE to abandon) works on a branch with no
+    * new code paths. Plain CREATE/RENAME refuse '@' names, so the only
+    * mint is [[createBranch]].
+    */
+  private[sources] def branchIdent(table: Identifier, branch: String): Identifier =
+    Identifier.of(table.namespace, table.name + "@" + branch)
+
+  /** DROP a table entry (the class's `dropTable` and the branch drop
+    * inside [[publishBranch]] share this): clears the streaming-epoch
+    * ledger (a re-created table must not inherit old high-watermarks
+    * and silently skip early epochs), GCs files no OTHER table
+    * references (a shallow clone/branch may still serve reads from
+    * them), and takes the directory down only when nothing in it had
+    * to be spared.
+    */
+  private[sources] def dropEntry(ident: Identifier): Boolean = mutate {
+    epochs.keySet.asScala.filter(_._1 == ident).foreach(epochs.remove)
+    val hist = Option(history.remove(ident)).getOrElse(Vector.empty)
+    val entry = store.remove(ident)
+    if (entry != null) {
+      val candidates = (entry.segments ++ hist.flatMap(_.segments)).distinctBy(_.path)
+      val (shared, dead) =
+        candidates.partition(s => referencedByOther(ident, s.path))
+      dead.foreach(SegmentIO.delete)
+      // Separator-bounded compare: /x/tbl-1 must not claim /x/tbl-1234/seg.
+      val dirPrefix = entry.dir.stripSuffix(java.io.File.separator) + java.io.File.separator
+      if (!shared.exists(_.path.startsWith(dirPrefix)))
+        deleteRecursively(Paths.get(entry.dir))
+    }
+    persistTable(ident) // deletes the ledger document
+    entry != null
+  }
+
+  private[sources] def requireNotBranchName(ident: Identifier): Unit =
+    if (ident.name.contains("@"))
+      throw new IllegalArgumentException(
+        s"'@' in $ident is reserved for branch identifiers — " +
+          "use CALL graft.system.create_branch")
+
+  /** BRANCH (`CALL graft.system.create_branch`) — the write-audit-
+    * publish entry point (the Iceberg/Nessie WAP shape): a zero-copy
+    * fork of `src` at `version` (default current) that takes its own
+    * commits in isolation. Audit queries read the branch identifier;
+    * `main` serves production reads untouched until
+    * [[publishBranch]] fast-forwards it. Mechanically a [[cloneTable]]
+    * (shared files, cross-table GC guard) plus recorded provenance:
+    * which table it branches and the version it was cut at — the
+    * fast-forward precondition.
+    */
+  private[sources] def createBranch(
+      src: Identifier, branch: String, version: Option[Long]): (Long, Int) = mutate {
+    if (!branch.matches("[A-Za-z0-9_][A-Za-z0-9_\\-]*"))
+      throw new IllegalArgumentException(
+        s"branch name '$branch' must be alphanumeric/underscore/dash")
+    val (srcV, nSegs) = cloneTable(src, branchIdent(src, branch), version)
+    store.compute(branchIdent(src, branch), (_, e) => {
+      require(e != null)
+      e.copy(props = e.props +
+        (BranchOfProp -> src.toString) + (BranchBaseProp -> srcV.toString))
+    })
+    persistTable(branchIdent(src, branch))
+    (srcV, nSegs)
+  }
+
+  /** PUBLISH (`CALL graft.system.publish_branch`) — fast-forward `src`
+    * to its branch's current state as ONE atomic commit, then drop the
+    * branch. Allowed only when `src` has not logically moved since the
+    * branch was cut: every commit after the recorded base must be
+    * retained and `dataChange=false` (compaction/Z-order/spec evolution
+    * — maintenance must not make a pending audit unpublishable), else
+    * the publish refuses with a re-branch remedy — losing main's
+    * concurrent commits by silent overwrite is never on the table.
+    * CDC provenance composes THROUGH the publish: a CoW UPDATE made on
+    * the branch reaches main's change feed as paired
+    * update_preimage/update_postimage rows, exactly as if it had been
+    * executed on main directly (guarded to segments main still holds —
+    * anything else degrades to net-correct insert+delete).
+    */
+  private[sources] def publishBranch(
+      src: Identifier, branch: String): (Long, Long, Int) = mutate {
+    val bIdent = branchIdent(src, branch)
+    val main = store.get(src)
+    if (main == null) throw new NoSuchTableException(src)
+    val b = store.get(bIdent)
+    if (b == null) throw new NoSuchTableException(bIdent)
+    require(b.props.get(BranchOfProp).contains(src.toString),
+      s"$bIdent is not a branch of $src")
+    val base = b.props.getOrElse(BranchBaseProp,
+      throw new IllegalStateException(s"$bIdent lost its branch-base property")).toLong
+    val mainHist = history.getOrDefault(src, Vector.empty)
+    val mainV = mainHist.lastOption.map(_.version).getOrElse(-1L)
+    val since = mainHist.filter(_.version > base)
+    val allRetained = since.map(_.version).toSet == (base + 1 to mainV).toSet
+    if (!(allRetained && since.forall(!_.dataChange)))
+      throw new IllegalStateException(
+        s"publish_branch '$branch': $src committed data after the branch was cut at " +
+          s"version $base (now at $mainV) — fast-forward would lose those commits. " +
+          s"Re-create the branch from the current version and re-apply the audit.")
+    // Branch lineage: v0 is the clone; compose every rewrite it
+    // recorded since, keeping only pairs whose source segment main
+    // still holds and whose rewritten segment the branch still holds.
+    val bV = history.getOrDefault(bIdent, Vector.empty)
+      .lastOption.map(_.version).getOrElse(0L)
+    val mainPaths = main.segments.map(_.path).toSet
+    val bPaths = b.segments.map(_.path).toSet
+    val rewrites = GraftChangeScan.composedRewrites(bIdent, 0L, bV).filter {
+      case (added, origSrc) => mainPaths.contains(origSrc) && bPaths.contains(added)
+    }
+    store.put(src, main.copy(schema = b.schema, segments = b.segments,
+      partitionCols = b.partitionCols, constraints = b.constraints))
+    publish(src, rewrites)
+    dropEntry(bIdent) // cross-table GC guard spares files main now serves
+    val newV = history.getOrDefault(src, Vector.empty)
+      .lastOption.map(_.version).getOrElse(-1L)
+    (newV, bV, b.segments.length)
   }
 
   /** Resolve a user-supplied version string — a numeric commit id or a
@@ -2231,7 +2445,7 @@ object GraftCatalog {
     // VECTORS under different specs are different partitions — folding
     // them together would mint a segment whose key lies about one era.
     val compacted = entry.segments.groupBy(s => (s.spec, s.key)).toSeq
-      .sortBy { case ((spec, key), _) => spec.mkString(" ") + " " + key.mkString(" ") }
+      .sortBy { case ((spec, key), _) => spec.mkString(" ") + "\u0000" + key.mkString(" ") }
       .flatMap { case ((spec, key), segs) =>
         // A lone segment still rewrites when it carries a deletion
         // vector — compaction is the dv materialization point.

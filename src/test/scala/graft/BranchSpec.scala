@@ -1,0 +1,152 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Write-audit-publish branches (the Iceberg/Nessie WAP shape).
+  * `CALL graft.system.create_branch` cuts a zero-copy fork at
+  * `ns.<table>@<branch>`; the branch takes writes and DML in isolation
+  * while the main table serves production reads untouched;
+  * `publish_branch` fast-forwards main to the branch state as ONE
+  * atomic commit and drops the branch. Load-bearing claims: isolation
+  * both ways, fast-forward-only publish (data commits on main since
+  * the cut refuse; dataChange=false maintenance commits don't), CDC
+  * provenance composing THROUGH the publish, and GC never eating a
+  * branch-written file that main now serves.
+  */
+class BranchSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s
+  }
+  import spark.implicits._
+
+  private def ks(t: String): Seq[Long] =
+    spark.sql(s"SELECT k FROM $t ORDER BY k").as[Long].collect().toSeq
+
+  test("WAP: branch writes are isolated until publish fast-forwards main") {
+    spark.sql("DROP TABLE IF EXISTS graft.br.t")
+    spark.sql("CREATE TABLE graft.br.t (k BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.br.t VALUES (1), (2)") // v1
+    val c = spark.sql("CALL graft.system.create_branch('br', 't', 'audit', '')")
+      .collect().head
+    assert(c.getAs[Long]("base_version") == 1L)
+    assert(c.getAs[String]("branch") == "br.`t@audit`",
+      "the returned branch identifier is the backticked SQL-ready form")
+    // Write + audit-fix on the branch; main must not see either.
+    spark.sql("INSERT INTO graft.br.`t@audit` VALUES (3), (-7)")
+    spark.sql("DELETE FROM graft.br.`t@audit` WHERE k < 0")
+    assert(ks("graft.br.t") == Seq(1L, 2L), "main is isolated from branch writes")
+    assert(ks("graft.br.`t@audit`") == Seq(1L, 2L, 3L))
+    val p = spark.sql("CALL graft.system.publish_branch('br', 't', 'audit')")
+      .collect().head
+    assert(p.getAs[Long]("new_version") == 2L, "publish is ONE commit on main")
+    assert(ks("graft.br.t") == Seq(1L, 2L, 3L))
+    // The branch is gone; its name errors, and the pre-publish main
+    // state stays time-travelable (the publish moved history forward).
+    intercept[Exception] { spark.sql("SELECT * FROM graft.br.`t@audit`").collect() }
+    assert(spark.sql("SELECT k FROM graft.br.t VERSION AS OF 1 ORDER BY k")
+      .as[Long].collect().toSeq == Seq(1L, 2L))
+  }
+
+  test("publish refuses when main took a data commit since the cut") {
+    spark.sql("DROP TABLE IF EXISTS graft.br.d")
+    spark.sql("CREATE TABLE graft.br.d (k BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.br.d VALUES (1)") // v1
+    spark.sql("CALL graft.system.create_branch('br', 'd', 'exp', '')").collect()
+    spark.sql("INSERT INTO graft.br.`d@exp` VALUES (2)")
+    spark.sql("INSERT INTO graft.br.d VALUES (9)") // main diverges
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.publish_branch('br', 'd', 'exp')").collect()
+    }
+    assert(e.getMessage.contains("fast-forward"),
+      s"divergence must refuse with the fast-forward remedy, got: ${e.getMessage}")
+    // Main and the branch both keep their states — nothing was lost.
+    assert(ks("graft.br.d") == Seq(1L, 9L))
+    assert(ks("graft.br.`d@exp`") == Seq(1L, 2L))
+    spark.sql("DROP TABLE graft.br.`d@exp`") // abandoning a branch is just DROP
+  }
+
+  test("dataChange=false maintenance on main does not block a publish") {
+    spark.sql("DROP TABLE IF EXISTS graft.br.m")
+    spark.sql("CREATE TABLE graft.br.m (k BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.br.m VALUES (1)")
+    spark.sql("INSERT INTO graft.br.m VALUES (2)") // two segments to fold
+    spark.sql("CALL graft.system.create_branch('br', 'm', 'w', '')").collect()
+    spark.sql("INSERT INTO graft.br.`m@w` VALUES (3)")
+    // Compaction commits on main with dataChange=false: no logical row
+    // moved, so the audit must still be publishable.
+    spark.sql("CALL graft.system.compact('br', 'm')").collect()
+    spark.sql("CALL graft.system.publish_branch('br', 'm', 'w')").collect()
+    assert(ks("graft.br.m") == Seq(1L, 2L, 3L))
+  }
+
+  test("CDC provenance composes through the publish (branch CoW UPDATE pairs)") {
+    spark.sql("DROP TABLE IF EXISTS graft.br.c")
+    spark.sql("CREATE TABLE graft.br.c (k BIGINT, v BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.br.c VALUES (1, 10), (2, 20)") // v1
+    spark.sql("CALL graft.system.create_branch('br', 'c', 'fix', '')").collect()
+    spark.sql("UPDATE graft.br.`c@fix` SET v = v + 1 WHERE k = 2") // CoW rewrite
+    spark.sql("CALL graft.system.publish_branch('br', 'c', 'fix')").collect()
+    val feed = spark.read.format("graft-changes")
+      .option("table", "br.c").option("changesFrom", "1").load()
+      .select($"_change_type", $"k", $"v").as[(String, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(feed.toSeq == Seq(
+      ("update_postimage", 2L, 21L), ("update_preimage", 2L, 20L)),
+      s"the branch's UPDATE must reach main's feed as a paired update, got ${feed.toSeq}")
+  }
+
+  test("GC never eats a branch-written file main now serves") {
+    spark.sql("DROP TABLE IF EXISTS graft.br.g")
+    spark.sql("CREATE TABLE graft.br.g (k BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.br.g VALUES (1)")
+    spark.sql("CALL graft.system.create_branch('br', 'g', 'b', '')").collect()
+    spark.sql("INSERT INTO graft.br.`g@b` VALUES (2)") // file in the BRANCH's dir
+    spark.sql("CALL graft.system.publish_branch('br', 'g', 'b')").collect()
+    // The publish dropped the branch entry; vacuum + more churn on main
+    // must leave the adopted file readable.
+    spark.sql("CALL graft.system.vacuum('br', 'g')").collect()
+    spark.sql("INSERT INTO graft.br.g VALUES (3)")
+    assert(ks("graft.br.g") == Seq(1L, 2L, 3L))
+  }
+
+  test("branch at an old version exists, but publish from it refuses") {
+    spark.sql("DROP TABLE IF EXISTS graft.br.o")
+    spark.sql("CREATE TABLE graft.br.o (k BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.br.o VALUES (1)") // v1
+    spark.sql("INSERT INTO graft.br.o VALUES (2)") // v2
+    spark.sql("CALL graft.system.create_branch('br', 'o', 'old', '1')").collect()
+    assert(ks("graft.br.`o@old`") == Seq(1L), "branch pins the requested version")
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.publish_branch('br', 'o', 'old')").collect()
+    }
+    assert(e.getMessage.contains("fast-forward"))
+    spark.sql("DROP TABLE graft.br.`o@old`")
+  }
+
+  test("'@' names are mintable only by create_branch; branches don't rename") {
+    spark.sql("DROP TABLE IF EXISTS graft.br.n")
+    spark.sql("CREATE TABLE graft.br.n (k BIGINT) USING graft")
+    val e1 = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.br.`fake@branch` (k BIGINT) USING graft")
+    }
+    assert(e1.getMessage.contains("reserved for branch identifiers"))
+    spark.sql("CALL graft.system.create_branch('br', 'n', 'r', '')").collect()
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.br.`n@r` RENAME TO graft.br.stolen")
+    }
+    assert(e2.getMessage.contains("branch"))
+    // Forged provenance is rejected: the branch props are reserved.
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.br.n SET TBLPROPERTIES ('graft.branch.of'='br.other')")
+    }
+    assert(e3.getMessage.contains("reserved"))
+    spark.sql("DROP TABLE graft.br.`n@r`")
+    // Bad branch names refuse before any state lands.
+    val e4 = intercept[Exception] {
+      spark.sql("CALL graft.system.create_branch('br', 'n', 'no spaces', '')").collect()
+    }
+    assert(e4.getMessage.contains("branch name"))
+  }
+}
