@@ -1145,6 +1145,59 @@ object SourceQueries {
       .orderBy("side", "seg")
   }
 
+  /** X5j: HIDDEN (transform) PARTITIONING — `PARTITIONED BY (days(ts),
+    * bucket(4, user_id))`, the Iceberg shape: the table declares
+    * TRANSFORMS of its columns as the partition spec, the writer routes
+    * rows by the transform values (Spark's clustered write distribution
+    * resolves days/bucket through the catalog's FunctionCatalog), and
+    * queries keep filtering the RAW columns — a week-slice predicate on
+    * `ts` prunes to the covered day segments through the temporal zone
+    * maps day-clustered ingestion makes tight, and a `user_id` point
+    * probe prunes to its hash bucket through the partition KEY (both
+    * plan-asserted in HiddenPartitionSpec). The DuckDB oracle computes
+    * the same two slices from the raw parquet — mis-routed rows,
+    * off-by-one day boundaries (UTC floorDiv), or over-pruned segments
+    * all break the hash.
+    */
+  val x5jHiddenPartitioning: Q = Q(
+    "x5j_hidden_partitioning",
+    """WITH wk AS (SELECT event_type, value FROM events
+      |            WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      |              AND ts <  TIMESTAMP '2024-01-15 00:00:00'),
+      |     u AS (SELECT event_type, value FROM events WHERE user_id = 42)
+      |SELECT 'user42' AS slice, event_type, count(*) AS n,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total
+      |FROM u GROUP BY event_type
+      |UNION ALL
+      |SELECT 'week' AS slice, event_type, count(*) AS n,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total
+      |FROM wk GROUP BY event_type
+      |ORDER BY slice, event_type""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.events(spark, dir).createOrReplaceTempView("x5j_events_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.ev_hidden")
+    spark.sql(
+      """CREATE TABLE graft.demo.ev_hidden
+        |(ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE)
+        |USING graft PARTITIONED BY (days(ts), bucket(4, user_id))""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.ev_hidden
+        |SELECT ts, user_id, event_type, value FROM x5j_events_src""".stripMargin)
+    spark.sql(
+      """SELECT 'user42' AS slice, event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total
+        |FROM graft.demo.ev_hidden WHERE user_id = 42
+        |GROUP BY event_type
+        |UNION ALL
+        |SELECT 'week' AS slice, event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total
+        |FROM graft.demo.ev_hidden
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY event_type
+        |ORDER BY slice, event_type""".stripMargin)
+  }
+
   /** X12: BRANCH write-audit-publish (the Iceberg/Nessie WAP shape).
     * Production lands a base batch on main; an `audit` branch is cut
     * zero-copy; the STAGING batch is written to the branch, audited
@@ -1214,6 +1267,6 @@ object SourceQueries {
     x6CatalogFunction,
     x7CatalogView, x8MaterializedView, x9MvRollup, x9bStaleMv,
     x9cMvRewriteOff, x9cMvRewriteOn, x5fPartitionProfile, x5gCosortedJoin,
-    x5hPartitionOverwrite, x5iPartitionEvolution, x10TableChanges,
-    x10bCdcUpdatePairs, x11RestoreClone, x12BranchWap)
+    x5hPartitionOverwrite, x5iPartitionEvolution, x5jHiddenPartitioning,
+    x10TableChanges, x10bCdcUpdatePairs, x11RestoreClone, x12BranchWap)
 }

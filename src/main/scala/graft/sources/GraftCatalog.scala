@@ -150,34 +150,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * PARTITION VALUE, the scan plans one split per value, and reports
     * `KeyGroupedPartitioning` — the storage-partitioned-join layout.
     */
+  /** Identity fields keep the historical restriction to EXACTLY the
+    * stats-writer's tracked comparable set: a partition type the zone
+    * maps can't compare would make partition pruning a silent no-op
+    * and — worse — partition-scoped OVERWRITE unable to prove which
+    * segments to replace. (NumericType used to admit DecimalType here,
+    * which is untracked; that mismatch made a DECIMAL-partitioned
+    * static overwrite wipe unrelated partitions.) Transform fields
+    * (`days`/`bucket`/`truncate`) validate their own source types in
+    * [[PartField.validate]].
+    */
   private def validatePartitionCols(
       schema: StructType, partitions: Array[Transform]): Seq[String] =
-    partitions.toSeq.map { t =>
-      val refs = t.references()
-      if (t.name() != "identity" || refs.length != 1 || refs(0).fieldNames().length != 1)
-        throw new UnsupportedOperationException(
-          s"graft catalog supports only identity partition transforms on top-level columns, got: $t")
-      val name = refs(0).fieldNames()(0)
-      val f = schema.fields.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"partition column $name not in schema ${schema.simpleString}"))
-      // EXACTLY the stats-writer's tracked set (the doc above promises
-      // it): a partition type the zone maps can't compare would make
-      // partition pruning a silent no-op and — worse — partition-
-      // scoped OVERWRITE unable to prove which segments to replace.
-      // NumericType used to admit DecimalType here, which is untracked;
-      // that mismatch made a DECIMAL-partitioned static overwrite wipe
-      // unrelated partitions.
-      f.dataType match {
-        case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType |
-             org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType |
-             org.apache.spark.sql.types.StringType |
-             org.apache.spark.sql.types.BooleanType => f.name
-        case dt => throw new UnsupportedOperationException(
-          s"graft catalog partitions on integral/floating/string/boolean columns, $name is $dt")
-      }
-    }
+    partitions.toSeq.map(t => PartField.validate(PartField.fromSparkTransform(t), schema))
 
   override def createTable(
       ident: Identifier,
@@ -382,7 +367,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           fields(i) = fields(i).copy(name = rn.newName())
           e.copy(
             schema = StructType(fields),
-            partitionCols = e.partitionCols.map(c => if (c == from) rn.newName() else c),
+            // renameIn rewrites identity fields AND the source column
+            // inside transform fields (days(old) -> days(new)).
+            partitionCols = e.partitionCols.map(PartField.renameIn(_, from, rn.newName())),
             // Segments' spec names the SAME columns under their new
             // name — a rename is metadata-only and must not make
             // existing segments look like a foreign partition era
@@ -391,8 +378,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
             // snapshots keep the OLD names paired with the old schema;
             // only the live entry re-pairs.
             segments = e.segments.map(s =>
-              if (s.spec.contains(from))
-                s.copy(spec = s.spec.map(c => if (c == from) rn.newName() else c))
+              if (s.spec.exists(PartField.parse(_).source == from))
+                s.copy(spec = s.spec.map(PartField.renameIn(_, from, rn.newName())))
               else s))
         }
       })
@@ -429,8 +416,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
                 throw new UnsupportedOperationException(
                   s"unsupported retype of $n: ${f.dataType.simpleString} -> " +
                     s"${u.newDataType().simpleString} is not a safe widening")
-              if (prev.partitionCols.contains(n)) throw new UnsupportedOperationException(
-                "cannot retype a partition column")
+              if (PartField.sources(prev.partitionCols).contains(n))
+                throw new UnsupportedOperationException(
+                  "cannot retype a partition column")
               if (prev.constraints.exists(_.toDDL.contains(n)))
                 throw new UnsupportedOperationException(
                   s"column $n is referenced by a constraint; drop it first")
@@ -480,8 +468,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
               throw new IllegalArgumentException(s"no such column $n")
             n
           }.toSet
-          if (prev.partitionCols.exists(dropNames)) throw new UnsupportedOperationException(
-            "cannot drop a partition column")
+          if (PartField.sources(prev.partitionCols).exists(dropNames))
+            throw new UnsupportedOperationException(
+              "cannot drop a partition column")
           if (prev.constraints.exists(c => dropNames.exists(c.toDDL.contains)))
             throw new UnsupportedOperationException(
               "cannot drop a column referenced by a constraint; drop the constraint first")
@@ -770,6 +759,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.namespace.sameElements(Array("math")) && ident.name == "clamp")
       GraftClampFunction
+    // Empty-namespace names are how Spark resolves partition TRANSFORMS
+    // (write-side clustered distribution, read-side key-grouped
+    // partitioning) against the table's catalog — SPARK-33779, the
+    // Iceberg FunctionCatalog shape.
+    else if (ident.namespace.isEmpty && ident.name == "days") GraftDaysFunction
+    else if (ident.namespace.isEmpty && ident.name == "bucket") GraftBucketFunction
+    else if (ident.namespace.isEmpty && ident.name == "truncate") GraftTruncateFunction
     else throw new NoSuchFunctionException(ident)
 }
 
@@ -1877,22 +1873,14 @@ object GraftCatalog {
     */
   private[sources] def setPartitioning(
       ident: Identifier, cols: Seq[String]): (Long, Seq[String]) = mutate {
-    import org.apache.spark.sql.types._
     val entry = store.get(ident)
     if (entry == null) throw new NoSuchTableException(ident)
-    cols.foreach { name =>
-      val f = entry.schema.fields.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"partition column $name not in schema ${entry.schema.simpleString}"))
-      f.dataType match {
-        case LongType | IntegerType | ShortType | ByteType |
-             DoubleType | FloatType | StringType | BooleanType => ()
-        case dt => throw new UnsupportedOperationException(
-          s"graft catalog partitions on integral/floating/string/boolean columns, $name is $dt")
-      }
-    }
+    // Fields parse through the same canonical grammar as PARTITIONED BY
+    // — `set_partitioning(ns, t, 'days(ts),bucket(16,k)')` evolves to a
+    // hidden-partition spec exactly like CREATE would declare it.
+    val canonical = cols.map(c => PartField.validate(PartField.parse(c), entry.schema))
     val old = entry.partitionCols
-    store.put(ident, entry.copy(partitionCols = cols))
+    store.put(ident, entry.copy(partitionCols = canonical))
     publish(ident, dataChange = false) // metadata-only: no logical row changed
     val v = history.getOrDefault(ident, Vector.empty).lastOption.map(_.version).getOrElse(-1L)
     (v, old)
@@ -2456,15 +2444,21 @@ object GraftCatalog {
           // CURRENT spec — compaction is the era-migration point (the
           // Iceberg rewrite_data_files answer to spec evolution).
           // `sorted` stays false: re-routing may interleave runs.
-          val newIdx: IndexedSeq[Int] =
-            entry.partitionCols.map(entry.schema.fieldIndex).toIndexedSeq
+          // Transform fields key by the transform OUTPUT, same
+          // PartField semantics as the write router.
+          val newFields: IndexedSeq[(PartField, Int, DataType)] =
+            entry.partitionCols.map { c =>
+              val pf = PartField.parse(c)
+              val i = entry.schema.fieldIndex(pf.source)
+              (pf, i, entry.schema.fields(i).dataType)
+            }.toIndexedSeq
           def keyOf(r: UnsafeRow): IndexedSeq[Any] =
-            newIdx.map { i =>
+            newFields.map { case (pf, i, dt) =>
               if (r.isNullAt(i)) null
-              else entry.schema.fields(i).dataType match {
+              else pf.eval(dt match {
                 case StringType => r.getUTF8String(i).toString
-                case dt => r.get(i, dt)
-              }
+                case _ => r.get(i, dt)
+              }, dt)
             }
           val writers =
             new scala.collection.mutable.LinkedHashMap[IndexedSeq[Any], SegmentIO.Writer]()
@@ -2825,8 +2819,34 @@ private[graft] object ZoneMap {
   private def cmpOk(schema: StructType, attr: String, v: Any): Boolean =
     schema.fieldNames.contains(attr) && v != null && (v match {
       case _: Number | _: String | _: java.lang.Boolean => true
+      // Temporal literals prune against the writer's internal-encoding
+      // stats once normalized (see `norm`).
+      case _: java.sql.Timestamp | _: java.sql.Date | _: java.time.Instant |
+           _: java.time.LocalDate | _: java.time.LocalDateTime => true
       case _ => false
     })
+
+  /** Normalize a pushed temporal literal to the INTERNAL encoding the
+    * stats writer tracked (micros for timestamps, epoch days for
+    * dates) so `cmp` sees two integrals. Non-temporal values pass
+    * through untouched; a literal/type mismatch yields the original
+    * value, where `cmp` returns None and pruning safely declines.
+    */
+  private[sources] def norm(schema: StructType, attr: String, v: Any): Any = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    val dt = schema.fields.find(_.name == attr).map(_.dataType)
+    (dt, v) match {
+      case (Some(TimestampType | TimestampNTZType), t: java.sql.Timestamp) =>
+        DateTimeUtils.fromJavaTimestamp(t)
+      case (Some(TimestampType | TimestampNTZType), i: java.time.Instant) =>
+        DateTimeUtils.instantToMicros(i)
+      case (Some(TimestampType | TimestampNTZType), l: java.time.LocalDateTime) =>
+        DateTimeUtils.localDateTimeToMicros(l)
+      case (Some(DateType), d: java.sql.Date) => DateTimeUtils.fromJavaDate(d)
+      case (Some(DateType), l: java.time.LocalDate) => DateTimeUtils.localDateToDays(l)
+      case _ => v
+    }
+  }
 
   /** True unless the segment PROVABLY holds no matching row. */
   def mightMatch(f: Filter, schema: StructType, seg: Segment): Boolean =
@@ -2898,23 +2918,31 @@ private[graft] object ZoneMap {
     def outOfRange(attr: String, v: Any): Boolean =
       v != null && withStat(attr)(s =>
         cmp(v, s.min).exists(_ < 0) || cmp(v, s.max).exists(_ > 0))
-    def misses(attr: String, v: Any): Boolean =
+    // Temporal literals normalize to the internal encodings the stats
+    // writer tracked before any compare (integral vs integral).
+    def misses(attr: String, v0: Any): Boolean = {
+      val v = norm(schema, attr, v0)
       outOfRange(attr, v) || bloomMiss(schema, seg, attr, v)
+    }
     f match {
       case EqualTo(a, v) => misses(a, v)
       case EqualNullSafe(a, v) =>
-        if (v == null) stat(schema, seg, a).exists(_.nulls == 0)
+        // `nulls == 0` proves no-nulls only for a TRACKED column (an
+        // untracked one never counts — its stat is (null, null, 0) with
+        // rows > 0). `min != null` is the tracked-and-saw-values
+        // witness; without it, keep the segment.
+        if (v == null) stat(schema, seg, a).exists(s => s.nulls == 0 && s.min != null)
         else misses(a, v)
-      case GreaterThan(a, v) =>
+      case GreaterThan(a, v0) => val v = norm(schema, a, v0)
         v != null && withStat(a)(s => cmp(s.max, v).exists(_ <= 0))
-      case GreaterThanOrEqual(a, v) =>
+      case GreaterThanOrEqual(a, v0) => val v = norm(schema, a, v0)
         v != null && withStat(a)(s => cmp(s.max, v).exists(_ < 0))
-      case LessThan(a, v) =>
+      case LessThan(a, v0) => val v = norm(schema, a, v0)
         v != null && withStat(a)(s => cmp(s.min, v).exists(_ >= 0))
-      case LessThanOrEqual(a, v) =>
+      case LessThanOrEqual(a, v0) => val v = norm(schema, a, v0)
         v != null && withStat(a)(s => cmp(s.min, v).exists(_ > 0))
       case In(a, vs) => vs.nonEmpty && vs.forall(v => misses(a, v))
-      case IsNull(a) => stat(schema, seg, a).exists(_.nulls == 0)
+      case IsNull(a) => stat(schema, seg, a).exists(s => s.nulls == 0 && s.min != null)
       case IsNotNull(a) => stat(schema, seg, a).exists(s => allNull(s, seg))
       case StringStartsWith(a, p) =>
         // values in [p, successor(p)) start with p; the segment misses
@@ -2969,9 +2997,15 @@ private[sources] object SegmentIO {
     // Column types the zone map tracks; others get ColStat(null, null, 0)
     // with a rows-long null count of 0 — ZoneMap treats a null min with
     // nulls < rows as "unsupported, never prune".
+    // Temporal columns track through their INTERNAL encodings (micros
+    // Long / epoch-day Int) — ZoneMap normalizes pushed temporal
+    // literals to the same encodings, which is what makes time-range
+    // segment skipping work on event tables (the 100 TB time-series
+    // case: a `ts BETWEEN ...` should read days, not history).
     private val tracked: Array[Boolean] = schema.fields.map(_.dataType match {
       case LongType | IntegerType | ShortType | ByteType |
-           DoubleType | FloatType | BooleanType | StringType => true
+           DoubleType | FloatType | BooleanType | StringType |
+           TimestampType | TimestampNTZType | DateType => true
       case _ => false
     })
     // Bloom-tracked columns (point-lookup-shaped types) get a distinct-
@@ -2981,8 +3015,8 @@ private[sources] object SegmentIO {
         if (SegmentBloom.trackable(f.dataType)) new SegmentBloom.Builder else null)
 
     private def colValue(row: UnsafeRow, i: Int): Any = schema.fields(i).dataType match {
-      case LongType => row.getLong(i)
-      case IntegerType => row.getInt(i)
+      case LongType | TimestampType | TimestampNTZType => row.getLong(i)
+      case IntegerType | DateType => row.getInt(i)
       case ShortType => row.getShort(i)
       case ByteType => row.getByte(i)
       case DoubleType => row.getDouble(i)
@@ -3175,8 +3209,7 @@ private[sources] class GraftCatalogTable(
     if (pinned.isDefined) s"$ident (time travel)" else ident.toString
   override def schema(): StructType = schema0
   override def partitioning(): Array[Transform] =
-    partitionCols.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+    partitionCols.map(c => PartField.parse(c).toTransform).toArray
   // A time-travel (pinned-snapshot) table is READ-ONLY: snapshots are
   // immutable history, and advertising write capabilities would let
   // `INSERT INTO t VERSION AS OF 2` plan before failing confusingly.
@@ -3384,8 +3417,14 @@ private[sources] class GraftCatalogTable(
             Expressions.column(c),
             org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
         override def requiredDistribution(): Distribution =
+          // Transform fields cluster by the TRANSFORM expression — Spark
+          // resolves days/bucket/truncate through this catalog's
+          // loadFunction (empty namespace), so the shuffle routes rows
+          // exactly like the per-task writer keys them and a
+          // days-partitioned ingest lands one segment per day per key,
+          // not per task.
           if (partitionCols.nonEmpty) Distributions.clustered(
-            partitionCols.map(c => Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+            partitionCols.map(c => PartField.parse(c).toTransform: org.apache.spark.sql.connector.expressions.Expression).toArray)
           else if (orderCols.nonEmpty) Distributions.ordered(sortOrders)
           else Distributions.unspecified()
         override def requiredOrdering(): Array[SortOrder] = sortOrders
@@ -3644,8 +3683,7 @@ private[sources] class GraftStagedTable(
   override def name(): String = s"$ident (staged)"
   override def schema(): StructType = schema0
   override def partitioning(): Array[Transform] =
-    partitionCols.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+    partitionCols.map(c => PartField.parse(c).toTransform).toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
@@ -3661,7 +3699,7 @@ private[sources] class GraftStagedTable(
           if (partitionCols.isEmpty) Distributions.unspecified()
           else Distributions.clustered(
             partitionCols.map(c =>
-              Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression)
+              PartField.parse(c).toTransform: org.apache.spark.sql.connector.expressions.Expression)
               .toArray)
         override def requiredOrdering(): Array[SortOrder] = Array.empty
         override def toBatch: BatchWrite = new BatchWrite {
@@ -3787,7 +3825,11 @@ private[sources] class GraftCatalogScanBuilder(
           schema.fields.find(_.name == nr.fieldNames()(0)).collect {
             case f if (f.dataType match {
               case LongType | IntegerType | ShortType | ByteType |
-                   DoubleType | FloatType | BooleanType | StringType => true
+                   DoubleType | FloatType | BooleanType | StringType |
+                   // Temporal stats are internal micros/epoch-days —
+                   // exactly the InternalRow encodings MIN/MAX must
+                   // emit, so the fold passes them through.
+                   TimestampType | TimestampNTZType | DateType => true
               case _ => false
             }) => f.name
           }
@@ -3916,8 +3958,8 @@ private[graft] case class GraftCatalogAggScan(
       SegmentIO.foreachRow(s, schema.length) { r =>
         if (!r.isNullAt(i)) {
           val v: Any = dt match {
-            case LongType => r.getLong(i)
-            case IntegerType => r.getInt(i)
+            case LongType | TimestampType | TimestampNTZType => r.getLong(i)
+            case IntegerType | DateType => r.getInt(i)
             case ShortType => r.getShort(i)
             case ByteType => r.getByte(i)
             case DoubleType => r.getDouble(i)
@@ -4153,9 +4195,20 @@ private[graft] case class GraftCatalogScan(
     // transient field: null after executor-side deserialization (where
     // survivors is never called — but a guard beats an NPE).
     val rt = if (runtimePruning == null) IndexedSeq.empty else runtimePruning
+    val fs = pruning ++ rt
+    // Hidden-partition KEY pruning: for segments written under the
+    // CURRENT spec, a bucket(n, col) field proves absence for equality
+    // /IN probes on col that hash to a different bucket — the pruning
+    // class zone maps can't supply (hash membership is range-opaque).
+    // days/truncate need nothing here: their clustered writes make the
+    // SOURCE column's zone maps tight, and those prune ranges already.
+    val pfs = PartField.fields(partitionCols)
+    val keyPrunes = pfs.exists(_.isInstanceOf[PartBucket])
     pinned.getOrElse(GraftCatalog.segmentsOf(ident))
       .filter(seg =>
-        (pruning ++ rt).forall(f => ZoneMap.mightMatch(f, schema, seg)))
+        fs.forall(f => ZoneMap.mightMatch(f, schema, seg)) &&
+          (!keyPrunes || seg.spec != partitionCols ||
+            fs.forall(f => PartField.keyMightMatch(pfs, seg.key, schema, f))))
   }
 
   // Deterministic order: groups sorted by key rendering, so repeated
@@ -4241,8 +4294,12 @@ private[graft] case class GraftCatalogScan(
     val groups = if (!keyedLayout) Nil else keyGroups
     if (groups.isEmpty) new UnknownPartitioning(capForLimit(survivors).length)
     else new KeyGroupedPartitioning(
+      // Transform fields report the transform expression (key values
+      // are the transform OUTPUTS); Spark resolves it through this
+      // catalog's loadFunction, or silently degrades to unknown
+      // partitioning when it can't — never a wrong co-location claim.
       partitionCols.map(c =>
-        Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray,
+        PartField.parse(c).toTransform: org.apache.spark.sql.connector.expressions.Expression).toArray,
       groups.length)
   }
 
@@ -4674,7 +4731,16 @@ private[sources] case class GraftSegmentWriterFactory(
       import org.apache.spark.sql.types.StringType
       private var proj: UnsafeProjection = _
       private var projFields = -1
-      private val keyIdx = partCols.map(target.fieldIndex).toArray
+      // Per partition FIELD: (parsed field, source-column ordinal,
+      // source type). Identity fields pass the raw value through;
+      // transform fields (days/bucket/truncate) key by the transform
+      // OUTPUT — the hidden-partitioning router.
+      private val keyFields: Array[(PartField, Int, org.apache.spark.sql.types.DataType)] =
+        partCols.map { c =>
+          val pf = PartField.parse(c)
+          val i = target.fieldIndex(pf.source)
+          (pf, i, target.fields(i).dataType)
+        }.toArray
       private val writers =
         new scala.collection.mutable.LinkedHashMap[IndexedSeq[Any], SegmentIO.Writer]()
       private val MaxWritersPerTask = 1000
@@ -4684,11 +4750,14 @@ private[sources] case class GraftSegmentWriterFactory(
       // metastore. UTF8String reads point into the reused row buffer:
       // toString copies.
       private def keyOf(row: UnsafeRow): IndexedSeq[Any] =
-        keyIdx.toIndexedSeq.map { i =>
+        keyFields.toIndexedSeq.map { case (pf, i, dt) =>
           if (row.isNullAt(i)) null
-          else target.fields(i).dataType match {
-            case StringType => row.getUTF8String(i).toString
-            case dt => row.get(i, dt)
+          else {
+            val v = dt match {
+              case StringType => row.getUTF8String(i).toString
+              case _ => row.get(i, dt)
+            }
+            pf.eval(v, dt)
           }
         }
 
@@ -4704,7 +4773,7 @@ private[sources] case class GraftSegmentWriterFactory(
           projFields = record.numFields
         }
         val row = proj(record)
-        val key = if (keyIdx.isEmpty) Vector.empty else keyOf(row)
+        val key = if (keyFields.isEmpty) Vector.empty else keyOf(row)
         val w = writers.getOrElseUpdate(key, {
           require(writers.size < MaxWritersPerTask,
             s"task saw > $MaxWritersPerTask distinct partition values — " +

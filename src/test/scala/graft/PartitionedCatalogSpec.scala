@@ -337,15 +337,22 @@ class PartitionedCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.pt.ev")
   }
 
-  test("non-identity transforms and unknown partition columns are rejected") {
+  test("unsupported transforms and unknown partition columns are rejected") {
+    // days/bucket/truncate are SUPPORTED transforms now (hidden
+    // partitioning, HiddenPartitionSpec); the rejection boundary is
+    // transforms outside that set and columns outside the schema.
     spark.sql("DROP TABLE IF EXISTS graft.pt.bad")
     intercept[Exception] {
       spark.sql(
-        "CREATE TABLE graft.pt.bad (k STRING, ts TIMESTAMP) USING graft PARTITIONED BY (days(ts))")
+        "CREATE TABLE graft.pt.bad (k STRING, ts TIMESTAMP) USING graft PARTITIONED BY (hours(ts))")
     }
     intercept[Exception] {
       spark.sql(
         "CREATE TABLE graft.pt.bad (k STRING) USING graft PARTITIONED BY (nope)")
+    }
+    intercept[Exception] {
+      spark.sql(
+        "CREATE TABLE graft.pt.bad (k STRING) USING graft PARTITIONED BY (days(nope))")
     }
   }
 

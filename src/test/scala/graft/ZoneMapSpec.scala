@@ -68,6 +68,57 @@ class ZoneMapSpec extends AnyFunSuite {
     assert(ZoneMap.mightMatch(EqualNullSafe("name", null), schema, seg))
   }
 
+  test("untracked columns never prove null-freeness (nulls=0 is absence of counting)") {
+    // arr is untracked: its stat is (null, null, 0) even when rows hold
+    // nulls — IsNull / null-safe-eq must NOT prune on that zero.
+    assert(keep(IsNull("arr")))
+    assert(keep(EqualNullSafe("arr", null)))
+    assert(keep(IsNotNull("arr")))
+  }
+
+  test("temporal literals normalize to internal encodings and prune") {
+    import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+    val tSchema = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("tsn", TimestampNTZType),
+      StructField("d", DateType)))
+    def micros(s: String): Long =
+      Instant.parse(s).getEpochSecond * 1000000L
+    // ts ∈ [2024-01-10T00:00Z, 2024-01-20T00:00Z] stored as micros;
+    // d ∈ [epochDay(2024-01-10), epochDay(2024-01-20)] stored as days.
+    val day10 = LocalDate.parse("2024-01-10").toEpochDay.toInt
+    val day20 = LocalDate.parse("2024-01-20").toEpochDay.toInt
+    val tseg = Segment("/nope", rows = 10, bytes = 100, stats = Vector(
+      ColStat(micros("2024-01-10T00:00:00Z"), micros("2024-01-20T00:00:00Z"), 0),
+      ColStat(micros("2024-01-10T00:00:00Z"), micros("2024-01-20T00:00:00Z"), 0),
+      ColStat(day10, day20, 0)))
+    def k(f: Filter): Boolean = ZoneMap.mightMatch(f, tSchema, tseg)
+    // Instant literals (java8 datetime API, LTZ columns)
+    assert(!k(GreaterThan("ts", Instant.parse("2024-01-20T00:00:01Z"))))
+    assert(k(GreaterThan("ts", Instant.parse("2024-01-19T23:59:59Z"))))
+    assert(!k(LessThan("ts", Instant.parse("2024-01-10T00:00:00Z"))))
+    assert(!k(EqualTo("ts", Instant.parse("2024-02-01T00:00:00Z"))))
+    assert(k(EqualTo("ts", Instant.parse("2024-01-15T12:00:00Z"))))
+    // java.sql.Timestamp literals (legacy API) — epoch-exact, no zone math
+    val jts = java.sql.Timestamp.from(Instant.parse("2024-02-01T00:00:00Z"))
+    val keepJts = java.sql.Timestamp.from(Instant.parse("2024-01-15T00:00:00Z"))
+    assert(!k(EqualTo("ts", jts)) && k(EqualTo("ts", keepJts)))
+    // LocalDateTime literals (NTZ columns)
+    assert(!k(GreaterThan("tsn",
+      LocalDateTime.ofInstant(Instant.parse("2024-01-21T00:00:00Z"), ZoneOffset.UTC))))
+    assert(k(LessThanOrEqual("tsn",
+      LocalDateTime.ofInstant(Instant.parse("2024-01-10T00:00:00Z"), ZoneOffset.UTC))))
+    // LocalDate / java.sql.Date literals against DateType
+    assert(!k(EqualTo("d", LocalDate.parse("2024-01-09"))))
+    assert(k(EqualTo("d", LocalDate.parse("2024-01-10"))))
+    assert(!k(GreaterThan("d", LocalDate.parse("2024-01-20"))))
+    assert(k(In("d", Array[Any](LocalDate.parse("2024-01-11"), LocalDate.parse("2030-01-01")))))
+    assert(!k(In("d", Array[Any](LocalDate.parse("2023-01-01"), LocalDate.parse("2030-01-01")))))
+    // prunable() admits temporal literal shapes
+    assert(ZoneMap.prunable(EqualTo("ts", Instant.now()), tSchema))
+    assert(ZoneMap.prunable(LessThan("d", LocalDate.now()), tSchema))
+  }
+
   test("AND prunes if either side proves empty; OR needs both") {
     assert(!keep(And(EqualTo("id", 150L), EqualTo("name", "zebra"))))
     assert(keep(And(EqualTo("id", 150L), EqualTo("name", "hog"))))
