@@ -764,6 +764,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // partitioning) against the table's catalog — SPARK-33779, the
     // Iceberg FunctionCatalog shape.
     else if (ident.namespace.isEmpty && ident.name == "days") GraftDaysFunction
+    else if (ident.namespace.isEmpty && ident.name == "hours") GraftHoursFunction
+    else if (ident.namespace.isEmpty && ident.name == "months") GraftMonthsFunction
+    else if (ident.namespace.isEmpty && ident.name == "years") GraftYearsFunction
     else if (ident.namespace.isEmpty && ident.name == "bucket") GraftBucketFunction
     else if (ident.namespace.isEmpty && ident.name == "truncate") GraftTruncateFunction
     else throw new NoSuchFunctionException(ident)

@@ -80,6 +80,61 @@ private[graft] case class PartDays(source: String) extends PartField {
   }
 }
 
+private[graft] case class PartHours(source: String) extends PartField {
+  def canonical: String = s"hours($source)"
+  def resultType(src: DataType): DataType = LongType
+  def eval(v: Any, src: DataType): Any =
+    if (v == null) null
+    else src match {
+      case TimestampType | TimestampNTZType =>
+        java.lang.Long.valueOf(PartField.epochHour(v.asInstanceOf[java.lang.Long]))
+      case dt => throw new IllegalArgumentException(s"hours() over $dt")
+    }
+  def toTransform: Transform = Expressions.hours(source)
+  def validFor(src: DataType): Boolean = src match {
+    case TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+}
+
+private[graft] case class PartMonths(source: String) extends PartField {
+  def canonical: String = s"months($source)"
+  def resultType(src: DataType): DataType = IntegerType
+  def eval(v: Any, src: DataType): Any =
+    if (v == null) null
+    else src match {
+      case TimestampType | TimestampNTZType => Integer.valueOf(
+        PartField.epochMonth(PartField.epochDay(v.asInstanceOf[java.lang.Long])))
+      case DateType => Integer.valueOf(
+        PartField.epochMonth(v.asInstanceOf[Number].longValue()))
+      case dt => throw new IllegalArgumentException(s"months() over $dt")
+    }
+  def toTransform: Transform = Expressions.months(source)
+  def validFor(src: DataType): Boolean = src match {
+    case TimestampType | TimestampNTZType | DateType => true
+    case _ => false
+  }
+}
+
+private[graft] case class PartYears(source: String) extends PartField {
+  def canonical: String = s"years($source)"
+  def resultType(src: DataType): DataType = IntegerType
+  def eval(v: Any, src: DataType): Any =
+    if (v == null) null
+    else src match {
+      case TimestampType | TimestampNTZType => Integer.valueOf(
+        PartField.epochYear(PartField.epochDay(v.asInstanceOf[java.lang.Long])))
+      case DateType => Integer.valueOf(
+        PartField.epochYear(v.asInstanceOf[Number].longValue()))
+      case dt => throw new IllegalArgumentException(s"years() over $dt")
+    }
+  def toTransform: Transform = Expressions.years(source)
+  def validFor(src: DataType): Boolean = src match {
+    case TimestampType | TimestampNTZType | DateType => true
+    case _ => false
+  }
+}
+
 private[graft] case class PartBucket(n: Int, source: String) extends PartField {
   def canonical: String = s"bucket($n,$source)"
   def resultType(src: DataType): DataType = IntegerType
@@ -124,6 +179,15 @@ private[graft] case class PartTruncate(w: Long, source: String) extends PartFiel
 private[graft] object PartField {
   private val DayMicros = 86400000000L
   def epochDay(micros: Long): Long = Math.floorDiv(micros, DayMicros)
+  def epochHour(micros: Long): Long = Math.floorDiv(micros, 3600000000L)
+  /** Months since 1970-01 (Iceberg's convention: 2024-03 → 650). */
+  def epochMonth(day: Long): Int = {
+    val ld = java.time.LocalDate.ofEpochDay(day)
+    (ld.getYear - 1970) * 12 + (ld.getMonthValue - 1)
+  }
+  /** Years since 1970 (Iceberg's convention: 2024 → 54). */
+  def epochYear(day: Long): Int =
+    java.time.LocalDate.ofEpochDay(day).getYear - 1970
 
   /** Graft-canonical bucket hash: Murmur3-32 over canonical bytes,
     * floorMod n. Integrals hash their 8-byte little-endian widened
@@ -147,6 +211,9 @@ private[graft] object PartField {
 
   private val BucketRe = """bucket\((\d+),(.+)\)""".r
   private val DaysRe = """days\((.+)\)""".r
+  private val HoursRe = """hours\((.+)\)""".r
+  private val MonthsRe = """months\((.+)\)""".r
+  private val YearsRe = """years\((.+)\)""".r
   private val TruncRe = """truncate\((\d+),(.+)\)""".r
 
   /** Parse one canonical partition-field string. Plain names (no
@@ -156,6 +223,9 @@ private[graft] object PartField {
   def parse(s: String): PartField = s match {
     case BucketRe(n, col) => PartBucket(n.toInt, col.trim)
     case DaysRe(col) => PartDays(col.trim)
+    case HoursRe(col) => PartHours(col.trim)
+    case MonthsRe(col) => PartMonths(col.trim)
+    case YearsRe(col) => PartYears(col.trim)
     case TruncRe(w, col) => PartTruncate(w.toLong, col.trim)
     case name => PartIdentity(name)
   }
@@ -174,6 +244,9 @@ private[graft] object PartField {
     else (pf match {
       case PartIdentity(_) => PartIdentity(to)
       case PartDays(_) => PartDays(to)
+      case PartHours(_) => PartHours(to)
+      case PartMonths(_) => PartMonths(to)
+      case PartYears(_) => PartYears(to)
       case PartBucket(n, _) => PartBucket(n, to)
       case PartTruncate(w, _) => PartTruncate(w, to)
     }).canonical
@@ -189,8 +262,8 @@ private[graft] object PartField {
     if (!pf.validFor(f.dataType))
       throw new UnsupportedOperationException(
         s"partition field ${pf.canonical}: transform not supported over ${f.dataType} " +
-          s"(identity: integral/floating/string/boolean; days: timestamp/date; " +
-          s"bucket/truncate: integral/string)")
+          s"(identity: integral/floating/string/boolean; days/months/years: " +
+          s"timestamp/date; hours: timestamp; bucket/truncate: integral/string)")
     pf match {
       case PartBucket(n, _) if n <= 0 =>
         throw new IllegalArgumentException(s"bucket($n, …): bucket count must be positive")
@@ -222,11 +295,14 @@ private[graft] object PartField {
     t.name() match {
       case "identity" => PartIdentity(singleRef)
       case "days" => PartDays(singleRef)
+      case "hours" => PartHours(singleRef)
+      case "months" => PartMonths(singleRef)
+      case "years" => PartYears(singleRef)
       case "bucket" => PartBucket(intArg, singleRef)
       case "truncate" => PartTruncate(intArg.toLong, singleRef)
       case other => throw new UnsupportedOperationException(
-        s"graft catalog supports identity/days/bucket/truncate partition transforms, " +
-          s"got: $other($t)")
+        s"graft catalog supports identity/years/months/days/hours/bucket/truncate " +
+          s"partition transforms, got: $other($t)")
     }
   }
 
@@ -310,6 +386,55 @@ private[graft] class GraftDaysBound(src: DataType) extends ScalarFunction[java.l
     else src match {
       case DateType => java.lang.Long.valueOf(input.getInt(0).toLong)
       case _ => java.lang.Long.valueOf(PartField.epochDay(input.getLong(0)))
+    }
+}
+
+/** hours/months/years time-unit functions, sharing one bound class —
+  * same PartField value semantics as the write router (hours:
+  * timestamp only; months/years: timestamp or date; Iceberg's
+  * since-1970 offset convention).
+  */
+private[graft] class GraftTimeUnitFunction(unit: String) extends UnboundFunction {
+  override def name(): String = unit
+  override def description(): String = unit match {
+    case "hours" => "hours(ts): UTC epoch hour of a timestamp"
+    case "months" => "months(t): months since 1970-01 of a timestamp/date"
+    case _ => "years(t): years since 1970 of a timestamp/date"
+  }
+  override def bind(inputType: StructType): BoundFunction = {
+    if (inputType.length != 1)
+      throw new UnsupportedOperationException(s"$unit expects 1 argument, got $inputType")
+    inputType.fields(0).dataType match {
+      case TimestampType | TimestampNTZType =>
+        new GraftTimeUnitBound(unit, inputType.fields(0).dataType)
+      case DateType if unit != "hours" =>
+        new GraftTimeUnitBound(unit, DateType)
+      case dt => throw new UnsupportedOperationException(s"$unit() over $dt")
+    }
+  }
+}
+private[graft] object GraftHoursFunction extends GraftTimeUnitFunction("hours")
+private[graft] object GraftMonthsFunction extends GraftTimeUnitFunction("months")
+private[graft] object GraftYearsFunction extends GraftTimeUnitFunction("years")
+
+private[graft] class GraftTimeUnitBound(unit: String, src: DataType)
+    extends ScalarFunction[AnyRef] {
+  override def inputTypes(): Array[DataType] = Array(src)
+  override def resultType(): DataType = if (unit == "hours") LongType else IntegerType
+  override def name(): String = unit
+  override def canonicalName(): String = s"graft.$unit($src)"
+  override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): AnyRef =
+    if (input.isNullAt(0)) null
+    else {
+      val day = src match {
+        case DateType => input.getInt(0).toLong
+        case _ => PartField.epochDay(input.getLong(0))
+      }
+      unit match {
+        case "hours" => java.lang.Long.valueOf(PartField.epochHour(input.getLong(0)))
+        case "months" => Integer.valueOf(PartField.epochMonth(day))
+        case _ => Integer.valueOf(PartField.epochYear(day))
+      }
     }
 }
 

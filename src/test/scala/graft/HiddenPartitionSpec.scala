@@ -229,6 +229,33 @@ class HiddenPartitionSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.hp.ow")
   }
 
+  test("hours/months/years transforms route and pair with their functions") {
+    import org.apache.spark.sql.types._
+    // Value-semantics laws (the writer/function agreement the compound
+    // tests rely on): Iceberg's since-1970 offset convention.
+    val feb2024 = java.time.LocalDate.parse("2024-02-15").toEpochDay
+    assert(PartField.epochMonth(feb2024) == (2024 - 1970) * 12 + 1)
+    assert(PartField.epochYear(feb2024) == 54)
+    assert(PartField.epochMonth(java.time.LocalDate.parse("1969-12-31").toEpochDay) == -1,
+      "pre-epoch months floor negative")
+    assert(PartField.parse("months(d)").eval(
+      Integer.valueOf(feb2024.toInt), DateType) == Integer.valueOf(649))
+    assert(PartField.parse("hours(ts)").eval(
+      java.lang.Long.valueOf(3600000000L * 7 + 1), TimestampType) == java.lang.Long.valueOf(7L))
+    // End-to-end: months-partitioned table routes one segment per month.
+    spark.sql("DROP TABLE IF EXISTS graft.hp.mo")
+    spark.sql(
+      "CREATE TABLE graft.hp.mo (d DATE, v BIGINT) USING graft PARTITIONED BY (months(d))")
+    spark.sql(
+      "INSERT INTO graft.hp.mo SELECT date'2024-01-15' + int(id / 4) * 30, id FROM range(12)")
+    assert(graft.sources.GraftCatalog.rowCount("hp", "mo") == 12L)
+    assert(graft.sources.GraftCatalog.segmentCount("hp", "mo") == 3,
+      "12 rows over 3 months must land 3 segments")
+    assert(spark.sql("SELECT sum(v) FROM graft.hp.mo WHERE d >= date'2024-03-01'")
+      .as[Long].head() == (8L to 11L).sum)
+    spark.sql("DROP TABLE graft.hp.mo")
+  }
+
   test("temporal MIN/MAX answer from segment metadata — zero file reads") {
     spark.sql("DROP TABLE IF EXISTS graft.hp.mm")
     spark.sql("CREATE TABLE graft.hp.mm (ts TIMESTAMP_NTZ, d DATE, v BIGINT) USING graft")

@@ -338,13 +338,18 @@ class PartitionedCatalogSpec extends AnyFunSuite {
   }
 
   test("unsupported transforms and unknown partition columns are rejected") {
-    // days/bucket/truncate are SUPPORTED transforms now (hidden
-    // partitioning, HiddenPartitionSpec); the rejection boundary is
-    // transforms outside that set and columns outside the schema.
+    // years/months/days/hours/bucket/truncate are SUPPORTED transforms
+    // now (hidden partitioning, HiddenPartitionSpec); the rejection
+    // boundary is transforms outside that set, columns outside the
+    // schema, and type-invalid sources.
     spark.sql("DROP TABLE IF EXISTS graft.pt.bad")
     intercept[Exception] {
       spark.sql(
-        "CREATE TABLE graft.pt.bad (k STRING, ts TIMESTAMP) USING graft PARTITIONED BY (hours(ts))")
+        "CREATE TABLE graft.pt.bad (k STRING, ts TIMESTAMP) USING graft PARTITIONED BY (fnord(ts))")
+    }
+    intercept[Exception] { // hours over DATE is type-invalid
+      spark.sql(
+        "CREATE TABLE graft.pt.bad (k STRING, d DATE) USING graft PARTITIONED BY (hours(d))")
     }
     intercept[Exception] {
       spark.sql(
