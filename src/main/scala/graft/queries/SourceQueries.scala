@@ -1198,6 +1198,57 @@ object SourceQueries {
         |ORDER BY slice, event_type""".stripMargin)
   }
 
+  /** X13: MERGE-ON-READ UPSERT via equality deletes (the Iceberg v2 /
+    * Flink-upsert shape): `writeTo(t).option("graft.upsert.keys",
+    * "k").append()` lands the batch's segments AND an equality delete
+    * over its keys in ONE commit — older rows with those keys vanish
+    * at read time, no file is rewritten. The fixture upserts a batch
+    * that half-overlaps the base (every %10=0 key replaces, every
+    * %10=5 key is new); the DuckDB oracle recomputes last-wins state
+    * as slice algebra. A reader that misses a ghost (resurrects an
+    * old row) or over-deletes (kills a non-matching key) breaks the
+    * hash; the scan-level subtraction is exercised at full query
+    * depth because the aggregate runs over the merge-on-read scan.
+    */
+  val x13Upsert: Q = Q(
+    "x13_upsert",
+    """WITH base AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+      |              FROM customer WHERE c_custkey % 2 = 0),
+      |     ups AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+      |                    c_acctbal + 1000.0 AS bal
+      |             FROM customer WHERE c_custkey % 10 IN (0, 5)),
+      |     final AS (
+      |       SELECT * FROM base WHERE k % 10 <> 0
+      |       UNION ALL
+      |       SELECT * FROM ups)
+      |SELECT seg, count(*) AS n,
+      |  round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+      |FROM final
+      |GROUP BY seg
+      |ORDER BY seg""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.functions.{col, count, expr, round, sum}
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.customer(spark, dir).createOrReplaceTempView("x13_customer_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.cust_mor")
+    spark.sql(
+      "CREATE TABLE graft.demo.cust_mor (k BIGINT, seg STRING, bal DOUBLE) USING graft")
+    spark.sql(
+      """INSERT INTO graft.demo.cust_mor
+        |SELECT CAST(c_custkey AS BIGINT), c_mktsegment, c_acctbal
+        |FROM x13_customer_src WHERE c_custkey % 2 = 0""".stripMargin) // v1: base
+    spark.sql(
+      """SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS seg,
+        |       c_acctbal + 1000.0 AS bal
+        |FROM x13_customer_src WHERE c_custkey % 10 IN (0, 5)""".stripMargin)
+      .writeTo("graft.demo.cust_mor")
+      .option("graft.upsert.keys", "k").append() // v2: merge-on-read upsert
+    spark.table("graft.demo.cust_mor")
+      .groupBy("seg")
+      .agg(count("*").as("n"),
+        round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("total_bal"))
+      .orderBy("seg")
+  }
+
   /** X12: BRANCH write-audit-publish (the Iceberg/Nessie WAP shape).
     * Production lands a base batch on main; an `audit` branch is cut
     * zero-copy; the STAGING batch is written to the branch, audited
@@ -1268,5 +1319,6 @@ object SourceQueries {
     x7CatalogView, x8MaterializedView, x9MvRollup, x9bStaleMv,
     x9cMvRewriteOff, x9cMvRewriteOn, x5fPartitionProfile, x5gCosortedJoin,
     x5hPartitionOverwrite, x5iPartitionEvolution, x5jHiddenPartitioning,
-    x10TableChanges, x10bCdcUpdatePairs, x11RestoreClone, x12BranchWap)
+    x10TableChanges, x10bCdcUpdatePairs, x11RestoreClone, x12BranchWap,
+    x13Upsert)
 }

@@ -702,12 +702,75 @@ object StreamingQueries {
       .orderBy("seg")
   }
 
+  /** ST17: STREAMING UPSERT SINK — CDC apply with NO foreachBatch and
+    * NO MERGE: the change feed streams per-commit batches, and the
+    * sink (`writeStream.option("graft.upsert.keys", "k").toTable`)
+    * upserts each epoch via a merge-on-read equality delete — append +
+    * key-tombstone in one exactly-once commit, the Flink-to-Iceberg
+    * upsert pipeline shape. The source takes two appends and a
+    * copy-on-write UPDATE; the replica consumes inserts +
+    * update POSTIMAGES (the paired CDC form) and must converge to the
+    * source's final state, recomputed by the oracle from raw parquet.
+    * A lost epoch, a mis-scoped equality delete, or postimage rows
+    * failing to replace their keys all break the hash.
+    */
+  val st17StreamingUpsert: Q = Q(
+    "st17_streaming_upsert",
+    """WITH a AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+      |           FROM customer),
+      |     final AS (
+      |       SELECT k, seg,
+      |              CASE WHEN seg = 'BUILDING' THEN bal + 25.0 ELSE bal END AS bal
+      |       FROM a)
+      |SELECT seg, count(*) AS n,
+      |  round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+      |FROM final
+      |GROUP BY seg
+      |ORDER BY seg""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.functions.{col, count, round, sum}
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.customer(spark, dir).createOrReplaceTempView("st17_customer_src")
+    spark.sql("DROP TABLE IF EXISTS graft.stream.ups17")
+    spark.sql("DROP TABLE IF EXISTS graft.stream.ups17_replica")
+    spark.sql(
+      "CREATE TABLE graft.stream.ups17 (k BIGINT, seg STRING, bal DOUBLE) USING graft")
+    spark.sql(
+      "CREATE TABLE graft.stream.ups17_replica (k BIGINT, seg STRING, bal DOUBLE) USING graft")
+    spark.sql(
+      """INSERT INTO graft.stream.ups17
+        |SELECT CAST(c_custkey AS BIGINT), c_mktsegment, c_acctbal
+        |FROM st17_customer_src WHERE c_custkey % 3 <> 0""".stripMargin) // v1
+    spark.sql(
+      """INSERT INTO graft.stream.ups17
+        |SELECT CAST(c_custkey AS BIGINT), c_mktsegment, c_acctbal
+        |FROM st17_customer_src WHERE c_custkey % 3 = 0""".stripMargin) // v2
+    spark.sql(
+      """UPDATE graft.stream.ups17 SET bal = bal + 25.0
+        |WHERE seg = 'BUILDING'""".stripMargin) // v3: CoW → paired updates
+    val apply = spark.readStream.format("graft-changes")
+      .option("table", "stream.ups17").option("changesFrom", "0").load()
+      .where(col("_change_type").isin("insert", "update_postimage"))
+      .select("k", "seg", "bal")
+    val ck = java.nio.file.Files.createTempDirectory("st17-ck-").toString
+    val q = apply.writeStream
+      .option("checkpointLocation", ck)
+      .option("graft.upsert.keys", "k")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("graft.stream.ups17_replica")
+    q.awaitTermination()
+    spark.table("graft.stream.ups17_replica")
+      .groupBy("seg")
+      .agg(count("*").as("n"),
+        round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("total_bal"))
+      .orderBy("seg")
+  }
+
   val all: Seq[Q] = Seq(
     st2Tumbling, st3Sliding, st4SessionWindow, st5StreamDedup,
     st6StatefulOp, st6bTransformWithState, st6cTimerSessions, st7StreamStaticJoin,
     st8StreamStreamJoin, st10CustomSourceStream, st11StreamToCatalog,
     st12CatalogChangeStream, st13JoinThenWindowAgg, st14StreamingMv,
-    st15ChangeFeedStream, st16CdcReplica)
+    st15ChangeFeedStream, st16CdcReplica, st17StreamingUpsert)
 }
 
 /** Event-time-timer sessionizer behind st6c: per-user gap sessions via

@@ -126,7 +126,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       Identifier.of(ident.namespace, s"${ident.name} VERSION AS OF $v (expired or never committed)")))
     val entry = store.get(ident)
     new GraftCatalogTable(ident, snap.schema, entry.dir, pinned = Some(snap.segments),
-      partitionCols = snap.partitionCols)
+      partitionCols = snap.partitionCols, pinnedEq = snap.eqDeletes)
   }
 
   /** `TIMESTAMP AS OF`: Spark hands micros-since-epoch; resolve to the
@@ -140,7 +140,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         s"${ident.name} TIMESTAMP AS OF $timestamp (before first retained commit)")))
     val entry = store.get(ident)
     new GraftCatalogTable(ident, snap.schema, entry.dir, pinned = Some(snap.segments),
-      partitionCols = snap.partitionCols)
+      partitionCols = snap.partitionCols, pinnedEq = snap.eqDeletes)
   }
 
   /** `PARTITIONED BY (col, …)` accepts IDENTITY transforms on top-level
@@ -370,6 +370,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
             // renameIn rewrites identity fields AND the source column
             // inside transform fields (days(old) -> days(new)).
             partitionCols = e.partitionCols.map(PartField.renameIn(_, from, rn.newName())),
+            // Outstanding equality deletes key by column NAME — they
+            // follow the rename like partition specs do.
+            eqDeletes = e.eqDeletes.map(eq => eq.copy(keyCols =
+              eq.keyCols.map(c => if (c == from) rn.newName() else c))),
             // Segments' spec names the SAME columns under their new
             // name — a rename is metadata-only and must not make
             // existing segments look like a foreign partition era
@@ -419,6 +423,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
               if (PartField.sources(prev.partitionCols).contains(n))
                 throw new UnsupportedOperationException(
                   "cannot retype a partition column")
+              if (prev.eqDeletes.exists(_.keyCols.contains(n)))
+                throw new UnsupportedOperationException(
+                  s"column $n keys outstanding equality deletes (upserts); " +
+                    "run CALL graft.system.compact to materialize them first")
               if (prev.constraints.exists(_.toDDL.contains(n)))
                 throw new UnsupportedOperationException(
                   s"column $n is referenced by a constraint; drop it first")
@@ -471,6 +479,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           if (PartField.sources(prev.partitionCols).exists(dropNames))
             throw new UnsupportedOperationException(
               "cannot drop a partition column")
+          if (prev.eqDeletes.exists(_.keyCols.exists(dropNames)))
+            throw new UnsupportedOperationException(
+              "cannot drop a column keying outstanding equality deletes (upserts); " +
+                "run CALL graft.system.compact to materialize them first")
           if (prev.constraints.exists(c => dropNames.exists(c.toDDL.contains)))
             throw new UnsupportedOperationException(
               "cannot drop a column referenced by a constraint; drop the constraint first")
@@ -1278,10 +1290,38 @@ object GraftCatalog {
       // CURRENT partitionCols before treating `key` as meaningful.
       // Zone maps cover every column, so scans of mixed-era tables
       // still prune on the new partition column without trusting keys.
-      spec: Seq[String] = Nil) {
+      spec: Seq[String] = Nil,
+      // DATA SEQUENCE NUMBER (the Iceberg v2 concept): the commit
+      // version at which this segment's ROWS entered the table. An
+      // equality delete applies to a segment iff eq.seq > this —
+      // "deletes hit rows written before the delete". Assignment:
+      // fresh data commits stamp the new version; 1:1 migrations
+      // (ALTER re-projections) inherit the source's seq (their bytes
+      // still carry eq-deleted rows, so the filters must keep
+      // applying); compaction/zorder/row-level rewrites stamp the new
+      // version BECAUSE they provably applied the filters while
+      // rewriting (the materialization points). Inheriting too low is
+      // always safe (filters re-apply as no-ops); stamping too high
+      // without filtering would resurrect deleted rows — never done.
+      seq: Long = 0L) {
     def deletedRows: Long = dv.map(_.size.toLong).getOrElse(0L)
     def liveRows: Long = rows - deletedRows
   }
+
+  /** EQUALITY DELETE (merge-on-read upsert, the Iceberg v2 /
+    * Flink-upsert shape): "delete every row whose `keyCols` tuple is in
+    * `keys`, among rows written before commit `seq`". Registered by an
+    * upsert write (`.option("graft.upsert.keys", "k1,k2")`) in the
+    * same commit as its appended segments — the streaming-CDC apply
+    * primitive that needs no read-modify-write. Keys are EXTERNAL
+    * values (String / boxed integrals / Boolean), the same encoding as
+    * partition keys and zone-map stats; metadata-sized by the
+    * per-commit cap. Readers subtract matching rows at scan time;
+    * compaction/zorder materialize and GC them.
+    */
+  private[graft] case class EqDelete(
+      keyCols: Seq[String], keys: Vector[IndexedSeq[Any]], seq: Long)
+      extends Serializable
 
   /** Per-column ANALYZE output (`CALL graft.system.analyze`): distinct
     * and null counts over the table's live rows at analyze time. The
@@ -1295,7 +1335,10 @@ object GraftCatalog {
       constraints: Vector[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
         Vector.empty,
       analyzed: Map[String, ColAnalysis] = Map.empty,
-      props: Map[String, String] = Map.empty)
+      props: Map[String, String] = Map.empty,
+      // Outstanding equality deletes (see [[EqDelete]]); GC'd at
+      // publish once no live segment predates them.
+      eqDeletes: Vector[EqDelete] = Vector.empty)
 
   /** `'graft.write.order'='c1,c2'`: declared write ordering — every
     * batch INSERT range-partitions + sorts on these columns (see
@@ -1533,6 +1576,9 @@ object GraftCatalog {
     val delta = Vector.newBuilder[Segment]
     chain.tail.foreach { s =>
       if (s.schema != prev.schema) return None
+      // An equality delete registered in range kills rows of segments
+      // the structural walk calls untouched — not append-only.
+      if (s.eqDeletes != prev.eqDeletes) return None
       val prevByPath = prev.segments.map(x => x.path -> x).toMap
       val curPaths = s.segments.map(_.path).toSet
       if ((prevByPath.keySet -- curPaths).nonEmpty) return None
@@ -1695,6 +1741,14 @@ object GraftCatalog {
     Option(store.get(Identifier.of(Array(ns), table)))
       .map(_.segments.map(_.liveRows).sum).getOrElse(0L)
 
+  /** Outstanding equality deletes (test observability for the
+    * merge-on-read upsert path: present after an upsert, GC'd once a
+    * rewrite has materialized them).
+    */
+  private[graft] def eqDeleteCount(ns: String, table: String): Int =
+    Option(store.get(Identifier.of(Array(ns), table)))
+      .map(_.eqDeletes.length).getOrElse(0)
+
   /** Rows deleted by deletion vectors but still physically present
     * (test observability for the merge-on-read path).
     */
@@ -1749,7 +1803,10 @@ object GraftCatalog {
       // silently (re-emitting folded segments would duplicate rows;
       // failing would make auto-compaction stream-hostile) and the
       // CDC feed emits nothing for them.
-      dataChange: Boolean = true)
+      dataChange: Boolean = true,
+      // Outstanding equality deletes AT this snapshot — time-travel
+      // reads apply exactly the filters that were live then.
+      eqDeletes: Vector[EqDelete] = Vector.empty)
 
   private val history = new ConcurrentHashMap[Identifier, Vector[CatalogSnapshot]]()
 
@@ -1778,14 +1835,26 @@ object GraftCatalog {
   private def publish(
       ident: Identifier, rewrites: Map[String, String] = Map.empty,
       dataChange: Boolean = true): Unit = {
-    val entry = store.get(ident)
-    if (entry == null) return
+    val entry0 = store.get(ident)
+    if (entry0 == null) return
+    // Equality-delete GC: once every live segment's seq is >= the
+    // delete's, no row it could hit remains — drop it from the LIVE
+    // entry (retained snapshots keep their own copies for time travel).
+    val entry =
+      if (entry0.eqDeletes.isEmpty) entry0
+      else {
+        val live = entry0.eqDeletes.filter(eq =>
+          entry0.segments.exists(_.seq < eq.seq))
+        if (live.length == entry0.eqDeletes.length) entry0
+        else { val e = entry0.copy(eqDeletes = live); store.put(ident, e); e }
+      }
     val now = System.nanoTime()
     val hist = history.getOrDefault(ident, Vector.empty)
     val snap = CatalogSnapshot(
       hist.lastOption.map(_.version + 1).getOrElse(0L),
       System.currentTimeMillis(), now, entry.schema, entry.segments,
-      entry.partitionCols, entry.constraints, rewrites, dataChange)
+      entry.partitionCols, entry.constraints, rewrites, dataChange,
+      entry.eqDeletes)
     val all = hist :+ snap
     val cutoff = now - RetentionNanos
     // Tagged snapshots are exempt from BOTH expiry axes (age and the
@@ -1858,7 +1927,8 @@ object GraftCatalog {
             snap.segments.exists(_.path == orig) => orig -> cur
       }
     store.put(ident, entry.copy(schema = snap.schema, segments = snap.segments,
-      partitionCols = snap.partitionCols, constraints = snap.constraints))
+      partitionCols = snap.partitionCols, constraints = snap.constraints,
+      eqDeletes = snap.eqDeletes))
     publish(ident, reverseRewrites)
     (version, snap.segments.length)
   }
@@ -1919,7 +1989,8 @@ object GraftCatalog {
     // neither is true of the new table, so neither is carried over.
     store.put(dst, TableEntry(snap.schema, snap.segments, dir, snap.partitionCols,
       snap.constraints, Map.empty, e.props.filterNot(p =>
-        p._1.startsWith(TagPropPrefix) || p._1 == BranchOfProp || p._1 == BranchBaseProp)))
+        p._1.startsWith(TagPropPrefix) || p._1 == BranchOfProp || p._1 == BranchBaseProp),
+      eqDeletes = snap.eqDeletes))
     publish(dst)
     (snap.version, snap.segments.length)
   }
@@ -2036,7 +2107,8 @@ object GraftCatalog {
       case (added, origSrc) => mainPaths.contains(origSrc) && bPaths.contains(added)
     }
     store.put(src, main.copy(schema = b.schema, segments = b.segments,
-      partitionCols = b.partitionCols, constraints = b.constraints))
+      partitionCols = b.partitionCols, constraints = b.constraints,
+      eqDeletes = b.eqDeletes))
     publish(src, rewrites)
     dropEntry(bIdent) // cross-table GC guard spares files main now serves
     val newV = history.getOrDefault(src, Vector.empty)
@@ -2261,7 +2333,16 @@ object GraftCatalog {
     val threshold = autoCompactThreshold(ident) // validate pre-commit
     store.compute(ident, (_, prev) => {
       require(prev != null, s"table $ident dropped mid-write")
-      prev.copy(segments = transform(prev))
+      // DATA SEQUENCE stamping: segments NEW to this commit carry the
+      // version being published. Safe for every path through here —
+      // fresh appends/overwrites by definition, and row-level rewrites
+      // because their scan subtracted the applicable equality deletes
+      // (see Segment.seq).
+      val prevPaths = prev.segments.map(_.path).toSet
+      val nextV = history.getOrDefault(ident, Vector.empty)
+        .lastOption.map(_.version + 1).getOrElse(0L)
+      prev.copy(segments = transform(prev).map(s =>
+        if (prevPaths.contains(s.path)) s else s.copy(seq = nextV)))
     })
     publish(ident, rewrites)
     maybeAutoCompact(ident, threshold)
@@ -2318,6 +2399,61 @@ object GraftCatalog {
   private[sources] def segmentsOf(ident: Identifier): Vector[Segment] =
     Option(store.get(ident)).map(_.segments).getOrElse(Vector.empty)
 
+  private[sources] def eqDeletesOf(ident: Identifier): Vector[EqDelete] =
+    Option(store.get(ident)).map(_.eqDeletes).getOrElse(Vector.empty)
+
+  /** Upsert-key columns must exist and carry exact-equality-comparable
+    * types (the external encodings the writer collects and the reader
+    * compares; floats are excluded — NaN/−0.0 equality is a trap).
+    */
+  private[sources] def validateUpsertKeys(schema: StructType, keyCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.types._
+    require(keyCols.nonEmpty, "graft.upsert.keys must name at least one column")
+    keyCols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"upsert key column $c not in schema ${schema.simpleString}"))
+      f.dataType match {
+        case StringType | LongType | IntegerType | ShortType | ByteType |
+             BooleanType | TimestampType | TimestampNTZType | DateType => ()
+        case dt => throw new UnsupportedOperationException(
+          s"upsert keys must be string/integral/boolean/timestamp/date, $c is $dt")
+      }
+    }
+  }
+
+  /** UPSERT commit (merge-on-read, the Iceberg-v2 equality-delete
+    * shape): append the batch's segments AND register one equality
+    * delete over the batch's distinct key tuples — older rows with
+    * those keys disappear at read time, no file is rewritten. The
+    * per-commit key cap keeps the delete metadata-sized; compaction
+    * materializes and GCs it.
+    */
+  private[sources] def installUpsert(
+      ident: Identifier, segs: Seq[Segment], keyCols: Seq[String],
+      keys: Seq[IndexedSeq[Any]]): Unit = mutate {
+    val threshold = autoCompactThreshold(ident)
+    val maxKeys = sys.props.getOrElse("graft.upsert.maxKeys", "100000").toInt
+    store.compute(ident, (_, prev) => {
+      require(prev != null, s"table $ident dropped mid-write")
+      validateUpsertKeys(prev.schema, keyCols)
+      val distinct = keys.distinct.toVector
+      require(distinct.length <= maxKeys,
+        s"upsert commit carries ${distinct.length} distinct keys (> $maxKeys) — " +
+          "use MERGE INTO for bulk rewrites or raise -Dgraft.upsert.maxKeys")
+      val nextV = history.getOrDefault(ident, Vector.empty)
+        .lastOption.map(_.version + 1).getOrElse(0L)
+      val stamped = segs.toVector.map(_.copy(seq = nextV))
+      prev.copy(
+        segments = prev.segments ++ stamped,
+        eqDeletes =
+          if (distinct.isEmpty) prev.eqDeletes
+          else prev.eqDeletes :+ EqDelete(keyCols, distinct, nextV))
+    })
+    publish(ident)
+    maybeAutoCompact(ident, threshold)
+  }
+
   private[graft] def analyzedOf(ident: Identifier): Map[String, ColAnalysis] =
     Option(store.get(ident)).map(_.analyzed).getOrElse(Map.empty)
 
@@ -2350,12 +2486,17 @@ object GraftCatalog {
     */
   private[sources] def installEpoch(
       ident: Identifier, queryId: String, epochId: Long,
-      segs: Seq[Segment], truncate: Boolean): Boolean = mutate {
+      segs: Seq[Segment], truncate: Boolean,
+      // Streaming UPSERT epoch: (key columns, this epoch's key tuples)
+      // — appended segments + one equality delete, atomically; a
+      // replayed epoch registers NEITHER (exactly-once covers both).
+      upsert: Option[(Seq[String], Seq[IndexedSeq[Any]])] = None): Boolean = mutate {
     // Same pre-commit validation as `install`: a malformed autocompact
     // property must fail the epoch BEFORE it lands — post-publish it
     // would kill the streaming query in a crash loop that makes one
     // committed epoch of progress per restart.
     val threshold = autoCompactThreshold(ident)
+    val maxKeys = sys.props.getOrElse("graft.upsert.maxKeys", "100000").toInt
     var applied = false
     var replayed: Seq[Segment] = Nil
     store.compute(ident, (_, prev) => {
@@ -2364,10 +2505,22 @@ object GraftCatalog {
       val last = Option(epochs.get(key)).map(_.longValue()).getOrElse(Long.MinValue)
       if (epochId <= last) { replayed = segs; prev } // replayed epoch: already visible
       else {
+        upsert.foreach { case (kc, _) => validateUpsertKeys(prev.schema, kc) }
         epochs.put(key, epochId)
         applied = true
-        if (truncate) prev.copy(segments = segs.toVector)
-        else prev.copy(segments = prev.segments ++ segs)
+        val nextV = history.getOrDefault(ident, Vector.empty)
+          .lastOption.map(_.version + 1).getOrElse(0L)
+        val stamped = segs.toVector.map(_.copy(seq = nextV))
+        val eqs = upsert match {
+          case Some((kc, ks)) if ks.nonEmpty =>
+            val distinct = ks.distinct.toVector
+            require(distinct.length <= maxKeys,
+              s"upsert epoch carries ${distinct.length} distinct keys (> $maxKeys)")
+            prev.eqDeletes :+ EqDelete(kc, distinct, nextV)
+          case _ => prev.eqDeletes
+        }
+        if (truncate) prev.copy(segments = stamped, eqDeletes = eqs)
+        else prev.copy(segments = prev.segments ++ stamped, eqDeletes = eqs)
       }
     })
     // Replayed-epoch segments were NEVER visible to any scan — delete
@@ -2432,6 +2585,17 @@ object GraftCatalog {
         case _ => 0
       }
     }
+    // Compaction is the EQUALITY-DELETE materialization point too:
+    // every fold filters matching rows out of the bytes it copies, and
+    // the output stamps the new data sequence number — after a full
+    // compact no live segment predates any eq delete, so publish-time
+    // GC drops them all.
+    val nextSeq = history.getOrDefault(ident, Vector.empty)
+      .lastOption.map(_.version + 1).getOrElse(0L)
+    def eqKeep(seg: Segment): UnsafeRow => Boolean =
+      EqFilter.keepFn(entry.schema, entry.eqDeletes, seg).getOrElse(_ => true)
+    def eqApplies(seg: Segment): Boolean =
+      entry.eqDeletes.exists(_.seq > seg.seq)
     // Group by (spec, key): after a partition-spec evolution, equal key
     // VECTORS under different specs are different partitions — folding
     // them together would mint a segment whose key lies about one era.
@@ -2439,7 +2603,8 @@ object GraftCatalog {
       .sortBy { case ((spec, key), _) => spec.mkString(" ") + "\u0000" + key.mkString(" ") }
       .flatMap { case ((spec, key), segs) =>
         // A lone segment still rewrites when it carries a deletion
-        // vector — compaction is the dv materialization point.
+        // vector OR a pending equality delete — compaction is the
+        // dv/eq materialization point.
         if (onlyKeys.exists(!_.contains((spec, key)))) segs
         else if (spec != entry.partitionCols) {
           // PARTITION-SPEC MIGRATION: a group written under an older
@@ -2465,25 +2630,34 @@ object GraftCatalog {
             }
           val writers =
             new scala.collection.mutable.LinkedHashMap[IndexedSeq[Any], SegmentIO.Writer]()
-          segs.foreach(seg => SegmentIO.foreachRow(seg, entry.schema.length) { r =>
-            writers.getOrElseUpdate(keyOf(r),
-              new SegmentIO.Writer(entry.dir, entry.schema)).add(r)
-          })
+          segs.foreach { seg =>
+            val keep = eqKeep(seg)
+            SegmentIO.foreachRow(seg, entry.schema.length) { r =>
+              if (keep(r)) writers.getOrElseUpdate(keyOf(r),
+                new SegmentIO.Writer(entry.dir, entry.schema)).add(r)
+            }
+          }
           writers.toSeq.flatMap { case (k, w) =>
-            w.finish().map(_.copy(key = k, spec = entry.partitionCols))
+            w.finish().map(_.copy(key = k, spec = entry.partitionCols, seq = nextSeq))
           }
         }
-        else if (segs.length <= 1 && segs.forall(_.dv.isEmpty)) segs
+        else if (segs.length <= 1 && segs.forall(_.dv.isEmpty) &&
+          segs.forall(!eqApplies(_))) segs
         else if (orderIdx.isEmpty) {
           val w = new SegmentIO.Writer(entry.dir, entry.schema)
-          segs.foreach(seg =>
-            SegmentIO.foreachRow(seg, entry.schema.length)(w.add))
-          w.finish().map(_.copy(key = key, spec = spec)).toSeq
+          segs.foreach { seg =>
+            val keep = eqKeep(seg)
+            SegmentIO.foreachRow(seg, entry.schema.length)(r => if (keep(r)) w.add(r))
+          }
+          w.finish().map(_.copy(key = key, spec = spec, seq = nextSeq)).toSeq
         } else {
           val payloads = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-          segs.foreach(seg => SegmentIO.foreachRow(seg, entry.schema.length) { r =>
-            payloads += r.getBytes.clone()
-          })
+          segs.foreach { seg =>
+            val keep = eqKeep(seg)
+            SegmentIO.foreachRow(seg, entry.schema.length) { r =>
+              if (keep(r)) payloads += r.getBytes.clone()
+            }
+          }
           val ra = new UnsafeRow(entry.schema.length)
           val rb = new UnsafeRow(entry.schema.length)
           def lt(a: Array[Byte], b: Array[Byte]): Boolean = {
@@ -2510,7 +2684,8 @@ object GraftCatalog {
             // The sorted fold provably orders output on the write-order
             // columns — carry the provenance flag (only for types the
             // comparator really compares).
-            w.finish().map(_.copy(key = key, sorted = orderProvable, spec = spec))
+            w.finish().map(_.copy(key = key, sorted = orderProvable, spec = spec,
+              seq = nextSeq))
           }.toSeq
         }
       }.toVector
@@ -2597,16 +2772,27 @@ object GraftCatalog {
 
     val before = entry.segments.length
     val totalRows = entry.segments.map(_.liveRows).sum
+    // Like compact, the Z-order rewrite MATERIALIZES pending equality
+    // deletes (filters matching rows while folding, stamps the new
+    // data sequence number) — the same reasoning makes it sound.
+    val zNextSeq = history.getOrDefault(ident, Vector.empty)
+      .lastOption.map(_.version + 1).getOrElse(0L)
     val rewritten = entry.segments.groupBy(s => (s.spec, s.key)).toSeq
       .sortBy { case ((spec, key), _) => spec.mkString(" ") + " " + key.mkString(" ") }
       .flatMap { case ((spec, key), segs) =>
         // Pass 1 (buffered): payload bytes + the z-column values.
         val payloads = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
         val vals = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
-        segs.foreach(seg => SegmentIO.foreachRow(seg, schema.length) { r =>
-          payloads += r.getBytes.clone()
-          vals += zIdx.map(numeric(r, _))
-        })
+        segs.foreach { seg =>
+          val keep = EqFilter.keepFn(schema, entry.eqDeletes, seg).getOrElse(
+            (_: UnsafeRow) => true)
+          SegmentIO.foreachRow(seg, schema.length) { r =>
+            if (keep(r)) {
+              payloads += r.getBytes.clone()
+              vals += zIdx.map(numeric(r, _))
+            }
+          }
+        }
         val n = payloads.length
         if (n == 0) Nil
         else {
@@ -2636,7 +2822,7 @@ object GraftCatalog {
               row.pointTo(b, b.length)
               w.add(row)
             }
-            w.finish().map(_.copy(key = key, spec = spec))
+            w.finish().map(_.copy(key = key, spec = spec, seq = zNextSeq))
           }.toSeq
         }
       }.toVector
@@ -3144,8 +3330,56 @@ private[sources] object SegmentIO {
     foreachRow(seg, inFields)(r => f(r).foreach(w.add))
     // A rewrite never crosses partition boundaries: the rewritten
     // segment inherits the source segment's partition key (and the
-    // spec that key is valued over).
-    w.finish().map(_.copy(key = seg.key, spec = seg.spec))
+    // spec that key is valued over) AND its data sequence number — a
+    // 1:1 re-projection copies eq-deleted rows verbatim, so the
+    // equality filters must keep applying to the output exactly as
+    // they did to the source.
+    w.finish().map(_.copy(key = seg.key, spec = seg.spec, seq = seg.seq))
+  }
+}
+
+/** One compiled equality-delete filter a reader applies to a segment:
+  * key-column ordinals + types in the table layout, and the external
+  * key tuples to subtract. Compiled per (segment, applicable deletes)
+  * at plan time — the empty-list fast path costs nothing on tables
+  * that never upserted.
+  */
+private[sources] case class EqFilter(
+    idx: IndexedSeq[Int], dts: IndexedSeq[org.apache.spark.sql.types.DataType],
+    keys: Set[IndexedSeq[Any]]) extends Serializable {
+  def matches(r: UnsafeRow): Boolean = {
+    import org.apache.spark.sql.types.StringType
+    val tuple: IndexedSeq[Any] = idx.indices.map { j =>
+      val i = idx(j)
+      if (r.isNullAt(i)) null
+      else dts(j) match {
+        case StringType => r.getUTF8String(i).toString
+        case dt => r.get(i, dt)
+      }
+    }
+    keys.contains(tuple)
+  }
+}
+
+private[sources] object EqFilter {
+  /** The equality deletes applicable to `seg` (strictly newer than its
+    * data sequence number), compiled against the table layout.
+    */
+  def compile(
+      schema: StructType, eqs: Seq[GraftCatalog.EqDelete],
+      seg: GraftCatalog.Segment): Seq[EqFilter] =
+    eqs.collect {
+      case eq if eq.seq > seg.seq =>
+        val idx = eq.keyCols.map(schema.fieldIndex).toIndexedSeq
+        EqFilter(idx, idx.map(schema.fields(_).dataType), eq.keys.toSet)
+    }
+
+  /** keep-predicate over live rows, or None when nothing applies. */
+  def keepFn(
+      schema: StructType, eqs: Seq[GraftCatalog.EqDelete],
+      seg: GraftCatalog.Segment): Option[UnsafeRow => Boolean] = {
+    val fs = compile(schema, eqs, seg)
+    if (fs.isEmpty) None else Some(r => !fs.exists(_.matches(r)))
   }
 }
 
@@ -3185,7 +3419,11 @@ private[sources] class GraftCatalogTable(
     pinned: Option[Vector[GraftCatalog.Segment]] = None,
     partitionCols: Seq[String] = Nil,
     tableConstraints: Vector[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
-      Vector.empty)
+      Vector.empty,
+    // Equality deletes pinned ALONGSIDE the segment list (time-travel
+    // loads): a versioned read must subtract exactly the deletes that
+    // were outstanding at that snapshot.
+    pinnedEq: Vector[GraftCatalog.EqDelete] = Vector.empty)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
@@ -3282,7 +3520,12 @@ private[sources] class GraftCatalogTable(
             touched = touch
             GraftCatalogScan(ident, schema0, pinned = Some(touch),
               partitionCols = partitionCols, onRuntimeExclude = Some(addKept),
-              rowLevel = true)
+              rowLevel = true,
+              // Rewrites read eq-filtered rows (pinned with the live
+              // deletes at plan time) — which is what makes stamping
+              // the rewritten output at the NEW data sequence number
+              // sound: the bytes written no longer contain them.
+              pinnedEq = GraftCatalog.eqDeletesOf(ident))
           }
         }
       override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
@@ -3340,7 +3583,8 @@ private[sources] class GraftCatalogTable(
       maxSegmentsPerTrigger =
         Option(options.get("maxSegmentsPerTrigger")).map(_.toInt),
       skipChangeCommits = options.getBoolean("skipChangeCommits", false),
-      startingVersion = Option(options.get("startingVersion")).map(_.toLong))
+      startingVersion = Option(options.get("startingVersion")).map(_.toLong),
+      pinnedEq = pinnedEq)
 
   /** Writes to a PARTITIONED table request a CLUSTERED distribution on
     * the partition columns (`RequiresDistributionAndOrdering`): Spark
@@ -3383,6 +3627,14 @@ private[sources] class GraftCatalogTable(
       private var truncateFirst = false
       private var overwriteFilters: Option[Seq[Filter]] = None
       private var dynamicOverwrite = false
+      // UPSERT write (`df.writeTo(t).option("graft.upsert.keys", "k")`
+      // or `writeStream.option(...)`): append + one equality delete
+      // over the batch's keys, in one commit. Validated NOW — a bad
+      // key column must fail before a byte is written.
+      private val upsertKeys: Seq[String] =
+        Option(info.options.get("graft.upsert.keys"))
+          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      if (upsertKeys.nonEmpty) GraftCatalog.validateUpsertKeys(schema0, upsertKeys)
       override def truncate(): WriteBuilder = { truncateFirst = true; this }
       private def partitionAligned(f: Filter): Boolean = f match {
         case EqualTo(c, _) => partitionCols.contains(c)
@@ -3431,15 +3683,20 @@ private[sources] class GraftCatalogTable(
           else if (orderCols.nonEmpty) Distributions.ordered(sortOrders)
           else Distributions.unspecified()
         override def requiredOrdering(): Array[SortOrder] = sortOrders
+        if (upsertKeys.nonEmpty)
+          require(!truncateFirst && overwriteFilters.isEmpty && !dynamicOverwrite,
+            "graft.upsert.keys composes only with plain append — " +
+              "truncate/overwrite modes already replace whole partitions")
         override def toBatch: BatchWrite =
           new GraftCatalogBatchWrite(ident, schema0, dir, truncateFirst, partitionCols,
             sortedWrite = orderCols.nonEmpty,
             overwriteFilters = overwriteFilters,
-            dynamicOverwrite = dynamicOverwrite)
+            dynamicOverwrite = dynamicOverwrite,
+            upsertKeys = upsertKeys)
         // truncateFirst here = Complete output mode: replace-per-epoch.
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           new GraftCatalogStreamingWrite(ident, schema0, dir, info.queryId(), truncateFirst,
-            partitionCols)
+            partitionCols, upsertKeys = upsertKeys)
       }
     }
 }
@@ -3747,7 +4004,8 @@ private[sources] class GraftCatalogScanBuilder(
     partitionCols: Seq[String] = Nil,
     maxSegmentsPerTrigger: Option[Int] = None,
     skipChangeCommits: Boolean = false,
-    startingVersion: Option[Long] = None)
+    startingVersion: Option[Long] = None,
+    pinnedEq: Vector[GraftCatalog.EqDelete] = Vector.empty)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
   import org.apache.spark.sql.sources.Filter
@@ -3756,6 +4014,12 @@ private[sources] class GraftCatalogScanBuilder(
   private var pushedAggs: Option[Seq[GraftCatalogAgg]] = None
   private var required: StructType = schema
   private var limit: Option[Int] = None
+  // Outstanding equality deletes poison both metadata shortcuts below:
+  // liveRows overcounts (segment-capped LIMIT could under-deliver) and
+  // stats describe rows a newer eq delete has removed (COUNT/MIN/MAX
+  // would answer over ghosts). Both decline while any apply.
+  private def eqsNow: Vector[GraftCatalog.EqDelete] =
+    if (pinned.isDefined) pinnedEq else GraftCatalog.eqDeletesOf(ident)
 
   /** LIMIT pushdown at SEGMENT granularity: `LIMIT n` plans only as
     * many segments as needed to cover n live rows (exact per-segment
@@ -3765,7 +4029,8 @@ private[sources] class GraftCatalogScanBuilder(
     * over-delivers within the last segment, so Spark's own Limit stays
     * on top for row exactness.
     */
-  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def pushLimit(l: Int): Boolean =
+    if (eqsNow.nonEmpty) false else { limit = Some(l); true }
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     sawFilters = filters.nonEmpty
     pruning = filters.filter(ZoneMap.prunable(_, schema))
@@ -3811,7 +4076,7 @@ private[sources] class GraftCatalogScanBuilder(
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.types._
-    if (sawFilters || groupCols(agg).isEmpty) return None
+    if (sawFilters || groupCols(agg).isEmpty || eqsNow.nonEmpty) return None
     // GROUPED metadata aggregates fold per segment KEY — only sound
     // when every segment's key is valued over the CURRENT spec. A
     // mixed-era table (post spec-evolution, pre-compaction) answers
@@ -3886,13 +4151,19 @@ private[sources] class GraftCatalogScanBuilder(
     case Some(aggs) =>
       GraftCatalogAggScan(ident, schema,
         Some(pinned.getOrElse(GraftCatalog.segmentsOf(ident))), aggs,
-        partitionCols, pushedGroupBy)
+        partitionCols, pushedGroupBy,
+        // Same race shield as the dv guard: an upsert landing between
+        // translate() (which declined on then-existing eq deletes) and
+        // here must not let a ghost row's value or count surface — the
+        // scan applies these through its exact per-segment fallback.
+        eqs = if (pinned.isDefined) pinnedEq else GraftCatalog.eqDeletesOf(ident))
     case None =>
       GraftCatalogScan(ident, schema, pruning.toIndexedSeq, required, pinned, partitionCols,
         maxSegmentsPerTrigger = maxSegmentsPerTrigger,
         skipChangeCommits = skipChangeCommits,
         startingVersion = startingVersion,
-        limit = limit)
+        limit = limit,
+        pinnedEq = pinnedEq)
   }
 }
 
@@ -3911,7 +4182,8 @@ private[graft] object GraftCatalogAgg {
 private[graft] case class GraftCatalogAggScan(
     ident: Identifier, schema: StructType,
     pinned: Option[Vector[GraftCatalog.Segment]], aggs: Seq[GraftCatalogAgg],
-    partitionCols: Seq[String] = Nil, groupBy: Seq[String] = Nil)
+    partitionCols: Seq[String] = Nil, groupBy: Seq[String] = Nil,
+    eqs: Vector[GraftCatalog.EqDelete] = Vector.empty)
     extends Scan with Batch {
   import org.apache.spark.sql.types._
 
@@ -3955,11 +4227,14 @@ private[graft] case class GraftCatalogAggScan(
     // be the stats extremum. Only reached when a deletion vector raced
     // in between the builder's dv guard and scan build — rare by
     // construction, and bounded to the raced segments.
+    def eqKeepOf(s: GraftCatalog.Segment): Option[UnsafeRow => Boolean] =
+      EqFilter.keepFn(schema, eqs, s)
     def exactSegExtremum(s: GraftCatalog.Segment, i: Int, wantMin: Boolean): Option[Any] = {
       val dt = schema.fields(i).dataType
+      val keep = eqKeepOf(s).getOrElse((_: UnsafeRow) => true)
       var best: Any = null
       SegmentIO.foreachRow(s, schema.length) { r =>
-        if (!r.isNullAt(i)) {
+        if (!r.isNullAt(i) && keep(r)) {
           val v: Any = dt match {
             case LongType | TimestampType | TimestampNTZType => r.getLong(i)
             case IntegerType | DateType => r.getInt(i)
@@ -3982,15 +4257,23 @@ private[graft] case class GraftCatalogAggScan(
       val vals = group.flatMap { s =>
         require(s.stats.length > i,
           s"segment ${s.path} lacks stats for column $c — metadata aggregate unanswerable")
-        if (s.dv.isEmpty) Option(if (wantMin) s.stats(i).min else s.stats(i).max)
+        if (s.dv.isEmpty && eqKeepOf(s).isEmpty)
+          Option(if (wantMin) s.stats(i).min else s.stats(i).max)
         else exactSegExtremum(s, i, wantMin)
       }
       if (vals.isEmpty) null
       else CatalystTypeConverters.convertToCatalyst(
         vals.reduce((a, b) => if (lt(a, b) == wantMin) a else b))
     }
+    def exactLiveCount(s: GraftCatalog.Segment): Long = eqKeepOf(s) match {
+      case None => s.liveRows
+      case Some(keep) => // raced eq delete: count the filtered rows
+        var n = 0L
+        SegmentIO.foreachRow(s, schema.length)(r => if (keep(r)) n += 1)
+        n
+    }
     def aggRow(group: Vector[GraftCatalog.Segment]): Seq[Any] = aggs.map {
-      case GraftCatalogAgg.CountStar => group.map(_.liveRows).sum
+      case GraftCatalogAgg.CountStar => group.map(exactLiveCount).sum
       case GraftCatalogAgg.MinCol(c) => fold(group, c, wantMin = true)
       case GraftCatalogAgg.MaxCol(c) => fold(group, c, wantMin = false)
     }
@@ -4056,11 +4339,16 @@ private[graft] case class GraftCatalogScan(
     // first bloom-tracked column), turning the probe into a
     // translatable one-column IN that rides zone-map/bloom skipping.
     // Read scans keep the full set — join DPP builds per-key filters.
-    rowLevel: Boolean = false)
+    rowLevel: Boolean = false,
+    // Equality deletes pinned WITH the segment list for time-travel /
+    // rewrite scans (a live scan resolves the live entry's).
+    pinnedEq: Vector[GraftCatalog.EqDelete] = Vector.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   private def out: StructType = if (required == null) schema else required
+  private def eqs: Vector[GraftCatalog.EqDelete] =
+    if (pinned.isDefined) pinnedEq else GraftCatalog.eqDeletesOf(ident)
 
   /** REPORTED SORT ORDER (the Iceberg sorted-tables move): when every
     * split's rows are provably sorted on the table's declared write
@@ -4255,7 +4543,10 @@ private[graft] case class GraftCatalogScan(
   private def capForLimit(
       segs: Vector[GraftCatalog.Segment]): Vector[GraftCatalog.Segment] =
     limit match {
-      case Some(n) if partitionCols.isEmpty =>
+      // Outstanding equality deletes make per-segment liveRows an
+      // OVERCOUNT — capping on them could plan too few segments and
+      // under-deliver a LIMIT. Cap only when none apply.
+      case Some(n) if partitionCols.isEmpty && eqs.isEmpty =>
         var acc = 0L
         val buf = Vector.newBuilder[GraftCatalog.Segment]
         val it = segs.iterator
@@ -4268,10 +4559,12 @@ private[graft] case class GraftCatalogScan(
       case _ => segs
     }
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    val eq = eqs
     if (!keyedLayout)
       capForLimit(survivors)
-        .map(s => GraftCatalogPartition(Vector(GraftSegFile.of(s)), schema.length): InputPartition)
+        .map(s => GraftCatalogPartition(
+          Vector(GraftSegFile.of(s, schema, eq)), schema.length): InputPartition)
         .toArray
     else {
       import org.apache.spark.sql.catalyst.CatalystTypeConverters
@@ -4279,9 +4572,10 @@ private[graft] case class GraftCatalogScan(
         val keyRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           key.map(CatalystTypeConverters.convertToCatalyst).toArray)
         GraftCatalogKeyedPartition(
-          segs.map(GraftSegFile.of), schema.length, keyRow): InputPartition
+          segs.map(GraftSegFile.of(_, schema, eq)), schema.length, keyRow): InputPartition
       }.toArray
     }
+  }
 
   /** Storage-partitioned reads: an identity-partitioned table reports
     * `KeyGroupedPartitioning` over its partition columns, so (with
@@ -4448,9 +4742,13 @@ private[graft] class GraftCatalogMicroBatchStream(
       else snapshotOrFail(v - 1).segments.map(s => s.path -> s).toMap
     val removed = prevSegs.keySet -- cur.segments.map(_.path).toSet
     // A deletion-vector change keeps the file path but removes rows —
-    // exactly as much a change commit as dropping the segment.
+    // exactly as much a change commit as dropping the segment. So does
+    // a commit REGISTERING an equality delete (upsert): rows the
+    // stream already delivered are now dead. (An eq entry VANISHING is
+    // publish-time GC — purely structural, never a change.)
     val dvChanged = cur.segments.exists(s => prevSegs.get(s.path).exists(_.dv != s.dv))
-    if (removed.nonEmpty || dvChanged) {
+    val eqAdded = cur.eqDeletes.exists(_.seq == v)
+    if (removed.nonEmpty || dvChanged || eqAdded) {
       if (skipChangeCommits) Vector.empty
       else throw new IllegalStateException(
         s"streaming read of $ident: commit v$v removed segment(s) or rows " +
@@ -4511,8 +4809,13 @@ private[graft] class GraftCatalogMicroBatchStream(
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftVersionOffset].v
     val e = end.asInstanceOf[GraftVersionOffset].v
-    val segs: Vector[GraftCatalog.Segment] =
-      if (e <= s) Vector.empty
+    // The INITIAL-SNAPSHOT batch reads state, so it subtracts the
+    // snapshot's outstanding equality deletes; per-commit batches read
+    // freshly-added segments, to which no eq delete can apply yet (an
+    // upsert's own adds carry the delete's seq; later eq commits are
+    // change commits).
+    val (segs: Vector[GraftCatalog.Segment], eqs: Vector[GraftCatalog.EqDelete]) =
+      if (e <= s) (Vector.empty, Vector.empty)
       else if (s < 0) {
         val snap = snapshotOrFail(e)
         // Same per-field TYPE comparison as addedAt's per-commit guard:
@@ -4526,12 +4829,13 @@ private[graft] class GraftCatalogMicroBatchStream(
           throw new IllegalStateException(
             s"streaming read of $ident: snapshot v$e schema ${snap.schema.simpleString} " +
               s"differs from the table's ${schema.simpleString}; restart the stream")
-        snap.segments
-      } else (s + 1 to e).toVector.flatMap(addedAt)
+        (snap.segments, snap.eqDeletes)
+      } else ((s + 1 to e).toVector.flatMap(addedAt), Vector.empty)
     segs
       .filter(seg => pruning.forall(f => ZoneMap.mightMatch(f, schema, seg)))
       .map(seg =>
-        GraftCatalogPartition(Vector(GraftSegFile.of(seg)), schema.length): InputPartition)
+        GraftCatalogPartition(
+          Vector(GraftSegFile.of(seg, schema, eqs)), schema.length): InputPartition)
       .toArray
   }
 
@@ -4544,12 +4848,20 @@ private[graft] class GraftCatalogMicroBatchStream(
   * key-grouped scans, which must deliver the whole value in one split).
   */
 /** What a task needs to read one segment file: path, physical row
-  * count, and the deletion vector to skip (None = all rows live).
+  * count, the deletion vector to skip (None = all rows live), and the
+  * compiled equality-delete filters to subtract (empty = none apply —
+  * the zero-cost path for tables that never upserted).
   */
 private[sources] case class GraftSegFile(
-    path: String, rows: Long, dv: Option[scala.collection.immutable.BitSet])
+    path: String, rows: Long, dv: Option[scala.collection.immutable.BitSet],
+    eq: Seq[EqFilter] = Nil)
 private[sources] object GraftSegFile {
   def of(s: GraftCatalog.Segment): GraftSegFile = GraftSegFile(s.path, s.rows, s.dv)
+  def of(
+      s: GraftCatalog.Segment, schema: StructType,
+      eqs: Seq[GraftCatalog.EqDelete]): GraftSegFile =
+    GraftSegFile(s.path, s.rows, s.dv,
+      if (eqs.isEmpty) Nil else EqFilter.compile(schema, eqs, s))
 }
 
 private[sources] sealed trait GraftCatalogSplit extends InputPartition {
@@ -4604,6 +4916,7 @@ private[sources] case class GraftCatalogReaderFactory(
       private var remaining = 0L
       private var ordinal = 0L
       private var dv: scala.collection.immutable.BitSet = _
+      private var eq: Seq[EqFilter] = Nil
       private def advance(): Boolean = {
         if (in != null) { in.close(); in = null }
         if (!fileIter.hasNext) false
@@ -4613,13 +4926,16 @@ private[sources] case class GraftCatalogReaderFactory(
           remaining = f.rows
           ordinal = 0L
           dv = f.dv.orNull
+          eq = f.eq
           if (wantsMeta)
             metaRow.update(0, org.apache.spark.unsafe.types.UTF8String.fromString(f.path))
           if (f.rows > 0) true else advance() // a rowless file is never written, but be safe
         }
       }
       // Deletion-vector rows are READ (the format is length-prefixed
-      // sequential, there is no seek index) but never emitted.
+      // sequential, there is no seek index) but never emitted; rows a
+      // newer EQUALITY DELETE matches are likewise read past — the
+      // merge-on-read subtraction.
       override def next(): Boolean = {
         while (true) {
           if (remaining <= 0 && !advance()) return false
@@ -4627,7 +4943,11 @@ private[sources] case class GraftCatalogReaderFactory(
           if (size > buf.length) buf = new Array[Byte](math.max(size, buf.length << 1))
           in.readFully(buf, 0, size)
           remaining -= 1
-          val deleted = dv != null && ordinal <= Int.MaxValue && dv.contains(ordinal.toInt)
+          var deleted = dv != null && ordinal <= Int.MaxValue && dv.contains(ordinal.toInt)
+          if (!deleted && eq.nonEmpty) {
+            row.pointTo(buf, size)
+            deleted = eq.exists(_.matches(row))
+          }
           if (!deleted && wantsMeta) metaRow.update(1, ordinal)
           ordinal += 1
           if (!deleted) { row.pointTo(buf, size); return true }
@@ -4645,14 +4965,17 @@ private[sources] class GraftCatalogBatchWrite(
     truncateFirst: Boolean, partCols: Seq[String] = Nil,
     sortedWrite: Boolean = false,
     overwriteFilters: Option[Seq[org.apache.spark.sql.sources.Filter]] = None,
-    dynamicOverwrite: Boolean = false) extends BatchWrite {
+    dynamicOverwrite: Boolean = false,
+    upsertKeys: Seq[String] = Nil) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    GraftSegmentWriterFactory(target, dir, partCols, sortedWrite)
+    GraftSegmentWriterFactory(target, dir, partCols, sortedWrite, upsertKeys)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val segs = messages.collect { case m: GraftSegmentMessage => m }
-      .sortBy(_.partitionId)
-      .flatMap(_.segments)
-    if (overwriteFilters.isDefined || dynamicOverwrite)
+    val msgs = messages.collect { case m: GraftSegmentMessage => m }.sortBy(_.partitionId)
+    val segs = msgs.flatMap(_.segments)
+    if (upsertKeys.nonEmpty)
+      GraftCatalog.installUpsert(ident, segs.toSeq, upsertKeys,
+        msgs.flatMap(_.upsertKeys).toSeq)
+    else if (overwriteFilters.isDefined || dynamicOverwrite)
       GraftCatalog.installOverwrite(ident, segs.toSeq, overwriteFilters, dynamicOverwrite)
     else GraftCatalog.install(ident, segs.toSeq, truncateFirst)
   }
@@ -4673,16 +4996,24 @@ private[sources] class GraftCatalogBatchWrite(
   */
 private[sources] class GraftCatalogStreamingWrite(
     ident: Identifier, target: StructType, dir: String, queryId: String,
-    truncate: Boolean, partCols: Seq[String] = Nil)
+    truncate: Boolean, partCols: Seq[String] = Nil,
+    // STREAMING UPSERT sink (`writeStream.option("graft.upsert.keys",
+    // …).toTable(…)`): every epoch appends + equality-deletes its keys
+    // in one exactly-once commit — the CDC-apply sink that needs no
+    // foreachBatch MERGE.
+    upsertKeys: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  if (upsertKeys.nonEmpty)
+    require(!truncate, "streaming upsert requires append output mode")
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    GraftCatalogStreamingWriterFactory(target, dir, partCols)
+    GraftCatalogStreamingWriterFactory(target, dir, partCols, upsertKeys)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val segs = messages.collect { case m: GraftSegmentMessage => m }
-      .sortBy(_.partitionId)
-      .flatMap(_.segments)
-    GraftCatalog.installEpoch(ident, queryId, epochId, segs.toSeq, truncate)
+    val msgs = messages.collect { case m: GraftSegmentMessage => m }.sortBy(_.partitionId)
+    val segs = msgs.flatMap(_.segments)
+    GraftCatalog.installEpoch(ident, queryId, epochId, segs.toSeq, truncate,
+      upsert = if (upsertKeys.isEmpty) None
+               else Some((upsertKeys, msgs.flatMap(_.upsertKeys).toSeq)))
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case m: GraftSegmentMessage => m }
@@ -4690,11 +5021,13 @@ private[sources] class GraftCatalogStreamingWrite(
 }
 
 private[sources] case class GraftCatalogStreamingWriterFactory(
-    target: StructType, dir: String, partCols: Seq[String] = Nil)
+    target: StructType, dir: String, partCols: Seq[String] = Nil,
+    upsertKeys: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    GraftSegmentWriterFactory(target, dir, partCols).createWriter(partitionId, taskId)
+    GraftSegmentWriterFactory(target, dir, partCols, upsertKeys = upsertKeys)
+      .createWriter(partitionId, taskId)
 }
 
 /** Task commit message: the segments the task wrote (empty for a
@@ -4702,7 +5035,10 @@ private[sources] case class GraftCatalogStreamingWriterFactory(
   * a partitioned table), never the rows themselves.
   */
 private[sources] case class GraftSegmentMessage(
-    partitionId: Int, segments: Seq[GraftCatalog.Segment]) extends WriterCommitMessage
+    partitionId: Int, segments: Seq[GraftCatalog.Segment],
+    // Distinct upsert-key tuples this task wrote (external values) —
+    // the commit unions them into the commit's equality delete.
+    upsertKeys: Seq[IndexedSeq[Any]] = Nil) extends WriterCommitMessage
 
 /** Streams incoming rows to segment files, projecting onto the TABLE
   * schema first. Row-level rewrites (UPDATE / MERGE / rewrite-DELETE)
@@ -4726,7 +5062,11 @@ private[sources] case class GraftSegmentWriterFactory(
     // The write requested (and Spark therefore delivered) a per-task
     // sort on the declared write order — finished segments carry the
     // provenance flag the scan's reported ordering depends on.
-    sortedWrite: Boolean = false)
+    sortedWrite: Boolean = false,
+    // UPSERT key columns (`.option("graft.upsert.keys", "k1,k2")`):
+    // each task also collects the distinct key tuples it wrote, which
+    // the commit registers as an equality delete over older segments.
+    upsertKeys: Seq[String] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -4747,6 +5087,14 @@ private[sources] case class GraftSegmentWriterFactory(
       private val writers =
         new scala.collection.mutable.LinkedHashMap[IndexedSeq[Any], SegmentIO.Writer]()
       private val MaxWritersPerTask = 1000
+      private val upsertIdx: Array[(Int, org.apache.spark.sql.types.DataType)] =
+        upsertKeys.map { c =>
+          val i = target.fieldIndex(c); (i, target.fields(i).dataType)
+        }.toArray
+      private val upsertSeen =
+        scala.collection.mutable.LinkedHashSet.empty[IndexedSeq[Any]]
+      private val MaxUpsertKeysPerTask =
+        sys.props.getOrElse("graft.upsert.maxKeys", "100000").toInt
 
       // Partition key as EXTERNAL values (String, boxed numerics) —
       // comparable to pushed-filter literals and stable in the
@@ -4776,6 +5124,21 @@ private[sources] case class GraftSegmentWriterFactory(
           projFields = record.numFields
         }
         val row = proj(record)
+        if (upsertIdx.nonEmpty) {
+          val tuple: IndexedSeq[Any] = upsertIdx.toIndexedSeq.map { case (i, dt) =>
+            require(!row.isNullAt(i),
+              s"upsert key column ${target.fields(i).name} is null — upsert keys must be non-null")
+            dt match {
+              case StringType => row.getUTF8String(i).toString
+              case _ => row.get(i, dt)
+            }
+          }
+          upsertSeen += tuple
+          require(upsertSeen.size <= MaxUpsertKeysPerTask,
+            s"upsert task exceeded $MaxUpsertKeysPerTask distinct keys — equality " +
+              "deletes are the small-hot-batch path; use MERGE INTO for bulk rewrites " +
+              "(or raise -Dgraft.upsert.maxKeys)")
+        }
         val key = if (keyFields.isEmpty) Vector.empty else keyOf(row)
         val w = writers.getOrElseUpdate(key, {
           require(writers.size < MaxWritersPerTask,
@@ -4789,7 +5152,8 @@ private[sources] case class GraftSegmentWriterFactory(
         GraftSegmentMessage(partitionId,
           writers.toSeq.flatMap { case (key, w) =>
             w.finish().map(_.copy(key = key, sorted = sortedWrite, spec = partCols))
-          })
+          },
+          upsertKeys = upsertSeen.toSeq)
       override def abort(): Unit = writers.values.foreach(_.abort())
       override def close(): Unit = ()
     }

@@ -188,6 +188,16 @@ private[sources] case class GraftChangeUpdatePartition(
     pre: GraftSegFile, post: GraftSegFile, numFields: Int,
     fileBytes: Long = 0L) extends InputPartition
 
+/** One EQUALITY-DELETE delta split: emit as 'delete' the rows of
+  * `file` that a newly-registered eq delete matches — skipping
+  * `file.dv` (rows whose death other splits report) and rows
+  * `file.eq` already killed before the range (they were not live to
+  * delete).
+  */
+private[sources] case class GraftChangeEqDeletePartition(
+    file: GraftSegFile, numFields: Int, newKeys: Seq[EqFilter],
+    fileBytes: Long = 0L) extends InputPartition
+
 private[sources] case class GraftChangeScan(
     ident: Identifier, from: GraftCatalog.CatalogSnapshot,
     to: GraftCatalog.CatalogSnapshot) extends Scan with Batch
@@ -211,7 +221,7 @@ private[sources] case class GraftChangeScan(
     s"GraftChangeScan($ident, from=v${from.version}, to=v${to.version})"
 
   override def planInputPartitions(): Array[InputPartition] =
-    GraftChangeScan.diffPartitions(ident, from, to, dataSchema.length)
+    GraftChangeScan.diffPartitions(ident, from, to, dataSchema)
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftChangeReaderFactory(dataSchema)
@@ -230,6 +240,9 @@ private[sources] case class GraftChangeScan(
       // Paired update split: emits ≤ 2 × live rows (only CHANGED
       // positions emit; unknowable without reading — bound above).
       case u: GraftChangeUpdatePartition => 2L * u.post.rows
+      // Eq-delta split: emits at most the newly-matched keys.
+      case e: GraftChangeEqDeletePartition =>
+        math.min(e.file.rows, e.newKeys.map(_.keys.size.toLong).sum)
       case _ => 0L
     }
     val rows = parts.map(emitted).sum
@@ -391,7 +404,7 @@ private[sources] class GraftChangeMicroBatchStream(
     // The batch is the structural diff s → e (net within the batch,
     // per-commit when the trigger keeps up — one commit per batch).
     else GraftChangeScan.diffPartitions(
-      ident, snapshotOrFail(s), snapshotOrFail(e), dataSchema.length)
+      ident, snapshotOrFail(s), snapshotOrFail(e), dataSchema)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -471,7 +484,8 @@ private[sources] object GraftChangeScan {
   private[sources] def diffPartitions(
       ident: Identifier,
       from: GraftCatalog.CatalogSnapshot, to: GraftCatalog.CatalogSnapshot,
-      width: Int): Array[InputPartition] = {
+      dataSchema: org.apache.spark.sql.types.StructType): Array[InputPartition] = {
+    val width = dataSchema.length
     // A range consisting ONLY of dataChange=false commits changed no
     // logical row — empty diff, however the files moved. (A MIXED
     // range still plans the endpoint diff; a mid-range compaction then
@@ -503,12 +517,43 @@ private[sources] object GraftChangeScan {
         GraftSegFile.of(src), GraftSegFile(added.path, added.rows, dv = None),
         width, src.bytes + added.bytes)
     }
+    // Net-diff semantics under equality deletes: an ADDED segment's
+    // insert rows exclude what a LATER in-range eq delete removed (the
+    // to-snapshot's filters, applicable per seq); a REMOVED segment's
+    // delete rows exclude what was already eq-dead at `from`.
     val inserts = to.segments.filterNot(s =>
       fromByPath.contains(s.path) || pairedAdded.contains(s.path)).map(s =>
-      GraftChangePartition(GraftSegFile.of(s), width, "insert", None, s.bytes))
+      GraftChangePartition(
+        GraftSegFile.of(s, dataSchema, to.eqDeletes), width, "insert", None, s.bytes))
     val deletes = from.segments.filterNot(s =>
       toByPath.contains(s.path) || pairedRemoved.contains(s.path)).map(s =>
-      GraftChangePartition(GraftSegFile.of(s), width, "delete", None, s.bytes))
+      GraftChangePartition(
+        GraftSegFile.of(s, dataSchema, from.eqDeletes), width, "delete", None, s.bytes))
+    // EQUALITY-DELETE deltas: an eq delete registered in-range kills
+    // rows of segments present on BOTH sides (added-in-range segments
+    // handle theirs via the filtered insert split above) — one split
+    // per affected segment emits exactly the newly-matched rows as
+    // deletes. Rows already dead at `from` (its dv or its eq filters)
+    // and rows whose death the dv-delta split reports (to-dv) are
+    // excluded, so no row's delete emits twice.
+    val newEqs = to.eqDeletes.filter(eq =>
+      eq.seq > from.version && eq.seq <= to.version)
+    val eqDeltas =
+      if (newEqs.isEmpty) Vector.empty
+      else to.segments.flatMap { t =>
+        fromByPath.get(t.path).toSeq.flatMap { f =>
+          val newlyApplicable = EqFilter.compile(dataSchema, newEqs, t)
+          if (newlyApplicable.isEmpty) Nil
+          else {
+            val skip = f.dv.getOrElse(BitSet.empty) | t.dv.getOrElse(BitSet.empty)
+            Seq(GraftChangeEqDeletePartition(
+              GraftSegFile(t.path, t.rows,
+                Some(skip).filter(_.nonEmpty),
+                EqFilter.compile(dataSchema, from.eqDeletes, t)),
+              width, newlyApplicable, t.bytes): InputPartition)
+          }
+        }
+      }
     val dvDeltas = to.segments.flatMap { t =>
       fromByPath.get(t.path).toSeq.flatMap { f =>
         val fdv = f.dv.getOrElse(BitSet.empty)
@@ -527,14 +572,20 @@ private[sources] object GraftChangeScan {
           shrunk -> "insert"
         ).collect { case (delta, kind) if delta.nonEmpty =>
           // Emit the rows' CONTENT: read the shared file, emit only the
-          // delta ordinals.
+          // delta ordinals. Rows equality-dead at the relevant endpoint
+          // are excluded (a dv-deleted row that an eq delete had
+          // already killed at `from` was not live to delete; a
+          // dv-resurrected row an eq delete kills at `to` is not live
+          // to insert).
           GraftChangePartition(
-            GraftSegFile(t.path, t.rows, dv = None), width, kind,
-            Some(delta), t.bytes)
+            GraftSegFile(t.path, t.rows, dv = None,
+              eq = EqFilter.compile(dataSchema,
+                if (kind == "delete") from.eqDeletes else to.eqDeletes, t)),
+            width, kind, Some(delta), t.bytes)
         }
       }
     }
-    ((updates: Vector[InputPartition]) ++ inserts ++ deletes ++ dvDeltas)
+    ((updates: Vector[InputPartition]) ++ inserts ++ deletes ++ dvDeltas ++ eqDeltas)
       .toArray
   }
 }
@@ -627,9 +678,43 @@ private[sources] case class GraftChangeReaderFactory(data: StructType)
     }
   }
 
+  /** Eq-delete delta reader: every surviving row (not dv-skipped, not
+    * already eq-dead) that a NEW eq delete matches emits as 'delete'.
+    */
+  private def eqDeleteReader(p: GraftChangeEqDeletePartition): PartitionReader[InternalRow] = {
+    val metaRow = new GenericInternalRow(1)
+    metaRow.update(0, UTF8String.fromString("delete"))
+    val joined = new JoinedRow
+    val exprs: Seq[Expression] =
+      data.fields.toSeq.zipWithIndex.map { case (f, i) =>
+        BoundReference(i, f.dataType, f.nullable): Expression
+      } :+ BoundReference(data.length, StringType, nullable = false)
+    val proj = UnsafeProjection.create(exprs)
+    new PartitionReader[InternalRow] {
+      private val row = new UnsafeRow(p.numFields)
+      private var cur: SegCursor = _
+      override def next(): Boolean = {
+        if (cur == null) cur = new SegCursor(p.file.path, p.file.rows)
+        while (cur.readNext()) {
+          val skipped = p.file.dv.exists(d =>
+            cur.ordinal <= Int.MaxValue && d.contains(cur.ordinal.toInt))
+          if (!skipped) {
+            row.pointTo(cur.buf, cur.size)
+            if (!p.file.eq.exists(_.matches(row)) && p.newKeys.exists(_.matches(row)))
+              return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = proj(joined(row, metaRow))
+      override def close(): Unit = if (cur != null) cur.close()
+    }
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     partition match {
       case u: GraftChangeUpdatePartition => return pairedReader(u)
+      case e: GraftChangeEqDeletePartition => return eqDeleteReader(e)
       case _ => ()
     }
     val p = partition.asInstanceOf[GraftChangePartition]
@@ -656,11 +741,11 @@ private[sources] case class GraftChangeReaderFactory(data: StructType)
         remaining = p.file.rows
       }
       private def emit(ord: Long): Boolean =
-        p.emitOnly match {
+        (p.emitOnly match {
           case Some(only) => ord <= Int.MaxValue && only.contains(ord.toInt)
           case None =>
             !p.file.dv.exists(d => ord <= Int.MaxValue && d.contains(ord.toInt))
-        }
+        }) && !p.file.eq.exists(_.matches(row)) // row points at this record
       override def next(): Boolean = {
         if (in == null) open()
         while (remaining > 0) {

@@ -93,6 +93,7 @@ private[sources] object GraftLedger {
     val o = M.createObjectNode()
     o.put("path", s.path).put("rows", s.rows).put("bytes", s.bytes)
     if (s.sorted) o.put("sorted", true)
+    if (s.seq != 0L) o.put("seq", s.seq)
     if (s.spec.nonEmpty) {
       val sp = o.putArray("spec")
       s.spec.foreach(sp.add)
@@ -157,8 +158,33 @@ private[sources] object GraftLedger {
       // written under the table's then-only spec — the caller patches
       // it to the entry's partitionCols (see decodeTable); Nil here.
       spec = Option(n.get("spec"))
-        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
+      // Absent node (pre-eq ledger) => 0: every equality delete
+      // re-applies, which is the safe direction.
+      seq = Option(n.get("seq")).map(_.asLong()).getOrElse(0L))
   }
+
+  // ---- equality deletes (merge-on-read upserts) ----
+
+  private[sources] def eqNode(eq: GraftCatalog.EqDelete): ObjectNode = {
+    val o = M.createObjectNode()
+    o.put("seq", eq.seq)
+    val kc = o.putArray("keyCols")
+    eq.keyCols.foreach(kc.add)
+    val ks = o.putArray("keys")
+    eq.keys.foreach { t =>
+      val tn = ks.addArray()
+      t.foreach(v => tn.add(valNode(v)))
+    }
+    o
+  }
+
+  private[sources] def eqOf(n: JsonNode): GraftCatalog.EqDelete =
+    GraftCatalog.EqDelete(
+      n.get("keyCols").elements().asScala.map(_.asText()).toSeq,
+      n.get("keys").elements().asScala.map(t =>
+        t.elements().asScala.map(valOf).toVector: IndexedSeq[Any]).toVector,
+      n.get("seq").asLong())
 
   // ---- constraints (CHECK round-trips exactly; anything else is
   // informational-only here and recorded as DDL text) ----
@@ -227,7 +253,15 @@ private[sources] object GraftLedger {
         snap.rewrites.foreach { case (a, s) => hr.put(a, s) }
       }
       if (!snap.dataChange) h.put("dataChange", false)
+      if (snap.eqDeletes.nonEmpty) {
+        val he = h.putArray("eqDeletes")
+        snap.eqDeletes.foreach(eq => he.add(eqNode(eq)))
+      }
       hist.add(h)
+    }
+    if (entry.eqDeletes.nonEmpty) {
+      val ee = o.putArray("eqDeletes")
+      entry.eqDeletes.foreach(eq => ee.add(eqNode(eq)))
     }
     val ep = o.putObject("epochs")
     epochs.foreach { case (qid, e) => ep.put(qid, e) }
@@ -272,7 +306,9 @@ private[sources] object GraftLedger {
       ss.map(s => if (s.spec.isEmpty && s.key.nonEmpty) s.copy(spec = spec) else s)
     val entry =
       TableEntry(schema, patchSpec(segs, partCols), o.get("dir").asText(),
-        partCols, cons, analyzed, props)
+        partCols, cons, analyzed, props,
+        eqDeletes = Option(o.get("eqDeletes"))
+          .map(_.elements().asScala.map(eqOf).toVector).getOrElse(Vector.empty))
     val hist = o.get("history").elements().asScala.map { h =>
       val snapCols = Option(h.get("partitionCols"))
         .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(partCols)
@@ -291,7 +327,9 @@ private[sources] object GraftLedger {
         }.getOrElse(Map.empty[String, String]),
         // Absent node (pre-flag ledger) => true: treating an old no-op
         // commit as a data commit is the conservative direction.
-        dataChange = Option(h.get("dataChange")).forall(_.asBoolean()))
+        dataChange = Option(h.get("dataChange")).forall(_.asBoolean()),
+        eqDeletes = Option(h.get("eqDeletes"))
+          .map(_.elements().asScala.map(eqOf).toVector).getOrElse(Vector.empty))
     }.toVector
     val ep = Option(o.get("epochs")).map { e =>
       e.properties().asScala.map(kv => kv.getKey -> kv.getValue.asLong()).toMap

@@ -206,10 +206,14 @@ private[graft] object GraftMvOps {
 
     (GraftCatalog.snapshotByVersion(sIdent, v0),
         GraftCatalog.snapshotByVersion(sIdent, v1)) match {
-      // Incremental path needs BOTH snapshots retained and the schema
+      // Incremental path needs BOTH snapshots retained, the schema
       // unchanged (an ALTER between refreshes invalidates per-column
-      // reasoning — rare, and full recompute is always correct).
-      case (Some(s0), Some(s1)) if s0.schema == s1.schema =>
+      // reasoning — rare, and full recompute is always correct), and
+      // the same outstanding EQUALITY DELETES on both sides: an upsert
+      // in range deletes rows of segments the structural diff calls
+      // "unchanged", so touched-group collection would miss groups.
+      case (Some(s0), Some(s1)) if s0.schema == s1.schema &&
+          s0.eqDeletes == s1.eqDeletes =>
         val m0 = s0.segments.map(s => s.path -> s).toMap
         val m1 = s1.segments.map(s => s.path -> s).toMap
         val added = m1.keySet -- m0.keySet

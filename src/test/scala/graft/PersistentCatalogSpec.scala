@@ -57,6 +57,31 @@ class PersistentCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE pgraft.pns.t")
   }
 
+  test("equality deletes and data sequence numbers survive a restart") {
+    spark.sql("DROP TABLE IF EXISTS pgraft.pns.ups")
+    spark.sql("CREATE TABLE pgraft.pns.ups (k BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO pgraft.pns.ups VALUES (1, 'a1'), (2, 'a2')") // v1
+    Seq((2L, "b2")).toDF("k", "v").writeTo("pgraft.pns.ups")
+      .option("graft.upsert.keys", "k").append() // v2: merge-on-read upsert
+
+    GraftCatalog.resetInMemoryStateForTest(ident("pns", "ups"))
+
+    // The reloaded reader must still subtract the ghost of k=2 — the
+    // eq delete AND every segment's seq round-tripped the ledger (a
+    // seq collapsing to 0 would wrongly delete the UPSERT's own row).
+    assert(spark.sql("SELECT k, v FROM pgraft.pns.ups ORDER BY k")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a1"), (2L, "b2")))
+    // Pre-upsert time travel still shows the old row.
+    assert(spark.sql("SELECT k, v FROM pgraft.pns.ups VERSION AS OF 1 ORDER BY k")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a1"), (2L, "a2")))
+    // And a post-restart upsert keeps sequencing correctly.
+    Seq((1L, "c1")).toDF("k", "v").writeTo("pgraft.pns.ups")
+      .option("graft.upsert.keys", "k").append()
+    assert(spark.sql("SELECT k, v FROM pgraft.pns.ups ORDER BY k")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "c1"), (2L, "b2")))
+    spark.sql("DROP TABLE pgraft.pns.ups")
+  }
+
   test("deletion vectors and zone-map stats survive a restart") {
     spark.sql("DROP TABLE IF EXISTS pgraft.pns.dv")
     spark.sql("CREATE TABLE pgraft.pns.dv (id BIGINT, grp STRING) USING graft")
