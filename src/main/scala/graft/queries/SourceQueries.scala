@@ -1311,6 +1311,62 @@ object SourceQueries {
       .orderBy("era", "seg")
   }
 
+  /** X14: SELECT-able METADATA TABLES (the Iceberg `db.t.files` /
+    * `db.t.history` shape): `graft.ns.t.{files,history,eq_deletes,
+    * branches}` resolve through the normal multi-part identifier path
+    * and serve always-current metastore rows at plan time — zero
+    * segment-file reads, JOINable like any relation (the 'files' row
+    * below joins files⋈eq_deletes to count rows predating the
+    * outstanding upsert delete — ghost accounting as one SQL query).
+    * The oracle is closed-form over the customer slices the fixture
+    * committed: physical row sums, key counts, version arithmetic.
+    */
+  val x14MetadataTables: Q = Q(
+    "x14_metadata_tables",
+    """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+      |           WHERE c_custkey % 2 = 0),
+      |     u AS (SELECT CAST(count(*) AS BIGINT) AS n FROM customer
+      |           WHERE c_custkey % 10 = 0)
+      |SELECT 'branches' AS rel, CAST(1 AS BIGINT) AS a,
+      |       (SELECT n FROM b) + (SELECT n FROM u) AS m
+      |UNION ALL
+      |SELECT 'eq_deletes', CAST(1 AS BIGINT), (SELECT n FROM u)
+      |UNION ALL
+      |SELECT 'files', (SELECT n FROM b) + (SELECT n FROM u), (SELECT n FROM b)
+      |UNION ALL
+      |SELECT 'history', CAST(3 AS BIGINT), CAST(2 AS BIGINT)
+      |ORDER BY rel""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.customer(spark, dir).createOrReplaceTempView("x14_customer_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.`meta14@wip`")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.meta14")
+    spark.sql(
+      "CREATE TABLE graft.demo.meta14 (k BIGINT, bal DOUBLE) USING graft")
+    spark.sql(
+      """INSERT INTO graft.demo.meta14
+        |SELECT CAST(c_custkey AS BIGINT), c_acctbal
+        |FROM x14_customer_src WHERE c_custkey % 2 = 0""".stripMargin) // v1
+    spark.sql(
+      """SELECT CAST(c_custkey AS BIGINT) AS k, c_acctbal + 1.0 AS bal
+        |FROM x14_customer_src WHERE c_custkey % 10 = 0""".stripMargin)
+      .writeTo("graft.demo.meta14")
+      .option("graft.upsert.keys", "k").append() // v2: upsert
+    spark.sql("CALL graft.system.create_branch('demo', 'meta14', 'wip', '')")
+    spark.sql(
+      """SELECT 'branches' AS rel, count(*) AS a, sum(rows) AS m
+        |FROM graft.demo.meta14.branches
+        |UNION ALL
+        |SELECT 'eq_deletes', count(*), sum(keys) FROM graft.demo.meta14.eq_deletes
+        |UNION ALL
+        |SELECT 'files', sum(rows),
+        |  (SELECT sum(f.rows) FROM graft.demo.meta14.files f
+        |   JOIN graft.demo.meta14.eq_deletes e ON f.seq < e.seq)
+        |FROM graft.demo.meta14.files
+        |UNION ALL
+        |SELECT 'history', count(*), max(version) FROM graft.demo.meta14.history
+        |ORDER BY rel""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     s2ParquetRoundtrip, s3CsvSource, s3JsonSource, s6CacheReuse,
     s7PartitionedSink, s8OrcRoundtrip, x1ScalarUdf, x3Generator, x4Dsv2Source,
@@ -1320,5 +1376,5 @@ object SourceQueries {
     x9cMvRewriteOff, x9cMvRewriteOn, x5fPartitionProfile, x5gCosortedJoin,
     x5hPartitionOverwrite, x5iPartitionEvolution, x5jHiddenPartitioning,
     x10TableChanges, x10bCdcUpdatePairs, x11RestoreClone, x12BranchWap,
-    x13Upsert)
+    x13Upsert, x14MetadataTables)
 }

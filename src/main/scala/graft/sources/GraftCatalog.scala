@@ -77,7 +77,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def loadTable(ident: Identifier): Table = {
     ensureLoaded()
     val entry = store.get(ident)
-    if (entry == null) throw new NoSuchTableException(ident)
+    if (entry == null)
+      // Multi-part fallthrough: `graft.ns.t.files` arrives as
+      // namespace [ns, t], name "files" — the Iceberg-style metadata
+      // tables (files/history/eq_deletes/branches).
+      return GraftMetadataTables.resolve(ident)
+        .getOrElse(throw new NoSuchTableException(ident))
     new GraftCatalogTable(ident, entry.schema, entry.dir,
       partitionCols = entry.partitionCols, tableConstraints = entry.constraints)
   }
@@ -2401,6 +2406,22 @@ object GraftCatalog {
 
   private[sources] def eqDeletesOf(ident: Identifier): Vector[EqDelete] =
     Option(store.get(ident)).map(_.eqDeletes).getOrElse(Vector.empty)
+
+  private[sources] def entryExists(ident: Identifier): Boolean =
+    store.containsKey(ident)
+
+  /** Open WAP branches of `base`: (branch name, base version,
+    * segments, live rows) — the `branches` metadata table's rows.
+    */
+  private[sources] def branchesOf(base: Identifier): Seq[(String, Long, Int, Long)] =
+    store.asScala.toSeq.collect {
+      case (id, e) if id.namespace.sameElements(base.namespace) &&
+          id.name.startsWith(base.name + "@") &&
+          e.props.get(BranchOfProp).contains(base.toString) =>
+        (id.name.drop(base.name.length + 1),
+          e.props.get(BranchBaseProp).map(_.toLong).getOrElse(-1L),
+          e.segments.length, e.segments.map(_.liveRows).sum)
+    }.sortBy(_._1)
 
   /** Upsert-key columns must exist and carry exact-equality-comparable
     * types (the external encodings the writer collects and the reader
