@@ -50,7 +50,12 @@ object ScaleSpot {
       "l5_tfidf_top_terms", "l8_ngram_decontaminate",
       "st2_tumbling_window", "st4_session_window", "st6c_timer_sessions",
       "st8_stream_stream_join", "st13_join_window_agg",
-      "st14_streaming_mv", "st15_change_feed_stream", "st16_cdc_replica")
+      "st14_streaming_mv", "st15_change_feed_stream", "st16_cdc_replica",
+      // Round-12 table-format additions at 10×: hidden-partition ingest
+      // + pruning, merge-on-read upsert, WAP branch lifecycle, and the
+      // streaming upsert sink replaying a 10× change feed.
+      "x5j_hidden_partitioning", "x12_branch_wap", "x13_upsert",
+      "st17_streaming_upsert")
     val qs = SparkEntry.queries
     val times = picks.flatMap { name =>
       qs.get(name).map { fn =>
