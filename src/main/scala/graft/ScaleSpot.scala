@@ -57,11 +57,19 @@ object ScaleSpot {
       "x5j_hidden_partitioning", "x12_branch_wap", "x13_upsert",
       "st17_streaming_upsert")
     val qs = SparkEntry.queries
-    val times = picks.flatMap { name =>
+    // SPARK_GRAFT_SCALE_ALL=1: run EVERY registry query against the 10×
+    // slice (the full-suite sf1 datapoint; single-shot timings — the
+    // per-round bench's median-of-3 discipline stays at sf0.1).
+    val chosen =
+      if (sys.env.contains("SPARK_GRAFT_SCALE_ALL")) qs.keys.toSeq.sorted
+      else picks
+    val errors = scala.collection.mutable.SortedMap[String, String]()
+    val times = chosen.flatMap { name =>
       qs.get(name).map { fn =>
         val t0 = System.nanoTime()
         try { fn(spark, outDir).count(); () }
         catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(160)
           System.err.println(s"[scale-spot] $name FAILED: ${e.getMessage}")
         }
         spark.catalog.clearCache()
@@ -74,10 +82,15 @@ object ScaleSpot {
       s"${jstr(k)}:${math.rint(v * 1000) / 1000}"
     }.mkString("{", ",", "}")
     val total = math.rint(times.map(_._2).sum * 1000) / 1000
+    val ejson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+    val all = sys.env.contains("SPARK_GRAFT_SCALE_ALL")
+    val metric = if (all) "scale_full_total" else "scale_spot_total"
     val line =
-      s"""{"metric":"scale_spot_total","value":$total,"unit":"sec","copies":$Copies,"base":${jstr(baseDir)},"queries":$qjson}"""
+      s"""{"metric":"$metric","value":$total,"unit":"sec","copies":$Copies,"base":${jstr(baseDir)},"errors":$ejson,"queries":$qjson}"""
     println(line)
-    val w = new java.io.PrintWriter("bench_scale_spot.json")
+    val w = new java.io.PrintWriter(
+      if (all) "bench_scale_full.json" else "bench_scale_spot.json")
     try w.println(line) finally w.close()
     spark.stop()
   }

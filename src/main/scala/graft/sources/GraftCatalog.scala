@@ -3365,7 +3365,7 @@ private[sources] object SegmentIO {
   * at plan time — the empty-list fast path costs nothing on tables
   * that never upserted.
   */
-private[sources] case class EqFilter(
+private[graft] case class EqFilter(
     idx: IndexedSeq[Int], dts: IndexedSeq[org.apache.spark.sql.types.DataType],
     keys: Set[IndexedSeq[Any]]) extends Serializable {
   def matches(r: UnsafeRow): Boolean = {
@@ -3382,7 +3382,7 @@ private[sources] case class EqFilter(
   }
 }
 
-private[sources] object EqFilter {
+private[graft] object EqFilter {
   /** The equality deletes applicable to `seg` (strictly newer than its
     * data sequence number), compiled against the table layout.
     */
