@@ -599,6 +599,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     if (entry == null) throw new NoSuchTableException(oldIdent)
     if (store.containsKey(newIdent))
       throw new TableAlreadyExistsException(newIdent.toString, newIdent.name())
+    // Open branches address their parent BY NAME (the '@' convention
+    // and the graft.branch.of property) — renaming under them would
+    // strand audited work with no publish path.
+    val openBranches = GraftCatalog.branchesOf(oldIdent)
+    if (openBranches.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$oldIdent has open branch(es) ${openBranches.map(_._1).mkString(", ")} — " +
+          "publish or drop them before renaming the table")
     store.remove(oldIdent)
     store.put(newIdent, entry)
     Option(history.remove(oldIdent)).foreach(history.put(newIdent, _))
@@ -952,7 +960,9 @@ private[graft] object GraftSetPartitioningProcedure
     val ns = input.getUTF8String(0).toString
     val table = input.getUTF8String(1).toString
     val ident = Identifier.of(Array(ns), table)
-    val cols = input.getUTF8String(2).toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    // TOP-LEVEL commas only: 'days(ts),bucket(16,k)' is two fields,
+    // and bucket's inner comma must not split it.
+    val cols = GraftCatalog.splitTopLevel(input.getUTF8String(2).toString)
     val (v, old) = GraftCatalog.setPartitioning(ident, cols)
     val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(ident.toString),
@@ -1837,9 +1847,18 @@ object GraftCatalog {
     * retained snapshot references. Call under `mutate {}` after the
     * metastore swap.
     */
+  /** `firstVersion`: the number the FIRST snapshot takes when the
+    * table has no history yet (0 for created tables; the SOURCE
+    * version for clones/branches — their inherited segment seqs and
+    * eq-delete seqs are valued in the source's version domain, and a
+    * history restarting at 0 would let the new table's commits stamp
+    * seqs BELOW inherited ones: an insert into the clone could be
+    * swallowed by an inherited equality delete, or an upsert fail to
+    * shadow inherited rows).
+    */
   private def publish(
       ident: Identifier, rewrites: Map[String, String] = Map.empty,
-      dataChange: Boolean = true): Unit = {
+      dataChange: Boolean = true, firstVersion: Long = 0L): Unit = {
     val entry0 = store.get(ident)
     if (entry0 == null) return
     // Equality-delete GC: once every live segment's seq is >= the
@@ -1856,7 +1875,7 @@ object GraftCatalog {
     val now = System.nanoTime()
     val hist = history.getOrDefault(ident, Vector.empty)
     val snap = CatalogSnapshot(
-      hist.lastOption.map(_.version + 1).getOrElse(0L),
+      hist.lastOption.map(_.version + 1).getOrElse(firstVersion),
       System.currentTimeMillis(), now, entry.schema, entry.segments,
       entry.partitionCols, entry.constraints, rewrites, dataChange,
       entry.eqDeletes)
@@ -1996,7 +2015,11 @@ object GraftCatalog {
       snap.constraints, Map.empty, e.props.filterNot(p =>
         p._1.startsWith(TagPropPrefix) || p._1 == BranchOfProp || p._1 == BranchBaseProp),
       eqDeletes = snap.eqDeletes))
-    publish(dst)
+    // History CONTINUES the source's version numbering (first snapshot
+    // = the cloned version, not 0): inherited segment/eq-delete
+    // sequence numbers are valued in that domain, and the clone's own
+    // commits must stamp ABOVE them (see publish's firstVersion doc).
+    publish(dst, firstVersion = snap.version)
     (snap.version, snap.segments.length)
   }
 
@@ -2344,8 +2367,7 @@ object GraftCatalog {
       // because their scan subtracted the applicable equality deletes
       // (see Segment.seq).
       val prevPaths = prev.segments.map(_.path).toSet
-      val nextV = history.getOrDefault(ident, Vector.empty)
-        .lastOption.map(_.version + 1).getOrElse(0L)
+      val nextV = nextVersion(ident)
       prev.copy(segments = transform(prev).map(s =>
         if (prevPaths.contains(s.path)) s else s.copy(seq = nextV)))
     })
@@ -2401,6 +2423,14 @@ object GraftCatalog {
     kept ++ segs.toVector
   }
 
+  /** The version the NEXT publish of `ident` will take — the data
+    * sequence number every fresh-commit path stamps (one definition:
+    * five hand-rolled copies had already appeared).
+    */
+  private def nextVersion(ident: Identifier): Long =
+    history.getOrDefault(ident, Vector.empty)
+      .lastOption.map(_.version + 1).getOrElse(0L)
+
   private[sources] def segmentsOf(ident: Identifier): Vector[Segment] =
     Option(store.get(ident)).map(_.segments).getOrElse(Vector.empty)
 
@@ -2409,6 +2439,25 @@ object GraftCatalog {
 
   private[sources] def entryExists(ident: Identifier): Boolean =
     store.containsKey(ident)
+
+  /** Split a comma list at paren depth 0 only — `bucket(16,k)` is one
+    * field, `days(ts),bucket(16,k)` is two.
+    */
+  private[sources] def splitTopLevel(s: String): Seq[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 =>
+        if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+        cur.clear()
+      case c => cur += c
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.result()
+  }
 
   /** Open WAP branches of `base`: (branch name, base version,
     * segments, live rows) — the `branches` metadata table's rows.
@@ -2462,8 +2511,16 @@ object GraftCatalog {
       require(distinct.length <= maxKeys,
         s"upsert commit carries ${distinct.length} distinct keys (> $maxKeys) — " +
           "use MERGE INTO for bulk rewrites or raise -Dgraft.upsert.maxKeys")
-      val nextV = history.getOrDefault(ident, Vector.empty)
-        .lastOption.map(_.version + 1).getOrElse(0L)
+      // KEY-UNIQUE batch contract (the MERGE cardinality rule's
+      // analogue): two rows for one key in the SAME commit share a
+      // sequence number, so neither shadows the other and last-wins is
+      // undefined — refuse loudly instead of committing both.
+      val written = segs.map(_.rows).sum
+      require(written == distinct.length,
+        s"upsert batch is not key-unique: $written rows over ${distinct.length} " +
+          s"distinct (${keyCols.mkString(",")}) keys — dedup the batch first " +
+          "(keep the last row per key)")
+      val nextV = nextVersion(ident)
       val stamped = segs.toVector.map(_.copy(seq = nextV))
       prev.copy(
         segments = prev.segments ++ stamped,
@@ -2529,14 +2586,20 @@ object GraftCatalog {
         upsert.foreach { case (kc, _) => validateUpsertKeys(prev.schema, kc) }
         epochs.put(key, epochId)
         applied = true
-        val nextV = history.getOrDefault(ident, Vector.empty)
-          .lastOption.map(_.version + 1).getOrElse(0L)
+        val nextV = nextVersion(ident)
         val stamped = segs.toVector.map(_.copy(seq = nextV))
         val eqs = upsert match {
           case Some((kc, ks)) if ks.nonEmpty =>
             val distinct = ks.distinct.toVector
             require(distinct.length <= maxKeys,
               s"upsert epoch carries ${distinct.length} distinct keys (> $maxKeys)")
+            // Same key-unique contract as the batch path: intra-epoch
+            // duplicates share a seq and cannot shadow each other.
+            val written = segs.map(_.rows).sum
+            require(written == distinct.length,
+              s"upsert epoch is not key-unique: $written rows over " +
+                s"${distinct.length} distinct (${kc.mkString(",")}) keys — " +
+                "dedup per epoch (keep the last row per key)")
             prev.eqDeletes :+ EqDelete(kc, distinct, nextV)
           case _ => prev.eqDeletes
         }
@@ -2611,10 +2674,10 @@ object GraftCatalog {
     // the output stamps the new data sequence number — after a full
     // compact no live segment predates any eq delete, so publish-time
     // GC drops them all.
-    val nextSeq = history.getOrDefault(ident, Vector.empty)
-      .lastOption.map(_.version + 1).getOrElse(0L)
+    val nextSeq = nextVersion(ident)
+    val compiledEq = EqFilter.compileAll(entry.schema, entry.eqDeletes)
     def eqKeep(seg: Segment): UnsafeRow => Boolean =
-      EqFilter.keepFn(entry.schema, entry.eqDeletes, seg).getOrElse(_ => true)
+      EqFilter.keepOf(EqFilter.applicable(compiledEq, seg)).getOrElse(_ => true)
     def eqApplies(seg: Segment): Boolean =
       entry.eqDeletes.exists(_.seq > seg.seq)
     // Group by (spec, key): after a partition-spec evolution, equal key
@@ -2796,17 +2859,21 @@ object GraftCatalog {
     // Like compact, the Z-order rewrite MATERIALIZES pending equality
     // deletes (filters matching rows while folding, stamps the new
     // data sequence number) — the same reasoning makes it sound.
-    val zNextSeq = history.getOrDefault(ident, Vector.empty)
-      .lastOption.map(_.version + 1).getOrElse(0L)
+    val zNextSeq = nextVersion(ident)
+    val zCompiledEq = EqFilter.compileAll(schema, entry.eqDeletes)
     val rewritten = entry.segments.groupBy(s => (s.spec, s.key)).toSeq
-      .sortBy { case ((spec, key), _) => spec.mkString(" ") + " " + key.mkString(" ") }
+      // Same unambiguous separator as compact's sort: a space-joined
+      // rendering lets distinct (spec, key) groups collide and order
+      // unstably across runs.
+      .sortBy { case ((spec, key), _) =>
+        spec.mkString(" ") + "\u0000" + key.mkString(" ") }
       .flatMap { case ((spec, key), segs) =>
         // Pass 1 (buffered): payload bytes + the z-column values.
         val payloads = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
         val vals = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
         segs.foreach { seg =>
-          val keep = EqFilter.keepFn(schema, entry.eqDeletes, seg).getOrElse(
-            (_: UnsafeRow) => true)
+          val keep = EqFilter.keepOf(EqFilter.applicable(zCompiledEq, seg))
+            .getOrElse((_: UnsafeRow) => true)
           SegmentIO.foreachRow(seg, schema.length) { r =>
             if (keep(r)) {
               payloads += r.getBytes.clone()
@@ -3383,25 +3450,42 @@ private[graft] case class EqFilter(
 }
 
 private[graft] object EqFilter {
-  /** The equality deletes applicable to `seg` (strictly newer than its
-    * data sequence number), compiled against the table layout.
+  /** Compile each delete ONCE per plan (the `keys.toSet` build is the
+    * expensive part — per-segment recompilation would copy a 100k-key
+    * set once per split and serialize one copy per task). Share the
+    * result across segments via [[applicable]].
     */
+  def compileAll(
+      schema: StructType,
+      eqs: Seq[GraftCatalog.EqDelete]): IndexedSeq[(Long, EqFilter)] =
+    eqs.iterator.map { eq =>
+      val idx = eq.keyCols.map(schema.fieldIndex).toIndexedSeq
+      eq.seq -> EqFilter(idx, idx.map(schema.fields(_).dataType), eq.keys.toSet)
+    }.toIndexedSeq
+
+  /** The pre-compiled filters applicable to `seg` (strictly newer than
+    * its data sequence number).
+    */
+  def applicable(
+      compiled: IndexedSeq[(Long, EqFilter)],
+      seg: GraftCatalog.Segment): Seq[EqFilter] =
+    compiled.collect { case (sq, f) if sq > seg.seq => f }
+
+  /** One-shot convenience for single-segment callers. */
   def compile(
       schema: StructType, eqs: Seq[GraftCatalog.EqDelete],
       seg: GraftCatalog.Segment): Seq[EqFilter] =
-    eqs.collect {
-      case eq if eq.seq > seg.seq =>
-        val idx = eq.keyCols.map(schema.fieldIndex).toIndexedSeq
-        EqFilter(idx, idx.map(schema.fields(_).dataType), eq.keys.toSet)
-    }
+    applicable(compileAll(schema, eqs), seg)
 
   /** keep-predicate over live rows, or None when nothing applies. */
+  def keepOf(fs: Seq[EqFilter]): Option[UnsafeRow => Boolean] =
+    if (fs.isEmpty) None else Some(r => !fs.exists(_.matches(r)))
+
+  /** One-shot keep-predicate (single-segment callers). */
   def keepFn(
       schema: StructType, eqs: Seq[GraftCatalog.EqDelete],
-      seg: GraftCatalog.Segment): Option[UnsafeRow => Boolean] = {
-    val fs = compile(schema, eqs, seg)
-    if (fs.isEmpty) None else Some(r => !fs.exists(_.matches(r)))
-  }
+      seg: GraftCatalog.Segment): Option[UnsafeRow => Boolean] =
+    keepOf(compile(schema, eqs, seg))
 }
 
 /** A catalog table: batch-readable, batch-writable (append + truncate)
@@ -4248,8 +4332,9 @@ private[graft] case class GraftCatalogAggScan(
     // be the stats extremum. Only reached when a deletion vector raced
     // in between the builder's dv guard and scan build — rare by
     // construction, and bounded to the raced segments.
+    val compiledEq = EqFilter.compileAll(schema, eqs)
     def eqKeepOf(s: GraftCatalog.Segment): Option[UnsafeRow => Boolean] =
-      EqFilter.keepFn(schema, eqs, s)
+      EqFilter.keepOf(EqFilter.applicable(compiledEq, s))
     def exactSegExtremum(s: GraftCatalog.Segment, i: Int, wantMin: Boolean): Option[Any] = {
       val dt = schema.fields(i).dataType
       val keep = eqKeepOf(s).getOrElse((_: UnsafeRow) => true)
@@ -4581,11 +4666,11 @@ private[graft] case class GraftCatalogScan(
     }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val eq = eqs
+    val compiled = EqFilter.compileAll(schema, eqs)
     if (!keyedLayout)
       capForLimit(survivors)
         .map(s => GraftCatalogPartition(
-          Vector(GraftSegFile.of(s, schema, eq)), schema.length): InputPartition)
+          Vector(GraftSegFile.of(s, compiled)), schema.length): InputPartition)
         .toArray
     else {
       import org.apache.spark.sql.catalyst.CatalystTypeConverters
@@ -4593,7 +4678,7 @@ private[graft] case class GraftCatalogScan(
         val keyRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           key.map(CatalystTypeConverters.convertToCatalyst).toArray)
         GraftCatalogKeyedPartition(
-          segs.map(GraftSegFile.of(_, schema, eq)), schema.length, keyRow): InputPartition
+          segs.map(GraftSegFile.of(_, compiled)), schema.length, keyRow): InputPartition
       }.toArray
     }
   }
@@ -4852,11 +4937,12 @@ private[graft] class GraftCatalogMicroBatchStream(
               s"differs from the table's ${schema.simpleString}; restart the stream")
         (snap.segments, snap.eqDeletes)
       } else ((s + 1 to e).toVector.flatMap(addedAt), Vector.empty)
+    val compiled = EqFilter.compileAll(schema, eqs)
     segs
       .filter(seg => pruning.forall(f => ZoneMap.mightMatch(f, schema, seg)))
       .map(seg =>
         GraftCatalogPartition(
-          Vector(GraftSegFile.of(seg, schema, eqs)), schema.length): InputPartition)
+          Vector(GraftSegFile.of(seg, compiled)), schema.length): InputPartition)
       .toArray
   }
 
@@ -4883,6 +4969,11 @@ private[sources] object GraftSegFile {
       eqs: Seq[GraftCatalog.EqDelete]): GraftSegFile =
     GraftSegFile(s.path, s.rows, s.dv,
       if (eqs.isEmpty) Nil else EqFilter.compile(schema, eqs, s))
+  /** Plan-shared pre-compiled form — use inside per-segment loops. */
+  def of(
+      s: GraftCatalog.Segment,
+      compiled: IndexedSeq[(Long, EqFilter)]): GraftSegFile =
+    GraftSegFile(s.path, s.rows, s.dv, EqFilter.applicable(compiled, s))
 }
 
 private[sources] sealed trait GraftCatalogSplit extends InputPartition {

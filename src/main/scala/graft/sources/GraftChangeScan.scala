@@ -507,6 +507,11 @@ private[sources] object GraftChangeScan {
       to.segments.filterNot(s => fromByPath.contains(s.path)).flatMap { added =>
         rewrites.get(added.path).flatMap(fromByPath.get).collect {
           case src if !toByPath.contains(src.path) && added.dv.isEmpty &&
+              // An equality delete registered AFTER the rewrite kills
+              // rows of `added` the lockstep reader would still emit
+              // as postimages — degrade to the (eq-filtered)
+              // delete+insert form, which nets correctly.
+              !to.eqDeletes.exists(_.seq > added.seq) &&
               src.liveRows == added.rows => (src, added)
         }
       }
@@ -521,14 +526,17 @@ private[sources] object GraftChangeScan {
     // insert rows exclude what a LATER in-range eq delete removed (the
     // to-snapshot's filters, applicable per seq); a REMOVED segment's
     // delete rows exclude what was already eq-dead at `from`.
+    // Filters compile ONCE per endpoint and share across segments.
+    val compiledFrom = EqFilter.compileAll(dataSchema, from.eqDeletes)
+    val compiledTo = EqFilter.compileAll(dataSchema, to.eqDeletes)
     val inserts = to.segments.filterNot(s =>
       fromByPath.contains(s.path) || pairedAdded.contains(s.path)).map(s =>
       GraftChangePartition(
-        GraftSegFile.of(s, dataSchema, to.eqDeletes), width, "insert", None, s.bytes))
+        GraftSegFile.of(s, compiledTo), width, "insert", None, s.bytes))
     val deletes = from.segments.filterNot(s =>
       toByPath.contains(s.path) || pairedRemoved.contains(s.path)).map(s =>
       GraftChangePartition(
-        GraftSegFile.of(s, dataSchema, from.eqDeletes), width, "delete", None, s.bytes))
+        GraftSegFile.of(s, compiledFrom), width, "delete", None, s.bytes))
     // EQUALITY-DELETE deltas: an eq delete registered in-range kills
     // rows of segments present on BOTH sides (added-in-range segments
     // handle theirs via the filtered insert split above) — one split
@@ -538,18 +546,19 @@ private[sources] object GraftChangeScan {
     // excluded, so no row's delete emits twice.
     val newEqs = to.eqDeletes.filter(eq =>
       eq.seq > from.version && eq.seq <= to.version)
+    val compiledNew = EqFilter.compileAll(dataSchema, newEqs)
     val eqDeltas =
       if (newEqs.isEmpty) Vector.empty
       else to.segments.flatMap { t =>
         fromByPath.get(t.path).toSeq.flatMap { f =>
-          val newlyApplicable = EqFilter.compile(dataSchema, newEqs, t)
+          val newlyApplicable = EqFilter.applicable(compiledNew, t)
           if (newlyApplicable.isEmpty) Nil
           else {
             val skip = f.dv.getOrElse(BitSet.empty) | t.dv.getOrElse(BitSet.empty)
             Seq(GraftChangeEqDeletePartition(
               GraftSegFile(t.path, t.rows,
                 Some(skip).filter(_.nonEmpty),
-                EqFilter.compile(dataSchema, from.eqDeletes, t)),
+                EqFilter.applicable(compiledFrom, t)),
               width, newlyApplicable, t.bytes): InputPartition)
           }
         }
@@ -579,8 +588,8 @@ private[sources] object GraftChangeScan {
           // to insert).
           GraftChangePartition(
             GraftSegFile(t.path, t.rows, dv = None,
-              eq = EqFilter.compile(dataSchema,
-                if (kind == "delete") from.eqDeletes else to.eqDeletes, t)),
+              eq = EqFilter.applicable(
+                if (kind == "delete") compiledFrom else compiledTo, t)),
             width, kind, Some(delta), t.bytes)
         }
       }
@@ -592,6 +601,21 @@ private[sources] object GraftChangeScan {
 
 private[sources] case class GraftChangeReaderFactory(data: StructType)
     extends PartitionReaderFactory {
+
+  /** The one data-plus-`_change_type` output projection every change
+    * reader shares (three hand-maintained copies had diverged-in-
+    * waiting): bind the data columns positionally, join the tag column
+    * on the right.
+    */
+  private def changeProjection(): (UnsafeProjection, JoinedRow, GenericInternalRow) = {
+    val metaRow = new GenericInternalRow(1)
+    val joined = new JoinedRow
+    val exprs: Seq[Expression] =
+      data.fields.toSeq.zipWithIndex.map { case (f, i) =>
+        BoundReference(i, f.dataType, f.nullable): Expression
+      } :+ BoundReference(data.length, StringType, nullable = false)
+    (UnsafeProjection.create(exprs), joined, metaRow)
+  }
 
   /** Length-prefixed segment cursor shared by the change readers. */
   private class SegCursor(path: String, total: Long) {
@@ -622,13 +646,7 @@ private[sources] case class GraftChangeReaderFactory(data: StructType)
     * delete+insert form read, minus the duplicated emission.
     */
   private def pairedReader(p: GraftChangeUpdatePartition): PartitionReader[InternalRow] = {
-    val metaRow = new GenericInternalRow(1)
-    val joined = new JoinedRow
-    val exprs: Seq[Expression] =
-      data.fields.toSeq.zipWithIndex.map { case (f, i) =>
-        BoundReference(i, f.dataType, f.nullable): Expression
-      } :+ BoundReference(data.length, StringType, nullable = false)
-    val proj = UnsafeProjection.create(exprs)
+    val (proj, joined, metaRow) = changeProjection()
     new PartitionReader[InternalRow] {
       private val row = new UnsafeRow(p.numFields)
       // Constant tags allocated once, not per emitted row (same
@@ -682,14 +700,8 @@ private[sources] case class GraftChangeReaderFactory(data: StructType)
     * already eq-dead) that a NEW eq delete matches emits as 'delete'.
     */
   private def eqDeleteReader(p: GraftChangeEqDeletePartition): PartitionReader[InternalRow] = {
-    val metaRow = new GenericInternalRow(1)
+    val (proj, joined, metaRow) = changeProjection()
     metaRow.update(0, UTF8String.fromString("delete"))
-    val joined = new JoinedRow
-    val exprs: Seq[Expression] =
-      data.fields.toSeq.zipWithIndex.map { case (f, i) =>
-        BoundReference(i, f.dataType, f.nullable): Expression
-      } :+ BoundReference(data.length, StringType, nullable = false)
-    val proj = UnsafeProjection.create(exprs)
     new PartitionReader[InternalRow] {
       private val row = new UnsafeRow(p.numFields)
       private var cur: SegCursor = _
@@ -718,17 +730,10 @@ private[sources] case class GraftChangeReaderFactory(data: StructType)
       case _ => ()
     }
     val p = partition.asInstanceOf[GraftChangePartition]
-    // Data columns bind positionally; _change_type joins on the right
-    // as a constant — same reused-row discipline as the main catalog
+    // Constant tag; same reused-row discipline as the main catalog
     // reader (Spark copies when it retains).
-    val metaRow = new GenericInternalRow(1)
+    val (proj, joined, metaRow) = changeProjection()
     metaRow.update(0, UTF8String.fromString(p.changeType))
-    val joined = new JoinedRow
-    val exprs: Seq[Expression] =
-      data.fields.toSeq.zipWithIndex.map { case (f, i) =>
-        BoundReference(i, f.dataType, f.nullable): Expression
-      } :+ BoundReference(data.length, StringType, nullable = false)
-    val proj = UnsafeProjection.create(exprs)
     new PartitionReader[InternalRow] {
       private val row = new UnsafeRow(p.numFields)
       private var buf = new Array[Byte](1 << 10)

@@ -149,4 +149,20 @@ class BranchSpec extends AnyFunSuite {
     }
     assert(e4.getMessage.contains("branch name"))
   }
+
+  test("renaming a table with open branches refuses (no stranded audits)") {
+    spark.sql("DROP TABLE IF EXISTS graft.br.rn")
+    spark.sql("CREATE TABLE graft.br.rn (k BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.br.rn VALUES (1)")
+    spark.sql("CALL graft.system.create_branch('br', 'rn', 'wip', '')").collect()
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.br.rn RENAME TO br.rn2")
+    }
+    assert(e.getMessage.contains("open branch"), e.getMessage)
+    // Publishing clears the way.
+    spark.sql("CALL graft.system.publish_branch('br', 'rn', 'wip')").collect()
+    spark.sql("ALTER TABLE graft.br.rn RENAME TO br.rn2")
+    assert(spark.table("graft.br.rn2").count() == 1L)
+    spark.sql("DROP TABLE graft.br.rn2")
+  }
 }

@@ -283,6 +283,23 @@ class HiddenPartitionSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.hp.mm")
   }
 
+  test("set_partitioning parses comma-carrying transforms (top-level split)") {
+    spark.sql("DROP TABLE IF EXISTS graft.hp.sp")
+    spark.sql(
+      "CREATE TABLE graft.hp.sp (ts TIMESTAMP_NTZ, k BIGINT, v BIGINT) USING graft")
+    // 'days(ts),bucket(4,k)' must split at the TOP-LEVEL comma only —
+    // bucket's inner comma is part of the field.
+    spark.sql("CALL graft.system.set_partitioning('hp', 'sp', 'days(ts),bucket(4,k)')")
+    spark.sql(
+      """INSERT INTO graft.hp.sp
+        |SELECT timestamp_ntz'2024-05-01 00:00:00', id, id FROM range(8)""".stripMargin)
+    assert(graft.sources.GraftCatalog.rowCount("hp", "sp") == 8L)
+    val parts = spark.sql("DESCRIBE TABLE EXTENDED graft.hp.sp").collect().map(_.toString)
+    assert(parts.exists(_.contains("days(ts)")) && parts.exists(_.contains("bucket(4, k)")),
+      s"evolved transform spec must show in DESCRIBE, got:\n${parts.mkString("\n")}")
+    spark.sql("DROP TABLE graft.hp.sp")
+  }
+
   test("invalid transform declarations refuse loudly") {
     spark.sql("DROP TABLE IF EXISTS graft.hp.bad")
     val e1 = intercept[Exception] {

@@ -202,6 +202,71 @@ class UpsertSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.up.d")
   }
 
+  test("clone/branch continue the source's sequence domain (no resurrect/no-shadow)") {
+    import graft.sources.GraftCatalog
+    spark.sql("DROP TABLE IF EXISTS graft.up.src")
+    spark.sql("DROP TABLE IF EXISTS graft.up.dup")
+    spark.sql("CREATE TABLE graft.up.src (k BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.up.src VALUES (1, 'a1'), (2, 'a2')") // v1
+    upsert("graft.up.src", 2L -> "b2") // v2: eq delete at seq 2
+    spark.sql("CALL graft.system.clone('up', 'src', 'up', 'dup', '')")
+    // 1) An INSERT into the clone must NOT be swallowed by the
+    //    inherited eq delete (a history restarting at 0 would stamp
+    //    the new segment seq 1 < 2 and make it invisible).
+    spark.sql("INSERT INTO graft.up.dup VALUES (2, 'c2')")
+    assert(kv("graft.up.dup") == Seq(1L -> "a1", 2L -> "b2", 2L -> "c2"),
+      "post-clone insert must be visible alongside the inherited row")
+    // 2) An UPSERT into the clone must shadow the INHERITED rows (its
+    //    eq delete must stamp above the inherited segments' seqs).
+    upsert("graft.up.dup", 2L -> "d2", 1L -> "d1")
+    assert(kv("graft.up.dup") == Seq(1L -> "d1", 2L -> "d2"),
+      "post-clone upsert must shadow inherited rows")
+    // The source is untouched throughout.
+    assert(kv("graft.up.src") == Seq(1L -> "a1", 2L -> "b2"))
+    spark.sql("DROP TABLE graft.up.dup")
+    spark.sql("DROP TABLE graft.up.src")
+  }
+
+  test("CDC: a paired CoW UPDATE followed by an in-range upsert nets correctly") {
+    spark.sql("DROP TABLE IF EXISTS graft.up.pe")
+    spark.sql("CREATE TABLE graft.up.pe (k BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.up.pe VALUES (1, 'a1'), (2, 'a2')") // v1
+    spark.sql("UPDATE graft.up.pe SET v = concat(v, '!') WHERE k >= 1") // v2: CoW pair
+    upsert("graft.up.pe", 2L -> "c2") // v3: eq delete applies to the v2 rewrite
+    val feed = spark.read.format("graft-changes")
+      .option("table", "up.pe").option("changesFrom", "1").load()
+      .select($"_change_type", $"k", $"v").as[(String, Long, String)]
+      .collect().sortBy(r => (r._2, r._1, r._3))
+    // Net v1→v3 per key: k=1 'a1'→'a1!' (delete+insert or pair), k=2
+    // 'a2'→'c2'. Apply the feed to the v1 state and require
+    // convergence — a pairing that ignored the in-range eq delete
+    // would emit a postimage 'a2!' with no matching delete.
+    val state = scala.collection.mutable.Map(1L -> "a1", 2L -> "a2")
+    feed.foreach {
+      case ("delete" | "update_preimage", k, v) if state.get(k).contains(v) =>
+        state.remove(k); ()
+      case ("insert" | "update_postimage", k, v) => state(k) = v
+      case ("delete" | "update_preimage", _, _) => () // already replaced
+    }
+    assert(state.toMap == Map(1L -> "a1!", 2L -> "c2"),
+      s"feed must converge a replica to the final state; feed=${feed.toSeq}")
+    assert(kv("graft.up.pe") == Seq(1L -> "a1!", 2L -> "c2"))
+    spark.sql("DROP TABLE graft.up.pe")
+  }
+
+  test("an upsert batch with duplicate keys refuses loudly") {
+    spark.sql("DROP TABLE IF EXISTS graft.up.dk")
+    spark.sql("CREATE TABLE graft.up.dk (k BIGINT, v STRING) USING graft")
+    val e = intercept[Exception] {
+      Seq((1L, "x"), (1L, "y")).toDF("k", "v").writeTo("graft.up.dk")
+        .option("graft.upsert.keys", "k").append()
+    }
+    assert(e.getMessage.contains("key-unique"), e.getMessage)
+    // Nothing committed: the table is still empty.
+    assert(spark.table("graft.up.dk").count() == 0L)
+    spark.sql("DROP TABLE graft.up.dk")
+  }
+
   test("upsert guards: null keys, overwrite modes, bad columns refuse") {
     spark.sql("DROP TABLE IF EXISTS graft.up.g")
     // Partitioned so overwritePartitions() reaches the upsert-mode
