@@ -2091,18 +2091,29 @@ object GraftCatalog {
   }
 
   /** PUBLISH (`CALL graft.system.publish_branch`) — fast-forward `src`
-    * to its branch's current state as ONE atomic commit, then drop the
-    * branch. Allowed only when `src` has not logically moved since the
-    * branch was cut: every commit after the recorded base must be
-    * retained and `dataChange=false` (compaction/Z-order/spec evolution
-    * — maintenance must not make a pending audit unpublishable), else
+    * to its branch's state by GRAFTING the branch's commit chain onto
+    * main's history (the git fast-forward, not a squash), then drop
+    * the branch. Atomic under the mutation lock; allowed only when
+    * `src` has not logically moved since the branch was cut: every
+    * commit after the recorded base must be retained and
+    * `dataChange=false` (compaction/Z-order/spec evolution —
+    * maintenance must not make a pending audit unpublishable), else
     * the publish refuses with a re-branch remedy — losing main's
     * concurrent commits by silent overwrite is never on the table.
-    * CDC provenance composes THROUGH the publish: a CoW UPDATE made on
-    * the branch reaches main's change feed as paired
-    * update_preimage/update_postimage rows, exactly as if it had been
-    * executed on main directly (guarded to segments main still holds —
-    * anything else degrades to net-correct insert+delete).
+    *
+    * WHY replay, not squash: the branch's segments and equality
+    * deletes carry data SEQUENCE NUMBERS valued per branch commit. A
+    * squash would collapse them onto one main version — a branch that
+    * inserted a key then upserted it would resurrect the shadowed row
+    * (both at one seq), main's next upsert could fail to shadow
+    * branch rows stamped ahead of its counter, and the CDC feed's
+    * per-commit eq-delta planning would miss deletes. Replaying keeps
+    * every ordering exact; streams over main see each branch commit
+    * individually and CDC provenance (paired updates) rides each
+    * replayed snapshot's own rewrite map. When maintenance drifted
+    * main's counter past the base, replayed versions AND
+    * branch-domain seqs shift together by the drift (a monotone shift
+    * above the base preserves every seq comparison).
     */
   private[sources] def publishBranch(
       src: Identifier, branch: String): (Long, Long, Int) = mutate {
@@ -2124,24 +2135,32 @@ object GraftCatalog {
         s"publish_branch '$branch': $src committed data after the branch was cut at " +
           s"version $base (now at $mainV) — fast-forward would lose those commits. " +
           s"Re-create the branch from the current version and re-apply the audit.")
-    // Branch lineage: v0 is the clone; compose every rewrite it
-    // recorded since, keeping only pairs whose source segment main
-    // still holds and whose rewritten segment the branch still holds.
-    val bV = history.getOrDefault(bIdent, Vector.empty)
-      .lastOption.map(_.version).getOrElse(0L)
-    val mainPaths = main.segments.map(_.path).toSet
-    val bPaths = b.segments.map(_.path).toSet
-    val rewrites = GraftChangeScan.composedRewrites(bIdent, 0L, bV).filter {
-      case (added, origSrc) => mainPaths.contains(origSrc) && bPaths.contains(added)
-    }
-    store.put(src, main.copy(schema = b.schema, segments = b.segments,
+    val bHist = history.getOrDefault(bIdent, Vector.empty)
+    val bV = bHist.lastOption.map(_.version).getOrElse(base)
+    val offset = mainV - base // ≥ 0; > 0 only under dataChange=false drift
+    def shiftSeq(q: Long): Long = if (q > base) q + offset else q
+    def shiftSegs(ss: Vector[Segment]): Vector[Segment] =
+      ss.map(s => if (s.seq > base) s.copy(seq = s.seq + offset) else s)
+    def shiftEqs(es: Vector[EqDelete]): Vector[EqDelete] =
+      es.map(e => e.copy(seq = shiftSeq(e.seq)))
+    // Graft every branch commit after the clone seed except the last
+    // (publish() below re-mints it as main's new head, with GC and
+    // ledger persistence).
+    val replayed = bHist.filter(s => s.version > base && s.version < bV)
+      .map(s => s.copy(version = s.version + offset,
+        segments = shiftSegs(s.segments), eqDeletes = shiftEqs(s.eqDeletes)))
+    history.put(src, mainHist ++ replayed)
+    store.put(src, main.copy(schema = b.schema,
+      segments = shiftSegs(b.segments),
       partitionCols = b.partitionCols, constraints = b.constraints,
-      eqDeletes = b.eqDeletes))
-    publish(src, rewrites)
+      eqDeletes = shiftEqs(b.eqDeletes)))
+    publish(src,
+      rewrites = bHist.lastOption.map(_.rewrites).getOrElse(Map.empty),
+      dataChange = bHist.lastOption.forall(_.dataChange))
     dropEntry(bIdent) // cross-table GC guard spares files main now serves
     val newV = history.getOrDefault(src, Vector.empty)
       .lastOption.map(_.version).getOrElse(-1L)
-    (newV, bV, b.segments.length)
+    (newV, bV - base, b.segments.length)
   }
 
   /** Resolve a user-supplied version string — a numeric commit id or a

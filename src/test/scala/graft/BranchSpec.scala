@@ -40,7 +40,11 @@ class BranchSpec extends AnyFunSuite {
     assert(ks("graft.br.`t@audit`") == Seq(1L, 2L, 3L))
     val p = spark.sql("CALL graft.system.publish_branch('br', 't', 'audit')")
       .collect().head
-    assert(p.getAs[Long]("new_version") == 2L, "publish is ONE commit on main")
+    // Publish REPLAYS the branch chain (insert, audit-DELETE = two
+    // commits) onto main — the git fast-forward, keeping per-commit
+    // sequence numbers exact.
+    assert(p.getAs[Long]("new_version") == 3L, "two branch commits graft as v2+v3")
+    assert(p.getAs[Long]("branch_commits") == 2L)
     assert(ks("graft.br.t") == Seq(1L, 2L, 3L))
     // The branch is gone; its name errors, and the pre-publish main
     // state stays time-travelable (the publish moved history forward).
@@ -148,6 +152,52 @@ class BranchSpec extends AnyFunSuite {
       spark.sql("CALL graft.system.create_branch('br', 'n', 'no spaces', '')").collect()
     }
     assert(e4.getMessage.contains("branch name"))
+  }
+
+  test("multi-commit publish replays the branch chain (seqs stay exact)") {
+    spark.sql("DROP TABLE IF EXISTS graft.br.mc")
+    spark.sql("CREATE TABLE graft.br.mc (k BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.br.mc VALUES (1, 'a1')") // v1 (base)
+    spark.sql("CALL graft.system.create_branch('br', 'mc', 'w', '')").collect()
+    // Branch commit 1: insert k=2; branch commit 2: UPSERT k=2 — the
+    // branch's own eq delete must keep shadowing 'x2' AFTER publish
+    // (a squash would collapse both onto one seq and resurrect it).
+    spark.sql("INSERT INTO graft.br.`mc@w` VALUES (2, 'x2')")
+    Seq((2L, "y2")).toDF("k", "v").writeTo("graft.br.`mc@w`")
+      .option("graft.upsert.keys", "k").append()
+    val p = spark.sql("CALL graft.system.publish_branch('br', 'mc', 'w')")
+      .collect().head
+    assert(p.getAs[Long]("branch_commits") == 2L)
+    def kv() = spark.sql("SELECT k, v FROM graft.br.mc ORDER BY k, v")
+      .as[(Long, String)].collect().toSeq
+    assert(kv() == Seq(1L -> "a1", 2L -> "y2"),
+      "the branch's intermediate insert must stay shadowed after publish")
+    // History carries the REPLAYED chain: both branch commits are
+    // time-travelable on main.
+    assert(spark.sql("SELECT v FROM graft.br.mc VERSION AS OF 2 WHERE k = 2")
+      .as[String].collect().toSeq == Seq("x2"),
+      "replayed intermediate commit is a real main version")
+    // Main's version counter is AHEAD of every published seq: a new
+    // upsert on main must shadow branch-published rows.
+    Seq((2L, "z2")).toDF("k", "v").writeTo("graft.br.mc")
+      .option("graft.upsert.keys", "k").append()
+    assert(kv() == Seq(1L -> "a1", 2L -> "z2"),
+      "post-publish upsert on main must shadow the published row")
+    // And the CDC net diff base→current converges a replica.
+    val feed = spark.read.format("graft-changes")
+      .option("table", "br.mc").option("changesFrom", "1").load()
+      .select($"_change_type", $"k", $"v").as[(String, Long, String)].collect()
+    val state = scala.collection.mutable.Map(1L -> "a1")
+    feed.sortBy(r => if (r._1 == "delete" || r._1 == "update_preimage") 0 else 1)
+      .foreach {
+        case ("delete" | "update_preimage", k, v) if state.get(k).contains(v) =>
+          state.remove(k); ()
+        case ("insert" | "update_postimage", k, v) => state(k) = v
+        case _ => ()
+      }
+    assert(state.toMap == Map(1L -> "a1", 2L -> "z2"),
+      s"net feed must converge; feed=${feed.toSeq}")
+    spark.sql("DROP TABLE graft.br.mc")
   }
 
   test("renaming a table with open branches refuses (no stranded audits)") {
