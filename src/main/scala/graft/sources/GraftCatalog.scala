@@ -1995,9 +1995,12 @@ object GraftCatalog {
     * history, which the clone does not have.
     */
   private[sources] def cloneTable(
-      src: Identifier, dst: Identifier, version: Option[Long]): (Long, Int) = mutate {
+      src: Identifier, dst: Identifier, version: Option[Long],
+      // true only for createBranch, the one legitimate '@' mint.
+      allowBranchName: Boolean = false): (Long, Int) = mutate {
     val e = store.get(src)
     if (e == null) throw new NoSuchTableException(src)
+    if (!allowBranchName) requireNotBranchName(dst)
     if (store.containsKey(dst))
       throw new TableAlreadyExistsException(dst.toString, dst.name())
     val snap = version match {
@@ -2080,7 +2083,8 @@ object GraftCatalog {
     if (!branch.matches("[A-Za-z0-9_][A-Za-z0-9_\\-]*"))
       throw new IllegalArgumentException(
         s"branch name '$branch' must be alphanumeric/underscore/dash")
-    val (srcV, nSegs) = cloneTable(src, branchIdent(src, branch), version)
+    val (srcV, nSegs) =
+      cloneTable(src, branchIdent(src, branch), version, allowBranchName = true)
     store.compute(branchIdent(src, branch), (_, e) => {
       require(e != null)
       e.copy(props = e.props +
@@ -2138,18 +2142,38 @@ object GraftCatalog {
     val bHist = history.getOrDefault(bIdent, Vector.empty)
     val bV = bHist.lastOption.map(_.version).getOrElse(base)
     val offset = mainV - base // ≥ 0; > 0 only under dataChange=false drift
-    def shiftSeq(q: Long): Long = if (q > base) q + offset else q
+    // MAINTENANCE DRIFT: main's current segments are a post-compaction
+    // LAYOUT of the same logical rows the branch seeded from. The
+    // first grafted commit must not look like a data commit that
+    // removed the compacted files (append streams would hard-fail or —
+    // worse — skip the branch's rows under skipChangeCommits): insert
+    // one synthetic `dataChange=false` commit reverting main to the
+    // branch's SEED layout (logically identical rows — exactly what
+    // the flag means), then replay the branch's data commits above it.
+    val seed =
+      if (offset == 0) None
+      else Some(bHist.find(_.version == base).getOrElse(
+        throw new IllegalStateException(
+          s"publish_branch '$branch': the branch's seed snapshot (v$base) aged out " +
+            "of retention while maintenance moved the parent — re-create the branch")))
+    val shift = if (offset == 0) 0L else offset + 1L
+    def shiftSeq(q: Long): Long = if (q > base) q + shift else q
     def shiftSegs(ss: Vector[Segment]): Vector[Segment] =
-      ss.map(s => if (s.seq > base) s.copy(seq = s.seq + offset) else s)
+      ss.map(s => if (s.seq > base) s.copy(seq = s.seq + shift) else s)
     def shiftEqs(es: Vector[EqDelete]): Vector[EqDelete] =
       es.map(e => e.copy(seq = shiftSeq(e.seq)))
+    val now = System.nanoTime()
+    val revert = seed.map(sd => CatalogSnapshot(
+      mainV + 1, System.currentTimeMillis(), now, sd.schema, sd.segments,
+      sd.partitionCols, sd.constraints, Map.empty, dataChange = false,
+      sd.eqDeletes))
     // Graft every branch commit after the clone seed except the last
     // (publish() below re-mints it as main's new head, with GC and
     // ledger persistence).
     val replayed = bHist.filter(s => s.version > base && s.version < bV)
-      .map(s => s.copy(version = s.version + offset,
+      .map(s => s.copy(version = s.version + shift,
         segments = shiftSegs(s.segments), eqDeletes = shiftEqs(s.eqDeletes)))
-    history.put(src, mainHist ++ replayed)
+    history.put(src, mainHist ++ revert.toVector ++ replayed)
     store.put(src, main.copy(schema = b.schema,
       segments = shiftSegs(b.segments),
       partitionCols = b.partitionCols, constraints = b.constraints,
@@ -2456,6 +2480,18 @@ object GraftCatalog {
   private[sources] def eqDeletesOf(ident: Identifier): Vector[EqDelete] =
     Option(store.get(ident)).map(_.eqDeletes).getOrElse(Vector.empty)
 
+  /** Segments + outstanding equality deletes from ONE entry read —
+    * commits swap the immutable entry atomically, so this pair is
+    * always mutually consistent. Scan planning must use this (not two
+    * separate reads): an upsert committing between a segments read and
+    * an eqDeletes read would plan the ghost row's segment without the
+    * delete that kills it.
+    */
+  private[sources] def stateOf(
+      ident: Identifier): (Vector[Segment], Vector[EqDelete]) =
+    Option(store.get(ident)).map(e => (e.segments, e.eqDeletes))
+      .getOrElse((Vector.empty, Vector.empty))
+
   private[sources] def entryExists(ident: Identifier): Boolean =
     store.containsKey(ident)
 
@@ -2491,6 +2527,12 @@ object GraftCatalog {
           e.segments.length, e.segments.map(_.liveRows).sum)
     }.sortBy(_._1)
 
+  /** Per-commit distinct-key cap for merge-on-read upserts — ONE parse
+    * (task-side and commit-side caps must never diverge).
+    */
+  private[sources] def upsertMaxKeys: Int =
+    sys.props.getOrElse("graft.upsert.maxKeys", "100000").toInt
+
   /** Upsert-key columns must exist and carry exact-equality-comparable
     * types (the external encodings the writer collects and the reader
     * compares; floats are excluded — NaN/−0.0 equality is a trap).
@@ -2522,7 +2564,7 @@ object GraftCatalog {
       ident: Identifier, segs: Seq[Segment], keyCols: Seq[String],
       keys: Seq[IndexedSeq[Any]]): Unit = mutate {
     val threshold = autoCompactThreshold(ident)
-    val maxKeys = sys.props.getOrElse("graft.upsert.maxKeys", "100000").toInt
+    val maxKeys = upsertMaxKeys
     store.compute(ident, (_, prev) => {
       require(prev != null, s"table $ident dropped mid-write")
       validateUpsertKeys(prev.schema, keyCols)
@@ -2593,7 +2635,7 @@ object GraftCatalog {
     // would kill the streaming query in a crash loop that makes one
     // committed epoch of progress per restart.
     val threshold = autoCompactThreshold(ident)
-    val maxKeys = sys.props.getOrElse("graft.upsert.maxKeys", "100000").toInt
+    val maxKeys = upsertMaxKeys
     var applied = false
     var replayed: Seq[Segment] = Nil
     store.compute(ident, (_, prev) => {
@@ -3500,11 +3542,6 @@ private[graft] object EqFilter {
   def keepOf(fs: Seq[EqFilter]): Option[UnsafeRow => Boolean] =
     if (fs.isEmpty) None else Some(r => !fs.exists(_.matches(r)))
 
-  /** One-shot keep-predicate (single-segment callers). */
-  def keepFn(
-      schema: StructType, eqs: Seq[GraftCatalog.EqDelete],
-      seg: GraftCatalog.Segment): Option[UnsafeRow => Boolean] =
-    keepOf(compile(schema, eqs, seg))
 }
 
 /** A catalog table: batch-readable, batch-writable (append + truncate)
@@ -4273,14 +4310,18 @@ private[sources] class GraftCatalogScanBuilder(
     // the pinned list between translate() and here triggers the exact
     // per-segment fallback inside the scan.
     case Some(aggs) =>
+      // ONE consistent (segments, eq) read — same race shield as the
+      // dv guard: an upsert landing between translate() (which
+      // declined on then-existing eq deletes) and here must not let a
+      // ghost row's value or count surface; the scan applies these
+      // through its exact per-segment fallback.
+      val (segsAtBuild, eqsAtBuild) =
+        if (pinned.isDefined) (pinned.get, pinnedEq)
+        else GraftCatalog.stateOf(ident)
       GraftCatalogAggScan(ident, schema,
-        Some(pinned.getOrElse(GraftCatalog.segmentsOf(ident))), aggs,
+        Some(segsAtBuild), aggs,
         partitionCols, pushedGroupBy,
-        // Same race shield as the dv guard: an upsert landing between
-        // translate() (which declined on then-existing eq deletes) and
-        // here must not let a ghost row's value or count surface — the
-        // scan applies these through its exact per-segment fallback.
-        eqs = if (pinned.isDefined) pinnedEq else GraftCatalog.eqDeletesOf(ident))
+        eqs = eqsAtBuild)
     case None =>
       GraftCatalogScan(ident, schema, pruning.toIndexedSeq, required, pinned, partitionCols,
         maxSegmentsPerTrigger = maxSegmentsPerTrigger,
@@ -4607,7 +4648,8 @@ private[graft] case class GraftCatalogScan(
   // Time-travel scans plan against the PINNED snapshot list; live scans
   // resolve the then-current list at plan time. Static pushed filters
   // and runtime join filters prune through the same zone maps.
-  private def survivors: Vector[GraftCatalog.Segment] = {
+  private def surviving(
+      all: Vector[GraftCatalog.Segment]): Vector[GraftCatalog.Segment] = {
     // transient field: null after executor-side deserialization (where
     // survivors is never called — but a guard beats an NPE).
     val rt = if (runtimePruning == null) IndexedSeq.empty else runtimePruning
@@ -4620,12 +4662,14 @@ private[graft] case class GraftCatalogScan(
     // SOURCE column's zone maps tight, and those prune ranges already.
     val pfs = PartField.fields(partitionCols)
     val keyPrunes = pfs.exists(_.isInstanceOf[PartBucket])
-    pinned.getOrElse(GraftCatalog.segmentsOf(ident))
-      .filter(seg =>
-        fs.forall(f => ZoneMap.mightMatch(f, schema, seg)) &&
-          (!keyPrunes || seg.spec != partitionCols ||
-            fs.forall(f => PartField.keyMightMatch(pfs, seg.key, schema, f))))
+    all.filter(seg =>
+      fs.forall(f => ZoneMap.mightMatch(f, schema, seg)) &&
+        (!keyPrunes || seg.spec != partitionCols ||
+          fs.forall(f => PartField.keyMightMatch(pfs, seg.key, schema, f))))
   }
+
+  private def survivors: Vector[GraftCatalog.Segment] =
+    surviving(pinned.getOrElse(GraftCatalog.segmentsOf(ident)))
 
   // Deterministic order: groups sorted by key rendering, so repeated
   // plans of the same state enumerate identically.
@@ -4685,20 +4729,28 @@ private[graft] case class GraftCatalogScan(
     }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val compiled = EqFilter.compileAll(schema, eqs)
+    // ONE consistent read for segments + eq deletes (see stateOf's
+    // doc) — a concurrent upsert must never yield a plan holding the
+    // ghost row's segment without the delete that kills it.
+    val (all, eqNow) =
+      if (pinned.isDefined) (pinned.get, pinnedEq)
+      else GraftCatalog.stateOf(ident)
+    val compiled = EqFilter.compileAll(schema, eqNow)
+    val surv = surviving(all)
     if (!keyedLayout)
-      capForLimit(survivors)
+      capForLimit(surv)
         .map(s => GraftCatalogPartition(
           Vector(GraftSegFile.of(s, compiled)), schema.length): InputPartition)
         .toArray
     else {
       import org.apache.spark.sql.catalyst.CatalystTypeConverters
-      keyGroups.map { case (key, segs) =>
-        val keyRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          key.map(CatalystTypeConverters.convertToCatalyst).toArray)
-        GraftCatalogKeyedPartition(
-          segs.map(GraftSegFile.of(_, compiled)), schema.length, keyRow): InputPartition
-      }.toArray
+      surv.groupBy(_.key).toSeq.sortBy(_._1.mkString("\u0000"))
+        .map { case (key, segs) =>
+          val keyRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            key.map(CatalystTypeConverters.convertToCatalyst).toArray)
+          GraftCatalogKeyedPartition(
+            segs.map(GraftSegFile.of(_, compiled)), schema.length, keyRow): InputPartition
+        }.toArray
     }
   }
 
@@ -4983,11 +5035,6 @@ private[sources] case class GraftSegFile(
     eq: Seq[EqFilter] = Nil)
 private[sources] object GraftSegFile {
   def of(s: GraftCatalog.Segment): GraftSegFile = GraftSegFile(s.path, s.rows, s.dv)
-  def of(
-      s: GraftCatalog.Segment, schema: StructType,
-      eqs: Seq[GraftCatalog.EqDelete]): GraftSegFile =
-    GraftSegFile(s.path, s.rows, s.dv,
-      if (eqs.isEmpty) Nil else EqFilter.compile(schema, eqs, s))
   /** Plan-shared pre-compiled form — use inside per-segment loops. */
   def of(
       s: GraftCatalog.Segment,
@@ -5224,8 +5271,7 @@ private[sources] case class GraftSegmentWriterFactory(
         }.toArray
       private val upsertSeen =
         scala.collection.mutable.LinkedHashSet.empty[IndexedSeq[Any]]
-      private val MaxUpsertKeysPerTask =
-        sys.props.getOrElse("graft.upsert.maxKeys", "100000").toInt
+      private val MaxUpsertKeysPerTask = GraftCatalog.upsertMaxKeys
 
       // Partition key as EXTERNAL values (String, boxed numerics) —
       // comparable to pushed-filter literals and stable in the

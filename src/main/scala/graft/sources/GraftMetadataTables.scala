@@ -63,9 +63,18 @@ private[sources] object GraftMetadataTables {
     StructField("segments", IntegerType, nullable = false),
     StructField("rows", LongType, nullable = false)))
 
+  private val PartitionsSchema = StructType(Seq(
+    StructField("spec", StringType, nullable = false),
+    StructField("partition_key", StringType, nullable = false),
+    StructField("segments", IntegerType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("live_rows", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false)))
+
   private val Kinds: Map[String, StructType] = Map(
     "files" -> FilesSchema, "history" -> HistorySchema,
-    "eq_deletes" -> EqDeletesSchema, "branches" -> BranchesSchema)
+    "eq_deletes" -> EqDeletesSchema, "branches" -> BranchesSchema,
+    "partitions" -> PartitionsSchema)
 
   /** `loadTable` fallthrough: `namespace = [..ns, table], name = kind`
     * for a kind we serve, over a base table that exists.
@@ -109,6 +118,18 @@ private[sources] object GraftMetadataTables {
         new GenericInternalRow(Array[Any](
           s(name), baseV, segs, rows)): InternalRow
       }.toArray
+    case "partitions" =>
+      // Per (spec, key) group — the small-files / skew dashboard: a
+      // hot partition shows as one row with a large segment count.
+      GraftCatalog.segmentsOf(base).groupBy(seg => (seg.spec, seg.key)).toSeq
+        .sortBy { case ((spec, key), _) =>
+          spec.mkString(" ") + "\u0000" + key.mkString(" ") }
+        .map { case ((spec, key), group) =>
+          new GenericInternalRow(Array[Any](
+            s(spec.mkString(",")), s(key.mkString("/")), group.length,
+            group.map(_.rows).sum, group.map(_.liveRows).sum,
+            group.map(_.bytes).sum)): InternalRow
+        }.toArray
     case other => throw new IllegalStateException(s"unknown metadata table $other")
   }
 

@@ -267,8 +267,13 @@ private[graft] object PartField {
     pf match {
       case PartBucket(n, _) if n <= 0 =>
         throw new IllegalArgumentException(s"bucket($n, …): bucket count must be positive")
-      case PartTruncate(w, _) if w <= 0 =>
-        throw new IllegalArgumentException(s"truncate($w, …): width must be positive")
+      // Upper bound keeps width representable as the Int literal the
+      // Spark Transform carries (toTransform) — an overflowed literal
+      // would make the write shuffle route by a DIFFERENT width than
+      // the writer keys with.
+      case PartTruncate(w, _) if w <= 0 || w > Int.MaxValue =>
+        throw new IllegalArgumentException(
+          s"truncate($w, …): width must be in [1, ${Int.MaxValue}]")
       case _ => ()
     }
     pf.canonical

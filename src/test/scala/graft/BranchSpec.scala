@@ -83,6 +83,23 @@ class BranchSpec extends AnyFunSuite {
     spark.sql("CALL graft.system.compact('br', 'm')").collect()
     spark.sql("CALL graft.system.publish_branch('br', 'm', 'w')").collect()
     assert(ks("graft.br.m") == Seq(1L, 2L, 3L))
+    // The grafted chain must stay APPEND-CLEAN for streams even across
+    // the drift: the synthetic layout-revert commit is dataChange=false
+    // (same logical rows, pre-compaction files), so a per-commit replay
+    // delivers exactly the data commits — never a change-commit error,
+    // never a skipped branch row.
+    spark.sql("DROP TABLE IF EXISTS graft.br.m_out")
+    spark.sql("CREATE TABLE graft.br.m_out (k BIGINT) USING graft")
+    val q = spark.readStream.option("startingVersion", "1")
+      .table("graft.br.m").writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("br-drift-").toString + "/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("graft.br.m_out")
+    q.awaitTermination(60000)
+    assert(ks("graft.br.m_out") == Seq(1L, 2L, 3L),
+      "per-commit replay across the drift-publish must deliver every data commit once")
+    spark.sql("DROP TABLE graft.br.m_out")
   }
 
   test("CDC provenance composes through the publish (branch CoW UPDATE pairs)") {

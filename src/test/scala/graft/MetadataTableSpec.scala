@@ -56,6 +56,20 @@ class MetadataTableSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.meta.t")
   }
 
+  test("partitions rolls up per (spec, key) — the small-files/skew dashboard") {
+    spark.sql("DROP TABLE IF EXISTS graft.meta.p")
+    spark.sql(
+      "CREATE TABLE graft.meta.p (seg STRING, v BIGINT) USING graft PARTITIONED BY (seg)")
+    spark.sql("INSERT INTO graft.meta.p SELECT if(id % 4 = 0, 'hot', 'cold'), id FROM range(40)")
+    spark.sql("INSERT INTO graft.meta.p VALUES ('hot', 999)") // hot gains a 2nd segment
+    val parts = spark.sql(
+      """SELECT partition_key, segments, rows FROM graft.meta.p.partitions
+        |ORDER BY partition_key""".stripMargin)
+      .as[(String, Int, Long)].collect().toSeq
+    assert(parts == Seq(("cold", 1, 30L), ("hot", 2, 11L)), s"got $parts")
+    spark.sql("DROP TABLE graft.meta.p")
+  }
+
   test("branches lists open WAP branches; unknown kinds and bases refuse") {
     spark.sql("DROP TABLE IF EXISTS graft.meta.b")
     spark.sql("CREATE TABLE graft.meta.b (k BIGINT) USING graft")
