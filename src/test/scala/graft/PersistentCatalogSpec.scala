@@ -82,6 +82,28 @@ class PersistentCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE pgraft.pns.ups")
   }
 
+  test("WAP branches survive a restart and publish afterwards") {
+    spark.sql("DROP TABLE IF EXISTS pgraft.pns.`wb@a`")
+    spark.sql("DROP TABLE IF EXISTS pgraft.pns.wb")
+    spark.sql("CREATE TABLE pgraft.pns.wb (k BIGINT) USING graft")
+    spark.sql("INSERT INTO pgraft.pns.wb VALUES (1)") // v1
+    spark.sql("CALL pgraft.system.create_branch('pns', 'wb', 'a', '')").collect()
+    spark.sql("INSERT INTO pgraft.pns.`wb@a` VALUES (2)")
+
+    GraftCatalog.resetInMemoryStateForTest(ident("pns", "wb"))
+    GraftCatalog.resetInMemoryStateForTest(ident("pns", "wb@a"))
+
+    // Branch entry, provenance props, and its continued version
+    // numbering all reload — the publish replays from ledger state.
+    assert(spark.sql("SELECT k FROM pgraft.pns.`wb@a` ORDER BY k")
+      .as[Long].collect().toSeq == Seq(1L, 2L))
+    spark.sql("CALL pgraft.system.publish_branch('pns', 'wb', 'a')").collect()
+    assert(spark.sql("SELECT k FROM pgraft.pns.wb ORDER BY k")
+      .as[Long].collect().toSeq == Seq(1L, 2L))
+    assert(spark.sql("SELECT count(*) FROM pgraft.pns.wb.branches").as[Long].head() == 0L)
+    spark.sql("DROP TABLE pgraft.pns.wb")
+  }
+
   test("deletion vectors and zone-map stats survive a restart") {
     spark.sql("DROP TABLE IF EXISTS pgraft.pns.dv")
     spark.sql("CREATE TABLE pgraft.pns.dv (id BIGINT, grp STRING) USING graft")
