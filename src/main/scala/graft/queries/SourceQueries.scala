@@ -1198,6 +1198,66 @@ object SourceQueries {
         |ORDER BY slice, event_type""".stripMargin)
   }
 
+  /** X5k: BUCKET-TRANSFORM storage-partitioned join — the fact⋈fact
+    * co-location move. lineitem⋈orders on the order key: at 100 TB
+    * neither side broadcasts and the key is far too wide to
+    * identity-partition, so both tables are `PARTITIONED BY
+    * (bucket(8, <orderkey>))`; the scans report
+    * `KeyGroupedPartitioning` over the SAME resolved catalog bucket
+    * function (canonical Murmur3, `GraftPartitionTransforms`), and the
+    * sort-merge join plans with NO exchange on either side — the
+    * shuffle the bucketed layout prepaid at write time. Exchange-free
+    * plan asserted in `PartitionedCatalogSpec`; here the DuckDB oracle
+    * recomputes the join from raw parquet, so any bucket-routing
+    * divergence between the two writers (rows landing in different
+    * buckets for the same key would silently drop join matches under
+    * the co-location claim) breaks the hash.
+    */
+  val x5kBucketSpj: Q = Q(
+    "x5k_bucket_spj",
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+      |                 (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 4) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderstatus <> 'P'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("x5k_lineitem_src")
+    Tables.orders(spark, dir).createOrReplaceTempView("x5k_orders_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.li_b")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.ord_b")
+    spark.sql(
+      """CREATE TABLE graft.demo.li_b
+        |  (l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE)
+        |USING graft PARTITIONED BY (bucket(8, l_orderkey))""".stripMargin)
+    spark.sql(
+      """CREATE TABLE graft.demo.ord_b
+        |  (o_orderkey BIGINT, o_orderstatus STRING, o_orderpriority STRING)
+        |USING graft PARTITIONED BY (bucket(8, o_orderkey))""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.li_b
+        |SELECT CAST(l_orderkey AS BIGINT), l_extendedprice, l_discount
+        |FROM x5k_lineitem_src""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.ord_b
+        |SELECT CAST(o_orderkey AS BIGINT), o_orderstatus, o_orderpriority
+        |FROM x5k_orders_src""".stripMargin)
+    // MERGE hint + no auto-broadcast: pin the sort-merge SPJ path the
+    // spec plan-asserts (a broadcast would also be exchange-free but
+    // proves nothing about the bucketed layout).
+    spark.sql(
+      """SELECT /*+ MERGE(l) */ o_orderpriority, count(*) AS n_items,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+        |                 (1 - CAST(l_discount AS DECIMAL(18,6)))) AS DOUBLE), 4) AS revenue
+        |FROM graft.demo.li_b l JOIN graft.demo.ord_b o
+        |  ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderstatus <> 'P'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** X13: MERGE-ON-READ UPSERT via equality deletes (the Iceberg v2 /
     * Flink-upsert shape): `writeTo(t).option("graft.upsert.keys",
     * "k").append()` lands the batch's segments AND an equality delete
@@ -1375,6 +1435,7 @@ object SourceQueries {
     x7CatalogView, x8MaterializedView, x9MvRollup, x9bStaleMv,
     x9cMvRewriteOff, x9cMvRewriteOn, x5fPartitionProfile, x5gCosortedJoin,
     x5hPartitionOverwrite, x5iPartitionEvolution, x5jHiddenPartitioning,
+    x5kBucketSpj,
     x10TableChanges, x10bCdcUpdatePairs, x11RestoreClone, x12BranchWap,
     x13Upsert, x14MetadataTables)
 }

@@ -361,6 +361,40 @@ class PartitionedCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket-transform SPJ: fact tables co-bucketed on a high-cardinality key join with NO shuffle") {
+    spark.sql("DROP TABLE IF EXISTS graft.pt.bf")
+    spark.sql("DROP TABLE IF EXISTS graft.pt.bg")
+    // Neither side is broadcast-able at scale and the key is too wide
+    // to identity-partition — the Iceberg answer is bucket(n, key) on
+    // BOTH sides; the scans then report KeyGroupedPartitioning over
+    // the same resolved transform and the join needs no exchange.
+    spark.sql(
+      "CREATE TABLE graft.pt.bf (id BIGINT, amount BIGINT) USING graft " +
+        "PARTITIONED BY (bucket(8, id))")
+    spark.sql(
+      "CREATE TABLE graft.pt.bg (id BIGINT, score BIGINT) USING graft " +
+        "PARTITIONED BY (bucket(8, id))")
+    spark.range(0, 500, 1, 4)
+      .selectExpr("id", "id * 2 AS amount").writeTo("graft.pt.bf").append()
+    spark.range(0, 500, 1, 4)
+      .selectExpr("id", "id * 3 AS score").writeTo("graft.pt.bg").append()
+    withSQLConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val joined = spark.table("graft.pt.bf").join(spark.table("graft.pt.bg"), "id")
+      val plan = planOf(joined)
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed catalog tables must storage-partition join (no shuffle):\n$plan")
+      val row = joined.selectExpr(
+        "count(*) AS n", "sum(amount + score) AS tot").collect()(0)
+      assert(row.getLong(0) == 500L)
+      assert(row.getLong(1) == (0L until 500L).map(i => i * 5).sum)
+    }
+    spark.sql("DROP TABLE graft.pt.bf")
+    spark.sql("DROP TABLE graft.pt.bg")
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
