@@ -1258,6 +1258,74 @@ object SourceQueries {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** X15: `CALL graft.system.remove_orphan_files` — the storage-
+    * hygiene procedure (Iceberg's remove_orphan_files): files in the
+    * table directory that NO catalog state references (crashed-writer
+    * leftovers, stray tool droppings) are deleted; everything any
+    * table still reaches — the current snapshot, time-travel history,
+    * zero-copy clones pointing into this directory — survives. The
+    * fixture clones the table, OVERWRITEs + vacuums the source (so
+    * its original file is referenced ONLY by the clone), plants a
+    * 128-byte fake segment, and sweeps with a zero age guard; the
+    * result reads source and clone aggregates next to the sweep's
+    * exact (files, bytes) counts. DuckDB recomputes the aggregates
+    * from raw parquet and pins the counts as literals — sweeping a
+    * referenced file breaks an aggregate, missing the orphan breaks
+    * the count row.
+    */
+  val x15RemoveOrphans: Q = Q(
+    "x15_remove_orphans",
+    """SELECT 'clone' AS side, count(*) AS n,
+      |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+      |FROM customer
+      |UNION ALL
+      |SELECT 'src' AS side, count(*) AS n,
+      |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+      |FROM customer WHERE c_mktsegment = 'BUILDING'
+      |UNION ALL
+      |SELECT 'swept' AS side, 1 AS n, 128.0 AS total
+      |ORDER BY side""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.customer(spark, dir).createOrReplaceTempView("x15_customer_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.orp")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.orp_cl")
+    spark.sql(
+      """CREATE TABLE graft.demo.orp (c_mktsegment STRING, c_acctbal DOUBLE)
+        |USING graft""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.orp
+        |SELECT c_mktsegment, c_acctbal FROM x15_customer_src""".stripMargin)
+    spark.sql("CALL graft.system.clone('demo', 'orp', 'demo', 'orp_cl', '')")
+    spark.sql(
+      """INSERT OVERWRITE graft.demo.orp
+        |SELECT c_mktsegment, c_acctbal FROM x15_customer_src
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+    // Expire the source's own history: its full-load file is now held
+    // alive ONLY through the clone's reference.
+    spark.sql("CALL graft.system.vacuum('demo', 'orp')")
+    // A crashed writer's leftover: on disk, referenced by nothing.
+    val segDir = java.nio.file.Paths.get(
+      graft.sources.GraftCatalog.segmentPaths("demo", "orp").head).getParent
+    java.nio.file.Files.write(
+      segDir.resolve("seg-crashed-writer-leftover.graft"), Array.fill[Byte](128)(42))
+    val swept = spark.sql(
+      "CALL graft.system.remove_orphan_files('demo', 'orp', 0)").collect()(0)
+    import org.apache.spark.sql.functions.{lit, round => rnd}
+    spark.sql(
+      """SELECT 'clone' AS side, count(*) AS n,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM graft.demo.orp_cl
+        |UNION ALL
+        |SELECT 'src' AS side, count(*) AS n,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM graft.demo.orp""".stripMargin)
+      .unionAll(spark.range(1).select(
+        lit("swept").as("side"),
+        lit(swept.getInt(1).toLong).as("n"),
+        rnd(lit(swept.getLong(2).toDouble), 2).as("total")))
+      .orderBy("side")
+  }
+
   /** X13: MERGE-ON-READ UPSERT via equality deletes (the Iceberg v2 /
     * Flink-upsert shape): `writeTo(t).option("graft.upsert.keys",
     * "k").append()` lands the batch's segments AND an equality delete
@@ -1437,5 +1505,5 @@ object SourceQueries {
     x5hPartitionOverwrite, x5iPartitionEvolution, x5jHiddenPartitioning,
     x5kBucketSpj,
     x10TableChanges, x10bCdcUpdatePairs, x11RestoreClone, x12BranchWap,
-    x13Upsert, x14MetadataTables)
+    x13Upsert, x14MetadataTables, x15RemoveOrphans)
 }

@@ -676,7 +676,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         Identifier.of(namespace, "analyze"), Identifier.of(namespace, "create_mv"),
         Identifier.of(namespace, "refresh_mv"), Identifier.of(namespace, "restore"),
         Identifier.of(namespace, "clone"), Identifier.of(namespace, "set_partitioning"),
-        Identifier.of(namespace, "create_branch"), Identifier.of(namespace, "publish_branch"))
+        Identifier.of(namespace, "create_branch"), Identifier.of(namespace, "publish_branch"),
+        Identifier.of(namespace, "remove_orphan_files"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
@@ -708,6 +709,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       GraftCreateBranchProcedure
     else if (ident.namespace.sameElements(Array("system")) && ident.name == "publish_branch")
       GraftPublishBranchProcedure
+    else if (ident.namespace.sameElements(Array("system")) && ident.name == "remove_orphan_files")
+      GraftRemoveOrphanFilesProcedure
     else throw new UnsupportedOperationException(s"no such procedure: $ident")
 
   // ---- ViewCatalog: persistent SQL views resolved through the ----
@@ -924,6 +927,51 @@ private[graft] object GraftVacuumProcedure
       override def rows(): Array[InternalRow] = Array(row)
       override def readSchema(): StructType = outSchema
       override def description(): String = s"GraftVacuumResult($ident)"
+    }).iterator()
+  }
+}
+
+/** `CALL graft.system.remove_orphan_files(ns, table, older_than_ms)` —
+  * delete files in the table's directory no catalog state references
+  * (crashed-write leftovers, stray tool droppings). Clone/branch-shared
+  * and time-travel-retained files are spared; `older_than_ms` guards
+  * in-flight writers. Work in `GraftCatalog.removeOrphanFiles`.
+  */
+private[graft] object GraftRemoveOrphanFilesProcedure
+    extends procedures.UnboundProcedure with procedures.BoundProcedure {
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+
+  override def name(): String = "remove_orphan_files"
+  override def description(): String =
+    "remove_orphan_files(ns, table, older_than_ms): delete unreferenced files " +
+      "in the table dir older than the guard interval"
+  override def bind(inputType: StructType): procedures.BoundProcedure = this
+  override def isDeterministic: Boolean = false // deletes files
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("ns", StringType).comment("namespace").build(),
+    ProcedureParameter.in("table", StringType).comment("table name").build(),
+    ProcedureParameter.in("older_than_ms", LongType)
+      .comment("only files modified more than this many ms ago (in-flight-write guard)")
+      .build())
+
+  private val outSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("files_deleted", IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("bytes_deleted", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val ns = input.getUTF8String(0).toString
+    val table = input.getUTF8String(1).toString
+    val ident = Identifier.of(Array(ns), table)
+    val (files, bytes) = GraftCatalog.removeOrphanFiles(ident, input.getLong(2))
+    val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(ident.toString),
+        files, bytes))
+    java.util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = outSchema
+      override def description(): String = s"GraftRemoveOrphanFilesResult($ident)"
     }).iterator()
   }
 }
@@ -1771,6 +1819,11 @@ object GraftCatalog {
     Option(store.get(Identifier.of(Array(ns), table)))
       .map(_.segments.map(_.deletedRows).sum).getOrElse(0L)
 
+  /** Test observability: current segment file paths of a table. */
+  private[graft] def segmentPaths(ns: String, table: String): Seq[String] =
+    Option(store.get(Identifier.of(Array(ns), table)))
+      .map(_.segments.map(_.path)).getOrElse(Nil)
+
   /** Committed segment count (test observability for split planning). */
   def segmentCount(ns: String, table: String): Int =
     Option(store.get(Identifier.of(Array(ns), table)))
@@ -2267,6 +2320,54 @@ object GraftCatalog {
       kept.map(s => if (hist.lastOption.contains(s)) s.copy(segments = entry.segments) else s))
     persistTable(ident)
     (expired, dropped.length)
+  }
+
+  /** `CALL graft.system.remove_orphan_files(ns, table, older_than_ms)`
+    * — delete files in the table's directory that NO catalog state
+    * references (the Iceberg remove_orphan_files shape): leftovers of
+    * crashed/aborted writes, or stray files a tool dropped in the dir.
+    * The referenced set is computed across the WHOLE catalog — every
+    * table/branch's current segments plus every retained snapshot —
+    * because zero-copy clones and branches legitimately reference
+    * files living in another table's directory; deleting "this
+    * table's" unreferenced file could break its clone. `olderThanMs`
+    * is the in-flight-write guard (an uncommitted writer's segment is
+    * on disk before its commit and MUST look orphaned-but-young):
+    * only files last modified more than that many ms ago qualify.
+    * Pass 0 only when nothing can be writing. Runs under the mutation
+    * lock so no commit can land between the reference scan and the
+    * deletes. Returns (filesDeleted, bytesDeleted).
+    */
+  private[sources] def removeOrphanFiles(
+      ident: Identifier, olderThanMs: Long): (Int, Long) = mutate {
+    val entry = store.get(ident)
+    if (entry == null) throw new NoSuchTableException(ident)
+    if (olderThanMs < 0L)
+      throw new IllegalArgumentException(
+        s"remove_orphan_files: older_than_ms must be >= 0, got $olderThanMs")
+    val referenced: Set[String] =
+      (store.asScala.valuesIterator.flatMap(_.segments.iterator.map(_.path)) ++
+        history.asScala.valuesIterator.flatMap(
+          _.iterator.flatMap(_.segments.iterator.map(_.path)))).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val dir = Paths.get(entry.dir)
+    if (!Files.isDirectory(dir)) (0, 0L)
+    else {
+      var n = 0
+      var bytes = 0L
+      val walk = Files.walk(dir)
+      try walk.iterator().asScala.foreach { p =>
+        if (Files.isRegularFile(p) && !referenced.contains(p.toString) &&
+            (try Files.getLastModifiedTime(p).toMillis <= cutoff
+             catch { case _: java.io.IOException => false })) {
+          val sz = try Files.size(p) catch { case _: java.io.IOException => 0L }
+          try {
+            if (Files.deleteIfExists(p)) { n += 1; bytes += sz }
+          } catch { case _: java.io.IOException => () } // best-effort, like all GC
+        }
+      } finally walk.close()
+      (n, bytes)
+    }
   }
 
   private[graft] def vacuumTombstones(): Unit = mutate {
