@@ -1326,6 +1326,66 @@ object SourceQueries {
       .orderBy("side")
   }
 
+  /** X16: ROW LINEAGE — `_row_id` / `_last_updated_seq` metadata
+    * columns (the Iceberg v3 concept): every row gets a table-scoped
+    * id at first commit, STABLE through dv deletes and 1:1 CoW
+    * rewrites; the update-seq tracks the commit that last changed the
+    * row. The fixture loads two ordered single-task batches (ids are
+    * then rank-in-batch — closed form), dv-DELETEs some of batch 1,
+    * and CoW-UPDATEs all of batch 2 (1:1 rewrite provenance → ids
+    * inherited, seq re-stamped). DuckDB recomputes every row's
+    * expected (id, seq, value) from raw parquet with row_number() —
+    * an id reassigned by the rewrite, a survivor losing its id to the
+    * dv, or a stale update-seq each breaks the hash ROW BY ROW.
+    * Commit versions: create=0, batch1=1, batch2=2, delete=3,
+    * update=4.
+    */
+  val x16RowLineage: Q = Q(
+    "x16_row_lineage",
+    """WITH s AS (SELECT max(c_custkey) // 2 AS sp FROM customer),
+      |     b1 AS (SELECT c_custkey AS k, c_acctbal AS bal,
+      |             row_number() OVER (ORDER BY c_custkey) - 1 AS rid
+      |           FROM customer WHERE c_custkey <= (SELECT sp FROM s)),
+      |     b2 AS (SELECT c_custkey AS k, c_acctbal AS bal,
+      |             row_number() OVER (ORDER BY c_custkey) - 1 AS rid
+      |           FROM customer WHERE c_custkey > (SELECT sp FROM s))
+      |SELECT k, rid AS row_id, 1 AS last_seq, round(bal, 2) AS bal
+      |FROM b1 WHERE k NOT IN (15, 30, 45, 60)
+      |UNION ALL
+      |SELECT k, rid + (SELECT count(*) FROM b1) AS row_id, 4 AS last_seq,
+      |       round(bal + 100, 2) AS bal
+      |FROM b2
+      |ORDER BY row_id""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.demo.lin")
+    spark.sql("CREATE TABLE graft.demo.lin (k BIGINT, bal DOUBLE) USING graft")
+    val cust = Tables.customer(spark, dir)
+      .selectExpr("CAST(c_custkey AS BIGINT) AS k", "c_acctbal AS bal")
+    // Range-disjoint batches: DML predicates below carry the range
+    // bound, so zone maps scope each rewrite to ITS batch — the dv
+    // lands only on batch 1, the CoW touches only batch 2 (whose 1:1
+    // provenance then lets ids inherit).
+    val split = cust.agg(org.apache.spark.sql.functions.max("k"))
+      .collect()(0).getLong(0) / 2
+    // orderBy + coalesce(1): one writer task over globally-sorted rows
+    // — id = rank in key order, the closed form the oracle recomputes.
+    // (Fixture determinism, not a scale pattern.)
+    cust.filter(s"k <= $split").orderBy("k").coalesce(1)
+      .writeTo("graft.demo.lin").append() // v1
+    cust.filter(s"k > $split").orderBy("k").coalesce(1)
+      .writeTo("graft.demo.lin").append() // v2
+    // IN-list: filter-TRANSLATABLE, so the delete takes the dv path
+    // (an untranslatable predicate would CoW-rewrite the segment and
+    // honestly re-mint its ids). Values sit in batch 1 at every sf.
+    spark.sql("DELETE FROM graft.demo.lin WHERE k IN (15, 30, 45, 60)") // v3: dv on batch 1
+    spark.sql(s"UPDATE graft.demo.lin SET bal = bal + 100 WHERE k > $split")  // v4: CoW of batch 2
+    spark.sql(
+      """SELECT k, _row_id AS row_id, _last_updated_seq AS last_seq,
+        |       round(bal, 2) AS bal
+        |FROM graft.demo.lin
+        |ORDER BY row_id""".stripMargin)
+  }
+
   /** X13: MERGE-ON-READ UPSERT via equality deletes (the Iceberg v2 /
     * Flink-upsert shape): `writeTo(t).option("graft.upsert.keys",
     * "k").append()` lands the batch's segments AND an equality delete
@@ -1505,5 +1565,5 @@ object SourceQueries {
     x5hPartitionOverwrite, x5iPartitionEvolution, x5jHiddenPartitioning,
     x5kBucketSpj,
     x10TableChanges, x10bCdcUpdatePairs, x11RestoreClone, x12BranchWap,
-    x13Upsert, x14MetadataTables, x15RemoveOrphans)
+    x13Upsert, x14MetadataTables, x15RemoveOrphans, x16RowLineage)
 }

@@ -1366,9 +1366,74 @@ object GraftCatalog {
       // rewriting (the materialization points). Inheriting too low is
       // always safe (filters re-apply as no-ops); stamping too high
       // without filtering would resurrect deleted rows — never done.
-      seq: Long = 0L) {
+      seq: Long = 0L,
+      // ROW LINEAGE (the Iceberg v3 `_row_id` /
+      // `_last_updated_sequence_number` concept): contiguous runs
+      // (firstRowId, rowCount, lastUpdatedSeq) covering the segment's
+      // PHYSICAL ordinals in order. Ids are table-scoped, allocated
+      // once per row at first commit (TableEntry.nextRowId, never
+      // reused) and STABLE thereafter: 1:1 CoW rewrites inherit the
+      // source's id runs (re-stamping lastUpdatedSeq — the rows WERE
+      // just updated), unordered compaction concatenates surviving
+      // runs (ids AND update-seqs ride through a dataChange=false
+      // fold untouched), dv deletes leave survivor ids alone (masked
+      // ordinals stay inside runs; the reader never emits them).
+      // Order-perturbing or cardinality-changing rewrites (sorted
+      // fold, zorder, spec migration, non-1:1 ReplaceData) DROP runs
+      // — publish then allocates fresh ids, because claiming a stale
+      // identity would be a wrong-lineage bug while a fresh one is
+      // merely conservative (the same safe-direction doctrine as
+      // `sorted`). Empty = unassigned (legacy ledger) → reader serves
+      // NULL. lastUpdatedSeq is the snapshot version of the commit
+      // that last CHANGED the rows — distinct from `seq`, which
+      // tracks the equality-delete domain and is deliberately
+      // re-stamped by maintenance.
+      lineage: IndexedSeq[(Long, Long, Long)] = Vector.empty) {
     def deletedRows: Long = dv.map(_.size.toLong).getOrElse(0L)
     def liveRows: Long = rows - deletedRows
+  }
+
+  /** Output side of a lineage-preserving rewrite: collects surviving
+    * rows' (id, updateSeq) pairs into maximal contiguous runs.
+    * Invalidates itself past `cap` runs (ledger-size safety valve) or
+    * on an unassigned source row — `result()` then returns empty and
+    * publish allocates fresh ids, which is conservative, never wrong.
+    */
+  private[sources] final class RunAccumulator(cap: Int = 1024) {
+    private val b = Vector.newBuilder[(Long, Long, Long)]
+    private var n = 0
+    private var first = 0L; private var len = 0L; private var seqV = 0L
+    private var valid = true
+    def push(id: Long, q: Long): Unit =
+      if (valid) {
+        if (len > 0 && id == first + len && q == seqV) len += 1
+        else {
+          if (len > 0) { b += ((first, len, seqV)); n += 1 }
+          first = id; len = 1; seqV = q
+          if (n > cap) valid = false
+        }
+      }
+    def invalidate(): Unit = valid = false
+    def result(): IndexedSeq[(Long, Long, Long)] = {
+      if (valid && len > 0) { b += ((first, len, seqV)); len = 0 }
+      if (valid) b.result() else Vector.empty
+    }
+  }
+
+  /** Source side: resolves a physical ordinal to its (rowId,
+    * updateSeq) through the segment's runs. Ordinals must only grow
+    * (the sequential-read invariant every caller has) — O(1)
+    * amortized. None = the segment has no lineage for the ordinal.
+    */
+  private[sources] final class RunCursor(runs: IndexedSeq[(Long, Long, Long)]) {
+    private var i = 0
+    private var start = 0L
+    def at(ord: Long): Option[(Long, Long)] = {
+      while (i < runs.length && ord >= start + runs(i)._2) {
+        start += runs(i)._2; i += 1
+      }
+      if (i < runs.length) Some((runs(i)._1 + (ord - start), runs(i)._3)) else None
+    }
   }
 
   /** EQUALITY DELETE (merge-on-read upsert, the Iceberg v2 /
@@ -1401,7 +1466,11 @@ object GraftCatalog {
       props: Map[String, String] = Map.empty,
       // Outstanding equality deletes (see [[EqDelete]]); GC'd at
       // publish once no live segment predates them.
-      eqDeletes: Vector[EqDelete] = Vector.empty)
+      eqDeletes: Vector[EqDelete] = Vector.empty,
+      // Next unallocated row id (see Segment.lineage): monotonic,
+      // bumped by publish's assignment pass, never reused — restore
+      // keeps it, clone copies it, branch publish takes the max.
+      nextRowId: Long = 0L)
 
   /** `'graft.write.order'='c1,c2'`: declared write ordering — every
     * batch INSERT range-partitions + sorts on these columns (see
@@ -1917,7 +1986,7 @@ object GraftCatalog {
     // Equality-delete GC: once every live segment's seq is >= the
     // delete's, no row it could hit remains — drop it from the LIVE
     // entry (retained snapshots keep their own copies for time travel).
-    val entry =
+    val entry1 =
       if (entry0.eqDeletes.isEmpty) entry0
       else {
         val live = entry0.eqDeletes.filter(eq =>
@@ -1927,8 +1996,50 @@ object GraftCatalog {
       }
     val now = System.nanoTime()
     val hist = history.getOrDefault(ident, Vector.empty)
+    val version = hist.lastOption.map(_.version + 1).getOrElse(firstVersion)
+    // ROW-LINEAGE assignment (see Segment.lineage): every segment this
+    // snapshot publishes without id runs gets them HERE — the one
+    // point every commit path flows through. A 1:1 rewrite (recorded
+    // in `rewrites`, cardinality preserved, source undeleted) INHERITS
+    // the source's id runs with lastUpdatedSeq re-stamped to this
+    // version (the rows were just rewritten); everything else
+    // allocates fresh ids from the table's monotonic counter.
+    val entry = {
+      val needs = entry1.segments.exists(s => s.lineage.isEmpty && s.rows > 0)
+      if (!needs) entry1
+      else {
+        val srcByPath: Map[String, Segment] =
+          hist.lastOption.map(_.segments.map(s => s.path -> s).toMap)
+            .getOrElse(Map.empty)
+        // Counter self-heal: a ledger hand-edit (or any bug) leaving
+        // assigned runs above the counter must never double-allocate.
+        var next = math.max(entry1.nextRowId,
+          entry1.segments.iterator.flatMap(_.lineage.iterator)
+            .map { case (first, count, _) => first + count }
+            .foldLeft(0L)(math.max))
+        val segs = entry1.segments.map { s =>
+          if (s.lineage.nonEmpty || s.rows == 0) s
+          else {
+            val inherited = rewrites.get(s.path).flatMap(srcByPath.get)
+              .filter(src => src.rows == s.rows && src.dv.isEmpty &&
+                src.lineage.nonEmpty)
+              .map(_.lineage.map { case (first, count, _) => (first, count, version) })
+            inherited match {
+              case Some(runs) => s.copy(lineage = runs)
+              case None =>
+                val fresh = Vector((next, s.rows, version))
+                next += s.rows
+                s.copy(lineage = fresh)
+            }
+          }
+        }
+        val e = entry1.copy(segments = segs, nextRowId = next)
+        store.put(ident, e)
+        e
+      }
+    }
     val snap = CatalogSnapshot(
-      hist.lastOption.map(_.version + 1).getOrElse(firstVersion),
+      version,
       System.currentTimeMillis(), now, entry.schema, entry.segments,
       entry.partitionCols, entry.constraints, rewrites, dataChange,
       entry.eqDeletes)
@@ -2070,7 +2181,12 @@ object GraftCatalog {
     store.put(dst, TableEntry(snap.schema, snap.segments, dir, snap.partitionCols,
       snap.constraints, Map.empty, e.props.filterNot(p =>
         p._1.startsWith(TagPropPrefix) || p._1 == BranchOfProp || p._1 == BranchBaseProp),
-      eqDeletes = snap.eqDeletes))
+      eqDeletes = snap.eqDeletes,
+      // Row-id counter rides along (not the snapshot's — the SOURCE's
+      // current one): the clone's future allocations must clear every
+      // id the shared history ever handed out, or a clone taken at an
+      // old version could re-mint ids of rows added-then-deleted since.
+      nextRowId = e.nextRowId))
     // History CONTINUES the source's version numbering (first snapshot
     // = the cloned version, not 0): inherited segment/eq-delete
     // sequence numbers are valued in that domain, and the clone's own
@@ -2212,7 +2328,17 @@ object GraftCatalog {
     val shift = if (offset == 0) 0L else offset + 1L
     def shiftSeq(q: Long): Long = if (q > base) q + shift else q
     def shiftSegs(ss: Vector[Segment]): Vector[Segment] =
-      ss.map(s => if (s.seq > base) s.copy(seq = s.seq + shift) else s)
+      // seq AND lineage lastUpdatedSeq are valued in the version
+      // domain — both shift, or a published row would claim an update
+      // version main never committed.
+      ss.map { s =>
+        val lin =
+          if (s.lineage.forall(_._3 <= base)) s.lineage
+          else s.lineage.map { case (f, c, q) => (f, c, shiftSeq(q)) }
+        if (s.seq > base || (lin ne s.lineage))
+          s.copy(seq = shiftSeq(s.seq), lineage = lin)
+        else s
+      }
     def shiftEqs(es: Vector[EqDelete]): Vector[EqDelete] =
       es.map(e => e.copy(seq = shiftSeq(e.seq)))
     val now = System.nanoTime()
@@ -2230,7 +2356,11 @@ object GraftCatalog {
     store.put(src, main.copy(schema = b.schema,
       segments = shiftSegs(b.segments),
       partitionCols = b.partitionCols, constraints = b.constraints,
-      eqDeletes = shiftEqs(b.eqDeletes)))
+      eqDeletes = shiftEqs(b.eqDeletes),
+      // Row-id domain is shared (the branch was cut with main's
+      // counter): take the max so ids the branch allocated — even for
+      // rows it later deleted — are never re-minted on main.
+      nextRowId = math.max(main.nextRowId, b.nextRowId)))
     publish(src,
       rewrites = bHist.lastOption.map(_.rewrites).getOrElse(Map.empty),
       dataChange = bHist.lastOption.forall(_.dataChange))
@@ -2891,11 +3021,31 @@ object GraftCatalog {
           segs.forall(!eqApplies(_))) segs
         else if (orderIdx.isEmpty) {
           val w = new SegmentIO.Writer(entry.dir, entry.schema)
+          // ROW-LINEAGE preservation: the unordered fold concatenates
+          // sources in list order, so surviving rows' (id, updateSeq)
+          // pairs carry over as run concatenation — dv/eq-dropped rows
+          // just break runs. Degrades to fresh ids (empty runs →
+          // publish reassigns) if any source predates lineage or the
+          // run list would bloat the ledger (pathological alternating
+          // deletes) — conservative, never wrong.
+          val acc = new RunAccumulator
           segs.foreach { seg =>
             val keep = eqKeep(seg)
-            SegmentIO.foreachRow(seg, entry.schema.length)(r => if (keep(r)) w.add(r))
+            val cur = new RunCursor(seg.lineage)
+            SegmentIO.foreachRowPhysical(seg, entry.schema.length) { (r, ord) =>
+              val masked =
+                seg.dv.exists(d => ord <= Int.MaxValue && d.contains(ord.toInt))
+              if (!masked && keep(r)) {
+                w.add(r)
+                cur.at(ord) match {
+                  case Some((id, q)) => acc.push(id, q)
+                  case None => acc.invalidate()
+                }
+              }
+            }
           }
-          w.finish().map(_.copy(key = key, spec = spec, seq = nextSeq)).toSeq
+          w.finish().map(_.copy(key = key, spec = spec, seq = nextSeq,
+            lineage = acc.result())).toSeq
         } else {
           val payloads = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
           segs.foreach { seg =>
@@ -3576,15 +3726,33 @@ private[sources] object SegmentIO {
     */
   def rewriteOpt(seg: Segment, dir: String, inFields: Int, outSchema: StructType)(
       f: UnsafeRow => Option[UnsafeRow]): Option[Segment] = {
+    import GraftCatalog.{RunAccumulator, RunCursor}
     val w = new Writer(dir, outSchema)
-    foreachRow(seg, inFields)(r => f(r).foreach(w.add))
+    // Migrations are value-rewrites of the SAME rows — row ids and
+    // update-seqs carry over run-by-run (dv-masked or f-dropped rows
+    // break runs, exactly like compaction's fold).
+    val acc = new RunAccumulator
+    val cur = new RunCursor(seg.lineage)
+    foreachRowPhysical(seg, inFields) { (r, ord) =>
+      val masked = seg.dv.exists(d => ord <= Int.MaxValue && d.contains(ord.toInt))
+      if (!masked) f(r) match {
+        case Some(out) =>
+          w.add(out)
+          cur.at(ord) match {
+            case Some((id, q)) => acc.push(id, q)
+            case None => acc.invalidate()
+          }
+        case None => ()
+      }
+    }
     // A rewrite never crosses partition boundaries: the rewritten
     // segment inherits the source segment's partition key (and the
     // spec that key is valued over) AND its data sequence number — a
     // 1:1 re-projection copies eq-deleted rows verbatim, so the
     // equality filters must keep applying to the output exactly as
     // they did to the source.
-    w.finish().map(_.copy(key = seg.key, spec = seg.spec, seq = seg.seq))
+    w.finish().map(_.copy(key = seg.key, spec = seg.spec, seq = seg.seq,
+      lineage = acc.result()))
   }
 }
 
@@ -3664,16 +3832,26 @@ private[sources] object GraftMetaCols {
   import org.apache.spark.sql.types.{LongType, StringType}
   val Segment = "_segment"
   val Pos = "_pos"
-  val names: Seq[String] = Seq(Segment, Pos)
+  val RowId = "_row_id"
+  val LastUpdatedSeq = "_last_updated_seq"
+  val names: Seq[String] = Seq(Segment, Pos, RowId, LastUpdatedSeq)
   private final case class Col(
       name: String, dataType: org.apache.spark.sql.types.DataType,
-      override val comment: String)
+      override val comment: String, nullable: Boolean = false)
       extends MetadataColumn {
-    override def isNullable: Boolean = false
+    override def isNullable: Boolean = nullable
   }
   val columns: Array[MetadataColumn] = Array(
     Col(Segment, StringType, "segment file path serving this row"),
-    Col(Pos, LongType, "physical row ordinal within the segment (dv gaps visible)"))
+    Col(Pos, LongType, "physical row ordinal within the segment (dv gaps visible)"),
+    // Row lineage (see Segment.lineage): null for rows of segments
+    // committed by a pre-lineage ledger or whose runs an
+    // order-perturbing rewrite dropped mid-flight.
+    Col(RowId, LongType,
+      "stable table-scoped row id, assigned at first commit and carried " +
+        "through 1:1 rewrites and compaction", nullable = true),
+    Col(LastUpdatedSeq, LongType,
+      "snapshot version of the commit that last changed this row", nullable = true))
 }
 
 private[sources] class GraftCatalogTable(
@@ -5133,14 +5311,16 @@ private[graft] class GraftCatalogMicroBatchStream(
   */
 private[sources] case class GraftSegFile(
     path: String, rows: Long, dv: Option[scala.collection.immutable.BitSet],
-    eq: Seq[EqFilter] = Nil)
+    eq: Seq[EqFilter] = Nil,
+    lineage: IndexedSeq[(Long, Long, Long)] = Vector.empty)
 private[sources] object GraftSegFile {
-  def of(s: GraftCatalog.Segment): GraftSegFile = GraftSegFile(s.path, s.rows, s.dv)
+  def of(s: GraftCatalog.Segment): GraftSegFile =
+    GraftSegFile(s.path, s.rows, s.dv, lineage = s.lineage)
   /** Plan-shared pre-compiled form — use inside per-segment loops. */
   def of(
       s: GraftCatalog.Segment,
       compiled: IndexedSeq[(Long, EqFilter)]): GraftSegFile =
-    GraftSegFile(s.path, s.rows, s.dv, EqFilter.applicable(compiled, s))
+    GraftSegFile(s.path, s.rows, s.dv, EqFilter.applicable(compiled, s), s.lineage)
 }
 
 private[sources] sealed trait GraftCatalogSplit extends InputPartition {
@@ -5166,7 +5346,7 @@ private[sources] case class GraftCatalogReaderFactory(
     // struct joined on the right. The projection's output row is
     // instance-reused, same as the deserialization row — both within
     // the PartitionReader reuse contract.
-    val metaRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    val metaRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(4)
     val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
     val proj: UnsafeRow => InternalRow =
       if (!wantsMeta && required.length == full.length) identity
@@ -5175,6 +5355,8 @@ private[sources] case class GraftCatalogReaderFactory(
           val i = f.name match {
             case GraftMetaCols.Segment => full.length
             case GraftMetaCols.Pos => full.length + 1
+            case GraftMetaCols.RowId => full.length + 2
+            case GraftMetaCols.LastUpdatedSeq => full.length + 3
             case n => full.fieldIndex(n)
           }
           org.apache.spark.sql.catalyst.expressions.BoundReference(
@@ -5196,6 +5378,12 @@ private[sources] case class GraftCatalogReaderFactory(
       private var ordinal = 0L
       private var dv: scala.collection.immutable.BitSet = _
       private var eq: Seq[EqFilter] = Nil
+      // Row-lineage cursor (runs cover physical ordinals in order, the
+      // ordinal only grows — O(1) amortized): spanStart is the ordinal
+      // where runs(spanIdx) begins.
+      private var runs: IndexedSeq[(Long, Long, Long)] = Vector.empty
+      private var spanIdx = 0
+      private var spanStart = 0L
       private def advance(): Boolean = {
         if (in != null) { in.close(); in = null }
         if (!fileIter.hasNext) false
@@ -5206,6 +5394,9 @@ private[sources] case class GraftCatalogReaderFactory(
           ordinal = 0L
           dv = f.dv.orNull
           eq = f.eq
+          runs = f.lineage
+          spanIdx = 0
+          spanStart = 0L
           if (wantsMeta)
             metaRow.update(0, org.apache.spark.unsafe.types.UTF8String.fromString(f.path))
           if (f.rows > 0) true else advance() // a rowless file is never written, but be safe
@@ -5227,7 +5418,21 @@ private[sources] case class GraftCatalogReaderFactory(
             row.pointTo(buf, size)
             deleted = eq.exists(_.matches(row))
           }
-          if (!deleted && wantsMeta) metaRow.update(1, ordinal)
+          if (!deleted && wantsMeta) {
+            metaRow.update(1, ordinal)
+            while (spanIdx < runs.length && ordinal >= spanStart + runs(spanIdx)._2) {
+              spanStart += runs(spanIdx)._2
+              spanIdx += 1
+            }
+            if (spanIdx < runs.length) {
+              val (first, _, seqV) = runs(spanIdx)
+              metaRow.update(2, first + (ordinal - spanStart))
+              metaRow.update(3, seqV)
+            } else { // unassigned lineage (legacy segment) -> null
+              metaRow.update(2, null)
+              metaRow.update(3, null)
+            }
+          }
           ordinal += 1
           if (!deleted) { row.pointTo(buf, size); return true }
         }

@@ -94,6 +94,11 @@ private[sources] object GraftLedger {
     o.put("path", s.path).put("rows", s.rows).put("bytes", s.bytes)
     if (s.sorted) o.put("sorted", true)
     if (s.seq != 0L) o.put("seq", s.seq)
+    if (s.lineage.nonEmpty) {
+      // Row-lineage runs, flattened [firstId, count, lastUpdatedSeq]*.
+      val ln = o.putArray("lin")
+      s.lineage.foreach { case (f, c, q) => ln.add(f); ln.add(c); ln.add(q) }
+    }
     if (s.spec.nonEmpty) {
       val sp = o.putArray("spec")
       s.spec.foreach(sp.add)
@@ -161,7 +166,13 @@ private[sources] object GraftLedger {
         .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
       // Absent node (pre-eq ledger) => 0: every equality delete
       // re-applies, which is the safe direction.
-      seq = Option(n.get("seq")).map(_.asLong()).getOrElse(0L))
+      seq = Option(n.get("seq")).map(_.asLong()).getOrElse(0L),
+      // Absent node (pre-lineage ledger) => empty: the reader serves
+      // NULL _row_id until publish assigns fresh ids.
+      lineage = Option(n.get("lin")).map { ln =>
+        ln.elements().asScala.map(_.asLong()).grouped(3)
+          .map { case Seq(f, c, q) => (f, c, q) }.toVector: IndexedSeq[(Long, Long, Long)]
+      }.getOrElse(Vector.empty))
   }
 
   // ---- equality deletes (merge-on-read upserts) ----
@@ -273,6 +284,7 @@ private[sources] object GraftLedger {
     }
     val pr = o.putObject("props")
     entry.props.foreach { case (k, v) => pr.put(k, v) }
+    if (entry.nextRowId != 0L) o.put("nextRowId", entry.nextRowId)
     M.writerWithDefaultPrettyPrinter().writeValueAsString(o)
   }
 
@@ -308,7 +320,8 @@ private[sources] object GraftLedger {
       TableEntry(schema, patchSpec(segs, partCols), o.get("dir").asText(),
         partCols, cons, analyzed, props,
         eqDeletes = Option(o.get("eqDeletes"))
-          .map(_.elements().asScala.map(eqOf).toVector).getOrElse(Vector.empty))
+          .map(_.elements().asScala.map(eqOf).toVector).getOrElse(Vector.empty),
+        nextRowId = Option(o.get("nextRowId")).map(_.asLong()).getOrElse(0L))
     val hist = o.get("history").elements().asScala.map { h =>
       val snapCols = Option(h.get("partitionCols"))
         .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(partCols)

@@ -57,6 +57,32 @@ class PersistentCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE pgraft.pns.t")
   }
 
+  test("row lineage and the id counter survive a restart") {
+    spark.sql("DROP TABLE IF EXISTS pgraft.pns.lin")
+    spark.sql("CREATE TABLE pgraft.pns.lin (k BIGINT) USING graft")
+    spark.range(0, 6).selectExpr("id AS k").coalesce(1)
+      .writeTo("pgraft.pns.lin").append()
+    spark.sql("DELETE FROM pgraft.pns.lin WHERE k IN (2)") // dv: survivor ids keep gaps
+    val before = spark.sql(
+      "SELECT k, _row_id, _last_updated_seq FROM pgraft.pns.lin ORDER BY _row_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(before == Seq(0L, 1L, 3L, 4L, 5L).map(k => (k, k, 1L)))
+
+    GraftCatalog.resetInMemoryStateForTest(ident("pns", "lin"))
+
+    assert(spark.sql(
+      "SELECT k, _row_id, _last_updated_seq FROM pgraft.pns.lin ORDER BY _row_id")
+      .as[(Long, Long, Long)].collect().toSeq == before,
+      "lineage runs must reload from the ledger byte-identically")
+    // The COUNTER reloaded too: new ids continue above 6, never reusing
+    // the dv'd row's id.
+    spark.range(6, 8).selectExpr("id AS k").coalesce(1)
+      .writeTo("pgraft.pns.lin").append()
+    val ids = spark.sql("SELECT _row_id FROM pgraft.pns.lin").as[Long].collect()
+    assert(ids.length == 7 && ids.distinct.length == 7 && ids.max == 7L)
+    spark.sql("DROP TABLE pgraft.pns.lin")
+  }
+
   test("equality deletes and data sequence numbers survive a restart") {
     spark.sql("DROP TABLE IF EXISTS pgraft.pns.ups")
     spark.sql("CREATE TABLE pgraft.pns.ups (k BIGINT, v STRING) USING graft")
