@@ -270,6 +270,63 @@ object StreamingQueries {
     }
   }
 
+  /** ST6d: COMPOSITE STATE — `MapState` + `ListState` handles on
+    * `transformWithState` (the collection-state surface st6b/st6c
+    * don't touch): per user, a map of per-event-type counts (point
+    * updates, one state key per row at scale) and a bounded top-3
+    * value list. The emitted totals are DERIVED from the map (sum of
+    * its counts), so the oracle cross-checks the map content, the
+    * list maintenance (a running top-k must equal the global top-k),
+    * and the multi-batch snapshot discipline in one hash.
+    */
+  val st6dCompositeState: Q = Q(
+    "st6d_composite_state",
+    """WITH r AS (SELECT user_id, event_type, value,
+      |             row_number() OVER (PARTITION BY user_id
+      |                                ORDER BY value DESC) AS rn
+      |           FROM events),
+      |prof AS (SELECT user_id, count(DISTINCT event_type) AS n_types,
+      |           count(*) AS total,
+      |           sum(CASE WHEN rn <= 3 THEN value ELSE 0 END) AS top3
+      |         FROM r GROUP BY user_id)
+      |SELECT n_types, total AS n_events, count(*) AS n_users,
+      |  round(CAST(sum(top3) AS DOUBLE), 2) AS sum_top3
+      |FROM prof GROUP BY n_types, total
+      |ORDER BY n_types, n_events""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val typed = StreamingOps.eventsStream(spark, dir)
+        .selectExpr("user_id", "event_type", "value")
+        .as[(Long, String, Double)]
+      val profiles = typed
+        .groupByKey(_._1)
+        .transformWithState(
+          new UserProfileProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Update(),
+          Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+            Encoders.scalaLong, Encoders.scalaDouble))
+        .toDF("user_id", "n_types", "total", "top3")
+      val snap = StreamingOps.runToBatch(spark, profiles, "update", "st6d_sink")
+      // Per user, the final snapshot is the one with the largest total
+      // (totals only grow); the struct-max keeps it in one pass.
+      snap.groupBy(col("user_id"))
+        .agg(max(struct(col("total"), col("n_types"), col("top3"))).as("s"))
+        .select(col("s.n_types").as("n_types"), col("s.total").as("n_events"),
+          col("s.top3").as("top3"))
+        .groupBy(col("n_types"), col("n_events"))
+        .agg(count(lit(1)).as("n_users"),
+          round(sum(col("top3")), 2).as("sum_top3"))
+        .orderBy(col("n_types"), col("n_events"))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   /** ST7: stream–static join — streaming events enriched with the static
     * customer dimension (broadcast at any scale), then aggregated.
     */
@@ -767,7 +824,8 @@ object StreamingQueries {
 
   val all: Seq[Q] = Seq(
     st2Tumbling, st3Sliding, st4SessionWindow, st5StreamDedup,
-    st6StatefulOp, st6bTransformWithState, st6cTimerSessions, st7StreamStaticJoin,
+    st6StatefulOp, st6bTransformWithState, st6cTimerSessions, st6dCompositeState,
+    st7StreamStaticJoin,
     st8StreamStreamJoin, st10CustomSourceStream, st11StreamToCatalog,
     st12CatalogChangeStream, st13JoinThenWindowAgg, st14StreamingMv,
     st15ChangeFeedStream, st16CdcReplica, st17StreamingUpsert)
@@ -889,5 +947,55 @@ private[queries] class UserRunningSum
     rows.foreach { r => n += 1; v += r._2 }
     state.update((n, v))
     Iterator.single((user, n, v))
+  }
+}
+
+/** Composite-state profile processor (st6d): the `MapState` +
+  * `ListState` surface of `transformWithState`. Per user it keeps
+  *  - a MapState[event_type -> count] (the per-key MAP primitive:
+  *    point update per row, no read-modify-write of a whole
+  *    collection — at scale each row touches one RocksDB key), and
+  *  - a ListState holding the top-3 values seen, re-sorted and
+  *    truncated per batch — BOUNDED state, and a running top-k is
+  *    exactly the global top-k.
+  * Emits a snapshot (user, n_types, total, top3_sum) per input batch;
+  * `total` is derived by summing the map's counts, so the emitted row
+  * is provably consistent with the map (not a separately-drifting
+  * counter).
+  */
+private[queries] class UserProfileProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String, Double), (Long, Long, Long, Double)] {
+  @transient private var types: org.apache.spark.sql.streaming.MapState[String, Long] = _
+  @transient private var topv: org.apache.spark.sql.streaming.ListState[Double] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    types = getHandle.getMapState[String, Long]("types",
+      Encoders.STRING, Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+    topv = getHandle.getListState[Double]("topv",
+      Encoders.scalaDouble, org.apache.spark.sql.streaming.TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      user: Long,
+      rows: Iterator[(Long, String, Double)],
+      timers: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[(Long, Long, Long, Double)] = {
+    val batchVals = Vector.newBuilder[Double]
+    rows.foreach { case (_, et, v) =>
+      val cur = if (types.containsKey(et)) types.getValue(et) else 0L
+      types.updateValue(et, cur + 1L)
+      batchVals += v
+    }
+    val top = (topv.get().toVector ++ batchVals.result())
+      .sortBy(-_).take(3)
+    topv.put(top.toArray)
+    var nTypes = 0L
+    var total = 0L
+    types.values().foreach { c => nTypes += 1L; total += c }
+    Iterator.single((user, nTypes, total, top.sum))
   }
 }
