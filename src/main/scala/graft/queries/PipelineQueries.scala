@@ -100,6 +100,61 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** L8: BLOOM-FILTER decontamination — the scale path for when even
+    * the benchmark's distinct-gram SET is too big to broadcast as an
+    * exact hash relation (hundreds of benchmarks × millions of grams):
+    * a Bloom filter over the benchmark grams is ~10× smaller at 3% fp
+    * (1.2 MB/M items), broadcasts to every executor, and kills ~97% of
+    * training grams MAP-SIDE before any join; the surviving sliver
+    * exact-verifies against the benchmark relation, so false positives
+    * NEVER reach the result — the output is bit-identical to the exact
+    * plan, which is why this query shares `l8_ngram_decontaminate`'s
+    * DuckDB oracle verbatim. The probe is a Scala UDF over Spark's
+    * public BloomFilter sketch (the two internal codegen expressions
+    * behind runtime filtering aren't registered for public use);
+    * its cost is a few hash probes per gram, dominated by the md5 the
+    * pipeline already pays, and the sliver that survives re-verifies
+    * through the same broadcast join as the exact twin.
+    */
+  val l8BloomDecontaminate: Q = Q(
+    "l8_bloom_decontaminate",
+    """WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      |grams AS (SELECT doc_id, lang,
+      |            unnest(list_transform(range(1, len(t) - 6), i -> md5(array_to_string(t[i:i+7], ' ')))) AS g
+      |          FROM tok),
+      |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+      |train AS (SELECT DISTINCT doc_id, lang, g FROM grams WHERE doc_id % 50 <> 0)
+      |SELECT lang, count(DISTINCT doc_id) AS n_contaminated, count(DISTINCT g) AS n_leaked_grams
+      |FROM train JOIN bench USING (g)
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (spark, dir) =>
+    val t = toks
+    val gramHashes = when(size(t) >= 8,
+      transform(sequence(lit(1), size(t) - 7),
+        i => md5(array_join(slice(t, i, lit(8)), " "))))
+      .otherwise(array().cast("array<string>"))
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(gramHashes).as("g"))
+    val bench = grams.filter(col("doc_id") % 50 === 0).select(col("g")).distinct()
+    // Sized on the true distinct count (one metadata-light pass over
+    // the small side); 3% fp = the sweet spot where the filter stays
+    // broadcast-tiny and the exact-verify join sees a ~30x-reduced
+    // candidate stream.
+    val nBench = math.max(bench.count(), 1L)
+    val bloom = bench.stat.bloomFilter("g", nBench, 0.03)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && bloomBc.value.mightContainString(s))
+    val train = grams.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("lang"), col("g"))
+    train.filter(mightContain(col("g")))      // map-side bloom kill
+      .join(broadcast(bench), Seq("g"))       // exact verify: fp-free
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_contaminated"),
+        countDistinct(col("g")).as("n_leaked_grams"))
+      .orderBy(col("lang"))
+  }
+
   /** L8: PII / sensitive-term scrubbing — regexp-lexicon redaction as a
     * pure projection (the 100 TB shape: no shuffle until the small audit
     * aggregate). The lexicon here targets terms the synthetic corpus
@@ -253,6 +308,6 @@ object PipelineQueries {
   }
 
   val all: Seq[Q] = Seq(
-    l8StratifiedSample, l8Decontaminate, l8PiiRedact,
+    l8StratifiedSample, l8Decontaminate, l8BloomDecontaminate, l8PiiRedact,
     l8RepetitionQuality, l8SequencePack, l8ChunkOverlap)
 }
