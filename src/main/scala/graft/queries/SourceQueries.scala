@@ -1386,6 +1386,56 @@ object SourceQueries {
         |ORDER BY row_id""".stripMargin)
   }
 
+  /** X17: RECOVERABLE DROP — `DROP TABLE` moves the table (data,
+    * history, properties) into a retention-guarded trash instead of
+    * deleting files, and `CALL graft.system.undrop` restores it
+    * wholesale (the Delta UNDROP TABLE shape; `DROP ... PURGE` keeps
+    * immediate GC). The fixture loads, mutates, drops, and undrops;
+    * the result aggregates BOTH the restored current state and a
+    * time-travel read of the pre-mutation version — so a restore that
+    * lost files, history, or the dv would break the hash. DuckDB
+    * recomputes both eras from raw parquet.
+    */
+  val x17Undrop: Q = Q(
+    "x17_undrop",
+    """SELECT 'current' AS era, count(*) AS n,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+      |FROM orders WHERE o_orderstatus = 'O'
+      |  AND o_orderkey <= (SELECT 4 * max(o_orderkey) // 5 FROM orders
+      |                     WHERE o_orderstatus = 'O')
+      |UNION ALL
+      |SELECT 'v1' AS era, count(*) AS n,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+      |FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY era""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("x17_orders_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.ud PURGE")
+    spark.sql(
+      """CREATE TABLE graft.demo.ud (o_orderkey BIGINT, o_totalprice DOUBLE)
+        |USING graft""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.ud
+        |SELECT CAST(o_orderkey AS BIGINT), o_totalprice
+        |FROM x17_orders_src WHERE o_orderstatus = 'O'""".stripMargin) // v1
+    // A translatable range DELETE (dv path), then the accident: the
+    // table is dropped.
+    val cut = spark.sql("SELECT 4 * max(o_orderkey) DIV 5 FROM graft.demo.ud")
+      .collect()(0).getLong(0)
+    spark.sql(s"DELETE FROM graft.demo.ud WHERE o_orderkey > $cut") // v2
+    spark.sql("DROP TABLE graft.demo.ud")
+    spark.sql("CALL graft.system.undrop('demo', 'ud')")
+    spark.sql(
+      """SELECT 'current' AS era, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM graft.demo.ud
+        |UNION ALL
+        |SELECT 'v1' AS era, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM graft.demo.ud VERSION AS OF 1
+        |ORDER BY era""".stripMargin)
+  }
+
   /** X13: MERGE-ON-READ UPSERT via equality deletes (the Iceberg v2 /
     * Flink-upsert shape): `writeTo(t).option("graft.upsert.keys",
     * "k").append()` lands the batch's segments AND an equality delete
@@ -1565,5 +1615,5 @@ object SourceQueries {
     x5hPartitionOverwrite, x5iPartitionEvolution, x5jHiddenPartitioning,
     x5kBucketSpj,
     x10TableChanges, x10bCdcUpdatePairs, x11RestoreClone, x12BranchWap,
-    x13Upsert, x14MetadataTables, x15RemoveOrphans, x16RowLineage)
+    x13Upsert, x14MetadataTables, x15RemoveOrphans, x16RowLineage, x17Undrop)
 }

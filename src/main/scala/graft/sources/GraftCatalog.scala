@@ -578,7 +578,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   }
 
   override def dropTable(ident: Identifier): Boolean =
-    GraftCatalog.dropEntry(ident)
+    GraftCatalog.dropEntry(ident) // soft: UNDROP-able until retention
+
+  /** `DROP TABLE ... PURGE` — immediate, unrecoverable. */
+  override def purgeTable(ident: Identifier): Boolean =
+    GraftCatalog.purgeEntry(ident)
 
   /** Atomic under the global mutation lock: a concurrent job commit
     * against the OLD identifier either lands before the rename (and
@@ -677,7 +681,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         Identifier.of(namespace, "refresh_mv"), Identifier.of(namespace, "restore"),
         Identifier.of(namespace, "clone"), Identifier.of(namespace, "set_partitioning"),
         Identifier.of(namespace, "create_branch"), Identifier.of(namespace, "publish_branch"),
-        Identifier.of(namespace, "remove_orphan_files"))
+        Identifier.of(namespace, "remove_orphan_files"),
+        Identifier.of(namespace, "undrop"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
@@ -711,6 +716,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       GraftPublishBranchProcedure
     else if (ident.namespace.sameElements(Array("system")) && ident.name == "remove_orphan_files")
       GraftRemoveOrphanFilesProcedure
+    else if (ident.namespace.sameElements(Array("system")) && ident.name == "undrop")
+      GraftUndropProcedure
     else throw new UnsupportedOperationException(s"no such procedure: $ident")
 
   // ---- ViewCatalog: persistent SQL views resolved through the ----
@@ -972,6 +979,47 @@ private[graft] object GraftRemoveOrphanFilesProcedure
       override def rows(): Array[InternalRow] = Array(row)
       override def readSchema(): StructType = outSchema
       override def description(): String = s"GraftRemoveOrphanFilesResult($ident)"
+    }).iterator()
+  }
+}
+
+/** `CALL graft.system.undrop(ns, table)` — restore the most recent
+  * soft-dropped generation of the name (the Delta UNDROP TABLE shape):
+  * data, snapshot history, streaming epochs, properties all come back;
+  * refuses if the name was re-taken or retention already purged the
+  * generation. Work in `GraftCatalog.undropTable`.
+  */
+private[graft] object GraftUndropProcedure
+    extends procedures.UnboundProcedure with procedures.BoundProcedure {
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+
+  override def name(): String = "undrop"
+  override def description(): String =
+    "undrop(ns, table): restore a soft-dropped table (data, history, epochs)"
+  override def bind(inputType: StructType): procedures.BoundProcedure = this
+  override def isDeterministic: Boolean = false // mutates catalog state
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("ns", StringType).comment("namespace").build(),
+    ProcedureParameter.in("table", StringType).comment("table name").build())
+
+  private val outSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("restored_version", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n_segments", IntegerType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val ns = input.getUTF8String(0).toString
+    val table = input.getUTF8String(1).toString
+    val ident = Identifier.of(Array(ns), table)
+    val (v, nSegs) = GraftCatalog.undropTable(ident)
+    val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(ident.toString),
+        v, nSegs))
+    java.util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = outSchema
+      override def description(): String = s"GraftUndropResult($ident)"
     }).iterator()
   }
 }
@@ -1810,6 +1858,14 @@ object GraftCatalog {
           val v = GraftLedger.decodeView(json)
           views.putIfAbsent(v.ident, v)
         }
+        // Trash generations reload with a REBASED retention clock (mono
+        // bases differ across JVMs) — erring toward keeping UNDROP
+        // alive after a restart, same policy as snapshot retention.
+        GraftLedger.readAll(GraftLedger.droppedDir(root)).foreach { json =>
+          val (ident, entry, hist, eps) = GraftLedger.decodeTable(json, mono)
+          trash.putIfAbsent(ident,
+            DroppedEntry(entry, hist, eps, mono, GraftLedger.droppedWallOf(json)))
+        }
         ledgerLoaded.set(true)
       }
     }
@@ -1850,6 +1906,7 @@ object GraftCatalog {
       store.remove(ident)
       views.remove(ident)
       history.remove(ident)
+      trash.remove(ident)
       epochs.keySet.asScala.filter(_._1 == ident).foreach(epochs.remove)
     }
     ledgerLoaded.set(false)
@@ -1981,6 +2038,7 @@ object GraftCatalog {
   private def publish(
       ident: Identifier, rewrites: Map[String, String] = Map.empty,
       dataChange: Boolean = true, firstVersion: Long = 0L): Unit = {
+    expireTrash() // drop-trash retention rides the same publish cadence
     val entry0 = store.get(ident)
     if (entry0 == null) return
     // Equality-delete GC: once every live segment's seq is >= the
@@ -2078,6 +2136,11 @@ object GraftCatalog {
       id != self && e.segments.exists(_.path == path)
     } || history.asScala.exists { case (id, h) =>
       id != self && h.exists(_.segments.exists(_.path == path))
+    } || trash.asScala.exists { case (id, d) =>
+      // Soft-dropped tables are UNDROP-able until retention purges
+      // them — their references are as real as a live table's.
+      id != self && (d.entry.segments.exists(_.path == path) ||
+        d.hist.exists(_.segments.exists(_.path == path)))
     }
 
   /** GC a published segment file of `self`, sparing files a clone (or
@@ -2213,10 +2276,52 @@ object GraftCatalog {
     * them), and takes the directory down only when nothing in it had
     * to be spared.
     */
+  /** RECOVERABLE DROP (the Delta UNDROP shape): `DROP TABLE` moves the
+    * entry — data, snapshot history, streaming epochs — into a TRASH
+    * registry instead of deleting anything; files stay on disk, every
+    * GC path counts trash references, and `CALL graft.system.undrop`
+    * restores the table wholesale until the retention window
+    * (`RetentionNanos`, same knob as snapshot expiry) purges it.
+    * `DROP TABLE ... PURGE` (and branch lifecycle drops, which publish
+    * or abandon — their state lives on main) takes the immediate-GC
+    * path. Re-dropping a name purges the older trash generation first
+    * — latest drop wins.
+    */
+  private case class DroppedEntry(
+      entry: TableEntry, hist: Vector[CatalogSnapshot],
+      eps: Map[String, Long], droppedMono: Long, droppedWallMs: Long)
+  private val trash = new ConcurrentHashMap[Identifier, DroppedEntry]()
+
   private[sources] def dropEntry(ident: Identifier): Boolean = mutate {
+    // Branch drops stay HARD: a dropped branch is either published
+    // (state lives on main) or abandoned; resurrecting an '@' ident
+    // outside create_branch would forge branch provenance.
+    if (ident.name.contains("@")) purgeEntry(ident)
+    else {
+      expireTrash()
+      val eps = epochs.asScala.collect {
+        case ((id, qid), e) if id == ident => qid -> e.longValue()
+      }.toMap
+      epochs.keySet.asScala.filter(_._1 == ident).foreach(epochs.remove)
+      val hist = Option(history.remove(ident)).getOrElse(Vector.empty)
+      val entry = store.remove(ident)
+      if (entry != null) {
+        if (trash.containsKey(ident)) purgeTrashed(ident) // latest drop wins
+        trash.put(ident,
+          DroppedEntry(entry, hist, eps, System.nanoTime(), System.currentTimeMillis()))
+        persistDropped(ident)
+      }
+      persistTable(ident) // deletes the live ledger document
+      entry != null
+    }
+  }
+
+  /** Immediate, unrecoverable drop — the pre-trash semantics. */
+  private[sources] def purgeEntry(ident: Identifier): Boolean = mutate {
     epochs.keySet.asScala.filter(_._1 == ident).foreach(epochs.remove)
     val hist = Option(history.remove(ident)).getOrElse(Vector.empty)
     val entry = store.remove(ident)
+    if (trash.containsKey(ident)) purgeTrashed(ident)
     if (entry != null) {
       val candidates = (entry.segments ++ hist.flatMap(_.segments)).distinctBy(_.path)
       val (shared, dead) =
@@ -2229,6 +2334,70 @@ object GraftCatalog {
     }
     persistTable(ident) // deletes the ledger document
     entry != null
+  }
+
+  /** GC one trash generation: files die only if NOTHING else — live
+    * tables, their histories, or other trash entries — references
+    * them (clones may outlive their dropped source).
+    */
+  private def purgeTrashed(ident: Identifier): Unit = {
+    val d = trash.remove(ident)
+    if (d != null) {
+      val candidates =
+        (d.entry.segments ++ d.hist.flatMap(_.segments)).distinctBy(_.path)
+      val (shared, dead) =
+        candidates.partition(s => referencedByOther(ident, s.path))
+      dead.foreach(SegmentIO.delete)
+      val dirPrefix =
+        d.entry.dir.stripSuffix(java.io.File.separator) + java.io.File.separator
+      if (!shared.exists(_.path.startsWith(dirPrefix)))
+        deleteRecursively(Paths.get(d.entry.dir))
+      if (persistent)
+        GraftLedger.delete(GraftLedger.droppedDir(segmentRoot), ident)
+    }
+  }
+
+  /** Trash retention sweep — runs at publish/drop/undrop time, under
+    * the mutation lock (same discipline as snapshot expiry).
+    */
+  private def expireTrash(): Unit = {
+    val cutoff = System.nanoTime() - RetentionNanos
+    trash.asScala.collect { case (id, d) if d.droppedMono < cutoff => id }
+      .toSeq.foreach(purgeTrashed)
+  }
+
+  /** `CALL graft.system.undrop(ns, table)` — restore the most recent
+    * trash generation of the name: data, history (time travel
+    * included), streaming-epoch high-watermarks, properties, row-id
+    * counter. Refuses if the name was re-taken or the generation
+    * expired.
+    */
+  private[sources] def undropTable(ident: Identifier): (Long, Int) = mutate {
+    ensureLoaded() // the trash may live only in the ledger (fresh JVM)
+    expireTrash()
+    val d = trash.get(ident)
+    if (d == null)
+      throw new IllegalArgumentException(
+        s"undrop $ident: not in the drop trash (never dropped, purged, or past retention)")
+    if (store.containsKey(ident))
+      throw new TableAlreadyExistsException(ident.toString, ident.name())
+    trash.remove(ident)
+    store.put(ident, d.entry)
+    if (d.hist.nonEmpty) history.put(ident, d.hist)
+    d.eps.foreach { case (qid, e) =>
+      epochs.put((ident, qid), java.lang.Long.valueOf(e))
+    }
+    if (persistent) GraftLedger.delete(GraftLedger.droppedDir(segmentRoot), ident)
+    persistTable(ident)
+    (d.hist.lastOption.map(_.version).getOrElse(-1L), d.entry.segments.length)
+  }
+
+  private def persistDropped(ident: Identifier): Unit = {
+    if (!persistent) return
+    val d = trash.get(ident)
+    if (d != null)
+      GraftLedger.write(GraftLedger.droppedDir(segmentRoot), ident,
+        GraftLedger.encodeTable(ident, d.entry, d.hist, d.eps, Some(d.droppedWallMs)))
   }
 
   private[sources] def requireNotBranchName(ident: Identifier): Unit =
@@ -2364,7 +2533,7 @@ object GraftCatalog {
     publish(src,
       rewrites = bHist.lastOption.map(_.rewrites).getOrElse(Map.empty),
       dataChange = bHist.lastOption.forall(_.dataChange))
-    dropEntry(bIdent) // cross-table GC guard spares files main now serves
+    purgeEntry(bIdent) // cross-table GC guard spares files main now serves
     val newV = history.getOrDefault(src, Vector.empty)
       .lastOption.map(_.version).getOrElse(-1L)
     (newV, bV - base, b.segments.length)
@@ -2478,7 +2647,10 @@ object GraftCatalog {
     val referenced: Set[String] =
       (store.asScala.valuesIterator.flatMap(_.segments.iterator.map(_.path)) ++
         history.asScala.valuesIterator.flatMap(
-          _.iterator.flatMap(_.segments.iterator.map(_.path)))).toSet
+          _.iterator.flatMap(_.segments.iterator.map(_.path))) ++
+        trash.asScala.valuesIterator.flatMap(d =>
+          d.entry.segments.iterator.map(_.path) ++
+            d.hist.iterator.flatMap(_.segments.iterator.map(_.path)))).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     val dir = Paths.get(entry.dir)
     if (!Files.isDirectory(dir)) (0, 0L)

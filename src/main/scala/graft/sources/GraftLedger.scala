@@ -52,6 +52,13 @@ private[sources] object GraftLedger {
 
   def tablesDir(root: Path): Path = root.resolve("_ledger").resolve("tables")
   def viewsDir(root: Path): Path = root.resolve("_ledger").resolve("views")
+  /** Soft-dropped (UNDROP-able) table documents — same encoding as a
+    * live table doc plus a `droppedWallMs` stamp.
+    */
+  def droppedDir(root: Path): Path = root.resolve("_ledger").resolve("dropped")
+
+  def droppedWallOf(json: String): Long =
+    Option(M.readTree(json).get("droppedWallMs")).map(_.asLong()).getOrElse(0L)
 
   // ---- typed scalar codec (the zone-map / partition-key value types) ----
 
@@ -235,8 +242,10 @@ private[sources] object GraftLedger {
   def encodeTable(
       ident: Identifier, entry: TableEntry,
       history: Vector[CatalogSnapshot],
-      epochs: Map[String, Long]): String = {
+      epochs: Map[String, Long],
+      droppedWallMs: Option[Long] = None): String = {
     val o = M.createObjectNode()
+    droppedWallMs.foreach(o.put("droppedWallMs", _))
     val ns = o.putArray("namespace")
     ident.namespace().foreach(ns.add)
     o.put("name", ident.name())

@@ -83,6 +83,21 @@ class PersistentCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE pgraft.pns.lin")
   }
 
+  test("the drop trash survives a restart: undrop still works in a fresh JVM") {
+    spark.sql("DROP TABLE IF EXISTS pgraft.pns.ud PURGE")
+    spark.sql("CREATE TABLE pgraft.pns.ud (k BIGINT) USING graft")
+    spark.sql("INSERT INTO pgraft.pns.ud VALUES (1), (2)")
+    spark.sql("DROP TABLE pgraft.pns.ud") // soft
+
+    GraftCatalog.resetInMemoryStateForTest(ident("pns", "ud"))
+
+    spark.sql("CALL pgraft.system.undrop('pns', 'ud')")
+    assert(spark.sql("SELECT k FROM pgraft.pns.ud ORDER BY k")
+      .as[Long].collect().toSeq == Seq(1L, 2L),
+      "the trash generation reloads from the ledger and restores")
+    spark.sql("DROP TABLE pgraft.pns.ud PURGE")
+  }
+
   test("equality deletes and data sequence numbers survive a restart") {
     spark.sql("DROP TABLE IF EXISTS pgraft.pns.ups")
     spark.sql("CREATE TABLE pgraft.pns.ups (k BIGINT, v STRING) USING graft")
