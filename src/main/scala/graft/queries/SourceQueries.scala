@@ -1436,6 +1436,51 @@ object SourceQueries {
         |ORDER BY era""".stripMargin)
   }
 
+  /** X18: IDENTITY COLUMNS — `GENERATED ALWAYS AS IDENTITY (START
+    * WITH s INCREMENT BY t)`: Spark validates the DDL and delivers
+    * NULL for the omitted column; the catalog's writers generate
+    * values from a persisted per-table watermark (progression index;
+    * parallel tasks take disjoint congruence classes — see
+    * `GraftCatalog.IdentityAssign`). The fixture loads two ordered
+    * single-task batches, so the assignment is the closed form
+    * id = start + step·rank — and the SECOND batch proves the
+    * watermark persisted across commits (a restart-at-start bug
+    * collides and breaks the hash row by row). DuckDB recomputes
+    * every id with row_number().
+    */
+  val x18Identity: Q = Q(
+    "x18_identity",
+    """WITH b1 AS (SELECT c_custkey AS k,
+      |             row_number() OVER (ORDER BY c_custkey) - 1 AS r
+      |           FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |     b2 AS (SELECT c_custkey AS k,
+      |             row_number() OVER (ORDER BY c_custkey) - 1 AS r
+      |           FROM customer WHERE c_mktsegment = 'MACHINERY')
+      |SELECT k, 1000 + 5 * r AS id FROM b1
+      |UNION ALL
+      |SELECT k, 1000 + 5 * ((SELECT count(*) FROM b1) + r) AS id FROM b2
+      |ORDER BY id""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graft.demo.idn PURGE")
+    spark.sql(
+      """CREATE TABLE graft.demo.idn
+        |(id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1000 INCREMENT BY 5),
+        | k BIGINT)
+        |USING graft""".stripMargin)
+    val cust = Tables.customer(spark, dir)
+      .selectExpr("CAST(c_custkey AS BIGINT) AS k", "c_mktsegment AS seg")
+    // Ordered single-task writes: the congruence-class assignment
+    // collapses to id = start + step·rank (fixture determinism; the
+    // multi-task shape is IdentitySpec's job).
+    cust.filter("seg = 'BUILDING'").orderBy("k").coalesce(1)
+      .selectExpr("CAST(NULL AS BIGINT) AS id", "k")
+      .writeTo("graft.demo.idn").append()
+    cust.filter("seg = 'MACHINERY'").orderBy("k").coalesce(1)
+      .selectExpr("CAST(NULL AS BIGINT) AS id", "k")
+      .writeTo("graft.demo.idn").append()
+    spark.sql("SELECT k, id FROM graft.demo.idn ORDER BY id")
+  }
+
   /** X13: MERGE-ON-READ UPSERT via equality deletes (the Iceberg v2 /
     * Flink-upsert shape): `writeTo(t).option("graft.upsert.keys",
     * "k").append()` lands the batch's segments AND an equality delete
@@ -1615,5 +1660,6 @@ object SourceQueries {
     x5hPartitionOverwrite, x5iPartitionEvolution, x5jHiddenPartitioning,
     x5kBucketSpj,
     x10TableChanges, x10bCdcUpdatePairs, x11RestoreClone, x12BranchWap,
-    x13Upsert, x14MetadataTables, x15RemoveOrphans, x16RowLineage, x17Undrop)
+    x13Upsert, x14MetadataTables, x15RemoveOrphans, x16RowLineage, x17Undrop,
+    x18Identity)
 }

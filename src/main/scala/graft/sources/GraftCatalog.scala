@@ -101,7 +101,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       // EXISTS_DEFAULT); Spark's analyzer fills omitted columns on
       // INSERT once the catalog declares support — the schema persists
       // through TableEntry untouched, so storage needs nothing extra.
-      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      // Identity columns (`GENERATED ALWAYS AS IDENTITY`): the spec
+      // (start/step/allowExplicitInsert) arrives in StructField
+      // metadata (IDENTITY_INFO_*), persists with the schema, and the
+      // WRITE path assigns values (see GraftSegmentWriter) — Spark
+      // only validates the DDL and carries the metadata.
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   private def validateConstraint(
       c: org.apache.spark.sql.connector.catalog.constraints.Constraint): Unit = c match {
@@ -201,7 +207,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     */
   override def createTable(ident: Identifier, info: TableInfo): Table = mutate {
     info.constraints().foreach(validateConstraint)
-    createTable(ident, info.schema(), info.partitions(), info.properties())
+    // Identity specs ride only in info.columns() — fold them into the
+    // stored schema's field metadata (see GraftCatalog.withIdentityMeta).
+    createTable(ident, GraftCatalog.withIdentityMeta(info.schema(), info.columns()),
+      info.partitions(), info.properties())
     val result = store.compute(ident, (_, e) => {
       require(e != null)
       e.copy(constraints = info.constraints().toVector)
@@ -370,8 +379,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
               s"column $from is referenced by a constraint; drop it first")
           val fields = e.schema.fields.clone()
           fields(i) = fields(i).copy(name = rn.newName())
+          // An identity column's allocation watermark is keyed by
+          // column NAME in the props — it must follow the rename or
+          // the next insert restarts at k=0 and COLLIDES.
+          val identityMoved =
+            if (e.props.contains(GraftCatalog.identityProp(from)))
+              e.props - GraftCatalog.identityProp(from) +
+                (GraftCatalog.identityProp(rn.newName()) ->
+                  e.props(GraftCatalog.identityProp(from)))
+            else e.props
           e.copy(
             schema = StructType(fields),
+            props = identityMoved,
             // renameIn rewrites identity fields AND the source column
             // inside transform fields (days(old) -> days(new)).
             partitionCols = e.partitionCols.map(PartField.renameIn(_, from, rn.newName())),
@@ -1519,6 +1538,101 @@ object GraftCatalog {
       // bumped by publish's assignment pass, never reused — restore
       // keeps it, clone copies it, branch publish takes the max.
       nextRowId: Long = 0L)
+
+  /** IDENTITY COLUMNS (`GENERATED ALWAYS AS IDENTITY (START WITH s
+    * INCREMENT BY t)`, the Delta/warehouse shape): Spark validates the
+    * DDL and hands the spec to the catalog via `TableInfo.columns()`;
+    * VALUE GENERATION is entirely the connector's job — an INSERT that
+    * omits the column delivers NULL and the WRITER fills it. The spec
+    * is stored in StructField metadata under Spark's own
+    * `IdentityColumn.IDENTITY_INFO_*` keys (so it persists with the
+    * schema and `Table.columns()`'s default conversion re-advertises
+    * it to DESCRIBE/ALTER), and the allocation high-water mark lives
+    * in the `graft.identity.<col>.next` TBLPROPERTY as the next unused
+    * PROGRESSION INDEX k (value = start + step·k — index-based, so
+    * negative steps need no special casing).
+    *
+    * Distributed uniqueness without coordination: a write with P tasks
+    * assigns task p's i-th generated value the index k0 + p + i·P —
+    * disjoint congruence classes, no overlap, values interleave
+    * (contiguity is NOT promised; neither does any warehouse). The
+    * commit advances the watermark to max(k)+1; advancing BEFORE the
+    * data commit means a crash between the two leaks a gap, never a
+    * collision. GENERATED ALWAYS refuses explicit non-null values on
+    * user writes (row-level rewrites re-writing existing ids are
+    * exempt — the engine, not the user, supplies those); BY DEFAULT
+    * accepts them (and, as everywhere, explicit values can collide
+    * with future generated ones — the documented warehouse caveat).
+    * Streaming writes don't assign (the epoch loop can't refresh the
+    * driver-captured watermark) — a null identity value in a
+    * streaming write fails loudly instead of silently landing NULL.
+    */
+  private[sources] case class IdentityAssign(
+      idx: Int, name: String, isLong: Boolean,
+      start: Long, step: Long, allowExplicit: Boolean, k0: Long)
+
+  private[sources] def identityProp(col: String): String = s"graft.identity.$col.next"
+
+  /** Current write-time assignment specs for a table — empty when the
+    * schema has no identity columns. Reads the live watermark; call
+    * driver-side at write-build time.
+    */
+  private[sources] def identityAssigns(
+      ident: Identifier, schema: StructType): Seq[IdentityAssign] =
+    schema.fields.toSeq.zipWithIndex.flatMap { case (f, i) =>
+      org.apache.spark.sql.catalyst.util.IdentityColumn.getIdentityInfo(f).map { s =>
+        val k0 = Option(store.get(ident))
+          .flatMap(_.props.get(identityProp(f.name))).map(_.toLong).getOrElse(0L)
+        IdentityAssign(i, f.name,
+          f.dataType == org.apache.spark.sql.types.LongType,
+          s.getStart, s.getStep, s.isAllowExplicitInsert, k0)
+      }
+    }
+
+  /** Advance identity watermarks (next unused k per column) — called
+    * by the committing writer BEFORE installing data, so a crash
+    * between the two leaks index gaps, never duplicate values.
+    */
+  private[sources] def advanceIdentity(
+      ident: Identifier, nextK: Map[String, Long]): Unit = mutate {
+    store.compute(ident, (_, prev) => {
+      require(prev != null, s"table $ident dropped mid-write")
+      prev.copy(props = prev.props ++ nextK.map { case (c, k) =>
+        val key = identityProp(c)
+        key -> math.max(k, prev.props.get(key).map(_.toLong).getOrElse(0L)).toString
+      })
+    })
+    persistTable(ident)
+  }
+
+  /** Merge `TableInfo.columns()` identity specs into the schema's
+    * field metadata (Spark's own keys) — `info.schema()` arrives
+    * WITHOUT them.
+    */
+  private[sources] def withIdentityMeta(
+      schema: StructType,
+      cols: Array[org.apache.spark.sql.connector.catalog.Column]): StructType =
+    if (!cols.exists(_.identityColumnSpec() != null)) schema
+    else {
+      import org.apache.spark.sql.catalyst.util.IdentityColumn
+      import org.apache.spark.sql.types.{IntegerType, LongType, MetadataBuilder}
+      val byName = cols.map(c => c.name -> c).toMap
+      StructType(schema.fields.map { f =>
+        byName.get(f.name).flatMap(c => Option(c.identityColumnSpec())) match {
+          case Some(s) =>
+            if (f.dataType != LongType && f.dataType != IntegerType)
+              throw new UnsupportedOperationException(
+                s"identity column ${f.name} must be BIGINT or INT, got ${f.dataType.sql}")
+            f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+              .putLong(IdentityColumn.IDENTITY_INFO_START, s.getStart)
+              .putLong(IdentityColumn.IDENTITY_INFO_STEP, s.getStep)
+              .putBoolean(IdentityColumn.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT,
+                s.isAllowExplicitInsert)
+              .build())
+          case None => f
+        }
+      })
+    }
 
   /** `'graft.write.order'='c1,c2'`: declared write ordering — every
     * batch INSERT range-partitions + sorts on these columns (see
@@ -4145,12 +4259,21 @@ private[sources] class GraftCatalogTable(
           override def build(): Write = new Write {
             override def toBatch: BatchWrite = new BatchWrite {
               private val inner = new GraftCatalogBatchWrite(
-                ident, schema0, dir, truncateFirst = true, partCols = partitionCols)
+                ident, schema0, dir, truncateFirst = true, partCols = partitionCols,
+                // Row-level rewrites re-write rows that already carry
+                // their identity values — not user-supplied inserts.
+                identityStrict = false)
               override def createBatchWriterFactory(
                   pinfo: PhysicalWriteInfo): DataWriterFactory =
                 inner.createBatchWriterFactory(pinfo)
               override def commit(messages: Array[WriterCommitMessage]): Unit = {
                 val msgs = messages.collect { case m: GraftSegmentMessage => m }
+                // MERGE NOT MATCHED inserts may have GENERATED identity
+                // values — advance the watermark exactly like the plain
+                // batch commit (before data; gap-not-collision).
+                val idMax = msgs.flatMap(_.identityMaxK.toSeq).groupBy(_._1)
+                  .map { case (c, vs) => c -> (vs.map(_._2).max + 1) }
+                if (idMax.nonEmpty) GraftCatalog.advanceIdentity(ident, idMax)
                 val rewritten = msgs.sortBy(_.partitionId).flatMap(_.segments)
                 // CDC REWRITE PROVENANCE (UPDATE, unpartitioned scans
                 // only — keyed scans group several segments per split,
@@ -5622,12 +5745,24 @@ private[sources] class GraftCatalogBatchWrite(
     sortedWrite: Boolean = false,
     overwriteFilters: Option[Seq[org.apache.spark.sql.sources.Filter]] = None,
     dynamicOverwrite: Boolean = false,
-    upsertKeys: Seq[String] = Nil) extends BatchWrite {
+    upsertKeys: Seq[String] = Nil,
+    // GENERATED ALWAYS enforcement: user-facing writes refuse explicit
+    // non-null values; row-level rewrites (the engine re-writing rows
+    // that already carry their ids) construct with false.
+    identityStrict: Boolean = true) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    GraftSegmentWriterFactory(target, dir, partCols, sortedWrite, upsertKeys)
+    GraftSegmentWriterFactory(target, dir, partCols, sortedWrite, upsertKeys,
+      identity = GraftCatalog.identityAssigns(ident, target),
+      identityParts = math.max(1, info.numPartitions()),
+      identityStrict = identityStrict)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect { case m: GraftSegmentMessage => m }.sortBy(_.partitionId)
     val segs = msgs.flatMap(_.segments)
+    // Watermark BEFORE data: a crash in between leaks an id gap, never
+    // a duplicate (see GraftCatalog.IdentityAssign).
+    val idMax = msgs.flatMap(_.identityMaxK.toSeq).groupBy(_._1)
+      .map { case (c, vs) => c -> (vs.map(_._2).max + 1) }
+    if (idMax.nonEmpty) GraftCatalog.advanceIdentity(ident, idMax)
     if (upsertKeys.nonEmpty)
       GraftCatalog.installUpsert(ident, segs.toSeq, upsertKeys,
         msgs.flatMap(_.upsertKeys).toSeq)
@@ -5682,7 +5817,17 @@ private[sources] case class GraftCatalogStreamingWriterFactory(
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    GraftSegmentWriterFactory(target, dir, partCols, upsertKeys = upsertKeys)
+    // Identity assignment is batch-only (the epoch loop cannot refresh
+    // the driver-captured watermark): specs ride along so a NULL
+    // identity value fails loudly instead of silently landing NULL.
+    GraftSegmentWriterFactory(target, dir, partCols, upsertKeys = upsertKeys,
+      identity = target.fields.toSeq.zipWithIndex.flatMap { case (f, i) =>
+        org.apache.spark.sql.catalyst.util.IdentityColumn.getIdentityInfo(f).map(s =>
+          GraftCatalog.IdentityAssign(i, f.name,
+            f.dataType == org.apache.spark.sql.types.LongType,
+            s.getStart, s.getStep, s.isAllowExplicitInsert, 0L))
+      },
+      identityAssignEnabled = false)
       .createWriter(partitionId, taskId)
 }
 
@@ -5694,7 +5839,10 @@ private[sources] case class GraftSegmentMessage(
     partitionId: Int, segments: Seq[GraftCatalog.Segment],
     // Distinct upsert-key tuples this task wrote (external values) —
     // the commit unions them into the commit's equality delete.
-    upsertKeys: Seq[IndexedSeq[Any]] = Nil) extends WriterCommitMessage
+    upsertKeys: Seq[IndexedSeq[Any]] = Nil,
+    // Max identity progression index this task consumed, per column —
+    // the commit advances the watermark past the union.
+    identityMaxK: Map[String, Long] = Map.empty) extends WriterCommitMessage
 
 /** Streams incoming rows to segment files, projecting onto the TABLE
   * schema first. Row-level rewrites (UPDATE / MERGE / rewrite-DELETE)
@@ -5722,7 +5870,14 @@ private[sources] case class GraftSegmentWriterFactory(
     // UPSERT key columns (`.option("graft.upsert.keys", "k1,k2")`):
     // each task also collects the distinct key tuples it wrote, which
     // the commit registers as an equality delete over older segments.
-    upsertKeys: Seq[String] = Nil)
+    upsertKeys: Seq[String] = Nil,
+    // Identity-column assignment (see GraftCatalog.IdentityAssign):
+    // task p's i-th generated value takes progression index
+    // k0 + p + i*identityParts — disjoint across tasks by congruence.
+    identity: Seq[GraftCatalog.IdentityAssign] = Nil,
+    identityParts: Int = 1,
+    identityAssignEnabled: Boolean = true,
+    identityStrict: Boolean = true)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -5750,6 +5905,9 @@ private[sources] case class GraftSegmentWriterFactory(
       private val upsertSeen =
         scala.collection.mutable.LinkedHashSet.empty[IndexedSeq[Any]]
       private val MaxUpsertKeysPerTask = GraftCatalog.upsertMaxKeys
+      private val idArr = identity.toArray
+      private val idCount = new Array[Long](idArr.length)
+      private val idMaxK = Array.fill[Long](idArr.length)(Long.MinValue)
 
       // Partition key as EXTERNAL values (String, boxed numerics) —
       // comparable to pushed-filter literals and stable in the
@@ -5779,6 +5937,27 @@ private[sources] case class GraftSegmentWriterFactory(
           projFields = record.numFields
         }
         val row = proj(record)
+        var j = 0
+        while (j < idArr.length) {
+          val a = idArr(j)
+          if (row.isNullAt(a.idx)) {
+            if (!identityAssignEnabled)
+              throw new UnsupportedOperationException(
+                s"identity column ${a.name}: streaming writes cannot generate values " +
+                  "(batch-only) — supply them explicitly (BY DEFAULT) or use batch inserts")
+            val k = a.k0 + partitionId + idCount(j) * identityParts
+            idCount(j) += 1
+            idMaxK(j) = k
+            row.setNotNullAt(a.idx)
+            if (a.isLong) row.setLong(a.idx, a.start + a.step * k)
+            else row.setInt(a.idx, (a.start + a.step * k).toInt)
+          } else if (identityStrict && !a.allowExplicit)
+            throw new UnsupportedOperationException(
+              s"identity column ${a.name} is GENERATED ALWAYS — " +
+                "explicit values are not accepted (omit the column, or declare it " +
+                "GENERATED BY DEFAULT AS IDENTITY)")
+          j += 1
+        }
         if (upsertIdx.nonEmpty) {
           val tuple: IndexedSeq[Any] = upsertIdx.toIndexedSeq.map { case (i, dt) =>
             require(!row.isNullAt(i),
@@ -5808,7 +5987,10 @@ private[sources] case class GraftSegmentWriterFactory(
           writers.toSeq.flatMap { case (key, w) =>
             w.finish().map(_.copy(key = key, sorted = sortedWrite, spec = partCols))
           },
-          upsertKeys = upsertSeen.toSeq)
+          upsertKeys = upsertSeen.toSeq,
+          identityMaxK = idArr.indices.collect {
+            case j if idMaxK(j) != Long.MinValue => idArr(j).name -> idMaxK(j)
+          }.toMap)
       override def abort(): Unit = writers.values.foreach(_.abort())
       override def close(): Unit = ()
     }
