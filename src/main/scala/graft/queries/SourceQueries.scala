@@ -1481,6 +1481,46 @@ object SourceQueries {
     spark.sql("SELECT k, id FROM graft.demo.idn ORDER BY id")
   }
 
+  /** X19: GENERATED COLUMNS — `GENERATED ALWAYS AS (expr)`: Spark
+    * validates the expression at CREATE and delivers NULL for the
+    * omitted column; the WRITER resolves the expression once
+    * (driver-side) and computes values inside the codegen'd write
+    * projection — here `event_day = CAST(ts AS DATE)`, which also
+    * serves as the table's partition column, so the write CLUSTERS by
+    * the computed value and day-slice queries prune on it (the
+    * "generated partition column" pattern Delta documents). DuckDB
+    * recomputes every day's aggregate from the raw timestamps — a
+    * mis-evaluated expression, a row routed to the wrong day, or a
+    * value dropped by the generation projection all break the hash.
+    */
+  val x19Generated: Q = Q(
+    "x19_generated",
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY day, event_type""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.events(spark, dir).createOrReplaceTempView("x19_events_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.gen PURGE")
+    spark.sql(
+      """CREATE TABLE graft.demo.gen (
+        |  ts TIMESTAMP, event_type STRING, value DOUBLE,
+        |  event_day DATE GENERATED ALWAYS AS (CAST(ts AS DATE)))
+        |USING graft PARTITIONED BY (event_day)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.gen (ts, event_type, value)
+        |SELECT ts, event_type, value FROM x19_events_src""".stripMargin)
+    spark.sql(
+      """SELECT CAST(event_day AS STRING) AS day, event_type,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total
+        |FROM graft.demo.gen
+        |GROUP BY 1, 2
+        |ORDER BY day, event_type""".stripMargin)
+  }
+
   /** X13: MERGE-ON-READ UPSERT via equality deletes (the Iceberg v2 /
     * Flink-upsert shape): `writeTo(t).option("graft.upsert.keys",
     * "k").append()` lands the batch's segments AND an equality delete
@@ -1661,5 +1701,5 @@ object SourceQueries {
     x5kBucketSpj,
     x10TableChanges, x10bCdcUpdatePairs, x11RestoreClone, x12BranchWap,
     x13Upsert, x14MetadataTables, x15RemoveOrphans, x16RowLineage, x17Undrop,
-    x18Identity)
+    x18Identity, x19Generated)
 }

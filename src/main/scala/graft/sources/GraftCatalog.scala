@@ -107,7 +107,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       // metadata (IDENTITY_INFO_*), persists with the schema, and the
       // WRITE path assigns values (see GraftSegmentWriter) — Spark
       // only validates the DDL and carries the metadata.
-      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      // Generated columns (`GENERATED ALWAYS AS (expr)`): Spark
+      // analyzes + validates the expression (deterministic, refers
+      // only to non-generated columns, type-matching) at CREATE; the
+      // WRITE path computes omitted values (see GraftSegmentWriter).
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   private def validateConstraint(
       c: org.apache.spark.sql.connector.catalog.constraints.Constraint): Unit = c match {
@@ -244,7 +249,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // into the CTAS'd table enforces its CHECKs.
     info.constraints().foreach(validateConstraint)
     GraftCatalog.requireNotBranchName(ident)
-    val schema = info.schema()
+    val schema = GraftCatalog.withIdentityMeta(info.schema(), info.columns())
     val partCols = validatePartitionCols(schema, info.partitions())
     val dir = Files.createTempDirectory(segmentRoot, "stage-").toString
     new GraftStagedTable(ident, schema, dir, partCols, mode,
@@ -377,6 +382,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           if (e.constraints.exists(_.toDDL.contains(from)))
             throw new UnsupportedOperationException(
               s"column $from is referenced by a constraint; drop it first")
+          if (GraftCatalog.generationRefs(e.schema).contains(from))
+            throw new UnsupportedOperationException(
+              s"column $from is referenced by a generation expression — " +
+                "renaming it would orphan the generated column's formula")
           val fields = e.schema.fields.clone()
           fields(i) = fields(i).copy(name = rn.newName())
           // An identity column's allocation watermark is keyed by
@@ -510,6 +519,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           if (prev.constraints.exists(c => dropNames.exists(c.toDDL.contains)))
             throw new UnsupportedOperationException(
               "cannot drop a column referenced by a constraint; drop the constraint first")
+          if (GraftCatalog.generationRefs(prev.schema).intersect(dropNames).nonEmpty)
+            throw new UnsupportedOperationException(
+              "cannot drop a column referenced by a generation expression; " +
+                "drop the generated column first")
           val keepIdx = prev.schema.fields.zipWithIndex
             .filterNot { case (f, _) => dropNames.contains(f.name) }.map(_._2)
           if (keepIdx.isEmpty) throw new UnsupportedOperationException(
@@ -1612,13 +1625,15 @@ object GraftCatalog {
   private[sources] def withIdentityMeta(
       schema: StructType,
       cols: Array[org.apache.spark.sql.connector.catalog.Column]): StructType =
-    if (!cols.exists(_.identityColumnSpec() != null)) schema
+    if (!cols.exists(c =>
+        c.identityColumnSpec() != null || c.generationExpression() != null)) schema
     else {
-      import org.apache.spark.sql.catalyst.util.IdentityColumn
+      import org.apache.spark.sql.catalyst.util.{GeneratedColumn, IdentityColumn}
       import org.apache.spark.sql.types.{IntegerType, LongType, MetadataBuilder}
       val byName = cols.map(c => c.name -> c).toMap
       StructType(schema.fields.map { f =>
-        byName.get(f.name).flatMap(c => Option(c.identityColumnSpec())) match {
+        val col = byName.get(f.name)
+        col.flatMap(c => Option(c.identityColumnSpec())) match {
           case Some(s) =>
             if (f.dataType != LongType && f.dataType != IntegerType)
               throw new UnsupportedOperationException(
@@ -1629,10 +1644,75 @@ object GraftCatalog {
               .putBoolean(IdentityColumn.IDENTITY_INFO_ALLOW_EXPLICIT_INSERT,
                 s.isAllowExplicitInsert)
               .build())
-          case None => f
+          case None =>
+            col.flatMap(c => Option(c.generationExpression())) match {
+              case Some(sql) =>
+                f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+                  .putString(GeneratedColumn.GENERATION_EXPRESSION_METADATA_KEY, sql)
+                  .build())
+              case None => f
+            }
         }
       })
     }
+
+  /** GENERATED COLUMNS (`GENERATED ALWAYS AS (expr)`): Spark validated
+    * the expression at CREATE (deterministic, non-generated refs,
+    * type-compatible); the writer COMPUTES omitted (NULL) values. The
+    * expression is resolved ONCE, driver-side at write-build time,
+    * into a bound Catalyst tree (ordinals of the table layout) — the
+    * serialized tree ships to tasks, which codegen it into the write
+    * projection. Identity assignment runs first, so a generation
+    * expression may reference an identity column.
+    */
+  private[sources] def generatedAssigns(
+      schema: StructType): Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, BoundReference}
+    import org.apache.spark.sql.catalyst.util.GeneratedColumn
+    if (!GeneratedColumn.hasGeneratedColumns(schema)) Nil
+    else {
+      val spark = org.apache.spark.sql.SparkSession.active
+      // Metadata-free twin: the default-value/identity keys must not
+      // confuse the analyzer pass below.
+      val plain = StructType(schema.fields.map(x =>
+        org.apache.spark.sql.types.StructField(x.name, x.dataType, x.nullable)))
+      schema.fields.toSeq.zipWithIndex.flatMap { case (f, i) =>
+        GeneratedColumn.getGenerationExpression(f).map { sql =>
+          val df = spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](), plain)
+          val analyzed = df.select(
+            org.apache.spark.sql.functions.expr(sql).cast(f.dataType))
+            .queryExecution.analyzed
+          val ordinal = analyzed.children.head.output
+            .map(_.exprId).zipWithIndex.toMap
+          val bound = analyzed.expressions.head.transformUp {
+            case a: AttributeReference =>
+              BoundReference(ordinal(a.exprId), a.dataType, a.nullable)
+          } match {
+            case al: Alias => al.child
+            case e => e
+          }
+          (i, bound)
+        }
+      }
+    }
+  }
+
+  /** Columns some generation expression REFERENCES (by name) — the
+    * rename/drop guard set.
+    */
+  private[sources] def generationRefs(schema: StructType): Set[String] = {
+    import org.apache.spark.sql.catalyst.util.GeneratedColumn
+    if (!GeneratedColumn.hasGeneratedColumns(schema)) Set.empty
+    else schema.fields.toSeq.flatMap(f =>
+      GeneratedColumn.getGenerationExpression(f).toSeq.flatMap { sql =>
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql)
+          .collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              a.nameParts.head
+          }
+      }).toSet
+  }
 
   /** `'graft.write.order'='c1,c2'`: declared write ordering — every
     * batch INSERT range-partitions + sorts on these columns (see
@@ -2966,10 +3046,12 @@ object GraftCatalog {
       case Some(fs) =>
         val idx = prev.partitionCols.zipWithIndex.toMap
         def keyMatches(s: Segment, f: Filter): Boolean = f match {
-          case EqualTo(c, v) =>
+          case EqualTo(c, v0) =>
+            val v = keyLiteral(v0)
             val k = s.key(idx(c))
             k != null && k == v
-          case EqualNullSafe(c, v) =>
+          case EqualNullSafe(c, v0) =>
+            val v = keyLiteral(v0)
             val k = s.key(idx(c))
             if (v == null) k == null else k != null && k == v
           case _ => throw new IllegalStateException(
@@ -2981,6 +3063,24 @@ object GraftCatalog {
         prev.segments.filterNot(s => newKeys.contains(s.key))
     }
     kept ++ segs.toVector
+  }
+
+  /** Partition-overwrite literals arrive as EXTERNAL temporals
+    * (java.sql.Date / LocalDate / Timestamp / Instant) while partition
+    * KEYS store the internal encodings (epoch-day Int / micros Long) —
+    * normalize the literal side so a `PARTITION (day = DATE'...')`
+    * overwrite matches its segments instead of silently keeping them
+    * (which would duplicate the partition's rows).
+    */
+  private[sources] def keyLiteral(v: Any): Any = v match {
+    case d: java.sql.Date => Integer.valueOf(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d))
+    case d: java.time.LocalDate => Integer.valueOf(d.toEpochDay.toInt)
+    case t: java.sql.Timestamp => java.lang.Long.valueOf(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case t: java.time.Instant => java.lang.Long.valueOf(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(t))
+    case other => other
   }
 
   /** The version the NEXT publish of `ident` will take — the data
@@ -5754,7 +5854,8 @@ private[sources] class GraftCatalogBatchWrite(
     GraftSegmentWriterFactory(target, dir, partCols, sortedWrite, upsertKeys,
       identity = GraftCatalog.identityAssigns(ident, target),
       identityParts = math.max(1, info.numPartitions()),
-      identityStrict = identityStrict)
+      identityStrict = identityStrict,
+      generated = GraftCatalog.generatedAssigns(target))
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect { case m: GraftSegmentMessage => m }.sortBy(_.partitionId)
     val segs = msgs.flatMap(_.segments)
@@ -5798,7 +5899,8 @@ private[sources] class GraftCatalogStreamingWrite(
     require(!truncate, "streaming upsert requires append output mode")
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    GraftCatalogStreamingWriterFactory(target, dir, partCols, upsertKeys)
+    GraftCatalogStreamingWriterFactory(target, dir, partCols, upsertKeys,
+      generated = GraftCatalog.generatedAssigns(target))
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect { case m: GraftSegmentMessage => m }.sortBy(_.partitionId)
     val segs = msgs.flatMap(_.segments)
@@ -5813,13 +5915,17 @@ private[sources] class GraftCatalogStreamingWrite(
 
 private[sources] case class GraftCatalogStreamingWriterFactory(
     target: StructType, dir: String, partCols: Seq[String] = Nil,
-    upsertKeys: Seq[String] = Nil)
+    upsertKeys: Seq[String] = Nil,
+    // Resolved DRIVER-side by the StreamingWrite (the bound generation
+    // expressions need the analyzer; executors just codegen them).
+    generated: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     // Identity assignment is batch-only (the epoch loop cannot refresh
     // the driver-captured watermark): specs ride along so a NULL
     // identity value fails loudly instead of silently landing NULL.
+    // Generated columns ARE computed — they are stateless projections.
     GraftSegmentWriterFactory(target, dir, partCols, upsertKeys = upsertKeys,
       identity = target.fields.toSeq.zipWithIndex.flatMap { case (f, i) =>
         org.apache.spark.sql.catalyst.util.IdentityColumn.getIdentityInfo(f).map(s =>
@@ -5827,7 +5933,8 @@ private[sources] case class GraftCatalogStreamingWriterFactory(
             f.dataType == org.apache.spark.sql.types.LongType,
             s.getStart, s.getStep, s.isAllowExplicitInsert, 0L))
       },
-      identityAssignEnabled = false)
+      identityAssignEnabled = false,
+      generated = generated)
       .createWriter(partitionId, taskId)
 }
 
@@ -5877,7 +5984,13 @@ private[sources] case class GraftSegmentWriterFactory(
     identity: Seq[GraftCatalog.IdentityAssign] = Nil,
     identityParts: Int = 1,
     identityAssignEnabled: Boolean = true,
-    identityStrict: Boolean = true)
+    identityStrict: Boolean = true,
+    // Generated columns: (table ordinal, bound Catalyst expression) —
+    // resolved driver-side (GraftCatalog.generatedAssigns), codegen'd
+    // here into a projection that fills NULL slots with the computed
+    // value (non-null slots pass through: row-level rewrites carry
+    // already-computed values).
+    generated: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -5908,6 +6021,27 @@ private[sources] case class GraftSegmentWriterFactory(
       private val idArr = identity.toArray
       private val idCount = new Array[Long](idArr.length)
       private val idMaxK = Array.fill[Long](idArr.length)(Long.MinValue)
+      private val genIdx = generated.map(_._1).toArray
+      private lazy val genProj: UnsafeProjection = {
+        import org.apache.spark.sql.catalyst.expressions.{If, IsNull}
+        val byIdx = generated.toMap
+        UnsafeProjection.create(target.zipWithIndex.map { case (f, i) =>
+          val ref = BoundReference(i, f.dataType, f.nullable)
+          byIdx.get(i) match {
+            // User writes: the strict check above proved the slot NULL
+            // — fill it (the If is belt-and-braces for BY-DEFAULT-like
+            // non-strict nulls).
+            case Some(e) if identityStrict => If(IsNull(ref), e, ref):
+              org.apache.spark.sql.catalyst.expressions.Expression
+            // Row-level rewrites RECOMPUTE unconditionally: an UPDATE
+            // that changed a referenced column must not carry the
+            // stale derived value forward (deterministic expression —
+            // recomputation of an unchanged row is a no-op).
+            case Some(e) => e: org.apache.spark.sql.catalyst.expressions.Expression
+            case None => ref: org.apache.spark.sql.catalyst.expressions.Expression
+          }
+        })
+      }
 
       // Partition key as EXTERNAL values (String, boxed numerics) —
       // comparable to pushed-filter literals and stable in the
@@ -5958,13 +6092,26 @@ private[sources] case class GraftSegmentWriterFactory(
                 "GENERATED BY DEFAULT AS IDENTITY)")
           j += 1
         }
+        val rowF = if (genIdx.isEmpty) row else {
+          if (identityStrict) {
+            var g = 0
+            while (g < genIdx.length) {
+              if (!row.isNullAt(genIdx(g)))
+                throw new UnsupportedOperationException(
+                  s"column ${target.fields(genIdx(g)).name} is GENERATED ALWAYS AS (...) — " +
+                    "explicit values are not accepted; omit the column")
+              g += 1
+            }
+          }
+          genProj(row)
+        }
         if (upsertIdx.nonEmpty) {
           val tuple: IndexedSeq[Any] = upsertIdx.toIndexedSeq.map { case (i, dt) =>
-            require(!row.isNullAt(i),
+            require(!rowF.isNullAt(i),
               s"upsert key column ${target.fields(i).name} is null — upsert keys must be non-null")
             dt match {
-              case StringType => row.getUTF8String(i).toString
-              case _ => row.get(i, dt)
+              case StringType => rowF.getUTF8String(i).toString
+              case _ => rowF.get(i, dt)
             }
           }
           upsertSeen += tuple
@@ -5973,14 +6120,14 @@ private[sources] case class GraftSegmentWriterFactory(
               "deletes are the small-hot-batch path; use MERGE INTO for bulk rewrites " +
               "(or raise -Dgraft.upsert.maxKeys)")
         }
-        val key = if (keyFields.isEmpty) Vector.empty else keyOf(row)
+        val key = if (keyFields.isEmpty) Vector.empty else keyOf(rowF)
         val w = writers.getOrElseUpdate(key, {
           require(writers.size < MaxWritersPerTask,
             s"task saw > $MaxWritersPerTask distinct partition values — " +
               "repartition the input by the table's partition columns")
           new SegmentIO.Writer(dir, target)
         })
-        w.add(row)
+        w.add(rowF)
       }
       override def commit(): WriterCommitMessage =
         GraftSegmentMessage(partitionId,

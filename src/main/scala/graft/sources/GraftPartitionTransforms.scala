@@ -57,7 +57,15 @@ private[graft] case class PartIdentity(source: String) extends PartField {
   def toTransform: Transform = Expressions.identity(source)
   def validFor(src: DataType): Boolean = src match {
     case LongType | IntegerType | ShortType | ByteType |
-         DoubleType | FloatType | StringType | BooleanType => true
+         DoubleType | FloatType | StringType | BooleanType |
+         // Dates partition identically (the classic daily-partition
+         // column, often GENERATED AS (CAST(ts AS DATE))): keys are
+         // the internal epoch-day Int, temporal zone maps make the
+         // min=max pruning exact, and overwrite literals normalize
+         // through GraftCatalog.keyLiteral. Timestamps stay excluded
+         // — per-microsecond identity partitions are a cardinality
+         // accident; days()/hours() are the supported spellings.
+         DateType => true
     case _ => false
   }
 }

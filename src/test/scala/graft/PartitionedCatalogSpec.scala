@@ -395,6 +395,32 @@ class PartitionedCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.pt.bg")
   }
 
+  test("DATE identity partitions: per-day segments, exact pruning, date-literal overwrite") {
+    spark.sql("DROP TABLE IF EXISTS graft.pt.days PURGE")
+    spark.sql("CREATE TABLE graft.pt.days (d DATE, v BIGINT) USING graft PARTITIONED BY (d)")
+    spark.sql(
+      """INSERT INTO graft.pt.days VALUES
+        |(DATE'2024-01-01', 1), (DATE'2024-01-01', 2),
+        |(DATE'2024-01-02', 3), (DATE'2024-01-03', 4)""".stripMargin)
+    assert(graft.sources.GraftCatalog.segmentCount("pt", "days") == 3,
+      "one segment per day value")
+    val q = spark.table("graft.pt.days").filter($"d" === java.sql.Date.valueOf("2024-01-01"))
+    assert(q.rdd.getNumPartitions == 1,
+      "temporal zone maps make day pruning exact (min = max = the day)")
+    assert(q.count() == 2L)
+    // Static partition overwrite with a DATE literal: the external
+    // literal must normalize to the internal epoch-day key — a silent
+    // non-match would KEEP the old segments and duplicate the day.
+    spark.sql(
+      "INSERT OVERWRITE graft.pt.days PARTITION (d = '2024-01-02') VALUES (30)")
+    assert(spark.sql("SELECT v FROM graft.pt.days WHERE d = DATE'2024-01-02'")
+      .as[Long].collect().toSeq == Seq(30L),
+      "exactly the named day's rows were replaced")
+    assert(spark.table("graft.pt.days").count() == 4L,
+      "other days ride through untouched")
+    spark.sql("DROP TABLE graft.pt.days PURGE")
+  }
+
   private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
