@@ -714,7 +714,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         Identifier.of(namespace, "clone"), Identifier.of(namespace, "set_partitioning"),
         Identifier.of(namespace, "create_branch"), Identifier.of(namespace, "publish_branch"),
         Identifier.of(namespace, "remove_orphan_files"),
-        Identifier.of(namespace, "undrop"))
+        Identifier.of(namespace, "undrop"),
+        Identifier.of(namespace, "sync_identity"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
@@ -750,6 +751,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       GraftRemoveOrphanFilesProcedure
     else if (ident.namespace.sameElements(Array("system")) && ident.name == "undrop")
       GraftUndropProcedure
+    else if (ident.namespace.sameElements(Array("system")) && ident.name == "sync_identity")
+      GraftSyncIdentityProcedure
     else throw new UnsupportedOperationException(s"no such procedure: $ident")
 
   // ---- ViewCatalog: persistent SQL views resolved through the ----
@@ -1052,6 +1055,47 @@ private[graft] object GraftUndropProcedure
       override def rows(): Array[InternalRow] = Array(row)
       override def readSchema(): StructType = outSchema
       override def description(): String = s"GraftUndropResult($ident)"
+    }).iterator()
+  }
+}
+
+/** `CALL graft.system.sync_identity(ns, table)` — advance identity
+  * watermarks past every value present in the data (after BY DEFAULT
+  * explicit inserts). Work in `GraftCatalog.syncIdentity`.
+  */
+private[graft] object GraftSyncIdentityProcedure
+    extends procedures.UnboundProcedure with procedures.BoundProcedure {
+  import org.apache.spark.sql.types.{LongType, StringType}
+  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+
+  override def name(): String = "sync_identity"
+  override def description(): String =
+    "sync_identity(ns, table): advance identity watermarks past all data values"
+  override def bind(inputType: StructType): procedures.BoundProcedure = this
+  override def isDeterministic: Boolean = false // mutates catalog state
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("ns", StringType).comment("namespace").build(),
+    ProcedureParameter.in("table", StringType).comment("table name").build())
+
+  private val outSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("column", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("next_index", LongType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val ns = input.getUTF8String(0).toString
+    val table = input.getUTF8String(1).toString
+    val ident = Identifier.of(Array(ns), table)
+    val applied = GraftCatalog.syncIdentity(ident)
+    val out = applied.toSeq.sortBy(_._1).map { case (c, k) =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(ident.toString),
+          org.apache.spark.unsafe.types.UTF8String.fromString(c), k)): InternalRow
+    }.toArray
+    java.util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = out
+      override def readSchema(): StructType = outSchema
+      override def description(): String = s"GraftSyncIdentityResult($ident)"
     }).iterator()
   }
 }
@@ -1616,6 +1660,48 @@ object GraftCatalog {
       })
     })
     persistTable(ident)
+  }
+
+  /** `CALL graft.system.sync_identity(ns, table)` — re-seat every
+    * identity watermark just past the column's current MAX progression
+    * index (the Delta `ALTER TABLE ... SYNC IDENTITY` move): after
+    * BY-DEFAULT explicit inserts landed values above the generator,
+    * future generated values would collide — sync scans the column
+    * (driver-side fold over segments; on a cluster, one agg job) and
+    * advances. Never moves the watermark BACKWARD (ids are never
+    * reused, even after deletes). Returns (col → next k) applied.
+    */
+  private[sources] def syncIdentity(ident: Identifier): Map[String, Long] = mutate {
+    ensureLoaded()
+    val entry = store.get(ident)
+    if (entry == null) throw new NoSuchTableException(ident)
+    val specs = entry.schema.fields.zipWithIndex.flatMap { case (f, i) =>
+      org.apache.spark.sql.catalyst.util.IdentityColumn.getIdentityInfo(f)
+        .map(s => (f.name, i, f.dataType == org.apache.spark.sql.types.LongType,
+          s.getStart, s.getStep))
+    }
+    if (specs.isEmpty) Map.empty
+    else {
+      val updates = specs.flatMap { case (name, idx, isLong, start, step) =>
+        var maxK = -1L
+        entry.segments.foreach { seg =>
+          SegmentIO.foreachRow(seg, entry.schema.length) { r =>
+            if (!r.isNullAt(idx)) {
+              val v = if (isLong) r.getLong(idx) else r.getInt(idx).toLong
+              // Only values ON the progression map to an index; an
+              // off-progression explicit value can't collide with any
+              // generated one, so it doesn't move the watermark.
+              val d = v - start
+              if (step != 0 && d % step == 0 && d / step >= 0)
+                maxK = math.max(maxK, d / step)
+            }
+          }
+        }
+        if (maxK >= 0) Some(name -> (maxK + 1)) else None
+      }.toMap
+      if (updates.nonEmpty) advanceIdentity(ident, updates)
+      updates
+    }
   }
 
   /** Merge `TableInfo.columns()` identity specs into the schema's
