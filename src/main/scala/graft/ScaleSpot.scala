@@ -55,7 +55,12 @@ object ScaleSpot {
       // + pruning, merge-on-read upsert, WAP branch lifecycle, and the
       // streaming upsert sink replaying a 10× change feed.
       "x5j_hidden_partitioning", "x12_branch_wap", "x13_upsert",
-      "st17_streaming_upsert")
+      "st17_streaming_upsert",
+      // Second-pass additions at 10×: the bucket-SPJ fact⋈fact join,
+      // row-lineage assignment over a 10× load, identity-column
+      // generation, Bloom decontamination, and MapState profiles.
+      "x5k_bucket_spj", "x16_row_lineage", "x18_identity",
+      "l8_bloom_decontaminate", "st6d_composite_state")
     val qs = SparkEntry.queries
     // SPARK_GRAFT_SCALE_ALL=1: run EVERY registry query against the 10×
     // slice (the full-suite sf1 datapoint; single-shot timings — the

@@ -41,7 +41,11 @@ private[sources] object GraftMetadataTables {
     StructField("bytes", LongType, nullable = false),
     StructField("sorted", BooleanType, nullable = false),
     StructField("spec", StringType, nullable = false),
-    StructField("partition_key", StringType, nullable = false)))
+    StructField("partition_key", StringType, nullable = false),
+    // Row lineage (X16): the segment's first assigned row id and its
+    // latest update-seq — null for pre-lineage segments.
+    StructField("first_row_id", LongType, nullable = true),
+    StructField("last_updated_seq", LongType, nullable = true)))
 
   private val HistorySchema = StructType(Seq(
     StructField("version", LongType, nullable = false),
@@ -97,7 +101,10 @@ private[sources] object GraftMetadataTables {
         new GenericInternalRow(Array[Any](
           s(seg.path), seg.seq, seg.rows, seg.liveRows, seg.deletedRows,
           seg.bytes, seg.sorted, s(seg.spec.mkString(",")),
-          s(seg.key.mkString("/")))): InternalRow
+          s(seg.key.mkString("/")),
+          seg.lineage.headOption.map(r => java.lang.Long.valueOf(r._1)).orNull,
+          if (seg.lineage.isEmpty) null
+          else java.lang.Long.valueOf(seg.lineage.map(_._3).max))): InternalRow
       }.toArray
     case "history" =>
       val snaps = GraftCatalog.retainedSnapshots(base)

@@ -56,6 +56,21 @@ class MetadataTableSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.meta.t")
   }
 
+  test("files exposes row-lineage bounds: first_row_id and last_updated_seq") {
+    spark.sql("DROP TABLE IF EXISTS graft.meta.lin PURGE")
+    spark.sql("CREATE TABLE graft.meta.lin (k BIGINT) USING graft")
+    spark.range(0, 5).selectExpr("id AS k").coalesce(1)
+      .writeTo("graft.meta.lin").append() // ids 0..4, seq 1
+    spark.range(5, 8).selectExpr("id AS k").coalesce(1)
+      .writeTo("graft.meta.lin").append() // ids 5..7, seq 2
+    val rows = spark.sql(
+      "SELECT first_row_id, last_updated_seq FROM graft.meta.lin.files ORDER BY first_row_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((0L, 1L), (5L, 2L)),
+      "each segment reports its first id and latest update-seq")
+    spark.sql("DROP TABLE graft.meta.lin PURGE")
+  }
+
   test("partitions rolls up per (spec, key) — the small-files/skew dashboard") {
     spark.sql("DROP TABLE IF EXISTS graft.meta.p")
     spark.sql(
