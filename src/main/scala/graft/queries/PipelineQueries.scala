@@ -135,7 +135,12 @@ object PipelineQueries {
       .otherwise(array().cast("array<string>"))
     val grams = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), explode(gramHashes).as("g"))
+    // Persisted: three consumers (the sizing count, the Bloom build,
+    // the exact-verify broadcast join) would each re-tokenize and
+    // re-hash the whole bench slice otherwise — tripling the most
+    // expensive stage of the query.
     val bench = grams.filter(col("doc_id") % 50 === 0).select(col("g")).distinct()
+      .persist()
     // Sized on the true distinct count (one metadata-light pass over
     // the small side); 3% fp = the sweet spot where the filter stays
     // broadcast-tiny and the exact-verify join sees a ~30x-reduced

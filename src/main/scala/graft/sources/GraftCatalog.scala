@@ -382,7 +382,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           if (e.constraints.exists(_.toDDL.contains(from)))
             throw new UnsupportedOperationException(
               s"column $from is referenced by a constraint; drop it first")
-          if (GraftCatalog.generationRefs(e.schema).contains(from))
+          if (GraftCatalog.generationRefs(e.schema)
+              .contains(from.toLowerCase(java.util.Locale.ROOT)))
             throw new UnsupportedOperationException(
               s"column $from is referenced by a generation expression — " +
                 "renaming it would orphan the generated column's formula")
@@ -519,7 +520,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           if (prev.constraints.exists(c => dropNames.exists(c.toDDL.contains)))
             throw new UnsupportedOperationException(
               "cannot drop a column referenced by a constraint; drop the constraint first")
-          if (GraftCatalog.generationRefs(prev.schema).intersect(dropNames).nonEmpty)
+          if (GraftCatalog.generationRefs(prev.schema)
+              .intersect(dropNames.map(_.toLowerCase(java.util.Locale.ROOT))).nonEmpty)
             throw new UnsupportedOperationException(
               "cannot drop a column referenced by a generation expression; " +
                 "drop the generated column first")
@@ -1646,6 +1648,40 @@ object GraftCatalog {
       }
     }
 
+  /** Commit-side watermark advance for a batch write, with optimistic
+    * conflict detection: the congruence-class disjointness proof only
+    * covers the tasks of ONE write planned at watermark k0 — if the
+    * stored watermark moved past k0 while this write ran (a concurrent
+    * identity write, or sync_identity, committed first), the two
+    * writes' k domains can overlap, so the later commit must FAIL
+    * before touching catalog state (Spark then aborts the write and
+    * its files are deleted — nothing was installed). Runs BEFORE the
+    * data install, so a crash after it leaks index gaps, never
+    * duplicates. Shared by the plain batch and row-level commits.
+    */
+  private[sources] def advanceIdentityChecked(
+      ident: Identifier, msgs: Seq[GraftSegmentMessage],
+      specs: Seq[IdentityAssign]): Unit = {
+    val idMax = msgs.flatMap(_.identityMaxK.toSeq).groupBy(_._1)
+      .map { case (c, vs) => c -> (vs.map(_._2).max + 1) }
+    if (idMax.isEmpty) return
+    val base = specs.map(a => a.name -> a.k0).toMap
+    mutate {
+      val entry = store.get(ident)
+      require(entry != null, s"table $ident dropped mid-write")
+      idMax.keys.foreach { c =>
+        val cur = entry.props.get(identityProp(c)).map(_.toLong).getOrElse(0L)
+        val k0 = base.getOrElse(c, cur)
+        if (cur > k0)
+          throw new java.util.ConcurrentModificationException(
+            s"identity column $c of $ident: watermark advanced $k0 -> $cur by a " +
+              "concurrent write while this write was running — generated values " +
+              "could collide; retry the write")
+      }
+      advanceIdentity(ident, idMax)
+    }
+  }
+
   /** Advance identity watermarks (next unused k per column) — called
     * by the committing writer BEFORE installing data, so a crash
     * between the two leaks index gaps, never duplicate values.
@@ -1682,10 +1718,15 @@ object GraftCatalog {
     }
     if (specs.isEmpty) Map.empty
     else {
-      val updates = specs.flatMap { case (name, idx, isLong, start, step) =>
-        var maxK = -1L
-        entry.segments.foreach { seg =>
-          SegmentIO.foreachRow(seg, entry.schema.length) { r =>
+      // ONE pass over the table folding every identity column at once
+      // — a per-column pass would multiply the full-scan cost by the
+      // number of identity columns.
+      val maxK = Array.fill(specs.length)(-1L)
+      entry.segments.foreach { seg =>
+        SegmentIO.foreachRow(seg, entry.schema.length) { r =>
+          var j = 0
+          while (j < specs.length) {
+            val (_, idx, isLong, start, step) = specs(j)
             if (!r.isNullAt(idx)) {
               val v = if (isLong) r.getLong(idx) else r.getInt(idx).toLong
               // Only values ON the progression map to an index; an
@@ -1693,11 +1734,14 @@ object GraftCatalog {
               // generated one, so it doesn't move the watermark.
               val d = v - start
               if (step != 0 && d % step == 0 && d / step >= 0)
-                maxK = math.max(maxK, d / step)
+                maxK(j) = math.max(maxK(j), d / step)
             }
+            j += 1
           }
         }
-        if (maxK >= 0) Some(name -> (maxK + 1)) else None
+      }
+      val updates = specs.zipWithIndex.collect {
+        case ((name, _, _, _, _), j) if maxK(j) >= 0 => name -> (maxK(j) + 1)
       }.toMap
       if (updates.nonEmpty) advanceIdentity(ident, updates)
       updates
@@ -1787,6 +1831,13 @@ object GraftCatalog {
   /** Columns some generation expression REFERENCES (by name) — the
     * rename/drop guard set.
     */
+  /** Column names referenced by stored generation expressions,
+    * LOWER-CASED: the stored SQL text preserves the user's original
+    * casing while Spark resolves case-insensitively, so the rename/
+    * drop guards must compare case-insensitively too (compare against
+    * `x.toLowerCase(Locale.ROOT)`) or `CAST(TS AS DATE)` would let
+    * `ts` be renamed out from under it, bricking every future write.
+    */
   private[sources] def generationRefs(schema: StructType): Set[String] = {
     import org.apache.spark.sql.catalyst.util.GeneratedColumn
     if (!GeneratedColumn.hasGeneratedColumns(schema)) Set.empty
@@ -1795,7 +1846,7 @@ object GraftCatalog {
         org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(sql)
           .collect {
             case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-              a.nameParts.head
+              a.nameParts.head.toLowerCase(java.util.Locale.ROOT)
           }
       }).toSet
   }
@@ -2604,13 +2655,9 @@ object GraftCatalog {
     if (trash.containsKey(ident)) purgeTrashed(ident)
     if (entry != null) {
       val candidates = (entry.segments ++ hist.flatMap(_.segments)).distinctBy(_.path)
-      val (shared, dead) =
-        candidates.partition(s => referencedByOther(ident, s.path))
-      dead.foreach(SegmentIO.delete)
-      // Separator-bounded compare: /x/tbl-1 must not claim /x/tbl-1234/seg.
-      val dirPrefix = entry.dir.stripSuffix(java.io.File.separator) + java.io.File.separator
-      if (!shared.exists(_.path.startsWith(dirPrefix)))
-        deleteRecursively(Paths.get(entry.dir))
+      candidates.filterNot(s => referencedByOther(ident, s.path))
+        .foreach(SegmentIO.delete)
+      purgeDirSparingShared(ident, entry.dir)
     }
     persistTable(ident) // deletes the ledger document
     entry != null
@@ -2625,16 +2672,51 @@ object GraftCatalog {
     if (d != null) {
       val candidates =
         (d.entry.segments ++ d.hist.flatMap(_.segments)).distinctBy(_.path)
-      val (shared, dead) =
-        candidates.partition(s => referencedByOther(ident, s.path))
-      dead.foreach(SegmentIO.delete)
-      val dirPrefix =
-        d.entry.dir.stripSuffix(java.io.File.separator) + java.io.File.separator
-      if (!shared.exists(_.path.startsWith(dirPrefix)))
-        deleteRecursively(Paths.get(d.entry.dir))
+      candidates.filterNot(s => referencedByOther(ident, s.path))
+        .foreach(SegmentIO.delete)
+      purgeDirSparingShared(ident, d.entry.dir)
       if (persistent)
         GraftLedger.delete(GraftLedger.droppedDir(segmentRoot), ident)
     }
+  }
+
+  /** Remove a purged table's directory without destroying files other
+    * tables still reference. The spare set is computed from the GLOBAL
+    * reference scan (every live table, history, and trash generation),
+    * NOT from the purged entry's own candidates: vacuum may already
+    * have expired a clone-shared file from self's snapshot chain while
+    * [[gcDelete]] spared it on disk for the clone — such a file is in
+    * nobody's candidate list but must survive the directory sweep.
+    */
+  private def purgeDirSparingShared(self: Identifier, dir: String): Unit = {
+    // Separator-bounded compare: /x/tbl-1 must not claim /x/tbl-1234/seg.
+    val dirPrefix = dir.stripSuffix(java.io.File.separator) + java.io.File.separator
+    def refsUnder(id: Identifier, segs: Iterable[Segment]): Iterable[String] =
+      if (id == self) Nil else segs.collect { case s if s.path.startsWith(dirPrefix) => s.path }
+    val spared: Set[String] =
+      (store.asScala.flatMap { case (id, e) => refsUnder(id, e.segments) } ++
+        history.asScala.flatMap { case (id, h) => h.flatMap(s => refsUnder(id, s.segments)) } ++
+        trash.asScala.flatMap { case (id, d) =>
+          refsUnder(id, d.entry.segments) ++ d.hist.flatMap(s => refsUnder(id, s.segments))
+        }).toSet
+    if (spared.isEmpty) deleteRecursively(Paths.get(dir))
+    else deleteRecursivelyExcept(Paths.get(dir), spared)
+  }
+
+  /** Best-effort recursive delete that skips `spared` files and any
+    * directory still holding one afterwards.
+    */
+  private def deleteRecursivelyExcept(p: Path, spared: Set[String]): Unit = {
+    try {
+      if (Files.isDirectory(p)) {
+        val children = Files.list(p)
+        try children.iterator().asScala.foreach(deleteRecursivelyExcept(_, spared))
+        finally children.close()
+        val remaining = Files.list(p)
+        val empty = try !remaining.iterator().hasNext finally remaining.close()
+        if (empty) Files.deleteIfExists(p)
+      } else if (!spared.contains(p.toString)) Files.deleteIfExists(p)
+    } catch { case _: java.io.IOException => () } // best-effort GC
   }
 
   /** Trash retention sweep — runs at publish/drop/undrop time, under
@@ -4416,10 +4498,36 @@ private[sources] class GraftCatalogTable(
       }
       override def command(): RowLevelOperation.Command = info.command()
       override def description(): String = s"GraftRowLevel(${info.command()}, $ident)"
+      // GENERATED ALWAYS identity enforcement inside a MERGE rewrite
+      // needs row PROVENANCE: carried (pre-existing) rows and
+      // NOT-MATCHED inserts reach the writer through one channel, and
+      // only the _row_id metadata column separates them — non-null for
+      // rows the target scan produced, null for insert-action rows
+      // (Spark projects nulls for metadata attrs with no target row).
+      // Requested only when the table actually has an ALWAYS identity
+      // column, so every other rewrite keeps the plain write path.
+      private val hasAlwaysIdentity = schema0.fields.exists(f =>
+        org.apache.spark.sql.catalyst.util.IdentityColumn.getIdentityInfo(f)
+          .exists(!_.isAllowExplicitInsert))
+      override def requiredMetadataAttributes()
+          : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+        if (hasAlwaysIdentity)
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .column(GraftMetaCols.RowId))
+        else Array.empty
       override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-        new ScanBuilder with SupportsPushDownFilters {
+        new ScanBuilder with SupportsPushDownFilters
+          with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
           import org.apache.spark.sql.sources.Filter
           private var pruning: Array[Filter] = Array.empty
+          // Group-based rewrites never prune DATA columns (the write
+          // needs full rows back) — this hook exists so the requested
+          // _row_id METADATA column rides into the scan output.
+          private var required0: StructType = schema0
+          override def pruneColumns(requiredSchema: StructType): Unit =
+            required0 = StructType(
+              schema0.fields.filter(f => requiredSchema.fieldNames.contains(f.name)) ++
+                requiredSchema.fields.filter(f => GraftMetaCols.names.contains(f.name)))
           override def pushFilters(filters: Array[Filter]): Array[Filter] = {
             pruning = filters.filter(ZoneMap.prunable(_, schema0))
             filters // all residual: the rewrite re-evaluates per row
@@ -4430,7 +4538,8 @@ private[sources] class GraftCatalogTable(
               pruning.forall(f => ZoneMap.mightMatch(f, schema0, seg)))
             addKept(keep)
             touched = touch
-            GraftCatalogScan(ident, schema0, pinned = Some(touch),
+            GraftCatalogScan(ident, schema0, required = required0,
+              pinned = Some(touch),
               partitionCols = partitionCols, onRuntimeExclude = Some(addKept),
               rowLevel = true,
               // Rewrites read eq-filtered rows (pinned with the live
@@ -4448,7 +4557,10 @@ private[sources] class GraftCatalogTable(
                 ident, schema0, dir, truncateFirst = true, partCols = partitionCols,
                 // Row-level rewrites re-write rows that already carry
                 // their identity values — not user-supplied inserts.
-                identityStrict = false)
+                // Per-row provenance (the requested _row_id metadata)
+                // re-enables the ALWAYS refusal for MERGE-inserted rows.
+                identityStrict = false,
+                identityFromMeta = hasAlwaysIdentity)
               override def createBatchWriterFactory(
                   pinfo: PhysicalWriteInfo): DataWriterFactory =
                 inner.createBatchWriterFactory(pinfo)
@@ -4456,10 +4568,9 @@ private[sources] class GraftCatalogTable(
                 val msgs = messages.collect { case m: GraftSegmentMessage => m }
                 // MERGE NOT MATCHED inserts may have GENERATED identity
                 // values — advance the watermark exactly like the plain
-                // batch commit (before data; gap-not-collision).
-                val idMax = msgs.flatMap(_.identityMaxK.toSeq).groupBy(_._1)
-                  .map { case (c, vs) => c -> (vs.map(_._2).max + 1) }
-                if (idMax.nonEmpty) GraftCatalog.advanceIdentity(ident, idMax)
+                // batch commit (before data; gap-not-collision;
+                // concurrent-advance conflict fails the commit).
+                GraftCatalog.advanceIdentityChecked(ident, msgs.toSeq, inner.identitySpecs)
                 val rewritten = msgs.sortBy(_.partitionId).flatMap(_.segments)
                 // CDC REWRITE PROVENANCE (UPDATE, unpartitioned scans
                 // only — keyed scans group several segments per split,
@@ -5934,22 +6045,28 @@ private[sources] class GraftCatalogBatchWrite(
     upsertKeys: Seq[String] = Nil,
     // GENERATED ALWAYS enforcement: user-facing writes refuse explicit
     // non-null values; row-level rewrites (the engine re-writing rows
-    // that already carry their ids) construct with false.
-    identityStrict: Boolean = true) extends BatchWrite {
+    // that already carry their ids) construct with false and, when the
+    // table has an ALWAYS identity column, identityFromMeta so the
+    // refusal still applies to MERGE-inserted (non-carried) rows.
+    identityStrict: Boolean = true,
+    identityFromMeta: Boolean = false) extends BatchWrite {
+  // Captured ONCE per write (not per factory call): the commit's
+  // conflict check compares the stored watermark against the k0 this
+  // write actually planned its congruence classes from.
+  private[sources] lazy val identitySpecs = GraftCatalog.identityAssigns(ident, target)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     GraftSegmentWriterFactory(target, dir, partCols, sortedWrite, upsertKeys,
-      identity = GraftCatalog.identityAssigns(ident, target),
+      identity = identitySpecs,
       identityParts = math.max(1, info.numPartitions()),
       identityStrict = identityStrict,
+      identityFromMeta = identityFromMeta,
       generated = GraftCatalog.generatedAssigns(target))
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect { case m: GraftSegmentMessage => m }.sortBy(_.partitionId)
     val segs = msgs.flatMap(_.segments)
     // Watermark BEFORE data: a crash in between leaks an id gap, never
     // a duplicate (see GraftCatalog.IdentityAssign).
-    val idMax = msgs.flatMap(_.identityMaxK.toSeq).groupBy(_._1)
-      .map { case (c, vs) => c -> (vs.map(_._2).max + 1) }
-    if (idMax.nonEmpty) GraftCatalog.advanceIdentity(ident, idMax)
+    GraftCatalog.advanceIdentityChecked(ident, msgs.toSeq, identitySpecs)
     if (upsertKeys.nonEmpty)
       GraftCatalog.installUpsert(ident, segs.toSeq, upsertKeys,
         msgs.flatMap(_.upsertKeys).toSeq)
@@ -6071,6 +6188,12 @@ private[sources] case class GraftSegmentWriterFactory(
     identityParts: Int = 1,
     identityAssignEnabled: Boolean = true,
     identityStrict: Boolean = true,
+    // Row-level (MERGE) path: per-row provenance via the two-arg
+    // write's metadata row — the requested _row_id metadata column is
+    // non-null exactly for rows the target scan carried through, so
+    // the ALWAYS refusal applies only to genuinely NEW (insert-action)
+    // rows while rewritten existing rows keep their ids.
+    identityFromMeta: Boolean = false,
     // Generated columns: (table ordinal, bound Catalyst expression) —
     // resolved driver-side (GraftCatalog.generatedAssigns), codegen'd
     // here into a projection that fills NULL slots with the computed
@@ -6145,6 +6268,14 @@ private[sources] case class GraftSegmentWriterFactory(
           }
         }
 
+      // True while the current row is a CARRIED (pre-existing) row of
+      // a row-level rewrite — set from the two-arg write's metadata
+      // row; insert-action rows arrive with a NULL _row_id there.
+      private var carriedRow = false
+      override def write(meta: InternalRow, record: InternalRow): Unit = {
+        carriedRow = identityFromMeta && meta != null && !meta.isNullAt(0)
+        try write(record) finally carriedRow = false
+      }
       override def write(record: InternalRow): Unit = {
         if (record.numFields != projFields) {
           val offset = record.numFields - target.length
@@ -6169,9 +6300,22 @@ private[sources] case class GraftSegmentWriterFactory(
             idCount(j) += 1
             idMaxK(j) = k
             row.setNotNullAt(a.idx)
-            if (a.isLong) row.setLong(a.idx, a.start + a.step * k)
-            else row.setInt(a.idx, (a.start + a.step * k).toInt)
-          } else if (identityStrict && !a.allowExplicit)
+            // Exact arithmetic: a wrapped value would silently re-mint
+            // earlier ids (uniqueness violation) — overflow must fail.
+            val v =
+              try math.addExact(a.start, math.multiplyExact(a.step, k))
+              catch {
+                case _: ArithmeticException => throw new ArithmeticException(
+                  s"identity column ${a.name}: generated value overflows BIGINT at " +
+                    s"progression index $k (START WITH ${a.start} INCREMENT BY ${a.step})")
+              }
+            if (a.isLong) row.setLong(a.idx, v)
+            else if (v >= Int.MinValue && v <= Int.MaxValue) row.setInt(a.idx, v.toInt)
+            else throw new ArithmeticException(
+              s"identity column ${a.name}: generated value $v overflows INT — " +
+                "declare the column BIGINT")
+          } else if ((identityStrict || (identityFromMeta && !carriedRow)) &&
+              !a.allowExplicit)
             throw new UnsupportedOperationException(
               s"identity column ${a.name} is GENERATED ALWAYS — " +
                 "explicit values are not accepted (omit the column, or declare it " +

@@ -102,6 +102,24 @@ class GeneratedColumnSpec extends AnyFunSuite {
     assert(ec.getMessage.toLowerCase.contains("generat"))
   }
 
+  test("rename/drop guards match generation references case-insensitively") {
+    // The stored SQL text preserves the user's casing while Spark
+    // resolves case-insensitively — `CAST(TS AS DATE)` must still pin
+    // `ts` against rename/drop or every future write breaks.
+    spark.sql("DROP TABLE IF EXISTS graft.gen.ci PURGE")
+    spark.sql("CREATE TABLE graft.gen.ci " +
+      "(ts TIMESTAMP, d DATE GENERATED ALWAYS AS (CAST(TS AS DATE))) USING graft")
+    val er = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.gen.ci RENAME COLUMN ts TO t2")
+    }
+    assert(er.getMessage.contains("generation expression"))
+    val ed = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.gen.ci DROP COLUMN ts")
+    }
+    assert(ed.getMessage.contains("generation expression"))
+    spark.sql("DROP TABLE graft.gen.ci PURGE")
+  }
+
   test("streaming writes compute generated columns (stateless projection)") {
     spark.sql("DROP TABLE IF EXISTS graft.gen.st PURGE")
     spark.sql(

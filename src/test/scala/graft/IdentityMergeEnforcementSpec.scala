@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GENERATED ALWAYS enforcement inside row-level rewrites: a MERGE's
+  * NOT MATCHED INSERT must not smuggle explicit identity values past
+  * the refusal plain INSERT enforces — the writer separates carried
+  * (pre-existing) rows from insert-action rows via the _row_id
+  * metadata the row-level operation requests, and refuses explicit
+  * ALWAYS values only on the new rows.
+  */
+class IdentityMergeEnforcementSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s
+  }
+
+  test("MERGE explicit insert into GENERATED ALWAYS identity is refused") {
+    spark.sql("DROP TABLE IF EXISTS graft.idn.p PURGE")
+    spark.sql("CREATE TABLE graft.idn.p " +
+      "(id BIGINT GENERATED ALWAYS AS IDENTITY, k BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.idn.p (k) VALUES (1)")
+    spark.range(5, 7).selectExpr("id AS k", "id * 1000 AS id2")
+      .createOrReplaceTempView("probe_src")
+    // The MATCHED clause forces the group-based rewrite path (an
+    // insert-only MERGE plans as a plain append, which was already
+    // strict) — the path where carried rows and new rows share one
+    // writer and only the metadata row separates them.
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft.idn.p t USING probe_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET k = s.k
+          |WHEN NOT MATCHED THEN INSERT (id, k) VALUES (s.id2, s.k)""".stripMargin)
+    }
+    def hasMsg(t: Throwable): Boolean =
+      t != null && (t.getMessage != null && t.getMessage.contains("GENERATED ALWAYS") ||
+        hasMsg(t.getCause))
+    assert(hasMsg(e), s"expected the GENERATED ALWAYS refusal, got: $e")
+    // Nothing landed: the refused MERGE aborted atomically.
+    assert(spark.sql("SELECT count(*) FROM graft.idn.p").head().getLong(0) == 1L)
+    spark.sql("DROP TABLE graft.idn.p PURGE")
+  }
+
+  test("MERGE with omitted identity column still generates through the rewrite") {
+    spark.sql("DROP TABLE IF EXISTS graft.idn.p2 PURGE")
+    spark.sql("CREATE TABLE graft.idn.p2 " +
+      "(id BIGINT GENERATED ALWAYS AS IDENTITY, k BIGINT, v BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.idn.p2 (k, v) VALUES (1, 10), (2, 20)")
+    spark.range(2, 5).selectExpr("id AS k", "id * 100 AS v")
+      .createOrReplaceTempView("probe_src2")
+    spark.sql(
+      """MERGE INTO graft.idn.p2 t USING probe_src2 s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    val ids = spark.sql("SELECT id FROM graft.idn.p2").collect().map(_.getLong(0))
+    assert(ids.length == 4 && ids.distinct.length == 4,
+      "carried rows keep ids; merge-inserted rows get fresh unique ids")
+    spark.sql("DROP TABLE graft.idn.p2 PURGE")
+  }
+}

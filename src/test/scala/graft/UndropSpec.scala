@@ -56,6 +56,28 @@ class UndropSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.ud.cl PURGE")
   }
 
+  test("purge spares clone-shared files vacuum already expired from the source") {
+    // The vacuum-then-purge sequence: a clone shares file F; an
+    // overwrite moves F out of the source's current segments; vacuum
+    // expires F from the source's HISTORY but spares it on disk for
+    // the clone — F is now in nobody's candidate list, so the purge's
+    // directory sweep must compute its spare set from the GLOBAL
+    // reference scan or it silently destroys the clone's data.
+    spark.sql("DROP TABLE IF EXISTS graft.ud.vsrc PURGE")
+    spark.sql("DROP TABLE IF EXISTS graft.ud.vcl PURGE")
+    spark.sql("CREATE TABLE graft.ud.vsrc (k BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.ud.vsrc VALUES (1), (2), (3)")
+    spark.sql("CALL graft.system.clone('ud', 'vsrc', 'ud', 'vcl', '')")
+    spark.sql("INSERT OVERWRITE graft.ud.vsrc VALUES (9)")
+    spark.sql("CALL graft.system.vacuum('ud', 'vsrc')")
+    assert(spark.table("graft.ud.vcl").count() == 3L, "pre-purge sanity")
+    spark.sql("DROP TABLE graft.ud.vsrc PURGE")
+    assert(spark.table("graft.ud.vcl").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L),
+      "the clone's shared file survived the source's directory purge")
+    spark.sql("DROP TABLE graft.ud.vcl PURGE")
+  }
+
   test("re-taken name refuses undrop; re-drop replaces the trash generation") {
     spark.sql("DROP TABLE IF EXISTS graft.ud.n PURGE")
     spark.sql("CREATE TABLE graft.ud.n (k BIGINT) USING graft")
