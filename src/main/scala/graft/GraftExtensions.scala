@@ -67,5 +67,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Transparent materialized-view rewrite: EXACT (freshness-gated),
     // so on by default — spark.graft.mvRewrite.enabled=false disables.
     ext.injectResolutionRule(session => graft.plans.MvRewriteRule(session))
+    // GENERATED ALWAYS AS IDENTITY: UPDATE/MERGE-UPDATE assignments to
+    // the column are refused at analysis (ids are engine-minted).
+    ext.injectResolutionRule(session => graft.plans.IdentityUpdateGuard(session))
   }
 }

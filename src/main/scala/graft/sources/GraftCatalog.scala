@@ -1828,9 +1828,6 @@ object GraftCatalog {
     }
   }
 
-  /** Columns some generation expression REFERENCES (by name) — the
-    * rename/drop guard set.
-    */
   /** Column names referenced by stored generation expressions,
     * LOWER-CASED: the stored SQL text preserves the user's original
     * casing while Spark resolves case-insensitively, so the rename/

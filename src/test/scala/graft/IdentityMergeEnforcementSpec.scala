@@ -42,6 +42,38 @@ class IdentityMergeEnforcementSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.idn.p PURGE")
   }
 
+  test("UPDATE cannot assign a GENERATED ALWAYS identity column") {
+    spark.sql("DROP TABLE IF EXISTS graft.idn.up PURGE")
+    spark.sql("CREATE TABLE graft.idn.up " +
+      "(id BIGINT GENERATED ALWAYS AS IDENTITY, k BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.idn.up (k) VALUES (1), (2)")
+    val e = intercept[Exception] {
+      spark.sql("UPDATE graft.idn.up SET id = 99 WHERE k = 1")
+    }
+    assert(e.getMessage.contains("UPDATE cannot assign"), s"got: $e")
+    // Non-identity updates still work — carried ids ride through.
+    spark.sql("UPDATE graft.idn.up SET k = 10 WHERE k = 1")
+    val rows = spark.sql("SELECT id, k FROM graft.idn.up ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.map(_._2) == Seq(2L, 10L) && rows.map(_._1).distinct.length == 2)
+    spark.sql("DROP TABLE graft.idn.up PURGE")
+  }
+
+  test("MERGE UPDATE action cannot assign a GENERATED ALWAYS identity column") {
+    spark.sql("DROP TABLE IF EXISTS graft.idn.mu PURGE")
+    spark.sql("CREATE TABLE graft.idn.mu " +
+      "(id BIGINT GENERATED ALWAYS AS IDENTITY, k BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.idn.mu (k) VALUES (1)")
+    spark.range(1, 2).selectExpr("id AS k").createOrReplaceTempView("mu_src")
+    val e = intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft.idn.mu t USING mu_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET id = 42""".stripMargin)
+    }
+    assert(e.getMessage.contains("UPDATE cannot assign"), s"got: $e")
+    spark.sql("DROP TABLE graft.idn.mu PURGE")
+  }
+
   test("MERGE with omitted identity column still generates through the rewrite") {
     spark.sql("DROP TABLE IF EXISTS graft.idn.p2 PURGE")
     spark.sql("CREATE TABLE graft.idn.p2 " +
