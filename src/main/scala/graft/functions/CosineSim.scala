@@ -38,12 +38,16 @@ case class CosineSim(left: Expression, right: Expression)
 
   /** NULL (not NaN / silent truncation) on degenerate input — this must
     * match both the HOF form (VectorOps.cosine: Spark's non-ANSI Divide
-    * yields NULL on /0) and DuckDB's SQL `/`:
+    * yields NULL on /0, and a null element nulls the whole lambda
+    * chain) and DuckDB's SQL `/`:
     *  - zero-norm vector: raw `dot/(√na·√nb)` would be NaN, and NaN
     *    sorts ABOVE every double under `desc`, so one zero vector would
     *    silently top every cosine top-k;
     *  - length mismatch: truncating to min(n) silently scores garbage —
-    *    mismatched embeddings are not comparable.
+    *    mismatched embeddings are not comparable;
+    *  - null ELEMENT: getFloat on a null slot reads garbage (0.0f for
+    *    UnsafeArrayData) — treating it as zero silently skews the
+    *    score, so a null element nulls the result like the HOF form.
     * eval and doGenCode are kept branch-for-branch identical.
     */
   override def nullable: Boolean = true
@@ -56,6 +60,7 @@ case class CosineSim(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi
@@ -81,14 +86,17 @@ case class CosineSim(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    double $xi = (double) $a.getFloat($i);
          |    double $yi = (double) $b.getFloat($i);
          |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |  }
-         |  if ($na == 0.0 || $nb == 0.0) {
-         |    ${ev.isNull} = true;
-         |  } else {
-         |    ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+         |  if (!${ev.isNull}) {
+         |    if ($na == 0.0 || $nb == 0.0) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+         |    }
          |  }
          |}
        """.stripMargin

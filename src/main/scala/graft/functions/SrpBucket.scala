@@ -62,14 +62,19 @@ case class SrpBucket(child: Expression, bits: Int, seed: Long)
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       val bucket = ctx.freshName("bucket")
+      // freshName like every other local: a fixed name would collide
+      // when two srp_bucket calls land bare in one generated method
+      // (nullSafeCodeGen adds its own scope only for nullable children)
+      // and Janino would reject the whole stage.
+      val plane = ctx.freshName("plane")
       s"""
          |int $n = Math.min($v.numElements(), ${MaxDim});
          |long $bucket = 0L;
          |for (int $b = 0; $b < $bits; $b++) {
          |  double $dot = 0.0;
-         |  double[] plane = $planesRef[$b];
+         |  double[] $plane = $planesRef[$b];
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $dot += (double) $v.getFloat($i) * plane[$i];
+         |    $dot += (double) $v.getFloat($i) * $plane[$i];
          |  }
          |  if ($dot > 0) $bucket |= (1L << $b);
          |}

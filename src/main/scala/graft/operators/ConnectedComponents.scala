@@ -38,8 +38,18 @@ object ConnectedComponents {
   def run(
       edges: DataFrame, maxIter: Int = 20,
       smallGraphThreshold: Long = 100000): DataFrame = {
-    val symIn = edges.toDF("i", "j").persist()
+    // Both paths cast endpoints to long up front, so the OUTPUT schema
+    // is (v: bigint, component: bigint) regardless of which path the
+    // edge count selects — a consumer must not see its types flip when
+    // data crosses the threshold.
+    val symIn = edges.toDF("i", "j")
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
+      .persist()
     val nEdges = symIn.count()
+    // Each path MATERIALIZES its result (runLocal's localCheckpoint /
+    // the iterative rounds' checkpoints) before this unpersist — a
+    // lazy result here would silently recompute the whole upstream
+    // edge pipeline at the caller's first action.
     val out =
       if (nEdges <= smallGraphThreshold) runLocal(symIn)
       else runIterative(symIn, maxIter)
@@ -55,7 +65,7 @@ object ConnectedComponents {
   private def runLocal(sym: DataFrame): DataFrame = {
     val spark = sym.sparkSession
     import spark.implicits._
-    val ds = sym.select(col("i").cast("long"), col("j").cast("long")).as[(Long, Long)]
+    val ds = sym.select(col("i"), col("j")).as[(Long, Long)]
     ds.repartition(1).mapPartitions { it =>
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
@@ -77,6 +87,9 @@ object ConnectedComponents {
       parent.keySet().forEach(v => res += ((v, find(v))))
       res.iterator
     }.toDF("v", "component")
+      // Materialize before run() unpersists the edge cache the plan
+      // reads — see run().
+      .localCheckpoint()
   }
 
   private def runIterative(edges: DataFrame, maxIter: Int): DataFrame = {
@@ -131,6 +144,13 @@ object ConnectedComponents {
       it += 1
     }
     adj.unpersist()
+    // Wrong labels are worse than no labels: an un-converged exit
+    // would report one true component as many false ones (a dedup
+    // caller then KEEPS duplicates) — fail loudly instead.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds — the graph's " +
+          "diameter exceeds maxIter; raise it (rounds needed ≈ diameter)")
     labels
   }
 }

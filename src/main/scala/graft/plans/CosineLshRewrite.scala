@@ -23,8 +23,11 @@ import graft.functions.{CosineSim, SrpBucket}
   * not a semantics-preserving optimization. The original cosine filter
   * is kept, so precision is unaffected.
   *
-  * Applies once by construction: the rewritten Join carries a condition,
-  * which the pattern (condition = None) no longer matches.
+  * Applies once by construction: the rewrite injects a cross-side
+  * srp_bucket equality, and [[hasCrossSideEquiKey]] skips any join
+  * that already has one — that guard IS the idempotence mechanism in
+  * the fixpoint optimizer batch, so weakening it re-opens unbounded
+  * re-application.
   */
 object CosineLshRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -88,8 +91,12 @@ object CosineLshRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def hasCrossSideEquiKey(j: Join): Boolean =
     j.condition.toSeq.flatMap(splitConjunctivePredicates).exists {
       case EqualTo(x, y) =>
-        (x.references.subsetOf(j.left.outputSet) && y.references.subsetOf(j.right.outputSet)) ||
-          (x.references.subsetOf(j.right.outputSet) && y.references.subsetOf(j.left.outputSet))
+        // Both operands must actually REFERENCE their side: a literal's
+        // empty reference set is a subset of anything, and col = 5 is
+        // not a hash-partitionable cross-side key.
+        x.references.nonEmpty && y.references.nonEmpty &&
+          ((x.references.subsetOf(j.left.outputSet) && y.references.subsetOf(j.right.outputSet)) ||
+            (x.references.subsetOf(j.right.outputSet) && y.references.subsetOf(j.left.outputSet)))
       case _ => false
     }
 }

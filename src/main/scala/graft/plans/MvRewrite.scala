@@ -5,8 +5,8 @@ import scala.util.control.NonFatal
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedStar}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, ExprId, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, ExprId, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
@@ -250,8 +250,13 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
         case al @ Alias(ae: AggregateExpression, _)
             if !ae.isDistinct && ae.filter.isEmpty =>
           val src = specByKey.get(norm(ae)).flatMap(mvAttr).getOrElse(return None)
-          val reagg = ae.aggregateFunction match {
-            case _: Sum | _: Count => Sum(src).toAggregateExpression()
+          val reagg: Expression = ae.aggregateFunction match {
+            case _: Sum => Sum(src).toAggregateExpression()
+            // Sum over zero rows is NULL but count over zero rows is
+            // 0 — a GLOBAL rollup (empty grouping) of an empty or
+            // fully-filtered MV must keep count semantics.
+            case _: Count =>
+              Coalesce(Seq(Sum(src).toAggregateExpression(), Literal(0L)))
             case _: Min => Min(src).toAggregateExpression()
             case _: Max => Max(src).toAggregateExpression()
             case _ => return None
@@ -433,8 +438,12 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
         Alias(m, al.name)(exprId = al.exprId)
       case al @ Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
         val src = unionAttr(specByKey(norm(ae)))
-        val reagg = ae.aggregateFunction match {
-          case _: Sum | _: Count => Sum(src).toAggregateExpression()
+        val reagg: Expression = ae.aggregateFunction match {
+          case _: Sum => Sum(src).toAggregateExpression()
+          // Same count-vs-sum empty-input distinction as the rollup
+          // arm: the merged global count must be 0, never NULL.
+          case _: Count =>
+            Coalesce(Seq(Sum(src).toAggregateExpression(), Literal(0L)))
           case _: Min => Min(src).toAggregateExpression()
           case _: Max => Max(src).toAggregateExpression()
           case _ => return None
@@ -475,7 +484,11 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
         try {
           session.sessionState.functionRegistry
             .lookupFunction(FunctionIdentifier(u.nameParts.head), args) match {
-            case af: AggregateFunction => af.toAggregateExpression(u.isDistinct)
+            // FILTER must survive the rebind: dropping it would key a
+            // filtered MV column as its unfiltered twin and serve
+            // filtered sums to an unfiltered query.
+            case af: AggregateFunction =>
+              AggregateExpression(af, Complete, u.isDistinct, u.filter)
             case other => other
           }
         } catch { case NonFatal(_) => failed = true; u }
@@ -485,15 +498,21 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     if (failed || !bound.resolved) None else Some(bound)
   }
 
-  /** Name-normalized structural key: attribute identity by lowercase
-    * NAME (not ExprId — the two sides bind independently), qualifiers
-    * stripped, then canonical SQL text. Exact-match comparison — no
-    * algebraic equivalences beyond what `.sql` normalizes.
+  /** Name-normalized structural key: attribute identity by NAME (not
+    * ExprId — the two sides bind independently), qualifiers stripped,
+    * then canonical SQL text. Name folding honors the session's case
+    * sensitivity: under spark.sql.caseSensitive=true, columns `a` and
+    * `A` are distinct and must not key to the same spec. Exact-match
+    * comparison — no algebraic equivalences beyond what `.sql`
+    * normalizes.
     */
-  private def norm(e: Expression): String =
-    e.transformUp {
+  private def norm(e: Expression): String = {
+    val ci = !conf.caseSensitiveAnalysis
+    val canon = e.transformUp {
       case a: AttributeReference =>
-        AttributeReference(a.name.toLowerCase, a.dataType, nullable = true)(
-          exprId = ExprId(0), qualifier = Nil)
-    }.sql.toLowerCase
+        AttributeReference(if (ci) a.name.toLowerCase else a.name, a.dataType,
+          nullable = true)(exprId = ExprId(0), qualifier = Nil)
+    }.sql
+    if (ci) canon.toLowerCase else canon
+  }
 }

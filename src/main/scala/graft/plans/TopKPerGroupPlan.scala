@@ -102,12 +102,23 @@ final case class TopKPerGroupExec(
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  // Float/double group keys need -0.0/NaN normalization — Spark's
+  // NormalizeFloatingNumbers rule only covers its own operators
+  // (Aggregate/Join/Window), not this custom node. Without it, 0.0 and
+  // -0.0 hash to different shuffle partitions AND different heap keys,
+  // splitting one logical group — where the window form this operator
+  // replaces would keep one group of k rows. normalize() is identity
+  // for types that don't need it.
+  private val normGroupExprs: Seq[Expression] =
+    groupExprs.map(org.apache.spark.sql.GraftSqlBridge.normalizeFloats)
+
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(groupExprs) :: Nil
+    ClusteredDistribution(normGroupExprs) :: Nil
 
   def createAccumulator(): TopKGroupAccumulator =
     new TopKGroupAccumulator(
-      UnsafeProjection.create(groupExprs, child.output),
+      UnsafeProjection.create(normGroupExprs, child.output),
       RowOrdering.create(order, child.output),
       k)
 

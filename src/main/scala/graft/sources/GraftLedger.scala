@@ -401,25 +401,67 @@ private[sources] object GraftLedger {
     val target = dir.resolve(fileName(ident))
     val tmp = Files.createTempFile(dir, ".tmp-", ".json")
     try {
-      Files.writeString(tmp, json)
+      // fsync BEFORE the rename: on delayed-allocation filesystems a
+      // crash can otherwise persist the rename but not the bytes,
+      // leaving a truncated document — exactly the torn state the
+      // never-torn contract rules out. Data first, then the directory
+      // entry (so the rename itself is durable too, best-effort: some
+      // platforms refuse directory fds).
+      val ch = java.nio.channels.FileChannel.open(tmp, java.nio.file.StandardOpenOption.WRITE)
+      try {
+        ch.write(java.nio.ByteBuffer.wrap(json.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        ch.force(true)
+      } finally ch.close()
       Files.move(tmp, target,
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      fsyncDir(dir)
     } finally Files.deleteIfExists(tmp)
   }
 
+  /** Best-effort directory fsync — makes the rename durable on Linux;
+    * platforms that refuse opening a directory channel just skip it.
+    */
+  private def fsyncDir(dir: Path): Unit =
+    try {
+      val ch = java.nio.channels.FileChannel.open(dir, java.nio.file.StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    } catch { case _: java.io.IOException => () }
+
   def delete(dir: Path, ident: Identifier): Unit = {
-    try Files.deleteIfExists(dir.resolve(fileName(ident)))
-    catch { case _: java.io.IOException => () }
+    val f = dir.resolve(fileName(ident))
+    try {
+      Files.deleteIfExists(f)
+      fsyncDir(dir)
+    } catch {
+      case e: java.io.IOException =>
+        // A silently-failed delete RESURRECTS the document on the next
+        // restart (a dropped table reappears pointing at GC'd files) —
+        // surface it loudly and retry at JVM exit as a last resort.
+        System.err.println(
+          s"graft ledger: failed to delete $f — the entry will reappear on " +
+            s"restart unless removed manually ($e)")
+        f.toFile.deleteOnExit()
+    }
   }
 
   def readAll(dir: Path): Seq[String] = {
     if (!Files.isDirectory(dir)) return Nil
     val s = Files.list(dir)
-    try s.iterator().asScala.toSeq
-      .filter(p => p.getFileName.toString.endsWith(".json") &&
-        !p.getFileName.toString.startsWith(".tmp-"))
-      .sortBy(_.getFileName.toString)
-      .map(Files.readString)
-    finally s.close()
+    try {
+      val (tmps, docs) = s.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".json"))
+        .partition(_.getFileName.toString.startsWith(".tmp-"))
+      // Startup sweep: a writer killed between createTempFile and the
+      // move leaks its temp file (the finally never ran) — reclaim
+      // them rather than accumulating forever. Age-gated so a live
+      // writer in another process can't lose its in-flight temp.
+      val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
+      tmps.foreach { p =>
+        try {
+          if (Files.getLastModifiedTime(p).toMillis < cutoff) Files.deleteIfExists(p)
+        } catch { case _: java.io.IOException => () }
+      }
+      docs.sortBy(_.getFileName.toString).map(Files.readString)
+    } finally s.close()
   }
 }

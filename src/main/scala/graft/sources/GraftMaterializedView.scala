@@ -91,18 +91,37 @@ private[graft] object GraftMvOps {
     }.getOrElse(throw new IllegalStateException(
       "no graft catalog registered in this session"))
 
-  /** Top-level comma split, parens-aware: `sum(a) AS x, corr(a,b) AS y`
-    * must not split inside `corr(a,b)`.
+  /** Top-level comma split, parens- AND quote-aware: `sum(a) AS x,
+    * corr(a,b) AS y` must not split inside `corr(a,b)`, and neither a
+    * paren/comma inside a string literal (`count_if(c = '(')`) nor a
+    * comma inside a backquoted alias may disturb depth or split point.
+    * Doubled quotes and backslash escapes stay inside their literal.
     */
   def splitTop(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     var depth = 0
+    var quote: Char = 0 // 0 = outside any literal; else the open quote
     val sb = new StringBuilder
-    s.foreach {
-      case '(' => depth += 1; sb += '('
-      case ')' => depth -= 1; sb += ')'
-      case ',' if depth == 0 => out += sb.toString.trim; sb.clear()
-      case c => sb += c
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        sb += c
+        if (c == '\\' && quote != '`' && i + 1 < s.length) {
+          sb += s.charAt(i + 1); i += 1
+        } else if (c == quote) {
+          if (i + 1 < s.length && s.charAt(i + 1) == quote) {
+            sb += quote; i += 1 // doubled quote = escaped, still inside
+          } else quote = 0
+        }
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; sb += c
+        case '(' => depth += 1; sb += '('
+        case ')' => depth -= 1; sb += ')'
+        case ',' if depth == 0 => out += sb.toString.trim; sb.clear()
+        case other => sb += other
+      }
+      i += 1
     }
     if (sb.nonEmpty) out += sb.toString.trim
     out.toSeq.filter(_.nonEmpty)
@@ -144,8 +163,13 @@ private[graft] object GraftMvOps {
     require(aggList.nonEmpty, "create_mv: aggs must hold at least one aggregate")
     require(!groupCols.contains(Present) && !groupCols.contains(SegAlias),
       s"create_mv: group column may not be named $Present / $SegAlias")
-    aggregateAt(spark, cat, sns, stbl, v0, groupCols, aggList)
-      .writeTo(fqn(cat, ns, name))
+    val df = aggregateAt(spark, cat, sns, stbl, v0, groupCols, aggList)
+    // Aggregate ALIASES collide with the refresh markers just as group
+    // columns would: `max(x) AS __graft_mv_present` would be replaced
+    // by the refresh's own marker column and break the MERGE.
+    require(!df.columns.exists(c => c == Present || c == SegAlias),
+      s"create_mv: aggregate alias may not be named $Present / $SegAlias")
+    df.writeTo(fqn(cat, ns, name))
       .tableProperty(SourceProp, s"$sns.$stbl")
       .tableProperty(GroupProp, groupCols.mkString(","))
       .tableProperty(AggsProp, aggs)
@@ -191,7 +215,17 @@ private[graft] object GraftMvOps {
     val v0 = props(VersionProp).toLong
     val v1 = GraftCatalog.currentVersion(sns, stbl).getOrElse(
       throw new NoSuchTableException(sIdent))
-    if (v1 == v0) return ("noop", 0L, v0)
+    if (v1 == v0) {
+      // A previously-failed MERGE can leave RefreshingProp up with the
+      // MV still consistent at VersionProp (the MERGE is one atomic
+      // commit — it either landed with the version bump or not at
+      // all). A verified noop is the proof of consistency, so clear
+      // the flag here or the stale-delta rewrite stays disabled until
+      // a data-changing refresh happens to run.
+      if (props.contains(RefreshingProp))
+        GraftCatalog.patchTableProps(ident, Map.empty, unset = Set(RefreshingProp))
+      return ("noop", 0L, v0)
+    }
 
     def fullRefresh(): (String, Long, Long) = {
       aggregateAt(spark, cat, sns, stbl, v1, groupCols, aggList)
@@ -221,8 +255,11 @@ private[graft] object GraftMvOps {
         val dvChanged = (m0.keySet & m1.keySet).filter(p => m0(p).dv != m1(p).dv)
         if (added.isEmpty && removed.isEmpty && dvChanged.isEmpty) {
           // Metadata-only commits (e.g. property churn) moved the
-          // version without touching data.
-          GraftCatalog.patchTableProps(ident, Map(VersionProp -> v1.toString))
+          // version without touching data. Clears a stuck
+          // RefreshingProp too — same consistency proof as the
+          // version-equal noop above.
+          GraftCatalog.patchTableProps(ident, Map(VersionProp -> v1.toString),
+            unset = Set(RefreshingProp))
           ("noop", 0L, v1)
         } else {
           // Group keys living in changed segments only. A dv-changed
@@ -237,7 +274,7 @@ private[graft] object GraftMvOps {
               .where(col(SegAlias).isin(paths.toSeq: _*))
               .select(groupCols.map(col): _*)
           }
-          val touched = keysAt(v1, added ++ dvChanged)
+          val touchedPlan = keysAt(v1, added ++ dvChanged)
             .unionAll(keysAt(v0, removed ++ dvChanged))
             .distinct()
           // Inline the touched keys as PER-COLUMN literal IN filters on
@@ -251,9 +288,21 @@ private[graft] object GraftMvOps {
           // set: never drops a touched row, the semi join below stays
           // the exact membership test.
           val MaxInlineProbe = 1000
-          val touchedLocal = touched.limit(MaxInlineProbe + 1).collect()
+          val touchedLocal = touchedPlan.limit(MaxInlineProbe + 1).collect()
+          // Reuse what the probe already computed: when the keys fit
+          // the driver probe, the MERGE's semi/outer joins read a
+          // LOCAL relation instead of re-running the changed-segment
+          // scans (which the uncached plan would otherwise pay twice
+          // more); past the probe, persist the plan across its count
+          // and both joins.
+          val smallProbe = touchedLocal.length <= MaxInlineProbe
+          val touched =
+            if (smallProbe)
+              spark.createDataFrame(
+                java.util.Arrays.asList(touchedLocal: _*), touchedPlan.schema)
+            else touchedPlan.persist()
           val touchedCount =
-            if (touchedLocal.length <= MaxInlineProbe) touchedLocal.length.toLong
+            if (smallProbe) touchedLocal.length.toLong
             else touched.count()
           val curAll = spark.sql(
             s"SELECT * FROM ${fqn(cat, sns, stbl)} VERSION AS OF $v1")
@@ -311,7 +360,10 @@ private[graft] object GraftMvOps {
                  |WHEN MATCHED THEN UPDATE SET $sets
                  |WHEN NOT MATCHED AND s.${q(Present)} IS NOT NULL THEN
                  |  INSERT ($insCols) VALUES ($insVals)""".stripMargin)
-          } finally spark.catalog.dropTempView(view)
+          } finally {
+            spark.catalog.dropTempView(view)
+            if (!smallProbe) touched.unpersist()
+          }
           GraftCatalog.patchTableProps(ident, Map(VersionProp -> v1.toString),
             unset = Set(RefreshingProp))
           ("incremental", touchedCount, v1)

@@ -73,8 +73,15 @@ object GraftMemorySink {
     */
   private[sources] def installAppend(
       name: String, schema: StructType, rows: Array[UnsafeRow]): Unit =
-    store.merge(name, (schema, rows),
-      (prev, next) => (prev._1, prev._2 ++ next._2))
+    store.merge(name, (schema, rows), (prev, next) => {
+      // A second job appending a DIFFERENT layout would mix row widths
+      // under the first job's schema — every later read then
+      // misinterprets the appended bytes. Refuse instead.
+      require(prev._1.map(_.dataType) == next._1.map(_.dataType),
+        s"graft_sink($name): append schema ${next._1.simpleString} does not match " +
+          s"the committed schema ${prev._1.simpleString}")
+      (prev._1, prev._2 ++ next._2)
+    })
 }
 
 private[sources] class GraftMemorySinkTable(name: String, schema0: StructType)
@@ -101,7 +108,7 @@ private[sources] class GraftMemorySinkBatchWrite(
     name: String, schema: StructType, truncateFirst: Boolean)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    GraftMemorySinkWriterFactory(schema.length)
+    GraftMemorySinkWriterFactory(schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // Atomic install: all tasks' rows become visible together, sorted
@@ -122,14 +129,22 @@ private[sources] class GraftMemorySinkBatchWrite(
 private[sources] case class GraftSinkTaskRows(
     partitionId: Int, rows: Array[UnsafeRow]) extends WriterCommitMessage
 
-private[sources] case class GraftMemorySinkWriterFactory(numFields: Int)
+private[sources] case class GraftMemorySinkWriterFactory(schema: StructType)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val buf = ArrayBuffer.empty[UnsafeRow]
+      // The V2 write path does not guarantee UnsafeRow (codegen off can
+      // surface Generic/JoinedRow) — project anything else instead of
+      // dying on a cast.
+      private lazy val toUnsafe =
+        org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(schema)
       override def write(record: InternalRow): Unit =
         // The engine reuses the incoming row buffer; copy before retaining.
-        buf += record.asInstanceOf[UnsafeRow].copy()
+        buf += (record match {
+          case u: UnsafeRow => u.copy()
+          case other => toUnsafe(other).copy()
+        })
       override def commit(): WriterCommitMessage =
         GraftSinkTaskRows(partitionId, buf.toArray)
       override def abort(): Unit = buf.clear() // discarded, never visible

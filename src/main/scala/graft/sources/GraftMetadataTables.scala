@@ -85,7 +85,9 @@ private[sources] object GraftMetadataTables {
     */
   def resolve(ident: Identifier): Option[Table] = {
     if (ident.namespace().length < 2) return None
-    val kind = ident.name()
+    // Case-insensitive, matching Spark's default identifier resolution
+    // (FROM graft.ns.t.FILES must find `files`).
+    val kind = ident.name().toLowerCase(java.util.Locale.ROOT)
     val schema = Kinds.getOrElse(kind, return None)
     val base = Identifier.of(
       ident.namespace().dropRight(1), ident.namespace().last)

@@ -248,25 +248,31 @@ private[graft] object PartField {
     */
   def renameIn(canonical: String, from: String, to: String): String = {
     val pf = parse(canonical)
-    if (pf.source != from) canonical
-    else (pf match {
-      case PartIdentity(_) => PartIdentity(to)
-      case PartDays(_) => PartDays(to)
-      case PartHours(_) => PartHours(to)
-      case PartMonths(_) => PartMonths(to)
-      case PartYears(_) => PartYears(to)
-      case PartBucket(n, _) => PartBucket(n, to)
-      case PartTruncate(w, _) => PartTruncate(w, to)
-    }).canonical
+    if (pf.source != from) canonical else withSource(pf, to).canonical
   }
 
-  /** Validate a field against the table schema: source exists, type
+  /** Rebind a field to a (possibly differently-cased) source name. */
+  private def withSource(pf: PartField, to: String): PartField = pf match {
+    case PartIdentity(_) => PartIdentity(to)
+    case PartDays(_) => PartDays(to)
+    case PartHours(_) => PartHours(to)
+    case PartMonths(_) => PartMonths(to)
+    case PartYears(_) => PartYears(to)
+    case PartBucket(n, _) => PartBucket(n, to)
+    case PartTruncate(w, _) => PartTruncate(w, to)
+  }
+
+  /** Validate a field against the table schema: source exists (matched
+    * case-insensitively, like Spark's analysis — the stored canonical
+    * string is re-seated to the schema's declared casing, because every
+    * downstream `schema.fieldIndex(pf.source)` lookup is exact), type
     * admissible, width positive. Returns the canonical string.
     */
-  def validate(pf: PartField, schema: StructType): String = {
-    val f = schema.fields.find(_.name == pf.source).getOrElse(
+  def validate(pf0: PartField, schema: StructType): String = {
+    val f = schema.fields.find(_.name.equalsIgnoreCase(pf0.source)).getOrElse(
       throw new IllegalArgumentException(
-        s"partition column ${pf.source} not in schema ${schema.simpleString}"))
+        s"partition column ${pf0.source} not in schema ${schema.simpleString}"))
+    val pf = if (f.name == pf0.source) pf0 else withSource(pf0, f.name)
     if (!pf.validFor(f.dataType))
       throw new UnsupportedOperationException(
         s"partition field ${pf.canonical}: transform not supported over ${f.dataType} " +
@@ -303,7 +309,14 @@ private[graft] object PartField {
     }
     def intArg: Int = t.arguments().collectFirst {
       case l: V2Literal[_] if l.value().isInstanceOf[Number] =>
-        l.value().asInstanceOf[Number].intValue()
+        // Range-checked, not narrowed: intValue() on a Long literal
+        // silently wraps (truncate(2^32+1, c) -> truncate(1, c)) and
+        // the table would partition by a width the user never wrote.
+        val v = l.value().asInstanceOf[Number].longValue()
+        if (v < Int.MinValue || v > Int.MaxValue)
+          throw new IllegalArgumentException(
+            s"$t: literal argument $v does not fit in an INT")
+        v.toInt
     }.getOrElse(throw new IllegalArgumentException(s"$t needs an integer literal argument"))
     t.name() match {
       case "identity" => PartIdentity(singleRef)
@@ -438,16 +451,17 @@ private[graft] class GraftTimeUnitBound(unit: String, src: DataType)
   override def canonicalName(): String = s"graft.$unit($src)"
   override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): AnyRef =
     if (input.isNullAt(0)) null
-    else {
-      val day = src match {
-        case DateType => input.getInt(0).toLong
-        case _ => PartField.epochDay(input.getLong(0))
-      }
-      unit match {
-        case "hours" => java.lang.Long.valueOf(PartField.epochHour(input.getLong(0)))
-        case "months" => Integer.valueOf(PartField.epochMonth(day))
-        case _ => Integer.valueOf(PartField.epochYear(day))
-      }
+    else unit match {
+      // Per-row hot path: the hours branch never needs the epoch day,
+      // so the day division is computed only where it is used.
+      case "hours" => java.lang.Long.valueOf(PartField.epochHour(input.getLong(0)))
+      case other =>
+        val day = src match {
+          case DateType => input.getInt(0).toLong
+          case _ => PartField.epochDay(input.getLong(0))
+        }
+        if (other == "months") Integer.valueOf(PartField.epochMonth(day))
+        else Integer.valueOf(PartField.epochYear(day))
     }
 }
 
@@ -483,9 +497,15 @@ private[graft] class GraftBucketBound(nType: DataType, src: DataType)
   }
   override def produceResult(
       input: org.apache.spark.sql.catalyst.InternalRow): java.lang.Integer =
-    if (input.isNullAt(1)) null
+    if (input.isNullAt(0) || input.isNullAt(1)) null
     else {
       val n = nOf(input)
+      // SQL-callable surface: a zero/negative count would otherwise
+      // surface as ArithmeticException (floorMod by 0) or an
+      // out-of-contract negative bucket.
+      if (n <= 0)
+        throw new IllegalArgumentException(
+          s"bucket($n, …): bucket count must be positive")
       src match {
         case StringType =>
           Integer.valueOf(PartField.bucketOfBytes(n, input.getUTF8String(1).getBytes))
@@ -528,9 +548,15 @@ private[graft] class GraftTruncateBound(wType: DataType, src: DataType)
     case _ => input.getInt(0).toLong
   }
   override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): AnyRef =
-    if (input.isNullAt(1)) null
+    if (input.isNullAt(0) || input.isNullAt(1)) null
     else {
       val w = wOf(input)
+      // SQL-callable surface: widths outside [1, Int.MaxValue] would
+      // otherwise wrap (substring with a negative overflowed length
+      // silently returns "") instead of erroring.
+      if (w <= 0 || w > Int.MaxValue)
+        throw new IllegalArgumentException(
+          s"truncate($w, …): width must be in [1, ${Int.MaxValue}]")
       src match {
         case StringType => input.getUTF8String(1).substring(0, w.toInt)
         case LongType =>

@@ -125,24 +125,62 @@ object SegmentBloom {
     * must mean "don't know", not "provably missing").
     */
   final class Builder {
-    private val seen = new java.util.HashSet[java.lang.Long]()
+    // Primitive open-addressed set (linear probing, power-of-two
+    // table, 0 as the empty-slot sentinel with a side flag for a real
+    // zero hash): a boxed java.util.HashSet costs ~48 bytes per entry
+    // — ~3 MB per column per in-flight segment at the distinct cap —
+    // for keys that are already well-mixed 64-bit hashes.
+    private var table = new Array[Long](1 << 8)
+    private var n = 0
+    private var hasZero = false
     private var over = false
+
+    private def grow(): Unit = {
+      val old = table
+      table = new Array[Long](old.length << 1)
+      var i = 0
+      while (i < old.length) {
+        if (old(i) != 0L) put(old(i))
+        i += 1
+      }
+    }
+
+    private def put(h: Long): Boolean = { // true = newly inserted
+      val mask = table.length - 1
+      var i = h.toInt & mask
+      while (table(i) != 0L) {
+        if (table(i) == h) return false
+        i = (i + 1) & mask
+      }
+      table(i) = h
+      true
+    }
 
     def add(v: Any): Unit = if (!over) hashOf(v) match {
       case Some(h) =>
-        seen.add(h)
-        if (seen.size > MaxDistinct) { over = true; seen.clear() }
+        if (h == 0L) {
+          if (!hasZero) { hasZero = true; n += 1 }
+        } else if (put(h)) {
+          n += 1
+          if (n > MaxDistinct) { over = true; table = Array.empty; return }
+          if ((n - (if (hasZero) 1 else 0)) * 4 >= table.length * 3) grow()
+        }
       case None =>
-        over = true; seen.clear()
+        over = true; table = Array.empty
     }
 
     def result(): Option[Array[Long]] =
-      if (over || seen.isEmpty) None
+      if (over || n == 0) None
       else {
-        val wantBits = math.max(512L, seen.size.toLong * BitsPerKey)
+        val wantBits = math.max(512L, n.toLong * BitsPerKey)
         val m = java.lang.Long.highestOneBit(wantBits * 2 - 1).toInt // next pow2 ≥ want
         val bits = new Array[Long](m >>> 6)
-        seen.forEach(h => set(bits, h))
+        var i = 0
+        while (i < table.length) {
+          if (table(i) != 0L) set(bits, table(i))
+          i += 1
+        }
+        if (hasZero) set(bits, 0L)
         Some(bits)
       }
   }

@@ -74,6 +74,13 @@ object StreamingOps {
   }
 
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    // Deliberately session-wide and NOT restored, matching
+    // Tables.events (the batch loader): both entry points must read
+    // the driver's ns-encoded events parquet identically for the whole
+    // session, and the flag must still be set when the lazy stream
+    // plans its batches. The only TIMESTAMP(NANOS) source in the
+    // harness is this table, and both loaders canonicalize ts to
+    // micros right here, so no other read observes the flag.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val staged = stagedEventsDir(dir)
     val schema = probedSchema(spark, staged)
@@ -110,6 +117,7 @@ object StreamingOps {
       mode: String,
       name: String): DataFrame = {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevRetain = spark.conf.getOption("spark.sql.streaming.minBatchesToRetain")
     // Default 100 retained state snapshots is recovery-window tuning a
     // bounded replay doesn't need.
     spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
@@ -122,7 +130,13 @@ object StreamingOps {
         .trigger(Trigger.AvailableNow())
         .start()
         .awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevRetain match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.minBatchesToRetain", v)
+        case None => spark.conf.unset("spark.sql.streaming.minBatchesToRetain")
+      }
+    }
     // Materialize off the sink and drop it: the memory sink holds the
     // full result on the driver, and leaked sink tables from a batch of
     // streaming queries degrade later queries in the same session.

@@ -22,4 +22,12 @@ object GraftSqlBridge {
     */
   def expression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** -0.0/NaN canonicalization for float/double (struct/array included)
+    * grouping keys — identity for types that don't need it. Custom
+    * operators must apply this themselves: Spark's optimizer rule only
+    * covers its own Aggregate/Join/Window nodes.
+    */
+  def normalizeFloats(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }

@@ -128,6 +128,24 @@ class Dsv2Spec extends AnyFunSuite {
     GraftMemorySink.clear("t_roundtrip")
   }
 
+  test("graft-sink append with a different schema refuses instead of mixing layouts") {
+    import graft.sources.GraftMemorySink
+    GraftMemorySink.clear("t_mismatch")
+    spark.range(0, 10, 1, 2).select($"id")
+      .write.format("graft-sink").option("name", "t_mismatch").mode("append").save()
+    val e = intercept[Exception] {
+      spark.range(0, 10, 1, 2).select($"id", ($"id" * 2).as("v"))
+        .write.format("graft-sink").option("name", "t_mismatch").mode("append").save()
+    }
+    def hasMsg(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("does not match")) ||
+        hasMsg(t.getCause))
+    assert(hasMsg(e), s"expected the schema-mismatch refusal, got: $e")
+    // The first job's rows survive untouched.
+    assert(GraftMemorySink.rows("t_mismatch").length == 10)
+    GraftMemorySink.clear("t_mismatch")
+  }
+
   test("splits survive ranges where i*n would overflow Long") {
     // The naive lo + i*n/parts bound computation overflows for
     // n > Long.MaxValue / slices and silently produces wrapped splits;

@@ -315,5 +315,57 @@ class HiddenPartitionSpec extends AnyFunSuite {
       spark.sql("CALL graft.system.set_partitioning('hp', 'nope_missing', 'days(ts)')")
     }
     assert(e3 != null)
+    // A width literal past Int range must refuse, not wrap (4294967297
+    // narrows to truncate(1) via Number.intValue).
+    val e4 = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.hp.bad (s STRING) USING graft " +
+        "PARTITIONED BY (truncate(4294967297, s))")
+    }
+    assert(e4.getMessage.contains("does not fit"), e4.getMessage)
+  }
+
+  test("transform source columns resolve case-insensitively, stored in schema casing") {
+    spark.sql("DROP TABLE IF EXISTS graft.hp.ci")
+    // Schema declares `ts`; DDL references `TS` — Spark resolves
+    // case-insensitively, so the catalog must too (and must store the
+    // canonical field under the schema's casing, because every
+    // downstream fieldIndex lookup is exact).
+    spark.sql("CREATE TABLE graft.hp.ci (TS TIMESTAMP, v BIGINT) USING graft " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql("INSERT INTO graft.hp.ci VALUES (TIMESTAMP'2024-01-15 10:00:00', 1), " +
+      "(TIMESTAMP'2024-02-20 11:00:00', 2)")
+    assert(spark.sql("SELECT sum(v) FROM graft.hp.ci").head().getLong(0) == 3L)
+    // The stored partition field carries the schema's declared casing.
+    val spec = spark.sql("SELECT DISTINCT spec FROM graft.hp.ci.files")
+      .collect().map(_.getString(0)).toSet
+    assert(spec == Set("days(TS)"), s"spec stored in schema casing, got $spec")
+    spark.sql("DROP TABLE graft.hp.ci")
+  }
+
+  test("SQL-callable bucket/truncate reject zero/negative widths, null-propagate") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val b = graft.sources.GraftBucketFunction.bind(
+      StructType(Seq(StructField("n", IntegerType), StructField("v", LongType))))
+      .asInstanceOf[graft.sources.GraftBucketBound]
+    assert(b.produceResult(new GenericInternalRow(Array[Any](null, 5L))) == null)
+    val eb = intercept[IllegalArgumentException] {
+      b.produceResult(new GenericInternalRow(Array[Any](0, 5L)))
+    }
+    assert(eb.getMessage.contains("positive"))
+    val en = intercept[IllegalArgumentException] {
+      b.produceResult(new GenericInternalRow(Array[Any](-4, 5L)))
+    }
+    assert(en.getMessage.contains("positive"))
+    val t = graft.sources.GraftTruncateFunction.bind(
+      StructType(Seq(StructField("w", LongType), StructField("v", StringType))))
+      .asInstanceOf[graft.sources.GraftTruncateBound]
+    assert(t.produceResult(new GenericInternalRow(
+      Array[Any](null, org.apache.spark.unsafe.types.UTF8String.fromString("abc")))) == null)
+    val et = intercept[IllegalArgumentException] {
+      t.produceResult(new GenericInternalRow(
+        Array[Any](5000000000L, org.apache.spark.unsafe.types.UTF8String.fromString("abc"))))
+    }
+    assert(et.getMessage.contains("width"))
   }
 }

@@ -558,6 +558,88 @@ class MaterializedViewSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.mvc.base")
   }
 
+  test("global count rollup over an empty slice returns 0, never NULL") {
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.identifier.map(_.toString).getOrElse("")
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.identifier.map(_.toString).getOrElse("")
+      }
+    spark.sql("DROP TABLE IF EXISTS graft.mvz.base")
+    spark.sql("DROP TABLE IF EXISTS graft.mvz.agg")
+    spark.sql("CREATE TABLE graft.mvz.base (g STRING, v BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.mvz.base VALUES ('a', 1), ('b', 2)")
+    spark.sql("CALL graft.system.create_mv('mvz', 'agg', 'mvz.base', 'g', " +
+      "'count(*) AS cnt, sum(v) AS s')").collect()
+    // WHERE matching no MV group: Sum(cnt) over ZERO rows is NULL but
+    // count semantics demand 0 — the rewrite must coalesce.
+    val q = spark.sql("SELECT count(*) AS c FROM graft.mvz.base WHERE g = 'zz'")
+    assert(scans(q).exists(_.contains("agg")), s"MV-served, scanned: ${scans(q)}")
+    val row = q.collect().head
+    assert(!row.isNullAt(0) && row.getLong(0) == 0L,
+      s"count over an empty slice is 0, got ${row}")
+    // sum keeps SQL semantics: NULL over empty input.
+    val s = spark.sql("SELECT sum(v) AS s FROM graft.mvz.base WHERE g = 'zz'")
+    assert(s.collect().head.isNullAt(0), "sum over empty input stays NULL")
+    spark.sql("DROP TABLE graft.mvz.agg")
+    spark.sql("DROP TABLE graft.mvz.base")
+  }
+
+  test("FILTER-clause MV aggregates never serve an unfiltered query") {
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.identifier.map(_.toString).getOrElse("")
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.identifier.map(_.toString).getOrElse("")
+      }
+    spark.sql("DROP TABLE IF EXISTS graft.mvf.base")
+    spark.sql("DROP TABLE IF EXISTS graft.mvf.agg")
+    spark.sql("CREATE TABLE graft.mvf.base (g STRING, x BIGINT, y BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.mvf.base VALUES ('a', 1, 1), ('a', 10, -1), ('b', 5, 1)")
+    spark.sql("CALL graft.system.create_mv('mvf', 'agg', 'mvf.base', 'g', " +
+      "'sum(x) FILTER (WHERE y > 0) AS s')").collect()
+    // The unfiltered twin must NOT be answered from the filtered MV —
+    // a dropped FILTER in spec binding would key them identically.
+    val q = spark.sql("SELECT g, sum(x) AS s FROM graft.mvf.base GROUP BY g")
+    assert(!scans(q).exists(_.contains("agg")),
+      s"unfiltered sum must not read the filtered MV, scanned: ${scans(q)}")
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(got == Seq(("a", 11L), ("b", 5L)), s"got $got")
+    // The exactly-matching filtered query MAY be MV-served — and must
+    // return the filtered sums either way.
+    val f = spark.sql(
+      "SELECT g, sum(x) FILTER (WHERE y > 0) AS s FROM graft.mvf.base GROUP BY g")
+    val gotF = f.collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    assert(gotF == Seq(("a", 1L), ("b", 5L)), s"got $gotF")
+    spark.sql("DROP TABLE graft.mvf.agg")
+    spark.sql("DROP TABLE graft.mvf.base")
+  }
+
+  test("splitTop respects string literals and backquoted aliases") {
+    import graft.sources.GraftMvOps.splitTop
+    assert(splitTop("sum(a) AS x, corr(a,b) AS y") == Seq("sum(a) AS x", "corr(a,b) AS y"))
+    assert(splitTop("count_if(c = '(') AS k, sum(x) AS s") ==
+      Seq("count_if(c = '(') AS k", "sum(x) AS s"))
+    assert(splitTop("sum(x) AS `a,b`, max(y) AS m") ==
+      Seq("sum(x) AS `a,b`", "max(y) AS m"))
+    assert(splitTop("count_if(c = 'it''s, fine') AS k, min(v) AS lo") ==
+      Seq("count_if(c = 'it''s, fine') AS k", "min(v) AS lo"))
+  }
+
+  test("reserved marker names refuse as aggregate aliases at create") {
+    spark.sql("DROP TABLE IF EXISTS graft.mvr.base")
+    spark.sql("CREATE TABLE graft.mvr.base (g STRING, v BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.mvr.base VALUES ('a', 1)")
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.create_mv('mvr', 'agg', 'mvr.base', 'g', " +
+        "'max(v) AS __graft_mv_present')").collect()
+    }
+    assert(e.getMessage.contains("__graft_mv_present"), e.getMessage)
+    spark.sql("DROP TABLE graft.mvr.base")
+  }
+
   test("refresh of a non-MV table and unknown MV fail loudly") {
     spark.sql("DROP TABLE IF EXISTS graft.mv7.plain")
     spark.sql("CREATE TABLE graft.mv7.plain (k BIGINT) USING graft")

@@ -85,6 +85,17 @@ class MetadataTableSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.meta.p")
   }
 
+  test("metadata-table kinds resolve case-insensitively (FROM t.FILES)") {
+    spark.sql("DROP TABLE IF EXISTS graft.meta.ci")
+    spark.sql("CREATE TABLE graft.meta.ci (k BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.meta.ci VALUES (1), (2)")
+    val lower = spark.sql("SELECT count(*) FROM graft.meta.ci.files").as[Long].head()
+    assert(lower >= 1L)
+    assert(spark.sql("SELECT count(*) FROM graft.meta.ci.FILES").as[Long].head() == lower)
+    assert(spark.sql("SELECT count(*) FROM graft.meta.ci.History").as[Long].head() >= 1L)
+    spark.sql("DROP TABLE graft.meta.ci")
+  }
+
   test("branches lists open WAP branches; unknown kinds and bases refuse") {
     spark.sql("DROP TABLE IF EXISTS graft.meta.b")
     spark.sql("CREATE TABLE graft.meta.b (k BIGINT) USING graft")

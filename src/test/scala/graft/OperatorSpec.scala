@@ -117,6 +117,79 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("ConnectedComponents: both paths emit (bigint, bigint) for int edges") {
+    val edges = Seq((1, 2), (2, 3)).toDF("i", "j") // IntegerType columns
+    val local = graft.operators.ConnectedComponents.run(edges)
+    val iter = graft.operators.ConnectedComponents.run(edges, smallGraphThreshold = 0)
+    import org.apache.spark.sql.types.LongType
+    assert(local.schema.fields.map(_.dataType).toSeq == Seq(LongType, LongType),
+      s"local path schema: ${local.schema.simpleString}")
+    assert(iter.schema.fields.map(_.dataType).toSeq == Seq(LongType, LongType),
+      s"iterative path schema: ${iter.schema.simpleString}")
+    assert(local.as[(Long, Long)].collect().toMap ==
+      iter.as[(Long, Long)].collect().toMap)
+  }
+
+  test("ConnectedComponents: non-convergence fails loudly, never returns wrong labels") {
+    // Path graph of diameter 6 needs ~6 rounds; maxIter=2 must throw,
+    // not return intermediate (split) components.
+    val path = (1L to 6L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("i", "j")
+    val e = intercept[IllegalStateException] {
+      graft.operators.ConnectedComponents
+        .run(path, maxIter = 2, smallGraphThreshold = 0)
+        .collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // With enough rounds the same graph converges to one component.
+    val ok = graft.operators.ConnectedComponents
+      .run(path, maxIter = 10, smallGraphThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(ok.values.toSet == Set(1L))
+  }
+
+  test("cosine_sim: a null ELEMENT nulls the score (matches the HOF form)") {
+    graft.functions.CosineSim.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  cosine_sim(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)),
+        |             array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS with_null,
+        |  cosine_sim(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)),
+        |             array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS clean
+        |""".stripMargin).head()
+    assert(r.isNullAt(0), "null element must null the result, not score as 0.0")
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("srp_bucket: two calls in one codegen'd projection compile (no fallback)") {
+    graft.functions.SrpBucket.register(spark)
+    // Non-nullable array children emit BARE codegen bodies into one
+    // method — a fixed local name would collide and kick the whole
+    // stage out of codegen. fallback=false turns that into a hard
+    // error instead of a silent WARN.
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val rows = spark.range(0, 8).selectExpr(
+        "srp_bucket(array(CAST(id AS FLOAT), CAST(id + 1 AS FLOAT)), 8, 7001L) AS b1",
+        "srp_bucket(array(CAST(id * 2 AS FLOAT), CAST(id AS FLOAT)), 8, 7001L) AS b2")
+        .collect()
+      assert(rows.length == 8)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
+  test("TopK.perGroup: 0.0 and -0.0 group keys are ONE group (float normalization)") {
+    val df = Seq((0.0, 1L), (-0.0, 2L), (0.0, 3L), (1.5, 4L)).toDF("g", "v")
+    val got = graft.plans.TopK.perGroup(df, Seq($"g"), Seq($"v".desc), 2)
+      .as[(Double, Long)].collect().toSeq
+    val zeroGroup = got.filter(_._1 == 0.0).map(_._2).sorted
+    assert(zeroGroup == Seq(2L, 3L),
+      s"0.0/-0.0 must collapse to one group keeping top-2 of {1,2,3}, got $got")
+    assert(got.filter(_._1 == 1.5).map(_._2) == Seq(4L))
+  }
+
   test("A6: approx_count_distinct is within rsd bounds of exact") {
     val df = (1 to 5000).map(i => (i % 700L)).toDF("v")
     val r = df.agg(
