@@ -72,9 +72,7 @@ object Bench {
       (name, times(reps / 2), times.head, times.last)
     }
     val results = stats.map { case (n, med, _, _) => (n, med) }
-    def jstr(s: String): String =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replaceAll("[\\n\\r\\t]", " ") + "\""
+    def jstr(s: String): String = Q.jstr(s)
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

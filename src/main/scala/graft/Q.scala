@@ -20,4 +20,20 @@ final case class Q(
 object Q {
   def apply(name: String, sql: String)(fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, Some(sql))
+
+  /** THE JSON string escaper for every harness artifact (Bench, Verify,
+    * ScaleSpot): backslash, quote, and ALL control chars — an exception
+    * message with a newline or NUL must never make a one-line JSON
+    * artifact unparseable (the driver would then score the round as
+    * parse-failed). Three divergent hand-rolled copies predate this.
+    */
+  def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 }

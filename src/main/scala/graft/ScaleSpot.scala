@@ -69,6 +69,12 @@ object ScaleSpot {
       if (sys.env.contains("SPARK_GRAFT_SCALE_ALL")) qs.keys.toSeq.sorted
       else picks
     val errors = scala.collection.mutable.SortedMap[String, String]()
+    // A typo'd or renamed pick must be LOUD: silently shrinking the
+    // scale suite leaves a datapoint that looks complete but isn't.
+    chosen.filterNot(qs.contains).foreach { name =>
+      errors(name) = "pick not in the query registry (renamed?)"
+      System.err.println(s"[scale-spot] pick $name missing from registry")
+    }
     val times = chosen.flatMap { name =>
       qs.get(name).map { fn =>
         val t0 = System.nanoTime()
@@ -77,12 +83,17 @@ object ScaleSpot {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(160)
           System.err.println(s"[scale-spot] $name FAILED: ${e.getMessage}")
         }
+        // Clock stops BEFORE cleanup (the Bench discipline) — billing
+        // cache-clear to the query would inflate rows that follow
+        // persist-heavy ones relative to the sf0.1 numbers they are
+        // compared against.
+        val elapsed = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
-        name -> (System.nanoTime() - t0) / 1e9
+        name -> elapsed
       }
     }
-    def jstr(s: String) = "\"" + s.replace("\"", "\\\"") + "\""
+    def jstr(s: String) = Q.jstr(s)
     val qjson = times.map { case (k, v) =>
       s"${jstr(k)}:${math.rint(v * 1000) / 1000}"
     }.mkString("{", ",", "}")
@@ -104,7 +115,10 @@ object ScaleSpot {
   private def stage(spark: SparkSession, baseDir: String, outDir: String): Unit = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
-    val marker = Paths.get(outDir, s"_staged_${Copies}x_v2")
+    // The marker encodes the BASE dir: re-staging from a different base
+    // into the same outDir must not silently bench the stale copy.
+    val baseTag = java.lang.Integer.toHexString(baseDir.hashCode)
+    val marker = Paths.get(outDir, s"_staged_${Copies}x_v2_$baseTag")
     if (Files.exists(marker)) return
     Files.createDirectories(Paths.get(outDir))
     def base(t: String): DataFrame = spark.read.parquet(s"$baseDir/$t.parquet")
@@ -142,9 +156,12 @@ object ScaleSpot {
     val evTmp = s"$outDir/_events_tmp"
     scaled("events", Map("event_id" -> evtOff, "user_id" -> custOff))
       .coalesce(1).write.mode("overwrite").parquet(evTmp)
-    val part = Files.list(Paths.get(evTmp)).iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(s"no part file in $evTmp"))
+    val partList = Files.list(Paths.get(evTmp))
+    val part =
+      try partList.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $evTmp"))
+      finally partList.close()
     val evDst = Paths.get(s"$outDir/events.parquet")
     if (Files.isDirectory(evDst)) {
       val s = Files.list(evDst)

@@ -30,8 +30,15 @@ object SparkEntry {
     graft.queries.RelationalQueries.q1PricingSummary.fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    registry.map(q => q.name -> q.fn).toMap
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val r = registry
+    // A duplicate name would last-win through toMap, silently dropping
+    // a query from Bench/Verify/ScaleSpot while the oracle compare
+    // still passes on the shrunken key set — fail loudly instead.
+    val dups = r.groupBy(_.name).collect { case (n, qs) if qs.length > 1 => n }
+    require(dups.isEmpty, s"duplicate query names in the registry: ${dups.mkString(", ")}")
+    r.map(q => q.name -> q.fn).toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

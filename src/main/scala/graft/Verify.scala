@@ -27,6 +27,7 @@ object Verify {
     val filter = sys.env.getOrElse("SPARK_GRAFT_VERIFY_FILTER", "")
       .split(",").map(_.trim).filter(_.nonEmpty)
     def keep(n: String): Boolean = filter.isEmpty || filter.exists(n.startsWith)
+    var failed = 0
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir).persist()
@@ -38,6 +39,7 @@ object Verify {
         out.write.mode("overwrite").parquet(s"$outDir/$name")
         df.unpersist()
       } catch { case e: Throwable =>
+        failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally {
         // Drop caches persisted inside the query — accumulated entries
@@ -48,18 +50,17 @@ object Verify {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def q(s: String): String = Q.jstr(s)
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // A failed dump must flip the EXIT CODE (the Bench discipline): a
+    // harness iterating dump dirs instead of oracle keys would
+    // otherwise silently score the round on the surviving subset.
+    if (failed > 0) {
+      System.err.println(s"[verify] $failed quer${if (failed == 1) "y" else "ies"} failed")
+      sys.exit(1)
+    }
   }
 }
