@@ -3852,6 +3852,47 @@ object GraftCatalog {
   * `canDeleteWhere` gate, so an unprovable predicate rejects the DELETE
   * instead of misapplying it.
   */
+/** THE value comparator for every metadata path — zone-map pruning,
+  * the delete-filter evaluator, and the aggregate-pushdown fold all
+  * compare the same universe of boxed values (stat entries, pushed
+  * filter literals, decoded row values), and comparator drift between
+  * hand-rolled copies IS a wrong-results bug (a lossy double compare
+  * prunes a matching segment; a UTF-16 string compare disagrees with
+  * the UTF-8 order the stats writer picked min/max by).
+  *
+  * Contract: integrals compare exactly as longs; an integral/floating
+  * mix goes through BigDecimal so a >2^53 long can't collapse into a
+  * lossy double compare; NaN/infinities order per Double.compare (NaN
+  * largest — Spark's order); decimals (Spark internal or java.math)
+  * compare exactly; strings compare in UTF-8 BINARY order, matching
+  * the stats writer's UTF8String min/max selection. None = the pair
+  * is not comparable here — callers must treat that as "don't know".
+  */
+private[graft] object GraftCompare {
+  def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: org.apache.spark.sql.types.Decimal, _) => cmp(x.toJavaBigDecimal, b)
+    case (_, y: org.apache.spark.sql.types.Decimal) => cmp(a, y.toJavaBigDecimal)
+    case (x: String, y: String) =>
+      Some(org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)))
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(x.compareTo(y))
+    case (x: Number, y: Number) =>
+      val xd = x.doubleValue(); val yd = y.doubleValue()
+      val integral = (n: Number) => n match {
+        case _: java.lang.Long | _: java.lang.Integer |
+             _: java.lang.Short | _: java.lang.Byte => true
+        case _ => false
+      }
+      if (xd.isNaN || yd.isNaN || xd.isInfinite || yd.isInfinite)
+        Some(java.lang.Double.compare(xd, yd))
+      else if (integral(x) && integral(y))
+        Some(java.lang.Long.compare(x.longValue(), y.longValue()))
+      else
+        Some(new java.math.BigDecimal(x.toString).compareTo(new java.math.BigDecimal(y.toString)))
+    case _ => None
+  }
+}
+
 private[sources] object GraftFilterEval {
   import org.apache.spark.sql.sources._
   import org.apache.spark.sql.types._
@@ -3892,33 +3933,65 @@ private[sources] object GraftFilterEval {
     }
   }
 
-  /** Three-way comparison for supported types; filter literals arrive as
-    * external JVM values whose numeric subtypes may differ from the
-    * column's (e.g. Integer literal on a BIGINT column).
+  /** Three-way comparison via the shared exact comparator
+    * ([[GraftCompare]]); filter literals arrive as external JVM values
+    * whose numeric subtypes may differ from the column's (e.g. Integer
+    * literal on a BIGINT column, java BigDecimal vs internal Decimal).
     */
-  private def cmp(l: Any, r: Any): Option[Int] = (l, r) match {
-    case (a: Number, b: Number) => Some(java.lang.Double.compare(a.doubleValue(), b.doubleValue()))
-    case (a: String, b: String) => Some(a.compareTo(b))
-    case (a: java.lang.Boolean, b: java.lang.Boolean) => Some(a.compareTo(b))
-    case _ => None
+  private def cmp(l: Any, r: Any): Option[Int] = GraftCompare.cmp(l, r)
+
+  /** SQL THREE-valued evaluation: Some(true) = the row matches,
+    * Some(false) = it doesn't, None = UNKNOWN (a NULL operand or an
+    * incomparable pair). The DELETE/overwrite caller applies the
+    * predicate as "act iff TRUE", so UNKNOWN keeps the row — exactly
+    * SQL semantics. A two-valued evaluator here was a data-loss bug:
+    * NOT(a = 5) over a NULL `a` flipped false to TRUE and deleted a
+    * row SQL says must survive.
+    */
+  private def eval3(f: Filter, schema: StructType, row: InternalRow): Option[Boolean] = {
+    def cmp3(a: String, v: Any)(p: Int => Boolean): Option[Boolean] = {
+      val x = value(schema, row, a)
+      if (x == null || v == null) None else cmp(x, v).map(p)
+    }
+    f match {
+      case EqualTo(a, v) => cmp3(a, v)(_ == 0)
+      case GreaterThan(a, v) => cmp3(a, v)(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmp3(a, v)(_ >= 0)
+      case LessThan(a, v) => cmp3(a, v)(_ < 0)
+      case LessThanOrEqual(a, v) => cmp3(a, v)(_ <= 0)
+      case In(a, vs) =>
+        val x = value(schema, row, a)
+        if (x == null) None
+        else {
+          val eqs = vs.toSeq.map(v => if (v == null) None else cmp(x, v).map(_ == 0))
+          if (eqs.exists(_.contains(true))) Some(true)
+          else if (eqs.forall(_.contains(false))) Some(false)
+          else None // a NULL list element: x IN (..., NULL) is UNKNOWN when unmatched
+        }
+      case IsNull(a) => Some(value(schema, row, a) == null)
+      case IsNotNull(a) => Some(value(schema, row, a) != null)
+      case And(l, r) => // Kleene AND
+        (eval3(l, schema, row), eval3(r, schema, row)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true)) => Some(true)
+          case _ => None
+        }
+      case Or(l, r) => // Kleene OR
+        (eval3(l, schema, row), eval3(r, schema, row)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false)) => Some(false)
+          case _ => None
+        }
+      case Not(c) => eval3(c, schema, row).map(!_)
+      case AlwaysTrue() => Some(true)
+      case AlwaysFalse() => Some(false)
+      case _ => None // unknown shape: never act on it
+    }
   }
 
-  def eval(f: Filter, schema: StructType, row: InternalRow): Boolean = f match {
-    case EqualTo(a, v) => cmp(value(schema, row, a), v).contains(0)
-    case GreaterThan(a, v) => cmp(value(schema, row, a), v).exists(_ > 0)
-    case GreaterThanOrEqual(a, v) => cmp(value(schema, row, a), v).exists(_ >= 0)
-    case LessThan(a, v) => cmp(value(schema, row, a), v).exists(_ < 0)
-    case LessThanOrEqual(a, v) => cmp(value(schema, row, a), v).exists(_ <= 0)
-    case In(a, vs) => vs.exists(v => cmp(value(schema, row, a), v).contains(0))
-    case IsNull(a) => value(schema, row, a) == null
-    case IsNotNull(a) => value(schema, row, a) != null
-    case And(l, r) => eval(l, schema, row) && eval(r, schema, row)
-    case Or(l, r) => eval(l, schema, row) || eval(r, schema, row)
-    case Not(c) => !eval(c, schema, row)
-    case AlwaysTrue() => true
-    case AlwaysFalse() => false
-    case _ => false
-  }
+  /** Row matches iff the predicate evaluates to TRUE (not UNKNOWN). */
+  def eval(f: Filter, schema: StructType, row: InternalRow): Boolean =
+    eval3(f, schema, row).contains(true)
 }
 
 /** Zone-map pruning: decides, from a segment's per-column min/max/null
@@ -4026,30 +4099,11 @@ private[graft] object ZoneMap {
   private def allNull(s: ColStat, seg: Segment): Boolean =
     s.min == null && s.nulls == seg.rows
 
-  /** Exact three-way compare across the boxed types a stat or filter
-    * literal can carry. Integrals compare as longs; an integral/floating
-    * mix goes through BigDecimal so a >2^53 long can't collapse into a
-    * lossy double compare and prune a segment that matched; NaN and
-    * infinities order per Double.compare (NaN largest — Spark's order).
+  /** Exact three-way compare via the shared [[GraftCompare]] — one
+    * comparator for stats, filters, and folds, so pruning can never
+    * disagree with the order the stats writer picked min/max by.
     */
-  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
-    case (x: String, y: String) => Some(x.compareTo(y))
-    case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(x.compareTo(y))
-    case (x: Number, y: Number) =>
-      val xd = x.doubleValue(); val yd = y.doubleValue()
-      val integral = (n: Number) => n match {
-        case _: java.lang.Long | _: java.lang.Integer |
-             _: java.lang.Short | _: java.lang.Byte => true
-        case _ => false
-      }
-      if (xd.isNaN || yd.isNaN || xd.isInfinite || yd.isInfinite)
-        Some(java.lang.Double.compare(xd, yd))
-      else if (integral(x) && integral(y))
-        Some(java.lang.Long.compare(x.longValue(), y.longValue()))
-      else
-        Some(new java.math.BigDecimal(x.toString).compareTo(new java.math.BigDecimal(y.toString)))
-    case _ => None
-  }
+  private[sources] def cmp(a: Any, b: Any): Option[Int] = GraftCompare.cmp(a, b)
 
   private def provablyEmpty(f: Filter, schema: StructType, seg: Segment): Boolean = {
     if (seg.stats.isEmpty || seg.rows == 0) return false
@@ -4531,7 +4585,14 @@ private[sources] class GraftCatalogTable(
           }
           override def pushedFilters(): Array[Filter] = pruning
           override def build(): Scan = {
-            val (touch, keep) = GraftCatalog.segmentsOf(ident).partition(seg =>
+            // ONE consistent (segments, eq) read — the stateOf
+            // discipline: an upsert committing between two separate
+            // reads would pin a pre-upsert segment list against a
+            // post-upsert eq-delete set, and the rewrite would both
+            // filter the upserted keys' old rows AND drop the upsert's
+            // new segment at the truncate-install.
+            val (segsNow, eqsNow) = GraftCatalog.stateOf(ident)
+            val (touch, keep) = segsNow.partition(seg =>
               pruning.forall(f => ZoneMap.mightMatch(f, schema0, seg)))
             addKept(keep)
             touched = touch
@@ -4543,7 +4604,7 @@ private[sources] class GraftCatalogTable(
               // deletes at plan time) — which is what makes stamping
               // the rewritten output at the NEW data sequence number
               // sound: the bytes written no longer contain them.
-              pinnedEq = GraftCatalog.eqDeletesOf(ident))
+              pinnedEq = eqsNow)
           }
         }
       override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
@@ -5186,6 +5247,16 @@ private[sources] class GraftCatalogScanBuilder(
       val (segsAtBuild, eqsAtBuild) =
         if (pinned.isDefined) (pinned.get, pinnedEq)
         else GraftCatalog.stateOf(ident)
+      // The GROUPED fold parses partition values with indexes derived
+      // from the CURRENT spec; translate()'s uniformity guard ran on
+      // the then-live list, so a spec evolution racing into this
+      // window would evaluate new-spec indexes over old-spec key
+      // vectors (wrong groups or an index error). Fail the plan
+      // loudly — the retry re-plans against one era.
+      if (pushedGroupBy.nonEmpty && segsAtBuild.exists(_.spec != partitionCols))
+        throw new IllegalStateException(
+          s"partition spec of $ident evolved between aggregate pushdown and scan " +
+            "build — retry the query")
       GraftCatalogAggScan(ident, schema,
         Some(segsAtBuild), aggs,
         partitionCols, pushedGroupBy,
@@ -5244,17 +5315,12 @@ private[graft] case class GraftCatalogAggScan(
   override def createReaderFactory(): PartitionReaderFactory = {
     import org.apache.spark.sql.catalyst.CatalystTypeConverters
     val segs = pinned.getOrElse(GraftCatalog.segmentsOf(ident))
-    // Exact same-type comparison as the stats writer (externalized:
-    // UTF8String minima became String) — NaN largest, string binary
-    // order, matching Spark's MIN/MAX.
-    def lt(a: Any, b: Any): Boolean = (a, b) match {
-      case (x: java.lang.Double, y: java.lang.Double) => java.lang.Double.compare(x, y) < 0
-      case (x: java.lang.Float, y: java.lang.Float) => java.lang.Float.compare(x, y) < 0
-      case (x: java.lang.Boolean, y: java.lang.Boolean) => !x && y
-      case (x: String, y: String) => x.compareTo(y) < 0
-      case (x: Number, y: Number) => x.longValue() < y.longValue()
-      case _ => false
-    }
+    // Shared exact comparator (GraftCompare): NaN largest, string
+    // UTF-8 BINARY order — matching both the stats writer's min/max
+    // selection and Spark's own MIN/MAX over StringType (UTF8String
+    // order). The previous String.compareTo here was UTF-16 order and
+    // disagreed for supplementary-plane strings.
+    def lt(a: Any, b: Any): Boolean = GraftCompare.cmp(a, b).exists(_ < 0)
     // Exact extremum over a dv-carrying segment's LIVE rows: zone-map
     // stats describe ALL physical rows, so a deleted row's value could
     // be the stats extremum. Only reached when a deletion vector raced
@@ -5381,8 +5447,21 @@ private[graft] case class GraftCatalogScan(
     with SupportsReportPartitioning with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   private def out: StructType = if (required == null) schema else required
-  private def eqs: Vector[GraftCatalog.EqDelete] =
-    if (pinned.isDefined) pinnedEq else GraftCatalog.eqDeletesOf(ident)
+
+  /** ONE (segments, eq) snapshot per BATCH scan instance, taken at
+    * first use: planning-time claims (outputOrdering/outputPartitioning
+    * /statistics) and execution-time splits (planInputPartitions) must
+    * see the SAME list — a commit landing between the two could
+    * otherwise invalidate a reported per-split sort or key grouping
+    * AFTER EnsureRequirements already elided the Sort/Exchange it
+    * justified. Streaming reads never touch this: toMicroBatchStream
+    * constructs its own stream object that resolves per-batch state.
+    */
+  @transient private lazy val stateAtFirstUse
+      : (Vector[GraftCatalog.Segment], Vector[GraftCatalog.EqDelete]) =
+    if (pinned.isDefined) (pinned.get, pinnedEq) else GraftCatalog.stateOf(ident)
+
+  private def eqs: Vector[GraftCatalog.EqDelete] = stateAtFirstUse._2
 
   /** REPORTED SORT ORDER (the Iceberg sorted-tables move): when every
     * split's rows are provably sorted on the table's declared write
@@ -5472,13 +5551,30 @@ private[graft] case class GraftCatalogScan(
               case l: V2Literal[_] => ext(l.value())
             }
             // All children after the ref must be literals, else the
-            // predicate is not a plain value-list IN — skip it. A list
-            // past MaxDistinct can't prune anything a bloom tracks
-            // (and would cost list × segment probes on the driver).
-            if (vals.nonEmpty && vals.length == p.children().length - 1 &&
-                vals.length <= SegmentBloom.MaxDistinct)
+            // predicate is not a plain value-list IN — skip it.
+            if (vals.isEmpty || vals.length != p.children().length - 1) None
+            else if (vals.length <= SegmentBloom.MaxDistinct)
               Some(org.apache.spark.sql.sources.In(nr.fieldNames()(0), vals.toArray))
-            else None
+            else {
+              // Oversized probe list: per-segment bloom probing would
+              // cost list × segment driver work, but the list's RANGE
+              // ENVELOPE still prunes via zone maps (on an identity
+              // partition column min = max makes that exact partition
+              // pruning) — degrade to [min, max] instead of dropping
+              // runtime pruning entirely. Sound superset of the IN.
+              val col = nr.fieldNames()(0)
+              val nn = vals.filter(_ != null)
+              if (nn.isEmpty || nn.exists(v => GraftCompare.cmp(v, nn.head).isEmpty)) None
+              else {
+                val lo = nn.reduce((a, b) =>
+                  if (GraftCompare.cmp(a, b).exists(_ <= 0)) a else b)
+                val hi = nn.reduce((a, b) =>
+                  if (GraftCompare.cmp(a, b).exists(_ >= 0)) a else b)
+                Some(org.apache.spark.sql.sources.And(
+                  org.apache.spark.sql.sources.GreaterThanOrEqual(col, lo),
+                  org.apache.spark.sql.sources.LessThanOrEqual(col, hi)))
+              }
+            }
           case _ => None
         }
       } else None
@@ -5537,7 +5633,7 @@ private[graft] case class GraftCatalogScan(
   }
 
   private def survivors: Vector[GraftCatalog.Segment] =
-    surviving(pinned.getOrElse(GraftCatalog.segmentsOf(ident)))
+    surviving(stateAtFirstUse._1)
 
   // Deterministic order: groups sorted by key rendering, so repeated
   // plans of the same state enumerate identically.
@@ -5558,7 +5654,7 @@ private[graft] case class GraftCatalogScan(
     * disagree.
     */
   @transient private lazy val uniformSpec: Boolean =
-    pinned.getOrElse(GraftCatalog.segmentsOf(ident)).forall(_.spec == partitionCols)
+    stateAtFirstUse._1.forall(_.spec == partitionCols)
   private def keyedLayout: Boolean = partitionCols.nonEmpty && uniformSpec
 
   /** Unpartitioned: one split per SURVIVING segment — the partition
@@ -5597,12 +5693,11 @@ private[graft] case class GraftCatalogScan(
     }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // ONE consistent read for segments + eq deletes (see stateOf's
-    // doc) — a concurrent upsert must never yield a plan holding the
-    // ghost row's segment without the delete that kills it.
-    val (all, eqNow) =
-      if (pinned.isDefined) (pinned.get, pinnedEq)
-      else GraftCatalog.stateOf(ident)
+    // The scan-wide snapshot (see stateAtFirstUse): segments + eq from
+    // one read, and the SAME list every planning claim already used —
+    // a concurrent commit must neither yield a ghost-row plan nor
+    // invalidate a reported ordering/grouping after the fact.
+    val (all, eqNow) = stateAtFirstUse
     val compiled = EqFilter.compileAll(schema, eqNow)
     val surv = surviving(all)
     if (!keyedLayout)
@@ -5844,9 +5939,15 @@ private[graft] class GraftCatalogMicroBatchStream(
     // Always advance at least one commit when available: a version is
     // the atomic offset unit, so a single commit larger than the cap
     // still ships whole (matching file-source maxFilesPerTrigger).
-    while (v < target && (admitted == 0 || admitted + addedAt(v + 1).length <= cap)) {
-      v += 1
-      admitted += addedAt(v).length
+    // addedAt diffs two snapshots over the full segment list — compute
+    // it ONCE per candidate commit, not in both the guard and the sum.
+    var continue = true
+    while (continue && v < target) {
+      val added = addedAt(v + 1).length
+      if (admitted == 0 || admitted + added <= cap) {
+        v += 1
+        admitted += added
+      } else continue = false
     }
     GraftVersionOffset(v)
   }

@@ -93,6 +93,56 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(spark.sql("SELECT min(k) FROM graft.dv.u").as[Long].head() == 10L)
   }
 
+  test("DELETE with NOT over a NULL comparison keeps the NULL row (3-valued logic)") {
+    spark.sql("DROP TABLE IF EXISTS graft.dv.n3 PURGE")
+    spark.sql("CREATE TABLE graft.dv.n3 (a BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.dv.n3 VALUES (5, 'five'), (7, 'seven'), (NULL, 'null')")
+    // NOT(a = 5) is UNKNOWN for the NULL row — SQL deletes only TRUE.
+    spark.sql("DELETE FROM graft.dv.n3 WHERE a <> 5")
+    val left = spark.sql("SELECT v FROM graft.dv.n3 ORDER BY v")
+      .as[String].collect().toSeq
+    assert(left == Seq("five", "null"),
+      s"the NULL row must survive a <> delete, got $left")
+    spark.sql("DROP TABLE graft.dv.n3 PURGE")
+  }
+
+  test("DELETE on a DECIMAL column actually deletes (exact decimal compare)") {
+    spark.sql("DROP TABLE IF EXISTS graft.dv.dec PURGE")
+    spark.sql("CREATE TABLE graft.dv.dec (p DECIMAL(10,2), v STRING) USING graft")
+    spark.sql("INSERT INTO graft.dv.dec VALUES (5.00, 'a'), (6.50, 'b')")
+    spark.sql("DELETE FROM graft.dv.dec WHERE p = 5.00")
+    val left = spark.sql("SELECT v FROM graft.dv.dec").as[String].collect().toSeq
+    assert(left == Seq("b"), s"the 5.00 row must actually delete, got $left")
+    spark.sql("DROP TABLE graft.dv.dec PURGE")
+  }
+
+  test("DELETE on bigint keys above 2^53 deletes exactly the named row") {
+    spark.sql("DROP TABLE IF EXISTS graft.dv.big PURGE")
+    spark.sql("CREATE TABLE graft.dv.big (id BIGINT) USING graft")
+    // Adjacent longs that collapse to the SAME double — a lossy
+    // double-compare evaluator deletes both.
+    spark.sql("INSERT INTO graft.dv.big VALUES (9007199254740992), (9007199254740993)")
+    spark.sql("DELETE FROM graft.dv.big WHERE id = 9007199254740993")
+    val left = spark.sql("SELECT id FROM graft.dv.big").as[Long].collect().toSeq
+    assert(left == Seq(9007199254740992L), s"only the named row deletes, got $left")
+    spark.sql("DROP TABLE graft.dv.big PURGE")
+  }
+
+  test("supplementary-plane strings: pruning agrees with the UTF-8 stats order") {
+    spark.sql("DROP TABLE IF EXISTS graft.dv.sup PURGE")
+    spark.sql("CREATE TABLE graft.dv.sup (s STRING) USING graft")
+    // U+FFFF sorts BELOW U+10000 in UTF-8 binary order (the stats
+    // writer's min/max order) but ABOVE it under UTF-16 compareTo — a
+    // UTF-16 pruner would prove the segment empty and drop the row.
+    spark.sql("INSERT INTO graft.dv.sup VALUES ('￿'), ('𐀀')")
+    // Under Spark's UTF8String order U+10000 > U+FFFF, so BOTH rows
+    // match — a UTF-16 pruner saw max(U+10000) < U+FFFF and returned 0.
+    val got = spark.sql("SELECT count(*) FROM graft.dv.sup WHERE s >= '￿'")
+      .head().getLong(0)
+    assert(got == 2L, s"both rows must survive zone-map pruning, got $got")
+    spark.sql("DROP TABLE graft.dv.sup PURGE")
+  }
+
   test("a dv commit is a CHANGE commit for streaming readers") {
     spark.sql("DROP TABLE IF EXISTS graft.dv.s")
     spark.sql("CREATE TABLE graft.dv.s (k BIGINT, v STRING) USING graft")
