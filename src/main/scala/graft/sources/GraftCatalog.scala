@@ -184,27 +184,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       ident: Identifier,
       schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = mutate {
+      properties: util.Map[String, String]): Table =
+    createTableWithConstraints(ident, schema, partitions, properties, Vector.empty)
+
+  private def createTableWithConstraints(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String],
+      constraints: Vector[org.apache.spark.sql.connector.catalog.constraints.Constraint])
+      : Table = mutate {
     GraftCatalog.requireNotBranchName(ident)
     val partCols = validatePartitionCols(schema, partitions)
     val props = userProps(properties)
-    props.get(WriteOrderProp).foreach(validateWriteOrder(schema, _))
-    // CREATE-time tags can only be malformed (no history exists yet to
-    // validate against) — reject non-numeric targets here so a later
-    // VERSION AS OF '<tag>' never trips over garbage.
-    props.foreach { case (k, v) =>
-      if (k.startsWith(TagPropPrefix) && !(v.nonEmpty && v.forall(_.isDigit)))
-        throw new IllegalArgumentException(
-          s"tag '$k' must name a numeric snapshot version, got '$v'")
-    }
+    GraftCatalog.validateUserProps(schema, props)
     val dir = Files.createTempDirectory(segmentRoot, "tbl-").toString
+    // Constraints land IN the entry BEFORE the v0 publish: the v0
+    // snapshot is what restore/clone/branch at version 0 re-install,
+    // and a constraint-less v0 would silently drop the CHECKs there.
     if (store.putIfAbsent(ident,
-        TableEntry(schema, Vector.empty, dir, partCols, props = props)) != null) {
+        TableEntry(schema, Vector.empty, dir, partCols, constraints,
+          props = props)) != null) {
       deleteRecursively(Paths.get(dir))
       throw new TableAlreadyExistsException(ident.toString, ident.name())
     }
     publish(ident) // snapshot v0: the empty table
-    new GraftCatalogTable(ident, schema, dir, partitionCols = partCols)
+    new GraftCatalogTable(ident, schema, dir, partitionCols = partCols,
+      tableConstraints = constraints)
   }
 
   /** The TableInfo entry point is the one that carries CONSTRAINTS
@@ -214,15 +220,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     info.constraints().foreach(validateConstraint)
     // Identity specs ride only in info.columns() — fold them into the
     // stored schema's field metadata (see GraftCatalog.withIdentityMeta).
-    createTable(ident, GraftCatalog.withIdentityMeta(info.schema(), info.columns()),
-      info.partitions(), info.properties())
-    val result = store.compute(ident, (_, e) => {
-      require(e != null)
-      e.copy(constraints = info.constraints().toVector)
-    })
-    persistTable(ident) // constraints landed after the v0 publish
-    new GraftCatalogTable(ident, result.schema, result.dir,
-      partitionCols = result.partitionCols, tableConstraints = result.constraints)
+    createTableWithConstraints(ident,
+      GraftCatalog.withIdentityMeta(info.schema(), info.columns()),
+      info.partitions(), info.properties(), info.constraints().toVector)
   }
 
   // ---- StagingTableCatalog: atomic CTAS / RTAS ----
@@ -251,9 +251,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     GraftCatalog.requireNotBranchName(ident)
     val schema = GraftCatalog.withIdentityMeta(info.schema(), info.columns())
     val partCols = validatePartitionCols(schema, info.partitions())
+    val props = userProps(info.properties())
+    // Same CREATE-time validation as the plain path: a typo'd
+    // write-order column or malformed tag fails the CTAS before any
+    // data is written.
+    GraftCatalog.validateUserProps(schema, props)
     val dir = Files.createTempDirectory(segmentRoot, "stage-").toString
     new GraftStagedTable(ident, schema, dir, partCols, mode,
-      info.constraints().toVector, userProps(info.properties()))
+      info.constraints().toVector, props)
   }
 
   /** Schema evolution. ADD COLUMN (appended, nullable, optional
@@ -310,6 +315,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
             }
             e.copy(props = e.props + (s.property() -> s.value()))
           case (e, r: TableChange.RemoveProperty) =>
+            // Reserved keys are guarded on UNSET too: stripping a
+            // branch's graft.branch.of/base provenance would strand
+            // the audited work with no publish path (and lift the
+            // parent's rename guard out from under it).
+            if (ReservedProps.contains(r.property()))
+              throw new UnsupportedOperationException(
+                s"table property '${r.property()}' is reserved")
             e.copy(props = e.props - r.property())
           case (e, _) => e // unreachable under the forall guard
         }
@@ -635,7 +647,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           "or drop it; branches cannot be renamed")
     val entry = store.get(oldIdent)
     if (entry == null) throw new NoSuchTableException(oldIdent)
-    if (store.containsKey(newIdent))
+    // Tables and views share one namespace — renaming onto a VIEW name
+    // would register both objects under one identifier (renameView
+    // checks both maps symmetrically).
+    if (store.containsKey(newIdent) || GraftCatalog.viewExists(newIdent))
       throw new TableAlreadyExistsException(newIdent.toString, newIdent.name())
     // Open branches address their parent BY NAME (the '@' convention
     // and the graft.branch.of property) — renaming under them would
@@ -1932,6 +1947,24 @@ object GraftCatalog {
       s"$WriteOrderProp names columns not in the schema: ${missing.mkString(", ")}")
   }
 
+  /** CREATE-time property validation, shared by the plain and STAGED
+    * (CTAS/RTAS) create paths — a typo'd write-order column or a
+    * non-numeric tag target must fail the statement on EITHER path,
+    * not silently land and misbehave later.
+    */
+  private[sources] def validateUserProps(
+      schema: StructType, props: Map[String, String]): Unit = {
+    props.get(WriteOrderProp).foreach(validateWriteOrder(schema, _))
+    // CREATE-time tags can only be malformed (no history exists yet to
+    // validate against) — reject non-numeric targets here so a later
+    // VERSION AS OF '<tag>' never trips over garbage.
+    props.foreach { case (k, v) =>
+      if (k.startsWith(TagPropPrefix) && !(v.nonEmpty && v.forall(_.isDigit)))
+        throw new IllegalArgumentException(
+          s"tag '$k' must name a numeric snapshot version, got '$v'")
+    }
+  }
+
   /** Engine-reserved / Spark-synthesized property keys that are NOT
     * user table properties: storing them would echo stale provider/
     * location metadata back through SHOW TBLPROPERTIES.
@@ -2111,6 +2144,23 @@ object GraftCatalog {
 
   private val store = new ConcurrentHashMap[Identifier, TableEntry]()
   private[sources] val views = new ConcurrentHashMap[Identifier, GraftView]()
+  private[sources] def viewExists(ident: Identifier): Boolean = views.containsKey(ident)
+
+  /** The session's Spark-facing name for this catalog class — the
+    * shared resolution for procedures that re-enter through the
+    * DataFrame API (`spark.table("<cat>.<ns>.<t>")`). One copy: a
+    * future policy change (preferring the current catalog, handling
+    * two registrations) must not have three divergent scans.
+    */
+  private[sources] def sessionCatalogName(
+      spark: org.apache.spark.sql.SparkSession, proc: String): String =
+    spark.conf.getAll.collectFirst {
+      case (key, value) if key.startsWith("spark.sql.catalog.") &&
+          !key.substring("spark.sql.catalog.".length).contains(".") &&
+          value == classOf[GraftCatalog].getName =>
+        key.substring("spark.sql.catalog.".length)
+    }.getOrElse(throw new IllegalStateException(
+      s"$proc: no graft catalog registered in this session"))
 
   /** Serializes all metastore MUTATIONS (create/drop/alter/rename/
     * commit). Mutation rates on a catalog are metadata-scale, so one
@@ -2444,7 +2494,14 @@ object GraftCatalog {
     history.put(ident, retained)
     val live = retained.flatMap(_.segments.map(_.path)).toSet ++
       entry.segments.map(_.path)
-    all.takeWhile(!retained.headOption.contains(_))
+    // Hand EVERY expired snapshot's files to GC, not just the prefix
+    // before the first retained one: with an old TAGGED snapshot
+    // pinned at the head, count-capped untagged snapshots expire from
+    // the MIDDLE of the list — a prefix scan would drop them from
+    // history without ever GC'ing their exclusive files, and nothing
+    // later reconsiders them.
+    val retainedSet = retained.map(_.version).toSet
+    all.filterNot(s => retainedSet.contains(s.version))
       .flatMap(_.segments).distinctBy(_.path)
       .filterNot(s => live.contains(s.path))
       .foreach(gcDelete(ident, _))
@@ -2509,7 +2566,27 @@ object GraftCatalog {
       partitionCols = snap.partitionCols, constraints = snap.constraints,
       eqDeletes = snap.eqDeletes))
     publish(ident, reverseRewrites)
+    reseatIdentityAfterSchemaSwap(ident)
     (version, snap.segments.length)
+  }
+
+  /** After installing a SNAPSHOT's schema (restore/clone), identity
+    * watermark props can be keyed under names the snapshot doesn't use
+    * — a RENAME COLUMN between the snapshot and now migrated the
+    * `graft.identity.<col>.next` key to the new name, and the restored
+    * schema carries the old one. Any identity column of the installed
+    * schema with NO watermark prop is re-seated from the DATA
+    * (syncIdentity — never moves backward), so generation cannot
+    * restart at k=0 and collide with the restored rows' ids.
+    */
+  private def reseatIdentityAfterSchemaSwap(ident: Identifier): Unit = {
+    val entry = store.get(ident)
+    if (entry != null) {
+      val orphaned = entry.schema.fields.exists(f =>
+        org.apache.spark.sql.catalyst.util.IdentityColumn.getIdentityInfo(f).isDefined &&
+          !entry.props.contains(identityProp(f.name)))
+      if (orphaned) syncIdentity(ident)
+    }
   }
 
   /** PARTITION-SPEC EVOLUTION (`CALL graft.system.set_partitioning`):
@@ -2583,6 +2660,7 @@ object GraftCatalog {
     // sequence numbers are valued in that domain, and the clone's own
     // commits must stamp ABOVE them (see publish's firstVersion doc).
     publish(dst, firstVersion = snap.version)
+    reseatIdentityAfterSchemaSwap(dst)
     (snap.version, snap.segments.length)
   }
 
@@ -2853,6 +2931,19 @@ object GraftCatalog {
         throw new IllegalStateException(
           s"publish_branch '$branch': the branch's seed snapshot (v$base) aged out " +
             "of retention while maintenance moved the parent — re-create the branch")))
+    // Maintenance drift must not have EVOLVED main: compaction/zorder
+    // relayout is logically-identical rows, but a set_partitioning on
+    // main since the cut (also dataChange=false) is real metadata the
+    // fast-forward would silently REVERT to the branch's stale spec —
+    // refuse instead. The seed snapshot records the spec at the cut.
+    seed.foreach { sd =>
+      if (main.partitionCols != sd.partitionCols)
+        throw new IllegalStateException(
+          s"publish_branch '$branch': $src evolved its partition spec after the " +
+            s"branch was cut (${sd.partitionCols.mkString(",")} -> " +
+            s"${main.partitionCols.mkString(",")}) — fast-forward would revert it. " +
+            "Re-create the branch from the current version and re-apply the audit.")
+    }
     val shift = if (offset == 0) 0L else offset + 1L
     def shiftSeq(q: Long): Long = if (q > base) q + shift else q
     def shiftSegs(ss: Vector[Segment]): Vector[Segment] =
@@ -3080,10 +3171,16 @@ object GraftCatalog {
       case GraftStagedTable.Replace =>
         store.compute(ident, (_, prev) => {
           if (prev == null) { discard(); throw new NoSuchTableException(ident) }
-          entry
+          // History CONTINUES across the REPLACE (time travel crosses
+          // it), so the row-id counter must too: a fresh counter would
+          // re-mint _row_id values the retained pre-replace snapshots
+          // already handed out — for different rows.
+          entry.copy(nextRowId = math.max(entry.nextRowId, prev.nextRowId))
         })
       case GraftStagedTable.CreateOrReplace =>
-        store.put(ident, entry)
+        store.compute(ident, (_, prev) =>
+          if (prev == null) entry
+          else entry.copy(nextRowId = math.max(entry.nextRowId, prev.nextRowId)))
     }
     publish(ident)
   }
@@ -3094,6 +3191,40 @@ object GraftCatalog {
     commitSegments(ident, rewrites) { prev =>
       if (truncate) segs.toVector else prev.segments ++ segs
     }
+
+  /** Version + (segments, eq) under the mutation lock — the row-level
+    * planning read: the version is the optimistic-concurrency token
+    * [[installRowLevel]] later checks, so it must be read atomically
+    * WITH the state it describes.
+    */
+  private[sources] def versionedStateOf(
+      ident: Identifier): (Long, Vector[Segment], Vector[EqDelete]) = mutate {
+    val (s, e) = stateOf(ident)
+    (history.getOrDefault(ident, Vector.empty).lastOption.map(_.version).getOrElse(-1L),
+      s, e)
+  }
+
+  /** Row-level (UPDATE / MERGE / rewrite-DELETE) commit: the
+    * replacement list was computed from the snapshot pinned at SCAN
+    * BUILD, and the truncate-swap would silently ERASE any commit that
+    * landed in between — so the commit carries the planned version and
+    * refuses on mismatch (optimistic concurrency; Spark aborts the
+    * write, its files are deleted, and a retry plans against the new
+    * state). deleteWhere/installOverwrite recompute from `prev` inside
+    * the commit and don't need this.
+    */
+  private[sources] def installRowLevel(
+      ident: Identifier, segs: Seq[Segment], plannedVersion: Long,
+      rewrites: Map[String, String] = Map.empty): Unit = mutate {
+    val cur = history.getOrDefault(ident, Vector.empty)
+      .lastOption.map(_.version).getOrElse(-1L)
+    if (cur != plannedVersion)
+      throw new java.util.ConcurrentModificationException(
+        s"$ident advanced v$plannedVersion -> v$cur while a row-level rewrite " +
+          "was running — its result would erase the interleaved commit; retry " +
+          "the statement")
+    install(ident, segs, truncate = true, rewrites = rewrites)
+  }
 
   /** AUTO-COMPACTION (`'graft.autocompact.segments'='N'` TBLPROPERTY —
     * the Delta autoCompact shape, opt-in): any data commit that leaves
@@ -4544,6 +4675,10 @@ private[sources] class GraftCatalogTable(
       // the replace-data write, writer task i's output segment IS the
       // rewrite of touched(i).
       @volatile private var touched: Vector[GraftCatalog.Segment] = Vector.empty
+      // Table version the rewrite scan planned against — the
+      // optimistic-concurrency token the commit checks (see
+      // GraftCatalog.installRowLevel).
+      @volatile private var plannedVersion: Long = -1L
       private def addKept(segs: Vector[GraftCatalog.Segment]): Unit = synchronized {
         kept = (kept ++ segs).distinctBy(_.path)
       }
@@ -4585,13 +4720,15 @@ private[sources] class GraftCatalogTable(
           }
           override def pushedFilters(): Array[Filter] = pruning
           override def build(): Scan = {
-            // ONE consistent (segments, eq) read — the stateOf
-            // discipline: an upsert committing between two separate
-            // reads would pin a pre-upsert segment list against a
-            // post-upsert eq-delete set, and the rewrite would both
-            // filter the upserted keys' old rows AND drop the upsert's
-            // new segment at the truncate-install.
-            val (segsNow, eqsNow) = GraftCatalog.stateOf(ident)
+            // ONE consistent (version, segments, eq) read — the
+            // stateOf discipline: an upsert committing between two
+            // separate reads would pin a pre-upsert segment list
+            // against a post-upsert eq-delete set, and the rewrite
+            // would both filter the upserted keys' old rows AND drop
+            // the upsert's new segment at the truncate-install. The
+            // version is the conflict token installRowLevel checks.
+            val (vNow, segsNow, eqsNow) = GraftCatalog.versionedStateOf(ident)
+            plannedVersion = vNow
             val (touch, keep) = segsNow.partition(seg =>
               pruning.forall(f => ZoneMap.mightMatch(f, schema0, seg)))
             addKept(keep)
@@ -4657,9 +4794,11 @@ private[sources] class GraftCatalogTable(
                       }
                     }.toMap
                   }
-                // Replace the table with kept (untouched) + rewritten.
-                GraftCatalog.install(ident, kept ++ rewritten, truncate = true,
-                  rewrites = rewrites)
+                // Replace the table with kept (untouched) + rewritten —
+                // refused if any commit landed since the scan pinned
+                // its snapshot (the truncate-swap would erase it).
+                GraftCatalog.installRowLevel(ident, kept ++ rewritten,
+                  plannedVersion, rewrites = rewrites)
               }
               override def abort(messages: Array[WriterCommitMessage]): Unit =
                 inner.abort(messages)
@@ -4826,13 +4965,7 @@ private[graft] object GraftAnalyzeProcedure
     val table = input.getUTF8String(1).toString
     val ident = Identifier.of(Array(ns), table)
     val spark = org.apache.spark.sql.SparkSession.active
-    val catName = spark.conf.getAll.collectFirst {
-      case (key, value) if key.startsWith("spark.sql.catalog.") &&
-          !key.substring("spark.sql.catalog.".length).contains(".") &&
-          value == classOf[GraftCatalog].getName =>
-        key.substring("spark.sql.catalog.".length)
-    }.getOrElse(throw new IllegalStateException(
-      "analyze: no graft catalog registered in this session"))
+    val catName = GraftCatalog.sessionCatalogName(spark, "analyze")
     val df = spark.table(s"$catName.$ns.$table") // throws NoSuchTable if absent
     val cols = df.columns.toSeq
     val aggs = cols.flatMap { c =>
@@ -4899,13 +5032,7 @@ private[graft] object GraftTrainAnnProcedure
     // Resolve this catalog's Spark-facing name from the session conf
     // (the procedure object is shared; companion state is JVM-wide, so
     // any graft-class registration reaches the same metastore).
-    val catName = spark.conf.getAll.collectFirst {
-      case (key, value) if key.startsWith("spark.sql.catalog.") &&
-          !key.substring("spark.sql.catalog.".length).contains(".") &&
-          value == classOf[GraftCatalog].getName =>
-        key.substring("spark.sql.catalog.".length)
-    }.getOrElse(throw new IllegalStateException(
-      "train_ann: no graft catalog registered in this session"))
+    val catName = GraftCatalog.sessionCatalogName(spark, "train_ann")
     val cb = graft.operators.KMeansCodebook.train(spark.table(source), k, iters)
       .select(explode(col("cents")).as("c"))
       .select(col("c.cid").as("cid"), col("c.cvec").as("cvec"))
@@ -4968,13 +5095,7 @@ private[graft] object GraftTrainAnnPqProcedure
     val ks = input.getInt(5)
     val iters = input.getInt(6)
     val spark = org.apache.spark.sql.SparkSession.active
-    val catName = spark.conf.getAll.collectFirst {
-      case (key, value) if key.startsWith("spark.sql.catalog.") &&
-          !key.substring("spark.sql.catalog.".length).contains(".") &&
-          value == classOf[GraftCatalog].getName =>
-        key.substring("spark.sql.catalog.".length)
-    }.getOrElse(throw new IllegalStateException(
-      "train_ann_pq: no graft catalog registered in this session"))
+    val catName = GraftCatalog.sessionCatalogName(spark, "train_ann_pq")
     val pqRows = graft.operators.KMeansCodebook
       .trainSubspaces(spark.table(source), m, sub, ks, iters)
       .select(posexplode(col("pq")).as(Seq("s", "book")))
