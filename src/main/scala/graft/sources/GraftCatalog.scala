@@ -6081,8 +6081,8 @@ private[graft] class GraftCatalogMicroBatchStream(
     // freshly-added segments, to which no eq delete can apply yet (an
     // upsert's own adds carry the delete's seq; later eq commits are
     // change commits).
-    val (segs: Vector[GraftCatalog.Segment], eqs: Vector[GraftCatalog.EqDelete]) =
-      if (e <= s) (Vector.empty, Vector.empty)
+    val (segs: Vector[GraftCatalog.Segment], compiled: IndexedSeq[(Long, EqFilter)]) =
+      if (e <= s) (Vector.empty, IndexedSeq.empty)
       else if (s < 0) {
         val snap = snapshotOrFail(e)
         // Same per-field TYPE comparison as addedAt's per-commit guard:
@@ -6096,9 +6096,13 @@ private[graft] class GraftCatalogMicroBatchStream(
           throw new IllegalStateException(
             s"streaming read of $ident: snapshot v$e schema ${snap.schema.simpleString} " +
               s"differs from the table's ${schema.simpleString}; restart the stream")
-        (snap.segments, snap.eqDeletes)
-      } else ((s + 1 to e).toVector.flatMap(addedAt), Vector.empty)
-    val compiled = EqFilter.compileAll(schema, eqs)
+        // Eq-delete key columns are NAMES of the snapshot's schema
+        // epoch: compile against snap.schema (positionally identical
+        // to the stream's per the guard above), not the stream's —
+        // a RENAME COLUMN after the snapshot would otherwise unbind
+        // the old name, or mis-bind it after a name-reuse chain.
+        (snap.segments, EqFilter.compileAll(snap.schema, snap.eqDeletes))
+      } else ((s + 1 to e).toVector.flatMap(addedAt), IndexedSeq.empty)
     segs
       .filter(seg => pruning.forall(f => ZoneMap.mightMatch(f, schema, seg)))
       .map(seg =>

@@ -188,15 +188,17 @@ private[sources] case class GraftChangeUpdatePartition(
     pre: GraftSegFile, post: GraftSegFile, numFields: Int,
     fileBytes: Long = 0L) extends InputPartition
 
-/** One EQUALITY-DELETE delta split: emit as 'delete' the rows of
-  * `file` that a newly-registered eq delete matches — skipping
-  * `file.dv` (rows whose death other splits report) and rows
-  * `file.eq` already killed before the range (they were not live to
-  * delete).
+/** One EQUALITY-DELETE delta split: emit as `changeType` the rows of
+  * `file` that a filter in `newKeys` matches (an eq delete present at
+  * one endpoint only: 'delete' when it appeared, 'insert' when a
+  * RESTORE removed it and resurrected the rows) — skipping `file.dv`
+  * (rows whose transition the dv-delta splits report) and rows
+  * `file.eq` kills at the OTHER endpoint (dead there too → no net
+  * change).
   */
 private[sources] case class GraftChangeEqDeletePartition(
     file: GraftSegFile, numFields: Int, newKeys: Seq[EqFilter],
-    fileBytes: Long = 0L) extends InputPartition
+    changeType: String = "delete", fileBytes: Long = 0L) extends InputPartition
 
 private[sources] case class GraftChangeScan(
     ident: Identifier, from: GraftCatalog.CatalogSnapshot,
@@ -220,8 +222,15 @@ private[sources] case class GraftChangeScan(
   override def description(): String =
     s"GraftChangeScan($ident, from=v${from.version}, to=v${to.version})"
 
-  override def planInputPartitions(): Array[InputPartition] =
+  // Planned ONCE per scan: the optimizer's estimateStatistics call and
+  // execution's planInputPartitions would otherwise each pay the full
+  // metadata walk — including EqFilter.compileAll's key-set builds,
+  // the expensive part on large outstanding upsert sets. `from`/`to`
+  // are immutable resolved snapshots, so caching is semantics-free.
+  private lazy val planned: Array[InputPartition] =
     GraftChangeScan.diffPartitions(ident, from, to, dataSchema)
+
+  override def planInputPartitions(): Array[InputPartition] = planned
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftChangeReaderFactory(dataSchema)
@@ -232,7 +241,7 @@ private[sources] case class GraftChangeScan(
     * target. Derived from the same metadata the planner just walked.
     */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val parts = planInputPartitions()
+    val parts = planned
     def emitted(p: InputPartition): Long = p match {
       case c: GraftChangePartition =>
         c.emitOnly.map(_.size.toLong).getOrElse(
@@ -298,11 +307,26 @@ private[sources] case class GraftChangeFeedScan(
       throw new IllegalArgumentException(
         s"change feed over $ident: version $v is expired or never committed"))
   }
-  private def resolvedBatch: GraftChangeScan = {
+  // Lazy val, not def: estimateStatistics (optimization) and toBatch
+  // (execution) must see ONE resolved view — re-resolving an unbounded
+  // feed's `to` endpoint at each call would let a commit landing
+  // between the two shift the diff under the planned statistics.
+  private lazy val resolvedBatch: GraftChangeScan = {
     val to = toStr.map(snap).getOrElse(
       GraftCatalog.retainedSnapshots(ident).lastOption.getOrElse(
         throw new IllegalArgumentException(
           s"change feed over $ident: table has no committed snapshots")))
+    // The batch must decode into the schema the ANALYZER planned with
+    // (`dataSchema`, fixed at getTable time), not merely into `to`'s
+    // own layout: a schema-evolving commit — or a tag move onto one —
+    // landing between analysis and execution would otherwise ship
+    // rows of a different arity into a physical plan expecting the
+    // advertised one (mismapped values, not a loud error). Same guard
+    // the stream applies per-commit.
+    require(GraftChangeScan.decodeCompatible(to.schema, dataSchema),
+      s"change feed over $ident: table layout evolved between analysis " +
+        s"(${dataSchema.simpleString}) and execution (${to.schema.simpleString}); " +
+        "re-run the query")
     GraftChangeScan(ident, snap(fromStr), to)
   }
 
@@ -375,18 +399,34 @@ private[sources] class GraftChangeMicroBatchStream(
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(start, limit) is the admission-controlled entry point")
-  /** ONE COMMIT PER BATCH, always: a multi-commit batch would be the
-    * NET diff of its endpoints, silently collapsing an insert+delete
-    * that both happened inside the batch — a CDC consumer must see
-    * every intermediate change exactly once. AvailableNow drains
-    * commit-by-commit to the prepared target.
+  /** ONE COMMIT PER BATCH by default: a multi-commit batch is the NET
+    * diff of its endpoints, silently collapsing an insert+delete that
+    * both happened inside the batch — a CDC consumer should see every
+    * intermediate change exactly once. AvailableNow drains
+    * commit-by-commit to the prepared target. The one exception is an
+    * EXPLICIT `ReadLimit.allAvailable` with no prepared target —
+    * that is Trigger.Once, which by contract runs exactly one batch:
+    * honoring the per-commit pace there would process ONE commit and
+    * terminate "successfully" with the rest unconsumed (a silent
+    * partial sync), so it drains to current as one net-diff batch
+    * instead — net-correct, per-commit granularity traded away by the
+    * user's own single-batch trigger choice.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[GraftVersionOffset].v
     val target = availableNowTarget.getOrElse(currentVersion)
-    GraftVersionOffset(math.min(s + 1, target).max(s))
+    limit match {
+      case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable
+          if availableNowTarget.isEmpty =>
+        GraftVersionOffset(math.max(target, s))
+      case _ => GraftVersionOffset(math.min(s + 1, target).max(s))
+    }
   }
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  /** The marker Spark hands back on default-trigger batches; never
+    * interpreted by the engine itself for DSv2 sources. Anything that
+    * is not an explicit allAvailable paces one commit per batch.
+    */
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(1L)
   override def reportLatestOffset(): Offset = GraftVersionOffset(currentVersion)
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(currentVersion)
@@ -397,12 +437,14 @@ private[sources] class GraftChangeMicroBatchStream(
     val s = start.asInstanceOf[GraftVersionOffset].v
     val e = end.asInstanceOf[GraftVersionOffset].v
     if (e <= s) Array.empty
-    // A dataChange=false commit (compaction / Z-order / spec
-    // evolution) changed no logical row: its batch is EMPTY — the
-    // Delta-CDF treatment of OPTIMIZE commits.
-    else if (!snapshotOrFail(e).dataChange) Array.empty
-    // The batch is the structural diff s → e (net within the batch,
-    // per-commit when the trigger keeps up — one commit per batch).
+    // The batch is the structural diff s → e (per-commit on the
+    // default trigger; a net multi-commit range only under
+    // Trigger.Once). dataChange=false commits — compaction / Z-order /
+    // spec evolution, the Delta-CDF OPTIMIZE treatment — plan an empty
+    // diff inside diffPartitions, which handles the range case
+    // correctly where an endpoint-only check here would not (a
+    // Trigger.Once range ENDING on a compaction still carries the
+    // earlier commits' changes).
     else GraftChangeScan.diffPartitions(
       ident, snapshotOrFail(s), snapshotOrFail(e), dataSchema)
   }
@@ -490,9 +532,14 @@ private[sources] object GraftChangeScan {
     // logical row — empty diff, however the files moved. (A MIXED
     // range still plans the endpoint diff; a mid-range compaction then
     // surfaces as delete+insert churn — the documented honest cap.)
+    // Guarded on COMPLETENESS: the retained list may have lost
+    // mid-range commits to expiry while the endpoints survive, and a
+    // vanished dataChange=true commit must not let the no-ops that
+    // remain visible empty the whole diff.
     val commits = GraftCatalog.retainedSnapshots(ident)
       .filter(s => s.version > from.version && s.version <= to.version)
-    if (commits.nonEmpty && commits.forall(!_.dataChange))
+    if (commits.length == (to.version - from.version).toInt &&
+        commits.nonEmpty && commits.forall(!_.dataChange))
       return Array.empty
     val fromByPath = from.segments.map(s => s.path -> s).toMap
     val toByPath = to.segments.map(s => s.path -> s).toMap
@@ -527,8 +574,17 @@ private[sources] object GraftChangeScan {
     // to-snapshot's filters, applicable per seq); a REMOVED segment's
     // delete rows exclude what was already eq-dead at `from`.
     // Filters compile ONCE per endpoint and share across segments.
-    val compiledFrom = EqFilter.compileAll(dataSchema, from.eqDeletes)
-    val compiledTo = EqFilter.compileAll(dataSchema, to.eqDeletes)
+    // Each endpoint's deletes compile against ITS OWN schema epoch:
+    // eq-delete key columns are NAMES, and a RENAME COLUMN between the
+    // endpoints re-pairs only the live entry — history snapshots keep
+    // the old names with the old schema (GraftCatalog rename doc).
+    // Compiling `from`'s deletes against `to`'s names would throw on
+    // the vanished name, or — worse, after a name-reuse rename chain —
+    // silently bind the keys to a different column. Positional indices
+    // stay valid across epochs because decodeCompatible already proved
+    // the layouts field-for-field identical.
+    val compiledFrom = EqFilter.compileAll(from.schema, from.eqDeletes)
+    val compiledTo = EqFilter.compileAll(to.schema, to.eqDeletes)
     val inserts = to.segments.filterNot(s =>
       fromByPath.contains(s.path) || pairedAdded.contains(s.path)).map(s =>
       GraftChangePartition(
@@ -537,30 +593,50 @@ private[sources] object GraftChangeScan {
       toByPath.contains(s.path) || pairedRemoved.contains(s.path)).map(s =>
       GraftChangePartition(
         GraftSegFile.of(s, compiledFrom), width, "delete", None, s.bytes))
-    // EQUALITY-DELETE deltas: an eq delete registered in-range kills
-    // rows of segments present on BOTH sides (added-in-range segments
-    // handle theirs via the filtered insert split above) — one split
-    // per affected segment emits exactly the newly-matched rows as
-    // deletes. Rows already dead at `from` (its dv or its eq filters)
-    // and rows whose death the dv-delta split reports (to-dv) are
-    // excluded, so no row's delete emits twice.
-    val newEqs = to.eqDeletes.filter(eq =>
-      eq.seq > from.version && eq.seq <= to.version)
-    val compiledNew = EqFilter.compileAll(dataSchema, newEqs)
+    // EQUALITY-DELETE deltas, BOTH directions, keyed by SET DIFFERENCE
+    // on `seq` (unique per table: one eq delete per upsert commit;
+    // rename-stable where keyCols are not) — NOT by a seq range over
+    // `to.eqDeletes`, which is blind to RESTORE:
+    //  - an eq delete present at `to` but not at `from` kills rows of
+    //    segments present on BOTH sides (added-in-range segments
+    //    handle theirs via the filtered insert split above) — one
+    //    split per affected segment emits exactly the newly-matched
+    //    rows as deletes. A restore that re-adds an OLD-seq delete
+    //    lands here too, which the range form missed.
+    //  - an eq delete present at `from` but not at `to` (a RESTORE to
+    //    a pre-upsert version) RESURRECTS the rows it killed — one
+    //    split per both-sides segment emits them as inserts, the eq
+    //    analogue of the dv-shrink case below. Publish-time eq GC
+    //    drops a delete only when no live segment predates it, so a
+    //    GC'd delete plans zero splits here naturally (no applicable
+    //    segment survives).
+    // Rows already dead at the relevant endpoint (its dv or its other
+    // eq filters) and rows whose transition the dv-delta split reports
+    // are excluded, so no row emits twice.
+    val fromSeqs = from.eqDeletes.map(_.seq).toSet
+    val toSeqs = to.eqDeletes.map(_.seq).toSet
+    val compiledNew = EqFilter.compileAll(
+      to.schema, to.eqDeletes.filterNot(e => fromSeqs(e.seq)))
+    val compiledRemoved = EqFilter.compileAll(
+      from.schema, from.eqDeletes.filterNot(e => toSeqs(e.seq)))
     val eqDeltas =
-      if (newEqs.isEmpty) Vector.empty
+      if (compiledNew.isEmpty && compiledRemoved.isEmpty) Vector.empty
       else to.segments.flatMap { t =>
         fromByPath.get(t.path).toSeq.flatMap { f =>
-          val newlyApplicable = EqFilter.applicable(compiledNew, t)
-          if (newlyApplicable.isEmpty) Nil
-          else {
-            val skip = f.dv.getOrElse(BitSet.empty) | t.dv.getOrElse(BitSet.empty)
-            Seq(GraftChangeEqDeletePartition(
+          val skip = f.dv.getOrElse(BitSet.empty) | t.dv.getOrElse(BitSet.empty)
+          def split(newKeys: Seq[EqFilter], survive: IndexedSeq[(Long, EqFilter)],
+              kind: String): Seq[InputPartition] =
+            if (newKeys.isEmpty) Nil
+            else Seq(GraftChangeEqDeletePartition(
               GraftSegFile(t.path, t.rows,
                 Some(skip).filter(_.nonEmpty),
-                EqFilter.applicable(compiledFrom, t)),
-              width, newlyApplicable, t.bytes): InputPartition)
-          }
+                EqFilter.applicable(survive, t)),
+              width, newKeys, kind, t.bytes))
+          // Delete: newly matched at `to`, not already dead at `from`.
+          split(EqFilter.applicable(compiledNew, t), compiledFrom, "delete") ++
+            // Insert: matched only by a removed filter, not still dead
+            // at `to` (another filter may also kill the same key).
+            split(EqFilter.applicable(compiledRemoved, t), compiledTo, "insert")
         }
       }
     val dvDeltas = to.segments.flatMap { t =>
@@ -697,11 +773,13 @@ private[sources] case class GraftChangeReaderFactory(data: StructType)
   }
 
   /** Eq-delete delta reader: every surviving row (not dv-skipped, not
-    * already eq-dead) that a NEW eq delete matches emits as 'delete'.
+    * dead at the other endpoint) that a delta eq filter matches emits
+    * as the split's change type ('delete' for a newly-registered
+    * delete, 'insert' for a RESTORE-removed one).
     */
   private def eqDeleteReader(p: GraftChangeEqDeletePartition): PartitionReader[InternalRow] = {
     val (proj, joined, metaRow) = changeProjection()
-    metaRow.update(0, UTF8String.fromString("delete"))
+    metaRow.update(0, UTF8String.fromString(p.changeType))
     new PartitionReader[InternalRow] {
       private val row = new UnsafeRow(p.numFields)
       private var cur: SegCursor = _
@@ -736,15 +814,7 @@ private[sources] case class GraftChangeReaderFactory(data: StructType)
     metaRow.update(0, UTF8String.fromString(p.changeType))
     new PartitionReader[InternalRow] {
       private val row = new UnsafeRow(p.numFields)
-      private var buf = new Array[Byte](1 << 10)
-      private var in: DataInputStream = _
-      private var remaining = 0L
-      private var ordinal = -1L
-      private def open(): Unit = {
-        in = new DataInputStream(
-          new BufferedInputStream(new FileInputStream(p.file.path), 1 << 16))
-        remaining = p.file.rows
-      }
+      private var cur: SegCursor = _
       private def emit(ord: Long): Boolean =
         (p.emitOnly match {
           case Some(only) => ord <= Int.MaxValue && only.contains(ord.toInt)
@@ -752,20 +822,15 @@ private[sources] case class GraftChangeReaderFactory(data: StructType)
             !p.file.dv.exists(d => ord <= Int.MaxValue && d.contains(ord.toInt))
         }) && !p.file.eq.exists(_.matches(row)) // row points at this record
       override def next(): Boolean = {
-        if (in == null) open()
-        while (remaining > 0) {
-          val size = in.readInt()
-          if (size > buf.length) buf = new Array[Byte](math.max(size, buf.length << 1))
-          in.readFully(buf, 0, size)
-          row.pointTo(buf, size)
-          remaining -= 1
-          ordinal += 1
-          if (emit(ordinal)) return true
+        if (cur == null) cur = new SegCursor(p.file.path, p.file.rows)
+        while (cur.readNext()) {
+          row.pointTo(cur.buf, cur.size)
+          if (emit(cur.ordinal)) return true
         }
         false
       }
       override def get(): InternalRow = proj(joined(row, metaRow))
-      override def close(): Unit = if (in != null) in.close()
+      override def close(): Unit = if (cur != null) cur.close()
     }
   }
 }

@@ -282,6 +282,100 @@ class ChangeFeedSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.cdc.r")
   }
 
+  test("RESTORE across an upsert resurrects eq-deleted rows in the feed") {
+    // A merge-on-read upsert registers an equality delete; RESTORE to
+    // the pre-upsert version REMOVES it, bringing the shadowed rows
+    // back to life on segments present at both endpoints. A diff that
+    // only watched newly-ADDED eq deletes (a seq range over
+    // to.eqDeletes) planned nothing for the removal and a replica
+    // diverged (found by review, pinned here).
+    spark.sql("DROP TABLE IF EXISTS graft.cdc.eqr")
+    spark.sql("CREATE TABLE graft.cdc.eqr (k BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.cdc.eqr VALUES (1, 'a1'), (2, 'a2')") // v1
+    Seq(2L -> "b2").toDF("k", "v").writeTo("graft.cdc.eqr")
+      .option("graft.upsert.keys", "k").append() // v2: appends + eq delete on k=2
+    spark.sql("CALL graft.system.restore('cdc', 'eqr', '1')") // v3: eq delete gone
+    val got = spark.read.format("graft-changes")
+      .option("table", "cdc.eqr").option("changesFrom", "2").option("changesTo", "3")
+      .load().select("_change_type", "k", "v")
+      .as[(String, Long, String)].collect().toSet
+    assert(got == Set(("delete", 2L, "b2"), ("insert", 2L, "a2")),
+      s"restore must delete the upserted row AND resurrect the shadowed one, got $got")
+    // Sanity: the full round-trip v1 -> v3 nets to nothing.
+    assert(spark.read.format("graft-changes")
+      .option("table", "cdc.eqr").option("changesFrom", "1").option("changesTo", "3")
+      .load().count() == 0)
+    // Streamed per-commit, a naive replica applies the same truth.
+    import org.apache.spark.sql.streaming.Trigger
+    val seen = scala.collection.mutable.Set[(String, Long, String)]()
+    spark.readStream.format("graft-changes")
+      .option("table", "cdc.eqr").option("changesFrom", "0").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= df.select("_change_type", "k", "v")
+            .as[(String, Long, String)].collect()
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    assert(seen.toSet == Set(
+      ("insert", 1L, "a1"), ("insert", 2L, "a2"), // v1
+      ("delete", 2L, "a2"), ("insert", 2L, "b2"), // v2 upsert
+      ("delete", 2L, "b2"), ("insert", 2L, "a2"))) // v3 restore
+    spark.sql("DROP TABLE graft.cdc.eqr")
+  }
+
+  test("outstanding eq deletes survive RENAME COLUMN across a feed range") {
+    // Eq-delete key columns are NAMES, re-paired to the new name only
+    // on the LIVE entry — history snapshots keep the old name with the
+    // old schema. Each endpoint's deletes must compile against ITS OWN
+    // schema epoch; compiling `from`'s old-name keys against `to`'s
+    // renamed schema threw fieldIndex (or mis-bound after name reuse).
+    spark.sql("DROP TABLE IF EXISTS graft.cdc.rn")
+    spark.sql("CREATE TABLE graft.cdc.rn (a BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.cdc.rn VALUES (1, 'a1'), (2, 'a2')") // v1
+    Seq(2L -> "b2").toDF("a", "v").writeTo("graft.cdc.rn")
+      .option("graft.upsert.keys", "a").append() // v2: eq delete keyed on 'a'
+    spark.sql("ALTER TABLE graft.cdc.rn RENAME COLUMN a TO b") // v3
+    // Rename-only range: empty diff, not a plan-time crash.
+    assert(spark.read.format("graft-changes")
+      .option("table", "cdc.rn").option("changesFrom", "2").option("changesTo", "3")
+      .load().count() == 0)
+    // Range crossing the rename: the upsert's changes under the NEW name.
+    val got = spark.read.format("graft-changes")
+      .option("table", "cdc.rn").option("changesFrom", "1").load()
+      .select("_change_type", "b", "v").as[(String, Long, String)].collect().toSet
+    assert(got == Set(("delete", 2L, "a2"), ("insert", 2L, "b2")), s"got $got")
+    spark.sql("DROP TABLE graft.cdc.rn")
+  }
+
+  test("Trigger.Once drains the full backlog as one net batch") {
+    // Trigger.Once runs exactly one micro-batch by contract; honoring
+    // the per-commit pace there would consume ONE commit and terminate
+    // with the rest silently unprocessed. An explicit allAvailable
+    // limit with no prepared target drains to current as a net diff.
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sql("DROP TABLE IF EXISTS graft.cdc.o")
+    spark.sql("CREATE TABLE graft.cdc.o (k BIGINT) USING graft")
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO graft.cdc.o VALUES ($i)")) // v1..v3
+    spark.sql("DELETE FROM graft.cdc.o WHERE k = 2") // v4
+    val batches = scala.collection.mutable.ArrayBuffer[Set[(String, Long)]]()
+    spark.readStream.format("graft-changes")
+      .option("table", "cdc.o").option("changesFrom", "0").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized {
+          batches += df.select("_change_type", "k").as[(String, Long)].collect().toSet
+        }
+        ()
+      }
+      .trigger(Trigger.Once()).start().awaitTermination()
+    assert(batches.toList == List(Set(("insert", 1L), ("insert", 3L))),
+      s"one net batch covering v0->v4 (k=2's insert+delete nets out), got $batches")
+    spark.sql("DROP TABLE graft.cdc.o")
+  }
+
   test("streaming load() does not resolve changesFrom eagerly; changesTo bounds the stream") {
     import org.apache.spark.sql.streaming.Trigger
     spark.sql("DROP TABLE IF EXISTS graft.cdc.b")
