@@ -1521,6 +1521,62 @@ object SourceQueries {
         |ORDER BY day, event_type""".stripMargin)
   }
 
+  /** X20: PER-TABLE RETENTION (`'graft.retention.snapshots'` /
+    * `'graft.retention.seconds'` TBLPROPERTIES — the Delta
+    * logRetentionDuration / Iceberg history.expire.* shape): snapshot
+    * expiry honors each table's own window instead of one catalog-wide
+    * JVM default, so a CDC source can pin a long time-travel window
+    * while a churn-heavy staging table keeps metadata tight. The
+    * fixture loads four commits under a cap of 2 retained snapshots;
+    * the result reads the CURRENT state, the oldest snapshot the cap
+    * RETAINS (`VERSION AS OF 3` — a tighter or looser cap than
+    * declared shifts which versions survive and breaks the read or the
+    * hash), and the retained-count row from the `history` metadata
+    * table. DuckDB recomputes both eras as `%`-slice algebra and pins
+    * the count closed-form.
+    */
+  val x20Retention: Q = Q(
+    "x20_retention",
+    """SELECT 'current' AS era, count(*) AS n,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+      |FROM orders
+      |UNION ALL
+      |SELECT 'retained' AS era, 2 AS n, CAST(NULL AS DOUBLE) AS total
+      |UNION ALL
+      |SELECT 'v3' AS era, count(*) AS n,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+      |FROM orders WHERE o_orderkey % 4 <> 3
+      |ORDER BY era""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("x20_orders_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.ret PURGE")
+    spark.sql(
+      """CREATE TABLE graft.demo.ret (o_orderkey BIGINT, o_totalprice DOUBLE)
+        |USING graft
+        |TBLPROPERTIES ('graft.retention.snapshots'='2')""".stripMargin)
+    // Four deterministic quarter-slices, one commit each (v1..v4); the
+    // cap retains only v3 and v4.
+    (0 to 3).foreach { q =>
+      spark.sql(
+        s"""INSERT INTO graft.demo.ret
+           |SELECT CAST(o_orderkey AS BIGINT), o_totalprice
+           |FROM x20_orders_src WHERE o_orderkey % 4 = $q""".stripMargin)
+    }
+    spark.sql(
+      """SELECT 'current' AS era, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM graft.demo.ret
+        |UNION ALL
+        |SELECT 'retained' AS era,
+        |  (SELECT count(*) FROM graft.demo.ret.history) AS n,
+        |  CAST(NULL AS DOUBLE) AS total
+        |UNION ALL
+        |SELECT 'v3' AS era, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM graft.demo.ret VERSION AS OF 3
+        |ORDER BY era""".stripMargin)
+  }
+
   /** X13: MERGE-ON-READ UPSERT via equality deletes (the Iceberg v2 /
     * Flink-upsert shape): `writeTo(t).option("graft.upsert.keys",
     * "k").append()` lands the batch's segments AND an equality delete
@@ -1701,5 +1757,5 @@ object SourceQueries {
     x5kBucketSpj,
     x10TableChanges, x10bCdcUpdatePairs, x11RestoreClone, x12BranchWap,
     x13Upsert, x14MetadataTables, x15RemoveOrphans, x16RowLineage, x17Undrop,
-    x18Identity, x19Generated)
+    x18Identity, x19Generated, x20Retention)
 }

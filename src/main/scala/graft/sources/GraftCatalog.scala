@@ -302,6 +302,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
               throw new UnsupportedOperationException(
                 s"table property '${s.property()}' is reserved")
             if (s.property() == WriteOrderProp) validateWriteOrder(e.schema, s.value())
+            // Retention overrides fail at SET time, not first-publish
+            // time: a typo'd window must not land as a property the
+            // next commit then dies on.
+            if (s.property() == GraftCatalog.RetentionSecondsProp)
+              GraftCatalog.retentionNanosOf(Map(s.property() -> s.value()))
+            if (s.property() == GraftCatalog.RetentionSnapshotsProp)
+              GraftCatalog.maxSnapshotsOf(Map(s.property() -> s.value()))
             if (s.property().startsWith(TagPropPrefix)) {
               val v =
                 try s.value().toLong
@@ -1963,6 +1970,11 @@ object GraftCatalog {
         throw new IllegalArgumentException(
           s"tag '$k' must name a numeric snapshot version, got '$v'")
     }
+    // Retention overrides: parse-validate now so a malformed window
+    // fails the CREATE/CTAS, not the table's first publish.
+    retentionNanosOf(props)
+    maxSnapshotsOf(props)
+    ()
   }
 
   /** Engine-reserved / Spark-synthesized property keys that are NOT
@@ -2399,6 +2411,44 @@ object GraftCatalog {
   private val MaxSnapshots =
     sys.props.getOrElse("graft.catalog.retention.snapshots", "64").toInt
 
+  /** PER-TABLE retention overrides (`'graft.retention.seconds'` /
+    * `'graft.retention.snapshots'` TBLPROPERTIES — the Delta
+    * logRetentionDuration / Iceberg history.expire.* shape): a hot
+    * CDC-source table can pin a long window for slow stream consumers
+    * while a churn-heavy staging table keeps metadata tight, without
+    * either re-tuning the catalog-wide JVM default. Read at every
+    * publish (expiry runs there), validated BOTH at SET TBLPROPERTIES
+    * and at use — a malformed value fails the statement loudly rather
+    * than silently falling back while the operator believes the
+    * window changed. Tagged snapshots remain exempt from both axes.
+    */
+  private[sources] val RetentionSecondsProp = "graft.retention.seconds"
+  private[sources] val RetentionSnapshotsProp = "graft.retention.snapshots"
+
+  private[sources] def retentionNanosOf(props: Map[String, String]): Long =
+    props.get(RetentionSecondsProp).map { v =>
+      val n =
+        try v.toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$RetentionSecondsProp must be an integer >= 0, got '$v'")
+        }
+      require(n >= 0, s"$RetentionSecondsProp must be >= 0, got $n")
+      java.util.concurrent.TimeUnit.SECONDS.toNanos(n)
+    }.getOrElse(RetentionNanos)
+
+  private[sources] def maxSnapshotsOf(props: Map[String, String]): Int =
+    props.get(RetentionSnapshotsProp).map { v =>
+      val n =
+        try v.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$RetentionSnapshotsProp must be an integer >= 1, got '$v'")
+        }
+      require(n >= 1, s"$RetentionSnapshotsProp must be >= 1, got $n")
+      n
+    }.getOrElse(MaxSnapshots)
+
   /** Publish the table's CURRENT state as its next numbered snapshot,
     * expire retention-aged snapshots, and delete segment files no
     * retained snapshot references. Call under `mutate {}` after the
@@ -2480,7 +2530,7 @@ object GraftCatalog {
       entry.partitionCols, entry.constraints, rewrites, dataChange,
       entry.eqDeletes)
     val all = hist :+ snap
-    val cutoff = now - RetentionNanos
+    val cutoff = now - retentionNanosOf(entry.props)
     // Tagged snapshots are exempt from BOTH expiry axes (age and the
     // count cap): a tag is an explicit promise the version stays
     // readable — the cap still bounds the UNTAGGED churn.
@@ -2488,7 +2538,7 @@ object GraftCatalog {
       case (k, v) if k.startsWith(TagPropPrefix) && v.forall(_.isDigit) => v.toLong
     }.toSet
     val (taggedSnaps, untagged) = all.partition(s => taggedVersions.contains(s.version))
-    val keptUntagged = untagged.drop((untagged.length - MaxSnapshots).max(0))
+    val keptUntagged = untagged.drop((untagged.length - maxSnapshotsOf(entry.props)).max(0))
       .dropWhile(s => s.mono < cutoff && s != all.last)
     val retained = (taggedSnaps ++ keptUntagged).sortBy(_.version)
     history.put(ident, retained)
@@ -2798,9 +2848,13 @@ object GraftCatalog {
     * the mutation lock (same discipline as snapshot expiry).
     */
   private def expireTrash(): Unit = {
-    val cutoff = System.nanoTime() - RetentionNanos
-    trash.asScala.collect { case (id, d) if d.droppedMono < cutoff => id }
-      .toSeq.foreach(purgeTrashed)
+    val now = System.nanoTime()
+    // A dropped table's own retention override rides into the trash
+    // with its props: a table configured for a long window stays
+    // UNDROP-able for that window, not the catalog default.
+    trash.asScala.collect {
+      case (id, d) if d.droppedMono < now - retentionNanosOf(d.entry.props) => id
+    }.toSeq.foreach(purgeTrashed)
   }
 
   /** `CALL graft.system.undrop(ns, table)` — restore the most recent
@@ -5972,7 +6026,9 @@ private[graft] class GraftCatalogMicroBatchStream(
     GraftCatalog.snapshotByVersion(ident, v).getOrElse(throw new IllegalStateException(
       s"streaming read of $ident: snapshot v$v is no longer retained — the stream " +
         "(or its checkpoint) fell behind the retention window; raise " +
-        "graft.catalog.retention.seconds / .snapshots or restart from a fresh checkpoint"))
+        "graft.catalog.retention.seconds / .snapshots (or the table's " +
+        "'graft.retention.seconds' / '.snapshots' TBLPROPERTIES) or restart " +
+        "from a fresh checkpoint"))
 
   /** Segments ADDED by commit v (relative to v-1), with the change-
     * commit policy applied. v = 0 diffs against the empty table.

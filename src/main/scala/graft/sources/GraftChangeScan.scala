@@ -371,8 +371,9 @@ private[sources] class GraftChangeMicroBatchStream(
       throw new IllegalStateException(
         s"change-feed stream of $ident: snapshot v$v is no longer retained — the " +
           "stream (or its checkpoint) fell behind the retention window; raise " +
-          "graft.catalog.retention.seconds / .snapshots or restart from a fresh " +
-          "checkpoint"))
+          "graft.catalog.retention.seconds / .snapshots (or the table's " +
+          "'graft.retention.seconds' / '.snapshots' TBLPROPERTIES) or restart " +
+          "from a fresh checkpoint"))
     // Compare only what DECODING depends on (decodeCompatible). Full
     // StructType equality includes nullability and field metadata, and
     // a metadata-only table change (no physical layout change) would
