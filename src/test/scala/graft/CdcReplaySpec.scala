@@ -1,0 +1,141 @@
+package graft
+
+import scala.collection.mutable
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model-based replay check on the change feed: random commit
+  * sequences drawn from the full mutation surface (plain INSERT, dv /
+  * metadata DELETE, merge-on-read UPSERT, CoW UPDATE, RESTORE,
+  * compaction, RENAME COLUMN), with a replica maintained ONLY by
+  * applying each commit's CDC batch. Invariant: after EVERY commit,
+  * replica == `VERSION AS OF` that commit — so any diff that drops a
+  * transition (a restore the planner can't see, a double-emitted row,
+  * a mispaired update) diverges the replica at the exact commit that
+  * broke, with the seed and op log in the failure message. The single
+  * net diff v0→final applied to an empty replica must also rebuild
+  * the final state (multi-commit composition). Fixed seeds: the runs
+  * are deterministic regressions, not flaky fuzzing.
+  */
+class CdcReplaySpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s
+  }
+
+  private val T = "graft.cdcrp.t"
+
+  /** Multiset of (k, v) rows. */
+  private type Rows = mutable.Map[(Long, Long), Int]
+  private def emptyRows: Rows = mutable.Map.empty.withDefaultValue(0)
+
+  private def tableRows(versionClause: String): Map[(Long, Long), Int] = {
+    val m = emptyRows
+    // Column POSITIONS, not names: a rename mid-sequence changes the
+    // header, never the values.
+    spark.sql(s"SELECT * FROM $T $versionClause").collect().foreach { r =>
+      m((r.getLong(0), r.getLong(1))) += 1
+    }
+    m.toMap
+  }
+
+  private def applyDiff(replica: Rows, fromV: Long, toV: Long): Unit =
+    spark.read.format("graft-changes")
+      .option("table", "cdcrp.t")
+      .option("changesFrom", fromV.toString).option("changesTo", toV.toString)
+      .load().collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      r.getString(2) match {
+        case "insert" | "update_postimage" => replica(key) += 1
+        case "delete" | "update_preimage" =>
+          assert(replica(key) > 0,
+            s"feed deleted a row the replica does not hold: $key in ($fromV,$toV]")
+          replica(key) -= 1
+          if (replica(key) == 0) replica.remove(key)
+        case other => fail(s"unknown change type '$other'")
+      }
+    }
+
+  private def currentVersion: Long =
+    spark.sql(s"SELECT max(version) FROM $T.history").collect().head.getLong(0)
+
+  private def runSequence(seed: Long, ops: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    spark.sql(s"DROP TABLE IF EXISTS $T PURGE")
+    spark.sql(s"CREATE TABLE $T (k BIGINT, v BIGINT) USING graft")
+    val replica = emptyRows
+    var lastV = currentVersion // v0 (create)
+    val log = mutable.ArrayBuffer[String]()
+    // The key column's LIVE name: a rename changes it and a RESTORE to
+    // a pre-rename version changes it BACK — read it, never track it.
+    def kcol: String = spark.table(T).columns(0)
+
+    def keysIn: Seq[Long] =
+      spark.sql(s"SELECT * FROM $T").collect().map(_.getLong(0)).toSeq
+
+    for (i <- 1 to ops) {
+      val op = rnd.nextInt(10)
+      val desc = op match {
+        case 0 | 1 | 2 => // plain INSERT of a small random batch
+          val rows = Seq.fill(1 + rnd.nextInt(4))(
+            s"(${rnd.nextInt(30)}, ${rnd.nextInt(5)})").mkString(", ")
+          spark.sql(s"INSERT INTO $T VALUES $rows")
+          s"insert $rows"
+        case 3 | 4 => // DELETE (dv or metadata path, planner's choice)
+          val ks = rnd.shuffle(keysIn).take(1 + rnd.nextInt(3))
+          if (ks.isEmpty) { spark.sql(s"INSERT INTO $T VALUES (0, 0)"); "insert (0,0)" }
+          else {
+            val kc = kcol
+            spark.sql(s"DELETE FROM $T WHERE $kc IN (${ks.mkString(",")})")
+            s"delete $kc in ${ks.mkString(",")}"
+          }
+        case 5 => // merge-on-read upsert (distinct keys required)
+          import spark.implicits._
+          val batch = rnd.shuffle((0L until 30L).toList).take(1 + rnd.nextInt(3))
+            .map(k => (k, rnd.nextInt(5).toLong))
+          val kc = kcol
+          batch.toDF(kc, "v").writeTo(T).option("graft.upsert.keys", kc).append()
+          s"upsert $batch"
+        case 6 => // CoW UPDATE (unpartitioned: may pair as updates)
+          val m = 2 + rnd.nextInt(3)
+          spark.sql(s"UPDATE $T SET v = v + 1 WHERE $kcol % $m = ${rnd.nextInt(m)}")
+          s"update v+1 where k%$m"
+        case 7 => // RESTORE to a random earlier retained version
+          val vs = spark.sql(s"SELECT version FROM $T.history")
+            .collect().map(_.getLong(0))
+          val target = vs(rnd.nextInt(vs.length))
+          spark.sql(s"CALL graft.system.restore('cdcrp', 't', '$target')")
+          s"restore to v$target"
+        case 8 => // compaction: dataChange=false, feed must stay silent
+          spark.sql("CALL graft.system.compact('cdcrp', 't')")
+          "compact"
+        case 9 => // rename: pure metadata; eq-delete keys must follow
+          val from = kcol
+          val to = if (from == "k") "key" else "k"
+          spark.sql(s"ALTER TABLE $T RENAME COLUMN $from TO $to")
+          s"rename $from->$to"
+      }
+      log += s"v$i: $desc"
+      val curV = currentVersion
+      assert(curV > lastV, s"op '$desc' published no snapshot (seed=$seed)")
+      applyDiff(replica, lastV, curV)
+      val expect = tableRows(s"VERSION AS OF $curV")
+      assert(replica.toMap == expect,
+        s"replica diverged at v$curV (seed=$seed)\nops:\n${log.mkString("\n")}")
+      lastV = curV
+    }
+    // Composition: ONE net diff v0 -> final rebuilds the final state.
+    val net = emptyRows
+    applyDiff(net, 0L, lastV)
+    assert(net.toMap == tableRows(""),
+      s"net v0->v$lastV diff does not rebuild the final state (seed=$seed)")
+    spark.sql(s"DROP TABLE $T PURGE")
+  }
+
+  for (seed <- Seq(7L, 13L, 42L)) {
+    test(s"random commit sequence replays exactly through the CDC feed (seed=$seed)") {
+      runSequence(seed, ops = 16)
+    }
+  }
+}
