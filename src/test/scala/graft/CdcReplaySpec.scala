@@ -138,4 +138,75 @@ class CdcReplaySpec extends AnyFunSuite {
       runSequence(seed, ops = 16)
     }
   }
+
+  /** Partitioned-table gauntlet: identity partitioning routes every
+    * mutation through the KEYED layout — per-group rewrites, dynamic
+    * INSERT OVERWRITE, and the paired-update DEGRADE path (partitioned
+    * rewrites record no provenance, so UPDATEs must surface as
+    * net-correct delete+insert). Same replica invariant.
+    */
+  private def runPartitioned(seed: Long, ops: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    spark.sql(s"DROP TABLE IF EXISTS $T PURGE")
+    spark.sql(
+      s"CREATE TABLE $T (k BIGINT, v BIGINT) USING graft PARTITIONED BY (k)")
+    val replica = emptyRows
+    var lastV = currentVersion
+    val log = mutable.ArrayBuffer[String]()
+    def keysIn: Seq[Long] =
+      spark.sql(s"SELECT * FROM $T").collect().map(_.getLong(0)).toSeq
+    for (i <- 1 to ops) {
+      val desc = rnd.nextInt(8) match {
+        case 0 | 1 | 2 =>
+          val rows = Seq.fill(1 + rnd.nextInt(4))(
+            s"(${rnd.nextInt(6)}, ${rnd.nextInt(5)})").mkString(", ")
+          spark.sql(s"INSERT INTO $T VALUES $rows")
+          s"insert $rows"
+        case 3 =>
+          val ks = rnd.shuffle(keysIn).take(1 + rnd.nextInt(2))
+          if (ks.isEmpty) { spark.sql(s"INSERT INTO $T VALUES (0, 0)"); "insert (0,0)" }
+          else {
+            spark.sql(s"DELETE FROM $T WHERE k IN (${ks.mkString(",")})")
+            s"delete k in ${ks.mkString(",")}"
+          }
+        case 4 => // partitioned CoW UPDATE: provenance-free, degrades
+          val m = 2 + rnd.nextInt(2)
+          spark.sql(s"UPDATE $T SET v = v + 1 WHERE k % $m = ${rnd.nextInt(m)}")
+          s"update v+1 where k%$m"
+        case 5 => // dynamic partition overwrite: replaces written keys only
+          val rows = Seq.fill(1 + rnd.nextInt(2))(
+            s"(${rnd.nextInt(6)}, ${rnd.nextInt(5)})").mkString(", ")
+          spark.sql(s"INSERT OVERWRITE $T VALUES $rows")
+          s"overwrite $rows"
+        case 6 =>
+          val vs = spark.sql(s"SELECT version FROM $T.history")
+            .collect().map(_.getLong(0))
+          val target = vs(rnd.nextInt(vs.length))
+          spark.sql(s"CALL graft.system.restore('cdcrp', 't', '$target')")
+          s"restore to v$target"
+        case 7 =>
+          spark.sql("CALL graft.system.compact('cdcrp', 't')")
+          "compact"
+      }
+      log += s"v$i: $desc"
+      val curV = currentVersion
+      assert(curV > lastV, s"op '$desc' published no snapshot (seed=$seed)")
+      applyDiff(replica, lastV, curV)
+      val expect = tableRows(s"VERSION AS OF $curV")
+      assert(replica.toMap == expect,
+        s"replica diverged at v$curV (seed=$seed, partitioned)\nops:\n${log.mkString("\n")}")
+      lastV = curV
+    }
+    val net = emptyRows
+    applyDiff(net, 0L, lastV)
+    assert(net.toMap == tableRows(""),
+      s"net v0->v$lastV diff does not rebuild the final state (seed=$seed, partitioned)")
+    spark.sql(s"DROP TABLE $T PURGE")
+  }
+
+  for (seed <- Seq(2L, 9L, 21L)) {
+    test(s"partitioned random sequence replays exactly through the CDC feed (seed=$seed)") {
+      runPartitioned(seed, ops = 16)
+    }
+  }
 }
