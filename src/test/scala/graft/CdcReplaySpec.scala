@@ -60,6 +60,54 @@ class CdcReplaySpec extends AnyFunSuite {
   private def currentVersion: Long =
     spark.sql(s"SELECT max(version) FROM $T.history").collect().head.getLong(0)
 
+  /** Final-state invariants shared by both gauntlets, run after the
+    * op sequence against the replica the feed built:
+    *  - row-lineage ids stay UNIQUE across live rows, whatever mix of
+    *    rewrites/restores/compactions the sequence dealt;
+    *  - point predicates (the zone-map + Bloom pruning path) agree
+    *    with the replica — a false-negative prune would silently drop
+    *    a segment's rows here;
+    *  - one AvailableNow STREAM from v0 replays per-commit batches
+    *    (dataChange=false commits silent) into the same final state —
+    *    the offsets/admission layer over the shared diff machinery.
+    */
+  private def checkFinalInvariants(replica: Rows, rnd: scala.util.Random, seed: Long): Unit = {
+    val kcol = spark.table(T).columns(0)
+    val Array(n, distinctIds) = spark.sql(
+      s"SELECT count(*), count(DISTINCT _row_id) FROM $T")
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(n == distinctIds, s"duplicate _row_id among live rows (seed=$seed)")
+    (1 to 3).foreach { _ =>
+      val k = rnd.nextInt(30).toLong
+      val got = spark.sql(s"SELECT count(*) FROM $T WHERE $kcol = $k")
+        .collect().head.getLong(0)
+      val want = replica.collect { case ((kk, _), c) if kk == k => c }.sum.toLong
+      assert(got == want, s"point predicate $kcol=$k pruned wrong: $got != $want (seed=$seed)")
+    }
+    val streamed = emptyRows
+    spark.readStream.format("graft-changes")
+      .option("table", "cdcrp.t").option("changesFrom", "0").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        streamed.synchronized {
+          df.collect().foreach { r =>
+            val key = (r.getLong(0), r.getLong(1))
+            r.getString(2) match {
+              case "insert" | "update_postimage" => streamed(key) += 1
+              case _ =>
+                streamed(key) -= 1
+                if (streamed(key) == 0) streamed.remove(key)
+            }
+          }
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    assert(streamed.toMap == replica.toMap,
+      s"streamed per-commit replay diverged from the batch replica (seed=$seed)")
+  }
+
   private def runSequence(seed: Long, ops: Int): Unit = {
     val rnd = new scala.util.Random(seed)
     spark.sql(s"DROP TABLE IF EXISTS $T PURGE")
@@ -130,6 +178,7 @@ class CdcReplaySpec extends AnyFunSuite {
     applyDiff(net, 0L, lastV)
     assert(net.toMap == tableRows(""),
       s"net v0->v$lastV diff does not rebuild the final state (seed=$seed)")
+    checkFinalInvariants(replica, rnd, seed)
     spark.sql(s"DROP TABLE $T PURGE")
   }
 
@@ -201,6 +250,7 @@ class CdcReplaySpec extends AnyFunSuite {
     applyDiff(net, 0L, lastV)
     assert(net.toMap == tableRows(""),
       s"net v0->v$lastV diff does not rebuild the final state (seed=$seed, partitioned)")
+    checkFinalInvariants(replica, rnd, seed)
     spark.sql(s"DROP TABLE $T PURGE")
   }
 
