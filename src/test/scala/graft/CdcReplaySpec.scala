@@ -259,4 +259,85 @@ class CdcReplaySpec extends AnyFunSuite {
       runPartitioned(seed, ops = 16)
     }
   }
+
+  /** Write-audit-publish gauntlet: random mutations land on a BRANCH
+    * while main provably serves the base state untouched; publish
+    * replays the branch's commit chain onto main (fast-forward, not a
+    * squash), and afterwards (a) main equals the branch's final state
+    * row for row, and (b) main's OWN change feed from the cut version
+    * replays to that same state — per-commit CDC provenance survives
+    * the publish.
+    */
+  private def runBranchPublish(seed: Long, ops: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    spark.sql(s"DROP TABLE IF EXISTS $T PURGE")
+    spark.sql("DROP TABLE IF EXISTS graft.cdcrp.`t@audit` PURGE")
+    spark.sql(s"CREATE TABLE $T (k BIGINT, v BIGINT) USING graft")
+    spark.sql(s"INSERT INTO $T VALUES (1, 1), (2, 1), (3, 1)") // base v1
+    val cutV = currentVersion
+    val baseState = tableRows("")
+    spark.sql("CALL graft.system.create_branch('cdcrp', 't', 'audit', '')")
+    val B = "graft.cdcrp.`t@audit`"
+    def keysIn: Seq[Long] =
+      spark.sql(s"SELECT * FROM $B").collect().map(_.getLong(0)).toSeq
+    val log = mutable.ArrayBuffer[String]()
+    for (_ <- 1 to ops) {
+      val desc = rnd.nextInt(7) match {
+        case 0 | 1 | 2 =>
+          val rows = Seq.fill(1 + rnd.nextInt(3))(
+            s"(${rnd.nextInt(20)}, ${rnd.nextInt(5)})").mkString(", ")
+          spark.sql(s"INSERT INTO $B VALUES $rows")
+          s"insert $rows"
+        case 3 =>
+          val ks = rnd.shuffle(keysIn).take(1 + rnd.nextInt(2))
+          if (ks.isEmpty) { spark.sql(s"INSERT INTO $B VALUES (0, 0)"); "insert (0,0)" }
+          else {
+            spark.sql(s"DELETE FROM $B WHERE k IN (${ks.mkString(",")})")
+            s"delete k in ${ks.mkString(",")}"
+          }
+        case 4 =>
+          import spark.implicits._
+          val batch = rnd.shuffle((0L until 20L).toList).take(1 + rnd.nextInt(2))
+            .map(k => (k, rnd.nextInt(5).toLong))
+          batch.toDF("k", "v").writeTo(B).option("graft.upsert.keys", "k").append()
+          s"upsert $batch"
+        case 5 =>
+          val m = 2 + rnd.nextInt(2)
+          spark.sql(s"UPDATE $B SET v = v + 1 WHERE k % $m = ${rnd.nextInt(m)}")
+          s"update v+1 where k%$m"
+        case 6 =>
+          spark.sql("CALL graft.system.compact('cdcrp', 't@audit')")
+          "compact"
+      }
+      log += desc
+      // Isolation: main's state never moves while the branch churns.
+      assert(tableRows("") == baseState,
+        s"main drifted during branch work (seed=$seed)\nops:\n${log.mkString("\n")}")
+    }
+    val branchFinal = {
+      val m = emptyRows
+      spark.sql(s"SELECT * FROM $B").collect().foreach { r =>
+        m((r.getLong(0), r.getLong(1))) += 1
+      }
+      m.toMap
+    }
+    spark.sql("CALL graft.system.publish_branch('cdcrp', 't', 'audit')")
+    assert(tableRows("") == branchFinal,
+      s"publish did not fast-forward main to the branch state (seed=$seed)\n" +
+        s"ops:\n${log.mkString("\n")}")
+    // Main's own feed from the cut replays the published chain exactly.
+    val replica = emptyRows
+    baseState.foreach { case (key, c) => replica(key) = c }
+    applyDiff(replica, cutV, currentVersion)
+    assert(replica.toMap == branchFinal,
+      s"main's CDC from the cut does not replay the published chain (seed=$seed)\n" +
+        s"ops:\n${log.mkString("\n")}")
+    spark.sql(s"DROP TABLE $T PURGE")
+  }
+
+  for (seed <- Seq(5L, 17L)) {
+    test(s"branch-publish random sequence fast-forwards and replays exactly (seed=$seed)") {
+      runBranchPublish(seed, ops = 12)
+    }
+  }
 }
