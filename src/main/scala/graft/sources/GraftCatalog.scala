@@ -322,11 +322,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
             }
             e.copy(props = e.props + (s.property() -> s.value()))
           case (e, r: TableChange.RemoveProperty) =>
-            // Reserved keys are guarded on UNSET too: stripping a
-            // branch's graft.branch.of/base provenance would strand
-            // the audited work with no publish path (and lift the
-            // parent's rename guard out from under it).
-            if (ReservedProps.contains(r.property()))
+            // ONLY the branch-provenance keys are guarded on UNSET:
+            // stripping graft.branch.of/base would strand the audited
+            // work with no publish path (and lift the parent's rename
+            // guard out from under it). The OTHER reserved keys
+            // (comment/owner/provider/…) are Spark-synthesized and
+            // never stored, so Spark's `UNSET TBLPROPERTIES IF EXISTS
+            // ('comment')` — which sends RemoveProperty regardless of
+            // IF EXISTS — must stay the no-op it promises, not throw.
+            if (r.property() == BranchOfProp || r.property() == BranchBaseProp)
               throw new UnsupportedOperationException(
                 s"table property '${r.property()}' is reserved")
             e.copy(props = e.props - r.property())
@@ -3210,6 +3214,41 @@ object GraftCatalog {
     * the old directory itself is GC'd with the last file that leaves
     * it.
     */
+  /** Merge a staged RTAS entry onto the previous one. History (and
+    * therefore tags, retention windows, and the row-id/identity
+    * domains) CONTINUES across a REPLACE — but the staged entry's
+    * props come only from the new statement, which would silently drop
+    * the props that protect that continuing history:
+    *   - `graft.tag.*` pins (a tagged snapshot's expiry exemption —
+    *     and the promise that `VERSION AS OF 'tag'` stays readable);
+    *   - `graft.retention.*` per-table windows (a slow CDC consumer's
+    *     pinned horizon would snap back to the catalog default);
+    *   - `graft.identity.<col>.next` watermarks (a reset would re-mint
+    *     id values that retained pre-replace snapshots already serve
+    *     for DIFFERENT rows — the same class of bug `nextRowId`'s
+    *     max-merge prevents for `_row_id`).
+    * Those carry forward; everything else (write order, autocompact,
+    * user props) takes the new statement's word — the standard REPLACE
+    * props reset. On conflict the staged statement wins, EXCEPT
+    * identity watermarks, which take the max of both domains (either
+    * side may have minted ids the other hasn't seen).
+    */
+  private def replaceEntry(prev: TableEntry, staged: TableEntry): TableEntry = {
+    def isIdentityNext(k: String) =
+      k.startsWith("graft.identity.") && k.endsWith(".next")
+    val carried = prev.props.filter { case (k, _) =>
+      k.startsWith(TagPropPrefix) || k == RetentionSecondsProp ||
+        k == RetentionSnapshotsProp || isIdentityNext(k)
+    }
+    val maxed = carried.collect {
+      case (k, p) if isIdentityNext(k) && staged.props.contains(k) =>
+        k -> math.max(p.toLong, staged.props(k).toLong).toString
+    }
+    staged.copy(
+      nextRowId = math.max(staged.nextRowId, prev.nextRowId),
+      props = carried ++ staged.props ++ maxed)
+  }
+
   private[sources] def commitStaged(
       ident: Identifier, entry: TableEntry, mode: GraftStagedTable.Mode): Unit = mutate {
     def discard(): Unit = {
@@ -3225,16 +3264,11 @@ object GraftCatalog {
       case GraftStagedTable.Replace =>
         store.compute(ident, (_, prev) => {
           if (prev == null) { discard(); throw new NoSuchTableException(ident) }
-          // History CONTINUES across the REPLACE (time travel crosses
-          // it), so the row-id counter must too: a fresh counter would
-          // re-mint _row_id values the retained pre-replace snapshots
-          // already handed out — for different rows.
-          entry.copy(nextRowId = math.max(entry.nextRowId, prev.nextRowId))
+          replaceEntry(prev, entry)
         })
       case GraftStagedTable.CreateOrReplace =>
         store.compute(ident, (_, prev) =>
-          if (prev == null) entry
-          else entry.copy(nextRowId = math.max(entry.nextRowId, prev.nextRowId)))
+          if (prev == null) entry else replaceEntry(prev, entry))
     }
     publish(ident)
   }

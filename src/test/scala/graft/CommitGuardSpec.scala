@@ -108,6 +108,48 @@ class CommitGuardSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.cg.rp PURGE")
   }
 
+  test("REPLACE TABLE carries tag pins, retention windows, and identity watermarks") {
+    spark.sql("DROP TABLE IF EXISTS graft.cg.rpp PURGE")
+    spark.sql("CREATE TABLE graft.cg.rpp " +
+      "(id BIGINT GENERATED ALWAYS AS IDENTITY, v BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.cg.rpp (v) VALUES (10), (20)") // v1
+    val preMaxId = spark.sql("SELECT max(id) FROM graft.cg.rpp").head().getLong(0)
+    spark.sql("ALTER TABLE graft.cg.rpp SET TBLPROPERTIES " +
+      "('graft.tag.stable'='1', 'graft.retention.snapshots'='32')")
+    // REPLACE resets USER props to the new statement — but the props
+    // protecting the CONTINUING history must survive it.
+    spark.sql("REPLACE TABLE graft.cg.rpp " +
+      "(id BIGINT GENERATED ALWAYS AS IDENTITY, v BIGINT) USING graft")
+    val props = spark.sql("SHOW TBLPROPERTIES graft.cg.rpp").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.tag.stable").contains("1"), s"tag pin dropped: $props")
+    assert(props.get("graft.retention.snapshots").contains("32"),
+      s"retention override dropped: $props")
+    // The tag still resolves and the pinned version still reads.
+    assert(spark.sql("SELECT count(*) FROM graft.cg.rpp VERSION AS OF 'stable'")
+      .head().getLong(0) == 2)
+    // Post-replace identity generation continues ABOVE the old domain:
+    // retained pre-replace snapshots serve the old ids for other rows.
+    spark.sql("INSERT INTO graft.cg.rpp (v) VALUES (30)")
+    val newMinId = spark.sql("SELECT min(id) FROM graft.cg.rpp").head().getLong(0)
+    assert(newMinId > preMaxId,
+      s"identity watermark reset across REPLACE: new min $newMinId vs pre-max $preMaxId")
+    spark.sql("DROP TABLE graft.cg.rpp PURGE")
+  }
+
+  test("UNSET TBLPROPERTIES of Spark-synthesized keys stays a no-op") {
+    spark.sql("DROP TABLE IF EXISTS graft.cg.un PURGE")
+    spark.sql("CREATE TABLE graft.cg.un (k BIGINT) USING graft")
+    // Spark sends RemoveProperty even under IF EXISTS ('owner'/
+    // 'provider' never get this far — the PARSER refuses those); the
+    // 'comment' key is never stored (userProps strips it), so the
+    // statement must no-op — only branch-provenance keys refuse.
+    spark.sql("ALTER TABLE graft.cg.un UNSET TBLPROPERTIES IF EXISTS ('comment')")
+    spark.sql("ALTER TABLE graft.cg.un UNSET TBLPROPERTIES ('comment')")
+    assert(spark.sql("SELECT count(*) FROM graft.cg.un").head().getLong(0) == 0)
+    spark.sql("DROP TABLE graft.cg.un PURGE")
+  }
+
   test("publish_branch refuses when main evolved its partition spec after the cut") {
     spark.sql("DROP TABLE IF EXISTS graft.cg.br PURGE")
     spark.sql("CREATE TABLE graft.cg.br (k BIGINT, r STRING) USING graft")
@@ -138,7 +180,9 @@ class CommitGuardSpec extends AnyFunSuite {
     val e2 = intercept[Exception] {
       spark.sql("ALTER TABLE graft.cg.g RENAME TO cg.v_taken")
     }
-    assert(e2 != null)
+    // Refused for the RIGHT reason — the table/view namespace
+    // collision — not some unrelated resolution failure.
+    assert(e2.getMessage.toLowerCase.contains("already exists"), e2.getMessage)
     spark.sql("DROP VIEW graft.cg.v_taken")
     spark.sql("DROP TABLE graft.cg.g PURGE")
   }
