@@ -6217,7 +6217,14 @@ private[graft] class GraftCatalogMicroBatchStream(
 private[sources] case class GraftSegFile(
     path: String, rows: Long, dv: Option[scala.collection.immutable.BitSet],
     eq: Seq[EqFilter] = Nil,
-    lineage: IndexedSeq[(Long, Long, Long)] = Vector.empty)
+    lineage: IndexedSeq[(Long, Long, Long)] = Vector.empty) {
+  /** THE dv-membership test, int-bounds-guarded (BitSet is Int-indexed;
+    * ordinals are Long). One definition so every reader skips the same
+    * rows — a fix to large-ordinal handling must not need three copies.
+    */
+  def dvDead(ord: Long): Boolean =
+    dv.exists(d => ord <= Int.MaxValue && d.contains(ord.toInt))
+}
 private[sources] object GraftSegFile {
   def of(s: GraftCatalog.Segment): GraftSegFile =
     GraftSegFile(s.path, s.rows, s.dv, lineage = s.lineage)

@@ -262,6 +262,11 @@ private[sources] case class GraftChangeScan(
       case c: GraftChangePartition if c.fileBytes > 0 && c.file.rows > 0 =>
         (c.fileBytes * emitted(c)) / c.file.rows
       case u: GraftChangeUpdatePartition if u.fileBytes > 0 => u.fileBytes
+      // Eq-delta splits carry real file bytes too — a wide-row MoR
+      // upsert diff dominated by these must not fall to the flat
+      // guess the comment above warns about.
+      case e: GraftChangeEqDeletePartition if e.fileBytes > 0 && e.file.rows > 0 =>
+        (e.fileBytes * emitted(e)) / e.file.rows
       case p => emitted(p) * 8L * (dataSchema.length + 2)
     }.sum.max(if (rows > 0) 1L else 0L)
     new org.apache.spark.sql.connector.read.Statistics {
@@ -337,9 +342,13 @@ private[sources] case class GraftChangeFeedScan(
   override def toMicroBatchStream(
       checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftChangeMicroBatchStream(
-      ident, GraftChangeScan.resolveBoundVersion(ident, fromStr),
-      toStr.map(GraftChangeScan.resolveBoundVersion(ident, _)), dataSchema)
+    // Bound strings pass through UNRESOLVED: a timestamp (or tag) bound
+    // maps to a version via retained snapshots, and resolving it here
+    // would kill a checkpointed restart once pre-bound snapshots
+    // expire — the exact contract violation the scan doc above calls
+    // out. The stream resolves `from` only in initialOffset() (no
+    // checkpoint exists then, so failing loudly IS correct).
+    new GraftChangeMicroBatchStream(ident, fromStr, toStr, dataSchema)
   override def description(): String =
     s"GraftChangeFeedScan($ident, from=$fromStr${toStr.fold("")(t => s", to=$t")})"
   /** Real stats for the batch/MERGE path; a streaming context where
@@ -357,7 +366,7 @@ private[sources] case class GraftChangeFeedScan(
 }
 
 private[sources] class GraftChangeMicroBatchStream(
-    ident: Identifier, startVersion: Long, endVersion: Option[Long],
+    ident: Identifier, fromStr: String, toStr: Option[String],
     dataSchema: StructType)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
@@ -365,6 +374,28 @@ private[sources] class GraftChangeMicroBatchStream(
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   @volatile private var availableNowTarget: Option[Long] = None
+
+  /** Forced ONLY from initialOffset(): with a checkpoint, the offset
+    * is all that matters and the original `changesFrom` string may no
+    * longer map to anything (its snapshots aged out).
+    */
+  private lazy val startVersion: Long =
+    GraftChangeScan.resolveBoundVersion(ident, fromStr)
+  /** The end bound IS consulted on every batch, so an expired
+    * timestamp/tag mapping degrades instead of failing: the true bound
+    * is then provably BELOW the oldest retained snapshot, and clamping
+    * there drains nothing new (a restarted, already-drained bounded
+    * stream idles) while any genuinely-unreplayed older commit still
+    * fails loudly in snapshotOrFail with the retention remedy.
+    */
+  private def endVersion: Option[Long] = toStr.map { s =>
+    try GraftChangeScan.resolveBoundVersion(ident, s)
+    catch {
+      case e: IllegalArgumentException =>
+        GraftCatalog.retainedSnapshots(ident).headOption
+          .map(_.version - 1).getOrElse(throw e)
+    }
+  }
 
   private def snapshotOrFail(v: Long): GraftCatalog.CatalogSnapshot = {
     val s = GraftCatalog.snapshotByVersion(ident, v).getOrElse(
@@ -388,9 +419,13 @@ private[sources] class GraftChangeMicroBatchStream(
     s
   }
 
+  /** Deliberately does NOT consult `startVersion` (latestOffset maxes
+    * with the live offset instead): forcing the lazy resolution here
+    * would re-introduce the restart-after-expiry failure on every
+    * progress report.
+    */
   private def currentVersion: Long = {
     val cur = GraftCatalog.retainedSnapshots(ident).lastOption.map(_.version).getOrElse(-1L)
-      .max(startVersion)
     // changesTo bounds the stream: drain to it, then idle.
     endVersion.fold(cur)(math.min(cur, _))
   }
@@ -520,6 +555,38 @@ private[sources] object GraftChangeScan {
     orig
   }
 
+  /** [[composedRewrites]] plus the full path CHAIN: final added path →
+    * (original source path, every path the rows lived at along the
+    * way). The chain feeds [[chainDvStable]] — correspondence must be
+    * verifiable at every hop, not just the endpoints.
+    */
+  private[sources] def rewriteChains(
+      commits: Vector[GraftCatalog.CatalogSnapshot])
+      : Map[String, (String, Set[String])] = {
+    var chains = Map.empty[String, (String, Set[String])]
+    commits.foreach(_.rewrites.foreach { case (added, src) =>
+      val (orig, paths) = chains.getOrElse(src, (src, Set(src)))
+      chains = (chains - src) + (added -> (orig, paths + added))
+    })
+    chains
+  }
+
+  /** True when, across every retained commit of the (complete) range,
+    * the rewrite chain's row positions provably never moved: src keeps
+    * exactly its from-state dv wherever it appears, and no other chain
+    * link ever carries a dv.
+    */
+  private def chainDvStable(
+      commits: Vector[GraftCatalog.CatalogSnapshot],
+      src: GraftCatalog.Segment, chainPaths: Set[String]): Boolean = {
+    val srcDv = src.dv.getOrElse(BitSet.empty)
+    commits.forall(_.segments.forall { g =>
+      if (g.path == src.path) g.dv.getOrElse(BitSet.empty) == srcDv
+      else if (chainPaths.contains(g.path)) g.dv.forall(_.isEmpty)
+      else true
+    })
+  }
+
   /** The structural snapshot diff both the batch scan and the
     * streaming source plan from: one split per changed segment — or
     * one PAIRED split per provenance-recorded CoW-UPDATE rewrite.
@@ -550,17 +617,45 @@ private[sources] object GraftChangeScan {
     // acquired since the rewrite (a later in-range delete must surface
     // as deletes, which the fallback form does). Everything paired
     // here is excluded from the plain insert/delete planning below.
-    val rewrites = composedRewrites(ident, from.version, to.version)
+    val chains = rewriteChains(commits)
+    // Pairing claims POSITION-exact correspondence between src's live
+    // set at `from` and added's physical rows — which only holds when
+    // the state the rewrite actually consumed is provably src's
+    // from-state. Endpoint metadata alone cannot prove that, so the
+    // extra guards below inspect the retained mid-range commits and
+    // degrade to the (always-correct, just churnier) delete+insert
+    // form whenever exactness isn't provable.
+    val rangeComplete = commits.length == (to.version - from.version).toInt
+    val toSeqs0 = to.eqDeletes.map(_.seq).toSet
     val paired: Vector[(GraftCatalog.Segment, GraftCatalog.Segment)] =
       to.segments.filterNot(s => fromByPath.contains(s.path)).flatMap { added =>
-        rewrites.get(added.path).flatMap(fromByPath.get).collect {
-          case src if !toByPath.contains(src.path) && added.dv.isEmpty &&
-              // An equality delete registered AFTER the rewrite kills
-              // rows of `added` the lockstep reader would still emit
-              // as postimages — degrade to the (eq-filtered)
-              // delete+insert form, which nets correctly.
-              !to.eqDeletes.exists(_.seq > added.seq) &&
-              src.liveRows == added.rows => (src, added)
+        chains.get(added.path).flatMap { case (srcPath, chainPaths) =>
+          fromByPath.get(srcPath).collect {
+            case src if !toByPath.contains(src.path) && added.dv.isEmpty &&
+                // An equality delete registered AFTER the rewrite kills
+                // rows of `added` the lockstep reader would still emit
+                // as postimages — degrade to the (eq-filtered)
+                // delete+insert form, which nets correctly.
+                !to.eqDeletes.exists(_.seq > added.seq) &&
+                src.liveRows == added.rows &&
+                // The retained range must be COMPLETE: an expired
+                // mid-range commit could hide a dv flip or eq-delete
+                // change that breaks the position correspondence.
+                rangeComplete &&
+                // No eq delete applicable to src was removed in-range
+                // (RESTORE): its rows are eq-dead at `from` but present
+                // in `added` — a resurrection INSERT the lockstep
+                // reader can never emit (it only reports byte diffs).
+                !from.eqDeletes.exists(e => !toSeqs0(e.seq) && e.seq > src.seq) &&
+                // src's dv never differed from its from-state in any
+                // mid-range snapshot, and no chain link ever carried a
+                // dv: equal dv CARDINALITY at the endpoints is not
+                // equal POSITIONS — delete + restore + different
+                // delete keeps the count and shifts every ordinal
+                // after the gap, pairing wrong logical rows.
+                chainDvStable(commits, src, chainPaths) =>
+              (src, added)
+          }
         }
       }
     val pairedAdded = paired.map(_._2.path).toSet
@@ -735,9 +830,7 @@ private[sources] case class GraftChangeReaderFactory(data: StructType)
       private var emitPost = false // a pre was just emitted; its post is due
       private def liveNextPre(): Boolean = {
         while (pre.readNext()) {
-          val dead = p.pre.dv.exists(d =>
-            pre.ordinal <= Int.MaxValue && d.contains(pre.ordinal.toInt))
-          if (!dead) return true
+          if (!p.pre.dvDead(pre.ordinal)) return true
         }
         false
       }
@@ -787,9 +880,7 @@ private[sources] case class GraftChangeReaderFactory(data: StructType)
       override def next(): Boolean = {
         if (cur == null) cur = new SegCursor(p.file.path, p.file.rows)
         while (cur.readNext()) {
-          val skipped = p.file.dv.exists(d =>
-            cur.ordinal <= Int.MaxValue && d.contains(cur.ordinal.toInt))
-          if (!skipped) {
+          if (!p.file.dvDead(cur.ordinal)) {
             row.pointTo(cur.buf, cur.size)
             if (!p.file.eq.exists(_.matches(row)) && p.newKeys.exists(_.matches(row)))
               return true
@@ -819,8 +910,7 @@ private[sources] case class GraftChangeReaderFactory(data: StructType)
       private def emit(ord: Long): Boolean =
         (p.emitOnly match {
           case Some(only) => ord <= Int.MaxValue && only.contains(ord.toInt)
-          case None =>
-            !p.file.dv.exists(d => ord <= Int.MaxValue && d.contains(ord.toInt))
+          case None => !p.file.dvDead(ord)
         }) && !p.file.eq.exists(_.matches(row)) // row points at this record
       override def next(): Boolean = {
         if (cur == null) cur = new SegCursor(p.file.path, p.file.rows)

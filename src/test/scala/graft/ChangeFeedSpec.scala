@@ -461,4 +461,110 @@ class ChangeFeedSpec extends AnyFunSuite {
       (10L until 20L).map(("insert", _)).toSet)
     spark.sql("DROP TABLE graft.cdc.t")
   }
+
+  test("pairing degrades when an in-range RESTORE removed an eq delete on the source") {
+    // v2→v4 where v3 RESTORE removed the upsert's eq delete and v4
+    // CoW-rewrote the segment: the k=2 row is eq-DEAD at `from` and
+    // live (byte-identical) at `to`, so the lockstep pair could never
+    // emit its resurrection insert — the guard must degrade to the
+    // delete+insert form (found by review, pinned here).
+    spark.sql("DROP TABLE IF EXISTS graft.cdc.pr")
+    spark.sql("CREATE TABLE graft.cdc.pr (k BIGINT, v STRING) USING graft")
+    // ONE 5-row segment (numSlices=1) — per-row segments would route
+    // the resurrection through the eq-delta path and never reach the
+    // pairing guard under test.
+    spark.sql("INSERT INTO graft.cdc.pr " +
+      "SELECT id, concat('a', id) FROM range(1, 6, 1, 1)") // v1: k=1..5
+    Seq(2L -> "b2").toDF("k", "v").writeTo("graft.cdc.pr")
+      .option("graft.upsert.keys", "k").append() // v2: eq delete on k=2
+    spark.sql("CALL graft.system.restore('cdc', 'pr', '1')") // v3: eq delete gone
+    spark.sql("UPDATE graft.cdc.pr SET v = 'c5' WHERE k = 5") // v4: CoW rewrite
+    val got = spark.read.format("graft-changes")
+      .option("table", "cdc.pr").option("changesFrom", "2").option("changesTo", "4")
+      .load().select("_change_type", "k", "v")
+      .as[(String, Long, String)].collect().toSet
+    // Degraded form: delete+insert churn on the rewritten segment (the
+    // documented honest cap) — but the k=2 resurrection IS there (its
+    // bytes never changed, so a lockstep pair would emit NOTHING for
+    // it) and no update pairs appear. Deletes exclude k=2 (eq-dead at
+    // `from`); inserts carry all five post-rewrite rows.
+    assert(got == Set(
+      ("delete", 2L, "b2"), // the upsert batch, removed by the restore
+      ("delete", 1L, "a1"), ("delete", 3L, "a3"),
+      ("delete", 4L, "a4"), ("delete", 5L, "a5"),
+      ("insert", 1L, "a1"), ("insert", 2L, "a2"), ("insert", 3L, "a3"),
+      ("insert", 4L, "a4"), ("insert", 5L, "c5")), s"got $got")
+    spark.sql("DROP TABLE graft.cdc.pr")
+  }
+
+  test("pairing degrades when the source's dv shifted in-range (equal-size, different rows)") {
+    // delete k=3 → RESTORE → delete k=5 → CoW UPDATE k=0: the from-dv
+    // {3} and the dv the rewrite applied {5} have EQUAL cardinality, so
+    // the cardinality check alone would pair and the lockstep reader
+    // would pair WRONG logical rows from ordinal 3 on (fabricated
+    // updates, missing insert k=3 / delete k=5). The dv-stability
+    // guard must degrade (found by review, pinned here).
+    spark.sql("DROP TABLE IF EXISTS graft.cdc.dvs")
+    spark.sql("CREATE TABLE graft.cdc.dvs (k BIGINT, v STRING) USING graft")
+    // ONE 6-row segment (numSlices=1): the position shift under test
+    // needs several rows sharing a segment.
+    spark.sql(
+      "INSERT INTO graft.cdc.dvs SELECT id, concat('a', id) FROM range(0, 6, 1, 1)") // v1
+    spark.sql("DELETE FROM graft.cdc.dvs WHERE k = 3") // v2: dv {3}
+    spark.sql("CALL graft.system.restore('cdc', 'dvs', '1')") // v3: dv {}
+    spark.sql("DELETE FROM graft.cdc.dvs WHERE k = 5") // v4: dv {5}
+    spark.sql("UPDATE graft.cdc.dvs SET v = 'c0' WHERE k = 0") // v5: CoW rewrite
+    val got = spark.read.format("graft-changes")
+      .option("table", "cdc.dvs").option("changesFrom", "2").option("changesTo", "5")
+      .load().select("_change_type", "k", "v")
+      .as[(String, Long, String)].collect().toSet
+    // Degraded delete+insert: deletes = live-at-from rows {0,1,2,4,5},
+    // inserts = live-at-to rows {0(updated),1,2,3,4}. The k=3
+    // resurrection and the k=5 delete both surface; no row pairs wrong.
+    val expect =
+      Set(0L, 1L, 2L, 4L, 5L).map(k => ("delete", k, s"a$k")) +
+        (("insert", 0L, "c0")) ++ Set(1L, 2L, 3L, 4L).map(k => ("insert", k, s"a$k"))
+    assert(got == expect, s"got $got")
+    spark.sql("DROP TABLE graft.cdc.dvs")
+  }
+
+  test("checkpointed stream restarts after its timestamp changesFrom aged out of retention") {
+    // The bound string maps to a version through RETAINED snapshots;
+    // eager re-resolution at restart killed a stream whose checkpoint
+    // is all that matters once pre-timestamp snapshots expired (found
+    // by review, pinned here). Cap retention at 2 snapshots to force
+    // the expiry.
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sql("DROP TABLE IF EXISTS graft.cdc.tsr")
+    spark.sql("CREATE TABLE graft.cdc.tsr (k BIGINT) USING graft " +
+      "TBLPROPERTIES ('graft.retention.snapshots'='2')")
+    spark.sql("INSERT INTO graft.cdc.tsr VALUES (1)") // v1
+    Thread.sleep(30)
+    val betweenV1andV2 = java.time.Instant.now().toString
+    Thread.sleep(30)
+    spark.sql("INSERT INTO graft.cdc.tsr VALUES (2)") // v2
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_tsr").toString
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    def runStream(): Unit =
+      spark.readStream.format("graft-changes")
+        .option("table", "cdc.tsr").option("changesFrom", betweenV1andV2).load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized { got ++= df.select("k").as[Long].collect() }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    runStream() // resolves the timestamp to v1 (still retained), drains v2
+    assert(got.sorted == Seq(2L), s"got $got")
+    // v3 expires v1 under the cap — the timestamp now maps to NOTHING.
+    spark.sql("INSERT INTO graft.cdc.tsr VALUES (3)") // v3; retained: v2, v3
+    intercept[Exception](spark.read.format("graft-changes")
+      .option("table", "cdc.tsr").option("changesFrom", betweenV1andV2)
+      .load().collect()) // the batch path correctly refuses now
+    got.clear()
+    runStream() // the checkpointed stream must come up and drain v3
+    assert(got.sorted == Seq(3L), s"restart must deliver v3 only, got $got")
+    spark.sql("DROP TABLE graft.cdc.tsr")
+  }
 }
