@@ -108,6 +108,31 @@ class CdcReplaySpec extends AnyFunSuite {
       s"streamed per-commit replay diverged from the batch replica (seed=$seed)")
   }
 
+  /** RANGE composition: for random retained spans (a, b], the batch
+    * diff must transform `VERSION AS OF a` into `VERSION AS OF b`.
+    * Multi-commit spans cross restores, dv flips, and eq-delete
+    * removals mid-range — exactly where the paired-update guards must
+    * degrade instead of pairing wrong positions (the per-commit replay
+    * above never sees those compositions).
+    */
+  private def checkRangeComposition(
+      rnd: scala.util.Random, seed: Long, log: Seq[String]): Unit = {
+    val retained = spark.sql(s"SELECT version FROM $T.history")
+      .collect().map(_.getLong(0)).sorted
+    (1 to 6).foreach { _ =>
+      val a = retained(rnd.nextInt(retained.length))
+      val b = retained(rnd.nextInt(retained.length))
+      if (a < b) {
+        val r = emptyRows
+        tableRows(s"VERSION AS OF $a").foreach { case (key, c) => r(key) = c }
+        applyDiff(r, a, b)
+        assert(r.toMap == tableRows(s"VERSION AS OF $b"),
+          s"range diff ($a,$b] does not transform state($a) into state($b) " +
+            s"(seed=$seed)\nops:\n${log.mkString("\n")}")
+      }
+    }
+  }
+
   private def runSequence(seed: Long, ops: Int): Unit = {
     val rnd = new scala.util.Random(seed)
     spark.sql(s"DROP TABLE IF EXISTS $T PURGE")
@@ -178,6 +203,7 @@ class CdcReplaySpec extends AnyFunSuite {
     applyDiff(net, 0L, lastV)
     assert(net.toMap == tableRows(""),
       s"net v0->v$lastV diff does not rebuild the final state (seed=$seed)")
+    checkRangeComposition(rnd, seed, log.toSeq)
     checkFinalInvariants(replica, rnd, seed)
     spark.sql(s"DROP TABLE $T PURGE")
   }
@@ -250,6 +276,7 @@ class CdcReplaySpec extends AnyFunSuite {
     applyDiff(net, 0L, lastV)
     assert(net.toMap == tableRows(""),
       s"net v0->v$lastV diff does not rebuild the final state (seed=$seed, partitioned)")
+    checkRangeComposition(rnd, seed, log.toSeq)
     checkFinalInvariants(replica, rnd, seed)
     spark.sql(s"DROP TABLE $T PURGE")
   }
