@@ -442,6 +442,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
               if (s.spec.exists(PartField.parse(_).source == from))
                 s.copy(spec = s.spec.map(PartField.renameIn(_, from, rn.newName())))
               else s))
+          case (e, _) => e // unreachable under the forall guard
         }
       })
       if (orderTouched) clearSortedFlags(ident)

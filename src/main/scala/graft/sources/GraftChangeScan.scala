@@ -391,7 +391,12 @@ private[sources] class GraftChangeMicroBatchStream(
   private def endVersion: Option[Long] = toStr.map { s =>
     try GraftChangeScan.resolveBoundVersion(ident, s)
     catch {
-      case e: IllegalArgumentException =>
+      // ONLY the expiry shape degrades (a timestamp all of whose
+      // at-or-before snapshots aged out) — a malformed or unknown
+      // bound still fails loudly; clamping a typo'd changesTo would
+      // silently drain the stream to nothing.
+      case e: IllegalArgumentException
+          if Option(e.getMessage).exists(_.contains("no snapshot committed at or before")) =>
         GraftCatalog.retainedSnapshots(ident).headOption
           .map(_.version - 1).getOrElse(throw e)
     }

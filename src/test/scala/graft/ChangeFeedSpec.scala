@@ -567,4 +567,44 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(got.sorted == Seq(3L), s"restart must deliver v3 only, got $got")
     spark.sql("DROP TABLE graft.cdc.tsr")
   }
+
+  test("drained bounded stream restarts and idles after its timestamp changesTo expired") {
+    // The end bound IS consulted every batch; once its at-or-before
+    // snapshots expire, the mapping degrades to 'below the oldest
+    // retained snapshot' — a drained bounded stream restarts and
+    // idles instead of dying. A MALFORMED bound must still fail.
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sql("DROP TABLE IF EXISTS graft.cdc.tse")
+    spark.sql("CREATE TABLE graft.cdc.tse (k BIGINT) USING graft " +
+      "TBLPROPERTIES ('graft.retention.snapshots'='2')")
+    spark.sql("INSERT INTO graft.cdc.tse VALUES (1)") // v1
+    Thread.sleep(30)
+    val cap = java.time.Instant.now().toString // bound: at-or-before = v1
+    Thread.sleep(30)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_tse").toString
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    def runStream(to: String): Unit =
+      spark.readStream.format("graft-changes")
+        .option("table", "cdc.tse").option("changesFrom", "0")
+        .option("changesTo", to).load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized { got ++= df.select("k").as[Long].collect() }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    runStream(cap) // drains (0, v1]
+    assert(got.sorted == Seq(1L), s"got $got")
+    spark.sql("INSERT INTO graft.cdc.tse VALUES (2)") // v2
+    spark.sql("INSERT INTO graft.cdc.tse VALUES (3)") // v3; retained: v2, v3
+    got.clear()
+    runStream(cap) // v1 expired: the bound maps to nothing — idle, not die
+    assert(got.isEmpty, s"expired changesTo must idle the drained stream, got $got")
+    // A typo'd bound still fails loudly rather than silently idling.
+    val e = intercept[Exception] { runStream("not-a-bound") }
+    def root(t: Throwable): Throwable = if (t.getCause == null) t else root(t.getCause)
+    assert(root(e).getMessage != null, e.toString)
+    spark.sql("DROP TABLE graft.cdc.tse")
+  }
 }
