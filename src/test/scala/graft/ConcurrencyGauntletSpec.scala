@@ -1,0 +1,180 @@
+package graft
+
+import scala.collection.mutable
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Concurrent-writer gauntlet: N threads fire interleaved INSERT /
+  * UPDATE / DELETE statements at one catalog table through one shared
+  * SparkSession, retrying on optimistic-concurrency refusals. Each
+  * thread mutates ONLY its own key (`tid`), so a per-thread model of
+  * "what my acknowledged statements did" is exact regardless of the
+  * interleaving — the end-state invariant is that the table equals the
+  * union of the per-thread models:
+  *  - a LOST update/insert (a commit erased by a concurrent
+  *    truncate-swap) leaves the table BEHIND a model;
+  *  - a DOUBLE-applied retry (an op that failed visibly but committed
+  *    invisibly) puts the table AHEAD of a model;
+  *  - a torn commit shows up as a row count neither side predicted.
+  * On top of the state check: history versions are strictly
+  * increasing and dense (every commit published exactly one snapshot),
+  * and the net v0→final CDC diff rebuilds the same state — the change
+  * feed must stay consistent under contention too.
+  */
+class ConcurrencyGauntletSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s
+  }
+
+  private val T = "graft.conc.t"
+
+  test("concurrent writers serialize: no lost updates, no double applies") {
+    spark.sql(s"DROP TABLE IF EXISTS $T PURGE")
+    spark.sql(s"CREATE TABLE $T (tid BIGINT, n BIGINT) USING graft")
+    val threads = 6
+    val opsPerThread = 8
+    val maxRetries = 40
+    // Per-thread model: multiset of n-values under this thread's tid.
+    val models = Array.fill(threads)(mutable.Map.empty[Long, Int].withDefaultValue(0))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+
+    def conflict(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(m =>
+        m.contains("row-level rewrite") || m.contains("concurrent")) ||
+        conflict(t.getCause))
+
+    /** Run `stmt`, retrying optimistic refusals; true iff it was
+      * acknowledged (so the model applies it), false if retries ran
+      * out (the op provably did NOT commit — refusal is pre-publish).
+      */
+    val conflictsSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    def acked(stmt: String): Boolean = {
+      var attempt = 0
+      while (true) {
+        try { spark.sql(stmt); return true }
+        catch {
+          case t: Throwable if conflict(t) && attempt < maxRetries =>
+            conflictsSeen.incrementAndGet()
+            attempt += 1
+            Thread.sleep(1L + attempt)
+          case t: Throwable if conflict(t) => return false
+        }
+      }
+      false
+    }
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    (0 until threads).foreach { tid =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try {
+            val rnd = new scala.util.Random(1000L + tid)
+            val model = models(tid)
+            for (_ <- 1 to opsPerThread) rnd.nextInt(4) match {
+              case 0 | 1 => // INSERT a small batch of (tid, n) rows
+                val ns = Seq.fill(1 + rnd.nextInt(3))(rnd.nextInt(5).toLong)
+                if (acked(s"INSERT INTO $T VALUES ${
+                    ns.map(n => s"($tid, $n)").mkString(", ")}"))
+                  ns.foreach(n => model(n) += 1)
+              case 2 => // UPDATE all own rows (CoW rewrite under contention)
+                if (model.nonEmpty && acked(s"UPDATE $T SET n = n + 10 WHERE tid = $tid")) {
+                  val bumped = model.toSeq
+                  model.clear()
+                  bumped.foreach { case (n, c) => model(n + 10) += c }
+                }
+              case 3 => // DELETE one own value-class
+                if (model.nonEmpty) {
+                  val n = model.keys.toSeq(rnd.nextInt(model.size))
+                  if (acked(s"DELETE FROM $T WHERE tid = $tid AND n = $n"))
+                    model.remove(n)
+                }
+            }
+          } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(300, java.util.concurrent.TimeUnit.SECONDS),
+      "gauntlet threads did not finish")
+    assert(failures.isEmpty, s"unexpected failure: ${failures.peek()}")
+    info(s"optimistic conflicts retried: ${conflictsSeen.get()}")
+
+    // Table == union of the per-thread models.
+    val got = mutable.Map.empty[(Long, Long), Int].withDefaultValue(0)
+    spark.sql(s"SELECT tid, n FROM $T").collect()
+      .foreach(r => got((r.getLong(0), r.getLong(1))) += 1)
+    val want = mutable.Map.empty[(Long, Long), Int].withDefaultValue(0)
+    models.zipWithIndex.foreach { case (m, tid) =>
+      m.foreach { case (n, c) => want((tid.toLong, n)) += c }
+    }
+    assert(got.toMap == want.toMap,
+      s"table diverged from the union of acknowledged ops:\n got=$got\nwant=$want")
+
+    // History is dense and strictly increasing — every commit
+    // published exactly one snapshot, none vanished, none doubled.
+    val versions = spark.sql(s"SELECT version FROM $T.history ORDER BY version")
+      .collect().map(_.getLong(0))
+    assert(versions.zip(versions.tail).forall { case (a, b) => b == a + 1 },
+      s"history not dense: ${versions.mkString(",")}")
+
+    // The net CDC diff v0 -> final rebuilds the same state.
+    val replica = mutable.Map.empty[(Long, Long), Int].withDefaultValue(0)
+    spark.read.format("graft-changes")
+      .option("table", "conc.t").option("changesFrom", "0")
+      .load().collect().foreach { r =>
+        val key = (r.getLong(0), r.getLong(1))
+        r.getString(2) match {
+          case "insert" | "update_postimage" => replica(key) += 1
+          case _ =>
+            replica(key) -= 1
+            if (replica(key) == 0) replica.remove(key)
+        }
+      }
+    assert(replica.toMap == want.toMap,
+      "net CDC diff diverged from the acknowledged end state under contention")
+    spark.sql(s"DROP TABLE $T PURGE")
+  }
+
+  test("concurrent writers against a MoR upsert surface keep key uniqueness") {
+    // Each thread upserts ITS OWN key repeatedly (merge-on-read
+    // equality deletes) racing the others' commits: the per-key
+    // LAST-acknowledged value must win, and the key must appear
+    // exactly once — a mis-sequenced eq delete (stale seq) would
+    // either duplicate the key or resurrect an old value.
+    spark.sql(s"DROP TABLE IF EXISTS $T PURGE")
+    spark.sql(s"CREATE TABLE $T (tid BIGINT, n BIGINT) USING graft")
+    val threads = 6
+    val rounds = 6
+    val lastAcked = new java.util.concurrent.atomic.AtomicLongArray(threads)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    (0 until threads).foreach { tid =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try {
+            import spark.implicits._
+            for (round <- 1 to rounds) {
+              val v = tid * 100L + round
+              Seq((tid.toLong, v)).toDF("tid", "n")
+                .writeTo(T).option("graft.upsert.keys", "tid").append()
+              lastAcked.set(tid, v) // upsert commits serialize under the lock
+            }
+          } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(300, java.util.concurrent.TimeUnit.SECONDS),
+      "upsert threads did not finish")
+    assert(failures.isEmpty, s"unexpected failure: ${failures.peek()}")
+    val rows = spark.sql(s"SELECT tid, n FROM $T ORDER BY tid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.length == threads,
+      s"each key must appear exactly once, got ${rows.toSeq}")
+    rows.foreach { case (tid, n) =>
+      assert(n == lastAcked.get(tid.toInt),
+        s"key $tid holds $n, last acknowledged was ${lastAcked.get(tid.toInt)}")
+    }
+    spark.sql(s"DROP TABLE $T PURGE")
+  }
+}
