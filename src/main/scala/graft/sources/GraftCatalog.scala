@@ -1657,7 +1657,10 @@ object GraftCatalog {
       idx: Int, name: String, isLong: Boolean,
       start: Long, step: Long, allowExplicit: Boolean, k0: Long)
 
-  private[sources] def identityProp(col: String): String = s"graft.identity.$col.next"
+  private[sources] val IdentityPropPrefix = "graft.identity."
+  private[sources] val IdentityPropSuffix = ".next"
+  private[sources] def identityProp(col: String): String =
+    s"$IdentityPropPrefix$col$IdentityPropSuffix"
 
   /** Current write-time assignment specs for a table — empty when the
     * schema has no identity columns. Reads the live watermark; call
@@ -3236,7 +3239,7 @@ object GraftCatalog {
     */
   private def replaceEntry(prev: TableEntry, staged: TableEntry): TableEntry = {
     def isIdentityNext(k: String) =
-      k.startsWith("graft.identity.") && k.endsWith(".next")
+      k.startsWith(IdentityPropPrefix) && k.endsWith(IdentityPropSuffix)
     val carried = prev.props.filter { case (k, _) =>
       k.startsWith(TagPropPrefix) || k == RetentionSecondsProp ||
         k == RetentionSnapshotsProp || isIdentityNext(k)

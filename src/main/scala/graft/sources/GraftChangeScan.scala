@@ -382,25 +382,29 @@ private[sources] class GraftChangeMicroBatchStream(
   private lazy val startVersion: Long =
     GraftChangeScan.resolveBoundVersion(ident, fromStr)
   /** The end bound IS consulted on every batch, so an expired
-    * timestamp/tag mapping degrades instead of failing: the true bound
-    * is then provably BELOW the oldest retained snapshot, and clamping
-    * there drains nothing new (a restarted, already-drained bounded
-    * stream idles) while any genuinely-unreplayed older commit still
-    * fails loudly in snapshotOrFail with the retention remedy.
+    * timestamp/tag mapping degrades instead of failing the restart.
+    * `Some(None)` = bound whose mapping expired: the true bound is
+    * provably BELOW the oldest retained snapshot, so every version the
+    * bound could still admit has ALSO expired — there is nothing this
+    * stream can ever deliver again, and the admission path pins the
+    * offset in place (see latestOffset). A drained bounded stream
+    * restarts and idles; a stream that genuinely fell behind idles at
+    * its checkpoint too — the undeliverable range is gone either way,
+    * and the stable offset leaves the evidence intact for the operator
+    * (vs a crash loop that says the same thing louder). ONLY the
+    * expiry shape degrades — a malformed or unknown bound still fails
+    * loudly; clamping a typo'd changesTo would silently idle a healthy
+    * stream.
     */
-  private def endVersion: Option[Long] = toStr.map { s =>
-    try GraftChangeScan.resolveBoundVersion(ident, s)
+  private def resolvedEnd: Option[Option[Long]] = toStr.map { s =>
+    try Some(GraftChangeScan.resolveBoundVersion(ident, s))
     catch {
-      // ONLY the expiry shape degrades (a timestamp all of whose
-      // at-or-before snapshots aged out) — a malformed or unknown
-      // bound still fails loudly; clamping a typo'd changesTo would
-      // silently drain the stream to nothing.
       case e: IllegalArgumentException
           if Option(e.getMessage).exists(_.contains("no snapshot committed at or before")) =>
-        GraftCatalog.retainedSnapshots(ident).headOption
-          .map(_.version - 1).getOrElse(throw e)
+        None
     }
   }
+  private def endDegraded: Boolean = resolvedEnd.contains(None)
 
   private def snapshotOrFail(v: Long): GraftCatalog.CatalogSnapshot = {
     val s = GraftCatalog.snapshotByVersion(ident, v).getOrElse(
@@ -432,7 +436,16 @@ private[sources] class GraftChangeMicroBatchStream(
   private def currentVersion: Long = {
     val cur = GraftCatalog.retainedSnapshots(ident).lastOption.map(_.version).getOrElse(-1L)
     // changesTo bounds the stream: drain to it, then idle.
-    endVersion.fold(cur)(math.min(cur, _))
+    resolvedEnd match {
+      case None => cur
+      case Some(Some(v)) => math.min(cur, v)
+      case Some(None) =>
+        // Expired bound: report the frontier below the oldest retained
+        // snapshot (an upper bound on the true one); admission
+        // additionally pins at the checkpoint offset.
+        math.min(cur, GraftCatalog.retainedSnapshots(ident).headOption
+          .map(_.version - 1).getOrElse(cur))
+    }
   }
 
   override def initialOffset(): Offset = GraftVersionOffset(startVersion)
@@ -455,7 +468,13 @@ private[sources] class GraftChangeMicroBatchStream(
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[GraftVersionOffset].v
-    val target = availableNowTarget.getOrElse(currentVersion)
+    // Expired changesTo: the frontier estimate may sit ABOVE the
+    // checkpoint while every version in between has expired — an
+    // advance would crash in snapshotOrFail on a stream that already
+    // drained its bound. Nothing in an expired bound is deliverable;
+    // pin at the offset.
+    val target0 = availableNowTarget.getOrElse(currentVersion)
+    val target = if (endDegraded) math.min(target0, s) else target0
     limit match {
       case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable
           if availableNowTarget.isEmpty =>
@@ -631,7 +650,7 @@ private[sources] object GraftChangeScan {
     // degrade to the (always-correct, just churnier) delete+insert
     // form whenever exactness isn't provable.
     val rangeComplete = commits.length == (to.version - from.version).toInt
-    val toSeqs0 = to.eqDeletes.map(_.seq).toSet
+    val toSeqs = to.eqDeletes.map(_.seq).toSet
     val paired: Vector[(GraftCatalog.Segment, GraftCatalog.Segment)] =
       to.segments.filterNot(s => fromByPath.contains(s.path)).flatMap { added =>
         chains.get(added.path).flatMap { case (srcPath, chainPaths) =>
@@ -651,7 +670,7 @@ private[sources] object GraftChangeScan {
                 // (RESTORE): its rows are eq-dead at `from` but present
                 // in `added` — a resurrection INSERT the lockstep
                 // reader can never emit (it only reports byte diffs).
-                !from.eqDeletes.exists(e => !toSeqs0(e.seq) && e.seq > src.seq) &&
+                !from.eqDeletes.exists(e => !toSeqs(e.seq) && e.seq > src.seq) &&
                 // src's dv never differed from its from-state in any
                 // mid-range snapshot, and no chain link ever carried a
                 // dv: equal dv CARDINALITY at the endpoints is not
@@ -715,7 +734,6 @@ private[sources] object GraftChangeScan {
     // eq filters) and rows whose transition the dv-delta split reports
     // are excluded, so no row emits twice.
     val fromSeqs = from.eqDeletes.map(_.seq).toSet
-    val toSeqs = to.eqDeletes.map(_.seq).toSet
     val compiledNew = EqFilter.compileAll(
       to.schema, to.eqDeletes.filterNot(e => fromSeqs(e.seq)))
     val compiledRemoved = EqFilter.compileAll(

@@ -596,15 +596,24 @@ class ChangeFeedSpec extends AnyFunSuite {
         .trigger(Trigger.AvailableNow()).start().awaitTermination()
     runStream(cap) // drains (0, v1]
     assert(got.sorted == Seq(1L), s"got $got")
+    // THREE commits: retained = {v3, v4} — both the bound's snapshots
+    // AND the first post-bound version expire, so the degraded
+    // frontier (oldest-1 = 2) sits ABOVE the checkpoint (1). An
+    // advance would crash in snapshotOrFail on a stream that already
+    // drained its bound; it must pin at the offset and idle.
     spark.sql("INSERT INTO graft.cdc.tse VALUES (2)") // v2
-    spark.sql("INSERT INTO graft.cdc.tse VALUES (3)") // v3; retained: v2, v3
+    spark.sql("INSERT INTO graft.cdc.tse VALUES (3)") // v3
+    spark.sql("INSERT INTO graft.cdc.tse VALUES (4)") // v4; retained: v3, v4
     got.clear()
-    runStream(cap) // v1 expired: the bound maps to nothing — idle, not die
+    runStream(cap) // v1..v2 expired: the bound maps to nothing — idle, not die
     assert(got.isEmpty, s"expired changesTo must idle the drained stream, got $got")
-    // A typo'd bound still fails loudly rather than silently idling.
+    // A typo'd bound still fails loudly — and for the RIGHT reason
+    // (unresolvable bound), not some unrelated crash.
     val e = intercept[Exception] { runStream("not-a-bound") }
-    def root(t: Throwable): Throwable = if (t.getCause == null) t else root(t.getCause)
-    assert(root(e).getMessage != null, e.toString)
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("not-a-bound")),
+      s"expected the malformed bound in the error, got: ${msgs(e)}")
     spark.sql("DROP TABLE graft.cdc.tse")
   }
 }
