@@ -4328,6 +4328,26 @@ private[graft] object ZoneMap {
     */
   private[sources] def cmp(a: Any, b: Any): Option[Int] = GraftCompare.cmp(a, b)
 
+  /** PROVABLY-DISJOINT probe of an equality delete against one
+    * segment: true only when every key of a SINGLE-column delete is
+    * excluded by the segment's zone map or Bloom bits. Serves the
+    * change feed's paired-update guard — an eq delete REMOVED
+    * in-range (RESTORE, or publish-time GC) forces the delete+insert
+    * degrade only when it could actually have touched the source
+    * segment's rows; in upsert-heavy tables most deletes provably
+    * never did. Conservative on multi-column keys, null keys, missing
+    * stats, or untracked types: not provably disjoint.
+    */
+  private[sources] def eqDisjoint(
+      schema: StructType, seg: Segment, eq: GraftCatalog.EqDelete): Boolean =
+    eq.keyCols.length == 1 && seg.stats.nonEmpty && eq.keys.forall { k =>
+      val v = k.head
+      v != null && (bloomMiss(schema, seg, eq.keyCols.head, v) ||
+        stat(schema, seg, eq.keyCols.head).exists(s =>
+          s.min != null && s.max != null &&
+            (cmp(v, s.min).exists(_ < 0) || cmp(v, s.max).exists(_ > 0))))
+    }
+
   private def provablyEmpty(f: Filter, schema: StructType, seg: Segment): Boolean = {
     if (seg.stats.isEmpty || seg.rows == 0) return false
     def withStat(attr: String)(p: ColStat => Boolean): Boolean =

@@ -598,17 +598,17 @@ private[sources] object GraftChangeScan {
   /** True when, across every retained commit of the (complete) range,
     * the rewrite chain's row positions provably never moved: src keeps
     * exactly its from-state dv wherever it appears, and no other chain
-    * link ever carries a dv.
+    * link ever carries a dv. `commitDvs` is the pre-built per-commit
+    * (path → dv) view — built ONCE per diff, because this guard runs
+    * per paired CANDIDATE and scanning every segment of every commit
+    * per candidate would be quadratic in segment count.
     */
   private def chainDvStable(
-      commits: Vector[GraftCatalog.CatalogSnapshot],
+      commitDvs: Vector[Map[String, BitSet]],
       src: GraftCatalog.Segment, chainPaths: Set[String]): Boolean = {
     val srcDv = src.dv.getOrElse(BitSet.empty)
-    commits.forall(_.segments.forall { g =>
-      if (g.path == src.path) g.dv.getOrElse(BitSet.empty) == srcDv
-      else if (chainPaths.contains(g.path)) g.dv.forall(_.isEmpty)
-      else true
-    })
+    commitDvs.forall(m => chainPaths.forall(p =>
+      m.get(p).forall(dv => if (p == src.path) dv == srcDv else dv.isEmpty)))
   }
 
   /** The structural snapshot diff both the batch scan and the
@@ -651,6 +651,14 @@ private[sources] object GraftChangeScan {
     // form whenever exactness isn't provable.
     val rangeComplete = commits.length == (to.version - from.version).toInt
     val toSeqs = to.eqDeletes.map(_.seq).toSet
+    lazy val commitDvs: Vector[Map[String, BitSet]] = commits.map(
+      _.segments.iterator.map(g => g.path -> g.dv.getOrElse(BitSet.empty)).toMap)
+    // Eq deletes REMOVED in-range: by RESTORE (a resurrection the
+    // lockstep pair could never emit) or by publish-time GC (harmless
+    // once every killable row is gone). The guard below degrades only
+    // when the removed delete could actually have touched src —
+    // zone-map/Bloom disjointness clears most upsert deletes.
+    val removedEq = from.eqDeletes.filterNot(e => toSeqs(e.seq))
     val paired: Vector[(GraftCatalog.Segment, GraftCatalog.Segment)] =
       to.segments.filterNot(s => fromByPath.contains(s.path)).flatMap { added =>
         chains.get(added.path).flatMap { case (srcPath, chainPaths) =>
@@ -666,18 +674,20 @@ private[sources] object GraftChangeScan {
                 // mid-range commit could hide a dv flip or eq-delete
                 // change that breaks the position correspondence.
                 rangeComplete &&
-                // No eq delete applicable to src was removed in-range
-                // (RESTORE): its rows are eq-dead at `from` but present
-                // in `added` — a resurrection INSERT the lockstep
-                // reader can never emit (it only reports byte diffs).
-                !from.eqDeletes.exists(e => !toSeqs(e.seq) && e.seq > src.seq) &&
+                // No eq delete that was removed in-range could have
+                // killed rows of src: such rows are eq-dead at `from`
+                // but present in `added` — a resurrection INSERT the
+                // lockstep reader can never emit (it only reports
+                // byte diffs).
+                !removedEq.exists(e => e.seq > src.seq &&
+                  !ZoneMap.eqDisjoint(from.schema, src, e)) &&
                 // src's dv never differed from its from-state in any
                 // mid-range snapshot, and no chain link ever carried a
                 // dv: equal dv CARDINALITY at the endpoints is not
                 // equal POSITIONS — delete + restore + different
                 // delete keeps the count and shifts every ordinal
                 // after the gap, pairing wrong logical rows.
-                chainDvStable(commits, src, chainPaths) =>
+                chainDvStable(commitDvs, src, chainPaths) =>
               (src, added)
           }
         }
