@@ -497,6 +497,30 @@ class ChangeFeedSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.cdc.pr")
   }
 
+  test("a GC'd eq delete provably disjoint from the source keeps the update pairing") {
+    // v2's upsert key (k=10) never lived in the 5-row segment; v3's
+    // CoW rewrite retires every pre-upsert segment, so publish GC's
+    // the eq delete — it vanishes between the endpoints exactly like a
+    // RESTORE would. Zone-map/Bloom disjointness proves it could not
+    // have killed any source row, so the feed must still emit the
+    // exact update pair, not the full delete+insert churn.
+    spark.sql("DROP TABLE IF EXISTS graft.cdc.gcp")
+    spark.sql("CREATE TABLE graft.cdc.gcp (k BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.cdc.gcp " +
+      "SELECT id, concat('a', id) FROM range(1, 6, 1, 1)") // v1: one segment k=1..5
+    Seq(10L -> "b10").toDF("k", "v").writeTo("graft.cdc.gcp")
+      .option("graft.upsert.keys", "k").append() // v2: eq delete on k=10
+    spark.sql("UPDATE graft.cdc.gcp SET v = 'c5' WHERE k = 5") // v3: rewrite + eq GC
+    val got = spark.read.format("graft-changes")
+      .option("table", "cdc.gcp").option("changesFrom", "2").option("changesTo", "3")
+      .load().select("_change_type", "k", "v")
+      .as[(String, Long, String)].collect().toSet
+    assert(got == Set(
+      ("update_preimage", 5L, "a5"), ("update_postimage", 5L, "c5")),
+      s"disjoint GC'd eq delete must not degrade the pairing, got $got")
+    spark.sql("DROP TABLE graft.cdc.gcp")
+  }
+
   test("pairing degrades when the source's dv shifted in-range (equal-size, different rows)") {
     // delete k=3 → RESTORE → delete k=5 → CoW UPDATE k=0: the from-dv
     // {3} and the dv the rewrite applied {5} have EQUAL cardinality, so
