@@ -208,9 +208,9 @@ class CdcReplaySpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $T PURGE")
   }
 
-  for (seed <- Seq(7L, 13L, 42L)) {
+  for (seed <- GauntletEnv.seeds(Seq(7L, 13L, 42L))) {
     test(s"random commit sequence replays exactly through the CDC feed (seed=$seed)") {
-      runSequence(seed, ops = 16)
+      runSequence(seed, ops = GauntletEnv.ops(16))
     }
   }
 
@@ -281,9 +281,9 @@ class CdcReplaySpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $T PURGE")
   }
 
-  for (seed <- Seq(2L, 9L, 21L)) {
+  for (seed <- GauntletEnv.seeds(Seq(2L, 9L, 21L))) {
     test(s"partitioned random sequence replays exactly through the CDC feed (seed=$seed)") {
-      runPartitioned(seed, ops = 16)
+      runPartitioned(seed, ops = GauntletEnv.ops(16))
     }
   }
 
@@ -362,9 +362,9 @@ class CdcReplaySpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $T PURGE")
   }
 
-  for (seed <- Seq(5L, 17L)) {
+  for (seed <- GauntletEnv.seeds(Seq(5L, 17L))) {
     test(s"branch-publish random sequence fast-forwards and replays exactly (seed=$seed)") {
-      runBranchPublish(seed, ops = 12)
+      runBranchPublish(seed, ops = GauntletEnv.ops(12))
     }
   }
 }

@@ -143,9 +143,9 @@ class RestartGauntletSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $T PURGE")
   }
 
-  for (seed <- Seq(4L, 19L, 33L)) {
+  for (seed <- GauntletEnv.seeds(Seq(4L, 19L, 33L))) {
     test(s"durable random sequence survives restarts and replays exactly (seed=$seed)") {
-      runSeq(seed, ops = 14)
+      runSeq(seed, ops = GauntletEnv.ops(14))
     }
   }
 }

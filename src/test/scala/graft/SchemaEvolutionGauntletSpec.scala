@@ -165,9 +165,9 @@ class SchemaEvolutionGauntletSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $T PURGE")
   }
 
-  for (seed <- Seq(3L, 11L, 29L)) {
+  for (seed <- GauntletEnv.seeds(Seq(3L, 11L, 29L))) {
     test(s"random schema-evolution sequence keeps model equivalence (seed=$seed)") {
-      runSeq(seed, ops = 14)
+      runSeq(seed, ops = GauntletEnv.ops(14))
     }
   }
 }
