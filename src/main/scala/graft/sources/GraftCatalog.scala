@@ -4340,12 +4340,11 @@ private[graft] object ZoneMap {
     */
   private[sources] def eqDisjoint(
       schema: StructType, seg: Segment, eq: GraftCatalog.EqDelete): Boolean =
-    eq.keyCols.length == 1 && seg.stats.nonEmpty && eq.keys.forall { k =>
-      val v = k.head
-      v != null && (bloomMiss(schema, seg, eq.keyCols.head, v) ||
-        stat(schema, seg, eq.keyCols.head).exists(s =>
-          s.min != null && s.max != null &&
-            (cmp(v, s.min).exists(_ < 0) || cmp(v, s.max).exists(_ > 0))))
+    eq.keyCols.length == 1 && eq.keys.forall { k =>
+      // The ONE EqualTo probe (zone map + Bloom + all-null + empty
+      // segment) — not a hand copy that could drift from the scan's
+      // pruning semantics.
+      k.head != null && !mightMatch(EqualTo(eq.keyCols.head, k.head), schema, seg)
     }
 
   private def provablyEmpty(f: Filter, schema: StructType, seg: Segment): Boolean = {

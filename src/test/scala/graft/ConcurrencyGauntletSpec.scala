@@ -34,7 +34,7 @@ class ConcurrencyGauntletSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $T PURGE")
     spark.sql(s"CREATE TABLE $T (tid BIGINT, n BIGINT) USING graft")
     val threads = 6
-    val opsPerThread = 8
+    val opsPerThread = GauntletEnv.ops(8) // soak-deepenable like the other gauntlets
     val maxRetries = 40
     // Per-thread model: multiset of n-values under this thread's tid.
     val models = Array.fill(threads)(mutable.Map.empty[Long, Int].withDefaultValue(0))
@@ -145,7 +145,7 @@ class ConcurrencyGauntletSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $T PURGE")
     spark.sql(s"CREATE TABLE $T (tid BIGINT, n BIGINT) USING graft")
     val threads = 6
-    val rounds = 6
+    val rounds = GauntletEnv.ops(6)
     val lastAcked = new java.util.concurrent.atomic.AtomicLongArray(threads)
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)

@@ -7,11 +7,28 @@ package graft
   *   SPARK_GRAFT_GAUNTLET_OPS=60 \
   *   SPARK_GRAFT_GAUNTLET_SEEDS=101,102,103 sbt "testOnly graft.*Gauntlet* graft.CdcReplaySpec"
   * }}}
+  * Malformed values fail with a MESSAGE naming the variable (these are
+  * read at spec construction — a bare NumberFormatException would
+  * abort every suite with nothing but a stack trace); duplicate seeds
+  * are deduped (ScalaTest refuses duplicate test names).
   */
 object GauntletEnv {
+  private def parse[A](name: String, raw: String, what: String)(f: String => A): A =
+    try f(raw)
+    catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(s"$name must be $what, got '$raw'")
+    }
   def ops(default: Int): Int =
-    sys.env.get("SPARK_GRAFT_GAUNTLET_OPS").map(_.trim.toInt).getOrElse(default)
+    sys.env.get("SPARK_GRAFT_GAUNTLET_OPS").map(v =>
+      parse("SPARK_GRAFT_GAUNTLET_OPS", v, "a positive integer") { s =>
+        val n = s.trim.toInt
+        require(n > 0, s"SPARK_GRAFT_GAUNTLET_OPS must be > 0, got $n")
+        n
+      }).getOrElse(default)
   def seeds(default: Seq[Long]): Seq[Long] =
-    sys.env.get("SPARK_GRAFT_GAUNTLET_SEEDS")
-      .map(_.split(',').toSeq.map(_.trim.toLong)).getOrElse(default)
+    sys.env.get("SPARK_GRAFT_GAUNTLET_SEEDS").map(v =>
+      parse("SPARK_GRAFT_GAUNTLET_SEEDS", v, "comma-separated integers") {
+        _.split(',').iterator.map(_.trim).filter(_.nonEmpty).map(_.toLong)
+          .toSeq.distinct
+      }).getOrElse(default)
 }
