@@ -136,7 +136,7 @@ class CdcReplaySpec extends AnyFunSuite {
   private def runSequence(seed: Long, ops: Int): Unit = {
     val rnd = new scala.util.Random(seed)
     spark.sql(s"DROP TABLE IF EXISTS $T PURGE")
-    spark.sql(s"CREATE TABLE $T (k BIGINT, v BIGINT) USING graft")
+    spark.sql(s"CREATE TABLE $T (k BIGINT, v BIGINT) USING graft" + GauntletEnv.SoakRetention)
     val replica = emptyRows
     var lastV = currentVersion // v0 (create)
     val log = mutable.ArrayBuffer[String]()
@@ -224,7 +224,7 @@ class CdcReplaySpec extends AnyFunSuite {
     val rnd = new scala.util.Random(seed)
     spark.sql(s"DROP TABLE IF EXISTS $T PURGE")
     spark.sql(
-      s"CREATE TABLE $T (k BIGINT, v BIGINT) USING graft PARTITIONED BY (k)")
+      s"CREATE TABLE $T (k BIGINT, v BIGINT) USING graft PARTITIONED BY (k)" + GauntletEnv.SoakRetention)
     val replica = emptyRows
     var lastV = currentVersion
     val log = mutable.ArrayBuffer[String]()
@@ -299,7 +299,7 @@ class CdcReplaySpec extends AnyFunSuite {
     val rnd = new scala.util.Random(seed)
     spark.sql(s"DROP TABLE IF EXISTS $T PURGE")
     spark.sql("DROP TABLE IF EXISTS graft.cdcrp.`t@audit` PURGE")
-    spark.sql(s"CREATE TABLE $T (k BIGINT, v BIGINT) USING graft")
+    spark.sql(s"CREATE TABLE $T (k BIGINT, v BIGINT) USING graft" + GauntletEnv.SoakRetention)
     spark.sql(s"INSERT INTO $T VALUES (1, 1), (2, 1), (3, 1)") // base v1
     val cutV = currentVersion
     val baseState = tableRows("")

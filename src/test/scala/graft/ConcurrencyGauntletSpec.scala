@@ -32,7 +32,7 @@ class ConcurrencyGauntletSpec extends AnyFunSuite {
 
   test("concurrent writers serialize: no lost updates, no double applies") {
     spark.sql(s"DROP TABLE IF EXISTS $T PURGE")
-    spark.sql(s"CREATE TABLE $T (tid BIGINT, n BIGINT) USING graft")
+    spark.sql(s"CREATE TABLE $T (tid BIGINT, n BIGINT) USING graft" + GauntletEnv.SoakRetention)
     val threads = 6
     val opsPerThread = GauntletEnv.ops(8) // soak-deepenable like the other gauntlets
     val maxRetries = 40
@@ -143,7 +143,7 @@ class ConcurrencyGauntletSpec extends AnyFunSuite {
     // exactly once — a mis-sequenced eq delete (stale seq) would
     // either duplicate the key or resurrect an old value.
     spark.sql(s"DROP TABLE IF EXISTS $T PURGE")
-    spark.sql(s"CREATE TABLE $T (tid BIGINT, n BIGINT) USING graft")
+    spark.sql(s"CREATE TABLE $T (tid BIGINT, n BIGINT) USING graft" + GauntletEnv.SoakRetention)
     val threads = 6
     val rounds = GauntletEnv.ops(6)
     val lastAcked = new java.util.concurrent.atomic.AtomicLongArray(threads)

@@ -13,6 +13,16 @@ package graft
   * are deduped (ScalaTest refuses duplicate test names).
   */
 object GauntletEnv {
+  /** Generous per-table retention for gauntlet tables: a deep soak's
+    * long, many-commit sequences must not let the catalog's 60 s /
+    * 64-snapshot defaults expire v0 out from under the
+    * net-composition and stream-from-0 checks (found by a depth-25
+    * concurrency soak — 150 commits blew the count cap). Retention
+    * expiry itself is covered by RetentionSpec.
+    */
+  val SoakRetention: String =
+    " TBLPROPERTIES ('graft.retention.seconds'='3600', " +
+      "'graft.retention.snapshots'='100000')"
   private def parse[A](name: String, raw: String, what: String)(f: String => A): A =
     try f(raw)
     catch { case _: NumberFormatException =>

@@ -66,7 +66,7 @@ class RestartGauntletSpec extends AnyFunSuite {
   private def runSeq(seed: Long, ops: Int): Unit = {
     val rnd = new scala.util.Random(seed)
     spark.sql(s"DROP TABLE IF EXISTS $T PURGE")
-    spark.sql(s"CREATE TABLE $T (k BIGINT, v BIGINT) USING graft")
+    spark.sql(s"CREATE TABLE $T (k BIGINT, v BIGINT) USING graft" + GauntletEnv.SoakRetention)
     val replica = emptyRows
     var lastV = currentVersion
     var restarts = 0

@@ -48,7 +48,7 @@ class SchemaEvolutionGauntletSpec extends AnyFunSuite {
   private def runSeq(seed: Long, ops: Int): Unit = {
     val rnd = new scala.util.Random(seed)
     spark.sql(s"DROP TABLE IF EXISTS $T PURGE")
-    spark.sql(s"CREATE TABLE $T (c0 INT, c1 BIGINT) USING graft")
+    spark.sql(s"CREATE TABLE $T (c0 INT, c1 BIGINT) USING graft" + GauntletEnv.SoakRetention)
     var cols = Vector("c0", "c1")
     var intCols = Set("c0") // INT columns: widen-eligible, values must fit
     var rows = Vector.empty[MRow]
