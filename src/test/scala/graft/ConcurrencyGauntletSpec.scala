@@ -95,8 +95,14 @@ class ConcurrencyGauntletSpec extends AnyFunSuite {
       })
     }
     pool.shutdown()
-    assert(pool.awaitTermination(300, java.util.concurrent.TimeUnit.SECONDS),
-      "gauntlet threads did not finish")
+    // Wait scales with soak depth (each op is a full Spark statement,
+    // serialized by contention); a stuck pool is KILLED before the
+    // assert so leaked threads cannot keep mutating the table under
+    // the next test.
+    val waitS = math.max(300L, opsPerThread.toLong * threads * 2)
+    val finished = pool.awaitTermination(waitS, java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) pool.shutdownNow()
+    assert(finished, s"gauntlet threads did not finish within ${waitS}s")
     assert(failures.isEmpty, s"unexpected failure: ${failures.peek()}")
     info(s"optimistic conflicts retried: ${conflictsSeen.get()}")
 
@@ -164,8 +170,10 @@ class ConcurrencyGauntletSpec extends AnyFunSuite {
       })
     }
     pool.shutdown()
-    assert(pool.awaitTermination(300, java.util.concurrent.TimeUnit.SECONDS),
-      "upsert threads did not finish")
+    val waitS = math.max(300L, rounds.toLong * threads * 2)
+    val finished = pool.awaitTermination(waitS, java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) pool.shutdownNow()
+    assert(finished, s"upsert threads did not finish within ${waitS}s")
     assert(failures.isEmpty, s"unexpected failure: ${failures.peek()}")
     val rows = spark.sql(s"SELECT tid, n FROM $T ORDER BY tid").collect()
       .map(r => r.getLong(0) -> r.getLong(1))
