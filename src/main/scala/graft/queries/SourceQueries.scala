@@ -1746,6 +1746,57 @@ object SourceQueries {
         |ORDER BY rel""".stripMargin)
   }
 
+  /** X21: COLUMN DEFAULT lifecycle (`DEFAULT` at CREATE, `ALTER COLUMN
+    * ... SET DEFAULT` / `DROP DEFAULT` — the Delta/warehouse
+    * `defaultValue` shape, advertised via
+    * `TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE` and applied
+    * by Spark's analyzer to omitted INSERT columns; the catalog stores
+    * the SQL in the standard CURRENT_DEFAULT field metadata, and the
+    * SET/DROP alters are metadata-only — no snapshot, no file I/O).
+    * Three insert eras: CREATE-time default, an altered default, and
+    * post-DROP (NULL); DuckDB recomputes the eras as `%`-slice CASE
+    * algebra — a default applied to the wrong era, or a DROP that
+    * stopped filling nothing, breaks the hash.
+    */
+  val x21ColumnDefaults: Q = Q(
+    "x21_column_defaults",
+    """SELECT CASE c_custkey % 3 WHEN 0 THEN 'none' WHEN 1 THEN 'std'
+      |         ELSE 'missing' END AS seg,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+      |FROM customer
+      |GROUP BY 1
+      |ORDER BY seg""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.customer(spark, dir).createOrReplaceTempView("x21_customer_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.cd PURGE")
+    spark.sql(
+      """CREATE TABLE graft.demo.cd (
+        |  k BIGINT, seg STRING DEFAULT 'none', bal DOUBLE)
+        |USING graft""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.cd (k, bal)
+        |SELECT c_custkey, c_acctbal FROM x21_customer_src
+        |WHERE c_custkey % 3 = 0""".stripMargin) // era 1: CREATE default
+    spark.sql("ALTER TABLE graft.demo.cd ALTER COLUMN seg SET DEFAULT 'std'")
+    spark.sql(
+      """INSERT INTO graft.demo.cd (k, bal)
+        |SELECT c_custkey, c_acctbal FROM x21_customer_src
+        |WHERE c_custkey % 3 = 1""".stripMargin) // era 2: altered default
+    spark.sql("ALTER TABLE graft.demo.cd ALTER COLUMN seg DROP DEFAULT")
+    spark.sql("ALTER TABLE graft.demo.cd ALTER COLUMN seg COMMENT 'customer tier'")
+    spark.sql(
+      """INSERT INTO graft.demo.cd (k, bal)
+        |SELECT c_custkey, c_acctbal FROM x21_customer_src
+        |WHERE c_custkey % 3 = 2""".stripMargin) // era 3: no default -> NULL
+    spark.sql(
+      """SELECT coalesce(seg, 'missing') AS seg, count(*) AS n,
+        |  round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+        |FROM graft.demo.cd
+        |GROUP BY 1
+        |ORDER BY seg""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     s2ParquetRoundtrip, s3CsvSource, s3JsonSource, s6CacheReuse,
     s7PartitionedSink, s8OrcRoundtrip, x1ScalarUdf, x3Generator, x4Dsv2Source,
@@ -1757,5 +1808,5 @@ object SourceQueries {
     x5kBucketSpj,
     x10TableChanges, x10bCdcUpdatePairs, x11RestoreClone, x12BranchWap,
     x13Upsert, x14MetadataTables, x15RemoveOrphans, x16RowLineage, x17Undrop,
-    x18Identity, x19Generated, x20Retention)
+    x18Identity, x19Generated, x20Retention, x21ColumnDefaults)
 }

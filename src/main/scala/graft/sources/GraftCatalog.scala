@@ -575,7 +575,60 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         written.foreach(SegmentIO.delete)
         throw e
       }
-    } else alterAddColumns(ident, changes)
+    }
+    // Metadata-only COLUMN updates — COMMENT, DROP NOT NULL, SET/DROP
+    // DEFAULT: schema facets the DECODER never reads (decodeCompatible
+    // ignores nullability and field metadata), so like SET
+    // TBLPROPERTIES they update the live entry without publishing a
+    // snapshot or touching a file. SET NOT NULL never reaches here —
+    // Spark's analyzer refuses nullability TIGHTENING on v2 tables
+    // (existing rows are not re-validated).
+    else if (changes.forall(c =>
+        c.isInstanceOf[TableChange.UpdateColumnComment] ||
+        c.isInstanceOf[TableChange.UpdateColumnNullability] ||
+        c.isInstanceOf[TableChange.UpdateColumnDefaultValue])) {
+      val result = store.compute(ident, (_, prev) => {
+        require(prev != null, s"table $ident dropped mid-alter")
+        changes.foldLeft(prev) { (e, c) =>
+          val cc = c.asInstanceOf[TableChange.ColumnChange]
+          if (cc.fieldNames().length != 1)
+            throw new UnsupportedOperationException(
+              "graft catalog alters only top-level columns, got " +
+                cc.fieldNames().mkString("."))
+          val i = e.schema.fieldIndex(cc.fieldNames()(0))
+          val fields = e.schema.fields.clone()
+          fields(i) = c match {
+            case u: TableChange.UpdateColumnComment =>
+              fields(i).withComment(u.newComment())
+            case u: TableChange.UpdateColumnNullability =>
+              if (!u.nullable())
+                throw new UnsupportedOperationException(
+                  s"cannot tighten column ${fields(i).name} to NOT NULL — " +
+                    "existing rows are not re-validated")
+              fields(i).copy(nullable = true)
+            case u: TableChange.UpdateColumnDefaultValue =>
+              // CURRENT_DEFAULT governs FUTURE omitted-column inserts;
+              // EXISTS_DEFAULT (rows predating the column) is part of
+              // committed history and never rewritten here.
+              val mb = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(fields(i).metadata)
+              Option(u.newCurrentDefault()).flatMap(d => Option(d.getSql))
+                .filter(_.nonEmpty) match {
+                case Some(sql) =>
+                  fields(i).copy(metadata = mb.putString("CURRENT_DEFAULT", sql).build())
+                case None =>
+                  fields(i).copy(metadata = mb.remove("CURRENT_DEFAULT").build())
+              }
+            case _ => fields(i) // unreachable under the forall guard
+          }
+          e.copy(schema = StructType(fields))
+        }
+      })
+      persistTable(ident)
+      new GraftCatalogTable(ident, result.schema, result.dir,
+        partitionCols = result.partitionCols, tableConstraints = result.constraints)
+    }
+    else alterAddColumns(ident, changes)
   }
 
   private def alterAddColumns(ident: Identifier, changes: Seq[TableChange]): Table = {

@@ -114,4 +114,38 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(sb.build().toBatch.planInputPartitions().length == 1,
       "post-drop segments must carry fresh zone maps")
   }
+
+  test("COMMENT / DROP NOT NULL / SET+DROP DEFAULT are metadata-only column alters") {
+    spark.sql("DROP TABLE IF EXISTS graft.se.m PURGE")
+    spark.sql("CREATE TABLE graft.se.m (k BIGINT NOT NULL, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.se.m VALUES (1, 'a')")
+    val v1 = spark.sql("SELECT max(version) FROM graft.se.m.history")
+      .collect().head.getLong(0)
+    spark.sql("ALTER TABLE graft.se.m ALTER COLUMN v COMMENT 'doc'")
+    assert(spark.sql("DESCRIBE graft.se.m").collect()
+      .exists(r => r.getString(0) == "v" && r.getString(2) == "doc"))
+    // Relaxing NOT NULL makes NULL inserts legal; tightening refuses
+    // (Spark's analyzer — existing rows are not re-validated).
+    spark.sql("ALTER TABLE graft.se.m ALTER COLUMN k DROP NOT NULL")
+    spark.sql("INSERT INTO graft.se.m VALUES (NULL, 'n')")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.se.m ALTER COLUMN v SET NOT NULL")
+    }
+    // CURRENT_DEFAULT governs FUTURE omitted-column inserts only.
+    spark.sql("ALTER TABLE graft.se.m ALTER COLUMN v SET DEFAULT 'dd'")
+    spark.sql("INSERT INTO graft.se.m (k) VALUES (7)")
+    assert(spark.sql("SELECT v FROM graft.se.m WHERE k = 7").as[String].head() == "dd")
+    spark.sql("ALTER TABLE graft.se.m ALTER COLUMN v DROP DEFAULT")
+    spark.sql("INSERT INTO graft.se.m (k) VALUES (8)")
+    assert(spark.sql("SELECT v FROM graft.se.m WHERE k = 8").collect().head.isNullAt(0))
+    // Metadata-only: NO snapshot published by any of the alters (the
+    // three inserts are the only new versions), and the pre-alter era
+    // still reads.
+    val vN = spark.sql("SELECT max(version) FROM graft.se.m.history")
+      .collect().head.getLong(0)
+    assert(vN == v1 + 3, s"column-metadata alters must not publish snapshots ($v1 -> $vN)")
+    assert(spark.sql(s"SELECT count(*) FROM graft.se.m VERSION AS OF $v1")
+      .as[Long].head() == 1L)
+    spark.sql("DROP TABLE graft.se.m PURGE")
+  }
 }
