@@ -1797,6 +1797,53 @@ object SourceQueries {
         |ORDER BY seg""".stripMargin)
   }
 
+  /** X22: `MERGE WITH SCHEMA EVOLUTION` — Spark 4's native
+    * auto-evolution clause: the analyzer diffs source vs target
+    * (`ResolveMergeIntoSchemaEvolution`), pushes the delta through
+    * `TableCatalog.alterTable` (AddColumn here), reloads, and runs the
+    * merge against the evolved table — one statement, no manual DDL.
+    * Target starts as two custkey thirds WITHOUT `seg`; the source
+    * third-overlaps it carrying `seg` (mktsegment) and doubled
+    * balances. Post-merge: the untouched third NULL-fills `seg` and
+    * keeps its balance, the overlap third updates in place, the new
+    * third inserts — DuckDB recomputes all three eras as `%`-slice
+    * CASE algebra over raw customer, so a merge that missed the
+    * update, the NULL-fill, or the evolved column breaks the hash.
+    */
+  val x22MergeSchemaEvolution: Q = Q(
+    "x22_merge_schema_evolution",
+    """SELECT CASE WHEN c_custkey % 3 = 0 THEN 'none' ELSE c_mktsegment END AS seg,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(CASE WHEN c_custkey % 3 = 0 THEN c_acctbal
+      |                           ELSE c_acctbal * 2 END AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+      |FROM customer
+      |GROUP BY 1
+      |ORDER BY seg""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.customer(spark, dir).createOrReplaceTempView("x22_customer_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.mse PURGE")
+    spark.sql("CREATE TABLE graft.demo.mse (k BIGINT, bal DOUBLE) USING graft")
+    spark.sql(
+      """INSERT INTO graft.demo.mse
+        |SELECT c_custkey, c_acctbal FROM x22_customer_src
+        |WHERE c_custkey % 3 IN (0, 1)""".stripMargin)
+    spark.sql(
+      """SELECT c_custkey AS k, c_acctbal * 2 AS bal, c_mktsegment AS seg
+        |FROM x22_customer_src WHERE c_custkey % 3 IN (1, 2)""".stripMargin)
+      .createOrReplaceTempView("x22_delta")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft.demo.mse t
+        |USING x22_delta s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.sql(
+      """SELECT coalesce(seg, 'none') AS seg, count(*) AS n,
+        |  round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+        |FROM graft.demo.mse
+        |GROUP BY 1
+        |ORDER BY seg""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     s2ParquetRoundtrip, s3CsvSource, s3JsonSource, s6CacheReuse,
     s7PartitionedSink, s8OrcRoundtrip, x1ScalarUdf, x3Generator, x4Dsv2Source,
@@ -1808,5 +1855,6 @@ object SourceQueries {
     x5kBucketSpj,
     x10TableChanges, x10bCdcUpdatePairs, x11RestoreClone, x12BranchWap,
     x13Upsert, x14MetadataTables, x15RemoveOrphans, x16RowLineage, x17Undrop,
-    x18Identity, x19Generated, x20Retention, x21ColumnDefaults)
+    x18Identity, x19Generated, x20Retention, x21ColumnDefaults,
+    x22MergeSchemaEvolution)
 }

@@ -4799,7 +4799,14 @@ private[sources] class GraftCatalogTable(
     else util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC,
-      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ,
+      // `MERGE WITH SCHEMA EVOLUTION`: the analyzer may push the
+      // source-vs-target schema delta (AddColumn / safe widening)
+      // through alterTable and re-plan against the evolved table.
+      // Safe to advertise unconditionally — the clause is explicit
+      // opt-in per statement, and alterTable enforces its own guards
+      // (partition/constraint columns, lossy retypes refuse).
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     filters.forall(f => GraftFilterEval.supported(f, schema0))
