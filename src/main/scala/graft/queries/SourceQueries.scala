@@ -1844,6 +1844,47 @@ object SourceQueries {
         |ORDER BY seg""".stripMargin)
   }
 
+  /** X23: `CALL graft.system.copy_into` — idempotent exactly-once file
+    * ingestion (the Delta COPY INTO shape): load exactly the source
+    * files not already ingested, registry-committed atomically with
+    * the data. Fixture: stage the even-custkey half and the odd half
+    * as two parquet dirs, then copy_into(evens) / copy_into(evens)
+    * AGAIN (must load zero files) / copy_into(odds). The aggregate
+    * equals the full customer table — a broken re-run double-loads the
+    * evens and the hash breaks; a broken diff misses the odds.
+    */
+  val x23CopyInto: Q = Q(
+    "x23_copy_into",
+    """SELECT c_mktsegment AS seg, count(*) AS n,
+      |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+      |FROM customer
+      |GROUP BY 1
+      |ORDER BY seg""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    val evens = tmp(s"x23_evens_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val odds = tmp(s"x23_odds_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val src = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+        col("c_acctbal").as("bal"))
+    src.filter(col("k") % 2 === 0).repartition(2).write.mode("overwrite").parquet(evens)
+    src.filter(col("k") % 2 === 1).repartition(2).write.mode("overwrite").parquet(odds)
+    spark.sql("DROP TABLE IF EXISTS graft.demo.ci PURGE")
+    spark.sql("CREATE TABLE graft.demo.ci (k BIGINT, seg STRING, bal DOUBLE) USING graft")
+    spark.sql(s"CALL graft.system.copy_into('demo', 'ci', '$evens', 'parquet', '')").collect()
+    // The re-run: the exactly-once contract under test.
+    val rerun = spark.sql(
+      s"CALL graft.system.copy_into('demo', 'ci', '$evens', 'parquet', '')").collect().head
+    require(rerun.getInt(1) == 0 && rerun.getLong(3) == 0L,
+      s"copy_into re-run must load nothing, loaded ${rerun.getInt(1)} files")
+    spark.sql(s"CALL graft.system.copy_into('demo', 'ci', '$odds', 'parquet', '')").collect()
+    spark.sql(
+      """SELECT seg, count(*) AS n,
+        |  round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+        |FROM graft.demo.ci
+        |GROUP BY 1
+        |ORDER BY seg""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     s2ParquetRoundtrip, s3CsvSource, s3JsonSource, s6CacheReuse,
     s7PartitionedSink, s8OrcRoundtrip, x1ScalarUdf, x3Generator, x4Dsv2Source,
@@ -1856,5 +1897,5 @@ object SourceQueries {
     x10TableChanges, x10bCdcUpdatePairs, x11RestoreClone, x12BranchWap,
     x13Upsert, x14MetadataTables, x15RemoveOrphans, x16RowLineage, x17Undrop,
     x18Identity, x19Generated, x20Retention, x21ColumnDefaults,
-    x22MergeSchemaEvolution)
+    x22MergeSchemaEvolution, x23CopyInto)
 }

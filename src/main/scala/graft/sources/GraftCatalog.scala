@@ -330,6 +330,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
             // never stored, so Spark's `UNSET TBLPROPERTIES IF EXISTS
             // ('comment')` — which sends RemoveProperty regardless of
             // IF EXISTS — must stay the no-op it promises, not throw.
+            // UNSET of the copy_into registry is DELIBERATELY allowed:
+            // it is the documented force-reload escape hatch (SET is
+            // refused — forged tokens would silently skip files).
             if (r.property() == BranchOfProp || r.property() == BranchBaseProp)
               throw new UnsupportedOperationException(
                 s"table property '${r.property()}' is reserved")
@@ -797,7 +800,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         Identifier.of(namespace, "create_branch"), Identifier.of(namespace, "publish_branch"),
         Identifier.of(namespace, "remove_orphan_files"),
         Identifier.of(namespace, "undrop"),
-        Identifier.of(namespace, "sync_identity"))
+        Identifier.of(namespace, "sync_identity"),
+        Identifier.of(namespace, "copy_into"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
@@ -835,6 +839,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       GraftUndropProcedure
     else if (ident.namespace.sameElements(Array("system")) && ident.name == "sync_identity")
       GraftSyncIdentityProcedure
+    else if (ident.namespace.sameElements(Array("system")) && ident.name == "copy_into")
+      GraftCopyIntoProcedure
     else throw new UnsupportedOperationException(s"no such procedure: $ident")
 
   // ---- ViewCatalog: persistent SQL views resolved through the ----
@@ -1178,6 +1184,143 @@ private[graft] object GraftSyncIdentityProcedure
       override def rows(): Array[InternalRow] = out
       override def readSchema(): StructType = outSchema
       override def description(): String = s"GraftSyncIdentityResult($ident)"
+    }).iterator()
+  }
+}
+
+/** `CALL graft.system.copy_into(ns, table, source, format, options)` —
+  * idempotent file ingestion, the Delta `COPY INTO` shape: load into
+  * the table exactly the source files NOT already ingested, so a
+  * re-run ingest job (cron retry, backfill replay, crash-restarted
+  * orchestrator) never duplicates rows. File identity is
+  * sha-256(path|size|mtime) — a rewritten file (new size/mtime) counts
+  * as new data, an untouched file never reloads. The batch's tokens
+  * commit ATOMICALLY with its segments (one snapshot — see
+  * `commitSegments`), so there is no crash window between "rows
+  * landed" and "files marked loaded"; a concurrent copy_into racing on
+  * the same files makes the later commit refuse, and the retry's
+  * re-diff loads only the remainder. Force-reload escape hatch:
+  * `UNSET TBLPROPERTIES ('graft.copyinto.loaded')`.
+  *
+  * `source` is a directory or glob; hidden files (`.`/`_` prefixes)
+  * are skipped. `options` is comma-joined `k=v` reader options
+  * (e.g. 'header=true' for csv), '' for none. csv/json read with the
+  * TABLE's schema (no inference drift); parquet/orc align by name
+  * with safe casts. Source columns must be a subset of the table's —
+  * unknown columns refuse (a typo'd ingest must not silently drop
+  * data); missing nullable columns NULL-fill (identity/generated
+  * columns then fill at write as on any append).
+  *
+  * Scale: the diff is metadata-only (one FS listing + one token-set
+  * lookup); only NEW files are read, once for the row count and once
+  * for the write — cost tracks the ingest batch, never the table.
+  */
+private[graft] object GraftCopyIntoProcedure
+    extends procedures.UnboundProcedure with procedures.BoundProcedure {
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+
+  override def name(): String = "copy_into"
+  override def description(): String =
+    "copy_into(ns, table, source, format, options): idempotent exactly-once file ingestion"
+  override def bind(inputType: StructType): procedures.BoundProcedure = this
+  override def isDeterministic: Boolean = false // mutates table state
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("ns", StringType).comment("namespace").build(),
+    ProcedureParameter.in("table", StringType).comment("table name").build(),
+    ProcedureParameter.in("source", StringType)
+      .comment("source directory or glob of data files").build(),
+    ProcedureParameter.in("format", StringType)
+      .comment("file format: parquet | orc | csv | json").build(),
+    ProcedureParameter.in("options", StringType)
+      .comment("comma-joined k=v reader options ('' = none)").build())
+
+  private val outSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("files_loaded", IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("files_skipped", IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("rows_loaded", LongType, nullable = false)))
+
+  private def token(st: org.apache.hadoop.fs.FileStatus): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"${st.getPath}|${st.getLen}|${st.getModificationTime}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.take(8).map(b => f"$b%02x").mkString
+  }
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val ns = input.getUTF8String(0).toString
+    val table = input.getUTF8String(1).toString
+    val source = input.getUTF8String(2).toString
+    val format = input.getUTF8String(3).toString
+    val optStr = Option(input.getUTF8String(4)).map(_.toString).getOrElse("")
+    require(Set("parquet", "orc", "csv", "json")(format),
+      s"copy_into supports parquet|orc|csv|json, got '$format'")
+    val readerOpts = optStr.split(',').map(_.trim).filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      require(i > 0, s"malformed reader option '$kv' (want k=v)")
+      kv.substring(0, i) -> kv.substring(i + 1)
+    }.toMap
+    val ident = Identifier.of(Array(ns), table)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val catName = GraftCatalog.sessionCatalogName(spark, "copy_into")
+    val tbl = s"$catName.$ns.$table"
+    val targetSchema = spark.table(tbl).schema // throws NoSuchTable if absent
+
+    // FS listing: a glob expands (dirs in the expansion list one
+    // level), a directory lists one level, a file is itself.
+    val hconf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(source)
+    val fs = p.getFileSystem(hconf)
+    val roots =
+      if (source.exists(c => "*?[{".indexOf(c) >= 0))
+        Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+      else Seq(fs.getFileStatus(p))
+    val files = roots.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st)
+    }.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith(".") && !n.startsWith("_")
+    }
+    require(files.nonEmpty, s"copy_into: no data files under '$source'")
+
+    val loaded = GraftCatalog.copyIntoLoaded(ident)
+    val (skip, fresh) = files.partition(st => loaded(token(st)))
+    var rowsLoaded = 0L
+    if (fresh.nonEmpty) {
+      val paths = fresh.map(_.getPath.toString)
+      val reader = spark.read.format(format).options(readerOpts)
+      // csv/json take the TABLE's schema — inference drift (a numeric
+      // column inferred narrower in one batch) must not fork the data.
+      val raw =
+        if (format == "csv" || format == "json") reader.schema(targetSchema).load(paths: _*)
+        else reader.load(paths: _*)
+      val have = raw.columns.map(c => c.toLowerCase(java.util.Locale.ROOT)).toSet
+      val unknown = raw.columns.filterNot(c =>
+        targetSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
+      require(unknown.isEmpty,
+        s"copy_into: source columns [${unknown.mkString(", ")}] do not exist on $tbl " +
+          "— add them first (ALTER TABLE ... ADD COLUMNS) or fix the source")
+      val aligned = raw.select(targetSchema.fields.toIndexedSeq.map { f =>
+        if (have(f.name.toLowerCase(java.util.Locale.ROOT))) col(f.name).cast(f.dataType).as(f.name)
+        else {
+          require(f.nullable, s"copy_into: source lacks non-nullable column '${f.name}'")
+          lit(null).cast(f.dataType).as(f.name)
+        }
+      }: _*)
+      rowsLoaded = aligned.count() // one pass over the NEW files only
+      aligned.writeTo(tbl)
+        .option(GraftCatalog.CopyIntoTokensOption, fresh.map(token).mkString(","))
+        .append()
+    }
+    val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(s"$ns.$table"),
+        fresh.length, skip.length, rowsLoaded))
+    java.util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = outSchema
+      override def description(): String = s"GraftCopyIntoResult($ident)"
     }).iterator()
   }
 }
@@ -1952,6 +2095,22 @@ object GraftCatalog {
   private[sources] val BranchOfProp = "graft.branch.of"
   private[sources] val BranchBaseProp = "graft.branch.base"
 
+  /** COPY INTO ingestion registry: the comma-joined, sorted set of
+    * source-file identity tokens (sha-256 of path|size|mtime, 16 hex
+    * chars each) already loaded into this table. Kept in props so it
+    * rides the ledger, DROP→TRASH→undrop, clone, and restore exactly
+    * like the data it describes. O(files-ingested) metadata is
+    * inherent to exactly-once file ingestion (Delta's COPY INTO keeps
+    * the same registry in its txn log) — ~17 bytes per file means a
+    * 100k-file ingest history costs ~1.7 MB of ledger, not data-path
+    * memory.
+    */
+  private[sources] val CopyIntoProp = "graft.copyinto.loaded"
+  /** Writer option that carries a copy_into batch's tokens so they
+    * commit ATOMICALLY with its segments (see `commitSegments`).
+    */
+  private[sources] val CopyIntoTokensOption = "graft.copyinto.tokens"
+
   /** THE one parser of `'graft.write.order'`: the write path's sort,
     * compaction's fold, and the scan's reported ordering must agree on
     * the column list — a desynchronized copy would let the scan report
@@ -2044,7 +2203,7 @@ object GraftCatalog {
     */
   private val ReservedProps =
     Set("provider", "location", "owner", "external", "comment",
-      "is_managed_location", BranchOfProp, BranchBaseProp)
+      "is_managed_location", BranchOfProp, BranchBaseProp, CopyIntoProp)
   private[sources] def userProps(m: util.Map[String, String]): Map[String, String] =
     m.asScala.filterNot { case (k, _) =>
       ReservedProps.contains(k) || k.startsWith("option.")
@@ -2225,6 +2384,17 @@ object GraftCatalog {
     * future policy change (preferring the current catalog, handling
     * two registrations) must not have three divergent scans.
     */
+  /** The copy_into ingestion registry — raw entry props, NOT
+    * `userProps` (the registry is a reserved key hidden from SHOW
+    * TBLPROPERTIES).
+    */
+  private[sources] def copyIntoLoaded(ident: Identifier): Set[String] = {
+    val e = store.get(ident)
+    if (e == null) throw new NoSuchTableException(ident)
+    e.props.get(CopyIntoProp).map(_.split(',').filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+  }
+
   private[sources] def sessionCatalogName(
       spark: org.apache.spark.sql.SparkSession, proc: String): String =
     spark.conf.getAll.collectFirst {
@@ -3332,8 +3502,9 @@ object GraftCatalog {
 
   private[sources] def install(
       ident: Identifier, segs: Seq[Segment], truncate: Boolean,
-      rewrites: Map[String, String] = Map.empty): Unit =
-    commitSegments(ident, rewrites) { prev =>
+      rewrites: Map[String, String] = Map.empty,
+      copyTokens: Seq[String] = Nil): Unit =
+    commitSegments(ident, rewrites, copyTokens) { prev =>
       if (truncate) segs.toVector else prev.segments ++ segs
     }
 
@@ -3437,11 +3608,30 @@ object GraftCatalog {
     * this protocol had already started to drift (the epoch path's
     * validation ordering bug).
     */
-  private def commitSegments(ident: Identifier, rewrites: Map[String, String] = Map.empty)(
+  private def commitSegments(ident: Identifier, rewrites: Map[String, String] = Map.empty,
+      copyTokens: Seq[String] = Nil)(
       transform: TableEntry => Vector[Segment]): Unit = mutate {
     val threshold = autoCompactThreshold(ident) // validate pre-commit
     store.compute(ident, (_, prev) => {
       require(prev != null, s"table $ident dropped mid-write")
+      // COPY INTO exactly-once: the batch's source-file tokens join the
+      // ingestion registry IN THE SAME commit as its segments — crash
+      // atomicity by construction. A token already present means a
+      // concurrent copy_into loaded one of our files between our diff
+      // and this commit: installing would double-load its rows, so
+      // refuse (the caller re-diffs and retries with the remainder).
+      val next0 =
+        if (copyTokens.isEmpty) prev
+        else {
+          val loaded = prev.props.get(CopyIntoProp)
+            .map(_.split(',').toSet).getOrElse(Set.empty)
+          val dup = copyTokens.filter(loaded)
+          if (dup.nonEmpty) throw new java.util.ConcurrentModificationException(
+            s"$ident: ${dup.length} source file(s) were loaded by a concurrent " +
+              "copy_into while this one ran; re-run to load only the remainder")
+          prev.copy(props = prev.props.updated(
+            CopyIntoProp, (loaded ++ copyTokens).toSeq.sorted.mkString(",")))
+        }
       // DATA SEQUENCE stamping: segments NEW to this commit carry the
       // version being published. Safe for every path through here —
       // fresh appends/overwrites by definition, and row-level rewrites
@@ -3449,7 +3639,7 @@ object GraftCatalog {
       // (see Segment.seq).
       val prevPaths = prev.segments.map(_.path).toSet
       val nextV = nextVersion(ident)
-      prev.copy(segments = transform(prev).map(s =>
+      next0.copy(segments = transform(prev).map(s =>
         if (prevPaths.contains(s.path)) s else s.copy(seq = nextV)))
     })
     publish(ident, rewrites)
@@ -4773,8 +4963,16 @@ private[sources] class GraftCatalogTable(
     * metadata (SHOW TBLPROPERTIES must see a concurrent SET), and a
     * live read keeps every loadTable call site prop-agnostic.
     */
-  override def properties(): util.Map[String, String] =
-    GraftCatalog.tablePropsJava(ident)
+  override def properties(): util.Map[String, String] = {
+    // The copy_into ingestion registry is internal bookkeeping — a
+    // multi-thousand-token list would drown SHOW TBLPROPERTIES (and
+    // SET of it is refused as reserved, so echoing it back invites a
+    // confusing round-trip failure). UNSET still reaches it: Spark
+    // sends RemoveProperty without consulting this map.
+    val m = new util.HashMap[String, String](GraftCatalog.tablePropsJava(ident))
+    m.remove(GraftCatalog.CopyIntoProp)
+    util.Collections.unmodifiableMap(m)
+  }
 
   /** Reported constraints drive Spark's own write-side enforcement of
     * ENFORCED CHECKs (the engine never has to re-implement the check).
@@ -5035,6 +5233,11 @@ private[sources] class GraftCatalogTable(
         Option(info.options.get("graft.upsert.keys"))
           .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
       if (upsertKeys.nonEmpty) GraftCatalog.validateUpsertKeys(schema0, upsertKeys)
+      // copy_into's source-file tokens: committed atomically with the
+      // batch's segments (exactly-once ingestion, see CopyIntoProp).
+      private val copyTokens: Seq[String] =
+        Option(info.options.get(GraftCatalog.CopyIntoTokensOption))
+          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
       override def truncate(): WriteBuilder = { truncateFirst = true; this }
       private def partitionAligned(f: Filter): Boolean = f match {
         case EqualTo(c, _) => partitionCols.contains(c)
@@ -5087,12 +5290,17 @@ private[sources] class GraftCatalogTable(
           require(!truncateFirst && overwriteFilters.isEmpty && !dynamicOverwrite,
             "graft.upsert.keys composes only with plain append — " +
               "truncate/overwrite modes already replace whole partitions")
+        if (copyTokens.nonEmpty)
+          require(!truncateFirst && overwriteFilters.isEmpty && !dynamicOverwrite &&
+              upsertKeys.isEmpty,
+            "copy_into tokens compose only with plain append")
         override def toBatch: BatchWrite =
           new GraftCatalogBatchWrite(ident, schema0, dir, truncateFirst, partitionCols,
             sortedWrite = orderCols.nonEmpty,
             overwriteFilters = overwriteFilters,
             dynamicOverwrite = dynamicOverwrite,
-            upsertKeys = upsertKeys)
+            upsertKeys = upsertKeys,
+            copyTokens = copyTokens)
         // truncateFirst here = Complete output mode: replace-per-epoch.
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           new GraftCatalogStreamingWrite(ident, schema0, dir, info.queryId(), truncateFirst,
@@ -6452,7 +6660,9 @@ private[sources] class GraftCatalogBatchWrite(
     // table has an ALWAYS identity column, identityFromMeta so the
     // refusal still applies to MERGE-inserted (non-carried) rows.
     identityStrict: Boolean = true,
-    identityFromMeta: Boolean = false) extends BatchWrite {
+    identityFromMeta: Boolean = false,
+    // copy_into source-file tokens, committed with the segments.
+    copyTokens: Seq[String] = Nil) extends BatchWrite {
   // Captured ONCE per write (not per factory call): the commit's
   // conflict check compares the stored watermark against the k0 this
   // write actually planned its congruence classes from.
@@ -6475,7 +6685,7 @@ private[sources] class GraftCatalogBatchWrite(
         msgs.flatMap(_.upsertKeys).toSeq)
     else if (overwriteFilters.isDefined || dynamicOverwrite)
       GraftCatalog.installOverwrite(ident, segs.toSeq, overwriteFilters, dynamicOverwrite)
-    else GraftCatalog.install(ident, segs.toSeq, truncateFirst)
+    else GraftCatalog.install(ident, segs.toSeq, truncateFirst, copyTokens = copyTokens)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case m: GraftSegmentMessage => m }
