@@ -1885,6 +1885,51 @@ object SourceQueries {
         |ORDER BY seg""".stripMargin)
   }
 
+  /** X24: PARTITION-SCOPED COMPACTION — `CALL graft.system.compact(ns,
+    * t, 'field=value')`, the Delta `OPTIMIZE ... WHERE` shape: fold the
+    * HOT partition's small files without paying an O(table) rewrite
+    * (or holding the mutation lock for one). Fixture: two inserts give
+    * every mktsegment partition 2 segments; compacting WHERE
+    * seg=BUILDING must leave BUILDING at 1 segment and every other
+    * partition untouched at 2 — the result joins the `.partitions`
+    * metadata dashboard against the data aggregate, so an over-eager
+    * (full-table) OR under-eager (no-op) compact breaks the hash, as
+    * does any row lost in the fold. DuckDB recomputes the data side
+    * from raw customer and the segment counts as fixture constants.
+    */
+  val x24ScopedCompact: Q = Q(
+    "x24_scoped_compact",
+    """SELECT c_mktsegment AS seg,
+      |  CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 2 END AS n_seg,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+      |FROM customer
+      |GROUP BY 1
+      |ORDER BY seg""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.customer(spark, dir).createOrReplaceTempView("x24_customer_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.sc PURGE")
+    spark.sql(
+      """CREATE TABLE graft.demo.sc (k BIGINT, seg STRING, bal DOUBLE)
+        |USING graft PARTITIONED BY (seg)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.sc
+        |SELECT c_custkey, c_mktsegment, c_acctbal FROM x24_customer_src
+        |WHERE c_custkey % 2 = 0""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.sc
+        |SELECT c_custkey, c_mktsegment, c_acctbal FROM x24_customer_src
+        |WHERE c_custkey % 2 = 1""".stripMargin)
+    spark.sql("CALL graft.system.compact('demo', 'sc', 'seg=BUILDING')").collect()
+    spark.sql(
+      """SELECT d.seg, p.segments AS n_seg, d.n, d.total_bal
+        |FROM (SELECT seg, count(*) AS n,
+        |        round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+        |      FROM graft.demo.sc GROUP BY seg) d
+        |JOIN graft.demo.sc.partitions p ON p.partition_key = d.seg
+        |ORDER BY seg""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     s2ParquetRoundtrip, s3CsvSource, s3JsonSource, s6CacheReuse,
     s7PartitionedSink, s8OrcRoundtrip, x1ScalarUdf, x3Generator, x4Dsv2Source,
@@ -1897,5 +1942,5 @@ object SourceQueries {
     x10TableChanges, x10bCdcUpdatePairs, x11RestoreClone, x12BranchWap,
     x13Upsert, x14MetadataTables, x15RemoveOrphans, x16RowLineage, x17Undrop,
     x18Identity, x19Generated, x20Retention, x21ColumnDefaults,
-    x22MergeSchemaEvolution, x23CopyInto)
+    x22MergeSchemaEvolution, x23CopyInto, x24ScopedCompact)
 }

@@ -943,12 +943,18 @@ private[graft] object GraftCompactProcedure
 
   override def name(): String = "compact"
   override def description(): String =
-    "compact(ns, table): fold each partition's segments into one"
+    "compact(ns, table, where): fold partition groups' segments ('' = whole table)"
   override def bind(inputType: StructType): procedures.BoundProcedure = this
   override def isDeterministic: Boolean = false // mutates table state
   override def parameters(): Array[ProcedureParameter] = Array(
     ProcedureParameter.in("ns", StringType).comment("namespace").build(),
-    ProcedureParameter.in("table", StringType).comment("table name").build())
+    ProcedureParameter.in("table", StringType).comment("table name").build(),
+    // The Delta `OPTIMIZE ... WHERE` shape: at 100 TB the hot partition
+    // is what needs folding — a maintenance pass must not pay an
+    // O(table) rewrite (or hold the mutation lock for one) to fix it.
+    ProcedureParameter.in("where", StringType).defaultValue("''")
+      .comment("comma-joined partition-field equalities 'col=value' ('' = all groups)")
+      .build())
 
   private val outSchema = StructType(Seq(
     org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
@@ -959,8 +965,10 @@ private[graft] object GraftCompactProcedure
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
     val ns = input.getUTF8String(0).toString
     val table = input.getUTF8String(1).toString
+    val where = Option(input.getUTF8String(2)).map(_.toString).getOrElse("")
     val ident = Identifier.of(Array(ns), table)
-    val (before, after, rows) = GraftCatalog.compact(ident)
+    val only = GraftCatalog.compactKeysFor(ident, where)
+    val (before, after, rows) = GraftCatalog.compact(ident, onlyKeys = only)
     val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(ident.toString),
         before, after, rows))
@@ -3939,6 +3947,61 @@ object GraftCatalog {
     * (auto-compaction's scoped path — groups outside the scope pass
     * through byte-identical); None = every group (the `CALL` path).
     */
+  /** Resolve a `compact(..., where)` predicate — comma-joined
+    * `field=value` equalities on partition fields — to the partition
+    * GROUPS it names (None = whole table). Identity columns coerce the
+    * literal to the column type (exact key equality, dates accepted as
+    * `yyyy-MM-dd` or epoch-day); transform fields (`days(ts)`,
+    * `bucket(n, k)`, …) compare against the TRANSFORM VALUE's string
+    * form — the same value `.partitions`/`.files` metadata tables
+    * display, so "read the partitions dashboard, compact the hot key"
+    * round-trips. Old-era segments written under a different spec
+    * never match a field they weren't keyed on (conservative: a scoped
+    * compact must not silently migrate eras; full compact does that).
+    */
+  private[sources] def compactKeysFor(
+      ident: Identifier, where: String): Option[Set[(Seq[String], IndexedSeq[Any])]] = {
+    val clauses = where.split(',').map(_.trim).filter(_.nonEmpty)
+    if (clauses.isEmpty) return None
+    val entry = store.get(ident)
+    if (entry == null) throw new NoSuchTableException(ident)
+    val eqs = clauses.map { c =>
+      val i = c.indexOf('=')
+      require(i > 0, s"malformed compact where clause '$c' (want field=value)")
+      c.substring(0, i).trim ->
+        c.substring(i + 1).trim.stripPrefix("'").stripSuffix("'")
+    }.toSeq
+    eqs.foreach { case (f, _) =>
+      require(entry.partitionCols.contains(f),
+        s"'$f' is not a partition field of $ident " +
+          s"(current spec: ${entry.partitionCols.mkString(", ")})")
+    }
+    import org.apache.spark.sql.types._
+    def matches(spec: Seq[String], key: IndexedSeq[Any]): Boolean = eqs.forall {
+      case (f, raw) =>
+        val i = spec.indexOf(f)
+        i >= 0 && {
+          val k = key(i)
+          entry.schema.fields.find(_.name == f).map(_.dataType) match {
+            case Some(IntegerType) => k == Integer.valueOf(raw.toInt)
+            case Some(LongType) => k == java.lang.Long.valueOf(raw.toLong)
+            case Some(StringType) => k == raw
+            case Some(DateType) =>
+              val days = if (raw.contains("-")) java.time.LocalDate.parse(raw).toEpochDay.toInt
+                         else raw.toInt
+              k == Integer.valueOf(days) // keys store internal epoch-day
+            case _ => String.valueOf(k) == raw // transform-valued field
+          }
+        }
+    }
+    val hit = entry.segments.map(s => (s.spec, s.key)).distinct.filter {
+      case (spec, key) => matches(spec, key)
+    }.toSet
+    require(hit.nonEmpty,
+      s"compact where '$where' matches no partition group of $ident")
+    Some(hit)
+  }
+
   private[sources] def compact(
       ident: Identifier,
       onlyKeys: Option[Set[(Seq[String], IndexedSeq[Any])]] = None): (Int, Int, Long) = mutate {

@@ -169,6 +169,40 @@ class PartitionedCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.opt.t")
   }
 
+  test("compact with a where clause folds ONLY the named partition group") {
+    import graft.sources.GraftCatalog
+    spark.sql("DROP TABLE IF EXISTS graft.opt.w")
+    spark.sql(
+      "CREATE TABLE graft.opt.w (k STRING, d DATE, v BIGINT) USING graft PARTITIONED BY (k, d)")
+    spark.sql(
+      """INSERT INTO graft.opt.w VALUES
+        |('a', DATE'2024-01-01', 1), ('b', DATE'2024-01-01', 2)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.opt.w VALUES
+        |('a', DATE'2024-01-01', 3), ('b', DATE'2024-01-01', 4)""".stripMargin)
+    assert(GraftCatalog.segmentCount("opt", "w") == 4)
+    // String + date equalities select one (k, d) group; the 'b' group
+    // must keep its two segments (the hot-partition maintenance shape:
+    // never an O(table) rewrite for one key's small files).
+    val r = spark.sql(
+      "CALL graft.system.compact('opt', 'w', 'k=a,d=2024-01-01')").collect().head
+    assert(r.getAs[Int]("segments_before") == 4 && r.getAs[Int]("segments_after") == 3,
+      s"scoped compact must fold only the matched group: $r")
+    assert(GraftCatalog.segmentCount("opt", "w") == 3)
+    assert(spark.sql("SELECT sum(v) FROM graft.opt.w").as[Long].head() == 10L)
+    // A clause naming a non-partition field, or matching nothing, refuses.
+    intercept[Exception] {
+      spark.sql("CALL graft.system.compact('opt', 'w', 'v=1')").collect()
+    }
+    intercept[Exception] {
+      spark.sql("CALL graft.system.compact('opt', 'w', 'k=zzz')").collect()
+    }
+    // Bare compact still folds everything (the default '' routes None).
+    spark.sql("CALL graft.system.compact('opt', 'w')").collect()
+    assert(GraftCatalog.segmentCount("opt", "w") == 2)
+    spark.sql("DROP TABLE graft.opt.w")
+  }
+
   test("CALL graft.system.history lists retained snapshots, newest first") {
     spark.sql("DROP TABLE IF EXISTS graft.h.t")
     spark.sql("CREATE TABLE graft.h.t (v BIGINT) USING graft") // v0
