@@ -994,7 +994,7 @@ private[graft] object GraftZorderProcedure
 
   override def name(): String = "zorder"
   override def description(): String =
-    "zorder(ns, table, columns, target_segments): rewrite segments in Z-order"
+    "zorder(ns, table, columns, target_segments, where): rewrite segments in Z-order ('' = all groups)"
   override def bind(inputType: StructType): procedures.BoundProcedure = this
   override def isDeterministic: Boolean = false // mutates table state
   override def parameters(): Array[ProcedureParameter] = Array(
@@ -1003,7 +1003,12 @@ private[graft] object GraftZorderProcedure
     ProcedureParameter.in("columns", StringType)
       .comment("comma-separated numeric columns (1..4)").build(),
     ProcedureParameter.in("target_segments", IntegerType)
-      .comment("balanced output segments per partition group").build())
+      .comment("balanced output segments per partition group").build(),
+    // Scoped re-clustering, same grammar as compact's where: at 100 TB
+    // you z-order the recent/hot partitions, not the whole table.
+    ProcedureParameter.in("where", StringType).defaultValue("''")
+      .comment("comma-joined partition-field equalities 'col=value' ('' = all groups)")
+      .build())
 
   private val outSchema = StructType(Seq(
     org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
@@ -1016,8 +1021,10 @@ private[graft] object GraftZorderProcedure
     val table = input.getUTF8String(1).toString
     val cols = input.getUTF8String(2).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val target = input.getInt(3)
+    val where = Option(input.getUTF8String(4)).map(_.toString).getOrElse("")
     val ident = Identifier.of(Array(ns), table)
-    val (before, after, rows) = GraftCatalog.zorder(ident, cols, target)
+    val only = GraftCatalog.compactKeysFor(ident, where)
+    val (before, after, rows) = GraftCatalog.zorder(ident, cols, target, onlyKeys = only)
     val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(ident.toString),
         before, after, rows))
@@ -4195,7 +4202,10 @@ object GraftCatalog {
     * read sees it as a change commit (skip or fail, never duplicate).
     */
   private[sources] def zorder(
-      ident: Identifier, cols: Seq[String], targetSegments: Int): (Int, Int, Long) = mutate {
+      ident: Identifier, cols: Seq[String], targetSegments: Int,
+      // Scoped re-clustering (see [[compactKeysFor]]): at 100 TB you
+      // z-order the recent/hot partition groups, not the whole table.
+      onlyKeys: Option[Set[(Seq[String], IndexedSeq[Any])]] = None): (Int, Int, Long) = mutate {
     import org.apache.spark.sql.types._
     val entry = store.get(ident)
     if (entry == null) throw new NoSuchTableException(ident)
@@ -4253,13 +4263,8 @@ object GraftCatalog {
     // data sequence number) — the same reasoning makes it sound.
     val zNextSeq = nextVersion(ident)
     val zCompiledEq = EqFilter.compileAll(schema, entry.eqDeletes)
-    val rewritten = entry.segments.groupBy(s => (s.spec, s.key)).toSeq
-      // Same unambiguous separator as compact's sort: a space-joined
-      // rendering lets distinct (spec, key) groups collide and order
-      // unstably across runs.
-      .sortBy { case ((spec, key), _) =>
-        spec.mkString(" ") + "\u0000" + key.mkString(" ") }
-      .flatMap { case ((spec, key), segs) =>
+    def zorderGroup(spec: Seq[String], key: IndexedSeq[Any],
+        segs: Vector[Segment]): Seq[Segment] = {
         // Pass 1 (buffered): payload bytes + the z-column values.
         val payloads = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
         val vals = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
@@ -4305,7 +4310,19 @@ object GraftCatalog {
             w.finish().map(_.copy(key = key, spec = spec, seq = zNextSeq))
           }.toSeq
         }
+    }
+
+    val rewritten = entry.segments.groupBy(s => (s.spec, s.key)).toSeq
+      // Same unambiguous separator as compact's sort: a space-joined
+      // rendering lets distinct (spec, key) groups collide and order
+      // unstably across runs.
+      .sortBy { case ((spec, key), _) =>
+        spec.mkString(" ") + "\u0000" + key.mkString(" ") }
+      .flatMap { case ((spec, key), segs) =>
+        if (onlyKeys.exists(!_.contains((spec, key)))) segs
+        else zorderGroup(spec, key, segs)
       }.toVector
+
     store.put(ident, entry.copy(segments = rewritten))
     publish(ident, dataChange = false) // re-clustering: logical no-op
     (before, rewritten.length, totalRows)

@@ -99,4 +99,31 @@ class ZorderSpec extends AnyFunSuite {
     }
     spark.sql("DROP TABLE graft.zo.p")
   }
+
+  test("zorder with a where clause re-clusters ONLY the named partition group") {
+    spark.sql("DROP TABLE IF EXISTS graft.zo.w")
+    spark.sql(
+      "CREATE TABLE graft.zo.w (k BIGINT, v BIGINT, part STRING) USING graft PARTITIONED BY (part)")
+    // Two inserts -> 2 segments per partition value.
+    (0 to 1).foreach { i =>
+      spark.sql(
+        s"""INSERT INTO graft.zo.w
+           |SELECT id, (id * 37) % 100, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END
+           |FROM range(${i * 500}, ${i * 500 + 500}, 1, 1)""".stripMargin)
+    }
+    assert(GraftCatalog.segmentCount("zo", "w") == 4)
+    val r = spark.sql("CALL graft.system.zorder('zo', 'w', 'k,v', 3, 'part=a')")
+      .collect().head
+    // 'a' re-clusters into 3 Z-ordered segments; 'b' keeps its 2
+    // untouched originals — the hot-partition maintenance shape.
+    assert(r.getAs[Int]("segments_before") == 4 && r.getAs[Int]("segments_after") == 5,
+      s"scoped zorder must rewrite only the matched group: $r")
+    assert(spark.sql("SELECT count(*) FROM graft.zo.w WHERE part = 'a'")
+      .as[Long].head() == 500L)
+    assert(spark.sql("SELECT sum(k) FROM graft.zo.w").as[Long].head() == (0L until 1000L).sum)
+    intercept[Exception] { // match-nothing refuses, same as compact
+      spark.sql("CALL graft.system.zorder('zo', 'w', 'k,v', 3, 'part=zzz')").collect()
+    }
+    spark.sql("DROP TABLE graft.zo.w")
+  }
 }
