@@ -60,7 +60,11 @@ object ScaleSpot {
       // row-lineage assignment over a 10× load, identity-column
       // generation, Bloom decontamination, and MapState profiles.
       "x5k_bucket_spj", "x16_row_lineage", "x18_identity",
-      "l8_bloom_decontaminate", "st6d_composite_state")
+      "l8_bloom_decontaminate", "st6d_composite_state",
+      // Third-pass additions at 10×: idempotent COPY INTO ingestion
+      // (the re-run diff must stay metadata-cheap as files grow),
+      // scoped compaction of one hot partition, and the evolving MERGE.
+      "x23_copy_into", "x24_scoped_compact", "x22_merge_schema_evolution")
     val qs = SparkEntry.queries
     // SPARK_GRAFT_SCALE_ALL=1: run EVERY registry query against the 10×
     // slice (the full-suite sf1 datapoint; single-shot timings — the

@@ -1247,6 +1247,14 @@ object SourceQueries {
     // MERGE hint + no auto-broadcast: pin the sort-merge SPJ path the
     // spec plan-asserts (a broadcast would also be exchange-free but
     // proves nothing about the bucketed layout).
+    //
+    // Bench-log note: at sf>=0.1 this row emits one Spark WARN
+    // ("Can't translate true to source filter") — runtime-filter
+    // injection on the SPJ path reduces a join-key filter to literal
+    // TRUE and Spark's V2 translator doesn't handle bare literals. A
+    // TRUE filter prunes nothing by definition, so failing to push it
+    // loses nothing; it never reaches this catalog. Upstream
+    // (DataSourceV2Strategy) logs it before consulting the source.
     spark.sql(
       """SELECT /*+ MERGE(l) */ o_orderpriority, count(*) AS n_items,
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
