@@ -1938,6 +1938,52 @@ object SourceQueries {
         |ORDER BY seg""".stripMargin)
   }
 
+  /** X25: NESTED struct field evolution — `ADD COLUMNS (meta.bal
+    * DOUBLE)` / `RENAME COLUMN meta.seg TO segment` (metadata-only) /
+    * `DROP COLUMN meta.nk` (re-projection), the Iceberg/Delta nested-
+    * evolution surface one level deep. Two insert eras straddle the
+    * ADD: era-1 rows must read NULL for the added field (coalesced to
+    * 0 in the aggregate), era-2 rows carry balances — and the rename +
+    * drop must leave both eras' values intact. DuckDB recomputes the
+    * eras as `%`-slice CASE algebra over raw customer: a lost struct
+    * value, a NULL-fill landing on the wrong era, or a drop clobbering
+    * a sibling field all break the hash.
+    */
+  val x25NestedEvolution: Q = Q(
+    "x25_nested_evolution",
+    """SELECT c_mktsegment AS seg, count(*) AS n,
+      |  round(CAST(sum(CAST(CASE WHEN c_custkey % 2 = 1 THEN c_acctbal
+      |                           ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+      |FROM customer
+      |GROUP BY 1
+      |ORDER BY seg""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.customer(spark, dir).createOrReplaceTempView("x25_customer_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.nev PURGE")
+    spark.sql(
+      """CREATE TABLE graft.demo.nev
+        |  (k BIGINT, meta STRUCT<seg: STRING, nk: INT>) USING graft""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.nev
+        |SELECT c_custkey, named_struct('seg', c_mktsegment, 'nk', CAST(c_nationkey AS INT))
+        |FROM x25_customer_src WHERE c_custkey % 2 = 0""".stripMargin)
+    spark.sql("ALTER TABLE graft.demo.nev ADD COLUMNS (meta.bal DOUBLE)")
+    spark.sql(
+      """INSERT INTO graft.demo.nev
+        |SELECT c_custkey, named_struct('seg', c_mktsegment, 'nk', CAST(c_nationkey AS INT),
+        |                               'bal', c_acctbal)
+        |FROM x25_customer_src WHERE c_custkey % 2 = 1""".stripMargin)
+    spark.sql("ALTER TABLE graft.demo.nev RENAME COLUMN meta.seg TO segment")
+    spark.sql("ALTER TABLE graft.demo.nev DROP COLUMN meta.nk")
+    spark.sql(
+      """SELECT meta.segment AS seg, count(*) AS n,
+        |  round(CAST(sum(CAST(coalesce(meta.bal, 0) AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS total_bal
+        |FROM graft.demo.nev
+        |GROUP BY 1
+        |ORDER BY seg""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     s2ParquetRoundtrip, s3CsvSource, s3JsonSource, s6CacheReuse,
     s7PartitionedSink, s8OrcRoundtrip, x1ScalarUdf, x3Generator, x4Dsv2Source,
@@ -1950,5 +1996,6 @@ object SourceQueries {
     x10TableChanges, x10bCdcUpdatePairs, x11RestoreClone, x12BranchWap,
     x13Upsert, x14MetadataTables, x15RemoveOrphans, x16RowLineage, x17Undrop,
     x18Identity, x19Generated, x20Retention, x21ColumnDefaults,
-    x22MergeSchemaEvolution, x23CopyInto, x24ScopedCompact)
+    x22MergeSchemaEvolution, x23CopyInto, x24ScopedCompact,
+    x25NestedEvolution)
 }

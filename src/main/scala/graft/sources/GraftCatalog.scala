@@ -399,8 +399,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       val result = store.compute(ident, (_, prev) => {
         require(prev != null, s"table $ident dropped mid-alter")
         changes.foldLeft(prev) { case (e, rn: TableChange.RenameColumn) =>
+          // NESTED field rename (`RENAME COLUMN meta.a TO a2`): the
+          // positional storage keys nothing by inner names, and every
+          // name-keyed surface (partition specs, identity watermarks,
+          // eq-delete keys, write order) is top-level-only — pure
+          // schema metadata, zero file I/O.
+          if (rn.fieldNames().length == 2) {
+            val parent = rn.fieldNames()(0)
+            val inner = rn.fieldNames()(1)
+            val pi = e.schema.fieldIndex(parent)
+            val st = e.schema.fields(pi).dataType match {
+              case s: StructType => s
+              case dt => throw new UnsupportedOperationException(
+                s"cannot rename a field inside non-struct column $parent (${dt.simpleString})")
+            }
+            if (!st.fieldNames.contains(inner))
+              throw new IllegalArgumentException(s"no such field $parent.$inner")
+            if (st.fieldNames.contains(rn.newName()))
+              throw new IllegalArgumentException(
+                s"field $parent.${rn.newName()} already exists")
+            val fields = e.schema.fields.clone()
+            fields(pi) = fields(pi).copy(dataType = StructType(
+              st.fields.map(f => if (f.name == inner) f.copy(name = rn.newName()) else f)))
+            e.copy(schema = StructType(fields))
+          } else {
           if (rn.fieldNames().length != 1) throw new UnsupportedOperationException(
-            s"graft catalog renames only top-level columns, got ${rn.fieldNames().mkString(".")}")
+            s"graft catalog renames top-level columns and struct fields one level deep, " +
+              s"got ${rn.fieldNames().mkString(".")}")
           val from = rn.fieldNames()(0)
           val i = e.schema.fieldIndex(from)
           if (e.schema.fieldNames.contains(rn.newName()))
@@ -445,6 +470,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
               if (s.spec.exists(PartField.parse(_).source == from))
                 s.copy(spec = s.spec.map(PartField.renameIn(_, from, rn.newName())))
               else s))
+          }
           case (e, _) => e // unreachable under the forall guard
         }
       })
@@ -529,13 +555,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       try {
         val result = store.compute(ident, (_, prev) => {
           require(prev != null, s"table $ident dropped mid-alter")
-          val dropNames = changes.map { case d: TableChange.DeleteColumn =>
-            if (d.fieldNames().length != 1) throw new UnsupportedOperationException(
-              s"graft catalog drops only top-level columns, got ${d.fieldNames().mkString(".")}")
-            val n = d.fieldNames()(0)
-            if (!prev.schema.fieldNames.contains(n) && !java.lang.Boolean.TRUE.equals(d.ifExists()))
-              throw new IllegalArgumentException(s"no such column $n")
-            n
+          // NESTED field drops (`DROP COLUMN meta.b`) rebuild the
+          // parent struct minus the field — same streamed
+          // re-projection, same null-struct preservation as nested add.
+          val nestedDrops: Map[String, Set[String]] = changes.collect {
+            case d: TableChange.DeleteColumn if d.fieldNames().length == 2 =>
+              val parent = d.fieldNames()(0)
+              val inner = d.fieldNames()(1)
+              val pf = prev.schema.fields.find(_.name == parent).getOrElse(
+                throw new IllegalArgumentException(s"no such column $parent"))
+              val st = pf.dataType match {
+                case s: StructType => s
+                case dt => throw new UnsupportedOperationException(
+                  s"cannot drop a field inside non-struct column $parent (${dt.simpleString})")
+              }
+              if (!st.fieldNames.contains(inner) &&
+                  !java.lang.Boolean.TRUE.equals(d.ifExists()))
+                throw new IllegalArgumentException(s"no such field $parent.$inner")
+              parent -> inner
+          }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
+          nestedDrops.foreach { case (p, inners) =>
+            val st = prev.schema.fields.find(_.name == p).get
+              .dataType.asInstanceOf[StructType]
+            if (st.fields.forall(f => inners.contains(f.name)))
+              throw new UnsupportedOperationException(
+                s"cannot drop every field of struct column $p — drop the column itself")
+          }
+          val dropNames = changes.collect {
+            case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
+              val n = d.fieldNames()(0)
+              if (!prev.schema.fieldNames.contains(n) &&
+                  !java.lang.Boolean.TRUE.equals(d.ifExists()))
+                throw new IllegalArgumentException(s"no such column $n")
+              n
+            case d: TableChange.DeleteColumn if d.fieldNames().length > 2 =>
+              throw new UnsupportedOperationException(
+                s"graft catalog drops top-level columns and struct fields one level " +
+                  s"deep, got ${d.fieldNames().mkString(".")}")
           }.toSet
           if (PartField.sources(prev.partitionCols).exists(dropNames))
             throw new UnsupportedOperationException(
@@ -556,11 +612,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
             .filterNot { case (f, _) => dropNames.contains(f.name) }.map(_._2)
           if (keepIdx.isEmpty) throw new UnsupportedOperationException(
             "cannot drop every column of a table")
-          val narrowed = StructType(keepIdx.map(prev.schema.fields(_)))
+          import org.apache.spark.sql.catalyst.expressions.{
+            BoundReference, CreateNamedStruct, Expression, GetStructField, If, IsNull, Literal}
+          def reducedStruct(f: org.apache.spark.sql.types.StructField): StructType =
+            StructType(f.dataType.asInstanceOf[StructType].fields
+              .filterNot(sf => nestedDrops(f.name).contains(sf.name)))
+          val narrowed = StructType(keepIdx.map { i =>
+            val f = prev.schema.fields(i)
+            if (nestedDrops.contains(f.name)) f.copy(dataType = reducedStruct(f)) else f
+          })
           val exprs = keepIdx.toSeq.map { i =>
             val f = prev.schema.fields(i)
-            org.apache.spark.sql.catalyst.expressions.BoundReference(
-              i, f.dataType, f.nullable): org.apache.spark.sql.catalyst.expressions.Expression
+            val ref = BoundReference(i, f.dataType, f.nullable)
+            if (!nestedDrops.contains(f.name)) ref: Expression
+            else {
+              val st = f.dataType.asInstanceOf[StructType]
+              val keep = st.fields.toIndexedSeq.zipWithIndex
+                .filterNot { case (sf, _) => nestedDrops(f.name).contains(sf.name) }
+              val rebuilt = CreateNamedStruct(keep.flatMap { case (sf, j) =>
+                Seq(Literal(sf.name), GetStructField(ref, j, Some(sf.name)): Expression)
+              })
+              If(IsNull(ref), Literal.create(null, reducedStruct(f)), rebuilt): Expression
+            }
           }
           val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(exprs)
           val migrated = prev.segments.flatMap { seg =>
@@ -659,21 +732,75 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           case None =>
             (base, org.apache.spark.sql.catalyst.expressions.Literal(null, add.dataType()))
         }
+      case add: TableChange.AddColumn if add.fieldNames().length == 2 =>
+        // NESTED field add, collected separately below (placeholder
+        // pair here; topAdds re-zips by arity).
+        if (add.defaultValue() != null) throw new UnsupportedOperationException(
+          s"DEFAULT on a nested field (${add.fieldNames().mkString(".")}) is not supported")
+        (org.apache.spark.sql.types.StructField("", org.apache.spark.sql.types.NullType),
+          org.apache.spark.sql.catalyst.expressions.Literal(null))
       case other =>
         throw new UnsupportedOperationException(
-          s"graft catalog supports only top-level ADD COLUMN, got: $other")
+          s"graft catalog adds top-level columns and struct fields one level deep, got: $other")
     }
+    // NESTED adds (`ADD COLUMNS (meta.c DOUBLE)`): the inner layout of
+    // a struct lives inside each row's bytes, so — unlike a top-level
+    // add — the parent column must be REBUILT row-by-row (same streamed
+    // re-projection as DROP/widen). NULL structs stay NULL: a row whose
+    // parent was never set must not sprout a struct of nulls.
+    val topAdds = changes.zip(adds).collect {
+      case (a: TableChange.AddColumn, pair) if a.fieldNames().length == 1 => pair
+    }
+    val nestedAdds: Map[String, Seq[org.apache.spark.sql.types.StructField]] =
+      changes.collect {
+        case a: TableChange.AddColumn if a.fieldNames().length == 2 =>
+          a.fieldNames()(0) -> org.apache.spark.sql.types.StructField(
+            a.fieldNames()(1), a.dataType(), nullable = true)
+      }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSeq }
     val written = scala.collection.mutable.ArrayBuffer[Segment]()
     try {
       val result = store.compute(ident, (_, prev) => {
         require(prev != null, s"table $ident dropped mid-alter")
+        import org.apache.spark.sql.catalyst.expressions.{
+          BoundReference, CreateNamedStruct, Expression, GetStructField, If, IsNull, Literal}
+        nestedAdds.foreach { case (parent, kids) =>
+          val pi =
+            try prev.schema.fieldIndex(parent)
+            catch { case _: IllegalArgumentException =>
+              throw new IllegalArgumentException(s"no such column $parent") }
+          val st = prev.schema.fields(pi).dataType match {
+            case s: StructType => s
+            case dt => throw new UnsupportedOperationException(
+              s"cannot add a field inside non-struct column $parent (${dt.simpleString})")
+          }
+          kids.find(k => st.fieldNames.contains(k.name)).foreach { k =>
+            throw new IllegalArgumentException(s"field $parent.${k.name} already exists")
+          }
+        }
         val exprs = prev.schema.fields.zipWithIndex.map { case (of, i) =>
-          org.apache.spark.sql.catalyst.expressions.BoundReference(
-            i, of.dataType, of.nullable): org.apache.spark.sql.catalyst.expressions.Expression
-        }.toSeq ++ adds.map(_._2)
+          val ref = BoundReference(i, of.dataType, of.nullable)
+          nestedAdds.get(of.name) match {
+            case Some(kids) =>
+              val st = of.dataType.asInstanceOf[StructType]
+              val newSt = StructType(st.fields ++ kids)
+              val rebuilt = CreateNamedStruct(
+                st.fields.toIndexedSeq.zipWithIndex.flatMap { case (sf, j) =>
+                  Seq(Literal(sf.name), GetStructField(ref, j, Some(sf.name)): Expression)
+                } ++ kids.flatMap(k =>
+                  Seq(Literal(k.name), Literal.create(null, k.dataType): Expression)))
+              If(IsNull(ref), Literal.create(null, newSt), rebuilt): Expression
+            case None => ref: Expression
+          }
+        }.toSeq ++ topAdds.map(_._2)
         val proj =
           org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(exprs)
-        val widenedSchema = StructType(prev.schema.fields ++ adds.map(_._1))
+        val widenedSchema = StructType(prev.schema.fields.map { f =>
+          nestedAdds.get(f.name) match {
+            case Some(kids) => f.copy(dataType =
+              StructType(f.dataType.asInstanceOf[StructType].fields ++ kids))
+            case None => f
+          }
+        } ++ topAdds.map(_._1))
         val widened = prev.segments.flatMap { seg =>
           val s = SegmentIO.rewriteOpt(seg, prev.dir, prev.schema.length, widenedSchema)(
             r => Some(proj(r)))

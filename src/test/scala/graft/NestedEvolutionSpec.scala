@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Nested (one-level) struct field evolution: `ADD COLUMNS (meta.c T)`
+  * and `DROP COLUMN meta.b` rebuild the parent struct row-by-row
+  * through the same streamed re-projection as top-level DROP/widen
+  * (positional storage keeps a struct's inner layout inside each row's
+  * bytes), preserving NULL parents as NULL; `RENAME COLUMN meta.a TO x`
+  * is pure schema metadata — inner names key nothing, zero file I/O.
+  */
+class NestedEvolutionSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s
+  }
+  import spark.implicits._
+
+  test("ADD a nested field: old rows read NULL, NULL structs stay NULL") {
+    spark.sql("DROP TABLE IF EXISTS graft.ne.a PURGE")
+    spark.sql(
+      "CREATE TABLE graft.ne.a (k BIGINT, meta STRUCT<a: STRING, b: INT>) USING graft")
+    spark.sql(
+      "INSERT INTO graft.ne.a VALUES (1, named_struct('a', 'x', 'b', 10)), (2, NULL)")
+    spark.sql("ALTER TABLE graft.ne.a ADD COLUMNS (meta.c DOUBLE)")
+    assert(spark.table("graft.ne.a").schema("meta").dataType.simpleString ==
+      "struct<a:string,b:int,c:double>")
+    val rows = spark.sql("SELECT k, meta.a, meta.b, meta.c FROM graft.ne.a ORDER BY k")
+      .collect()
+    assert(rows(0).getString(1) == "x" && rows(0).getInt(2) == 10 && rows(0).isNullAt(3),
+      "pre-evolution row keeps values, new field reads NULL")
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(3),
+      "a NULL struct must stay NULL, not become a struct of nulls")
+    assert(spark.sql("SELECT count(*) FROM graft.ne.a WHERE meta IS NULL")
+      .as[Long].head() == 1L)
+    // New writes fill the evolved shape; both eras aggregate together.
+    spark.sql(
+      "INSERT INTO graft.ne.a VALUES (3, named_struct('a', 'y', 'b', 20, 'c', 2.5))")
+    assert(spark.sql("SELECT sum(meta.b) FROM graft.ne.a").as[Long].head() == 30L)
+    assert(spark.sql("SELECT sum(meta.c) FROM graft.ne.a").as[Double].head() == 2.5)
+    spark.sql("DROP TABLE graft.ne.a PURGE")
+  }
+
+  test("RENAME a nested field is metadata-only: same files, no snapshot rewrite") {
+    spark.sql("DROP TABLE IF EXISTS graft.ne.r PURGE")
+    spark.sql(
+      "CREATE TABLE graft.ne.r (k BIGINT, meta STRUCT<a: STRING, b: INT>) USING graft")
+    spark.sql("INSERT INTO graft.ne.r VALUES (1, named_struct('a', 'x', 'b', 7))")
+    val filesBefore = spark.sql("SELECT path FROM graft.ne.r.files")
+      .as[String].collect().toSet
+    spark.sql("ALTER TABLE graft.ne.r RENAME COLUMN meta.a TO label")
+    assert(spark.sql("SELECT meta.label FROM graft.ne.r").as[String].head() == "x")
+    intercept[Exception] { spark.sql("SELECT meta.a FROM graft.ne.r").collect() }
+    assert(spark.sql("SELECT path FROM graft.ne.r.files").as[String].collect().toSet
+      == filesBefore, "nested rename must not rewrite any file")
+    // Collisions and non-struct parents refuse.
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ne.r RENAME COLUMN meta.label TO b")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ne.r RENAME COLUMN k.x TO y")
+    }
+    spark.sql("DROP TABLE graft.ne.r PURGE")
+  }
+
+  test("DROP a nested field re-projects; survivors and NULL structs intact") {
+    spark.sql("DROP TABLE IF EXISTS graft.ne.d PURGE")
+    spark.sql(
+      "CREATE TABLE graft.ne.d (k BIGINT, meta STRUCT<a: STRING, b: INT, c: DOUBLE>) USING graft")
+    spark.sql(
+      """INSERT INTO graft.ne.d VALUES
+        |(1, named_struct('a', 'x', 'b', 10, 'c', 1.5)), (2, NULL)""".stripMargin)
+    spark.sql("ALTER TABLE graft.ne.d DROP COLUMN meta.b")
+    assert(spark.table("graft.ne.d").schema("meta").dataType.simpleString ==
+      "struct<a:string,c:double>")
+    val rows = spark.sql("SELECT k, meta.a, meta.c FROM graft.ne.d ORDER BY k").collect()
+    assert(rows(0).getString(1) == "x" && rows(0).getDouble(2) == 1.5)
+    assert(rows(1).isNullAt(1), "NULL struct survives the nested drop")
+    intercept[Exception] { spark.sql("SELECT meta.b FROM graft.ne.d").collect() }
+    // Time travel still reads the pre-drop era with its own schema.
+    assert(spark.sql("SELECT count(*) FROM graft.ne.d VERSION AS OF 1")
+      .as[Long].head() == 2L)
+    // Dropping the last remaining fields one by one refuses at the end.
+    spark.sql("ALTER TABLE graft.ne.d DROP COLUMN meta.c")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ne.d DROP COLUMN meta.a")
+    }
+    spark.sql("DROP TABLE graft.ne.d PURGE")
+  }
+}
