@@ -498,8 +498,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           require(prev != null, s"table $ident dropped mid-alter")
           val updates: Map[String, org.apache.spark.sql.types.DataType] =
             changes.map { case u: TableChange.UpdateColumnType =>
+              // NESTED widen (`ALTER COLUMN meta.b TYPE BIGINT`): the
+              // top-level update becomes struct -> widened-struct; the
+              // projection's Cast handles struct-to-struct upcasts
+              // element-wise and preserves NULL parents.
+              if (u.fieldNames().length == 2) {
+                val parent = u.fieldNames()(0)
+                val inner = u.fieldNames()(1)
+                val pf = prev.schema.fields.find(_.name == parent).getOrElse(
+                  throw new IllegalArgumentException(s"no such column $parent"))
+                val st = pf.dataType match {
+                  case s: StructType => s
+                  case dt => throw new UnsupportedOperationException(
+                    s"cannot retype a field inside non-struct column $parent (${dt.simpleString})")
+                }
+                val sf = st.fields.find(_.name == inner).getOrElse(
+                  throw new IllegalArgumentException(s"no such field $parent.$inner"))
+                if (!widens(sf.dataType, u.newDataType()))
+                  throw new UnsupportedOperationException(
+                    s"unsupported retype of $parent.$inner: ${sf.dataType.simpleString} -> " +
+                      s"${u.newDataType().simpleString} is not a safe widening")
+                parent -> StructType(st.fields.map(f =>
+                  if (f.name == inner) f.copy(dataType = u.newDataType()) else f))
+              } else {
               if (u.fieldNames().length != 1) throw new UnsupportedOperationException(
-                s"graft catalog retypes only top-level columns, got ${u.fieldNames().mkString(".")}")
+                s"graft catalog retypes top-level columns and struct fields one level " +
+                  s"deep, got ${u.fieldNames().mkString(".")}")
               val n = u.fieldNames()(0)
               val f = prev.schema.fields.find(_.name == n).getOrElse(
                 throw new IllegalArgumentException(s"no such column $n"))
@@ -518,7 +542,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
                 throw new UnsupportedOperationException(
                   s"column $n is referenced by a constraint; drop it first")
               n -> u.newDataType()
+              }
             }.toMap
+          if (updates.size != changes.length) throw new UnsupportedOperationException(
+            "multiple retypes of (fields inside) the same column must be separate " +
+              "ALTER statements")
           val widenedSchema = StructType(prev.schema.fields.map(f =>
             updates.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f)))
           val exprs = prev.schema.fields.zipWithIndex.map { case (f, i) =>

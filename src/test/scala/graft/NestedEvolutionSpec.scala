@@ -64,6 +64,27 @@ class NestedEvolutionSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.ne.r PURGE")
   }
 
+  test("WIDEN a nested field (int -> bigint): values exact, NULL structs intact, lossy refuses") {
+    spark.sql("DROP TABLE IF EXISTS graft.ne.w PURGE")
+    spark.sql(
+      "CREATE TABLE graft.ne.w (k BIGINT, meta STRUCT<a: STRING, b: INT>) USING graft")
+    spark.sql(
+      "INSERT INTO graft.ne.w VALUES (1, named_struct('a', 'x', 'b', 2147483647)), (2, NULL)")
+    spark.sql("ALTER TABLE graft.ne.w ALTER COLUMN meta.b TYPE BIGINT")
+    assert(spark.table("graft.ne.w").schema("meta").dataType.simpleString ==
+      "struct<a:string,b:bigint>")
+    // Post-widen inserts exceed int range; the pre-widen era decodes exactly.
+    spark.sql("INSERT INTO graft.ne.w VALUES (3, named_struct('a', 'y', 'b', 5000000000))")
+    assert(spark.sql("SELECT sum(meta.b) FROM graft.ne.w").as[Long].head() ==
+      2147483647L + 5000000000L)
+    assert(spark.sql("SELECT count(*) FROM graft.ne.w WHERE meta IS NULL")
+      .as[Long].head() == 1L, "NULL struct survives the nested widen")
+    intercept[Exception] { // narrowing refuses
+      spark.sql("ALTER TABLE graft.ne.w ALTER COLUMN meta.b TYPE INT")
+    }
+    spark.sql("DROP TABLE graft.ne.w PURGE")
+  }
+
   test("DROP a nested field re-projects; survivors and NULL structs intact") {
     spark.sql("DROP TABLE IF EXISTS graft.ne.d PURGE")
     spark.sql(
