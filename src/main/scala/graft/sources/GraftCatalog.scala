@@ -732,6 +732,62 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       new GraftCatalogTable(ident, result.schema, result.dir,
         partitionCols = result.partitionCols, tableConstraints = result.constraints)
     }
+    // ALTER COLUMN x FIRST / AFTER y: positional storage makes column
+    // ORDER physical — one streamed permutation re-projection per
+    // segment, the DROP/widen machinery with a reorder instead of a
+    // narrowing. Everything name-keyed (partition specs, identity
+    // watermarks, eq-delete keys, constraints, generation refs)
+    // follows automatically.
+    else if (changes.forall(_.isInstanceOf[TableChange.UpdateColumnPosition])) {
+      val written = scala.collection.mutable.ArrayBuffer[Segment]()
+      try {
+        val result = store.compute(ident, (_, prev) => {
+          require(prev != null, s"table $ident dropped mid-alter")
+          var order: Vector[Int] = prev.schema.fields.indices.toVector
+          changes.foreach { case m: TableChange.UpdateColumnPosition =>
+            if (m.fieldNames().length != 1) throw new UnsupportedOperationException(
+              s"graft catalog repositions only top-level columns, got " +
+                m.fieldNames().mkString("."))
+            val n = m.fieldNames()(0)
+            val cur = order.indexWhere(i => prev.schema.fields(i).name == n)
+            if (cur < 0) throw new IllegalArgumentException(s"no such column $n")
+            val idx = order(cur)
+            val rest = order.patch(cur, Nil, 1)
+            order = m.position() match {
+              case _: TableChange.First => idx +: rest
+              case a: TableChange.After =>
+                val t = rest.indexWhere(i => prev.schema.fields(i).name == a.column())
+                if (t < 0) throw new IllegalArgumentException(
+                  s"AFTER target column ${a.column()} not found")
+                rest.patch(t + 1, Seq(idx), 0)
+              case other => throw new UnsupportedOperationException(
+                s"unsupported column position $other")
+            }
+          }
+          val permuted = StructType(order.map(prev.schema.fields(_)))
+          val exprs = order.map { i =>
+            val f = prev.schema.fields(i)
+            org.apache.spark.sql.catalyst.expressions.BoundReference(
+              i, f.dataType, f.nullable): org.apache.spark.sql.catalyst.expressions.Expression
+          }
+          val proj =
+            org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(exprs)
+          val migrated = prev.segments.flatMap { seg =>
+            val s = SegmentIO.rewriteOpt(seg, prev.dir, prev.schema.length, permuted)(
+              r => Some(proj(r)))
+            s.foreach(written += _)
+            s
+          }
+          prev.copy(schema = permuted, segments = migrated)
+        })
+        publish(ident)
+        new GraftCatalogTable(ident, result.schema, result.dir,
+          partitionCols = result.partitionCols, tableConstraints = result.constraints)
+      } catch { case scala.util.control.NonFatal(e) =>
+        written.foreach(SegmentIO.delete)
+        throw e
+      }
+    }
     else alterAddColumns(ident, changes)
   }
 
@@ -765,6 +821,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         // pair here; topAdds re-zips by arity).
         if (add.defaultValue() != null) throw new UnsupportedOperationException(
           s"DEFAULT on a nested field (${add.fieldNames().mkString(".")}) is not supported")
+        if (add.position() != null) throw new UnsupportedOperationException(
+          s"FIRST/AFTER on a nested field (${add.fieldNames().mkString(".")}) is not " +
+            "supported — nested adds append at the end of the struct")
         (org.apache.spark.sql.types.StructField("", org.apache.spark.sql.types.NullType),
           org.apache.spark.sql.catalyst.expressions.Literal(null))
       case other =>
@@ -776,8 +835,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // add — the parent column must be REBUILT row-by-row (same streamed
     // re-projection as DROP/widen). NULL structs stay NULL: a row whose
     // parent was never set must not sprout a struct of nulls.
-    val topAdds = changes.zip(adds).collect {
-      case (a: TableChange.AddColumn, pair) if a.fieldNames().length == 1 => pair
+    val topAdds: Seq[(org.apache.spark.sql.types.StructField,
+        org.apache.spark.sql.catalyst.expressions.Literal,
+        Option[TableChange.ColumnPosition])] = changes.zip(adds).collect {
+      case (a: TableChange.AddColumn, (f, lit)) if a.fieldNames().length == 1 =>
+        (f, lit, Option(a.position()))
     }
     val nestedAdds: Map[String, Seq[org.apache.spark.sql.types.StructField]] =
       changes.collect {
@@ -805,30 +867,49 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
             throw new IllegalArgumentException(s"field $parent.${k.name} already exists")
           }
         }
-        val exprs = prev.schema.fields.zipWithIndex.map { case (of, i) =>
-          val ref = BoundReference(i, of.dataType, of.nullable)
-          nestedAdds.get(of.name) match {
-            case Some(kids) =>
-              val st = of.dataType.asInstanceOf[StructType]
-              val newSt = StructType(st.fields ++ kids)
-              val rebuilt = CreateNamedStruct(
-                st.fields.toIndexedSeq.zipWithIndex.flatMap { case (sf, j) =>
-                  Seq(Literal(sf.name), GetStructField(ref, j, Some(sf.name)): Expression)
-                } ++ kids.flatMap(k =>
-                  Seq(Literal(k.name), Literal.create(null, k.dataType): Expression)))
-              If(IsNull(ref), Literal.create(null, newSt), rebuilt): Expression
-            case None => ref: Expression
+        // One SLOT per output column: (name, projection expr, field).
+        // Old fields come first (nested adds rebuild their parent in
+        // place); positioned top-level adds then splice into the order —
+        // `FIRST` / `AFTER k` honored exactly, where AFTER may target an
+        // old column or one added earlier in the same statement
+        // (silently appending a positioned add at the end would be a
+        // wrong answer wearing a success code).
+        var slots: Vector[(String, Expression, org.apache.spark.sql.types.StructField)] =
+          prev.schema.fields.toVector.zipWithIndex.map { case (of, i) =>
+            val ref = BoundReference(i, of.dataType, of.nullable)
+            nestedAdds.get(of.name) match {
+              case Some(kids) =>
+                val st = of.dataType.asInstanceOf[StructType]
+                val newSt = StructType(st.fields ++ kids)
+                val rebuilt = CreateNamedStruct(
+                  st.fields.toIndexedSeq.zipWithIndex.flatMap { case (sf, j) =>
+                    Seq(Literal(sf.name), GetStructField(ref, j, Some(sf.name)): Expression)
+                  } ++ kids.flatMap(k =>
+                    Seq(Literal(k.name), Literal.create(null, k.dataType): Expression)))
+                (of.name,
+                  If(IsNull(ref), Literal.create(null, newSt), rebuilt): Expression,
+                  of.copy(dataType = newSt))
+              case None => (of.name, ref: Expression, of)
+            }
           }
-        }.toSeq ++ topAdds.map(_._2)
+        topAdds.foreach { case (f, lit, pos) =>
+          val slot = (f.name, lit: Expression, f)
+          pos match {
+            case None => slots = slots :+ slot
+            case Some(_: TableChange.First) => slots = slot +: slots
+            case Some(a: TableChange.After) =>
+              val i = slots.indexWhere(_._1 == a.column())
+              if (i < 0) throw new IllegalArgumentException(
+                s"AFTER target column ${a.column()} not found")
+              slots = slots.patch(i + 1, Seq(slot), 0)
+            case Some(other) => throw new UnsupportedOperationException(
+              s"unsupported column position $other")
+          }
+        }
         val proj =
-          org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(exprs)
-        val widenedSchema = StructType(prev.schema.fields.map { f =>
-          nestedAdds.get(f.name) match {
-            case Some(kids) => f.copy(dataType =
-              StructType(f.dataType.asInstanceOf[StructType].fields ++ kids))
-            case None => f
-          }
-        } ++ topAdds.map(_._1))
+          org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+            slots.map(_._2))
+        val widenedSchema = StructType(slots.map(_._3))
         val widened = prev.segments.flatMap { seg =>
           val s = SegmentIO.rewriteOpt(seg, prev.dir, prev.schema.length, widenedSchema)(
             r => Some(proj(r)))

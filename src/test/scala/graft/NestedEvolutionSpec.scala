@@ -85,6 +85,36 @@ class NestedEvolutionSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.ne.w PURGE")
   }
 
+  test("ADD COLUMNS honors FIRST/AFTER; ALTER COLUMN repositions via permutation rewrite") {
+    spark.sql("DROP TABLE IF EXISTS graft.ne.p PURGE")
+    spark.sql("CREATE TABLE graft.ne.p (k BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.ne.p VALUES (1, 'a'), (2, 'b')")
+    // Positioned adds: one FIRST, one AFTER an old column, one AFTER a
+    // column added in the SAME statement.
+    spark.sql(
+      """ALTER TABLE graft.ne.p ADD COLUMNS
+        |  (z INT FIRST, m DOUBLE AFTER k, m2 DOUBLE AFTER m)""".stripMargin)
+    assert(spark.table("graft.ne.p").schema.fieldNames.toSeq ==
+      Seq("z", "k", "m", "m2", "v"), "FIRST/AFTER order must be honored exactly")
+    assert(spark.sql("SELECT v FROM graft.ne.p WHERE k = 1").as[String].head() == "a",
+      "values survive the positioned add")
+    // Reposition an existing column: SELECT * order follows; data intact.
+    spark.sql("ALTER TABLE graft.ne.p ALTER COLUMN v FIRST")
+    assert(spark.table("graft.ne.p").schema.fieldNames.toSeq ==
+      Seq("v", "z", "k", "m", "m2"))
+    assert(spark.sql("SELECT * FROM graft.ne.p WHERE k = 2").collect().head.getString(0)
+      == "b", "SELECT * reads the permuted physical order correctly")
+    spark.sql("ALTER TABLE graft.ne.p ALTER COLUMN v AFTER m2")
+    assert(spark.table("graft.ne.p").schema.fieldNames.toSeq ==
+      Seq("z", "k", "m", "m2", "v"))
+    assert(spark.sql("SELECT k, v FROM graft.ne.p ORDER BY k")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
+    intercept[Exception] { // unknown AFTER target refuses
+      spark.sql("ALTER TABLE graft.ne.p ALTER COLUMN v AFTER nope")
+    }
+    spark.sql("DROP TABLE graft.ne.p PURGE")
+  }
+
   test("DROP a nested field re-projects; survivors and NULL structs intact") {
     spark.sql("DROP TABLE IF EXISTS graft.ne.d PURGE")
     spark.sql(
