@@ -115,6 +115,31 @@ class NestedEvolutionSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.ne.p PURGE")
   }
 
+  test("RESTORE to a pre-migration version brings back the dropped nested field") {
+    spark.sql("DROP TABLE IF EXISTS graft.ne.rs PURGE")
+    spark.sql(
+      "CREATE TABLE graft.ne.rs (k BIGINT, meta STRUCT<a: STRING, b: INT>) USING graft")
+    spark.sql("INSERT INTO graft.ne.rs VALUES (1, named_struct('a', 'x', 'b', 7))")
+    val v = spark.sql("SELECT max(version) FROM graft.ne.rs.history")
+      .collect().head.getLong(0)
+    spark.sql("ALTER TABLE graft.ne.rs DROP COLUMN meta.b")
+    spark.sql("INSERT INTO graft.ne.rs VALUES (2, named_struct('a', 'y'))")
+    assert(spark.table("graft.ne.rs").schema("meta").dataType.simpleString ==
+      "struct<a:string>")
+    // Time travel into the pre-drop era reads the old shape...
+    assert(spark.sql(s"SELECT meta.b FROM graft.ne.rs VERSION AS OF $v")
+      .collect().head.getInt(0) == 7)
+    // ...and RESTORE re-installs that era wholesale: schema AND the
+    // pre-migration segments, which must decode under it again.
+    spark.sql(s"CALL graft.system.restore('ne', 'rs', '$v')").collect()
+    assert(spark.table("graft.ne.rs").schema("meta").dataType.simpleString ==
+      "struct<a:string,b:int>", "restore must bring the pre-drop schema back")
+    val r = spark.sql("SELECT k, meta.a, meta.b FROM graft.ne.rs ORDER BY k").collect()
+    assert(r.length == 1 && r(0).getString(1) == "x" && r(0).getInt(2) == 7,
+      "restored era decodes with its own schema; the post-drop insert is gone")
+    spark.sql("DROP TABLE graft.ne.rs PURGE")
+  }
+
   test("DROP a nested field re-projects; survivors and NULL structs intact") {
     spark.sql("DROP TABLE IF EXISTS graft.ne.d PURGE")
     spark.sql(
