@@ -789,8 +789,68 @@ object SimilarityQueries {
       .orderBy(col("i"), col("j"))
   }
 
+  /** L9: INCREMENTAL near-dup against a PERSISTED shingle posting-list
+    * index — the crawl-vs-corpus shape: the corpus is represented by
+    * two catalog tables (shingle-hash → doc_id postings + per-doc set
+    * sizes), the incoming batch explodes its shingles and probes the
+    * INDEX, and — the load-bearing trick — the posting join itself
+    * yields the intersection count per candidate pair, so exact
+    * Jaccard needs only the persisted sizes: the corpus TEXT is never
+    * rescanned, and recall is total by construction (a ≥ 0.8 pair
+    * shares shingles, so it must hit the postings — no LSH probability
+    * in the oracle path). At 100 TB the postings table is the
+    * bucketed, zone-mapped state a streaming ingest maintains
+    * incrementally; probe cost tracks the batch. DuckDB recomputes the
+    * cross-slice exact-Jaccard pairs from raw text.
+    */
+  val l9IncrementalNearDup: Q = Q(
+    "l9_incremental_neardup",
+    """WITH s AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) z
+      |  WHERE len(t) >= 3),
+      |ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+      |inter AS (SELECT b.doc_id AS i, c.doc_id AS j, count(*) AS ninter
+      |          FROM ex b JOIN ex c ON b.g = c.g
+      |          WHERE b.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+      |          GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(sh) AS sz FROM s)
+      |SELECT i, j, round(ninter * 1.0 / (si.sz + sj.sz - ninter), 4) AS jaccard
+      |FROM inter JOIN sz si ON si.doc_id = i JOIN sz sj ON sj.doc_id = j
+      |WHERE ninter * 1.0 / (si.sz + sj.sz - ninter) >= 0.8
+      |ORDER BY i, j""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    val sh = shingleHashesOf(Tables.documents(spark, dir)).filter(size(col("sh")) > 0)
+    spark.sql("DROP TABLE IF EXISTS graft.demo.nd_idx PURGE")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.nd_sz PURGE")
+    spark.sql("CREATE TABLE graft.demo.nd_idx (g BIGINT, doc_id BIGINT) USING graft")
+    spark.sql("CREATE TABLE graft.demo.nd_sz (doc_id BIGINT, sz INT) USING graft")
+    val corpus = sh.filter(col("doc_id") % 2 === 0)
+    corpus.select(explode(col("sh")).as("g"), col("doc_id"))
+      .writeTo("graft.demo.nd_idx").append()
+    corpus.select(col("doc_id"), size(col("sh")).as("sz"))
+      .writeTo("graft.demo.nd_sz").append()
+    val probe = sh.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("i"), size(col("sh")).as("szi"),
+        explode(col("sh")).as("g"))
+    val inter = probe
+      .join(spark.table("graft.demo.nd_idx").select(col("g"), col("doc_id").as("j")),
+        Seq("g"))
+      .groupBy(col("i"), col("j"), col("szi"))
+      .agg(count(lit(1)).as("ninter"))
+    inter
+      .join(spark.table("graft.demo.nd_sz")
+        .select(col("doc_id").as("j"), col("sz").as("szj")), Seq("j"))
+      .withColumn("jac",
+        col("ninter").cast("double") / (col("szi") + col("szj") - col("ninter")))
+      .filter(col("jac") >= 0.8)
+      .select(col("i"), col("j"), round(col("jac"), 4).as("jaccard"))
+      .orderBy(col("i"), col("j"))
+  }
+
   val all: Seq[Q] = Seq(
     l3CosineTopK, l3AnnLsh, l4NgramJaccard, l4EmbeddingNearDup,
     l3AnnIvf, l3AnnIvfSaved, l3AnnIvfPq, l3AnnIvfPqSaved,
-    l2MinHashLsh, l2DedupClusters, l2SimHash)
+    l2MinHashLsh, l2DedupClusters, l2SimHash, l9IncrementalNearDup)
 }

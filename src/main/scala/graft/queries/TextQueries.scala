@@ -244,7 +244,57 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** L9: INCREMENTAL exact dedup against persisted corpus state — the
+    * shape a 100 TB ingest actually runs: the corpus is represented by
+    * a catalog table of content hashes (32 bytes/doc, not the
+    * documents), the incoming batch anti-joins that index, and the
+    * survivors' hashes APPEND to it — one metadata-scale state table
+    * instead of rescanning the corpus per crawl. Re-crawled documents
+    * (the fixture replays half the corpus into the batch) die at the
+    * index probe. The result reads the post-append index COUNT from
+    * the table itself, so the state mutation — not just the anti-join —
+    * is under oracle: DuckDB recomputes every cardinality as text-set
+    * algebra over raw documents.
+    */
+  val l9IncrementalDedup: Q = Q(
+    "l9_incremental_dedup",
+    """WITH corpus AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0),
+      |batch AS (SELECT text FROM documents WHERE doc_id % 2 = 1
+      |          UNION ALL SELECT text FROM documents WHERE doc_id % 4 = 0),
+      |newd AS (SELECT DISTINCT text FROM batch
+      |         WHERE text NOT IN (SELECT text FROM corpus))
+      |SELECT 'batch_rows' AS k, count(*) AS v FROM batch
+      |UNION ALL SELECT 'corpus_after',
+      |  (SELECT count(*) FROM corpus) + (SELECT count(*) FROM newd)
+      |UNION ALL SELECT 'corpus_before', count(*) FROM corpus
+      |UNION ALL SELECT 'new_docs', count(*) FROM newd
+      |ORDER BY k""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    val docs = Tables.documents(spark, dir)
+    spark.sql("DROP TABLE IF EXISTS graft.demo.dedup_idx PURGE")
+    spark.sql("CREATE TABLE graft.demo.dedup_idx (h STRING) USING graft")
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(sha2(col("text"), 256).as("h")).distinct()
+      .writeTo("graft.demo.dedup_idx").append()
+    val corpusBefore = spark.table("graft.demo.dedup_idx").count()
+    val batch = docs.filter(col("doc_id") % 2 === 1).select(col("text"))
+      .unionAll(docs.filter(col("doc_id") % 4 === 0).select(col("text")))
+    val batchRows = batch.count()
+    // In-batch dedup + index anti-probe: only genuinely new content
+    // survives; the probe ships 32-byte hashes, never document bodies.
+    val newHashes = batch.select(sha2(col("text"), 256).as("h")).distinct()
+      .join(spark.table("graft.demo.dedup_idx"), Seq("h"), "left_anti")
+    newHashes.writeTo("graft.demo.dedup_idx").append()
+    val corpusAfter = spark.table("graft.demo.dedup_idx").count()
+    Seq(
+      ("batch_rows", batchRows),
+      ("corpus_after", corpusAfter),
+      ("corpus_before", corpusBefore),
+      ("new_docs", corpusAfter - corpusBefore)).toDF("k", "v").orderBy(col("k"))
+  }
+
   val all: Seq[Q] = Seq(
     l1ExactDedup, l5Tfidf, l5LangId, l5Quality, l5TokenHist,
-    l5Fingerprint, l6MultimodalMeta, l7CleanPipeline)
+    l5Fingerprint, l6MultimodalMeta, l7CleanPipeline, l9IncrementalDedup)
 }
