@@ -118,6 +118,26 @@ class CopyIntoSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.ci.f PURGE")
   }
 
+  test("copy_into fills identity and generated columns the source lacks") {
+    val dir = freshDir("idgen")
+    Seq((10L, "a"), (20L, "b"), (30L, "c")).toDF("k", "v").coalesce(1)
+      .write.mode("append").parquet(dir.toString)
+    spark.sql("DROP TABLE IF EXISTS graft.ci.g PURGE")
+    spark.sql(
+      """CREATE TABLE graft.ci.g (
+        |  id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100 INCREMENT BY 1),
+        |  k BIGINT, v STRING,
+        |  k2 BIGINT GENERATED ALWAYS AS (k * 2)) USING graft""".stripMargin)
+    val r = call("g", dir.toString)
+    assert(r.getLong(3) == 3L)
+    val rows = spark.sql("SELECT id, k, k2 FROM graft.ci.g ORDER BY k").collect()
+    assert(rows.map(_.getLong(0)).toSet.size == 3 &&
+      rows.forall(_.getLong(0) >= 100L), "identity ids generated, unique, on-progression")
+    assert(rows.forall(r => r.getLong(2) == r.getLong(1) * 2),
+      "generated column computed at write")
+    spark.sql("DROP TABLE graft.ci.g PURGE")
+  }
+
   test("concurrent copy_into of the same files stays exactly-once") {
     val dir = freshDir("race")
     (0 until 6).foreach { i =>
