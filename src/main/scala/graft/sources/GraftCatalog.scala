@@ -418,6 +418,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
             if (st.fieldNames.contains(rn.newName()))
               throw new IllegalArgumentException(
                 s"field $parent.${rn.newName()} already exists")
+            // CONSERVATIVE parent-level guards (stored constraint DDL
+            // and generation-expression refs are resolved by NAME at
+            // write time — a renamed inner field would leave them
+            // dangling and brick every future write): any constraint
+            // or generated column referencing into this struct refuses.
+            if (e.constraints.exists(_.toDDL.contains(parent)))
+              throw new UnsupportedOperationException(
+                s"struct column $parent is referenced by a constraint; drop it first")
+            if (GraftCatalog.generationRefs(e.schema)
+                .contains(parent.toLowerCase(java.util.Locale.ROOT)))
+              throw new UnsupportedOperationException(
+                s"struct column $parent is referenced by a generation expression — " +
+                  "renaming a field inside it would orphan the formula")
             val fields = e.schema.fields.clone()
             fields(pi) = fields(pi).copy(dataType = StructType(
               st.fields.map(f => if (f.name == inner) f.copy(name = rn.newName()) else f)))
@@ -496,34 +509,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       try {
         val result = store.compute(ident, (_, prev) => {
           require(prev != null, s"table $ident dropped mid-alter")
-          val updates: Map[String, org.apache.spark.sql.types.DataType] =
-            changes.map { case u: TableChange.UpdateColumnType =>
-              // NESTED widen (`ALTER COLUMN meta.b TYPE BIGINT`): the
-              // top-level update becomes struct -> widened-struct; the
-              // projection's Cast handles struct-to-struct upcasts
-              // element-wise and preserves NULL parents.
-              if (u.fieldNames().length == 2) {
-                val parent = u.fieldNames()(0)
-                val inner = u.fieldNames()(1)
-                val pf = prev.schema.fields.find(_.name == parent).getOrElse(
-                  throw new IllegalArgumentException(s"no such column $parent"))
-                val st = pf.dataType match {
-                  case s: StructType => s
-                  case dt => throw new UnsupportedOperationException(
-                    s"cannot retype a field inside non-struct column $parent (${dt.simpleString})")
-                }
-                val sf = st.fields.find(_.name == inner).getOrElse(
-                  throw new IllegalArgumentException(s"no such field $parent.$inner"))
-                if (!widens(sf.dataType, u.newDataType()))
-                  throw new UnsupportedOperationException(
-                    s"unsupported retype of $parent.$inner: ${sf.dataType.simpleString} -> " +
-                      s"${u.newDataType().simpleString} is not a safe widening")
-                parent -> StructType(st.fields.map(f =>
-                  if (f.name == inner) f.copy(dataType = u.newDataType()) else f))
-              } else {
-              if (u.fieldNames().length != 1) throw new UnsupportedOperationException(
-                s"graft catalog retypes top-level columns and struct fields one level " +
-                  s"deep, got ${u.fieldNames().mkString(".")}")
+          // Split: top-level retypes keyed by name; nested retypes
+          // (parent, inner, to) COMPOSE per parent — one alterTable
+          // call may widen several fields inside the same struct
+          // (MERGE WITH SCHEMA EVOLUTION pushes them all at once, and
+          // the merge user has no way to split the statement).
+          val topRetypes = changes.collect {
+            case u: TableChange.UpdateColumnType if u.fieldNames().length == 1 =>
               val n = u.fieldNames()(0)
               val f = prev.schema.fields.find(_.name == n).getOrElse(
                 throw new IllegalArgumentException(s"no such column $n"))
@@ -542,11 +534,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
                 throw new UnsupportedOperationException(
                   s"column $n is referenced by a constraint; drop it first")
               n -> u.newDataType()
+          }
+          // NESTED widen (`ALTER COLUMN meta.b TYPE BIGINT`): the
+          // top-level update becomes struct -> widened-struct; the
+          // projection's Cast handles struct-to-struct upcasts
+          // element-wise and preserves NULL parents.
+          val nestedRetypes = changes.collect {
+            case u: TableChange.UpdateColumnType if u.fieldNames().length == 2 =>
+              val parent = u.fieldNames()(0)
+              val inner = u.fieldNames()(1)
+              val pf = prev.schema.fields.find(_.name == parent).getOrElse(
+                throw new IllegalArgumentException(s"no such column $parent"))
+              val st = pf.dataType match {
+                case s: StructType => s
+                case dt => throw new UnsupportedOperationException(
+                  s"cannot retype a field inside non-struct column $parent (${dt.simpleString})")
               }
-            }.toMap
-          if (updates.size != changes.length) throw new UnsupportedOperationException(
-            "multiple retypes of (fields inside) the same column must be separate " +
-              "ALTER statements")
+              val sf = st.fields.find(_.name == inner).getOrElse(
+                throw new IllegalArgumentException(s"no such field $parent.$inner"))
+              if (!widens(sf.dataType, u.newDataType()))
+                throw new UnsupportedOperationException(
+                  s"unsupported retype of $parent.$inner: ${sf.dataType.simpleString} -> " +
+                    s"${u.newDataType().simpleString} is not a safe widening")
+              (parent, inner, u.newDataType())
+          }
+          changes.foreach {
+            case u: TableChange.UpdateColumnType if u.fieldNames().length > 2 =>
+              throw new UnsupportedOperationException(
+                s"graft catalog retypes top-level columns and struct fields one level " +
+                  s"deep, got ${u.fieldNames().mkString(".")}")
+            case _ => ()
+          }
+          if (topRetypes.map(_._1).distinct.length != topRetypes.length ||
+              nestedRetypes.map(t => (t._1, t._2)).distinct.length != nestedRetypes.length)
+            throw new UnsupportedOperationException(
+              "conflicting retypes of the same column/field in one statement")
+          val nestedByParent = nestedRetypes.groupBy(_._1).map { case (parent, ws) =>
+            val st = prev.schema.fields.find(_.name == parent).get
+              .dataType.asInstanceOf[StructType]
+            val widenMap = ws.map(t => t._2 -> t._3).toMap
+            parent -> StructType(st.fields.map(f =>
+              widenMap.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f)))
+          }
+          if (topRetypes.map(_._1).toSet.intersect(nestedByParent.keySet).nonEmpty)
+            throw new UnsupportedOperationException(
+              "cannot retype a column and a field inside it in one statement")
+          val updates: Map[String, org.apache.spark.sql.types.DataType] =
+            topRetypes.toMap ++ nestedByParent
           val widenedSchema = StructType(prev.schema.fields.map(f =>
             updates.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f)))
           val exprs = prev.schema.fields.zipWithIndex.map { case (f, i) =>
@@ -580,27 +614,49 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     // COLUMN migration machinery in reverse), atomic swap at the end.
     else if (changes.forall(_.isInstanceOf[TableChange.DeleteColumn])) {
       val written = scala.collection.mutable.ArrayBuffer[Segment]()
+      // IF EXISTS resolving to nothing must be a TRUE no-op — no
+      // segment rewrite, no published snapshot.
+      var noop = false
       try {
         val result = store.compute(ident, (_, prev) => {
           require(prev != null, s"table $ident dropped mid-alter")
           // NESTED field drops (`DROP COLUMN meta.b`) rebuild the
           // parent struct minus the field — same streamed
           // re-projection, same null-struct preservation as nested add.
-          val nestedDrops: Map[String, Set[String]] = changes.collect {
+          val nestedDrops: Map[String, Set[String]] = changes.flatMap {
             case d: TableChange.DeleteColumn if d.fieldNames().length == 2 =>
               val parent = d.fieldNames()(0)
               val inner = d.fieldNames()(1)
-              val pf = prev.schema.fields.find(_.name == parent).getOrElse(
-                throw new IllegalArgumentException(s"no such column $parent"))
-              val st = pf.dataType match {
-                case s: StructType => s
-                case dt => throw new UnsupportedOperationException(
-                  s"cannot drop a field inside non-struct column $parent (${dt.simpleString})")
+              val ifE = java.lang.Boolean.TRUE.equals(d.ifExists())
+              prev.schema.fields.find(_.name == parent) match {
+                case None if ifE => None // IF EXISTS: parent gone = no-op
+                case None => throw new IllegalArgumentException(s"no such column $parent")
+                case Some(pf) =>
+                  val st = pf.dataType match {
+                    case s: StructType => s
+                    case dt => throw new UnsupportedOperationException(
+                      s"cannot drop a field inside non-struct column $parent (${dt.simpleString})")
+                  }
+                  if (!st.fieldNames.contains(inner)) {
+                    if (ifE) None // IF EXISTS: field gone = no-op (no rewrite)
+                    else throw new IllegalArgumentException(s"no such field $parent.$inner")
+                  } else {
+                    // CONSERVATIVE parent-level guards, mirroring the
+                    // top-level drop screens: a stored constraint or
+                    // generation expression referencing into this struct
+                    // would dangle on the dropped field.
+                    if (prev.constraints.exists(_.toDDL.contains(parent)))
+                      throw new UnsupportedOperationException(
+                        s"struct column $parent is referenced by a constraint; drop it first")
+                    if (GraftCatalog.generationRefs(prev.schema)
+                        .contains(parent.toLowerCase(java.util.Locale.ROOT)))
+                      throw new UnsupportedOperationException(
+                        s"struct column $parent is referenced by a generation expression; " +
+                          "drop the generated column first")
+                    Some(parent -> inner)
+                  }
               }
-              if (!st.fieldNames.contains(inner) &&
-                  !java.lang.Boolean.TRUE.equals(d.ifExists()))
-                throw new IllegalArgumentException(s"no such field $parent.$inner")
-              parent -> inner
+            case _ => None
           }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
           nestedDrops.foreach { case (p, inners) =>
             val st = prev.schema.fields.find(_.name == p).get
@@ -640,6 +696,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
             .filterNot { case (f, _) => dropNames.contains(f.name) }.map(_._2)
           if (keepIdx.isEmpty) throw new UnsupportedOperationException(
             "cannot drop every column of a table")
+          if (dropNames.isEmpty && nestedDrops.isEmpty) { noop = true; prev }
+          else {
           import org.apache.spark.sql.catalyst.expressions.{
             BoundReference, CreateNamedStruct, Expression, GetStructField, If, IsNull, Literal}
           def reducedStruct(f: org.apache.spark.sql.types.StructField): StructType =
@@ -671,8 +729,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
             s
           }
           prev.copy(schema = narrowed, segments = migrated)
+          }
         })
-        publish(ident) // old segments stay readable via retained snapshots
+        if (!noop) publish(ident) // old segments stay readable via retained snapshots
         new GraftCatalogTable(ident, result.schema, result.dir,
           partitionCols = result.partitionCols, tableConstraints = result.constraints)
       } catch { case scala.util.control.NonFatal(e) =>
@@ -1544,8 +1603,30 @@ private[graft] object GraftCopyIntoProcedure
       val reader = spark.read.format(format).options(readerOpts)
       // csv/json take the TABLE's schema — inference drift (a numeric
       // column inferred narrower in one batch) must not fork the data.
+      // csv WITH a header additionally binds BY HEADER NAME: Spark's
+      // schema'd csv read assigns by POSITION (enforceSchema), so a
+      // reordered header would silently land columns crosswise — read
+      // the header names first (string-typed, no inference pass),
+      // refuse unknowns, and lay the table's types out in the FILE's
+      // column order.
+      val csvHeader = format == "csv" && readerOpts.exists { case (k, v) =>
+        k.equalsIgnoreCase("header") && v.equalsIgnoreCase("true") }
       val raw =
-        if (format == "csv" || format == "json") reader.schema(targetSchema).load(paths: _*)
+        if (csvHeader) {
+          val headerCols = spark.read.options(readerOpts).csv(paths: _*).columns
+          require(headerCols.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.length ==
+            headerCols.length, s"copy_into: duplicate csv header columns in '$source'")
+          val unknown = headerCols.filterNot(c =>
+            targetSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
+          require(unknown.isEmpty,
+            s"copy_into: source columns [${unknown.mkString(", ")}] do not exist on $tbl " +
+              "— add them first (ALTER TABLE ... ADD COLUMNS) or fix the source")
+          val fileSchema = StructType(headerCols.map(c =>
+            targetSchema.fields.find(_.name.equalsIgnoreCase(c)).get))
+          reader.schema(fileSchema).load(paths: _*)
+        }
+        else if (format == "csv" || format == "json")
+          reader.schema(targetSchema).load(paths: _*)
         else reader.load(paths: _*)
       val have = raw.columns.map(c => c.toLowerCase(java.util.Locale.ROOT)).toSet
       val unknown = raw.columns.filterNot(c =>
@@ -1560,10 +1641,27 @@ private[graft] object GraftCopyIntoProcedure
           lit(null).cast(f.dataType).as(f.name)
         }
       }: _*)
-      rowsLoaded = aligned.count() // one pass over the NEW files only
+      // Re-stat IMMEDIATELY before the write: a file rewritten between
+      // the diff and here would load its NEW bytes under the OLD token,
+      // and the next run would load it AGAIN — refuse while nothing is
+      // committed yet (the retry re-diffs cleanly). The remaining
+      // window is the append's own read; producers must write-then-
+      // rename (the standard atomic-publish contract for file ingest).
+      fresh.foreach { st =>
+        val now = fs.getFileStatus(st.getPath)
+        if (now.getLen != st.getLen || now.getModificationTime != st.getModificationTime)
+          throw new java.util.ConcurrentModificationException(
+            s"copy_into: source file ${st.getPath} changed while the ingest was " +
+              "planning; nothing was loaded — re-run (producers should write to a " +
+              "temp name and rename into place)")
+      }
+      val before = GraftCatalog.liveRowCount(ident)
       aligned.writeTo(tbl)
         .option(GraftCatalog.CopyIntoTokensOption, fresh.map(token).mkString(","))
         .append()
+      // Appended-row count from segment METADATA (appends never touch
+      // prior segments), not a second read pass over the source.
+      rowsLoaded = GraftCatalog.liveRowCount(ident) - before
     }
     val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(s"$ns.$table"),
@@ -2635,6 +2733,17 @@ object GraftCatalog {
     * future policy change (preferring the current catalog, handling
     * two registrations) must not have three divergent scans.
     */
+  /** Live (dv-adjusted) row count from segment metadata — zero file
+    * reads. Outstanding eq-deletes are NOT subtracted, which keeps an
+    * append DELTA of this exact (appends never change prior segments,
+    * and eq deletes only hit rows written before them).
+    */
+  private[sources] def liveRowCount(ident: Identifier): Long = {
+    val e = store.get(ident)
+    if (e == null) throw new NoSuchTableException(ident)
+    e.segments.map(_.liveRows).sum
+  }
+
   /** The copy_into ingestion registry — raw entry props, NOT
     * `userProps` (the registry is a reserved key hidden from SHOW
     * TBLPROPERTIES).
@@ -4204,7 +4313,10 @@ object GraftCatalog {
     */
   private[sources] def compactKeysFor(
       ident: Identifier, where: String): Option[Set[(Seq[String], IndexedSeq[Any])]] = {
-    val clauses = where.split(',').map(_.trim).filter(_.nonEmpty)
+    // TOP-LEVEL commas only: 'bucket(16,k)=3,d=2024-01-01' is two
+    // clauses and bucket's inner comma must not split it (same grammar
+    // as PARTITIONED BY / set_partitioning).
+    val clauses = splitTopLevel(where).map(_.trim).filter(_.nonEmpty)
     if (clauses.isEmpty) return None
     val entry = store.get(ident)
     if (entry == null) throw new NoSuchTableException(ident)

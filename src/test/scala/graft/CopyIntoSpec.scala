@@ -68,6 +68,29 @@ class CopyIntoSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.ci.c PURGE")
   }
 
+  test("csv with a REORDERED header binds by name, not position") {
+    val dir = freshDir("csvorder")
+    // Header order v,k — opposite of the table's (k, v).
+    java.nio.file.Files.write(
+      new java.io.File(dir, "part1.csv").toPath,
+      "v,k\nx,10\ny,11\n".getBytes("UTF-8"))
+    spark.sql("DROP TABLE IF EXISTS graft.ci.o PURGE")
+    spark.sql("CREATE TABLE graft.ci.o (k BIGINT, v STRING) USING graft")
+    assert(call("o", dir.toString, "csv", "header=true").getLong(3) == 2L)
+    val rows = spark.sql("SELECT k, v FROM graft.ci.o ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((10L, "x"), (11L, "y")),
+      s"columns must bind by header NAME, got $rows")
+    // A typo'd header column refuses (the by-name check can now fire).
+    val dir2 = freshDir("csvtypo")
+    java.nio.file.Files.write(
+      new java.io.File(dir2, "part1.csv").toPath,
+      "typo,k\nx,10\n".getBytes("UTF-8"))
+    val e = intercept[Exception] { call("o", dir2.toString, "csv", "header=true") }
+    assert(e.getMessage.contains("typo"), e.getMessage)
+    spark.sql("DROP TABLE graft.ci.o PURGE")
+  }
+
   test("unknown source column refuses; nothing lands") {
     val dir = freshDir("unknown")
     Seq((1L, "a", 9.9)).toDF("k", "v", "typo").coalesce(1)

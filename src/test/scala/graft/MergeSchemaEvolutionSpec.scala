@@ -59,6 +59,30 @@ class MergeSchemaEvolutionSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.mse.w")
   }
 
+  test("WITH SCHEMA EVOLUTION composes two nested widens inside one struct") {
+    spark.sql("DROP TABLE IF EXISTS graft.mse.n")
+    spark.sql(
+      "CREATE TABLE graft.mse.n (k BIGINT, meta STRUCT<a: INT, b: INT>) USING graft")
+    spark.sql("INSERT INTO graft.mse.n VALUES (1, named_struct('a', 1, 'b', 2))")
+    Seq((1L, 5000000000L, 6000000000L), (2L, 7L, 8L)).toDF("k", "a", "b")
+      .createOrReplaceTempView("mse_nraw")
+    spark.sql("SELECT k, named_struct('a', a, 'b', b) AS meta FROM mse_nraw")
+      .createOrReplaceTempView("mse_nsrc")
+    // One statement pushes BOTH UpdateColumnType(meta.a) and (meta.b)
+    // through alterTable — they must compose into one widened struct,
+    // not refuse with un-followable advice.
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft.mse.n t USING mse_nsrc s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.table("graft.mse.n").schema("meta").dataType.simpleString ==
+      "struct<a:bigint,b:bigint>")
+    val rows = spark.sql("SELECT meta.a, meta.b FROM graft.mse.n ORDER BY k").collect()
+    assert(rows(0).getLong(0) == 5000000000L && rows(0).getLong(1) == 6000000000L)
+    assert(rows(1).getLong(0) == 7L && rows(1).getLong(1) == 8L)
+    spark.sql("DROP TABLE graft.mse.n")
+  }
+
   test("without the clause, the schema stays put: SET * ignores extras, explicit assignment refuses") {
     spark.sql("DROP TABLE IF EXISTS graft.mse.r")
     spark.sql("CREATE TABLE graft.mse.r (k BIGINT, v STRING) USING graft")

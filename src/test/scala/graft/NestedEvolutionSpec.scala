@@ -140,6 +140,57 @@ class NestedEvolutionSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.ne.rs PURGE")
   }
 
+  test("nested rename/drop refuse when a constraint or generation expr references the struct") {
+    spark.sql("DROP TABLE IF EXISTS graft.ne.g PURGE")
+    spark.sql(
+      """CREATE TABLE graft.ne.g (
+        |  k BIGINT, meta STRUCT<a: INT, b: INT>,
+        |  CONSTRAINT pos CHECK (meta.a > 0)) USING graft""".stripMargin)
+    spark.sql("INSERT INTO graft.ne.g VALUES (1, named_struct('a', 5, 'b', 6))")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ne.g RENAME COLUMN meta.a TO x")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ne.g DROP COLUMN meta.a")
+    }
+    // The constraint still enforces — the schema never moved under it.
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft.ne.g VALUES (2, named_struct('a', -1, 'b', 0))")
+    }
+    spark.sql("DROP TABLE graft.ne.g PURGE")
+
+    spark.sql("DROP TABLE IF EXISTS graft.ne.g2 PURGE")
+    spark.sql(
+      """CREATE TABLE graft.ne.g2 (
+        |  k BIGINT, meta STRUCT<a: INT>,
+        |  d INT GENERATED ALWAYS AS (meta.a * 2)) USING graft""".stripMargin)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ne.g2 RENAME COLUMN meta.a TO x")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ne.g2 DROP COLUMN meta.a")
+    }
+    spark.sql("DROP TABLE graft.ne.g2 PURGE")
+  }
+
+  test("DROP COLUMN IF EXISTS on a missing nested field is a TRUE no-op") {
+    spark.sql("DROP TABLE IF EXISTS graft.ne.ie PURGE")
+    spark.sql(
+      "CREATE TABLE graft.ne.ie (k BIGINT, meta STRUCT<a: STRING>) USING graft")
+    spark.sql("INSERT INTO graft.ne.ie VALUES (1, named_struct('a', 'x'))")
+    val v = spark.sql("SELECT max(version) FROM graft.ne.ie.history")
+      .collect().head.getLong(0)
+    spark.sql("ALTER TABLE graft.ne.ie DROP COLUMN IF EXISTS meta.nope")
+    spark.sql("ALTER TABLE graft.ne.ie DROP COLUMN IF EXISTS ghost.nope")
+    assert(spark.sql("SELECT max(version) FROM graft.ne.ie.history")
+      .collect().head.getLong(0) == v,
+      "IF EXISTS resolving to nothing must publish NO snapshot (no rewrite)")
+    intercept[Exception] { // without IF EXISTS it still refuses loudly
+      spark.sql("ALTER TABLE graft.ne.ie DROP COLUMN meta.nope")
+    }
+    spark.sql("DROP TABLE graft.ne.ie PURGE")
+  }
+
   test("DROP a nested field re-projects; survivors and NULL structs intact") {
     spark.sql("DROP TABLE IF EXISTS graft.ne.d PURGE")
     spark.sql(

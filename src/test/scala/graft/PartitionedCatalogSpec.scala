@@ -203,6 +203,33 @@ class PartitionedCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.opt.w")
   }
 
+  test("compact where works on TRANSFORM partition fields (bucket's inner comma)") {
+    import graft.sources.GraftCatalog
+    spark.sql("DROP TABLE IF EXISTS graft.opt.b")
+    spark.sql(
+      "CREATE TABLE graft.opt.b (k BIGINT, v BIGINT) USING graft PARTITIONED BY (bucket(4, k))")
+    (0 to 1).foreach { i =>
+      spark.sql(s"INSERT INTO graft.opt.b SELECT id, id * 2 FROM range(${i * 40}, ${i * 40 + 40})")
+    }
+    val before = GraftCatalog.segmentCount("opt", "b")
+    assert(before > 4, "two inserts must leave multiple segments per bucket")
+    // Pick a REAL bucket value off the partitions dashboard — the
+    // round-trip the where grammar promises ('bucket(4, k)=<value>'
+    // must parse through the transform field's inner comma).
+    val hot = spark.sql(
+      "SELECT spec, partition_key, segments FROM graft.opt.b.partitions ORDER BY segments DESC")
+      .collect().head
+    val r = spark.sql(
+      s"CALL graft.system.compact('opt', 'b', '${hot.getString(0)}=${hot.getString(1)}')")
+      .collect().head
+    assert(r.getAs[Int]("segments_after") ==
+      before - hot.getInt(2) + 1,
+      s"scoped compact must fold exactly the named bucket group: $r (hot=$hot)")
+    assert(spark.sql("SELECT sum(v) FROM graft.opt.b").as[Long].head() ==
+      (0L until 80L).map(_ * 2).sum)
+    spark.sql("DROP TABLE graft.opt.b")
+  }
+
   test("CALL graft.system.history lists retained snapshots, newest first") {
     spark.sql("DROP TABLE IF EXISTS graft.h.t")
     spark.sql("CREATE TABLE graft.h.t (v BIGINT) USING graft") // v0
