@@ -167,9 +167,18 @@ class NestedGauntletSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t PURGE")
   }
 
-  for (seed <- Seq(7, 19, 41)) {
+  // Soak knobs (same convention as the other gauntlets): depth and
+  // extra seeds via env, so a long confidence pass needs no code edit.
+  private val soakDepth =
+    sys.env.get("SPARK_GRAFT_NESTED_OPS").flatMap(_.toIntOption).getOrElse(22)
+  private val seeds: Seq[Int] =
+    sys.env.get("SPARK_GRAFT_NESTED_SEEDS")
+      .map(_.split(',').toSeq.flatMap(_.trim.toIntOption))
+      .filter(_.nonEmpty).getOrElse(Seq(7, 19, 41))
+
+  for (seed <- seeds) {
     test(s"random nested-evolution sequence keeps model equivalence (seed=$seed)") {
-      run(seed, depth = 22)
+      run(seed, depth = soakDepth)
     }
   }
 }
