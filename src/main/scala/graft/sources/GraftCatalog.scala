@@ -503,6 +503,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         case (ShortType, IntegerType | LongType) => true
         case (IntegerType, LongType) => true
         case (FloatType, DoubleType) => true
+        // Containers widen ELEMENT-wise (Cast upcasts arrays/maps
+        // recursively, preserving NULL containers); containsNull /
+        // valueContainsNull may LOOSEN, never tighten, and map KEYS
+        // never retype (key identity is the map's semantics).
+        case (ArrayType(f, cn), ArrayType(t, tn)) =>
+          (!cn || tn) && widens(f, t)
+        case (MapType(kf, vf, cn), MapType(kt, vt, tn)) =>
+          kf == kt && (!cn || tn) && widens(vf, vt)
         case _ => false
       }
       val written = scala.collection.mutable.ArrayBuffer[Segment]()
@@ -545,18 +553,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
               val inner = u.fieldNames()(1)
               val pf = prev.schema.fields.find(_.name == parent).getOrElse(
                 throw new IllegalArgumentException(s"no such column $parent"))
-              val st = pf.dataType match {
-                case s: StructType => s
+              def mustWiden(from: DataType): Unit =
+                if (!widens(from, u.newDataType()))
+                  throw new UnsupportedOperationException(
+                    s"unsupported retype of $parent.$inner: ${from.simpleString} -> " +
+                      s"${u.newDataType().simpleString} is not a safe widening")
+              pf.dataType match {
+                case st: StructType =>
+                  val sf = st.fields.find(_.name == inner).getOrElse(
+                    throw new IllegalArgumentException(s"no such field $parent.$inner"))
+                  mustWiden(sf.dataType)
+                  (parent, inner, u.newDataType())
+                // Containers address their slot by Spark's reserved
+                // names (`ALTER COLUMN xs.element TYPE ...`,
+                // `m.value`); map KEYS never retype — key identity IS
+                // the map's semantics.
+                case at: ArrayType if inner == "element" =>
+                  mustWiden(at.elementType)
+                  (parent, inner, u.newDataType())
+                case mt: MapType if inner == "value" =>
+                  mustWiden(mt.valueType)
+                  (parent, inner, u.newDataType())
+                case _: MapType if inner == "key" =>
+                  throw new UnsupportedOperationException(
+                    s"cannot retype map KEY of $parent — key identity is the map's semantics")
                 case dt => throw new UnsupportedOperationException(
-                  s"cannot retype a field inside non-struct column $parent (${dt.simpleString})")
+                  s"cannot retype $parent.$inner inside ${dt.simpleString}")
               }
-              val sf = st.fields.find(_.name == inner).getOrElse(
-                throw new IllegalArgumentException(s"no such field $parent.$inner"))
-              if (!widens(sf.dataType, u.newDataType()))
-                throw new UnsupportedOperationException(
-                  s"unsupported retype of $parent.$inner: ${sf.dataType.simpleString} -> " +
-                    s"${u.newDataType().simpleString} is not a safe widening")
-              (parent, inner, u.newDataType())
           }
           changes.foreach {
             case u: TableChange.UpdateColumnType if u.fieldNames().length > 2 =>
@@ -570,11 +593,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
             throw new UnsupportedOperationException(
               "conflicting retypes of the same column/field in one statement")
           val nestedByParent = nestedRetypes.groupBy(_._1).map { case (parent, ws) =>
-            val st = prev.schema.fields.find(_.name == parent).get
-              .dataType.asInstanceOf[StructType]
             val widenMap = ws.map(t => t._2 -> t._3).toMap
-            parent -> StructType(st.fields.map(f =>
-              widenMap.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f)))
+            parent -> (prev.schema.fields.find(_.name == parent).get.dataType match {
+              case st: StructType => StructType(st.fields.map(f =>
+                widenMap.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f)))
+              case at: ArrayType => at.copy(elementType = widenMap("element"))
+              case mt: MapType => mt.copy(valueType = widenMap("value"))
+              case dt => throw new IllegalStateException(
+                s"unreachable: validated parent $parent is ${dt.simpleString}")
+            })
           }
           if (topRetypes.map(_._1).toSet.intersect(nestedByParent.keySet).nonEmpty)
             throw new UnsupportedOperationException(

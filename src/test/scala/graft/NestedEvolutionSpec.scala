@@ -191,6 +191,35 @@ class NestedEvolutionSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.ne.ie PURGE")
   }
 
+  test("container widening: xs.element / m.value widen; map-key retype refuses") {
+    spark.sql("DROP TABLE IF EXISTS graft.ne.c PURGE")
+    spark.sql(
+      "CREATE TABLE graft.ne.c (k BIGINT, xs ARRAY<INT>, m MAP<STRING, INT>) USING graft")
+    spark.sql(
+      "INSERT INTO graft.ne.c VALUES (1, array(1, 2147483647), map('a', 5)), (2, NULL, NULL)")
+    spark.sql("ALTER TABLE graft.ne.c ALTER COLUMN xs.element TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.ne.c ALTER COLUMN m.value TYPE BIGINT")
+    spark.sql(
+      "INSERT INTO graft.ne.c VALUES (3, array(5000000000), map('b', 6000000000))")
+    import org.apache.spark.sql.functions.{aggregate, coalesce, lit, map_values}
+    assert(spark.sql(
+      "SELECT sum(aggregate(coalesce(xs, array()), 0L, (acc, x) -> acc + x)) FROM graft.ne.c")
+      .as[Long].head() == 1L + 2147483647L + 5000000000L,
+      "pre-widen array elements decode exactly; post-widen values exceed int range")
+    assert(spark.sql(
+      "SELECT sum(aggregate(map_values(coalesce(m, map())), 0L, (acc, x) -> acc + x)) FROM graft.ne.c")
+      .as[Long].head() == 5L + 6000000000L)
+    assert(spark.sql("SELECT count(*) FROM graft.ne.c WHERE xs IS NULL")
+      .as[Long].head() == 1L, "NULL containers survive the widen")
+    intercept[Exception] { // map KEY retype refuses — key identity is semantics
+      spark.sql("ALTER TABLE graft.ne.c ALTER COLUMN m.key TYPE INT")
+    }
+    intercept[Exception] { // element narrowing refuses
+      spark.sql("ALTER TABLE graft.ne.c ALTER COLUMN xs.element TYPE INT")
+    }
+    spark.sql("DROP TABLE graft.ne.c PURGE")
+  }
+
   test("DROP a nested field re-projects; survivors and NULL structs intact") {
     spark.sql("DROP TABLE IF EXISTS graft.ne.d PURGE")
     spark.sql(
