@@ -46,6 +46,16 @@ object Bench {
     // binary's quiet-box run; min-of-reps is the load-robust floor and
     // (max-min)/median flags which rows the load actually hit.
     val stats = picked.map { case (name, fn) =>
+      // Untimed per-query warm-up: multi-commit catalog fixtures
+      // (CREATE + INSERTs + procedures) are built on the FIRST
+      // invocation and memoized; without this the first timed rep
+      // measures fixture construction, not the query (r12 adjudicated
+      // x8 at 3.6 s rep-1 vs 1.0-1.3 s steady — spread 0.73). Failures
+      // are swallowed here; the timed reps record them.
+      try { fn(spark, sfDir).count(); () }
+      catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+      spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()

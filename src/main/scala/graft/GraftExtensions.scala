@@ -70,5 +70,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // GENERATED ALWAYS AS IDENTITY: UPDATE/MERGE-UPDATE assignments to
     // the column are refused at analysis (ids are engine-minted).
     ext.injectResolutionRule(session => graft.plans.IdentityUpdateGuard(session))
+    // Neutralized DPP filters (DynamicPruningExpression(true)) are
+    // removed before BatchScanExec warns about translating them.
+    ext.injectColumnar(_ => graft.plans.StripTrueRuntimeFilters)
   }
 }

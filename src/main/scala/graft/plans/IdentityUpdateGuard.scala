@@ -133,14 +133,17 @@ case class IdentityUpdateGuard(session: SparkSession) extends Rule[LogicalPlan] 
         }
       // UPDATE shape: If(cond, assigned, original) per column —
       // untouched columns self-assign, so branch inequality is the
-      // explicit write.
+      // explicit write. No foldsToNull exemption here: every row in an
+      // UPDATE is a CARRIED row, so a NULL slot is never a legitimate
+      // generation marker (that is a MergeRows insert-action shape
+      // only) — letting `SET id = NULL` through would make the writer
+      // silently mint a fresh id for an existing row.
       case p: Project =>
         p.projectList.foreach {
           case Alias(If(_, assigned, orig), name)
               if always.contains(name.toLowerCase(Locale)) &&
                 carriedAttr(orig, name.toLowerCase(Locale)) =>
-            if (!assigned.semanticEquals(orig) && !foldsToNull(assigned))
-              refuse(name)
+            if (!assigned.semanticEquals(orig)) refuse(name)
           case _ => ()
         }
       case _ => ()

@@ -1638,36 +1638,50 @@ private[graft] object GraftCopyIntoProcedure
       // column order.
       val csvHeader = format == "csv" && readerOpts.exists { case (k, v) =>
         k.equalsIgnoreCase("header") && v.equalsIgnoreCase("true") }
-      val raw =
+      // Unknown-column check + projection of the source layout onto the
+      // TABLE's column order/types (missing nullable columns → NULL).
+      def align(raw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val have = raw.columns.map(c => c.toLowerCase(java.util.Locale.ROOT)).toSet
+        val unknown = raw.columns.filterNot(c =>
+          targetSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
+        require(unknown.isEmpty,
+          s"copy_into: source columns [${unknown.mkString(", ")}] do not exist on $tbl " +
+            "— add them first (ALTER TABLE ... ADD COLUMNS) or fix the source")
+        raw.select(targetSchema.fields.toIndexedSeq.map { f =>
+          if (have(f.name.toLowerCase(java.util.Locale.ROOT))) col(f.name).cast(f.dataType).as(f.name)
+          else {
+            require(f.nullable, s"copy_into: source lacks non-nullable column '${f.name}'")
+            lit(null).cast(f.dataType).as(f.name)
+          }
+        }: _*)
+      }
+      val aligned =
         if (csvHeader) {
-          val headerCols = spark.read.options(readerOpts).csv(paths: _*).columns
-          require(headerCols.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.length ==
-            headerCols.length, s"copy_into: duplicate csv header columns in '$source'")
-          val unknown = headerCols.filterNot(c =>
-            targetSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
-          require(unknown.isEmpty,
-            s"copy_into: source columns [${unknown.mkString(", ")}] do not exist on $tbl " +
-              "— add them first (ALTER TABLE ... ADD COLUMNS) or fix the source")
-          val fileSchema = StructType(headerCols.map(c =>
-            targetSchema.fields.find(_.name.equalsIgnoreCase(c)).get))
-          reader.schema(fileSchema).load(paths: _*)
+          // Per-FILE header validation: Spark's schema'd csv read binds
+          // by POSITION per file, so one layout derived from a single
+          // inferred read would silently land a reordered second file's
+          // values crosswise. Group files by their OWN header (one
+          // first-line read per file — bounded by the ingest batch's
+          // file count) and give each layout its own schema'd load.
+          val byLayout = paths.groupBy(p =>
+            spark.read.options(readerOpts).csv(p).columns.toSeq)
+          byLayout.toSeq.map { case (headerCols, groupPaths) =>
+            require(headerCols.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.length ==
+              headerCols.length,
+              s"copy_into: duplicate csv header columns in '${groupPaths.head}'")
+            val unknown = headerCols.filterNot(c =>
+              targetSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
+            require(unknown.isEmpty,
+              s"copy_into: source columns [${unknown.mkString(", ")}] do not exist on $tbl " +
+                "— add them first (ALTER TABLE ... ADD COLUMNS) or fix the source")
+            val fileSchema = StructType(headerCols.map(c =>
+              targetSchema.fields.find(_.name.equalsIgnoreCase(c)).get))
+            align(reader.schema(fileSchema).load(groupPaths: _*))
+          }.reduce(_ unionAll _) // each side already in the table's column order
         }
         else if (format == "csv" || format == "json")
-          reader.schema(targetSchema).load(paths: _*)
-        else reader.load(paths: _*)
-      val have = raw.columns.map(c => c.toLowerCase(java.util.Locale.ROOT)).toSet
-      val unknown = raw.columns.filterNot(c =>
-        targetSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
-      require(unknown.isEmpty,
-        s"copy_into: source columns [${unknown.mkString(", ")}] do not exist on $tbl " +
-          "— add them first (ALTER TABLE ... ADD COLUMNS) or fix the source")
-      val aligned = raw.select(targetSchema.fields.toIndexedSeq.map { f =>
-        if (have(f.name.toLowerCase(java.util.Locale.ROOT))) col(f.name).cast(f.dataType).as(f.name)
-        else {
-          require(f.nullable, s"copy_into: source lacks non-nullable column '${f.name}'")
-          lit(null).cast(f.dataType).as(f.name)
-        }
-      }: _*)
+          align(reader.schema(targetSchema).load(paths: _*))
+        else align(reader.load(paths: _*))
       // Re-stat IMMEDIATELY before the write: a file rewritten between
       // the diff and here would load its NEW bytes under the OLD token,
       // and the next run would load it AGAIN — refuse while nothing is
@@ -2112,7 +2126,16 @@ object GraftCatalog {
       // NULL. lastUpdatedSeq is the snapshot version of the commit
       // that last CHANGED the rows — distinct from `seq`, which
       // tracks the equality-delete domain and is deliberately
-      // re-stamped by maintenance.
+      // re-stamped by maintenance. GRANULARITY NOTE: on a 1:1 CoW
+      // row-level rewrite (UPDATE/MERGE), EVERY run of the rewritten
+      // segment re-stamps to the new version, including co-located
+      // rows the predicate did not modify — a deliberate
+      // segment-granularity approximation (strict Iceberg-v3 per-row
+      // carry-over would need a byte-diff of source vs rewritten
+      // segments at publish, a read pass the metadata-only commit
+      // path must not take). Maintenance rewrites (compaction /
+      // migration) are NOT approximated: they stream rows and carry
+      // (id, updateSeq) exactly via RunAccumulator.
       lineage: IndexedSeq[(Long, Long, Long)] = Vector.empty) {
     def deletedRows: Long = dv.map(_.size.toLong).getOrElse(0L)
     def liveRows: Long = rows - deletedRows
@@ -5396,7 +5419,10 @@ private[sources] object GraftMetaCols {
       "stable table-scoped row id, assigned at first commit and carried " +
         "through 1:1 rewrites and compaction", nullable = true),
     Col(LastUpdatedSeq, LongType,
-      "snapshot version of the commit that last changed this row", nullable = true))
+      "snapshot version of the commit that last changed this row " +
+        "(SEGMENT granularity on CoW row-level rewrites: untouched rows " +
+        "co-located in a touched segment re-stamp too — see Segment.lineage)",
+      nullable = true))
 }
 
 private[sources] class GraftCatalogTable(

@@ -398,11 +398,7 @@ private[sources] class GraftChangeMicroBatchStream(
     */
   private def resolvedEnd: Option[Option[Long]] = toStr.map { s =>
     try Some(GraftChangeScan.resolveBoundVersion(ident, s))
-    catch {
-      case e: IllegalArgumentException
-          if Option(e.getMessage).exists(_.contains("no snapshot committed at or before")) =>
-        None
-    }
+    catch { case _: GraftChangeScan.ExpiredBoundException => None }
   }
   private def endDegraded: Boolean = resolvedEnd.contains(None)
 
@@ -514,6 +510,14 @@ private[sources] class GraftChangeMicroBatchStream(
 }
 
 private[sources] object GraftChangeScan {
+  /** A timestamp bound that resolves BELOW the oldest retained
+    * snapshot. A dedicated type (not a message substring) so the
+    * stream's graceful idle-at-checkpoint degrade in `resolvedEnd`
+    * can never be broken by rewording the error text.
+    */
+  private[sources] final class ExpiredBoundException(msg: String)
+    extends IllegalArgumentException(msg)
+
   /** THE decode-compatibility predicate for both feed modes: two
     * layouts decode each other's bytes iff field count and per-field
     * data types match — nullability and field metadata are not part of
@@ -557,7 +561,7 @@ private[sources] object GraftChangeScan {
         case Some(i) =>
           val micros = i.getEpochSecond * 1000000L + i.getNano / 1000L
           GraftCatalog.snapshotByTime(ident, micros).map(_.version).getOrElse(
-            throw new IllegalArgumentException(
+            throw new ExpiredBoundException(
               s"change feed over $ident: no snapshot committed at or before '$s'"))
       }
     }

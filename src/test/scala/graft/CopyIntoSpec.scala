@@ -91,6 +91,29 @@ class CopyIntoSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.ci.o PURGE")
   }
 
+  test("one batch, two csv files with DIFFERENT header orders: each binds by its own header") {
+    // The crosswise-mapping trap: deriving ONE layout from a single
+    // inferred read and applying it by position to every file would
+    // land the second file's values in the wrong columns. Files must
+    // be grouped by their own header signature.
+    val dir = freshDir("csvmixed")
+    java.nio.file.Files.write(
+      new java.io.File(dir, "a.csv").toPath,
+      "k,v\n1,one\n2,two\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      new java.io.File(dir, "b.csv").toPath,
+      "v,k\nthree,3\nfour,4\n".getBytes("UTF-8"))
+    spark.sql("DROP TABLE IF EXISTS graft.ci.mx PURGE")
+    spark.sql("CREATE TABLE graft.ci.mx (k BIGINT, v STRING) USING graft")
+    val r = call("mx", dir.toString, "csv", "header=true")
+    assert(r.getInt(1) == 2 && r.getLong(3) == 4L, s"mixed-order batch: $r")
+    val rows = spark.sql("SELECT k, v FROM graft.ci.mx ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four")),
+      s"each file must bind by ITS OWN header, got $rows")
+    spark.sql("DROP TABLE graft.ci.mx PURGE")
+  }
+
   test("unknown source column refuses; nothing lands") {
     val dir = freshDir("unknown")
     Seq((1L, "a", 9.9)).toDF("k", "v", "typo").coalesce(1)

@@ -59,6 +59,27 @@ class IdentityMergeEnforcementSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.idn.up PURGE")
   }
 
+  test("UPDATE cannot NULL a GENERATED ALWAYS identity column") {
+    // A NULL slot is a legitimate generation marker only for MERGE
+    // insert-action rows; on an UPDATE every row is carried, so letting
+    // `SET id = NULL` through would have the writer silently mint a
+    // fresh id for an existing row — changing its identity.
+    spark.sql("DROP TABLE IF EXISTS graft.idn.un PURGE")
+    spark.sql("CREATE TABLE graft.idn.un " +
+      "(id BIGINT GENERATED ALWAYS AS IDENTITY, k BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.idn.un (k) VALUES (1), (2)")
+    val before = spark.sql("SELECT id FROM graft.idn.un ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    val e = intercept[Exception] {
+      spark.sql("UPDATE graft.idn.un SET id = NULL WHERE k = 1")
+    }
+    assert(e.getMessage.contains("UPDATE cannot assign"), s"got: $e")
+    val after = spark.sql("SELECT id FROM graft.idn.un ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(after == before, "refused UPDATE must not change any identity")
+    spark.sql("DROP TABLE graft.idn.un PURGE")
+  }
+
   test("MERGE UPDATE action cannot assign a GENERATED ALWAYS identity column") {
     spark.sql("DROP TABLE IF EXISTS graft.idn.mu PURGE")
     spark.sql("CREATE TABLE graft.idn.mu " +
