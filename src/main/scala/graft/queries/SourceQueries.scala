@@ -1984,6 +1984,76 @@ object SourceQueries {
         |ORDER BY seg""".stripMargin)
   }
 
+  /** X25b: DEEP nested evolution — the same surface as X25 but at
+    * depth 2 (`meta.geo.bal`) and inside an `array<struct>`
+    * (`items.element.w`), the shape real Iceberg/Delta deployments
+    * evolve weekly. Era-1 rows (even custkeys) predate all four
+    * ALTERs: `ADD COLUMNS (meta.geo.bal DOUBLE)` + `(items.element.w
+    * INT)` re-project every row's struct/array bytes (new fields read
+    * NULL in era 1), `RENAME COLUMN meta.geo.nk TO nation` is
+    * metadata-only at depth 2, `ALTER COLUMN items.element.q TYPE
+    * BIGINT` widens inside the container, and `DROP COLUMN
+    * meta.geo.tmp` removes a depth-2 field without touching siblings.
+    * Era-2 rows (odd custkeys) write the evolved shape. DuckDB
+    * recomputes everything as `%`-slice CASE algebra over raw
+    * customer: a NULL-fill on the wrong era, a dropped-field ordinal
+    * slip clobbering `nation`, or a container rebuild losing an
+    * element all break the hash.
+    */
+  val x25bDeepEvolution: Q = Q(
+    "x25b_deep_evolution",
+    """SELECT c_mktsegment AS seg, count(*) AS n,
+      |  round(CAST(sum(CAST(CASE WHEN c_custkey % 2 = 1 THEN c_acctbal
+      |                           ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal,
+      |  CAST(sum(c_nationkey) AS BIGINT) AS nation_sum,
+      |  CAST(sum(CAST(c_nationkey AS BIGINT) + 1) AS BIGINT) AS q_sum,
+      |  CAST(sum(CASE WHEN c_custkey % 2 = 1 THEN 13 ELSE 0 END) AS BIGINT) AS w_sum
+      |FROM customer
+      |GROUP BY 1
+      |ORDER BY seg""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.customer(spark, dir).createOrReplaceTempView("x25b_customer_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.dev PURGE")
+    spark.sql(
+      """CREATE TABLE graft.demo.dev
+        |  (k BIGINT,
+        |   meta STRUCT<geo: STRUCT<nk: INT, tmp: INT>, seg: STRING>,
+        |   items ARRAY<STRUCT<q: INT>>)
+        |USING graft""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.dev
+        |SELECT c_custkey,
+        |  named_struct('geo', named_struct('nk', CAST(c_nationkey AS INT), 'tmp', 99),
+        |               'seg', c_mktsegment),
+        |  array(named_struct('q', CAST(c_nationkey AS INT)), named_struct('q', 1))
+        |FROM x25b_customer_src WHERE c_custkey % 2 = 0""".stripMargin)
+    spark.sql("ALTER TABLE graft.demo.dev ADD COLUMNS (meta.geo.bal DOUBLE)")
+    spark.sql("ALTER TABLE graft.demo.dev ADD COLUMNS (items.element.w INT)")
+    spark.sql("ALTER TABLE graft.demo.dev RENAME COLUMN meta.geo.nk TO nation")
+    spark.sql("ALTER TABLE graft.demo.dev ALTER COLUMN items.element.q TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.demo.dev DROP COLUMN meta.geo.tmp")
+    spark.sql(
+      """INSERT INTO graft.demo.dev
+        |SELECT c_custkey,
+        |  named_struct('geo', named_struct('nation', CAST(c_nationkey AS INT),
+        |                                   'bal', c_acctbal),
+        |               'seg', c_mktsegment),
+        |  array(named_struct('q', CAST(c_nationkey AS BIGINT), 'w', 10),
+        |        named_struct('q', CAST(1 AS BIGINT), 'w', 3))
+        |FROM x25b_customer_src WHERE c_custkey % 2 = 1""".stripMargin)
+    spark.sql(
+      """SELECT meta.seg AS seg, count(*) AS n,
+        |  round(CAST(sum(CAST(coalesce(meta.geo.bal, 0) AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS total_bal,
+        |  CAST(sum(meta.geo.nation) AS BIGINT) AS nation_sum,
+        |  CAST(sum(aggregate(items, 0L, (acc, x) -> acc + x.q)) AS BIGINT) AS q_sum,
+        |  CAST(sum(aggregate(items, 0L, (acc, x) -> acc + coalesce(x.w, 0))) AS BIGINT)
+        |    AS w_sum
+        |FROM graft.demo.dev
+        |GROUP BY 1
+        |ORDER BY seg""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     s2ParquetRoundtrip, s3CsvSource, s3JsonSource, s6CacheReuse,
     s7PartitionedSink, s8OrcRoundtrip, x1ScalarUdf, x3Generator, x4Dsv2Source,
@@ -1997,5 +2067,5 @@ object SourceQueries {
     x13Upsert, x14MetadataTables, x15RemoveOrphans, x16RowLineage, x17Undrop,
     x18Identity, x19Generated, x20Retention, x21ColumnDefaults,
     x22MergeSchemaEvolution, x23CopyInto, x24ScopedCompact,
-    x25NestedEvolution)
+    x25NestedEvolution, x25bDeepEvolution)
 }

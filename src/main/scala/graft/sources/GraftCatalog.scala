@@ -399,25 +399,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       val result = store.compute(ident, (_, prev) => {
         require(prev != null, s"table $ident dropped mid-alter")
         changes.foldLeft(prev) { case (e, rn: TableChange.RenameColumn) =>
-          // NESTED field rename (`RENAME COLUMN meta.a TO a2`): the
-          // positional storage keys nothing by inner names, and every
-          // name-keyed surface (partition specs, identity watermarks,
-          // eq-delete keys, write order) is top-level-only — pure
-          // schema metadata, zero file I/O.
-          if (rn.fieldNames().length == 2) {
-            val parent = rn.fieldNames()(0)
-            val inner = rn.fieldNames()(1)
+          // NESTED field rename (`RENAME COLUMN meta.a TO a2`, any
+          // depth, incl. fields inside array<struct> / map<_,struct>
+          // via `.element` / `.value`): the positional storage keys
+          // nothing by inner names, and every name-keyed surface
+          // (partition specs, identity watermarks, eq-delete keys,
+          // write order) is top-level-only — pure schema metadata,
+          // zero file I/O at ANY depth.
+          if (rn.fieldNames().length >= 2) {
+            val parts = rn.fieldNames().toSeq
+            val parent = parts.head
+            val inner = parts.last
+            val full = parts.mkString(".")
             val pi = e.schema.fieldIndex(parent)
-            val st = e.schema.fields(pi).dataType match {
-              case s: StructType => s
-              case dt => throw new UnsupportedOperationException(
-                s"cannot rename a field inside non-struct column $parent (${dt.simpleString})")
-            }
-            if (!st.fieldNames.contains(inner))
-              throw new IllegalArgumentException(s"no such field $parent.$inner")
-            if (st.fieldNames.contains(rn.newName()))
-              throw new IllegalArgumentException(
-                s"field $parent.${rn.newName()} already exists")
             // CONSERVATIVE parent-level guards (stored constraint DDL
             // and generation-expression refs are resolved by NAME at
             // write time — a renamed inner field would leave them
@@ -431,14 +425,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
               throw new UnsupportedOperationException(
                 s"struct column $parent is referenced by a generation expression — " +
                   "renaming a field inside it would orphan the formula")
+            val newDt = NestedSchema.restructAt(
+              e.schema.fields(pi).dataType, parts.tail.dropRight(1), full) { st =>
+              if (!st.fieldNames.contains(inner))
+                throw new IllegalArgumentException(s"no such field $full")
+              if (st.fieldNames.contains(rn.newName()))
+                throw new IllegalArgumentException(
+                  s"field ${(parts.dropRight(1) :+ rn.newName()).mkString(".")} " +
+                    "already exists")
+              StructType(st.fields.map(f =>
+                if (f.name == inner) f.copy(name = rn.newName()) else f))
+            }
             val fields = e.schema.fields.clone()
-            fields(pi) = fields(pi).copy(dataType = StructType(
-              st.fields.map(f => if (f.name == inner) f.copy(name = rn.newName()) else f)))
+            fields(pi) = fields(pi).copy(dataType = newDt)
             e.copy(schema = StructType(fields))
           } else {
-          if (rn.fieldNames().length != 1) throw new UnsupportedOperationException(
-            s"graft catalog renames top-level columns and struct fields one level deep, " +
-              s"got ${rn.fieldNames().mkString(".")}")
           val from = rn.fieldNames()(0)
           val i = e.schema.fieldIndex(from)
           if (e.schema.fieldNames.contains(rn.newName()))
@@ -543,69 +544,51 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
                   s"column $n is referenced by a constraint; drop it first")
               n -> u.newDataType()
           }
-          // NESTED widen (`ALTER COLUMN meta.b TYPE BIGINT`): the
-          // top-level update becomes struct -> widened-struct; the
-          // projection's Cast handles struct-to-struct upcasts
-          // element-wise and preserves NULL parents.
-          val nestedRetypes = changes.collect {
-            case u: TableChange.UpdateColumnType if u.fieldNames().length == 2 =>
-              val parent = u.fieldNames()(0)
-              val inner = u.fieldNames()(1)
-              val pf = prev.schema.fields.find(_.name == parent).getOrElse(
-                throw new IllegalArgumentException(s"no such column $parent"))
-              def mustWiden(from: DataType): Unit =
-                if (!widens(from, u.newDataType()))
-                  throw new UnsupportedOperationException(
-                    s"unsupported retype of $parent.$inner: ${from.simpleString} -> " +
-                      s"${u.newDataType().simpleString} is not a safe widening")
-              pf.dataType match {
-                case st: StructType =>
-                  val sf = st.fields.find(_.name == inner).getOrElse(
-                    throw new IllegalArgumentException(s"no such field $parent.$inner"))
-                  mustWiden(sf.dataType)
-                  (parent, inner, u.newDataType())
-                // Containers address their slot by Spark's reserved
-                // names (`ALTER COLUMN xs.element TYPE ...`,
-                // `m.value`); map KEYS never retype — key identity IS
-                // the map's semantics.
-                case at: ArrayType if inner == "element" =>
-                  mustWiden(at.elementType)
-                  (parent, inner, u.newDataType())
-                case mt: MapType if inner == "value" =>
-                  mustWiden(mt.valueType)
-                  (parent, inner, u.newDataType())
-                case _: MapType if inner == "key" =>
-                  throw new UnsupportedOperationException(
-                    s"cannot retype map KEY of $parent — key identity is the map's semantics")
-                case dt => throw new UnsupportedOperationException(
-                  s"cannot retype $parent.$inner inside ${dt.simpleString}")
-              }
+          // NESTED widen at ANY depth (`ALTER COLUMN meta.a.b TYPE
+          // BIGINT`, `items.element.qty`, `m.value.amt`, bare
+          // container slots `xs.element` / `m.value`): the top-level
+          // update becomes struct -> widened-struct, and the
+          // projection's Cast upcasts structs/arrays/maps element-wise
+          // at any depth, preserving NULL parents and containers. Map
+          // KEYS never retype — key identity IS the map's semantics
+          // (refused inside NestedSchema.retypeAt). Validation, the
+          // key refusal, and the widened type all come from ONE
+          // recursive traversal so they can never disagree.
+          val nestedRetypes: Seq[(Seq[String], DataType)] = changes.collect {
+            case u: TableChange.UpdateColumnType if u.fieldNames().length >= 2 =>
+              val parts = u.fieldNames().toSeq
+              if (!prev.schema.fieldNames.contains(parts.head))
+                throw new IllegalArgumentException(s"no such column ${parts.head}")
+              (parts, u.newDataType())
           }
-          changes.foreach {
-            case u: TableChange.UpdateColumnType if u.fieldNames().length > 2 =>
-              throw new UnsupportedOperationException(
-                s"graft catalog retypes top-level columns and struct fields one level " +
-                  s"deep, got ${u.fieldNames().mkString(".")}")
-            case _ => ()
-          }
-          if (topRetypes.map(_._1).distinct.length != topRetypes.length ||
-              nestedRetypes.map(t => (t._1, t._2)).distinct.length != nestedRetypes.length)
+          // Conflicts in one statement: duplicate targets, and any
+          // target nested inside another (a column and a field within
+          // it, or a field and its own subfield) — the two rewrites
+          // would race over the same slot.
+          val allPaths: Seq[Seq[String]] =
+            topRetypes.map(t => Seq(t._1)) ++ nestedRetypes.map(_._1)
+          if (allPaths.distinct.length != allPaths.length)
             throw new UnsupportedOperationException(
               "conflicting retypes of the same column/field in one statement")
-          val nestedByParent = nestedRetypes.groupBy(_._1).map { case (parent, ws) =>
-            val widenMap = ws.map(t => t._2 -> t._3).toMap
-            parent -> (prev.schema.fields.find(_.name == parent).get.dataType match {
-              case st: StructType => StructType(st.fields.map(f =>
-                widenMap.get(f.name).map(t => f.copy(dataType = t)).getOrElse(f)))
-              case at: ArrayType => at.copy(elementType = widenMap("element"))
-              case mt: MapType => mt.copy(valueType = widenMap("value"))
-              case dt => throw new IllegalStateException(
-                s"unreachable: validated parent $parent is ${dt.simpleString}")
-            })
-          }
-          if (topRetypes.map(_._1).toSet.intersect(nestedByParent.keySet).nonEmpty)
+          for (p <- allPaths; q <- allPaths; if p != q && q.startsWith(p))
             throw new UnsupportedOperationException(
-              "cannot retype a column and a field inside it in one statement")
+              s"cannot retype ${p.mkString(".")} and ${q.mkString(".")} " +
+                "(nested inside it) in one statement")
+          val nestedByParent: Map[String, DataType] =
+            nestedRetypes.groupBy(_._1.head).map { case (parent, ws) =>
+              parent -> ws.foldLeft(
+                prev.schema.fields.find(_.name == parent).get.dataType) {
+                case (dt, (parts, to)) =>
+                  val full = parts.mkString(".")
+                  NestedSchema.retypeAt(dt, parts.tail, full) { cur =>
+                    if (!widens(cur, to))
+                      throw new UnsupportedOperationException(
+                        s"unsupported retype of $full: ${cur.simpleString} -> " +
+                          s"${to.simpleString} is not a safe widening")
+                    to
+                  }
+              }
+            }
           val updates: Map[String, org.apache.spark.sql.types.DataType] =
             topRetypes.toMap ++ nestedByParent
           val widenedSchema = StructType(prev.schema.fields.map(f =>
@@ -647,51 +630,80 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       try {
         val result = store.compute(ident, (_, prev) => {
           require(prev != null, s"table $ident dropped mid-alter")
-          // NESTED field drops (`DROP COLUMN meta.b`) rebuild the
-          // parent struct minus the field — same streamed
-          // re-projection, same null-struct preservation as nested add.
-          val nestedDrops: Map[String, Set[String]] = changes.flatMap {
-            case d: TableChange.DeleteColumn if d.fieldNames().length == 2 =>
-              val parent = d.fieldNames()(0)
-              val inner = d.fieldNames()(1)
+          // NESTED field drops at ANY depth (`DROP COLUMN meta.b`,
+          // `meta.a.b`, `items.element.f`, `m.value.f`) rebuild the
+          // enclosing struct minus the field — same streamed
+          // re-projection, NULL structs/containers preserved at every
+          // level (NestedSchema.rebuildExpr). Collected as
+          // (topColumn, parentPathWithinColumn, innerName).
+          val nestedDropList: Seq[(String, Seq[String], String)] = changes.flatMap {
+            case d: TableChange.DeleteColumn if d.fieldNames().length >= 2 =>
+              val parts = d.fieldNames().toSeq
               val ifE = java.lang.Boolean.TRUE.equals(d.ifExists())
-              prev.schema.fields.find(_.name == parent) match {
-                case None if ifE => None // IF EXISTS: parent gone = no-op
-                case None => throw new IllegalArgumentException(s"no such column $parent")
+              val full = parts.mkString(".")
+              prev.schema.fields.find(_.name == parts.head) match {
+                case None if ifE => None // IF EXISTS: column gone = no-op
+                case None =>
+                  throw new IllegalArgumentException(s"no such column ${parts.head}")
                 case Some(pf) =>
-                  val st = pf.dataType match {
-                    case s: StructType => s
-                    case dt => throw new UnsupportedOperationException(
-                      s"cannot drop a field inside non-struct column $parent (${dt.simpleString})")
-                  }
-                  if (!st.fieldNames.contains(inner)) {
-                    if (ifE) None // IF EXISTS: field gone = no-op (no rewrite)
-                    else throw new IllegalArgumentException(s"no such field $parent.$inner")
-                  } else {
+                  // Navigate to the enclosing struct. A missing field
+                  // ANYWHERE along the path under IF EXISTS is a TRUE
+                  // no-op (IllegalArgumentException); a shape error —
+                  // addressing into a non-struct, a map key — is real
+                  // and propagates (UnsupportedOperationException).
+                  val present =
+                    try {
+                      var has = false
+                      NestedSchema.restructAt(
+                        pf.dataType, parts.tail.dropRight(1), full) { st =>
+                        has = st.fieldNames.contains(parts.last); st
+                      }
+                      if (!has && !ifE)
+                        throw new IllegalArgumentException(s"no such field $full")
+                      has
+                    } catch {
+                      case _: IllegalArgumentException if ifE => false
+                    }
+                  if (!present) None
+                  else {
                     // CONSERVATIVE parent-level guards, mirroring the
                     // top-level drop screens: a stored constraint or
                     // generation expression referencing into this struct
                     // would dangle on the dropped field.
-                    if (prev.constraints.exists(_.toDDL.contains(parent)))
+                    if (prev.constraints.exists(_.toDDL.contains(parts.head)))
                       throw new UnsupportedOperationException(
-                        s"struct column $parent is referenced by a constraint; drop it first")
+                        s"struct column ${parts.head} is referenced by a constraint; " +
+                          "drop it first")
                     if (GraftCatalog.generationRefs(prev.schema)
-                        .contains(parent.toLowerCase(java.util.Locale.ROOT)))
+                        .contains(parts.head.toLowerCase(java.util.Locale.ROOT)))
                       throw new UnsupportedOperationException(
-                        s"struct column $parent is referenced by a generation expression; " +
-                          "drop the generated column first")
-                    Some(parent -> inner)
+                        s"struct column ${parts.head} is referenced by a generation " +
+                          "expression; drop the generated column first")
+                    Some((parts.head, parts.tail.dropRight(1), parts.last))
                   }
               }
             case _ => None
-          }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSet }
-          nestedDrops.foreach { case (p, inners) =>
-            val st = prev.schema.fields.find(_.name == p).get
-              .dataType.asInstanceOf[StructType]
-            if (st.fields.forall(f => inners.contains(f.name)))
-              throw new UnsupportedOperationException(
-                s"cannot drop every field of struct column $p — drop the column itself")
           }
+          // Per top column: ordered (parentPath -> inner names) groups,
+          // applied sequentially over the evolving type/expression.
+          val nestedDrops: Map[String, Seq[(Seq[String], Set[String])]] =
+            nestedDropList.groupBy(_._1).map { case (c, xs) =>
+              c -> xs.map(_._2).distinct.map(pp =>
+                pp -> xs.collect { case (_, `pp`, inner) => inner }.toSet)
+            }
+          def droppedType(colName: String, start:
+              org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+            nestedDrops(colName).foldLeft(start) { case (dt, (pp, inners)) =>
+              val full = (colName +: pp).mkString(".")
+              NestedSchema.restructAt(dt, pp, full) { st =>
+                if (st.fields.forall(f => inners.contains(f.name)))
+                  throw new UnsupportedOperationException(
+                    s"cannot drop every field of struct " +
+                      s"${if (pp.isEmpty) s"column $colName" else full} — drop the " +
+                      "struct itself")
+                StructType(st.fields.filterNot(f => inners(f.name)))
+              }
+            }
           val dropNames = changes.collect {
             case d: TableChange.DeleteColumn if d.fieldNames().length == 1 =>
               val n = d.fieldNames()(0)
@@ -699,10 +711,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
                   !java.lang.Boolean.TRUE.equals(d.ifExists()))
                 throw new IllegalArgumentException(s"no such column $n")
               n
-            case d: TableChange.DeleteColumn if d.fieldNames().length > 2 =>
-              throw new UnsupportedOperationException(
-                s"graft catalog drops top-level columns and struct fields one level " +
-                  s"deep, got ${d.fieldNames().mkString(".")}")
           }.toSet
           if (PartField.sources(prev.partitionCols).exists(dropNames))
             throw new UnsupportedOperationException(
@@ -725,27 +733,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
             "cannot drop every column of a table")
           if (dropNames.isEmpty && nestedDrops.isEmpty) { noop = true; prev }
           else {
-          import org.apache.spark.sql.catalyst.expressions.{
-            BoundReference, CreateNamedStruct, Expression, GetStructField, If, IsNull, Literal}
-          def reducedStruct(f: org.apache.spark.sql.types.StructField): StructType =
-            StructType(f.dataType.asInstanceOf[StructType].fields
-              .filterNot(sf => nestedDrops(f.name).contains(sf.name)))
+          import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression}
           val narrowed = StructType(keepIdx.map { i =>
             val f = prev.schema.fields(i)
-            if (nestedDrops.contains(f.name)) f.copy(dataType = reducedStruct(f)) else f
+            if (nestedDrops.contains(f.name))
+              f.copy(dataType = droppedType(f.name, f.dataType))
+            else f
           })
           val exprs = keepIdx.toSeq.map { i =>
             val f = prev.schema.fields(i)
             val ref = BoundReference(i, f.dataType, f.nullable)
-            if (!nestedDrops.contains(f.name)) ref: Expression
-            else {
-              val st = f.dataType.asInstanceOf[StructType]
-              val keep = st.fields.toIndexedSeq.zipWithIndex
-                .filterNot { case (sf, _) => nestedDrops(f.name).contains(sf.name) }
-              val rebuilt = CreateNamedStruct(keep.flatMap { case (sf, j) =>
-                Seq(Literal(sf.name), GetStructField(ref, j, Some(sf.name)): Expression)
-              })
-              If(IsNull(ref), Literal.create(null, reducedStruct(f)), rebuilt): Expression
+            nestedDrops.get(f.name) match {
+              case None => ref: Expression
+              case Some(groups) =>
+                // Expression and type evolve in lockstep group-by-group
+                // so a later drop addresses the already-narrowed layout.
+                var dt: org.apache.spark.sql.types.DataType = f.dataType
+                var ex: Expression = ref
+                groups.foreach { case (pp, inners) =>
+                  val full = (f.name +: pp).mkString(".")
+                  ex = NestedSchema.rebuildExpr(
+                    ex, dt, pp, NestedSchema.DropFields(inners), full)
+                  dt = NestedSchema.restructAt(dt, pp, full)(st =>
+                    StructType(st.fields.filterNot(sf => inners(sf.name))))
+                }
+                ex
             }
           }
           val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(exprs)
@@ -902,9 +914,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           case None =>
             (base, org.apache.spark.sql.catalyst.expressions.Literal(null, add.dataType()))
         }
-      case add: TableChange.AddColumn if add.fieldNames().length == 2 =>
-        // NESTED field add, collected separately below (placeholder
-        // pair here; topAdds re-zips by arity).
+      case add: TableChange.AddColumn if add.fieldNames().length >= 2 =>
+        // NESTED field add (any depth), collected separately below
+        // (placeholder pair here; topAdds re-zips by arity).
         if (add.defaultValue() != null) throw new UnsupportedOperationException(
           s"DEFAULT on a nested field (${add.fieldNames().mkString(".")}) is not supported")
         if (add.position() != null) throw new UnsupportedOperationException(
@@ -914,7 +926,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           org.apache.spark.sql.catalyst.expressions.Literal(null))
       case other =>
         throw new UnsupportedOperationException(
-          s"graft catalog adds top-level columns and struct fields one level deep, got: $other")
+          s"unsupported ADD COLUMNS change: $other")
     }
     // NESTED adds (`ADD COLUMNS (meta.c DOUBLE)`): the inner layout of
     // a struct lives inside each row's bytes, so — unlike a top-level
@@ -927,32 +939,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case (a: TableChange.AddColumn, (f, lit)) if a.fieldNames().length == 1 =>
         (f, lit, Option(a.position()))
     }
-    val nestedAdds: Map[String, Seq[org.apache.spark.sql.types.StructField]] =
+    // (parentPathWithinColumn, newField) per top column, in statement
+    // order — `meta.a.b` adds field `b` under path [a]; `items.element.f`
+    // adds `f` inside each array element's struct.
+    val nestedAdds: Map[String, Seq[(Seq[String], org.apache.spark.sql.types.StructField)]] =
       changes.collect {
-        case a: TableChange.AddColumn if a.fieldNames().length == 2 =>
-          a.fieldNames()(0) -> org.apache.spark.sql.types.StructField(
-            a.fieldNames()(1), a.dataType(), nullable = true)
-      }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).toSeq }
+        case a: TableChange.AddColumn if a.fieldNames().length >= 2 =>
+          val parts = a.fieldNames().toSeq
+          parts.head -> (parts.tail.dropRight(1) ->
+            org.apache.spark.sql.types.StructField(parts.last, a.dataType(), nullable = true))
+      }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2) }
     val written = scala.collection.mutable.ArrayBuffer[Segment]()
     try {
       val result = store.compute(ident, (_, prev) => {
         require(prev != null, s"table $ident dropped mid-alter")
         import org.apache.spark.sql.catalyst.expressions.{
           BoundReference, CreateNamedStruct, Expression, GetStructField, If, IsNull, Literal}
-        nestedAdds.foreach { case (parent, kids) =>
-          val pi =
-            try prev.schema.fieldIndex(parent)
-            catch { case _: IllegalArgumentException =>
-              throw new IllegalArgumentException(s"no such column $parent") }
-          val st = prev.schema.fields(pi).dataType match {
-            case s: StructType => s
-            case dt => throw new UnsupportedOperationException(
-              s"cannot add a field inside non-struct column $parent (${dt.simpleString})")
-          }
-          kids.find(k => st.fieldNames.contains(k.name)).foreach { k =>
-            throw new IllegalArgumentException(s"field $parent.${k.name} already exists")
-          }
+        nestedAdds.foreach { case (parent, _) =>
+          if (!prev.schema.fieldNames.contains(parent))
+            throw new IllegalArgumentException(s"no such column $parent")
         }
+        // Per-column evolved (type, rebuild expression): adds applied
+        // in statement order over the evolving layout, so a second add
+        // into the same struct lands after the first, and an add into
+        // a struct ADDED by this statement resolves (meta.a then
+        // meta.a.b in one ALTER is still refused upstream by Spark —
+        // each add here targets a pre-existing struct).
+        def addInto(colName: String,
+            start: (org.apache.spark.sql.types.DataType, Expression))
+            : (org.apache.spark.sql.types.DataType, Expression) =
+          nestedAdds(colName).foldLeft(start) { case ((dt, ex), (pp, kid)) =>
+            val full = (colName +: pp :+ kid.name).mkString(".")
+            val ndt = NestedSchema.restructAt(dt, pp, full) { st =>
+              if (st.fieldNames.contains(kid.name))
+                throw new IllegalArgumentException(s"field $full already exists")
+              StructType(st.fields :+ kid)
+            }
+            (ndt, NestedSchema.rebuildExpr(
+              ex, dt, pp, NestedSchema.AddFields(Seq(kid)), full))
+          }
         // One SLOT per output column: (name, projection expr, field).
         // Old fields come first (nested adds rebuild their parent in
         // place); positioned top-level adds then splice into the order —
@@ -963,20 +988,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         var slots: Vector[(String, Expression, org.apache.spark.sql.types.StructField)] =
           prev.schema.fields.toVector.zipWithIndex.map { case (of, i) =>
             val ref = BoundReference(i, of.dataType, of.nullable)
-            nestedAdds.get(of.name) match {
-              case Some(kids) =>
-                val st = of.dataType.asInstanceOf[StructType]
-                val newSt = StructType(st.fields ++ kids)
-                val rebuilt = CreateNamedStruct(
-                  st.fields.toIndexedSeq.zipWithIndex.flatMap { case (sf, j) =>
-                    Seq(Literal(sf.name), GetStructField(ref, j, Some(sf.name)): Expression)
-                  } ++ kids.flatMap(k =>
-                    Seq(Literal(k.name), Literal.create(null, k.dataType): Expression)))
-                (of.name,
-                  If(IsNull(ref), Literal.create(null, newSt), rebuilt): Expression,
-                  of.copy(dataType = newSt))
-              case None => (of.name, ref: Expression, of)
-            }
+            if (nestedAdds.contains(of.name)) {
+              val (ndt, ex) = addInto(of.name, (of.dataType, ref))
+              (of.name, ex, of.copy(dataType = ndt))
+            } else (of.name, ref: Expression, of)
           }
         topAdds.foreach { case (f, lit, pos) =>
           val slot = (f.name, lit: Expression, f)

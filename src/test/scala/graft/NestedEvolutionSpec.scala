@@ -2,12 +2,14 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Nested (one-level) struct field evolution: `ADD COLUMNS (meta.c T)`
-  * and `DROP COLUMN meta.b` rebuild the parent struct row-by-row
-  * through the same streamed re-projection as top-level DROP/widen
-  * (positional storage keeps a struct's inner layout inside each row's
-  * bytes), preserving NULL parents as NULL; `RENAME COLUMN meta.a TO x`
-  * is pure schema metadata — inner names key nothing, zero file I/O.
+/** Nested struct field evolution at ANY depth: `ADD COLUMNS (meta.c T)`
+  * / `meta.a.d` / `items.element.f` and `DROP COLUMN meta.b` /
+  * `props.value.v` rebuild the enclosing struct row-by-row through the
+  * same streamed re-projection as top-level DROP/widen (positional
+  * storage keeps a struct's inner layout inside each row's bytes),
+  * preserving NULL parents AND NULL containers as NULL;
+  * `RENAME COLUMN meta.a TO x` (any depth) is pure schema metadata —
+  * inner names key nothing, zero file I/O.
   */
 class NestedEvolutionSpec extends AnyFunSuite {
   private lazy val spark = {
@@ -243,5 +245,109 @@ class NestedEvolutionSpec extends AnyFunSuite {
       spark.sql("ALTER TABLE graft.ne.d DROP COLUMN meta.a")
     }
     spark.sql("DROP TABLE graft.ne.d PURGE")
+  }
+
+  test("DEEP evolution: depth-2 struct add/rename/widen/drop; NULL parents at both levels") {
+    spark.sql("DROP TABLE IF EXISTS graft.ne.deep PURGE")
+    spark.sql(
+      """CREATE TABLE graft.ne.deep
+        |  (k BIGINT, meta STRUCT<a: STRUCT<b: INT, c: STRING>, t: STRING>)
+        |USING graft""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.ne.deep VALUES
+        |(1, named_struct('a', named_struct('b', 7, 'c', 'x'), 't', 'u')),
+        |(2, NULL),
+        |(3, named_struct('a', CAST(NULL AS STRUCT<b: INT, c: STRING>), 't', 'w'))""".stripMargin)
+    // ADD at depth 2: era-1 rows read NULL; NULL parents at BOTH levels survive.
+    spark.sql("ALTER TABLE graft.ne.deep ADD COLUMNS (meta.a.d DOUBLE)")
+    spark.sql(
+      """INSERT INTO graft.ne.deep VALUES
+        |(4, named_struct('a', named_struct('b', 9, 'c', 'y', 'd', 2.5), 't', 'v'))""".stripMargin)
+    val afterAdd = spark.sql(
+      "SELECT k, meta.a.b, meta.a.d, meta.t FROM graft.ne.deep ORDER BY k").collect()
+    assert(afterAdd(0).getInt(1) == 7 && afterAdd(0).isNullAt(2), "era-1 reads NULL d")
+    assert(afterAdd(1).isNullAt(1) && afterAdd(1).isNullAt(3), "NULL meta stays NULL")
+    assert(afterAdd(2).isNullAt(1) && afterAdd(2).getString(3) == "w",
+      "NULL inner struct stays NULL; sibling t intact")
+    assert(afterAdd(3).getDouble(2) == 2.5)
+    // RENAME at depth 2 is metadata-only; WIDEN at depth 2 re-projects.
+    spark.sql("ALTER TABLE graft.ne.deep RENAME COLUMN meta.a.b TO bb")
+    spark.sql("ALTER TABLE graft.ne.deep ALTER COLUMN meta.a.bb TYPE BIGINT")
+    assert(spark.table("graft.ne.deep").schema("meta").dataType.simpleString ==
+      "struct<a:struct<bb:bigint,c:string,d:double>,t:string>")
+    assert(spark.sql("SELECT sum(meta.a.bb) FROM graft.ne.deep").as[Long].head() == 16L)
+    // DROP at depth 2: sibling values and NULL parents intact.
+    spark.sql("ALTER TABLE graft.ne.deep DROP COLUMN meta.a.c")
+    val afterDrop = spark.sql(
+      "SELECT k, meta.a.bb, meta.a.d, meta.t FROM graft.ne.deep ORDER BY k").collect()
+    assert(afterDrop(0).getLong(1) == 7L && afterDrop(0).isNullAt(2))
+    assert(afterDrop(1).isNullAt(1) && afterDrop(2).isNullAt(1))
+    assert(afterDrop(3).getLong(1) == 9L && afterDrop(3).getDouble(2) == 2.5)
+    intercept[Exception] { spark.sql("SELECT meta.a.c FROM graft.ne.deep").collect() }
+    // Dropping the LAST remaining fields of the inner struct refuses.
+    spark.sql("ALTER TABLE graft.ne.deep DROP COLUMN meta.a.d")
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ne.deep DROP COLUMN meta.a.bb")
+    }
+    spark.sql("DROP TABLE graft.ne.deep PURGE")
+  }
+
+  test("DEEP evolution inside containers: array<struct> and map<_,struct> element fields") {
+    spark.sql("DROP TABLE IF EXISTS graft.ne.cont PURGE")
+    spark.sql(
+      """CREATE TABLE graft.ne.cont
+        |  (k BIGINT,
+        |   items ARRAY<STRUCT<sku: STRING, qty: INT>>,
+        |   props MAP<STRING, STRUCT<v: INT>>)
+        |USING graft""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.ne.cont VALUES
+        |(1, array(named_struct('sku', 's1', 'qty', 2), named_struct('sku', 's2', 'qty', 3)),
+        |    map('p', named_struct('v', 5))),
+        |(2, NULL, NULL),
+        |(3, array(), map()),
+        |(4, array(CAST(NULL AS STRUCT<sku: STRING, qty: INT>)), map('q', named_struct('v', 6)))""".stripMargin)
+    // ADD a field inside every array element / map value struct.
+    spark.sql("ALTER TABLE graft.ne.cont ADD COLUMNS (items.element.discount DOUBLE)")
+    spark.sql("ALTER TABLE graft.ne.cont ADD COLUMNS (props.value.w STRING)")
+    spark.sql(
+      """INSERT INTO graft.ne.cont VALUES
+        |(5, array(named_struct('sku', 's9', 'qty', 4, 'discount', 0.25)),
+        |    map('r', named_struct('v', 7, 'w', 'tag')))""".stripMargin)
+    val afterAdd = spark.sql(
+      """SELECT k, items, map_values(props) AS pv FROM graft.ne.cont ORDER BY k""").collect()
+    assert(afterAdd(0).getSeq[org.apache.spark.sql.Row](1).map(r =>
+      (r.getString(0), r.getInt(1), if (r.isNullAt(2)) null else r.getDouble(2))) ==
+      Seq(("s1", 2, null), ("s2", 3, null)), "era-1 elements read NULL discount")
+    assert(afterAdd(1).isNullAt(1) && afterAdd(1).isNullAt(2), "NULL containers stay NULL")
+    assert(afterAdd(2).getSeq[Any](1).isEmpty, "empty array stays empty")
+    assert(afterAdd(3).getSeq[org.apache.spark.sql.Row](1) == Seq(null),
+      "NULL array element stays NULL")
+    assert(afterAdd(4).getSeq[org.apache.spark.sql.Row](1).head.getDouble(2) == 0.25)
+    assert(afterAdd(4).getSeq[org.apache.spark.sql.Row](2).head.getString(1) == "tag")
+    // RENAME + WIDEN inside containers.
+    spark.sql("ALTER TABLE graft.ne.cont RENAME COLUMN items.element.qty TO quantity")
+    spark.sql("ALTER TABLE graft.ne.cont ALTER COLUMN items.element.quantity TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.ne.cont ALTER COLUMN props.value.v TYPE BIGINT")
+    assert(spark.sql(
+      """SELECT sum(aggregate(coalesce(items, array()), 0L,
+        |  (acc, x) -> acc + coalesce(x.quantity, 0L))) FROM graft.ne.cont""".stripMargin)
+      .as[Long].head() == 2L + 3L + 4L)
+    assert(spark.sql(
+      """SELECT sum(aggregate(map_values(coalesce(props, map())), 0L,
+        |  (acc, x) -> acc + coalesce(x.v, 0L))) FROM graft.ne.cont""".stripMargin)
+      .as[Long].head() == 5L + 6L + 7L)
+    // DROP a field inside array elements; survivors + NULL shapes intact.
+    spark.sql("ALTER TABLE graft.ne.cont DROP COLUMN items.element.sku")
+    val afterDrop = spark.sql("SELECT k, items FROM graft.ne.cont ORDER BY k").collect()
+    assert(afterDrop(0).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)) == Seq(2L, 3L))
+    assert(afterDrop(1).isNullAt(1))
+    assert(afterDrop(3).getSeq[org.apache.spark.sql.Row](1) == Seq(null))
+    // Refusals: dropping every remaining element field; map-key mutation.
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ne.cont DROP COLUMN props.value.v") // leaves w
+      spark.sql("ALTER TABLE graft.ne.cont DROP COLUMN props.value.w") // last field
+    }
+    spark.sql("DROP TABLE graft.ne.cont PURGE")
   }
 }

@@ -42,8 +42,11 @@ class NestedGauntletSpec extends AnyFunSuite {
     case "dbl" => math.rint(rnd.nextDouble() * 1e6) / 100.0
   }
 
-  private def check(t: String, m: Model, log: Seq[String], seed: Int): Unit = {
-    val got = spark.sql(s"SELECT k, meta FROM $t ORDER BY k").collect()
+  private def check(t: String, path: String, m: Model, log: Seq[String], seed: Int): Unit = {
+    // `path` addresses the INNER struct (meta, or meta.w1...wN at
+    // nest depth N): a NULL anywhere along the wrapper chain reads as
+    // a NULL inner struct, exactly what the model's None encodes.
+    val got = spark.sql(s"SELECT k, $path FROM $t ORDER BY k").collect()
     val ctx = s"seed=$seed after:\n  ${log.mkString("\n  ")}"
     assert(got.length == m.rows.size, s"row count ${got.length} != ${m.rows.size}; $ctx")
     val expected = m.rows.toSeq.sortBy(_._1)
@@ -70,14 +73,29 @@ class NestedGauntletSpec extends AnyFunSuite {
     }
   }
 
-  private def run(seed: Int, depth: Int): Unit = {
+  private def run(seed: Int, depth: Int, nest: Int): Unit = {
     val rnd = new Random(seed)
-    val t = s"graft.ng.t$seed"
-    spark.sql(s"DROP TABLE IF EXISTS $t PURGE")
-    spark.sql(s"CREATE TABLE $t (k BIGINT, meta STRUCT<f0: STRING, f1: INT>) USING graft")
+    val t = s"graft.ng.t${seed}n$nest"
+    // `nest` wrapper structs around the mutated inner struct: nest=0
+    // is the classic one-level surface (ops at meta.fX); nest=N puts
+    // every op at meta.w1...wN.fX, driving the recursive path
+    // resolver through N struct rebuild levels per op.
+    val wrappers = (1 to nest).map(i => s"w$i")
+    val path = ("meta" +: wrappers).mkString(".")
+    def sqlType(kind: String): String = kind match {
+      case "str" => "STRING"; case "int" => "INT"
+      case "long" => "BIGINT"; case "dbl" => "DOUBLE"
+    }
     val m = Model(
       mutable.ArrayBuffer("f0" -> "str", "f1" -> "int"),
       mutable.LinkedHashMap.empty)
+    // Type of the value at wrapper level j (0 = the meta column;
+    // nest = the inner struct), derived from the CURRENT model fields.
+    def typeAt(j: Int): String =
+      if (j == nest) s"STRUCT<${m.fields.map { case (n, k) => s"$n: ${sqlType(k)}" }.mkString(", ")}>"
+      else s"STRUCT<w${j + 1}: ${typeAt(j + 1)}>"
+    spark.sql(s"DROP TABLE IF EXISTS $t PURGE")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, meta ${typeAt(0)}) USING graft")
     var nextK = 0L
     var nextF = 2
     val log = mutable.ArrayBuffer[String]()
@@ -86,17 +104,28 @@ class NestedGauntletSpec extends AnyFunSuite {
       val n = 1 + rnd.nextInt(4)
       val rows = (0 until n).map { _ =>
         val k = nextK; nextK += 1
-        if (rnd.nextInt(5) == 0) { m.rows(k) = None; s"($k, NULL)" }
-        else {
-          val vals = mutable.LinkedHashMap[String, Any]()
-          val parts = m.fields.map { case (name, kind) =>
-            // Occasional NULL inner value.
-            if (rnd.nextInt(6) == 0) { vals(name) = null; s"'$name', CAST(NULL AS ${kind match {
-              case "str" => "STRING"; case "int" => "INT"; case "long" => "BIGINT"; case "dbl" => "DOUBLE" }})" }
-            else { val v = freshValue(kind, rnd); vals(name) = v; s"'$name', ${sqlLit(kind, v)}" }
-          }
-          m.rows(k) = Some(vals)
-          s"($k, named_struct(${parts.mkString(", ")}))"
+        // NULL can land at ANY wrapper level — all read as a NULL
+        // inner struct through the dotted path.
+        val nullLevel = if (rnd.nextInt(5) == 0) Some(rnd.nextInt(nest + 1)) else None
+        nullLevel match {
+          case Some(0) => m.rows(k) = None; s"($k, NULL)"
+          case Some(j) =>
+            m.rows(k) = None
+            // Wrappers 1..j-1 present; slot w$j holds a typed NULL.
+            var v = s"CAST(NULL AS ${typeAt(j)})"
+            (j to 1 by -1).foreach(i => v = s"named_struct('w$i', $v)")
+            s"($k, $v)"
+          case None =>
+            val vals = mutable.LinkedHashMap[String, Any]()
+            val parts = m.fields.map { case (name, kind) =>
+              // Occasional NULL inner value.
+              if (rnd.nextInt(6) == 0) { vals(name) = null; s"'$name', CAST(NULL AS ${sqlType(kind)})" }
+              else { val v = freshValue(kind, rnd); vals(name) = v; s"'$name', ${sqlLit(kind, v)}" }
+            }
+            m.rows(k) = Some(vals)
+            var v = s"named_struct(${parts.mkString(", ")})"
+            (nest to 1 by -1).foreach(i => v = s"named_struct('w$i', $v)")
+            s"($k, $v)"
         }
       }
       log += s"INSERT ${rows.mkString(", ")}"
@@ -106,9 +135,8 @@ class NestedGauntletSpec extends AnyFunSuite {
     def addField(): Unit = {
       val name = s"f$nextF"; nextF += 1
       val kind = Seq("str", "int", "dbl")(rnd.nextInt(3))
-      val sqlT = kind match { case "str" => "STRING"; case "int" => "INT"; case "dbl" => "DOUBLE" }
-      log += s"ADD meta.$name $sqlT"
-      spark.sql(s"ALTER TABLE $t ADD COLUMNS (meta.$name $sqlT)")
+      log += s"ADD $path.$name ${sqlType(kind)}"
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS ($path.$name ${sqlType(kind)})")
       m.fields += (name -> kind)
       m.rows.values.foreach(_.foreach(_(name) = null))
     }
@@ -117,8 +145,8 @@ class NestedGauntletSpec extends AnyFunSuite {
       val i = rnd.nextInt(m.fields.length)
       val (old, kind) = m.fields(i)
       val nn = s"f$nextF"; nextF += 1
-      log += s"RENAME meta.$old -> $nn"
-      spark.sql(s"ALTER TABLE $t RENAME COLUMN meta.$old TO $nn")
+      log += s"RENAME $path.$old -> $nn"
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN $path.$old TO $nn")
       m.fields(i) = nn -> kind
       m.rows.values.foreach(_.foreach { vals =>
         if (vals.contains(old)) { vals(nn) = vals.remove(old).get }
@@ -129,8 +157,8 @@ class NestedGauntletSpec extends AnyFunSuite {
       val ints = m.fields.zipWithIndex.filter(_._1._2 == "int")
       if (ints.nonEmpty) {
         val ((name, _), i) = ints(rnd.nextInt(ints.length))
-        log += s"WIDEN meta.$name INT -> BIGINT"
-        spark.sql(s"ALTER TABLE $t ALTER COLUMN meta.$name TYPE BIGINT")
+        log += s"WIDEN $path.$name INT -> BIGINT"
+        spark.sql(s"ALTER TABLE $t ALTER COLUMN $path.$name TYPE BIGINT")
         m.fields(i) = name -> "long"
         m.rows.values.foreach(_.foreach { vals =>
           vals.get(name).foreach {
@@ -145,15 +173,15 @@ class NestedGauntletSpec extends AnyFunSuite {
       if (m.fields.length > 1) {
         val i = rnd.nextInt(m.fields.length)
         val (name, _) = m.fields(i)
-        log += s"DROP meta.$name"
-        spark.sql(s"ALTER TABLE $t DROP COLUMN meta.$name")
+        log += s"DROP $path.$name"
+        spark.sql(s"ALTER TABLE $t DROP COLUMN $path.$name")
         m.fields.remove(i)
         m.rows.values.foreach(_.foreach(_.remove(name)))
       }
     }
 
     insertEra() // never start empty
-    check(t, m, log.toSeq, seed)
+    check(t, path, m, log.toSeq, seed)
     (0 until depth).foreach { _ =>
       rnd.nextInt(10) match {
         case 0 | 1 | 2 | 3 => insertEra()
@@ -162,23 +190,33 @@ class NestedGauntletSpec extends AnyFunSuite {
         case 7 => widenField()
         case 8 | 9 => dropField()
       }
-      check(t, m, log.toSeq, seed)
+      check(t, path, m, log.toSeq, seed)
     }
     spark.sql(s"DROP TABLE $t PURGE")
   }
 
-  // Soak knobs (same convention as the other gauntlets): depth and
-  // extra seeds via env, so a long confidence pass needs no code edit.
+  // Soak knobs (same convention as the other gauntlets): op count,
+  // extra seeds, and struct-nesting depth via env, so a long
+  // confidence pass needs no code edit.
   private val soakDepth =
     sys.env.get("SPARK_GRAFT_NESTED_OPS").flatMap(_.toIntOption).getOrElse(22)
   private val seeds: Seq[Int] =
     sys.env.get("SPARK_GRAFT_NESTED_SEEDS")
       .map(_.split(',').toSeq.flatMap(_.trim.toIntOption))
       .filter(_.nonEmpty).getOrElse(Seq(7, 19, 41))
+  private val soakNest =
+    sys.env.get("SPARK_GRAFT_NESTED_DEPTH").flatMap(_.toIntOption).getOrElse(2)
 
   for (seed <- seeds) {
     test(s"random nested-evolution sequence keeps model equivalence (seed=$seed)") {
-      run(seed, depth = soakDepth)
+      run(seed, depth = soakDepth, nest = 0)
+    }
+  }
+  // The deep variant drives every op through `nest` wrapper structs —
+  // the recursive path resolver's soak surface.
+  for (seed <- seeds.take(2)) {
+    test(s"random DEEP nested-evolution sequence (nest=$soakNest, seed=$seed)") {
+      run(seed, depth = soakDepth, nest = soakNest)
     }
   }
 }
