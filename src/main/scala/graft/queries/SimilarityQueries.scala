@@ -550,6 +550,72 @@ object SimilarityQueries {
     ivfTopKWithCodebook(spark, codebook, withPlantedCopies(e))
   }
 
+  /** L3 (MATERIALIZED IVF index + incremental maintenance): the
+    * posting-table shape — `CALL graft.system.build_ann_index`
+    * persists codebook AND per-vector list assignments as a catalog
+    * table PARTITIONED BY list_id, so a query is a partition-pruned
+    * scan of ~nprobe/k of the corpus (the true 100 TB IVF plan: the
+    * other l3 variants re-assign the corpus per query, which is a full
+    * scan at scale). The fixture proves INCREMENTAL maintenance: the
+    * index is built on the NATURAL corpus only, the planted copies are
+    * appended to the source AFTERWARDS, and `CALL
+    * graft.system.refresh_ann` assigns just that batch from the change
+    * feed — no retrain, corpus never rescanned — yet the planted-copy
+    * exact oracle still holds (copies share the query's argmax list
+    * under ANY codebook, and probe #1 is that list). The nprobe probe
+    * ids are a 4-row driver collect — bounded by construction — so the
+    * list filter is a LITERAL `IN` and partition pruning is static.
+    */
+  val l3AnnIvfIndexed: Q = Q(
+    "l3_ann_ivf_indexed",
+    annOracleSql) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    val suffix = java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff)
+    val corpus = s"graft.ann.corpus_$suffix"
+    val idx = s"graft.ann.ivfidx_$suffix"
+    val e = Tables.embeddings(spark, dir)
+    if (scala.util.Try(spark.table(idx).isEmpty).getOrElse(true)) {
+      spark.sql(s"DROP TABLE IF EXISTS $corpus PURGE") // partial prior state
+      e.createOrReplaceTempView("graft_ann_idx_src")
+      spark.sql(
+        s"""CREATE TABLE $corpus USING graft AS
+           |SELECT vec_id, label, embedding FROM graft_ann_idx_src""".stripMargin)
+      spark.sql(
+        s"CALL graft.system.build_ann_index('ann.corpus_$suffix', 'ann', 'ivfidx_$suffix', 16, 3)")
+      // The append arrives AFTER the build — refresh assigns ONLY this
+      // batch (change feed), never rescanning or retraining.
+      withPlantedCopies(e).filter(col("label") === -1)
+        .createOrReplaceTempView("graft_ann_idx_planted")
+      spark.sql(s"INSERT INTO $corpus SELECT * FROM graft_ann_idx_planted")
+      spark.sql(s"CALL graft.system.refresh_ann('ann', 'ivfidx_$suffix')").collect()
+    }
+    ivfIndexedTopK(spark, idx,
+      spark.table(corpus).filter(col("vec_id") === 0).select(col("embedding").as("qe")))
+  }
+
+  /** Serve top-`limit` neighbors of the single-row query `q` (column
+    * `qe`) from a `build_ann_index` posting table: probe ids come from
+    * a bounded nprobe-row driver collect, so the list filter is a
+    * LITERAL `IN` and the scan is statically partition-pruned to
+    * ~nprobe/k of the corpus.
+    */
+  private[graft] def ivfIndexedTopK(
+      spark: SparkSession, idx: String, q: DataFrame,
+      nprobe: Int = 4, limit: Int = 10): DataFrame = {
+    val probeIds = spark.table(s"${idx}_cb").crossJoin(broadcast(q))
+      .select(col("cid"), CosineSim(spark, col("cvec"), col("qe")).as("csim"))
+      .orderBy(col("csim").desc, col("cid"))
+      .limit(nprobe)
+      .collect().map(_.getLong(0)) // nprobe rows — bounded driver collect
+    spark.table(idx)
+      .filter(col("list_id").isin(probeIds.toIndexedSeq: _*) && col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(CosineSim(spark, col("embedding"), col("qe")), 4).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(limit)
+  }
+
   /** L3 (IVF-PQ memory-scale path): product-quantized ANN — the FAISS
     * `IVFxx,PQyy` progression's last step. On top of the IVF coarse
     * quantizer, the embedding is cut into `m` subspaces and each
@@ -851,6 +917,6 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(
     l3CosineTopK, l3AnnLsh, l4NgramJaccard, l4EmbeddingNearDup,
-    l3AnnIvf, l3AnnIvfSaved, l3AnnIvfPq, l3AnnIvfPqSaved,
+    l3AnnIvf, l3AnnIvfSaved, l3AnnIvfIndexed, l3AnnIvfPq, l3AnnIvfPqSaved,
     l2MinHashLsh, l2DedupClusters, l2SimHash, l9IncrementalNearDup)
 }

@@ -1138,7 +1138,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         Identifier.of(namespace, "remove_orphan_files"),
         Identifier.of(namespace, "undrop"),
         Identifier.of(namespace, "sync_identity"),
-        Identifier.of(namespace, "copy_into"))
+        Identifier.of(namespace, "copy_into"),
+        Identifier.of(namespace, "build_ann_index"),
+        Identifier.of(namespace, "refresh_ann"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
@@ -1178,6 +1180,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       GraftSyncIdentityProcedure
     else if (ident.namespace.sameElements(Array("system")) && ident.name == "copy_into")
       GraftCopyIntoProcedure
+    else if (ident.namespace.sameElements(Array("system")) && ident.name == "build_ann_index")
+      GraftBuildAnnIndexProcedure
+    else if (ident.namespace.sameElements(Array("system")) && ident.name == "refresh_ann")
+      GraftRefreshAnnProcedure
     else throw new UnsupportedOperationException(s"no such procedure: $ident")
 
   // ---- ViewCatalog: persistent SQL views resolved through the ----
@@ -2576,6 +2582,14 @@ object GraftCatalog {
     * at SET time against the retained history.
     */
   private[sources] val TagPropPrefix = "graft.tag."
+
+  // ANN-index bookkeeping on the posting table (build_ann_index /
+  // refresh_ann): the source table, the source snapshot version the
+  // index covers (incremental watermark), and the train-time mean
+  // assignment similarity (drift baseline).
+  private[sources] val AnnSourceProp = "graft.ann.source"
+  private[sources] val AnnWatermarkProp = "graft.ann.source_version"
+  private[sources] val AnnBaseSimProp = "graft.ann.base_sim"
 
   /** Validate a write-order property value against the table schema —
     * a typo'd column must fail at SET/CREATE time, not corrupt layout
@@ -5987,6 +6001,234 @@ private[graft] object GraftTrainAnnPqProcedure
       override def readSchema(): StructType = outSchema
       override def description(): String = s"GraftTrainAnnPqResult($ns.$table)"
     }).iterator()
+  }
+}
+
+/** `CALL graft.system.build_ann_index(source, ns, index, k, iters)` —
+  * materialize a SERVABLE IVF index over a graft catalog table of
+  * embeddings: trains the coarse codebook (persisted as `<index>_cb`:
+  * cid, cvec), assigns EVERY source row to its argmax centroid, and
+  * writes the posting table `<index>` (source columns + `list_id`)
+  * PARTITIONED BY list_id — so a probe is a partition-pruned scan of
+  * ~nprobe/k of the corpus, the true IVF-at-100TB shape (vs the
+  * codebook-only serving path, which re-assigns the whole corpus per
+  * query). The index table records its source, the source's snapshot
+  * version (the incremental watermark), and the train-time mean
+  * assignment similarity (the drift baseline) as table properties;
+  * `refresh_ann` maintains it incrementally from the change feed.
+  */
+private[graft] object GraftBuildAnnIndexProcedure
+    extends procedures.UnboundProcedure with procedures.BoundProcedure {
+  import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
+  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+
+  override def name(): String = "build_ann_index"
+  override def description(): String =
+    "build_ann_index(source, ns, index, k, iters): materialize a partitioned IVF posting " +
+      "table + codebook over a catalog embeddings table"
+  override def bind(inputType: StructType): procedures.BoundProcedure = this
+  override def isDeterministic: Boolean = false // writes tables
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("source", StringType)
+      .comment("graft catalog table 'ns.t' with (vec_id, ..., embedding)").build(),
+    ProcedureParameter.in("ns", StringType).comment("index namespace").build(),
+    ProcedureParameter.in("index", StringType).comment("index table name").build(),
+    ProcedureParameter.in("k", IntegerType).comment("number of inverted lists").build(),
+    ProcedureParameter.in("iters", IntegerType).comment("Lloyd's rounds").build())
+
+  private val outSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("rows_indexed", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("lists", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("base_sim", DoubleType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    import org.apache.spark.sql.functions.{avg, broadcast, col, explode}
+    val source = input.getUTF8String(0).toString
+    val ns = input.getUTF8String(1).toString
+    val index = input.getUTF8String(2).toString
+    val k = input.getInt(3)
+    val iters = input.getInt(4)
+    val spark = org.apache.spark.sql.SparkSession.active
+    val catName = GraftCatalog.sessionCatalogName(spark, "build_ann_index")
+    val srcParts = source.split('.')
+    require(srcParts.length == 2,
+      s"build_ann_index source must be a catalog table 'ns.t', got '$source'")
+    val src = spark.table(s"$catName.$source")
+    require(src.columns.contains("vec_id") && src.columns.contains("embedding"),
+      s"build_ann_index source $source needs (vec_id, embedding) columns")
+    // Watermark BEFORE reading: a concurrent append between this read
+    // and the property stamp is then re-delivered by the first refresh
+    // (double-assigning a row is append-idempotent here because
+    // refresh deletes by vec_id before re-adding postimages).
+    val v = GraftCatalog.currentVersion(srcParts(0), srcParts(1)).getOrElse(
+      throw new NoSuchTableException(Identifier.of(Array(srcParts(0)), srcParts(1))))
+    val cbRow = graft.operators.KMeansCodebook.train(src, k, iters)
+    cbRow.select(explode(col("cents")).as("c"))
+      .select(col("c.cid").as("cid"), col("c.cvec").as("cvec"))
+      .writeTo(s"$catName.$ns.${index}_cb").createOrReplace()
+    val assigned = src.crossJoin(broadcast(cbRow))
+      .select(src.columns.map(col).toIndexedSeq :+
+        graft.operators.KMeansCodebook
+          .bestCentroid(spark, col("embedding"), col("cents")).as("list_id"): _*)
+    assigned.writeTo(s"$catName.$ns.$index")
+      .partitionedBy(col("list_id")).createOrReplace()
+    // Train-time mean assignment similarity — the drift BASELINE
+    // refresh_ann compares each new batch against. One agg pass over
+    // the freshly written index (build-time cost, never per query).
+    val cb = spark.table(s"$catName.$ns.${index}_cb")
+    val baseSim = spark.table(s"$catName.$ns.$index")
+      .join(broadcast(cb), col("list_id") === col("cid"))
+      .agg(avg(graft.functions.CosineSim(spark, col("embedding"), col("cvec"))))
+      .head().getDouble(0)
+    GraftCatalog.patchTableProps(Identifier.of(Array(ns), index), Map(
+      GraftCatalog.AnnSourceProp -> source,
+      GraftCatalog.AnnWatermarkProp -> v.toString,
+      GraftCatalog.AnnBaseSimProp -> baseSim.toString))
+    val rows = GraftCatalog.rowCount(ns, index)
+    val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"$ns.$index"),
+        rows, k.toLong, baseSim))
+    java.util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = Array(row)
+      override def readSchema(): StructType = outSchema
+      override def description(): String = s"GraftBuildAnnIndexResult($ns.$index)"
+    }).iterator()
+  }
+}
+
+/** `CALL graft.system.refresh_ann(ns, index)` — INCREMENTAL
+  * maintenance of a `build_ann_index` posting table: snapshot-diffs
+  * the source via the change feed (`graft-changes`, the X8/X10
+  * machinery — only changed segments are read, the corpus is never
+  * rescanned), deletes rows the source deleted/updated, assigns ONLY
+  * the new/updated vectors to the PERSISTED centroids (no retrain),
+  * appends them to their lists, and advances the watermark. Returns a
+  * DRIFT metric: `drift_ratio` = new-batch mean assignment DISTANCE
+  * (1 − cosine) / train-time mean assignment distance — ratios > 1
+  * mean the new vectors sit farther from every centroid than the
+  * training corpus did (the codebook no longer describes the data),
+  * and past `RetrainThreshold` the result row recommends a retrain
+  * (`build_ann_index` again; the swap is atomic). Distance ratio, not
+  * similarity ratio, on purpose: for weakly-clustered corpora the mean
+  * sim is small (0.1–0.3) and a sim RATIO amplifies noise, while the
+  * distance ratio stays ~1 for same-distribution growth and explodes
+  * only when the batch is genuinely foreign. Idle source (no new
+  * commits) is a true no-op.
+  */
+private[graft] object GraftRefreshAnnProcedure
+    extends procedures.UnboundProcedure with procedures.BoundProcedure {
+  import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType}
+  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+
+  /** drift_ratio above this recommends retraining: the new batch sits
+    * 25% farther from its centroids than the training corpus did.
+    */
+  private[graft] val RetrainThreshold = 1.25
+
+  override def name(): String = "refresh_ann"
+  override def description(): String =
+    "refresh_ann(ns, index): assign source changes since the watermark to the saved " +
+      "centroids; report codebook drift"
+  override def bind(inputType: StructType): procedures.BoundProcedure = this
+  override def isDeterministic: Boolean = false // mutates the index table
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("ns", StringType).comment("index namespace").build(),
+    ProcedureParameter.in("index", StringType).comment("index table name").build())
+
+  private val outSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("rows_added", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("rows_deleted", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("drift_ratio", DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("retrain_recommended", BooleanType,
+      nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    import org.apache.spark.sql.functions.{
+      array_sort, avg, broadcast, col, collect_list, struct}
+    val ns = input.getUTF8String(0).toString
+    val index = input.getUTF8String(1).toString
+    val spark = org.apache.spark.sql.SparkSession.active
+    val catName = GraftCatalog.sessionCatalogName(spark, "refresh_ann")
+    val idxIdent = Identifier.of(Array(ns), index)
+    val props = GraftCatalog.tablePropsJava(idxIdent)
+    val source = Option(props.get(GraftCatalog.AnnSourceProp)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$ns.$index is not an ANN index — run CALL graft.system.build_ann_index first"))
+    val v0 = props.get(GraftCatalog.AnnWatermarkProp).toLong
+    val baseSim = props.get(GraftCatalog.AnnBaseSimProp).toDouble
+    val srcParts = source.split('.')
+    val v1 = GraftCatalog.currentVersion(srcParts(0), srcParts(1)).getOrElse(
+      throw new NoSuchTableException(Identifier.of(Array(srcParts(0)), srcParts(1))))
+    def result(added: Long, deleted: Long, drift: Double): java.util.Iterator[Scan] = {
+      val row: InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(s"$ns.$index"),
+            added, deleted, drift, drift > RetrainThreshold))
+      java.util.List.of[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = outSchema
+        override def description(): String = s"GraftRefreshAnnResult($ns.$index)"
+      }).iterator()
+    }
+    if (v1 <= v0) return result(0L, 0L, 1.0) // idle source: true no-op
+    val feed = spark.read.format("graft-changes")
+      .option("table", source).option("changesFrom", v0.toString).load()
+      .persist() // two passes (deletes, adds) over changed segments only
+    try {
+      // Deletes/update-preimages leave the index first; postimages
+      // then re-add under their (possibly new) list — net upsert.
+      val delIds = feed
+        .filter(col("_change_type").isin("delete", "update_preimage"))
+        .select(col("vec_id"))
+      val nDel = delIds.count()
+      if (nDel > 0) {
+        val tmp = s"graft_refresh_ann_dels_${ns}_$index"
+        delIds.createOrReplaceTempView(tmp)
+        spark.sql(
+          s"DELETE FROM $catName.$ns.$index WHERE vec_id IN (SELECT vec_id FROM $tmp)")
+        spark.catalog.dropTempView(tmp)
+      }
+      val idxCols = spark.table(s"$catName.$ns.$index").columns.filterNot(_ == "list_id")
+      val adds = feed
+        .filter(col("_change_type").isin("insert", "update_postimage"))
+        .select(idxCols.map(col).toIndexedSeq: _*)
+      // cid-sorted one-row cents form — the SAME reconstruction the
+      // serving path uses, so assignment tie-breaks can never diverge
+      // between build, refresh and serve.
+      val cbRow = spark.table(s"$catName.$ns.${index}_cb")
+        .agg(array_sort(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
+      val assigned = adds.crossJoin(broadcast(cbRow))
+        .select(idxCols.map(col).toIndexedSeq :+
+          graft.operators.KMeansCodebook
+            .bestCentroid(spark, col("embedding"), col("cents")).as("list_id"): _*)
+        .persist() // consumed twice: append + drift aggregate
+      try {
+        val nAdd = assigned.count()
+        if (nAdd > 0) assigned.writeTo(s"$catName.$ns.$index").append()
+        val drift =
+          if (nAdd == 0) 1.0
+          else {
+            val cb = spark.table(s"$catName.$ns.${index}_cb")
+            val newSim = assigned
+              .join(broadcast(cb), col("list_id") === col("cid"))
+              .agg(avg(graft.functions.CosineSim(spark, col("embedding"), col("cvec"))))
+              .head().getDouble(0)
+            // Mean cosine DISTANCE ratio (see the object doc). The
+            // baseline floor treats distances under 0.05 as
+            // quantization noise: a near-perfectly-clustered training
+            // set (base distance ~0.01) must not report 3x drift on a
+            // batch that is still excellently assigned (distance 0.03).
+            (1.0 - newSim) / math.max(1.0 - baseSim, 0.05)
+          }
+        GraftCatalog.patchTableProps(idxIdent,
+          Map(GraftCatalog.AnnWatermarkProp -> v1.toString))
+        result(nAdd, nDel, drift)
+      } finally assigned.unpersist()
+    } finally feed.unpersist()
   }
 }
 

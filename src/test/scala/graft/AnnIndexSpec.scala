@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Materialized IVF index lifecycle (`CALL graft.system.build_ann_index`
+  * / `refresh_ann`): posting table partitioned by list_id, incremental
+  * maintenance from the change feed (appends assigned to the SAVED
+  * centroids — no retrain, corpus never rescanned), delete/update
+  * upkeep, the drift metric, and the recall floor on a corpus grown
+  * past its trained index.
+  */
+class AnnIndexSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    s
+  }
+  import spark.implicits._
+
+  // Deterministic near-axis unit vector: axis direction + small jitter.
+  private def vec(axis: Int, j: Int, dim: Int = 8): Seq[Float] =
+    (0 until dim).map(i =>
+      if (i == axis) 1f else if (i == (axis + 1 + j % 3) % dim) 0.05f * ((j % 5) + 1) else 0f)
+
+  private def sqlArr(v: Seq[Float]): String =
+    s"array(${v.map(x => s"CAST($x AS FLOAT)").mkString(", ")})"
+
+  test("build + partition-pruned serve; refresh assigns only the append; deletes ride; idle no-op") {
+    spark.sql("DROP TABLE IF EXISTS graft.annix.src PURGE")
+    spark.sql("DROP TABLE IF EXISTS graft.annix.idx PURGE")
+    spark.sql("DROP TABLE IF EXISTS graft.annix.idx_cb PURGE")
+    spark.sql(
+      "CREATE TABLE graft.annix.src (vec_id BIGINT, label INT, embedding ARRAY<FLOAT>) USING graft")
+    // 4 clusters x 10 vectors on axes 0..3.
+    val rows = (for (a <- 0 until 4; j <- 0 until 10)
+      yield s"(${a * 10 + j + 1}, $a, ${sqlArr(vec(a, j))})").mkString(", ")
+    spark.sql(s"INSERT INTO graft.annix.src VALUES $rows")
+    val built = spark.sql(
+      "CALL graft.system.build_ann_index('annix.src', 'annix', 'idx', 4, 3)").head()
+    assert(built.getLong(1) == 40L && built.getLong(2) == 4L, s"build: $built")
+    assert(built.getDouble(3) > 0.9, s"tight clusters => high base_sim, got $built")
+    // The posting table is PARTITIONED by list_id (the probe-prune key).
+    assert(spark.sql("SELECT count(distinct list_id) FROM graft.annix.idx")
+      .as[Long].head() == 4L)
+    // Serve: nearest to a clean axis-2 query is an axis-2 cluster member.
+    val q2 = Seq(Tuple1(vec(2, 0))).toDF("qe")
+    val top = graft.queries.SimilarityQueries
+      .ivfIndexedTopK(spark, "graft.annix.idx", q2, nprobe = 1, limit = 10)
+      .collect()
+    assert(top.forall(_.getInt(1) == 2), s"nprobe=1 must serve only list-2 members: ${top.toSeq}")
+    // Idle refresh: true no-op.
+    val idle = spark.sql("CALL graft.system.refresh_ann('annix', 'idx')").head()
+    assert(idle.getLong(1) == 0L && idle.getLong(2) == 0L && idle.getDouble(3) == 1.0 &&
+      !idle.getBoolean(4), s"idle refresh: $idle")
+    // APPEND two axis-1 vectors; refresh assigns ONLY them (no retrain).
+    spark.sql(s"INSERT INTO graft.annix.src VALUES (101, 1, ${sqlArr(vec(1, 7))}), " +
+      s"(102, 1, ${sqlArr(vec(1, 8))})")
+    val r1 = spark.sql("CALL graft.system.refresh_ann('annix', 'idx')").head()
+    assert(r1.getLong(1) == 2L && r1.getLong(2) == 0L, s"append refresh: $r1")
+    assert(!r1.getBoolean(4), s"same-distribution batch must not recommend retrain: $r1")
+    assert(spark.sql("SELECT count(*) FROM graft.annix.idx").as[Long].head() == 42L)
+    assert(spark.sql("SELECT list_id FROM graft.annix.idx WHERE vec_id = 101")
+      .as[Long].head() ==
+      spark.sql("SELECT list_id FROM graft.annix.idx WHERE vec_id = 11").as[Long].head(),
+      "appended axis-1 vector joins the axis-1 list of the SAVED codebook")
+    // DELETE from the source; refresh removes it from the index.
+    spark.sql("DELETE FROM graft.annix.src WHERE vec_id = 101")
+    val r2 = spark.sql("CALL graft.system.refresh_ann('annix', 'idx')").head()
+    assert(r2.getLong(2) == 1L && r2.getLong(1) == 0L, s"delete refresh: $r2")
+    assert(spark.sql("SELECT count(*) FROM graft.annix.idx WHERE vec_id = 101")
+      .as[Long].head() == 0L)
+    // UPDATE moves a vector between clusters; refresh re-lists it.
+    spark.sql(s"UPDATE graft.annix.src SET embedding = ${sqlArr(vec(3, 1))}, label = 3 " +
+      "WHERE vec_id = 102")
+    val r3 = spark.sql("CALL graft.system.refresh_ann('annix', 'idx')").head()
+    assert(r3.getLong(1) == 1L && r3.getLong(2) == 1L, s"update refresh: $r3")
+    assert(spark.sql("SELECT list_id FROM graft.annix.idx WHERE vec_id = 102")
+      .as[Long].head() ==
+      spark.sql("SELECT list_id FROM graft.annix.idx WHERE vec_id = 31").as[Long].head(),
+      "updated vector re-assigned to its NEW cluster's list")
+    spark.sql("DROP TABLE graft.annix.idx PURGE")
+    spark.sql("DROP TABLE graft.annix.idx_cb PURGE")
+    spark.sql("DROP TABLE graft.annix.src PURGE")
+  }
+
+  test("drift: an off-distribution batch raises drift_ratio and recommends retrain") {
+    spark.sql("DROP TABLE IF EXISTS graft.annix.dsrc PURGE")
+    spark.sql("DROP TABLE IF EXISTS graft.annix.didx PURGE")
+    spark.sql("DROP TABLE IF EXISTS graft.annix.didx_cb PURGE")
+    spark.sql(
+      "CREATE TABLE graft.annix.dsrc (vec_id BIGINT, label INT, embedding ARRAY<FLOAT>) USING graft")
+    val rows = (for (a <- 0 until 2; j <- 0 until 8)
+      yield s"(${a * 8 + j + 1}, $a, ${sqlArr(vec(a, j))})").mkString(", ")
+    spark.sql(s"INSERT INTO graft.annix.dsrc VALUES $rows")
+    spark.sql("CALL graft.system.build_ann_index('annix.dsrc', 'annix', 'didx', 2, 3)")
+    // The new batch lives on axes the codebook has never seen
+    // (near-orthogonal to both centroids) => mean assignment sim
+    // collapses => drift_ratio >> RetrainThreshold.
+    val far = (0 until 4).map(j => s"(${200 + j}, 9, ${sqlArr(vec(6, j))})").mkString(", ")
+    spark.sql(s"INSERT INTO graft.annix.dsrc VALUES $far")
+    val r = spark.sql("CALL graft.system.refresh_ann('annix', 'didx')").head()
+    assert(r.getLong(1) == 4L, s"drift refresh: $r")
+    assert(r.getDouble(3) > 1.25 && r.getBoolean(4),
+      s"orthogonal batch must recommend retrain: $r")
+    spark.sql("DROP TABLE graft.annix.didx PURGE")
+    spark.sql("DROP TABLE graft.annix.didx_cb PURGE")
+    spark.sql("DROP TABLE graft.annix.dsrc PURGE")
+  }
+
+  test("recall floor holds on a corpus GROWN past its trained index (sf0.01)") {
+    val dir = "/root/testdata/sf0.01"
+    spark.sql("DROP TABLE IF EXISTS graft.annix.grow PURGE")
+    spark.sql("DROP TABLE IF EXISTS graft.annix.gidx PURGE")
+    spark.sql("DROP TABLE IF EXISTS graft.annix.gidx_cb PURGE")
+    val e = graft.Tables.embeddings(spark, dir)
+    // The query (vec_id 0) stays in the TRAINED base — the k-lowest-id
+    // seeding anchors a centroid near it, the same structure the
+    // SimilaritySpec natural-recall floor (ivfTopK trains on the full
+    // corpus) relies on. The held-out third is pure growth.
+    e.filter(col("vec_id") % 3 =!= 1).createOrReplaceTempView("annix_grow_base")
+    spark.sql(
+      """CREATE TABLE graft.annix.grow USING graft AS
+        |SELECT vec_id, label, embedding FROM annix_grow_base""".stripMargin)
+    spark.sql("CALL graft.system.build_ann_index('annix.grow', 'annix', 'gidx', 16, 3)")
+    // Grow by the held-out third (same distribution), index it with the
+    // OLD centroids — the no-retrain path a daily ingest would take.
+    e.filter(col("vec_id") % 3 === 1).createOrReplaceTempView("annix_grow_new")
+    spark.sql("INSERT INTO graft.annix.grow SELECT vec_id, label, embedding FROM annix_grow_new")
+    val r = spark.sql("CALL graft.system.refresh_ann('annix', 'gidx')").head()
+    assert(r.getLong(1) > 0, s"grow refresh: $r")
+    assert(!r.getBoolean(4), s"same-distribution growth must not demand retrain: $r")
+    // Recall@10 of the indexed serve vs brute force over the FULL
+    // grown corpus — the SimilaritySpec floor, held WITHOUT retrain.
+    val exact = graft.queries.SimilarityQueries.l3CosineTopK.fn(spark, dir)
+      .select("vec_id").as[Long].collect().toSet
+    val q = spark.table("graft.annix.grow").filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"))
+    val got = graft.queries.SimilarityQueries
+      .ivfIndexedTopK(spark, "graft.annix.gidx", q)
+      .select("vec_id").as[Long].collect().toSet
+    info(s"grown-corpus indexed recall@10 = ${(exact & got).size}/10")
+    assert((exact & got).size >= 8, s"recall ${(exact & got).size}/10")
+    spark.sql("DROP TABLE graft.annix.gidx PURGE")
+    spark.sql("DROP TABLE graft.annix.gidx_cb PURGE")
+    spark.sql("DROP TABLE graft.annix.grow PURGE")
+  }
+}
