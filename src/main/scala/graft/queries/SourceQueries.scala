@@ -2054,6 +2054,66 @@ object SourceQueries {
         |ORDER BY seg""".stripMargin)
   }
 
+  /** X26: `CALL graft.system.verify_constraints` — the scan that makes
+    * INFORMATIONAL constraints trustworthy. UNIQUE / PRIMARY KEY /
+    * FOREIGN KEY are accepted NOT ENFORCED (warehouse convention), so
+    * violations can land silently; the procedure reports them per
+    * constraint. Fixture plants one PK duplicate (custkey 1 re-
+    * inserted), a natural mass of UNIQUE(seg, nk) duplicates, and one
+    * dangling FK key (nk=999, no such nation). DuckDB recomputes all
+    * three counts from the same base algebra — a missed duplicate, a
+    * NULL-handling slip (UNIQUE ignores NULL keys, PK counts them), or
+    * an FK probe that drops a violation flips the hash.
+    */
+  val x26VerifyConstraints: Q = Q(
+    "x26_verify_constraints",
+    """WITH base AS (
+      |  SELECT CAST(c_custkey AS BIGINT) AS k, CAST(c_nationkey AS BIGINT) AS nk,
+      |         c_mktsegment AS seg
+      |  FROM customer
+      |  UNION ALL SELECT 1, 0, 'BUILDING'
+      |  UNION ALL SELECT 9999999, 999, 'NOWHERE'),
+      |pk AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS v
+      |       FROM (SELECT count(*) AS n FROM base GROUP BY k HAVING count(*) > 1)),
+      |uq AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS v
+      |       FROM (SELECT count(*) AS n FROM base GROUP BY seg, nk HAVING count(*) > 1)),
+      |fk AS (SELECT CAST(count(*) AS BIGINT) AS v FROM base
+      |       WHERE nk NOT IN (SELECT CAST(n_nationkey AS BIGINT) FROM nation))
+      |SELECT * FROM (
+      |  SELECT 'vc_fk' AS constraint_name, 'FOREIGN KEY' AS kind,
+      |         (SELECT v FROM fk) AS violations, (SELECT v FROM fk) = 0 AS ok
+      |  UNION ALL SELECT 'vc_pk', 'PRIMARY KEY', (SELECT v FROM pk), (SELECT v FROM pk) = 0
+      |  UNION ALL SELECT 'vc_uniq', 'UNIQUE', (SELECT v FROM uq), (SELECT v FROM uq) = 0)
+      |ORDER BY constraint_name""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.functions.col
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.customer(spark, dir).createOrReplaceTempView("x26_customer_src")
+    Tables.nation(spark, dir).createOrReplaceTempView("x26_nation_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.vc PURGE")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.vnat PURGE")
+    spark.sql(
+      """CREATE TABLE graft.demo.vnat USING graft AS
+        |SELECT CAST(n_nationkey AS BIGINT) AS n_key FROM x26_nation_src""".stripMargin)
+    spark.sql(
+      """CREATE TABLE graft.demo.vc
+        |  (k BIGINT, nk BIGINT, seg STRING,
+        |   CONSTRAINT vc_pk PRIMARY KEY (k) NOT ENFORCED,
+        |   CONSTRAINT vc_uniq UNIQUE (seg, nk) NOT ENFORCED,
+        |   CONSTRAINT vc_fk FOREIGN KEY (nk) REFERENCES graft.demo.vnat (n_key)
+        |     NOT ENFORCED)
+        |USING graft""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.vc
+        |SELECT CAST(c_custkey AS BIGINT), CAST(c_nationkey AS BIGINT), c_mktsegment
+        |FROM x26_customer_src""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft.demo.vc VALUES (1, 0, 'BUILDING'), (9999999, 999, 'NOWHERE')")
+    spark.sql("CALL graft.system.verify_constraints('demo', 'vc')")
+      .select(col("constraint").as("constraint_name"), col("kind"),
+        col("violations"), col("ok"))
+      .orderBy("constraint_name")
+  }
+
   val all: Seq[Q] = Seq(
     s2ParquetRoundtrip, s3CsvSource, s3JsonSource, s6CacheReuse,
     s7PartitionedSink, s8OrcRoundtrip, x1ScalarUdf, x3Generator, x4Dsv2Source,
@@ -2067,5 +2127,5 @@ object SourceQueries {
     x13Upsert, x14MetadataTables, x15RemoveOrphans, x16RowLineage, x17Undrop,
     x18Identity, x19Generated, x20Retention, x21ColumnDefaults,
     x22MergeSchemaEvolution, x23CopyInto, x24ScopedCompact,
-    x25NestedEvolution, x25bDeepEvolution)
+    x25NestedEvolution, x25bDeepEvolution, x26VerifyConstraints)
 }

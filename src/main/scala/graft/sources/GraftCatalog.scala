@@ -1140,7 +1140,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         Identifier.of(namespace, "sync_identity"),
         Identifier.of(namespace, "copy_into"),
         Identifier.of(namespace, "build_ann_index"),
-        Identifier.of(namespace, "refresh_ann"))
+        Identifier.of(namespace, "refresh_ann"),
+        Identifier.of(namespace, "verify_constraints"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): procedures.UnboundProcedure =
@@ -1184,6 +1185,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       GraftBuildAnnIndexProcedure
     else if (ident.namespace.sameElements(Array("system")) && ident.name == "refresh_ann")
       GraftRefreshAnnProcedure
+    else if (ident.namespace.sameElements(Array("system")) && ident.name == "verify_constraints")
+      GraftVerifyConstraintsProcedure
     else throw new UnsupportedOperationException(s"no such procedure: $ident")
 
   // ---- ViewCatalog: persistent SQL views resolved through the ----
@@ -2641,6 +2644,15 @@ object GraftCatalog {
     * `properties()` is served off the loaded table which may outlive a
     * concurrent DROP; an empty map is the honest degraded answer).
     */
+  /** Declared constraints of a live table (verify_constraints input). */
+  private[sources] def constraintsOf(ident: Identifier)
+      : Vector[org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
+    ensureLoaded()
+    val e = store.get(ident)
+    if (e == null) throw new NoSuchTableException(ident)
+    e.constraints
+  }
+
   private[sources] def tablePropsJava(ident: Identifier): util.Map[String, String] = {
     ensureLoaded()
     val e = store.get(ident)
@@ -6229,6 +6241,117 @@ private[graft] object GraftRefreshAnnProcedure
         result(nAdd, nDel, drift)
       } finally assigned.unpersist()
     } finally feed.unpersist()
+  }
+}
+
+/** `CALL graft.system.verify_constraints(ns, table)` — make
+  * INFORMATIONAL constraints trustworthy: UNIQUE / PRIMARY KEY /
+  * FOREIGN KEY are accepted NOT ENFORCED (the warehouse convention —
+  * enforcing them on every write would serialize ingest), so nothing
+  * stops a loader from violating one. This procedure SCANS for
+  * violations and reports one row per declared constraint:
+  * (constraint, kind, violations, ok). Semantics follow the SQL
+  * standard: UNIQUE ignores keys with any NULL column; PRIMARY KEY
+  * counts NULL key rows AS violations (PK implies NOT NULL); FOREIGN
+  * KEY counts non-null keys with no match in the referenced table;
+  * CHECK (already write-enforced, re-verified here for hand-edited or
+  * restored data) counts rows where the predicate is FALSE (NULL
+  * passes). Scale shape: every scan projects ONLY the key columns
+  * (column pruning reaches the segment reader), duplicates aggregate
+  * with map-side partial counts, and the FK probe is a key-only anti
+  * join — never a row-wide shuffle.
+  */
+private[graft] object GraftVerifyConstraintsProcedure
+    extends procedures.UnboundProcedure with procedures.BoundProcedure {
+  import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
+  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+  import org.apache.spark.sql.connector.catalog.constraints.{
+    Check, ForeignKey, PrimaryKey, Unique}
+
+  override def name(): String = "verify_constraints"
+  override def description(): String =
+    "verify_constraints(ns, table): scan for violations of declared (incl. informational) " +
+      "constraints"
+  override def bind(inputType: StructType): procedures.BoundProcedure = this
+  override def isDeterministic: Boolean = false // reads live table state
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("ns", StringType).comment("namespace").build(),
+    ProcedureParameter.in("table", StringType).comment("table name").build())
+
+  private val outSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("constraint", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("kind", StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("violations", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("ok", BooleanType, nullable = false)))
+
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, not, sum}
+    val ns = input.getUTF8String(0).toString
+    val table = input.getUTF8String(1).toString
+    val spark = org.apache.spark.sql.SparkSession.active
+    val catName = GraftCatalog.sessionCatalogName(spark, "verify_constraints")
+    val ident = Identifier.of(Array(ns), table)
+    val df = spark.table(s"$catName.$ns.$table")
+
+    // Rows PARTICIPATING in a duplicate key group (sum of group sizes
+    // over groups with >1), keys with NULLs excluded per SQL UNIQUE.
+    def dupRows(cols: Seq[String]): Long =
+      df.select(cols.map(col): _*)
+        .filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
+        .groupBy(cols.map(col): _*).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+
+    def nullKeyRows(cols: Seq[String]): Long =
+      df.filter(cols.map(c => col(c).isNull).reduce(_ || _)).count()
+
+    val rows: Seq[(String, String, Long)] =
+      GraftCatalog.constraintsOf(ident).map {
+        case u: Unique =>
+          (u.name(), "UNIQUE", dupRows(u.columns().toSeq.map(_.toString)))
+        case p: PrimaryKey =>
+          val cols = p.columns().toSeq.map(_.toString)
+          (p.name(), "PRIMARY KEY", dupRows(cols) + nullKeyRows(cols))
+        case f: ForeignKey =>
+          val cols = f.columns().toSeq.map(_.toString)
+          val ref = f.referencedTable()
+          val refCols = f.referencedColumns().toSeq.map(_.toString)
+          // Key-only anti probe: both sides project just the keys, the
+          // referenced side deduplicates before the join. The stored
+          // identifier may or may not carry the catalog prefix
+          // (parser-dependent) — resolve as written, then catalog-
+          // qualified.
+          val refName = (ref.namespace() :+ ref.name()).mkString(".")
+          val refTable =
+            try spark.table(refName)
+            catch { case _: org.apache.spark.sql.AnalysisException =>
+              spark.table(s"$catName.$refName") }
+          val refDf = refTable.select(refCols.map(col): _*).distinct()
+          val probe = df.select(cols.map(col): _*)
+            .filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
+          val cond = cols.zip(refCols)
+            .map { case (a, b) => probe(a) === refDf(b) }.reduce(_ && _)
+          (f.name(), "FOREIGN KEY", probe.join(refDf, cond, "left_anti").count())
+        case c: Check =>
+          // Violation iff the predicate is FALSE — NULL passes (SQL).
+          (c.name(), "CHECK",
+            df.filter(not(coalesce(expr(c.predicateSql()), lit(true)))).count())
+        case other =>
+          (other.name(), other.getClass.getSimpleName.toUpperCase(java.util.Locale.ROOT),
+            -1L) // unknown kind: surfaced, never silently "ok"
+      }.sortBy(_._1)
+
+    val out: Array[InternalRow] = rows.map { case (n, kind, v) =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString(n),
+        org.apache.spark.unsafe.types.UTF8String.fromString(kind),
+        v, v == 0L)): InternalRow
+    }.toArray
+    java.util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = out
+      override def readSchema(): StructType = outSchema
+      override def description(): String = s"GraftVerifyConstraintsResult($ns.$table)"
+    }).iterator()
   }
 }
 

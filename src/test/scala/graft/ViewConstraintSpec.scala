@@ -109,6 +109,47 @@ class ViewConstraintSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("NEW_CHECK_CONSTRAINT_VIOLATION"), e3.getMessage)
   }
 
+  test("verify_constraints: clean table reports ok; planted violations are counted per kind") {
+    spark.sql("DROP TABLE IF EXISTS graft.cn.vt PURGE")
+    spark.sql("DROP TABLE IF EXISTS graft.cn.vref PURGE")
+    spark.sql("CREATE TABLE graft.cn.vref (r BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.cn.vref VALUES (1), (2), (3)")
+    spark.sql(
+      """CREATE TABLE graft.cn.vt
+        |  (k BIGINT, r BIGINT, v DOUBLE,
+        |   CONSTRAINT vt_pk PRIMARY KEY (k) NOT ENFORCED,
+        |   CONSTRAINT vt_uq UNIQUE (v) NOT ENFORCED,
+        |   CONSTRAINT vt_fk FOREIGN KEY (r) REFERENCES graft.cn.vref (r) NOT ENFORCED,
+        |   CONSTRAINT vt_ck CHECK (v < 100.0))
+        |USING graft""".stripMargin)
+    spark.sql("INSERT INTO graft.cn.vt VALUES (1, 1, 0.5), (2, 2, 1.5), (3, NULL, NULL)")
+    def report(): Map[String, (String, Long, Boolean)] =
+      spark.sql("CALL graft.system.verify_constraints('cn', 'vt')")
+        .collect()
+        .map(x => x.getString(0) -> ((x.getString(1), x.getLong(2), x.getBoolean(3))))
+        .toMap
+    val clean = report()
+    assert(clean.size == 4 && clean.values.forall(c => c._2 == 0L && c._3),
+      s"clean table must report every constraint ok: $clean")
+    // UNIQUE ignores NULL keys (row 3's NULL v is not a violation) —
+    // already proven by `clean`. Now plant one violation per kind:
+    // k=1 duplicated (PK), v=0.5 duplicated (UNIQUE), r=9 dangling (FK).
+    spark.sql("INSERT INTO graft.cn.vt VALUES (1, 9, 0.5)")
+    // (A NULL PK key cannot be planted through writes — declaring
+    // PRIMARY KEY makes the column non-nullable and Spark asserts it
+    // at insert; the procedure's NULL-key accounting stays as defense
+    // for out-of-band data.)
+    val bad = report()
+    assert(bad("vt_pk") == (("PRIMARY KEY", 2L, false)),
+      s"k=1 appears twice: $bad")
+    assert(bad("vt_uq") == (("UNIQUE", 2L, false)), s"two rows share v=0.5: $bad")
+    assert(bad("vt_fk") == (("FOREIGN KEY", 1L, false)), s"one dangling r=9: $bad")
+    assert(bad("vt_ck") == (("CHECK", 0L, true)),
+      s"CHECK is write-enforced; still clean: $bad")
+    spark.sql("DROP TABLE graft.cn.vt PURGE")
+    spark.sql("DROP TABLE graft.cn.vref PURGE")
+  }
+
   test("view cycle (A->B->A) fails with an explicit recursive-view error") {
     spark.sql("DROP VIEW IF EXISTS graft.cyc.a")
     spark.sql("DROP VIEW IF EXISTS graft.cyc.b")
