@@ -5,31 +5,51 @@ import graft.multimodal.Multimodal
 import org.apache.spark.sql.functions._
 
 /** L6 multimodal operators as registry rows. The decode row IS
-  * oracle-matched: the stub codec is deterministic on the payload
-  * bytes, so DuckDB can recompute it — the differential check covers
-  * the whole path (payload struct → partition-batched decode → feature
-  * rows). documents.text is ASCII in the judged data, so byte i ==
-  * char i in the oracle's arithmetic.
+  * oracle-matched AGAINST REAL HEADER PARSING: the fixture synthesizes
+  * genuine PNG / JPEG / GIF / WAV container headers (exact byte
+  * layouts) whose dimensions are closed formulas of doc_id, the
+  * operator sniffs mime/width/height/channels/frames from the BYTES
+  * (`Multimodal.sniff` — magic detection, marker walking, chunk
+  * walking), and DuckDB recomputes the same fields from the generating
+  * formulas — a sniffer that misreads an offset, walks a segment
+  * wrong, or trusts the declared mime flips the hash.
   */
 object MultimodalQueries {
 
-  /** L6: binary payload decode + feature extraction via batched
-    * mapPartitions (see Multimodal.decodeFeatures).
+  /** L6: binary payload sniff + feature extraction via batched
+    * mapPartitions (see Multimodal.decodeFeatures). The declared mime
+    * is a LIE ('application/octet-stream') on purpose: the emitted
+    * mime must come from the magic bytes.
     */
   val l6Decode: Q = Q(
     "l6_multimodal_decode",
     """SELECT doc_id,
-      |  'application/octet-stream' AS mime,
-      |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-      |  CAST(16 + (ascii(substring(text, 1, 1)) % 16) * 16 AS INT) AS width,
-      |  CAST(16 + (ascii(substring(text, length(text), 1)) % 16) * 16 AS INT) AS height,
-      |  CAST(1 + octet_length(encode(text)) % 3 AS INT) AS n_channels,
-      |  CAST(1 + octet_length(encode(text)) % 8 AS INT) AS n_frames
+      |  CASE CAST(doc_id % 4 AS INT)
+      |    WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+      |    WHEN 2 THEN 'image/gif' ELSE 'audio/wav' END AS mime,
+      |  CAST(256 AS INT) AS n_bytes,
+      |  CAST(CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 32 + (doc_id % 100) * 7 END AS INT)
+      |    AS width,
+      |  CAST(CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 24 + (doc_id % 57) * 11 END AS INT)
+      |    AS height,
+      |  CAST(CASE CAST(doc_id % 4 AS INT)
+      |    WHEN 0 THEN 3 + (doc_id % 2) WHEN 3 THEN 1 + (doc_id % 2)
+      |    ELSE 3 END AS INT) AS n_channels,
+      |  CAST(CASE WHEN doc_id % 4 = 3 THEN 1000 + (doc_id % 100) * 4 ELSE 1 END AS INT)
+      |    AS n_frames
       |FROM documents
       |WHERE doc_id < 50
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 50)
-    Multimodal.decodeFeatures(Multimodal.withPayload(docs))
+    import org.apache.spark.sql.functions.udf
+    val media = udf((id: Long) => Multimodal.syntheticMedia(id)) // fixture synth only
+    val withPayloads = Tables.documents(spark, dir).filter(col("doc_id") < 50)
+      .select(
+        col("doc_id"),
+        struct(
+          media(col("doc_id")).as("content"),
+          lit("application/octet-stream").as("mime"), // deliberately wrong
+          concat(lit("mem://media/"), col("doc_id")).as("uri")).as("payload"))
+    Multimodal.decodeFeatures(withPayloads)
       .toDF()
       .orderBy(col("doc_id"))
   }

@@ -25,15 +25,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(row.getString(1) == "mem://documents/2")
   }
 
-  test("decodeFeatures matches the stub codec applied directly") {
+  test("sniff parses real PNG / JPEG / GIF / WAV headers byte-for-byte") {
+    // PNG, colour type 2 (rgb) and 6 (rgba) via the synthetic generator
+    // (docId 0 -> PNG ct=2; docId 4 -> PNG ct=6... docId%2 picks it).
+    val png = Multimodal.sniff(Multimodal.syntheticMedia(0L))
+    assert(png == Multimodal.MediaMeta("image/png", 32, 24, 3, 1, ok = true), s"$png")
+    val png4 = Multimodal.sniff(Multimodal.syntheticMedia(8L)) // 8%2=0 -> ct 2
+    assert(png4.mime == "image/png" && png4.width == 32 + 8 * 7 &&
+      png4.height == 24 + 8 * 11 && png4.nChannels == 3, s"$png4")
+    // docId%4==0 forces an even docId, so the generator never emits
+    // colour type 6 — patch one in by hand to cover the rgba mapping:
+    val rgba = {
+      val b = Multimodal.syntheticMedia(0L).clone()
+      b(25) = 6 // colour type rgba
+      Multimodal.sniff(b)
+    }
+    assert(rgba.nChannels == 4, s"$rgba")
+    // JPEG: marker walk skips APP0 and lands on SOF0.
+    val jpg = Multimodal.sniff(Multimodal.syntheticMedia(1L))
+    assert(jpg == Multimodal.MediaMeta(
+      "image/jpeg", 32 + 7, 24 + 11, 3, 1, ok = true), s"$jpg")
+    // GIF: little-endian screen dims.
+    val gif = Multimodal.sniff(Multimodal.syntheticMedia(2L))
+    assert(gif == Multimodal.MediaMeta(
+      "image/gif", 32 + 14, 24 + 22, 3, 1, ok = true), s"$gif")
+    // WAV: chunk walk finds fmt + data; frames = data bytes / block align.
+    val wav = Multimodal.sniff(Multimodal.syntheticMedia(3L))
+    assert(wav == Multimodal.MediaMeta(
+      "audio/wav", 0, 0, 2, 1000 + 3 * 4, ok = true), s"$wav")
+    // Unknown magic and truncated headers degrade, never throw.
+    assert(!Multimodal.sniff("just some text".getBytes("UTF-8")).ok)
+    assert(!Multimodal.sniff(Array[Byte]()).ok)
+    assert(!Multimodal.sniff(Multimodal.syntheticMedia(0L).take(10)).ok,
+      "truncated PNG must not parse")
+    assert(!Multimodal.sniff(Multimodal.syntheticMedia(3L).take(20)).ok,
+      "truncated WAV must not parse")
+  }
+
+  test("decodeFeatures sniffs mime from bytes; unrecognized falls back to declared") {
     val out = Multimodal.decodeFeatures(Multimodal.withPayload(docs))
       .collect().map(r => r.doc_id -> r).toMap
+    // Text payloads carry no media magic: ok=false zeros, declared mime kept.
     for ((id, text) <- Seq((1L, "a" * 200), (2L, "xyz"), (3L, "b" * 64))) {
-      val m = Multimodal.decodeStub(text.getBytes("UTF-8"))
       val r = out(id)
-      assert((r.width, r.height, r.n_channels, r.n_frames) ==
-        (m.width, m.height, m.nChannels, m.nFrames), s"doc $id")
-      assert(r.n_bytes == text.length)
+      assert(r.mime == "application/octet-stream" && r.n_bytes == text.length)
+      assert((r.width, r.height, r.n_channels, r.n_frames) == ((0, 0, 0, 0)), s"doc $id")
     }
   }
 
