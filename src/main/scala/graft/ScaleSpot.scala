@@ -79,40 +79,89 @@ object ScaleSpot {
       errors(name) = "pick not in the query registry (renamed?)"
       System.err.println(s"[scale-spot] pick $name missing from registry")
     }
-    val times = chosen.flatMap { name =>
-      qs.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try { fn(spark, outDir).count(); () }
-        catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(160)
-          System.err.println(s"[scale-spot] $name FAILED: ${e.getMessage}")
-        }
-        // Clock stops BEFORE cleanup (the Bench discipline) — billing
-        // cache-clear to the query would inflate rows that follow
-        // persist-heavy ones relative to the sf0.1 numbers they are
-        // compared against.
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
-        name -> elapsed
+    def timeOnce(fn: (SparkSession, String) => DataFrame, name: String): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, outDir).count(); () }
+      catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(160)
+        System.err.println(s"[scale-spot] $name FAILED: ${e.getMessage}")
+      }
+      // Clock stops BEFORE cleanup (the Bench discipline) — billing
+      // cache-clear to the query would inflate rows that follow
+      // persist-heavy ones relative to the sf0.1 numbers they are
+      // compared against.
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+      elapsed
+    }
+    var times = chosen.flatMap { name =>
+      qs.get(name).map(fn => name -> timeOnce(fn, name))
+    }.toMap
+    // SCALING CEILING: each query's sf1 time must stay within
+    // `Ceiling` × linear of its committed sf0.1 median (bench_full
+    // .json). Single-shot sf1 samples are noisy — a first-invocation
+    // fixture build or suite contention reads as fake super-linearity
+    // (r12's a10_pivot "×13.6" was 4.6 s cold vs 0.38 s steady) — so a
+    // suspect re-runs up to `Retries` more times and the MIN decides.
+    // Sub-`AbsFloor` rows never flag: a 0.3 s query tripling is noise,
+    // not a scale regression.
+    val ceiling = sys.env.get("SPARK_GRAFT_SCALE_CEILING")
+      .flatMap(_.toDoubleOption).getOrElse(2.0)
+    val AbsFloor = 3.0
+    val Retries = 2
+    val baseline: Map[String, Double] =
+      try {
+        val row = spark.read.json("bench_full.json").select(col("queries.*")).head()
+        row.schema.fieldNames.zipWithIndex.map { case (n, i) =>
+          n -> (row.get(i) match {
+            case d: java.lang.Double => d.doubleValue()
+            case l: java.lang.Long => l.toDouble
+            case other => Option(other).map(_.toString.toDouble).getOrElse(0.0)
+          })
+        }.toMap
+      } catch { case e: Throwable =>
+        System.err.println(s"[scale-spot] no sf0.1 baseline (bench_full.json): $e")
+        Map.empty
+      }
+    def ratioOf(name: String, t: Double): Option[Double] =
+      baseline.get(name).filter(_ > 0).map(b => t / (Copies * b))
+    val violations = scala.collection.mutable.SortedMap[String, Double]()
+    chosen.filter(n => qs.contains(n) && !errors.contains(n)).foreach { name =>
+      var t = times(name)
+      var tries = 0
+      while (t > AbsFloor && ratioOf(name, t).exists(_ > ceiling) && tries < Retries) {
+        System.err.println(f"[scale-spot] $name ${t}%.2fs over ${ceiling}x linear — re-running")
+        t = math.min(t, timeOnce(qs(name), name))
+        tries += 1
+      }
+      times = times.updated(name, t)
+      if (t > AbsFloor) ratioOf(name, t).filter(_ > ceiling).foreach { r =>
+        violations(name) = math.rint(r * 100) / 100
+        System.err.println(f"[scale-spot] VIOLATION $name: ${t}%.2fs = $r%.2fx linear")
       }
     }
     def jstr(s: String) = Q.jstr(s)
-    val qjson = times.map { case (k, v) =>
-      s"${jstr(k)}:${math.rint(v * 1000) / 1000}"
+    val ordered = chosen.filter(times.contains)
+    val qjson = ordered.map { k =>
+      s"${jstr(k)}:${math.rint(times(k) * 1000) / 1000}"
     }.mkString("{", ",", "}")
-    val total = math.rint(times.map(_._2).sum * 1000) / 1000
+    val rjson = ordered.flatMap(k => ratioOf(k, times(k)).map(r =>
+      s"${jstr(k)}:${math.rint(r * 100) / 100}")).mkString("{", ",", "}")
+    val vjson = violations.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val total = math.rint(ordered.map(times).sum * 1000) / 1000
     val ejson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val all = sys.env.contains("SPARK_GRAFT_SCALE_ALL")
     val metric = if (all) "scale_full_total" else "scale_spot_total"
     val line =
-      s"""{"metric":"$metric","value":$total,"unit":"sec","copies":$Copies,"base":${jstr(baseDir)},"errors":$ejson,"queries":$qjson}"""
+      s"""{"metric":"$metric","value":$total,"unit":"sec","copies":$Copies,"base":${jstr(baseDir)},"ceiling":$ceiling,"violations":$vjson,"errors":$ejson,"ratios":$rjson,"queries":$qjson}"""
     println(line)
     val w = new java.io.PrintWriter(
       if (all) "bench_scale_full.json" else "bench_scale_spot.json")
     try w.println(line) finally w.close()
     spark.stop()
+    if (errors.nonEmpty || violations.nonEmpty) sys.exit(1)
   }
 
   /** Stage the 10× slice (idempotent: skips when the marker matches). */
