@@ -341,6 +341,17 @@ class CdcReplaySpec extends AnyFunSuite {
       assert(tableRows("") == baseState,
         s"main drifted during branch work (seed=$seed)\nops:\n${log.mkString("\n")}")
     }
+    // Guarantee OUTSTANDING equality deletes at the publish (the X13
+    // merge-on-read shape): one upsert commit lands last, with no
+    // compaction after it — publish must shift the eq-deletes' seqs
+    // into main's version domain, or they would either stop masking
+    // their pre-images or start eating post-publish appends.
+    locally {
+      import spark.implicits._
+      Seq((7L, 99L), (4L, 98L)).toDF("k", "v")
+        .writeTo(B).option("graft.upsert.keys", "k").append()
+      log += "final upsert (7,99),(4,98) [eq-deletes outstanding at publish]"
+    }
     val branchFinal = {
       val m = emptyRows
       spark.sql(s"SELECT * FROM $B").collect().foreach { r =>
@@ -359,6 +370,51 @@ class CdcReplaySpec extends AnyFunSuite {
     assert(replica.toMap == branchFinal,
       s"main's CDC from the cut does not replay the published chain (seed=$seed)\n" +
         s"ops:\n${log.mkString("\n")}")
+    // Per-commit provenance on the PUBLISHED chain: every replayed
+    // version's diff transforms its predecessor's state exactly (not
+    // just the net) — a seq-shift slip on an eq-delete or a mispaired
+    // CoW rewrite diverges at the exact replayed commit.
+    locally {
+      val retained = spark.sql(s"SELECT version FROM $T.history")
+        .collect().map(_.getLong(0)).filter(_ > cutV).sorted
+      val state = emptyRows
+      baseState.foreach { case (key, c) => state(key) = c }
+      var prev = cutV
+      retained.foreach { v =>
+        applyDiff(state, prev, v)
+        assert(state.toMap == tableRows(s"VERSION AS OF $v"),
+          s"published chain diverged at replayed v$v (seed=$seed)\n" +
+            s"ops:\n${log.mkString("\n")}")
+        prev = v
+      }
+    }
+    // The published parent's CDC STREAM nets exactly: an AvailableNow
+    // stream from the cut (the downstream-consumer-catches-up shape)
+    // rebuilds the branch-final state on top of the base.
+    val streamed = emptyRows
+    baseState.foreach { case (key, c) => streamed(key) = c }
+    spark.readStream.format("graft-changes")
+      .option("table", "cdcrp.t").option("changesFrom", cutV.toString).load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        streamed.synchronized {
+          df.collect().foreach { r =>
+            val key = (r.getLong(0), r.getLong(1))
+            r.getString(2) match {
+              case "insert" | "update_postimage" => streamed(key) += 1
+              case _ =>
+                streamed(key) -= 1
+                if (streamed(key) == 0) streamed.remove(key)
+            }
+          }
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    assert(streamed.toMap == branchFinal,
+      s"main's CDC STREAM from the cut does not net to the published state " +
+        s"(seed=$seed)\nops:\n${log.mkString("\n")}")
     spark.sql(s"DROP TABLE $T PURGE")
   }
 
