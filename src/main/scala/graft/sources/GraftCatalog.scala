@@ -915,13 +915,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
             (base, org.apache.spark.sql.catalyst.expressions.Literal(null, add.dataType()))
         }
       case add: TableChange.AddColumn if add.fieldNames().length >= 2 =>
-        // NESTED field add (any depth), collected separately below
-        // (placeholder pair here; topAdds re-zips by arity).
+        // NESTED field add (any depth, FIRST/AFTER honored within the
+        // enclosing struct), collected separately below (placeholder
+        // pair here; topAdds re-zips by arity).
         if (add.defaultValue() != null) throw new UnsupportedOperationException(
           s"DEFAULT on a nested field (${add.fieldNames().mkString(".")}) is not supported")
-        if (add.position() != null) throw new UnsupportedOperationException(
-          s"FIRST/AFTER on a nested field (${add.fieldNames().mkString(".")}) is not " +
-            "supported — nested adds append at the end of the struct")
         (org.apache.spark.sql.types.StructField("", org.apache.spark.sql.types.NullType),
           org.apache.spark.sql.catalyst.expressions.Literal(null))
       case other =>
@@ -939,15 +937,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       case (a: TableChange.AddColumn, (f, lit)) if a.fieldNames().length == 1 =>
         (f, lit, Option(a.position()))
     }
-    // (parentPathWithinColumn, newField) per top column, in statement
-    // order — `meta.a.b` adds field `b` under path [a]; `items.element.f`
-    // adds `f` inside each array element's struct.
-    val nestedAdds: Map[String, Seq[(Seq[String], org.apache.spark.sql.types.StructField)]] =
+    // (parentPathWithinColumn, newField, position) per top column, in
+    // statement order — `meta.a.b` adds field `b` under path [a];
+    // `items.element.f` adds `f` inside each array element's struct;
+    // FIRST/AFTER splice within the ENCLOSING struct.
+    val nestedAdds: Map[String,
+        Seq[(Seq[String], org.apache.spark.sql.types.StructField,
+             Option[NestedSchema.FieldPos])]] =
       changes.collect {
         case a: TableChange.AddColumn if a.fieldNames().length >= 2 =>
           val parts = a.fieldNames().toSeq
-          parts.head -> (parts.tail.dropRight(1) ->
-            org.apache.spark.sql.types.StructField(parts.last, a.dataType(), nullable = true))
+          val pos: Option[NestedSchema.FieldPos] = Option(a.position()).map {
+            case _: TableChange.First => NestedSchema.First
+            case af: TableChange.After => NestedSchema.After(af.column())
+            case other => throw new UnsupportedOperationException(
+              s"unsupported column position $other")
+          }
+          parts.head -> ((parts.tail.dropRight(1),
+            org.apache.spark.sql.types.StructField(parts.last, a.dataType(), nullable = true),
+            pos))
       }.groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2) }
     val written = scala.collection.mutable.ArrayBuffer[Segment]()
     try {
@@ -968,15 +976,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         def addInto(colName: String,
             start: (org.apache.spark.sql.types.DataType, Expression))
             : (org.apache.spark.sql.types.DataType, Expression) =
-          nestedAdds(colName).foldLeft(start) { case ((dt, ex), (pp, kid)) =>
+          nestedAdds(colName).foldLeft(start) { case ((dt, ex), (pp, kid, pos)) =>
             val full = (colName +: pp :+ kid.name).mkString(".")
+            val edit = NestedSchema.AddFields(Seq(kid), pos)
             val ndt = NestedSchema.restructAt(dt, pp, full) { st =>
               if (st.fieldNames.contains(kid.name))
                 throw new IllegalArgumentException(s"field $full already exists")
-              StructType(st.fields :+ kid)
+              NestedSchema.editType(st, edit, full)
             }
-            (ndt, NestedSchema.rebuildExpr(
-              ex, dt, pp, NestedSchema.AddFields(Seq(kid)), full))
+            (ndt, NestedSchema.rebuildExpr(ex, dt, pp, edit, full))
           }
         // One SLOT per output column: (name, projection expr, field).
         // Old fields come first (nested adds rebuild their parent in

@@ -34,12 +34,51 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, St
   */
 private[sources] object NestedSchema {
 
+  /** Where added fields land within the enclosing struct. */
+  sealed trait FieldPos
+  case object First extends FieldPos
+  final case class After(name: String) extends FieldPos
+
   /** The struct-set edit applied at the END of a rebuild path. */
   sealed trait StructEdit
-  /** Append `kids` (backfilled NULL in existing rows). */
-  final case class AddFields(kids: Seq[StructField]) extends StructEdit
+  /** Insert `kids` (backfilled NULL in existing rows) at `pos`
+    * (None = append at the end).
+    */
+  final case class AddFields(kids: Seq[StructField], pos: Option[FieldPos] = None)
+    extends StructEdit
   /** Remove fields by name (validated present by the caller). */
   final case class DropFields(names: Set[String]) extends StructEdit
+
+  /** One slot list used by BOTH the type and the value rebuild — the
+    * two sides splice identically by construction. (field, Some(i)) =
+    * carried from source ordinal i; (field, None) = added NULL.
+    */
+  private def addSlots(
+      st: StructType, kids: Seq[StructField], pos: Option[FieldPos],
+      full: String): Seq[(StructField, Option[Int])] = {
+    val base: Seq[(StructField, Option[Int])] =
+      st.fields.toIndexedSeq.zipWithIndex.map { case (f, i) => (f, Some(i)) }
+    val added = kids.map(k => (k, None: Option[Int]))
+    pos match {
+      case None => base ++ added
+      case Some(First) => added ++ base
+      case Some(After(n)) =>
+        val i = base.indexWhere(_._1.name == n)
+        if (i < 0) throw new IllegalArgumentException(
+          s"AFTER target field $n not found in the struct at $full")
+        base.patch(i + 1, added, 0)
+    }
+  }
+
+  private def editSlots(
+      st: StructType, edit: StructEdit, full: String): Seq[(StructField, Option[Int])] =
+    edit match {
+      case DropFields(names) =>
+        st.fields.toIndexedSeq.zipWithIndex
+          .filterNot { case (f, _) => names(f.name) }
+          .map { case (f, i) => (f, Some(i)) }
+      case AddFields(kids, pos) => addSlots(st, kids, pos, full)
+    }
 
   private def badStep(dt: DataType, step: String, full: String): Nothing =
     throw new UnsupportedOperationException(
@@ -102,16 +141,7 @@ private[sources] object NestedSchema {
             s"$full does not address a struct (${other.simpleString})")
         }
         // (field, Some(sourceOrdinal)) carried; (field, None) added NULL.
-        val slots: Seq[(StructField, Option[Int])] = edit match {
-          case DropFields(names) =>
-            st.fields.toIndexedSeq.zipWithIndex
-              .filterNot { case (f, _) => names(f.name) }
-              .map { case (f, i) => (f, Some(i)) }
-          case AddFields(kids) =>
-            st.fields.toIndexedSeq.zipWithIndex
-              .map { case (f, i) => (f, Some(i): Option[Int]) } ++
-              kids.map(k => (k, None: Option[Int]))
-        }
+        val slots = editSlots(st, edit, full)
         val newSt = StructType(slots.map(_._1))
         val rebuilt = CreateNamedStruct(slots.flatMap {
           case (f, Some(i)) =>
@@ -160,9 +190,6 @@ private[sources] object NestedSchema {
       case other => throw new UnsupportedOperationException(
         s"$full does not address a struct (${other.simpleString})")
     }
-    edit match {
-      case DropFields(names) => StructType(st.fields.filterNot(f => names(f.name)))
-      case AddFields(kids) => StructType(st.fields ++ kids)
-    }
+    StructType(editSlots(st, edit, full).map(_._1))
   }
 }

@@ -40,9 +40,19 @@ class AnnIndexSpec extends AnyFunSuite {
       "CALL graft.system.build_ann_index('annix.src', 'annix', 'idx', 4, 3)").head()
     assert(built.getLong(1) == 40L && built.getLong(2) == 4L, s"build: $built")
     assert(built.getDouble(3) > 0.9, s"tight clusters => high base_sim, got $built")
-    // The posting table is PARTITIONED by list_id (the probe-prune key).
+    // The posting table is PARTITIONED by list_id (the probe-prune key),
+    // and a probe's literal list filter prunes whole partitions from
+    // the PLAN — the property that makes a query scan ~nprobe/k of the
+    // corpus instead of all of it.
     assert(spark.sql("SELECT count(distinct list_id) FROM graft.annix.idx")
       .as[Long].head() == 4L)
+    val fullScan = spark.table("graft.annix.idx").rdd.getNumPartitions
+    val lid = spark.sql("SELECT list_id FROM graft.annix.idx WHERE vec_id = 1")
+      .as[Long].head()
+    val probed = spark.table("graft.annix.idx")
+      .filter(col("list_id") === lid).rdd.getNumPartitions
+    assert(probed < fullScan && probed >= 1,
+      s"probe filter must prune to the probed list's splits ($probed of $fullScan)")
     // Serve: nearest to a clean axis-2 query is an axis-2 cluster member.
     val q2 = Seq(Tuple1(vec(2, 0))).toDF("qe")
     val top = graft.queries.SimilarityQueries

@@ -83,6 +83,33 @@ class MergeSchemaEvolutionSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.mse.n")
   }
 
+  test("WITH SCHEMA EVOLUTION adds a DEPTH-2 nested field the source carries") {
+    // The analyzer diffs source vs target struct shapes and pushes
+    // AddColumn(meta.geo.b) — the recursive path resolver must accept
+    // it mid-merge and the pre-merge era must read NULL for it.
+    spark.sql("DROP TABLE IF EXISTS graft.mse.d")
+    spark.sql(
+      "CREATE TABLE graft.mse.d (k BIGINT, meta STRUCT<geo: STRUCT<a: INT>, t: STRING>) USING graft")
+    spark.sql("INSERT INTO graft.mse.d VALUES (1, named_struct('geo', named_struct('a', 1), 't', 'x'))")
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, named_struct('geo', named_struct('a', 10, 'b', CAST(1.5 AS DOUBLE)), 't', 'y')),
+        |  (2L, named_struct('geo', named_struct('a', 20, 'b', CAST(2.5 AS DOUBLE)), 't', 'z'))
+        |AS src(k, meta)""".stripMargin).createOrReplaceTempView("mse_dsrc")
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft.mse.d t USING mse_dsrc s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.table("graft.mse.d").schema("meta").dataType.simpleString ==
+      "struct<geo:struct<a:int,b:double>,t:string>",
+      "the merge must have added meta.geo.b at depth 2")
+    val rows = spark.sql(
+      "SELECT k, meta.geo.a, meta.geo.b, meta.t FROM graft.mse.d ORDER BY k").collect()
+    assert(rows(0).getInt(1) == 10 && rows(0).getDouble(2) == 1.5)
+    assert(rows(1).getInt(1) == 20 && rows(1).getDouble(2) == 2.5)
+    spark.sql("DROP TABLE graft.mse.d")
+  }
+
   test("without the clause, the schema stays put: SET * ignores extras, explicit assignment refuses") {
     spark.sql("DROP TABLE IF EXISTS graft.mse.r")
     spark.sql("CREATE TABLE graft.mse.r (k BIGINT, v STRING) USING graft")

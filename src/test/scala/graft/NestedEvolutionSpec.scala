@@ -292,6 +292,41 @@ class NestedEvolutionSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.ne.deep PURGE")
   }
 
+  test("nested ADD honors FIRST/AFTER within the enclosing struct (any depth)") {
+    spark.sql("DROP TABLE IF EXISTS graft.ne.pos PURGE")
+    spark.sql(
+      """CREATE TABLE graft.ne.pos
+        |  (k BIGINT, meta STRUCT<a: STRUCT<x: INT, z: INT>, t: STRING>,
+        |   items ARRAY<STRUCT<p: INT, r: INT>>)
+        |USING graft""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.ne.pos VALUES
+        |(1, named_struct('a', named_struct('x', 1, 'z', 3), 't', 'u'),
+        |    array(named_struct('p', 5, 'r', 7))),
+        |(2, NULL, NULL)""".stripMargin)
+    // AFTER splices between siblings at depth 2; FIRST leads the
+    // element struct inside the array.
+    spark.sql("ALTER TABLE graft.ne.pos ADD COLUMNS (meta.a.y INT AFTER x)")
+    spark.sql("ALTER TABLE graft.ne.pos ADD COLUMNS (items.element.q INT FIRST)")
+    assert(spark.table("graft.ne.pos").schema("meta").dataType.simpleString ==
+      "struct<a:struct<x:int,y:int,z:int>,t:string>")
+    assert(spark.table("graft.ne.pos").schema("items").dataType.simpleString ==
+      "array<struct<q:int,p:int,r:int>>")
+    // Existing values stay on their (repositioned) fields; new slots NULL.
+    val r = spark.sql(
+      "SELECT meta.a.x, meta.a.y, meta.a.z, items[0].q, items[0].p, items[0].r " +
+        "FROM graft.ne.pos WHERE k = 1").head()
+    assert(r.getInt(0) == 1 && r.isNullAt(1) && r.getInt(2) == 3)
+    assert(r.isNullAt(3) && r.getInt(4) == 5 && r.getInt(5) == 7)
+    assert(spark.sql("SELECT count(*) FROM graft.ne.pos WHERE meta IS NULL")
+      .as[Long].head() == 1L, "NULL parents survive positioned adds")
+    // A positioned add whose AFTER target is missing refuses loudly.
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.ne.pos ADD COLUMNS (meta.a.w INT AFTER nope)")
+    }
+    spark.sql("DROP TABLE graft.ne.pos PURGE")
+  }
+
   test("DEEP evolution inside containers: array<struct> and map<_,struct> element fields") {
     spark.sql("DROP TABLE IF EXISTS graft.ne.cont PURGE")
     spark.sql(
