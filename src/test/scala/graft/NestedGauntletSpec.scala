@@ -195,6 +195,154 @@ class NestedGauntletSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t PURGE")
   }
 
+  /** CONTAINER-mode gauntlet: the mutated struct lives inside
+    * `items ARRAY<STRUCT<...>>` — every op rebuilds the element struct
+    * through ArrayTransform, with NULL arrays, EMPTY arrays, and NULL
+    * elements all planted and model-checked per element per field
+    * after every op.
+    */
+  private def runArray(seed: Int, depth: Int): Unit = {
+    val rnd = new Random(seed)
+    val t = s"graft.ng.arr$seed"
+    def sqlType(kind: String): String = kind match {
+      case "str" => "STRING"; case "int" => "INT"
+      case "long" => "BIGINT"; case "dbl" => "DOUBLE"
+    }
+    val fields = mutable.ArrayBuffer("f0" -> "str", "f1" -> "int")
+    // rows(k) = None (NULL array) | Some(elements), element = None
+    // (NULL element) | Some(fieldName -> value).
+    val rows = mutable.LinkedHashMap.empty[
+      Long, Option[Seq[Option[mutable.LinkedHashMap[String, Any]]]]]
+    def innerTypeSql: String =
+      s"STRUCT<${fields.map { case (n, k) => s"$n: ${sqlType(k)}" }.mkString(", ")}>"
+    spark.sql(s"DROP TABLE IF EXISTS $t PURGE")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, items ARRAY<$innerTypeSql>) USING graft")
+    var nextK = 0L
+    var nextF = 2
+    val log = mutable.ArrayBuffer[String]()
+
+    def check(): Unit = {
+      val got = spark.sql(s"SELECT k, items FROM $t ORDER BY k").collect()
+      val ctx = s"seed=$seed after:\n  ${log.mkString("\n  ")}"
+      assert(got.length == rows.size, s"row count; $ctx")
+      got.zip(rows.toSeq.sortBy(_._1)).foreach { case (r, (k, exp)) =>
+        assert(r.getLong(0) == k, s"key order; $ctx")
+        exp match {
+          case None => assert(r.isNullAt(1), s"k=$k items must be NULL; $ctx")
+          case Some(elems) =>
+            assert(!r.isNullAt(1), s"k=$k items must not be NULL; $ctx")
+            val arr = r.getSeq[org.apache.spark.sql.Row](1)
+            assert(arr.length == elems.length, s"k=$k element count; $ctx")
+            arr.zip(elems).zipWithIndex.foreach { case ((el, ee), j) =>
+              ee match {
+                case None => assert(el == null, s"k=$k[$j] must be NULL; $ctx")
+                case Some(vals) =>
+                  assert(el != null, s"k=$k[$j] must not be NULL; $ctx")
+                  fields.zipWithIndex.foreach { case ((name, kind), i) =>
+                    val expectedV = vals.get(name).orNull
+                    val gotV = if (el.isNullAt(i)) null else el.get(i)
+                    val norm = (expectedV, kind) match {
+                      case (null, _) => null
+                      case (v: Int, "long") => v.toLong
+                      case (v, _) => v
+                    }
+                    assert(gotV == norm,
+                      s"k=$k[$j] field $name (slot $i, $kind): got $gotV expected $norm; $ctx")
+                  }
+              }
+            }
+        }
+      }
+    }
+
+    def insertEra(): Unit = {
+      val n = 1 + rnd.nextInt(4)
+      val sqlRows = (0 until n).map { _ =>
+        val k = nextK; nextK += 1
+        if (rnd.nextInt(5) == 0) { rows(k) = None; s"($k, NULL)" }
+        else {
+          val m = rnd.nextInt(4) // 0..3 elements (0 = EMPTY array)
+          val elems = (0 until m).map { _ =>
+            if (rnd.nextInt(6) == 0) None
+            else {
+              val vals = mutable.LinkedHashMap[String, Any]()
+              fields.foreach { case (name, kind) =>
+                if (rnd.nextInt(6) == 0) vals(name) = null
+                else vals(name) = freshValue(kind, rnd)
+              }
+              Some(vals)
+            }
+          }
+          rows(k) = Some(elems)
+          val parts = elems.map {
+            case None => s"CAST(NULL AS $innerTypeSql)"
+            case Some(vals) =>
+              val fs = fields.map { case (name, kind) =>
+                vals(name) match {
+                  case null => s"'$name', CAST(NULL AS ${sqlType(kind)})"
+                  case v => s"'$name', ${sqlLit(kind, v)}"
+                }
+              }
+              s"named_struct(${fs.mkString(", ")})"
+          }
+          if (parts.isEmpty) s"($k, CAST(array() AS ARRAY<$innerTypeSql>))"
+          else s"($k, array(${parts.mkString(", ")}))"
+        }
+      }
+      log += s"INSERT ${sqlRows.mkString(", ")}"
+      spark.sql(s"INSERT INTO $t VALUES ${sqlRows.mkString(", ")}")
+    }
+
+    def forEachElem(f: mutable.LinkedHashMap[String, Any] => Unit): Unit =
+      rows.values.foreach(_.foreach(_.foreach(_.foreach(f))))
+
+    insertEra()
+    check()
+    (0 until depth).foreach { _ =>
+      rnd.nextInt(10) match {
+        case 0 | 1 | 2 | 3 => insertEra()
+        case 4 | 5 =>
+          val name = s"f$nextF"; nextF += 1
+          val kind = Seq("str", "int", "dbl")(rnd.nextInt(3))
+          log += s"ADD items.element.$name ${sqlType(kind)}"
+          spark.sql(s"ALTER TABLE $t ADD COLUMNS (items.element.$name ${sqlType(kind)})")
+          fields += (name -> kind)
+          forEachElem(_(name) = null)
+        case 6 =>
+          val i = rnd.nextInt(fields.length)
+          val (old, kind) = fields(i)
+          val nn = s"f$nextF"; nextF += 1
+          log += s"RENAME items.element.$old -> $nn"
+          spark.sql(s"ALTER TABLE $t RENAME COLUMN items.element.$old TO $nn")
+          fields(i) = nn -> kind
+          forEachElem(vals => if (vals.contains(old)) vals(nn) = vals.remove(old).get)
+        case 7 =>
+          val ints = fields.zipWithIndex.filter(_._1._2 == "int")
+          if (ints.nonEmpty) {
+            val ((name, _), i) = ints(rnd.nextInt(ints.length))
+            log += s"WIDEN items.element.$name INT -> BIGINT"
+            spark.sql(s"ALTER TABLE $t ALTER COLUMN items.element.$name TYPE BIGINT")
+            fields(i) = name -> "long"
+            forEachElem(vals => vals.get(name).foreach {
+              case v: Int => vals(name) = v.toLong
+              case _ => ()
+            })
+          }
+        case 8 | 9 =>
+          if (fields.length > 1) {
+            val i = rnd.nextInt(fields.length)
+            val (name, _) = fields(i)
+            log += s"DROP items.element.$name"
+            spark.sql(s"ALTER TABLE $t DROP COLUMN items.element.$name")
+            fields.remove(i)
+            forEachElem(_.remove(name))
+          }
+      }
+      check()
+    }
+    spark.sql(s"DROP TABLE $t PURGE")
+  }
+
   // Soak knobs (same convention as the other gauntlets): op count,
   // extra seeds, and struct-nesting depth via env, so a long
   // confidence pass needs no code edit.
@@ -217,6 +365,14 @@ class NestedGauntletSpec extends AnyFunSuite {
   for (seed <- seeds.take(2)) {
     test(s"random DEEP nested-evolution sequence (nest=$soakNest, seed=$seed)") {
       run(seed, depth = soakDepth, nest = soakNest)
+    }
+  }
+  // The container variant mutates the struct INSIDE array elements —
+  // the ArrayTransform rebuild's soak surface (NULL/empty arrays and
+  // NULL elements planted throughout).
+  for (seed <- seeds.take(2)) {
+    test(s"random ARRAY-element evolution sequence (seed=$seed)") {
+      runArray(seed, depth = soakDepth)
     }
   }
 }
