@@ -793,36 +793,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         require(prev != null, s"table $ident dropped mid-alter")
         changes.foldLeft(prev) { (e, c) =>
           val cc = c.asInstanceOf[TableChange.ColumnChange]
-          if (cc.fieldNames().length != 1)
-            throw new UnsupportedOperationException(
-              "graft catalog alters only top-level columns, got " +
-                cc.fieldNames().mkString("."))
-          val i = e.schema.fieldIndex(cc.fieldNames()(0))
-          val fields = e.schema.fields.clone()
-          fields(i) = c match {
+          val parts = cc.fieldNames().toSeq
+          val full = parts.mkString(".")
+          // One field-facet editor for top-level AND nested targets —
+          // COMMENT and DROP NOT NULL are schema metadata the decoder
+          // never reads, so depth changes nothing about the
+          // metadata-only contract. DEFAULTs stay TOP-LEVEL-only:
+          // Spark's analyzer resolves CURRENT_DEFAULT for omitted
+          // INSERT columns, which have no nested form.
+          def edited(f: org.apache.spark.sql.types.StructField)
+              : org.apache.spark.sql.types.StructField = c match {
             case u: TableChange.UpdateColumnComment =>
-              fields(i).withComment(u.newComment())
+              f.withComment(u.newComment())
             case u: TableChange.UpdateColumnNullability =>
               if (!u.nullable())
                 throw new UnsupportedOperationException(
-                  s"cannot tighten column ${fields(i).name} to NOT NULL — " +
+                  s"cannot tighten $full to NOT NULL — " +
                     "existing rows are not re-validated")
-              fields(i).copy(nullable = true)
+              f.copy(nullable = true)
             case u: TableChange.UpdateColumnDefaultValue =>
+              if (parts.length != 1) throw new UnsupportedOperationException(
+                s"DEFAULT on a nested field ($full) is not supported — " +
+                  "omitted-column defaults have no nested form")
               // CURRENT_DEFAULT governs FUTURE omitted-column inserts;
               // EXISTS_DEFAULT (rows predating the column) is part of
               // committed history and never rewritten here.
               val mb = new org.apache.spark.sql.types.MetadataBuilder()
-                .withMetadata(fields(i).metadata)
+                .withMetadata(f.metadata)
               Option(u.newCurrentDefault()).flatMap(d => Option(d.getSql))
                 .filter(_.nonEmpty) match {
                 case Some(sql) =>
-                  fields(i).copy(metadata = mb.putString("CURRENT_DEFAULT", sql).build())
+                  f.copy(metadata = mb.putString("CURRENT_DEFAULT", sql).build())
                 case None =>
-                  fields(i).copy(metadata = mb.remove("CURRENT_DEFAULT").build())
+                  f.copy(metadata = mb.remove("CURRENT_DEFAULT").build())
               }
-            case _ => fields(i) // unreachable under the forall guard
+            case _ => f // unreachable under the forall guard
           }
+          val i = e.schema.fieldIndex(parts.head)
+          val fields = e.schema.fields.clone()
+          fields(i) =
+            if (parts.length == 1) edited(fields(i))
+            else fields(i).copy(dataType = NestedSchema.restructAt(
+              fields(i).dataType, parts.tail.dropRight(1), full) { st =>
+              val j = st.fieldNames.indexOf(parts.last)
+              if (j < 0) throw new IllegalArgumentException(s"no such field $full")
+              StructType(st.fields.updated(j, edited(st.fields(j))))
+            })
           e.copy(schema = StructType(fields))
         }
       })

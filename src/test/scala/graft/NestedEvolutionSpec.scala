@@ -292,6 +292,66 @@ class NestedEvolutionSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.ne.deep PURGE")
   }
 
+  test("nested COMMENT and DROP NOT NULL are metadata-only at any depth; nested DEFAULT refuses") {
+    spark.sql("DROP TABLE IF EXISTS graft.ne.md PURGE")
+    spark.sql(
+      """CREATE TABLE graft.ne.md
+        |  (k BIGINT, meta STRUCT<a: STRUCT<b: INT NOT NULL>, t: STRING>)
+        |USING graft""".stripMargin)
+    spark.sql("INSERT INTO graft.ne.md VALUES (1, named_struct('a', named_struct('b', 7), 't', 'x'))")
+    val filesBefore = spark.sql("SELECT path FROM graft.ne.md.files")
+      .collect().map(_.getString(0)).toSet
+    spark.sql("ALTER TABLE graft.ne.md ALTER COLUMN meta.a.b COMMENT 'depth-2 comment'")
+    spark.sql("ALTER TABLE graft.ne.md ALTER COLUMN meta.a.b DROP NOT NULL")
+    val inner = spark.table("graft.ne.md").schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("a").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("b")
+    assert(inner.getComment().contains("depth-2 comment"))
+    assert(inner.nullable, "DROP NOT NULL must loosen the nested field")
+    val filesAfter = spark.sql("SELECT path FROM graft.ne.md.files")
+      .collect().map(_.getString(0)).toSet
+    assert(filesAfter == filesBefore, "metadata-only ALTER must touch no file")
+    // Values still decode; a NULL for the loosened field now inserts.
+    spark.sql("INSERT INTO graft.ne.md VALUES " +
+      "(2, named_struct('a', named_struct('b', CAST(NULL AS INT)), 't', 'y'))")
+    assert(spark.sql("SELECT sum(coalesce(meta.a.b, 0)) FROM graft.ne.md")
+      .as[Long].head() == 7L)
+    intercept[Exception] { // nested DEFAULT has no omitted-column form
+      spark.sql("ALTER TABLE graft.ne.md ALTER COLUMN meta.a.b SET DEFAULT 5")
+    }
+    spark.sql("DROP TABLE graft.ne.md PURGE")
+  }
+
+  test("nested evolution over OUTSTANDING equality deletes keeps masking exactly") {
+    // Interplay corner: a merge-on-read upsert leaves eq-deletes
+    // pending; the nested ADD/DROP migration rewrites every segment
+    // 1:1 (same data seq), so the deletes must keep masking their
+    // pre-images — and the upserted rows must read the evolved shape.
+    spark.sql("DROP TABLE IF EXISTS graft.ne.eq PURGE")
+    spark.sql(
+      "CREATE TABLE graft.ne.eq (k BIGINT, meta STRUCT<v: INT, s: STRING>) USING graft")
+    spark.sql(
+      """INSERT INTO graft.ne.eq VALUES
+        |(1, named_struct('v', 10, 's', 'a')),
+        |(2, named_struct('v', 20, 's', 'b')),
+        |(3, NULL)""".stripMargin)
+    // Upsert k=2 (eq-delete of the old row + append of the new one).
+    import spark.implicits._
+    Seq((2L, 21, "b2")).toDF("k", "v", "s")
+      .selectExpr("k", "named_struct('v', v, 's', s) AS meta")
+      .writeTo("graft.ne.eq").option("graft.upsert.keys", "k").append()
+    // Evolve at depth WHILE the eq-delete is outstanding (no compact).
+    spark.sql("ALTER TABLE graft.ne.eq ADD COLUMNS (meta.w DOUBLE)")
+    spark.sql("ALTER TABLE graft.ne.eq DROP COLUMN meta.s")
+    val rows = spark.sql(
+      "SELECT k, meta.v, meta.w FROM graft.ne.eq ORDER BY k").collect()
+    assert(rows.length == 3, s"eq-delete must still mask the pre-image: ${rows.toSeq}")
+    assert(rows(1).getInt(1) == 21, "the upserted post-image wins through the migration")
+    assert(rows(0).getInt(1) == 10 && rows(0).isNullAt(2))
+    assert(rows(2).isNullAt(1), "NULL struct rides the migration")
+    spark.sql("DROP TABLE graft.ne.eq PURGE")
+  }
+
   test("nested ADD honors FIRST/AFTER within the enclosing struct (any depth)") {
     spark.sql("DROP TABLE IF EXISTS graft.ne.pos PURGE")
     spark.sql(
