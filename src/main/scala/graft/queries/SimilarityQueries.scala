@@ -616,6 +616,57 @@ object SimilarityQueries {
       .limit(limit)
   }
 
+  /** ST18 / L3: CONTINUOUS ANN-index maintenance — the streaming form
+    * of `refresh_ann`. The corpus table takes three append commits
+    * (4 planted copies each) AFTER the index is built; a
+    * `graft-changes` stream over the corpus drives one incremental
+    * refresh per commit from `foreachBatch` (each call assigns ONLY
+    * that commit's vectors against the saved codebook — no retrain,
+    * no corpus rescan, watermark advances per epoch). The final
+    * partition-pruned serve returns the exact planted top-10 — an
+    * epoch dropped by the maintenance loop loses planted rows and
+    * flips the hash. Rebuilt from scratch each invocation (the stream
+    * mutates state), like the other streaming fixtures.
+    */
+  val st18StreamingAnnIndex: Q = Q(
+    "st18_streaming_ann_index",
+    annOracleSql) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    val e = Tables.embeddings(spark, dir)
+    spark.sql("DROP TABLE IF EXISTS graft.ann.scorpus PURGE")
+    spark.sql("DROP TABLE IF EXISTS graft.ann.sidx PURGE")
+    spark.sql("DROP TABLE IF EXISTS graft.ann.sidx_cb PURGE")
+    e.createOrReplaceTempView("st18_src")
+    spark.sql(
+      """CREATE TABLE graft.ann.scorpus USING graft AS
+        |SELECT vec_id, label, embedding FROM st18_src""".stripMargin)
+    spark.sql(
+      "CALL graft.system.build_ann_index('ann.scorpus', 'ann', 'sidx', 16, 3)")
+    val buildV = graft.sources.GraftCatalog.currentVersion("ann", "scorpus").get
+    // Three append epochs land AFTER the build.
+    val planted = withPlantedCopies(e).filter(col("label") === -1)
+    (0 until 3).foreach { ep =>
+      planted.filter(col("vec_id") % 3 === ep)
+        .createOrReplaceTempView(s"st18_batch_$ep")
+      spark.sql(s"INSERT INTO graft.ann.scorpus SELECT * FROM st18_batch_$ep")
+    }
+    // The maintenance loop: per-commit CDC batches trigger incremental
+    // refreshes (the batch content itself is not re-read — refresh_ann
+    // diffs from ITS watermark, so coalesced batches stay exactly-once).
+    spark.readStream.format("graft-changes")
+      .option("table", "ann.scorpus").option("changesFrom", buildV.toString).load()
+      .writeStream
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+        spark.sql("CALL graft.system.refresh_ann('ann', 'sidx')").collect()
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    ivfIndexedTopK(spark, "graft.ann.sidx",
+      spark.table("graft.ann.scorpus").filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe")))
+  }
+
   /** L3 (IVF-PQ memory-scale path): product-quantized ANN — the FAISS
     * `IVFxx,PQyy` progression's last step. On top of the IVF coarse
     * quantizer, the embedding is cut into `m` subspaces and each
@@ -917,6 +968,7 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(
     l3CosineTopK, l3AnnLsh, l4NgramJaccard, l4EmbeddingNearDup,
-    l3AnnIvf, l3AnnIvfSaved, l3AnnIvfIndexed, l3AnnIvfPq, l3AnnIvfPqSaved,
+    l3AnnIvf, l3AnnIvfSaved, l3AnnIvfIndexed, st18StreamingAnnIndex,
+    l3AnnIvfPq, l3AnnIvfPqSaved,
     l2MinHashLsh, l2DedupClusters, l2SimHash, l9IncrementalNearDup)
 }
