@@ -640,8 +640,12 @@ object SimilarityQueries {
     spark.sql(
       """CREATE TABLE graft.ann.scorpus USING graft AS
         |SELECT vec_id, label, embedding FROM st18_src""".stripMargin)
+    // One Lloyd's round: this fixture rebuilds EVERY invocation (the
+    // stream mutates state) and the planted-copy oracle is
+    // training-independent — copies share the query's argmax list
+    // under ANY codebook, so extra rounds only buy bench time.
     spark.sql(
-      "CALL graft.system.build_ann_index('ann.scorpus', 'ann', 'sidx', 16, 3)")
+      "CALL graft.system.build_ann_index('ann.scorpus', 'ann', 'sidx', 16, 1)")
     val buildV = graft.sources.GraftCatalog.currentVersion("ann", "scorpus").get
     // Three append epochs land AFTER the build.
     val planted = withPlantedCopies(e).filter(col("label") === -1)

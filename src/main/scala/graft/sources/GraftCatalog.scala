@@ -504,6 +504,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         case (ShortType, IntegerType | LongType) => true
         case (IntegerType, LongType) => true
         case (FloatType, DoubleType) => true
+        // DECIMAL precision widening at the SAME scale (the Iceberg v3
+        // rule): every old value is exactly representable; a scale
+        // change would re-quantize values and stays rejected.
+        case (d1: DecimalType, d2: DecimalType) =>
+          d1.scale == d2.scale && d2.precision >= d1.precision
         // Containers widen ELEMENT-wise (Cast upcasts arrays/maps
         // recursively, preserving NULL containers); containsNull /
         // valueContainsNull may LOOSEN, never tighten, and map KEYS

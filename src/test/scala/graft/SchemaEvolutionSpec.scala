@@ -73,6 +73,43 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     }
   }
 
+  test("DECIMAL widens by precision at the same scale; scale changes refuse") {
+    spark.sql("DROP TABLE IF EXISTS graft.se.dec")
+    spark.sql(
+      """CREATE TABLE graft.se.dec
+        |  (k BIGINT, amt DECIMAL(10,2), meta STRUCT<m: DECIMAL(6,3)>)
+        |USING graft""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.se.dec VALUES
+        |(1, 12345678.99, named_struct('m', CAST(123.456 AS DECIMAL(6,3)))),
+        |(2, -0.01, named_struct('m', CAST(NULL AS DECIMAL(6,3)))),
+        |(3, NULL, NULL)""".stripMargin)
+    spark.sql("ALTER TABLE graft.se.dec ALTER COLUMN amt TYPE DECIMAL(18,2)")
+    spark.sql("ALTER TABLE graft.se.dec ALTER COLUMN meta.m TYPE DECIMAL(12,3)")
+    assert(spark.table("graft.se.dec").schema("amt").dataType.simpleString ==
+      "decimal(18,2)")
+    assert(spark.table("graft.se.dec").schema("meta").dataType.simpleString ==
+      "struct<m:decimal(12,3)>")
+    // Pre-widen values decode exactly; the widened column takes values
+    // beyond the old precision.
+    spark.sql(
+      "INSERT INTO graft.se.dec VALUES (4, 9999999999999999.99, " +
+        "named_struct('m', CAST(999999999.999 AS DECIMAL(12,3))))")
+    val got = spark.sql(
+      "SELECT CAST(sum(amt) AS STRING), CAST(sum(meta.m) AS STRING) FROM graft.se.dec")
+      .head()
+    assert(got.getString(0) == "10000000012345678.97", got.toString)
+    assert(got.getString(1) == "1000000123.455", got.toString)
+    // Scale changes (re-quantization) and precision narrowing refuse.
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.se.dec ALTER COLUMN amt TYPE DECIMAL(20,4)")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.se.dec ALTER COLUMN amt TYPE DECIMAL(10,2)")
+    }
+    spark.sql("DROP TABLE graft.se.dec")
+  }
+
   test("DROP COLUMN re-projects rows; guards protect partition/constraint columns") {
     spark.sql("DROP TABLE IF EXISTS graft.se.d")
     spark.sql("CREATE TABLE graft.se.d (k BIGINT, junk STRING, v DOUBLE) USING graft")
