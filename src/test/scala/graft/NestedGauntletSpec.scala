@@ -33,6 +33,8 @@ class NestedGauntletSpec extends AnyFunSuite {
     case "int" => s"CAST(${v} AS INT)"
     case "long" => s"CAST(${v} AS BIGINT)"
     case "dbl" => s"CAST(${v} AS DOUBLE)"
+    case "dec" => s"CAST(${v} AS DECIMAL(8,2))"
+    case "decw" => s"CAST(${v} AS DECIMAL(16,2))"
   }
 
   private def freshValue(kind: String, rnd: Random): Any = kind match {
@@ -40,6 +42,7 @@ class NestedGauntletSpec extends AnyFunSuite {
     case "int" => rnd.nextInt(100000)
     case "long" => rnd.nextLong() % 10000000000L
     case "dbl" => math.rint(rnd.nextDouble() * 1e6) / 100.0
+    case "dec" | "decw" => java.math.BigDecimal.valueOf(rnd.nextInt(100000).toLong, 2)
   }
 
   private def check(t: String, path: String, m: Model, log: Seq[String], seed: Int): Unit = {
@@ -85,6 +88,7 @@ class NestedGauntletSpec extends AnyFunSuite {
     def sqlType(kind: String): String = kind match {
       case "str" => "STRING"; case "int" => "INT"
       case "long" => "BIGINT"; case "dbl" => "DOUBLE"
+      case "dec" => "DECIMAL(8,2)"; case "decw" => "DECIMAL(16,2)"
     }
     val m = Model(
       mutable.ArrayBuffer("f0" -> "str", "f1" -> "int"),
@@ -134,7 +138,7 @@ class NestedGauntletSpec extends AnyFunSuite {
 
     def addField(): Unit = {
       val name = s"f$nextF"; nextF += 1
-      val kind = Seq("str", "int", "dbl")(rnd.nextInt(3))
+      val kind = Seq("str", "int", "dbl", "dec")(rnd.nextInt(4))
       log += s"ADD $path.$name ${sqlType(kind)}"
       spark.sql(s"ALTER TABLE $t ADD COLUMNS ($path.$name ${sqlType(kind)})")
       m.fields += (name -> kind)
@@ -154,16 +158,19 @@ class NestedGauntletSpec extends AnyFunSuite {
     }
 
     def widenField(): Unit = {
-      val ints = m.fields.zipWithIndex.filter(_._1._2 == "int")
-      if (ints.nonEmpty) {
-        val ((name, _), i) = ints(rnd.nextInt(ints.length))
-        log += s"WIDEN $path.$name INT -> BIGINT"
-        spark.sql(s"ALTER TABLE $t ALTER COLUMN $path.$name TYPE BIGINT")
-        m.fields(i) = name -> "long"
+      val widenable = m.fields.zipWithIndex
+        .filter(f => f._1._2 == "int" || f._1._2 == "dec")
+      if (widenable.nonEmpty) {
+        val ((name, kind), i) = widenable(rnd.nextInt(widenable.length))
+        val (toSql, toKind) =
+          if (kind == "int") ("BIGINT", "long") else ("DECIMAL(16,2)", "decw")
+        log += s"WIDEN $path.$name ${sqlType(kind)} -> $toSql"
+        spark.sql(s"ALTER TABLE $t ALTER COLUMN $path.$name TYPE $toSql")
+        m.fields(i) = name -> toKind
         m.rows.values.foreach(_.foreach { vals =>
           vals.get(name).foreach {
-            case v: Int => vals(name) = v.toLong
-            case _ => ()
+            case v: Int if kind == "int" => vals(name) = v.toLong
+            case _ => () // decimals keep value AND scale through the widen
           }
         })
       }
@@ -207,6 +214,7 @@ class NestedGauntletSpec extends AnyFunSuite {
     def sqlType(kind: String): String = kind match {
       case "str" => "STRING"; case "int" => "INT"
       case "long" => "BIGINT"; case "dbl" => "DOUBLE"
+      case "dec" => "DECIMAL(8,2)"; case "decw" => "DECIMAL(16,2)"
     }
     val fields = mutable.ArrayBuffer("f0" -> "str", "f1" -> "int")
     // rows(k) = None (NULL array) | Some(elements), element = None
@@ -303,7 +311,7 @@ class NestedGauntletSpec extends AnyFunSuite {
         case 0 | 1 | 2 | 3 => insertEra()
         case 4 | 5 =>
           val name = s"f$nextF"; nextF += 1
-          val kind = Seq("str", "int", "dbl")(rnd.nextInt(3))
+          val kind = Seq("str", "int", "dbl", "dec")(rnd.nextInt(4))
           log += s"ADD items.element.$name ${sqlType(kind)}"
           spark.sql(s"ALTER TABLE $t ADD COLUMNS (items.element.$name ${sqlType(kind)})")
           fields += (name -> kind)
@@ -317,14 +325,17 @@ class NestedGauntletSpec extends AnyFunSuite {
           fields(i) = nn -> kind
           forEachElem(vals => if (vals.contains(old)) vals(nn) = vals.remove(old).get)
         case 7 =>
-          val ints = fields.zipWithIndex.filter(_._1._2 == "int")
-          if (ints.nonEmpty) {
-            val ((name, _), i) = ints(rnd.nextInt(ints.length))
-            log += s"WIDEN items.element.$name INT -> BIGINT"
-            spark.sql(s"ALTER TABLE $t ALTER COLUMN items.element.$name TYPE BIGINT")
-            fields(i) = name -> "long"
+          val widenable = fields.zipWithIndex
+            .filter(f => f._1._2 == "int" || f._1._2 == "dec")
+          if (widenable.nonEmpty) {
+            val ((name, kind), i) = widenable(rnd.nextInt(widenable.length))
+            val (toSql, toKind) =
+              if (kind == "int") ("BIGINT", "long") else ("DECIMAL(16,2)", "decw")
+            log += s"WIDEN items.element.$name ${sqlType(kind)} -> $toSql"
+            spark.sql(s"ALTER TABLE $t ALTER COLUMN items.element.$name TYPE $toSql")
+            fields(i) = name -> toKind
             forEachElem(vals => vals.get(name).foreach {
-              case v: Int => vals(name) = v.toLong
+              case v: Int if kind == "int" => vals(name) = v.toLong
               case _ => ()
             })
           }

@@ -150,6 +150,39 @@ class ViewConstraintSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.cn.vref PURGE")
   }
 
+  test("verify_constraints: COMPOSITE-key FK and UNIQUE verify column-by-column") {
+    spark.sql("DROP TABLE IF EXISTS graft.cn.ct PURGE")
+    spark.sql("DROP TABLE IF EXISTS graft.cn.cref PURGE")
+    spark.sql("CREATE TABLE graft.cn.cref (a BIGINT, b STRING) USING graft")
+    spark.sql("INSERT INTO graft.cn.cref VALUES (1, 'x'), (1, 'y'), (2, 'x')")
+    spark.sql(
+      """CREATE TABLE graft.cn.ct
+        |  (a BIGINT, b STRING, v BIGINT,
+        |   CONSTRAINT ct_uq UNIQUE (a, b) NOT ENFORCED,
+        |   CONSTRAINT ct_fk FOREIGN KEY (a, b) REFERENCES graft.cn.cref (a, b)
+        |     NOT ENFORCED)
+        |USING graft""".stripMargin)
+    // (2,'y') matches NEITHER ref row although a=2 and b='y' each exist
+    // separately — a column-wise (not tuple-wise) FK probe would pass it.
+    spark.sql(
+      "INSERT INTO graft.cn.ct VALUES (1, 'x', 1), (1, 'y', 2), (2, 'y', 3), (1, NULL, 4)")
+    def report(): Map[String, (Long, Boolean)] =
+      spark.sql("CALL graft.system.verify_constraints('cn', 'ct')")
+        .collect().map(x => x.getString(0) -> ((x.getLong(2), x.getBoolean(3)))).toMap
+    val r1 = report()
+    assert(r1("ct_fk") == ((1L, false)),
+      s"exactly the (2,'y') TUPLE dangles (NULL-key row skipped): $r1")
+    assert(r1("ct_uq") == ((0L, true)),
+      s"all non-null (a,b) tuples distinct; NULL-key row ignored: $r1")
+    // A duplicated TUPLE violates composite UNIQUE even though each
+    // column value repeats elsewhere legitimately.
+    spark.sql("INSERT INTO graft.cn.ct VALUES (1, 'x', 5)")
+    val r2 = report()
+    assert(r2("ct_uq") == ((2L, false)), s"two rows share the (1,'x') tuple: $r2")
+    spark.sql("DROP TABLE graft.cn.ct PURGE")
+    spark.sql("DROP TABLE graft.cn.cref PURGE")
+  }
+
   test("view cycle (A->B->A) fails with an explicit recursive-view error") {
     spark.sql("DROP VIEW IF EXISTS graft.cyc.a")
     spark.sql("DROP VIEW IF EXISTS graft.cyc.b")
