@@ -110,6 +110,19 @@ object ScaleSpot {
       .flatMap(_.toDoubleOption).getOrElse(2.0)
     val AbsFloor = 3.0
     val Retries = 2
+    // PAIR-BOUNDED rows: the 10× staging copies each document VERBATIM
+    // under shifted ids, so every text gains 10 byte-identical twins
+    // and the TRUE near-dup pair count grows C(10,2)/10 = 4.5× beyond
+    // linear-in-input. These rows' work is their OUTPUT (candidate
+    // pairs emitted and verified), so their ceiling scales by that
+    // factor — still a hard bound (a pair row at 10× linear fails),
+    // just against the right yardstick.
+    val PairGrowth = 4.5
+    val pairBounded = Set(
+      "l2_minhash_lsh_neardup", "l2_simhash_neardup", "l2_dedup_clusters",
+      "l4_ngram_jaccard_pairs", "l4_embedding_neardup", "l9_incremental_neardup")
+    def ceilingFor(name: String): Double =
+      if (pairBounded(name)) ceiling * PairGrowth else ceiling
     val baseline: Map[String, Double] =
       try {
         val row = spark.read.json("bench_full.json").select(col("queries.*")).head()
@@ -128,17 +141,18 @@ object ScaleSpot {
       baseline.get(name).filter(_ > 0).map(b => t / (Copies * b))
     val violations = scala.collection.mutable.SortedMap[String, Double]()
     chosen.filter(n => qs.contains(n) && !errors.contains(n)).foreach { name =>
+      val cap = ceilingFor(name)
       var t = times(name)
       var tries = 0
-      while (t > AbsFloor && ratioOf(name, t).exists(_ > ceiling) && tries < Retries) {
-        System.err.println(f"[scale-spot] $name ${t}%.2fs over ${ceiling}x linear — re-running")
+      while (t > AbsFloor && ratioOf(name, t).exists(_ > cap) && tries < Retries) {
+        System.err.println(f"[scale-spot] $name ${t}%.2fs over ${cap}x linear — re-running")
         t = math.min(t, timeOnce(qs(name), name))
         tries += 1
       }
       times = times.updated(name, t)
-      if (t > AbsFloor) ratioOf(name, t).filter(_ > ceiling).foreach { r =>
+      if (t > AbsFloor) ratioOf(name, t).filter(_ > cap).foreach { r =>
         violations(name) = math.rint(r * 100) / 100
-        System.err.println(f"[scale-spot] VIOLATION $name: ${t}%.2fs = $r%.2fx linear")
+        System.err.println(f"[scale-spot] VIOLATION $name: ${t}%.2fs = $r%.2fx linear (cap ${cap}x)")
       }
     }
     def jstr(s: String) = Q.jstr(s)
