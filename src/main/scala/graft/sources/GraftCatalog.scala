@@ -489,7 +489,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         }
       })
       if (orderTouched) clearSortedFlags(ident)
-      publish(ident)
+      publish(ident, dataChange = false) // rename: logically identical rows
       new GraftCatalogTable(ident, result.schema, result.dir,
         partitionCols = result.partitionCols, tableConstraints = result.constraints)
     }
@@ -616,7 +616,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           }
           prev.copy(schema = widenedSchema, segments = migrated)
         })
-        publish(ident)
+        publish(ident, dataChange = false) // widen: 1:1 re-projection, same rows
         new GraftCatalogTable(ident, result.schema, result.dir,
           partitionCols = result.partitionCols, tableConstraints = result.constraints)
       } catch { case scala.util.control.NonFatal(e) =>
@@ -775,7 +775,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           prev.copy(schema = narrowed, segments = migrated)
           }
         })
-        if (!noop) publish(ident) // old segments stay readable via retained snapshots
+        if (!noop) publish(ident, dataChange = false) // 1:1 re-projection; old segments stay readable via retained snapshots
         new GraftCatalogTable(ident, result.schema, result.dir,
           partitionCols = result.partitionCols, tableConstraints = result.constraints)
       } catch { case scala.util.control.NonFatal(e) =>
@@ -899,7 +899,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           }
           prev.copy(schema = permuted, segments = migrated)
         })
-        publish(ident)
+        publish(ident, dataChange = false) // reorder: 1:1 permutation, same rows
         new GraftCatalogTable(ident, result.schema, result.dir,
           partitionCols = result.partitionCols, tableConstraints = result.constraints)
       } catch { case scala.util.control.NonFatal(e) =>
@@ -1048,7 +1048,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         }
         prev.copy(schema = widenedSchema, segments = widened)
       })
-      publish(ident) // old segments stay readable via retained snapshots
+      publish(ident, dataChange = false) // 1:1 re-projection; old segments stay readable via retained snapshots
       new GraftCatalogTable(ident, result.schema, result.dir,
         partitionCols = result.partitionCols, tableConstraints = result.constraints)
     } catch { case scala.util.control.NonFatal(e) =>
@@ -3708,6 +3708,16 @@ object GraftCatalog {
             s"branch was cut (${sd.partitionCols.mkString(",")} -> " +
             s"${main.partitionCols.mkString(",")}) — fast-forward would revert it. " +
             "Re-create the branch from the current version and re-apply the audit.")
+      // Same doctrine for SCHEMA evolution: ALTER migrations are
+      // dataChange=false (logically-identical rows), so they pass the
+      // data-commit gate above — but reverting main to the branch's
+      // pre-ALTER schema would silently undo the evolution.
+      if (main.schema != sd.schema)
+        throw new IllegalStateException(
+          s"publish_branch '$branch': $src evolved its schema after the branch was " +
+            s"cut (${sd.schema.simpleString} -> ${main.schema.simpleString}) — " +
+            "fast-forward would revert it. Re-create the branch from the current " +
+            "version and re-apply the audit.")
     }
     val shift = if (offset == 0) 0L else offset + 1L
     def shiftSeq(q: Long): Long = if (q > base) q + shift else q

@@ -205,11 +205,27 @@ private[sources] case class GraftChangeScan(
     to: GraftCatalog.CatalogSnapshot) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
+  /** Complete all-dataChange=false range: no logical row changed,
+    * however the files (or the SCHEMA — ALTER migrations are
+    * dataChange=false 1:1 re-projections) moved. Such a range reads
+    * as ZERO rows, so the cross-epoch decode guard below does not
+    * apply — nothing will be decoded.
+    */
+  private lazy val noLogicalChange: Boolean = {
+    val commits = GraftCatalog.retainedSnapshots(ident)
+      .filter(s => s.version > from.version && s.version <= to.version)
+    commits.length == (to.version - from.version).toInt &&
+      commits.nonEmpty && commits.forall(!_.dataChange)
+  }
+
   private def dataSchema: StructType = {
     // Loud guard, not silent corruption: segments written under a
     // different layout cannot be decoded by field-count-shifted
-    // readers.
-    require(GraftChangeScan.decodeCompatible(from.schema, to.schema),
+    // readers. Exempt when the range provably changed no logical row
+    // (nothing decodes), so a migration-only span diffs empty instead
+    // of refusing.
+    require(noLogicalChange ||
+      GraftChangeScan.decodeCompatible(from.schema, to.schema),
       s"change feed over $ident: schema changed between version " +
         s"${from.version} and ${to.version}; diff within one schema epoch")
     to.schema

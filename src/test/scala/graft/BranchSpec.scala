@@ -71,6 +71,26 @@ class BranchSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.br.`d@exp`") // abandoning a branch is just DROP
   }
 
+  test("publish refuses when main EVOLVED ITS SCHEMA since the cut (dataChange=false drift)") {
+    // ALTER migrations are dataChange=false, so they pass the
+    // data-commit gate — but the fast-forward would revert main to the
+    // branch's pre-ALTER schema. The drift guard must refuse, exactly
+    // like partition-spec evolution.
+    spark.sql("DROP TABLE IF EXISTS graft.br.se PURGE")
+    spark.sql("DROP TABLE IF EXISTS graft.br.`se@audit` PURGE")
+    spark.sql("CREATE TABLE graft.br.se (k BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.br.se VALUES (1, 'a')")
+    spark.sql("CALL graft.system.create_branch('br', 'se', 'audit', '')")
+    spark.sql("INSERT INTO graft.br.`se@audit` VALUES (2, 'b')")
+    spark.sql("ALTER TABLE graft.br.se ADD COLUMN extra BIGINT") // main evolves
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.publish_branch('br', 'se', 'audit')")
+    }
+    assert(e.getMessage.contains("evolved its schema"), e.getMessage)
+    spark.sql("DROP TABLE graft.br.`se@audit` PURGE")
+    spark.sql("DROP TABLE graft.br.se PURGE")
+  }
+
   test("dataChange=false maintenance on main does not block a publish") {
     spark.sql("DROP TABLE IF EXISTS graft.br.m")
     spark.sql("CREATE TABLE graft.br.m (k BIGINT) USING graft")

@@ -140,6 +140,34 @@ class CatalogStreamReadSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a DEFAULT append stream rides through an ALTER migration silently (dataChange=false)") {
+    // No skipChangeCommits needed: the migration is a layout-only
+    // commit like compaction. The stream delivers nothing for it, and
+    // fails loud only at the first commit it truly cannot decode (the
+    // post-migration append under the evolved layout).
+    spark.sql("DROP TABLE IF EXISTS graft.csr.mig")
+    spark.sql("CREATE TABLE graft.csr.mig (k BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.csr.mig VALUES (1, 'a')")
+    val q = spark.readStream.table("graft.csr.mig")
+      .writeStream.format("memory").queryName("csrmig").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("csrmig").count() == 1)
+      spark.sql("ALTER TABLE graft.csr.mig ADD COLUMN extra BIGINT") // migration
+      q.processAllAvailable() // must NOT fail, must NOT duplicate
+      assert(spark.table("csrmig").count() == 1,
+        "the migration commit must stream through as a silent no-op")
+      spark.sql("INSERT INTO graft.csr.mig VALUES (2, 'b', 20)")
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(10000)
+      }
+      def chain(t: Throwable): String =
+        if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+      assert(chain(e).contains("restart the stream"), chain(e))
+    } finally q.stop()
+  }
+
   test("post-widening appends fail a stale-schema stream even under skipChangeCommits") {
     spark.sql("DROP TABLE IF EXISTS graft.csr.src5")
     spark.sql("CREATE TABLE graft.csr.src5 (k INT, v STRING) USING graft")

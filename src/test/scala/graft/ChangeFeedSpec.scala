@@ -442,6 +442,36 @@ class ChangeFeedSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.cdc.ts")
   }
 
+  test("ALTER migrations are dataChange=false: migration-only range diffs EMPTY; mixed range still refuses") {
+    // An ADD COLUMN re-projects every segment but changes no logical
+    // row — the Delta/Iceberg layout-only semantics. The feed must
+    // treat it like compaction: a range covering ONLY the migration
+    // reads as zero rows (even though the bounds' schemas differ —
+    // nothing decodes), while a range mixing the migration with real
+    // data commits still refuses loudly (those rows would need
+    // cross-epoch decoding).
+    spark.sql("DROP TABLE IF EXISTS graft.cdc.mig")
+    spark.sql("CREATE TABLE graft.cdc.mig (k BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.cdc.mig VALUES (1, 'a'), (2, 'b')") // v1
+    spark.sql("ALTER TABLE graft.cdc.mig ADD COLUMN extra BIGINT")   // v2 (migration)
+    assert(spark.sql("SELECT data_change FROM graft.cdc.mig.history WHERE version = 2")
+      .collect().head.getBoolean(0) == false,
+      "the migration commit must be dataChange=false")
+    assert(spark.read.format("graft-changes")
+      .option("table", "cdc.mig").option("changesFrom", "1").option("changesTo", "2")
+      .load().count() == 0, "migration-only range diffs empty")
+    spark.sql("INSERT INTO graft.cdc.mig VALUES (3, 'c', 30)") // v3 (new epoch data)
+    val e = intercept[Exception](spark.read.format("graft-changes")
+      .option("table", "cdc.mig").option("changesFrom", "0").load().collect())
+    assert(e.getMessage.contains("schema changed"), e.getMessage)
+    // The new epoch works from the migration version on.
+    assert(spark.read.format("graft-changes")
+      .option("table", "cdc.mig").option("changesFrom", "2").load()
+      .select("_change_type", "k", "extra").as[(String, Long, Long)].collect().toSet ==
+      Set(("insert", 3L, 30L)))
+    spark.sql("DROP TABLE graft.cdc.mig")
+  }
+
   test("schema change across the range fails loudly, within an epoch works") {
     spark.sql("ALTER TABLE graft.cdc.t ADD COLUMN extra BIGINT") // v5
     val e = intercept[Exception](changes("1").collect())
