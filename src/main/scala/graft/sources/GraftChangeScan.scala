@@ -517,8 +517,20 @@ private[sources] class GraftChangeMicroBatchStream(
     // correctly where an endpoint-only check here would not (a
     // Trigger.Once range ENDING on a compaction still carries the
     // earlier commits' changes).
-    else GraftChangeScan.diffPartitions(
-      ident, snapshotOrFail(s), snapshotOrFail(e), dataSchema)
+    else {
+      // Mirror of the batch scan's noLogicalChange exemption: a range
+      // of ONLY dataChange=false commits (e.g. the ALTER migration a
+      // restarted stream resumes across) delivers zero rows, so the
+      // bounds' schemas are never decoded — skip WITHOUT
+      // snapshotOrFail, whose decode guard would otherwise wedge the
+      // restart on the pre-migration bound's old layout.
+      val commits = GraftCatalog.retainedSnapshots(ident)
+        .filter(c => c.version > s && c.version <= e)
+      if (commits.length == (e - s).toInt && commits.nonEmpty &&
+          commits.forall(!_.dataChange)) Array.empty
+      else GraftChangeScan.diffPartitions(
+        ident, snapshotOrFail(s), snapshotOrFail(e), dataSchema)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -168,6 +168,43 @@ class CatalogStreamReadSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("the advertised remedy WORKS: restart on the SAME checkpoint resumes past a migration") {
+    // The failure message says "restart the stream to pick up the
+    // evolved schema" — prove the restart actually recovers: the
+    // checkpoint sits just past the pre-migration data, the skipped
+    // migration commit and the evolved append are all that remain, and
+    // the restarted stream (which resolves the NEW schema) must
+    // deliver the evolved rows instead of wedging.
+    spark.sql("DROP TABLE IF EXISTS graft.csr.rs")
+    spark.sql("CREATE TABLE graft.csr.rs (k BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.csr.rs VALUES (1, 'a')")
+    val ck = java.nio.file.Files.createTempDirectory("csr-rs-ck-").toString
+    // foreachBatch, not the memory sink: only the former supports
+    // checkpoint RECOVERY, which is the thing under test.
+    val seen = scala.collection.mutable.ArrayBuffer[Seq[Any]]()
+    def drain(): Unit = {
+      val q = spark.readStream.table("graft.csr.rs")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized { df.collect().foreach(r => seen += r.toSeq) }; ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(seen.length == 1, s"pre-migration drain: $seen")
+    spark.sql("ALTER TABLE graft.csr.rs ADD COLUMN extra BIGINT")
+    spark.sql("INSERT INTO graft.csr.rs VALUES (2, 'b', 20)")
+    // Restarted under the evolved schema, same checkpoint: delivers
+    // exactly the post-checkpoint rows (migration silent, append in).
+    seen.clear()
+    drain()
+    assert(seen.toList == List(Seq(2L, "b", 20L)),
+      s"restart must resume with only the evolved append, got $seen")
+    spark.sql("DROP TABLE graft.csr.rs")
+  }
+
   test("post-widening appends fail a stale-schema stream even under skipChangeCommits") {
     spark.sql("DROP TABLE IF EXISTS graft.csr.src5")
     spark.sql("CREATE TABLE graft.csr.src5 (k INT, v STRING) USING graft")
