@@ -123,12 +123,35 @@ class CdcReplaySpec extends AnyFunSuite {
       val a = retained(rnd.nextInt(retained.length))
       val b = retained(rnd.nextInt(retained.length))
       if (a < b) {
-        val r = emptyRows
-        tableRows(s"VERSION AS OF $a").foreach { case (key, c) => r(key) = c }
-        applyDiff(r, a, b)
-        assert(r.toMap == tableRows(s"VERSION AS OF $b"),
-          s"range diff ($a,$b] does not transform state($a) into state($b) " +
-            s"(seed=$seed)\nops:\n${log.mkString("\n")}")
+        val sa = spark.sql(s"SELECT * FROM $T VERSION AS OF $a").schema
+        val sb = spark.sql(s"SELECT * FROM $T VERSION AS OF $b").schema
+        val compatible = sa.length == sb.length &&
+          sa.fields.zip(sb.fields).forall { case (x, y) => x.dataType == y.dataType }
+        if (compatible) {
+          val r = emptyRows
+          tableRows(s"VERSION AS OF $a").foreach { case (key, c) => r(key) = c }
+          applyDiff(r, a, b)
+          assert(r.toMap == tableRows(s"VERSION AS OF $b"),
+            s"range diff ($a,$b] does not transform state($a) into state($b) " +
+              s"(seed=$seed)\nops:\n${log.mkString("\n")}")
+        } else {
+          // EPOCH BOUNDARY mid-span (a migration op left a different
+          // layout at one bound): the engine's contract is refuse
+          // LOUDLY — or read EMPTY when the whole span is
+          // dataChange=false — never cross-epoch garbage.
+          try {
+            val n = spark.read.format("graft-changes")
+              .option("table", "cdcrp.t")
+              .option("changesFrom", a.toString).option("changesTo", b.toString)
+              .load().count()
+            assert(n == 0,
+              s"cross-epoch span ($a,$b] must refuse or read empty, got $n rows " +
+                s"(seed=$seed)\nops:\n${log.mkString("\n")}")
+          } catch { case e: Exception =>
+            assert(e.getMessage != null && e.getMessage.contains("schema changed"),
+              s"cross-epoch span ($a,$b] failed for the WRONG reason (seed=$seed): $e")
+          }
+        }
       }
     }
   }
@@ -147,8 +170,9 @@ class CdcReplaySpec extends AnyFunSuite {
     def keysIn: Seq[Long] =
       spark.sql(s"SELECT * FROM $T").collect().map(_.getLong(0)).toSeq
 
+    var nextTmp = 0
     for (i <- 1 to ops) {
-      val op = rnd.nextInt(10)
+      val op = rnd.nextInt(11)
       val desc = op match {
         case 0 | 1 | 2 => // plain INSERT of a small random batch
           val rows = Seq.fill(1 + rnd.nextInt(4))(
@@ -174,9 +198,14 @@ class CdcReplaySpec extends AnyFunSuite {
           val m = 2 + rnd.nextInt(3)
           spark.sql(s"UPDATE $T SET v = v + 1 WHERE $kcol % $m = ${rnd.nextInt(m)}")
           s"update v+1 where k%$m"
-        case 7 => // RESTORE to a random earlier retained version
+        case 7 => // RESTORE to a random earlier retained version —
+          // excluding mid-migration versions (the transient 3-column
+          // schema between a migrate op's ADD and DROP): restoring one
+          // would fork the model's 2-column insert arity.
           val vs = spark.sql(s"SELECT version FROM $T.history")
             .collect().map(_.getLong(0))
+            .filter(v =>
+              spark.sql(s"SELECT * FROM $T VERSION AS OF $v").schema.length == 2)
           val target = vs(rnd.nextInt(vs.length))
           spark.sql(s"CALL graft.system.restore('cdcrp', 't', '$target')")
           s"restore to v$target"
@@ -188,6 +217,16 @@ class CdcReplaySpec extends AnyFunSuite {
           val to = if (from == "k") "key" else "k"
           spark.sql(s"ALTER TABLE $T RENAME COLUMN $from TO $to")
           s"rename $from->$to"
+        case 10 => // MIGRATION pair: ADD + DROP a temp column — two
+          // dataChange=false 1:1 re-projections over whatever dv /
+          // eq-delete / lineage state the sequence built up. The feed
+          // must stay SILENT for both (the per-op diff below spans
+          // exactly this all-false range), masking must survive the
+          // rewrite, and the transient schema must vanish again.
+          val tmp = s"tmp$nextTmp"; nextTmp += 1
+          spark.sql(s"ALTER TABLE $T ADD COLUMNS ($tmp DOUBLE)")
+          spark.sql(s"ALTER TABLE $T DROP COLUMN $tmp")
+          s"migrate (add+drop $tmp)"
       }
       log += s"v$i: $desc"
       val curV = currentVersion
