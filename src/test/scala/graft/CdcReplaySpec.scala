@@ -46,14 +46,20 @@ class CdcReplaySpec extends AnyFunSuite {
       .option("changesFrom", fromV.toString).option("changesTo", toV.toString)
       .load().collect().foreach { r =>
       val key = (r.getLong(0), r.getLong(1))
-      r.getString(2) match {
+      // _change_type is the LAST column: a span between two different
+      // migrations' transient layouts (both (bigint,bigint,double),
+      // positionally decode-compatible per the rename-exemption
+      // doctrine) legitimately carries a third all-NULL data column.
+      r.getString(r.size - 1) match {
         case "insert" | "update_postimage" => replica(key) += 1
         case "delete" | "update_preimage" =>
           assert(replica(key) > 0,
             s"feed deleted a row the replica does not hold: $key in ($fromV,$toV]")
           replica(key) -= 1
           if (replica(key) == 0) replica.remove(key)
-        case other => fail(s"unknown change type '$other'")
+        case other => fail(
+          s"unknown change type '$other' in row $r (schema ${r.schema.simpleString}) " +
+            s"in ($fromV,$toV]")
       }
     }
 
@@ -92,7 +98,7 @@ class CdcReplaySpec extends AnyFunSuite {
         streamed.synchronized {
           df.collect().foreach { r =>
             val key = (r.getLong(0), r.getLong(1))
-            r.getString(2) match {
+            r.getString(r.size - 1) match {
               case "insert" | "update_postimage" => streamed(key) += 1
               case _ =>
                 streamed(key) -= 1
@@ -128,12 +134,19 @@ class CdcReplaySpec extends AnyFunSuite {
         val compatible = sa.length == sb.length &&
           sa.fields.zip(sb.fields).forall { case (x, y) => x.dataType == y.dataType }
         if (compatible) {
-          val r = emptyRows
-          tableRows(s"VERSION AS OF $a").foreach { case (key, c) => r(key) = c }
-          applyDiff(r, a, b)
-          assert(r.toMap == tableRows(s"VERSION AS OF $b"),
-            s"range diff ($a,$b] does not transform state($a) into state($b) " +
-              s"(seed=$seed)\nops:\n${log.mkString("\n")}")
+          try {
+            val r = emptyRows
+            tableRows(s"VERSION AS OF $a").foreach { case (key, c) => r(key) = c }
+            applyDiff(r, a, b)
+            assert(r.toMap == tableRows(s"VERSION AS OF $b"),
+              s"range diff ($a,$b] does not transform state($a) into state($b) " +
+                s"(seed=$seed)\nops:\n${log.mkString("\n")}")
+          } catch { case e: Throwable =>
+            val dump = retained.map(v =>
+              s"v$v: ${spark.sql(s"SELECT * FROM $T VERSION AS OF $v").schema.simpleString}")
+              .mkString("\n")
+            fail(s"range ($a,$b] (seed=$seed): $e\nversions:\n$dump\nops:\n${log.mkString("\n")}")
+          }
         } else {
           // EPOCH BOUNDARY mid-span (a migration op left a different
           // layout at one bound): the engine's contract is refuse
@@ -439,7 +452,7 @@ class CdcReplaySpec extends AnyFunSuite {
         streamed.synchronized {
           df.collect().foreach { r =>
             val key = (r.getLong(0), r.getLong(1))
-            r.getString(2) match {
+            r.getString(r.size - 1) match {
               case "insert" | "update_postimage" => streamed(key) += 1
               case _ =>
                 streamed(key) -= 1
