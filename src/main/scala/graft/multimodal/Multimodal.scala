@@ -112,15 +112,21 @@ object Multimodal {
         var channels = 0
         var blockAlign = 0
         var dataBytes = -1
-        while (i + 8 <= b.length && (channels == 0 || dataBytes < 0)) {
+        var corrupt = false
+        while (!corrupt && i + 8 <= b.length && (channels == 0 || dataBytes < 0)) {
           val size = le32(b, i + 4)
-          if (ascii(b, i, "fmt ") && i + 24 <= b.length) {
-            channels = le16(b, i + 10)
-            blockAlign = le16(b, i + 20)
-          } else if (ascii(b, i, "data")) dataBytes = size
-          i += 8 + size + (size & 1) // chunks are word-aligned
+          // le32 is signed: a corrupt size < 0 would make the step
+          // non-positive (e.g. -8 → step 0) and hang the walk. Bail.
+          if (size < 0) corrupt = true
+          else {
+            if (ascii(b, i, "fmt ") && i + 24 <= b.length) {
+              channels = le16(b, i + 10)
+              blockAlign = le16(b, i + 20)
+            } else if (ascii(b, i, "data")) dataBytes = size
+            i += 8 + size + (size & 1) // chunks are word-aligned
+          }
         }
-        if (channels > 0 && blockAlign > 0 && dataBytes >= 0)
+        if (!corrupt && channels > 0 && blockAlign > 0 && dataBytes >= 0)
           MediaMeta("audio/wav", 0, 0, channels, dataBytes / blockAlign, ok = true)
         else NoMeta
       } else NoMeta

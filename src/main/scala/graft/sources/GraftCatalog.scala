@@ -3711,8 +3711,24 @@ object GraftCatalog {
       // Same doctrine for SCHEMA evolution: ALTER migrations are
       // dataChange=false (logically-identical rows), so they pass the
       // data-commit gate above — but reverting main to the branch's
-      // pre-ALTER schema would silently undo the evolution.
-      if (main.schema != sd.schema)
+      // pre-ALTER schema would silently undo the evolution. Compared
+      // COMMENT-STRIPPED: StructType equality includes field metadata,
+      // and a comment-only facet change on main (ALTER COLUMN ...
+      // COMMENT) loses nothing the data path — or any future write —
+      // reads, so it must not block the publish (the branch head's
+      // comments win, the same last-writer-wins as fast-forward
+      // itself). CURRENT_DEFAULT and other metadata facets still
+      // refuse: reverting a SET DEFAULT changes future INSERTs.
+      def stripComments(st: StructType): StructType = StructType(st.fields.map { f =>
+        val dt = f.dataType match {
+          case s: StructType => stripComments(s)
+          case other => other
+        }
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).remove("comment").build()
+        f.copy(dataType = dt, metadata = mb)
+      })
+      if (stripComments(main.schema) != stripComments(sd.schema))
         throw new IllegalStateException(
           s"publish_branch '$branch': $src evolved its schema after the branch was " +
             s"cut (${sd.schema.simpleString} -> ${main.schema.simpleString}) — " +
@@ -6105,15 +6121,18 @@ private[graft] object GraftBuildAnnIndexProcedure
     val srcParts = source.split('.')
     require(srcParts.length == 2,
       s"build_ann_index source must be a catalog table 'ns.t', got '$source'")
-    val src = spark.table(s"$catName.$source")
-    require(src.columns.contains("vec_id") && src.columns.contains("embedding"),
-      s"build_ann_index source $source needs (vec_id, embedding) columns")
-    // Watermark BEFORE reading: a concurrent append between this read
-    // and the property stamp is then re-delivered by the first refresh
-    // (double-assigning a row is append-idempotent here because
-    // refresh deletes by vec_id before re-adding postimages).
+    // Watermark FIRST, then pin BOTH build scans (train + assign) to
+    // that exact snapshot: a row appended between the watermark capture
+    // and a live scan would otherwise be indexed by the build AND
+    // re-delivered as an 'insert' by the first refresh (which only
+    // pre-deletes delete/update vec_ids) — duplicate postings.
+    // `VERSION AS OF v` makes index state ≡ source@v, and the feed
+    // delivers exactly what landed after v.
     val v = GraftCatalog.currentVersion(srcParts(0), srcParts(1)).getOrElse(
       throw new NoSuchTableException(Identifier.of(Array(srcParts(0)), srcParts(1))))
+    val src = spark.sql(s"SELECT * FROM $catName.$source VERSION AS OF $v")
+    require(src.columns.contains("vec_id") && src.columns.contains("embedding"),
+      s"build_ann_index source $source needs (vec_id, embedding) columns")
     val cbRow = graft.operators.KMeansCodebook.train(src, k, iters)
     cbRow.select(explode(col("cents")).as("c"))
       .select(col("c.cid").as("cid"), col("c.cvec").as("cvec"))

@@ -46,11 +46,11 @@ class CdcReplaySpec extends AnyFunSuite {
       .option("changesFrom", fromV.toString).option("changesTo", toV.toString)
       .load().collect().foreach { r =>
       val key = (r.getLong(0), r.getLong(1))
-      // _change_type is the LAST column: a span between two different
-      // migrations' transient layouts (both (bigint,bigint,double),
-      // positionally decode-compatible per the rename-exemption
-      // doctrine) legitimately carries a third all-NULL data column.
-      r.getString(r.size - 1) match {
+      // Resolved BY NAME, not position: a span between two different
+      // migrations' transient layouts legitimately carries extra
+      // all-NULL data columns, and the feed may grow trailing metadata
+      // columns later — positional decoding would misread either.
+      r.getString(r.fieldIndex("_change_type")) match {
         case "insert" | "update_postimage" => replica(key) += 1
         case "delete" | "update_preimage" =>
           assert(replica(key) > 0,
@@ -98,7 +98,7 @@ class CdcReplaySpec extends AnyFunSuite {
         streamed.synchronized {
           df.collect().foreach { r =>
             val key = (r.getLong(0), r.getLong(1))
-            r.getString(r.size - 1) match {
+            r.getString(r.fieldIndex("_change_type")) match {
               case "insert" | "update_postimage" => streamed(key) += 1
               case _ =>
                 streamed(key) -= 1
@@ -452,7 +452,7 @@ class CdcReplaySpec extends AnyFunSuite {
         streamed.synchronized {
           df.collect().foreach { r =>
             val key = (r.getLong(0), r.getLong(1))
-            r.getString(r.size - 1) match {
+            r.getString(r.fieldIndex("_change_type")) match {
               case "insert" | "update_postimage" => streamed(key) += 1
               case _ =>
                 streamed(key) -= 1

@@ -60,6 +60,22 @@ class MultimodalSpec extends AnyFunSuite {
       "truncated PNG must not parse")
     assert(!Multimodal.sniff(Multimodal.syntheticMedia(3L).take(20)).ok,
       "truncated WAV must not parse")
+    // Corrupt WAV with a NEGATIVE chunk size (le32 is signed): a size of
+    // -8 makes the naive step `8 + size + (size & 1)` advance zero bytes
+    // — the walk must bail to ok=false, not hang the executor task.
+    for (bad <- Seq(-8, -9, Int.MinValue)) {
+      val b = Multimodal.syntheticMedia(3L).clone()
+      // First chunk starts at 12; its size field is at 16..19 (LE).
+      b(16) = (bad & 0xff).toByte
+      b(17) = ((bad >> 8) & 0xff).toByte
+      b(18) = ((bad >> 16) & 0xff).toByte
+      b(19) = ((bad >> 24) & 0xff).toByte
+      val done = new java.util.concurrent.CompletableFuture[Multimodal.MediaMeta]()
+      val t = new Thread(() => done.complete(Multimodal.sniff(b)))
+      t.setDaemon(true); t.start()
+      val m = done.get(10, java.util.concurrent.TimeUnit.SECONDS) // hang = timeout
+      assert(!m.ok, s"corrupt WAV (chunk size $bad) must degrade, got $m")
+    }
   }
 
   test("decodeFeatures sniffs mime from bytes; unrecognized falls back to declared") {
