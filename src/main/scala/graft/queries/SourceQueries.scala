@@ -1084,6 +1084,64 @@ object SourceQueries {
       .orderBy("change_type")
   }
 
+  /** X10c: CHANGE FEED WITH TIMESTAMP BOUNDS — `changesFrom`/`changesTo`
+    * accept timestamps, resolved to the latest snapshot committed at or
+    * before the instant (the same rules as `TIMESTAMP AS OF` in batch
+    * time travel) — "replay everything since yesterday" without knowing
+    * version numbers. Fixture: batch A at v1, batch B at v2, a DELETE
+    * at v3; the feed is read with changesFrom = v1's commit timestamp
+    * (EXCLUSIVE → batch A stays out) and changesTo = v2's commit
+    * timestamp (INCLUSIVE → v3's deletes stay out), so BOTH bounds are
+    * load-bearing: a misresolved lower bound re-delivers batch A, a
+    * misresolved/ignored upper bound leaks v3's deletes — either breaks
+    * the hash. The commit timestamps come from the `.history` metadata
+    * table (one bounded driver collect), proving the user-visible
+    * surface end-to-end: history → timestamp → feed.
+    */
+  val x10cChangesByTime: Q = Q(
+    "x10c_changes_by_time",
+    """SELECT 'insert' AS change_type, c_mktsegment AS seg,
+      |  count(*) AS n,
+      |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+      |FROM customer WHERE c_custkey % 3 = 0
+      |GROUP BY c_mktsegment
+      |ORDER BY seg""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.functions.{col, count, round, sum}
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.customer(spark, dir).createOrReplaceTempView("x10c_customer_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.cust_cdt")
+    spark.sql(
+      "CREATE TABLE graft.demo.cust_cdt (k BIGINT, seg STRING, bal DOUBLE) USING graft")
+    spark.sql(
+      """INSERT INTO graft.demo.cust_cdt
+        |SELECT CAST(c_custkey AS BIGINT), c_mktsegment, c_acctbal
+        |FROM x10c_customer_src WHERE c_custkey % 3 <> 0""".stripMargin) // v1: batch A
+    spark.sql(
+      """INSERT INTO graft.demo.cust_cdt
+        |SELECT CAST(c_custkey AS BIGINT), c_mktsegment, c_acctbal
+        |FROM x10c_customer_src WHERE c_custkey % 3 = 0""".stripMargin) // v2: batch B
+    spark.sql("DELETE FROM graft.demo.cust_cdt WHERE seg = 'MACHINERY'") // v3
+    // Commit instants from the history metadata table — 3 rows, bounded.
+    val ts = spark.table("graft.demo.cust_cdt.history")
+      .select("version", "committed_at").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).toInstant).toMap
+    // Millisecond-distinct commits are what makes the bounds resolve to
+    // distinct versions; Spark jobs take >>1ms each, so this holds by
+    // construction — require() turns any violation into a loud fixture
+    // error instead of a confusing oracle mismatch.
+    require(ts(1L).isBefore(ts(2L)) && ts(2L).isBefore(ts(3L)),
+      s"x10c fixture commits not millisecond-distinct: $ts")
+    spark.read.format("graft-changes")
+      .option("table", "demo.cust_cdt")
+      .option("changesFrom", ts(1L).toString) // at-or-before → v1, EXCLUSIVE
+      .option("changesTo", ts(2L).toString) // at-or-before → v2, INCLUSIVE
+      .load()
+      .groupBy(col("_change_type").as("change_type"), col("seg"))
+      .agg(count("*").as("n"),
+        round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("total_bal"))
+      .orderBy("change_type", "seg")
+  }
+
   /** X11: RESTORE + zero-copy CLONE as one differential story. A base
     * batch lands and is TAGGED; a second batch lands on main; the tag
     * is CLONED to a branch table (metadata-only — the branch SHARES the
@@ -2123,7 +2181,7 @@ object SourceQueries {
     x9cMvRewriteOff, x9cMvRewriteOn, x5fPartitionProfile, x5gCosortedJoin,
     x5hPartitionOverwrite, x5iPartitionEvolution, x5jHiddenPartitioning,
     x5kBucketSpj,
-    x10TableChanges, x10bCdcUpdatePairs, x11RestoreClone, x12BranchWap,
+    x10TableChanges, x10bCdcUpdatePairs, x10cChangesByTime, x11RestoreClone, x12BranchWap,
     x13Upsert, x14MetadataTables, x15RemoveOrphans, x16RowLineage, x17Undrop,
     x18Identity, x19Generated, x20Retention, x21ColumnDefaults,
     x22MergeSchemaEvolution, x23CopyInto, x24ScopedCompact,

@@ -6343,33 +6343,81 @@ private[graft] object GraftVerifyConstraintsProcedure
     org.apache.spark.sql.types.StructField("ok", BooleanType, nullable = false)))
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
-    import org.apache.spark.sql.functions.{coalesce, col, count, expr, lit, not, sum}
+    import org.apache.spark.sql.functions.{
+      array, coalesce, col, count, explode, expr, hex, lit, not, struct, sum, when}
     val ns = input.getUTF8String(0).toString
     val table = input.getUTF8String(1).toString
     val spark = org.apache.spark.sql.SparkSession.active
     val catName = GraftCatalog.sessionCatalogName(spark, "verify_constraints")
     val ident = Identifier.of(Array(ns), table)
     val df = spark.table(s"$catName.$ns.$table")
+    val constraints = GraftCatalog.constraintsOf(ident)
 
-    // Rows PARTICIPATING in a duplicate key group (sum of group sizes
-    // over groups with >1), keys with NULLs excluded per SQL UNIQUE.
-    def dupRows(cols: Seq[String]): Long =
-      df.select(cols.map(col): _*)
-        .filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
-        .groupBy(cols.map(col): _*).agg(count(lit(1)).as("n"))
-        .filter(col("n") > 1)
-        .agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
-
-    def nullKeyRows(cols: Seq[String]): Long =
-      df.filter(cols.map(c => col(c).isNull).reduce(_ || _)).count()
+    // ALL non-FK constraints fold into ONE scan + ONE shuffle: a table
+    // with many declared constraints must not pay one job per
+    // constraint (UNIQUE and PK previously cost a groupBy job each,
+    // plus a null-key count job, plus a CHECK count job). Each row
+    // explodes into one entry per constraint, uniformly typed
+    // (cid, kind, key: array<string>):
+    //  - UNIQUE/PK "key" entries carry the key tuple (cast per-column
+    //    to string — injective per type; BinaryType via hex since a
+    //    lossy UTF-8 decode could alias distinct byte keys) when all
+    //    key columns are non-null, else NULL (filtered — SQL UNIQUE
+    //    ignores NULL keys);
+    //  - PK "direct" entries mark rows with ANY NULL key column (PK
+    //    implies NOT NULL, so those count as violations outright);
+    //  - CHECK "direct" entries mark rows where the predicate is FALSE
+    //    (NULL passes, per SQL).
+    // Violations then fall out of one two-stage aggregation with
+    // map-side partials: duplicate participation = sum of group sizes
+    // over "key" groups with n > 1; direct counts = the group size
+    // itself. FK keeps its key-only anti join (it reads a SECOND
+    // table — unfoldable by construction).
+    def keyStr(c: String): org.apache.spark.sql.Column = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.BinaryType => hex(col(c))
+      case _ => col(c).cast("string")
+    }
+    def keyTuple(cols: Seq[String]): org.apache.spark.sql.Column =
+      when(cols.map(c => col(c).isNotNull).reduce(_ && _), array(cols.map(keyStr): _*))
+    val NoKey = lit(null).cast("array<string>")
+    val entryExprs: Seq[org.apache.spark.sql.Column] = constraints.flatMap {
+      case u: Unique =>
+        val cols = u.columns().toSeq.map(_.toString)
+        Seq(struct(lit(u.name()).as("cid"), lit("key").as("kind"),
+          keyTuple(cols).as("key")))
+      case p: PrimaryKey =>
+        val cols = p.columns().toSeq.map(_.toString)
+        Seq(
+          struct(lit(p.name()).as("cid"), lit("key").as("kind"),
+            keyTuple(cols).as("key")),
+          struct(lit(p.name()).as("cid"), lit("direct").as("kind"),
+            when(cols.map(c => col(c).isNull).reduce(_ || _),
+              array(lit("null_key"))).otherwise(NoKey).as("key")))
+      case c: Check =>
+        Seq(struct(lit(c.name()).as("cid"), lit("direct").as("kind"),
+          when(not(coalesce(expr(c.predicateSql()), lit(true))),
+            array(lit("violation"))).otherwise(NoKey).as("key")))
+      case _ => Seq.empty // FK / unknown: handled below
+    }
+    val foldedCounts: Map[String, Long] =
+      if (entryExprs.isEmpty) Map.empty
+      else df.select(explode(array(entryExprs: _*)).as("e"))
+        .select(col("e.cid").as("cid"), col("e.kind").as("kind"), col("e.key").as("key"))
+        .filter(col("key").isNotNull)
+        .groupBy(col("cid"), col("kind"), col("key"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("cid"))
+        .agg(sum(when(col("kind") === "key",
+          when(col("n") > 1, col("n")).otherwise(lit(0L)))
+          .otherwise(col("n"))).as("v"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
     val rows: Seq[(String, String, Long)] =
-      GraftCatalog.constraintsOf(ident).map {
+      constraints.map {
         case u: Unique =>
-          (u.name(), "UNIQUE", dupRows(u.columns().toSeq.map(_.toString)))
+          (u.name(), "UNIQUE", foldedCounts.getOrElse(u.name(), 0L))
         case p: PrimaryKey =>
-          val cols = p.columns().toSeq.map(_.toString)
-          (p.name(), "PRIMARY KEY", dupRows(cols) + nullKeyRows(cols))
+          (p.name(), "PRIMARY KEY", foldedCounts.getOrElse(p.name(), 0L))
         case f: ForeignKey =>
           val cols = f.columns().toSeq.map(_.toString)
           val ref = f.referencedTable()
@@ -6391,9 +6439,7 @@ private[graft] object GraftVerifyConstraintsProcedure
             .map { case (a, b) => probe(a) === refDf(b) }.reduce(_ && _)
           (f.name(), "FOREIGN KEY", probe.join(refDf, cond, "left_anti").count())
         case c: Check =>
-          // Violation iff the predicate is FALSE — NULL passes (SQL).
-          (c.name(), "CHECK",
-            df.filter(not(coalesce(expr(c.predicateSql()), lit(true)))).count())
+          (c.name(), "CHECK", foldedCounts.getOrElse(c.name(), 0L))
         case other =>
           (other.name(), other.getClass.getSimpleName.toUpperCase(java.util.Locale.ROOT),
             -1L) // unknown kind: surfaced, never silently "ok"

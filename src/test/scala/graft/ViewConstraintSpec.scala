@@ -150,6 +150,65 @@ class ViewConstraintSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.cn.vref PURGE")
   }
 
+  test("verify_constraints folds every non-FK constraint into one Spark job") {
+    spark.sql("DROP TABLE IF EXISTS graft.cn.fold PURGE")
+    spark.sql("DROP TABLE IF EXISTS graft.cn.foldref PURGE")
+    spark.sql("CREATE TABLE graft.cn.foldref (r BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.cn.foldref VALUES (1), (2)")
+    // Five non-FK constraints + one FK: unfolded, the non-FK set alone
+    // cost 7 jobs (a groupBy per UNIQUE/PK, a null-key count per PK, a
+    // count per CHECK); folded it is ONE job, plus one per FK anti
+    // join, plus at most one driver-side materialization of the
+    // procedure's LocalScan result.
+    spark.sql(
+      """CREATE TABLE graft.cn.fold
+        |  (k BIGINT, r BIGINT, v DOUBLE, s STRING,
+        |   CONSTRAINT f_pk PRIMARY KEY (k) NOT ENFORCED,
+        |   CONSTRAINT f_uq1 UNIQUE (v) NOT ENFORCED,
+        |   CONSTRAINT f_uq2 UNIQUE (s) NOT ENFORCED,
+        |   CONSTRAINT f_ck1 CHECK (v < 100.0),
+        |   CONSTRAINT f_ck2 CHECK (k >= 0),
+        |   CONSTRAINT f_fk FOREIGN KEY (r) REFERENCES graft.cn.foldref (r)
+        |     NOT ENFORCED)
+        |USING graft""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft.cn.fold VALUES (1, 1, 0.5, 'a'), (2, 9, 0.5, 'b'), (2, 2, 1.5, 'a')")
+    // Count ACTIONS (query executions), not Spark jobs: AQE legitimately
+    // splits one action into a job per query stage, so job counts don't
+    // measure what the fold changed. Folded = exactly 3 actions: the
+    // one non-FK pass, the FK anti join, and the CALL's own result
+    // materialization. Unfolded was 9 (groupBy per UNIQUE/PK + null-key
+    // count per PK + count per CHECK = 7, + FK + result).
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        actions.incrementAndGet(); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val rep = spark.sql("CALL graft.system.verify_constraints('cn', 'fold')")
+        .collect().map(x => x.getString(0) -> x.getLong(2)).toMap
+      // Listener events post asynchronously: wait for the count to
+      // settle (two consecutive identical reads) before asserting.
+      var prev = -1
+      var settles = 0
+      while (settles < 2) {
+        Thread.sleep(100)
+        if (actions.get() == prev) settles += 1 else { settles = 0; prev = actions.get() }
+      }
+      assert(rep == Map("f_pk" -> 2L, "f_uq1" -> 2L, "f_uq2" -> 2L,
+        "f_ck1" -> 0L, "f_ck2" -> 0L, "f_fk" -> 1L), s"wrong counts: $rep")
+      assert(actions.get() <= 3,
+        s"expected <= 3 actions (folded non-FK + FK anti join + result), got ${actions.get()}")
+    } finally spark.listenerManager.unregister(listener)
+    spark.sql("DROP TABLE graft.cn.fold PURGE")
+    spark.sql("DROP TABLE graft.cn.foldref PURGE")
+  }
+
   test("verify_constraints: COMPOSITE-key FK and UNIQUE verify column-by-column") {
     spark.sql("DROP TABLE IF EXISTS graft.cn.ct PURGE")
     spark.sql("DROP TABLE IF EXISTS graft.cn.cref PURGE")
