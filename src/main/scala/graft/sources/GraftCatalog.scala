@@ -76,6 +76,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
 
   override def loadTable(ident: Identifier): Table = {
     ensureLoaded()
+    refreshIfStale(ident) // another driver may have created/advanced it
     val entry = store.get(ident)
     if (entry == null)
       // Multi-part fallthrough: `graft.ns.t.files` arrives as
@@ -133,6 +134,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     ensureLoaded()
+    refreshIfStale(ident)
     if (store.get(ident) == null) throw new NoSuchTableException(ident)
     // Numeric commit id, or a TAG name (`'graft.tag.<name>'='<v>'`
     // table property — `VERSION AS OF 'stable'` reads the snapshot the
@@ -150,6 +152,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     ensureLoaded()
+    refreshIfStale(ident)
     if (store.get(ident) == null) throw new NoSuchTableException(ident)
     val snap = snapshotByTime(ident, timestamp).getOrElse(throw new NoSuchTableException(
       Identifier.of(ident.namespace,
@@ -195,6 +198,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       constraints: Vector[org.apache.spark.sql.connector.catalog.constraints.Constraint])
       : Table = mutate {
     GraftCatalog.requireNotBranchName(ident)
+    refreshIfStale(ident) // a table created by another driver must refuse here
     val partCols = validatePartitionCols(schema, partitions)
     val props = userProps(properties)
     GraftCatalog.validateUserProps(schema, props)
@@ -275,6 +279,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * deletes the unpublished fresh segments before rethrowing.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = mutate {
+    refreshIfStale(ident) // migrate the LATEST state, not a stale snapshot of it
     if (store.get(ident) == null) throw new NoSuchTableException(ident)
     // Property-only ALTERs (SET/UNSET TBLPROPERTIES) are pure metadata:
     // no segment I/O, no new snapshot.
@@ -2697,6 +2702,7 @@ object GraftCatalog {
   private[sources] def patchTableProps(
       ident: Identifier, set: Map[String, String],
       unset: Set[String] = Set.empty): Unit = mutate {
+    refreshIfStale(ident) // patch on top of other drivers' commits, not under them
     if (store.get(ident) == null) throw new NoSuchTableException(ident)
     store.compute(ident, (_, prev) => {
       require(prev != null, s"table $ident dropped mid-alter")
@@ -2893,6 +2899,12 @@ object GraftCatalog {
   private val mutationLock = new Object
   private[sources] def mutate[A](body: => A): A = mutationLock.synchronized(body)
 
+  // Commit-protocol trace for cross-process debugging (enabled by
+  // -Dgraft.debug.commits=1; off = zero overhead beyond one boolean).
+  private val debugCommits = sys.props.get("graft.debug.commits").contains("1")
+  private[sources] def dbg(msg: => String): Unit =
+    if (debugCommits) System.err.println(s"[graft-commit] $msg")
+
   /** JVM-wide segment root (a cluster deployment points this at shared
     * storage; `local[*]` executors and driver share the local FS).
     *
@@ -2947,9 +2959,9 @@ object GraftCatalog {
       if (!ledgerLoaded.get()) {
         val root = segmentRoot
         val mono = System.nanoTime()
-        GraftLedger.readAll(GraftLedger.tablesDir(root)).foreach { json =>
+        GraftLedger.readAllTables(GraftLedger.tablesDir(root)).foreach { case (json, seq) =>
           val (ident, entry, hist, eps) = GraftLedger.decodeTable(json, mono)
-          store.putIfAbsent(ident, entry)
+          if (store.putIfAbsent(ident, entry) == null) ledgerSeqs.put(ident, seq)
           if (hist.nonEmpty) history.putIfAbsent(ident, hist)
           eps.foreach { case (qid, e) =>
             epochs.putIfAbsent((ident, qid), java.lang.Long.valueOf(e))
@@ -2971,22 +2983,106 @@ object GraftCatalog {
       }
     }
 
-  /** Write (or delete) the table's ledger document. Call under
-    * `mutate {}` after the in-memory swap; no-op in ephemeral mode.
+  /** The ledger sequence backing this process's in-memory view of each
+    * table — the cross-process optimistic-concurrency token. A commit
+    * CASes `known + 1` into the table's numbered ledger directory; a
+    * lost CAS means another DRIVER PROCESS committed first.
     */
-  private[sources] def persistTable(ident: Identifier): Unit = {
+  private val ledgerSeqs = new ConcurrentHashMap[Identifier, java.lang.Long]()
+  private def knownSeq(ident: Identifier): Long =
+    Option(ledgerSeqs.get(ident)).map(_.longValue()).getOrElse(-1L)
+
+  /** Cross-process staleness check: if another process advanced the
+    * table's ledger past what this process last read/wrote, adopt the
+    * on-disk state (the multi-driver read path — Delta's "ls the log
+    * on every access"). Call under `mutate {}`; no-op in ephemeral
+    * mode (the JVM lock already serializes everything there).
+    */
+  private[sources] def refreshIfStale(ident: Identifier): Unit = {
     if (!persistent) return
+    ensureLoaded()
+    mutate { // reentrant from commit paths; read paths lock briefly
+      val disk = GraftLedger.latestSeq(GraftLedger.tablesDir(segmentRoot), ident)
+      if (disk > knownSeq(ident)) reloadFromDisk(ident)
+    }
+  }
+
+  /** Replace this table's in-memory state with the latest on-disk
+    * ledger document (or remove it if no document exists) — both the
+    * cross-process refresh and the lost-CAS recovery path. Under
+    * `mutate {}`.
+    */
+  private def reloadFromDisk(ident: Identifier): Unit = {
+    if (!persistent) return
+    GraftLedger.readLatest(GraftLedger.tablesDir(segmentRoot), ident) match {
+      case Some((json, seq)) =>
+        dbg(s"reload($ident) -> seq=$seq")
+        val (id, entry, hist, eps) = GraftLedger.decodeTable(json, System.nanoTime())
+        store.put(id, entry)
+        if (hist.nonEmpty) history.put(id, hist) else history.remove(id)
+        epochs.keySet.asScala.filter(_._1 == id).toSeq.foreach(epochs.remove)
+        eps.foreach { case (qid, e) =>
+          epochs.put((id, qid), java.lang.Long.valueOf(e)): Unit
+        }
+        ledgerSeqs.put(id, seq): Unit
+      case None =>
+        store.remove(ident)
+        history.remove(ident)
+        epochs.keySet.asScala.filter(_._1 == ident).toSeq.foreach(epochs.remove)
+        ledgerSeqs.remove(ident): Unit
+    }
+  }
+
+  /** CAS-write (or delete) the table's ledger document; false = another
+    * process committed the same sequence first (in-memory state still
+    * holds OUR uncommitted view — the caller must reload or merge).
+    * Call under `mutate {}` after the in-memory swap; always true in
+    * ephemeral mode.
+    */
+  private def persistTableCas(ident: Identifier): Boolean = {
+    if (!persistent) return true
     val dir = GraftLedger.tablesDir(segmentRoot)
     val entry = store.get(ident)
-    if (entry == null) GraftLedger.delete(dir, ident)
-    else {
+    if (entry == null) {
+      // Deletion is not CAS-protected: DROP racing a concurrent commit
+      // is last-write-wins at the registry level (the same as Delta's
+      // log removal), and the trash/undrop machinery keeps the data.
+      GraftLedger.delete(dir, ident)
+      ledgerSeqs.remove(ident)
+      true
+    } else {
       val eps = epochs.asScala.collect {
         case ((id, qid), e) if id == ident => qid -> e.longValue()
       }.toMap
-      GraftLedger.write(dir, ident, GraftLedger.encodeTable(
-        ident, entry, history.getOrDefault(ident, Vector.empty), eps))
+      val next = knownSeq(ident) + 1
+      val won = GraftLedger.casWrite(dir, ident, GraftLedger.encodeTable(
+        ident, entry, history.getOrDefault(ident, Vector.empty), eps), next)
+      if (won) {
+        dbg(s"persist($ident) seq=$next v=${history.getOrDefault(ident, Vector.empty)
+          .lastOption.map(_.version).getOrElse(-1L)} segs=${entry.segments.length}")
+        ledgerSeqs.put(ident, next)
+      }
+      won
     }
   }
+
+  /** Write (or delete) the table's ledger document, REFUSING on a lost
+    * cross-process CAS: the other driver's state is adopted and the
+    * statement fails loudly for the user to retry (its in-memory
+    * mutation is discarded — nothing of the loser's intent lands, so
+    * nothing is half-applied). Commit paths that can re-apply their
+    * intent instead (appends) go through `commitSegments`' merge loop,
+    * not this. Call under `mutate {}` after the in-memory swap; no-op
+    * in ephemeral mode.
+    */
+  private[sources] def persistTable(ident: Identifier): Unit =
+    if (!persistTableCas(ident)) {
+      reloadFromDisk(ident)
+      throw new java.util.ConcurrentModificationException(
+        s"$ident: another process committed to this table's ledger while this " +
+          "statement ran — its commit was kept, this one was NOT applied; retry " +
+          "the statement")
+    }
 
   private[sources] def persistView(ident: Identifier): Unit = {
     if (!persistent) return
@@ -3008,6 +3104,7 @@ object GraftCatalog {
       views.remove(ident)
       history.remove(ident)
       trash.remove(ident)
+      ledgerSeqs.remove(ident)
       epochs.keySet.asScala.filter(_._1 == ident).foreach(epochs.remove)
     }
     ledgerLoaded.set(false)
@@ -3174,12 +3271,19 @@ object GraftCatalog {
     * swallowed by an inherited equality delete, or an upsert fail to
     * shadow inherited rows).
     */
+  /** Returns true when the commit landed; false ONLY when
+    * `casRetryable` is set and the cross-process ledger CAS was lost
+    * (in-memory state has been reloaded to the winner's — the caller
+    * re-applies its intent and retries). With `casRetryable = false`
+    * a lost CAS reloads and throws (see [[persistTable]]).
+    */
   private def publish(
       ident: Identifier, rewrites: Map[String, String] = Map.empty,
-      dataChange: Boolean = true, firstVersion: Long = 0L): Unit = {
+      dataChange: Boolean = true, firstVersion: Long = 0L,
+      casRetryable: Boolean = false): Boolean = {
     expireTrash() // drop-trash retention rides the same publish cadence
     val entry0 = store.get(ident)
-    if (entry0 == null) return
+    if (entry0 == null) return true
     // Equality-delete GC: once every live segment's seq is >= the
     // delete's, no row it could hit remains — drop it from the LIVE
     // entry (retained snapshots keep their own copies for time travel).
@@ -3253,6 +3357,21 @@ object GraftCatalog {
       .dropWhile(s => s.mono < cutoff && s != all.last)
     val retained = (taggedSnaps ++ keptUntagged).sortBy(_.version)
     history.put(ident, retained)
+    // CAS the ledger BEFORE deleting any file: a lost CAS means another
+    // PROCESS committed first and its snapshots — planned against
+    // segment lists this process never saw — may reference exactly the
+    // files this publish was about to expire. Durable-mode write is a
+    // put-if-absent of the next numbered document; ephemeral mode is
+    // always "won" (the JVM lock serializes everything).
+    if (!persistTableCas(ident)) {
+      dbg(s"publish($ident) CAS LOST at seq ${knownSeq(ident) + 1}")
+      reloadFromDisk(ident) // adopt the winner; our snapshot never happened
+      if (casRetryable) return false
+      throw new java.util.ConcurrentModificationException(
+        s"$ident: another process committed to this table's ledger while this " +
+          "statement ran — its commit was kept, this one was NOT applied; retry " +
+          "the statement")
+    }
     val live = retained.flatMap(_.segments.map(_.path)).toSet ++
       entry.segments.map(_.path)
     // Hand EVERY expired snapshot's files to GC, not just the prefix
@@ -3266,7 +3385,7 @@ object GraftCatalog {
       .flatMap(_.segments).distinctBy(_.path)
       .filterNot(s => live.contains(s.path))
       .foreach(gcDelete(ident, _))
-    persistTable(ident) // durable-mode ledger write; no-op otherwise
+    true
   }
 
   /** True when any OTHER table's current state or retained history
@@ -3984,6 +4103,7 @@ object GraftCatalog {
 
   private[sources] def commitStaged(
       ident: Identifier, entry: TableEntry, mode: GraftStagedTable.Mode): Unit = mutate {
+    refreshIfStale(ident)
     def discard(): Unit = {
       entry.segments.foreach(SegmentIO.delete)
       deleteRecursively(Paths.get(entry.dir))
@@ -4021,6 +4141,7 @@ object GraftCatalog {
     */
   private[sources] def versionedStateOf(
       ident: Identifier): (Long, Vector[Segment], Vector[EqDelete]) = mutate {
+    refreshIfStale(ident) // the version token must reflect other drivers' commits
     val (s, e) = stateOf(ident)
     (history.getOrDefault(ident, Vector.empty).lastOption.map(_.version).getOrElse(-1L),
       s, e)
@@ -4037,16 +4158,16 @@ object GraftCatalog {
     */
   private[sources] def installRowLevel(
       ident: Identifier, segs: Seq[Segment], plannedVersion: Long,
-      rewrites: Map[String, String] = Map.empty): Unit = mutate {
-    val cur = history.getOrDefault(ident, Vector.empty)
-      .lastOption.map(_.version).getOrElse(-1L)
-    if (cur != plannedVersion)
-      throw new java.util.ConcurrentModificationException(
-        s"$ident advanced v$plannedVersion -> v$cur while a row-level rewrite " +
-          "was running — its result would erase the interleaved commit; retry " +
-          "the statement")
-    install(ident, segs, truncate = true, rewrites = rewrites)
-  }
+      rewrites: Map[String, String] = Map.empty): Unit =
+    // The version token is checked INSIDE commitSegments' loop, after
+    // the cross-process staleness refresh: a commit that landed in
+    // another driver JVM moves the version just like a local one, so
+    // stale row-level rewrites refuse identically in both topologies.
+    {
+    dbg(s"installRowLevel($ident) plannedV=$plannedVersion segs=${segs.length}")
+    commitSegments(ident, rewrites, requireVersion = Some(plannedVersion))(_ =>
+      segs.toVector)
+    }
 
   /** AUTO-COMPACTION (`'graft.autocompact.segments'='N'` TBLPROPERTY —
     * the Delta autoCompact shape, opt-in): any data commit that leaves
@@ -4115,8 +4236,51 @@ object GraftCatalog {
     * validation ordering bug).
     */
   private def commitSegments(ident: Identifier, rewrites: Map[String, String] = Map.empty,
-      copyTokens: Seq[String] = Nil)(
+      copyTokens: Seq[String] = Nil, requireVersion: Option[Long] = None)(
       transform: TableEntry => Vector[Segment]): Unit = mutate {
+    // Cross-process retry-merge loop: each attempt syncs with the
+    // on-disk ledger, re-applies `transform` to the refreshed state,
+    // and CASes the commit. A lost CAS (another DRIVER committed the
+    // same sequence first) reloads the winner and re-applies — so two
+    // processes' disjoint appends BOTH land, in some serial order,
+    // which is exactly the append-commute conflict class. Row-level
+    // rewrites pass `requireVersion`: their replacement list was
+    // computed against a pinned snapshot and re-applying it onto a
+    // moved table would erase the interleaved commit, so they refuse
+    // instead (the Iceberg/Delta conflict taxonomy).
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      refreshIfStale(ident)
+      requireVersion.foreach { pv =>
+        val cur = history.getOrDefault(ident, Vector.empty)
+          .lastOption.map(_.version).getOrElse(-1L)
+        if (cur != pv)
+          throw new java.util.ConcurrentModificationException(
+            s"$ident advanced v$pv -> v$cur while a row-level rewrite " +
+              "was running — its result would erase the interleaved commit; retry " +
+              "the statement")
+      }
+      committed = commitSegmentsOnce(ident, rewrites, copyTokens, transform)
+      dbg(s"commitSegments($ident) attempt=$attempt committed=$committed")
+      if (!committed) {
+        attempt += 1
+        if (attempt > 20)
+          throw new java.util.ConcurrentModificationException(
+            s"$ident: lost the ledger CAS to concurrent drivers $attempt times; " +
+              "giving up — retry the statement")
+      }
+    }
+  }
+
+  /** One optimistic attempt of [[commitSegments]]: in-memory swap +
+    * publish with a retryable CAS. False = lost to another process
+    * (state already reloaded to the winner's — re-apply and retry).
+    */
+  private def commitSegmentsOnce(
+      ident: Identifier, rewrites: Map[String, String],
+      copyTokens: Seq[String],
+      transform: TableEntry => Vector[Segment]): Boolean = {
     val threshold = autoCompactThreshold(ident) // validate pre-commit
     store.compute(ident, (_, prev) => {
       require(prev != null, s"table $ident dropped mid-write")
@@ -4148,8 +4312,9 @@ object GraftCatalog {
       next0.copy(segments = transform(prev).map(s =>
         if (prevPaths.contains(s.path)) s else s.copy(seq = nextV)))
     })
-    publish(ident, rewrites)
-    maybeAutoCompact(ident, threshold)
+    val won = publish(ident, rewrites, casRetryable = true)
+    if (won) maybeAutoCompact(ident, threshold)
+    won
   }
 
   /** Partition-scoped / dynamic INSERT OVERWRITE commit: replace only

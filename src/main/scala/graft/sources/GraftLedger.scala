@@ -34,11 +34,18 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * historical snapshots may carry schemas that later ALTERs widened,
   * and a stat decoded under the wrong type would silently mis-prune.
   *
-  * Single-writer-per-root assumption, same as Delta without a commit
-  * coordinator: two concurrent JVMs mutating one root will last-write-
-  * win at file granularity. (A cluster deployment would swap this
-  * class for a catalog service; everything above the ledger is
-  * unchanged.)
+  * CROSS-PROCESS COMMITS (tables): table documents are NUMBERED —
+  * `<fname>.d/<%020d>.json` — and a commit is a CAS: write-temp +
+  * atomic hardlink (put-if-absent; see `casWrite` for why rename is
+  * NOT the primitive) to `<known+1>.json`, the Delta
+  * `_delta_log/N.json` shape — so of two
+  * driver JVMs racing the same sequence number exactly one wins; the
+  * loser reloads the winner's document and retries (appends re-apply
+  * and both land) or refuses (row-level rewrites — see
+  * GraftCatalog.commitSegments). Readers list the directory and take
+  * the highest number; a flat legacy `<fname>.json` reads as sequence
+  * 0. Views and the drop-trash stay last-write-wins flat documents —
+  * they are not data-commit surfaces.
   */
 private[sources] object GraftLedger {
   import GraftCatalog.{CatalogSnapshot, ColStat, Segment, TableEntry}
@@ -396,26 +403,149 @@ private[sources] object GraftLedger {
 
   // ---- atomic file IO ----
 
+  /** Write the fsynced temp file all atomic publishes rename from. */
+  private def writeTmp(dir: Path, json: String): Path = {
+    val tmp = Files.createTempFile(dir, ".tmp-", ".json")
+    // fsync BEFORE the rename: on delayed-allocation filesystems a
+    // crash can otherwise persist the rename but not the bytes,
+    // leaving a truncated document — exactly the torn state the
+    // never-torn contract rules out. Data first, then the directory
+    // entry (so the rename itself is durable too, best-effort: some
+    // platforms refuse directory fds).
+    val ch = java.nio.channels.FileChannel.open(tmp, java.nio.file.StandardOpenOption.WRITE)
+    try {
+      ch.write(java.nio.ByteBuffer.wrap(json.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      ch.force(true)
+    } finally ch.close()
+    tmp
+  }
+
   def write(dir: Path, ident: Identifier, json: String): Unit = {
     Files.createDirectories(dir)
     val target = dir.resolve(fileName(ident))
-    val tmp = Files.createTempFile(dir, ".tmp-", ".json")
+    val tmp = writeTmp(dir, json)
     try {
-      // fsync BEFORE the rename: on delayed-allocation filesystems a
-      // crash can otherwise persist the rename but not the bytes,
-      // leaving a truncated document — exactly the torn state the
-      // never-torn contract rules out. Data first, then the directory
-      // entry (so the rename itself is durable too, best-effort: some
-      // platforms refuse directory fds).
-      val ch = java.nio.channels.FileChannel.open(tmp, java.nio.file.StandardOpenOption.WRITE)
-      try {
-        ch.write(java.nio.ByteBuffer.wrap(json.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-        ch.force(true)
-      } finally ch.close()
       Files.move(tmp, target,
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       fsyncDir(dir)
     } finally Files.deleteIfExists(tmp)
+  }
+
+  // ---- numbered table documents (cross-process CAS commits) ----
+
+  /** Per-table numbered-document directory: `<fname>.d/`. */
+  private def docDir(dir: Path, ident: Identifier): Path =
+    dir.resolve(fileName(ident) + ".d")
+
+  private def seqOf(p: Path): Option[Long] = {
+    val n = p.getFileName.toString
+    if (n.endsWith(".json") && !n.startsWith(".tmp-"))
+      n.stripSuffix(".json").toLongOption.filter(_ >= 0)
+    else None
+  }
+
+  /** Highest committed sequence of a table's ledger, or -1 if the table
+    * has no document. A legacy flat document counts as sequence 0.
+    * One directory listing — the cross-process staleness probe every
+    * commit pays; metadata-scale, the same `ls _delta_log` Delta pays.
+    */
+  def latestSeq(dir: Path, ident: Identifier): Long = {
+    val d = docDir(dir, ident)
+    val fromDir =
+      if (!Files.isDirectory(d)) -1L
+      else {
+        val s = Files.list(d)
+        try s.iterator().asScala.flatMap(seqOf).foldLeft(-1L)(math.max)
+        finally s.close()
+      }
+    if (fromDir >= 0) fromDir
+    else if (Files.exists(dir.resolve(fileName(ident)))) 0L
+    else -1L
+  }
+
+  /** Latest committed document + its sequence, or None. Retries once on
+    * a read/list race (a concurrent GC may delete an old doc between
+    * the listing and the read — re-list and take the new highest).
+    */
+  def readLatest(dir: Path, ident: Identifier): Option[(String, Long)] = {
+    var attempt = 0
+    while (attempt < 3) {
+      val seq = latestSeq(dir, ident)
+      if (seq < 0) return None
+      val p =
+        if (seq == 0L && !Files.exists(docDir(dir, ident).resolve(f"$seq%020d.json")))
+          dir.resolve(fileName(ident)) // legacy flat document
+        else docDir(dir, ident).resolve(f"$seq%020d.json")
+      try return Some((Files.readString(p), seq))
+      catch { case _: java.io.IOException => attempt += 1 }
+    }
+    None
+  }
+
+  /** CAS-commit `json` as the table's sequence-`seq` document: atomic
+    * put-if-absent. Returns false when some other process already
+    * committed that sequence — the caller reloads and retries or
+    * refuses. On success, documents at `seq - 3` and below are GC'd
+    * (a couple stay behind so a reader between list and read never
+    * loses its target), and the legacy flat document is removed once a
+    * numbered one exists.
+    *
+    * The put-if-absent primitive is `Files.createLink` (hardlink from
+    * the fsynced temp file), NOT a rename: POSIX `rename()` silently
+    * REPLACES an existing target — `Files.move(ATOMIC_MOVE)` maps to
+    * it on Linux and does not throw on collision, so of two racing
+    * drivers BOTH would believe they won and the first commit would be
+    * overwritten (observed in the two-driver gauntlet as a lost
+    * UPDATE). `link()` is atomic and fails with EEXIST, and because it
+    * links the COMPLETE temp file, no reader can ever observe a torn
+    * document. Filesystems without hardlinks fall back to an O_EXCL
+    * create (also atomic-exclusive; its torn-write window on crash is
+    * closed by readers skipping undecodable trailing docs).
+    */
+  def casWrite(dir: Path, ident: Identifier, json: String, seq: Long): Boolean = {
+    val d = docDir(dir, ident)
+    Files.createDirectories(d)
+    val target = d.resolve(f"$seq%020d.json")
+    val tmp = writeTmp(d, json)
+    val won =
+      try {
+        try {
+          Files.createLink(target, tmp)
+          fsyncDir(d)
+          true
+        } catch {
+          case _: UnsupportedOperationException =>
+            // No-hardlink filesystem: O_EXCL create is the fallback
+            // atomic-exclusive primitive.
+            val ch = java.nio.channels.FileChannel.open(target,
+              java.nio.file.StandardOpenOption.WRITE,
+              java.nio.file.StandardOpenOption.CREATE_NEW)
+            try {
+              ch.write(java.nio.ByteBuffer.wrap(
+                json.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+              ch.force(true)
+            } finally ch.close()
+            fsyncDir(d)
+            true
+        }
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        // Some filesystems surface the exists-collision as a plain
+        // FileSystemException; existence of the target disambiguates
+        // CAS-lost from real I/O failure.
+        case e: java.nio.file.FileSystemException =>
+          if (Files.exists(target)) false else throw e
+      } finally Files.deleteIfExists(tmp)
+    if (won) {
+      val s = Files.list(d)
+      try s.iterator().asScala.toSeq
+        .filter(p => seqOf(p).exists(_ <= seq - 3))
+        .foreach(p => try Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
+      finally s.close()
+      try Files.deleteIfExists(dir.resolve(fileName(ident)))
+      catch { case _: java.io.IOException => () }
+    }
+    won
   }
 
   /** Best-effort directory fsync — makes the rename durable on Linux;
@@ -430,6 +560,15 @@ private[sources] object GraftLedger {
   def delete(dir: Path, ident: Identifier): Unit = {
     val f = dir.resolve(fileName(ident))
     try {
+      // Numbered-document directory first (tables), then the flat doc
+      // (legacy tables, views, dropped entries).
+      val d = docDir(dir, ident)
+      if (Files.isDirectory(d)) {
+        val s = Files.list(d)
+        try s.iterator().asScala.foreach(p => Files.deleteIfExists(p))
+        finally s.close()
+        Files.deleteIfExists(d)
+      }
       Files.deleteIfExists(f)
       fsyncDir(dir)
     } catch {
@@ -463,5 +602,47 @@ private[sources] object GraftLedger {
       }
       docs.sortBy(_.getFileName.toString).map(Files.readString)
     } finally s.close()
+  }
+
+  /** Every table's LATEST document + its ledger sequence: numbered
+    * `.d` directories take precedence over flat legacy documents for
+    * the same table (a legacy doc only survives until the table's
+    * first CAS commit removes it).
+    */
+  def readAllTables(dir: Path): Seq[(String, Long)] = {
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    val (flat, numbered) =
+      try {
+        val entries = s.iterator().asScala.toSeq
+        (entries.filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".json") &&
+          !p.getFileName.toString.startsWith(".tmp-")),
+          entries.filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.endsWith(".json.d")))
+      } finally s.close()
+    val fromDirsNamed = numbered.flatMap { d =>
+      val ds = Files.list(d)
+      val best =
+        try ds.iterator().asScala.flatMap(p => seqOf(p).map(_ -> p)).toSeq
+          .sortBy(_._1).lastOption
+        finally ds.close()
+      best.flatMap { case (seq, p) =>
+        try Some((d.getFileName.toString.stripSuffix(".d"), Files.readString(p), seq))
+        catch { case _: java.io.IOException => None }
+      }
+    }
+    val fromDirs = fromDirsNamed.map { case (_, json, seq) => (json, seq) }
+    // Only dirs that actually yielded a document shadow a flat legacy
+    // doc (an empty .d dir — a crashed delete — must not hide one).
+    val covered = fromDirsNamed.map(_._1).toSet
+    val fromFlat = flat
+      .filterNot(p => covered.contains(p.getFileName.toString))
+      .sortBy(_.getFileName.toString)
+      .flatMap { p =>
+        try Some((Files.readString(p), 0L))
+        catch { case _: java.io.IOException => None }
+      }
+    fromFlat ++ fromDirs
   }
 }

@@ -142,6 +142,91 @@ class ConcurrencyGauntletSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $T PURGE")
   }
 
+  test("TWO DRIVER PROCESSES against one warehouse dir lose no update (ledger CAS)") {
+    // Real cross-process OCC: forked JVMs (separate GraftCatalog
+    // companion state, separate in-memory metastores) share only the
+    // warehouse directory. Disjoint appends from both drivers must BOTH
+    // land (CAS retry-merge); row-level rewrites refuse when the other
+    // driver's commit interleaves (version-token check after the
+    // staleness refresh) and succeed on retry. A final FOURTH process
+    // with a fresh metastore verifies: what it reads is exactly what
+    // the numbered ledger documents say, so a lost update cannot hide
+    // in anyone's in-memory state.
+    val root = java.nio.file.Files.createTempDirectory("graft_two_driver_")
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def run(mode: String, extra: String*): Process = {
+      val cmd = (Seq(javaBin, "-Xmx2g", "-cp", cp) ++ addOpens ++
+        Seq("-Dspark.ui.enabled=false", "-Dgraft.debug.commits=1",
+          "graft.TwoDriverMain", mode, root.toString) ++
+        extra)
+      new ProcessBuilder(cmd: _*)
+        .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        .redirectError(root.resolve(s"child-$mode-${extra.headOption.map(
+          _.split('/').last).getOrElse("x")}.log").toFile)
+        .start()
+    }
+    def await(p: Process, what: String, timeoutS: Long = 600): Unit = {
+      assert(p.waitFor(timeoutS, java.util.concurrent.TimeUnit.SECONDS), {
+        p.destroyForcibly(); s"$what did not finish within ${timeoutS}s"
+      })
+      assert(p.exitValue() == 0, s"$what exited ${p.exitValue()} — see ${root}/child-*.log")
+    }
+    await(run("setup"), "setup driver")
+    val ops = GauntletEnv.ops(25).toString
+    val m0 = root.resolve("model0.txt").toString
+    val m1 = root.resolve("model1.txt").toString
+    val w0 = run("write", m0, "0", ops)
+    val w1 = run("write", m1, "1", ops)
+    await(w0, "writer driver 0")
+    await(w1, "writer driver 1")
+    val dump = root.resolve("final.txt").toString
+    await(run("verify", dump), "verify driver")
+
+    def model(path: String, tid: Long): Map[(Long, Long), Long] =
+      java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+        .linesIterator.filter(_.nonEmpty).map { l =>
+          val Array(n, c) = l.split(','); (tid, n.toLong) -> c.toLong
+        }.toMap
+    val want = model(m0, 0L) ++ model(m1, 1L)
+    val lines = java.nio.file.Files.readString(java.nio.file.Paths.get(dump))
+      .linesIterator.toSeq
+    val got = lines.filter(l => l.nonEmpty && !l.startsWith("versions:")).map { l =>
+      val Array(tid, n, c) = l.split(','); (tid.toLong, n.toLong) -> c.toLong
+    }.toMap
+    assert(got == want,
+      s"cross-process end state diverged from the union of acknowledged ops:\n" +
+        s" got=$got\nwant=$want")
+    // History versions strictly increase and are DENSE across both
+    // writers: every CAS-won commit published exactly one snapshot —
+    // a duplicated or skipped version means two processes minted the
+    // same number or one's commit vanished.
+    val versions = lines.find(_.startsWith("versions:")).get
+      .stripPrefix("versions:").split(',').filter(_.nonEmpty).map(_.toLong)
+    assert(versions.nonEmpty && versions.zip(versions.tail).forall {
+      case (a, b) => b == a + 1
+    }, s"cross-process history not dense: ${versions.mkString(",")}")
+    info(s"cross-process gauntlet: ${versions.length} commits, final rows=${got.values.sum}")
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.iterator().forEachRemaining(rm) finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p): Unit
+    }
+    rm(root)
+  }
+
   test("concurrent writers against a MoR upsert surface keep key uniqueness") {
     // Each thread upserts ITS OWN key repeatedly (merge-on-read
     // equality deletes) racing the others' commits: the per-key

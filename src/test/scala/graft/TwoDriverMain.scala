@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Child-JVM entry point for the cross-process concurrency gauntlet:
+  * each invocation is a REAL separate driver process with its own
+  * SparkSession, its own `GraftCatalog` companion state, and its own
+  * in-memory metastore, sharing ONLY the warehouse directory — the
+  * two-drivers-one-warehouse topology the ledger CAS protocol exists
+  * for. Modes:
+  *
+  *  - `setup <root>`: create the gauntlet table.
+  *  - `write <root> <outFile> <tid> <ops>`: run a mixed INSERT/UPDATE/
+  *    DELETE workload against the shared table, each op touching only
+  *    this writer's `tid` rows, retrying cross-process refusals.
+  *    Writes the acknowledged model (one `n,count` line per value
+  *    class) to `outFile` — exact regardless of interleaving because
+  *    no other process touches this tid.
+  *  - `verify <root> <outFile>`: dump the final table as `tid,n,count`
+  *    lines plus a `versions:` line of the retained history, read by
+  *    a FOURTH independent process (fresh metastore, so what it sees
+  *    is exactly what the ledger documents say).
+  *
+  * Exit code 0 = mode completed; any exception = nonzero (the parent
+  * asserts on it).
+  */
+object TwoDriverMain {
+  private val T = "g2.xp.t"
+
+  private def session(root: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-two-driver-child")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.g2", classOf[graft.sources.GraftCatalog].getName)
+      .config("spark.sql.catalog.g2.root", root)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def conflict(t: Throwable): Boolean =
+    t != null && (Option(t.getMessage).exists(m =>
+      m.contains("row-level rewrite") || m.contains("another process committed") ||
+        m.contains("concurrent") || m.contains("ledger CAS")) ||
+      conflict(t.getCause))
+
+  def main(args: Array[String]): Unit = args(0) match {
+    case "setup" =>
+      val spark = session(args(1))
+      spark.sql(s"DROP TABLE IF EXISTS $T PURGE")
+      spark.sql(s"CREATE TABLE $T (tid BIGINT, n BIGINT) USING graft " +
+        "TBLPROPERTIES ('graft.retention.seconds'='600')")
+      spark.stop()
+
+    case "write" =>
+      val Array(_, root, outFile, tidS, opsS) = args
+      val tid = tidS.toInt
+      val ops = opsS.toInt
+      val spark = session(root)
+      val model = scala.collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+      def version(): Long =
+        try spark.sql(s"SELECT max(version) FROM $T.history").collect().head.getLong(0)
+        catch { case _: Throwable => -1L }
+      def acked(stmt: String): Boolean = {
+        var attempt = 0
+        while (attempt <= 60) {
+          try {
+            spark.sql(stmt)
+            System.err.println(s"[w$tid] ACK(after ${attempt} retries) v=${version()} $stmt")
+            return true
+          } catch {
+            case t: Throwable if conflict(t) =>
+              attempt += 1
+              Thread.sleep(5L + attempt)
+          }
+        }
+        System.err.println(s"[w$tid] GAVE UP $stmt")
+        false // provably not committed: every refusal is pre-publish
+      }
+      val rnd = new scala.util.Random(7000L + tid)
+      for (_ <- 1 to ops) rnd.nextInt(4) match {
+        case 0 | 1 =>
+          val ns = Seq.fill(1 + rnd.nextInt(3))(rnd.nextInt(5).toLong)
+          if (acked(s"INSERT INTO $T VALUES ${ns.map(n => s"($tid, $n)").mkString(", ")}"))
+            ns.foreach(n => model(n) += 1)
+        case 2 =>
+          if (model.nonEmpty && acked(s"UPDATE $T SET n = n + 10 WHERE tid = $tid")) {
+            val bumped = model.toSeq
+            model.clear()
+            bumped.foreach { case (n, c) => model(n + 10) += c }
+          }
+        case 3 =>
+          if (model.nonEmpty) {
+            val n = model.keys.toSeq(rnd.nextInt(model.size))
+            if (acked(s"DELETE FROM $T WHERE tid = $tid AND n = $n"))
+              model.remove(n)
+          }
+      }
+      val out = model.toSeq.sorted.map { case (n, c) => s"$n,$c" }.mkString("\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), out)
+      spark.stop()
+
+    case "verify" =>
+      val Array(_, root, outFile) = args
+      val spark = session(root)
+      val rows = spark.sql(s"SELECT tid, n, count(*) AS c FROM $T GROUP BY tid, n")
+        .collect().map(r => s"${r.getLong(0)},${r.getLong(1)},${r.getLong(2)}")
+        .sorted.mkString("\n")
+      val versions = spark.sql(s"SELECT version FROM $T.history ORDER BY version")
+        .collect().map(_.getLong(0)).mkString(",")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outFile), s"$rows\nversions:$versions")
+      spark.stop()
+  }
+}
