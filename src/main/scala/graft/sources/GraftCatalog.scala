@@ -1310,786 +1310,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     else throw new NoSuchFunctionException(ident)
 }
 
-/** `CALL graft.system.compact(ns, table)` — the OPTIMIZE procedure,
-  * resolved through `ProcedureCatalog` (the SQL-native maintenance
-  * entry point, same surface Iceberg uses for `rewrite_data_files`).
-  * Returns one summary row; the work happens in
-  * `GraftCatalog.compact`.
-  */
-private[graft] object GraftCompactProcedure
-    extends procedures.UnboundProcedure with procedures.BoundProcedure {
-  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
-  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
-
-  override def name(): String = "compact"
-  override def description(): String =
-    "compact(ns, table, where): fold partition groups' segments ('' = whole table)"
-  override def bind(inputType: StructType): procedures.BoundProcedure = this
-  override def isDeterministic: Boolean = false // mutates table state
-  override def parameters(): Array[ProcedureParameter] = Array(
-    ProcedureParameter.in("ns", StringType).comment("namespace").build(),
-    ProcedureParameter.in("table", StringType).comment("table name").build(),
-    // The Delta `OPTIMIZE ... WHERE` shape: at 100 TB the hot partition
-    // is what needs folding — a maintenance pass must not pay an
-    // O(table) rewrite (or hold the mutation lock for one) to fix it.
-    ProcedureParameter.in("where", StringType).defaultValue("''")
-      .comment("comma-joined partition-field equalities 'col=value' ('' = all groups)")
-      .build())
-
-  private val outSchema = StructType(Seq(
-    org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
-    org.apache.spark.sql.types.StructField("segments_before", IntegerType, nullable = false),
-    org.apache.spark.sql.types.StructField("segments_after", IntegerType, nullable = false),
-    org.apache.spark.sql.types.StructField("rows", LongType, nullable = false)))
-
-  override def call(input: InternalRow): java.util.Iterator[Scan] = {
-    val ns = input.getUTF8String(0).toString
-    val table = input.getUTF8String(1).toString
-    val where = Option(input.getUTF8String(2)).map(_.toString).getOrElse("")
-    val ident = Identifier.of(Array(ns), table)
-    val only = GraftCatalog.compactKeysFor(ident, where)
-    val (before, after, rows) = GraftCatalog.compact(ident, onlyKeys = only)
-    val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(ident.toString),
-        before, after, rows))
-    java.util.List.of[Scan](new LocalScan {
-      override def rows(): Array[InternalRow] = Array(row)
-      override def readSchema(): StructType = outSchema
-      override def description(): String = s"GraftCompactResult($ident)"
-    }).iterator()
-  }
-}
-
-/** `CALL graft.system.zorder(ns, table, columns, target_segments)` —
-  * the OPTIMIZE ZORDER BY procedure: `columns` is a comma-separated
-  * list of up to 4 numeric columns; rows are rewritten in Z-value
-  * order into `target_segments` balanced segments (per partition
-  * group). Returns one summary row; the work happens in
-  * `GraftCatalog.zorder`.
-  */
-private[graft] object GraftZorderProcedure
-    extends procedures.UnboundProcedure with procedures.BoundProcedure {
-  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
-  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
-
-  override def name(): String = "zorder"
-  override def description(): String =
-    "zorder(ns, table, columns, target_segments, where): rewrite segments in Z-order ('' = all groups)"
-  override def bind(inputType: StructType): procedures.BoundProcedure = this
-  override def isDeterministic: Boolean = false // mutates table state
-  override def parameters(): Array[ProcedureParameter] = Array(
-    ProcedureParameter.in("ns", StringType).comment("namespace").build(),
-    ProcedureParameter.in("table", StringType).comment("table name").build(),
-    ProcedureParameter.in("columns", StringType)
-      .comment("comma-separated numeric columns (1..4)").build(),
-    ProcedureParameter.in("target_segments", IntegerType)
-      .comment("balanced output segments per partition group").build(),
-    // Scoped re-clustering, same grammar as compact's where: at 100 TB
-    // you z-order the recent/hot partitions, not the whole table.
-    ProcedureParameter.in("where", StringType).defaultValue("''")
-      .comment("comma-joined partition-field equalities 'col=value' ('' = all groups)")
-      .build())
-
-  private val outSchema = StructType(Seq(
-    org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
-    org.apache.spark.sql.types.StructField("segments_before", IntegerType, nullable = false),
-    org.apache.spark.sql.types.StructField("segments_after", IntegerType, nullable = false),
-    org.apache.spark.sql.types.StructField("rows", LongType, nullable = false)))
-
-  override def call(input: InternalRow): java.util.Iterator[Scan] = {
-    val ns = input.getUTF8String(0).toString
-    val table = input.getUTF8String(1).toString
-    val cols = input.getUTF8String(2).toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    val target = input.getInt(3)
-    val where = Option(input.getUTF8String(4)).map(_.toString).getOrElse("")
-    val ident = Identifier.of(Array(ns), table)
-    val only = GraftCatalog.compactKeysFor(ident, where)
-    val (before, after, rows) = GraftCatalog.zorder(ident, cols, target, onlyKeys = only)
-    val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(ident.toString),
-        before, after, rows))
-    java.util.List.of[Scan](new LocalScan {
-      override def rows(): Array[InternalRow] = Array(row)
-      override def readSchema(): StructType = outSchema
-      override def description(): String = s"GraftZorderResult($ident)"
-    }).iterator()
-  }
-}
-
-/** `CALL graft.system.vacuum(ns, table)` — manual retention override:
-  * expires all non-current UNTAGGED snapshots and deletes files only
-  * they referenced (tags keep their pinned versions readable). One
-  * summary row; work in `GraftCatalog.vacuumTable`.
-  */
-private[graft] object GraftVacuumProcedure
-    extends procedures.UnboundProcedure with procedures.BoundProcedure {
-  import org.apache.spark.sql.types.{IntegerType, StringType}
-  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
-
-  override def name(): String = "vacuum"
-  override def description(): String =
-    "vacuum(ns, table): expire non-current snapshots and GC their files"
-  override def bind(inputType: StructType): procedures.BoundProcedure = this
-  override def isDeterministic: Boolean = false // mutates table state
-  override def parameters(): Array[ProcedureParameter] = Array(
-    ProcedureParameter.in("ns", StringType).comment("namespace").build(),
-    ProcedureParameter.in("table", StringType).comment("table name").build())
-
-  private val outSchema = StructType(Seq(
-    org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
-    org.apache.spark.sql.types.StructField("snapshots_expired", IntegerType, nullable = false),
-    org.apache.spark.sql.types.StructField("files_deleted", IntegerType, nullable = false)))
-
-  override def call(input: InternalRow): java.util.Iterator[Scan] = {
-    val ns = input.getUTF8String(0).toString
-    val table = input.getUTF8String(1).toString
-    val ident = Identifier.of(Array(ns), table)
-    val (expired, deleted) = GraftCatalog.vacuumTable(ident)
-    val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(ident.toString),
-        expired, deleted))
-    java.util.List.of[Scan](new LocalScan {
-      override def rows(): Array[InternalRow] = Array(row)
-      override def readSchema(): StructType = outSchema
-      override def description(): String = s"GraftVacuumResult($ident)"
-    }).iterator()
-  }
-}
-
-/** `CALL graft.system.remove_orphan_files(ns, table, older_than_ms)` —
-  * delete files in the table's directory no catalog state references
-  * (crashed-write leftovers, stray tool droppings). Clone/branch-shared
-  * and time-travel-retained files are spared; `older_than_ms` guards
-  * in-flight writers. Work in `GraftCatalog.removeOrphanFiles`.
-  */
-private[graft] object GraftRemoveOrphanFilesProcedure
-    extends procedures.UnboundProcedure with procedures.BoundProcedure {
-  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
-  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
-
-  override def name(): String = "remove_orphan_files"
-  override def description(): String =
-    "remove_orphan_files(ns, table, older_than_ms): delete unreferenced files " +
-      "in the table dir older than the guard interval"
-  override def bind(inputType: StructType): procedures.BoundProcedure = this
-  override def isDeterministic: Boolean = false // deletes files
-  override def parameters(): Array[ProcedureParameter] = Array(
-    ProcedureParameter.in("ns", StringType).comment("namespace").build(),
-    ProcedureParameter.in("table", StringType).comment("table name").build(),
-    ProcedureParameter.in("older_than_ms", LongType)
-      .comment("only files modified more than this many ms ago (in-flight-write guard)")
-      .build())
-
-  private val outSchema = StructType(Seq(
-    org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
-    org.apache.spark.sql.types.StructField("files_deleted", IntegerType, nullable = false),
-    org.apache.spark.sql.types.StructField("bytes_deleted", LongType, nullable = false)))
-
-  override def call(input: InternalRow): java.util.Iterator[Scan] = {
-    val ns = input.getUTF8String(0).toString
-    val table = input.getUTF8String(1).toString
-    val ident = Identifier.of(Array(ns), table)
-    val (files, bytes) = GraftCatalog.removeOrphanFiles(ident, input.getLong(2))
-    val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(ident.toString),
-        files, bytes))
-    java.util.List.of[Scan](new LocalScan {
-      override def rows(): Array[InternalRow] = Array(row)
-      override def readSchema(): StructType = outSchema
-      override def description(): String = s"GraftRemoveOrphanFilesResult($ident)"
-    }).iterator()
-  }
-}
-
-/** `CALL graft.system.undrop(ns, table)` — restore the most recent
-  * soft-dropped generation of the name (the Delta UNDROP TABLE shape):
-  * data, snapshot history, streaming epochs, properties all come back;
-  * refuses if the name was re-taken or retention already purged the
-  * generation. Work in `GraftCatalog.undropTable`.
-  */
-private[graft] object GraftUndropProcedure
-    extends procedures.UnboundProcedure with procedures.BoundProcedure {
-  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
-  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
-
-  override def name(): String = "undrop"
-  override def description(): String =
-    "undrop(ns, table): restore a soft-dropped table (data, history, epochs)"
-  override def bind(inputType: StructType): procedures.BoundProcedure = this
-  override def isDeterministic: Boolean = false // mutates catalog state
-  override def parameters(): Array[ProcedureParameter] = Array(
-    ProcedureParameter.in("ns", StringType).comment("namespace").build(),
-    ProcedureParameter.in("table", StringType).comment("table name").build())
-
-  private val outSchema = StructType(Seq(
-    org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
-    org.apache.spark.sql.types.StructField("restored_version", LongType, nullable = false),
-    org.apache.spark.sql.types.StructField("n_segments", IntegerType, nullable = false)))
-
-  override def call(input: InternalRow): java.util.Iterator[Scan] = {
-    val ns = input.getUTF8String(0).toString
-    val table = input.getUTF8String(1).toString
-    val ident = Identifier.of(Array(ns), table)
-    val (v, nSegs) = GraftCatalog.undropTable(ident)
-    val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(ident.toString),
-        v, nSegs))
-    java.util.List.of[Scan](new LocalScan {
-      override def rows(): Array[InternalRow] = Array(row)
-      override def readSchema(): StructType = outSchema
-      override def description(): String = s"GraftUndropResult($ident)"
-    }).iterator()
-  }
-}
-
-/** `CALL graft.system.sync_identity(ns, table)` — advance identity
-  * watermarks past every value present in the data (after BY DEFAULT
-  * explicit inserts). Work in `GraftCatalog.syncIdentity`.
-  */
-private[graft] object GraftSyncIdentityProcedure
-    extends procedures.UnboundProcedure with procedures.BoundProcedure {
-  import org.apache.spark.sql.types.{LongType, StringType}
-  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
-
-  override def name(): String = "sync_identity"
-  override def description(): String =
-    "sync_identity(ns, table): advance identity watermarks past all data values"
-  override def bind(inputType: StructType): procedures.BoundProcedure = this
-  override def isDeterministic: Boolean = false // mutates catalog state
-  override def parameters(): Array[ProcedureParameter] = Array(
-    ProcedureParameter.in("ns", StringType).comment("namespace").build(),
-    ProcedureParameter.in("table", StringType).comment("table name").build())
-
-  private val outSchema = StructType(Seq(
-    org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
-    org.apache.spark.sql.types.StructField("column", StringType, nullable = false),
-    org.apache.spark.sql.types.StructField("next_index", LongType, nullable = false)))
-
-  override def call(input: InternalRow): java.util.Iterator[Scan] = {
-    val ns = input.getUTF8String(0).toString
-    val table = input.getUTF8String(1).toString
-    val ident = Identifier.of(Array(ns), table)
-    val applied = GraftCatalog.syncIdentity(ident)
-    val out = applied.toSeq.sortBy(_._1).map { case (c, k) =>
-      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(ident.toString),
-          org.apache.spark.unsafe.types.UTF8String.fromString(c), k)): InternalRow
-    }.toArray
-    java.util.List.of[Scan](new LocalScan {
-      override def rows(): Array[InternalRow] = out
-      override def readSchema(): StructType = outSchema
-      override def description(): String = s"GraftSyncIdentityResult($ident)"
-    }).iterator()
-  }
-}
-
-/** `CALL graft.system.copy_into(ns, table, source, format, options)` —
-  * idempotent file ingestion, the Delta `COPY INTO` shape: load into
-  * the table exactly the source files NOT already ingested, so a
-  * re-run ingest job (cron retry, backfill replay, crash-restarted
-  * orchestrator) never duplicates rows. File identity is
-  * sha-256(path|size|mtime) — a rewritten file (new size/mtime) counts
-  * as new data, an untouched file never reloads. The batch's tokens
-  * commit ATOMICALLY with its segments (one snapshot — see
-  * `commitSegments`), so there is no crash window between "rows
-  * landed" and "files marked loaded"; a concurrent copy_into racing on
-  * the same files makes the later commit refuse, and the retry's
-  * re-diff loads only the remainder. Force-reload escape hatch:
-  * `UNSET TBLPROPERTIES ('graft.copyinto.loaded')`.
-  *
-  * `source` is a directory or glob; hidden files (`.`/`_` prefixes)
-  * are skipped. `options` is comma-joined `k=v` reader options
-  * (e.g. 'header=true' for csv), '' for none. csv/json read with the
-  * TABLE's schema (no inference drift); parquet/orc align by name
-  * with safe casts. Source columns must be a subset of the table's —
-  * unknown columns refuse (a typo'd ingest must not silently drop
-  * data); missing nullable columns NULL-fill (identity/generated
-  * columns then fill at write as on any append).
-  *
-  * Scale: the diff is metadata-only (one FS listing + one token-set
-  * lookup); only NEW files are read, once for the row count and once
-  * for the write — cost tracks the ingest batch, never the table.
-  */
-private[graft] object GraftCopyIntoProcedure
-    extends procedures.UnboundProcedure with procedures.BoundProcedure {
-  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
-  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
-
-  override def name(): String = "copy_into"
-  override def description(): String =
-    "copy_into(ns, table, source, format, options): idempotent exactly-once file ingestion"
-  override def bind(inputType: StructType): procedures.BoundProcedure = this
-  override def isDeterministic: Boolean = false // mutates table state
-  override def parameters(): Array[ProcedureParameter] = Array(
-    ProcedureParameter.in("ns", StringType).comment("namespace").build(),
-    ProcedureParameter.in("table", StringType).comment("table name").build(),
-    ProcedureParameter.in("source", StringType)
-      .comment("source directory or glob of data files").build(),
-    ProcedureParameter.in("format", StringType)
-      .comment("file format: parquet | orc | csv | json").build(),
-    ProcedureParameter.in("options", StringType)
-      .comment("comma-joined k=v reader options ('' = none)").build())
-
-  private val outSchema = StructType(Seq(
-    org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
-    org.apache.spark.sql.types.StructField("files_loaded", IntegerType, nullable = false),
-    org.apache.spark.sql.types.StructField("files_skipped", IntegerType, nullable = false),
-    org.apache.spark.sql.types.StructField("rows_loaded", LongType, nullable = false)))
-
-  private def token(st: org.apache.hadoop.fs.FileStatus): String = {
-    val d = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s"${st.getPath}|${st.getLen}|${st.getModificationTime}"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    d.take(8).map(b => f"$b%02x").mkString
-  }
-
-  override def call(input: InternalRow): java.util.Iterator[Scan] = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val ns = input.getUTF8String(0).toString
-    val table = input.getUTF8String(1).toString
-    val source = input.getUTF8String(2).toString
-    val format = input.getUTF8String(3).toString
-    val optStr = Option(input.getUTF8String(4)).map(_.toString).getOrElse("")
-    require(Set("parquet", "orc", "csv", "json")(format),
-      s"copy_into supports parquet|orc|csv|json, got '$format'")
-    val readerOpts = optStr.split(',').map(_.trim).filter(_.nonEmpty).map { kv =>
-      val i = kv.indexOf('=')
-      require(i > 0, s"malformed reader option '$kv' (want k=v)")
-      kv.substring(0, i) -> kv.substring(i + 1)
-    }.toMap
-    val ident = Identifier.of(Array(ns), table)
-    val spark = org.apache.spark.sql.SparkSession.active
-    val catName = GraftCatalog.sessionCatalogName(spark, "copy_into")
-    val tbl = s"$catName.$ns.$table"
-    val targetSchema = spark.table(tbl).schema // throws NoSuchTable if absent
-
-    // FS listing: a glob expands (dirs in the expansion list one
-    // level), a directory lists one level, a file is itself.
-    val hconf = spark.sessionState.newHadoopConf()
-    val p = new org.apache.hadoop.fs.Path(source)
-    val fs = p.getFileSystem(hconf)
-    val roots =
-      if (source.exists(c => "*?[{".indexOf(c) >= 0))
-        Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
-      else Seq(fs.getFileStatus(p))
-    val files = roots.flatMap { st =>
-      if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st)
-    }.filter { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith(".") && !n.startsWith("_")
-    }
-    require(files.nonEmpty, s"copy_into: no data files under '$source'")
-
-    val loaded = GraftCatalog.copyIntoLoaded(ident)
-    val (skip, fresh) = files.partition(st => loaded(token(st)))
-    var rowsLoaded = 0L
-    if (fresh.nonEmpty) {
-      val paths = fresh.map(_.getPath.toString)
-      val reader = spark.read.format(format).options(readerOpts)
-      // csv/json take the TABLE's schema — inference drift (a numeric
-      // column inferred narrower in one batch) must not fork the data.
-      // csv WITH a header additionally binds BY HEADER NAME: Spark's
-      // schema'd csv read assigns by POSITION (enforceSchema), so a
-      // reordered header would silently land columns crosswise — read
-      // the header names first (string-typed, no inference pass),
-      // refuse unknowns, and lay the table's types out in the FILE's
-      // column order.
-      val csvHeader = format == "csv" && readerOpts.exists { case (k, v) =>
-        k.equalsIgnoreCase("header") && v.equalsIgnoreCase("true") }
-      // Unknown-column check + projection of the source layout onto the
-      // TABLE's column order/types (missing nullable columns → NULL).
-      def align(raw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-        val have = raw.columns.map(c => c.toLowerCase(java.util.Locale.ROOT)).toSet
-        val unknown = raw.columns.filterNot(c =>
-          targetSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
-        require(unknown.isEmpty,
-          s"copy_into: source columns [${unknown.mkString(", ")}] do not exist on $tbl " +
-            "— add them first (ALTER TABLE ... ADD COLUMNS) or fix the source")
-        raw.select(targetSchema.fields.toIndexedSeq.map { f =>
-          if (have(f.name.toLowerCase(java.util.Locale.ROOT))) col(f.name).cast(f.dataType).as(f.name)
-          else {
-            require(f.nullable, s"copy_into: source lacks non-nullable column '${f.name}'")
-            lit(null).cast(f.dataType).as(f.name)
-          }
-        }: _*)
-      }
-      val aligned =
-        if (csvHeader) {
-          // Per-FILE header validation: Spark's schema'd csv read binds
-          // by POSITION per file, so one layout derived from a single
-          // inferred read would silently land a reordered second file's
-          // values crosswise. Group files by their OWN header (one
-          // first-line read per file — bounded by the ingest batch's
-          // file count) and give each layout its own schema'd load.
-          val byLayout = paths.groupBy(p =>
-            spark.read.options(readerOpts).csv(p).columns.toSeq)
-          byLayout.toSeq.map { case (headerCols, groupPaths) =>
-            require(headerCols.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.length ==
-              headerCols.length,
-              s"copy_into: duplicate csv header columns in '${groupPaths.head}'")
-            val unknown = headerCols.filterNot(c =>
-              targetSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
-            require(unknown.isEmpty,
-              s"copy_into: source columns [${unknown.mkString(", ")}] do not exist on $tbl " +
-                "— add them first (ALTER TABLE ... ADD COLUMNS) or fix the source")
-            val fileSchema = StructType(headerCols.map(c =>
-              targetSchema.fields.find(_.name.equalsIgnoreCase(c)).get))
-            align(reader.schema(fileSchema).load(groupPaths: _*))
-          }.reduce(_ unionAll _) // each side already in the table's column order
-        }
-        else if (format == "csv" || format == "json")
-          align(reader.schema(targetSchema).load(paths: _*))
-        else align(reader.load(paths: _*))
-      // Re-stat IMMEDIATELY before the write: a file rewritten between
-      // the diff and here would load its NEW bytes under the OLD token,
-      // and the next run would load it AGAIN — refuse while nothing is
-      // committed yet (the retry re-diffs cleanly). The remaining
-      // window is the append's own read; producers must write-then-
-      // rename (the standard atomic-publish contract for file ingest).
-      fresh.foreach { st =>
-        val now = fs.getFileStatus(st.getPath)
-        if (now.getLen != st.getLen || now.getModificationTime != st.getModificationTime)
-          throw new java.util.ConcurrentModificationException(
-            s"copy_into: source file ${st.getPath} changed while the ingest was " +
-              "planning; nothing was loaded — re-run (producers should write to a " +
-              "temp name and rename into place)")
-      }
-      val before = GraftCatalog.liveRowCount(ident)
-      aligned.writeTo(tbl)
-        .option(GraftCatalog.CopyIntoTokensOption, fresh.map(token).mkString(","))
-        .append()
-      // Appended-row count from segment METADATA (appends never touch
-      // prior segments), not a second read pass over the source.
-      rowsLoaded = GraftCatalog.liveRowCount(ident) - before
-    }
-    val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(s"$ns.$table"),
-        fresh.length, skip.length, rowsLoaded))
-    java.util.List.of[Scan](new LocalScan {
-      override def rows(): Array[InternalRow] = Array(row)
-      override def readSchema(): StructType = outSchema
-      override def description(): String = s"GraftCopyIntoResult($ident)"
-    }).iterator()
-  }
-}
-
-/** `CALL graft.system.set_partitioning(ns, table, cols)` — partition-
-  * spec evolution as a metadata-only commit: `cols` is a comma-
-  * separated identity-column list ('' = unpartitioned). Old segments
-  * keep their spec; new writes route by the new one; compaction
-  * migrates. Work in `GraftCatalog.setPartitioning`.
-  */
-private[graft] object GraftSetPartitioningProcedure
-    extends procedures.UnboundProcedure with procedures.BoundProcedure {
-  import org.apache.spark.sql.types.{LongType, StringType}
-  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
-
-  override def name(): String = "set_partitioning"
-  override def description(): String =
-    "set_partitioning(ns, table, cols): metadata-only partition-spec evolution"
-  override def bind(inputType: StructType): procedures.BoundProcedure = this
-  override def isDeterministic: Boolean = false // mutates table state
-  override def parameters(): Array[ProcedureParameter] = Array(
-    ProcedureParameter.in("ns", StringType).comment("namespace").build(),
-    ProcedureParameter.in("table", StringType).comment("table name").build(),
-    ProcedureParameter.in("cols", StringType)
-      .comment("comma-separated identity partition columns ('' = none)").build())
-
-  private val outSchema = StructType(Seq(
-    org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
-    org.apache.spark.sql.types.StructField("version", LongType, nullable = false),
-    org.apache.spark.sql.types.StructField("old_spec", StringType, nullable = false),
-    org.apache.spark.sql.types.StructField("new_spec", StringType, nullable = false)))
-
-  override def call(input: InternalRow): java.util.Iterator[Scan] = {
-    val ns = input.getUTF8String(0).toString
-    val table = input.getUTF8String(1).toString
-    val ident = Identifier.of(Array(ns), table)
-    // TOP-LEVEL commas only: 'days(ts),bucket(16,k)' is two fields,
-    // and bucket's inner comma must not split it.
-    val cols = GraftCatalog.splitTopLevel(input.getUTF8String(2).toString)
-    val (v, old) = GraftCatalog.setPartitioning(ident, cols)
-    val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(ident.toString),
-        v, org.apache.spark.unsafe.types.UTF8String.fromString(old.mkString(",")),
-        org.apache.spark.unsafe.types.UTF8String.fromString(cols.mkString(","))))
-    java.util.List.of[Scan](new LocalScan {
-      override def rows(): Array[InternalRow] = Array(row)
-      override def readSchema(): StructType = outSchema
-      override def description(): String = s"GraftSetPartitioningResult($ident)"
-    }).iterator()
-  }
-}
-
-/** `CALL graft.system.restore(ns, table, version)` — roll the table's
-  * CURRENT state back to a retained snapshot (or tag) as a NEW commit:
-  * pure metadata, the snapshot's files are still on disk. Work in
-  * `GraftCatalog.restoreTable`.
-  */
-private[graft] object GraftRestoreProcedure
-    extends procedures.UnboundProcedure with procedures.BoundProcedure {
-  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
-  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
-
-  override def name(): String = "restore"
-  override def description(): String =
-    "restore(ns, table, version): make a retained snapshot (or tag) the current state"
-  override def bind(inputType: StructType): procedures.BoundProcedure = this
-  override def isDeterministic: Boolean = false // mutates table state
-  override def parameters(): Array[ProcedureParameter] = Array(
-    ProcedureParameter.in("ns", StringType).comment("namespace").build(),
-    ProcedureParameter.in("table", StringType).comment("table name").build(),
-    ProcedureParameter.in("version", StringType)
-      .comment("snapshot version number or tag name").build())
-
-  private val outSchema = StructType(Seq(
-    org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
-    org.apache.spark.sql.types.StructField("restored_version", LongType, nullable = false),
-    org.apache.spark.sql.types.StructField("new_version", LongType, nullable = false),
-    org.apache.spark.sql.types.StructField("segments", IntegerType, nullable = false)))
-
-  override def call(input: InternalRow): java.util.Iterator[Scan] = {
-    val ns = input.getUTF8String(0).toString
-    val table = input.getUTF8String(1).toString
-    val ident = Identifier.of(Array(ns), table)
-    val v = GraftCatalog.resolveVersionString(ident, input.getUTF8String(2).toString)
-    val (restored, nSegs) = GraftCatalog.restoreTable(ident, v)
-    val newV = GraftCatalog.currentVersion(ns, table).getOrElse(-1L)
-    val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(ident.toString),
-        restored, newV, nSegs))
-    java.util.List.of[Scan](new LocalScan {
-      override def rows(): Array[InternalRow] = Array(row)
-      override def readSchema(): StructType = outSchema
-      override def description(): String = s"GraftRestoreResult($ident)"
-    }).iterator()
-  }
-}
-
-/** `CALL graft.system.clone(ns, table, target_ns, target_table,
-  * version)` — zero-copy shallow clone at a version or tag ('' =
-  * current). Work in `GraftCatalog.cloneTable`; shared files are
-  * protected by the cross-table GC guard.
-  */
-private[graft] object GraftCloneProcedure
-    extends procedures.UnboundProcedure with procedures.BoundProcedure {
-  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
-  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
-
-  override def name(): String = "clone"
-  override def description(): String =
-    "clone(ns, table, target_ns, target_table, version): zero-copy clone ('' = current)"
-  override def bind(inputType: StructType): procedures.BoundProcedure = this
-  override def isDeterministic: Boolean = false // creates a table
-  override def parameters(): Array[ProcedureParameter] = Array(
-    ProcedureParameter.in("ns", StringType).comment("source namespace").build(),
-    ProcedureParameter.in("table", StringType).comment("source table").build(),
-    ProcedureParameter.in("target_ns", StringType).comment("target namespace").build(),
-    ProcedureParameter.in("target_table", StringType).comment("target table").build(),
-    ProcedureParameter.in("version", StringType)
-      .comment("source version number or tag; '' = current").build())
-
-  private val outSchema = StructType(Seq(
-    org.apache.spark.sql.types.StructField("source", StringType, nullable = false),
-    org.apache.spark.sql.types.StructField("target", StringType, nullable = false),
-    org.apache.spark.sql.types.StructField("source_version", LongType, nullable = false),
-    org.apache.spark.sql.types.StructField("segments", IntegerType, nullable = false)))
-
-  override def call(input: InternalRow): java.util.Iterator[Scan] = {
-    val src = Identifier.of(
-      Array(input.getUTF8String(0).toString), input.getUTF8String(1).toString)
-    val dst = Identifier.of(
-      Array(input.getUTF8String(2).toString), input.getUTF8String(3).toString)
-    val vStr = input.getUTF8String(4).toString
-    val v = if (vStr.isEmpty) None
-            else Some(GraftCatalog.resolveVersionString(src, vStr))
-    val (srcV, nSegs) = GraftCatalog.cloneTable(src, dst, v)
-    val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(src.toString),
-        org.apache.spark.unsafe.types.UTF8String.fromString(dst.toString),
-        srcV, nSegs))
-    java.util.List.of[Scan](new LocalScan {
-      override def rows(): Array[InternalRow] = Array(row)
-      override def readSchema(): StructType = outSchema
-      override def description(): String = s"GraftCloneResult($src -> $dst)"
-    }).iterator()
-  }
-}
-
-/** `CALL graft.system.create_branch(ns, table, branch, version)` — cut
-  * a zero-copy WAP branch of a catalog table at a version or tag
-  * ('' = current). The branch lives at `ns.<table>@<branch>` (backtick
-  * it in SQL) and takes writes/DML in isolation; work in
-  * `GraftCatalog.createBranch`.
-  */
-private[graft] object GraftCreateBranchProcedure
-    extends procedures.UnboundProcedure with procedures.BoundProcedure {
-  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
-  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
-
-  override def name(): String = "create_branch"
-  override def description(): String =
-    "create_branch(ns, table, branch, version): zero-copy WAP branch ('' = current)"
-  override def bind(inputType: StructType): procedures.BoundProcedure = this
-  override def isDeterministic: Boolean = false // creates a table entry
-  override def parameters(): Array[ProcedureParameter] = Array(
-    ProcedureParameter.in("ns", StringType).comment("namespace").build(),
-    ProcedureParameter.in("table", StringType).comment("table name").build(),
-    ProcedureParameter.in("branch", StringType).comment("branch name").build(),
-    ProcedureParameter.in("version", StringType)
-      .comment("source version number or tag; '' = current").build())
-
-  private val outSchema = StructType(Seq(
-    org.apache.spark.sql.types.StructField("branch", StringType, nullable = false),
-    org.apache.spark.sql.types.StructField("base_version", LongType, nullable = false),
-    org.apache.spark.sql.types.StructField("segments", IntegerType, nullable = false)))
-
-  override def call(input: InternalRow): java.util.Iterator[Scan] = {
-    val src = Identifier.of(
-      Array(input.getUTF8String(0).toString), input.getUTF8String(1).toString)
-    val branch = input.getUTF8String(2).toString
-    val vStr = input.getUTF8String(3).toString
-    val v = if (vStr.isEmpty) None
-            else Some(GraftCatalog.resolveVersionString(src, vStr))
-    val (baseV, nSegs) = GraftCatalog.createBranch(src, branch, v)
-    val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(
-        GraftCatalog.branchIdent(src, branch).toString), baseV, nSegs))
-    java.util.List.of[Scan](new LocalScan {
-      override def rows(): Array[InternalRow] = Array(row)
-      override def readSchema(): StructType = outSchema
-      override def description(): String = s"GraftCreateBranchResult($src@$branch)"
-    }).iterator()
-  }
-}
-
-/** `CALL graft.system.publish_branch(ns, table, branch)` — fast-forward
-  * the table to the branch's state as one atomic commit and drop the
-  * branch (refuses if the table took data commits since the branch was
-  * cut). Work in `GraftCatalog.publishBranch`.
-  */
-private[graft] object GraftPublishBranchProcedure
-    extends procedures.UnboundProcedure with procedures.BoundProcedure {
-  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
-  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
-
-  override def name(): String = "publish_branch"
-  override def description(): String =
-    "publish_branch(ns, table, branch): fast-forward the table to the branch state"
-  override def bind(inputType: StructType): procedures.BoundProcedure = this
-  override def isDeterministic: Boolean = false // mutates table state
-  override def parameters(): Array[ProcedureParameter] = Array(
-    ProcedureParameter.in("ns", StringType).comment("namespace").build(),
-    ProcedureParameter.in("table", StringType).comment("table name").build(),
-    ProcedureParameter.in("branch", StringType).comment("branch name").build())
-
-  private val outSchema = StructType(Seq(
-    org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
-    org.apache.spark.sql.types.StructField("new_version", LongType, nullable = false),
-    org.apache.spark.sql.types.StructField("branch_commits", LongType, nullable = false),
-    org.apache.spark.sql.types.StructField("segments", IntegerType, nullable = false)))
-
-  override def call(input: InternalRow): java.util.Iterator[Scan] = {
-    val src = Identifier.of(
-      Array(input.getUTF8String(0).toString), input.getUTF8String(1).toString)
-    val branch = input.getUTF8String(2).toString
-    val (newV, branchCommits, nSegs) = GraftCatalog.publishBranch(src, branch)
-    val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(src.toString),
-        newV, branchCommits, nSegs))
-    java.util.List.of[Scan](new LocalScan {
-      override def rows(): Array[InternalRow] = Array(row)
-      override def readSchema(): StructType = outSchema
-      override def description(): String = s"GraftPublishBranchResult($src@$branch)"
-    }).iterator()
-  }
-}
-
-/** `CALL graft.system.history(ns, table)` — the DESCRIBE HISTORY
-  * analogue: one row per RETAINED snapshot (version, commit time,
-  * segment count, row count, is_current), newest first. Versions
-  * outside the retention window have been vacuumed and no longer
-  * appear — exactly the set `VERSION AS OF` can still serve.
-  */
-private[graft] object GraftHistoryProcedure
-    extends procedures.UnboundProcedure with procedures.BoundProcedure {
-  import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, TimestampType}
-  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
-
-  override def name(): String = "history"
-  override def description(): String =
-    "history(ns, table): retained snapshots, newest first"
-  override def bind(inputType: StructType): procedures.BoundProcedure = this
-  override def isDeterministic: Boolean = false // reads mutable state
-  override def parameters(): Array[ProcedureParameter] = Array(
-    ProcedureParameter.in("ns", StringType).comment("namespace").build(),
-    ProcedureParameter.in("table", StringType).comment("table name").build())
-
-  private val outSchema = StructType(Seq(
-    org.apache.spark.sql.types.StructField("version", LongType, nullable = false),
-    org.apache.spark.sql.types.StructField("committed_at", TimestampType, nullable = false),
-    org.apache.spark.sql.types.StructField("n_segments", IntegerType, nullable = false),
-    org.apache.spark.sql.types.StructField("n_rows", LongType, nullable = false),
-    org.apache.spark.sql.types.StructField("is_current", BooleanType, nullable = false)))
-
-  override def call(input: InternalRow): java.util.Iterator[Scan] = {
-    val ident = Identifier.of(
-      Array(input.getUTF8String(0).toString), input.getUTF8String(1).toString)
-    val snaps = GraftCatalog.retainedSnapshots(ident)
-    if (snaps.isEmpty) throw new NoSuchTableException(ident)
-    val latest = snaps.map(_.version).max
-    val outRows = snaps.sortBy(-_.version).map { s =>
-      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
-        s.version, s.wallMs * 1000L, // micros for TimestampType
-        s.segments.length, s.segments.map(_.liveRows).sum, s.version == latest)): InternalRow
-    }.toArray
-    java.util.List.of[Scan](new LocalScan {
-      override def rows(): Array[InternalRow] = outRows
-      override def readSchema(): StructType = outSchema
-      override def description(): String = s"GraftHistory($ident)"
-    }).iterator()
-  }
-}
-
-/** `graft.math.clamp(x, lo, hi)` — catalog-resolved scalar function. */
-private[graft] object GraftClampFunction extends UnboundFunction {
-  override def name(): String = "clamp"
-  override def description(): String =
-    "clamp(x, lo, hi): x bounded into [lo, hi]"
-
-  override def bind(inputType: StructType): BoundFunction = {
-    // Accept any numeric triple: the bound `inputTypes()` declares
-    // doubles, and the analyzer inserts the casts (numeric literals
-    // arrive as decimals — rejecting them here would force callers to
-    // CAST by hand).
-    val numeric = inputType.fields.forall(
-      _.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
-    if (inputType.length != 3 || !numeric)
-      throw new UnsupportedOperationException(
-        s"clamp expects 3 numeric arguments, got ${inputType.simpleString}")
-    new GraftClampBound
-  }
-}
-
-/** Named (not anonymous) class on purpose: Catalyst finds the `invoke`
-  * magic method by PUBLIC reflection, and scalac compiles non-interface
-  * methods of anonymous classes as private.
-  */
-private[graft] class GraftClampBound extends ScalarFunction[java.lang.Double] {
-  override def inputTypes(): Array[DataType] =
-    Array(DoubleType, DoubleType, DoubleType)
-  override def resultType(): DataType = DoubleType
-  override def name(): String = "clamp"
-  override def canonicalName(): String = "graft.math.clamp"
-  override def isResultNullable: Boolean = false
-  // MAGIC METHOD: exact-signature `invoke` — Catalyst lowers the call to
-  // a direct method invocation inside codegen (no row boxing).
-  def invoke(x: Double, lo: Double, hi: Double): Double =
-    math.max(lo, math.min(x, hi))
-  override def produceResult(input: InternalRow): java.lang.Double =
-    invoke(input.getDouble(0), input.getDouble(1), input.getDouble(2))
-}
-
 object GraftCatalog {
   /** Per-column zone-map entry for one segment: min/max over the
     * non-null values (external JVM types: boxed numerics / String /
@@ -5051,641 +4271,6 @@ object GraftCatalog {
   }
 }
 
-/** Evaluates V1 source Filters against stored InternalRows — the
-  * delete-path twin of what a file source does with partition values.
-  * Only shapes/types it can prove are supported; `supported` is the
-  * `canDeleteWhere` gate, so an unprovable predicate rejects the DELETE
-  * instead of misapplying it.
-  */
-/** THE value comparator for every metadata path — zone-map pruning,
-  * the delete-filter evaluator, and the aggregate-pushdown fold all
-  * compare the same universe of boxed values (stat entries, pushed
-  * filter literals, decoded row values), and comparator drift between
-  * hand-rolled copies IS a wrong-results bug (a lossy double compare
-  * prunes a matching segment; a UTF-16 string compare disagrees with
-  * the UTF-8 order the stats writer picked min/max by).
-  *
-  * Contract: integrals compare exactly as longs; an integral/floating
-  * mix goes through BigDecimal so a >2^53 long can't collapse into a
-  * lossy double compare; NaN/infinities order per Double.compare (NaN
-  * largest — Spark's order); decimals (Spark internal or java.math)
-  * compare exactly; strings compare in UTF-8 BINARY order, matching
-  * the stats writer's UTF8String min/max selection. None = the pair
-  * is not comparable here — callers must treat that as "don't know".
-  */
-private[graft] object GraftCompare {
-  def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
-    case (x: org.apache.spark.sql.types.Decimal, _) => cmp(x.toJavaBigDecimal, b)
-    case (_, y: org.apache.spark.sql.types.Decimal) => cmp(a, y.toJavaBigDecimal)
-    case (x: String, y: String) =>
-      Some(org.apache.spark.unsafe.types.UTF8String.fromString(x)
-        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)))
-    case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(x.compareTo(y))
-    case (x: Number, y: Number) =>
-      val xd = x.doubleValue(); val yd = y.doubleValue()
-      val integral = (n: Number) => n match {
-        case _: java.lang.Long | _: java.lang.Integer |
-             _: java.lang.Short | _: java.lang.Byte => true
-        case _ => false
-      }
-      if (xd.isNaN || yd.isNaN || xd.isInfinite || yd.isInfinite)
-        Some(java.lang.Double.compare(xd, yd))
-      else if (integral(x) && integral(y))
-        Some(java.lang.Long.compare(x.longValue(), y.longValue()))
-      else
-        Some(new java.math.BigDecimal(x.toString).compareTo(new java.math.BigDecimal(y.toString)))
-    case _ => None
-  }
-}
-
-private[sources] object GraftFilterEval {
-  import org.apache.spark.sql.sources._
-  import org.apache.spark.sql.types._
-
-  private def ordinal(schema: StructType, attr: String): Int = schema.fieldIndex(attr)
-
-  private def comparable(schema: StructType, attr: String): Boolean =
-    schema.fields(ordinal(schema, attr)).dataType match {
-      case _: NumericType | StringType | BooleanType => true
-      case _ => false
-    }
-
-  def supported(f: Filter, schema: StructType): Boolean = f match {
-    case EqualTo(a, _) => comparable(schema, a)
-    case GreaterThan(a, _) => comparable(schema, a)
-    case GreaterThanOrEqual(a, _) => comparable(schema, a)
-    case LessThan(a, _) => comparable(schema, a)
-    case LessThanOrEqual(a, _) => comparable(schema, a)
-    case In(a, _) => comparable(schema, a)
-    case IsNull(a) => schema.fieldNames.contains(a)
-    case IsNotNull(a) => schema.fieldNames.contains(a)
-    case And(l, r) => supported(l, schema) && supported(r, schema)
-    case Or(l, r) => supported(l, schema) && supported(r, schema)
-    case Not(c) => supported(c, schema)
-    case AlwaysTrue() | AlwaysFalse() => true
-    case _ => false
-  }
-
-  /** Row value at `attr` as a JVM-comparable external value (UTF8String
-    * → String etc.), or null.
-    */
-  private def value(schema: StructType, row: InternalRow, attr: String): Any = {
-    val i = ordinal(schema, attr)
-    if (row.isNullAt(i)) null
-    else schema.fields(i).dataType match {
-      case StringType => row.getUTF8String(i).toString
-      case dt => row.get(i, dt)
-    }
-  }
-
-  /** Three-way comparison via the shared exact comparator
-    * ([[GraftCompare]]); filter literals arrive as external JVM values
-    * whose numeric subtypes may differ from the column's (e.g. Integer
-    * literal on a BIGINT column, java BigDecimal vs internal Decimal).
-    */
-  private def cmp(l: Any, r: Any): Option[Int] = GraftCompare.cmp(l, r)
-
-  /** SQL THREE-valued evaluation: Some(true) = the row matches,
-    * Some(false) = it doesn't, None = UNKNOWN (a NULL operand or an
-    * incomparable pair). The DELETE/overwrite caller applies the
-    * predicate as "act iff TRUE", so UNKNOWN keeps the row — exactly
-    * SQL semantics. A two-valued evaluator here was a data-loss bug:
-    * NOT(a = 5) over a NULL `a` flipped false to TRUE and deleted a
-    * row SQL says must survive.
-    */
-  private def eval3(f: Filter, schema: StructType, row: InternalRow): Option[Boolean] = {
-    def cmp3(a: String, v: Any)(p: Int => Boolean): Option[Boolean] = {
-      val x = value(schema, row, a)
-      if (x == null || v == null) None else cmp(x, v).map(p)
-    }
-    f match {
-      case EqualTo(a, v) => cmp3(a, v)(_ == 0)
-      case GreaterThan(a, v) => cmp3(a, v)(_ > 0)
-      case GreaterThanOrEqual(a, v) => cmp3(a, v)(_ >= 0)
-      case LessThan(a, v) => cmp3(a, v)(_ < 0)
-      case LessThanOrEqual(a, v) => cmp3(a, v)(_ <= 0)
-      case In(a, vs) =>
-        val x = value(schema, row, a)
-        if (x == null) None
-        else {
-          val eqs = vs.toSeq.map(v => if (v == null) None else cmp(x, v).map(_ == 0))
-          if (eqs.exists(_.contains(true))) Some(true)
-          else if (eqs.forall(_.contains(false))) Some(false)
-          else None // a NULL list element: x IN (..., NULL) is UNKNOWN when unmatched
-        }
-      case IsNull(a) => Some(value(schema, row, a) == null)
-      case IsNotNull(a) => Some(value(schema, row, a) != null)
-      case And(l, r) => // Kleene AND
-        (eval3(l, schema, row), eval3(r, schema, row)) match {
-          case (Some(false), _) | (_, Some(false)) => Some(false)
-          case (Some(true), Some(true)) => Some(true)
-          case _ => None
-        }
-      case Or(l, r) => // Kleene OR
-        (eval3(l, schema, row), eval3(r, schema, row)) match {
-          case (Some(true), _) | (_, Some(true)) => Some(true)
-          case (Some(false), Some(false)) => Some(false)
-          case _ => None
-        }
-      case Not(c) => eval3(c, schema, row).map(!_)
-      case AlwaysTrue() => Some(true)
-      case AlwaysFalse() => Some(false)
-      case _ => None // unknown shape: never act on it
-    }
-  }
-
-  /** Row matches iff the predicate evaluates to TRUE (not UNKNOWN). */
-  def eval(f: Filter, schema: StructType, row: InternalRow): Boolean =
-    eval3(f, schema, row).contains(true)
-}
-
-/** Zone-map pruning: decides, from a segment's per-column min/max/null
-  * stats — plus its [[SegmentBloom]] bits for point predicates —
-  * whether a pushed Filter can PROVABLY match no row of the
-  * segment — then the scan skips the file entirely (parquet row-group
-  * statistics + column Bloom filters, Delta data-skipping, same move).
-  * Everything here is conservative: any unknown shape, type, or
-  * missing stat keeps the segment. Pruning is file-level and therefore
-  * INEXACT — Spark always re-applies the full predicate above the scan.
-  */
-private[graft] object ZoneMap {
-  import org.apache.spark.sql.sources._
-  import org.apache.spark.sql.types._
-  import GraftCatalog.{ColStat, Segment}
-
-  /** Shapes/types the pruner understands — what the scan reports as
-    * `pushedFilters` (honesty in `explain`: only filters that actually
-    * participate in skipping).
-    */
-  def prunable(f: Filter, schema: StructType): Boolean = f match {
-    case EqualTo(a, v) => cmpOk(schema, a, v)
-    case EqualNullSafe(a, v) => v == null || cmpOk(schema, a, v)
-    case GreaterThan(a, v) => cmpOk(schema, a, v)
-    case GreaterThanOrEqual(a, v) => cmpOk(schema, a, v)
-    case LessThan(a, v) => cmpOk(schema, a, v)
-    case LessThanOrEqual(a, v) => cmpOk(schema, a, v)
-    case In(a, vs) => vs.nonEmpty && vs.forall(v => v != null && cmpOk(schema, a, v))
-    case IsNull(a) => schema.fieldNames.contains(a)
-    case IsNotNull(a) => schema.fieldNames.contains(a)
-    case StringStartsWith(a, p) => p != null && cmpOk(schema, a, p)
-    case And(l, r) => prunable(l, schema) || prunable(r, schema)
-    case Or(l, r) => prunable(l, schema) && prunable(r, schema)
-    case AlwaysFalse() => true
-    case _ => false
-  }
-
-  private def cmpOk(schema: StructType, attr: String, v: Any): Boolean =
-    schema.fieldNames.contains(attr) && v != null && (v match {
-      case _: Number | _: String | _: java.lang.Boolean => true
-      // Temporal literals prune against the writer's internal-encoding
-      // stats once normalized (see `norm`).
-      case _: java.sql.Timestamp | _: java.sql.Date | _: java.time.Instant |
-           _: java.time.LocalDate | _: java.time.LocalDateTime => true
-      case _ => false
-    })
-
-  /** Normalize a pushed temporal literal to the INTERNAL encoding the
-    * stats writer tracked (micros for timestamps, epoch days for
-    * dates) so `cmp` sees two integrals. Non-temporal values pass
-    * through untouched; a literal/type mismatch yields the original
-    * value, where `cmp` returns None and pruning safely declines.
-    */
-  private[sources] def norm(schema: StructType, attr: String, v: Any): Any = {
-    import org.apache.spark.sql.catalyst.util.DateTimeUtils
-    val dt = schema.fields.find(_.name == attr).map(_.dataType)
-    (dt, v) match {
-      case (Some(TimestampType | TimestampNTZType), t: java.sql.Timestamp) =>
-        DateTimeUtils.fromJavaTimestamp(t)
-      case (Some(TimestampType | TimestampNTZType), i: java.time.Instant) =>
-        DateTimeUtils.instantToMicros(i)
-      case (Some(TimestampType | TimestampNTZType), l: java.time.LocalDateTime) =>
-        DateTimeUtils.localDateTimeToMicros(l)
-      case (Some(DateType), d: java.sql.Date) => DateTimeUtils.fromJavaDate(d)
-      case (Some(DateType), l: java.time.LocalDate) => DateTimeUtils.localDateToDays(l)
-      case _ => v
-    }
-  }
-
-  /** True unless the segment PROVABLY holds no matching row. */
-  def mightMatch(f: Filter, schema: StructType, seg: Segment): Boolean =
-    !provablyEmpty(f, schema, seg)
-
-  private def stat(schema: StructType, seg: Segment, attr: String): Option[ColStat] = {
-    val i = schema.fieldNames.indexOf(attr)
-    if (i < 0 || seg.stats.length <= i) None else Some(seg.stats(i))
-  }
-
-  /** Bloom probe: true only when the column carries [[SegmentBloom]]
-    * bits, the literal's type family matches the column's (the
-    * canonical hash is only meaningful within a family — integrals
-    * hash via longValue, strings via UTF-8 bytes), and the bits PROVE
-    * absence. Anything else — no bloom (old ledger segment, builder
-    * overflow, untracked type), family mismatch — keeps the segment.
-    */
-  private def bloomMiss(schema: StructType, seg: Segment, attr: String, v: Any): Boolean = {
-    val i = schema.fieldNames.indexOf(attr)
-    if (i < 0 || seg.blooms.length <= i || v == null) false
-    else seg.blooms(i).exists { bits =>
-      val compatible = (schema.fields(i).dataType, v) match {
-        case (LongType | IntegerType | ShortType | ByteType,
-              _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
-              _: java.lang.Byte) => true
-        case (StringType, _: String) => true
-        case _ => false
-      }
-      compatible && SegmentBloom.hashOf(v).exists(h => !SegmentBloom.contains(bits, h))
-    }
-  }
-
-  /** Column provably all-null in this segment: a tracked column with no
-    * surviving min and every row counted null. (An UNtracked column
-    * also has a null min but nulls == 0 < rows, so it never triggers.)
-    */
-  private def allNull(s: ColStat, seg: Segment): Boolean =
-    s.min == null && s.nulls == seg.rows
-
-  /** Exact three-way compare via the shared [[GraftCompare]] — one
-    * comparator for stats, filters, and folds, so pruning can never
-    * disagree with the order the stats writer picked min/max by.
-    */
-  private[sources] def cmp(a: Any, b: Any): Option[Int] = GraftCompare.cmp(a, b)
-
-  /** PROVABLY-DISJOINT probe of an equality delete against one
-    * segment: true only when every key of a SINGLE-column delete is
-    * excluded by the segment's zone map or Bloom bits. Serves the
-    * change feed's paired-update guard — an eq delete REMOVED
-    * in-range (RESTORE, or publish-time GC) forces the delete+insert
-    * degrade only when it could actually have touched the source
-    * segment's rows; in upsert-heavy tables most deletes provably
-    * never did. Conservative on multi-column keys, null keys, missing
-    * stats, or untracked types: not provably disjoint.
-    */
-  private[sources] def eqDisjoint(
-      schema: StructType, seg: Segment, eq: GraftCatalog.EqDelete): Boolean =
-    eq.keyCols.length == 1 && eq.keys.forall { k =>
-      // The ONE EqualTo probe (zone map + Bloom + all-null + empty
-      // segment) — not a hand copy that could drift from the scan's
-      // pruning semantics.
-      k.head != null && !mightMatch(EqualTo(eq.keyCols.head, k.head), schema, seg)
-    }
-
-  private def provablyEmpty(f: Filter, schema: StructType, seg: Segment): Boolean = {
-    if (seg.stats.isEmpty || seg.rows == 0) return false
-    def withStat(attr: String)(p: ColStat => Boolean): Boolean =
-      stat(schema, seg, attr).exists(s => allNull(s, seg) || (s.min != null && p(s)))
-    def outOfRange(attr: String, v: Any): Boolean =
-      v != null && withStat(attr)(s =>
-        cmp(v, s.min).exists(_ < 0) || cmp(v, s.max).exists(_ > 0))
-    // Temporal literals normalize to the internal encodings the stats
-    // writer tracked before any compare (integral vs integral).
-    def misses(attr: String, v0: Any): Boolean = {
-      val v = norm(schema, attr, v0)
-      outOfRange(attr, v) || bloomMiss(schema, seg, attr, v)
-    }
-    f match {
-      case EqualTo(a, v) => misses(a, v)
-      case EqualNullSafe(a, v) =>
-        // `nulls == 0` proves no-nulls only for a TRACKED column (an
-        // untracked one never counts — its stat is (null, null, 0) with
-        // rows > 0). `min != null` is the tracked-and-saw-values
-        // witness; without it, keep the segment.
-        if (v == null) stat(schema, seg, a).exists(s => s.nulls == 0 && s.min != null)
-        else misses(a, v)
-      case GreaterThan(a, v0) => val v = norm(schema, a, v0)
-        v != null && withStat(a)(s => cmp(s.max, v).exists(_ <= 0))
-      case GreaterThanOrEqual(a, v0) => val v = norm(schema, a, v0)
-        v != null && withStat(a)(s => cmp(s.max, v).exists(_ < 0))
-      case LessThan(a, v0) => val v = norm(schema, a, v0)
-        v != null && withStat(a)(s => cmp(s.min, v).exists(_ >= 0))
-      case LessThanOrEqual(a, v0) => val v = norm(schema, a, v0)
-        v != null && withStat(a)(s => cmp(s.min, v).exists(_ > 0))
-      case In(a, vs) => vs.nonEmpty && vs.forall(v => misses(a, v))
-      case IsNull(a) => stat(schema, seg, a).exists(s => s.nulls == 0 && s.min != null)
-      case IsNotNull(a) => stat(schema, seg, a).exists(s => allNull(s, seg))
-      case StringStartsWith(a, p) =>
-        // values in [p, successor(p)) start with p; the segment misses
-        // that interval iff max < p, or min > p without carrying it as
-        // a prefix (then min >= successor(p), so every value is too).
-        p != null && withStat(a)(s =>
-          cmp(s.max, p).exists(_ < 0) ||
-            (cmp(s.min, p).exists(_ > 0) && (s.min match {
-              case m: String => !m.startsWith(p)
-              case _ => false
-            })))
-      case And(l, r) =>
-        provablyEmpty(l, schema, seg) || provablyEmpty(r, schema, seg)
-      case Or(l, r) =>
-        provablyEmpty(l, schema, seg) && provablyEmpty(r, schema, seg)
-      case AlwaysFalse() => true
-      case _ => false
-    }
-  }
-}
-
-/** Segment file I/O: `[int32 size][UnsafeRow bytes]` records. Writers
-  * stream (no buffering of the whole segment); readers reuse one
-  * `UnsafeRow` pointed at each record's buffer (the `PartitionReader`
-  * contract allows instance reuse).
-  */
-private[sources] object SegmentIO {
-  import GraftCatalog.{ColStat, Segment}
-
-  def delete(seg: Segment): Unit =
-    try Files.deleteIfExists(Paths.get(seg.path))
-    catch { case _: java.io.IOException => () }
-
-  def newPath(dir: String): String =
-    Paths.get(dir, s"seg-${UUID.randomUUID()}.graft").toString
-
-  /** Open a streaming writer; call `add` per row, then `finish` for the
-    * Segment (or `abort` to drop the file). Collects the per-column
-    * zone map (min/max/null-count) and byte size as it streams — one
-    * typed read + compare per column per row, no second pass.
-    */
-  final class Writer(dir: String, schema: StructType) {
-    import org.apache.spark.sql.types._
-    private val path = newPath(dir)
-    private var out: DataOutputStream = _
-    private var n = 0L
-    private var bytes = 0L
-    private val width = schema.length
-    private val mins = new Array[Any](width)
-    private val maxs = new Array[Any](width)
-    private val nulls = new Array[Long](width)
-    // Column types the zone map tracks; others get ColStat(null, null, 0)
-    // with a rows-long null count of 0 — ZoneMap treats a null min with
-    // nulls < rows as "unsupported, never prune".
-    // Temporal columns track through their INTERNAL encodings (micros
-    // Long / epoch-day Int) — ZoneMap normalizes pushed temporal
-    // literals to the same encodings, which is what makes time-range
-    // segment skipping work on event tables (the 100 TB time-series
-    // case: a `ts BETWEEN ...` should read days, not history).
-    private val tracked: Array[Boolean] = schema.fields.map(_.dataType match {
-      case LongType | IntegerType | ShortType | ByteType |
-           DoubleType | FloatType | BooleanType | StringType |
-           TimestampType | TimestampNTZType | DateType => true
-      case _ => false
-    })
-    // Bloom-tracked columns (point-lookup-shaped types) get a distinct-
-    // hash builder; floats/booleans don't (degenerate point equality).
-    private val blooms: Array[SegmentBloom.Builder] =
-      schema.fields.map(f =>
-        if (SegmentBloom.trackable(f.dataType)) new SegmentBloom.Builder else null)
-
-    private def colValue(row: UnsafeRow, i: Int): Any = schema.fields(i).dataType match {
-      case LongType | TimestampType | TimestampNTZType => row.getLong(i)
-      case IntegerType | DateType => row.getInt(i)
-      case ShortType => row.getShort(i)
-      case ByteType => row.getByte(i)
-      case DoubleType => row.getDouble(i)
-      case FloatType => row.getFloat(i)
-      case BooleanType => row.getBoolean(i)
-      // UnsafeRow string reads point into the (reused) row buffer —
-      // clone before retaining as a min/max.
-      case StringType => row.getUTF8String(i).clone()
-      case _ => null
-    }
-
-    // Exact same-type comparisons (a column's values share one boxed
-    // type); Double/Float use compare() so NaN orders largest, matching
-    // Spark's ordering.
-    private def lt(a: Any, b: Any): Boolean = (a, b) match {
-      case (x: java.lang.Long, y: java.lang.Long) => x < y
-      case (x: java.lang.Integer, y: java.lang.Integer) => x < y
-      case (x: java.lang.Short, y: java.lang.Short) => x < y
-      case (x: java.lang.Byte, y: java.lang.Byte) => x < y
-      case (x: java.lang.Double, y: java.lang.Double) =>
-        java.lang.Double.compare(x, y) < 0
-      case (x: java.lang.Float, y: java.lang.Float) =>
-        java.lang.Float.compare(x, y) < 0
-      case (x: java.lang.Boolean, y: java.lang.Boolean) => !x && y
-      case (x: org.apache.spark.unsafe.types.UTF8String,
-            y: org.apache.spark.unsafe.types.UTF8String) => x.compareTo(y) < 0
-      case _ => false
-    }
-
-    def add(row: UnsafeRow): Unit = {
-      if (out == null) // lazy: a rowless task publishes no segment
-        out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path), 1 << 16))
-      val b = row.getBytes
-      out.writeInt(b.length)
-      out.write(b)
-      bytes += 4L + b.length
-      n += 1
-      var i = 0
-      while (i < width) {
-        if (tracked(i)) {
-          if (row.isNullAt(i)) nulls(i) += 1
-          else {
-            val v = colValue(row, i)
-            if (mins(i) == null || lt(v, mins(i))) mins(i) = v
-            if (maxs(i) == null || lt(maxs(i), v)) maxs(i) = v
-            if (blooms(i) != null) blooms(i).add(v)
-          }
-        }
-        i += 1
-      }
-    }
-
-    def finish(): Option[Segment] =
-      if (out == null) None
-      else {
-        out.close()
-        // UTF8String min/max become external Strings: serializable in
-        // the metastore and directly comparable to pushed Filter values.
-        def ext(v: Any): Any = v match {
-          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
-          case other => other
-        }
-        val stats = Vector.tabulate(width)(i => ColStat(ext(mins(i)), ext(maxs(i)), nulls(i)))
-        val bl = Vector.tabulate(width)(i =>
-          if (blooms(i) == null) None else blooms(i).result())
-        Some(Segment(path, n, bytes, stats, blooms = bl))
-      }
-    def abort(): Unit = {
-      if (out != null) out.close()
-      try Files.deleteIfExists(Paths.get(path))
-      catch { case _: java.io.IOException => () }
-    }
-  }
-
-  /** Iterate a segment's rows. The yielded `UnsafeRow` is REUSED —
-    * copy before retaining.
-    */
-  /** Iterate a segment's LIVE rows (deletion-vector ordinals are read
-    * past and skipped, so every maintenance rewrite — compact, Z-order,
-    * ALTER migration, delete-rewrite — materializes deletes for free).
-    */
-  def foreachRow(seg: Segment, numFields: Int)(f: UnsafeRow => Unit): Unit =
-    foreachRowPhysical(seg, numFields) { (row, ord) =>
-      if (!seg.dv.exists(d => ord <= Int.MaxValue && d.contains(ord.toInt))) f(row)
-    }
-
-  /** Iterate ALL physical rows with their file ordinals — the
-    * deletion-vector builder's view (a DELETE must address rows by
-    * physical position, deleted-or-not).
-    */
-  def foreachRowPhysical(seg: Segment, numFields: Int)(f: (UnsafeRow, Long) => Unit): Unit = {
-    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(seg.path), 1 << 16))
-    try {
-      val row = new UnsafeRow(numFields)
-      // One growable buffer for the whole segment — per-record byte[]
-      // allocation on the scan hot path was the only thing the reused
-      // UnsafeRow wrapper still paid for. pointTo takes an explicit
-      // size, so an oversized buffer is fine (and getBytes copies
-      // exactly sizeInBytes when a consumer retains the row).
-      var buf = new Array[Byte](1 << 10)
-      var i = 0L
-      while (i < seg.rows) {
-        val size = in.readInt()
-        if (size > buf.length) buf = new Array[Byte](math.max(size, buf.length << 1))
-        in.readFully(buf, 0, size)
-        row.pointTo(buf, size)
-        f(row, i)
-        i += 1
-      }
-    } finally in.close()
-  }
-
-  /** Stream `seg` (laid out with `inFields` columns) through `f` into a
-    * fresh segment in `dir` whose rows follow `outSchema` (zone maps are
-    * re-collected under the OUTPUT layout); rows mapped to None are
-    * dropped. Always yields a segment (possibly empty-file-free: None
-    * when no rows survive).
-    */
-  def rewriteOpt(seg: Segment, dir: String, inFields: Int, outSchema: StructType)(
-      f: UnsafeRow => Option[UnsafeRow]): Option[Segment] = {
-    import GraftCatalog.{RunAccumulator, RunCursor}
-    val w = new Writer(dir, outSchema)
-    // Migrations are value-rewrites of the SAME rows — row ids and
-    // update-seqs carry over run-by-run (dv-masked or f-dropped rows
-    // break runs, exactly like compaction's fold).
-    val acc = new RunAccumulator
-    val cur = new RunCursor(seg.lineage)
-    foreachRowPhysical(seg, inFields) { (r, ord) =>
-      val masked = seg.dv.exists(d => ord <= Int.MaxValue && d.contains(ord.toInt))
-      if (!masked) f(r) match {
-        case Some(out) =>
-          w.add(out)
-          cur.at(ord) match {
-            case Some((id, q)) => acc.push(id, q)
-            case None => acc.invalidate()
-          }
-        case None => ()
-      }
-    }
-    // A rewrite never crosses partition boundaries: the rewritten
-    // segment inherits the source segment's partition key (and the
-    // spec that key is valued over) AND its data sequence number — a
-    // 1:1 re-projection copies eq-deleted rows verbatim, so the
-    // equality filters must keep applying to the output exactly as
-    // they did to the source.
-    w.finish().map(_.copy(key = seg.key, spec = seg.spec, seq = seg.seq,
-      lineage = acc.result()))
-  }
-}
-
-/** One compiled equality-delete filter a reader applies to a segment:
-  * key-column ordinals + types in the table layout, and the external
-  * key tuples to subtract. Compiled per (segment, applicable deletes)
-  * at plan time — the empty-list fast path costs nothing on tables
-  * that never upserted.
-  */
-private[graft] case class EqFilter(
-    idx: IndexedSeq[Int], dts: IndexedSeq[org.apache.spark.sql.types.DataType],
-    keys: Set[IndexedSeq[Any]]) extends Serializable {
-  def matches(r: UnsafeRow): Boolean = {
-    import org.apache.spark.sql.types.StringType
-    val tuple: IndexedSeq[Any] = idx.indices.map { j =>
-      val i = idx(j)
-      if (r.isNullAt(i)) null
-      else dts(j) match {
-        case StringType => r.getUTF8String(i).toString
-        case dt => r.get(i, dt)
-      }
-    }
-    keys.contains(tuple)
-  }
-}
-
-private[graft] object EqFilter {
-  /** Compile each delete ONCE per plan (the `keys.toSet` build is the
-    * expensive part — per-segment recompilation would copy a 100k-key
-    * set once per split and serialize one copy per task). Share the
-    * result across segments via [[applicable]].
-    */
-  def compileAll(
-      schema: StructType,
-      eqs: Seq[GraftCatalog.EqDelete]): IndexedSeq[(Long, EqFilter)] =
-    eqs.iterator.map { eq =>
-      val idx = eq.keyCols.map(schema.fieldIndex).toIndexedSeq
-      eq.seq -> EqFilter(idx, idx.map(schema.fields(_).dataType), eq.keys.toSet)
-    }.toIndexedSeq
-
-  /** The pre-compiled filters applicable to `seg` (strictly newer than
-    * its data sequence number).
-    */
-  def applicable(
-      compiled: IndexedSeq[(Long, EqFilter)],
-      seg: GraftCatalog.Segment): Seq[EqFilter] =
-    compiled.collect { case (sq, f) if sq > seg.seq => f }
-
-  /** One-shot convenience for single-segment callers. */
-  def compile(
-      schema: StructType, eqs: Seq[GraftCatalog.EqDelete],
-      seg: GraftCatalog.Segment): Seq[EqFilter] =
-    applicable(compileAll(schema, eqs), seg)
-
-  /** keep-predicate over live rows, or None when nothing applies. */
-  def keepOf(fs: Seq[EqFilter]): Option[UnsafeRow => Boolean] =
-    if (fs.isEmpty) None else Some(r => !fs.exists(_.matches(r)))
-
-}
-
-/** A catalog table: batch-readable, batch-writable (append + truncate)
-  * with the same two-phase commit protocol as GraftMemorySink, and
-  * DELETE-capable (`SupportsDelete`): `DELETE FROM graft.ns.t WHERE …`
-  * ships the WHERE down as source Filters and the table rewrites its
-  * committed segments — the metadata-delete path (file-source analogue:
-  * dropping whole partitions), not a row-level MERGE rewrite.
-  * Predicates the evaluator can't prove (`canDeleteWhere` false) fail
-  * the statement instead of deleting the wrong rows.
-  */
-/** The catalog's metadata columns (the Iceberg `_file`/`_pos` shape):
-  * hidden from `SELECT *`, served by the scan when referenced.
-  * `_pos` is the PHYSICAL ordinal — rows masked by a deletion vector
-  * leave visible gaps, which is exactly what makes it useful for
-  * debugging merge-on-read state.
-  */
-private[sources] object GraftMetaCols {
-  import org.apache.spark.sql.types.{LongType, StringType}
-  val Segment = "_segment"
-  val Pos = "_pos"
-  val RowId = "_row_id"
-  val LastUpdatedSeq = "_last_updated_seq"
-  val names: Seq[String] = Seq(Segment, Pos, RowId, LastUpdatedSeq)
-  private final case class Col(
-      name: String, dataType: org.apache.spark.sql.types.DataType,
-      override val comment: String, nullable: Boolean = false)
-      extends MetadataColumn {
-    override def isNullable: Boolean = nullable
-  }
-  val columns: Array[MetadataColumn] = Array(
-    Col(Segment, StringType, "segment file path serving this row"),
-    Col(Pos, LongType, "physical row ordinal within the segment (dv gaps visible)"),
-    // Row lineage (see Segment.lineage): null for rows of segments
-    // committed by a pre-lineage ledger or whose runs an
-    // order-perturbing rewrite dropped mid-flight.
-    Col(RowId, LongType,
-      "stable table-scoped row id, assigned at first commit and carried " +
-        "through 1:1 rewrites and compaction", nullable = true),
-    Col(LastUpdatedSeq, LongType,
-      "snapshot version of the commit that last changed this row " +
-        "(SEGMENT granularity on CoW row-level rewrites: untouched rows " +
-        "co-located in a touched segment re-stamp too — see Segment.lineage)",
-      nullable = true))
-}
-
 private[sources] class GraftCatalogTable(
     ident: Identifier, schema0: StructType, dir: String,
     pinned: Option[Vector[GraftCatalog.Segment]] = None,
@@ -6051,578 +4636,6 @@ private[sources] class GraftCatalogTable(
     }
 }
 
-/** `CALL graft.system.analyze(ns, table)` — the ANALYZE TABLE
-  * equivalent: ONE aggregate pass over the table's live rows computes
-  * per-column distinct (HLL, same approximation Spark's own ANALYZE
-  * uses) and null counts, stored on the entry and reported through the
-  * DSv2 `Statistics.columnStats()` surface — which is what gives
-  * `CostBasedJoinReorder` real join-key cardinalities for ad-hoc
-  * multi-table joins over catalog tables (with spark.sql.cbo.enabled +
-  * joinReorder.enabled). Row counts and min/max were already exact
-  * from segments/zone maps; NDV is the piece only a data pass can add.
-  */
-private[graft] object GraftAnalyzeProcedure
-    extends procedures.UnboundProcedure with procedures.BoundProcedure {
-  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
-  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
-
-  override def name(): String = "analyze"
-  override def description(): String =
-    "analyze(ns, table): compute per-column distinct/null counts for the CBO"
-  override def bind(inputType: StructType): procedures.BoundProcedure = this
-  override def isDeterministic: Boolean = false // mutates stored stats
-  override def parameters(): Array[ProcedureParameter] = Array(
-    ProcedureParameter.in("ns", StringType).comment("namespace").build(),
-    ProcedureParameter.in("table", StringType).comment("table name").build())
-
-  private val outSchema = StructType(Seq(
-    org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
-    org.apache.spark.sql.types.StructField("columns_analyzed", IntegerType, nullable = false),
-    org.apache.spark.sql.types.StructField("rows", LongType, nullable = false)))
-
-  override def call(input: InternalRow): java.util.Iterator[Scan] = {
-    import org.apache.spark.sql.functions.{approx_count_distinct, col, count, when}
-    val ns = input.getUTF8String(0).toString
-    val table = input.getUTF8String(1).toString
-    val ident = Identifier.of(Array(ns), table)
-    val spark = org.apache.spark.sql.SparkSession.active
-    val catName = GraftCatalog.sessionCatalogName(spark, "analyze")
-    val df = spark.table(s"$catName.$ns.$table") // throws NoSuchTable if absent
-    val cols = df.columns.toSeq
-    val aggs = cols.flatMap { c =>
-      Seq(approx_count_distinct(col(c)).as(s"ndv_$c"),
-        count(when(col(c).isNull, 1)).as(s"nulls_$c"))
-    }
-    val r = df.agg(count(org.apache.spark.sql.functions.lit(1)).as("n"), aggs: _*)
-      .collect().head
-    val rows = r.getAs[Long]("n")
-    val analysis = cols.map { c =>
-      c -> GraftCatalog.ColAnalysis(r.getAs[Long](s"ndv_$c"), r.getAs[Long](s"nulls_$c"))
-    }.toMap
-    GraftCatalog.installColStats(ident, analysis)
-    val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(s"$ns.$table"),
-        cols.length, rows))
-    java.util.List.of[Scan](new LocalScan {
-      override def rows(): Array[InternalRow] = Array(row)
-      override def readSchema(): StructType = outSchema
-      override def description(): String = s"GraftAnalyzeResult($ns.$table)"
-    }).iterator()
-  }
-}
-
-/** `CALL graft.system.train_ann(source, ns, table, k, iters)` — train
-  * an ANN coarse-quantizer codebook ONCE and persist it as a catalog
-  * table (cid BIGINT, cvec ARRAY<FLOAT>), so every subsequent ANN query
-  * loads k rows instead of re-running distributed k-means over the
-  * corpus (the FAISS train-once/serve-many shape). `source` is any
-  * readable table/view name with (vec_id, embedding) columns; the write
-  * lands through the staged CREATE OR REPLACE path, so retraining swaps
-  * the codebook atomically and readers never see a half-written one.
-  */
-private[graft] object GraftTrainAnnProcedure
-    extends procedures.UnboundProcedure with procedures.BoundProcedure {
-  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
-  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
-
-  override def name(): String = "train_ann"
-  override def description(): String =
-    "train_ann(source, ns, table, k, iters): persist a k-means ANN codebook as a catalog table"
-  override def bind(inputType: StructType): procedures.BoundProcedure = this
-  override def isDeterministic: Boolean = false // writes a table
-  override def parameters(): Array[ProcedureParameter] = Array(
-    ProcedureParameter.in("source", StringType)
-      .comment("readable table/view with (vec_id, embedding)").build(),
-    ProcedureParameter.in("ns", StringType).comment("destination namespace").build(),
-    ProcedureParameter.in("table", StringType).comment("destination table").build(),
-    ProcedureParameter.in("k", IntegerType).comment("number of centroids").build(),
-    ProcedureParameter.in("iters", IntegerType).comment("Lloyd's rounds").build())
-
-  private val outSchema = StructType(Seq(
-    org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
-    org.apache.spark.sql.types.StructField("centroids", LongType, nullable = false)))
-
-  override def call(input: InternalRow): java.util.Iterator[Scan] = {
-    import org.apache.spark.sql.functions.{col, explode}
-    val source = input.getUTF8String(0).toString
-    val ns = input.getUTF8String(1).toString
-    val table = input.getUTF8String(2).toString
-    val k = input.getInt(3)
-    val iters = input.getInt(4)
-    val spark = org.apache.spark.sql.SparkSession.active
-    // Resolve this catalog's Spark-facing name from the session conf
-    // (the procedure object is shared; companion state is JVM-wide, so
-    // any graft-class registration reaches the same metastore).
-    val catName = GraftCatalog.sessionCatalogName(spark, "train_ann")
-    val cb = graft.operators.KMeansCodebook.train(spark.table(source), k, iters)
-      .select(explode(col("cents")).as("c"))
-      .select(col("c.cid").as("cid"), col("c.cvec").as("cvec"))
-    cb.writeTo(s"$catName.$ns.$table").createOrReplace()
-    val n = GraftCatalog.rowCount(ns, table)
-    val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](
-        org.apache.spark.unsafe.types.UTF8String.fromString(s"$ns.$table"), n))
-    java.util.List.of[Scan](new LocalScan {
-      override def rows(): Array[InternalRow] = Array(row)
-      override def readSchema(): StructType = outSchema
-      override def description(): String = s"GraftTrainAnnResult($ns.$table)"
-    }).iterator()
-  }
-}
-
-/** `CALL graft.system.train_ann_pq(source, ns, table, m, sub, ks, iters)`
-  * — the product-quantization half of train-once/serve-many ANN:
-  * trains all `m` sub-codebooks in ONE data pass
-  * (`KMeansCodebook.trainSubspaces`) and persists them as a catalog
-  * table (s INT, cid BIGINT, cvec ARRAY<FLOAT>) — m×ks rows, each
-  * sub-vector centroid keyed by its subspace. Together with the coarse
-  * codebook from `train_ann`, a saved-index IVF-PQ query pays zero
-  * training passes: it loads k + m×ks small rows, broadcasts both, and
-  * runs only the encode/probe/ADC/re-rank plan. Retraining swaps the
-  * table atomically through the staged CREATE OR REPLACE path.
-  */
-private[graft] object GraftTrainAnnPqProcedure
-    extends procedures.UnboundProcedure with procedures.BoundProcedure {
-  import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
-  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
-
-  override def name(): String = "train_ann_pq"
-  override def description(): String =
-    "train_ann_pq(source, ns, table, m, sub, ks, iters): persist PQ sub-codebooks as a catalog table"
-  override def bind(inputType: StructType): procedures.BoundProcedure = this
-  override def isDeterministic: Boolean = false // writes a table
-  override def parameters(): Array[ProcedureParameter] = Array(
-    ProcedureParameter.in("source", StringType)
-      .comment("readable table/view with (vec_id, embedding)").build(),
-    ProcedureParameter.in("ns", StringType).comment("destination namespace").build(),
-    ProcedureParameter.in("table", StringType).comment("destination table").build(),
-    ProcedureParameter.in("m", IntegerType).comment("number of subspaces").build(),
-    ProcedureParameter.in("sub", IntegerType).comment("sub-vector width").build(),
-    ProcedureParameter.in("ks", IntegerType).comment("sub-centroids per subspace").build(),
-    ProcedureParameter.in("iters", IntegerType).comment("Lloyd's rounds").build())
-
-  private val outSchema = StructType(Seq(
-    org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
-    org.apache.spark.sql.types.StructField("subspaces", LongType, nullable = false),
-    org.apache.spark.sql.types.StructField("centroids", LongType, nullable = false)))
-
-  override def call(input: InternalRow): java.util.Iterator[Scan] = {
-    import org.apache.spark.sql.functions.{col, explode, posexplode}
-    val source = input.getUTF8String(0).toString
-    val ns = input.getUTF8String(1).toString
-    val table = input.getUTF8String(2).toString
-    val m = input.getInt(3)
-    val sub = input.getInt(4)
-    val ks = input.getInt(5)
-    val iters = input.getInt(6)
-    val spark = org.apache.spark.sql.SparkSession.active
-    val catName = GraftCatalog.sessionCatalogName(spark, "train_ann_pq")
-    val pqRows = graft.operators.KMeansCodebook
-      .trainSubspaces(spark.table(source), m, sub, ks, iters)
-      .select(posexplode(col("pq")).as(Seq("s", "book")))
-      .select(col("s"), explode(col("book")).as("c"))
-      .select(col("s"), col("c.cid").as("cid"), col("c.cvec").as("cvec"))
-    pqRows.writeTo(s"$catName.$ns.$table").createOrReplace()
-    val n = GraftCatalog.rowCount(ns, table)
-    val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](
-        org.apache.spark.unsafe.types.UTF8String.fromString(s"$ns.$table"),
-        m.toLong, n))
-    java.util.List.of[Scan](new LocalScan {
-      override def rows(): Array[InternalRow] = Array(row)
-      override def readSchema(): StructType = outSchema
-      override def description(): String = s"GraftTrainAnnPqResult($ns.$table)"
-    }).iterator()
-  }
-}
-
-/** `CALL graft.system.build_ann_index(source, ns, index, k, iters)` —
-  * materialize a SERVABLE IVF index over a graft catalog table of
-  * embeddings: trains the coarse codebook (persisted as `<index>_cb`:
-  * cid, cvec), assigns EVERY source row to its argmax centroid, and
-  * writes the posting table `<index>` (source columns + `list_id`)
-  * PARTITIONED BY list_id — so a probe is a partition-pruned scan of
-  * ~nprobe/k of the corpus, the true IVF-at-100TB shape (vs the
-  * codebook-only serving path, which re-assigns the whole corpus per
-  * query). The index table records its source, the source's snapshot
-  * version (the incremental watermark), and the train-time mean
-  * assignment similarity (the drift baseline) as table properties;
-  * `refresh_ann` maintains it incrementally from the change feed.
-  */
-private[graft] object GraftBuildAnnIndexProcedure
-    extends procedures.UnboundProcedure with procedures.BoundProcedure {
-  import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
-  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
-
-  override def name(): String = "build_ann_index"
-  override def description(): String =
-    "build_ann_index(source, ns, index, k, iters): materialize a partitioned IVF posting " +
-      "table + codebook over a catalog embeddings table"
-  override def bind(inputType: StructType): procedures.BoundProcedure = this
-  override def isDeterministic: Boolean = false // writes tables
-  override def parameters(): Array[ProcedureParameter] = Array(
-    ProcedureParameter.in("source", StringType)
-      .comment("graft catalog table 'ns.t' with (vec_id, ..., embedding)").build(),
-    ProcedureParameter.in("ns", StringType).comment("index namespace").build(),
-    ProcedureParameter.in("index", StringType).comment("index table name").build(),
-    ProcedureParameter.in("k", IntegerType).comment("number of inverted lists").build(),
-    ProcedureParameter.in("iters", IntegerType).comment("Lloyd's rounds").build())
-
-  private val outSchema = StructType(Seq(
-    org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
-    org.apache.spark.sql.types.StructField("rows_indexed", LongType, nullable = false),
-    org.apache.spark.sql.types.StructField("lists", LongType, nullable = false),
-    org.apache.spark.sql.types.StructField("base_sim", DoubleType, nullable = false)))
-
-  override def call(input: InternalRow): java.util.Iterator[Scan] = {
-    import org.apache.spark.sql.functions.{avg, broadcast, col, explode}
-    val source = input.getUTF8String(0).toString
-    val ns = input.getUTF8String(1).toString
-    val index = input.getUTF8String(2).toString
-    val k = input.getInt(3)
-    val iters = input.getInt(4)
-    val spark = org.apache.spark.sql.SparkSession.active
-    val catName = GraftCatalog.sessionCatalogName(spark, "build_ann_index")
-    val srcParts = source.split('.')
-    require(srcParts.length == 2,
-      s"build_ann_index source must be a catalog table 'ns.t', got '$source'")
-    // Watermark FIRST, then pin BOTH build scans (train + assign) to
-    // that exact snapshot: a row appended between the watermark capture
-    // and a live scan would otherwise be indexed by the build AND
-    // re-delivered as an 'insert' by the first refresh (which only
-    // pre-deletes delete/update vec_ids) — duplicate postings.
-    // `VERSION AS OF v` makes index state ≡ source@v, and the feed
-    // delivers exactly what landed after v.
-    val v = GraftCatalog.currentVersion(srcParts(0), srcParts(1)).getOrElse(
-      throw new NoSuchTableException(Identifier.of(Array(srcParts(0)), srcParts(1))))
-    val src = spark.sql(s"SELECT * FROM $catName.$source VERSION AS OF $v")
-    require(src.columns.contains("vec_id") && src.columns.contains("embedding"),
-      s"build_ann_index source $source needs (vec_id, embedding) columns")
-    val cbRow = graft.operators.KMeansCodebook.train(src, k, iters)
-    cbRow.select(explode(col("cents")).as("c"))
-      .select(col("c.cid").as("cid"), col("c.cvec").as("cvec"))
-      .writeTo(s"$catName.$ns.${index}_cb").createOrReplace()
-    val assigned = src.crossJoin(broadcast(cbRow))
-      .select(src.columns.map(col).toIndexedSeq :+
-        graft.operators.KMeansCodebook
-          .bestCentroid(spark, col("embedding"), col("cents")).as("list_id"): _*)
-    assigned.writeTo(s"$catName.$ns.$index")
-      .partitionedBy(col("list_id")).createOrReplace()
-    // Train-time mean assignment similarity — the drift BASELINE
-    // refresh_ann compares each new batch against. One agg pass over
-    // the freshly written index (build-time cost, never per query).
-    val cb = spark.table(s"$catName.$ns.${index}_cb")
-    val baseSim = spark.table(s"$catName.$ns.$index")
-      .join(broadcast(cb), col("list_id") === col("cid"))
-      .agg(avg(graft.functions.CosineSim(spark, col("embedding"), col("cvec"))))
-      .head().getDouble(0)
-    GraftCatalog.patchTableProps(Identifier.of(Array(ns), index), Map(
-      GraftCatalog.AnnSourceProp -> source,
-      GraftCatalog.AnnWatermarkProp -> v.toString,
-      GraftCatalog.AnnBaseSimProp -> baseSim.toString))
-    val rows = GraftCatalog.rowCount(ns, index)
-    val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](
-        org.apache.spark.unsafe.types.UTF8String.fromString(s"$ns.$index"),
-        rows, k.toLong, baseSim))
-    java.util.List.of[Scan](new LocalScan {
-      override def rows(): Array[InternalRow] = Array(row)
-      override def readSchema(): StructType = outSchema
-      override def description(): String = s"GraftBuildAnnIndexResult($ns.$index)"
-    }).iterator()
-  }
-}
-
-/** `CALL graft.system.refresh_ann(ns, index)` — INCREMENTAL
-  * maintenance of a `build_ann_index` posting table: snapshot-diffs
-  * the source via the change feed (`graft-changes`, the X8/X10
-  * machinery — only changed segments are read, the corpus is never
-  * rescanned), deletes rows the source deleted/updated, assigns ONLY
-  * the new/updated vectors to the PERSISTED centroids (no retrain),
-  * appends them to their lists, and advances the watermark. Returns a
-  * DRIFT metric: `drift_ratio` = new-batch mean assignment DISTANCE
-  * (1 − cosine) / train-time mean assignment distance — ratios > 1
-  * mean the new vectors sit farther from every centroid than the
-  * training corpus did (the codebook no longer describes the data),
-  * and past `RetrainThreshold` the result row recommends a retrain
-  * (`build_ann_index` again; the swap is atomic). Distance ratio, not
-  * similarity ratio, on purpose: for weakly-clustered corpora the mean
-  * sim is small (0.1–0.3) and a sim RATIO amplifies noise, while the
-  * distance ratio stays ~1 for same-distribution growth and explodes
-  * only when the batch is genuinely foreign. Idle source (no new
-  * commits) is a true no-op.
-  */
-private[graft] object GraftRefreshAnnProcedure
-    extends procedures.UnboundProcedure with procedures.BoundProcedure {
-  import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType}
-  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
-
-  /** drift_ratio above this recommends retraining: the new batch sits
-    * 25% farther from its centroids than the training corpus did.
-    */
-  private[graft] val RetrainThreshold = 1.25
-
-  override def name(): String = "refresh_ann"
-  override def description(): String =
-    "refresh_ann(ns, index): assign source changes since the watermark to the saved " +
-      "centroids; report codebook drift"
-  override def bind(inputType: StructType): procedures.BoundProcedure = this
-  override def isDeterministic: Boolean = false // mutates the index table
-  override def parameters(): Array[ProcedureParameter] = Array(
-    ProcedureParameter.in("ns", StringType).comment("index namespace").build(),
-    ProcedureParameter.in("index", StringType).comment("index table name").build())
-
-  private val outSchema = StructType(Seq(
-    org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
-    org.apache.spark.sql.types.StructField("rows_added", LongType, nullable = false),
-    org.apache.spark.sql.types.StructField("rows_deleted", LongType, nullable = false),
-    org.apache.spark.sql.types.StructField("drift_ratio", DoubleType, nullable = false),
-    org.apache.spark.sql.types.StructField("retrain_recommended", BooleanType,
-      nullable = false)))
-
-  override def call(input: InternalRow): java.util.Iterator[Scan] = {
-    import org.apache.spark.sql.functions.{
-      array_sort, avg, broadcast, col, collect_list, struct}
-    val ns = input.getUTF8String(0).toString
-    val index = input.getUTF8String(1).toString
-    val spark = org.apache.spark.sql.SparkSession.active
-    val catName = GraftCatalog.sessionCatalogName(spark, "refresh_ann")
-    val idxIdent = Identifier.of(Array(ns), index)
-    val props = GraftCatalog.tablePropsJava(idxIdent)
-    val source = Option(props.get(GraftCatalog.AnnSourceProp)).getOrElse(
-      throw new IllegalArgumentException(
-        s"$ns.$index is not an ANN index — run CALL graft.system.build_ann_index first"))
-    val v0 = props.get(GraftCatalog.AnnWatermarkProp).toLong
-    val baseSim = props.get(GraftCatalog.AnnBaseSimProp).toDouble
-    val srcParts = source.split('.')
-    val v1 = GraftCatalog.currentVersion(srcParts(0), srcParts(1)).getOrElse(
-      throw new NoSuchTableException(Identifier.of(Array(srcParts(0)), srcParts(1))))
-    def result(added: Long, deleted: Long, drift: Double): java.util.Iterator[Scan] = {
-      val row: InternalRow =
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](
-            org.apache.spark.unsafe.types.UTF8String.fromString(s"$ns.$index"),
-            added, deleted, drift, drift > RetrainThreshold))
-      java.util.List.of[Scan](new LocalScan {
-        override def rows(): Array[InternalRow] = Array(row)
-        override def readSchema(): StructType = outSchema
-        override def description(): String = s"GraftRefreshAnnResult($ns.$index)"
-      }).iterator()
-    }
-    if (v1 <= v0) return result(0L, 0L, 1.0) // idle source: true no-op
-    val feed = spark.read.format("graft-changes")
-      .option("table", source).option("changesFrom", v0.toString).load()
-      .persist() // two passes (deletes, adds) over changed segments only
-    try {
-      // Deletes/update-preimages leave the index first; postimages
-      // then re-add under their (possibly new) list — net upsert.
-      val delIds = feed
-        .filter(col("_change_type").isin("delete", "update_preimage"))
-        .select(col("vec_id"))
-      val nDel = delIds.count()
-      if (nDel > 0) {
-        val tmp = s"graft_refresh_ann_dels_${ns}_$index"
-        delIds.createOrReplaceTempView(tmp)
-        spark.sql(
-          s"DELETE FROM $catName.$ns.$index WHERE vec_id IN (SELECT vec_id FROM $tmp)")
-        spark.catalog.dropTempView(tmp)
-      }
-      val idxCols = spark.table(s"$catName.$ns.$index").columns.filterNot(_ == "list_id")
-      val adds = feed
-        .filter(col("_change_type").isin("insert", "update_postimage"))
-        .select(idxCols.map(col).toIndexedSeq: _*)
-      // cid-sorted one-row cents form — the SAME reconstruction the
-      // serving path uses, so assignment tie-breaks can never diverge
-      // between build, refresh and serve.
-      val cbRow = spark.table(s"$catName.$ns.${index}_cb")
-        .agg(array_sort(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
-      val assigned = adds.crossJoin(broadcast(cbRow))
-        .select(idxCols.map(col).toIndexedSeq :+
-          graft.operators.KMeansCodebook
-            .bestCentroid(spark, col("embedding"), col("cents")).as("list_id"): _*)
-        .persist() // consumed twice: append + drift aggregate
-      try {
-        val nAdd = assigned.count()
-        if (nAdd > 0) assigned.writeTo(s"$catName.$ns.$index").append()
-        val drift =
-          if (nAdd == 0) 1.0
-          else {
-            val cb = spark.table(s"$catName.$ns.${index}_cb")
-            val newSim = assigned
-              .join(broadcast(cb), col("list_id") === col("cid"))
-              .agg(avg(graft.functions.CosineSim(spark, col("embedding"), col("cvec"))))
-              .head().getDouble(0)
-            // Mean cosine DISTANCE ratio (see the object doc). The
-            // baseline floor treats distances under 0.05 as
-            // quantization noise: a near-perfectly-clustered training
-            // set (base distance ~0.01) must not report 3x drift on a
-            // batch that is still excellently assigned (distance 0.03).
-            (1.0 - newSim) / math.max(1.0 - baseSim, 0.05)
-          }
-        GraftCatalog.patchTableProps(idxIdent,
-          Map(GraftCatalog.AnnWatermarkProp -> v1.toString))
-        result(nAdd, nDel, drift)
-      } finally assigned.unpersist()
-    } finally feed.unpersist()
-  }
-}
-
-/** `CALL graft.system.verify_constraints(ns, table)` — make
-  * INFORMATIONAL constraints trustworthy: UNIQUE / PRIMARY KEY /
-  * FOREIGN KEY are accepted NOT ENFORCED (the warehouse convention —
-  * enforcing them on every write would serialize ingest), so nothing
-  * stops a loader from violating one. This procedure SCANS for
-  * violations and reports one row per declared constraint:
-  * (constraint, kind, violations, ok). Semantics follow the SQL
-  * standard: UNIQUE ignores keys with any NULL column; PRIMARY KEY
-  * counts NULL key rows AS violations (PK implies NOT NULL); FOREIGN
-  * KEY counts non-null keys with no match in the referenced table;
-  * CHECK (already write-enforced, re-verified here for hand-edited or
-  * restored data) counts rows where the predicate is FALSE (NULL
-  * passes). Scale shape: every scan projects ONLY the key columns
-  * (column pruning reaches the segment reader), duplicates aggregate
-  * with map-side partial counts, and the FK probe is a key-only anti
-  * join — never a row-wide shuffle.
-  */
-private[graft] object GraftVerifyConstraintsProcedure
-    extends procedures.UnboundProcedure with procedures.BoundProcedure {
-  import org.apache.spark.sql.types.{BooleanType, LongType, StringType}
-  import org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
-  import org.apache.spark.sql.connector.catalog.constraints.{
-    Check, ForeignKey, PrimaryKey, Unique}
-
-  override def name(): String = "verify_constraints"
-  override def description(): String =
-    "verify_constraints(ns, table): scan for violations of declared (incl. informational) " +
-      "constraints"
-  override def bind(inputType: StructType): procedures.BoundProcedure = this
-  override def isDeterministic: Boolean = false // reads live table state
-  override def parameters(): Array[ProcedureParameter] = Array(
-    ProcedureParameter.in("ns", StringType).comment("namespace").build(),
-    ProcedureParameter.in("table", StringType).comment("table name").build())
-
-  private val outSchema = StructType(Seq(
-    org.apache.spark.sql.types.StructField("constraint", StringType, nullable = false),
-    org.apache.spark.sql.types.StructField("kind", StringType, nullable = false),
-    org.apache.spark.sql.types.StructField("violations", LongType, nullable = false),
-    org.apache.spark.sql.types.StructField("ok", BooleanType, nullable = false)))
-
-  override def call(input: InternalRow): java.util.Iterator[Scan] = {
-    import org.apache.spark.sql.functions.{
-      array, coalesce, col, count, explode, expr, hex, lit, not, struct, sum, when}
-    val ns = input.getUTF8String(0).toString
-    val table = input.getUTF8String(1).toString
-    val spark = org.apache.spark.sql.SparkSession.active
-    val catName = GraftCatalog.sessionCatalogName(spark, "verify_constraints")
-    val ident = Identifier.of(Array(ns), table)
-    val df = spark.table(s"$catName.$ns.$table")
-    val constraints = GraftCatalog.constraintsOf(ident)
-
-    // ALL non-FK constraints fold into ONE scan + ONE shuffle: a table
-    // with many declared constraints must not pay one job per
-    // constraint (UNIQUE and PK previously cost a groupBy job each,
-    // plus a null-key count job, plus a CHECK count job). Each row
-    // explodes into one entry per constraint, uniformly typed
-    // (cid, kind, key: array<string>):
-    //  - UNIQUE/PK "key" entries carry the key tuple (cast per-column
-    //    to string — injective per type; BinaryType via hex since a
-    //    lossy UTF-8 decode could alias distinct byte keys) when all
-    //    key columns are non-null, else NULL (filtered — SQL UNIQUE
-    //    ignores NULL keys);
-    //  - PK "direct" entries mark rows with ANY NULL key column (PK
-    //    implies NOT NULL, so those count as violations outright);
-    //  - CHECK "direct" entries mark rows where the predicate is FALSE
-    //    (NULL passes, per SQL).
-    // Violations then fall out of one two-stage aggregation with
-    // map-side partials: duplicate participation = sum of group sizes
-    // over "key" groups with n > 1; direct counts = the group size
-    // itself. FK keeps its key-only anti join (it reads a SECOND
-    // table — unfoldable by construction).
-    def keyStr(c: String): org.apache.spark.sql.Column = df.schema(c).dataType match {
-      case org.apache.spark.sql.types.BinaryType => hex(col(c))
-      case _ => col(c).cast("string")
-    }
-    def keyTuple(cols: Seq[String]): org.apache.spark.sql.Column =
-      when(cols.map(c => col(c).isNotNull).reduce(_ && _), array(cols.map(keyStr): _*))
-    val NoKey = lit(null).cast("array<string>")
-    val entryExprs: Seq[org.apache.spark.sql.Column] = constraints.flatMap {
-      case u: Unique =>
-        val cols = u.columns().toSeq.map(_.toString)
-        Seq(struct(lit(u.name()).as("cid"), lit("key").as("kind"),
-          keyTuple(cols).as("key")))
-      case p: PrimaryKey =>
-        val cols = p.columns().toSeq.map(_.toString)
-        Seq(
-          struct(lit(p.name()).as("cid"), lit("key").as("kind"),
-            keyTuple(cols).as("key")),
-          struct(lit(p.name()).as("cid"), lit("direct").as("kind"),
-            when(cols.map(c => col(c).isNull).reduce(_ || _),
-              array(lit("null_key"))).otherwise(NoKey).as("key")))
-      case c: Check =>
-        Seq(struct(lit(c.name()).as("cid"), lit("direct").as("kind"),
-          when(not(coalesce(expr(c.predicateSql()), lit(true))),
-            array(lit("violation"))).otherwise(NoKey).as("key")))
-      case _ => Seq.empty // FK / unknown: handled below
-    }
-    val foldedCounts: Map[String, Long] =
-      if (entryExprs.isEmpty) Map.empty
-      else df.select(explode(array(entryExprs: _*)).as("e"))
-        .select(col("e.cid").as("cid"), col("e.kind").as("kind"), col("e.key").as("key"))
-        .filter(col("key").isNotNull)
-        .groupBy(col("cid"), col("kind"), col("key"))
-        .agg(count(lit(1)).as("n"))
-        .groupBy(col("cid"))
-        .agg(sum(when(col("kind") === "key",
-          when(col("n") > 1, col("n")).otherwise(lit(0L)))
-          .otherwise(col("n"))).as("v"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-
-    val rows: Seq[(String, String, Long)] =
-      constraints.map {
-        case u: Unique =>
-          (u.name(), "UNIQUE", foldedCounts.getOrElse(u.name(), 0L))
-        case p: PrimaryKey =>
-          (p.name(), "PRIMARY KEY", foldedCounts.getOrElse(p.name(), 0L))
-        case f: ForeignKey =>
-          val cols = f.columns().toSeq.map(_.toString)
-          val ref = f.referencedTable()
-          val refCols = f.referencedColumns().toSeq.map(_.toString)
-          // Key-only anti probe: both sides project just the keys, the
-          // referenced side deduplicates before the join. The stored
-          // identifier may or may not carry the catalog prefix
-          // (parser-dependent) — resolve as written, then catalog-
-          // qualified.
-          val refName = (ref.namespace() :+ ref.name()).mkString(".")
-          val refTable =
-            try spark.table(refName)
-            catch { case _: org.apache.spark.sql.AnalysisException =>
-              spark.table(s"$catName.$refName") }
-          val refDf = refTable.select(refCols.map(col): _*).distinct()
-          val probe = df.select(cols.map(col): _*)
-            .filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
-          val cond = cols.zip(refCols)
-            .map { case (a, b) => probe(a) === refDf(b) }.reduce(_ && _)
-          (f.name(), "FOREIGN KEY", probe.join(refDf, cond, "left_anti").count())
-        case c: Check =>
-          (c.name(), "CHECK", foldedCounts.getOrElse(c.name(), 0L))
-        case other =>
-          (other.name(), other.getClass.getSimpleName.toUpperCase(java.util.Locale.ROOT),
-            -1L) // unknown kind: surfaced, never silently "ok"
-      }.sortBy(_._1)
-
-    val out: Array[InternalRow] = rows.map { case (n, kind, v) =>
-      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
-        org.apache.spark.unsafe.types.UTF8String.fromString(n),
-        org.apache.spark.unsafe.types.UTF8String.fromString(kind),
-        v, v == 0L)): InternalRow
-    }.toArray
-    java.util.List.of[Scan](new LocalScan {
-      override def rows(): Array[InternalRow] = out
-      override def readSchema(): StructType = outSchema
-      override def description(): String = s"GraftVerifyConstraintsResult($ns.$table)"
-    }).iterator()
-  }
-}
 
 /** A stored catalog view: the definition-time query text + resolution
   * context, re-resolved on every read (late binding).
@@ -6634,1484 +4647,4 @@ private[sources] case class GraftView(
     columnComments: Array[String], props: util.Map[String, String]) extends View {
   override def name(): String = ident.toString
   override def properties(): util.Map[String, String] = props
-}
-
-private[sources] object GraftStagedTable {
-  sealed trait Mode
-  case object Create extends Mode
-  case object Replace extends Mode
-  case object CreateOrReplace extends Mode
-}
-
-/** The in-flight half of an atomic CTAS/RTAS: a write-only table whose
-  * job commit merely RECORDS the task segments (written into a private
-  * staging dir), leaving the metastore untouched until Spark calls
-  * `commitStagedChanges`. Abort deletes the staged files — the
-  * metastore never saw them, so failure is side-effect-free. Writes
-  * request the same clustered distribution as a committed partitioned
-  * table (one segment per partition value, not per value × task).
-  */
-private[sources] class GraftStagedTable(
-    ident: Identifier, schema0: StructType, dir: String,
-    partitionCols: Seq[String], mode: GraftStagedTable.Mode,
-    stagedConstraints: Vector[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
-      Vector.empty,
-    stagedProps: Map[String, String] = Map.empty)
-    extends StagedTable with SupportsWrite {
-  @volatile private var stagedSegments: Vector[GraftCatalog.Segment] = Vector.empty
-
-  override def name(): String = s"$ident (staged)"
-  override def schema(): StructType = schema0
-  override def partitioning(): Array[Transform] =
-    partitionCols.map(c => PartField.parse(c).toTransform).toArray
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
-
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
-      // The staging dir starts empty; REPLACE's truncate is a no-op here
-      // (the swap in commitStagedChanges is what replaces).
-      override def truncate(): WriteBuilder = this
-      override def build(): Write = new Write with RequiresDistributionAndOrdering {
-        import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
-        import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
-        override def requiredDistribution(): Distribution =
-          if (partitionCols.isEmpty) Distributions.unspecified()
-          else Distributions.clustered(
-            partitionCols.map(c =>
-              PartField.parse(c).toTransform: org.apache.spark.sql.connector.expressions.Expression)
-              .toArray)
-        override def requiredOrdering(): Array[SortOrder] = Array.empty
-        override def toBatch: BatchWrite = new BatchWrite {
-          override def createBatchWriterFactory(pinfo: PhysicalWriteInfo): DataWriterFactory =
-            GraftSegmentWriterFactory(schema0, dir, partitionCols)
-          override def commit(messages: Array[WriterCommitMessage]): Unit =
-            stagedSegments = messages.collect { case m: GraftSegmentMessage => m }
-              .sortBy(_.partitionId).flatMap(_.segments).toVector
-          override def abort(messages: Array[WriterCommitMessage]): Unit =
-            messages.collect { case m: GraftSegmentMessage => m }
-              .flatMap(_.segments).foreach(SegmentIO.delete)
-        }
-      }
-    }
-
-  override def commitStagedChanges(): Unit =
-    GraftCatalog.commitStaged(
-      ident,
-      GraftCatalog.TableEntry(schema0, stagedSegments, dir, partitionCols,
-        stagedConstraints, props = stagedProps),
-      mode)
-
-  override def abortStagedChanges(): Unit = {
-    stagedSegments.foreach(SegmentIO.delete)
-    GraftCatalog.deleteRecursively(Paths.get(dir))
-  }
-}
-
-/** Read-path ScanBuilder: accepts every filter Spark offers, keeps the
-  * zone-map-prunable subset for SEGMENT SKIPPING, and returns the full
-  * list as residual — file-level pruning is inexact (a surviving
-  * segment still holds non-matching rows), so Spark must re-apply the
-  * predicate, exactly as it does above parquet row-group stats. The
-  * row-level-operation path deliberately does NOT use this builder:
-  * a group-based rewrite must scan the WHOLE table (its one group), and
-  * pruning that scan by the DML's WHERE would make the truncate-commit
-  * drop every non-matching row.
-  */
-private[sources] class GraftCatalogScanBuilder(
-    ident: Identifier, schema: StructType,
-    pinned: Option[Vector[GraftCatalog.Segment]] = None,
-    partitionCols: Seq[String] = Nil,
-    maxSegmentsPerTrigger: Option[Int] = None,
-    skipChangeCommits: Boolean = false,
-    startingVersion: Option[Long] = None,
-    pinnedEq: Vector[GraftCatalog.EqDelete] = Vector.empty)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates with SupportsPushDownLimit {
-  import org.apache.spark.sql.sources.Filter
-  private var pruning: Array[Filter] = Array.empty
-  private var sawFilters = false
-  private var pushedAggs: Option[Seq[GraftCatalogAgg]] = None
-  private var required: StructType = schema
-  private var limit: Option[Int] = None
-  // Outstanding equality deletes poison both metadata shortcuts below:
-  // liveRows overcounts (segment-capped LIMIT could under-deliver) and
-  // stats describe rows a newer eq delete has removed (COUNT/MIN/MAX
-  // would answer over ghosts). Both decline while any apply.
-  private def eqsNow: Vector[GraftCatalog.EqDelete] =
-    if (pinned.isDefined) pinnedEq else GraftCatalog.eqDeletesOf(ident)
-
-  /** LIMIT pushdown at SEGMENT granularity: `LIMIT n` plans only as
-    * many segments as needed to cover n live rows (exact per-segment
-    * liveRows from the metastore) instead of every segment — the
-    * interactive-preview move on a huge table. Partially pushed
-    * (default `isPartiallyPushed` = true): file-level capping
-    * over-delivers within the last segment, so Spark's own Limit stays
-    * on top for row exactness.
-    */
-  override def pushLimit(l: Int): Boolean =
-    if (eqsNow.nonEmpty) false else { limit = Some(l); true }
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    sawFilters = filters.nonEmpty
-    pruning = filters.filter(ZoneMap.prunable(_, schema))
-    filters // all residual: segment skipping never proves per-row match
-  }
-  override def pushedFilters(): Array[Filter] = pruning
-
-  /** METADATA-ONLY aggregates: an unfiltered global COUNT(*) / MIN /
-    * MAX over a zone-map-tracked column is answered from the segment
-    * statistics the writers already collected — COMPLETE pushdown, zero
-    * file reads (the parquet-footer-statistics move, served from the
-    * table format's own metadata). Declined whenever ANY filter exists
-    * (segment skipping never proves per-row match, so stats can't
-    * answer a filtered aggregate), for group-bys, and for columns the
-    * stats don't track — those run above the scan as usual. Correctness
-    * note: stat min/max ignore nulls exactly as SQL MIN/MAX do, a
-    * provably all-null column yields NULL, and string/NaN orderings in
-    * the stats writer match Spark's aggregate semantics.
-    */
-  /** GROUPED metadata aggregates ride the same stats when every
-    * grouping expression is a PARTITION column (any subset, any
-    * order): segments are keyed by the full partition tuple, so
-    * `GROUP BY part_col` folds per projected key — the
-    * partition-profile query (`SELECT dt, count(*) … GROUP BY dt`)
-    * answered without opening a file, which at 100 TB is the
-    * difference between a metastore lookup and a full scan.
-    */
-  private def groupCols(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[Seq[String]] = {
-    import org.apache.spark.sql.connector.expressions.NamedReference
-    val named = agg.groupByExpressions.toSeq.map {
-      case nr: NamedReference if nr.fieldNames().length == 1 &&
-          partitionCols.contains(nr.fieldNames()(0)) => Some(nr.fieldNames()(0))
-      case _ => None
-    }
-    if (named.forall(_.isDefined)) Some(named.flatten) else None
-  }
-
-  private def translate(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[Seq[GraftCatalogAgg]] = {
-    import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
-    import org.apache.spark.sql.types._
-    if (sawFilters || groupCols(agg).isEmpty || eqsNow.nonEmpty) return None
-    // GROUPED metadata aggregates fold per segment KEY — only sound
-    // when every segment's key is valued over the CURRENT spec. A
-    // mixed-era table (post spec-evolution, pre-compaction) answers
-    // grouped profiles from data, not metadata.
-    if (groupCols(agg).exists(_.nonEmpty) &&
-        pinned.getOrElse(GraftCatalog.segmentsOf(ident))
-          .exists(_.spec != partitionCols)) return None
-    // Deletion vectors poison MIN/MAX stats (the extremum may be a
-    // deleted row) but not COUNT(*) — liveRows is exact.
-    val anyDv = pinned.getOrElse(GraftCatalog.segmentsOf(ident)).exists(_.dv.nonEmpty)
-    def trackedCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
-      e match {
-        case nr: NamedReference if nr.fieldNames().length == 1 =>
-          schema.fields.find(_.name == nr.fieldNames()(0)).collect {
-            case f if (f.dataType match {
-              case LongType | IntegerType | ShortType | ByteType |
-                   DoubleType | FloatType | BooleanType | StringType |
-                   // Temporal stats are internal micros/epoch-days —
-                   // exactly the InternalRow encodings MIN/MAX must
-                   // emit, so the fold passes them through.
-                   TimestampType | TimestampNTZType | DateType => true
-              case _ => false
-            }) => f.name
-          }
-        case _ => None
-      }
-    val translated = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar => Some(GraftCatalogAgg.CountStar)
-      case m: Min if !anyDv => trackedCol(m.column).map(GraftCatalogAgg.MinCol)
-      case m: Max if !anyDv => trackedCol(m.column).map(GraftCatalogAgg.MaxCol)
-      case _ => None
-    }
-    if (translated.nonEmpty && translated.forall(_.isDefined)) Some(translated.flatten)
-    else None
-  }
-
-  override def supportCompletePushDown(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    translate(agg).isDefined
-
-  override def pushAggregation(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    translate(agg) match {
-      case Some(t) =>
-        pushedAggs = Some(t)
-        pushedGroupBy = groupCols(agg).getOrElse(Nil)
-        true
-      case None => false
-    }
-  private var pushedGroupBy: Seq[String] = Nil
-  // Column pruning: segments store FULL rows (row-major), so pruning
-  // can't skip disk bytes the way a columnar format does — but the
-  // per-split projection below narrows every row before it enters the
-  // operator chain, so only the required columns ride upstream (and
-  // any later exchange). Zone maps keep evaluating against the FULL
-  // schema — a filter column does not have to survive the projection.
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    // Data columns keep schema order; requested METADATA columns
-    // (_segment/_pos) ride along — the reader synthesizes their values.
-    required = StructType(
-      schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)) ++
-        requiredSchema.fields.filter(f => GraftMetaCols.names.contains(f.name)))
-  override def build(): Scan = pushedAggs match {
-    // PIN the segment list NOW: the dv guard in translate() ran against
-    // the then-current list, and execution may happen arbitrarily later
-    // — a DELETE attaching a deletion vector in between must not let a
-    // deleted row's value surface as the MIN/MAX. With the list pinned,
-    // the scan computes over exactly the snapshot the guard saw (and
-    // retention protects the files); any dv that nonetheless races into
-    // the pinned list between translate() and here triggers the exact
-    // per-segment fallback inside the scan.
-    case Some(aggs) =>
-      // ONE consistent (segments, eq) read — same race shield as the
-      // dv guard: an upsert landing between translate() (which
-      // declined on then-existing eq deletes) and here must not let a
-      // ghost row's value or count surface; the scan applies these
-      // through its exact per-segment fallback.
-      val (segsAtBuild, eqsAtBuild) =
-        if (pinned.isDefined) (pinned.get, pinnedEq)
-        else GraftCatalog.stateOf(ident)
-      // The GROUPED fold parses partition values with indexes derived
-      // from the CURRENT spec; translate()'s uniformity guard ran on
-      // the then-live list, so a spec evolution racing into this
-      // window would evaluate new-spec indexes over old-spec key
-      // vectors (wrong groups or an index error). Fail the plan
-      // loudly — the retry re-plans against one era.
-      if (pushedGroupBy.nonEmpty && segsAtBuild.exists(_.spec != partitionCols))
-        throw new IllegalStateException(
-          s"partition spec of $ident evolved between aggregate pushdown and scan " +
-            "build — retry the query")
-      GraftCatalogAggScan(ident, schema,
-        Some(segsAtBuild), aggs,
-        partitionCols, pushedGroupBy,
-        eqs = eqsAtBuild)
-    case None =>
-      GraftCatalogScan(ident, schema, pruning.toIndexedSeq, required, pinned, partitionCols,
-        maxSegmentsPerTrigger = maxSegmentsPerTrigger,
-        skipChangeCommits = skipChangeCommits,
-        startingVersion = startingVersion,
-        limit = limit,
-        pinnedEq = pinnedEq)
-  }
-}
-
-/** The metadata-answerable aggregates over a catalog table. */
-private[graft] sealed trait GraftCatalogAgg extends Serializable
-private[graft] object GraftCatalogAgg {
-  case object CountStar extends GraftCatalogAgg
-  case class MinCol(name: String) extends GraftCatalogAgg
-  case class MaxCol(name: String) extends GraftCatalogAgg
-}
-
-/** O(1) scan for a completely-pushed aggregation: one carrier split,
-  * one row, every value folded from the committed segments' zone-map
-  * statistics at plan time — the segment files are never opened.
-  */
-private[graft] case class GraftCatalogAggScan(
-    ident: Identifier, schema: StructType,
-    pinned: Option[Vector[GraftCatalog.Segment]], aggs: Seq[GraftCatalogAgg],
-    partitionCols: Seq[String] = Nil, groupBy: Seq[String] = Nil,
-    eqs: Vector[GraftCatalog.EqDelete] = Vector.empty)
-    extends Scan with Batch {
-  import org.apache.spark.sql.types._
-
-  private def colIndex(name: String): Int = schema.fieldIndex(name)
-
-  // Complete-pushdown output contract: grouping columns FIRST (in the
-  // query's order), then the aggregate columns.
-  override def readSchema(): StructType = StructType(
-    groupBy.map(c => schema.fields(colIndex(c))) ++ aggs.map {
-      case GraftCatalogAgg.CountStar => StructField("COUNT(*)", LongType, nullable = false)
-      case GraftCatalogAgg.MinCol(c) =>
-        StructField(s"MIN($c)", schema.fields(colIndex(c)).dataType, nullable = true)
-      case GraftCatalogAgg.MaxCol(c) =>
-        StructField(s"MAX($c)", schema.fields(colIndex(c)).dataType, nullable = true)
-    })
-  override def toBatch: Batch = this
-  override def description(): String =
-    s"GraftCatalogAggScan($ident, aggs=[${aggs.mkString(", ")}]" +
-      (if (groupBy.nonEmpty) s", groupBy=[${groupBy.mkString(", ")}]" else "") +
-      ", metadataOnly)"
-
-  override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftCatalogPartition(Vector.empty, 0))
-
-  override def createReaderFactory(): PartitionReaderFactory = {
-    import org.apache.spark.sql.catalyst.CatalystTypeConverters
-    val segs = pinned.getOrElse(GraftCatalog.segmentsOf(ident))
-    // Shared exact comparator (GraftCompare): NaN largest, string
-    // UTF-8 BINARY order — matching both the stats writer's min/max
-    // selection and Spark's own MIN/MAX over StringType (UTF8String
-    // order). The previous String.compareTo here was UTF-16 order and
-    // disagreed for supplementary-plane strings.
-    def lt(a: Any, b: Any): Boolean = GraftCompare.cmp(a, b).exists(_ < 0)
-    // Exact extremum over a dv-carrying segment's LIVE rows: zone-map
-    // stats describe ALL physical rows, so a deleted row's value could
-    // be the stats extremum. Only reached when a deletion vector raced
-    // in between the builder's dv guard and scan build — rare by
-    // construction, and bounded to the raced segments.
-    val compiledEq = EqFilter.compileAll(schema, eqs)
-    def eqKeepOf(s: GraftCatalog.Segment): Option[UnsafeRow => Boolean] =
-      EqFilter.keepOf(EqFilter.applicable(compiledEq, s))
-    def exactSegExtremum(s: GraftCatalog.Segment, i: Int, wantMin: Boolean): Option[Any] = {
-      val dt = schema.fields(i).dataType
-      val keep = eqKeepOf(s).getOrElse((_: UnsafeRow) => true)
-      var best: Any = null
-      SegmentIO.foreachRow(s, schema.length) { r =>
-        if (!r.isNullAt(i) && keep(r)) {
-          val v: Any = dt match {
-            case LongType | TimestampType | TimestampNTZType => r.getLong(i)
-            case IntegerType | DateType => r.getInt(i)
-            case ShortType => r.getShort(i)
-            case ByteType => r.getByte(i)
-            case DoubleType => r.getDouble(i)
-            case FloatType => r.getFloat(i)
-            case BooleanType => r.getBoolean(i)
-            case StringType => r.getUTF8String(i).toString
-            case other => throw new IllegalStateException(
-              s"untracked column type $other reached the metadata aggregate")
-          }
-          if (best == null || lt(v, best) == wantMin) best = v
-        }
-      }
-      Option(best)
-    }
-    def fold(group: Vector[GraftCatalog.Segment], c: String, wantMin: Boolean): Any = {
-      val i = colIndex(c)
-      val vals = group.flatMap { s =>
-        require(s.stats.length > i,
-          s"segment ${s.path} lacks stats for column $c — metadata aggregate unanswerable")
-        if (s.dv.isEmpty && eqKeepOf(s).isEmpty)
-          Option(if (wantMin) s.stats(i).min else s.stats(i).max)
-        else exactSegExtremum(s, i, wantMin)
-      }
-      if (vals.isEmpty) null
-      else CatalystTypeConverters.convertToCatalyst(
-        vals.reduce((a, b) => if (lt(a, b) == wantMin) a else b))
-    }
-    def exactLiveCount(s: GraftCatalog.Segment): Long = eqKeepOf(s) match {
-      case None => s.liveRows
-      case Some(keep) => // raced eq delete: count the filtered rows
-        var n = 0L
-        SegmentIO.foreachRow(s, schema.length)(r => if (keep(r)) n += 1)
-        n
-    }
-    def aggRow(group: Vector[GraftCatalog.Segment]): Seq[Any] = aggs.map {
-      case GraftCatalogAgg.CountStar => group.map(exactLiveCount).sum
-      case GraftCatalogAgg.MinCol(c) => fold(group, c, wantMin = true)
-      case GraftCatalogAgg.MaxCol(c) => fold(group, c, wantMin = false)
-    }
-    val rows: Array[InternalRow] =
-      if (groupBy.isEmpty) Array(InternalRow.fromSeq(aggRow(segs)))
-      else {
-        // One output row per DISTINCT projection of the partition tuple
-        // onto the requested grouping columns (empty partitions have no
-        // segments and so — correctly — no row, same as a real GROUP
-        // BY). Deterministic order for plan stability; result size is
-        // partition-count-bounded metadata.
-        val idx = groupBy.map(partitionCols.indexOf)
-        segs.groupBy(s => idx.map(s.key(_)))
-          .toSeq.sortBy(_._1.mkString("\u0000"))
-          .map { case (kv, group) =>
-            InternalRow.fromSeq(
-              kv.map(CatalystTypeConverters.convertToCatalyst) ++ aggRow(group))
-          }.toArray
-      }
-    GraftRowsFactory(rows)
-  }
-}
-
-/** Emits a fixed driver-computed row set from one carrier partition
-  * (metadata aggregates — grouped or global — and the range source's
-  * completely-pushed aggregate row).
-  */
-private[graft] case class GraftRowsFactory(rows: Array[InternalRow])
-    extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PartitionReader[InternalRow] {
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < rows.length }
-      override def get(): InternalRow = rows(i)
-      override def close(): Unit = ()
-    }
-}
-
-private[graft] case class GraftCatalogScan(
-    ident: Identifier, schema: StructType,
-    pruning: IndexedSeq[org.apache.spark.sql.sources.Filter] = IndexedSeq.empty,
-    required: StructType = null,
-    pinned: Option[Vector[GraftCatalog.Segment]] = None,
-    partitionCols: Seq[String] = Nil,
-    // Row-level-rewrite feedback channel: when Spark's runtime GROUP
-    // filter drops pinned segments from a rewrite scan, they are not
-    // rewritten — so they MUST be re-attached at the commit, or their
-    // rows are lost at the truncate-swap. The op registers this
-    // callback; a plain read scan leaves it None. (Function field:
-    // compared by reference in case-class equality — row-level scans
-    // are never exchange-reuse candidates, read scans never carry it.)
-    onRuntimeExclude: Option[Vector[GraftCatalog.Segment] => Unit] = None,
-    maxSegmentsPerTrigger: Option[Int] = None,
-    skipChangeCommits: Boolean = false,
-    startingVersion: Option[Long] = None,
-    limit: Option[Int] = None,
-    // True for ROW-LEVEL (UPDATE/MERGE/DELETE rewrite) scans: Spark's
-    // runtime GROUP filter builds ONE IN-subquery over ALL advertised
-    // filter attributes, and a multi-column probe becomes
-    // `named_struct(...) IN subquery` — untranslatable to a source
-    // filter (WARN + zero pruning). A row-level scan therefore
-    // advertises a SINGLE best column (partition col first, else the
-    // first bloom-tracked column), turning the probe into a
-    // translatable one-column IN that rides zone-map/bloom skipping.
-    // Read scans keep the full set — join DPP builds per-key filters.
-    rowLevel: Boolean = false,
-    // Equality deletes pinned WITH the segment list for time-travel /
-    // rewrite scans (a live scan resolves the live entry's).
-    pinnedEq: Vector[GraftCatalog.EqDelete] = Vector.empty)
-    extends Scan with Batch with SupportsReportStatistics
-    with SupportsReportPartitioning with SupportsRuntimeV2Filtering
-    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
-  private def out: StructType = if (required == null) schema else required
-
-  /** ONE (segments, eq) snapshot per BATCH scan instance, taken at
-    * first use: planning-time claims (outputOrdering/outputPartitioning
-    * /statistics) and execution-time splits (planInputPartitions) must
-    * see the SAME list — a commit landing between the two could
-    * otherwise invalidate a reported per-split sort or key grouping
-    * AFTER EnsureRequirements already elided the Sort/Exchange it
-    * justified. Streaming reads never touch this: toMicroBatchStream
-    * constructs its own stream object that resolves per-batch state.
-    */
-  @transient private lazy val stateAtFirstUse
-      : (Vector[GraftCatalog.Segment], Vector[GraftCatalog.EqDelete]) =
-    if (pinned.isDefined) (pinned.get, pinnedEq) else GraftCatalog.stateOf(ident)
-
-  private def eqs: Vector[GraftCatalog.EqDelete] = stateAtFirstUse._2
-
-  /** REPORTED SORT ORDER (the Iceberg sorted-tables move): when every
-    * split's rows are provably sorted on the table's declared write
-    * order — each surviving segment carries the provenance flag, and a
-    * keyed split holds at most ONE segment — the scan reports
-    * (partitionCols ++ orderCols) ascending-nulls-first. Combined with
-    * `KeyGroupedPartitioning` this makes a co-partitioned co-sorted
-    * join exchange-free AND sort-free: EnsureRequirements sees the
-    * required ordering already satisfied and plans no SortExec. The
-    * partition columns lead the reported order soundly because each
-    * split holds exactly one partition value (constant ⇒ trivially
-    * sorted); correctness rests on the per-segment `sorted` flag, which
-    * every order-perturbing rewrite clears (see Segment.sorted). Only
-    * the longest prefix that survives column pruning is reported —
-    * ordering expressions must resolve against the scan's output.
-    */
-  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
-    import org.apache.spark.sql.connector.expressions.Expressions
-    val orderCols = GraftCatalog.writeOrderCols(
-      GraftCatalog.tablePropsJava(ident).asScala.toMap, schema)
-    if (orderCols.isEmpty) return Array.empty
-    val segs = survivors
-    val eachSplitSorted =
-      segs.forall(_.sorted) &&
-        (partitionCols.isEmpty ||
-          (uniformSpec && segs.groupBy(_.key).values.forall(_.length <= 1)))
-    if (!eachSplitSorted) return Array.empty
-    val visible = out.fieldNames.toSet
-    (partitionCols ++ orderCols).distinct
-      .takeWhile(visible.contains)
-      .map(c => Expressions.sort(
-        Expressions.column(c),
-        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
-        : org.apache.spark.sql.connector.expressions.SortOrder)
-      .toArray
-  }
-
-  /** Runtime V2 filtering (SPARK-35779 — the DSv2 dynamic-partition-
-    * pruning analogue): at execution time Spark hands the scan an IN
-    * predicate built from the OTHER join side's join-key values;
-    * converted to a source `In` filter it rides the same zone-map
-    * pruning as static filters. Two granularities:
-    *  - partition columns: identity partition values have min = max,
-    *    so the IN drops every partition value the join cannot match
-    *    BEFORE planning tasks — exact partition-level DPP;
-    *  - bloom-tracked columns (string/integral): per-segment
-    *    [[SegmentBloom]] bits prove absence of every probe value, so a
-    *    broadcast join on a high-NDV UNSORTED key skips the segments
-    *    that hold none of the build side's keys — runtime bloom join
-    *    pruning, the move that turns "fact ⋈ filtered dim" from a full
-    *    fact scan into reading only the matching segments at 100 TB.
-    * Transient state, not a constructor field: scan equality (exchange
-    * reuse) must ignore runtime narrowing.
-    */
-  @transient private var runtimePruning: IndexedSeq[org.apache.spark.sql.sources.Filter] =
-    IndexedSeq.empty
-
-  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
-    // Only columns the scan still OUTPUTS: Spark resolves these refs
-    // against the (column-pruned) relation output, and a reference to
-    // a pruned-away column fails analysis — a join key is always in
-    // the output, so nothing prunable is lost by restricting.
-    val visible = out.fieldNames.toSet
-    val bloomCols = schema.fields.collect {
-      case f if SegmentBloom.trackable(f.dataType) && visible(f.name) => f.name
-    }
-    val all = (partitionCols.filter(visible) ++ bloomCols).distinct
-    // Row-level scans: one column, so the group-filter probe stays a
-    // translatable single-column IN (see the `rowLevel` param doc).
-    val chosen = if (rowLevel) all.take(1) else all
-    chosen.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.column(c)).toArray
-  }
-
-  override def filter(
-      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
-    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
-    def ext(v: Any): Any = v match {
-      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-      case other => other
-    }
-    val converted = predicates.toIndexedSeq.flatMap { p =>
-      if (p.name() == "IN" && p.children().nonEmpty) {
-        p.children()(0) match {
-          case nr: NamedReference if nr.fieldNames().length == 1 =>
-            val vals = p.children().drop(1).toSeq.collect {
-              case l: V2Literal[_] => ext(l.value())
-            }
-            // All children after the ref must be literals, else the
-            // predicate is not a plain value-list IN — skip it.
-            if (vals.isEmpty || vals.length != p.children().length - 1) None
-            else if (vals.length <= SegmentBloom.MaxDistinct)
-              Some(org.apache.spark.sql.sources.In(nr.fieldNames()(0), vals.toArray))
-            else {
-              // Oversized probe list: per-segment bloom probing would
-              // cost list × segment driver work, but the list's RANGE
-              // ENVELOPE still prunes via zone maps (on an identity
-              // partition column min = max makes that exact partition
-              // pruning) — degrade to [min, max] instead of dropping
-              // runtime pruning entirely. Sound superset of the IN.
-              val col = nr.fieldNames()(0)
-              val nn = vals.filter(_ != null)
-              if (nn.isEmpty || nn.exists(v => GraftCompare.cmp(v, nn.head).isEmpty)) None
-              else {
-                val lo = nn.reduce((a, b) =>
-                  if (GraftCompare.cmp(a, b).exists(_ <= 0)) a else b)
-                val hi = nn.reduce((a, b) =>
-                  if (GraftCompare.cmp(a, b).exists(_ >= 0)) a else b)
-                Some(org.apache.spark.sql.sources.And(
-                  org.apache.spark.sql.sources.GreaterThanOrEqual(col, lo),
-                  org.apache.spark.sql.sources.LessThanOrEqual(col, hi)))
-              }
-            }
-          case _ => None
-        }
-      } else None
-    }
-    val prev = if (runtimePruning == null) IndexedSeq.empty else runtimePruning
-    runtimePruning = prev ++ converted.filter(ZoneMap.prunable(_, schema))
-    for (cb <- onRuntimeExclude; segs <- pinned) {
-      val excluded = segs.filterNot(seg =>
-        runtimePruning.forall(f => ZoneMap.mightMatch(f, schema, seg)))
-      if (excluded.nonEmpty) cb(excluded)
-    }
-  }
-  override def readSchema(): StructType = out
-  override def toBatch: Batch = this
-
-  /** Streaming read (`spark.readStream.table("graft.ns.t")`): the
-    * table's own snapshot history doubles as a CHANGE LOG — each
-    * committed version is one source "file batch". Pushed filters ride
-    * along: added segments are zone-map-pruned per micro-batch exactly
-    * as in the batch scan.
-    */
-  override def toMicroBatchStream(
-      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftCatalogMicroBatchStream(
-      ident, schema, out, pruning, maxSegmentsPerTrigger, skipChangeCommits,
-      startingVersion)
-
-  override def description(): String =
-    s"GraftCatalogScan($ident, columns=[${out.fieldNames.mkString(", ")}], " +
-      s"zoneMapFilters=[${pruning.mkString(", ")}]" +
-      (if (partitionCols.nonEmpty) s", keyGroupedBy=[${partitionCols.mkString(", ")}]" else "") +
-      limit.map(n => s", pushedLimit=$n").getOrElse("") +
-      pinned.map(_ => ", pinnedSnapshot").getOrElse("") + ")"
-
-  // Time-travel scans plan against the PINNED snapshot list; live scans
-  // resolve the then-current list at plan time. Static pushed filters
-  // and runtime join filters prune through the same zone maps.
-  private def surviving(
-      all: Vector[GraftCatalog.Segment]): Vector[GraftCatalog.Segment] = {
-    // transient field: null after executor-side deserialization (where
-    // survivors is never called — but a guard beats an NPE).
-    val rt = if (runtimePruning == null) IndexedSeq.empty else runtimePruning
-    val fs = pruning ++ rt
-    // Hidden-partition KEY pruning: for segments written under the
-    // CURRENT spec, a bucket(n, col) field proves absence for equality
-    // /IN probes on col that hash to a different bucket — the pruning
-    // class zone maps can't supply (hash membership is range-opaque).
-    // days/truncate need nothing here: their clustered writes make the
-    // SOURCE column's zone maps tight, and those prune ranges already.
-    val pfs = PartField.fields(partitionCols)
-    val keyPrunes = pfs.exists(_.isInstanceOf[PartBucket])
-    all.filter(seg =>
-      fs.forall(f => ZoneMap.mightMatch(f, schema, seg)) &&
-        (!keyPrunes || seg.spec != partitionCols ||
-          fs.forall(f => PartField.keyMightMatch(pfs, seg.key, schema, f))))
-  }
-
-  private def survivors: Vector[GraftCatalog.Segment] =
-    surviving(stateAtFirstUse._1)
-
-  // Deterministic order: groups sorted by key rendering, so repeated
-  // plans of the same state enumerate identically.
-  private def keyGroups: Seq[(IndexedSeq[Any], Vector[GraftCatalog.Segment])] =
-    survivors.groupBy(_.key).toSeq.sortBy(_._1.mkString("\u0000"))
-
-  /** Keys are trustworthy only when EVERY segment was written under
-    * the table's CURRENT partition spec. After a spec evolution
-    * (`CALL graft.system.set_partitioning`) a mixed-era scan must not
-    * report `KeyGroupedPartitioning` (old keys value DIFFERENT columns
-    * -- an SPJ co-location claim would be a wrong-results bug) nor plan
-    * keyed splits; it degrades to one split per segment, where zone
-    * maps still prune on the new partition column (identity-routed
-    * min = max makes zone-map pruning exact partition pruning, and
-    * OLD segments carry zone maps for the new column like any other
-    * column). Decided once per scan over the full pre-runtime-filter
-    * list so outputPartitioning and planInputPartitions cannot
-    * disagree.
-    */
-  @transient private lazy val uniformSpec: Boolean =
-    stateAtFirstUse._1.forall(_.spec == partitionCols)
-  private def keyedLayout: Boolean = partitionCols.nonEmpty && uniformSpec
-
-  /** Unpartitioned: one split per SURVIVING segment — the partition
-    * carries only (path, rows); bytes stay on disk until the executor
-    * task opens its split, and a multi-segment table scans in parallel.
-    * Identity-partitioned: one split per PARTITION VALUE (all the
-    * value's segments, with the key exposed via `HasPartitionKey`) —
-    * the layout `KeyGroupedPartitioning` promises. Zone-map-pruned
-    * segments never even plan a task; for a filter on the partition
-    * column the zone map IS exact partition pruning (min = max = the
-    * value). numFields is the FULL width: that is the on-disk row
-    * layout; the reader projects down to `out` after deserialization.
-    */
-  /** Pushed-LIMIT segment capping: enough segments (by exact metastore
-    * liveRows) to cover the limit, in list order. Unpartitioned scans
-    * only — a key-grouped scan must plan one task per key to honor the
-    * `KeyGroupedPartitioning` it reported.
-    */
-  private def capForLimit(
-      segs: Vector[GraftCatalog.Segment]): Vector[GraftCatalog.Segment] =
-    limit match {
-      // Outstanding equality deletes make per-segment liveRows an
-      // OVERCOUNT — capping on them could plan too few segments and
-      // under-deliver a LIMIT. Cap only when none apply.
-      case Some(n) if partitionCols.isEmpty && eqs.isEmpty =>
-        var acc = 0L
-        val buf = Vector.newBuilder[GraftCatalog.Segment]
-        val it = segs.iterator
-        while (it.hasNext && acc < n) {
-          val s = it.next()
-          buf += s
-          acc += s.liveRows
-        }
-        buf.result()
-      case _ => segs
-    }
-
-  override def planInputPartitions(): Array[InputPartition] = {
-    // The scan-wide snapshot (see stateAtFirstUse): segments + eq from
-    // one read, and the SAME list every planning claim already used —
-    // a concurrent commit must neither yield a ghost-row plan nor
-    // invalidate a reported ordering/grouping after the fact.
-    val (all, eqNow) = stateAtFirstUse
-    val compiled = EqFilter.compileAll(schema, eqNow)
-    val surv = surviving(all)
-    if (!keyedLayout)
-      capForLimit(surv)
-        .map(s => GraftCatalogPartition(
-          Vector(GraftSegFile.of(s, compiled)), schema.length): InputPartition)
-        .toArray
-    else {
-      import org.apache.spark.sql.catalyst.CatalystTypeConverters
-      surv.groupBy(_.key).toSeq.sortBy(_._1.mkString("\u0000"))
-        .map { case (key, segs) =>
-          val keyRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-            key.map(CatalystTypeConverters.convertToCatalyst).toArray)
-          GraftCatalogKeyedPartition(
-            segs.map(GraftSegFile.of(_, compiled)), schema.length, keyRow): InputPartition
-        }.toArray
-    }
-  }
-
-  /** Storage-partitioned reads: an identity-partitioned table reports
-    * `KeyGroupedPartitioning` over its partition columns, so (with
-    * `spark.sql.sources.v2.bucketing.enabled`) a join of two tables
-    * co-partitioned on the key — or an aggregate grouping on it —
-    * skips its shuffle entirely: the scan's physical layout already
-    * satisfies the required clustering. This is the 100 TB co-location
-    * story (Iceberg-style SPJ), not an optimization of this demo store.
-    */
-  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
-    import org.apache.spark.sql.connector.expressions.Expressions
-    import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
-    val groups = if (!keyedLayout) Nil else keyGroups
-    if (groups.isEmpty) new UnknownPartitioning(capForLimit(survivors).length)
-    else new KeyGroupedPartitioning(
-      // Transform fields report the transform expression (key values
-      // are the transform OUTPUTS); Spark resolves it through this
-      // catalog's loadFunction, or silently degrades to unknown
-      // partitioning when it can't — never a wrong co-location claim.
-      partitionCols.map(c =>
-        PartField.parse(c).toTransform: org.apache.spark.sql.connector.expressions.Expression).toArray,
-      groups.length)
-  }
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    GraftCatalogReaderFactory(schema, out)
-
-  /** Post-pruning exact size/row stats from the segment metadata — lets
-    * the planner auto-broadcast a small (or well-pruned) catalog table.
-    * Bytes scale by the surviving column fraction (what actually flows
-    * out of the scan); legacy zero-byte segments fall back to a per-row
-    * width estimate so sizeInBytes never reads 0 for a non-empty table.
-    */
-  override def estimateStatistics(): Statistics = {
-    val segs = capForLimit(survivors)
-    val rows = segs.map(_.liveRows).sum
-    val full = segs.map(s => if (s.bytes > 0) s.bytes else s.rows * (8L * (schema.length + 1))).sum
-    val frac =
-      if (schema.isEmpty) 1.0
-      else (out.length.toDouble.max(1.0)) / schema.length
-    val bytes = (full * frac).toLong.max(if (rows > 0) 1L else 0L)
-    // ANALYZE-produced per-column stats (distinct + null counts) ride
-    // the V2 columnStats surface into the CBO: with
-    // spark.sql.cbo.{enabled,joinReorder.enabled}, join estimation gets
-    // real key cardinalities and CostBasedJoinReorder can re-order
-    // ad-hoc catalog joins (asserted in CboJoinReorderSpec).
-    val analyzed = GraftCatalog.analyzedOf(ident)
-    new Statistics {
-      override def sizeInBytes: java.util.OptionalLong = java.util.OptionalLong.of(bytes)
-      override def numRows: java.util.OptionalLong = java.util.OptionalLong.of(rows)
-      override def columnStats(): java.util.Map[
-          org.apache.spark.sql.connector.expressions.NamedReference,
-          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
-        val m = new java.util.HashMap[
-          org.apache.spark.sql.connector.expressions.NamedReference,
-          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-        analyzed.foreach { case (name, a) =>
-          m.put(
-            org.apache.spark.sql.connector.expressions.Expressions.column(name),
-            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
-              override def distinctCount(): java.util.OptionalLong =
-                java.util.OptionalLong.of(a.ndv)
-              override def nullCount(): java.util.OptionalLong =
-                java.util.OptionalLong.of(a.nulls)
-            })
-        }
-        m
-      }
-    }
-  }
-}
-
-/** Streaming offset over a catalog table = the last fully consumed
-  * snapshot VERSION; -1 = nothing consumed yet (the next batch is the
-  * initial snapshot load). One long round-trips exactly through the
-  * checkpoint json.
-  */
-private[graft] case class GraftVersionOffset(v: Long)
-    extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json: String = v.toString
-}
-
-/** MICRO_BATCH_READ over a catalog table — the table's commit history
-  * IS the change stream (the Delta/Iceberg incremental-read shape):
-  *
-  *  - Batch 0 (offset -1 → v): the full snapshot at stream start, read
-  *    as one batch — one split per segment, so the initial load scans
-  *    with full parallelism.
-  *  - Batch (u → v]: the segments ADDED by commits u+1..v, resolved
-  *    per-commit against retained snapshots. Append commits stream
-  *    through; a commit that REMOVES segments (OVERWRITE / DELETE /
-  *    UPDATE / MERGE / compaction / ALTER migration) is not expressible
-  *    as an append delta — it fails the stream loudly unless
-  *    `skipChangeCommits` is set (then the whole commit is skipped,
-  *    matching Delta's option of the same name: readers see only pure
-  *    appends).
-  *  - Admission control: `maxSegmentsPerTrigger` caps how many ADDED
-  *    segments one trigger admits (whole commits only — a version is
-  *    the atomic offset unit); Trigger.AvailableNow pins the target
-  *    version at start and drains to it through the same path;
-  *    Trigger.Once's ReadAllAvailable lifts the cap.
-  *
-  * Correctness leans on two catalog invariants: segment paths are
-  * unique forever (UUID-named, never reused), and snapshot retention
-  * protects every file a retained snapshot references — so a planned
-  * batch stays readable even if the table is rewritten mid-read. A
-  * restart whose checkpointed version has aged out of retention fails
-  * with an explicit pointer at `graft.catalog.retention.seconds`
-  * rather than silently re-snapshotting.
-  *
-  * Stateless by construction (the AvailableNow pin excepted): every
-  * batch derives from the (start, end] versions the engine hands back,
-  * which is what makes checkpoint recovery trivially exactly-once.
-  */
-private[graft] class GraftCatalogMicroBatchStream(
-    ident: Identifier, schema: StructType, out: StructType,
-    pruning: IndexedSeq[org.apache.spark.sql.sources.Filter],
-    maxSegmentsPerTrigger: Option[Int],
-    skipChangeCommits: Boolean,
-    startingVersion: Option[Long] = None)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
-    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
-  import org.apache.spark.sql.connector.read.streaming.{
-    CompositeReadLimit, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles}
-
-  @volatile private var availableNowTarget: Option[Long] = None
-
-  private def latestVersion: Long =
-    GraftCatalog.retainedSnapshots(ident).lastOption.map(_.version).getOrElse(-1L)
-
-  private def snapshotOrFail(v: Long): GraftCatalog.CatalogSnapshot =
-    GraftCatalog.snapshotByVersion(ident, v).getOrElse(throw new IllegalStateException(
-      s"streaming read of $ident: snapshot v$v is no longer retained — the stream " +
-        "(or its checkpoint) fell behind the retention window; raise " +
-        "graft.catalog.retention.seconds / .snapshots (or the table's " +
-        "'graft.retention.seconds' / '.snapshots' TBLPROPERTIES) or restart " +
-        "from a fresh checkpoint"))
-
-  /** Segments ADDED by commit v (relative to v-1), with the change-
-    * commit policy applied. v = 0 diffs against the empty table.
-    */
-  private def addedAt(v: Long): Vector[GraftCatalog.Segment] = {
-    val cur = snapshotOrFail(v)
-    // dataChange=false commits (compaction / Z-order / spec evolution)
-    // rearrange files without changing any logical row: emitting their
-    // folded segments would DUPLICATE rows the stream already
-    // delivered, and failing would make auto-compaction stream-hostile
-    // — skip silently, exactly Delta's dataChange=false semantics.
-    if (!cur.dataChange) return Vector.empty
-    // Per-field TYPE comparison, not just arity: an ALTER COLUMN TYPE
-    // widening keeps the field count but rewrites segments under the
-    // new layout — decoding those bytes with the stream's stale
-    // narrower schema (e.g. a LongType slot read via getInt) would
-    // silently corrupt values. Field NAMES are exempt (RENAME COLUMN is
-    // metadata-only over positional storage; the bytes are identical).
-    if (cur.schema.length != schema.length ||
-        cur.schema.fields.zip(schema.fields).exists {
-          case (a, b) => a.dataType != b.dataType })
-      throw new IllegalStateException(
-        s"streaming read of $ident: commit v$v was written under a different schema " +
-          s"(${cur.schema.simpleString} vs ${schema.simpleString}); restart the stream " +
-          "to pick up the evolved schema")
-    val prevSegs: Map[String, GraftCatalog.Segment] =
-      if (v == 0) Map.empty
-      else snapshotOrFail(v - 1).segments.map(s => s.path -> s).toMap
-    val removed = prevSegs.keySet -- cur.segments.map(_.path).toSet
-    // A deletion-vector change keeps the file path but removes rows —
-    // exactly as much a change commit as dropping the segment. So does
-    // a commit REGISTERING an equality delete (upsert): rows the
-    // stream already delivered are now dead. (An eq entry VANISHING is
-    // publish-time GC — purely structural, never a change.)
-    val dvChanged = cur.segments.exists(s => prevSegs.get(s.path).exists(_.dv != s.dv))
-    val eqAdded = cur.eqDeletes.exists(_.seq == v)
-    if (removed.nonEmpty || dvChanged || eqAdded) {
-      if (skipChangeCommits) Vector.empty
-      else throw new IllegalStateException(
-        s"streaming read of $ident: commit v$v removed segment(s) or rows " +
-          "(OVERWRITE/DELETE/UPDATE/MERGE/compact/ALTER/deletion vector) — not " +
-          "expressible as an append stream; set option skipChangeCommits=true to skip " +
-          "such commits")
-    } else cur.segments.filterNot(s => prevSegs.contains(s.path))
-  }
-
-  /** Default: -1 (the next batch is the full initial snapshot). With
-    * `startingVersion = v`, history replays from commit v onward and
-    * the snapshot load is skipped — the Delta option of the same name.
-    */
-  override def initialOffset(): Offset =
-    GraftVersionOffset(startingVersion.map(v => math.max(-1L, v - 1)).getOrElse(-1L))
-  override def deserializeOffset(json: String): Offset = GraftVersionOffset(json.toLong)
-  override def commit(end: Offset): Unit = () // retention GC owns file lifetime
-  override def stop(): Unit = ()
-
-  override def getDefaultReadLimit: ReadLimit =
-    maxSegmentsPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
-  override def reportLatestOffset(): Offset = GraftVersionOffset(latestVersion)
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(latestVersion)
-
-  override def latestOffset(): Offset =
-    throw new UnsupportedOperationException(
-      "latestOffset(start, limit) is the admission-controlled entry point")
-
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[GraftVersionOffset].v
-    val target = availableNowTarget.getOrElse(latestVersion)
-    if (target <= s) return GraftVersionOffset(s)
-    // Only capping limit kinds participate; min-rows / trigger hints
-    // never throttle a replayable log (same policy as GraftRangeSource).
-    def capOf(l: ReadLimit): Option[Int] = l match {
-      case _: ReadAllAvailable => Some(Int.MaxValue)
-      case f: ReadMaxFiles => Some(math.max(1, f.maxFiles()))
-      case c: CompositeReadLimit =>
-        val caps = c.getReadLimits.flatMap(capOf)
-        if (caps.isEmpty) None else Some(caps.min)
-      case _ => None
-    }
-    val cap = capOf(limit).orElse(maxSegmentsPerTrigger).getOrElse(Int.MaxValue)
-    if (s < 0) return GraftVersionOffset(target) // initial snapshot: one batch
-    var v = s
-    var admitted = 0
-    // Always advance at least one commit when available: a version is
-    // the atomic offset unit, so a single commit larger than the cap
-    // still ships whole (matching file-source maxFilesPerTrigger).
-    // addedAt diffs two snapshots over the full segment list — compute
-    // it ONCE per candidate commit, not in both the guard and the sum.
-    var continue = true
-    while (continue && v < target) {
-      val added = addedAt(v + 1).length
-      if (admitted == 0 || admitted + added <= cap) {
-        v += 1
-        admitted += added
-      } else continue = false
-    }
-    GraftVersionOffset(v)
-  }
-
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[GraftVersionOffset].v
-    val e = end.asInstanceOf[GraftVersionOffset].v
-    // The INITIAL-SNAPSHOT batch reads state, so it subtracts the
-    // snapshot's outstanding equality deletes; per-commit batches read
-    // freshly-added segments, to which no eq delete can apply yet (an
-    // upsert's own adds carry the delete's seq; later eq commits are
-    // change commits).
-    val (segs: Vector[GraftCatalog.Segment], compiled: IndexedSeq[(Long, EqFilter)]) =
-      if (e <= s) (Vector.empty, IndexedSeq.empty)
-      else if (s < 0) {
-        val snap = snapshotOrFail(e)
-        // Same per-field TYPE comparison as addedAt's per-commit guard:
-        // an initial snapshot written under an older layout (e.g. before
-        // an ALTER COLUMN TYPE widening, reached via startingVersion)
-        // must not be decoded with this stream's schema — arity alone
-        // misses retypes and would silently corrupt values.
-        if (snap.schema.length != schema.length ||
-            snap.schema.fields.zip(schema.fields).exists {
-              case (a, b) => a.dataType != b.dataType })
-          throw new IllegalStateException(
-            s"streaming read of $ident: snapshot v$e schema ${snap.schema.simpleString} " +
-              s"differs from the table's ${schema.simpleString}; restart the stream")
-        // Eq-delete key columns are NAMES of the snapshot's schema
-        // epoch: compile against snap.schema (positionally identical
-        // to the stream's per the guard above), not the stream's —
-        // a RENAME COLUMN after the snapshot would otherwise unbind
-        // the old name, or mis-bind it after a name-reuse chain.
-        (snap.segments, EqFilter.compileAll(snap.schema, snap.eqDeletes))
-      } else ((s + 1 to e).toVector.flatMap(addedAt), IndexedSeq.empty)
-    segs
-      .filter(seg => pruning.forall(f => ZoneMap.mightMatch(f, schema, seg)))
-      .map(seg =>
-        GraftCatalogPartition(
-          Vector(GraftSegFile.of(seg, compiled)), schema.length): InputPartition)
-      .toArray
-  }
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    GraftCatalogReaderFactory(schema, out)
-}
-
-/** A scan split: one or more segment files read sequentially (one file
-  * for unpartitioned tables; all of a partition value's files for
-  * key-grouped scans, which must deliver the whole value in one split).
-  */
-/** What a task needs to read one segment file: path, physical row
-  * count, the deletion vector to skip (None = all rows live), and the
-  * compiled equality-delete filters to subtract (empty = none apply —
-  * the zero-cost path for tables that never upserted).
-  */
-private[sources] case class GraftSegFile(
-    path: String, rows: Long, dv: Option[scala.collection.immutable.BitSet],
-    eq: Seq[EqFilter] = Nil,
-    lineage: IndexedSeq[(Long, Long, Long)] = Vector.empty) {
-  /** THE dv-membership test, int-bounds-guarded (BitSet is Int-indexed;
-    * ordinals are Long). One definition so every reader skips the same
-    * rows — a fix to large-ordinal handling must not need three copies.
-    */
-  def dvDead(ord: Long): Boolean =
-    dv.exists(d => ord <= Int.MaxValue && d.contains(ord.toInt))
-}
-private[sources] object GraftSegFile {
-  def of(s: GraftCatalog.Segment): GraftSegFile =
-    GraftSegFile(s.path, s.rows, s.dv, lineage = s.lineage)
-  /** Plan-shared pre-compiled form — use inside per-segment loops. */
-  def of(
-      s: GraftCatalog.Segment,
-      compiled: IndexedSeq[(Long, EqFilter)]): GraftSegFile =
-    GraftSegFile(s.path, s.rows, s.dv, EqFilter.applicable(compiled, s), s.lineage)
-}
-
-private[sources] sealed trait GraftCatalogSplit extends InputPartition {
-  def files: Seq[GraftSegFile]
-  def numFields: Int
-}
-private[sources] case class GraftCatalogPartition(
-    files: Seq[GraftSegFile], numFields: Int) extends GraftCatalogSplit
-private[sources] case class GraftCatalogKeyedPartition(
-    files: Seq[GraftSegFile], numFields: Int, keyRow: InternalRow)
-    extends GraftCatalogSplit with HasPartitionKey {
-  override def partitionKey(): InternalRow = keyRow
-}
-
-private[sources] case class GraftCatalogReaderFactory(
-    full: StructType, required: StructType) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftCatalogSplit]
-    val wantsMeta = required.fieldNames.exists(GraftMetaCols.names.contains)
-    // Column-pruning projection, built once per split (codegen'd):
-    // identity when nothing was pruned. Requested metadata columns
-    // (_segment/_pos) bind past the data layout into a per-row meta
-    // struct joined on the right. The projection's output row is
-    // instance-reused, same as the deserialization row — both within
-    // the PartitionReader reuse contract.
-    val metaRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(4)
-    val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
-    val proj: UnsafeRow => InternalRow =
-      if (!wantsMeta && required.length == full.length) identity
-      else {
-        val exprs = required.fields.toSeq.map { f =>
-          val i = f.name match {
-            case GraftMetaCols.Segment => full.length
-            case GraftMetaCols.Pos => full.length + 1
-            case GraftMetaCols.RowId => full.length + 2
-            case GraftMetaCols.LastUpdatedSeq => full.length + 3
-            case n => full.fieldIndex(n)
-          }
-          org.apache.spark.sql.catalyst.expressions.BoundReference(
-            i, f.dataType, f.nullable): org.apache.spark.sql.catalyst.expressions.Expression
-        }
-        val up = org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(exprs)
-        if (wantsMeta) r => up(joined(r, metaRow)) else r => up(r)
-      }
-    new PartitionReader[InternalRow] {
-      private val row = new UnsafeRow(p.numFields)
-      // Growable read buffer reused across records (grown on demand,
-      // never shrunk): with the explicit-size pointTo the reader is
-      // genuinely allocation-free per row, matching the reused-row
-      // contract of PartitionReader (Spark copies when it retains).
-      private var buf = new Array[Byte](1 << 10)
-      private val fileIter = p.files.iterator
-      private var in: DataInputStream = _
-      private var remaining = 0L
-      private var ordinal = 0L
-      private var dv: scala.collection.immutable.BitSet = _
-      private var eq: Seq[EqFilter] = Nil
-      // Row-lineage cursor (runs cover physical ordinals in order, the
-      // ordinal only grows — O(1) amortized): spanStart is the ordinal
-      // where runs(spanIdx) begins.
-      private var runs: IndexedSeq[(Long, Long, Long)] = Vector.empty
-      private var spanIdx = 0
-      private var spanStart = 0L
-      private def advance(): Boolean = {
-        if (in != null) { in.close(); in = null }
-        if (!fileIter.hasNext) false
-        else {
-          val f = fileIter.next()
-          in = new DataInputStream(new BufferedInputStream(new FileInputStream(f.path), 1 << 16))
-          remaining = f.rows
-          ordinal = 0L
-          dv = f.dv.orNull
-          eq = f.eq
-          runs = f.lineage
-          spanIdx = 0
-          spanStart = 0L
-          if (wantsMeta)
-            metaRow.update(0, org.apache.spark.unsafe.types.UTF8String.fromString(f.path))
-          if (f.rows > 0) true else advance() // a rowless file is never written, but be safe
-        }
-      }
-      // Deletion-vector rows are READ (the format is length-prefixed
-      // sequential, there is no seek index) but never emitted; rows a
-      // newer EQUALITY DELETE matches are likewise read past — the
-      // merge-on-read subtraction.
-      override def next(): Boolean = {
-        while (true) {
-          if (remaining <= 0 && !advance()) return false
-          val size = in.readInt()
-          if (size > buf.length) buf = new Array[Byte](math.max(size, buf.length << 1))
-          in.readFully(buf, 0, size)
-          remaining -= 1
-          var deleted = dv != null && ordinal <= Int.MaxValue && dv.contains(ordinal.toInt)
-          if (!deleted && eq.nonEmpty) {
-            row.pointTo(buf, size)
-            deleted = eq.exists(_.matches(row))
-          }
-          if (!deleted && wantsMeta) {
-            metaRow.update(1, ordinal)
-            while (spanIdx < runs.length && ordinal >= spanStart + runs(spanIdx)._2) {
-              spanStart += runs(spanIdx)._2
-              spanIdx += 1
-            }
-            if (spanIdx < runs.length) {
-              val (first, _, seqV) = runs(spanIdx)
-              metaRow.update(2, first + (ordinal - spanStart))
-              metaRow.update(3, seqV)
-            } else { // unassigned lineage (legacy segment) -> null
-              metaRow.update(2, null)
-              metaRow.update(3, null)
-            }
-          }
-          ordinal += 1
-          if (!deleted) { row.pointTo(buf, size); return true }
-        }
-        false // unreachable
-      }
-      override def get(): InternalRow = proj(row)
-      override def close(): Unit = if (in != null) in.close()
-    }
-  }
-}
-
-private[sources] class GraftCatalogBatchWrite(
-    ident: Identifier, target: StructType, dir: String,
-    truncateFirst: Boolean, partCols: Seq[String] = Nil,
-    sortedWrite: Boolean = false,
-    overwriteFilters: Option[Seq[org.apache.spark.sql.sources.Filter]] = None,
-    dynamicOverwrite: Boolean = false,
-    upsertKeys: Seq[String] = Nil,
-    // GENERATED ALWAYS enforcement: user-facing writes refuse explicit
-    // non-null values; row-level rewrites (the engine re-writing rows
-    // that already carry their ids) construct with false and, when the
-    // table has an ALWAYS identity column, identityFromMeta so the
-    // refusal still applies to MERGE-inserted (non-carried) rows.
-    identityStrict: Boolean = true,
-    identityFromMeta: Boolean = false,
-    // copy_into source-file tokens, committed with the segments.
-    copyTokens: Seq[String] = Nil) extends BatchWrite {
-  // Captured ONCE per write (not per factory call): the commit's
-  // conflict check compares the stored watermark against the k0 this
-  // write actually planned its congruence classes from.
-  private[sources] lazy val identitySpecs = GraftCatalog.identityAssigns(ident, target)
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    GraftSegmentWriterFactory(target, dir, partCols, sortedWrite, upsertKeys,
-      identity = identitySpecs,
-      identityParts = math.max(1, info.numPartitions()),
-      identityStrict = identityStrict,
-      identityFromMeta = identityFromMeta,
-      generated = GraftCatalog.generatedAssigns(target))
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val msgs = messages.collect { case m: GraftSegmentMessage => m }.sortBy(_.partitionId)
-    val segs = msgs.flatMap(_.segments)
-    // Watermark BEFORE data: a crash in between leaks an id gap, never
-    // a duplicate (see GraftCatalog.IdentityAssign).
-    GraftCatalog.advanceIdentityChecked(ident, msgs.toSeq, identitySpecs)
-    if (upsertKeys.nonEmpty)
-      GraftCatalog.installUpsert(ident, segs.toSeq, upsertKeys,
-        msgs.flatMap(_.upsertKeys).toSeq)
-    else if (overwriteFilters.isDefined || dynamicOverwrite)
-      GraftCatalog.installOverwrite(ident, segs.toSeq, overwriteFilters, dynamicOverwrite)
-    else GraftCatalog.install(ident, segs.toSeq, truncateFirst, copyTokens = copyTokens)
-  }
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case m: GraftSegmentMessage => m }
-      .flatMap(_.segments).foreach(SegmentIO.delete)
-}
-
-/** Streaming write path (`writeStream.toTable("graft.ns.t")`): each
-  * epoch's task segments ship as commit messages and the driver-side
-  * `commit(epochId, …)` publishes them atomically — AT MOST ONCE per
-  * epoch, keyed on the engine-supplied epoch id, so a replayed batch
-  * after failure or checkpoint restart is a no-op. Append mode appends
-  * the epoch's segments; Complete mode (`truncate` true) REPLACES the
-  * table with the epoch's full recomputed result. This is the native
-  * exactly-once sink the foreachBatch + batch-id-DELETE recipe
-  * hand-rolls.
-  */
-private[sources] class GraftCatalogStreamingWrite(
-    ident: Identifier, target: StructType, dir: String, queryId: String,
-    truncate: Boolean, partCols: Seq[String] = Nil,
-    // STREAMING UPSERT sink (`writeStream.option("graft.upsert.keys",
-    // …).toTable(…)`): every epoch appends + equality-deletes its keys
-    // in one exactly-once commit — the CDC-apply sink that needs no
-    // foreachBatch MERGE.
-    upsertKeys: Seq[String] = Nil)
-    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
-  if (upsertKeys.nonEmpty)
-    require(!truncate, "streaming upsert requires append output mode")
-  override def createStreamingWriterFactory(
-      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    GraftCatalogStreamingWriterFactory(target, dir, partCols, upsertKeys,
-      generated = GraftCatalog.generatedAssigns(target))
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val msgs = messages.collect { case m: GraftSegmentMessage => m }.sortBy(_.partitionId)
-    val segs = msgs.flatMap(_.segments)
-    GraftCatalog.installEpoch(ident, queryId, epochId, segs.toSeq, truncate,
-      upsert = if (upsertKeys.isEmpty) None
-               else Some((upsertKeys, msgs.flatMap(_.upsertKeys).toSeq)))
-  }
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case m: GraftSegmentMessage => m }
-      .flatMap(_.segments).foreach(SegmentIO.delete)
-}
-
-private[sources] case class GraftCatalogStreamingWriterFactory(
-    target: StructType, dir: String, partCols: Seq[String] = Nil,
-    upsertKeys: Seq[String] = Nil,
-    // Resolved DRIVER-side by the StreamingWrite (the bound generation
-    // expressions need the analyzer; executors just codegen them).
-    generated: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
-    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
-  override def createWriter(
-      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    // Identity assignment is batch-only (the epoch loop cannot refresh
-    // the driver-captured watermark): specs ride along so a NULL
-    // identity value fails loudly instead of silently landing NULL.
-    // Generated columns ARE computed — they are stateless projections.
-    GraftSegmentWriterFactory(target, dir, partCols, upsertKeys = upsertKeys,
-      identity = target.fields.toSeq.zipWithIndex.flatMap { case (f, i) =>
-        org.apache.spark.sql.catalyst.util.IdentityColumn.getIdentityInfo(f).map(s =>
-          GraftCatalog.IdentityAssign(i, f.name,
-            f.dataType == org.apache.spark.sql.types.LongType,
-            s.getStart, s.getStep, s.isAllowExplicitInsert, 0L))
-      },
-      identityAssignEnabled = false,
-      generated = generated)
-      .createWriter(partitionId, taskId)
-}
-
-/** Task commit message: the segments the task wrote (empty for a
-  * rowless task — no file was created; one per partition value seen for
-  * a partitioned table), never the rows themselves.
-  */
-private[sources] case class GraftSegmentMessage(
-    partitionId: Int, segments: Seq[GraftCatalog.Segment],
-    // Distinct upsert-key tuples this task wrote (external values) —
-    // the commit unions them into the commit's equality delete.
-    upsertKeys: Seq[IndexedSeq[Any]] = Nil,
-    // Max identity progression index this task consumed, per column —
-    // the commit advances the watermark past the union.
-    identityMaxK: Map[String, Long] = Map.empty) extends WriterCommitMessage
-
-/** Streams incoming rows to segment files, projecting onto the TABLE
-  * schema first. Row-level rewrites (UPDATE / MERGE / rewrite-DELETE)
-  * deliver rows with a leading `__row_operation` metadata column — and
-  * deliver them RAW even though the LogicalWriteInfo schema claims the
-  * plain table schema — so the projection is derived from the ACTUAL
-  * record width at runtime: the last `target.length` fields are the
-  * data columns. Storing positionally would shift every field and read
-  * back garbage.
-  *
-  * For an identity-partitioned table the task fans rows out into ONE
-  * WRITER PER PARTITION VALUE it sees (the segment↔key invariant the
-  * scan's split-per-value planning relies on). The write REQUESTS a
-  * clustered distribution (see `GraftCatalogTable.newWriteBuilder`), so
-  * in the common case each task sees few values; the per-task writer
-  * cap fails loudly on a pathological unclustered write instead of
-  * exhausting file handles.
-  */
-private[sources] case class GraftSegmentWriterFactory(
-    target: StructType, dir: String, partCols: Seq[String] = Nil,
-    // The write requested (and Spark therefore delivered) a per-task
-    // sort on the declared write order — finished segments carry the
-    // provenance flag the scan's reported ordering depends on.
-    sortedWrite: Boolean = false,
-    // UPSERT key columns (`.option("graft.upsert.keys", "k1,k2")`):
-    // each task also collects the distinct key tuples it wrote, which
-    // the commit registers as an equality delete over older segments.
-    upsertKeys: Seq[String] = Nil,
-    // Identity-column assignment (see GraftCatalog.IdentityAssign):
-    // task p's i-th generated value takes progression index
-    // k0 + p + i*identityParts — disjoint across tasks by congruence.
-    identity: Seq[GraftCatalog.IdentityAssign] = Nil,
-    identityParts: Int = 1,
-    identityAssignEnabled: Boolean = true,
-    identityStrict: Boolean = true,
-    // Row-level (MERGE) path: per-row provenance via the two-arg
-    // write's metadata row — the requested _row_id metadata column is
-    // non-null exactly for rows the target scan carried through, so
-    // the ALWAYS refusal applies only to genuinely NEW (insert-action)
-    // rows while rewritten existing rows keep their ids.
-    identityFromMeta: Boolean = false,
-    // Generated columns: (table ordinal, bound Catalyst expression) —
-    // resolved driver-side (GraftCatalog.generatedAssigns), codegen'd
-    // here into a projection that fills NULL slots with the computed
-    // value (non-null slots pass through: row-level rewrites carry
-    // already-computed values).
-    generated: Seq[(Int, org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
-    extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DataWriter[InternalRow] {
-      import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
-      import org.apache.spark.sql.types.StringType
-      private var proj: UnsafeProjection = _
-      private var projFields = -1
-      // Per partition FIELD: (parsed field, source-column ordinal,
-      // source type). Identity fields pass the raw value through;
-      // transform fields (days/bucket/truncate) key by the transform
-      // OUTPUT — the hidden-partitioning router.
-      private val keyFields: Array[(PartField, Int, org.apache.spark.sql.types.DataType)] =
-        partCols.map { c =>
-          val pf = PartField.parse(c)
-          val i = target.fieldIndex(pf.source)
-          (pf, i, target.fields(i).dataType)
-        }.toArray
-      private val writers =
-        new scala.collection.mutable.LinkedHashMap[IndexedSeq[Any], SegmentIO.Writer]()
-      private val MaxWritersPerTask = 1000
-      private val upsertIdx: Array[(Int, org.apache.spark.sql.types.DataType)] =
-        upsertKeys.map { c =>
-          val i = target.fieldIndex(c); (i, target.fields(i).dataType)
-        }.toArray
-      private val upsertSeen =
-        scala.collection.mutable.LinkedHashSet.empty[IndexedSeq[Any]]
-      private val MaxUpsertKeysPerTask = GraftCatalog.upsertMaxKeys
-      private val idArr = identity.toArray
-      private val idCount = new Array[Long](idArr.length)
-      private val idMaxK = Array.fill[Long](idArr.length)(Long.MinValue)
-      private val genIdx = generated.map(_._1).toArray
-      private lazy val genProj: UnsafeProjection = {
-        import org.apache.spark.sql.catalyst.expressions.{If, IsNull}
-        val byIdx = generated.toMap
-        UnsafeProjection.create(target.zipWithIndex.map { case (f, i) =>
-          val ref = BoundReference(i, f.dataType, f.nullable)
-          byIdx.get(i) match {
-            // User writes: the strict check above proved the slot NULL
-            // — fill it (the If is belt-and-braces for BY-DEFAULT-like
-            // non-strict nulls).
-            case Some(e) if identityStrict => If(IsNull(ref), e, ref):
-              org.apache.spark.sql.catalyst.expressions.Expression
-            // Row-level rewrites RECOMPUTE unconditionally: an UPDATE
-            // that changed a referenced column must not carry the
-            // stale derived value forward (deterministic expression —
-            // recomputation of an unchanged row is a no-op).
-            case Some(e) => e: org.apache.spark.sql.catalyst.expressions.Expression
-            case None => ref: org.apache.spark.sql.catalyst.expressions.Expression
-          }
-        })
-      }
-
-      // Partition key as EXTERNAL values (String, boxed numerics) —
-      // comparable to pushed-filter literals and stable in the
-      // metastore. UTF8String reads point into the reused row buffer:
-      // toString copies.
-      private def keyOf(row: UnsafeRow): IndexedSeq[Any] =
-        keyFields.toIndexedSeq.map { case (pf, i, dt) =>
-          if (row.isNullAt(i)) null
-          else {
-            val v = dt match {
-              case StringType => row.getUTF8String(i).toString
-              case _ => row.get(i, dt)
-            }
-            pf.eval(v, dt)
-          }
-        }
-
-      // True while the current row is a CARRIED (pre-existing) row of
-      // a row-level rewrite — set from the two-arg write's metadata
-      // row; insert-action rows arrive with a NULL _row_id there.
-      private var carriedRow = false
-      override def write(meta: InternalRow, record: InternalRow): Unit = {
-        carriedRow = identityFromMeta && meta != null && !meta.isNullAt(0)
-        try write(record) finally carriedRow = false
-      }
-      override def write(record: InternalRow): Unit = {
-        if (record.numFields != projFields) {
-          val offset = record.numFields - target.length
-          require(offset >= 0,
-            s"row has ${record.numFields} fields, table needs ${target.length}")
-          val exprs = target.zipWithIndex.map { case (f, i) =>
-            BoundReference(offset + i, f.dataType, f.nullable)
-          }
-          proj = UnsafeProjection.create(exprs)
-          projFields = record.numFields
-        }
-        val row = proj(record)
-        var j = 0
-        while (j < idArr.length) {
-          val a = idArr(j)
-          if (row.isNullAt(a.idx)) {
-            if (!identityAssignEnabled)
-              throw new UnsupportedOperationException(
-                s"identity column ${a.name}: streaming writes cannot generate values " +
-                  "(batch-only) — supply them explicitly (BY DEFAULT) or use batch inserts")
-            val k = a.k0 + partitionId + idCount(j) * identityParts
-            idCount(j) += 1
-            idMaxK(j) = k
-            row.setNotNullAt(a.idx)
-            // Exact arithmetic: a wrapped value would silently re-mint
-            // earlier ids (uniqueness violation) — overflow must fail.
-            val v =
-              try math.addExact(a.start, math.multiplyExact(a.step, k))
-              catch {
-                case _: ArithmeticException => throw new ArithmeticException(
-                  s"identity column ${a.name}: generated value overflows BIGINT at " +
-                    s"progression index $k (START WITH ${a.start} INCREMENT BY ${a.step})")
-              }
-            if (a.isLong) row.setLong(a.idx, v)
-            else if (v >= Int.MinValue && v <= Int.MaxValue) row.setInt(a.idx, v.toInt)
-            else throw new ArithmeticException(
-              s"identity column ${a.name}: generated value $v overflows INT — " +
-                "declare the column BIGINT")
-          } else if ((identityStrict || (identityFromMeta && !carriedRow)) &&
-              !a.allowExplicit)
-            throw new UnsupportedOperationException(
-              s"identity column ${a.name} is GENERATED ALWAYS — " +
-                "explicit values are not accepted (omit the column, or declare it " +
-                "GENERATED BY DEFAULT AS IDENTITY)")
-          j += 1
-        }
-        val rowF = if (genIdx.isEmpty) row else {
-          if (identityStrict) {
-            var g = 0
-            while (g < genIdx.length) {
-              if (!row.isNullAt(genIdx(g)))
-                throw new UnsupportedOperationException(
-                  s"column ${target.fields(genIdx(g)).name} is GENERATED ALWAYS AS (...) — " +
-                    "explicit values are not accepted; omit the column")
-              g += 1
-            }
-          }
-          genProj(row)
-        }
-        if (upsertIdx.nonEmpty) {
-          val tuple: IndexedSeq[Any] = upsertIdx.toIndexedSeq.map { case (i, dt) =>
-            require(!rowF.isNullAt(i),
-              s"upsert key column ${target.fields(i).name} is null — upsert keys must be non-null")
-            dt match {
-              case StringType => rowF.getUTF8String(i).toString
-              case _ => rowF.get(i, dt)
-            }
-          }
-          upsertSeen += tuple
-          require(upsertSeen.size <= MaxUpsertKeysPerTask,
-            s"upsert task exceeded $MaxUpsertKeysPerTask distinct keys — equality " +
-              "deletes are the small-hot-batch path; use MERGE INTO for bulk rewrites " +
-              "(or raise -Dgraft.upsert.maxKeys)")
-        }
-        val key = if (keyFields.isEmpty) Vector.empty else keyOf(rowF)
-        val w = writers.getOrElseUpdate(key, {
-          require(writers.size < MaxWritersPerTask,
-            s"task saw > $MaxWritersPerTask distinct partition values — " +
-              "repartition the input by the table's partition columns")
-          new SegmentIO.Writer(dir, target)
-        })
-        w.add(rowF)
-      }
-      override def commit(): WriterCommitMessage =
-        GraftSegmentMessage(partitionId,
-          writers.toSeq.flatMap { case (key, w) =>
-            w.finish().map(_.copy(key = key, sorted = sortedWrite, spec = partCols))
-          },
-          upsertKeys = upsertSeen.toSeq,
-          identityMaxK = idArr.indices.collect {
-            case j if idMaxK(j) != Long.MinValue => idArr(j).name -> idMaxK(j)
-          }.toMap)
-      override def abort(): Unit = writers.values.foreach(_.abort())
-      override def close(): Unit = ()
-    }
 }
