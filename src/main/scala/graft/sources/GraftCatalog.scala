@@ -2227,6 +2227,48 @@ object GraftCatalog {
     }
   }
 
+  /** Warehouse-wide staleness sync for the FILE-GC paths: adopt every
+    * table document on disk that this process has never seen (a table,
+    * clone, or branch another driver created) or whose ledger moved
+    * ahead. "Is this file referenced?" must be judged against the whole
+    * warehouse — a zero-copy clone made by a different driver
+    * legitimately references files in THIS table's directory, and a
+    * GC decision taken on a stale table list would delete them. One
+    * directory listing; documents are decoded only for stale/unknown
+    * entries. Called ONLY on destructive paths (orphan cleanup, vacuum,
+    * retention expiry with a non-empty candidate list) — never per
+    * commit.
+    */
+  private[sources] def refreshAllIfStale(): Unit = {
+    if (!persistent) return
+    ensureLoaded()
+    mutate {
+      val dir = GraftLedger.tablesDir(segmentRoot)
+      val knownByName: Map[String, Identifier] =
+        ledgerSeqs.keySet.asScala.map(id => GraftLedger.fileNameOf(id) -> id).toMap
+      GraftLedger.listTables(dir).foreach { case (fname, seq) =>
+        knownByName.get(fname) match {
+          case Some(id) => if (seq > knownSeq(id)) reloadFromDisk(id)
+          case None =>
+            GraftLedger.readLatestByName(dir, fname).foreach { case (json, sq) =>
+              val (id, entry, hist, eps) =
+                GraftLedger.decodeTable(json, System.nanoTime())
+              // Unknown here can also mean "we know the ident under a
+              // different name hash" — putIfAbsent semantics keep a
+              // live local view from being clobbered by a re-list.
+              if (store.putIfAbsent(id, entry) == null) {
+                if (hist.nonEmpty) history.put(id, hist)
+                eps.foreach { case (qid, e) =>
+                  epochs.put((id, qid), java.lang.Long.valueOf(e)): Unit
+                }
+                ledgerSeqs.put(id, sq): Unit
+              }
+            }
+        }
+      }
+    }
+  }
+
   /** Replace this table's in-memory state with the latest on-disk
     * ledger document (or remove it if no document exists) — both the
     * cross-process refresh and the lost-CAS recovery path. Under
@@ -2601,10 +2643,16 @@ object GraftCatalog {
     // history without ever GC'ing their exclusive files, and nothing
     // later reconsiders them.
     val retainedSet = retained.map(_.version).toSet
-    all.filterNot(s => retainedSet.contains(s.version))
+    val gcCandidates = all.filterNot(s => retainedSet.contains(s.version))
       .flatMap(_.segments).distinctBy(_.path)
       .filterNot(s => live.contains(s.path))
-      .foreach(gcDelete(ident, _))
+    if (gcCandidates.nonEmpty) {
+      // About to delete files: the reference check must see tables
+      // (clones, branches) other DRIVERS created — one warehouse
+      // listing, paid only by commits that actually expire files.
+      refreshAllIfStale()
+      gcCandidates.foreach(gcDelete(ident, _))
+    }
     true
   }
 
@@ -3182,6 +3230,8 @@ object GraftCatalog {
     * Returns (snapshotsExpired, filesDeleted).
     */
   private[sources] def vacuumTable(ident: Identifier): (Int, Int) = mutate {
+    refreshIfStale(ident)
+    refreshAllIfStale() // GC judges references against the whole warehouse
     val entry = store.get(ident)
     if (entry == null) throw new NoSuchTableException(ident)
     val hist = history.getOrDefault(ident, Vector.empty)
@@ -3219,6 +3269,8 @@ object GraftCatalog {
     */
   private[sources] def removeOrphanFiles(
       ident: Identifier, olderThanMs: Long): (Int, Long) = mutate {
+    refreshIfStale(ident)
+    refreshAllIfStale() // clones/branches from other drivers reference files here
     val entry = store.get(ident)
     if (entry == null) throw new NoSuchTableException(ident)
     if (olderThanMs < 0L)
@@ -3253,6 +3305,7 @@ object GraftCatalog {
   }
 
   private[graft] def vacuumTombstones(): Unit = mutate {
+    refreshAllIfStale()
     history.asScala.keys.toSeq.foreach { ident =>
       val entry = store.get(ident)
       val hist = history.getOrDefault(ident, Vector.empty)

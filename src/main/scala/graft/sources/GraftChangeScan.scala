@@ -108,10 +108,12 @@ class GraftChangeFeed extends org.apache.spark.sql.connector.catalog.TableProvid
     (ident, from, Option(options.get("changesTo")))
   }
 
-  private def currentSchema(ident: Identifier): StructType =
+  private def currentSchema(ident: Identifier): StructType = {
+    GraftCatalog.refreshIfStale(ident) // see the stream's currentVersion note
     GraftCatalog.retainedSnapshots(ident).lastOption.map(_.schema).getOrElse(
       throw new IllegalArgumentException(
         s"change feed over $ident: table has no committed snapshots"))
+  }
 
   /** The data schema the feed ADVERTISES must match what the reader
     * DECODES: a bounded range pinned inside a pre-evolution epoch reads
@@ -446,6 +448,11 @@ private[sources] class GraftChangeMicroBatchStream(
     * progress report.
     */
   private def currentVersion: Long = {
+    // Cross-process tail: another driver's commits only become visible
+    // through the ledger — sync before reading the frontier, or a
+    // stream in THIS process would idle forever on a table a different
+    // process is writing (the multi-pipeline CDC topology).
+    GraftCatalog.refreshIfStale(ident)
     val cur = GraftCatalog.retainedSnapshots(ident).lastOption.map(_.version).getOrElse(-1L)
     // changesTo bounds the stream: drain to it, then idle.
     resolvedEnd match {

@@ -56,6 +56,11 @@ private[sources] object GraftLedger {
     java.net.URLEncoder.encode(s, "UTF-8")
   private def fileName(ident: Identifier): String =
     (ident.namespace().map(enc) :+ enc(ident.name())).mkString("~") + ".json"
+  /** The ledger file name of a table — exposed so the catalog can match
+    * directory listings back to identifiers it already knows without
+    * decoding every document.
+    */
+  def fileNameOf(ident: Identifier): String = fileName(ident)
 
   def tablesDir(root: Path): Path = root.resolve("_ledger").resolve("tables")
   def viewsDir(root: Path): Path = root.resolve("_ledger").resolve("views")
@@ -602,6 +607,56 @@ private[sources] object GraftLedger {
       }
       docs.sortBy(_.getFileName.toString).map(Files.readString)
     } finally s.close()
+  }
+
+  /** Every table present in the ledger, as (fileName, latestSeq) — a
+    * LISTING only, no document reads: the warehouse-wide staleness
+    * probe for GC paths (the catalog decodes only the entries it finds
+    * stale or unknown).
+    */
+  def listTables(dir: Path): Seq[(String, Long)] = {
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    val entries = try s.iterator().asScala.toSeq finally s.close()
+    val numbered = entries.filter(p => Files.isDirectory(p) &&
+      p.getFileName.toString.endsWith(".json.d")).flatMap { d =>
+      val ds = Files.list(d)
+      val best =
+        try ds.iterator().asScala.flatMap(seqOf).foldLeft(-1L)(math.max)
+        finally ds.close()
+      if (best >= 0) Some(d.getFileName.toString.stripSuffix(".d") -> best) else None
+    }
+    val covered = numbered.map(_._1).toSet
+    val flat = entries.filter(p => Files.isRegularFile(p) &&
+      p.getFileName.toString.endsWith(".json") &&
+      !p.getFileName.toString.startsWith(".tmp-") &&
+      !covered.contains(p.getFileName.toString))
+      .map(_.getFileName.toString -> 0L)
+    flat ++ numbered
+  }
+
+  /** Latest document of the table whose ledger file name is `fname`
+    * (see [[readLatest]] for the list/GC race handling).
+    */
+  def readLatestByName(dir: Path, fname: String): Option[(String, Long)] = {
+    var attempt = 0
+    while (attempt < 3) {
+      val d = dir.resolve(fname + ".d")
+      val best =
+        if (!Files.isDirectory(d)) -1L
+        else {
+          val s = Files.list(d)
+          try s.iterator().asScala.flatMap(seqOf).foldLeft(-1L)(math.max)
+          finally s.close()
+        }
+      val p =
+        if (best >= 0) d.resolve(f"$best%020d.json")
+        else if (Files.exists(dir.resolve(fname))) dir.resolve(fname)
+        else return None
+      try return Some((Files.readString(p), math.max(best, 0L)))
+      catch { case _: java.io.IOException => attempt += 1 }
+    }
+    None
   }
 
   /** Every table's LATEST document + its ledger sequence: numbered

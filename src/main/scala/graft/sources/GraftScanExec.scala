@@ -789,8 +789,12 @@ private[graft] class GraftCatalogMicroBatchStream(
 
   @volatile private var availableNowTarget: Option[Long] = None
 
-  private def latestVersion: Long =
+  private def latestVersion: Long = {
+    // Cross-process tail (see GraftChangeScan.currentVersion): commits
+    // from other driver processes arrive via the ledger only.
+    GraftCatalog.refreshIfStale(ident)
     GraftCatalog.retainedSnapshots(ident).lastOption.map(_.version).getOrElse(-1L)
+  }
 
   private def snapshotOrFail(v: Long): GraftCatalog.CatalogSnapshot =
     GraftCatalog.snapshotByVersion(ident, v).getOrElse(throw new IllegalStateException(

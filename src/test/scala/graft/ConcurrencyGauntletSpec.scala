@@ -177,9 +177,11 @@ class ConcurrencyGauntletSpec extends AnyFunSuite {
         .start()
     }
     def await(p: Process, what: String, timeoutS: Long = 600): Unit = {
-      assert(p.waitFor(timeoutS, java.util.concurrent.TimeUnit.SECONDS), {
-        p.destroyForcibly(); s"$what did not finish within ${timeoutS}s"
-      })
+      // NOTE: assert(cond, clue) evaluates the clue EAGERLY — any
+      // destroy() must live in a plain if, not inside the clue.
+      val finished = p.waitFor(timeoutS, java.util.concurrent.TimeUnit.SECONDS)
+      if (!finished) p.destroyForcibly()
+      assert(finished, s"$what did not finish within ${timeoutS}s")
       assert(p.exitValue() == 0, s"$what exited ${p.exitValue()} — see ${root}/child-*.log")
     }
     await(run("setup"), "setup driver")
@@ -217,6 +219,66 @@ class ConcurrencyGauntletSpec extends AnyFunSuite {
       case (a, b) => b == a + 1
     }, s"cross-process history not dense: ${versions.mkString(",")}")
     info(s"cross-process gauntlet: ${versions.length} commits, final rows=${got.values.sum}")
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.iterator().forEachRemaining(rm) finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p): Unit
+    }
+    rm(root)
+  }
+
+  test("CDC stream in one process tails commits made by ANOTHER process") {
+    // The multi-pipeline CDC topology: driver A (feed) commits batches
+    // while driver B (tail) — whose metastore loaded before most of
+    // those commits existed — streams the change feed continuously.
+    // The feed waits for the tail's started-marker, so commits land
+    // while the stream is live: they are only visible through the
+    // ledger staleness refresh in the stream's frontier. Without it
+    // the tail idles forever (the test times out and fails loudly).
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_tail_")
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val cp = System.getProperty("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def run(mode: String, extra: String*): Process =
+      new ProcessBuilder((Seq(javaBin, "-Xmx2g", "-cp", cp) ++ addOpens ++
+        Seq("-Dspark.ui.enabled=false", "-Dgraft.debug.commits=1",
+          "graft.TwoDriverMain", mode, root.toString) ++ extra): _*)
+        .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        .redirectError(root.resolve(s"child-$mode.log").toFile)
+        .start()
+    val batches = 6
+    val rowsPer = 4
+    val dump = root.resolve("replica.txt").toString
+    val tail = run("tail", dump, (batches * rowsPer).toString)
+    val feed = run("feed", batches.toString, rowsPer.toString)
+    def await(p: Process, what: String): Unit = {
+      // assert clues evaluate eagerly — kill processes in an if, never
+      // inside the clue (an eager clue force-killed live children).
+      val finished = p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+      if (!finished) { p.destroyForcibly(); tail.destroyForcibly(); feed.destroyForcibly() }
+      assert(finished, s"$what did not finish within 300s — see $root/child-*.log")
+      assert(p.exitValue() == 0, s"$what exited ${p.exitValue()} — see $root/child-*.log")
+    }
+    await(feed, "feed driver")
+    await(tail, "tail driver")
+    val got = java.nio.file.Files.readString(java.nio.file.Paths.get(dump))
+      .linesIterator.filter(_.nonEmpty).map { l =>
+        val Array(b, j, c) = l.split(','); ((b.toLong, j.toLong), c.toLong)
+      }.toMap
+    val want = (for (b <- 0 until batches; j <- 0 until rowsPer)
+      yield ((b.toLong, j.toLong), 1L)).toMap
+    assert(got == want, s"cross-process CDC replica diverged:\n got=$got\nwant=$want")
     def rm(p: java.nio.file.Path): Unit = {
       if (java.nio.file.Files.isDirectory(p)) {
         val s = java.nio.file.Files.list(p)

@@ -114,5 +114,87 @@ object TwoDriverMain {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outFile), s"$rows\nversions:$versions")
       spark.stop()
+
+    // Cross-process CDC tail: `feed` commits known batches from one
+    // process while `tail` — a DIFFERENT process whose metastore was
+    // loaded before those commits existed — streams the change feed.
+    // The feed process waits for the tail's started-marker, so most
+    // commits land while the stream is LIVE: without the ledger
+    // staleness refresh in the stream's frontier, the tail would idle
+    // forever on them.
+    case "feed" =>
+      val Array(_, root, batchesS, rowsS) = args
+      val batches = batchesS.toInt
+      val rows = rowsS.toInt
+      val spark = session(root)
+      spark.sql("DROP TABLE IF EXISTS g2.xp.s PURGE")
+      spark.sql("CREATE TABLE g2.xp.s (b BIGINT, j BIGINT) USING graft " +
+        "TBLPROPERTIES ('graft.retention.seconds'='600')")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(root, "feed_table_ready"), "1")
+      val started = java.nio.file.Paths.get(root, "tail_started")
+      val t0 = System.nanoTime()
+      while (!java.nio.file.Files.exists(started)) {
+        require(System.nanoTime() - t0 < 180e9, "tail never started")
+        Thread.sleep(100)
+      }
+      for (b <- 0 until batches) {
+        val vals = (0 until rows).map(j => s"($b, $j)").mkString(", ")
+        spark.sql(s"INSERT INTO g2.xp.s VALUES $vals")
+        Thread.sleep(150) // spread commits across the live stream's triggers
+      }
+      spark.stop()
+
+    case "tail" =>
+      val Array(_, root, outFile, expectedS) = args
+      val expected = expectedS.toLong
+      val spark = session(root)
+      val t0 = System.nanoTime()
+      while (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(root, "feed_table_ready"))) {
+        require(System.nanoTime() - t0 < 180e9, "feed never created the table")
+        Thread.sleep(100)
+      }
+      // Bind the durable root: the graft-changes SOURCE reads catalog
+      // state directly, and the catalog plugin (which installs the
+      // root) initializes only when the session first touches it.
+      spark.sql("SHOW NAMESPACES IN g2").collect()
+      val replica = new java.util.concurrent.ConcurrentHashMap[(Long, Long), Long]()
+      val q = spark.readStream.format("graft-changes")
+        .option("table", "xp.s").option("changesFrom", "0").load()
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach { r =>
+            val key = (r.getLong(0), r.getLong(1))
+            r.getString(r.fieldIndex("_change_type")) match {
+              case "insert" | "update_postimage" =>
+                replica.merge(key, 1L, (a, b) => a + b); ()
+              case _ =>
+                replica.merge(key, -1L, (a, b) => a + b); ()
+            }
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(root, "tail_started"), "1")
+      def total: Long = {
+        var s = 0L; replica.forEach((_, v) => s += v); s
+      }
+      while (total < expected) {
+        require(System.nanoTime() - t0 < 240e9,
+          s"tail saw only $total of $expected rows — cross-process commits invisible?")
+        Thread.sleep(200)
+      }
+      q.stop()
+      val out = replica.entrySet().iterator()
+      val sb = new StringBuilder
+      val sorted = scala.collection.mutable.ArrayBuffer.empty[String]
+      replica.forEach((k, v) => { sorted += s"${k._1},${k._2},$v"; () })
+      sorted.sorted.foreach { l => sb.append(l).append('\n'); () }
+      val _ = out
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), sb.toString)
+      spark.stop()
   }
 }
