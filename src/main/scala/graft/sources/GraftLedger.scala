@@ -47,7 +47,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * 0. Views and the drop-trash stay last-write-wins flat documents —
   * they are not data-commit surfaces.
   */
-private[sources] object GraftLedger {
+private[graft] object GraftLedger {
   import GraftCatalog.{CatalogSnapshot, ColStat, Segment, TableEntry}
 
   private val M = new ObjectMapper()
