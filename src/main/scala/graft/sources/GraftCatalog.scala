@@ -3827,6 +3827,44 @@ object GraftCatalog {
     // would kill the streaming query in a crash loop that makes one
     // committed epoch of progress per restart.
     val threshold = autoCompactThreshold(ident)
+    // Cross-process retry-merge, same shape as commitSegments: a
+    // streaming epoch racing another DRIVER's commit must re-apply
+    // onto the reloaded winner and retry, not kill the streaming query
+    // (which would burn a full checkpoint-restart per lost CAS). The
+    // reload restores the epochs ledger from disk too, so the
+    // exactly-once replay check always judges against committed truth.
+    // Truncate (complete-output-mode) epochs re-applying over a
+    // concurrent append IS the complete-mode contract: each epoch
+    // replaces the whole table.
+    var attempt = 0
+    while (true) {
+      refreshIfStale(ident)
+      val appliedNow = installEpochOnce(
+        ident, queryId, epochId, segs, truncate, upsert)
+      appliedNow match {
+        case Some(applied) =>
+          if (applied) maybeAutoCompact(ident, threshold)
+          return applied
+        case None => // lost the ledger CAS; state reloaded — re-apply
+          attempt += 1
+          if (attempt > 20)
+            throw new java.util.ConcurrentModificationException(
+              s"$ident: streaming epoch $epochId lost the ledger CAS to " +
+                s"concurrent drivers $attempt times; giving up — the query " +
+                "will replay the epoch on restart")
+      }
+    }
+    false // unreachable
+  }
+
+  /** One optimistic attempt of [[installEpoch]]: Some(applied) when the
+    * commit landed (or the epoch was a replay), None on a lost
+    * cross-process CAS (state already reloaded to the winner's).
+    */
+  private def installEpochOnce(
+      ident: Identifier, queryId: String, epochId: Long,
+      segs: Seq[Segment], truncate: Boolean,
+      upsert: Option[(Seq[String], Seq[IndexedSeq[Any]])]): Option[Boolean] = {
     val maxKeys = upsertMaxKeys
     var applied = false
     var replayed: Seq[Segment] = Nil
@@ -3864,8 +3902,9 @@ object GraftCatalog {
     // immediately (no snapshot ever referenced them); an applied epoch
     // publishes a snapshot and retention protects what it replaced.
     replayed.foreach(SegmentIO.delete)
-    if (applied) { publish(ident); maybeAutoCompact(ident, threshold) }
-    applied
+    if (!applied) Some(false)
+    else if (publish(ident, casRetryable = true)) Some(true)
+    else None // lost CAS: publish reloaded the winner's state
   }
 
   /** OPTIMIZE-style segment compaction (`CALL graft.system.compact`):

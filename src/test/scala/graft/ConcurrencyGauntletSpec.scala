@@ -190,8 +190,15 @@ class ConcurrencyGauntletSpec extends AnyFunSuite {
     val m1 = root.resolve("model1.txt").toString
     val w0 = run("write", m0, "0", ops)
     val w1 = run("write", m1, "1", ops)
+    // A THIRD process writes through the STREAMING path (one epoch per
+    // micro-batch via installEpoch) racing both batch writers: epoch
+    // commits must retry-merge lost CASes, not kill the query, and
+    // land exactly once.
+    val ms = root.resolve("models.txt").toString
+    val ws = run("swrite", ms, "8", "3")
     await(w0, "writer driver 0")
     await(w1, "writer driver 1")
+    await(ws, "streaming writer driver")
     val dump = root.resolve("final.txt").toString
     await(run("verify", dump), "verify driver")
 
@@ -200,7 +207,7 @@ class ConcurrencyGauntletSpec extends AnyFunSuite {
         .linesIterator.filter(_.nonEmpty).map { l =>
           val Array(n, c) = l.split(','); (tid, n.toLong) -> c.toLong
         }.toMap
-    val want = model(m0, 0L) ++ model(m1, 1L)
+    val want = model(m0, 0L) ++ model(m1, 1L) ++ model(ms, 9L)
     val lines = java.nio.file.Files.readString(java.nio.file.Paths.get(dump))
       .linesIterator.toSeq
     val got = lines.filter(l => l.nonEmpty && !l.startsWith("versions:")).map { l =>

@@ -115,6 +115,38 @@ object TwoDriverMain {
         java.nio.file.Paths.get(outFile), s"$rows\nversions:$versions")
       spark.stop()
 
+    // Cross-process STREAMING writer: a MemoryStream-driven query
+    // appends one epoch per micro-batch into the SHARED gauntlet table
+    // through the catalog's streaming write (installEpoch) while a
+    // batch writer in another process races it — epoch commits must
+    // retry-merge lost CASes (not kill the query) and land exactly
+    // once. Rows are (tid=9, epoch*100+j), disjoint from the batch
+    // writers' tids, so the end-state check stays exact.
+    case "swrite" =>
+      val Array(_, root, outFile, epochsS, rowsS) = args
+      val epochs = epochsS.toInt
+      val rows = rowsS.toInt
+      val spark = session(root)
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      val q = in.toDF().toDF("tid", "n").writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("swrite_ckpt_").toString)
+        .toTable(T)
+      val model = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      for (e <- 1 to epochs) {
+        val batch = (0 until rows).map(j => (9L, e * 100L + j))
+        in.addData(batch: _*)
+        q.processAllAvailable() // one micro-batch = one epoch commit
+        model ++= batch
+        Thread.sleep(50)
+      }
+      q.stop()
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+        model.map(p => s"${p._2},1").sorted.mkString("\n"))
+      spark.stop()
+
     // Cross-process CDC tail: `feed` commits known batches from one
     // process while `tail` — a DIFFERENT process whose metastore was
     // loaded before those commits existed — streams the change feed.
