@@ -4595,13 +4595,36 @@ private[sources] class GraftCatalogTable(
         }
     }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val sv = Option(options.get("startingVersion")).map(_.toLong)
+    // `startingTimestamp` (the Delta option): replay from the FIRST
+    // commit AT OR AFTER the instant — the "resume since yesterday"
+    // spelling for users who don't track version numbers. Resolved
+    // eagerly against retained history; a timestamp past the newest
+    // commit refuses loudly (silently starting "from now" would skip
+    // nothing visibly and surprise a replay consumer — Delta refuses
+    // too). Mutually exclusive with startingVersion.
+    val st = Option(options.get("startingTimestamp")).map { s =>
+      val inst = GraftChangeScan.parseInstant(s).getOrElse(
+        throw new IllegalArgumentException(
+          s"startingTimestamp must be a timestamp (got '$s'); " +
+            "use startingVersion for version numbers"))
+      val micros = inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+      GraftCatalog.retainedSnapshots(ident)
+        .find(_.wallMs * 1000L >= micros).map(_.version).getOrElse(
+          throw new IllegalArgumentException(
+            s"startingTimestamp '$s' is after $ident's newest commit — " +
+              "nothing would replay; drop the option to start from now"))
+    }
+    require(sv.isEmpty || st.isEmpty,
+      s"stream over $ident: startingVersion and startingTimestamp are mutually exclusive")
     new GraftCatalogScanBuilder(ident, schema0, pinned, partitionCols,
       maxSegmentsPerTrigger =
         Option(options.get("maxSegmentsPerTrigger")).map(_.toInt),
       skipChangeCommits = options.getBoolean("skipChangeCommits", false),
-      startingVersion = Option(options.get("startingVersion")).map(_.toLong),
+      startingVersion = sv.orElse(st),
       pinnedEq = pinnedEq)
+  }
 
   /** Writes to a PARTITIONED table request a CLUSTERED distribution on
     * the partition columns (`RequiresDistributionAndOrdering`): Spark

@@ -574,24 +574,7 @@ private[sources] object GraftChangeScan {
   private[sources] def resolveBoundVersion(ident: Identifier, s: String): Long =
     try GraftCatalog.resolveVersionString(ident, s)
     catch { case versionErr: IllegalArgumentException =>
-      import java.time._
-      import java.time.format.DateTimeParseException
-      def sessionZone: ZoneId = ZoneId.of(
-        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
-      val inst: Option[Instant] =
-        (try Some(Instant.parse(s))
-         catch { case _: DateTimeParseException => None })
-          .orElse(
-            try Some(OffsetDateTime.parse(s).toInstant)
-            catch { case _: DateTimeParseException => None })
-          .orElse(
-            try Some(LocalDateTime.parse(s.replace(' ', 'T'))
-              .atZone(sessionZone).toInstant)
-            catch { case _: DateTimeParseException => None })
-          .orElse(
-            try Some(LocalDate.parse(s).atStartOfDay(sessionZone).toInstant)
-            catch { case _: DateTimeParseException => None })
-      inst match {
+      parseInstant(s) match {
         case None => throw versionErr
         case Some(i) =>
           val micros = i.getEpochSecond * 1000000L + i.getNano / 1000L
@@ -600,6 +583,31 @@ private[sources] object GraftChangeScan {
               s"change feed over $ident: no snapshot committed at or before '$s'"))
       }
     }
+
+  /** Parse a user-supplied timestamp string with `TIMESTAMP AS OF`'s
+    * TIMEZONE semantics: zone-less forms (`yyyy-MM-dd[ HH:mm:ss[.f]]`)
+    * read in the SESSION timezone exactly as Spark parses the `AS OF`
+    * literal (never the JVM default zone); explicit-offset ISO forms
+    * and `...Z` instants carry their own zone. None = not a timestamp.
+    */
+  private[sources] def parseInstant(s: String): Option[java.time.Instant] = {
+    import java.time._
+    import java.time.format.DateTimeParseException
+    def sessionZone: ZoneId = ZoneId.of(
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    (try Some(Instant.parse(s))
+     catch { case _: DateTimeParseException => None })
+      .orElse(
+        try Some(OffsetDateTime.parse(s).toInstant)
+        catch { case _: DateTimeParseException => None })
+      .orElse(
+        try Some(LocalDateTime.parse(s.replace(' ', 'T'))
+          .atZone(sessionZone).toInstant)
+        catch { case _: DateTimeParseException => None })
+      .orElse(
+        try Some(LocalDate.parse(s).atStartOfDay(sessionZone).toInstant)
+        catch { case _: DateTimeParseException => None })
+  }
 
   /** Rewrite provenance composed across every commit in (fromV, toV]:
     * current segment path → the path it (transitively) rewrote, as of

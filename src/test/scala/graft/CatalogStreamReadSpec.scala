@@ -302,6 +302,49 @@ class CatalogStreamReadSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("startingTimestamp replays from the first commit at or after the instant") {
+    spark.sql("DROP TABLE IF EXISTS graft.csr.st1")
+    spark.sql("CREATE TABLE graft.csr.st1 (k BIGINT, v STRING) USING graft")
+    spark.sql("INSERT INTO graft.csr.st1 VALUES (1,'old')")
+    // The cut instant: strictly after the 'old' commit, at or before
+    // the 'new' one (commit wallMs are ms-distinct — each INSERT is a
+    // full Spark job).
+    Thread.sleep(5)
+    val cut = java.time.Instant.now().toString
+    Thread.sleep(5)
+    spark.sql("INSERT INTO graft.csr.st1 VALUES (2,'new')")
+    val q = spark.readStream.option("startingTimestamp", cut)
+      .table("graft.csr.st1")
+      .writeStream.format("memory").queryName("csrst1").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("csrst1").as[(Long, String)].collect().toSeq == Seq((2L, "new")),
+        "rows committed before startingTimestamp must not replay")
+    } finally q.stop()
+    // A timestamp past the newest commit refuses loudly (nothing would
+    // replay) instead of silently starting "from now".
+    val late = java.time.Instant.now().plusSeconds(3600).toString
+    val e = intercept[Exception] {
+      spark.readStream.option("startingTimestamp", late)
+        .table("graft.csr.st1")
+        .writeStream.format("memory").queryName("csrst1b").start()
+        .processAllAvailable()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("after")), chain(e).mkString(" | "))
+    // Both starting options together refuse.
+    val e2 = intercept[Exception] {
+      spark.readStream
+        .option("startingVersion", "1").option("startingTimestamp", cut)
+        .table("graft.csr.st1")
+        .writeStream.format("memory").queryName("csrst1c").start()
+        .processAllAvailable()
+    }
+    assert(chain(e2).exists(_.contains("mutually exclusive")), chain(e2).mkString(" | "))
+    spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+  }
+
   test("batch reader options versionAsOf/timestampAsOf pin a snapshot; vacuum expires it") {
     spark.sql("DROP TABLE IF EXISTS graft.csr.tt")
     spark.sql("CREATE TABLE graft.csr.tt (k BIGINT) USING graft")
