@@ -212,7 +212,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       deleteRecursively(Paths.get(dir))
       throw new TableAlreadyExistsException(ident.toString, ident.name())
     }
-    publish(ident) // snapshot v0: the empty table
+    // Two processes racing the same CREATE: the v0 publish is a CAS at
+    // sequence 0 — the loser's reload adopts the winner's table, and
+    // the honest surface is TableAlreadyExists (IF NOT EXISTS then
+    // no-ops instead of erroring on a refusal message).
+    try publish(ident) // snapshot v0: the empty table
+    catch { case _: java.util.ConcurrentModificationException =>
+      deleteRecursively(Paths.get(dir))
+      throw new TableAlreadyExistsException(ident.toString, ident.name())
+    }
     new GraftCatalogTable(ident, schema, dir, partitionCols = partCols,
       tableConstraints = constraints)
   }
@@ -1084,6 +1092,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       throw new UnsupportedOperationException(
         s"$oldIdent is a branch — publish it (CALL graft.system.publish_branch) " +
           "or drop it; branches cannot be renamed")
+    // Cross-process: the source must be current and the target's
+    // absence judged against the LEDGER, not a stale in-memory view.
+    GraftCatalog.refreshIfStale(oldIdent)
+    GraftCatalog.refreshIfStale(newIdent)
     val entry = store.get(oldIdent)
     if (entry == null) throw new NoSuchTableException(oldIdent)
     // Tables and views share one namespace — renaming onto a VIEW name
@@ -1099,14 +1111,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       throw new UnsupportedOperationException(
         s"$oldIdent has open branch(es) ${openBranches.map(_._1).mkString(", ")} — " +
           "publish or drop them before renaming the table")
+    val ourHist = Option(history.get(oldIdent))
+    val ourEpochs = epochs.asScala.toSeq.collect {
+      case ((id, qid), e) if id == oldIdent => qid -> e
+    }
     store.remove(oldIdent)
     store.put(newIdent, entry)
-    Option(history.remove(oldIdent)).foreach(history.put(newIdent, _))
-    epochs.asScala.toSeq.foreach { case (k @ (id, qid), e) =>
-      if (id == oldIdent) { epochs.remove(k); epochs.put((newIdent, qid), e) }
+    ourHist.foreach(history.put(newIdent, _))
+    history.remove(oldIdent)
+    ourEpochs.foreach { case (qid, e) =>
+      epochs.remove((oldIdent, qid)); epochs.put((newIdent, qid), e)
     }
-    persistTable(oldIdent) // old document deleted ...
-    persistTable(newIdent) // ... new one written
+    // NEW document first, old deletion second: the new-name write is a
+    // CAS that can LOSE to another process creating that name — losing
+    // AFTER the old document was deleted would leave the table on
+    // neither name (a lost table). Losing before any deletion is a
+    // clean refusal: the lost CAS already reloaded the WINNER's state
+    // at the new name (leave it), and the rollback restores OUR table
+    // under its old name from the captured state. If the new write
+    // lands and the old deletion then fails, both names briefly serve
+    // (benign; the old document deletes on the next mutation).
+    try persistTable(newIdent) // CAS: refuses if another process took the name
+    catch { case _: java.util.ConcurrentModificationException =>
+      store.put(oldIdent, entry)
+      ourHist.foreach(history.put(oldIdent, _))
+      ourEpochs.foreach { case (qid, e) => epochs.put((oldIdent, qid), e): Unit }
+      throw new TableAlreadyExistsException(newIdent.toString, newIdent.name())
+    }
+    persistTable(oldIdent) // old document deleted
   }
 
   // ---- SupportsNamespaces: implicit single-level namespaces ----
