@@ -2212,11 +2212,15 @@ object GraftCatalog {
         val root = segmentRoot
         val mono = System.nanoTime()
         GraftLedger.readAllTables(GraftLedger.tablesDir(root)).foreach { case (json, seq) =>
-          val (ident, entry, hist, eps) = GraftLedger.decodeTable(json, mono)
-          if (store.putIfAbsent(ident, entry) == null) ledgerSeqs.put(ident, seq)
-          if (hist.nonEmpty) history.putIfAbsent(ident, hist)
-          eps.foreach { case (qid, e) =>
-            epochs.putIfAbsent((ident, qid), java.lang.Long.valueOf(e))
+          // Tombstone top-docs = dropped tables: nothing to load (the
+          // sequence is re-learned lazily on first access/refresh).
+          if (!GraftLedger.isTombstone(json)) {
+            val (ident, entry, hist, eps) = GraftLedger.decodeTable(json, mono)
+            if (store.putIfAbsent(ident, entry) == null) ledgerSeqs.put(ident, seq)
+            if (hist.nonEmpty) history.putIfAbsent(ident, hist)
+            eps.foreach { case (qid, e) =>
+              epochs.putIfAbsent((ident, qid), java.lang.Long.valueOf(e))
+            }
           }
         }
         GraftLedger.readAll(GraftLedger.viewsDir(root)).foreach { json =>
@@ -2282,7 +2286,9 @@ object GraftCatalog {
         knownByName.get(fname) match {
           case Some(id) => if (seq > knownSeq(id)) reloadFromDisk(id)
           case None =>
-            GraftLedger.readLatestByName(dir, fname).foreach { case (json, sq) =>
+            GraftLedger.readLatestByName(dir, fname)
+              .filterNot { case (json, _) => GraftLedger.isTombstone(json) }
+              .foreach { case (json, sq) =>
               val (id, entry, hist, eps) =
                 GraftLedger.decodeTable(json, System.nanoTime())
               // Unknown here can also mean "we know the ident under a
@@ -2309,6 +2315,16 @@ object GraftCatalog {
   private def reloadFromDisk(ident: Identifier): Unit = {
     if (!persistent) return
     GraftLedger.readLatest(GraftLedger.tablesDir(segmentRoot), ident) match {
+      case Some((json, seq)) if GraftLedger.isTombstone(json) =>
+        // Dropped (possibly by another process): absent from the maps,
+        // but the SEQUENCE is remembered — a recreate must CAS above
+        // the tombstone, never restart at 0 (monotonicity is what lets
+        // every stale process notice the drop).
+        dbg(s"reload($ident) -> tombstone seq=$seq")
+        store.remove(ident)
+        history.remove(ident)
+        epochs.keySet.asScala.filter(_._1 == ident).toSeq.foreach(epochs.remove)
+        ledgerSeqs.put(ident, seq): Unit
       case Some((json, seq)) =>
         dbg(s"reload($ident) -> seq=$seq")
         val (id, entry, hist, eps) = GraftLedger.decodeTable(json, System.nanoTime())
@@ -2338,12 +2354,19 @@ object GraftCatalog {
     val dir = GraftLedger.tablesDir(segmentRoot)
     val entry = store.get(ident)
     if (entry == null) {
-      // Deletion is not CAS-protected: DROP racing a concurrent commit
-      // is last-write-wins at the registry level (the same as Delta's
-      // log removal), and the trash/undrop machinery keeps the data.
-      GraftLedger.delete(dir, ident)
-      ledgerSeqs.remove(ident)
-      true
+      // DROP is a tombstone COMMIT at the next sequence, CAS-protected
+      // like any other: sequences stay monotonic across drop/recreate/
+      // undrop (a directory removal would reset to 0 and let any stale
+      // process shadow the next incarnation), and a DROP racing a
+      // concurrent commit now loses the CAS and refuses instead of
+      // erasing it. The trash/undrop machinery keeps the data.
+      val next = knownSeq(ident) + 1
+      val won = GraftLedger.casWrite(dir, ident, GraftLedger.Tombstone, next)
+      if (won) {
+        dbg(s"persist($ident) tombstone seq=$next")
+        ledgerSeqs.put(ident, next): Unit
+      }
+      won
     } else {
       val eps = epochs.asScala.collect {
         case ((id, qid), e) if id == ident => qid -> e.longValue()
@@ -2995,6 +3018,12 @@ object GraftCatalog {
     */
   private[sources] def undropTable(ident: Identifier): (Long, Int) = mutate {
     ensureLoaded() // the trash may live only in the ledger (fresh JVM)
+    // Learn the tombstone's sequence (a fresh JVM skips tombstones at
+    // load): the restore must CAS ABOVE it — a knownSeq of -1 would
+    // CAS at 0, potentially landing BELOW the tombstone and leaving
+    // the restored table invisible behind it. Also surfaces a
+    // concurrent recreate of the name as TableAlreadyExists below.
+    refreshIfStale(ident)
     expireTrash()
     val d = trash.get(ident)
     if (d == null)
@@ -3138,14 +3167,21 @@ object GraftCatalog {
       // comments win, the same last-writer-wins as fast-forward
       // itself). CURRENT_DEFAULT and other metadata facets still
       // refuse: reverting a SET DEFAULT changes future INSERTs.
-      def stripComments(st: StructType): StructType = StructType(st.fields.map { f =>
-        val dt = f.dataType match {
+      def stripType(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+        dt match {
           case s: StructType => stripComments(s)
+          // Structs nested in containers carry field comments too — an
+          // ALTER on `items.element.f`'s comment must not block either.
+          case a: org.apache.spark.sql.types.ArrayType =>
+            a.copy(elementType = stripType(a.elementType))
+          case m: org.apache.spark.sql.types.MapType =>
+            m.copy(keyType = stripType(m.keyType), valueType = stripType(m.valueType))
           case other => other
         }
+      def stripComments(st: StructType): StructType = StructType(st.fields.map { f =>
         val mb = new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata).remove("comment").build()
-        f.copy(dataType = dt, metadata = mb)
+        f.copy(dataType = stripType(f.dataType), metadata = mb)
       })
       if (stripComments(main.schema) != stripComments(sd.schema))
         throw new IllegalStateException(
@@ -3428,7 +3464,20 @@ object GraftCatalog {
         store.compute(ident, (_, prev) =>
           if (prev == null) entry else replaceEntry(prev, entry))
     }
-    publish(ident)
+    // Cross-process CAS loss: the loser's staged segments must not
+    // leak as orphans, and a racing CTAS surfaces as TableAlreadyExists
+    // (so IF NOT EXISTS no-ops) — same treatment as plain createTable.
+    // A lost REPLACE stays a concurrency refusal: the interleaved
+    // commit is real data the swap would have erased; retry replans.
+    try publish(ident)
+    catch { case e: java.util.ConcurrentModificationException =>
+      discard()
+      mode match {
+        case GraftStagedTable.Create =>
+          throw new TableAlreadyExistsException(ident.toString, ident.name())
+        case _ => throw e
+      }
+    }
   }
 
   private[sources] def install(

@@ -408,21 +408,28 @@ private[graft] object GraftLedger {
 
   // ---- atomic file IO ----
 
-  /** Write the fsynced temp file all atomic publishes rename from. */
+  /** Write the fsynced temp file all atomic publishes rename from.
+    * Deletes its own temp on a failed write — the callers' finally
+    * blocks only see the path once this returns.
+    */
   private def writeTmp(dir: Path, json: String): Path = {
     val tmp = Files.createTempFile(dir, ".tmp-", ".json")
-    // fsync BEFORE the rename: on delayed-allocation filesystems a
-    // crash can otherwise persist the rename but not the bytes,
-    // leaving a truncated document — exactly the torn state the
-    // never-torn contract rules out. Data first, then the directory
-    // entry (so the rename itself is durable too, best-effort: some
-    // platforms refuse directory fds).
-    val ch = java.nio.channels.FileChannel.open(tmp, java.nio.file.StandardOpenOption.WRITE)
     try {
-      ch.write(java.nio.ByteBuffer.wrap(json.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-      ch.force(true)
-    } finally ch.close()
-    tmp
+      // fsync BEFORE the publish: on delayed-allocation filesystems a
+      // crash can otherwise persist the directory entry but not the
+      // bytes, leaving a truncated document — exactly the torn state
+      // the never-torn contract rules out. Data first, then the
+      // directory entry (best-effort: some platforms refuse dir fds).
+      val ch = java.nio.channels.FileChannel.open(tmp, java.nio.file.StandardOpenOption.WRITE)
+      try {
+        ch.write(java.nio.ByteBuffer.wrap(json.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        ch.force(true)
+      } finally ch.close()
+      tmp
+    } catch { case t: Throwable =>
+      try Files.deleteIfExists(tmp) catch { case _: java.io.IOException => () }
+      throw t
+    }
   }
 
   def write(dir: Path, ident: Identifier, json: String): Unit = {
@@ -439,8 +446,8 @@ private[graft] object GraftLedger {
   // ---- numbered table documents (cross-process CAS commits) ----
 
   /** Per-table numbered-document directory: `<fname>.d/`. */
-  private def docDir(dir: Path, ident: Identifier): Path =
-    dir.resolve(fileName(ident) + ".d")
+  private def docDir(dir: Path, ident: Identifier): Path = docDirByName(dir, fileName(ident))
+  private def docDirByName(dir: Path, fname: String): Path = dir.resolve(fname + ".d")
 
   private def seqOf(p: Path): Option[Long] = {
     val n = p.getFileName.toString
@@ -449,43 +456,96 @@ private[graft] object GraftLedger {
     else None
   }
 
+  /** DROP is a COMMIT, not a directory removal: the table's next
+    * numbered document is this tombstone, so ledger sequences stay
+    * MONOTONIC across drop / recreate / undrop. Removing the directory
+    * instead would reset the sequence to 0 — a stale process whose
+    * knownSeq predates the drop would then CAS knownSeq+1 ABOVE the new
+    * incarnation's documents and silently shadow (or resurrect) the
+    * table. Readers map a tombstone top-document to "table absent at
+    * this sequence".
+    */
+  val Tombstone: String = "{\"tombstone\":true}"
+  def isTombstone(json: String): Boolean = json.startsWith("{\"tombstone\"")
+
+  /** Highest numbered sequence in a `.d` directory; -1 if none. */
+  private def maxSeqIn(d: Path): Long =
+    if (!Files.isDirectory(d)) -1L
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala.flatMap(seqOf).foldLeft(-1L)(math.max)
+      finally s.close()
+    }
+
   /** Highest committed sequence of a table's ledger, or -1 if the table
     * has no document. A legacy flat document counts as sequence 0.
     * One directory listing — the cross-process staleness probe every
     * commit pays; metadata-scale, the same `ls _delta_log` Delta pays.
     */
-  def latestSeq(dir: Path, ident: Identifier): Long = {
-    val d = docDir(dir, ident)
-    val fromDir =
-      if (!Files.isDirectory(d)) -1L
-      else {
-        val s = Files.list(d)
-        try s.iterator().asScala.flatMap(seqOf).foldLeft(-1L)(math.max)
-        finally s.close()
-      }
+  def latestSeq(dir: Path, ident: Identifier): Long =
+    latestSeqByName(dir, fileName(ident))
+
+  private def latestSeqByName(dir: Path, fname: String): Long = {
+    val fromDir = maxSeqIn(docDirByName(dir, fname))
     if (fromDir >= 0) fromDir
-    else if (Files.exists(dir.resolve(fileName(ident)))) 0L
+    else if (Files.exists(dir.resolve(fname))) 0L
     else -1L
   }
 
-  /** Latest committed document + its sequence, or None. Retries once on
-    * a read/list race (a concurrent GC may delete an old doc between
-    * the listing and the read — re-list and take the new highest).
+  /** Latest committed document + its sequence. None ONLY when no
+    * document exists; a persistent read failure WITH documents present
+    * throws (masquerading as table-absence would let a transient I/O
+    * error erase the table from a caller's metastore). Re-lists on a
+    * read race (a concurrent writer's GC may delete an old doc between
+    * listing and read). A trailing document that is not valid JSON is
+    * SKIPPED in favor of the one below it: only the no-hardlink O_EXCL
+    * fallback can produce a torn document, and a torn document means
+    * its writer crashed BEFORE the fsync that precedes acknowledgement
+    * — that commit never happened.
     */
-  def readLatest(dir: Path, ident: Identifier): Option[(String, Long)] = {
+  def readLatest(dir: Path, ident: Identifier): Option[(String, Long)] =
+    readLatestByName(dir, fileName(ident))
+
+  def readLatestByName(dir: Path, fname: String): Option[(String, Long)] = {
     var attempt = 0
     while (attempt < 3) {
-      val seq = latestSeq(dir, ident)
-      if (seq < 0) return None
-      val p =
-        if (seq == 0L && !Files.exists(docDir(dir, ident).resolve(f"$seq%020d.json")))
-          dir.resolve(fileName(ident)) // legacy flat document
-        else docDir(dir, ident).resolve(f"$seq%020d.json")
-      try return Some((Files.readString(p), seq))
-      catch { case _: java.io.IOException => attempt += 1 }
+      val d = docDirByName(dir, fname)
+      val numbered: Seq[Long] =
+        if (!Files.isDirectory(d)) Nil
+        else {
+          val s = Files.list(d)
+          try s.iterator().asScala.flatMap(seqOf).toSeq.sorted.reverse
+          finally s.close()
+        }
+      if (numbered.isEmpty) {
+        val flat = dir.resolve(fname)
+        if (!Files.exists(flat)) return None
+        try return Some((Files.readString(flat), 0L))
+        catch { case _: java.io.IOException => attempt += 1 }
+      } else {
+        var raced = false
+        numbered.foreach { seq =>
+          if (!raced) {
+            try {
+              val json = Files.readString(d.resolve(f"$seq%020d.json"))
+              if (isTombstone(json) || parses(json)) return Some((json, seq))
+              // torn trailing doc (O_EXCL fallback crash): step down
+            } catch { case _: java.io.IOException =>
+              raced = true // GC race — re-list rather than step down
+            }
+          }
+        }
+        attempt += 1
+      }
     }
-    None
+    throw new java.io.IOException(
+      s"ledger read of $fname kept failing while documents exist — transient " +
+        "I/O or a GC race storm; retry the statement")
   }
+
+  private def parses(json: String): Boolean =
+    try { M.readTree(json); true }
+    catch { case _: com.fasterxml.jackson.core.JacksonException => false }
 
   /** CAS-commit `json` as the table's sequence-`seq` document: atomic
     * put-if-absent. Returns false when some other process already
@@ -542,13 +602,33 @@ private[graft] object GraftLedger {
           if (Files.exists(target)) false else throw e
       } finally Files.deleteIfExists(tmp)
     if (won) {
+      val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
       val s = Files.list(d)
-      try s.iterator().asScala.toSeq
-        .filter(p => seqOf(p).exists(_ <= seq - 3))
-        .foreach(p => try Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
-      finally s.close()
+      try s.iterator().asScala.toSeq.foreach { p =>
+        val old = seqOf(p).exists(_ <= seq - 3)
+        // Aged .tmp- leftovers of crashed writers sweep here too — the
+        // flat-dir sweep in readAll never descends into .d directories.
+        val staleTmp = p.getFileName.toString.startsWith(".tmp-") &&
+          (try Files.getLastModifiedTime(p).toMillis < cutoff
+           catch { case _: java.io.IOException => false })
+        if (old || staleTmp)
+          try Files.deleteIfExists(p) catch { case _: java.io.IOException => () }
+      } finally s.close()
       try Files.deleteIfExists(dir.resolve(fileName(ident)))
       catch { case _: java.io.IOException => () }
+    } else {
+      // Lost to an EXISTING target: if that target is an AGED torn doc
+      // (O_EXCL-fallback writer crashed mid-write — it never acked, so
+      // nothing depends on it), reclaim the slot so the table doesn't
+      // wedge on an occupied-but-garbage sequence. Age-gated: a young
+      // unparseable target may be a live writer between CREATE_NEW and
+      // its final write.
+      try {
+        val aged = Files.getLastModifiedTime(target).toMillis <
+          System.currentTimeMillis() - 60L * 1000
+        if (aged && !parses(Files.readString(target)))
+          Files.deleteIfExists(target): Unit
+      } catch { case _: java.io.IOException => () }
     }
     won
   }
@@ -620,10 +700,7 @@ private[graft] object GraftLedger {
     val entries = try s.iterator().asScala.toSeq finally s.close()
     val numbered = entries.filter(p => Files.isDirectory(p) &&
       p.getFileName.toString.endsWith(".json.d")).flatMap { d =>
-      val ds = Files.list(d)
-      val best =
-        try ds.iterator().asScala.flatMap(seqOf).foldLeft(-1L)(math.max)
-        finally ds.close()
+      val best = maxSeqIn(d)
       if (best >= 0) Some(d.getFileName.toString.stripSuffix(".d") -> best) else None
     }
     val covered = numbered.map(_._1).toSet
@@ -635,34 +712,13 @@ private[graft] object GraftLedger {
     flat ++ numbered
   }
 
-  /** Latest document of the table whose ledger file name is `fname`
-    * (see [[readLatest]] for the list/GC race handling).
-    */
-  def readLatestByName(dir: Path, fname: String): Option[(String, Long)] = {
-    var attempt = 0
-    while (attempt < 3) {
-      val d = dir.resolve(fname + ".d")
-      val best =
-        if (!Files.isDirectory(d)) -1L
-        else {
-          val s = Files.list(d)
-          try s.iterator().asScala.flatMap(seqOf).foldLeft(-1L)(math.max)
-          finally s.close()
-        }
-      val p =
-        if (best >= 0) d.resolve(f"$best%020d.json")
-        else if (Files.exists(dir.resolve(fname))) dir.resolve(fname)
-        else return None
-      try return Some((Files.readString(p), math.max(best, 0L)))
-      catch { case _: java.io.IOException => attempt += 1 }
-    }
-    None
-  }
-
-  /** Every table's LATEST document + its ledger sequence: numbered
-    * `.d` directories take precedence over flat legacy documents for
-    * the same table (a legacy doc only survives until the table's
-    * first CAS commit removes it).
+  /** Every table's LATEST document + its ledger sequence (tombstone
+    * documents included — the caller records their sequence and skips
+    * the decode): numbered `.d` directories take precedence over flat
+    * legacy documents for the same table (a legacy doc only survives
+    * until the table's first CAS commit removes it). Delegates the
+    * per-table read to [[readLatestByName]] for the torn-doc and
+    * GC-race handling.
     */
   def readAllTables(dir: Path): Seq[(String, Long)] = {
     if (!Files.isDirectory(dir)) return Nil
@@ -677,15 +733,9 @@ private[graft] object GraftLedger {
             p.getFileName.toString.endsWith(".json.d")))
       } finally s.close()
     val fromDirsNamed = numbered.flatMap { d =>
-      val ds = Files.list(d)
-      val best =
-        try ds.iterator().asScala.flatMap(p => seqOf(p).map(_ -> p)).toSeq
-          .sortBy(_._1).lastOption
-        finally ds.close()
-      best.flatMap { case (seq, p) =>
-        try Some((d.getFileName.toString.stripSuffix(".d"), Files.readString(p), seq))
-        catch { case _: java.io.IOException => None }
-      }
+      val fname = d.getFileName.toString.stripSuffix(".d")
+      try readLatestByName(dir, fname).map { case (json, seq) => (fname, json, seq) }
+      catch { case _: java.io.IOException => None } // startup: skip, not abort
     }
     val fromDirs = fromDirsNamed.map { case (_, json, seq) => (json, seq) }
     // Only dirs that actually yielded a document shadow a flat legacy

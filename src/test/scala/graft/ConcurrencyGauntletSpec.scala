@@ -21,6 +21,58 @@ import org.scalatest.funsuite.AnyFunSuite
   * and the net v0→final CDC diff rebuilds the same state — the change
   * feed must stay consistent under contention too.
   */
+/** Forked-JVM harness shared by the cross-process gauntlet tests: one
+  * definition of the JDK-17 module flags, the child spawn, the
+  * await-with-kill discipline (assert clues evaluate EAGERLY — any
+  * destroy() lives in a plain if, never inside a clue), and the
+  * cleanup sweep — so the gauntlets cannot drift apart on JVM flags.
+  */
+private object ForkedDrivers {
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+  private val javaBin = java.nio.file.Paths.get(
+    System.getProperty("java.home"), "bin", "java").toString
+
+  def spawn(root: java.nio.file.Path, mode: String, extra: String*): Process =
+    new ProcessBuilder((Seq(javaBin, "-Xmx2g", "-cp",
+      System.getProperty("java.class.path")) ++ addOpens ++
+      Seq("-Dspark.ui.enabled=false", "-Dgraft.debug.commits=1",
+        "graft.TwoDriverMain", mode, root.toString) ++ extra): _*)
+      .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      .redirectError(root.resolve(s"child-$mode-${extra.headOption.map(
+        _.split('/').last).getOrElse("x")}.log").toFile)
+      .start()
+
+  /** Wait for `p`; on timeout kill it AND `others` (a peer blocked on a
+    * marker file the timed-out child never wrote would otherwise hang
+    * its own await). Throws the ScalaTest assertion on failure.
+    */
+  def await(root: java.nio.file.Path, p: Process, what: String,
+      timeoutS: Long = 600, others: Seq[Process] = Nil): Unit = {
+    val finished = p.waitFor(timeoutS, java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) { p.destroyForcibly(); others.foreach(_.destroyForcibly()) }
+    org.scalatest.Assertions.assert(finished,
+      s"$what did not finish within ${timeoutS}s — see $root/child-*.log")
+    org.scalatest.Assertions.assert(p.exitValue() == 0,
+      s"$what exited ${p.exitValue()} — see $root/child-*.log")
+  }
+
+  def rm(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().forEachRemaining(rm) finally s.close()
+    }
+    java.nio.file.Files.deleteIfExists(p): Unit
+  }
+}
+
 class ConcurrencyGauntletSpec extends AnyFunSuite {
   private lazy val spark = {
     val s = SparkTestSession.spark
@@ -153,37 +205,10 @@ class ConcurrencyGauntletSpec extends AnyFunSuite {
     // the numbered ledger documents say, so a lost update cannot hide
     // in anyone's in-memory state.
     val root = java.nio.file.Files.createTempDirectory("graft_two_driver_")
-    val javaBin = java.nio.file.Paths.get(
-      System.getProperty("java.home"), "bin", "java").toString
-    val cp = System.getProperty("java.class.path")
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar",
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    def run(mode: String, extra: String*): Process = {
-      val cmd = (Seq(javaBin, "-Xmx2g", "-cp", cp) ++ addOpens ++
-        Seq("-Dspark.ui.enabled=false", "-Dgraft.debug.commits=1",
-          "graft.TwoDriverMain", mode, root.toString) ++
-        extra)
-      new ProcessBuilder(cmd: _*)
-        .redirectOutput(ProcessBuilder.Redirect.DISCARD)
-        .redirectError(root.resolve(s"child-$mode-${extra.headOption.map(
-          _.split('/').last).getOrElse("x")}.log").toFile)
-        .start()
-    }
-    def await(p: Process, what: String, timeoutS: Long = 600): Unit = {
-      // NOTE: assert(cond, clue) evaluates the clue EAGERLY — any
-      // destroy() must live in a plain if, not inside the clue.
-      val finished = p.waitFor(timeoutS, java.util.concurrent.TimeUnit.SECONDS)
-      if (!finished) p.destroyForcibly()
-      assert(finished, s"$what did not finish within ${timeoutS}s")
-      assert(p.exitValue() == 0, s"$what exited ${p.exitValue()} — see ${root}/child-*.log")
-    }
+    def run(mode: String, extra: String*): Process =
+      ForkedDrivers.spawn(root, mode, extra: _*)
+    def await(p: Process, what: String): Unit =
+      ForkedDrivers.await(root, p, what)
     await(run("setup"), "setup driver")
     val ops = GauntletEnv.ops(25).toString
     val m0 = root.resolve("model0.txt").toString
@@ -226,14 +251,7 @@ class ConcurrencyGauntletSpec extends AnyFunSuite {
       case (a, b) => b == a + 1
     }, s"cross-process history not dense: ${versions.mkString(",")}")
     info(s"cross-process gauntlet: ${versions.length} commits, final rows=${got.values.sum}")
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val s = java.nio.file.Files.list(p)
-        try s.iterator().forEachRemaining(rm) finally s.close()
-      }
-      java.nio.file.Files.deleteIfExists(p): Unit
-    }
-    rm(root)
+    ForkedDrivers.rm(root)
   }
 
   test("CDC stream in one process tails commits made by ANOTHER process") {
@@ -245,40 +263,13 @@ class ConcurrencyGauntletSpec extends AnyFunSuite {
     // ledger staleness refresh in the stream's frontier. Without it
     // the tail idles forever (the test times out and fails loudly).
     val root = java.nio.file.Files.createTempDirectory("graft_cdc_tail_")
-    val javaBin = java.nio.file.Paths.get(
-      System.getProperty("java.home"), "bin", "java").toString
-    val cp = System.getProperty("java.class.path")
-    val addOpens = Seq(
-      "java.base/java.lang", "java.base/java.lang.invoke",
-      "java.base/java.lang.reflect", "java.base/java.io",
-      "java.base/java.net", "java.base/java.nio",
-      "java.base/java.util", "java.base/java.util.concurrent",
-      "java.base/java.util.concurrent.atomic",
-      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-      "java.base/sun.security.action", "java.base/sun.util.calendar",
-    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    def run(mode: String, extra: String*): Process =
-      new ProcessBuilder((Seq(javaBin, "-Xmx2g", "-cp", cp) ++ addOpens ++
-        Seq("-Dspark.ui.enabled=false", "-Dgraft.debug.commits=1",
-          "graft.TwoDriverMain", mode, root.toString) ++ extra): _*)
-        .redirectOutput(ProcessBuilder.Redirect.DISCARD)
-        .redirectError(root.resolve(s"child-$mode.log").toFile)
-        .start()
     val batches = 6
     val rowsPer = 4
     val dump = root.resolve("replica.txt").toString
-    val tail = run("tail", dump, (batches * rowsPer).toString)
-    val feed = run("feed", batches.toString, rowsPer.toString)
-    def await(p: Process, what: String): Unit = {
-      // assert clues evaluate eagerly — kill processes in an if, never
-      // inside the clue (an eager clue force-killed live children).
-      val finished = p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
-      if (!finished) { p.destroyForcibly(); tail.destroyForcibly(); feed.destroyForcibly() }
-      assert(finished, s"$what did not finish within 300s — see $root/child-*.log")
-      assert(p.exitValue() == 0, s"$what exited ${p.exitValue()} — see $root/child-*.log")
-    }
-    await(feed, "feed driver")
-    await(tail, "tail driver")
+    val tail = ForkedDrivers.spawn(root, "tail", dump, (batches * rowsPer).toString)
+    val feed = ForkedDrivers.spawn(root, "feed", batches.toString, rowsPer.toString)
+    ForkedDrivers.await(root, feed, "feed driver", 300, others = Seq(tail))
+    ForkedDrivers.await(root, tail, "tail driver", 300, others = Seq(feed))
     val got = java.nio.file.Files.readString(java.nio.file.Paths.get(dump))
       .linesIterator.filter(_.nonEmpty).map { l =>
         val Array(b, j, c) = l.split(','); ((b.toLong, j.toLong), c.toLong)
@@ -286,14 +277,32 @@ class ConcurrencyGauntletSpec extends AnyFunSuite {
     val want = (for (b <- 0 until batches; j <- 0 until rowsPer)
       yield ((b.toLong, j.toLong), 1L)).toMap
     assert(got == want, s"cross-process CDC replica diverged:\n got=$got\nwant=$want")
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val s = java.nio.file.Files.list(p)
-        try s.iterator().forEachRemaining(rm) finally s.close()
-      }
-      java.nio.file.Files.deleteIfExists(p): Unit
-    }
-    rm(root)
+    ForkedDrivers.rm(root)
+  }
+
+  test("DROP + recreate in one process is never shadowed by a STALE process") {
+    // The sequence-monotonicity property of the tombstone protocol:
+    // driver A loads the table (pinning a pre-drop ledger sequence in
+    // its metastore), driver B DROPs and RECREATEs it, then A inserts.
+    // A's commit must land on the NEW incarnation — with sequences
+    // resetting at recreate, A's stale CAS would win ABOVE the new
+    // documents and resurrect the dropped rows (and erase B's).
+    val root = java.nio.file.Files.createTempDirectory("graft_reincarnate_")
+    ForkedDrivers.await(root, ForkedDrivers.spawn(root, "setup"), "setup driver")
+    // Seed the pre-drop row the holder pins.
+    val seed = ForkedDrivers.spawn(root, "reseed")
+    ForkedDrivers.await(root, seed, "seed driver")
+    val dump = root.resolve("after.txt").toString
+    val hold = ForkedDrivers.spawn(root, "hold", dump)
+    val re = ForkedDrivers.spawn(root, "reincarnate")
+    ForkedDrivers.await(root, re, "reincarnate driver", 300, others = Seq(hold))
+    ForkedDrivers.await(root, hold, "hold driver", 300, others = Seq(re))
+    val got = java.nio.file.Files.readString(java.nio.file.Paths.get(dump))
+      .linesIterator.filter(_.nonEmpty).toSeq.sorted
+    assert(got == Seq("5,555,1", "9,999,1"),
+      s"stale driver shadowed the reincarnated table: $got " +
+        "(a 1,111 row means the dropped incarnation was resurrected)")
+    ForkedDrivers.rm(root)
   }
 
   test("concurrent writers against a MoR upsert surface keep key uniqueness") {

@@ -115,6 +115,64 @@ object TwoDriverMain {
         java.nio.file.Paths.get(outFile), s"$rows\nversions:$versions")
       spark.stop()
 
+    case "reseed" =>
+      val spark = session(args(1))
+      spark.sql(s"INSERT INTO $T VALUES (1, 111)")
+      spark.stop()
+
+    // Reincarnation pair: `hold` loads the table (pinning a pre-drop
+    // ledger sequence in its metastore), then waits while `reincarnate`
+    // DROPs and RECREATEs it in another process. hold's subsequent
+    // INSERT must land on the NEW incarnation — with non-monotonic
+    // sequences it would CAS its stale (old-schema, old-rows) state
+    // ABOVE the new incarnation's documents and resurrect the dropped
+    // table (the tombstone protocol exists for exactly this).
+    case "hold" =>
+      val Array(_, root, outFile) = args
+      val spark = session(root)
+      spark.sql("SHOW NAMESPACES IN g2").collect() // bind the durable root
+      val n0 = spark.sql(s"SELECT count(*) FROM $T").collect().head.getLong(0)
+      require(n0 == 1, s"hold expected the setup row, saw $n0")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(root, "hold_ready"), "1")
+      val t0 = System.nanoTime()
+      while (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(root, "reincarnated"))) {
+        require(System.nanoTime() - t0 < 180e9, "reincarnate never finished")
+        Thread.sleep(100)
+      }
+      // Must land on the NEW incarnation (or refuse then succeed on
+      // retry) — never resurrect the old one.
+      var attempt = 0
+      var done = false
+      while (!done && attempt <= 30) {
+        try { spark.sql(s"INSERT INTO $T VALUES (9, 999)"); done = true }
+        catch { case t: Throwable if conflict(t) => attempt += 1; Thread.sleep(50) }
+      }
+      require(done, "hold's insert never succeeded")
+      val rows = spark.sql(s"SELECT tid, n, count(*) AS c FROM $T GROUP BY tid, n")
+        .collect().map(r => s"${r.getLong(0)},${r.getLong(1)},${r.getLong(2)}")
+        .sorted.mkString("\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), rows)
+      spark.stop()
+
+    case "reincarnate" =>
+      val Array(_, root) = args
+      val spark = session(root)
+      spark.sql("SHOW NAMESPACES IN g2").collect()
+      val t0 = System.nanoTime()
+      while (!java.nio.file.Files.exists(
+          java.nio.file.Paths.get(root, "hold_ready"))) {
+        require(System.nanoTime() - t0 < 180e9, "hold never started")
+        Thread.sleep(100)
+      }
+      spark.sql(s"DROP TABLE $T") // soft drop: the tombstone commit
+      spark.sql(s"CREATE TABLE $T (tid BIGINT, n BIGINT) USING graft")
+      spark.sql(s"INSERT INTO $T VALUES (5, 555)")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(root, "reincarnated"), "1")
+      spark.stop()
+
     // Cross-process STREAMING writer: a MemoryStream-driven query
     // appends one epoch per micro-batch into the SHARED gauntlet table
     // through the catalog's streaming write (installEpoch) while a
