@@ -137,9 +137,14 @@ object Bench {
     // median stays alongside as total_median.
     val fullLine =
       s"""{"metric":"total","value":$totalMin,"unit":"sec","total_min":$totalMin,"total_median":$total,"reps":$reps,"queries":$qs,"min":$mins,"spread":$spreads,"quality":$quality,"errors":$errs,"sf":${jstr(sfDir)}}"""
-    // A filtered run writes a scratch artifact so it can never clobber
-    // the committed full-suite numbers with a partial total.
-    val artifact = if (filter.isEmpty) "bench_full.json" else "bench_filtered.json"
+    // A filtered run — or a full run at any SF other than the committed
+    // artifact's sf0.1 — writes a scratch file so it can never clobber
+    // the committed full-suite numbers (an unfiltered sf0.001 smoke
+    // once overwrote bench_full.json with sub-second totals).
+    val artifact =
+      if (filter.nonEmpty) "bench_filtered.json"
+      else if (sfDir.replaceAll("/+$", "").endsWith("sf0.1")) "bench_full.json"
+      else "bench_scratch.json"
     try {
       val w = new java.io.PrintWriter(artifact)
       try w.println(fullLine) finally w.close()
