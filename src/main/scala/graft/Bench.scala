@@ -149,7 +149,7 @@ object Bench {
       val w = new java.io.PrintWriter(artifact)
       try w.println(fullLine) finally w.close()
     } catch { case e: java.io.IOException =>
-      System.err.println(s"[bench] bench_full.json write failed: $e") }
+      System.err.println(s"[bench] $artifact write failed: $e") }
     val budget = 1600 // chars for the queries map; total line stays < ~1900
     // Stdout per-query values are the MIN (matching the headline), so
     // the shown rows sum toward "value" instead of a different metric.

@@ -1138,7 +1138,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       ourEpochs.foreach { case (qid, e) => epochs.put((oldIdent, qid), e): Unit }
       throw new TableAlreadyExistsException(newIdent.toString, newIdent.name())
     }
-    persistTable(oldIdent) // old document deleted
+    // The old-name tombstone is ALSO a CAS that can lose — to a
+    // concurrent cross-process commit on the old name that landed after
+    // our capture. Letting that loss stand would leave the table live
+    // under BOTH names with diverging states sharing segment files (the
+    // racer's rows visible only under the old name) and wedge a retried
+    // rename on TableAlreadyExists. Roll the rename BACK instead:
+    // persistTable's loss path already reloaded the winner's state at
+    // oldIdent; here we retract the just-committed new-name document
+    // (tombstone it — our own doc, so this CAS is ours to win) and
+    // refuse, so exactly one name survives and a retry sees the
+    // winner's commit.
+    GraftCatalog.occWindowHookForTest(oldIdent)
+    try persistTable(oldIdent) // old document deleted (tombstone CAS)
+    catch { case e: java.util.ConcurrentModificationException =>
+      store.remove(newIdent)
+      history.remove(newIdent)
+      ourEpochs.foreach { case (qid, _) => epochs.remove((newIdent, qid)): Unit }
+      try persistTable(newIdent) // tombstone our new-name document
+      catch { case _: java.util.ConcurrentModificationException => () } // best-effort
+      throw e
+    }
   }
 
   // ---- SupportsNamespaces: implicit single-level namespaces ----
@@ -2172,6 +2192,20 @@ object GraftCatalog {
   private val rootRef = new java.util.concurrent.atomic.AtomicReference[Path](null)
   @volatile private var autoRoot = false // rootRef holds a self-created temp dir
   @volatile private var persistent = false
+  /** Test observability: the bound warehouse root (tests forge foreign
+    * ledger commits under it to exercise lost-CAS recovery paths).
+    */
+  private[graft] def warehouseRootForTest: Path = segmentRoot
+
+  /** Test-only race window: invoked between the staleness refresh and
+    * the tombstone CAS on destructive paths (purge, rename old-name),
+    * so a spec can deterministically land a "foreign process" commit
+    * inside the OCC window — the microsecond interleaving the forked
+    * two-driver gauntlets cannot schedule on demand. No-op in
+    * production.
+    */
+  @volatile private[graft] var occWindowHookForTest: Identifier => Unit = _ => ()
+
   private[sources] def segmentRoot: Path = {
     val cur = rootRef.get()
     if (cur != null) cur
@@ -2920,16 +2954,44 @@ object GraftCatalog {
           DroppedEntry(entry, hist, eps, System.nanoTime(), System.currentTimeMillis()))
         persistDropped(ident)
       }
-      persistTable(ident) // deletes the live ledger document
+      // Tombstone CAS last — but if it LOSES to a concurrent driver, the
+      // trash generation and dropped-dir document written above must be
+      // rolled back: they alias the (still live) winner's segment files
+      // under the SAME identifier, and since every GC reference scan
+      // excludes id==self, a later retention expiry or re-drop would
+      // delete files the live table still serves. reloadFromDisk (inside
+      // persistTable's loss path) already restored the live in-memory
+      // state; the trash/dropped-doc cleanup is on us.
+      occWindowHookForTest(ident)
+      try persistTable(ident) // deletes the live ledger document
+      catch { case e: java.util.ConcurrentModificationException =>
+        trash.remove(ident)
+        if (persistent)
+          GraftLedger.delete(GraftLedger.droppedDir(segmentRoot), ident)
+        throw e
+      }
       entry != null
     }
   }
 
-  /** Immediate, unrecoverable drop — the pre-trash semantics. */
+  /** Immediate, unrecoverable drop — the pre-trash semantics.
+    *
+    * ORDERING: the tombstone CAS commits FIRST, and only a WON CAS may
+    * delete files — the same "CAS the ledger before touching any file"
+    * discipline publish follows. Deleting first would mean a PURGE that
+    * loses the CAS to another driver's concurrent commit refuses
+    * honestly but has already erased segment files the winner's
+    * committed snapshot references — the racer's data destroyed despite
+    * the error. refreshIfStale narrows the loss window so the CAS is
+    * judged against the current cross-process sequence.
+    */
   private[sources] def purgeEntry(ident: Identifier): Boolean = mutate {
+    refreshIfStale(ident)
     epochs.keySet.asScala.filter(_._1 == ident).foreach(epochs.remove)
     val hist = Option(history.remove(ident)).getOrElse(Vector.empty)
     val entry = store.remove(ident)
+    occWindowHookForTest(ident)
+    persistTable(ident) // tombstone CAS — on loss: reload + throw, no file touched
     if (trash.containsKey(ident)) purgeTrashed(ident)
     if (entry != null) {
       val candidates = (entry.segments ++ hist.flatMap(_.segments)).distinctBy(_.path)
@@ -2937,7 +2999,6 @@ object GraftCatalog {
         .foreach(SegmentIO.delete)
       purgeDirSparingShared(ident, entry.dir)
     }
-    persistTable(ident) // deletes the ledger document
     entry != null
   }
 

@@ -527,9 +527,11 @@ private[graft] object GraftLedger {
         numbered.foreach { seq =>
           if (!raced) {
             try {
-              val json = Files.readString(d.resolve(f"$seq%020d.json"))
-              if (isTombstone(json) || parses(json)) return Some((json, seq))
-              // torn trailing doc (O_EXCL fallback crash): step down
+              val raw = Files.readString(d.resolve(f"$seq%020d.json"))
+              validate(raw) match {
+                case Some(json) => return Some((json, seq))
+                case None => () // torn trailing doc (O_EXCL fallback crash): step down
+              }
             } catch { case _: java.io.IOException =>
               raced = true // GC race — re-list rather than step down
             }
@@ -543,9 +545,65 @@ private[graft] object GraftLedger {
         "I/O or a GC race storm; retry the statement")
   }
 
+  /** Strict: FAIL_ON_TRAILING_TOKENS, so a torn write whose prefix
+    * contains one complete small JSON value followed by garbage cannot
+    * masquerade as a valid document (default readTree stops at the
+    * first value and ignores the rest).
+    */
+  private val strictM = {
+    val m = new ObjectMapper()
+    m.enable(
+      com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
+    m
+  }
+
   private def parses(json: String): Boolean =
-    try { M.readTree(json); true }
+    try { strictM.readTree(json); true }
     catch { case _: com.fasterxml.jackson.core.JacksonException => false }
+
+  // ---- document seal (torn-write detection for numbered docs) ----
+
+  /** Numbered documents are SEALED: `<json>\n#graft-seal:<len>:<crc32>`.
+    * The trailer closes the last torn-write hole the parse check alone
+    * leaves open on no-hardlink filesystems: an O_EXCL-fallback writer
+    * crashed mid-write leaves a PREFIX of the document, and a prefix
+    * that happens to parse as valid JSON would otherwise be served as a
+    * committed document. No prefix of a sealed document can carry a
+    * trailer whose length+crc match the bytes before it, so prefix-torn
+    * docs can never validate. Pre-seal documents (no trailer) fall back
+    * to the parse check — the old, slightly weaker acceptance.
+    */
+  private val SealPrefix = "\n#graft-seal:"
+
+  private def crcHex(s: String): String = {
+    val c = new java.util.zip.CRC32()
+    c.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.toHexString(c.getValue)
+  }
+
+  private def seal(json: String): String =
+    json + SealPrefix + json.length + ":" + crcHex(json)
+
+  /** The document body iff `raw` validates: a sealed doc whose trailer
+    * verifies (body returned WITHOUT the trailer), or a trailer-less
+    * legacy doc that parses. None = torn/corrupt — the reader steps
+    * down to the sequence below.
+    */
+  private def validate(raw: String): Option[String] = {
+    val i = raw.lastIndexOf(SealPrefix)
+    // A real trailer is the FINAL line; lastIndexOf also shields a
+    // sealed body that itself contains the marker text in a data value.
+    if (i >= 0 && raw.indexOf('\n', i + SealPrefix.length) < 0) {
+      val body = raw.substring(0, i)
+      raw.substring(i + SealPrefix.length).split(':') match {
+        case Array(len, crc)
+          if len.toIntOption.contains(body.length) && crcHex(body) == crc =>
+          Some(body)
+        case _ => None
+      }
+    } else if (isTombstone(raw) || parses(raw)) Some(raw) // pre-seal legacy doc
+    else None
+  }
 
   /** CAS-commit `json` as the table's sequence-`seq` document: atomic
     * put-if-absent. Returns false when some other process already
@@ -567,10 +625,11 @@ private[graft] object GraftLedger {
     * create (also atomic-exclusive; its torn-write window on crash is
     * closed by readers skipping undecodable trailing docs).
     */
-  def casWrite(dir: Path, ident: Identifier, json: String, seq: Long): Boolean = {
+  def casWrite(dir: Path, ident: Identifier, rawJson: String, seq: Long): Boolean = {
     val d = docDir(dir, ident)
     Files.createDirectories(d)
     val target = d.resolve(f"$seq%020d.json")
+    val json = seal(rawJson) // trailer: prefix-torn docs can never validate
     val tmp = writeTmp(d, json)
     val won =
       try {
@@ -626,7 +685,7 @@ private[graft] object GraftLedger {
       try {
         val aged = Files.getLastModifiedTime(target).toMillis <
           System.currentTimeMillis() - 60L * 1000
-        if (aged && !parses(Files.readString(target)))
+        if (aged && validate(Files.readString(target)).isEmpty)
           Files.deleteIfExists(target): Unit
       } catch { case _: java.io.IOException => () }
     }
