@@ -2189,6 +2189,15 @@ object GraftCatalog {
     * root is JVM-wide because the metastore maps are: the FIRST
     * configured root wins, matching the single-metastore model.
     */
+  /** Monotonic stamp of the last warehouse-wide ledger sync (see
+    * [[refreshAllIfStale]]'s debounce); Long.MinValue = never synced.
+    */
+  @volatile private var lastWarehouseSyncNanos = Long.MinValue
+  /** Debounce for the retention-expiry GC path's warehouse sync. */
+  private val GcRefreshDebounceNanos =
+    java.util.concurrent.TimeUnit.MILLISECONDS.toNanos(
+      sys.props.getOrElse("graft.catalog.gc.refresh.debounce.ms", "3000").toLong)
+
   private val rootRef = new java.util.concurrent.atomic.AtomicReference[Path](null)
   @volatile private var autoRoot = false // rootRef holds a self-created temp dir
   @volatile private var persistent = false
@@ -2308,11 +2317,25 @@ object GraftCatalog {
     * entries. Called ONLY on destructive paths (orphan cleanup, vacuum,
     * retention expiry with a non-empty candidate list) — never per
     * commit.
+    *
+    * `maxAgeNanos` > 0 reuses a sync newer than that instead of
+    * re-listing — the retention-expiry hot path's debounce. The listing
+    * is O(tables) directory listings, which a churn-heavy workload
+    * (bench: every query expires something once the warehouse is a
+    * minute old) otherwise pays on EVERY publish. Semantically the
+    * sync-to-delete race window already exists — another driver can
+    * commit a clone right after a fresh listing — so a bounded-age
+    * listing only widens that window by the bound, far below the 60 s
+    * retention floor that sizes it. Maintenance procedures (vacuum,
+    * remove_orphans, purge) keep maxAge 0: always a fresh listing.
     */
-  private[sources] def refreshAllIfStale(): Unit = {
+  private[sources] def refreshAllIfStale(maxAgeNanos: Long = 0L): Unit = {
     if (!persistent) return
     ensureLoaded()
+    if (maxAgeNanos > 0L &&
+        System.nanoTime() - lastWarehouseSyncNanos < maxAgeNanos) return
     mutate {
+      lastWarehouseSyncNanos = System.nanoTime()
       val dir = GraftLedger.tablesDir(segmentRoot)
       val knownByName: Map[String, Identifier] =
         ledgerSeqs.keySet.asScala.map(id => GraftLedger.fileNameOf(id) -> id).toMap
@@ -2459,6 +2482,7 @@ object GraftCatalog {
       epochs.keySet.asScala.filter(_._1 == ident).foreach(epochs.remove)
     }
     ledgerLoaded.set(false)
+    lastWarehouseSyncNanos = Long.MinValue // a "restarted" process has no sync
   }
 
   private[sources] def deleteRecursively(p: Path): Unit = {
@@ -2738,38 +2762,58 @@ object GraftCatalog {
     if (gcCandidates.nonEmpty) {
       // About to delete files: the reference check must see tables
       // (clones, branches) other DRIVERS created — one warehouse
-      // listing, paid only by commits that actually expire files.
-      refreshAllIfStale()
-      gcCandidates.foreach(gcDelete(ident, _))
+      // listing, paid only by commits that actually expire files, and
+      // DEBOUNCED on this hot path (see refreshAllIfStale's doc: the
+      // listing-to-delete race window exists regardless; a few seconds
+      // of listing reuse against the 60 s retention floor doesn't
+      // change its shape, and explicit maintenance procedures still
+      // sync unconditionally).
+      refreshAllIfStale(GcRefreshDebounceNanos)
+      gcDeleteAll(ident, gcCandidates)
     }
     true
   }
 
-  /** True when any OTHER table's current state or retained history
-    * references `path` — the shallow-CLONE GC guard: a clone shares the
-    * source's segment files (zero-copy), so every published-file delete
-    * must first prove no other table still serves reads from it. The
-    * scan is metadata-only (in-memory entries + histories); on a real
-    * cluster this is the metastore's reference count, maintained
-    * incrementally instead of recomputed.
+  /** Every segment path referenced by any live table, retained history,
+    * or trash generation — EXCEPT references recorded under an
+    * identifier in `excluded` (the table(s) whose files are being
+    * GC-judged; their own references never spare their own files) —
+    * the shallow-CLONE GC guard: a clone shares the source's segment
+    * files (zero-copy), so every published-file delete must first prove
+    * no other table still serves reads from it. Built ONCE per GC batch
+    * and probed per candidate: the per-candidate warehouse rescan this
+    * replaces was O(candidates × warehouse segments) and the round-14
+    * DDL-path regression (x5d 0.65 s → 3.7 s once the bench warehouse
+    * accumulated tables). On a real cluster this is the metastore's
+    * reference count, maintained incrementally instead of swept.
     */
-  private def referencedByOther(self: Identifier, path: String): Boolean =
-    store.asScala.exists { case (id, e) =>
-      id != self && e.segments.exists(_.path == path)
-    } || history.asScala.exists { case (id, h) =>
-      id != self && h.exists(_.segments.exists(_.path == path))
-    } || trash.asScala.exists { case (id, d) =>
+  private def referencedPathsExcept(excluded: Set[Identifier]): java.util.HashSet[String] = {
+    val refs = new java.util.HashSet[String]()
+    store.asScala.foreach { case (id, e) =>
+      if (!excluded.contains(id)) e.segments.foreach(s => refs.add(s.path))
+    }
+    history.asScala.foreach { case (id, h) =>
+      if (!excluded.contains(id)) h.foreach(_.segments.foreach(s => refs.add(s.path)))
+    }
+    trash.asScala.foreach { case (id, d) =>
       // Soft-dropped tables are UNDROP-able until retention purges
       // them — their references are as real as a live table's.
-      id != self && (d.entry.segments.exists(_.path == path) ||
-        d.hist.exists(_.segments.exists(_.path == path)))
+      if (!excluded.contains(id)) {
+        d.entry.segments.foreach(s => refs.add(s.path))
+        d.hist.foreach(_.segments.foreach(s => refs.add(s.path)))
+      }
     }
+    refs
+  }
 
-  /** GC a published segment file of `self`, sparing files a clone (or
-    * clone source) still references.
+  /** GC `self`'s candidate segment files in one pass, sparing files a
+    * clone (or clone source) still references.
     */
-  private def gcDelete(self: Identifier, seg: Segment): Unit =
-    if (!referencedByOther(self, seg.path)) SegmentIO.delete(seg)
+  private def gcDeleteAll(self: Identifier, segs: Seq[Segment]): Unit =
+    if (segs.nonEmpty) {
+      val refs = referencedPathsExcept(Set(self))
+      segs.foreach(s => if (!refs.contains(s.path)) SegmentIO.delete(s))
+    }
 
   /** RESTORE (`CALL graft.system.restore`): make the table's CURRENT
     * state the given retained snapshot's schema + segment list, as a
@@ -2994,50 +3038,57 @@ object GraftCatalog {
     persistTable(ident) // tombstone CAS — on loss: reload + throw, no file touched
     if (trash.containsKey(ident)) purgeTrashed(ident)
     if (entry != null) {
+      val refs = referencedPathsExcept(Set(ident))
       val candidates = (entry.segments ++ hist.flatMap(_.segments)).distinctBy(_.path)
-      candidates.filterNot(s => referencedByOther(ident, s.path))
-        .foreach(SegmentIO.delete)
-      purgeDirSparingShared(ident, entry.dir)
+      candidates.filterNot(s => refs.contains(s.path)).foreach(SegmentIO.delete)
+      purgeDirSparingShared(entry.dir, refs)
     }
     entry != null
   }
 
   /** GC one trash generation: files die only if NOTHING else — live
     * tables, their histories, or other trash entries — references
-    * them (clones may outlive their dropped source).
+    * them (clones may outlive their dropped source). The reference
+    * sweep runs once AFTER the entry leaves the trash map, so the
+    * generation's own references never spare its own files.
     */
   private def purgeTrashed(ident: Identifier): Unit = {
     val d = trash.remove(ident)
     if (d != null) {
-      val candidates =
-        (d.entry.segments ++ d.hist.flatMap(_.segments)).distinctBy(_.path)
-      candidates.filterNot(s => referencedByOther(ident, s.path))
-        .foreach(SegmentIO.delete)
-      purgeDirSparingShared(ident, d.entry.dir)
-      if (persistent)
-        GraftLedger.delete(GraftLedger.droppedDir(segmentRoot), ident)
+      val refs = referencedPathsExcept(Set(ident))
+      purgeTrashedWith(ident, d, refs)
     }
   }
 
-  /** Remove a purged table's directory without destroying files other
-    * tables still reference. The spare set is computed from the GLOBAL
-    * reference scan (every live table, history, and trash generation),
-    * NOT from the purged entry's own candidates: vacuum may already
-    * have expired a clone-shared file from self's snapshot chain while
-    * [[gcDelete]] spared it on disk for the clone — such a file is in
-    * nobody's candidate list but must survive the directory sweep.
+  /** The file-deletion half of [[purgeTrashed]], with the reference
+    * sweep hoisted — [[expireTrash]] purges a whole aged BATCH against
+    * one sweep instead of rescanning the warehouse per generation.
+    * Caller must have removed the generation(s) from `trash` already.
     */
-  private def purgeDirSparingShared(self: Identifier, dir: String): Unit = {
+  private def purgeTrashedWith(
+      ident: Identifier, d: DroppedEntry, refs: java.util.HashSet[String]): Unit = {
+    val candidates =
+      (d.entry.segments ++ d.hist.flatMap(_.segments)).distinctBy(_.path)
+    candidates.filterNot(s => refs.contains(s.path)).foreach(SegmentIO.delete)
+    purgeDirSparingShared(d.entry.dir, refs)
+    if (persistent)
+      GraftLedger.delete(GraftLedger.droppedDir(segmentRoot), ident)
+  }
+
+  /** Remove a purged table's directory without destroying files other
+    * tables still reference. The spare set derives from the GLOBAL
+    * reference sweep (every live table, history, and trash generation
+    * except the purged one — `refs`), NOT from the purged entry's own
+    * candidates: vacuum may already have expired a clone-shared file
+    * from self's snapshot chain while [[gcDeleteAll]] spared it on disk
+    * for the clone — such a file is in nobody's candidate list but must
+    * survive the directory sweep.
+    */
+  private def purgeDirSparingShared(dir: String, refs: java.util.HashSet[String]): Unit = {
     // Separator-bounded compare: /x/tbl-1 must not claim /x/tbl-1234/seg.
     val dirPrefix = dir.stripSuffix(java.io.File.separator) + java.io.File.separator
-    def refsUnder(id: Identifier, segs: Iterable[Segment]): Iterable[String] =
-      if (id == self) Nil else segs.collect { case s if s.path.startsWith(dirPrefix) => s.path }
     val spared: Set[String] =
-      (store.asScala.flatMap { case (id, e) => refsUnder(id, e.segments) } ++
-        history.asScala.flatMap { case (id, h) => h.flatMap(s => refsUnder(id, s.segments)) } ++
-        trash.asScala.flatMap { case (id, d) =>
-          refsUnder(id, d.entry.segments) ++ d.hist.flatMap(s => refsUnder(id, s.segments))
-        }).toSet
+      refs.asScala.iterator.filter(_.startsWith(dirPrefix)).toSet
     if (spared.isEmpty) deleteRecursively(Paths.get(dir))
     else deleteRecursivelyExcept(Paths.get(dir), spared)
   }
@@ -3066,9 +3117,20 @@ object GraftCatalog {
     // A dropped table's own retention override rides into the trash
     // with its props: a table configured for a long window stays
     // UNDROP-able for that window, not the catalog default.
-    trash.asScala.collect {
+    val aged = trash.asScala.collect {
       case (id, d) if d.droppedMono < now - retentionNanosOf(d.entry.props) => id
-    }.toSeq.foreach(purgeTrashed)
+    }.toSeq
+    if (aged.nonEmpty) {
+      // Whole batch leaves the trash FIRST, then one reference sweep
+      // serves every generation's GC: references among batch members
+      // don't spare each other's files (sequentially they'd die with
+      // the last purger anyway — same end state, one sweep), while
+      // anything a live table, retained history, or surviving trash
+      // generation still references is spared as before.
+      val dropped = aged.flatMap(id => Option(trash.remove(id)).map(id -> _))
+      val refs = referencedPathsExcept(aged.toSet)
+      dropped.foreach { case (id, d) => purgeTrashedWith(id, d, refs) }
+    }
   }
 
   /** `CALL graft.system.undrop(ns, table)` — restore the most recent
@@ -3372,7 +3434,7 @@ object GraftCatalog {
     val live = (entry.segments ++ kept.flatMap(_.segments)).map(_.path).toSet
     val dropped = hist.flatMap(_.segments).distinctBy(_.path)
       .filterNot(s => live.contains(s.path))
-    dropped.foreach(gcDelete(ident, _))
+    gcDeleteAll(ident, dropped)
     val expired = hist.length - kept.length
     history.put(ident,
       kept.map(s => if (hist.lastOption.contains(s)) s.copy(segments = entry.segments) else s))
@@ -3440,12 +3502,12 @@ object GraftCatalog {
       val hist = history.getOrDefault(ident, Vector.empty)
       if (entry == null) {
         history.remove(ident)
-        hist.flatMap(_.segments).foreach(gcDelete(ident, _))
+        gcDeleteAll(ident, hist.flatMap(_.segments))
       }
       else {
         val current = entry.segments.map(_.path).toSet
-        hist.flatMap(_.segments).distinctBy(_.path)
-          .filterNot(s => current.contains(s.path)).foreach(gcDelete(ident, _))
+        gcDeleteAll(ident, hist.flatMap(_.segments).distinctBy(_.path)
+          .filterNot(s => current.contains(s.path)))
         history.put(ident,
           hist.lastOption.map(s => Vector(s.copy(segments = entry.segments)))
             .getOrElse(Vector.empty))
