@@ -595,8 +595,11 @@ object SimilarityQueries {
       spark.sql(
         s"""CREATE TABLE $corpus USING graft AS
            |SELECT vec_id, label, embedding FROM graft_ann_idx_src""".stripMargin)
+      // k = 0: auto-sized lists (ceil(sqrt(n)), floor 16) — the probe
+      // then reads ~nprobe/sqrt(n) of the corpus instead of a constant
+      // quarter of it (fixed k = 16 made probe cost track n linearly).
       spark.sql(
-        s"CALL graft.system.build_ann_index('ann.corpus_$suffix', 'ann', 'ivfidx_$suffix', 16, 3)")
+        s"CALL graft.system.build_ann_index('ann.corpus_$suffix', 'ann', 'ivfidx_$suffix', 0, 3)")
       // The append arrives AFTER the build — refresh assigns ONLY this
       // batch (change feed), never rescanning or retraining.
       withPlantedCopies(e).filter(col("label") === -1)
@@ -846,31 +849,46 @@ object SimilarityQueries {
   }
 
   /** SimHash LSH candidate pairs over a (doc_id, sig) relation: the
-    * 64-bit signature is cut into `chunks` equal-width chunks, chunk
-    * value is the band key, candidates are the equi self-join on
-    * (chunk index, chunk value). Pigeonhole guarantee: a pair with
-    * hamming distance ≤ chunks−1 has at least one untouched chunk, so
-    * it IS a candidate; pairs beyond that can be missed. Output:
-    * (i, j, hamming), deduped.
+    * 64-bit signature is cut into `chunks` equal-width chunks and a
+    * BAND is an unordered PAIR of chunks — band key = (pair id, the
+    * two chunk values concatenated), candidates are the equi self-join
+    * on it. Pigeonhole guarantee: a pair of docs with hamming distance
+    * ≤ chunks−2 touches at most chunks−2 chunks, leaving ≥ 2 chunks
+    * untouched — that chunk PAIR matches, so the docs ARE a candidate;
+    * pairs beyond that can be missed.
+    *
+    * Why pairs and not single chunks: the band-key CARDINALITY is what
+    * keeps LSH sub-quadratic, and single 64/chunks-bit chunks are too
+    * narrow — 8-bit keys have 256 possible values, so bucket occupancy
+    * grows with n and in-bucket candidates grow ~n²/(256·chunks):
+    * effectively all-pairs at corpus scale (the round-14 scale audit
+    * measured it as the suite's worst 10× ratio). Pairing widens keys
+    * to 2×width bits (65 536 values for 8×8) at the price of ONE step
+    * of guarantee (chunks−1 → chunks−2) and a C(chunks,2)-fold explode
+    * — collision mass drops by 2^width/(chunks−1)/2 ≈ 114× for 8×8.
     */
   private[graft] def simhashCandidatePairs(sigs: DataFrame, chunks: Int): DataFrame = {
-    // chunks = 1 is rejected: width 64 makes `(1L << 64) - 1` evaluate
-    // to 0 (Java shifts mod 64), so every chunk value collapses to 0
-    // and the self-join degenerates to the O(n²) all-pairs this LSH
-    // exists to avoid. chunks ≥ 2 keeps width ≤ 32.
+    // chunks = 2 is the degenerate floor: ONE band holding the whole
+    // signature (guarantee only hamming 0); chunks ≥ 3 gives real
+    // near-dup guarantees. Width ≤ 32 keeps the shifted mask exact.
     require(chunks >= 2 && 64 % chunks == 0,
       s"chunks must be in [2, 64] and divide 64, got $chunks")
     val width = 64 / chunks
     val mask = (1L << width) - 1
-    val chunked = sigs.selectExpr(
+    // One row per unordered chunk pair (c1 < c2): band id c1*chunks+c2,
+    // band value cv(c1) << width | cv(c2) — both fit a long (2w ≤ 64).
+    val banded = sigs.selectExpr(
       "doc_id", "sig",
-      s"explode(transform(sequence(0, ${chunks - 1}), " +
-        s"c -> struct(c AS chunk, (shiftright(sig, c * $width) & $mask) AS cv))) AS cc")
+      s"""explode(flatten(transform(sequence(0, ${chunks - 2}), c1 ->
+         |  transform(sequence(c1 + 1, ${chunks - 1}), c2 ->
+         |    struct(c1 * $chunks + c2 AS band,
+         |      shiftleft(shiftright(sig, c1 * $width) & $mask, $width)
+         |        | (shiftright(sig, c2 * $width) & $mask) AS cv))))) AS cc""".stripMargin)
       .select(col("doc_id"), col("sig"),
-        col("cc.chunk").as("chunk"), col("cc.cv").as("cv"))
-    chunked.alias("a")
-      .join(chunked.alias("b"),
-        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+        col("cc.band").as("band"), col("cc.cv").as("cv"))
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.cv") === col("b.cv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("i"), col("b.doc_id").as("j"),
@@ -880,9 +898,11 @@ object SimilarityQueries {
 
   /** L2 variant: 64-bit SimHash near-dup, hash-green via a PLANTED
     * closed-form fixture. Bit b of the signature is the sign of Σ±1
-    * over 3-gram shingle hashes (shared shingleHashes stage); LSH on 8
-    * chunks of 8 bits guarantees (pigeonhole) that hamming ≤ 7 pairs
-    * are candidates. The fixture's natural jac ≥ 0.8 pairs reach
+    * over 3-gram shingle hashes (shared shingleHashes stage); LSH on
+    * unordered PAIRS of the 8 signature chunks (28 bands, 16-bit keys)
+    * guarantees (pigeonhole) that hamming ≤ 6 pairs are candidates
+    * while keeping in-bucket candidate growth sub-quadratic — see
+    * [[simhashCandidatePairs]]. The fixture's natural jac ≥ 0.8 pairs reach
     * hamming 10, so a threshold output could never carry a SQL oracle
     * (DuckDB cannot evaluate SimHash). Instead the query PLANTS exact
     * duplicates — every doc_id ≡ 7 (mod 100) re-enters as doc_id+10⁶
@@ -914,8 +934,12 @@ object SimilarityQueries {
     // math, exactly the SQL fold it replaced, minus 64×|shingles|
     // interpreted lambda evals per row.
     val sigs = sh.select(col("doc_id"), SimHash64(spark, col("sh")).as("sig"))
+    // Chunk-PAIR banding: 28 bands of 16-bit keys, guarantee hamming ≤ 6
+    // (= chunks − 2); the exact-dup answer needs only hamming 0, which
+    // every banding catches, so the threshold change cannot alter the
+    // oracle rows — it only prunes more non-answers earlier.
     val cand = simhashCandidatePairs(sigs, chunks = 8)
-      .filter(col("hamming") <= 7).select(col("i"), col("j"))
+      .filter(col("hamming") <= 6).select(col("i"), col("j"))
     broadcast(broadcast(cand)
         .join(sh.select(col("doc_id").as("i"), col("sh").as("sh_i")), Seq("i")))
       .join(sh.select(col("doc_id").as("j"), col("sh").as("sh_j")), Seq("j"))
@@ -928,18 +952,39 @@ object SimilarityQueries {
 
   /** L9: INCREMENTAL near-dup against a PERSISTED shingle posting-list
     * index — the crawl-vs-corpus shape: the corpus is represented by
-    * two catalog tables (shingle-hash → doc_id postings + per-doc set
-    * sizes), the incoming batch explodes its shingles and probes the
-    * INDEX, and — the load-bearing trick — the posting join itself
-    * yields the intersection count per candidate pair, so exact
-    * Jaccard needs only the persisted sizes: the corpus TEXT is never
-    * rescanned, and recall is total by construction (a ≥ 0.8 pair
-    * shares shingles, so it must hit the postings — no LSH probability
-    * in the oracle path). At 100 TB the postings table is the
-    * bucketed, zone-mapped state a streaming ingest maintains
-    * incrementally; probe cost tracks the batch. DuckDB recomputes the
-    * cross-slice exact-Jaccard pairs from raw text.
+    * two catalog tables (shingle-hash → doc_id postings + per-doc
+    * DISTINCT shingle arrays), the incoming batch explodes its
+    * shingles and probes the INDEX, and exact Jaccard is computed only
+    * for CANDIDATE pairs from the persisted arrays: the corpus TEXT is
+    * never rescanned. At 100 TB the postings table is the bucketed,
+    * zone-mapped state a streaming ingest maintains incrementally;
+    * probe cost tracks the batch.
+    *
+    * HOT-SHINGLE capping (the scale fix): the posting join's output is
+    * quadratic in posting length, and stopword-class shingles have the
+    * longest postings — at 10× corpus their pair mass grows 100× (the
+    * round-14 scale audit's 1.54 ratio). Candidate generation therefore
+    * joins only RARE shingles (document frequency ≤ [[L9HotDf]]), which
+    * bounds per-shingle pair mass at batch_df × HotDf. Recall stays
+    * PROVABLE, not heuristic: a pair (A, B) with jac ≥ 0.8 has
+    * |A∩B| ≥ 0.8|A|, so if NO shared shingle is rare then hot shingles
+    * cover ≥ 0.8 of A — doc A is HOT-DOMINATED (rare shingles ≤ 20% of
+    * its set). Exactly those batch docs take a fallback probe over the
+    * UNCAPPED postings, so every qualifying pair is a candidate through
+    * one path or the other; on natural text the fallback set is
+    * near-empty and the quadratic is confined to it. DuckDB recomputes
+    * the cross-slice exact-Jaccard pairs from raw text.
     */
+  /** Posting-frequency ceiling for L9 candidate generation: shingles in
+    * more than this many corpus docs are "hot" (stopword-class) and
+    * excluded from the rare-shingle candidate join — their pair mass is
+    * quadratic in posting length while contributing nothing a rare
+    * shared shingle (or the hot-dominated fallback) doesn't already
+    * guarantee. 64 keeps the bound well under the batch side's size at
+    * every test SF; at 100 TB it's a per-index tunable.
+    */
+  private[graft] val L9HotDf = 64L
+
   val l9IncrementalNearDup: Q = Q(
     "l9_incremental_neardup",
     """WITH s AS (
@@ -960,30 +1005,65 @@ object SimilarityQueries {
     spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
     val sh = shingleHashesOf(Tables.documents(spark, dir)).filter(size(col("sh")) > 0)
     spark.sql("DROP TABLE IF EXISTS graft.demo.nd_idx PURGE")
-    spark.sql("DROP TABLE IF EXISTS graft.demo.nd_sz PURGE")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.nd_docs PURGE")
     spark.sql("CREATE TABLE graft.demo.nd_idx (g BIGINT, doc_id BIGINT) USING graft")
-    spark.sql("CREATE TABLE graft.demo.nd_sz (doc_id BIGINT, sz INT) USING graft")
+    spark.sql(
+      "CREATE TABLE graft.demo.nd_docs (doc_id BIGINT, sh ARRAY<BIGINT>) USING graft")
     val corpus = sh.filter(col("doc_id") % 2 === 0)
     corpus.select(explode(col("sh")).as("g"), col("doc_id"))
       .writeTo("graft.demo.nd_idx").append()
-    corpus.select(col("doc_id"), size(col("sh")).as("sz"))
-      .writeTo("graft.demo.nd_sz").append()
-    val probe = sh.filter(col("doc_id") % 2 === 1)
-      .select(col("doc_id").as("i"), size(col("sh")).as("szi"),
-        explode(col("sh")).as("g"))
-    val inter = probe
-      .join(spark.table("graft.demo.nd_idx").select(col("g"), col("doc_id").as("j")),
-        Seq("g"))
-      .groupBy(col("i"), col("j"), col("szi"))
-      .agg(count(lit(1)).as("ninter"))
-    inter
-      .join(spark.table("graft.demo.nd_sz")
-        .select(col("doc_id").as("j"), col("sz").as("szj")), Seq("j"))
+    corpus.select(col("doc_id"), col("sh"))
+      .writeTo("graft.demo.nd_docs").append()
+    l9ProbeIndex(
+      spark.table("graft.demo.nd_idx").select(col("g"), col("doc_id").as("j")),
+      spark.table("graft.demo.nd_docs")
+        .select(col("doc_id").as("j"), col("sh").as("sh_j")),
+      sh.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id").as("i"), col("sh").as("sh_i")))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** The L9 probe: batch (i, sh_i) against the persisted postings
+    * `idx` (g, j) + per-doc arrays `docsArr` (j, sh_j); returns exact
+    * cross-side pairs (i, j, jaccard ≥ 0.8). Candidate generation is
+    * df-capped with the hot-dominated fallback — see
+    * [[l9IncrementalNearDup]]'s recall proof.
+    */
+  private[graft] def l9ProbeIndex(
+      idx: DataFrame, docsArr: DataFrame, batch: DataFrame): DataFrame = {
+    // Shingle document frequency over the persisted postings — one
+    // metadata-scale agg per batch here; a production index maintains
+    // the df column incrementally with the postings themselves.
+    val df = idx.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val rareIdx = idx.join(df.filter(col("df") <= L9HotDf), Seq("g"))
+      .select(col("g"), col("j"))
+    val probeEx = batch.select(col("i"), explode(col("sh_i")).as("g"))
+    // Rare-shingle candidates: per-shingle pair mass ≤ batch_df × HotDf.
+    val candRare = probeEx.join(rareIdx, Seq("g")).select(col("i"), col("j"))
+    // Hot-dominated batch docs (rare shingles ≤ 20% of the set — the
+    // ONLY docs whose qualifying pairs can hide behind an all-hot
+    // intersection, see the recall proof above) re-probe uncapped.
+    // Integer-exact test: 5·rareCnt ≤ |sh|. Shingles ABSENT from the
+    // index count as rare (df 0): the left join keeps them in `total`.
+    val hotDom = probeEx.join(df, Seq("g"), "left")
+      .groupBy(col("i"))
+      .agg(sum(when(col("df").isNull || col("df") <= L9HotDf, 1L)
+        .otherwise(0L)).as("rareCnt"),
+        count(lit(1)).as("total"))
+      .filter(col("rareCnt") * 5 <= col("total"))
+      .select(col("i"))
+    val candHot = probeEx.join(broadcast(hotDom), Seq("i"))
+      .join(idx, Seq("g")).select(col("i"), col("j"))
+    // Exact verify per DISTINCT candidate from the persisted arrays —
+    // ninter over array_distinct shingle sets, so Jaccard is exact.
+    candRare.unionByName(candHot).dropDuplicates("i", "j")
+      .join(batch, Seq("i"))
+      .join(docsArr, Seq("j"))
+      .withColumn("ninter", size(array_intersect(col("sh_i"), col("sh_j"))).cast("double"))
       .withColumn("jac",
-        col("ninter").cast("double") / (col("szi") + col("szj") - col("ninter")))
+        col("ninter") / (size(col("sh_i")) + size(col("sh_j")) - col("ninter")))
       .filter(col("jac") >= 0.8)
       .select(col("i"), col("j"), round(col("jac"), 4).as("jaccard"))
-      .orderBy(col("i"), col("j"))
   }
 
   val all: Seq[Q] = Seq(

@@ -1018,7 +1018,8 @@ private[graft] object GraftBuildAnnIndexProcedure
       .comment("graft catalog table 'ns.t' with (vec_id, ..., embedding)").build(),
     ProcedureParameter.in("ns", StringType).comment("index namespace").build(),
     ProcedureParameter.in("index", StringType).comment("index table name").build(),
-    ProcedureParameter.in("k", IntegerType).comment("number of inverted lists").build(),
+    ProcedureParameter.in("k", IntegerType)
+      .comment("number of inverted lists; <= 0 auto-sizes to ceil(sqrt(n)), floor 16").build(),
     ProcedureParameter.in("iters", IntegerType).comment("Lloyd's rounds").build())
 
   private val outSchema = StructType(Seq(
@@ -1032,7 +1033,7 @@ private[graft] object GraftBuildAnnIndexProcedure
     val source = input.getUTF8String(0).toString
     val ns = input.getUTF8String(1).toString
     val index = input.getUTF8String(2).toString
-    val k = input.getInt(3)
+    val kArg = input.getInt(3)
     val iters = input.getInt(4)
     val spark = org.apache.spark.sql.SparkSession.active
     val catName = GraftCatalog.sessionCatalogName(spark, "build_ann_index")
@@ -1051,6 +1052,18 @@ private[graft] object GraftBuildAnnIndexProcedure
     val src = spark.sql(s"SELECT * FROM $catName.$source VERSION AS OF $v")
     require(src.columns.contains("vec_id") && src.columns.contains("embedding"),
       s"build_ann_index source $source needs (vec_id, embedding) columns")
+    // k <= 0: auto-size lists to ceil(sqrt(n)) (floor 16) — the IVF
+    // norm, and the property that keeps the SERVE cost sub-linear: a
+    // probe reads ~nprobe/k of the corpus, so a FIXED k makes probes a
+    // constant fraction of n (the round-14 scale audit measured the
+    // fixed-16 index at ratio 1.84 on a 10x corpus), while k ∝ √n puts
+    // the probe at ~nprobe·n/√n = O(√n) rows. Row count is metastore
+    // metadata (segment stats at the pinned version's current state) —
+    // no scan.
+    val k =
+      if (kArg > 0) kArg
+      else math.max(16L, math.ceil(math.sqrt(
+        GraftCatalog.rowCount(srcParts(0), srcParts(1)).toDouble)).toLong).toInt
     val cbRow = graft.operators.KMeansCodebook.train(src, k, iters)
     cbRow.select(explode(col("cents")).as("c"))
       .select(col("c.cid").as("cid"), col("c.cvec").as("cvec"))

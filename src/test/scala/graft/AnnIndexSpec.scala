@@ -118,6 +118,44 @@ class AnnIndexSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.annix.dsrc PURGE")
   }
 
+  test("k=0 auto-sizes lists to ceil(sqrt(n)) and the probe scans a sqrt-fraction") {
+    spark.sql("DROP TABLE IF EXISTS graft.annix.asrc PURGE")
+    spark.sql("DROP TABLE IF EXISTS graft.annix.aidx PURGE")
+    spark.sql("DROP TABLE IF EXISTS graft.annix.aidx_cb PURGE")
+    spark.sql(
+      "CREATE TABLE graft.annix.asrc (vec_id BIGINT, label INT, embedding ARRAY<FLOAT>) USING graft")
+    // 400 pseudo-random unit-ish vectors (hash-mixed dims, no planted
+    // clusters) so k-means lists come out roughly balanced.
+    spark.sql(
+      """INSERT INTO graft.annix.asrc
+        |SELECT id AS vec_id, CAST(id % 8 AS INT) AS label,
+        |  transform(sequence(0, 7), i ->
+        |    CAST(pmod(hash(id * 31 + i), 997) / 997.0 - 0.5 AS FLOAT)) AS embedding
+        |FROM range(1, 401)""".stripMargin)
+    val built = spark.sql(
+      "CALL graft.system.build_ann_index('annix.asrc', 'annix', 'aidx', 0, 2)").head()
+    // ceil(sqrt(400)) = 20 lists — the fixed-k=16 probe read a constant
+    // quarter of the corpus regardless of n; auto-k keeps the probed
+    // fraction shrinking as the corpus grows (nprobe/sqrt(n)).
+    assert(built.getLong(2) == 20L, s"auto k: $built")
+    assert(spark.sql("SELECT count(distinct list_id) FROM graft.annix.aidx")
+      .as[Long].head() <= 20L)
+    // The nprobe=4 probe touches only its 4 lists' rows: on balanced
+    // lists ~4/20 of the corpus; 2x slack for k-means imbalance.
+    val probeLists = spark.sql(
+      """SELECT list_id FROM (
+        |  SELECT list_id, count(*) AS c FROM graft.annix.aidx
+        |  GROUP BY list_id ORDER BY c DESC LIMIT 4)""".stripMargin)
+      .as[Long].collect()
+    val probedRows = spark.table("graft.annix.aidx")
+      .filter(col("list_id").isin(probeLists.toIndexedSeq: _*)).count()
+    assert(probedRows <= 400L * 4 / 20 * 2,
+      s"even the 4 LARGEST lists hold $probedRows rows — probe fraction is not O(nprobe/k)")
+    spark.sql("DROP TABLE graft.annix.aidx PURGE")
+    spark.sql("DROP TABLE graft.annix.aidx_cb PURGE")
+    spark.sql("DROP TABLE graft.annix.asrc PURGE")
+  }
+
   test("recall floor holds on a corpus GROWN past its trained index (sf0.01)") {
     val dir = "/root/testdata/sf0.01"
     spark.sql("DROP TABLE IF EXISTS graft.annix.grow PURGE")

@@ -365,12 +365,43 @@ class SimilaritySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
-  test("SimHash 8x8 LSH finds a planted hamming-5 pair the old 4x16 layout missed") {
-    // Bits 0,1 hit old chunk 0; bits 16, 32, 48 hit old chunks 1..3 —
-    // all four 16-bit chunks touched, so the 4x16 banding had no
-    // untouched chunk and silently dropped the pair. With 8 chunks of
-    // 8 bits, chunks 1,3,5,7 are untouched (pigeonhole: hamming ≤ 7
-    // always leaves one), so the pair must surface.
+  test("L9 df-capped probe: hot-only pairs surface via the hot-dominated fallback") {
+    // A corpus where 100 docs share the SAME 10 shingles (df 100 >
+    // L9HotDf = 64: all hot) plus one rare-pair doc. The batch doc
+    // equal to the hot set has jac = 1.0 with every hot corpus doc but
+    // shares NO rare shingle — the df-capped join alone would silently
+    // drop it; the hot-dominated fallback (rareCnt = 0 ≤ 20%) must
+    // recover it. The rare pair checks the capped path in the same run.
+    val hotSet = (1L to 10L).toArray
+    val idx = (
+      (for (j <- 1L to 100L; g <- hotSet) yield (g, j)) ++ // hot docs
+        Seq((1001L, 200L), (1002L, 200L), (1003L, 200L),   // rare doc 200
+          (1004L, 200L), (1005L, 200L))
+      ).toDF("g", "j")
+    val docsArr = ((1L to 100L).map(j => (j, hotSet)) :+
+      (200L, Array(1001L, 1002L, 1003L, 1004L, 1005L))).toDF("j", "sh_j")
+    val batch = Seq(
+      (9001L, hotSet),                                      // hot-only probe
+      (9002L, Array(1001L, 1002L, 1003L, 1004L, 9999L))     // rare probe, jac 4/6
+    ).toDF("i", "sh_i")
+    val got = graft.queries.SimilarityQueries
+      .l9ProbeIndex(idx, docsArr, batch)
+      .select($"i", $"j", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    val wantHot = (1L to 100L).map(j => (9001L, j, 1.0)).toSet
+    assert(got.filter(_._1 == 9001L) == wantHot,
+      s"hot-only pair dropped by the df cap: ${got.count(_._1 == 9001L)}/100 found")
+    // jac(9002, 200) = 4/6 < 0.8 — candidate generated but verify-rejected.
+    assert(!got.exists(_._1 == 9002L), s"sub-threshold pair leaked: $got")
+  }
+
+  test("SimHash chunk-pair LSH finds a planted hamming-5 pair 4-chunk banding missed") {
+    // Bits 0,1 hit 8-bit chunk 0; bits 16, 32, 48 hit chunks 2, 4, 6 —
+    // chunks 1,3,5,7 stay untouched, so banding on unordered chunk
+    // PAIRS (guarantee: hamming ≤ chunks−2 = 6 leaves two untouched
+    // chunks, hence an untouched pair) must surface the pair. In the
+    // 4-chunk (16-bit) layout every chunk is touched, so no banding of
+    // those chunks — single or paired — can see it: documents why the
+    // query bands 8 chunks, not 4.
     val a = 0L
     val b = (1L << 0) | (1L << 1) | (1L << 16) | (1L << 32) | (1L << 48)
     assert(java.lang.Long.bitCount(a ^ b) == 5)
@@ -378,10 +409,40 @@ class SimilaritySpec extends AnyFunSuite {
     val pairs = graft.queries.SimilarityQueries.simhashCandidatePairs(sigs, chunks = 8)
       .select($"i", $"j", $"hamming").as[(Long, Long, Int)].collect().toSet
     assert(pairs == Set((1L, 2L, 5)))
-    // and the old layout indeed missed it (documents the bug, not a goal)
-    val old = graft.queries.SimilarityQueries.simhashCandidatePairs(sigs, chunks = 4)
+    val coarse = graft.queries.SimilarityQueries.simhashCandidatePairs(sigs, chunks = 4)
       .count()
-    assert(old == 0)
+    assert(coarse == 0)
+  }
+
+  test("SimHash LSH candidate mass stays a vanishing, non-growing fraction of all-pairs") {
+    // The round-14 scale audit caught single 8-bit bands approaching
+    // all-pairs: 256 key values per band put the expected candidate
+    // FRACTION at bands/256 ≈ 3.1% of C(n,2) — 56M pairs at sf0.1 and
+    // quadratic-with-a-fat-constant beyond. Chunk-pair banding widens
+    // keys to 16 bits (fraction 28/65536 ≈ 0.043%). Any LSH's expected
+    // collisions are ~C(n,2)·p on collision-free data — the scale
+    // property to pin is that p is TINY and does not grow with n.
+    def sigsOf(n: Int) = (1 to n).map { k =>
+      // splitmix64-style scramble: decorrelated, reproducible bits.
+      var z = k.toLong * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      (k.toLong, z ^ (z >>> 31))
+    }.toDF("doc_id", "sig")
+    def fractionAt(n: Int): Double = {
+      val pairs = graft.queries.SimilarityQueries
+        .simhashCandidatePairs(sigsOf(n), chunks = 8).count()
+      pairs.toDouble / (n.toLong * (n - 1) / 2).toDouble
+    }
+    val fSmall = fractionAt(4000)
+    val fBig = fractionAt(8000)
+    // Both far under the 8-bit layout's 3.1% (≈ 0.043% expected)...
+    assert(fBig < 0.005, f"candidate fraction $fBig%.5f near the 8-bit regime")
+    // ...and the fraction must not GROW with the corpus — growth would
+    // mean the banding degenerates toward all-pairs as n rises (the
+    // exact failure mode of narrow keys once buckets saturate).
+    assert(fBig < fSmall * 2 + 1e-4,
+      f"candidate fraction grew with n: $fSmall%.6f -> $fBig%.6f")
   }
 
   test("native SimHash64 matches the SQL aggregate fold exactly") {
