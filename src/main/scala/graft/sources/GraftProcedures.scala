@@ -1302,8 +1302,9 @@ private[graft] object GraftVerifyConstraintsProcedure
     // Violations then fall out of one two-stage aggregation with
     // map-side partials: duplicate participation = sum of group sizes
     // over "key" groups with n > 1; direct counts = the group size
-    // itself. FK keeps its key-only anti join (it reads a SECOND
-    // table — unfoldable by construction).
+    // itself. FKs fold per PARENT table below (they read a SECOND
+    // table, so they can't join this pass — but all FKs against one
+    // parent share a single anti join).
     def keyStr(c: String): org.apache.spark.sql.Column = df.schema(c).dataType match {
       case org.apache.spark.sql.types.BinaryType => hex(col(c))
       case _ => col(c).cast("string")
@@ -1343,6 +1344,64 @@ private[graft] object GraftVerifyConstraintsProcedure
           .otherwise(col("n"))).as("v"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
+    // FK probes grouped BY PARENT table: multiple FKs referencing the
+    // same parent fold into ONE parent scan + ONE key-only anti join
+    // (the round-14 shape ran a separate anti-join job per FK). Same
+    // explode trick as the non-FK fold: each side emits uniformly-typed
+    // (cid, key: array<string>) entries per FK in the group; the anti
+    // join on (cid, key) yields every FK's violating child rows in one
+    // pass, counted per cid. Key columns are first coerced to the
+    // tightest common type of the child/parent pair (what the old raw
+    // `===` did), then stringified injectively (hex for binary).
+    val fks = constraints.collect { case f: ForeignKey => f }
+    val fkCounts: Map[String, Long] = fks
+      .groupBy(f => (f.referencedTable().namespace().toSeq, f.referencedTable().name()))
+      .flatMap { case (_, group) =>
+        val ref = group.head.referencedTable()
+        // The stored identifier may or may not carry the catalog prefix
+        // (parser-dependent) — resolve as written, then catalog-
+        // qualified.
+        val refName = (ref.namespace() :+ ref.name()).mkString(".")
+        val refTable =
+          try spark.table(refName)
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            spark.table(s"$catName.$refName") }
+        def common(a: org.apache.spark.sql.types.DataType,
+            b: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+          if (a == b) a
+          else org.apache.spark.sql.catalyst.analysis.TypeCoercion
+            .findTightestCommonType(a, b)
+            .getOrElse(org.apache.spark.sql.types.StringType)
+        def sideKey(src: org.apache.spark.sql.DataFrame, f: ForeignKey,
+            pick: ForeignKey => Seq[String]): org.apache.spark.sql.Column = {
+          val cs = pick(f)
+          val ts = f.columns().toSeq.map(_.toString)
+            .zip(f.referencedColumns().toSeq.map(_.toString)).map { case (a, b) =>
+              common(df.schema(a).dataType, refTable.schema(b).dataType)
+            }
+          val elems = cs.zip(ts).map { case (c, t) =>
+            t match {
+              case org.apache.spark.sql.types.BinaryType => hex(src(c).cast(t))
+              case _ => src(c).cast(t).cast("string")
+            }
+          }
+          when(cs.map(c => src(c).isNotNull).reduce(_ && _), array(elems: _*))
+        }
+        def entriesOf(src: org.apache.spark.sql.DataFrame,
+            pick: ForeignKey => Seq[String]): org.apache.spark.sql.DataFrame =
+          src.select(explode(array(group.map(f =>
+            struct(lit(f.name()).as("cid"), sideKey(src, f, pick).as("key"))): _*)).as("e"))
+            .select(col("e.cid").as("cid"), col("e.key").as("key"))
+            .filter(col("key").isNotNull) // any-NULL key passes, per SQL
+        val childEntries = entriesOf(df, _.columns().toSeq.map(_.toString))
+        val parentEntries =
+          entriesOf(refTable, _.referencedColumns().toSeq.map(_.toString)).distinct()
+        val counted = childEntries.join(parentEntries, Seq("cid", "key"), "left_anti")
+          .groupBy(col("cid")).agg(count(lit(1)).as("v"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        group.map(f => f.name() -> counted.getOrElse(f.name(), 0L))
+      }
+
     val rows: Seq[(String, String, Long)] =
       constraints.map {
         case u: Unique =>
@@ -1350,25 +1409,7 @@ private[graft] object GraftVerifyConstraintsProcedure
         case p: PrimaryKey =>
           (p.name(), "PRIMARY KEY", foldedCounts.getOrElse(p.name(), 0L))
         case f: ForeignKey =>
-          val cols = f.columns().toSeq.map(_.toString)
-          val ref = f.referencedTable()
-          val refCols = f.referencedColumns().toSeq.map(_.toString)
-          // Key-only anti probe: both sides project just the keys, the
-          // referenced side deduplicates before the join. The stored
-          // identifier may or may not carry the catalog prefix
-          // (parser-dependent) — resolve as written, then catalog-
-          // qualified.
-          val refName = (ref.namespace() :+ ref.name()).mkString(".")
-          val refTable =
-            try spark.table(refName)
-            catch { case _: org.apache.spark.sql.AnalysisException =>
-              spark.table(s"$catName.$refName") }
-          val refDf = refTable.select(refCols.map(col): _*).distinct()
-          val probe = df.select(cols.map(col): _*)
-            .filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
-          val cond = cols.zip(refCols)
-            .map { case (a, b) => probe(a) === refDf(b) }.reduce(_ && _)
-          (f.name(), "FOREIGN KEY", probe.join(refDf, cond, "left_anti").count())
+          (f.name(), "FOREIGN KEY", fkCounts.getOrElse(f.name(), 0L))
         case c: Check =>
           (c.name(), "CHECK", foldedCounts.getOrElse(c.name(), 0L))
         case other =>

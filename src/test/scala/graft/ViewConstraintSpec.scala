@@ -209,6 +209,60 @@ class ViewConstraintSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.cn.foldref PURGE")
   }
 
+  test("verify_constraints folds all FKs against one parent into one anti join") {
+    spark.sql("DROP TABLE IF EXISTS graft.cn.mfk PURGE")
+    spark.sql("DROP TABLE IF EXISTS graft.cn.mref PURGE")
+    spark.sql("CREATE TABLE graft.cn.mref (a BIGINT, b STRING) USING graft")
+    spark.sql("INSERT INTO graft.cn.mref VALUES (1, 'x'), (2, 'y')")
+    // THREE FKs against the SAME parent (two single-column on different
+    // columns, one composite): folded = one parent scan + one anti
+    // join for all three, so the CALL costs exactly 3 actions (non-FK
+    // fold absent here → folded pass skipped; FK group + result + ...).
+    spark.sql(
+      """CREATE TABLE graft.cn.mfk
+        |  (r1 BIGINT, r2 STRING, ca BIGINT, cb STRING,
+        |   CONSTRAINT m_fk1 FOREIGN KEY (r1) REFERENCES graft.cn.mref (a)
+        |     NOT ENFORCED,
+        |   CONSTRAINT m_fk2 FOREIGN KEY (r2) REFERENCES graft.cn.mref (b)
+        |     NOT ENFORCED,
+        |   CONSTRAINT m_fkc FOREIGN KEY (ca, cb) REFERENCES graft.cn.mref (a, b)
+        |     NOT ENFORCED)
+        |USING graft""".stripMargin)
+    // Row 1: all keys resolve. Row 2: r1 dangles (9), composite dangles
+    // ((2,'x') is no parent row). Row 3: NULLs pass per SQL.
+    spark.sql(
+      """INSERT INTO graft.cn.mfk VALUES
+        |  (1, 'y', 2, 'y'), (9, 'x', 2, 'x'), (NULL, NULL, NULL, 'z')""".stripMargin)
+    val actions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        actions.incrementAndGet(); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val rep = spark.sql("CALL graft.system.verify_constraints('cn', 'mfk')")
+        .collect().map(x => x.getString(0) -> x.getLong(2)).toMap
+      var prev = -1
+      var settles = 0
+      while (settles < 2) {
+        Thread.sleep(100)
+        if (actions.get() == prev) settles += 1 else { settles = 0; prev = actions.get() }
+      }
+      assert(rep == Map("m_fk1" -> 1L, "m_fk2" -> 0L, "m_fkc" -> 1L),
+        s"wrong counts: $rep")
+      // 2 actions: the shared FK anti join + the CALL result
+      // materialization (no non-FK constraints → no folded pass).
+      assert(actions.get() <= 2,
+        s"expected <= 2 actions (one shared FK probe + result), got ${actions.get()}")
+    } finally spark.listenerManager.unregister(listener)
+    spark.sql("DROP TABLE graft.cn.mfk PURGE")
+    spark.sql("DROP TABLE graft.cn.mref PURGE")
+  }
+
   test("verify_constraints: COMPOSITE-key FK and UNIQUE verify column-by-column") {
     spark.sql("DROP TABLE IF EXISTS graft.cn.ct PURGE")
     spark.sql("DROP TABLE IF EXISTS graft.cn.cref PURGE")
