@@ -2198,6 +2198,17 @@ object GraftCatalog {
     java.util.concurrent.TimeUnit.MILLISECONDS.toNanos(
       sys.props.getOrElse("graft.catalog.gc.refresh.debounce.ms", "3000").toLong)
 
+  /** Log-structured ledger: the anchor CHECKPOINT sequence this process
+    * knows per table (its own checkpoint writes + the anchor each
+    * reload resolved from). Absent ⇒ the next persist must checkpoint.
+    */
+  private val checkpointSeqs = new ConcurrentHashMap[Identifier, java.lang.Long]()
+  /** Force a full-document checkpoint every N sequences (bounds reader
+    * replay to < N delta documents).
+    */
+  private val CheckpointEvery =
+    math.max(1, sys.props.getOrElse("graft.catalog.ledger.checkpoint.every", "16").toInt)
+
   private val rootRef = new java.util.concurrent.atomic.AtomicReference[Path](null)
   @volatile private var autoRoot = false // rootRef holds a self-created temp dir
   @volatile private var persistent = false
@@ -2254,17 +2265,19 @@ object GraftCatalog {
       if (!ledgerLoaded.get()) {
         val root = segmentRoot
         val mono = System.nanoTime()
-        GraftLedger.readAllTables(GraftLedger.tablesDir(root)).foreach { case (json, seq) =>
+        GraftLedger.readAllTableStates(GraftLedger.tablesDir(root), mono).foreach {
           // Tombstone top-docs = dropped tables: nothing to load (the
           // sequence is re-learned lazily on first access/refresh).
-          if (!GraftLedger.isTombstone(json)) {
-            val (ident, entry, hist, eps) = GraftLedger.decodeTable(json, mono)
-            if (store.putIfAbsent(ident, entry) == null) ledgerSeqs.put(ident, seq)
+          case GraftLedger.LedgerState(Some((ident, entry, hist, eps)), seq, ckpt) =>
+            if (store.putIfAbsent(ident, entry) == null) {
+              ledgerSeqs.put(ident, seq)
+              checkpointSeqs.put(ident, java.lang.Long.valueOf(ckpt)): Unit
+            }
             if (hist.nonEmpty) history.putIfAbsent(ident, hist)
             eps.foreach { case (qid, e) =>
               epochs.putIfAbsent((ident, qid), java.lang.Long.valueOf(e))
             }
-          }
+          case _ => ()
         }
         GraftLedger.readAll(GraftLedger.viewsDir(root)).foreach { json =>
           val v = GraftLedger.decodeView(json)
@@ -2343,21 +2356,20 @@ object GraftCatalog {
         knownByName.get(fname) match {
           case Some(id) => if (seq > knownSeq(id)) reloadFromDisk(id)
           case None =>
-            GraftLedger.readLatestByName(dir, fname)
-              .filterNot { case (json, _) => GraftLedger.isTombstone(json) }
-              .foreach { case (json, sq) =>
-              val (id, entry, hist, eps) =
-                GraftLedger.decodeTable(json, System.nanoTime())
-              // Unknown here can also mean "we know the ident under a
-              // different name hash" — putIfAbsent semantics keep a
-              // live local view from being clobbered by a re-list.
-              if (store.putIfAbsent(id, entry) == null) {
-                if (hist.nonEmpty) history.put(id, hist)
-                eps.foreach { case (qid, e) =>
-                  epochs.put((id, qid), java.lang.Long.valueOf(e)): Unit
+            GraftLedger.readTableStateByName(dir, fname, System.nanoTime()).foreach {
+              case GraftLedger.LedgerState(Some((id, entry, hist, eps)), sq, ckpt) =>
+                // Unknown here can also mean "we know the ident under a
+                // different name hash" — putIfAbsent semantics keep a
+                // live local view from being clobbered by a re-list.
+                if (store.putIfAbsent(id, entry) == null) {
+                  if (hist.nonEmpty) history.put(id, hist)
+                  eps.foreach { case (qid, e) =>
+                    epochs.put((id, qid), java.lang.Long.valueOf(e)): Unit
+                  }
+                  ledgerSeqs.put(id, sq)
+                  checkpointSeqs.put(id, java.lang.Long.valueOf(ckpt)): Unit
                 }
-                ledgerSeqs.put(id, sq): Unit
-              }
+              case _ => () // tombstone: nothing to adopt
             }
         }
       }
@@ -2371,8 +2383,9 @@ object GraftCatalog {
     */
   private def reloadFromDisk(ident: Identifier): Unit = {
     if (!persistent) return
-    GraftLedger.readLatest(GraftLedger.tablesDir(segmentRoot), ident) match {
-      case Some((json, seq)) if GraftLedger.isTombstone(json) =>
+    GraftLedger.readTableState(
+        GraftLedger.tablesDir(segmentRoot), ident, System.nanoTime()) match {
+      case Some(GraftLedger.LedgerState(None, seq, _)) =>
         // Dropped (possibly by another process): absent from the maps,
         // but the SEQUENCE is remembered — a recreate must CAS above
         // the tombstone, never restart at 0 (monotonicity is what lets
@@ -2381,22 +2394,24 @@ object GraftCatalog {
         store.remove(ident)
         history.remove(ident)
         epochs.keySet.asScala.filter(_._1 == ident).toSeq.foreach(epochs.remove)
-        ledgerSeqs.put(ident, seq): Unit
-      case Some((json, seq)) =>
-        dbg(s"reload($ident) -> seq=$seq")
-        val (id, entry, hist, eps) = GraftLedger.decodeTable(json, System.nanoTime())
+        ledgerSeqs.put(ident, seq)
+        checkpointSeqs.remove(ident): Unit
+      case Some(GraftLedger.LedgerState(Some((id, entry, hist, eps)), seq, ckpt)) =>
+        dbg(s"reload($ident) -> seq=$seq (checkpoint $ckpt)")
         store.put(id, entry)
         if (hist.nonEmpty) history.put(id, hist) else history.remove(id)
         epochs.keySet.asScala.filter(_._1 == id).toSeq.foreach(epochs.remove)
         eps.foreach { case (qid, e) =>
           epochs.put((id, qid), java.lang.Long.valueOf(e)): Unit
         }
-        ledgerSeqs.put(id, seq): Unit
+        ledgerSeqs.put(id, seq)
+        checkpointSeqs.put(id, java.lang.Long.valueOf(ckpt)): Unit
       case None =>
         store.remove(ident)
         history.remove(ident)
         epochs.keySet.asScala.filter(_._1 == ident).toSeq.foreach(epochs.remove)
-        ledgerSeqs.remove(ident): Unit
+        ledgerSeqs.remove(ident)
+        checkpointSeqs.remove(ident): Unit
     }
   }
 
@@ -2406,7 +2421,22 @@ object GraftCatalog {
     * Call under `mutate {}` after the in-memory swap; always true in
     * ephemeral mode.
     */
-  private def persistTableCas(ident: Identifier): Boolean = {
+  /** `delta`: the commit's history change (snapshots added, versions
+    * expired) when the caller KNOWS the change is append+expire-shaped
+    * — publish's retention pass is, by construction. With it the
+    * ledger write is a small DELTA document (O(current segments), not
+    * O(retained history)); a CHECKPOINT (full document) is still forced
+    * every [[CheckpointEvery]] sequences, when no anchor checkpoint is
+    * known for the table (first persist, post-tombstone recreate,
+    * post-restart before any reload), and for every history-rewriting
+    * path that passes None (rename, undrop, vacuum — they re-shape
+    * history non-monotonically). The Delta-log/Iceberg shape: commit
+    * metadata I/O tracks the COMMIT, a periodic checkpoint bounds
+    * reader replay.
+    */
+  private def persistTableCas(
+      ident: Identifier,
+      delta: Option[(Vector[CatalogSnapshot], Seq[Long])] = None): Boolean = {
     if (!persistent) return true
     val dir = GraftLedger.tablesDir(segmentRoot)
     val entry = store.get(ident)
@@ -2421,7 +2451,10 @@ object GraftCatalog {
       val won = GraftLedger.casWrite(dir, ident, GraftLedger.Tombstone, next)
       if (won) {
         dbg(s"persist($ident) tombstone seq=$next")
-        ledgerSeqs.put(ident, next): Unit
+        ledgerSeqs.put(ident, next)
+        // Deltas never ride on a tombstone: the next incarnation's
+        // first persist must be a checkpoint.
+        checkpointSeqs.remove(ident): Unit
       }
       won
     } else {
@@ -2429,12 +2462,24 @@ object GraftCatalog {
         case ((id, qid), e) if id == ident => qid -> e.longValue()
       }.toMap
       val next = knownSeq(ident) + 1
-      val won = GraftLedger.casWrite(dir, ident, GraftLedger.encodeTable(
-        ident, entry, history.getOrDefault(ident, Vector.empty), eps), next)
+      val anchor = Option(checkpointSeqs.get(ident)).map(_.longValue())
+      val asDelta = delta.filter(_ =>
+        anchor.exists(a => a >= 0 && next - a < CheckpointEvery))
+      val won = asDelta match {
+        case Some((added, expired)) =>
+          GraftLedger.casWrite(dir, ident,
+            GraftLedger.encodeTableDelta(ident, entry, added, expired, eps),
+            next, minKeepSeq = anchor.get)
+        case None =>
+          GraftLedger.casWrite(dir, ident, GraftLedger.encodeTable(
+            ident, entry, history.getOrDefault(ident, Vector.empty), eps), next)
+      }
       if (won) {
         dbg(s"persist($ident) seq=$next v=${history.getOrDefault(ident, Vector.empty)
-          .lastOption.map(_.version).getOrElse(-1L)} segs=${entry.segments.length}")
+          .lastOption.map(_.version).getOrElse(-1L)} segs=${entry.segments.length}" +
+          (if (asDelta.isDefined) " delta" else " checkpoint"))
         ledgerSeqs.put(ident, next)
+        if (asDelta.isEmpty) checkpointSeqs.put(ident, java.lang.Long.valueOf(next)): Unit
       }
       won
     }
@@ -2479,6 +2524,7 @@ object GraftCatalog {
       history.remove(ident)
       trash.remove(ident)
       ledgerSeqs.remove(ident)
+      checkpointSeqs.remove(ident)
       epochs.keySet.asScala.filter(_._1 == ident).foreach(epochs.remove)
     }
     ledgerLoaded.set(false)
@@ -2732,13 +2778,20 @@ object GraftCatalog {
       .dropWhile(s => s.mono < cutoff && s != all.last)
     val retained = (taggedSnaps ++ keptUntagged).sortBy(_.version)
     history.put(ident, retained)
+    // Publish's history change is append+expire-shaped by construction
+    // (snapshots common to hist and retained are the same objects), so
+    // the ledger write can be a DELTA document: the new snapshot +
+    // the versions this retention pass expired.
+    val retainedVs = retained.map(_.version).toSet
+    val deltaSpec = (retained.filter(_.version == version),
+      hist.map(_.version).filterNot(retainedVs.contains))
     // CAS the ledger BEFORE deleting any file: a lost CAS means another
     // PROCESS committed first and its snapshots — planned against
     // segment lists this process never saw — may reference exactly the
     // files this publish was about to expire. Durable-mode write is a
     // put-if-absent of the next numbered document; ephemeral mode is
     // always "won" (the JVM lock serializes everything).
-    if (!persistTableCas(ident)) {
+    if (!persistTableCas(ident, Some(deltaSpec))) {
       dbg(s"publish($ident) CAS LOST at seq ${knownSeq(ident) + 1}")
       reloadFromDisk(ident) // adopt the winner; our snapshot never happened
       if (casRetryable) return false

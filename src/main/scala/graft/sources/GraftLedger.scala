@@ -251,13 +251,35 @@ private[graft] object GraftLedger {
 
   // ---- table document ----
 
-  def encodeTable(
-      ident: Identifier, entry: TableEntry,
-      history: Vector[CatalogSnapshot],
-      epochs: Map[String, Long],
-      droppedWallMs: Option[Long] = None): String = {
+  private def snapNode(snap: CatalogSnapshot): ObjectNode = {
+    val h = M.createObjectNode()
+    h.put("version", snap.version).put("wallMs", snap.wallMs)
+    h.put("schema", snap.schema.json)
+    val hs = h.putArray("segments")
+    snap.segments.foreach(s => hs.add(segNode(s)))
+    val hpc = h.putArray("partitionCols")
+    snap.partitionCols.foreach(hpc.add)
+    val hcons = h.putArray("constraints")
+    snap.constraints.foreach(c => hcons.add(constraintNode(c)))
+    if (snap.rewrites.nonEmpty) {
+      val hr = h.putObject("rewrites")
+      snap.rewrites.foreach { case (a, s) => hr.put(a, s) }
+    }
+    if (!snap.dataChange) h.put("dataChange", false)
+    if (snap.eqDeletes.nonEmpty) {
+      val he = h.putArray("eqDeletes")
+      snap.eqDeletes.foreach(eq => he.add(eqNode(eq)))
+    }
+    h
+  }
+
+  /** Everything a table document carries EXCEPT its history shape —
+    * shared by checkpoint documents (full retained history) and delta
+    * documents (added/expired only).
+    */
+  private def tableDocNode(
+      ident: Identifier, entry: TableEntry, epochs: Map[String, Long]): ObjectNode = {
     val o = M.createObjectNode()
-    droppedWallMs.foreach(o.put("droppedWallMs", _))
     val ns = o.putArray("namespace")
     ident.namespace().foreach(ns.add)
     o.put("name", ident.name())
@@ -269,28 +291,6 @@ private[graft] object GraftLedger {
     entry.segments.foreach(s => segs.add(segNode(s)))
     val cons = o.putArray("constraints")
     entry.constraints.foreach(c => cons.add(constraintNode(c)))
-    val hist = o.putArray("history")
-    history.foreach { snap =>
-      val h = M.createObjectNode()
-      h.put("version", snap.version).put("wallMs", snap.wallMs)
-      h.put("schema", snap.schema.json)
-      val hs = h.putArray("segments")
-      snap.segments.foreach(s => hs.add(segNode(s)))
-      val hpc = h.putArray("partitionCols")
-      snap.partitionCols.foreach(hpc.add)
-      val hcons = h.putArray("constraints")
-      snap.constraints.foreach(c => hcons.add(constraintNode(c)))
-      if (snap.rewrites.nonEmpty) {
-        val hr = h.putObject("rewrites")
-        snap.rewrites.foreach { case (a, s) => hr.put(a, s) }
-      }
-      if (!snap.dataChange) h.put("dataChange", false)
-      if (snap.eqDeletes.nonEmpty) {
-        val he = h.putArray("eqDeletes")
-        snap.eqDeletes.foreach(eq => he.add(eqNode(eq)))
-      }
-      hist.add(h)
-    }
     if (entry.eqDeletes.nonEmpty) {
       val ee = o.putArray("eqDeletes")
       entry.eqDeletes.foreach(eq => ee.add(eqNode(eq)))
@@ -306,7 +306,73 @@ private[graft] object GraftLedger {
     val pr = o.putObject("props")
     entry.props.foreach { case (k, v) => pr.put(k, v) }
     if (entry.nextRowId != 0L) o.put("nextRowId", entry.nextRowId)
+    o
+  }
+
+  def encodeTable(
+      ident: Identifier, entry: TableEntry,
+      history: Vector[CatalogSnapshot],
+      epochs: Map[String, Long],
+      droppedWallMs: Option[Long] = None): String = {
+    val o = tableDocNode(ident, entry, epochs)
+    droppedWallMs.foreach(o.put("droppedWallMs", _))
+    val hist = o.putArray("history")
+    history.foreach(snap => hist.add(snapNode(snap)))
     M.writerWithDefaultPrettyPrinter().writeValueAsString(o)
+  }
+
+  /** DELTA document (log-structured commits): the full CURRENT entry +
+    * epochs (small — O(table segments), not O(history)) plus only the
+    * history snapshots ADDED by this commit and the versions EXPIRED by
+    * it. A reader resolves state by replaying deltas upward from the
+    * nearest lower CHECKPOINT (a plain [[encodeTable]] document). The
+    * CAS protocol guarantees a delta at sequence N was computed against
+    * the resolved state at N−1 — to win seq N a writer must have
+    * observed (and reloaded) N−1 — so replay is exact, never a merge.
+    */
+  def encodeTableDelta(
+      ident: Identifier, entry: TableEntry,
+      added: Vector[CatalogSnapshot], expiredVersions: Seq[Long],
+      epochs: Map[String, Long]): String = {
+    val o = tableDocNode(ident, entry, epochs)
+    o.put("delta", true)
+    val ad = o.putArray("added")
+    added.foreach(snap => ad.add(snapNode(snap)))
+    val ex = o.putArray("expired")
+    expiredVersions.foreach(ex.add)
+    M.writerWithDefaultPrettyPrinter().writeValueAsString(o)
+  }
+
+  def isDelta(json: String): Boolean =
+    try M.readTree(json).path("delta").asBoolean(false)
+    catch { case _: com.fasterxml.jackson.core.JacksonException => false }
+
+  /** One decoded history snapshot; `fallbackCols`/`fallbackCons` serve
+    * pre-spec-snapshot ledgers that carry no per-snapshot partition or
+    * constraint info — fall back to the entry's CURRENT values (the
+    * old, weaker behavior) rather than silently un-partitioning.
+    */
+  private def snapOf(h: JsonNode, fallbackCols: Seq[String],
+      fallbackCons: Vector[Constraint], monoNow: Long): CatalogSnapshot = {
+    val snapCols = Option(h.get("partitionCols"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(fallbackCols)
+    def patchSpec(ss: Vector[Segment]): Vector[Segment] =
+      ss.map(s => if (s.spec.isEmpty && s.key.nonEmpty) s.copy(spec = snapCols) else s)
+    CatalogSnapshot(
+      h.get("version").asLong(), h.get("wallMs").asLong(), monoNow,
+      DataType.fromJson(h.get("schema").asText()).asInstanceOf[StructType],
+      patchSpec(h.get("segments").elements().asScala.map(segOf).toVector),
+      snapCols,
+      Option(h.get("constraints"))
+        .map(_.elements().asScala.flatMap(constraintOf).toVector).getOrElse(fallbackCons),
+      Option(h.get("rewrites")).map { r =>
+        r.properties().asScala.map(kv => kv.getKey -> kv.getValue.asText()).toMap
+      }.getOrElse(Map.empty[String, String]),
+      // Absent node (pre-flag ledger) => true: treating an old no-op
+      // commit as a data commit is the conservative direction.
+      dataChange = Option(h.get("dataChange")).forall(_.asBoolean()),
+      eqDeletes = Option(h.get("eqDeletes"))
+        .map(_.elements().asScala.map(eqOf).toVector).getOrElse(Vector.empty))
   }
 
   /** Decoded table document. Snapshot `mono` stamps are REBASED to the
@@ -314,9 +380,9 @@ private[graft] object GraftLedger {
     * reloaded snapshot gets a fresh retention window, which errs on the
     * side of keeping time travel alive after a restart.
     */
-  def decodeTable(json: String, monoNow: Long)
-      : (Identifier, TableEntry, Vector[CatalogSnapshot], Map[String, Long]) = {
-    val o = M.readTree(json)
+  /** The non-history half of a table/delta document, decoded. */
+  private def decodeDocCommon(o: JsonNode)
+      : (Identifier, TableEntry, Seq[String], Vector[Constraint]) = {
     val ns = o.get("namespace").elements().asScala.map(_.asText()).toArray
     val ident = Identifier.of(ns, o.get("name").asText())
     val schema = DataType.fromJson(o.get("schema").asText()).asInstanceOf[StructType]
@@ -343,32 +409,34 @@ private[graft] object GraftLedger {
         eqDeletes = Option(o.get("eqDeletes"))
           .map(_.elements().asScala.map(eqOf).toVector).getOrElse(Vector.empty),
         nextRowId = Option(o.get("nextRowId")).map(_.asLong()).getOrElse(0L))
-    val hist = o.get("history").elements().asScala.map { h =>
-      val snapCols = Option(h.get("partitionCols"))
-        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(partCols)
-      CatalogSnapshot(
-        h.get("version").asLong(), h.get("wallMs").asLong(), monoNow,
-        DataType.fromJson(h.get("schema").asText()).asInstanceOf[StructType],
-        patchSpec(h.get("segments").elements().asScala.map(segOf).toVector, snapCols),
-        // Pre-spec-snapshot ledgers carry no per-snapshot partition
-        // info — fall back to the entry's CURRENT values (the old,
-        // weaker behavior) rather than silently un-partitioning.
-        snapCols,
-        Option(h.get("constraints"))
-          .map(_.elements().asScala.flatMap(constraintOf).toVector).getOrElse(cons),
-        Option(h.get("rewrites")).map { r =>
-          r.properties().asScala.map(kv => kv.getKey -> kv.getValue.asText()).toMap
-        }.getOrElse(Map.empty[String, String]),
-        // Absent node (pre-flag ledger) => true: treating an old no-op
-        // commit as a data commit is the conservative direction.
-        dataChange = Option(h.get("dataChange")).forall(_.asBoolean()),
-        eqDeletes = Option(h.get("eqDeletes"))
-          .map(_.elements().asScala.map(eqOf).toVector).getOrElse(Vector.empty))
-    }.toVector
-    val ep = Option(o.get("epochs")).map { e =>
+    (ident, entry, partCols, cons)
+  }
+
+  private def epochsOf(o: JsonNode): Map[String, Long] =
+    Option(o.get("epochs")).map { e =>
       e.properties().asScala.map(kv => kv.getKey -> kv.getValue.asLong()).toMap
     }.getOrElse(Map.empty[String, Long])
-    (ident, entry, hist, ep)
+
+  def decodeTable(json: String, monoNow: Long)
+      : (Identifier, TableEntry, Vector[CatalogSnapshot], Map[String, Long]) = {
+    val o = M.readTree(json)
+    val (ident, entry, partCols, cons) = decodeDocCommon(o)
+    val hist = o.get("history").elements().asScala
+      .map(h => snapOf(h, partCols, cons, monoNow)).toVector
+    (ident, entry, hist, epochsOf(o))
+  }
+
+  /** Decoded delta document: (ident, entry, addedSnapshots,
+    * expiredVersions, epochs).
+    */
+  def decodeTableDelta(json: String, monoNow: Long)
+      : (Identifier, TableEntry, Vector[CatalogSnapshot], Seq[Long], Map[String, Long]) = {
+    val o = M.readTree(json)
+    val (ident, entry, partCols, cons) = decodeDocCommon(o)
+    val added = o.get("added").elements().asScala
+      .map(h => snapOf(h, partCols, cons, monoNow)).toVector
+    val expired = o.get("expired").elements().asScala.map(_.asLong()).toSeq
+    (ident, entry, added, expired, epochsOf(o))
   }
 
   // ---- view document ----
@@ -561,6 +629,139 @@ private[graft] object GraftLedger {
     try { strictM.readTree(json); true }
     catch { case _: com.fasterxml.jackson.core.JacksonException => false }
 
+  // ---- resolved state (checkpoint + delta replay) ----
+
+  /** A table's fully-RESOLVED ledger state: `state` None = the top
+    * document is a tombstone (table dropped). `seq` is the top
+    * committed sequence; `checkpointSeq` is the anchor the resolution
+    * started from (== `seq` when the top document is itself a
+    * checkpoint or tombstone) — callers feed it back as [[casWrite]]'s
+    * GC floor so delta chains never lose their anchor.
+    */
+  case class LedgerState(
+      state: Option[(Identifier, TableEntry, Vector[CatalogSnapshot], Map[String, Long])],
+      seq: Long, checkpointSeq: Long)
+
+  def readTableState(dir: Path, ident: Identifier, monoNow: Long): Option[LedgerState] =
+    readTableStateByName(dir, fileName(ident), monoNow)
+
+  /** Resolve the table's state at its latest committed sequence: walk
+    * DOWN from the top numbered document to the nearest CHECKPOINT
+    * (full document) or tombstone, then replay the collected DELTA
+    * documents upward. The CAS protocol makes the replay exact: a delta
+    * at sequence N was computed against the resolved state at N−1 (to
+    * win N its writer had to observe N−1), so applying added/expired in
+    * sequence order reconstructs the same history every process saw.
+    * Torn documents are skippable only at the TOP (an unacknowledged
+    * in-flight writer); below any committed document they mean
+    * corruption. Same GC-race retry discipline as [[readLatestByName]].
+    */
+  def readTableStateByName(dir: Path, fname: String, monoNow: Long): Option[LedgerState] = {
+    var attempt = 0
+    while (attempt < 3) {
+      val d = docDirByName(dir, fname)
+      val numbered: Seq[Long] =
+        if (!Files.isDirectory(d)) Nil
+        else {
+          val s = Files.list(d)
+          try s.iterator().asScala.flatMap(seqOf).toSeq.sorted.reverse
+          finally s.close()
+        }
+      if (numbered.isEmpty) {
+        val flat = dir.resolve(fname)
+        if (!Files.exists(flat)) return None
+        try return Some(LedgerState(Some(decodeTable(Files.readString(flat), monoNow)), 0L, 0L))
+        catch { case _: java.io.IOException => attempt += 1 }
+      } else {
+        var raced = false
+        var acceptedAny = false
+        val deltas = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+        val it = numbered.iterator
+        while (!raced && it.hasNext) {
+          val seq = it.next()
+          val raw =
+            try Some(Files.readString(d.resolve(f"$seq%020d.json")))
+            catch { case _: java.io.IOException => raced = true; None }
+          raw.foreach { r =>
+            validate(r) match {
+              case None =>
+                if (acceptedAny)
+                  throw new java.io.IOException(
+                    s"ledger of $fname: torn document at sequence $seq BELOW " +
+                      "committed documents — corruption, refusing to resolve")
+                // torn TOP doc: its writer never acked — step down.
+              case Some(json) if isTombstone(json) =>
+                if (deltas.nonEmpty)
+                  throw new java.io.IOException(
+                    s"ledger of $fname: delta documents above the tombstone at " +
+                      s"sequence $seq — protocol violation, refusing to resolve")
+                return Some(LedgerState(None, seq, seq))
+              case Some(json) if isDelta(json) =>
+                acceptedAny = true
+                deltas += ((seq, json))
+              case Some(json) => // checkpoint: resolve and replay upward
+                acceptedAny = true
+                var (id, entry, hist, eps) = decodeTable(json, monoNow)
+                var top = seq
+                deltas.reverseIterator.foreach { case (dseq, djson) =>
+                  val (did, dentry, added, expired, deps) =
+                    decodeTableDelta(djson, monoNow)
+                  val byV = scala.collection.mutable.LinkedHashMap.empty[Long, CatalogSnapshot]
+                  hist.foreach(s0 => byV.put(s0.version, s0))
+                  added.foreach(s0 => byV.put(s0.version, s0))
+                  expired.foreach(byV.remove)
+                  hist = byV.values.toVector.sortBy(_.version)
+                  id = did; entry = dentry; eps = deps; top = dseq
+                }
+                return Some(LedgerState(Some((id, entry, hist, eps)), top, seq))
+            }
+          }
+        }
+        // No checkpoint under the deltas (or nothing readable): a GC
+        // race mid-walk — re-list and retry.
+        attempt += 1
+      }
+    }
+    throw new java.io.IOException(
+      s"ledger state resolution of $fname kept failing while documents exist — " +
+        "transient I/O or a GC race storm; retry the statement")
+  }
+
+  /** Every table's RESOLVED state (tombstones as `state = None`) —
+    * the startup load. Numbered `.d` directories take precedence over
+    * flat legacy documents for the same table; unreadable entries are
+    * skipped (startup must not abort on one bad table).
+    */
+  def readAllTableStates(dir: Path, monoNow: Long): Seq[LedgerState] = {
+    if (!Files.isDirectory(dir)) return Nil
+    val s = Files.list(dir)
+    val (flat, numbered) =
+      try {
+        val entries = s.iterator().asScala.toSeq
+        (entries.filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".json") &&
+          !p.getFileName.toString.startsWith(".tmp-")),
+          entries.filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.endsWith(".json.d")))
+      } finally s.close()
+    val fromDirsNamed = numbered.flatMap { d =>
+      val fname = d.getFileName.toString.stripSuffix(".d")
+      try readTableStateByName(dir, fname, monoNow).map(fname -> _)
+      catch { case _: java.io.IOException => None } // startup: skip, not abort
+    }
+    // Only dirs that actually yielded a document shadow a flat legacy
+    // doc (an empty .d dir — a crashed delete — must not hide one).
+    val covered = fromDirsNamed.map(_._1).toSet
+    val fromFlat = flat
+      .filterNot(p => covered.contains(p.getFileName.toString))
+      .sortBy(_.getFileName.toString)
+      .flatMap { p =>
+        try Some(LedgerState(Some(decodeTable(Files.readString(p), monoNow)), 0L, 0L))
+        catch { case _: java.io.IOException => None }
+      }
+    fromFlat ++ fromDirsNamed.map(_._2)
+  }
+
   // ---- document seal (torn-write detection for numbered docs) ----
 
   /** Numbered documents are SEALED: `<json>\n#graft-seal:<len>:<crc32>`.
@@ -625,7 +826,14 @@ private[graft] object GraftLedger {
     * create (also atomic-exclusive; its torn-write window on crash is
     * closed by readers skipping undecodable trailing docs).
     */
-  def casWrite(dir: Path, ident: Identifier, rawJson: String, seq: Long): Boolean = {
+  /** `minKeepSeq`: GC floor for DELTA writers — documents at or above
+    * it survive the post-win sweep regardless of age, so a delta chain
+    * never loses the checkpoint (and intermediate deltas) its readers
+    * replay from. Checkpoint/tombstone writers use the default (their
+    * document subsumes everything below).
+    */
+  def casWrite(dir: Path, ident: Identifier, rawJson: String, seq: Long,
+      minKeepSeq: Long = Long.MaxValue): Boolean = {
     val d = docDir(dir, ident)
     Files.createDirectories(d)
     val target = d.resolve(f"$seq%020d.json")
@@ -664,7 +872,7 @@ private[graft] object GraftLedger {
       val cutoff = System.currentTimeMillis() - 60L * 60 * 1000
       val s = Files.list(d)
       try s.iterator().asScala.toSeq.foreach { p =>
-        val old = seqOf(p).exists(_ <= seq - 3)
+        val old = seqOf(p).exists(s0 => s0 <= seq - 3 && s0 < minKeepSeq)
         // Aged .tmp- leftovers of crashed writers sweep here too — the
         // flat-dir sweep in readAll never descends into .d directories.
         val staleTmp = p.getFileName.toString.startsWith(".tmp-") &&
@@ -771,42 +979,4 @@ private[graft] object GraftLedger {
     flat ++ numbered
   }
 
-  /** Every table's LATEST document + its ledger sequence (tombstone
-    * documents included — the caller records their sequence and skips
-    * the decode): numbered `.d` directories take precedence over flat
-    * legacy documents for the same table (a legacy doc only survives
-    * until the table's first CAS commit removes it). Delegates the
-    * per-table read to [[readLatestByName]] for the torn-doc and
-    * GC-race handling.
-    */
-  def readAllTables(dir: Path): Seq[(String, Long)] = {
-    if (!Files.isDirectory(dir)) return Nil
-    val s = Files.list(dir)
-    val (flat, numbered) =
-      try {
-        val entries = s.iterator().asScala.toSeq
-        (entries.filter(p => Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".json") &&
-          !p.getFileName.toString.startsWith(".tmp-")),
-          entries.filter(p => Files.isDirectory(p) &&
-            p.getFileName.toString.endsWith(".json.d")))
-      } finally s.close()
-    val fromDirsNamed = numbered.flatMap { d =>
-      val fname = d.getFileName.toString.stripSuffix(".d")
-      try readLatestByName(dir, fname).map { case (json, seq) => (fname, json, seq) }
-      catch { case _: java.io.IOException => None } // startup: skip, not abort
-    }
-    val fromDirs = fromDirsNamed.map { case (_, json, seq) => (json, seq) }
-    // Only dirs that actually yielded a document shadow a flat legacy
-    // doc (an empty .d dir — a crashed delete — must not hide one).
-    val covered = fromDirsNamed.map(_._1).toSet
-    val fromFlat = flat
-      .filterNot(p => covered.contains(p.getFileName.toString))
-      .sortBy(_.getFileName.toString)
-      .flatMap { p =>
-        try Some((Files.readString(p), 0L))
-        catch { case _: java.io.IOException => None }
-      }
-    fromFlat ++ fromDirs
-  }
 }

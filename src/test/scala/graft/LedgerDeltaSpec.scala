@@ -1,0 +1,117 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{GraftCatalog, GraftLedger}
+
+/** Log-structured ledger commits: data commits write DELTA documents
+  * (current entry + the snapshot added + versions expired) and a full
+  * CHECKPOINT document every K sequences, so per-commit metadata I/O is
+  * O(commit), not O(retained history) — the Delta-log/Iceberg shape.
+  * These specs pin the three load-bearing properties:
+  *   1. per-commit document size stays FLAT as history grows (the
+  *      500-commit history-heavy gauntlet);
+  *   2. the numbered-doc directory stays bounded (checkpoint-anchored
+  *      GC never strands or loses the replay chain);
+  *   3. a fresh process (simulated restart) resolves EXACTLY the state
+  *      the writer had — entry, history, time travel — by replaying
+  *      deltas above the checkpoint.
+  */
+class LedgerDeltaSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    s.conf.set("spark.sql.catalog.pgraft", classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.pgraft.root",
+      java.nio.file.Files.createTempDirectory("graft_ledger_delta_").toString)
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s
+  }
+
+  private def ident(n: String) = Identifier.of(Array("ld"), n)
+  private def docDirOf(id: Identifier): java.nio.file.Path =
+    GraftLedger.tablesDir(GraftCatalog.warehouseRootForTest)
+      .resolve(GraftLedger.fileNameOf(id) + ".d")
+  private def docSizes(id: Identifier): Seq[(Long, Long)] = {
+    val d = docDirOf(id)
+    val s = java.nio.file.Files.list(d)
+    try s.iterator().asScala.flatMap { p =>
+      val n = p.getFileName.toString
+      if (n.endsWith(".json") && !n.startsWith(".tmp-"))
+        n.stripSuffix(".json").toLongOption.map(_ -> java.nio.file.Files.size(p))
+      else None
+    }.toSeq.sortBy(_._1)
+    finally s.close()
+  }
+  test("500-commit history-heavy gauntlet: per-commit ledger writes stay flat") {
+    spark.sql("DROP TABLE IF EXISTS pgraft.ld.h PURGE")
+    // Long retention on BOTH axes so history genuinely grows to ~500
+    // retained snapshots — the regime where whole-document commits pay
+    // O(history) per commit and deltas must not.
+    spark.sql(
+      """CREATE TABLE pgraft.ld.h (k BIGINT, v BIGINT) USING graft
+        |TBLPROPERTIES ('graft.retention.seconds'='3600',
+        |               'graft.retention.snapshots'='600')""".stripMargin)
+    val commits = GauntletEnv.ops(500)
+    // INSERT OVERWRITE keeps the live segment count at 1, isolating the
+    // metadata axis under test: entry stays O(1), history grows O(n).
+    var earlyDelta = -1L
+    (1 to commits).foreach { i =>
+      spark.sql(s"INSERT OVERWRITE pgraft.ld.h VALUES ($i, ${i * 7})")
+      if (i == 20) earlyDelta = docSizes(ident("h")).map(_._2).min
+    }
+    val sizes = docSizes(ident("h"))
+    // (2) bounded directory: anchor checkpoint + < K deltas + the GC
+    // straggler window — never the full commit log.
+    assert(sizes.length <= 16 + 3,
+      s"doc dir grew unbounded: ${sizes.length} documents after $commits commits")
+    // (1) flat per-commit writes: the newest delta after ~500 commits is
+    // no bigger than ~an early one (3x slack for props/stat drift) —
+    // under whole-document commits it would carry ~500 snapshots and be
+    // two orders larger. The dir's SMALLEST doc is always a delta; the
+    // largest is the anchor checkpoint, which must dwarf it.
+    val lateDelta = sizes.map(_._2).min
+    val checkpoint = sizes.map(_._2).max
+    assert(earlyDelta > 0 && lateDelta <= earlyDelta * 3,
+      s"per-commit writes grew with history: early delta $earlyDelta B, late $lateDelta B")
+    assert(checkpoint > lateDelta * 5,
+      s"checkpoint ($checkpoint B) should carry the history deltas ($lateDelta B) elide")
+    // (3) restart equality: a fresh metastore resolves the same state
+    // through checkpoint + delta replay.
+    val liveRows = spark.sql("SELECT k, v FROM pgraft.ld.h").collect().toSeq.map(_.toSeq)
+    val histLen = spark.sql("SELECT count(*) FROM pgraft.ld.h.history")
+      .collect().head.getLong(0)
+    val tt = spark.sql(s"SELECT v FROM pgraft.ld.h VERSION AS OF ${commits / 2}")
+      .collect().head.getLong(0)
+    GraftCatalog.resetInMemoryStateForTest(ident("h"))
+    assert(spark.sql("SELECT k, v FROM pgraft.ld.h").collect().toSeq.map(_.toSeq)
+      == liveRows, "restart lost the current state")
+    assert(spark.sql("SELECT count(*) FROM pgraft.ld.h.history")
+      .collect().head.getLong(0) == histLen, "restart lost retained history")
+    assert(spark.sql(s"SELECT v FROM pgraft.ld.h VERSION AS OF ${commits / 2}")
+      .collect().head.getLong(0) == tt, "restart broke time travel through a delta chain")
+    // Appends continue the same version line above the replayed state.
+    spark.sql(s"INSERT INTO pgraft.ld.h VALUES (0, 0)")
+    assert(spark.sql("SELECT count(*) FROM pgraft.ld.h").collect().head.getLong(0) == 2L)
+    spark.sql("DROP TABLE pgraft.ld.h PURGE")
+  }
+
+  test("drop/recreate across delta chains: tombstone resets the checkpoint anchor") {
+    spark.sql("DROP TABLE IF EXISTS pgraft.ld.t PURGE")
+    spark.sql("CREATE TABLE pgraft.ld.t (k BIGINT) USING graft")
+    (1 to 5).foreach(i => spark.sql(s"INSERT INTO pgraft.ld.t VALUES ($i)"))
+    spark.sql("DROP TABLE pgraft.ld.t") // tombstone commit
+    // Recreate: the first persist after a tombstone must be a FULL
+    // checkpoint (a delta would replay onto the tombstone and resolve
+    // to nothing for a fresh process).
+    spark.sql("CREATE TABLE pgraft.ld.t (k BIGINT, s STRING) USING graft")
+    spark.sql("INSERT INTO pgraft.ld.t VALUES (7, 'x'), (8, 'y')")
+    GraftCatalog.resetInMemoryStateForTest(ident("t"))
+    assert(spark.sql("SELECT k FROM pgraft.ld.t ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(7L, 8L),
+      "fresh process resolved the wrong incarnation across drop/recreate")
+    spark.sql("DROP TABLE pgraft.ld.t PURGE")
+  }
+}
