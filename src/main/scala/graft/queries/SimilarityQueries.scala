@@ -952,13 +952,12 @@ object SimilarityQueries {
 
   /** L9: INCREMENTAL near-dup against a PERSISTED shingle posting-list
     * index — the crawl-vs-corpus shape: the corpus is represented by
-    * two catalog tables (shingle-hash → doc_id postings + per-doc
-    * DISTINCT shingle arrays), the incoming batch explodes its
-    * shingles and probes the INDEX, and exact Jaccard is computed only
-    * for CANDIDATE pairs from the persisted arrays: the corpus TEXT is
-    * never rescanned. At 100 TB the postings table is the bucketed,
-    * zone-mapped state a streaming ingest maintains incrementally;
-    * probe cost tracks the batch.
+    * two catalog tables (shingle-hash → doc_id postings + per-doc set
+    * sizes), the incoming batch explodes its shingles and probes the
+    * INDEX, and exact Jaccard falls out of the probe itself (see
+    * [[l9ProbeIndex]]): the corpus TEXT is never rescanned. At 100 TB
+    * the postings table is the bucketed, zone-mapped state a streaming
+    * ingest maintains incrementally; probe cost tracks the batch.
     *
     * HOT-SHINGLE capping (the scale fix): the posting join's output is
     * quadratic in posting length, and stopword-class shingles have the
@@ -1005,63 +1004,102 @@ object SimilarityQueries {
     spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
     val sh = shingleHashesOf(Tables.documents(spark, dir)).filter(size(col("sh")) > 0)
     spark.sql("DROP TABLE IF EXISTS graft.demo.nd_idx PURGE")
-    spark.sql("DROP TABLE IF EXISTS graft.demo.nd_docs PURGE")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.nd_sz PURGE")
     spark.sql("CREATE TABLE graft.demo.nd_idx (g BIGINT, doc_id BIGINT) USING graft")
-    spark.sql(
-      "CREATE TABLE graft.demo.nd_docs (doc_id BIGINT, sh ARRAY<BIGINT>) USING graft")
+    spark.sql("CREATE TABLE graft.demo.nd_sz (doc_id BIGINT, sz INT) USING graft")
     val corpus = sh.filter(col("doc_id") % 2 === 0)
     corpus.select(explode(col("sh")).as("g"), col("doc_id"))
       .writeTo("graft.demo.nd_idx").append()
-    corpus.select(col("doc_id"), col("sh"))
-      .writeTo("graft.demo.nd_docs").append()
+    corpus.select(col("doc_id"), size(col("sh")).as("sz"))
+      .writeTo("graft.demo.nd_sz").append()
     l9ProbeIndex(
       spark.table("graft.demo.nd_idx").select(col("g"), col("doc_id").as("j")),
-      spark.table("graft.demo.nd_docs")
-        .select(col("doc_id").as("j"), col("sh").as("sh_j")),
+      spark.table("graft.demo.nd_sz").select(col("doc_id").as("j"), col("sz").as("szj")),
       sh.filter(col("doc_id") % 2 === 1)
         .select(col("doc_id").as("i"), col("sh").as("sh_i")))
       .orderBy(col("i"), col("j"))
   }
 
   /** The L9 probe: batch (i, sh_i) against the persisted postings
-    * `idx` (g, j) + per-doc arrays `docsArr` (j, sh_j); returns exact
+    * `idx` (g, j) + per-doc set sizes `sizes` (j, szj); returns exact
     * cross-side pairs (i, j, jaccard ≥ 0.8). Candidate generation is
     * df-capped with the hot-dominated fallback — see
     * [[l9IncrementalNearDup]]'s recall proof.
+    *
+    * EXACT intersection without rescanning text or shuffling full
+    * shingle arrays: |A∩B| = |A∩B∩rare| + |A∩B∩hot|. The rare term IS
+    * the capped posting join's per-pair row count (the r14 trick —
+    * each shared rare shingle contributes exactly one join row); the
+    * hot term comes from per-doc HOT-shingle arrays, which are tiny by
+    * construction (only stopword-class shingles clear the df ceiling),
+    * so the array intersect touches a handful of elements per pair.
     */
   private[graft] def l9ProbeIndex(
-      idx: DataFrame, docsArr: DataFrame, batch: DataFrame): DataFrame = {
-    // Shingle document frequency over the persisted postings — one
-    // metadata-scale agg per batch here; a production index maintains
-    // the df column incrementally with the postings themselves.
-    val df = idx.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val rareIdx = idx.join(df.filter(col("df") <= L9HotDf), Seq("g"))
-      .select(col("g"), col("j"))
-    val probeEx = batch.select(col("i"), explode(col("sh_i")).as("g"))
-    // Rare-shingle candidates: per-shingle pair mass ≤ batch_df × HotDf.
-    val candRare = probeEx.join(rareIdx, Seq("g")).select(col("i"), col("j"))
-    // Hot-dominated batch docs (rare shingles ≤ 20% of the set — the
-    // ONLY docs whose qualifying pairs can hide behind an all-hot
-    // intersection, see the recall proof above) re-probe uncapped.
-    // Integer-exact test: 5·rareCnt ≤ |sh|. Shingles ABSENT from the
-    // index count as rare (df 0): the left join keeps them in `total`.
-    val hotDom = probeEx.join(df, Seq("g"), "left")
-      .groupBy(col("i"))
-      .agg(sum(when(col("df").isNull || col("df") <= L9HotDf, 1L)
-        .otherwise(0L)).as("rareCnt"),
-        count(lit(1)).as("total"))
-      .filter(col("rareCnt") * 5 <= col("total"))
-      .select(col("i"))
-    val candHot = probeEx.join(broadcast(hotDom), Seq("i"))
-      .join(idx, Seq("g")).select(col("i"), col("j"))
-    // Exact verify per DISTINCT candidate from the persisted arrays —
-    // ninter over array_distinct shingle sets, so Jaccard is exact.
-    candRare.unionByName(candHot).dropDuplicates("i", "j")
-      .join(batch, Seq("i"))
-      .join(docsArr, Seq("j"))
-      .withColumn("ninter", size(array_intersect(col("sh_i"), col("sh_j"))).cast("double"))
-      .withColumn("jac",
-        col("ninter") / (size(col("sh_i")) + size(col("sh_j")) - col("ninter")))
+      idx: DataFrame, sizes: DataFrame, batch: DataFrame): DataFrame = {
+    // The HOT shingle set (document frequency > L9HotDf) is tiny —
+    // aggregate it ONCE and BROADCAST: every downstream use is a
+    // map-side join, never a second shuffle of the 10⁶-row postings.
+    // A production index maintains df incrementally with the postings.
+    val hotG = idx.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > L9HotDf).select(col("g")).persist()
+    val anyHot = !hotG.isEmpty
+    // szi rides the explode + groupBy (functionally determined by i) so
+    // the final Jaccard needs no extra join back to the batch.
+    val probeEx = batch.select(col("i"), size(col("sh_i")).as("szi"),
+      explode(col("sh_i")).as("g"))
+    // Rare postings = postings minus hot shingles (broadcast ANTI join,
+    // map-side); per-shingle candidate pair mass ≤ batch_df × HotDf.
+    // One groupBy row per candidate pair, counting shared RARE
+    // shingles (both sides' shingle sets are distinct by construction).
+    val rareIdx =
+      if (anyHot) idx.join(broadcast(hotG), Seq("g"), "left_anti") else idx
+    val rareInter = probeEx
+      .join(rareIdx.select(col("g"), col("j")), Seq("g"))
+      .groupBy(col("i"), col("j"), col("szi"))
+      .agg(count(lit(1)).as("rareInter"))
+    val pairs =
+      if (!anyHot) rareInter // no hot shingles: rare term is the whole answer
+      else {
+        // Hot-dominated batch docs (rare shingles ≤ 20% of the set —
+        // the ONLY docs whose qualifying pairs can hide behind an
+        // all-hot intersection, see the recall proof) re-probe the
+        // uncapped postings; their pairs enter with rareInter = 0 when
+        // they shared no rare shingle (full-outer merge keeps pairs
+        // found by either path exactly once).
+        val hotCnt = probeEx.join(broadcast(hotG), Seq("g"))
+          .groupBy(col("i")).agg(count(lit(1)).as("hotCnt"))
+        val hotDom = batch.select(col("i"), size(col("sh_i")).cast("long").as("total"))
+          .join(hotCnt, Seq("i"), "left")
+          .withColumn("rareCnt", col("total") - coalesce(col("hotCnt"), lit(0L)))
+          .filter(col("rareCnt") * 5 <= col("total"))
+          .select(col("i"))
+          .persist()
+        val base =
+          if (hotDom.isEmpty) rareInter
+          else {
+            val candHot = probeEx.join(broadcast(hotDom), Seq("i"))
+              .join(idx, Seq("g"))
+              .select(col("i"), col("szi"), col("j")).distinct()
+            rareInter.join(candHot, Seq("i", "j", "szi"), "full_outer")
+              .select(col("i"), col("j"), col("szi"),
+                coalesce(col("rareInter"), lit(0L)).as("rareInter"))
+          }
+        // Hot term: per-doc hot-shingle arrays (tiny) on both sides.
+        val hotI = probeEx.join(broadcast(hotG), Seq("g"))
+          .groupBy(col("i")).agg(collect_list(col("g")).as("hot_i"))
+        val hotJ = idx.join(broadcast(hotG), Seq("g"))
+          .groupBy(col("j")).agg(collect_list(col("g")).as("hot_j"))
+        base.join(hotI, Seq("i"), "left").join(hotJ, Seq("j"), "left")
+          .withColumn("rareInter", col("rareInter") +
+            size(array_intersect(
+              coalesce(col("hot_i"), typedLit(Array.empty[Long])),
+              coalesce(col("hot_j"), typedLit(Array.empty[Long])))).cast("long"))
+          .select(col("i"), col("j"), col("szi"), col("rareInter"))
+      }
+    pairs
+      .join(sizes, Seq("j"))
+      .withColumn("jac", col("rareInter").cast("double") /
+        (col("szi") + col("szj") - col("rareInter")))
       .filter(col("jac") >= 0.8)
       .select(col("i"), col("j"), round(col("jac"), 4).as("jaccard"))
   }

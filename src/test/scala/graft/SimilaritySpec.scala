@@ -376,22 +376,30 @@ class SimilaritySpec extends AnyFunSuite {
     val idx = (
       (for (j <- 1L to 100L; g <- hotSet) yield (g, j)) ++ // hot docs
         Seq((1001L, 200L), (1002L, 200L), (1003L, 200L),   // rare doc 200
-          (1004L, 200L), (1005L, 200L))
+          (1004L, 200L), (1005L, 200L)) ++
+        // mixed doc 300: 2 hot shingles + 3 rare — pins the
+        // |A∩B| = rare-join-count + hot-array-intersect decomposition.
+        Seq((1L, 300L), (2L, 300L), (2001L, 300L), (2002L, 300L), (2003L, 300L))
       ).toDF("g", "j")
-    val docsArr = ((1L to 100L).map(j => (j, hotSet)) :+
-      (200L, Array(1001L, 1002L, 1003L, 1004L, 1005L))).toDF("j", "sh_j")
+    val sizes = ((1L to 100L).map(j => (j, 10)) ++ Seq((200L, 5), (300L, 5)))
+      .toDF("j", "szj")
     val batch = Seq(
       (9001L, hotSet),                                      // hot-only probe
-      (9002L, Array(1001L, 1002L, 1003L, 1004L, 9999L))     // rare probe, jac 4/6
+      (9002L, Array(1001L, 1002L, 1003L, 1004L, 9999L)),    // rare probe, jac 4/6
+      (9003L, Array(1L, 2L, 2001L, 2002L, 2003L, 9998L))    // mixed probe, jac 5/6
     ).toDF("i", "sh_i")
     val got = graft.queries.SimilarityQueries
-      .l9ProbeIndex(idx, docsArr, batch)
+      .l9ProbeIndex(idx, sizes, batch)
       .select($"i", $"j", $"jaccard").as[(Long, Long, Double)].collect().toSet
     val wantHot = (1L to 100L).map(j => (9001L, j, 1.0)).toSet
     assert(got.filter(_._1 == 9001L) == wantHot,
       s"hot-only pair dropped by the df cap: ${got.count(_._1 == 9001L)}/100 found")
     // jac(9002, 200) = 4/6 < 0.8 — candidate generated but verify-rejected.
     assert(!got.exists(_._1 == 9002L), s"sub-threshold pair leaked: $got")
+    // jac(9003, 300) = (2 hot + 3 rare)/(6 + 5 − 5) = 5/6 — exact only
+    // if the hot term is added to the rare join count.
+    assert(got.filter(_._1 == 9003L) == Set((9003L, 300L, 0.8333)),
+      s"mixed rare+hot intersection mis-counted: ${got.filter(_._1 == 9003L)}")
   }
 
   test("SimHash chunk-pair LSH finds a planted hamming-5 pair 4-chunk banding missed") {
