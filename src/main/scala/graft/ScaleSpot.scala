@@ -95,8 +95,21 @@ object ScaleSpot {
       spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
       elapsed
     }
+    // Untimed per-query warm-up — the SAME discipline Bench applies to
+    // the sf0.1 numbers these timings are divided by: multi-commit
+    // catalog fixtures (index builds, memoized corpus tables) are
+    // constructed on the first invocation, and timing it here while the
+    // denominator excludes it reads as fake super-linearity (r15
+    // measured l3_ann_ivf_indexed at "1.79x linear" single-shot vs
+    // 0.25x warm — the 9 s k-means index build amortized at sf0.1 but
+    // billed at sf1). Failures surface in the timed shot.
+    def warmOnce(fn: (SparkSession, String) => DataFrame): Unit = {
+      try { fn(spark, outDir).count(); () } catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+      spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+    }
     var times = chosen.flatMap { name =>
-      qs.get(name).map(fn => name -> timeOnce(fn, name))
+      qs.get(name).map { fn => warmOnce(fn); name -> timeOnce(fn, name) }
     }.toMap
     // SCALING CEILING: each query's sf1 time must stay within
     // `Ceiling` × linear of its committed sf0.1 median (bench_full

@@ -1058,7 +1058,7 @@ object SimilarityQueries {
       .groupBy(col("i"), col("j"), col("szi"))
       .agg(count(lit(1)).as("rareInter"))
     val pairs =
-      if (!anyHot) rareInter // no hot shingles: rare term is the whole answer
+      if (!anyHot) rareInter.join(sizes, Seq("j")) // rare term is the whole answer
       else {
         // Hot-dominated batch docs (rare shingles ≤ 20% of the set —
         // the ONLY docs whose qualifying pairs can hide behind an
@@ -1068,6 +1068,7 @@ object SimilarityQueries {
         // found by either path exactly once).
         val hotCnt = probeEx.join(broadcast(hotG), Seq("g"))
           .groupBy(col("i")).agg(count(lit(1)).as("hotCnt"))
+          .persist()
         val hotDom = batch.select(col("i"), size(col("sh_i")).cast("long").as("total"))
           .join(hotCnt, Seq("i"), "left")
           .withColumn("rareCnt", col("total") - coalesce(col("hotCnt"), lit(0L)))
@@ -1084,20 +1085,33 @@ object SimilarityQueries {
               .select(col("i"), col("j"), col("szi"),
                 coalesce(col("rareInter"), lit(0L)).as("rareInter"))
           }
-        // Hot term: per-doc hot-shingle arrays (tiny) on both sides.
+        // UPPER-BOUND prefilter before any per-pair hot work: the hot
+        // term is ≤ hotCnt(i) (the probe doc's hot-shingle count), so
+        // jac ≥ 0.8 ⟺ inter ≥ 0.8(szi+szj)/1.8 needs
+        // 9·(rareInter + hotCnt) ≥ 4·(szi + szj) (integer-exact). The
+        // candidate-pair population is output-PLUS-near-miss sized
+        // (millions at 10×); survivors of this bound are
+        // near-threshold only (thousands), so the hot-array joins and
+        // intersects below touch a vanishing subset.
+        val bounded = base
+          .join(sizes, Seq("j"))
+          .join(broadcast(hotCnt), Seq("i"), "left")
+          .withColumn("hc", coalesce(col("hotCnt"), lit(0L)))
+          .filter((col("rareInter") + col("hc")) * 9 >= (col("szi") + col("szj")) * 4)
+        // Hot term, exact: per-doc hot-shingle arrays (tiny) on both
+        // sides, joined only to the bounded survivors.
         val hotI = probeEx.join(broadcast(hotG), Seq("g"))
           .groupBy(col("i")).agg(collect_list(col("g")).as("hot_i"))
         val hotJ = idx.join(broadcast(hotG), Seq("g"))
           .groupBy(col("j")).agg(collect_list(col("g")).as("hot_j"))
-        base.join(hotI, Seq("i"), "left").join(hotJ, Seq("j"), "left")
+        bounded.join(hotI, Seq("i"), "left").join(hotJ, Seq("j"), "left")
           .withColumn("rareInter", col("rareInter") +
             size(array_intersect(
               coalesce(col("hot_i"), typedLit(Array.empty[Long])),
               coalesce(col("hot_j"), typedLit(Array.empty[Long])))).cast("long"))
-          .select(col("i"), col("j"), col("szi"), col("rareInter"))
+          .select(col("i"), col("j"), col("szi"), col("szj"), col("rareInter"))
       }
     pairs
-      .join(sizes, Seq("j"))
       .withColumn("jac", col("rareInter").cast("double") /
         (col("szi") + col("szj") - col("rareInter")))
       .filter(col("jac") >= 0.8)
