@@ -1,7 +1,6 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.functions._
 
 /** TPC-H-derived flagship queries 2/2 (SURVEY.md §2b composite realism
   * rows; complements q1..q18 in [[RelationalQueries]] — together the

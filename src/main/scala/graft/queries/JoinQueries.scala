@@ -1,7 +1,6 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join family (SURVEY.md §2b J1–J9).

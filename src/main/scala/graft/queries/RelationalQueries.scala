@@ -1,7 +1,6 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Relational core (SURVEY.md §2b: S*, P*, J*, A*, W*, T*, U*, F*).

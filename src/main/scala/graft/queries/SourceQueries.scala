@@ -1671,7 +1671,7 @@ object SourceQueries {
       |FROM final
       |GROUP BY seg
       |ORDER BY seg""".stripMargin) { (spark, dir) =>
-    import org.apache.spark.sql.functions.{col, count, expr, round, sum}
+    import org.apache.spark.sql.functions.{col, count, round, sum}
     spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
     Tables.customer(spark, dir).createOrReplaceTempView("x13_customer_src")
     spark.sql("DROP TABLE IF EXISTS graft.demo.cust_mor")

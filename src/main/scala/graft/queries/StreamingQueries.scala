@@ -4,7 +4,7 @@ import graft.{Q, Tables}
 import graft.streaming.StreamingOps
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.GroupStateTimeout
-import org.apache.spark.sql.{Encoders, Row}
+import org.apache.spark.sql.Encoders
 
 /** Streaming operators (SURVEY.md §2b ST1–ST9) as differential-oracle
   * rows: each query replays `events` through the real incremental

@@ -1,22 +1,19 @@
 package graft.sources
 
-import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, FileInputStream, FileOutputStream}
 import java.nio.file.{Files, Path, Paths}
 import java.util
-import java.util.UUID
 import java.util.concurrent.ConcurrentHashMap
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.UnsafeRow
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.types.{DataType, DoubleType, StructType}
+import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSource V2 CATALOG plugin — the metadata half of the engine's
@@ -995,8 +992,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     try {
       val result = store.compute(ident, (_, prev) => {
         require(prev != null, s"table $ident dropped mid-alter")
-        import org.apache.spark.sql.catalyst.expressions.{
-          BoundReference, CreateNamedStruct, Expression, GetStructField, If, IsNull, Literal}
+        import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression}
         nestedAdds.foreach { case (parent, _) =>
           if (!prev.schema.fieldNames.contains(parent))
             throw new IllegalArgumentException(s"no such column $parent")

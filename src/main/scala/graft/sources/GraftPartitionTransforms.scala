@@ -299,7 +299,7 @@ private[graft] object PartField {
     * disagree).
     */
   def fromSparkTransform(t: Transform): PartField = {
-    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal}
     def singleRef: String = {
       val refs = t.references()
       if (refs.length != 1 || refs(0).fieldNames().length != 1)

@@ -1,23 +1,14 @@
 package graft.sources
 
-import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, FileInputStream, FileOutputStream}
-import java.nio.file.{Files, Path, Paths}
-import java.util
-import java.util.UUID
-import java.util.concurrent.ConcurrentHashMap
+import java.io.{BufferedInputStream, DataInputStream, FileInputStream}
 
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.UnsafeRow
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
-import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.types.{DataType, DoubleType, StructType}
-import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.types.StructType
 
 // Scan-side execution (scan builder, aggregate-pushdown scan, batch
 // scan, micro-batch stream, reader factories) — split from
@@ -671,7 +662,6 @@ private[graft] case class GraftCatalogScan(
     * story (Iceberg-style SPJ), not an optimization of this demo store.
     */
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
-    import org.apache.spark.sql.connector.expressions.Expressions
     import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
     val groups = if (!keyedLayout) Nil else keyGroups
     if (groups.isEmpty) new UnknownPartitioning(capForLimit(survivors).length)

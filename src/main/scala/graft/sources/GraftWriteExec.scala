@@ -1,23 +1,15 @@
 package graft.sources
 
-import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, FileInputStream, FileOutputStream}
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.Paths
 import java.util
-import java.util.UUID
-import java.util.concurrent.ConcurrentHashMap
 
-import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.UnsafeRow
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.types.{DataType, DoubleType, StructType}
-import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.types.StructType
 
 // Write-side execution (staged CTAS/RTAS tables, batch + streaming
 // writes, segment writer factories) — split from GraftCatalog.scala
@@ -62,7 +54,7 @@ private[sources] class GraftStagedTable(
       override def truncate(): WriteBuilder = this
       override def build(): Write = new Write with RequiresDistributionAndOrdering {
         import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
-        import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+        import org.apache.spark.sql.connector.expressions.SortOrder
         override def requiredDistribution(): Distribution =
           if (partitionCols.isEmpty) Distributions.unspecified()
           else Distributions.clustered(
