@@ -642,6 +642,27 @@ private[graft] object GraftLedger {
       state: Option[(Identifier, TableEntry, Vector[CatalogSnapshot], Map[String, Long])],
       seq: Long, checkpointSeq: Long)
 
+  /** Replay delta documents (ascending sequence) onto a resolved base
+    * state; returns the final state and the top sequence reached.
+    */
+  private def replayDeltas(
+      base: (Identifier, TableEntry, Vector[CatalogSnapshot], Map[String, Long]),
+      baseSeq: Long, deltas: Iterator[(Long, String)], monoNow: Long)
+      : ((Identifier, TableEntry, Vector[CatalogSnapshot], Map[String, Long]), Long) = {
+    var (id, entry, hist, eps) = base
+    var top = baseSeq
+    deltas.foreach { case (dseq, djson) =>
+      val (did, dentry, added, expired, deps) = decodeTableDelta(djson, monoNow)
+      val byV = scala.collection.mutable.LinkedHashMap.empty[Long, CatalogSnapshot]
+      hist.foreach(s0 => byV.put(s0.version, s0))
+      added.foreach(s0 => byV.put(s0.version, s0))
+      expired.foreach(byV.remove)
+      hist = byV.values.toVector.sortBy(_.version)
+      id = did; entry = dentry; eps = deps; top = dseq
+    }
+    ((id, entry, hist, eps), top)
+  }
+
   def readTableState(dir: Path, ident: Identifier, monoNow: Long): Option[LedgerState] =
     readTableStateByName(dir, fileName(ident), monoNow)
 
@@ -701,24 +722,29 @@ private[graft] object GraftLedger {
                 deltas += ((seq, json))
               case Some(json) => // checkpoint: resolve and replay upward
                 acceptedAny = true
-                var (id, entry, hist, eps) = decodeTable(json, monoNow)
-                var top = seq
-                deltas.reverseIterator.foreach { case (dseq, djson) =>
-                  val (did, dentry, added, expired, deps) =
-                    decodeTableDelta(djson, monoNow)
-                  val byV = scala.collection.mutable.LinkedHashMap.empty[Long, CatalogSnapshot]
-                  hist.foreach(s0 => byV.put(s0.version, s0))
-                  added.foreach(s0 => byV.put(s0.version, s0))
-                  expired.foreach(byV.remove)
-                  hist = byV.values.toVector.sortBy(_.version)
-                  id = did; entry = dentry; eps = deps; top = dseq
-                }
-                return Some(LedgerState(Some((id, entry, hist, eps)), top, seq))
+                val (st, top) = replayDeltas(
+                  decodeTable(json, monoNow), seq, deltas.reverseIterator, monoNow)
+                return Some(LedgerState(Some(st), top, seq))
             }
           }
         }
-        // No checkpoint under the deltas (or nothing readable): a GC
-        // race mid-walk — re-list and retry.
+        // Numbered docs exhausted without a checkpoint. A LEGACY FLAT
+        // document is the sequence-0 state and a valid anchor: a table
+        // loaded from one reports checkpoint seq 0, so its next commit
+        // may legally be a delta at seq 1 with no numbered checkpoint
+        // below it.
+        if (!raced && deltas.nonEmpty) {
+          val flat = dir.resolve(fname)
+          if (Files.exists(flat)) {
+            try {
+              val (st, top) = replayDeltas(
+                decodeTable(Files.readString(flat), monoNow), 0L,
+                deltas.reverseIterator, monoNow)
+              return Some(LedgerState(Some(st), top, 0L))
+            } catch { case _: java.io.IOException => () } // fall through to retry
+          }
+        }
+        // Otherwise: a GC race mid-walk — re-list and retry.
         attempt += 1
       }
     }
@@ -881,8 +907,13 @@ private[graft] object GraftLedger {
         if (old || staleTmp)
           try Files.deleteIfExists(p) catch { case _: java.io.IOException => () }
       } finally s.close()
-      try Files.deleteIfExists(dir.resolve(fileName(ident)))
-      catch { case _: java.io.IOException => () }
+      // The legacy flat document is subsumed — and safe to delete —
+      // only by a CHECKPOINT/tombstone write (minKeepSeq default). A
+      // DELTA anchored on the flat doc (seq-0 state) must keep it: it
+      // IS the base the replay resolves from.
+      if (minKeepSeq > seq)
+        try Files.deleteIfExists(dir.resolve(fileName(ident)))
+        catch { case _: java.io.IOException => () }
     } else {
       // Lost to an EXISTING target: if that target is an AGED torn doc
       // (O_EXCL-fallback writer crashed mid-write — it never acked, so
