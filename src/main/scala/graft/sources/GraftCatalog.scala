@@ -2341,10 +2341,13 @@ object GraftCatalog {
   private[sources] def refreshAllIfStale(maxAgeNanos: Long = 0L): Unit = {
     if (!persistent) return
     ensureLoaded()
-    if (maxAgeNanos > 0L &&
+    // Sentinel first: `nanoTime - Long.MinValue` OVERFLOWS to a
+    // negative value, which would read as "freshly synced" and skip
+    // the clone-protection listing forever on a process that never
+    // synced.
+    if (maxAgeNanos > 0L && lastWarehouseSyncNanos != Long.MinValue &&
         System.nanoTime() - lastWarehouseSyncNanos < maxAgeNanos) return
     mutate {
-      lastWarehouseSyncNanos = System.nanoTime()
       val dir = GraftLedger.tablesDir(segmentRoot)
       val knownByName: Map[String, Identifier] =
         ledgerSeqs.keySet.asScala.map(id => GraftLedger.fileNameOf(id) -> id).toMap
@@ -2369,6 +2372,10 @@ object GraftCatalog {
             }
         }
       }
+      // Stamp AFTER the listing completes: a sync that threw mid-walk
+      // must not be recorded as done, or the debounced retry would
+      // skip the clone-protection listing it never finished.
+      lastWarehouseSyncNanos = System.nanoTime()
     }
   }
 

@@ -732,8 +732,11 @@ private[graft] object GraftLedger {
         // document is the sequence-0 state and a valid anchor: a table
         // loaded from one reports checkpoint seq 0, so its next commit
         // may legally be a delta at seq 1 with no numbered checkpoint
-        // below it.
-        if (!raced && deltas.nonEmpty) {
+        // below it. The same fallback with NO deltas covers a numbered
+        // dir holding only a torn doc (a first CAS that crashed before
+        // acking on a no-hardlink filesystem) above a valid flat doc —
+        // the flat state still serves.
+        if (!raced) {
           val flat = dir.resolve(fname)
           if (Files.exists(flat)) {
             try {

@@ -1359,8 +1359,15 @@ private[graft] object GraftVerifyConstraintsProcedure
         def common(a: org.apache.spark.sql.types.DataType,
             b: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
           if (a == b) a
+          // EXACTLY the coercion a raw `child === parent` comparison
+          // used (so e.g. a STRING '01' child key still matches an INT
+          // 1 parent via the numeric comparison type, instead of
+          // string-mismatching into a spurious violation).
           else org.apache.spark.sql.catalyst.analysis.TypeCoercion
-            .findTightestCommonType(a, b)
+            .findCommonTypeForBinaryComparison(a, b,
+              org.apache.spark.sql.internal.SQLConf.get)
+            .orElse(org.apache.spark.sql.catalyst.analysis.TypeCoercion
+              .findTightestCommonType(a, b))
             .getOrElse(org.apache.spark.sql.types.StringType)
         def sideKey(src: org.apache.spark.sql.DataFrame, f: ForeignKey,
             pick: ForeignKey => Seq[String]): org.apache.spark.sql.Column = {

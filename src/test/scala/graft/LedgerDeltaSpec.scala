@@ -118,6 +118,17 @@ class LedgerDeltaSpec extends AnyFunSuite {
     java.nio.file.Files.delete(d)
     GraftLedger.write(dir, ident("f"), GraftLedger.encodeTable(id, entry, hist, eps))
     GraftCatalog.resetInMemoryStateForTest(ident("f"))
+    // A TORN numbered doc above the flat (a first CAS that crashed
+    // before acking on a no-hardlink filesystem) must not wedge the
+    // table: the resolver steps over it and serves the flat state.
+    java.nio.file.Files.createDirectories(docDirOf(ident("f")))
+    val torn = docDirOf(ident("f")).resolve(f"${1L}%020d.json")
+    java.nio.file.Files.writeString(torn, "{\"namespace")
+    assert(spark.sql("SELECT k FROM pgraft.ld.f ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      "torn doc above a legacy flat doc wedged the table")
+    java.nio.file.Files.delete(torn)
+    GraftCatalog.resetInMemoryStateForTest(ident("f"))
     // Loads from flat (anchor 0); this INSERT may commit as a delta at
     // seq 1 — then a FRESH process must still resolve the full state.
     spark.sql("INSERT INTO pgraft.ld.f VALUES (3)")

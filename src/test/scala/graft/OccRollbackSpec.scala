@@ -106,6 +106,50 @@ class OccRollbackSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("pgraft.occ.p"))
   }
 
+  test("a FRESH process's first retention-GC pass still sees foreign clones") {
+    // The debounced warehouse sync must treat "never synced"
+    // (Long.MinValue sentinel) as stale: `nanoTime - MinValue`
+    // overflows negative, and a naive age check would read it as
+    // freshly-synced and skip the clone-protection listing forever —
+    // deleting files another driver's clone still serves.
+    spark.sql("DROP TABLE IF EXISTS pgraft.occ.g PURGE")
+    spark.sql(
+      """CREATE TABLE pgraft.occ.g (k BIGINT) USING graft
+        |TBLPROPERTIES ('graft.retention.snapshots'='1')""".stripMargin)
+    spark.sql("INSERT INTO pgraft.occ.g VALUES (1), (2)")
+    // A property-only ALTER persists a CHECKPOINT document carrying the
+    // current segment list — the shape a foreign clone doc needs.
+    spark.sql("ALTER TABLE pgraft.occ.g SET TBLPROPERTIES ('occ.test'='1')")
+    // Simulated restart FIRST (arms the never-synced sentinel and the
+    // ledger reload), and touch the table so the warehouse load runs
+    // BEFORE the foreign clone exists.
+    GraftCatalog.resetInMemoryStateForTest(ident("g"), ident("gclone"))
+    assert(spark.sql("SELECT count(*) FROM pgraft.occ.g").head.getLong(0) == 2L)
+    // Foreign driver: a zero-copy clone referencing g's segment FILES,
+    // committed straight into the ledger (this process never sees it
+    // except through the GC-path warehouse sync).
+    val (json, _) = GraftLedger.readLatest(tablesDir, ident("g"))
+      .getOrElse(fail("no ledger doc for g"))
+    assert(json.contains("\"name\" : \"g\""), "unexpected ledger doc layout")
+    val cloneJson = json.replace("\"name\" : \"g\"", "\"name\" : \"gclone\"")
+    assert(GraftLedger.casWrite(tablesDir, ident("gclone"), cloneJson, 0L))
+    val sharedFiles = "\"path\" : \"([^\"]+)\"".r
+      .findAllMatchIn(json).map(_.group(1)).toSet
+    assert(sharedFiles.nonEmpty, "fixture has no segment files to share")
+    // Retention (count cap 1) expires the previous snapshot's files on
+    // this commit — the GC pass must list the warehouse (sentinel ⇒
+    // stale), adopt gclone, and SPARE the shared files.
+    spark.sql("INSERT OVERWRITE pgraft.occ.g VALUES (3)")
+    val lost = sharedFiles.filterNot(p => java.nio.file.Files.exists(
+      java.nio.file.Paths.get(p)))
+    assert(lost.isEmpty,
+      s"retention GC deleted files a foreign clone still references: $lost")
+    // And the clone still serves its rows from those files.
+    assert(spark.sql("SELECT count(*) FROM pgraft.occ.gclone").head.getLong(0) == 2L)
+    spark.sql("DROP TABLE pgraft.occ.gclone PURGE")
+    spark.sql("DROP TABLE pgraft.occ.g PURGE")
+  }
+
   test("lost old-name tombstone CAS rolls the whole rename back") {
     spark.sql("DROP TABLE IF EXISTS pgraft.occ.r1 PURGE")
     spark.sql("DROP TABLE IF EXISTS pgraft.occ.r2 PURGE")
