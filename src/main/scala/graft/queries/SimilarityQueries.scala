@@ -210,6 +210,87 @@ object SimilarityQueries {
       .orderBy(col("i"), col("j"))
   }
 
+  /** SRP-banded embedding near-dup SELF-JOIN candidates + exact cosine
+    * re-rank — the unbounded-corpus L4 shape (SURVEY L4: "LSH banding
+    * to avoid O(n²)"). Every vector is bucketed under `tables`
+    * independent sign-random-projection hashes; candidates are the
+    * (tbl, bkt) equi self-join with i < j, deduped, then EXACTLY
+    * re-ranked against the true cosine.
+    *
+    * Scale shape, deliberately different from `srpAnnTopK`'s
+    * query-vs-corpus plan in two ways:
+    *  - candidate generation carries IDS ONLY — the bucketing stage
+    *    drops the embedding before the explode, so vectors never ride
+    *    the `tables`-way fan-out through the self-join shuffle; the
+    *    deduped candidate pairs (output-plus-near-miss sized) join
+    *    back to the corpus to fetch the two vectors for re-rank.
+    *  - band keys are WIDE (bits = 16 ⇒ 65 536 values per table, vs
+    *    the ANN path's 8): a self-join's in-bucket candidate mass is
+    *    Σ occupancy², so narrow keys degenerate toward all-pairs as n
+    *    grows — the exact SimHash failure mode the chunk-pair fix
+    *    addressed. Fraction is pinned non-growing in SimilaritySpec.
+    */
+  private[graft] def srpNearDupPairs(
+      spark: SparkSession, data: DataFrame, threshold: Double,
+      tables: Int = 8, bits: Int = 16): DataFrame = {
+    val ids = data.select(
+      col("vec_id"),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("tbl"),
+          SrpBucket(spark, col("embedding"), bits, seed = 7000L + t).as("bkt"))
+      }: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val cand = ids.alias("a")
+      .join(ids.alias("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+      .dropDuplicates("i", "j")
+    cand
+      .join(data.select(col("vec_id").as("i"), col("embedding").as("va")), Seq("i"))
+      .join(data.select(col("vec_id").as("j"), col("embedding").as("vb")), Seq("j"))
+      .withColumn("simv", CosineSim(spark, col("va"), col("vb")))
+      .filter(col("simv") >= threshold)
+      .select(col("i"), col("j"), round(col("simv"), 4).as("sim"))
+  }
+
+  /** L4 (scale path): SRP-LSH embedding near-dup pairs over the FULL
+    * corpus — no doc_id bound, no all-pairs join. Exact oracle via the
+    * planted-pair fixture (the `l2_simhash_neardup` pattern): every
+    * vec_id ≡ 3 (mod 25) re-enters BIT-IDENTICALLY as vec_id + 10⁶.
+    * Recall for the answer is PROVABLE, not probabilistic: the natural
+    * corpus's max pairwise cosine is 0.51 at sf0.01 / 0.60 at sf0.1
+    * (measured), so at threshold 0.9 the answer set is exactly the
+    * planted identical pairs — and identical floats take identical
+    * hyperplane dots, hence identical signs, hence the SAME bucket in
+    * EVERY hash table, so each answer pair is a candidate by
+    * construction and the exact re-rank emits it at cosine 1.0. DuckDB
+    * recomputes the answer as the closed-form O(n²) threshold join
+    * (bounded: oracle runs at sf0.01's 520 rows). Threshold-mode
+    * recall on natural near-dups stays asserted in SimilaritySpec.
+    */
+  val l4EmbeddingNearDupLsh: Q = Q(
+    "l4_embedding_neardup_lsh",
+    """WITH aug AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |             UNION ALL
+      |             SELECT vec_id + 1000000, embedding::DOUBLE[]
+      |             FROM embeddings WHERE vec_id % 25 = 3)
+      |SELECT a.vec_id AS i, b.vec_id AS j,
+      |  round(list_dot_product(a.v, b.v) /
+      |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+      |FROM aug a, aug b
+      |WHERE a.vec_id < b.vec_id
+      |  AND list_dot_product(a.v, b.v) /
+      |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9
+      |ORDER BY i, j""".stripMargin) { (spark, dir) =>
+    val e = Tables.embeddings(spark, dir)
+    val planted = e.filter(col("vec_id") % 25 === 3)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+    val aug = e.select(col("vec_id"), col("embedding")).unionByName(planted)
+    srpNearDupPairs(spark, aug, threshold = 0.9)
+      .orderBy(col("i"), col("j"))
+  }
+
   /** L2: MinHash + banded LSH near-dup. 3-gram SHINGLES (not unigrams:
     * over a small vocabulary unigram sets are near-identical across
     * unrelated docs, so every pair collides in some band and the
@@ -1120,6 +1201,7 @@ object SimilarityQueries {
 
   val all: Seq[Q] = Seq(
     l3CosineTopK, l3AnnLsh, l4NgramJaccard, l4EmbeddingNearDup,
+    l4EmbeddingNearDupLsh,
     l3AnnIvf, l3AnnIvfSaved, l3AnnIvfIndexed, st18StreamingAnnIndex,
     l3AnnIvfPq, l3AnnIvfPqSaved,
     l2MinHashLsh, l2DedupClusters, l2SimHash, l9IncrementalNearDup)

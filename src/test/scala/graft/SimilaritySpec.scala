@@ -84,6 +84,59 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cand.contains(99L))
   }
 
+  test("SRP self-join near-dup: planted pairs exact, natural near-dups recalled") {
+    import graft.queries.SimilarityQueries.srpNearDupPairs
+    val rnd = new scala.util.Random(42)
+    def gauss() = Seq.fill(64)(rnd.nextGaussian().toFloat)
+    // 40 planted near-pairs: base vector k and a copy perturbed to
+    // cosine ≥ ~0.97 (perturbation norm 0.25 × base norm ⇒ cos ≈
+    // 1/sqrt(1+0.0625) ≈ 0.970), plus 400 unrelated noise vectors.
+    val bases = (0 until 40).map(k => (k.toLong, gauss()))
+    val twins = bases.map { case (k, v) =>
+      val d = gauss()
+      val vn = math.sqrt(v.map(x => x * x.toDouble).sum)
+      val dn = math.sqrt(d.map(x => x * x.toDouble).sum)
+      val s = 0.25 * vn / dn
+      (k + 1000L, v.zip(d).map { case (x, y) => (x + s * y).toFloat })
+    }
+    val noise = (0 until 400).map(k => (k + 5000L, gauss()))
+    val df = (bases ++ twins ++ noise).toDF("vec_id", "embedding")
+    val pairs = srpNearDupPairs(spark, df, threshold = 0.9)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    // Precision: nothing but (k, k+1000) twins clears 0.9 — unrelated
+    // 64-dim Gaussians sit near cosine 0.
+    assert(pairs.forall { case (i, j) => j == i + 1000L },
+      s"non-twin pair above threshold: ${pairs.filterNot { case (i, j) => j == i + 1000L }}")
+    // Recall on NATURAL (perturbed, not bit-identical) near-dups: each
+    // twin pair collides in ≥1 of 8 tables w.p. ~0.92 at cos 0.97;
+    // seeds are fixed so the measured count is deterministic.
+    assert(pairs.size >= 28, s"twin recall too low: ${pairs.size}/40")
+  }
+
+  test("SRP self-join candidate mass stays a vanishing, non-growing fraction of all-pairs") {
+    // The self-join analogue of the SimHash chunk-pair scale property:
+    // candidate mass is Σ bucket-occupancy² per (table, bucket), so the
+    // fraction of all-pairs must be TINY and must not grow with n —
+    // growth means buckets are saturating (narrow-key degeneration
+    // toward all-pairs). Expected for random 64-dim Gaussians at
+    // 8 tables × 16 bits: ~8 × 0.5^16 ≈ 1.2e-4.
+    import graft.queries.SimilarityQueries.srpNearDupPairs
+    def vecsOf(n: Int) = {
+      val rnd = new scala.util.Random(7)
+      (1 to n).map(k => (k.toLong, Seq.fill(64)(rnd.nextGaussian().toFloat)))
+        .toDF("vec_id", "embedding")
+    }
+    def fractionAt(n: Int): Double = {
+      val cand = srpNearDupPairs(spark, vecsOf(n), threshold = -1.0).count()
+      cand.toDouble / (n.toLong * (n - 1) / 2).toDouble
+    }
+    val fSmall = fractionAt(3000)
+    val fBig = fractionAt(6000)
+    assert(fBig < 0.005, f"candidate fraction $fBig%.5f — bucket keys too narrow")
+    assert(fBig < fSmall * 2 + 1e-4,
+      f"candidate fraction grew with n: $fSmall%.6f -> $fBig%.6f")
+  }
+
   test("exact top-k cosine on fixtures ranks by angle") {
     val q = Seq(1f, 0f)
     val e = Seq(
