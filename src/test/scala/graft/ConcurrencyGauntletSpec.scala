@@ -254,6 +254,65 @@ class ConcurrencyGauntletSpec extends AnyFunSuite {
     ForkedDrivers.rm(root)
   }
 
+  test("THREE DRIVER PROCESSES: randomized mixed-op soak (rewrites, DDL, compact, clone, GC)") {
+    // The N-driver OCC soak: three forked writer JVMs run a seeded
+    // random mix of appends, row-level rewrites, property DDL,
+    // side-table CREATE/DROP, compaction, vacuum and clone-scan-drop
+    // against ONE warehouse with a SHORT (12 s) retention window — so
+    // publish-time retention GC and vacuum actually fire mid-run while
+    // peers hold clones and scan them. 12 s (not lower) because the
+    // retention window IS the documented reader-coherence contract:
+    // it must exceed the GC listing debounce (3 s) plus any
+    // plan-to-execute gap; a 2 s window reproducibly FNF'd a peer's
+    // in-flight rewrite scan, which is out-of-envelope, not a bug.
+    // Asserted:
+    //  - end state = union of the three acknowledged models (no lost
+    //    update, no double apply) — exercises delta/checkpoint ledger
+    //    interleaving across writers (3 × ops commits ⇒ several
+    //    checkpoint rewrites);
+    //  - history versions strictly increase (monotonic sequences;
+    //    density is NOT asserted — vacuum legitimately expires
+    //    mid-run snapshots);
+    //  - no process ever observed a missing file (a clone scan hitting
+    //    a GC'd segment exits the child nonzero and fails the await).
+    val root = java.nio.file.Files.createTempDirectory("graft_n_driver_soak_")
+    ForkedDrivers.await(root,
+      ForkedDrivers.spawn(root, "setup", "12"), "setup driver (12s retention)")
+    val ops = GauntletEnv.ops(18).toString
+    val writers = (0 until 3).map { tid =>
+      val m = root.resolve(s"soak_model$tid.txt").toString
+      tid -> ForkedDrivers.spawn(root, "soak", m, tid.toString, ops, (4200 + tid).toString)
+    }
+    writers.foreach { case (tid, p) =>
+      ForkedDrivers.await(root, p, s"soak writer $tid",
+        timeoutS = 900, others = writers.map(_._2).filterNot(_ eq p))
+    }
+    val dump = root.resolve("soak_final.txt").toString
+    ForkedDrivers.await(root, ForkedDrivers.spawn(root, "verify", dump), "verify driver")
+    def model(tid: Long): Map[(Long, Long), Long] =
+      java.nio.file.Files.readString(root.resolve(s"soak_model$tid.txt"))
+        .linesIterator.filter(_.nonEmpty).map { l =>
+          val Array(n, c) = l.split(','); (tid, n.toLong) -> c.toLong
+        }.toMap
+    val want = model(0L) ++ model(1L) ++ model(2L)
+    val lines = java.nio.file.Files.readString(java.nio.file.Paths.get(dump))
+      .linesIterator.toSeq
+    val got = lines.filter(l => l.nonEmpty && !l.startsWith("versions:")).map { l =>
+      val Array(tid, n, c) = l.split(','); (tid.toLong, n.toLong) -> c.toLong
+    }.toMap
+    assert(got == want,
+      s"soak end state diverged from the union of acknowledged ops:\n" +
+        s" got=$got\nwant=$want")
+    val versions = lines.find(_.startsWith("versions:")).get
+      .stripPrefix("versions:").split(',').filter(_.nonEmpty).map(_.toLong)
+    assert(versions.nonEmpty && versions.zip(versions.tail).forall {
+      case (a, b) => b > a
+    }, s"soak history not strictly increasing: ${versions.mkString(",")}")
+    info(s"n-driver soak: ${versions.length} retained snapshots, " +
+      s"final rows=${got.values.sum}")
+    ForkedDrivers.rm(root)
+  }
+
   test("CDC stream in one process tails commits made by ANOTHER process") {
     // The multi-pipeline CDC topology: driver A (feed) commits batches
     // while driver B (tail) — whose metastore loaded before most of

@@ -50,9 +50,116 @@ object TwoDriverMain {
   def main(args: Array[String]): Unit = args(0) match {
     case "setup" =>
       val spark = session(args(1))
+      // Optional third arg: retention seconds (the N-driver soak uses a
+      // SHORT window so retention GC actually fires mid-run and races
+      // the other processes' clones and reads). The retention window is
+      // the documented coherence contract: it must exceed the staleness
+      // refresh debounce plus any plan-to-execute gap, so the soak's
+      // value stays well above both while still expiring mid-run. The
+      // snapshot COUNT cap is pinned high so only the time axis GCs —
+      // count-cap expiry could evict a seconds-old snapshot under a
+      // commit burst, which no retention window protects readers from.
+      val retention = if (args.length > 2) args(2) else "600"
       spark.sql(s"DROP TABLE IF EXISTS $T PURGE")
       spark.sql(s"CREATE TABLE $T (tid BIGINT, n BIGINT) USING graft " +
-        "TBLPROPERTIES ('graft.retention.seconds'='600')")
+        s"TBLPROPERTIES ('graft.retention.seconds'='$retention', " +
+        "'graft.retention.snapshots'='100000')")
+      spark.stop()
+
+    // Randomized mixed-op soak writer: appends, row-level rewrites on
+    // its own tid, table-property DDL, side-table CREATE/INSERT/DROP
+    // (namespace ledger interleaving), compaction, vacuum (snapshot
+    // GC), and clone → full-scan → drop — all racing N−1 identical
+    // peers against ONE warehouse. The acknowledged per-tid model is
+    // exact regardless of interleaving (no other process touches this
+    // tid); maintenance ops change no rows so they never enter it.
+    // A missing-file error anywhere (in particular scanning a clone
+    // whose segments a peer's GC should have spared) is FATAL — only
+    // optimistic-concurrency refusals are retried.
+    case "soak" =>
+      val Array(_, root, outFile, tidS, opsS, seedS) = args
+      val tid = tidS.toInt
+      val ops = opsS.toInt
+      val spark = session(root)
+      val model = scala.collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+      def missingFile(t: Throwable): Boolean =
+        t != null && (t.isInstanceOf[java.io.FileNotFoundException] ||
+          Option(t.getMessage).exists(m =>
+            m.contains("FileNotFound") || m.contains("does not exist") ||
+              m.contains("No such file")) ||
+          missingFile(t.getCause))
+      // True iff committed; retries conflicts; rethrows missing-file
+      // (a GC'd-under-a-reader file must fail the soak loudly).
+      def acked(stmt: String): Boolean = {
+        var attempt = 0
+        while (attempt <= 60) {
+          try { spark.sql(stmt).collect(); return true }
+          catch {
+            case t: Throwable if missingFile(t) => throw t
+            case t: Throwable if conflict(t) =>
+              attempt += 1
+              Thread.sleep(5L + attempt)
+          }
+        }
+        System.err.println(s"[s$tid] GAVE UP $stmt")
+        false
+      }
+      val clone = s"g2.xp.soak_clone_$tid"
+      val side = s"g2.xp.soak_side_$tid"
+      val rnd = new scala.util.Random(seedS.toLong)
+      for (i <- 1 to ops) rnd.nextInt(10) match {
+        case 0 | 1 | 2 | 3 =>
+          val ns = Seq.fill(1 + rnd.nextInt(3))(rnd.nextInt(5).toLong)
+          if (acked(s"INSERT INTO $T VALUES ${ns.map(n => s"($tid, $n)").mkString(", ")}"))
+            ns.foreach(n => model(n) += 1)
+        case 4 | 5 =>
+          if (model.nonEmpty && acked(s"UPDATE $T SET n = n + 10 WHERE tid = $tid")) {
+            val bumped = model.toSeq
+            model.clear()
+            bumped.foreach { case (n, c) => model(n + 10) += c }
+          }
+        case 6 =>
+          if (model.nonEmpty) {
+            val n = model.keys.toSeq(rnd.nextInt(model.size))
+            if (acked(s"DELETE FROM $T WHERE tid = $tid AND n = $n"))
+              model.remove(n)
+          }
+        case 7 =>
+          acked(s"CALL g2.system.compact('xp', 't', '')"): Unit
+        case 8 =>
+          // Clone the shared table, scan the clone END TO END (every
+          // segment file must still exist even while peers compact,
+          // vacuum, and retention-GC), then drop it.
+          acked(s"DROP TABLE IF EXISTS $clone PURGE"): Unit
+          if (acked(s"CALL g2.system.clone('xp', 't', 'xp', 'soak_clone_$tid', '')")) {
+            val r = spark.sql(s"SELECT count(*), coalesce(sum(n), 0) FROM $clone")
+              .collect().head
+            System.err.println(s"[s$tid] clone scan rows=${r.getLong(0)}")
+            acked(s"DROP TABLE $clone PURGE"): Unit
+          }
+        case 9 => i % 3 match {
+          // remove_orphan_files, NOT vacuum: vacuum's contract is the
+          // operator's "nothing is reading" cutover (it expires every
+          // non-current snapshot immediately, like a now-cutoff
+          // expire_snapshots) — running it while peers hold in-flight
+          // scan plans is out of its envelope BY DESIGN. Orphan cleanup
+          // is the GC that IS safe under concurrency: referenced files
+          // (any process's tables, clones, retained snapshots) are
+          // spared via the warehouse sweep, and the age guard covers
+          // peers' uncommitted in-flight segment writes.
+          case 0 => acked(s"CALL g2.system.remove_orphan_files('xp', 't', 30000)"): Unit
+          case 1 =>
+            acked(s"ALTER TABLE $T SET TBLPROPERTIES ('soak.touch.$tid' = '$i')"): Unit
+          case 2 =>
+            acked(s"DROP TABLE IF EXISTS $side PURGE"): Unit
+            if (acked(s"CREATE TABLE $side (k BIGINT) USING graft")) {
+              acked(s"INSERT INTO $side VALUES ($i)"): Unit
+              acked(s"DROP TABLE $side PURGE"): Unit
+            }
+        }
+      }
+      val out = model.toSeq.sorted.map { case (n, c) => s"$n,$c" }.mkString("\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), out)
       spark.stop()
 
     case "write" =>
