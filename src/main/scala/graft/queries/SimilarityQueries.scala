@@ -16,6 +16,18 @@ import org.apache.spark.sql.functions._
   *  - the only cross joins are against broadcast singletons (one query
   *    vector) or an explicitly bounded slice (the exact-oracle variants);
   *  - every hash is seeded deterministically (xxhash64 / fixed-seed PRNG).
+  *
+  * CACHE LIFECYCLE CONTRACT: several builders here (`shingleHashesOf`,
+  * the IVF/IVF-PQ corpus persists, `l9ProbeIndex`) `persist()`
+  * intermediate stages that the RETURNED plan references — they cannot
+  * unpersist before the caller's terminal action without forfeiting
+  * the reuse they exist for. The caller therefore owns release:
+  * run the terminal action, then `spark.catalog.clearCache()` (what
+  * Bench/Verify do between queries — pinned by SimilaritySpec's
+  * lifecycle test). A long-lived session composing several of these
+  * builders without clearing accumulates CacheManager entries, which
+  * slows PLAN LOOKUP for every later query (each new plan is compared
+  * against every cached one), not just memory.
   */
 object SimilarityQueries {
 
@@ -348,6 +360,9 @@ object SimilarityQueries {
     * have a 3-gram get an empty shingle set instead (and are dropped
     * from near-dup candidacy by the `size(sh) > 0` filters downstream —
     * a <3-token doc has no shingle evidence to match on).
+    *
+    * Lifecycle: both stages persist — release is the caller's
+    * `clearCache()` after the terminal action (file-level contract).
     */
   private[graft] def shingleHashesOf(docs: DataFrame): DataFrame = {
     val toks = docs
@@ -747,10 +762,13 @@ object SimilarityQueries {
     spark.sql(
       "CALL graft.system.build_ann_index('ann.scorpus', 'ann', 'sidx', 16, 1)")
     val buildV = graft.sources.GraftCatalog.currentVersion("ann", "scorpus").get
-    // Three append epochs land AFTER the build.
+    // Two append epochs land AFTER the build (two, not three: the
+    // incremental-refresh argument is per-epoch-shape — each refresh
+    // diffs from its own watermark — so the second epoch pins
+    // repeatability and a third only bought fixture time).
     val planted = withPlantedCopies(e).filter(col("label") === -1)
-    (0 until 3).foreach { ep =>
-      planted.filter(col("vec_id") % 3 === ep)
+    (0 until 2).foreach { ep =>
+      planted.filter(col("vec_id") % 2 === ep)
         .createOrReplaceTempView(s"st18_batch_$ep")
       spark.sql(s"INSERT INTO graft.ann.scorpus SELECT * FROM st18_batch_$ep")
     }
@@ -1114,6 +1132,11 @@ object SimilarityQueries {
     * hot term comes from per-doc HOT-shingle arrays, which are tiny by
     * construction (only stopword-class shingles clear the df ceiling),
     * so the array intersect touches a handful of elements per pair.
+    *
+    * Lifecycle: hotG/hotCnt/hotDom persist and the returned plan reads
+    * them — release is the caller's `clearCache()` after the terminal
+    * action (file-level contract; repeated probes in one session must
+    * clear between calls or accumulate three entries per call).
     */
   private[graft] def l9ProbeIndex(
       idx: DataFrame, sizes: DataFrame, batch: DataFrame): DataFrame = {

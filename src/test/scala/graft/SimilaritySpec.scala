@@ -137,6 +137,25 @@ class SimilaritySpec extends AnyFunSuite {
       f"candidate fraction grew with n: $fSmall%.6f -> $fBig%.6f")
   }
 
+  test("cache lifecycle: harness convention releases every builder persist") {
+    // The file-level contract in SimilarityQueries: builders persist
+    // stages the returned plan reads, and the CALLER releases them via
+    // clearCache() after the terminal action (what Bench/Verify do).
+    // Pin both halves: the builders DO register cache entries (so this
+    // test fails if someone silently drops the persists the plans rely
+    // on) and clearCache() leaves the CacheManager EMPTY (so nothing
+    // leaks into later queries' plan lookup).
+    val dir = "/root/testdata/sf0.001"
+    val cm = spark.sharedState.cacheManager
+    spark.catalog.clearCache()
+    assert(cm.isEmpty, "pre-existing cache entries — fixture bug")
+    graft.queries.SimilarityQueries.l2MinHashLsh.fn(spark, dir).count()
+    graft.queries.SimilarityQueries.l3AnnIvf.fn(spark, dir).count()
+    assert(!cm.isEmpty, "builders no longer persist — reuse contract broken")
+    spark.catalog.clearCache()
+    assert(cm.isEmpty, "clearCache left cache entries behind")
+  }
+
   test("exact top-k cosine on fixtures ranks by angle") {
     val q = Seq(1f, 0f)
     val e = Seq(
