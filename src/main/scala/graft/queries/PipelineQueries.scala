@@ -109,12 +109,14 @@ object PipelineQueries {
     * exact-verifies against the benchmark relation, so false positives
     * NEVER reach the result — the output is bit-identical to the exact
     * plan, which is why this query shares `l8_ngram_decontaminate`'s
-    * DuckDB oracle verbatim. The probe is a Scala UDF over Spark's
-    * public BloomFilter sketch (the two internal codegen expressions
-    * behind runtime filtering aren't registered for public use);
-    * its cost is a few hash probes per gram, dominated by the md5 the
-    * pipeline already pays, and the sliver that survives re-verifies
-    * through the same broadcast join as the exact twin.
+    * DuckDB oracle verbatim. The probe is the native codegen
+    * [[graft.functions.BloomMightContain]] over Spark's public
+    * BloomFilter sketch (Spark's own runtime-filter probe expression
+    * isn't registered for public use), so the train-side kill stays
+    * inside whole-stage codegen; its cost is a few hash probes per
+    * gram, dominated by the md5 the pipeline already pays, and the
+    * sliver that survives re-verifies through the same broadcast join
+    * as the exact twin.
     */
   val l8BloomDecontaminate: Q = Q(
     "l8_bloom_decontaminate",
@@ -147,11 +149,10 @@ object PipelineQueries {
     // candidate stream.
     val nBench = math.max(bench.count(), 1L)
     val bloom = bench.stat.bloomFilter("g", nBench, 0.03)
-    val bloomBc = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((s: String) => s != null && bloomBc.value.mightContainString(s))
     val train = grams.filter(col("doc_id") % 50 =!= 0)
       .select(col("doc_id"), col("lang"), col("g"))
-    train.filter(mightContain(col("g")))      // map-side bloom kill
+    // map-side bloom kill — native codegen probe (no UDF fence)
+    train.filter(graft.functions.BloomMightContain(spark, col("g"), bloom))
       .join(broadcast(bench), Seq("g"))       // exact verify: fp-free
       .groupBy(col("lang"))
       .agg(

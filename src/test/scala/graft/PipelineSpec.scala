@@ -52,6 +52,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(textShuffles.isEmpty, s"document text crosses a shuffle:\n$textShuffles")
   }
 
+  test("native bloom probe matches mightContainString and keeps the plan UDF-free") {
+    import spark.implicits._
+    // Equivalence: the codegen probe (UTF-8 bytes → mightContainBinary)
+    // must agree with the UDF it replaced (String → mightContainString)
+    // on members, non-members, and non-ASCII input.
+    val members = (1 to 200).map(i => s"gram-$i-é")
+    val df = members.toDF("g")
+    val bloom = df.stat.bloomFilter("g", 200, 0.03)
+    val probeIn = (members ++ (1 to 500).map(i => s"absent-$i")).toDF("g")
+    val got = probeIn
+      .withColumn("native", graft.functions.BloomMightContain(spark, $"g", bloom))
+      .as[(String, Boolean)].collect()
+    got.foreach { case (g, native) =>
+      assert(native == bloom.mightContainString(g),
+        s"native probe diverged from mightContainString on '$g'")
+    }
+    // Every member must hit (a Bloom filter has no false negatives).
+    assert(got.filter(r => members.contains(r._1)).forall(_._2))
+    // Plan shape: the bloom kill must not re-introduce a codegen fence —
+    // no ScalaUDF anywhere in the executed decontamination plan.
+    val plan = planOf(queries.PipelineQueries.l8BloomDecontaminate.fn(spark, dir))
+    val udfs = plan.toString.linesIterator.filter(_.contains("ScalaUDF")).toSeq
+    assert(udfs.isEmpty, s"bloom decontamination still carries a UDF:\n$udfs")
+    spark.catalog.clearCache() // the query persists its bench slice
+  }
+
   test("sequence packing reuses the window's source-partitioning for the audit aggregate") {
     val ex = shuffles(queries.PipelineQueries.l8SequencePack.fn(spark, dir))
     assert(ex.size == 1,
