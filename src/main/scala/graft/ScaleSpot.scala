@@ -103,13 +103,23 @@ object ScaleSpot {
     // measured l3_ann_ivf_indexed at "1.79x linear" single-shot vs
     // 0.25x warm — the 9 s k-means index build amortized at sf0.1 but
     // billed at sf1). Failures surface in the timed shot.
-    def warmOnce(fn: (SparkSession, String) => DataFrame): Unit = {
-      try { fn(spark, outDir).count(); () } catch { case _: Throwable => () }
+    // Warm-up exceptions are LOGGED, not discarded: the timed shot will
+    // surface a persistent failure anyway, but a warm-up-only failure
+    // (e.g. a fixture that only breaks cold) would otherwise hide until
+    // it flips the timed run on some other box. Note the protocol
+    // consequence, documented in SCALE.md: the timed shot runs against
+    // a warm JIT/page cache BY DESIGN (matching Bench's discipline for
+    // the sf0.1 denominators), so ratio regressions here are plan-shape
+    // signals, not cold-start ones.
+    def warmOnce(name: String, fn: (SparkSession, String) => DataFrame): Unit = {
+      try { fn(spark, outDir).count(); () } catch { case t: Throwable =>
+        System.err.println(s"[scale-spot] warm-up of $name failed: ${t.getMessage}")
+      }
       spark.catalog.clearCache()
       spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
     }
     var times = chosen.flatMap { name =>
-      qs.get(name).map { fn => warmOnce(fn); name -> timeOnce(fn, name) }
+      qs.get(name).map { fn => warmOnce(name, fn); name -> timeOnce(fn, name) }
     }.toMap
     // SCALING CEILING: each query's sf1 time must stay within
     // `Ceiling` × linear of its committed sf0.1 median (bench_full
