@@ -1109,14 +1109,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
           "publish or drop them before renaming the table")
     val ourHist = Option(history.get(oldIdent))
     val ourEpochs = epochs.asScala.toSeq.collect {
-      case ((id, qid), e) if id == oldIdent => qid -> e
+      case ((id, qid), e) if id == oldIdent =>
+        qid -> (e, Option(epochTouched.get((id, qid))))
     }
     store.remove(oldIdent)
     store.put(newIdent, entry)
     ourHist.foreach(history.put(newIdent, _))
     history.remove(oldIdent)
-    ourEpochs.foreach { case (qid, e) =>
-      epochs.remove((oldIdent, qid)); epochs.put((newIdent, qid), e)
+    ourEpochs.foreach { case (qid, (e, t)) =>
+      epochs.remove((oldIdent, qid)); epochTouched.remove((oldIdent, qid))
+      epochs.put((newIdent, qid), e)
+      t.foreach(epochTouched.put((newIdent, qid), _))
     }
     // NEW document first, old deletion second: the new-name write is a
     // CAS that can LOSE to another process creating that name — losing
@@ -1131,7 +1134,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     catch { case _: java.util.ConcurrentModificationException =>
       store.put(oldIdent, entry)
       ourHist.foreach(history.put(oldIdent, _))
-      ourEpochs.foreach { case (qid, e) => epochs.put((oldIdent, qid), e): Unit }
+      ourEpochs.foreach { case (qid, (e, t)) =>
+        epochs.put((oldIdent, qid), e)
+        t.foreach(epochTouched.put((oldIdent, qid), _))
+      }
       throw new TableAlreadyExistsException(newIdent.toString, newIdent.name())
     }
     // The old-name tombstone is ALSO a CAS that can lose — to a
@@ -1148,11 +1154,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     GraftCatalog.occWindowHookForTest(oldIdent)
     try persistTable(oldIdent) // old document deleted (tombstone CAS)
     catch { case e: java.util.ConcurrentModificationException =>
-      store.remove(newIdent)
-      history.remove(newIdent)
-      ourEpochs.foreach { case (qid, _) => epochs.remove((newIdent, qid)): Unit }
-      try persistTable(newIdent) // tombstone our new-name document
-      catch { case _: java.util.ConcurrentModificationException => () } // best-effort
+      // Retract the just-committed new-name document. This tombstone
+      // CAS can ITSELF lose — a concurrent driver may have committed
+      // onto the just-visible new name — and a swallowed loss would
+      // leave the table live under BOTH names with diverging states
+      // sharing segment files: the exact hazard this rollback targets.
+      // On each loss persistTable has already reloaded the winner's
+      // state at newIdent, so re-remove and retry the tombstone at the
+      // winner's sequence (bounded); if the name stays contended past
+      // the bound, emit a LOUD diagnostic naming both identifiers so
+      // the operator can reconcile instead of discovering the split
+      // brain by query results.
+      var retracted = false
+      var attempt = 0
+      while (!retracted && attempt < 5) {
+        store.remove(newIdent)
+        history.remove(newIdent)
+        ourEpochs.foreach { case (qid, _) => epochs.remove((newIdent, qid)): Unit }
+        try { persistTable(newIdent); retracted = true } // tombstone CAS
+        catch { case _: java.util.ConcurrentModificationException => attempt += 1 }
+      }
+      if (!retracted)
+        System.err.println(
+          s"[graft-catalog] WARNING: rename rollback could not retract " +
+            s"'$newIdent' after $attempt attempts — table may be live under " +
+            s"BOTH '$oldIdent' (the concurrent winner's state) and " +
+            s"'$newIdent'; reconcile by dropping the stale name")
       throw e
     }
   }
@@ -2189,10 +2216,18 @@ object GraftCatalog {
     * [[refreshAllIfStale]]'s debounce); Long.MinValue = never synced.
     */
   @volatile private var lastWarehouseSyncNanos = Long.MinValue
-  /** Debounce for the retention-expiry GC path's warehouse sync. */
+  /** Debounce for the retention-expiry GC path's warehouse sync.
+    * CLAMPED to [0, 10 s]: the listing-reuse window is the GC's
+    * sync-to-delete race width, and the safety argument sizes it "far
+    * below the retention floor" — an unclamped configured value could
+    * let publish's retention GC judge clone references against an
+    * arbitrarily stale warehouse listing and void that argument;
+    * negatives would make every sync look fresh forever.
+    */
   private val GcRefreshDebounceNanos =
     java.util.concurrent.TimeUnit.MILLISECONDS.toNanos(
-      sys.props.getOrElse("graft.catalog.gc.refresh.debounce.ms", "3000").toLong)
+      math.min(10000L, math.max(0L,
+        sys.props.getOrElse("graft.catalog.gc.refresh.debounce.ms", "3000").toLong)))
 
   /** Log-structured ledger: the anchor CHECKPOINT sequence this process
     * knows per table (its own checkpoint writes + the anchor each
@@ -2270,8 +2305,9 @@ object GraftCatalog {
               checkpointSeqs.put(ident, java.lang.Long.valueOf(ckpt)): Unit
             }
             if (hist.nonEmpty) history.putIfAbsent(ident, hist)
-            eps.foreach { case (qid, e) =>
-              epochs.putIfAbsent((ident, qid), java.lang.Long.valueOf(e))
+            eps.foreach { case (qid, (e, t)) =>
+              if (epochs.putIfAbsent((ident, qid), java.lang.Long.valueOf(e)) == null)
+                epochTouched.put((ident, qid), java.lang.Long.valueOf(t)): Unit
             }
           case _ => ()
         }
@@ -2362,8 +2398,9 @@ object GraftCatalog {
                 // live local view from being clobbered by a re-list.
                 if (store.putIfAbsent(id, entry) == null) {
                   if (hist.nonEmpty) history.put(id, hist)
-                  eps.foreach { case (qid, e) =>
-                    epochs.put((id, qid), java.lang.Long.valueOf(e)): Unit
+                  eps.foreach { case (qid, (e, t)) =>
+                    epochs.put((id, qid), java.lang.Long.valueOf(e))
+                    epochTouched.put((id, qid), java.lang.Long.valueOf(t)): Unit
                   }
                   ledgerSeqs.put(id, sq)
                   checkpointSeqs.put(id, java.lang.Long.valueOf(ckpt)): Unit
@@ -2403,9 +2440,12 @@ object GraftCatalog {
         dbg(s"reload($ident) -> seq=$seq (checkpoint $ckpt)")
         store.put(id, entry)
         if (hist.nonEmpty) history.put(id, hist) else history.remove(id)
-        epochs.keySet.asScala.filter(_._1 == id).toSeq.foreach(epochs.remove)
-        eps.foreach { case (qid, e) =>
-          epochs.put((id, qid), java.lang.Long.valueOf(e)): Unit
+        epochs.keySet.asScala.filter(_._1 == id).toSeq.foreach { k =>
+          epochs.remove(k); epochTouched.remove(k)
+        }
+        eps.foreach { case (qid, (e, t)) =>
+          epochs.put((id, qid), java.lang.Long.valueOf(e))
+          epochTouched.put((id, qid), java.lang.Long.valueOf(t)): Unit
         }
         ledgerSeqs.put(id, seq)
         checkpointSeqs.put(id, java.lang.Long.valueOf(ckpt)): Unit
@@ -2461,8 +2501,12 @@ object GraftCatalog {
       }
       won
     } else {
-      val eps = epochs.asScala.collect {
-        case ((id, qid), e) if id == ident => qid -> e.longValue()
+      val nowMs = System.currentTimeMillis()
+      val epsAll = epochs.asScala.collect {
+        case ((id, qid), e) if id == ident =>
+          qid -> (e.longValue(),
+            Option(epochTouched.get((id, qid)))
+              .map(_.longValue()).getOrElse(nowMs))
       }.toMap
       val next = knownSeq(ident) + 1
       val anchor = Option(checkpointSeqs.get(ident)).map(_.longValue())
@@ -2471,11 +2515,24 @@ object GraftCatalog {
       val won = asDelta match {
         case Some((added, expired)) =>
           GraftLedger.casWrite(dir, ident,
-            GraftLedger.encodeTableDelta(ident, entry, added, expired, eps),
+            GraftLedger.encodeTableDelta(ident, entry, added, expired, epsAll),
             next, minKeepSeq = anchor.get)
         case None =>
+          // CHECKPOINT-time epoch expiry: drop streaming-query entries
+          // idle past the table's retention window — a long-lived table
+          // fed by many distinct queries must not carry every retired
+          // query id forever. Live queries refresh their stamp on every
+          // epoch commit; the idle-past-retention replay contract is
+          // documented on [[epochTouched]].
+          val retMs = retentionNanosOf(entry.props) / 1000000L
+          val (live, retired) = epsAll.partition {
+            case (_, (_, t)) => nowMs - t <= retMs
+          }
+          retired.keysIterator.foreach { qid =>
+            epochs.remove((ident, qid)); epochTouched.remove((ident, qid))
+          }
           GraftLedger.casWrite(dir, ident, GraftLedger.encodeTable(
-            ident, entry, history.getOrDefault(ident, Vector.empty), eps), next)
+            ident, entry, history.getOrDefault(ident, Vector.empty), live), next)
       }
       if (won) {
         dbg(s"persist($ident) seq=$next v=${history.getOrDefault(ident, Vector.empty)
@@ -3032,7 +3089,7 @@ object GraftCatalog {
     */
   private case class DroppedEntry(
       entry: TableEntry, hist: Vector[CatalogSnapshot],
-      eps: Map[String, Long], droppedMono: Long, droppedWallMs: Long)
+      eps: Map[String, (Long, Long)], droppedMono: Long, droppedWallMs: Long)
   private val trash = new ConcurrentHashMap[Identifier, DroppedEntry]()
 
   private[sources] def dropEntry(ident: Identifier): Boolean = mutate {
@@ -3042,10 +3099,16 @@ object GraftCatalog {
     if (ident.name.contains("@")) purgeEntry(ident)
     else {
       expireTrash()
+      val dropNowMs = System.currentTimeMillis()
       val eps = epochs.asScala.collect {
-        case ((id, qid), e) if id == ident => qid -> e.longValue()
+        case ((id, qid), e) if id == ident =>
+          qid -> (e.longValue(),
+            Option(epochTouched.get((id, qid)))
+              .map(_.longValue()).getOrElse(dropNowMs))
       }.toMap
-      epochs.keySet.asScala.filter(_._1 == ident).foreach(epochs.remove)
+      epochs.keySet.asScala.filter(_._1 == ident).foreach { k =>
+        epochs.remove(k); epochTouched.remove(k)
+      }
       val hist = Option(history.remove(ident)).getOrElse(Vector.empty)
       val entry = store.remove(ident)
       if (entry != null) {
@@ -3213,8 +3276,9 @@ object GraftCatalog {
     trash.remove(ident)
     store.put(ident, d.entry)
     if (d.hist.nonEmpty) history.put(ident, d.hist)
-    d.eps.foreach { case (qid, e) =>
+    d.eps.foreach { case (qid, (e, t)) =>
       epochs.put((ident, qid), java.lang.Long.valueOf(e))
+      epochTouched.put((ident, qid), java.lang.Long.valueOf(t)): Unit
     }
     if (persistent) GraftLedger.delete(GraftLedger.droppedDir(segmentRoot), ident)
     persistTable(ident)
@@ -4069,6 +4133,18 @@ object GraftCatalog {
     * epochs from 0 and must not dedup against each other.
     */
   private val epochs = new ConcurrentHashMap[(Identifier, String), java.lang.Long]()
+  /** Last wall time each (table, query) epoch entry was committed or
+    * adopted — the EXPIRY axis for the epoch ledger: entries idle past
+    * the table's retention window are dropped at checkpoint-write time
+    * (see persistTable), so retired streaming queries don't ride every
+    * future document forever. Tracked beside `epochs` rather than in
+    * it so the hot exactly-once comparison stays a bare Long. A stale
+    * stamp without a matching epochs entry is harmless (never read).
+    * Contract (the Delta transaction-retention shape): a stream idle
+    * LONGER than the table's retention window loses replay-dedup
+    * protection — operators size retention above max trigger gaps.
+    */
+  private val epochTouched = new ConcurrentHashMap[(Identifier, String), java.lang.Long]()
 
   /** Streaming epoch commit. `truncate` = Complete output mode: each
     * epoch REPLACES the table with the full recomputed result instead
@@ -4136,6 +4212,7 @@ object GraftCatalog {
       else {
         upsert.foreach { case (kc, _) => validateUpsertKeys(prev.schema, kc) }
         epochs.put(key, epochId)
+        epochTouched.put(key, java.lang.Long.valueOf(System.currentTimeMillis()))
         applied = true
         val nextV = nextVersion(ident)
         val stamped = segs.toVector.map(_.copy(seq = nextV))

@@ -278,7 +278,8 @@ private[graft] object GraftLedger {
     * documents (added/expired only).
     */
   private def tableDocNode(
-      ident: Identifier, entry: TableEntry, epochs: Map[String, Long]): ObjectNode = {
+      ident: Identifier, entry: TableEntry,
+      epochs: Map[String, (Long, Long)]): ObjectNode = {
     val o = M.createObjectNode()
     val ns = o.putArray("namespace")
     ident.namespace().foreach(ns.add)
@@ -295,8 +296,17 @@ private[graft] object GraftLedger {
       val ee = o.putArray("eqDeletes")
       entry.eqDeletes.foreach(eq => ee.add(eqNode(eq)))
     }
+    // Epoch values and their last-touched wall times ride as SIBLING
+    // objects (not a combined record) so documents written before the
+    // touched map existed decode unchanged — absent stamps default to
+    // decode-time "now", erring toward keeping idempotence protection
+    // (the same rebased-clock policy as snapshot-retention reload).
     val ep = o.putObject("epochs")
-    epochs.foreach { case (qid, e) => ep.put(qid, e) }
+    epochs.foreach { case (qid, (e, _)) => ep.put(qid, e) }
+    if (epochs.nonEmpty) {
+      val et = o.putObject("epochsTouchedMs")
+      epochs.foreach { case (qid, (_, t)) => et.put(qid, t) }
+    }
     val an = o.putObject("analyzed")
     entry.analyzed.foreach { case (c, a) =>
       val n = M.createObjectNode()
@@ -312,7 +322,7 @@ private[graft] object GraftLedger {
   def encodeTable(
       ident: Identifier, entry: TableEntry,
       history: Vector[CatalogSnapshot],
-      epochs: Map[String, Long],
+      epochs: Map[String, (Long, Long)],
       droppedWallMs: Option[Long] = None): String = {
     val o = tableDocNode(ident, entry, epochs)
     droppedWallMs.foreach(o.put("droppedWallMs", _))
@@ -333,7 +343,7 @@ private[graft] object GraftLedger {
   def encodeTableDelta(
       ident: Identifier, entry: TableEntry,
       added: Vector[CatalogSnapshot], expiredVersions: Seq[Long],
-      epochs: Map[String, Long]): String = {
+      epochs: Map[String, (Long, Long)]): String = {
     val o = tableDocNode(ident, entry, epochs)
     o.put("delta", true)
     val ad = o.putArray("added")
@@ -412,13 +422,20 @@ private[graft] object GraftLedger {
     (ident, entry, partCols, cons)
   }
 
-  private def epochsOf(o: JsonNode): Map[String, Long] =
-    Option(o.get("epochs")).map { e =>
-      e.properties().asScala.map(kv => kv.getKey -> kv.getValue.asLong()).toMap
+  private def epochsOf(o: JsonNode): Map[String, (Long, Long)] = {
+    val touched = Option(o.get("epochsTouchedMs")).map { t =>
+      t.properties().asScala.map(kv => kv.getKey -> kv.getValue.asLong()).toMap
     }.getOrElse(Map.empty[String, Long])
+    val nowMs = System.currentTimeMillis() // legacy docs: fresh window
+    Option(o.get("epochs")).map { e =>
+      e.properties().asScala.map(kv =>
+        kv.getKey -> (kv.getValue.asLong(),
+          touched.getOrElse(kv.getKey, nowMs))).toMap
+    }.getOrElse(Map.empty[String, (Long, Long)])
+  }
 
   def decodeTable(json: String, monoNow: Long)
-      : (Identifier, TableEntry, Vector[CatalogSnapshot], Map[String, Long]) = {
+      : (Identifier, TableEntry, Vector[CatalogSnapshot], Map[String, (Long, Long)]) = {
     val o = M.readTree(json)
     val (ident, entry, partCols, cons) = decodeDocCommon(o)
     val hist = o.get("history").elements().asScala
@@ -430,7 +447,7 @@ private[graft] object GraftLedger {
     * expiredVersions, epochs).
     */
   def decodeTableDelta(json: String, monoNow: Long)
-      : (Identifier, TableEntry, Vector[CatalogSnapshot], Seq[Long], Map[String, Long]) = {
+      : (Identifier, TableEntry, Vector[CatalogSnapshot], Seq[Long], Map[String, (Long, Long)]) = {
     val o = M.readTree(json)
     val (ident, entry, partCols, cons) = decodeDocCommon(o)
     val added = o.get("added").elements().asScala
@@ -639,16 +656,16 @@ private[graft] object GraftLedger {
     * GC floor so delta chains never lose their anchor.
     */
   case class LedgerState(
-      state: Option[(Identifier, TableEntry, Vector[CatalogSnapshot], Map[String, Long])],
+      state: Option[(Identifier, TableEntry, Vector[CatalogSnapshot], Map[String, (Long, Long)])],
       seq: Long, checkpointSeq: Long)
 
   /** Replay delta documents (ascending sequence) onto a resolved base
     * state; returns the final state and the top sequence reached.
     */
   private def replayDeltas(
-      base: (Identifier, TableEntry, Vector[CatalogSnapshot], Map[String, Long]),
+      base: (Identifier, TableEntry, Vector[CatalogSnapshot], Map[String, (Long, Long)]),
       baseSeq: Long, deltas: Iterator[(Long, String)], monoNow: Long)
-      : ((Identifier, TableEntry, Vector[CatalogSnapshot], Map[String, Long]), Long) = {
+      : ((Identifier, TableEntry, Vector[CatalogSnapshot], Map[String, (Long, Long)]), Long) = {
     var (id, entry, hist, eps) = base
     var top = baseSeq
     deltas.foreach { case (dseq, djson) =>

@@ -140,6 +140,60 @@ class LedgerDeltaSpec extends AnyFunSuite {
     spark.sql("DROP TABLE pgraft.ld.f PURGE")
   }
 
+  test("epoch-map expiry: retired query ids leave the checkpoint, live ones survive restart") {
+    // The epoch ledger (streaming exactly-once dedup) rides every table
+    // document; without expiry a long-lived table fed by many distinct
+    // streaming queries carries every retired query id forever. The
+    // contract (the Delta transaction-retention shape): entries idle
+    // past the table's RETENTION window are dropped at checkpoint-write
+    // time — a live stream refreshes its stamp on every epoch commit,
+    // and a stream idle past retention loses replay-dedup protection
+    // by documented design.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.sql("DROP TABLE IF EXISTS pgraft.ld.ep PURGE")
+    spark.sql(
+      """CREATE TABLE pgraft.ld.ep (k BIGINT) USING graft
+        |TBLPROPERTIES ('graft.retention.seconds'='2',
+        |               'graft.retention.snapshots'='100000')""".stripMargin)
+    val dir = GraftLedger.tablesDir(GraftCatalog.warehouseRootForTest)
+    def epochIds(): Set[String] =
+      GraftLedger.readTableState(dir, ident("ep"), System.nanoTime())
+        .get.state.get._4.keySet
+    def oneEpoch(): Unit = {
+      val in = MemoryStream[Long]
+      val q = in.toDF().toDF("k").writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("ld_ep_ck_").toString)
+        .toTable("pgraft.ld.ep")
+      in.addData(1L, 2L)
+      q.processAllAvailable()
+      q.stop()
+    }
+    oneEpoch() // query A commits, then retires
+    val afterA = epochIds()
+    assert(afterA.size == 1, s"expected one epoch entry, got $afterA")
+    Thread.sleep(2500) // let A's stamp age past the 2 s retention window
+    oneEpoch() // query B commits (fresh stamp)
+    val afterB = epochIds()
+    assert(afterB.size == 2, s"expected two epoch entries, got $afterB")
+    val qidB = (afterB -- afterA).head
+    // Any non-data mutation persists a full CHECKPOINT document — the
+    // expiry point.
+    spark.sql("ALTER TABLE pgraft.ld.ep SET TBLPROPERTIES ('touch' = '1')")
+    val afterCkpt = epochIds()
+    assert(afterCkpt == Set(qidB),
+      s"retired id should vanish and the live id survive: $afterCkpt (B=$qidB)")
+    // Restart: a fresh process resolving the ledger still knows B's
+    // epoch (replay-dedup intact for the live query).
+    GraftCatalog.resetInMemoryStateForTest(ident("ep"))
+    assert(spark.sql("SELECT count(*) FROM pgraft.ld.ep").collect()
+      .head.getLong(0) == 4L)
+    assert(epochIds() == Set(qidB), "live epoch entry lost across restart")
+    spark.sql("DROP TABLE pgraft.ld.ep PURGE")
+  }
+
   test("drop/recreate across delta chains: tombstone resets the checkpoint anchor") {
     spark.sql("DROP TABLE IF EXISTS pgraft.ld.t PURGE")
     spark.sql("CREATE TABLE pgraft.ld.t (k BIGINT) USING graft")
