@@ -33,6 +33,14 @@ import graft.sources.{GraftCatalog, GraftMvOps}
   *    DISTINCT/FILTER or non-distributive aggs) → re-aggregate the
   *    MV's rows at the coarser grain.
   *
+  * FILTERED MVs (defined with `create_mv(..., where)`) add a predicate
+  * SUBSUMPTION gate before either shape: every MV-filter conjunct must
+  * appear norm-equal among the query's WHERE conjuncts (those are
+  * dropped as already applied inside the MV); the residual conjuncts
+  * then pass the usual group-column admissibility. Exact structural
+  * subsumption only — no implication reasoning — and the stale-delta
+  * path declines filtered MVs.
+  *
   * Soundness gates (all must hold, else the plan is untouched):
   *  - the aggregate's child is the source relation, either bare or
   *    under ONE WHERE that references MV GROUP columns exclusively —
@@ -153,12 +161,36 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       resolver: (String, String) => Boolean): Option[LogicalPlan] = {
     val mvGroupCols = props(GraftMvOps.GroupProp).split(',').toSeq
     if (groupAttrs.map(_.name.toLowerCase).distinct.length != groupAttrs.length) return None
-    // A WHERE below the aggregate commutes with the MV substitution
-    // only when it references MV GROUP columns exclusively (the MV's
-    // rows partition exactly by those, so slicing them before or after
-    // pre-aggregation is the same set of input rows), is deterministic,
-    // and carries no subquery.
-    val condAdmissible = filterCond.forall { c =>
+    // FILTERED MV (the MV was defined with a WHERE): the query can be
+    // served only when its own WHERE SUBSUMES the MV's — structurally:
+    // every MV-filter conjunct appears (norm-equal) among the query's
+    // conjuncts, so rows(query) ⊆ rows(MV input). Matched conjuncts
+    // were already applied pre-aggregation inside the MV and are
+    // DROPPED; only the residual continues into the group-column
+    // admissibility check below. No WHERE on the query, or a WHERE
+    // missing any MV conjunct → the MV's input is a strict subset of
+    // what the query needs → no match. Exact-equality subsumption
+    // only: `a > 5` does not serve `a > 6` (deliberate — implication
+    // checking beyond norm-equality is where rewrites go wrong).
+    val residualCond: Option[Expression] =
+      props.get(GraftMvOps.FilterProp).map(_.trim).filter(_.nonEmpty) match {
+        case None => filterCond
+        case Some(fs) =>
+          val mvCond = resolveSpec(fs, relation).getOrElse(return None)
+          if (!mvCond.deterministic) return None
+          val qc = filterCond.getOrElse(return None)
+          val mvNorms = conjuncts(mvCond).map(norm).toSet
+          val qcs = conjuncts(qc)
+          if (!mvNorms.subsetOf(qcs.map(norm).toSet)) return None
+          qcs.filterNot(c => mvNorms.contains(norm(c)))
+            .reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+      }
+    // A (residual) WHERE below the aggregate commutes with the MV
+    // substitution only when it references MV GROUP columns exclusively
+    // (the MV's rows partition exactly by those, so slicing them before
+    // or after pre-aggregation is the same set of input rows), is
+    // deterministic, and carries no subquery.
+    val condAdmissible = residualCond.forall { c =>
       c.deterministic &&
         c.find(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])
           .isEmpty &&
@@ -197,10 +229,11 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     def groupColFor(a: Attribute): Option[String] = mvGroupCols.find(resolver(_, a.name))
 
     // The (possibly filtered) MV input: base group-column references in
-    // the WHERE are remapped onto the MV's own columns, so the slice
-    // rides the MV scan's zone-map pruning.
+    // the residual WHERE are remapped onto the MV's own columns, so the
+    // slice rides the MV scan's zone-map pruning. (MV-filter conjuncts
+    // never reach here — they were dropped as already-applied.)
     var condMapped = true
-    val mvChild: LogicalPlan = filterCond match {
+    val mvChild: LogicalPlan = residualCond match {
       case None => mvRelation
       case Some(c) =>
         val mapped = c.transformUp {
@@ -311,6 +344,11 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       resolver: (String, String) => Boolean): Option[LogicalPlan] = {
     val (mvTable, props) = GraftCatalog.mvEntrySnapshot(mvIdent).getOrElse(return None)
     if (props.contains(GraftMvOps.RefreshingProp)) return None
+    // FILTERED MVs decline the stale path: the delta branch would need
+    // the MV's WHERE re-bound onto the pinned delta scan — correct but
+    // another moving part; the fresh path serves filtered MVs, stale
+    // filtered queries fall back to the base scan.
+    if (props.get(GraftMvOps.FilterProp).exists(_.trim.nonEmpty)) return None
     val v0 = props.get(GraftMvOps.VersionProp) match {
       case Some(s) if s.nonEmpty && s.forall(_.isDigit) => s.toLong
       case _ => return None
@@ -456,6 +494,13 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     val newGroups: Seq[Expression] =
       groupAttrs.map(a => groupColFor(a).map(unionAttr).getOrElse(return None))
     Some(Aggregate(newGroups, outputs, combined))
+  }
+
+  /** Flatten a conjunction into its top-level conjuncts. */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
   }
 
   /** Minimal spec binder: column references resolve against the source

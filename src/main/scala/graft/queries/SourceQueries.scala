@@ -645,6 +645,65 @@ object SourceQueries {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** X9d: FILTERED-MV REWRITE (predicate subsumption) — the MV is
+    * defined WITH a WHERE clause (`create_mv(..., where)`), so it
+    * pre-aggregates only the qualifying slice. A query whose own WHERE
+    * structurally CONTAINS the MV's filter conjunct (norm-equal) plus
+    * a residual group-column predicate is transparently served: the
+    * matched conjunct is dropped (already applied inside the MV), the
+    * residual remaps onto the MV scan. The rewrite-hit is REQUIRED at
+    * plan level (the x9c discipline — a silently-lapsed rewrite would
+    * bench base-vs-base); the DuckDB oracle recomputes from raw
+    * parquet, so a wrong subsumption (serving a filtered MV to a
+    * query needing more rows, or double-applying the filter) breaks
+    * the hash, not just the speedup.
+    */
+  val x9dFilteredMv: Q = Q(
+    "x9d_filtered_mv",
+    """SELECT o_orderpriority, count(*) AS cnt,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
+      |FROM orders
+      |WHERE o_orderkey <= 900 AND o_orderstatus = 'F'
+      |  AND o_orderpriority <> '1-URGENT'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("x9d_orders_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.fw_orders")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.fw_pri")
+    spark.sql(
+      """CREATE TABLE graft.demo.fw_orders
+        |  (o_orderkey BIGINT, o_orderpriority STRING, o_orderstatus STRING,
+        |   o_totalprice DOUBLE) USING graft""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.fw_orders
+        |SELECT o_orderkey, o_orderpriority, o_orderstatus, o_totalprice
+        |FROM x9d_orders_src WHERE o_orderkey <= 900""".stripMargin)
+    spark.sql(
+      """CALL graft.system.create_mv('demo', 'fw_pri', 'demo.fw_orders',
+        |  'o_orderpriority',
+        |  'count(*) AS cnt, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS dec_total',
+        |  'o_orderstatus = ''F''')""".stripMargin).collect()
+    val df = spark.sql(
+      """SELECT o_orderpriority, cnt, round(CAST(dt AS DOUBLE), 4) AS total
+        |FROM (
+        |  SELECT o_orderpriority, count(*) AS cnt,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS dt
+        |  FROM graft.demo.fw_orders
+        |  WHERE o_orderstatus = 'F' AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin)
+    val scansMv = df.queryExecution.optimizedPlan.exists {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.relation.identifier.exists(_.name == "fw_pri")
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.identifier.exists(_.name == "fw_pri")
+      case _ => false
+    }
+    require(scansMv, "x9d_filtered_mv: aggregate was not served by the filtered MV")
+    df
+  }
+
   /** X9b: STALE-TOLERANT MV REWRITE (delta-union), differentially
     * verified — the MV is built over the first batch, a second batch is
     * appended and NO refresh runs. The rewrite answers the aggregate as
@@ -1694,6 +1753,60 @@ object SourceQueries {
       .orderBy("seg")
   }
 
+  /** X13b: DELETES-HEAVY READ — the merge-on-read chokepoint measured,
+    * not just spec-asserted: the table accumulates 24 OUTSTANDING
+    * equality deletes (one per upsert commit, none GC'd — no
+    * compaction runs) over multiple base segments, and the row times
+    * the END-TO-END read that must compile every EqFilter and subtract
+    * shadowed rows per segment. 24 commits (not the hundreds a
+    * long-lived stream would hold) keeps the fixture inside bench
+    * budget while the per-delete cost scales linearly — the sf1 ratio
+    * of THIS row is the scale evidence. The DuckDB oracle recomputes
+    * the final state in closed form (upserted slices replace their
+    * keys), so a mis-scoped or dropped equality delete breaks the
+    * hash, and the read cost shows in the bench number.
+    */
+  val x13bDeletesHeavyRead: Q = Q(
+    "x13b_deletes_heavy_read",
+    """WITH final AS (
+      |  SELECT c_mktsegment AS seg,
+      |         CASE WHEN c_custkey % 96 < 24 THEN c_acctbal + 1000.0
+      |              ELSE c_acctbal END AS bal
+      |  FROM customer)
+      |SELECT seg, count(*) AS n,
+      |  round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+      |FROM final
+      |GROUP BY seg
+      |ORDER BY seg""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.functions.{col, count, round, sum}
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.customer(spark, dir).createOrReplaceTempView("x13b_customer_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.cust_dh")
+    spark.sql(
+      "CREATE TABLE graft.demo.cust_dh (k BIGINT, seg STRING, bal DOUBLE) USING graft")
+    // Three base commits → multiple segments for the deletes to range over.
+    (0 until 3).foreach { i =>
+      spark.sql(
+        s"""INSERT INTO graft.demo.cust_dh
+           |SELECT CAST(c_custkey AS BIGINT), c_mktsegment, c_acctbal
+           |FROM x13b_customer_src WHERE c_custkey % 3 = $i""".stripMargin)
+    }
+    // 24 upsert commits, each leaving one outstanding equality delete.
+    (0 until 24).foreach { i =>
+      spark.sql(
+        s"""SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS seg,
+           |       c_acctbal + 1000.0 AS bal
+           |FROM x13b_customer_src WHERE c_custkey % 96 = $i""".stripMargin)
+        .writeTo("graft.demo.cust_dh")
+        .option("graft.upsert.keys", "k").append()
+    }
+    spark.table("graft.demo.cust_dh")
+      .groupBy("seg")
+      .agg(count("*").as("n"),
+        round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("total_bal"))
+      .orderBy("seg")
+  }
+
   /** X12: BRANCH write-audit-publish (the Iceberg/Nessie WAP shape).
     * Production lands a base batch on main; an `audit` branch is cut
     * zero-copy; the STAGING batch is written to the branch, audited
@@ -2178,11 +2291,13 @@ object SourceQueries {
     x5CatalogSql, x5bTimeTravel, x5cPartitionedSpj, x5dAtomicCtas, x5eRowLevelDml,
     x6CatalogFunction,
     x7CatalogView, x8MaterializedView, x9MvRollup, x9bStaleMv,
-    x9cMvRewriteOff, x9cMvRewriteOn, x5fPartitionProfile, x5gCosortedJoin,
+    x9cMvRewriteOff, x9cMvRewriteOn, x9dFilteredMv,
+    x5fPartitionProfile, x5gCosortedJoin,
     x5hPartitionOverwrite, x5iPartitionEvolution, x5jHiddenPartitioning,
     x5kBucketSpj,
     x10TableChanges, x10bCdcUpdatePairs, x10cChangesByTime, x11RestoreClone, x12BranchWap,
-    x13Upsert, x14MetadataTables, x15RemoveOrphans, x16RowLineage, x17Undrop,
+    x13Upsert, x13bDeletesHeavyRead,
+    x14MetadataTables, x15RemoveOrphans, x16RowLineage, x17Undrop,
     x18Identity, x19Generated, x20Retention, x21ColumnDefaults,
     x22MergeSchemaEvolution, x23CopyInto, x24ScopedCompact,
     x25NestedEvolution, x25bDeepEvolution, x26VerifyConstraints)

@@ -57,6 +57,14 @@ private[graft] object GraftMvOps {
   val SourceProp = "graft.mv.source"
   val GroupProp = "graft.mv.group"
   val AggsProp = "graft.mv.aggs"
+  /** Optional pre-aggregation WHERE over source columns (a FILTERED MV
+    * — the Snowflake/BigQuery "materialized view with WHERE" shape).
+    * Applied before grouping at create, full refresh, AND on both
+    * sides of the incremental diff: a changed row that fails the
+    * filter cannot change the MV, so filtering the touched-key scans
+    * is both correct and cheaper.
+    */
+  val FilterProp = "graft.mv.filter"
   val VersionProp = "graft.mv.version"
   /** Refresh-in-flight marker. An incremental refresh lands its MERGE
     * and bumps [[VersionProp]] in TWO commits; between them the MV
@@ -141,10 +149,13 @@ private[graft] object GraftMvOps {
 
   private def aggregateAt(
       spark: SparkSession, cat: String, sns: String, stbl: String,
-      version: Long, groupCols: Seq[String], aggList: Seq[String]): DataFrame =
-    spark.sql(s"SELECT * FROM ${fqn(cat, sns, stbl)} VERSION AS OF $version")
+      version: Long, groupCols: Seq[String], aggList: Seq[String],
+      where: Option[String]): DataFrame = {
+    val base = spark.sql(s"SELECT * FROM ${fqn(cat, sns, stbl)} VERSION AS OF $version")
+    where.fold(base)(w => base.where(expr(w)))
       .groupBy(groupCols.map(col): _*)
       .agg(expr(aggList.head), aggList.tail.map(expr): _*)
+  }
 
   /** CREATE (or replace) the MV: one full aggregate of the source
     * PINNED at its current version (a concurrent append between read
@@ -152,7 +163,8 @@ private[graft] object GraftMvOps {
     * half-appearing), committed atomically with the definition props.
     */
   def create(spark: SparkSession, ns: String, name: String,
-      source: String, group: String, aggs: String): (String, Long, Long) = {
+      source: String, group: String, aggs: String,
+      where: String = ""): (String, Long, Long) = {
     val cat = catalogName(spark)
     val (sns, stbl) = parseSource(source)
     val v0 = GraftCatalog.currentVersion(sns, stbl).getOrElse(
@@ -163,17 +175,19 @@ private[graft] object GraftMvOps {
     require(aggList.nonEmpty, "create_mv: aggs must hold at least one aggregate")
     require(!groupCols.contains(Present) && !groupCols.contains(SegAlias),
       s"create_mv: group column may not be named $Present / $SegAlias")
-    val df = aggregateAt(spark, cat, sns, stbl, v0, groupCols, aggList)
+    val mvWhere = Option(where).map(_.trim).filter(_.nonEmpty)
+    val df = aggregateAt(spark, cat, sns, stbl, v0, groupCols, aggList, mvWhere)
     // Aggregate ALIASES collide with the refresh markers just as group
     // columns would: `max(x) AS __graft_mv_present` would be replaced
     // by the refresh's own marker column and break the MERGE.
     require(!df.columns.exists(c => c == Present || c == SegAlias),
       s"create_mv: aggregate alias may not be named $Present / $SegAlias")
-    df.writeTo(fqn(cat, ns, name))
+    val writer = df.writeTo(fqn(cat, ns, name))
       .tableProperty(SourceProp, s"$sns.$stbl")
       .tableProperty(GroupProp, groupCols.mkString(","))
       .tableProperty(AggsProp, aggs)
       .tableProperty(VersionProp, v0.toString)
+    mvWhere.fold(writer)(w => writer.tableProperty(FilterProp, w))
       .createOrReplace()
     ("full", GraftCatalog.rowCount(ns, name), v0)
   }
@@ -212,6 +226,7 @@ private[graft] object GraftMvOps {
     val sIdent = Identifier.of(Array(sns), stbl)
     val groupCols = props(GroupProp).split(',').toSeq
     val aggList = splitTop(props(AggsProp))
+    val mvWhere = props.get(FilterProp).map(_.trim).filter(_.nonEmpty)
     val v0 = props(VersionProp).toLong
     val v1 = GraftCatalog.currentVersion(sns, stbl).getOrElse(
       throw new NoSuchTableException(sIdent))
@@ -228,12 +243,13 @@ private[graft] object GraftMvOps {
     }
 
     def fullRefresh(): (String, Long, Long) = {
-      aggregateAt(spark, cat, sns, stbl, v1, groupCols, aggList)
+      val writer = aggregateAt(spark, cat, sns, stbl, v1, groupCols, aggList, mvWhere)
         .writeTo(fqn(cat, ns, name))
         .tableProperty(SourceProp, source)
         .tableProperty(GroupProp, props(GroupProp))
         .tableProperty(AggsProp, props(AggsProp))
         .tableProperty(VersionProp, v1.toString)
+      mvWhere.fold(writer)(w => writer.tableProperty(FilterProp, w))
         .replace() // atomic RTAS swap — readers never see a torn MV
       ("full", GraftCatalog.rowCount(ns, name), v1)
     }
@@ -267,11 +283,13 @@ private[graft] object GraftMvOps {
           // conservative superset (recomputing an unchanged group is
           // correct, merely unnecessary) that avoids diffing bitmaps.
           def keysAt(version: Long, paths: Set[String]): DataFrame = {
-            val sel = (groupCols.map(q) :+ s"${q("_segment")} AS ${q(SegAlias)}")
-              .mkString(", ")
-            spark.sql(
-              s"SELECT $sel FROM ${fqn(cat, sns, stbl)} VERSION AS OF $version")
+            // `SELECT *` (not just the group columns) so a filtered
+            // MV's WHERE can reference any source column here.
+            val base = spark.sql(
+              s"SELECT *, ${q("_segment")} AS ${q(SegAlias)} " +
+                s"FROM ${fqn(cat, sns, stbl)} VERSION AS OF $version")
               .where(col(SegAlias).isin(paths.toSeq: _*))
+            mvWhere.fold(base)(w => base.where(expr(w)))
               .select(groupCols.map(col): _*)
           }
           val touchedPlan = keysAt(v1, added ++ dvChanged)
@@ -304,8 +322,9 @@ private[graft] object GraftMvOps {
           val touchedCount =
             if (smallProbe) touchedLocal.length.toLong
             else touched.count()
-          val curAll = spark.sql(
+          val curAll0 = spark.sql(
             s"SELECT * FROM ${fqn(cat, sns, stbl)} VERSION AS OF $v1")
+          val curAll = mvWhere.fold(curAll0)(w => curAll0.where(expr(w)))
           // Literal INs exist only for atomic key types — an array/map/
           // struct group key can't become a Literal (and no zone map
           // tracks it anyway): fall through to the semi join alone.
@@ -407,7 +426,7 @@ private[graft] object GraftCreateMvProcedure extends GraftMvProcedureBase {
 
   override def name(): String = "create_mv"
   override def description(): String =
-    "create_mv(ns, table, source, group_cols, aggs): materialize a grouped aggregate of a catalog table"
+    "create_mv(ns, table, source, group_cols, aggs, where): materialize a grouped aggregate of a catalog table"
   override def parameters(): Array[ProcedureParameter] = Array(
     ProcedureParameter.in("ns", StringType).comment("MV namespace").build(),
     ProcedureParameter.in("table", StringType).comment("MV table name").build(),
@@ -417,6 +436,9 @@ private[graft] object GraftCreateMvProcedure extends GraftMvProcedureBase {
       .comment("comma-separated GROUP BY columns").build(),
     ProcedureParameter.in("aggs", StringType)
       .comment("comma-separated aggregate expressions, each aliased (e.g. 'sum(v) AS total')")
+      .build(),
+    ProcedureParameter.in("where", StringType).defaultValue("''")
+      .comment("optional pre-aggregation filter over source columns ('' = none)")
       .build())
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
@@ -425,8 +447,12 @@ private[graft] object GraftCreateMvProcedure extends GraftMvProcedureBase {
     val source = input.getUTF8String(2).toString
     val group = input.getUTF8String(3).toString
     val aggs = input.getUTF8String(4).toString
+    val where =
+      if (input.numFields > 5 && !input.isNullAt(5)) input.getUTF8String(5).toString
+      else ""
     val spark = org.apache.spark.sql.SparkSession.active
-    val (mode, groups, version) = GraftMvOps.create(spark, ns, table, source, group, aggs)
+    val (mode, groups, version) =
+      GraftMvOps.create(spark, ns, table, source, group, aggs, where)
     resultScan(s"$ns.$table", mode, groups, version)
   }
 }

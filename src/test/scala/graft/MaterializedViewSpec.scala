@@ -640,6 +640,77 @@ class MaterializedViewSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.mvr.base")
   }
 
+  test("filtered MV: incremental refresh applies the WHERE on both diff sides") {
+    spark.sql("DROP TABLE IF EXISTS graft.mvw.base")
+    spark.sql("DROP TABLE IF EXISTS graft.mvw.agg")
+    spark.sql("CREATE TABLE graft.mvw.base (g STRING, s STRING, v BIGINT) USING graft")
+    spark.sql(
+      """INSERT INTO graft.mvw.base VALUES
+        |('a', 'keep', 1), ('a', 'drop', 100), ('b', 'keep', 10), ('c', 'drop', 5)""".stripMargin)
+    call("""CALL graft.system.create_mv('mvw', 'agg', 'mvw.base', 'g',
+           |  'count(*) AS cnt, sum(v) AS total', 's = ''keep''')""".stripMargin)
+    // Only filter-passing rows materialize: c (all 'drop') is absent.
+    assert(mvRows("graft.mvw.agg") == Seq(("a", 1L, 1.0), ("b", 1L, 10.0)))
+    // Append: b gains a keep row, d gains ONLY a drop row (must not
+    // surface), and a DELETE removes a's keep row (group vanishes).
+    spark.sql("INSERT INTO graft.mvw.base VALUES ('b', 'keep', 20), ('d', 'drop', 9)")
+    spark.sql("DELETE FROM graft.mvw.base WHERE g = 'a' AND s = 'keep'")
+    val (mode, _, _) = call("CALL graft.system.refresh_mv('mvw', 'agg')")
+    assert(mode == "incremental", s"expected incremental, got $mode")
+    assert(mvRows("graft.mvw.agg") == Seq(("b", 2L, 30.0)),
+      "filtered refresh must fold only WHERE-passing rows and drop vanished groups")
+    spark.sql("DROP TABLE graft.mvw.agg")
+    spark.sql("DROP TABLE graft.mvw.base")
+  }
+
+  test("filtered MV rewrite: subsumed WHERE is served, missing or weaker WHERE is not") {
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.identifier.map(_.toString).getOrElse("")
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.identifier.map(_.toString).getOrElse("")
+      }
+    spark.sql("DROP TABLE IF EXISTS graft.mvs.base")
+    spark.sql("DROP TABLE IF EXISTS graft.mvs.agg")
+    spark.sql("CREATE TABLE graft.mvs.base (g STRING, s STRING, v BIGINT) USING graft")
+    spark.sql(
+      """INSERT INTO graft.mvs.base VALUES
+        |('a', 'keep', 1), ('a', 'drop', 100), ('b', 'keep', 10), ('b', 'keep', 20)""".stripMargin)
+    spark.sql(
+      """CALL graft.system.create_mv('mvs', 'agg', 'mvs.base', 'g',
+        |  'count(*) AS cnt, sum(v) AS total', 's = ''keep''')""".stripMargin).collect()
+    // Exact subsumption: query WHERE == MV filter → MV-served.
+    val hit = spark.sql(
+      "SELECT g, count(*) AS c, sum(v) AS t FROM graft.mvs.base WHERE s = 'keep' GROUP BY g")
+    assert(scans(hit).exists(_.contains("agg")), s"subsumed query not MV-served: ${scans(hit)}")
+    assert(hit.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1) == Seq(("a", 1L, 1L), ("b", 2L, 30L)))
+    // Subsumption + residual group-column predicate → MV-served with
+    // the residual on the MV scan.
+    val hit2 = spark.sql(
+      """SELECT g, count(*) AS c FROM graft.mvs.base
+        |WHERE s = 'keep' AND g <> 'a' GROUP BY g""".stripMargin)
+    assert(scans(hit2).exists(_.contains("agg")), s"residual query not MV-served: ${scans(hit2)}")
+    assert(hit2.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("b", 2L)))
+    // NO WHERE → the MV's input is a strict subset → must NOT serve.
+    val miss1 = spark.sql("SELECT g, count(*) AS c FROM graft.mvs.base GROUP BY g")
+    assert(!scans(miss1).exists(_.contains("agg")),
+      s"unfiltered query wrongly MV-served: ${scans(miss1)}")
+    // DIFFERENT predicate on the filter column → not norm-equal → no serve.
+    val miss2 = spark.sql(
+      "SELECT g, count(*) AS c FROM graft.mvs.base WHERE s = 'drop' GROUP BY g")
+    assert(!scans(miss2).exists(_.contains("agg")),
+      s"non-matching filter wrongly MV-served: ${scans(miss2)}")
+    // Residual on a NON-group column → not commutable → no serve.
+    val miss3 = spark.sql(
+      "SELECT g, count(*) AS c FROM graft.mvs.base WHERE s = 'keep' AND v > 5 GROUP BY g")
+    assert(!scans(miss3).exists(_.contains("agg")),
+      s"non-group residual wrongly MV-served: ${scans(miss3)}")
+    spark.sql("DROP TABLE graft.mvs.agg")
+    spark.sql("DROP TABLE graft.mvs.base")
+  }
+
   test("refresh of a non-MV table and unknown MV fail loudly") {
     spark.sql("DROP TABLE IF EXISTS graft.mv7.plain")
     spark.sql("CREATE TABLE graft.mv7.plain (k BIGINT) USING graft")
