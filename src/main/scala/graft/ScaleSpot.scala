@@ -64,7 +64,11 @@ object ScaleSpot {
       // Third-pass additions at 10×: idempotent COPY INTO ingestion
       // (the re-run diff must stay metadata-cheap as files grow),
       // scoped compaction of one hot partition, and the evolving MERGE.
-      "x23_copy_into", "x24_scoped_compact", "x22_merge_schema_evolution")
+      "x23_copy_into", "x24_scoped_compact", "x22_merge_schema_evolution",
+      // Round-16 additions at 10×: the SRP-banded embedding near-dup
+      // self-join (candidate mass must stay sub-quadratic), the
+      // deletes-heavy merge-on-read read, and the filtered-MV rewrite.
+      "l4_embedding_neardup_lsh", "x13b_deletes_heavy_read", "x9d_filtered_mv")
     val qs = SparkEntry.queries
     // SPARK_GRAFT_SCALE_ALL=1: run EVERY registry query against the 10×
     // slice (the full-suite sf1 datapoint; single-shot timings — the

@@ -38,8 +38,10 @@ import graft.sources.{GraftCatalog, GraftMvOps}
   * appear norm-equal among the query's WHERE conjuncts (those are
   * dropped as already applied inside the MV); the residual conjuncts
   * then pass the usual group-column admissibility. Exact structural
-  * subsumption only — no implication reasoning — and the stale-delta
-  * path declines filtered MVs.
+  * subsumption only — no implication reasoning. The stale-delta path
+  * serves filtered MVs too: the MV branch applies the residual, the
+  * delta branch applies the query's FULL predicate (delta rows are raw
+  * source rows, and the MV conjuncts are part of it by subsumption).
   *
   * Soundness gates (all must hold, else the plan is untouched):
   *  - the aggregate's child is the source relation, either bare or
@@ -173,18 +175,7 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     // only: `a > 5` does not serve `a > 6` (deliberate — implication
     // checking beyond norm-equality is where rewrites go wrong).
     val residualCond: Option[Expression] =
-      props.get(GraftMvOps.FilterProp).map(_.trim).filter(_.nonEmpty) match {
-        case None => filterCond
-        case Some(fs) =>
-          val mvCond = resolveSpec(fs, relation).getOrElse(return None)
-          if (!mvCond.deterministic) return None
-          val qc = filterCond.getOrElse(return None)
-          val mvNorms = conjuncts(mvCond).map(norm).toSet
-          val qcs = conjuncts(qc)
-          if (!mvNorms.subsetOf(qcs.map(norm).toSet)) return None
-          qcs.filterNot(c => mvNorms.contains(norm(c)))
-            .reduceOption(org.apache.spark.sql.catalyst.expressions.And)
-      }
+      residualAfterMvFilter(props, filterCond, relation).getOrElse(return None)
     // A (residual) WHERE below the aggregate commutes with the MV
     // substitution only when it references MV GROUP columns exclusively
     // (the MV's rows partition exactly by those, so slicing them before
@@ -344,11 +335,6 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       resolver: (String, String) => Boolean): Option[LogicalPlan] = {
     val (mvTable, props) = GraftCatalog.mvEntrySnapshot(mvIdent).getOrElse(return None)
     if (props.contains(GraftMvOps.RefreshingProp)) return None
-    // FILTERED MVs decline the stale path: the delta branch would need
-    // the MV's WHERE re-bound onto the pinned delta scan — correct but
-    // another moving part; the fresh path serves filtered MVs, stale
-    // filtered queries fall back to the base scan.
-    if (props.get(GraftMvOps.FilterProp).exists(_.trim.nonEmpty)) return None
     val v0 = props.get(GraftMvOps.VersionProp) match {
       case Some(s) if s.nonEmpty && s.forall(_.isDigit) => s.toLong
       case _ => return None
@@ -356,8 +342,17 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     val mvGroupCols =
       props.get(GraftMvOps.GroupProp).map(_.split(',').toSeq).getOrElse(return None)
     if (groupAttrs.map(_.name.toLowerCase).distinct.length != groupAttrs.length) return None
-    // Same WHERE admissibility as the fresh path: group columns only.
-    val condAdmissible = filterCond.forall { c =>
+    // FILTERED MVs: same subsumption gate as the fresh path. The MV
+    // branch applies only the RESIDUAL (the MV's conjuncts were applied
+    // pre-aggregation inside it); the DELTA branch applies the query's
+    // FULL predicate — delta rows are raw source rows, so the MV-filter
+    // conjuncts must be re-applied there, and they are exactly part of
+    // the query's own WHERE by the subsumption check.
+    val residualCond: Option[Expression] =
+      residualAfterMvFilter(props, filterCond, relation).getOrElse(return None)
+    // Residual WHERE admissibility, as in the fresh path: group columns
+    // only.
+    val condAdmissible = residualCond.forall { c =>
       c.deterministic &&
         c.find(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])
           .isEmpty &&
@@ -408,7 +403,7 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       mvRelation.output.find(a => resolver(a.name, col))
     def groupColFor(a: Attribute): Option[String] = mvGroupCols.find(resolver(_, a.name))
     var condMapped = true
-    val mvChild: LogicalPlan = filterCond match {
+    val mvChild: LogicalPlan = residualCond match {
       case None => mvRelation
       case Some(c) =>
         val mapped = c.transformUp {
@@ -502,6 +497,29 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       conjuncts(l) ++ conjuncts(r)
     case other => Seq(other)
   }
+
+  /** FILTERED-MV subsumption: the query's residual predicate after
+    * dropping the MV's own filter conjuncts. `None` = the candidate is
+    * inadmissible (no query WHERE, a missing MV conjunct, or a
+    * non-deterministic/unresolvable MV filter); `Some(residual)` = the
+    * conjuncts still to apply on the MV's rows (possibly none). For an
+    * unfiltered MV the query predicate passes through whole.
+    */
+  private def residualAfterMvFilter(
+      props: Map[String, String], filterCond: Option[Expression],
+      relation: DataSourceV2Relation): Option[Option[Expression]] =
+    props.get(GraftMvOps.FilterProp).map(_.trim).filter(_.nonEmpty) match {
+      case None => Some(filterCond)
+      case Some(fs) =>
+        val mvCond = resolveSpec(fs, relation).getOrElse(return None)
+        if (!mvCond.deterministic) return None
+        val qc = filterCond.getOrElse(return None)
+        val mvNorms = conjuncts(mvCond).map(norm).toSet
+        val qcs = conjuncts(qc)
+        if (!mvNorms.subsetOf(qcs.map(norm).toSet)) return None
+        Some(qcs.filterNot(c => mvNorms.contains(norm(c)))
+          .reduceOption(org.apache.spark.sql.catalyst.expressions.And))
+    }
 
   /** Minimal spec binder: column references resolve against the source
     * relation's output, functions through the session registry

@@ -777,7 +777,7 @@ object StreamingQueries {
     * sink (`writeStream.option("graft.upsert.keys", "k").toTable`)
     * upserts each epoch via a merge-on-read equality delete — append +
     * key-tombstone in one exactly-once commit, the Flink-to-Iceberg
-    * upsert pipeline shape. The source takes an append and a
+    * upsert pipeline shape. The source takes two appends and a
     * copy-on-write UPDATE; the replica consumes inserts +
     * update POSTIMAGES (the paired CDC form) and must converge to the
     * source's final state, recomputed by the oracle from raw parquet.
@@ -806,16 +806,23 @@ object StreamingQueries {
       "CREATE TABLE graft.stream.ups17 (k BIGINT, seg STRING, bal DOUBLE) USING graft")
     spark.sql(
       "CREATE TABLE graft.stream.ups17_replica (k BIGINT, seg STRING, bal DOUBLE) USING graft")
-    // One INSERT commit (not two) — same rationale as st16: the upsert
-    // sink's exactly-once argument is per-epoch-shape (an insert epoch
-    // and a postimage-replaces-key epoch), not per-epoch-count.
+    // TWO INSERT commits, deliberately (unlike st16's folded fixture):
+    // the change feed admits one COMMIT per micro-batch and the upsert
+    // sink bounds keys PER EPOCH (graft.upsert.maxKeys = 100k), so
+    // source commit sizing is part of this operator's contract — a
+    // single whole-table commit exceeds the cap at the 10× scale audit
+    // (150k keys in one epoch) and rightly refuses.
     spark.sql(
       """INSERT INTO graft.stream.ups17
         |SELECT CAST(c_custkey AS BIGINT), c_mktsegment, c_acctbal
-        |FROM st17_customer_src""".stripMargin) // v1
+        |FROM st17_customer_src WHERE c_custkey % 3 <> 0""".stripMargin) // v1
+    spark.sql(
+      """INSERT INTO graft.stream.ups17
+        |SELECT CAST(c_custkey AS BIGINT), c_mktsegment, c_acctbal
+        |FROM st17_customer_src WHERE c_custkey % 3 = 0""".stripMargin) // v2
     spark.sql(
       """UPDATE graft.stream.ups17 SET bal = bal + 25.0
-        |WHERE seg = 'BUILDING'""".stripMargin) // v2: CoW → paired updates
+        |WHERE seg = 'BUILDING'""".stripMargin) // v3: CoW → paired updates
     val apply = spark.readStream.format("graft-changes")
       .option("table", "stream.ups17").option("changesFrom", "0").load()
       .where(col("_change_type").isin("insert", "update_postimage"))

@@ -711,6 +711,49 @@ class MaterializedViewSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.mvs.base")
   }
 
+  test("stale filtered MV: MV branch gets the residual, delta branch the full predicate") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    spark.sql("DROP TABLE IF EXISTS graft.sdf.base")
+    spark.sql("DROP TABLE IF EXISTS graft.sdf.agg")
+    spark.sql("CREATE TABLE graft.sdf.base (g STRING, s STRING, v BIGINT) USING graft")
+    spark.sql(
+      """INSERT INTO graft.sdf.base VALUES
+        |('a', 'keep', 1), ('a', 'drop', 100), ('b', 'keep', 10)""".stripMargin)
+    spark.sql(
+      """CALL graft.system.create_mv('sdf', 'agg', 'sdf.base', 'g',
+        |  'count(*) AS cnt, sum(v) AS total', 's = ''keep''')""".stripMargin).collect()
+    // Append WITHOUT refreshing: a keep row for b, a drop row for c —
+    // the delta branch must apply the MV's filter so c never surfaces.
+    spark.sql("INSERT INTO graft.sdf.base VALUES ('b', 'keep', 20), ('c', 'drop', 5)")
+    val q = "SELECT g, count(*) AS c, sum(v) AS t FROM graft.sdf.base WHERE s = 'keep' GROUP BY g"
+    // AQE wraps the plan and hides BatchScanExec until execution —
+    // disable it for the plan-shape assertions (the sibling stale test's
+    // discipline).
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = spark.sql(q)
+      val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+      assert(scans.exists(_.output.exists(_.name == "cnt")),
+        s"stale filtered query must read the MV, scans: $scans")
+      assert(scans.exists(_.output.exists(_.name == "v")),
+        "stale filtered query must read the delta")
+      assert(df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1) == Seq(("a", 1L, 1L), ("b", 2L, 30L)),
+        "MV ⊎ filtered-delta answer wrong")
+      // Unfiltered query over the stale filtered MV must fall back to a
+      // full base scan (no MV read) and stay correct.
+      val miss = spark.sql("SELECT g, count(*) AS c FROM graft.sdf.base GROUP BY g")
+      assert(!miss.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+        .exists(_.output.exists(_.name == "cnt")),
+        "unfiltered query wrongly served by the stale filtered MV")
+      assert(miss.collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+        == Seq(("a", 2L), ("b", 2L), ("c", 1L)))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    spark.sql("DROP TABLE graft.sdf.agg")
+    spark.sql("DROP TABLE graft.sdf.base")
+  }
+
   test("refresh of a non-MV table and unknown MV fail loudly") {
     spark.sql("DROP TABLE IF EXISTS graft.mv7.plain")
     spark.sql("CREATE TABLE graft.mv7.plain (k BIGINT) USING graft")
