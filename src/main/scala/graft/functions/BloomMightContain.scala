@@ -77,6 +77,8 @@ object BloomMightContain {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "bloom_might_contain",
         (args: Seq[Expression]) => {
+          require(args.length == 2,
+            s"bloom_might_contain expects 2 arguments (column, filter bytes), got ${args.length}")
           val bytes = args(1) match {
             case Literal(b: Array[Byte], BinaryType) => b
             case other => throw new IllegalArgumentException(

@@ -319,6 +319,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
               GraftCatalog.retentionNanosOf(Map(s.property() -> s.value()))
             if (s.property() == GraftCatalog.RetentionSnapshotsProp)
               GraftCatalog.maxSnapshotsOf(Map(s.property() -> s.value()))
+            if (s.property() == GraftCatalog.EpochRetentionProp)
+              GraftCatalog.epochRetentionMsOf(Map(s.property() -> s.value()))
             if (s.property().startsWith(TagPropPrefix)) {
               val v =
                 try s.value().toLong
@@ -1156,30 +1158,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     catch { case e: java.util.ConcurrentModificationException =>
       // Retract the just-committed new-name document. This tombstone
       // CAS can ITSELF lose — a concurrent driver may have committed
-      // onto the just-visible new name — and a swallowed loss would
-      // leave the table live under BOTH names with diverging states
-      // sharing segment files: the exact hazard this rollback targets.
-      // On each loss persistTable has already reloaded the winner's
-      // state at newIdent, so re-remove and retry the tombstone at the
-      // winner's sequence (bounded); if the name stays contended past
-      // the bound, emit a LOUD diagnostic naming both identifiers so
-      // the operator can reconcile instead of discovering the split
-      // brain by query results.
-      var retracted = false
-      var attempt = 0
-      while (!retracted && attempt < 5) {
-        store.remove(newIdent)
-        history.remove(newIdent)
-        ourEpochs.foreach { case (qid, _) => epochs.remove((newIdent, qid)): Unit }
-        try { persistTable(newIdent); retracted = true } // tombstone CAS
-        catch { case _: java.util.ConcurrentModificationException => attempt += 1 }
+      // onto the just-visible new name. The loss taxonomy matters:
+      //  - the winner TOMBSTONED the name (a concurrent drop):
+      //    retraction achieved by proxy — clean up and refuse;
+      //  - the winner committed DATA/DDL onto the name: that commit
+      //    was ACKNOWLEDGED to its caller, and retrying the tombstone
+      //    at the winner's sequence would erase it — a destroyed
+      //    acknowledged write is strictly worse than a split brain.
+      //    Leave BOTH names live and emit a LOUD diagnostic naming
+      //    them, so the operator reconciles deliberately instead of
+      //    discovering either hazard by query results.
+      // (persistTable's loss path already reloaded the winner's state
+      // at newIdent, so the store probe below reads committed truth.)
+      def dropNewNameEpochs(): Unit =
+        epochs.keySet.asScala.filter(_._1 == newIdent).toSeq.foreach { k =>
+          epochs.remove(k); epochTouched.remove(k)
+        }
+      store.remove(newIdent)
+      history.remove(newIdent)
+      dropNewNameEpochs()
+      try { persistTable(newIdent); dropNewNameEpochs() } // tombstone CAS
+      catch { case _: java.util.ConcurrentModificationException =>
+        if (store.get(newIdent) == null) {
+          // Winner tombstoned it — retracted by proxy.
+          dropNewNameEpochs()
+        } else {
+          System.err.println(
+            s"[graft-catalog] WARNING: rename rollback could not retract " +
+              s"'$newIdent' — a concurrent driver committed onto it, and " +
+              s"retracting would erase that acknowledged write. The table " +
+              s"is live under BOTH '$oldIdent' (the old-name winner's " +
+              s"state) and '$newIdent'; reconcile by dropping one")
+        }
       }
-      if (!retracted)
-        System.err.println(
-          s"[graft-catalog] WARNING: rename rollback could not retract " +
-            s"'$newIdent' after $attempt attempts — table may be live under " +
-            s"BOTH '$oldIdent' (the concurrent winner's state) and " +
-            s"'$newIdent'; reconcile by dropping the stale name")
       throw e
     }
   }
@@ -2519,12 +2530,15 @@ object GraftCatalog {
             next, minKeepSeq = anchor.get)
         case None =>
           // CHECKPOINT-time epoch expiry: drop streaming-query entries
-          // idle past the table's retention window — a long-lived table
-          // fed by many distinct queries must not carry every retired
-          // query id forever. Live queries refresh their stamp on every
-          // epoch commit; the idle-past-retention replay contract is
-          // documented on [[epochTouched]].
-          val retMs = retentionNanosOf(entry.props) / 1000000L
+          // idle past the EPOCH retention window (its own knob with a
+          // 24 h floor — see [[EpochRetentionProp]]; tying it to the
+          // 60 s file-retention default would strip exactly-once from
+          // any stream triggering less often than a checkpoint lands) —
+          // a long-lived table fed by many distinct queries must not
+          // carry every retired query id forever. Live queries refresh
+          // their stamp on every epoch commit; the idle-past-retention
+          // replay contract is documented on [[epochTouched]].
+          val retMs = epochRetentionMsOf(entry.props)
           val (live, retired) = epsAll.partition {
             case (_, (_, t)) => nowMs - t <= retMs
           }
@@ -2713,6 +2727,30 @@ object GraftCatalog {
     */
   private[sources] val RetentionSecondsProp = "graft.retention.seconds"
   private[sources] val RetentionSnapshotsProp = "graft.retention.snapshots"
+  /** Streaming exactly-once EPOCH retention (the Delta
+    * setTransactionRetentionDuration shape): how long an idle
+    * (table, streaming-query) epoch entry keeps its replay-dedup
+    * protection before checkpoint writes drop it. DELIBERATELY
+    * independent of the file-retention window with a generous floor:
+    * file retention defaults to 60 s, and coupling epoch dedup to it
+    * would strip exactly-once from any stream with a trigger gap over
+    * a minute — an ordinary low-frequency pipeline, not a
+    * misconfiguration. Default: max(file retention, 24 h).
+    */
+  private[sources] val EpochRetentionProp = "graft.epochs.retention.seconds"
+
+  private[sources] def epochRetentionMsOf(props: Map[String, String]): Long =
+    props.get(EpochRetentionProp).map { v =>
+      val n =
+        try v.toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$EpochRetentionProp must be an integer >= 0, got '$v'")
+        }
+      require(n >= 0, s"$EpochRetentionProp must be >= 0, got $n")
+      n * 1000L
+    }.getOrElse(
+      math.max(retentionNanosOf(props) / 1000000L, 24L * 3600L * 1000L))
 
   private[sources] def retentionNanosOf(props: Map[String, String]): Long =
     props.get(RetentionSecondsProp).map { v =>

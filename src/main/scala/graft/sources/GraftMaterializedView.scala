@@ -157,6 +157,25 @@ private[graft] object GraftMvOps {
       .agg(expr(aggList.head), aggList.tail.map(expr): _*)
   }
 
+  /** A filtered MV's WHERE must be DETERMINISTIC: the incremental
+    * refresh re-evaluates it on both diff sides (touched-key scans and
+    * the recompute), so `rand() < 0.5` would silently leave the MV
+    * internally inconsistent — different coin flips per pass — with no
+    * error anywhere. Validated at create AND refresh (the property
+    * could in principle change between them); determinism is read off
+    * the ANALYZED filter condition, since an unresolved parse tree
+    * can't answer it.
+    */
+  private def requireDeterministicWhere(
+      spark: SparkSession, cat: String, sns: String, stbl: String, w: String): Unit = {
+    val analyzed = spark.sql(s"SELECT * FROM ${fqn(cat, sns, stbl)}")
+      .where(expr(w)).queryExecution.analyzed
+    val ok = analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition.deterministic
+    }.forall(identity)
+    require(ok, s"materialized-view where must be deterministic, got '$w'")
+  }
+
   /** CREATE (or replace) the MV: one full aggregate of the source
     * PINNED at its current version (a concurrent append between read
     * and commit lands in the NEXT refresh's diff instead of silently
@@ -176,6 +195,7 @@ private[graft] object GraftMvOps {
     require(!groupCols.contains(Present) && !groupCols.contains(SegAlias),
       s"create_mv: group column may not be named $Present / $SegAlias")
     val mvWhere = Option(where).map(_.trim).filter(_.nonEmpty)
+    mvWhere.foreach(requireDeterministicWhere(spark, cat, sns, stbl, _))
     val df = aggregateAt(spark, cat, sns, stbl, v0, groupCols, aggList, mvWhere)
     // Aggregate ALIASES collide with the refresh markers just as group
     // columns would: `max(x) AS __graft_mv_present` would be replaced
@@ -227,6 +247,7 @@ private[graft] object GraftMvOps {
     val groupCols = props(GroupProp).split(',').toSeq
     val aggList = splitTop(props(AggsProp))
     val mvWhere = props.get(FilterProp).map(_.trim).filter(_.nonEmpty)
+    mvWhere.foreach(requireDeterministicWhere(spark, cat, sns, stbl, _))
     val v0 = props(VersionProp).toLong
     val v1 = GraftCatalog.currentVersion(sns, stbl).getOrElse(
       throw new NoSuchTableException(sIdent))

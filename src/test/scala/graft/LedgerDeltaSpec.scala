@@ -145,17 +145,19 @@ class LedgerDeltaSpec extends AnyFunSuite {
     // document; without expiry a long-lived table fed by many distinct
     // streaming queries carries every retired query id forever. The
     // contract (the Delta transaction-retention shape): entries idle
-    // past the table's RETENTION window are dropped at checkpoint-write
-    // time — a live stream refreshes its stamp on every epoch commit,
-    // and a stream idle past retention loses replay-dedup protection
-    // by documented design.
+    // past the table's EPOCH-retention window (its own knob — default
+    // max(file retention, 24 h), so ordinary low-frequency streams
+    // never lose dedup to the 60 s file-retention default) are dropped
+    // at checkpoint-write time — a live stream refreshes its stamp on
+    // every epoch commit, and a stream idle past the window loses
+    // replay-dedup protection by documented design.
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     spark.sql("DROP TABLE IF EXISTS pgraft.ld.ep PURGE")
     spark.sql(
       """CREATE TABLE pgraft.ld.ep (k BIGINT) USING graft
-        |TBLPROPERTIES ('graft.retention.seconds'='2',
+        |TBLPROPERTIES ('graft.epochs.retention.seconds'='2',
         |               'graft.retention.snapshots'='100000')""".stripMargin)
     val dir = GraftLedger.tablesDir(GraftCatalog.warehouseRootForTest)
     def epochIds(): Set[String] =

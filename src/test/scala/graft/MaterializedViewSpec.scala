@@ -754,6 +754,22 @@ class MaterializedViewSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.sdf.base")
   }
 
+  test("non-deterministic filtered-MV WHERE refuses at create") {
+    // The incremental refresh re-evaluates the filter on both diff
+    // sides; fresh coin flips per pass would silently corrupt the MV,
+    // so create must refuse the filter up front.
+    spark.sql("DROP TABLE IF EXISTS graft.mvnd.base")
+    spark.sql("CREATE TABLE graft.mvnd.base (g STRING, v BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.mvnd.base VALUES ('a', 1)")
+    val e = intercept[Exception] {
+      spark.sql(
+        """CALL graft.system.create_mv('mvnd', 'agg', 'mvnd.base', 'g',
+          |  'count(*) AS cnt', 'rand() < 0.5')""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("deterministic"), e.getMessage)
+    spark.sql("DROP TABLE graft.mvnd.base")
+  }
+
   test("refresh of a non-MV table and unknown MV fail loudly") {
     spark.sql("DROP TABLE IF EXISTS graft.mv7.plain")
     spark.sql("CREATE TABLE graft.mv7.plain (k BIGINT) USING graft")
