@@ -68,7 +68,8 @@ object ScaleSpot {
       // Round-16 additions at 10×: the SRP-banded embedding near-dup
       // self-join (candidate mass must stay sub-quadratic), the
       // deletes-heavy merge-on-read read, and the filtered-MV rewrite.
-      "l4_embedding_neardup_lsh", "x13b_deletes_heavy_read", "x9d_filtered_mv")
+      "l4_embedding_neardup_lsh", "x13b_deletes_heavy_read", "x9d_filtered_mv",
+      "l4_embedding_dedup_clusters", "l9_embedding_incremental")
     val qs = SparkEntry.queries
     // SPARK_GRAFT_SCALE_ALL=1: run EVERY registry query against the 10×
     // slice (the full-suite sf1 datapoint; single-shot timings — the

@@ -303,6 +303,58 @@ object SimilarityQueries {
       .orderBy(col("i"), col("j"))
   }
 
+  /** L4 (cluster semantics): SRP-banded embedding near-dup PAIRS →
+    * connected components → cluster-size histogram — the actual dedup
+    * DECISION over the embedding modality, mirroring
+    * `l2_dedup_clusters`' shape for text. The fixture plants TWO
+    * bit-identical copies per seed (vec_id ≡ 3 mod 25 → +10⁶ and
+    * +2·10⁶), so every seed forms a provable 3-clique: all three pairs
+    * sit at cosine 1.0 ≥ 0.9 (natural max 0.51/0.60 — see
+    * [[l4EmbeddingNearDupLsh]]) and identical floats share every SRP
+    * bucket, so each pair is a candidate by construction. DuckDB
+    * closes the same threshold pairs under a RECURSIVE transitive
+    * closure labeled by min reachable id — exactly the CC kernel's
+    * min-label fixpoint.
+    */
+  val l4EmbeddingDedupClusters: Q = Q(
+    "l4_embedding_dedup_clusters",
+    """WITH RECURSIVE aug AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings WHERE vec_id % 25 = 3
+      |  UNION ALL
+      |  SELECT vec_id + 2000000, embedding::DOUBLE[] FROM embeddings WHERE vec_id % 25 = 3),
+      |pairs AS (
+      |  SELECT a.vec_id AS i, b.vec_id AS j
+      |  FROM aug a, aug b
+      |  WHERE a.vec_id < b.vec_id
+      |    AND list_dot_product(a.v, b.v) /
+      |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9),
+      |edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+      |reach(a, b) AS (SELECT a, b FROM edges
+      |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |comp AS (SELECT a AS v, least(a, min(b)) AS component FROM reach GROUP BY a),
+      |clusters AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+      |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+      |       CAST(sum(cluster_size - 1) AS BIGINT) AS n_docs_removed
+      |FROM clusters GROUP BY cluster_size ORDER BY cluster_size""".stripMargin) {
+    (spark, dir) =>
+    val e = Tables.embeddings(spark, dir)
+    val planted = Seq(1000000L, 2000000L).map { off =>
+      e.filter(col("vec_id") % 25 === 3)
+        .select((col("vec_id") + lit(off)).as("vec_id"), col("embedding"))
+    }.reduce(_ unionByName _)
+    val aug = e.select(col("vec_id"), col("embedding")).unionByName(planted)
+    val pairs = srpNearDupPairs(spark, aug, threshold = 0.9)
+    val cc = graft.operators.ConnectedComponents.run(pairs.select("i", "j"))
+    cc.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size") - 1).as("n_docs_removed"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** L2: MinHash + banded LSH near-dup. 3-gram SHINGLES (not unigrams:
     * over a small vocabulary unigram sets are near-identical across
     * unrelated docs, so every pair collides in some band and the
@@ -1222,10 +1274,89 @@ object SimilarityQueries {
       .select(col("i"), col("j"), round(col("jac"), 4).as("jaccard"))
   }
 
+  /** L9 (embedding modality): INCREMENTAL embedding near-dup against a
+    * PERSISTED SRP bucket index — the crawl-vs-corpus shape for
+    * vectors, completing the text-side `l9_incremental_neardup` story:
+    * the corpus is represented by two catalog tables (an (tbl, bkt) →
+    * vec_id posting index under the same 8×16-bit SRP scheme as
+    * [[srpNearDupPairs]], plus the stored vectors for exact re-rank);
+    * an incoming batch buckets itself, probes the INDEX on (tbl, bkt),
+    * dedups candidates, and exact-reranks only those — the corpus is
+    * never rescanned and never re-bucketed. At 100 TB the posting
+    * table is bucketed by (tbl, bkt) so a probe is a co-located join,
+    * and appends maintain it incrementally (8 posting rows + 1 vector
+    * row per ingested embedding).
+    *
+    * Exact oracle via the planted-copy fixture: batch = odd vec_ids ∪
+    * bit-identical copies of corpus seeds (vec_id ≡ 6 mod 50) under
+    * fresh ids; only those pairs reach cosine 0.9 (natural max
+    * 0.51/0.60), and identical floats share every bucket, so recall
+    * for the answer is provable. DuckDB recomputes the cross-side
+    * threshold pairs in closed form.
+    */
+  val l9EmbeddingIncremental: Q = Q(
+    "l9_embedding_incremental",
+    """WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |                WHERE vec_id % 2 = 0),
+      |batch AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |          WHERE vec_id % 2 = 1
+      |          UNION ALL
+      |          SELECT vec_id + 1000001, embedding::DOUBLE[]
+      |          FROM embeddings WHERE vec_id % 50 = 6)
+      |SELECT b.vec_id AS i, c.vec_id AS j,
+      |  round(list_dot_product(b.v, c.v) /
+      |        (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(c.v, c.v))), 4) AS sim
+      |FROM batch b, corpus c
+      |WHERE list_dot_product(b.v, c.v) /
+      |      (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.9
+      |ORDER BY i, j""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    val tables = 8; val bits = 16
+    def bucketed(df: DataFrame): DataFrame = df.select(
+      col("vec_id"), col("embedding"),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("tbl"),
+          SrpBucket(spark, col("embedding"), bits, seed = 7000L + t).as("bkt"))
+      }: _*)).as("tb"))
+      .select(col("vec_id"), col("embedding"),
+        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val e = Tables.embeddings(spark, dir)
+    val corpus = e.filter(col("vec_id") % 2 === 0)
+    spark.sql("DROP TABLE IF EXISTS graft.demo.emb_idx PURGE")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.emb_vec PURGE")
+    spark.sql("CREATE TABLE graft.demo.emb_idx (tbl INT, bkt BIGINT, j BIGINT) USING graft")
+    spark.sql(
+      "CREATE TABLE graft.demo.emb_vec (j BIGINT, embedding ARRAY<FLOAT>) USING graft")
+    bucketed(corpus).select(col("tbl"), col("bkt"), col("vec_id").as("j"))
+      .writeTo("graft.demo.emb_idx").append()
+    corpus.select(col("vec_id").as("j"), col("embedding"))
+      .writeTo("graft.demo.emb_vec").append()
+    val planted = e.filter(col("vec_id") % 50 === 6)
+      .select((col("vec_id") + lit(1000001L)).as("vec_id"), col("embedding"))
+    val batch = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding")).unionByName(planted)
+    // Probe: batch-side buckets against the persisted postings; the
+    // batch keeps its vectors in-plan (small side), the corpus side's
+    // vectors come from the stored emb_vec table for candidates only.
+    val cand = bucketed(batch).alias("b")
+      .join(spark.table("graft.demo.emb_idx").alias("x"),
+        col("b.tbl") === col("x.tbl") && col("b.bkt") === col("x.bkt"))
+      .select(col("b.vec_id").as("i"), col("b.embedding").as("vb"), col("x.j").as("j"))
+      .dropDuplicates("i", "j")
+    cand
+      .join(spark.table("graft.demo.emb_vec").select(col("j"), col("embedding").as("vc")),
+        Seq("j"))
+      .withColumn("simv", CosineSim(spark, col("vb"), col("vc")))
+      .filter(col("simv") >= 0.9)
+      .select(col("i"), col("j"), round(col("simv"), 4).as("sim"))
+      .orderBy(col("i"), col("j"))
+  }
+
   val all: Seq[Q] = Seq(
     l3CosineTopK, l3AnnLsh, l4NgramJaccard, l4EmbeddingNearDup,
-    l4EmbeddingNearDupLsh,
+    l4EmbeddingNearDupLsh, l4EmbeddingDedupClusters,
     l3AnnIvf, l3AnnIvfSaved, l3AnnIvfIndexed, st18StreamingAnnIndex,
     l3AnnIvfPq, l3AnnIvfPqSaved,
-    l2MinHashLsh, l2DedupClusters, l2SimHash, l9IncrementalNearDup)
+    l2MinHashLsh, l2DedupClusters, l2SimHash, l9IncrementalNearDup,
+    l9EmbeddingIncremental)
 }
