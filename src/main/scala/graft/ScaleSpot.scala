@@ -69,7 +69,8 @@ object ScaleSpot {
       // self-join (candidate mass must stay sub-quadratic), the
       // deletes-heavy merge-on-read read, and the filtered-MV rewrite.
       "l4_embedding_neardup_lsh", "x13b_deletes_heavy_read", "x9d_filtered_mv",
-      "l4_embedding_dedup_clusters", "l9_embedding_incremental")
+      "l4_embedding_dedup_clusters", "l9_embedding_incremental",
+      "x9e_join_mv", "x13c_compact_retires_deletes")
     val qs = SparkEntry.queries
     // SPARK_GRAFT_SCALE_ALL=1: run EVERY registry query against the 10×
     // slice (the full-suite sf1 datapoint; single-shot timings — the

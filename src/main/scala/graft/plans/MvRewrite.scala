@@ -33,6 +33,12 @@ import graft.sources.{GraftCatalog, GraftMvOps}
   *    DISTINCT/FILTER or non-distributive aggs) → re-aggregate the
   *    MV's rows at the coarser grain.
   *
+  * JOIN MVs (source `'fact JOIN dim ON cond'`) extend both shapes to
+  * the star-schema rollup: an aggregate over the same INNER join (in
+  * either orientation) with a norm-equal ON condition is served when
+  * BOTH sides are fresh at the MV's recorded versions — see
+  * [[rewriteJoin]]. The stale-delta path declines join MVs.
+  *
   * FILTERED MVs (defined with `create_mv(..., where)`) add a predicate
   * SUBSUMPTION gate before either shape: every MV-filter conjunct must
   * appear norm-equal among the query's WHERE conjuncts (those are
@@ -127,7 +133,7 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       case Some((c, r))
           if r.catalog.exists(_.isInstanceOf[GraftCatalog]) && r.identifier.isDefined =>
         (c, r)
-      case _ => return None
+      case _ => return rewriteJoin(agg) // not a single-relation shape
     }
     // A `VERSION/TIMESTAMP AS OF` scan resolves to the SAME relation
     // shape but with a snapshot-pinned table; it asks about history and
@@ -156,11 +162,161 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** A bare graft relation under pass-through wrappers, or None. */
+  private def bareRel(p: LogicalPlan): Option[DataSourceV2Relation] = p match {
+    case s: SubqueryAlias => bareRel(s.child)
+    case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      bareRel(pr.child)
+    case r: DataSourceV2Relation
+        if r.catalog.exists(_.isInstanceOf[GraftCatalog]) && r.identifier.isDefined =>
+      Some(r)
+    case _ => None
+  }
+
+  /** The aggregate's child as (optional WHERE above the join, the ON
+    * condition, left relation, right relation) — the JOIN-MV query
+    * shape. At most one Filter, and only ABOVE the join: a filter
+    * under the join changes which rows joined, which the materialized
+    * join did not see.
+    */
+  private def stripJoin(p: LogicalPlan): Option[
+      (Option[Expression], Expression, DataSourceV2Relation, DataSourceV2Relation)] =
+    p match {
+      case s: SubqueryAlias => stripJoin(s.child)
+      case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        stripJoin(pr.child)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        stripJoin(f.child).flatMap {
+          case (None, jc, l, r) => Some((Some(f.condition), jc, l, r))
+          case _ => None
+        }
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.Inner &&
+            j.condition.isDefined =>
+        for (l <- bareRel(j.left); r <- bareRel(j.right)) yield
+          (None, j.condition.get, l, r)
+      case _ => None
+    }
+
+  /** JOIN-MV rewrite (the star-schema rollup): an aggregate over
+    * `fact INNER JOIN dim ON cond` is served by a fresh join MV when
+    *  - the MV's {fact, dim} table set equals the query's relation set
+    *    (either orientation — inner joins commute),
+    *  - BOTH sides are fresh at the MV's recorded versions (the fact
+    *    via source-keyed discovery, the dim checked here),
+    *  - the ON condition is norm-equal to the MV's recorded condition
+    *    (exact structural match — `a = b` does not serve `b = a`, the
+    *    same no-implication-reasoning stance as predicate subsumption),
+    *  - grouping/aggregates match as in the single-source path (exact
+    *    or rollup-derivable), and any WHERE above the join references
+    *    MV group columns only (remapped onto the MV scan).
+    */
+  private def rewriteJoin(agg: Aggregate): Option[LogicalPlan] = {
+    val (filterCond, queryCond, leftRel, rightRel) =
+      stripJoin(agg.child).getOrElse(return None)
+    if (GraftCatalog.isPinnedTable(leftRel.table) ||
+      GraftCatalog.isPinnedTable(rightRel.table)) return None
+    val lId = leftRel.identifier.get
+    val rId = rightRel.identifier.get
+    if (lId.namespace().length != 1 || rId.namespace().length != 1) return None
+    val resolver = conf.resolver
+    val groupAttrs: Seq[Attribute] = agg.groupingExpressions.map {
+      case a: Attribute => a
+      case _ => return None
+    }
+    if (groupAttrs.map(_.name.toLowerCase).distinct.length != groupAttrs.length) return None
+    val combinedOutput = leftRel.output ++ rightRel.output
+    val lName = s"${lId.namespace()(0)}.${lId.name()}"
+    val rName = s"${rId.namespace()(0)}.${rId.name()}"
+    val cands =
+      (GraftCatalog.freshMvsFor(lId.namespace()(0), lId.name()) ++
+        GraftCatalog.freshMvsFor(rId.namespace()(0), rId.name()))
+        .filter(_._2.contains(GraftMvOps.JoinCondProp))
+    cands.view.flatMap { case (mvIdent, props) =>
+      tryJoinCandidate(agg, groupAttrs, filterCond, queryCond, combinedOutput,
+        leftRel, lName, rName, mvIdent, props, resolver)
+    }.headOption
+  }
+
+  private def tryJoinCandidate(
+      agg: Aggregate, groupAttrs: Seq[Attribute],
+      filterCond: Option[Expression], queryCond: Expression,
+      combinedOutput: Seq[Attribute],
+      anyRel: DataSourceV2Relation, lName: String, rName: String,
+      mvIdent: Identifier, props: Map[String, String],
+      resolver: (String, String) => Boolean): Option[LogicalPlan] = {
+    val fact = props(GraftMvOps.SourceProp)
+    val dim = props.getOrElse(GraftMvOps.JoinSourceProp, return None)
+    // Either orientation of the query's inner join may match.
+    if (!(Set(fact, dim) == Set(lName, rName) && fact != dim)) return None
+    // Dim freshness (fact freshness came from source-keyed discovery).
+    val (dns, dtbl) = dim.split('.') match {
+      case Array(a, b) => (a, b)
+      case _ => return None
+    }
+    val vdRecorded = props.getOrElse(GraftMvOps.JoinVersionProp, return None)
+    if (!GraftCatalog.currentVersion(dns, dtbl).map(_.toString).contains(vdRecorded))
+      return None
+    // ON condition: exact structural match.
+    val mvCond = resolveSpecAgainst(
+      props(GraftMvOps.JoinCondProp), combinedOutput).getOrElse(return None)
+    if (norm(mvCond) != norm(queryCond)) return None
+    val mvGroupCols = props(GraftMvOps.GroupProp).split(',').toSeq
+    val condAdmissible = filterCond.forall { c =>
+      c.deterministic &&
+        c.find(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])
+          .isEmpty &&
+        c.references.forall(a => mvGroupCols.exists(resolver(_, a.name)))
+    }
+    if (!condAdmissible) return None
+    val exact = groupAttrs.length == mvGroupCols.length &&
+      mvGroupCols.forall(c => groupAttrs.exists(a => resolver(a.name, c)))
+    val rollup = !exact &&
+      groupAttrs.forall(a => mvGroupCols.exists(c => resolver(c, a.name)))
+    if (!exact && !rollup) return None
+    val specs: Seq[(String, String)] =
+      GraftMvOps.splitTop(props(GraftMvOps.AggsProp)).map { item =>
+        resolveSpecAgainst(item, combinedOutput) match {
+          case Some(al: Alias) => norm(al.child) -> al.name
+          case _ => return None
+        }
+      }
+    val specByKey = specs.toMap
+    if (specByKey.size != specs.length) return None
+    val catalog = anyRel.catalog.get.asInstanceOf[TableCatalog]
+    val mvTable =
+      try catalog.loadTable(mvIdent)
+      catch { case NonFatal(_) => return None }
+    val mvRelation = DataSourceV2Relation.create(mvTable, anyRel.catalog, Some(mvIdent))
+    def mvAttr(col: String): Option[Attribute] =
+      mvRelation.output.find(a => resolver(a.name, col))
+    def groupColFor(a: Attribute): Option[String] = mvGroupCols.find(resolver(_, a.name))
+    var condMapped = true
+    val mvChild: LogicalPlan = filterCond match {
+      case None => mvRelation
+      case Some(c) =>
+        val mapped = c.transformUp {
+          case a: AttributeReference =>
+            mvGroupCols.find(resolver(_, a.name)).flatMap(mvAttr) match {
+              case Some(m) => m
+              case None => condMapped = false; a
+            }
+        }
+        Filter(mapped, mvRelation)
+    }
+    if (!condMapped) return None
+    serveFromMv(agg, groupAttrs, exact, groupColFor, mvAttr, specByKey, mvChild)
+  }
+
   private def tryCandidate(
       agg: Aggregate, relation: DataSourceV2Relation, groupAttrs: Seq[Attribute],
       filterCond: Option[Expression],
       mvIdent: Identifier, props: Map[String, String],
       resolver: (String, String) => Boolean): Option[LogicalPlan] = {
+    // A JOIN MV pre-aggregates fact ⋈ dim — it can never serve an
+    // aggregate over the bare fact (the join multiplies/filters rows);
+    // only the join-shaped matcher may consider it.
+    if (props.contains(GraftMvOps.JoinCondProp)) return None
     val mvGroupCols = props(GraftMvOps.GroupProp).split(',').toSeq
     if (groupAttrs.map(_.name.toLowerCase).distinct.length != groupAttrs.length) return None
     // FILTERED MV (the MV was defined with a WHERE): the query can be
@@ -238,6 +394,22 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
     if (!condMapped) return None
 
+    serveFromMv(agg, groupAttrs, exact, groupColFor, mvAttr, specByKey, mvChild)
+  }
+
+  /** Build the serving plan over a fresh MV — shared by the
+    * single-source and JOIN candidates: EXACT grouping projects the MV
+    * columns; ROLLUP re-aggregates them with derivable shapes only
+    * (sum→sum, count→sum-of-counts, min→min, max→max; DISTINCT/FILTER
+    * and non-distributive aggs kill the candidate). Output ExprIds are
+    * preserved so parent operators are oblivious.
+    */
+  private def serveFromMv(
+      agg: Aggregate, groupAttrs: Seq[Attribute], exact: Boolean,
+      groupColFor: Attribute => Option[String],
+      mvAttr: String => Option[Attribute],
+      specByKey: Map[String, String],
+      mvChild: LogicalPlan): Option[LogicalPlan] = {
     if (exact) {
       // Map every aggregate output onto an MV column; types must agree.
       val outputs = agg.aggregateExpressions.map {
@@ -335,6 +507,11 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       resolver: (String, String) => Boolean): Option[LogicalPlan] = {
     val (mvTable, props) = GraftCatalog.mvEntrySnapshot(mvIdent).getOrElse(return None)
     if (props.contains(GraftMvOps.RefreshingProp)) return None
+    // Join MVs decline the stale path: the appended-delta algebra is
+    // single-source; a fact delta must be re-JOINED against the dim
+    // (and a dim delta re-joined against the whole fact), which is the
+    // full-refresh work this path exists to avoid.
+    if (props.contains(GraftMvOps.JoinCondProp)) return None
     val v0 = props.get(GraftMvOps.VersionProp) match {
       case Some(s) if s.nonEmpty && s.forall(_.isDigit) => s.toLong
       case _ => return None
@@ -528,7 +705,14 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     * Anything it cannot bind returns None — the rewrite then simply
     * does not fire.
     */
-  private def resolveSpec(spec: String, relation: DataSourceV2Relation): Option[Expression] = {
+  private def resolveSpec(spec: String, relation: DataSourceV2Relation): Option[Expression] =
+    resolveSpecAgainst(spec, relation.output)
+
+  /** Same binder against an explicit attribute set — the join-MV path
+    * binds specs and ON conditions against the UNION of both sides'
+    * outputs.
+    */
+  private def resolveSpecAgainst(spec: String, output: Seq[Attribute]): Option[Expression] = {
     val parsed =
       try session.sessionState.sqlParser.parseExpression(spec)
       catch { case NonFatal(_) => return None }
@@ -536,7 +720,7 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     var failed = false
     val bound = parsed.transformUp {
       case u: UnresolvedAttribute if u.nameParts.length == 1 =>
-        relation.output.find(a => resolver(a.name, u.nameParts.head)).getOrElse {
+        output.find(a => resolver(a.name, u.nameParts.head)).getOrElse {
           failed = true; u
         }
       case u: UnresolvedFunction if u.nameParts.length == 1 =>

@@ -704,6 +704,66 @@ object SourceQueries {
     df
   }
 
+  /** X9e: JOIN-MV REWRITE (the star-schema rollup) — the MV is defined
+    * over `fact JOIN dim ON key` (`create_mv` join-source syntax), so
+    * it pre-joins AND pre-aggregates; a query aggregating the same
+    * inner join (either orientation) with a norm-equal ON condition is
+    * served from the MV when BOTH sides are fresh at their recorded
+    * versions. The rewrite-hit is required at plan level (the x9c
+    * discipline); the DuckDB oracle recomputes the join aggregate from
+    * raw parquet, so a wrong join match (serving a different ON
+    * condition, or a stale side) breaks the hash.
+    */
+  val x9eJoinMv: Q = Q(
+    "x9e_join_mv",
+    """SELECT c_mktsegment AS seg, count(*) AS cnt,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderkey <= 900
+      |GROUP BY c_mktsegment
+      |ORDER BY seg""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("x9e_orders_src")
+    Tables.customer(spark, dir).createOrReplaceTempView("x9e_customer_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.jm_orders")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.jm_cust")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.jm_seg")
+    spark.sql(
+      "CREATE TABLE graft.demo.jm_orders (o_custkey BIGINT, o_totalprice DOUBLE) USING graft")
+    spark.sql(
+      "CREATE TABLE graft.demo.jm_cust (c_custkey BIGINT, c_mktsegment STRING) USING graft")
+    spark.sql(
+      """INSERT INTO graft.demo.jm_orders
+        |SELECT CAST(o_custkey AS BIGINT), o_totalprice
+        |FROM x9e_orders_src WHERE o_orderkey <= 900""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.jm_cust
+        |SELECT CAST(c_custkey AS BIGINT), c_mktsegment FROM x9e_customer_src""".stripMargin)
+    spark.sql(
+      """CALL graft.system.create_mv('demo', 'jm_seg',
+        |  'demo.jm_orders JOIN demo.jm_cust ON o_custkey = c_custkey',
+        |  'c_mktsegment',
+        |  'count(*) AS cnt, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS dec_total')""".stripMargin)
+      .collect()
+    val df = spark.sql(
+      """SELECT c_mktsegment AS seg, cnt, round(CAST(dt AS DOUBLE), 4) AS total
+        |FROM (
+        |  SELECT c_mktsegment, count(*) AS cnt,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS dt
+        |  FROM graft.demo.jm_orders JOIN graft.demo.jm_cust ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment)
+        |ORDER BY seg""".stripMargin)
+    val scansMv = df.queryExecution.optimizedPlan.exists {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.relation.identifier.exists(_.name == "jm_seg")
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.identifier.exists(_.name == "jm_seg")
+      case _ => false
+    }
+    require(scansMv, "x9e_join_mv: join aggregate was not served by the join MV")
+    df
+  }
+
   /** X9b: STALE-TOLERANT MV REWRITE (delta-union), differentially
     * verified — the MV is built over the first batch, a second batch is
     * appended and NO refresh runs. The rewrite answers the aggregate as
@@ -1807,6 +1867,61 @@ object SourceQueries {
       .orderBy("seg")
   }
 
+  /** X13c: COMPACTION RETIRES EQUALITY DELETES — the remedy the x13b
+    * scaladoc names, demonstrated end-to-end: after 12 upsert commits
+    * leave 12 outstanding equality deletes, `CALL compact` folds the
+    * segments, MATERIALIZES the delete filters into the rewritten
+    * files, and stamps the new sequence — publish-time GC then drops
+    * the deletes. The row reads the compacted table (same closed-form
+    * final state as the un-compacted read would give — compaction must
+    * be invisible to results) and pins `n_outstanding_deletes` to the
+    * oracle's literal 0 via the `eq_deletes` metadata table: a compact
+    * that stops retiring filters breaks the hash, not just the read
+    * cost.
+    */
+  val x13cCompactRetiresDeletes: Q = Q(
+    "x13c_compact_retires_deletes",
+    """WITH final AS (
+      |  SELECT c_mktsegment AS seg,
+      |         CASE WHEN c_custkey % 48 < 12 THEN c_acctbal + 1000.0
+      |              ELSE c_acctbal END AS bal
+      |  FROM customer)
+      |SELECT seg, count(*) AS n,
+      |  round(CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal,
+      |  CAST(0 AS BIGINT) AS n_outstanding_deletes
+      |FROM final
+      |GROUP BY seg
+      |ORDER BY seg""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.functions.{col, count, round, sum}
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.customer(spark, dir).createOrReplaceTempView("x13c_customer_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.cust_cr")
+    spark.sql(
+      "CREATE TABLE graft.demo.cust_cr (k BIGINT, seg STRING, bal DOUBLE) USING graft")
+    spark.sql(
+      """INSERT INTO graft.demo.cust_cr
+        |SELECT CAST(c_custkey AS BIGINT), c_mktsegment, c_acctbal
+        |FROM x13c_customer_src""".stripMargin)
+    (0 until 12).foreach { i =>
+      spark.sql(
+        s"""SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS seg,
+           |       c_acctbal + 1000.0 AS bal
+           |FROM x13c_customer_src WHERE c_custkey % 48 = $i""".stripMargin)
+        .writeTo("graft.demo.cust_cr")
+        .option("graft.upsert.keys", "k").append()
+    }
+    spark.sql("CALL graft.system.compact('demo', 'cust_cr', '')").collect()
+    spark.table("graft.demo.cust_cr")
+      .groupBy("seg")
+      .agg(count("*").as("n"),
+        round(sum(col("bal").cast("decimal(18,2)")).cast("double"), 2).as("total_bal"))
+      .crossJoin(
+        spark.table("graft.demo.cust_cr.eq_deletes")
+          .agg(count(org.apache.spark.sql.functions.lit(1))
+            .as("n_outstanding_deletes")))
+      .orderBy("seg")
+  }
+
   /** X12: BRANCH write-audit-publish (the Iceberg/Nessie WAP shape).
     * Production lands a base batch on main; an `audit` branch is cut
     * zero-copy; the STAGING batch is written to the branch, audited
@@ -2291,12 +2406,12 @@ object SourceQueries {
     x5CatalogSql, x5bTimeTravel, x5cPartitionedSpj, x5dAtomicCtas, x5eRowLevelDml,
     x6CatalogFunction,
     x7CatalogView, x8MaterializedView, x9MvRollup, x9bStaleMv,
-    x9cMvRewriteOff, x9cMvRewriteOn, x9dFilteredMv,
+    x9cMvRewriteOff, x9cMvRewriteOn, x9dFilteredMv, x9eJoinMv,
     x5fPartitionProfile, x5gCosortedJoin,
     x5hPartitionOverwrite, x5iPartitionEvolution, x5jHiddenPartitioning,
     x5kBucketSpj,
     x10TableChanges, x10bCdcUpdatePairs, x10cChangesByTime, x11RestoreClone, x12BranchWap,
-    x13Upsert, x13bDeletesHeavyRead,
+    x13Upsert, x13bDeletesHeavyRead, x13cCompactRetiresDeletes,
     x14MetadataTables, x15RemoveOrphans, x16RowLineage, x17Undrop,
     x18Identity, x19Generated, x20Retention, x21ColumnDefaults,
     x22MergeSchemaEvolution, x23CopyInto, x24ScopedCompact,

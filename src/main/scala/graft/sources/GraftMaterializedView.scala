@@ -65,6 +65,18 @@ private[graft] object GraftMvOps {
     * is both correct and cheaper.
     */
   val FilterProp = "graft.mv.filter"
+  /** JOIN MV (the star-schema rollup shape): `create_mv`'s source may
+    * be `'<ns>.<fact> JOIN <ns>.<dim> ON <cond>'`. [[SourceProp]] then
+    * holds the FACT table (so source-keyed MV discovery still works),
+    * these three hold the dim side, the ON condition text, and the
+    * dim's recorded version. Join MVs refresh by FULL recompute when
+    * EITHER side moved (a two-sided incremental diff is join-dependent
+    * work the snapshot machinery doesn't model), and the stale-delta
+    * rewrite declines them for the same reason.
+    */
+  val JoinSourceProp = "graft.mv.join.source"
+  val JoinCondProp = "graft.mv.join.on"
+  val JoinVersionProp = "graft.mv.join.version"
   val VersionProp = "graft.mv.version"
   /** Refresh-in-flight marker. An incremental refresh lands its MERGE
     * and bumps [[VersionProp]] in TWO commits; between them the MV
@@ -144,6 +156,19 @@ private[graft] object GraftMvOps {
         s"mv source must be '<namespace>.<table>' within the graft catalog, got '$source'")
     }
 
+  /** A JOIN-shaped mv source: `'<ns>.<fact> JOIN <ns>.<dim> ON <cond>'`
+    * → Some((fact, dim, cond)), each side a plain `ns.tbl`. Keyword
+    * matching is case-insensitive and whitespace-delimited, so a table
+    * or namespace containing "join" as a substring never misparses.
+    */
+  private[graft] def parseJoinSource(source: String): Option[(String, String, String)] = {
+    val m = java.util.regex.Pattern
+      .compile("(?i)^\\s*(\\S+)\\s+JOIN\\s+(\\S+)\\s+ON\\s+(.+)$")
+      .matcher(source)
+    if (!m.matches()) None
+    else Some((m.group(1), m.group(2), m.group(3).trim))
+  }
+
   private def fqn(cat: String, ns: String, tbl: String): String =
     s"${q(cat)}.${q(ns)}.${q(tbl)}"
 
@@ -181,9 +206,60 @@ private[graft] object GraftMvOps {
     * and commit lands in the NEXT refresh's diff instead of silently
     * half-appearing), committed atomically with the definition props.
     */
+  private def joinAggregateAt(
+      spark: SparkSession, cat: String,
+      fns: String, ftbl: String, vf: Long,
+      dns: String, dtbl: String, vd: Long,
+      cond: String, groupCols: Seq[String], aggList: Seq[String]): DataFrame =
+    spark.sql(
+      s"""SELECT * FROM ${fqn(cat, fns, ftbl)} VERSION AS OF $vf
+         |JOIN ${fqn(cat, dns, dtbl)} VERSION AS OF $vd ON $cond""".stripMargin)
+      .groupBy(groupCols.map(col): _*)
+      .agg(expr(aggList.head), aggList.tail.map(expr): _*)
+
+  /** CREATE a JOIN MV: one full aggregate of fact ⋈ dim, both sides
+    * pinned at their current versions, committed atomically with the
+    * definition props. Ambiguous column names across the two tables
+    * fail loudly at analysis (star schemas keep sides disjoint).
+    */
+  private def createJoin(spark: SparkSession, ns: String, name: String,
+      factSrc: String, dimSrc: String, cond: String,
+      group: String, aggs: String, where: String): (String, Long, Long) = {
+    require(where.trim.isEmpty,
+      "create_mv: a join MV does not take a WHERE (filter the fact side into a view instead)")
+    val cat = catalogName(spark)
+    val (fns, ftbl) = parseSource(factSrc)
+    val (dns, dtbl) = parseSource(dimSrc)
+    val vf = GraftCatalog.currentVersion(fns, ftbl).getOrElse(
+      throw new NoSuchTableException(Identifier.of(Array(fns), ftbl)))
+    val vd = GraftCatalog.currentVersion(dns, dtbl).getOrElse(
+      throw new NoSuchTableException(Identifier.of(Array(dns), dtbl)))
+    val groupCols = group.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val aggList = splitTop(aggs)
+    require(groupCols.nonEmpty, "create_mv: group_cols must name at least one column")
+    require(aggList.nonEmpty, "create_mv: aggs must hold at least one aggregate")
+    val df = joinAggregateAt(
+      spark, cat, fns, ftbl, vf, dns, dtbl, vd, cond, groupCols, aggList)
+    require(!df.columns.exists(c => c == Present || c == SegAlias),
+      s"create_mv: column may not be named $Present / $SegAlias")
+    df.writeTo(fqn(cat, ns, name))
+      .tableProperty(SourceProp, s"$fns.$ftbl")
+      .tableProperty(JoinSourceProp, s"$dns.$dtbl")
+      .tableProperty(JoinCondProp, cond)
+      .tableProperty(GroupProp, groupCols.mkString(","))
+      .tableProperty(AggsProp, aggs)
+      .tableProperty(VersionProp, vf.toString)
+      .tableProperty(JoinVersionProp, vd.toString)
+      .createOrReplace()
+    ("full", GraftCatalog.rowCount(ns, name), vf)
+  }
+
   def create(spark: SparkSession, ns: String, name: String,
       source: String, group: String, aggs: String,
       where: String = ""): (String, Long, Long) = {
+    parseJoinSource(source).foreach { case (factSrc, dimSrc, cond) =>
+      return createJoin(spark, ns, name, factSrc, dimSrc, cond, group, aggs, where)
+    }
     val cat = catalogName(spark)
     val (sns, stbl) = parseSource(source)
     val v0 = GraftCatalog.currentVersion(sns, stbl).getOrElse(
@@ -242,6 +318,35 @@ private[graft] object GraftMvOps {
       throw new NoSuchTableException(ident)
     val source = props.getOrElse(SourceProp, throw new IllegalArgumentException(
       s"$ns.$name is not a materialized view (no $SourceProp table property)"))
+    // JOIN MV: refresh is noop-or-FULL — a moved version on EITHER side
+    // recomputes the whole join (a two-sided incremental diff is
+    // join-dependent work the single-source snapshot diff can't model;
+    // correctness first, the doc says so).
+    props.get(JoinCondProp).foreach { cond =>
+      val (fns, ftbl) = parseSource(source)
+      val (dns, dtbl) = parseSource(props(JoinSourceProp))
+      val vf0 = props(VersionProp).toLong
+      val vd0 = props(JoinVersionProp).toLong
+      val vf1 = GraftCatalog.currentVersion(fns, ftbl).getOrElse(
+        throw new NoSuchTableException(Identifier.of(Array(fns), ftbl)))
+      val vd1 = GraftCatalog.currentVersion(dns, dtbl).getOrElse(
+        throw new NoSuchTableException(Identifier.of(Array(dns), dtbl)))
+      if (vf1 == vf0 && vd1 == vd0) return ("noop", 0L, vf0)
+      val jGroupCols = props(GroupProp).split(',').toSeq
+      val jAggList = splitTop(props(AggsProp))
+      joinAggregateAt(
+        spark, cat, fns, ftbl, vf1, dns, dtbl, vd1, cond, jGroupCols, jAggList)
+        .writeTo(fqn(cat, ns, name))
+        .tableProperty(SourceProp, source)
+        .tableProperty(JoinSourceProp, s"$dns.$dtbl")
+        .tableProperty(JoinCondProp, cond)
+        .tableProperty(GroupProp, props(GroupProp))
+        .tableProperty(AggsProp, props(AggsProp))
+        .tableProperty(VersionProp, vf1.toString)
+        .tableProperty(JoinVersionProp, vd1.toString)
+        .replace()
+      return ("full", GraftCatalog.rowCount(ns, name), vf1)
+    }
     val (sns, stbl) = parseSource(source)
     val sIdent = Identifier.of(Array(sns), stbl)
     val groupCols = props(GroupProp).split(',').toSeq

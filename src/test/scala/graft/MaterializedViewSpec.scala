@@ -754,6 +754,88 @@ class MaterializedViewSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.sdf.base")
   }
 
+  test("join MV: create/refresh/rewrite over fact JOIN dim, gates respected") {
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.identifier.map(_.toString).getOrElse("")
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.identifier.map(_.toString).getOrElse("")
+      }
+    spark.sql("DROP TABLE IF EXISTS graft.mvj.fact")
+    spark.sql("DROP TABLE IF EXISTS graft.mvj.dim")
+    spark.sql("DROP TABLE IF EXISTS graft.mvj.agg")
+    spark.sql("CREATE TABLE graft.mvj.fact (k BIGINT, v BIGINT) USING graft")
+    spark.sql("CREATE TABLE graft.mvj.dim (dk BIGINT, seg STRING) USING graft")
+    spark.sql("INSERT INTO graft.mvj.fact VALUES (1, 10), (1, 20), (2, 5), (3, 7)")
+    spark.sql("INSERT INTO graft.mvj.dim VALUES (1, 'a'), (2, 'b'), (9, 'z')")
+    val (mode, groups, _) = call(
+      """CALL graft.system.create_mv('mvj', 'agg', 'mvj.fact JOIN mvj.dim ON k = dk',
+        |  'seg', 'count(*) AS cnt, sum(v) AS total')""".stripMargin)
+    assert(mode == "full" && groups == 2, s"join MV create: $mode/$groups")
+    val q = """SELECT seg, count(*) AS c, sum(v) AS s
+              |FROM graft.mvj.fact JOIN graft.mvj.dim ON k = dk
+              |GROUP BY seg""".stripMargin
+    def direct(): Seq[(String, Long, Long)] = {
+      spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+      try spark.sql(q).collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+      finally spark.conf.set("spark.graft.mvRewrite.enabled", "true")
+    }
+    // Fresh on both sides → MV-served, base tables untouched.
+    val hit = spark.sql(q)
+    assert(scans(hit).exists(_.contains("agg")), s"join query not MV-served: ${scans(hit)}")
+    assert(!scans(hit).exists(_.contains("fact")), "MV-served plan still reads the fact")
+    assert(hit.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1) == direct())
+    // Swapped orientation (dim JOIN fact) serves too — inner joins commute.
+    val swapped = spark.sql(
+      """SELECT seg, count(*) AS c FROM graft.mvj.dim JOIN graft.mvj.fact ON k = dk
+        |GROUP BY seg""".stripMargin)
+    assert(scans(swapped).exists(_.contains("agg")),
+      s"swapped join not MV-served: ${scans(swapped)}")
+    // Global rollup over the join rides the same MV.
+    val global = spark.sql(
+      "SELECT count(*) AS c, sum(v) AS s FROM graft.mvj.fact JOIN graft.mvj.dim ON k = dk")
+    assert(scans(global).exists(_.contains("agg")), "global join rollup not MV-served")
+    assert(global.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 35L)))
+    // A DIFFERENT ON condition must not be served.
+    val missCond = spark.sql(
+      """SELECT seg, count(*) AS c FROM graft.mvj.fact JOIN graft.mvj.dim ON v = dk
+        |GROUP BY seg""".stripMargin)
+    assert(!scans(missCond).exists(_.contains("agg")),
+      "different ON condition wrongly MV-served")
+    // An aggregate over the BARE fact must never be served by the join MV.
+    val missBare = spark.sql("SELECT count(*) AS c FROM graft.mvj.fact")
+    assert(!scans(missBare).exists(_.contains("agg")),
+      "bare-fact aggregate wrongly served by the join MV")
+    // Fact append → stale on the fact side → falls back to the base
+    // join; refresh_mv recomputes FULLY and re-serves.
+    spark.sql("INSERT INTO graft.mvj.fact VALUES (2, 100)")
+    val stale = spark.sql(q)
+    assert(!scans(stale).exists(_.contains("agg")), "fact-stale join MV wrongly served")
+    val (m2, _, _) = call("CALL graft.system.refresh_mv('mvj', 'agg')")
+    assert(m2 == "full", s"join MV refresh mode: $m2")
+    val rehit = spark.sql(q)
+    assert(scans(rehit).exists(_.contains("agg")), "refreshed join MV not served")
+    assert(rehit.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1) == direct())
+    // Dim append → stale on the dim side → not served until refresh.
+    spark.sql("INSERT INTO graft.mvj.dim VALUES (3, 'c')")
+    val dimStale = spark.sql(q)
+    assert(!scans(dimStale).exists(_.contains("agg")), "dim-stale join MV wrongly served")
+    val (m3, _, _) = call("CALL graft.system.refresh_mv('mvj', 'agg')")
+    assert(m3 == "full")
+    assert(spark.sql(q).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1) == direct())
+    // Idle refresh is a noop.
+    val (m4, g4, _) = call("CALL graft.system.refresh_mv('mvj', 'agg')")
+    assert(m4 == "noop" && g4 == 0)
+    spark.sql("DROP TABLE graft.mvj.agg")
+    spark.sql("DROP TABLE graft.mvj.fact")
+    spark.sql("DROP TABLE graft.mvj.dim")
+  }
+
   test("non-deterministic filtered-MV WHERE refuses at create") {
     // The incremental refresh re-evaluates the filter on both diff
     // sides; fresh coin flips per pass would silently corrupt the MV,
