@@ -66,8 +66,12 @@ object ScaleSpot {
       // scoped compaction of one hot partition, and the evolving MERGE.
       "x23_copy_into", "x24_scoped_compact", "x22_merge_schema_evolution",
       // Round-16 additions at 10×: the SRP-banded embedding near-dup
-      // self-join (candidate mass must stay sub-quadratic), the
-      // deletes-heavy merge-on-read read, and the filtered-MV rewrite.
+      // self-join and its clustering decision (candidate mass must stay
+      // sub-quadratic), the persisted-index embedding probe (probe cost
+      // must track the batch, not the corpus), the deletes-heavy
+      // merge-on-read read and its compaction remedy (per-delete read
+      // cost and the retire path), and the filtered-/join-MV rewrites
+      // (rewrite-hit fixtures must stay MV-cheap as the base grows).
       "l4_embedding_neardup_lsh", "x13b_deletes_heavy_read", "x9d_filtered_mv",
       "l4_embedding_dedup_clusters", "l9_embedding_incremental",
       "x9e_join_mv", "x13c_compact_retires_deletes")

@@ -262,27 +262,10 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       props(GraftMvOps.JoinCondProp), combinedOutput).getOrElse(return None)
     if (norm(mvCond) != norm(queryCond)) return None
     val mvGroupCols = props(GraftMvOps.GroupProp).split(',').toSeq
-    val condAdmissible = filterCond.forall { c =>
-      c.deterministic &&
-        c.find(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])
-          .isEmpty &&
-        c.references.forall(a => mvGroupCols.exists(resolver(_, a.name)))
-    }
-    if (!condAdmissible) return None
-    val exact = groupAttrs.length == mvGroupCols.length &&
-      mvGroupCols.forall(c => groupAttrs.exists(a => resolver(a.name, c)))
-    val rollup = !exact &&
-      groupAttrs.forall(a => mvGroupCols.exists(c => resolver(c, a.name)))
-    if (!exact && !rollup) return None
-    val specs: Seq[(String, String)] =
-      GraftMvOps.splitTop(props(GraftMvOps.AggsProp)).map { item =>
-        resolveSpecAgainst(item, combinedOutput) match {
-          case Some(al: Alias) => norm(al.child) -> al.name
-          case _ => return None
-        }
-      }
-    val specByKey = specs.toMap
-    if (specByKey.size != specs.length) return None
+    if (!admissibleResidual(filterCond, mvGroupCols, resolver)) return None
+    val exact = groupingMatch(groupAttrs, mvGroupCols, resolver).getOrElse(return None)
+    val specByKey = bindSpecs(props(GraftMvOps.AggsProp), combinedOutput)
+      .getOrElse(return None).map(t => t._1 -> t._2).toMap
     val catalog = anyRel.catalog.get.asInstanceOf[TableCatalog]
     val mvTable =
       try catalog.loadTable(mvIdent)
@@ -291,20 +274,8 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     def mvAttr(col: String): Option[Attribute] =
       mvRelation.output.find(a => resolver(a.name, col))
     def groupColFor(a: Attribute): Option[String] = mvGroupCols.find(resolver(_, a.name))
-    var condMapped = true
-    val mvChild: LogicalPlan = filterCond match {
-      case None => mvRelation
-      case Some(c) =>
-        val mapped = c.transformUp {
-          case a: AttributeReference =>
-            mvGroupCols.find(resolver(_, a.name)).flatMap(mvAttr) match {
-              case Some(m) => m
-              case None => condMapped = false; a
-            }
-        }
-        Filter(mapped, mvRelation)
-    }
-    if (!condMapped) return None
+    val mvChild = remapOntoMv(filterCond, mvGroupCols, mvAttr, mvRelation, resolver)
+      .getOrElse(return None)
     serveFromMv(agg, groupAttrs, exact, groupColFor, mvAttr, specByKey, mvChild)
   }
 
@@ -332,38 +303,13 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     // checking beyond norm-equality is where rewrites go wrong).
     val residualCond: Option[Expression] =
       residualAfterMvFilter(props, filterCond, relation).getOrElse(return None)
-    // A (residual) WHERE below the aggregate commutes with the MV
-    // substitution only when it references MV GROUP columns exclusively
-    // (the MV's rows partition exactly by those, so slicing them before
-    // or after pre-aggregation is the same set of input rows), is
-    // deterministic, and carries no subquery.
-    val condAdmissible = residualCond.forall { c =>
-      c.deterministic &&
-        c.find(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])
-          .isEmpty &&
-        c.references.forall(a => mvGroupCols.exists(resolver(_, a.name)))
-    }
-    if (!condAdmissible) return None
-    // Grouping relationship: EXACT (same set → scan the MV as-is) or
-    // ROLLUP (query groups ⊂ MV groups, incl. the global aggregate →
-    // re-aggregate the MV's — far fewer — rows).
-    val exact = groupAttrs.length == mvGroupCols.length &&
-      mvGroupCols.forall(c => groupAttrs.exists(a => resolver(a.name, c)))
-    val rollup = !exact &&
-      groupAttrs.forall(a => mvGroupCols.exists(c => resolver(c, a.name)))
-    if (!exact && !rollup) return None
-
+    if (!admissibleResidual(residualCond, mvGroupCols, resolver)) return None
+    val exact = groupingMatch(groupAttrs, mvGroupCols, resolver).getOrElse(return None)
     // Bind each MV aggregate spec against the SAME source relation and
     // key it by normalized canonical SQL. Any unresolvable spec kills
     // the candidate (never rewrite on a guess).
-    val specs: Seq[(String, String)] = GraftMvOps.splitTop(props(GraftMvOps.AggsProp)).map { item =>
-      resolveSpec(item, relation) match {
-        case Some(al: Alias) => norm(al.child) -> al.name
-        case _ => return None
-      }
-    }
-    val specByKey = specs.toMap
-    if (specByKey.size != specs.length) return None // ambiguous duplicate aggs
+    val specByKey = bindSpecs(props(GraftMvOps.AggsProp), relation.output)
+      .getOrElse(return None).map(t => t._1 -> t._2).toMap
 
     // Load the MV relation up front; both paths bind to its output.
     val catalog = relation.catalog.get.asInstanceOf[TableCatalog]
@@ -375,26 +321,78 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       mvRelation.output.find(a => resolver(a.name, col))
     def groupColFor(a: Attribute): Option[String] = mvGroupCols.find(resolver(_, a.name))
 
-    // The (possibly filtered) MV input: base group-column references in
-    // the residual WHERE are remapped onto the MV's own columns, so the
-    // slice rides the MV scan's zone-map pruning. (MV-filter conjuncts
-    // never reach here — they were dropped as already-applied.)
-    var condMapped = true
-    val mvChild: LogicalPlan = residualCond match {
-      case None => mvRelation
-      case Some(c) =>
-        val mapped = c.transformUp {
-          case a: AttributeReference =>
-            mvGroupCols.find(resolver(_, a.name)).flatMap(mvAttr) match {
-              case Some(m) => m
-              case None => condMapped = false; a
-            }
-        }
-        Filter(mapped, mvRelation)
-    }
-    if (!condMapped) return None
-
+    // (MV-filter conjuncts never reach the remap — they were dropped as
+    // already-applied inside the MV.)
+    val mvChild = remapOntoMv(residualCond, mvGroupCols, mvAttr, mvRelation, resolver)
+      .getOrElse(return None)
     serveFromMv(agg, groupAttrs, exact, groupColFor, mvAttr, specByKey, mvChild)
+  }
+
+  /** Residual-WHERE admissibility, shared by all three candidate paths:
+    * deterministic, subquery-free, and referencing MV GROUP columns
+    * exclusively (the MV's rows partition exactly by those, so slicing
+    * before or after pre-aggregation is the same set of input rows).
+    */
+  private def admissibleResidual(
+      cond: Option[Expression], mvGroupCols: Seq[String],
+      resolver: (String, String) => Boolean): Boolean = cond.forall { c =>
+    c.deterministic &&
+      c.find(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])
+        .isEmpty &&
+      c.references.forall(a => mvGroupCols.exists(resolver(_, a.name)))
+  }
+
+  /** Grouping relationship: Some(true) = EXACT (same set), Some(false)
+    * = ROLLUP (query groups ⊂ MV groups, incl. the global aggregate),
+    * None = finer grouping the MV cannot serve.
+    */
+  private def groupingMatch(
+      groupAttrs: Seq[Attribute], mvGroupCols: Seq[String],
+      resolver: (String, String) => Boolean): Option[Boolean] = {
+    val exact = groupAttrs.length == mvGroupCols.length &&
+      mvGroupCols.forall(c => groupAttrs.exists(a => resolver(a.name, c)))
+    if (exact) Some(true)
+    else if (groupAttrs.forall(a => mvGroupCols.exists(c => resolver(c, a.name))))
+      Some(false)
+    else None
+  }
+
+  /** Bind each MV aggregate spec against `output` and key it by
+    * normalized canonical SQL: Seq of (normKey, mvColumnName, rawSpec).
+    * None when any spec is unresolvable or two specs collide on the
+    * same key (never rewrite on a guess).
+    */
+  private def bindSpecs(
+      aggsProp: String, output: Seq[Attribute]): Option[Seq[(String, String, String)]] = {
+    val specs = GraftMvOps.splitTop(aggsProp).map { item =>
+      resolveSpecAgainst(item, output) match {
+        case Some(al: Alias) => (norm(al.child), al.name, item)
+        case _ => return None
+      }
+    }
+    if (specs.map(_._1).distinct.length != specs.length) None else Some(specs)
+  }
+
+  /** The (possibly filtered) MV input: remap the residual WHERE's
+    * group-column references onto the MV's own columns so the slice
+    * rides the MV scan's zone-map pruning; None when any reference has
+    * no MV column (not commutable).
+    */
+  private def remapOntoMv(
+      cond: Option[Expression], mvGroupCols: Seq[String],
+      mvAttr: String => Option[Attribute], mvRelation: LogicalPlan,
+      resolver: (String, String) => Boolean): Option[LogicalPlan] = cond match {
+    case None => Some(mvRelation)
+    case Some(c) =>
+      var ok = true
+      val mapped = c.transformUp {
+        case a: AttributeReference =>
+          mvGroupCols.find(resolver(_, a.name)).flatMap(mvAttr) match {
+            case Some(m) => m
+            case None => ok = false; a
+          }
+      }
+      if (ok) Some(Filter(mapped, mvRelation)) else None
   }
 
   /** Build the serving plan over a fresh MV — shared by the
@@ -527,35 +525,21 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     // the query's own WHERE by the subsumption check.
     val residualCond: Option[Expression] =
       residualAfterMvFilter(props, filterCond, relation).getOrElse(return None)
-    // Residual WHERE admissibility, as in the fresh path: group columns
-    // only.
-    val condAdmissible = residualCond.forall { c =>
-      c.deterministic &&
-        c.find(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])
-          .isEmpty &&
-        c.references.forall(a => mvGroupCols.exists(resolver(_, a.name)))
-    }
-    if (!condAdmissible) return None
+    if (!admissibleResidual(residualCond, mvGroupCols, resolver)) return None
     // Exact or coarser grouping both funnel into the one merge
     // aggregate; finer grouping cannot be served.
-    if (!groupAttrs.forall(a => mvGroupCols.exists(c => resolver(c, a.name)))) return None
+    if (groupingMatch(groupAttrs, mvGroupCols, resolver).isEmpty) return None
 
     val srcIdent = relation.identifier.get
     val delta = GraftCatalog.appendOnlyDeltaSince(
       srcIdent.namespace()(0), srcIdent.name(), v0).getOrElse(return None)
 
     // Bind the MV's aggregate specs against the source relation and key
-    // them like the fresh path; remember each spec's raw text so it can
-    // be RE-bound against the delta relation below.
+    // them like the fresh path; each spec's raw text is remembered so
+    // it can be RE-bound against the delta relation below.
     val aggsProp = props.getOrElse(GraftMvOps.AggsProp, return None)
-    val specs: Seq[(String, String, String)] = GraftMvOps.splitTop(aggsProp).map { item =>
-      resolveSpec(item, relation) match {
-        case Some(al: Alias) => (norm(al.child), al.name, item)
-        case _ => return None
-      }
-    }
+    val specs = bindSpecs(aggsProp, relation.output).getOrElse(return None)
     val specByKey: Map[String, String] = specs.map(t => t._1 -> t._2).toMap
-    if (specByKey.size != specs.length) return None
     val itemByName: Map[String, String] = specs.map(t => t._2 -> t._3).toMap
 
     // Plan the output shape FIRST: which MV agg columns the query
@@ -579,20 +563,8 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     def mvAttr(col: String): Option[Attribute] =
       mvRelation.output.find(a => resolver(a.name, col))
     def groupColFor(a: Attribute): Option[String] = mvGroupCols.find(resolver(_, a.name))
-    var condMapped = true
-    val mvChild: LogicalPlan = residualCond match {
-      case None => mvRelation
-      case Some(c) =>
-        val mapped = c.transformUp {
-          case a: AttributeReference =>
-            mvGroupCols.find(resolver(_, a.name)).flatMap(mvAttr) match {
-              case Some(m) => m
-              case None => condMapped = false; a
-            }
-        }
-        Filter(mapped, mvRelation)
-    }
-    if (!condMapped) return None
+    val mvChild = remapOntoMv(residualCond, mvGroupCols, mvAttr, mvRelation, resolver)
+      .getOrElse(return None)
     val mvPart = Project(unionCols.map(c => mvAttr(c).getOrElse(return None)), mvChild)
 
     // Delta branch: the appended segments as a pinned scan of the

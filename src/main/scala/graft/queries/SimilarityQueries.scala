@@ -242,16 +242,27 @@ object SimilarityQueries {
     *    grows — the exact SimHash failure mode the chunk-pair fix
     *    addressed. Fraction is pinned non-growing in SimilaritySpec.
     */
+  /** One row per (vector, hash table) under the near-dup SRP scheme —
+    * THE single definition of (tables, bits, seeds) shared by the
+    * self-join and the persisted L9 embedding index, so the stored
+    * index provably matches what a prober computes.
+    */
+  private[graft] def srpBuckets(
+      spark: SparkSession, data: DataFrame,
+      tables: Int = 8, bits: Int = 16): DataFrame = data.select(
+    col("vec_id"), col("embedding"),
+    explode(array((0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        SrpBucket(spark, col("embedding"), bits, seed = 7000L + t).as("bkt"))
+    }: _*)).as("tb"))
+    .select(col("vec_id"), col("embedding"),
+      col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+
   private[graft] def srpNearDupPairs(
       spark: SparkSession, data: DataFrame, threshold: Double,
       tables: Int = 8, bits: Int = 16): DataFrame = {
-    val ids = data.select(
-      col("vec_id"),
-      explode(array((0 until tables).map { t =>
-        struct(lit(t).as("tbl"),
-          SrpBucket(spark, col("embedding"), bits, seed = 7000L + t).as("bkt"))
-      }: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val ids = srpBuckets(spark, data, tables, bits)
+      .select(col("vec_id"), col("tbl"), col("bkt"))
     val cand = ids.alias("a")
       .join(ids.alias("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
@@ -1311,15 +1322,10 @@ object SimilarityQueries {
       |      (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.9
       |ORDER BY i, j""".stripMargin) { (spark, dir) =>
     spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
-    val tables = 8; val bits = 16
-    def bucketed(df: DataFrame): DataFrame = df.select(
-      col("vec_id"), col("embedding"),
-      explode(array((0 until tables).map { t =>
-        struct(lit(t).as("tbl"),
-          SrpBucket(spark, col("embedding"), bits, seed = 7000L + t).as("bkt"))
-      }: _*)).as("tb"))
-      .select(col("vec_id"), col("embedding"),
-        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    // The ONE scheme definition (srpBuckets) builds AND probes the
+    // index — a drift between stored and probed banding is impossible
+    // by construction.
+    def bucketed(df: DataFrame): DataFrame = srpBuckets(spark, df)
     val e = Tables.embeddings(spark, dir)
     val corpus = e.filter(col("vec_id") % 2 === 0)
     spark.sql("DROP TABLE IF EXISTS graft.demo.emb_idx PURGE")

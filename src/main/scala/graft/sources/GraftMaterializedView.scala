@@ -323,25 +323,55 @@ private[graft] object GraftMvOps {
     // join-dependent work the single-source snapshot diff can't model;
     // correctness first, the doc says so).
     props.get(JoinCondProp).foreach { cond =>
+      // Defensive prop reads (the rewrite path's discipline): a join MV
+      // with hand-patched or cleared props must fail as "not a (join)
+      // materialized view", not as a raw key-not-found.
+      def jprop(key: String): String = props.getOrElse(key,
+        throw new IllegalArgumentException(
+          s"$ns.$name is not a well-formed join materialized view (no $key table property)"))
+      def jver(key: String): Long = {
+        val v = jprop(key)
+        require(v.nonEmpty && v.forall(_.isDigit),
+          s"$ns.$name: $key must be a version number, got '$v'")
+        v.toLong
+      }
       val (fns, ftbl) = parseSource(source)
-      val (dns, dtbl) = parseSource(props(JoinSourceProp))
-      val vf0 = props(VersionProp).toLong
-      val vd0 = props(JoinVersionProp).toLong
+      val (dns, dtbl) = parseSource(jprop(JoinSourceProp))
+      val vf0 = jver(VersionProp)
+      val vd0 = jver(JoinVersionProp)
       val vf1 = GraftCatalog.currentVersion(fns, ftbl).getOrElse(
         throw new NoSuchTableException(Identifier.of(Array(fns), ftbl)))
       val vd1 = GraftCatalog.currentVersion(dns, dtbl).getOrElse(
         throw new NoSuchTableException(Identifier.of(Array(dns), dtbl)))
       if (vf1 == vf0 && vd1 == vd0) return ("noop", 0L, vf0)
-      val jGroupCols = props(GroupProp).split(',').toSeq
-      val jAggList = splitTop(props(AggsProp))
+      // Metadata-only drift on BOTH sides (property churn moved the
+      // versions without touching data): patch the recorded versions
+      // instead of re-joining the whole fact — the single-source
+      // branch's noop discipline, which at 100 TB is the difference
+      // between an ALTER on the fact and a full star-join recompute.
+      def dataIdentical(tblNs: String, tbl: String, a: Long, b: Long): Boolean =
+        (GraftCatalog.snapshotByVersion(Identifier.of(Array(tblNs), tbl), a),
+          GraftCatalog.snapshotByVersion(Identifier.of(Array(tblNs), tbl), b)) match {
+          case (Some(s0), Some(s1)) =>
+            s0.schema == s1.schema && s0.eqDeletes == s1.eqDeletes &&
+              s0.segments.map(s => (s.path, s.dv)) == s1.segments.map(s => (s.path, s.dv))
+          case _ => false
+        }
+      if (dataIdentical(fns, ftbl, vf0, vf1) && dataIdentical(dns, dtbl, vd0, vd1)) {
+        GraftCatalog.patchTableProps(ident,
+          Map(VersionProp -> vf1.toString, JoinVersionProp -> vd1.toString))
+        return ("noop", 0L, vf1)
+      }
+      val jGroupCols = jprop(GroupProp).split(',').toSeq
+      val jAggList = splitTop(jprop(AggsProp))
       joinAggregateAt(
         spark, cat, fns, ftbl, vf1, dns, dtbl, vd1, cond, jGroupCols, jAggList)
         .writeTo(fqn(cat, ns, name))
         .tableProperty(SourceProp, source)
         .tableProperty(JoinSourceProp, s"$dns.$dtbl")
         .tableProperty(JoinCondProp, cond)
-        .tableProperty(GroupProp, props(GroupProp))
-        .tableProperty(AggsProp, props(AggsProp))
+        .tableProperty(GroupProp, jprop(GroupProp))
+        .tableProperty(AggsProp, jprop(AggsProp))
         .tableProperty(VersionProp, vf1.toString)
         .tableProperty(JoinVersionProp, vd1.toString)
         .replace()
