@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
@@ -26,16 +27,20 @@ import org.apache.spark.util.sketch.BloomFilter
   * what `mightContainString` hashes (it converts String → UTF-8 bytes),
   * so probe semantics are bit-identical to the UDF it replaces.
   *
-  * The filter rides the expression as its `writeTo` byte image (stable
-  * Java serialization is not part of BloomFilter's contract; the
-  * sketch's own wire format is) and is decoded lazily once per
-  * executor-side deserialization.
+  * The filter rides the expression as a [[BloomImage]] — a BROADCAST
+  * handle with content equality, not the raw byte array: the codegen
+  * references array is java-serialized into EVERY task binary of every
+  * stage the probe appears in, so a multi-megabyte sketch must ship
+  * once per executor via the broadcast machinery (the pre-r17 shape
+  * serialized the bytes per query), and `Array[Byte]`'s reference
+  * equality would stop two semantically identical probes from ever
+  * canonicalizing for subexpression reuse.
   */
-case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
+case class BloomMightContain(child: Expression, image: BloomImage)
     extends UnaryExpression {
 
   @transient private lazy val bloom: BloomFilter =
-    BloomFilter.readFrom(new java.io.ByteArrayInputStream(filterBytes))
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(image.bytes))
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -54,10 +59,10 @@ case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s => {
-      // Reference the EXPRESSION (a small case class holding the byte
-      // image), not the decoded BloomFilter: the codegen references
-      // array is java-serialized into the task binary, and the sketch
-      // impl's Java-serializability is not a documented contract.
+      // Reference the EXPRESSION (child + broadcast handle — small),
+      // not the decoded BloomFilter: the codegen references array is
+      // java-serialized into the task binary, and the sketch impl's
+      // Java-serializability is not a documented contract.
       val ref = ctx.addReferenceObj("bloomProbe", this,
         classOf[BloomMightContain].getName)
       s"${ev.value} = $ref.mightContain($s);"
@@ -65,6 +70,43 @@ case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
 
   override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
     copy(child = newChild)
+}
+
+/** A Bloom filter's serialized image, shipped by BROADCAST (once per
+  * executor, fetched lazily by the first task that needs it) and
+  * compared by CONTENT (SHA-256 of the bytes) so two probes built from
+  * identical sketches are `equal` and canonicalize — which an
+  * `Array[Byte]` case-class field (reference equality) never would.
+  * The task binary carries only this handle; `bytes` resolves through
+  * the broadcast on both driver and executors.
+  */
+final class BloomImage private (
+    val bcast: Broadcast[Array[Byte]], private val sha: Seq[Byte])
+    extends Serializable {
+  def bytes: Array[Byte] = bcast.value
+  override def equals(o: Any): Boolean = o match {
+    case b: BloomImage => sha == b.sha
+    case _ => false
+  }
+  override def hashCode: Int = sha.hashCode
+  override def toString: String =
+    s"bloom:${sha.take(6).map(b => f"${b & 0xff}%02x").mkString}"
+}
+
+object BloomImage {
+  // Content-keyed broadcast reuse: the SQL function builder runs on
+  // every analyzer fixed-point iteration, and each distinct sketch must
+  // map to ONE broadcast, not one per resolution pass. Keyed by
+  // (application, content hash) so a restarted context never resurrects
+  // a dead broadcast handle.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Seq[Byte]), BloomImage]()
+
+  def of(spark: SparkSession, bytes: Array[Byte]): BloomImage = {
+    val sha = java.security.MessageDigest.getInstance("SHA-256").digest(bytes).toSeq
+    cache.computeIfAbsent((spark.sparkContext.applicationId, sha),
+      _ => new BloomImage(spark.sparkContext.broadcast(bytes), sha))
+  }
 }
 
 object BloomMightContain {
@@ -84,7 +126,8 @@ object BloomMightContain {
             case other => throw new IllegalArgumentException(
               s"filter bytes must be a binary literal, got $other")
           }
-          BloomMightContain(args(0), bytes)
+          BloomMightContain(
+            args(0), BloomImage.of(org.apache.spark.sql.SparkSession.active, bytes))
         },
         "built-in")
 

@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, ExprId, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias, Union}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project, SubqueryAlias, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -245,7 +246,14 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       anyRel: DataSourceV2Relation, lName: String, rName: String,
       mvIdent: Identifier, props: Map[String, String],
       resolver: (String, String) => Boolean): Option[LogicalPlan] = {
-    val fact = props(GraftMvOps.SourceProp)
+    // Defensive prop reads (the refresh path's discipline): a join MV
+    // with hand-patched or cleared props must DECLINE the rewrite, not
+    // throw from inside the analyzer rule (which would fail the user's
+    // query). A stray FilterProp likewise declines — join MVs take no
+    // WHERE at create, and serving one without applying its filter
+    // would be a wrong-results rewrite.
+    if (props.contains(GraftMvOps.FilterProp)) return None
+    val fact = props.getOrElse(GraftMvOps.SourceProp, return None)
     val dim = props.getOrElse(GraftMvOps.JoinSourceProp, return None)
     // Either orientation of the query's inner join may match.
     if (!(Set(fact, dim) == Set(lName, rName) && fact != dim)) return None
@@ -259,12 +267,14 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       return None
     // ON condition: exact structural match.
     val mvCond = resolveSpecAgainst(
-      props(GraftMvOps.JoinCondProp), combinedOutput).getOrElse(return None)
+      props.getOrElse(GraftMvOps.JoinCondProp, return None), combinedOutput)
+      .getOrElse(return None)
     if (norm(mvCond) != norm(queryCond)) return None
-    val mvGroupCols = props(GraftMvOps.GroupProp).split(',').toSeq
+    val mvGroupCols =
+      props.getOrElse(GraftMvOps.GroupProp, return None).split(',').toSeq
     if (!admissibleResidual(filterCond, mvGroupCols, resolver)) return None
     val exact = groupingMatch(groupAttrs, mvGroupCols, resolver).getOrElse(return None)
-    val specByKey = bindSpecs(props(GraftMvOps.AggsProp), combinedOutput)
+    val specByKey = bindSpecs(props.getOrElse(GraftMvOps.AggsProp, return None), combinedOutput)
       .getOrElse(return None).map(t => t._1 -> t._2).toMap
     val catalog = anyRel.catalog.get.asInstanceOf[TableCatalog]
     val mvTable =
@@ -544,17 +554,8 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
 
     // Plan the output shape FIRST: which MV agg columns the query
     // needs, and that every query aggregate is merge-derivable.
-    val neededAggCols: Seq[String] = agg.aggregateExpressions.flatMap {
-      case a: Attribute if mvGroupCols.exists(resolver(_, a.name)) => None
-      case Alias(child: Attribute, _) if mvGroupCols.exists(resolver(_, child.name)) => None
-      case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
-        ae.aggregateFunction match {
-          case _: Sum | _: Count | _: Min | _: Max =>
-            Some(specByKey.getOrElse(norm(ae), return None))
-          case _ => return None
-        }
-      case _ => return None
-    }.distinct
+    val neededAggCols: Seq[String] =
+      neededMergeCols(agg, mvGroupCols, specByKey, resolver).getOrElse(return None)
     val unionCols: Seq[String] = mvGroupCols ++ neededAggCols
 
     // MV branch: pinned scan of the snapshot's segments, WHERE remapped

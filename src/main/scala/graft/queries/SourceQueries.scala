@@ -764,6 +764,71 @@ object SourceQueries {
     df
   }
 
+  /** X9f: INCREMENTAL JOIN-MV REFRESH (the two-sided delta-join rule) —
+    * the MV pre-joins fact ⋈ dim at per-customer grain; a fact append
+    * lands AFTER materialization and `refresh_mv` must absorb it
+    * INCREMENTALLY: touched keys from ΔF⋈D with a SEGMENT-PINNED fact
+    * delta scan (plan-asserted in `MaterializedViewSpec`), group-
+    * restricted recompute, one atomic MERGE — never the full re-join
+    * the join path used before r17. The row REQUIRES mode ==
+    * "incremental" (a silent full-refresh fallback fails the row, the
+    * x9d/x9e require-discipline), and the DuckDB oracle recomputes the
+    * join aggregate over BOTH batches from raw parquet, so a missed
+    * touched group, a double-merged delta, or a stale MV row all break
+    * the hash. At 100 TB this is the operation that runs after every
+    * fact micro-batch: its cost must track the appended data, not the
+    * fact table.
+    */
+  val x9fJoinMvRefresh: Q = Q(
+    "x9f_join_mv_refresh",
+    """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, count(*) AS cnt,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderkey <= 900
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("x9f_orders_src")
+    Tables.customer(spark, dir).createOrReplaceTempView("x9f_customer_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.jr_orders")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.jr_cust")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.jr_bycust")
+    spark.sql(
+      "CREATE TABLE graft.demo.jr_orders (o_custkey BIGINT, o_totalprice DOUBLE) USING graft")
+    spark.sql(
+      "CREATE TABLE graft.demo.jr_cust (c_custkey BIGINT, c_mktsegment STRING) USING graft")
+    spark.sql(
+      """INSERT INTO graft.demo.jr_orders
+        |SELECT CAST(o_custkey AS BIGINT), o_totalprice
+        |FROM x9f_orders_src WHERE o_orderkey <= 600""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.jr_cust
+        |SELECT CAST(c_custkey AS BIGINT), c_mktsegment FROM x9f_customer_src""".stripMargin)
+    spark.sql(
+      """CALL graft.system.create_mv('demo', 'jr_bycust',
+        |  'demo.jr_orders JOIN demo.jr_cust ON o_custkey = c_custkey',
+        |  'c_custkey',
+        |  'count(*) AS cnt, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS dec_total')""".stripMargin)
+      .collect()
+    // The fact micro-batch: appended AFTER materialization, absorbed by
+    // the delta-join refresh (only the appended orders' customers are
+    // recomputed).
+    spark.sql(
+      """INSERT INTO graft.demo.jr_orders
+        |SELECT CAST(o_custkey AS BIGINT), o_totalprice
+        |FROM x9f_orders_src WHERE o_orderkey > 600 AND o_orderkey <= 900""".stripMargin)
+    val res = spark.sql("CALL graft.system.refresh_mv('demo', 'jr_bycust')")
+      .select("mode", "groups").collect().head
+    require(res.getString(0) == "incremental",
+      s"x9f_join_mv_refresh: fact append must refresh incrementally, got ${res.getString(0)}")
+    require(res.getLong(1) > 0, "x9f_join_mv_refresh: refresh touched no groups")
+    spark.sql(
+      """SELECT c_custkey, cnt,
+        |  round(CAST(dec_total AS DOUBLE), 4) AS total
+        |FROM graft.demo.jr_bycust
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** X9b: STALE-TOLERANT MV REWRITE (delta-union), differentially
     * verified — the MV is built over the first batch, a second batch is
     * appended and NO refresh runs. The rewrite answers the aggregate as
@@ -2406,7 +2471,7 @@ object SourceQueries {
     x5CatalogSql, x5bTimeTravel, x5cPartitionedSpj, x5dAtomicCtas, x5eRowLevelDml,
     x6CatalogFunction,
     x7CatalogView, x8MaterializedView, x9MvRollup, x9bStaleMv,
-    x9cMvRewriteOff, x9cMvRewriteOn, x9dFilteredMv, x9eJoinMv,
+    x9cMvRewriteOff, x9cMvRewriteOn, x9dFilteredMv, x9eJoinMv, x9fJoinMvRefresh,
     x5fPartitionProfile, x5gCosortedJoin,
     x5hPartitionOverwrite, x5iPartitionEvolution, x5jHiddenPartitioning,
     x5kBucketSpj,

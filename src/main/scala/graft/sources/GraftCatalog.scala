@@ -2748,7 +2748,12 @@ object GraftCatalog {
             s"$EpochRetentionProp must be an integer >= 0, got '$v'")
         }
       require(n >= 0, s"$EpochRetentionProp must be >= 0, got $n")
-      n * 1000L
+      // Saturating seconds→ms (TimeUnit saturates at Long.MaxValue): an
+      // absurdly large retention must mean "keep forever", never
+      // overflow to a NEGATIVE window that would expire every epoch —
+      // including actively committing streams' — at the next
+      // checkpoint, silently disabling exactly-once replay dedup.
+      java.util.concurrent.TimeUnit.SECONDS.toMillis(n)
     }.getOrElse(
       math.max(retentionNanosOf(props) / 1000000L, 24L * 3600L * 1000L))
 

@@ -69,10 +69,12 @@ private[graft] object GraftMvOps {
     * be `'<ns>.<fact> JOIN <ns>.<dim> ON <cond>'`. [[SourceProp]] then
     * holds the FACT table (so source-keyed MV discovery still works),
     * these three hold the dim side, the ON condition text, and the
-    * dim's recorded version. Join MVs refresh by FULL recompute when
-    * EITHER side moved (a two-sided incremental diff is join-dependent
-    * work the snapshot machinery doesn't model), and the stale-delta
-    * rewrite declines them for the same reason.
+    * dim's recorded version. Join MVs refresh INCREMENTALLY by the
+    * two-sided delta-join rule (see the refresh branch below): touched
+    * group keys come from ΔF⋈D ∪ F⋈ΔD with segment-pinned Δ scans,
+    * then the shared group-restricted recompute + atomic MERGE tail
+    * applies. Churn above `spark.graft.mvRefresh.join.churnThreshold`
+    * (default 0.5) on either side degrades to the full RTAS.
     */
   val JoinSourceProp = "graft.mv.join.source"
   val JoinCondProp = "graft.mv.join.on"
@@ -171,6 +173,28 @@ private[graft] object GraftMvOps {
 
   private def fqn(cat: String, ns: String, tbl: String): String =
     s"${q(cat)}.${q(ns)}.${q(tbl)}"
+
+  /** DataFrame over EXACTLY `segs` of `ident` — the delta-scan
+    * primitive for incremental key collection: the plan contains ONLY
+    * the changed segments (one input partition each), so touched-key
+    * cost is proportional to the CHANGE, never the table. Each Segment
+    * value carries the deletion vector of the snapshot it was taken
+    * from, so v0-side scans see removed rows and v1-side scans don't.
+    * Equality deletes are deliberately NOT applied: the incremental
+    * gate requires them identical on both diff ends, and a ghost row
+    * merely adds its group to the conservative touched superset. The
+    * relation carries no catalog, so the MV rewrite rule can never
+    * recursively fire on refresh internals.
+    */
+  private[graft] def segmentsDf(
+      spark: SparkSession, ident: Identifier,
+      segs: Vector[GraftCatalog.Segment]): DataFrame = {
+    val table = GraftCatalog.segmentPinnedTable(ident, segs).getOrElse(
+      throw new NoSuchTableException(ident))
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        .create(table, None, Some(ident)))
+  }
 
   private def aggregateAt(
       spark: SparkSession, cat: String, sns: String, stbl: String,
@@ -318,10 +342,9 @@ private[graft] object GraftMvOps {
       throw new NoSuchTableException(ident)
     val source = props.getOrElse(SourceProp, throw new IllegalArgumentException(
       s"$ns.$name is not a materialized view (no $SourceProp table property)"))
-    // JOIN MV: refresh is noop-or-FULL — a moved version on EITHER side
-    // recomputes the whole join (a two-sided incremental diff is
-    // join-dependent work the single-source snapshot diff can't model;
-    // correctness first, the doc says so).
+    // JOIN MV: noop when neither side moved, metadata-only patch when
+    // neither side's DATA moved, two-sided delta-join incremental
+    // refresh for in-gate changes, full RTAS otherwise.
     props.get(JoinCondProp).foreach { cond =>
       // Defensive prop reads (the rewrite path's discipline): a join MV
       // with hand-patched or cleared props must fail as "not a (join)
@@ -344,38 +367,111 @@ private[graft] object GraftMvOps {
       val vd1 = GraftCatalog.currentVersion(dns, dtbl).getOrElse(
         throw new NoSuchTableException(Identifier.of(Array(dns), dtbl)))
       if (vf1 == vf0 && vd1 == vd0) return ("noop", 0L, vf0)
-      // Metadata-only drift on BOTH sides (property churn moved the
-      // versions without touching data): patch the recorded versions
-      // instead of re-joining the whole fact — the single-source
-      // branch's noop discipline, which at 100 TB is the difference
-      // between an ALTER on the fact and a full star-join recompute.
-      def dataIdentical(tblNs: String, tbl: String, a: Long, b: Long): Boolean =
-        (GraftCatalog.snapshotByVersion(Identifier.of(Array(tblNs), tbl), a),
-          GraftCatalog.snapshotByVersion(Identifier.of(Array(tblNs), tbl), b)) match {
-          case (Some(s0), Some(s1)) =>
-            s0.schema == s1.schema && s0.eqDeletes == s1.eqDeletes &&
-              s0.segments.map(s => (s.path, s.dv)) == s1.segments.map(s => (s.path, s.dv))
-          case _ => false
-        }
-      if (dataIdentical(fns, ftbl, vf0, vf1) && dataIdentical(dns, dtbl, vd0, vd1)) {
-        GraftCatalog.patchTableProps(ident,
-          Map(VersionProp -> vf1.toString, JoinVersionProp -> vd1.toString))
-        return ("noop", 0L, vf1)
-      }
       val jGroupCols = jprop(GroupProp).split(',').toSeq
       val jAggList = splitTop(jprop(AggsProp))
-      joinAggregateAt(
-        spark, cat, fns, ftbl, vf1, dns, dtbl, vd1, cond, jGroupCols, jAggList)
-        .writeTo(fqn(cat, ns, name))
-        .tableProperty(SourceProp, source)
-        .tableProperty(JoinSourceProp, s"$dns.$dtbl")
-        .tableProperty(JoinCondProp, cond)
-        .tableProperty(GroupProp, jprop(GroupProp))
-        .tableProperty(AggsProp, jprop(AggsProp))
-        .tableProperty(VersionProp, vf1.toString)
-        .tableProperty(JoinVersionProp, vd1.toString)
-        .replace()
-      return ("full", GraftCatalog.rowCount(ns, name), vf1)
+      val fIdent = Identifier.of(Array(fns), ftbl)
+      val dIdent = Identifier.of(Array(dns), dtbl)
+
+      def fullJoinRefresh(): (String, Long, Long) = {
+        joinAggregateAt(
+          spark, cat, fns, ftbl, vf1, dns, dtbl, vd1, cond, jGroupCols, jAggList)
+          .writeTo(fqn(cat, ns, name))
+          .tableProperty(SourceProp, source)
+          .tableProperty(JoinSourceProp, s"$dns.$dtbl")
+          .tableProperty(JoinCondProp, cond)
+          .tableProperty(GroupProp, jprop(GroupProp))
+          .tableProperty(AggsProp, jprop(AggsProp))
+          .tableProperty(VersionProp, vf1.toString)
+          .tableProperty(JoinVersionProp, vd1.toString)
+          .replace() // atomic RTAS swap — readers never see a torn MV
+        ("full", GraftCatalog.rowCount(ns, name), vf1)
+      }
+
+      // TWO-SIDED incremental refresh (the delta-join rule). A group's
+      // aggregate can change only through a joined PAIR (f, d) that was
+      // added or removed, and every changed pair has a changed row on
+      // at least one side:
+      //   (F1⋈D1) Δ (F0⋈D0) ⊆ (ΔF⁺⋈D1) ∪ (ΔF⁻⋈D0) ∪ (F1⋈ΔD⁺) ∪ (F0⋈ΔD⁻)
+      // so the union of those four terms' group keys is a conservative
+      // superset of the touched groups — then the single-source tail
+      // recomputes ONLY those groups from F1⋈D1 and applies one atomic
+      // MERGE. The Δ scans are SEGMENT-PINNED (plan exactly the changed
+      // segments); the F0/F1 scans in the dim-churn terms are full fact
+      // reads, which is why dim churn above a threshold degrades to the
+      // always-correct full RTAS: past that point one full re-join
+      // beats two fact passes plus a MERGE. Fact-side-only change — the
+      // star-schema steady state — leaves ONLY the ΔF⁺⋈D1 term: refresh
+      // cost tracks the appended fact data, never the fact table.
+      (GraftCatalog.snapshotByVersion(fIdent, vf0),
+          GraftCatalog.snapshotByVersion(fIdent, vf1),
+          GraftCatalog.snapshotByVersion(dIdent, vd0),
+          GraftCatalog.snapshotByVersion(dIdent, vd1)) match {
+        // Same incremental gate as the single-source path, per side:
+        // both snapshots retained, schema unchanged, identical
+        // outstanding equality deletes (an in-range eq delete kills
+        // rows of segments the structural diff calls unchanged).
+        case (Some(f0), Some(f1), Some(d0), Some(d1))
+            if f0.schema == f1.schema && d0.schema == d1.schema &&
+              f0.eqDeletes == f1.eqDeletes && d0.eqDeletes == d1.eqDeletes =>
+          // (segments live at v1 only, segments live at v0 only): a
+          // dv-changed segment appears on BOTH sides — all its keys
+          // join in as a conservative superset, avoiding bitmap diffs
+          // (the single-source discipline).
+          def diff(s0: GraftCatalog.CatalogSnapshot, s1: GraftCatalog.CatalogSnapshot)
+              : (Vector[GraftCatalog.Segment], Vector[GraftCatalog.Segment]) = {
+            val m0 = s0.segments.map(s => s.path -> s).toMap
+            val m1 = s1.segments.map(s => s.path -> s).toMap
+            val dv = (m0.keySet & m1.keySet).filter(p => m0(p).dv != m1(p).dv)
+            (s1.segments.filter(s => !m0.contains(s.path) || dv(s.path)),
+              s0.segments.filter(s => !m1.contains(s.path) || dv(s.path)))
+          }
+          val (fNew, fOld) = diff(f0, f1)
+          val (dNew, dOld) = diff(d0, d1)
+          if (fNew.isEmpty && fOld.isEmpty && dNew.isEmpty && dOld.isEmpty) {
+            // Metadata-only drift (property churn moved the versions
+            // without touching data): patch the recorded versions —
+            // at 100 TB the difference between an ALTER on the fact
+            // and a full star-join recompute.
+            GraftCatalog.patchTableProps(ident,
+              Map(VersionProp -> vf1.toString, JoinVersionProp -> vd1.toString),
+              unset = Set(RefreshingProp))
+            return ("noop", 0L, vf1)
+          }
+          // Churn gate, BOTH sides: past the threshold the incremental
+          // machinery recomputes most groups anyway (and the dim-churn
+          // terms already paid full fact scans) — fall back to the
+          // one-pass full RTAS.
+          val thresh = spark.conf
+            .get("spark.graft.mvRefresh.join.churnThreshold", "0.5").toDouble
+          def churny(changed: Vector[GraftCatalog.Segment],
+              cur: GraftCatalog.CatalogSnapshot): Boolean =
+            changed.map(_.rows).sum.toDouble >
+              thresh * math.max(1L, cur.segments.map(_.rows).sum).toDouble
+          if (churny(fNew ++ fOld, f1) || churny(dNew ++ dOld, d1))
+            return fullJoinRefresh()
+          def at(tns: String, tbl: String, v: Long): DataFrame =
+            spark.sql(s"SELECT * FROM ${fqn(cat, tns, tbl)} VERSION AS OF $v")
+          val keyCols = jGroupCols.map(col)
+          var terms = List.empty[DataFrame]
+          if (fNew.nonEmpty)
+            terms ::= segmentsDf(spark, fIdent, fNew)
+              .join(at(dns, dtbl, vd1), expr(cond)).select(keyCols: _*)
+          if (fOld.nonEmpty)
+            terms ::= segmentsDf(spark, fIdent, fOld)
+              .join(at(dns, dtbl, vd0), expr(cond)).select(keyCols: _*)
+          if (dNew.nonEmpty)
+            terms ::= at(fns, ftbl, vf1)
+              .join(segmentsDf(spark, dIdent, dNew), expr(cond)).select(keyCols: _*)
+          if (dOld.nonEmpty)
+            terms ::= at(fns, ftbl, vf0)
+              .join(segmentsDf(spark, dIdent, dOld), expr(cond)).select(keyCols: _*)
+          val touchedPlan = terms.reduce(_ unionAll _).distinct()
+          val curAll = at(fns, ftbl, vf1).join(at(dns, dtbl, vd1), expr(cond))
+          return applyTouchedGroups(spark, cat, ns, name, touchedPlan, curAll,
+            jGroupCols, jAggList,
+            Map(VersionProp -> vf1.toString, JoinVersionProp -> vd1.toString))
+        case _ => return fullJoinRefresh()
+      }
     }
     val (sns, stbl) = parseSource(source)
     val sIdent = Identifier.of(Array(sns), stbl)
@@ -451,100 +547,117 @@ private[graft] object GraftMvOps {
           val touchedPlan = keysAt(v1, added ++ dvChanged)
             .unionAll(keysAt(v0, removed ++ dvChanged))
             .distinct()
-          // Inline the touched keys as PER-COLUMN literal IN filters on
-          // the recompute scan when they fit a driver-side probe: a
-          // multi-column key otherwise reaches the source only as a
-          // `named_struct(...) IN subquery` runtime filter, which no
-          // source can translate — per-column INs push down statically
-          // and ride zone-map/Bloom segment skipping on every key
-          // column, so the recompute reads the touched groups' files,
-          // not the table. Conjunctive per-column supersets of the key
-          // set: never drops a touched row, the semi join below stays
-          // the exact membership test.
-          val MaxInlineProbe = 1000
-          val touchedLocal = touchedPlan.limit(MaxInlineProbe + 1).collect()
-          // Reuse what the probe already computed: when the keys fit
-          // the driver probe, the MERGE's semi/outer joins read a
-          // LOCAL relation instead of re-running the changed-segment
-          // scans (which the uncached plan would otherwise pay twice
-          // more); past the probe, persist the plan across its count
-          // and both joins.
-          val smallProbe = touchedLocal.length <= MaxInlineProbe
-          val touched =
-            if (smallProbe)
-              spark.createDataFrame(
-                java.util.Arrays.asList(touchedLocal: _*), touchedPlan.schema)
-            else touchedPlan.persist()
-          val touchedCount =
-            if (smallProbe) touchedLocal.length.toLong
-            else touched.count()
           val curAll0 = spark.sql(
             s"SELECT * FROM ${fqn(cat, sns, stbl)} VERSION AS OF $v1")
           val curAll = mvWhere.fold(curAll0)(w => curAll0.where(expr(w)))
-          // Literal INs exist only for atomic key types — an array/map/
-          // struct group key can't become a Literal (and no zone map
-          // tracks it anyway): fall through to the semi join alone.
-          val atomicKeys = groupCols.forall(c =>
-            s1.schema.fields.find(_.name == c).exists(_.dataType match {
-              case _: org.apache.spark.sql.types.ArrayType |
-                   _: org.apache.spark.sql.types.MapType |
-                   _: org.apache.spark.sql.types.StructType |
-                   _: org.apache.spark.sql.types.VariantType => false
-              case _ => true
-            }))
-          val cur =
-            if (!atomicKeys || touchedLocal.isEmpty ||
-                touchedLocal.length > MaxInlineProbe) curAll
-            else groupCols.zipWithIndex.foldLeft(curAll) { case (df, (c, i)) =>
-              val vs = touchedLocal.map(_.get(i)).toSeq.distinct
-              val nonNull = vs.filterNot(_ == null)
-              // A NULL group key is a real group: keep NULL rows
-              // whenever any touched key is NULL in this column.
-              val base =
-                if (nonNull.isEmpty) lit(false) else col(c).isin(nonNull: _*)
-              df.where(if (vs.contains(null)) base || col(c).isNull else base)
-            }
-          // Null-safe semi join: a NULL group key is a real group under
-          // GROUP BY semantics and must restrict/recompute like any
-          // other.
-          val semiCond = groupCols.map(c => cur(c) <=> touched(c)).reduce(_ && _)
-          val recomputed = cur.join(touched, semiCond, "left_semi")
-            .groupBy(groupCols.map(col): _*)
-            .agg(expr(aggList.head), aggList.tail.map(expr): _*)
-            .withColumn(Present, lit(true))
-          val outerCond =
-            groupCols.map(c => touched(c) <=> recomputed(c)).reduce(_ && _)
-          val aggOutCols = recomputed.columns.toSeq
-            .filterNot(c => groupCols.contains(c) || c == Present)
-          val mergeSrc = touched.join(recomputed, outerCond, "left_outer")
-            .select(groupCols.map(touched(_)) ++
-              aggOutCols.map(recomputed(_)) :+ recomputed(Present): _*)
-          val view = s"__graft_mv_src_${viewSeq.incrementAndGet()}"
-          mergeSrc.createOrReplaceTempView(view)
-          GraftCatalog.patchTableProps(ident, Map(RefreshingProp -> "true"))
-          try {
-            val on = groupCols.map(c => s"t.${q(c)} <=> s.${q(c)}").mkString(" AND ")
-            val sets = aggOutCols.map(c => s"t.${q(c)} = s.${q(c)}").mkString(", ")
-            val insCols = (groupCols ++ aggOutCols).map(q).mkString(", ")
-            val insVals = (groupCols ++ aggOutCols).map(c => s"s.${q(c)}").mkString(", ")
-            spark.sql(
-              s"""MERGE INTO ${fqn(cat, ns, name)} t
-                 |USING ${q(view)} s
-                 |ON $on
-                 |WHEN MATCHED AND s.${q(Present)} IS NULL THEN DELETE
-                 |WHEN MATCHED THEN UPDATE SET $sets
-                 |WHEN NOT MATCHED AND s.${q(Present)} IS NOT NULL THEN
-                 |  INSERT ($insCols) VALUES ($insVals)""".stripMargin)
-          } finally {
-            spark.catalog.dropTempView(view)
-            if (!smallProbe) touched.unpersist()
-          }
-          GraftCatalog.patchTableProps(ident, Map(VersionProp -> v1.toString),
-            unset = Set(RefreshingProp))
-          ("incremental", touchedCount, v1)
+          applyTouchedGroups(spark, cat, ns, name, touchedPlan, curAll,
+            groupCols, aggList, Map(VersionProp -> v1.toString))
         }
       case _ => fullRefresh()
     }
+  }
+
+  /** The shared incremental-refresh tail (single-source AND join MVs):
+    * collect the touched group keys, recompute ONLY those groups from
+    * `curAll` — the CURRENT pre-aggregation input (filtered source for
+    * a single-source MV; fact ⋈ dim for a join MV), version-pinned by
+    * the caller — and apply in one atomic MERGE, then bump the recorded
+    * version props atomically with clearing the refresh-in-flight flag.
+    */
+  private def applyTouchedGroups(
+      spark: SparkSession, cat: String, ns: String, name: String,
+      touchedPlan: DataFrame, curAll: DataFrame,
+      groupCols: Seq[String], aggList: Seq[String],
+      versionPatch: Map[String, String]): (String, Long, Long) = {
+    val ident = Identifier.of(Array(ns), name)
+    // Inline the touched keys as PER-COLUMN literal IN filters on
+    // the recompute scan when they fit a driver-side probe: a
+    // multi-column key otherwise reaches the source only as a
+    // `named_struct(...) IN subquery` runtime filter, which no
+    // source can translate — per-column INs push down statically
+    // and ride zone-map/Bloom segment skipping on every key
+    // column, so the recompute reads the touched groups' files,
+    // not the table (for a join MV they push through the join to
+    // whichever side owns the column). Conjunctive per-column
+    // supersets of the key set: never drops a touched row, the semi
+    // join below stays the exact membership test.
+    val MaxInlineProbe = 1000
+    val touchedLocal = touchedPlan.limit(MaxInlineProbe + 1).collect()
+    // Reuse what the probe already computed: when the keys fit
+    // the driver probe, the MERGE's semi/outer joins read a
+    // LOCAL relation instead of re-running the changed-segment
+    // scans (which the uncached plan would otherwise pay twice
+    // more); past the probe, persist the plan across its count
+    // and both joins.
+    val smallProbe = touchedLocal.length <= MaxInlineProbe
+    val touched =
+      if (smallProbe)
+        spark.createDataFrame(
+          java.util.Arrays.asList(touchedLocal: _*), touchedPlan.schema)
+      else touchedPlan.persist()
+    val touchedCount =
+      if (smallProbe) touchedLocal.length.toLong
+      else touched.count()
+    // Literal INs exist only for atomic key types — an array/map/
+    // struct group key can't become a Literal (and no zone map
+    // tracks it anyway): fall through to the semi join alone.
+    val atomicKeys = groupCols.forall(c =>
+      curAll.schema.fields.find(_.name == c).exists(_.dataType match {
+        case _: org.apache.spark.sql.types.ArrayType |
+             _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.StructType |
+             _: org.apache.spark.sql.types.VariantType => false
+        case _ => true
+      }))
+    val cur =
+      if (!atomicKeys || touchedLocal.isEmpty ||
+          touchedLocal.length > MaxInlineProbe) curAll
+      else groupCols.zipWithIndex.foldLeft(curAll) { case (df, (c, i)) =>
+        val vs = touchedLocal.map(_.get(i)).toSeq.distinct
+        val nonNull = vs.filterNot(_ == null)
+        // A NULL group key is a real group: keep NULL rows
+        // whenever any touched key is NULL in this column.
+        val base =
+          if (nonNull.isEmpty) lit(false) else col(c).isin(nonNull: _*)
+        df.where(if (vs.contains(null)) base || col(c).isNull else base)
+      }
+    // Null-safe semi join: a NULL group key is a real group under
+    // GROUP BY semantics and must restrict/recompute like any
+    // other.
+    val semiCond = groupCols.map(c => cur(c) <=> touched(c)).reduce(_ && _)
+    val recomputed = cur.join(touched, semiCond, "left_semi")
+      .groupBy(groupCols.map(col): _*)
+      .agg(expr(aggList.head), aggList.tail.map(expr): _*)
+      .withColumn(Present, lit(true))
+    val outerCond =
+      groupCols.map(c => touched(c) <=> recomputed(c)).reduce(_ && _)
+    val aggOutCols = recomputed.columns.toSeq
+      .filterNot(c => groupCols.contains(c) || c == Present)
+    val mergeSrc = touched.join(recomputed, outerCond, "left_outer")
+      .select(groupCols.map(touched(_)) ++
+        aggOutCols.map(recomputed(_)) :+ recomputed(Present): _*)
+    val view = s"__graft_mv_src_${viewSeq.incrementAndGet()}"
+    mergeSrc.createOrReplaceTempView(view)
+    GraftCatalog.patchTableProps(ident, Map(RefreshingProp -> "true"))
+    try {
+      val on = groupCols.map(c => s"t.${q(c)} <=> s.${q(c)}").mkString(" AND ")
+      val sets = aggOutCols.map(c => s"t.${q(c)} = s.${q(c)}").mkString(", ")
+      val insCols = (groupCols ++ aggOutCols).map(q).mkString(", ")
+      val insVals = (groupCols ++ aggOutCols).map(c => s"s.${q(c)}").mkString(", ")
+      spark.sql(
+        s"""MERGE INTO ${fqn(cat, ns, name)} t
+           |USING ${q(view)} s
+           |ON $on
+           |WHEN MATCHED AND s.${q(Present)} IS NULL THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET $sets
+           |WHEN NOT MATCHED AND s.${q(Present)} IS NOT NULL THEN
+           |  INSERT ($insCols) VALUES ($insVals)""".stripMargin)
+    } finally {
+      spark.catalog.dropTempView(view)
+      if (!smallProbe) touched.unpersist()
+    }
+    GraftCatalog.patchTableProps(ident, versionPatch, unset = Set(RefreshingProp))
+    ("incremental", touchedCount, versionPatch(VersionProp).toLong)
   }
 }
 

@@ -810,22 +810,25 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(!scans(missBare).exists(_.contains("agg")),
       "bare-fact aggregate wrongly served by the join MV")
     // Fact append → stale on the fact side → falls back to the base
-    // join; refresh_mv recomputes FULLY and re-serves.
+    // join; refresh_mv applies the two-sided delta rule: only group
+    // 'b' (the dim partner of the appended k=2 row) is touched.
     spark.sql("INSERT INTO graft.mvj.fact VALUES (2, 100)")
     val stale = spark.sql(q)
     assert(!scans(stale).exists(_.contains("agg")), "fact-stale join MV wrongly served")
-    val (m2, _, _) = call("CALL graft.system.refresh_mv('mvj', 'agg')")
-    assert(m2 == "full", s"join MV refresh mode: $m2")
+    val (m2, g2a, _) = call("CALL graft.system.refresh_mv('mvj', 'agg')")
+    assert(m2 == "incremental", s"join MV refresh mode: $m2")
+    assert(g2a == 1, s"fact append touches only group b, refresh touched $g2a")
     val rehit = spark.sql(q)
     assert(scans(rehit).exists(_.contains("agg")), "refreshed join MV not served")
     assert(rehit.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .toSeq.sortBy(_._1) == direct())
-    // Dim append → stale on the dim side → not served until refresh.
+    // Dim append → stale on the dim side → not served until refresh;
+    // the F⋈ΔD term finds the new group c (fact k=3 finally joins).
     spark.sql("INSERT INTO graft.mvj.dim VALUES (3, 'c')")
     val dimStale = spark.sql(q)
     assert(!scans(dimStale).exists(_.contains("agg")), "dim-stale join MV wrongly served")
-    val (m3, _, _) = call("CALL graft.system.refresh_mv('mvj', 'agg')")
-    assert(m3 == "full")
+    val (m3, g3a, _) = call("CALL graft.system.refresh_mv('mvj', 'agg')")
+    assert(m3 == "incremental" && g3a == 1, s"dim append refresh: $m3/$g3a")
     assert(spark.sql(q).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .toSeq.sortBy(_._1) == direct())
     // Idle refresh is a noop.
@@ -834,6 +837,113 @@ class MaterializedViewSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.mvj.agg")
     spark.sql("DROP TABLE graft.mvj.fact")
     spark.sql("DROP TABLE graft.mvj.dim")
+  }
+
+  test("join MV delta refresh: fact-only, dim-only, both sides, dv change, churn fallback") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    spark.sql("DROP TABLE IF EXISTS graft.mvj2.fact")
+    spark.sql("DROP TABLE IF EXISTS graft.mvj2.dim")
+    spark.sql("DROP TABLE IF EXISTS graft.mvj2.agg")
+    spark.sql("CREATE TABLE graft.mvj2.fact (k BIGINT, v BIGINT) USING graft")
+    spark.sql("CREATE TABLE graft.mvj2.dim (dk BIGINT, seg STRING) USING graft")
+    // Several fact segments so "delta-only" is distinguishable from
+    // "all" at plan level.
+    spark.sql("INSERT INTO graft.mvj2.fact VALUES (1, 10), (1, 20)")
+    spark.sql("INSERT INTO graft.mvj2.fact VALUES (2, 5)")
+    spark.sql("INSERT INTO graft.mvj2.fact VALUES (3, 7), (3, 8)")
+    spark.sql("INSERT INTO graft.mvj2.dim VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
+    call(
+      """CALL graft.system.create_mv('mvj2', 'agg', 'mvj2.fact JOIN mvj2.dim ON k = dk',
+        |  'seg', 'count(*) AS cnt, sum(v) AS total')""".stripMargin)
+    def mv(): Seq[(String, Long, Long)] =
+      spark.sql("SELECT seg, cnt, total FROM graft.mvj2.agg ORDER BY seg")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    def direct(): Seq[(String, Long, Long)] = {
+      spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+      try spark.sql(
+        """SELECT seg, count(*) AS c, sum(v) AS s
+          |FROM graft.mvj2.fact JOIN graft.mvj2.dim ON k = dk
+          |GROUP BY seg ORDER BY seg""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      finally spark.conf.set("spark.graft.mvRewrite.enabled", "true")
+    }
+
+    // THE load-bearing scale claim: the fact-side key-collection scan
+    // of the delta-join rule plans EXACTLY the changed segments, never
+    // the fact table — asserted on the same segment-pinned primitive
+    // the refresh composes its ΔF⋈D term from.
+    val fIdent = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("mvj2"), "fact")
+    val before = graft.sources.GraftCatalog
+      .snapshotByVersion(fIdent,
+        graft.sources.GraftCatalog.currentVersion("mvj2", "fact").get).get
+    spark.sql("INSERT INTO graft.mvj2.fact VALUES (2, 100), (4, 1)")
+    val after = graft.sources.GraftCatalog
+      .snapshotByVersion(fIdent,
+        graft.sources.GraftCatalog.currentVersion("mvj2", "fact").get).get
+    val deltaSegs = after.segments.filterNot(s =>
+      before.segments.exists(_.path == s.path))
+    assert(deltaSegs.nonEmpty && after.segments.length > deltaSegs.length)
+    val deltaDf = graft.sources.GraftMvOps.segmentsDf(spark, fIdent, deltaSegs)
+    val deltaScans = deltaDf.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }
+    assert(deltaScans.head.inputPartitions.length == deltaSegs.length,
+      s"delta fact scan must plan ${deltaSegs.length} segment(s), " +
+        s"planned ${deltaScans.head.inputPartitions.length} of ${after.segments.length}")
+    assert(deltaDf.count() == 2, "delta scan must see exactly the appended rows")
+
+    // Fact-only append: touched groups = dim partners of the delta
+    // (b via k=2; k=4 joins d — a group NEW to the MV).
+    val (mf, gf, _) = call("CALL graft.system.refresh_mv('mvj2', 'agg')")
+    assert(mf == "incremental" && gf == 2, s"fact-only refresh: $mf/$gf")
+    assert(mv() == direct())
+    assert(mv() == Seq(("a", 2L, 30L), ("b", 2L, 105L), ("c", 2L, 15L), ("d", 1L, 1L)))
+
+    // Dim-only append: new dim row matches existing fact k=5? none —
+    // but dim row (5,'e') with no fact partner touches nothing; dim
+    // row joining existing fact rows creates/updates groups via F⋈ΔD.
+    spark.sql("INSERT INTO graft.mvj2.fact VALUES (5, 50)") // k=5 dangling (no dim)
+    call("CALL graft.system.refresh_mv('mvj2', 'agg')") // absorb fact append
+    spark.sql("INSERT INTO graft.mvj2.dim VALUES (5, 'e')")
+    val (md, gd, _) = call("CALL graft.system.refresh_mv('mvj2', 'agg')")
+    assert(md == "incremental" && gd == 1, s"dim-only refresh: $md/$gd")
+    assert(mv() == direct())
+
+    // Both sides in one refresh window.
+    spark.sql("INSERT INTO graft.mvj2.fact VALUES (6, 60), (1, 1)")
+    spark.sql("INSERT INTO graft.mvj2.dim VALUES (6, 'f')")
+    val (mb, gb, _) = call("CALL graft.system.refresh_mv('mvj2', 'agg')")
+    // Touched: 'a' (fact append k=1), 'f' (both-new pair k=6 — covered
+    // by ΔF⋈D1 since D1 already holds the new dim row).
+    assert(mb == "incremental" && gb == 2, s"both-sides refresh: $mb/$gb")
+    assert(mv() == direct())
+
+    // A deletion vector change (row-level DELETE) is an in-gate change:
+    // the dv-changed segment contributes its keys on both diff sides.
+    spark.sql("DELETE FROM graft.mvj2.fact WHERE k = 2 AND v = 5")
+    val (mdv, _, _) = call("CALL graft.system.refresh_mv('mvj2', 'agg')")
+    assert(mdv == "incremental", s"dv-change refresh: $mdv")
+    assert(mv() == direct())
+
+    // Dim churn above the threshold degrades to the full RTAS (one
+    // re-join beats two full fact passes).
+    spark.sql(
+      "INSERT INTO graft.mvj2.dim VALUES (7,'g'),(8,'h'),(9,'i'),(10,'j'),(11,'k'),(12,'l'),(13,'m')")
+    val (mc, _, _) = call("CALL graft.system.refresh_mv('mvj2', 'agg')")
+    assert(mc == "full", s"dim churn must fall back to full, got $mc")
+    assert(mv() == direct())
+
+    // Group-vanishes path: delete every fact row of one group; the
+    // MERGE's touched-but-vanished arm must DELETE the MV row.
+    spark.sql("DELETE FROM graft.mvj2.fact WHERE k = 4")
+    val (mg, _, _) = call("CALL graft.system.refresh_mv('mvj2', 'agg')")
+    assert(mg == "incremental")
+    assert(mv() == direct())
+    assert(!mv().exists(_._1 == "d"), "vanished group d must leave the MV")
+
+    spark.sql("DROP TABLE graft.mvj2.agg")
+    spark.sql("DROP TABLE graft.mvj2.fact")
+    spark.sql("DROP TABLE graft.mvj2.dim")
   }
 
   test("non-deterministic filtered-MV WHERE refuses at create") {
