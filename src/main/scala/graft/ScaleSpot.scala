@@ -74,7 +74,13 @@ object ScaleSpot {
       // (rewrite-hit fixtures must stay MV-cheap as the base grows).
       "l4_embedding_neardup_lsh", "x13b_deletes_heavy_read", "x9d_filtered_mv",
       "l4_embedding_dedup_clusters", "l9_embedding_incremental",
-      "x9e_join_mv", "x13c_compact_retires_deletes")
+      "x9e_join_mv", "x13c_compact_retires_deletes",
+      // Round-17 permanent watch set: the three rows whose sf1 ratios
+      // drifted toward the ceiling in r16 (so they can't drift silently
+      // again), plus the new incremental/stale join-MV rows (refresh
+      // and rewrite cost must track the fact delta, not the fact).
+      "l9_incremental_neardup", "f9_variant",
+      "x9f_join_mv_refresh", "x9g_stale_join_mv")
     val qs = SparkEntry.queries
     // SPARK_GRAFT_SCALE_ALL=1: run EVERY registry query against the 10×
     // slice (the full-suite sf1 datapoint; single-shot timings — the
@@ -212,7 +218,7 @@ object ScaleSpot {
   }
 
   /** Stage the 10× slice (idempotent: skips when the marker matches). */
-  private def stage(spark: SparkSession, baseDir: String, outDir: String): Unit = {
+  private[graft] def stage(spark: SparkSession, baseDir: String, outDir: String): Unit = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     // The marker encodes the BASE dir: re-staging from a different base

@@ -38,7 +38,10 @@ import graft.sources.{GraftCatalog, GraftMvOps}
   * the star-schema rollup: an aggregate over the same INNER join (in
   * either orientation) with a norm-equal ON condition is served when
   * BOTH sides are fresh at the MV's recorded versions — see
-  * [[rewriteJoin]]. The stale-delta path declines join MVs.
+  * [[rewriteJoin]]. A join MV stale by fact-side APPENDS only (dim
+  * data-unmoved) is still served, as MV ⊎ re-aggregate(ΔF ⋈ dim) with
+  * a segment-pinned fact-delta scan — see [[tryStaleJoinCandidate]];
+  * any dim-side data change declines the stale path.
   *
   * FILTERED MVs (defined with `create_mv(..., where)`) add a predicate
   * SUBSUMPTION gate before either shape: every MV-filter conjunct must
@@ -236,7 +239,151 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     cands.view.flatMap { case (mvIdent, props) =>
       tryJoinCandidate(agg, groupAttrs, filterCond, queryCond, combinedOutput,
         leftRel, lName, rName, mvIdent, props, resolver)
-    }.headOption
+    }.headOption.orElse {
+      if (!conf.getConfString(StaleEnabledKey, "true").toBoolean) None
+      else {
+        val staleCands =
+          (GraftCatalog.staleMvsFor(lId.namespace()(0), lId.name()) ++
+            GraftCatalog.staleMvsFor(rId.namespace()(0), rId.name()))
+            .filter(_._2.contains(GraftMvOps.JoinCondProp))
+        staleCands.view.flatMap { case (mvIdent, _) =>
+          tryStaleJoinCandidate(agg, groupAttrs, filterCond, queryCond,
+            combinedOutput, leftRel, rightRel, lName, rName, mvIdent, resolver)
+        }.headOption
+      }
+    }
+  }
+
+  /** STALE-TOLERANT rewrite for JOIN MVs — the delta-join specialization
+    * of [[tryStaleCandidate]]: an aggregate over `fact ⋈ dim` whose MV
+    * is behind ONLY by fact-side appends is served as
+    * MV ⊎ re-aggregate(ΔF ⋈ dim), where ΔF is a SEGMENT-PINNED scan of
+    * exactly the fact segments appended after the MV's recorded fact
+    * version. The algebra: with dim data-identical since vd0,
+    * F1⋈D = (F0 ∪ ΔF)⋈D = (F0⋈D) ∪ (ΔF⋈D), and the MV is precisely
+    * γ(F0⋈D) — so the union re-merges exactly. At 100 TB this is the
+    * steady-state star-schema read: the MV covers the joined history,
+    * the delta term joins one micro-batch against the dim, and the
+    * fact table itself is never scanned.
+    *
+    * Gates beyond the single-source stale path:
+    *  - the DIM side must be DATA-unmoved since the MV's recorded dim
+    *    version (metadata-only commits pass) — a dim change invalidates
+    *    pre-joined MV rows in ways only a full-fact re-join repairs,
+    *    which is the cost this path exists to avoid → decline;
+    *  - the fact side must be append-only since vf0 (the single-source
+    *    gate, via the same snapshot-chain walk);
+    *  - the ON condition must be norm-equal in either orientation, and
+    *    the delta branch re-binds it (and the MV's aggregate specs)
+    *    against ΔF ⋈ dim's own attribute set.
+    */
+  private def tryStaleJoinCandidate(
+      agg: Aggregate, groupAttrs: Seq[Attribute],
+      filterCond: Option[Expression], queryCond: Expression,
+      combinedOutput: Seq[Attribute],
+      leftRel: DataSourceV2Relation, rightRel: DataSourceV2Relation,
+      lName: String, rName: String, mvIdent: Identifier,
+      resolver: (String, String) => Boolean): Option[LogicalPlan] = {
+    // ONE atomic entry snapshot = pinned MV segments + matching props
+    // (data and recorded versions cannot tear); the refresh-in-flight
+    // flag closes the MERGE window exactly as in the single-source path.
+    val (mvTable, props) = GraftCatalog.mvEntrySnapshot(mvIdent).getOrElse(return None)
+    if (props.contains(GraftMvOps.RefreshingProp)) return None
+    if (props.contains(GraftMvOps.FilterProp)) return None // join MVs take no WHERE
+    val fact = props.getOrElse(GraftMvOps.SourceProp, return None)
+    val dim = props.getOrElse(GraftMvOps.JoinSourceProp, return None)
+    if (!(Set(fact, dim) == Set(lName, rName) && fact != dim)) return None
+    def ver(key: String): Option[Long] = props.get(key).collect {
+      case s if s.nonEmpty && s.forall(_.isDigit) => s.toLong
+    }
+    val vf0 = ver(GraftMvOps.VersionProp).getOrElse(return None)
+    val vd0 = ver(GraftMvOps.JoinVersionProp).getOrElse(return None)
+    val (fns, ftbl) = fact.split('.') match {
+      case Array(a, b) => (a, b)
+      case _ => return None
+    }
+    val (dns, dtbl) = dim.split('.') match {
+      case Array(a, b) => (a, b)
+      case _ => return None
+    }
+    // Dim: append-only AND empty delta = data-identical since vd0.
+    if (!GraftCatalog.appendOnlyDeltaSince(dns, dtbl, vd0).exists(_.isEmpty)) return None
+    // Fact: append-only; the delta is what the union's second branch reads.
+    val factDelta = GraftCatalog.appendOnlyDeltaSince(fns, ftbl, vf0).getOrElse(return None)
+    val mvCond = resolveSpecAgainst(
+      props.getOrElse(GraftMvOps.JoinCondProp, return None), combinedOutput)
+      .getOrElse(return None)
+    if (norm(mvCond) != norm(queryCond)) return None
+    val mvGroupCols =
+      props.getOrElse(GraftMvOps.GroupProp, return None).split(',').toSeq
+    if (groupAttrs.map(_.name.toLowerCase).distinct.length != groupAttrs.length) return None
+    if (!admissibleResidual(filterCond, mvGroupCols, resolver)) return None
+    if (groupingMatch(groupAttrs, mvGroupCols, resolver).isEmpty) return None
+    val aggsProp = props.getOrElse(GraftMvOps.AggsProp, return None)
+    val specs = bindSpecs(aggsProp, combinedOutput).getOrElse(return None)
+    val specByKey: Map[String, String] = specs.map(t => t._1 -> t._2).toMap
+    val itemByName: Map[String, String] = specs.map(t => t._2 -> t._3).toMap
+    val neededAggCols =
+      neededMergeCols(agg, mvGroupCols, specByKey, resolver).getOrElse(return None)
+    val unionCols: Seq[String] = mvGroupCols ++ neededAggCols
+
+    // MV branch: pinned entry-snapshot scan, query WHERE (group-column
+    // references only, per admissibleResidual) remapped onto MV columns.
+    val mvRelation =
+      DataSourceV2Relation.create(mvTable, leftRel.catalog, Some(mvIdent))
+    def mvAttr(col: String): Option[Attribute] =
+      mvRelation.output.find(a => resolver(a.name, col))
+    val mvChild = remapOntoMv(filterCond, mvGroupCols, mvAttr, mvRelation, resolver)
+      .getOrElse(return None)
+    val mvPart = Project(unionCols.map(c => mvAttr(c).getOrElse(return None)), mvChild)
+
+    val combined: LogicalPlan =
+      if (factDelta.isEmpty) mvPart // metadata-only fact drift
+      else {
+        val fIdent = Identifier.of(Array(fns), ftbl)
+        val deltaTable =
+          GraftCatalog.segmentPinnedTable(fIdent, factDelta).getOrElse(return None)
+        val deltaFactRel =
+          DataSourceV2Relation.create(deltaTable, leftRel.catalog, Some(fIdent))
+        // Dim side: REUSE the query's own dim relation — the rewrite
+        // replaces the whole aggregate, so its ExprIds appear exactly
+        // once in the new plan (and it already carries the current,
+        // analysis-time-checked dim state).
+        val dimRel = if (lName == dim) leftRel else rightRel
+        val deltaOut = deltaFactRel.output ++ dimRel.output
+        def deltaAttr(col: String): Option[Attribute] =
+          deltaOut.find(a => resolver(a.name, col))
+        val deltaCond =
+          resolveSpecAgainst(props(GraftMvOps.JoinCondProp), deltaOut)
+            .getOrElse(return None)
+        val joined: LogicalPlan =
+          Join(deltaFactRel, dimRel, Inner, Some(deltaCond), JoinHint.NONE)
+        val deltaChild: LogicalPlan = filterCond match {
+          case None => joined
+          case Some(c) =>
+            var ok = true
+            val mapped = c.transformUp {
+              case a: AttributeReference => deltaAttr(a.name) match {
+                case Some(d) => d
+                case None => ok = false; a
+              }
+            }
+            if (!ok) return None
+            Filter(mapped, joined)
+        }
+        val deltaGroups: Seq[NamedExpression] =
+          mvGroupCols.map(c => deltaAttr(c).getOrElse(return None))
+        val deltaAggs: Seq[NamedExpression] = neededAggCols.map { n =>
+          resolveSpecAgainst(itemByName(n), deltaOut) match {
+            case Some(al: Alias) => al
+            case _ => return None
+          }
+        }
+        val deltaPart = Aggregate(deltaGroups, deltaGroups ++ deltaAggs, deltaChild)
+        if (mvPart.output.map(_.dataType) != deltaPart.output.map(_.dataType)) return None
+        Union(mvPart :: deltaPart :: Nil)
+      }
+    mergedAggregate(agg, groupAttrs, mvGroupCols, unionCols, specByKey, combined, resolver)
   }
 
   private def tryJoinCandidate(
@@ -606,10 +753,44 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
         if (mvPart.output.map(_.dataType) != deltaPart.output.map(_.dataType)) return None
         Union(mvPart :: deltaPart :: Nil)
       }
-    def unionAttr(col: String): Attribute = combined.output(unionCols.indexOf(col))
+    mergedAggregate(agg, groupAttrs, mvGroupCols, unionCols, specByKey, combined, resolver)
+  }
 
-    // Final merge aggregate at the QUERY's grain, output ExprIds
-    // preserved so parent operators are oblivious.
+  /** The MV aggregate columns the query's output needs, with every
+    * query aggregate proven MERGE-derivable (sum/count/min/max, no
+    * DISTINCT/FILTER — a group can live in both union branches, so
+    * even an exact grouping match re-merges). None = some aggregate
+    * can't merge and the delta-union shape is inadmissible.
+    */
+  private def neededMergeCols(
+      agg: Aggregate, mvGroupCols: Seq[String], specByKey: Map[String, String],
+      resolver: (String, String) => Boolean): Option[Seq[String]] = {
+    val cols = agg.aggregateExpressions.flatMap {
+      case a: Attribute if mvGroupCols.exists(resolver(_, a.name)) => None
+      case Alias(child: Attribute, _) if mvGroupCols.exists(resolver(_, child.name)) => None
+      case Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case _: Sum | _: Count | _: Min | _: Max =>
+            Some(specByKey.getOrElse(norm(ae), return None))
+          case _ => return None
+        }
+      case _ => return None
+    }.distinct
+    Some(cols)
+  }
+
+  /** Final merge aggregate at the QUERY's grain over `combined` (whose
+    * output is positionally `unionCols`), output ExprIds preserved so
+    * parent operators are oblivious — shared by the single-source and
+    * join stale-delta paths.
+    */
+  private def mergedAggregate(
+      agg: Aggregate, groupAttrs: Seq[Attribute], mvGroupCols: Seq[String],
+      unionCols: Seq[String], specByKey: Map[String, String],
+      combined: LogicalPlan,
+      resolver: (String, String) => Boolean): Option[LogicalPlan] = {
+    def unionAttr(col: String): Attribute = combined.output(unionCols.indexOf(col))
+    def groupColFor(a: Attribute): Option[String] = mvGroupCols.find(resolver(_, a.name))
     val outputs: Seq[NamedExpression] = agg.aggregateExpressions.map {
       case a: Attribute if groupColFor(a).isDefined =>
         val m = unionAttr(groupColFor(a).get)

@@ -809,12 +809,17 @@ class MaterializedViewSpec extends AnyFunSuite {
     val missBare = spark.sql("SELECT count(*) AS c FROM graft.mvj.fact")
     assert(!scans(missBare).exists(_.contains("agg")),
       "bare-fact aggregate wrongly served by the join MV")
-    // Fact append → stale on the fact side → falls back to the base
-    // join; refresh_mv applies the two-sided delta rule: only group
+    // Fact append → stale on the fact side → STILL served, as
+    // MV ⊎ (ΔF ⋈ dim) (the stale-join path; delta-only planning is
+    // asserted in its own test), answer exact over both batches.
+    // refresh_mv then applies the two-sided delta rule: only group
     // 'b' (the dim partner of the appended k=2 row) is touched.
     spark.sql("INSERT INTO graft.mvj.fact VALUES (2, 100)")
     val stale = spark.sql(q)
-    assert(!scans(stale).exists(_.contains("agg")), "fact-stale join MV wrongly served")
+    assert(scans(stale).exists(_.contains("agg")),
+      "fact-stale join MV should be stale-delta-served")
+    assert(stale.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1) == direct())
     val (m2, g2a, _) = call("CALL graft.system.refresh_mv('mvj', 'agg')")
     assert(m2 == "incremental", s"join MV refresh mode: $m2")
     assert(g2a == 1, s"fact append touches only group b, refresh touched $g2a")
@@ -944,6 +949,101 @@ class MaterializedViewSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.mvj2.agg")
     spark.sql("DROP TABLE graft.mvj2.fact")
     spark.sql("DROP TABLE graft.mvj2.dim")
+  }
+
+  test("stale join MV: fact-side appends served as MV ⊎ (ΔF ⋈ dim), dim change declines") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    spark.sql("DROP TABLE IF EXISTS graft.sj.fact")
+    spark.sql("DROP TABLE IF EXISTS graft.sj.dim")
+    spark.sql("DROP TABLE IF EXISTS graft.sj.agg")
+    spark.sql("CREATE TABLE graft.sj.fact (k BIGINT, v BIGINT) USING graft")
+    spark.sql("CREATE TABLE graft.sj.dim (dk BIGINT, seg STRING) USING graft")
+    spark.sql("INSERT INTO graft.sj.fact VALUES (1, 10), (1, 20)")
+    spark.sql("INSERT INTO graft.sj.fact VALUES (2, 5)")
+    spark.sql("INSERT INTO graft.sj.dim VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    call(
+      """CALL graft.system.create_mv('sj', 'agg', 'sj.fact JOIN sj.dim ON k = dk',
+        |  'seg', 'count(*) AS cnt, sum(v) AS total')""".stripMargin)
+    val factSegsAtMv = graft.sources.GraftCatalog.segmentCount("sj", "fact")
+    // Fact appends WITHOUT refresh: touches existing group b, creates c.
+    spark.sql("INSERT INTO graft.sj.fact VALUES (2, 100), (3, 7)")
+    val totalFactSegs = graft.sources.GraftCatalog.segmentCount("sj", "fact")
+    val deltaSegs = totalFactSegs - factSegsAtMv
+    assert(deltaSegs > 0 && factSegsAtMv > 0)
+    val q = """SELECT seg, count(*) AS c, sum(v) AS s
+              |FROM graft.sj.fact JOIN graft.sj.dim ON k = dk
+              |GROUP BY seg""".stripMargin
+    def direct(): Seq[(String, Long, Long)] = {
+      spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+      try spark.sql(q).collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+      finally spark.conf.set("spark.graft.mvRewrite.enabled", "true")
+    }
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = spark.sql(q)
+      val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+      val mvScan = scans.filter(_.output.exists(_.name == "cnt"))
+      val factScan = scans.filter(_.output.exists(_.name == "v"))
+      assert(mvScan.nonEmpty, s"stale join plan must read the MV, scans: $scans")
+      assert(factScan.nonEmpty, "stale join plan must read the fact delta")
+      // The load-bearing claim: the fact-side scan plans ONLY the
+      // segments appended after the MV's recorded fact version.
+      assert(factScan.head.inputPartitions.length == deltaSegs,
+        s"fact delta scan must plan $deltaSegs segment(s), " +
+          s"planned ${factScan.head.inputPartitions.length} of $totalFactSegs total")
+      assert(df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1) == direct())
+      assert(direct() == Seq(("a", 2L, 30L), ("b", 2L, 105L), ("c", 1L, 7L)))
+      // Global rollup and a group-column WHERE ride the same path.
+      val global = spark.sql(
+        "SELECT count(*) AS c, sum(v) AS s FROM graft.sj.fact JOIN graft.sj.dim ON k = dk")
+      assert(global.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+        .exists(_.output.exists(_.name == "cnt")), "global stale join rollup not served")
+      assert(global.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        == Seq((5L, 142L)))
+      val sliced = spark.sql(
+        "SELECT seg, sum(v) AS s FROM graft.sj.fact JOIN graft.sj.dim ON k = dk " +
+          "WHERE seg = 'b' GROUP BY seg")
+      assert(sliced.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        == Seq(("b", 105L)))
+      // avg is not merge-derivable → full join, still correct.
+      val avgQ = spark.sql(
+        "SELECT seg, avg(v) AS m FROM graft.sj.fact JOIN graft.sj.dim ON k = dk GROUP BY seg")
+      assert(!avgQ.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+        .exists(_.output.exists(_.name == "cnt")),
+        "non-derivable aggregate wrongly stale-join-served")
+      // A DIM data change kills the stale path (pre-joined MV rows may
+      // be invalid): back to the base join, still correct.
+      spark.sql("INSERT INTO graft.sj.dim VALUES (4, 'd')")
+      val dimMoved = spark.sql(q)
+      assert(!dimMoved.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+        .exists(_.output.exists(_.name == "cnt")),
+        "dim-moved join MV wrongly stale-served")
+      assert(dimMoved.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1) == direct())
+      // After an (incremental) refresh the FRESH join path serves again.
+      val (m, _, _) = call("CALL graft.system.refresh_mv('sj', 'agg')")
+      assert(m == "incremental")
+      assert(spark.sql(q).queryExecution.executedPlan
+        .collect { case b: BatchScanExec => b }
+        .exists(_.output.exists(_.name == "cnt")), "refreshed join MV not fresh-served")
+      assert(spark.sql(q).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1) == direct())
+      // A fact DELETE (dv change) is not append-only → stale path off.
+      spark.sql("INSERT INTO graft.sj.fact VALUES (3, 9)")
+      spark.sql("DELETE FROM graft.sj.fact WHERE k = 1 AND v = 10")
+      val afterDml = spark.sql(q)
+      assert(!afterDml.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+        .exists(_.output.exists(_.name == "cnt")),
+        "non-append fact history wrongly stale-join-served")
+      assert(afterDml.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1) == direct())
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    spark.sql("DROP TABLE graft.sj.agg")
+    spark.sql("DROP TABLE graft.sj.fact")
+    spark.sql("DROP TABLE graft.sj.dim")
   }
 
   test("non-deterministic filtered-MV WHERE refuses at create") {

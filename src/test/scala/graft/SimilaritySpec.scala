@@ -437,41 +437,52 @@ class SimilaritySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
-  test("L9 df-capped probe: hot-only pairs surface via the hot-dominated fallback") {
-    // A corpus where 100 docs share the SAME 10 shingles (df 100 >
-    // L9HotDf = 64: all hot) plus one rare-pair doc. The batch doc
-    // equal to the hot set has jac = 1.0 with every hot corpus doc but
-    // shares NO rare shingle — the df-capped join alone would silently
-    // drop it; the hot-dominated fallback (rareCnt = 0 ≤ 20%) must
-    // recover it. The rare pair checks the capped path in the same run.
+  test("L9 prefix-filtered probe: stopword-heavy, rare, and mixed pairs all surface") {
+    // The prefix lemma's three regimes on one synthetic corpus: 100
+    // docs sharing the SAME 10 shingles (maximal-df "stopword" tokens
+    // — the regime the old df-cap needed a fallback for), one
+    // rare-token doc, and a mixed doc. The index is built with the
+    // SAME (df, g)-ordered prefix formula ensureL9Index persists, so
+    // this also pins build↔probe order consistency.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, count, explode, expr, lit, row_number, size}
     val hotSet = (1L to 10L).toArray
-    val idx = (
-      (for (j <- 1L to 100L; g <- hotSet) yield (g, j)) ++ // hot docs
-        Seq((1001L, 200L), (1002L, 200L), (1003L, 200L),   // rare doc 200
-          (1004L, 200L), (1005L, 200L)) ++
-        // mixed doc 300: 2 hot shingles + 3 rare — pins the
-        // |A∩B| = rare-join-count + hot-array-intersect decomposition.
-        Seq((1L, 300L), (2L, 300L), (2001L, 300L), (2002L, 300L), (2003L, 300L))
-      ).toDF("g", "j")
-    val sizes = ((1L to 100L).map(j => (j, 10)) ++ Seq((200L, 5), (300L, 5)))
-      .toDF("j", "szj")
+    val corpusDocs: Seq[(Long, Array[Long])] =
+      (1L to 100L).map(j => (j, hotSet)) ++ Seq(
+        (200L, Array(1001L, 1002L, 1003L, 1004L, 1005L)),
+        (300L, Array(1L, 2L, 2001L, 2002L, 2003L)))
+    val corpus = corpusDocs.toDF("j", "sh_j")
+      .select(col("j"), size(col("sh_j")).as("szj"), col("sh_j"))
+    val post = corpus.select(col("j"), col("szj"), explode(col("sh_j")).as("g"))
+    val dfG = post.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val idx = post.join(dfG, Seq("g"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("j")).orderBy(col("df"), col("g"))))
+      .filter(col("rn") <= col("szj") - expr("(szj * 4 + 4) div 5") + 1)
+      .select(col("g"), col("j"))
+    // Prefix postings are ~20% of full postings: 3 of 10 for the hot
+    // docs, 2 of 5 for docs 200/300.
+    assert(idx.count() == 100L * 3 + 2 + 2, s"prefix posting count ${idx.count()}")
     val batch = Seq(
-      (9001L, hotSet),                                      // hot-only probe
+      (9001L, hotSet),                                      // all-stopword probe
       (9002L, Array(1001L, 1002L, 1003L, 1004L, 9999L)),    // rare probe, jac 4/6
       (9003L, Array(1L, 2L, 2001L, 2002L, 2003L, 9998L))    // mixed probe, jac 5/6
     ).toDF("i", "sh_i")
     val got = graft.queries.SimilarityQueries
-      .l9ProbeIndex(idx, sizes, batch)
+      .l9ProbeIndex(idx, dfG, corpus, batch)
       .select($"i", $"j", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    // jac(9001, hot_j) = 1.0 for every j: the shared tokens are ALL
+    // maximal-df, and the prefix join must still surface every pair
+    // (the lemma needs no rarity, only order consistency).
     val wantHot = (1L to 100L).map(j => (9001L, j, 1.0)).toSet
     assert(got.filter(_._1 == 9001L) == wantHot,
-      s"hot-only pair dropped by the df cap: ${got.count(_._1 == 9001L)}/100 found")
+      s"stopword-only pair dropped by prefix filter: ${got.count(_._1 == 9001L)}/100 found")
     // jac(9002, 200) = 4/6 < 0.8 — candidate generated but verify-rejected.
     assert(!got.exists(_._1 == 9002L), s"sub-threshold pair leaked: $got")
-    // jac(9003, 300) = (2 hot + 3 rare)/(6 + 5 − 5) = 5/6 — exact only
-    // if the hot term is added to the rare join count.
+    // jac(9003, 300) = 5/(6 + 5 − 5) = 5/6 — prefixes {9998, 2001} and
+    // {2001, 2002} meet at 2001; exact verify off the stored arrays.
     assert(got.filter(_._1 == 9003L) == Set((9003L, 300L, 0.8333)),
-      s"mixed rare+hot intersection mis-counted: ${got.filter(_._1 == 9003L)}")
+      s"mixed pair mis-verified: ${got.filter(_._1 == 9003L)}")
   }
 
   test("SimHash chunk-pair LSH finds a planted hamming-5 pair 4-chunk banding missed") {
