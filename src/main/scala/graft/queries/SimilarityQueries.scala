@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.functions.{CosineSim, MinHash32, SimHash64, SrpBucket, VectorOps}
+import graft.functions.{CosineSim, MinHash32, SimHash64, SrpBucket, SrpBucketProbes, VectorOps}
 import graft.operators.KMeansCodebook
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -258,16 +258,39 @@ object SimilarityQueries {
     .select(col("vec_id"), col("embedding"),
       col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
 
+  /** Self-join candidate generation is ASYMMETRIC multi-probe: the
+    * stored side keeps one exact bucket per (vector, table) — the
+    * shape the persisted L9 embedding index stores — while the PROBE
+    * side fans out 1 + nprobe buckets per table, flipping its
+    * lowest-|margin| bits ([[graft.functions.SrpBucketProbes]]). A
+    * near-threshold pair differing in one bit of some table is found
+    * when EITHER endpoint's probe set flips that bit (both directions
+    * are probed; pairs normalize to i < j before dedup), which is what
+    * lifts natural near-threshold recall without touching the planted
+    * exact-copy oracle (identical vectors share every exact bucket;
+    * probing only ADDS candidates) and without widening the stored
+    * index.
+    */
   private[graft] def srpNearDupPairs(
       spark: SparkSession, data: DataFrame, threshold: Double,
-      tables: Int = 8, bits: Int = 16): DataFrame = {
+      tables: Int = 8, bits: Int = 16, nprobe: Int = 4): DataFrame = {
     val ids = srpBuckets(spark, data, tables, bits)
       .select(col("vec_id"), col("tbl"), col("bkt"))
-    val cand = ids.alias("a")
+    val probeIds = data.select(
+      col("vec_id"),
+      explode(array((0 until tables).map { t =>
+        struct(lit(t).as("tbl"),
+          SrpBucketProbes(spark, col("embedding"), bits, seed = 7000L + t, nprobe)
+            .as("bkts"))
+      }: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"),
+        explode(col("tb.bkts")).as("bkt"))
+    val cand = probeIds.alias("a")
       .join(ids.alias("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("i"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("j"))
       .dropDuplicates("i", "j")
     cand
       .join(data.select(col("vec_id").as("i"), col("embedding").as("va")), Seq("i"))

@@ -156,6 +156,75 @@ class AnnIndexSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.annix.asrc PURGE")
   }
 
+  test("drift-triggered retrain END-TO-END: foreign batch degrades recall, retrain restores it") {
+    // The full lifecycle the drift metric exists for: (1) an index
+    // trained on 4 axis clusters serves exactly; (2) a FOREIGN cluster
+    // (axis 6, never seen at train time) is ingested — refresh_ann
+    // assigns it to ill-fitting old lists, reports drift_ratio >
+    // RetrainThreshold and recommends retrain; (3) the pre-retrain
+    // index MEASURABLY degrades (the foreign members spread across old
+    // lists by their 0.1 side-components, so an nprobe=1 foreign query
+    // sees only the ~quarter that landed in its probed list); (4)
+    // build_ann_index again (the atomic swap the recommendation names)
+    // gives the foreign cluster its own centroid and restores
+    // recall@10 = 1.0. Geometry is deterministic — every assignment is
+    // decided by a 0.1 dot, never a tie.
+    spark.sql("DROP TABLE IF EXISTS graft.annix.dr_src PURGE")
+    spark.sql("DROP TABLE IF EXISTS graft.annix.dr_idx PURGE")
+    spark.sql("DROP TABLE IF EXISTS graft.annix.dr_idx_cb PURGE")
+    spark.sql(
+      "CREATE TABLE graft.annix.dr_src (vec_id BIGINT, label INT, embedding ARRAY<FLOAT>) USING graft")
+    // Old corpus: ids 101..140 INTERLEAVED (101..104 span axes 0..3,
+    // so the k-lowest-id seeding starts one centroid per cluster).
+    val oldRows = (for (j <- 0 until 10; a <- 0 until 4)
+      yield s"(${100 + j * 4 + a + 1}, $a, ${sqlArr(vec(a, j))})").mkString(", ")
+    spark.sql(s"INSERT INTO graft.annix.dr_src VALUES $oldRows")
+    val built = spark.sql(
+      "CALL graft.system.build_ann_index('annix.dr_src', 'annix', 'dr_idx', 4, 3)").head()
+    assert(built.getLong(2) == 4L, s"build: $built")
+    // Foreign cluster: e6 + 0.1·e_{j%4} under LOW ids 1..20 (free: ids
+    // are caller-chosen), so the RETRAIN's lowest-id seeds start inside
+    // the new mass.
+    def foreignVec(j: Int): Seq[Float] =
+      (0 until 8).map(i => if (i == 6) 1f else if (i == j % 4) 0.1f else 0f)
+    val farRows = (0 until 20)
+      .map(j => s"(${j + 1}, 9, ${sqlArr(foreignVec(j))})").mkString(", ")
+    spark.sql(s"INSERT INTO graft.annix.dr_src VALUES $farRows")
+    val r = spark.sql("CALL graft.system.refresh_ann('annix', 'dr_idx')").head()
+    assert(r.getLong(1) == 20L, s"foreign refresh: $r")
+    assert(r.getDouble(3) > 1.25 && r.getBoolean(4),
+      s"foreign batch must recommend retrain: $r")
+    // Foreign query: e6 + 0.1·e0 — its exact top-10 is all foreign.
+    val qv = (0 until 8).map(i => if (i == 6) 1f else if (i == 0) 0.1f else 0f)
+    val q = Seq(Tuple1(qv)).toDF("qe")
+    val exact = spark.table("graft.annix.dr_src")
+      .select(col("vec_id"),
+        graft.functions.CosineSim(spark, col("embedding"),
+          typedLit(qv.toArray)).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(exact.forall(_ <= 20L), s"exact top-10 must be foreign: $exact")
+    def served(): Set[Long] = graft.queries.SimilarityQueries
+      .ivfIndexedTopK(spark, "graft.annix.dr_idx", q, nprobe = 1, limit = 10)
+      .select("vec_id").as[Long].collect().toSet
+    // PRE-retrain: the probed (axis-0) list holds only the 5 foreign
+    // members whose side-component is e0 — recall measurably degraded.
+    val pre = (served() & exact).size
+    assert(pre <= 6, s"pre-retrain recall should be degraded, got $pre/10")
+    // RETRAIN (k=5: the four axes + the foreign cluster) — atomic swap.
+    val rebuilt = spark.sql(
+      "CALL graft.system.build_ann_index('annix.dr_src', 'annix', 'dr_idx', 5, 5)").head()
+    assert(rebuilt.getLong(2) == 5L, s"retrain: $rebuilt")
+    val post = (served() & exact).size
+    assert(post == 10, s"post-retrain recall must be restored, got $post/10 (pre $pre/10)")
+    // The retrained codebook fits the grown corpus: no drift pending.
+    val r2 = spark.sql("CALL graft.system.refresh_ann('annix', 'dr_idx')").head()
+    assert(!r2.getBoolean(4), s"retrained index must not re-recommend: $r2")
+    spark.sql("DROP TABLE graft.annix.dr_idx PURGE")
+    spark.sql("DROP TABLE graft.annix.dr_idx_cb PURGE")
+    spark.sql("DROP TABLE graft.annix.dr_src PURGE")
+  }
+
   test("recall floor holds on a corpus GROWN past its trained index (sf0.01)") {
     val dir = "/root/testdata/sf0.01"
     spark.sql("DROP TABLE IF EXISTS graft.annix.grow PURGE")

@@ -113,6 +113,52 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.size >= 28, s"twin recall too low: ${pairs.size}/40")
   }
 
+  test("SRP multi-probe self-join: recall >= 0.95 at cosine 0.9 vs the exact O(n²) slice") {
+    // Natural NEAR-THRESHOLD pairs (the regime the planted-identical
+    // oracle can't exercise): 60 base vectors each perturbed to cosine
+    // ≈ 0.9 — exactly where 8×16-bit exact-bucket collision probability
+    // alone is ~0.5 — plus noise. The lowest-|margin| multi-probe on
+    // the probe side (SrpBucketProbes) must recover ≥ 95% of the pairs
+    // the exact O(n²) slice puts at ≥ 0.9. Seeds fixed → deterministic.
+    import graft.queries.SimilarityQueries.srpNearDupPairs
+    val rnd = new scala.util.Random(11)
+    def gauss() = Seq.fill(64)(rnd.nextGaussian().toFloat)
+    val bases = (0 until 60).map(k => (k.toLong, gauss()))
+    val twins = bases.map { case (k, v) =>
+      val d = gauss()
+      val vn = math.sqrt(v.map(x => x * x.toDouble).sum)
+      val dn = math.sqrt(d.map(x => x * x.toDouble).sum)
+      // cos ≈ 1/sqrt(1+r²) = 0.90 at r ≈ 0.4843.
+      val s = 0.4843 * vn / dn
+      (k + 1000L, v.zip(d).map { case (x, y) => (x + s * y).toFloat })
+    }
+    val noise = (0 until 300).map(k => (k + 5000L, gauss()))
+    val all = bases ++ twins ++ noise
+    val df = all.toDF("vec_id", "embedding")
+    // Exact ≥ 0.9 pairs, closed form on the driver (n = 420 — bounded).
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val exact = (for {
+      x <- all; y <- all
+      if x._1 < y._1 && cos(x._2, y._2) >= 0.9
+    } yield (x._1, y._1)).toSet
+    // The perturbation puts pairs AT the threshold: some land just
+    // under 0.9 — the exact slice is the ground truth either way.
+    assert(exact.size >= 20, s"fixture too weak: only ${exact.size} exact pairs")
+    val got = srpNearDupPairs(spark, df, threshold = 0.9)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    // Precision is structural: candidates are exact-reranked, so
+    // nothing below 0.9 can surface.
+    assert(got.subsetOf(exact), s"sub-threshold pair leaked: ${got -- exact}")
+    val recall = got.size.toDouble / exact.size
+    assert(recall >= 0.95,
+      f"near-threshold recall $recall%.3f (${got.size}/${exact.size}) < 0.95")
+  }
+
   test("SRP self-join candidate mass stays a vanishing, non-growing fraction of all-pairs") {
     // The self-join analogue of the SimHash chunk-pair scale property:
     // candidate mass is Σ bucket-occupancy² per (table, bucket), so the
