@@ -258,6 +258,24 @@ object SimilarityQueries {
     .select(col("vec_id"), col("embedding"),
       col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
 
+  /** Probe-side twin of [[srpBuckets]]: 1 + nprobe MARGIN-RANKED
+    * buckets per (vector, table) under the SAME scheme (seeds, bits) —
+    * what a prober fans out against an exact-bucket store, self-join
+    * or persisted index alike. The stored side never widens; only the
+    * probing side multiplies, which is the multi-probe contract.
+    */
+  private[graft] def srpProbeBuckets(
+      spark: SparkSession, data: DataFrame,
+      tables: Int = 8, bits: Int = 16, nprobe: Int = 4): DataFrame = data.select(
+    col("vec_id"), col("embedding"),
+    explode(array((0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        SrpBucketProbes(spark, col("embedding"), bits, seed = 7000L + t, nprobe)
+          .as("bkts"))
+    }: _*)).as("tb"))
+    .select(col("vec_id"), col("embedding"), col("tb.tbl").as("tbl"),
+      explode(col("tb.bkts")).as("bkt"))
+
   /** Self-join candidate generation is ASYMMETRIC multi-probe: the
     * stored side keeps one exact bucket per (vector, table) — the
     * shape the persisted L9 embedding index stores — while the PROBE
@@ -276,15 +294,8 @@ object SimilarityQueries {
       tables: Int = 8, bits: Int = 16, nprobe: Int = 4): DataFrame = {
     val ids = srpBuckets(spark, data, tables, bits)
       .select(col("vec_id"), col("tbl"), col("bkt"))
-    val probeIds = data.select(
-      col("vec_id"),
-      explode(array((0 until tables).map { t =>
-        struct(lit(t).as("tbl"),
-          SrpBucketProbes(spark, col("embedding"), bits, seed = 7000L + t, nprobe)
-            .as("bkts"))
-      }: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"),
-        explode(col("tb.bkts")).as("bkt"))
+    val probeIds = srpProbeBuckets(spark, data, tables, bits, nprobe)
+      .select(col("vec_id"), col("tbl"), col("bkt"))
     val cand = probeIds.alias("a")
       .join(ids.alias("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
@@ -1167,7 +1178,7 @@ object SimilarityQueries {
     * invocation builds then probes, and the oracle checks the probe's
     * output.
     */
-  private val l9IdxReady = new java.util.concurrent.atomic.AtomicReference[String]()
+  private[graft] val l9IdxReady = new java.util.concurrent.atomic.AtomicReference[String]()
   private[graft] def ensureL9Index(spark: SparkSession, dir: String): Unit = {
     if (l9IdxReady.get() == dir) return
     l9IdxReady.synchronized {
@@ -1199,6 +1210,32 @@ object SimilarityQueries {
         .writeTo("graft.demo.nd_sz").append()
       l9IdxReady.set(dir)
     }
+  }
+
+  /** INCREMENTAL maintenance of the l9 prefix index — the ingest-side
+    * append the 100 TB story names: new documents rank their tokens
+    * under the STORED `nd_df` order (absent tokens → df 0, exactly the
+    * probe side's rule) and land prefix postings + verification rows;
+    * the df table itself stays the canonical order from the last
+    * build. Correctness is order-CONSISTENCY, not freshness: the
+    * prefix lemma needs both sides to rank under the same total order,
+    * so appending under the stored order is exact, while df drift only
+    * degrades candidate-mass optimality until the next rebuild
+    * re-canonicalizes (the same rebuild-when-drifted contract as the
+    * ANN codebook).
+    */
+  private[graft] def l9AppendDocs(spark: SparkSession, docs: DataFrame): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col("doc_id"), size(col("sh")).as("sz"), col("sh"))
+    d.select(col("doc_id"), col("sz"), explode(col("sh")).as("g"))
+      .join(spark.table("graft.demo.nd_df"), Seq("g"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("g"))))
+      .filter(col("rn") <= col("sz") - expr("(sz * 4 + 4) div 5") + 1)
+      .select(col("g"), col("doc_id"))
+      .writeTo("graft.demo.nd_idx").append()
+    d.writeTo("graft.demo.nd_sz").append()
   }
 
   val l9IncrementalNearDup: Q = Q(
@@ -1328,9 +1365,9 @@ object SimilarityQueries {
       |      (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.9
       |ORDER BY i, j""".stripMargin) { (spark, dir) =>
     spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
-    // The ONE scheme definition (srpBuckets) builds AND probes the
-    // index — a drift between stored and probed banding is impossible
-    // by construction.
+    // ONE scheme: srpBuckets builds the index; srpProbeBuckets (same
+    // seeds/bits, margin-ranked extra flips) probes it — drift between
+    // stored and probed banding is impossible by construction.
     def bucketed(df: DataFrame): DataFrame = srpBuckets(spark, df)
     val e = Tables.embeddings(spark, dir)
     val corpus = e.filter(col("vec_id") % 2 === 0)
@@ -1347,10 +1384,13 @@ object SimilarityQueries {
       .select((col("vec_id") + lit(1000001L)).as("vec_id"), col("embedding"))
     val batch = e.filter(col("vec_id") % 2 === 1)
       .select(col("vec_id"), col("embedding")).unionByName(planted)
-    // Probe: batch-side buckets against the persisted postings; the
-    // batch keeps its vectors in-plan (small side), the corpus side's
+    // Probe: batch-side MULTI-PROBE buckets (1 + 4 margin-ranked
+    // flips per table — srpProbeBuckets, the same scheme the index
+    // stored) against the persisted exact-bucket postings; the batch
+    // keeps its vectors in-plan (small side), the corpus side's
     // vectors come from the stored emb_vec table for candidates only.
-    val cand = bucketed(batch).alias("b")
+    // The index never widens — only the probe fans out.
+    val cand = srpProbeBuckets(spark, batch).alias("b")
       .join(spark.table("graft.demo.emb_idx").alias("x"),
         col("b.tbl") === col("x.tbl") && col("b.bkt") === col("x.bkt"))
       .select(col("b.vec_id").as("i"), col("b.embedding").as("vb"), col("x.j").as("j"))

@@ -635,11 +635,18 @@ private[graft] case class GraftCatalogScan(
     // invalidate a reported ordering/grouping after the fact.
     val (all, eqNow) = stateAtFirstUse
     val compiled = EqFilter.compileAll(schema, eqNow)
+    // ONE broadcast of the compiled key sets for the whole scan: the
+    // per-split payload is then a handful of indices, not O(keys) —
+    // see GraftSegFile.eqBc.
+    val eqBc =
+      if (compiled.isEmpty) None
+      else Some(org.apache.spark.sql.SparkSession.active.sparkContext
+        .broadcast(compiled.map(_._2)))
     val surv = surviving(all)
     if (!keyedLayout)
       capForLimit(surv)
         .map(s => GraftCatalogPartition(
-          Vector(GraftSegFile.of(s, compiled)), schema.length): InputPartition)
+          Vector(GraftSegFile.of(s, compiled, eqBc)), schema.length): InputPartition)
         .toArray
     else {
       import org.apache.spark.sql.catalyst.CatalystTypeConverters
@@ -648,7 +655,7 @@ private[graft] case class GraftCatalogScan(
           val keyRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
             key.map(CatalystTypeConverters.convertToCatalyst).toArray)
           GraftCatalogKeyedPartition(
-            segs.map(GraftSegFile.of(_, compiled)), schema.length, keyRow): InputPartition
+            segs.map(GraftSegFile.of(_, compiled, eqBc)), schema.length, keyRow): InputPartition
         }.toArray
     }
   }
@@ -923,11 +930,18 @@ private[graft] class GraftCatalogMicroBatchStream(
         // the old name, or mis-bind it after a name-reuse chain.
         (snap.segments, EqFilter.compileAll(snap.schema, snap.eqDeletes))
       } else ((s + 1 to e).toVector.flatMap(addedAt), IndexedSeq.empty)
+    // Initial-snapshot batches of a deletes-heavy table broadcast the
+    // compiled key sets like the batch scan does (per-commit batches
+    // carry none).
+    val eqBc =
+      if (compiled.isEmpty) None
+      else Some(org.apache.spark.sql.SparkSession.active.sparkContext
+        .broadcast(compiled.map((t: (Long, EqFilter)) => t._2)))
     segs
       .filter(seg => pruning.forall(f => ZoneMap.mightMatch(f, schema, seg)))
       .map(seg =>
         GraftCatalogPartition(
-          Vector(GraftSegFile.of(seg, compiled)), schema.length): InputPartition)
+          Vector(GraftSegFile.of(seg, compiled, eqBc)), schema.length): InputPartition)
       .toArray
   }
 
@@ -947,7 +961,25 @@ private[graft] class GraftCatalogMicroBatchStream(
 private[sources] case class GraftSegFile(
     path: String, rows: Long, dv: Option[scala.collection.immutable.BitSet],
     eq: Seq[EqFilter] = Nil,
-    lineage: IndexedSeq[(Long, Long, Long)] = Vector.empty) {
+    lineage: IndexedSeq[(Long, Long, Long)] = Vector.empty,
+    // BROADCAST form of the equality filters (table scans): the split
+    // carries only the applicable INDICES into a plan-wide broadcast
+    // array, so a deletes-heavy table's key sets ship once per
+    // EXECUTOR instead of once per task — inline `eq` made the task
+    // binaries O(segments × keys), which the r17 scale audit measured
+    // as a 2.4× super-linear read (split count and per-delete key
+    // count both grow with data). The CDC feed's per-commit splits
+    // keep the inline field (bounded by the commit).
+    eqBc: Option[org.apache.spark.broadcast.Broadcast[IndexedSeq[EqFilter]]] = None,
+    eqIdx: IndexedSeq[Int] = Vector.empty) {
+
+  /** The filters a reader must subtract for this file — broadcast
+    * indices when present, else the inline list.
+    */
+  def resolvedEq: Seq[EqFilter] = eqBc match {
+    case Some(bc) => val all = bc.value; eqIdx.map(all(_))
+    case None => eq
+  }
   /** THE dv-membership test, int-bounds-guarded (BitSet is Int-indexed;
     * ordinals are Long). One definition so every reader skips the same
     * rows — a fix to large-ordinal handling must not need three copies.
@@ -963,6 +995,24 @@ private[sources] object GraftSegFile {
       s: GraftCatalog.Segment,
       compiled: IndexedSeq[(Long, EqFilter)]): GraftSegFile =
     GraftSegFile(s.path, s.rows, s.dv, EqFilter.applicable(compiled, s), s.lineage)
+
+  /** Broadcast form: applicable filters as indices into `bc` (which
+    * holds `compiled.map(_._2)` in order). `bc = None` (no outstanding
+    * deletes) degrades to the plain file.
+    */
+  def of(
+      s: GraftCatalog.Segment,
+      compiled: IndexedSeq[(Long, EqFilter)],
+      bc: Option[org.apache.spark.broadcast.Broadcast[IndexedSeq[EqFilter]]]): GraftSegFile =
+    bc match {
+      case None => GraftSegFile(s.path, s.rows, s.dv, lineage = s.lineage)
+      case Some(b) =>
+        val idx = compiled.zipWithIndex.collect {
+          case ((sq, _), i) if sq > s.seq => i
+        }
+        GraftSegFile(s.path, s.rows, s.dv, lineage = s.lineage, eqBc = Some(b),
+          eqIdx = idx)
+    }
 }
 
 private[sources] sealed trait GraftCatalogSplit extends InputPartition {
@@ -1035,7 +1085,7 @@ private[sources] case class GraftCatalogReaderFactory(
           remaining = f.rows
           ordinal = 0L
           dv = f.dv.orNull
-          eq = f.eq
+          eq = f.resolvedEq
           runs = f.lineage
           spanIdx = 0
           spanStart = 0L

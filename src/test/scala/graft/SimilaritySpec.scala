@@ -113,6 +113,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.size >= 28, s"twin recall too low: ${pairs.size}/40")
   }
 
+  test("L9 incremental append: ingested docs rank under the STORED order, probe stays exact") {
+    // The ingest-side maintenance the 100 TB story names: build the
+    // prefix index once, append a NEW corpus doc via l9AppendDocs
+    // (ranked under the persisted nd_df — no rebuild, df untouched),
+    // and the probe must surface its qualifying pair exactly. The
+    // appended doc deliberately contains tokens ABSENT from the stored
+    // df (rank 0 — the same rule the probe side applies), pinning
+    // order consistency between append and probe.
+    import graft.queries.SimilarityQueries
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    try {
+      SimilarityQueries.ensureL9Index(spark, dir)
+      val dfBefore = spark.table("graft.demo.nd_df").count()
+      // The new corpus doc = an ODD (batch-side) doc's exact shingle
+      // set under a fresh even-side id → jaccard 1.0 with that batch
+      // doc, regardless of which tokens its prefix picks.
+      val donor = SimilarityQueries
+        .shingleHashesOf(Tables.documents(spark, dir))
+        .filter($"doc_id" % 2 === 1).filter(size($"sh") >= 10)
+        .orderBy($"doc_id").limit(1)
+        .select($"doc_id", $"sh").as[(Long, Array[Long])].head()
+      SimilarityQueries.l9AppendDocs(spark,
+        Seq((900000L, donor._2)).toDF("doc_id", "sh"))
+      assert(spark.table("graft.demo.nd_df").count() == dfBefore,
+        "append must not touch the canonical df order")
+      val got = SimilarityQueries.l9ProbeIndex(
+        spark.table("graft.demo.nd_idx").select($"g", $"doc_id".as("j")),
+        spark.table("graft.demo.nd_df"),
+        spark.table("graft.demo.nd_sz")
+          .select($"doc_id".as("j"), $"sz".as("szj"), $"sh".as("sh_j")),
+        Seq((donor._1, donor._2)).toDF("i", "sh_i"))
+        .select($"i", $"j", $"jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(got.contains((donor._1, 900000L, 1.0)),
+        s"incrementally appended doc not found by the probe: $got")
+    } finally {
+      // The append mutated the memoized fixture tables: force the next
+      // l9 invocation (same JVM) to rebuild a clean index.
+      SimilarityQueries.l9IdxReady.set(null)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("SRP multi-probe self-join: recall >= 0.95 at cosine 0.9 vs the exact O(n²) slice") {
     // Natural NEAR-THRESHOLD pairs (the regime the planted-identical
     // oracle can't exercise): 60 base vectors each perturbed to cosine
