@@ -113,6 +113,55 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.size >= 28, s"twin recall too low: ${pairs.size}/40")
   }
 
+  test("L9 prefix probe equals brute-force exact Jaccard on randomized corpora") {
+    // Differential law for the prefix-filter candidate rule: on random
+    // token-set corpora (including planted near-dup mutations at and
+    // around the 0.8 threshold), the probe's output must equal the
+    // brute-force cross-side jac ≥ 0.8 join EXACTLY — every pair, no
+    // extras. Randomized with fixed seeds so a prefix-length
+    // off-by-one or order inconsistency reproduces deterministically.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, count, explode, expr, lit, row_number, size}
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      // Vocabulary small enough that docs share tokens by chance.
+      def randSet(): Array[Long] =
+        Array.fill(3 + rnd.nextInt(30))(rnd.nextInt(400).toLong).distinct
+      val corpusDocs = (1 to 120).map(j => (j.toLong, randSet()))
+      // Batch: random docs + mutated copies of corpus docs (drop up to
+      // ~20% of tokens → jaccard straddles the threshold).
+      val batchDocs = (1 to 60).map(i => (1000L + i, randSet())) ++
+        corpusDocs.take(40).map { case (j, sh) =>
+          val drop = rnd.nextInt(1 + sh.length / 5)
+          (2000L + j, rnd.shuffle(sh.toSeq).drop(drop).toArray)
+        }.filter(_._2.length >= 1)
+      def jac(a: Array[Long], b: Array[Long]): Double = {
+        val inter = a.toSet.intersect(b.toSet).size
+        inter.toDouble / (a.length + b.length - inter)
+      }
+      val expect = (for {
+        (i, a) <- batchDocs; (j, b) <- corpusDocs
+        if jac(a, b) >= 0.8
+      } yield (i, j)).toSet
+      val corpus = corpusDocs.toDF("j", "sh_j")
+        .select(col("j"), size(col("sh_j")).as("szj"), col("sh_j"))
+      val post = corpus.select(col("j"), col("szj"), explode(col("sh_j")).as("g"))
+      val dfG = post.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val idx = post.join(dfG, Seq("g"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("j")).orderBy(col("df"), col("g"))))
+        .filter(col("rn") <= col("szj") - expr("(szj * 4 + 4) div 5") + 1)
+        .select(col("g"), col("j"))
+      val got = graft.queries.SimilarityQueries
+        .l9ProbeIndex(idx, dfG, corpus, batchDocs.toDF("i", "sh_i"))
+        .select($"i", $"j").as[(Long, Long)].collect().toSet
+      assert(got == expect,
+        s"seed $seed: missing ${expect -- got}, extra ${got -- expect} " +
+          s"(expected ${expect.size} pairs)")
+      assert(expect.nonEmpty, s"seed $seed fixture produced no qualifying pairs")
+    }
+  }
+
   test("L9 incremental append: ingested docs rank under the STORED order, probe stays exact") {
     // The ingest-side maintenance the 100 TB story names: build the
     // prefix index once, append a NEW corpus doc via l9AppendDocs
