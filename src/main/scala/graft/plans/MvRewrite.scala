@@ -34,14 +34,16 @@ import graft.sources.{GraftCatalog, GraftMvOps}
   *    DISTINCT/FILTER or non-distributive aggs) → re-aggregate the
   *    MV's rows at the coarser grain.
   *
-  * JOIN MVs (source `'fact JOIN dim ON cond'`) extend both shapes to
-  * the star-schema rollup: an aggregate over the same INNER join (in
-  * either orientation) with a norm-equal ON condition is served when
-  * BOTH sides are fresh at the MV's recorded versions — see
-  * [[rewriteJoin]]. A join MV stale by fact-side APPENDS only (dim
-  * data-unmoved) is still served, as MV ⊎ re-aggregate(ΔF ⋈ dim) with
-  * a segment-pinned fact-delta scan — see [[tryStaleJoinCandidate]];
-  * any dim-side data change declines the stale path.
+  * JOIN MVs (source `'fact JOIN d1 ON c1 [JOIN d2 ON c2 …]'` — the
+  * N-way star/snowflake shape) extend both shapes: an aggregate over
+  * the same set of INNER-joined tables (any join order or tree shape)
+  * whose ON conjunct SET matches the MV's recorded conjunction is
+  * served when EVERY side is fresh at the MV's recorded versions —
+  * see [[rewriteJoin]]. A join MV stale by fact-side APPENDS only
+  * (every dim data-unmoved) is still served, as
+  * MV ⊎ re-aggregate(ΔF ⋈ dims) with a segment-pinned fact-delta
+  * scan — see [[tryStaleJoinCandidate]]; any dim-side data change
+  * declines the stale path.
   *
   * FILTERED MVs (defined with `create_mv(..., where)`) add a predicate
   * SUBSUMPTION gate before either shape: every MV-filter conjunct must
@@ -177,112 +179,155 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** The aggregate's child as (optional WHERE above the join, the ON
-    * condition, left relation, right relation) — the JOIN-MV query
-    * shape. At most one Filter, and only ABOVE the join: a filter
-    * under the join changes which rows joined, which the materialized
-    * join did not see.
+  /** The aggregate's child as (optional WHERE above the joins, the
+    * flattened ON conjuncts, the joined graft relations left-to-right)
+    * — the N-way JOIN-MV query shape. At most one Filter, and only
+    * ABOVE the joins: a filter under a join changes which rows joined,
+    * which the materialized join did not see.
     */
   private def stripJoin(p: LogicalPlan): Option[
-      (Option[Expression], Expression, DataSourceV2Relation, DataSourceV2Relation)] =
+      (Option[Expression], Seq[Expression], Seq[DataSourceV2Relation])] =
     p match {
       case s: SubqueryAlias => stripJoin(s.child)
       case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
         stripJoin(pr.child)
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-        stripJoin(f.child).flatMap {
-          case (None, jc, l, r) => Some((Some(f.condition), jc, l, r))
-          case _ => None
+      case f: Filter =>
+        flattenJoins(f.child).collect {
+          case (rels, cs) if rels.length >= 2 => (Some(f.condition), cs, rels)
         }
-      case j: org.apache.spark.sql.catalyst.plans.logical.Join
-          if j.joinType == org.apache.spark.sql.catalyst.plans.Inner &&
-            j.condition.isDefined =>
-        for (l <- bareRel(j.left); r <- bareRel(j.right)) yield
-          (None, j.condition.get, l, r)
+      case other =>
+        flattenJoins(other).collect {
+          case (rels, cs) if rels.length >= 2 => (None, cs, rels)
+        }
+    }
+
+  /** A tree of INNER joins over bare graft relations, flattened to
+    * (relations left-to-right, all ON conjuncts) — any join SHAPE
+    * (left-deep, right-deep, bushy) of the same tables with the same
+    * condition set is the same join, which is how a star rollup MV
+    * serves every ordering the optimizer or the user may write.
+    */
+  private def flattenJoins(
+      p: LogicalPlan): Option[(Seq[DataSourceV2Relation], Seq[Expression])] =
+    p match {
+      case s: SubqueryAlias => flattenJoins(s.child)
+      case pr: Project if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        flattenJoins(pr.child)
+      case j: Join if j.joinType == Inner && j.condition.isDefined =>
+        for {
+          (lr, lc) <- flattenJoins(j.left)
+          (rr, rc) <- flattenJoins(j.right)
+        } yield (lr ++ rr, lc ++ rc ++ conjuncts(j.condition.get))
+      case r: DataSourceV2Relation
+          if r.catalog.exists(_.isInstanceOf[GraftCatalog]) && r.identifier.isDefined =>
+        Some((Seq(r), Nil))
       case _ => None
     }
 
-  /** JOIN-MV rewrite (the star-schema rollup): an aggregate over
-    * `fact INNER JOIN dim ON cond` is served by a fresh join MV when
-    *  - the MV's {fact, dim} table set equals the query's relation set
-    *    (either orientation — inner joins commute),
-    *  - BOTH sides are fresh at the MV's recorded versions (the fact
-    *    via source-keyed discovery, the dim checked here),
-    *  - the ON condition is norm-equal to the MV's recorded condition
-    *    (exact structural match — `a = b` does not serve `b = a`, the
-    *    same no-implication-reasoning stance as predicate subsumption),
+  /** JOIN-MV rewrite (the N-way star/snowflake rollup): an aggregate
+    * over `fact INNER JOIN d1 ON c1 [JOIN d2 ON c2 …]` is served by a
+    * fresh join MV when
+    *  - the MV's {fact, dims} table set equals the query's relation
+    *    set (any join order or tree shape — inner joins commute and
+    *    associate),
+    *  - EVERY side is fresh at the MV's recorded versions (the fact
+    *    via source-keyed discovery, each dim checked here),
+    *  - the ON conjunct SET is norm-equal to the MV's recorded
+    *    conjunction's set (per-conjunct exact structural match —
+    *    `a = b` does not serve `b = a`, the same
+    *    no-implication-reasoning stance as predicate subsumption),
     *  - grouping/aggregates match as in the single-source path (exact
-    *    or rollup-derivable), and any WHERE above the join references
+    *    or rollup-derivable), and any WHERE above the joins references
     *    MV group columns only (remapped onto the MV scan).
     */
   private def rewriteJoin(agg: Aggregate): Option[LogicalPlan] = {
-    val (filterCond, queryCond, leftRel, rightRel) =
+    val (filterCond, queryConjuncts, rels) =
       stripJoin(agg.child).getOrElse(return None)
-    if (GraftCatalog.isPinnedTable(leftRel.table) ||
-      GraftCatalog.isPinnedTable(rightRel.table)) return None
-    val lId = leftRel.identifier.get
-    val rId = rightRel.identifier.get
-    if (lId.namespace().length != 1 || rId.namespace().length != 1) return None
+    if (rels.exists(r => GraftCatalog.isPinnedTable(r.table))) return None
+    if (rels.exists(_.identifier.get.namespace().length != 1)) return None
     val resolver = conf.resolver
     val groupAttrs: Seq[Attribute] = agg.groupingExpressions.map {
       case a: Attribute => a
       case _ => return None
     }
     if (groupAttrs.map(_.name.toLowerCase).distinct.length != groupAttrs.length) return None
-    val combinedOutput = leftRel.output ++ rightRel.output
-    val lName = s"${lId.namespace()(0)}.${lId.name()}"
-    val rName = s"${rId.namespace()(0)}.${rId.name()}"
-    val cands =
-      (GraftCatalog.freshMvsFor(lId.namespace()(0), lId.name()) ++
-        GraftCatalog.freshMvsFor(rId.namespace()(0), rId.name()))
-        .filter(_._2.contains(GraftMvOps.JoinCondProp))
+    val names = rels.map(r =>
+      s"${r.identifier.get.namespace()(0)}.${r.identifier.get.name()}")
+    if (names.distinct.length != names.length) return None // self-joins never MV-match
+    val combinedOutput = rels.flatMap(_.output)
+    // Candidates: any join MV whose FACT is one of the query's
+    // relations and fresh (source-keyed discovery); table-set equality
+    // below rejects everything else.
+    val cands = rels.flatMap(r =>
+        GraftCatalog.freshMvsFor(r.identifier.get.namespace()(0), r.identifier.get.name()))
+      .filter(_._2.contains(GraftMvOps.JoinCondProp))
     cands.view.flatMap { case (mvIdent, props) =>
-      tryJoinCandidate(agg, groupAttrs, filterCond, queryCond, combinedOutput,
-        leftRel, lName, rName, mvIdent, props, resolver)
+      tryJoinCandidate(agg, groupAttrs, filterCond, queryConjuncts, combinedOutput,
+        rels, names, mvIdent, props, resolver)
     }.headOption.orElse {
       if (!conf.getConfString(StaleEnabledKey, "true").toBoolean) None
       else {
-        val staleCands =
-          (GraftCatalog.staleMvsFor(lId.namespace()(0), lId.name()) ++
-            GraftCatalog.staleMvsFor(rId.namespace()(0), rId.name()))
-            .filter(_._2.contains(GraftMvOps.JoinCondProp))
+        val staleCands = rels.flatMap(r =>
+            GraftCatalog.staleMvsFor(r.identifier.get.namespace()(0), r.identifier.get.name()))
+          .filter(_._2.contains(GraftMvOps.JoinCondProp))
         staleCands.view.flatMap { case (mvIdent, _) =>
-          tryStaleJoinCandidate(agg, groupAttrs, filterCond, queryCond,
-            combinedOutput, leftRel, rightRel, lName, rName, mvIdent, resolver)
+          tryStaleJoinCandidate(agg, groupAttrs, filterCond, queryConjuncts,
+            combinedOutput, rels, names, mvIdent, resolver)
         }.headOption
       }
     }
   }
 
-  /** STALE-TOLERANT rewrite for JOIN MVs — the delta-join specialization
-    * of [[tryStaleCandidate]]: an aggregate over `fact ⋈ dim` whose MV
-    * is behind ONLY by fact-side appends is served as
-    * MV ⊎ re-aggregate(ΔF ⋈ dim), where ΔF is a SEGMENT-PINNED scan of
-    * exactly the fact segments appended after the MV's recorded fact
-    * version. The algebra: with dim data-identical since vd0,
-    * F1⋈D = (F0 ∪ ΔF)⋈D = (F0⋈D) ∪ (ΔF⋈D), and the MV is precisely
-    * γ(F0⋈D) — so the union re-merges exactly. At 100 TB this is the
+  /** MV-side join definition, defensively parsed and matched against
+    * the query's relation set: Some((dims, recorded dim versions))
+    * when the MV's {fact ∪ dims} equals `names` exactly (order-free),
+    * None otherwise. Shared by the fresh and stale join candidates.
+    */
+  private def joinDefMatching(
+      props: Map[String, String], names: Seq[String]): Option[(Seq[String], Seq[String])] = {
+    val fact = props.getOrElse(GraftMvOps.SourceProp, return None)
+    val dims = props.getOrElse(GraftMvOps.JoinSourceProp, return None)
+      .split(',').toSeq.filter(_.nonEmpty)
+    val vds = props.getOrElse(GraftMvOps.JoinVersionProp, return None)
+      .split(',').toSeq.filter(_.nonEmpty)
+    if (dims.isEmpty || vds.length != dims.length) return None
+    val mvTables = fact +: dims
+    if (mvTables.distinct.length != mvTables.length) return None
+    if (mvTables.length != names.length || mvTables.toSet != names.toSet) return None
+    Some((dims, vds))
+  }
+
+  /** STALE-TOLERANT rewrite for JOIN MVs — the delta-join
+    * specialization of [[tryStaleCandidate]]: an aggregate over
+    * `fact ⋈ dims` whose MV is behind ONLY by fact-side appends is
+    * served as MV ⊎ re-aggregate(ΔF ⋈ dims), where ΔF is a
+    * SEGMENT-PINNED scan of exactly the fact segments appended after
+    * the MV's recorded fact version. The algebra: with every dim
+    * data-identical since its recorded version,
+    * F₁⋈D⃗ = (F₀ ∪ ΔF)⋈D⃗ = (F₀⋈D⃗) ∪ (ΔF⋈D⃗), and the MV is precisely
+    * γ(F₀⋈D⃗) — so the union re-merges exactly. At 100 TB this is the
     * steady-state star-schema read: the MV covers the joined history,
-    * the delta term joins one micro-batch against the dim, and the
+    * the delta term joins one micro-batch against the dims, and the
     * fact table itself is never scanned.
     *
     * Gates beyond the single-source stale path:
-    *  - the DIM side must be DATA-unmoved since the MV's recorded dim
-    *    version (metadata-only commits pass) — a dim change invalidates
-    *    pre-joined MV rows in ways only a full-fact re-join repairs,
-    *    which is the cost this path exists to avoid → decline;
+    *  - EVERY dim must be DATA-unmoved since the MV's recorded dim
+    *    version (metadata-only commits pass) — a dim change
+    *    invalidates pre-joined MV rows in ways only a full-fact
+    *    re-join repairs, which is the cost this path exists to avoid
+    *    → decline;
     *  - the fact side must be append-only since vf0 (the single-source
     *    gate, via the same snapshot-chain walk);
-    *  - the ON condition must be norm-equal in either orientation, and
-    *    the delta branch re-binds it (and the MV's aggregate specs)
-    *    against ΔF ⋈ dim's own attribute set.
+    *  - the ON conjunct set must match (order-free), and the delta
+    *    branch re-binds the conjunction (and the MV's aggregate specs)
+    *    against ΔF ⋈ dims' own attribute set.
     */
   private def tryStaleJoinCandidate(
       agg: Aggregate, groupAttrs: Seq[Attribute],
-      filterCond: Option[Expression], queryCond: Expression,
+      filterCond: Option[Expression], queryConjuncts: Seq[Expression],
       combinedOutput: Seq[Attribute],
-      leftRel: DataSourceV2Relation, rightRel: DataSourceV2Relation,
-      lName: String, rName: String, mvIdent: Identifier,
+      rels: Seq[DataSourceV2Relation], names: Seq[String],
+      mvIdent: Identifier,
       resolver: (String, String) => Boolean): Option[LogicalPlan] = {
     // ONE atomic entry snapshot = pinned MV segments + matching props
     // (data and recorded versions cannot tear); the refresh-in-flight
@@ -291,32 +336,33 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     if (props.contains(GraftMvOps.RefreshingProp)) return None
     if (props.contains(GraftMvOps.FilterProp)) return None // join MVs take no WHERE
     val fact = props.getOrElse(GraftMvOps.SourceProp, return None)
-    val dim = props.getOrElse(GraftMvOps.JoinSourceProp, return None)
-    if (!(Set(fact, dim) == Set(lName, rName) && fact != dim)) return None
-    def ver(key: String): Option[Long] = props.get(key).collect {
-      case s if s.nonEmpty && s.forall(_.isDigit) => s.toLong
-    }
-    val vf0 = ver(GraftMvOps.VersionProp).getOrElse(return None)
-    val vd0 = ver(GraftMvOps.JoinVersionProp).getOrElse(return None)
+    val (dims, vds) = joinDefMatching(props, names).getOrElse(return None)
+    val vf0 = props.get(GraftMvOps.VersionProp).collect {
+      case v if v.nonEmpty && v.forall(_.isDigit) => v.toLong
+    }.getOrElse(return None)
     val (fns, ftbl) = fact.split('.') match {
       case Array(a, b) => (a, b)
       case _ => return None
     }
-    val (dns, dtbl) = dim.split('.') match {
-      case Array(a, b) => (a, b)
-      case _ => return None
+    // Every dim must be DATA-unmoved since its recorded version:
+    // append-only AND empty delta = data-identical.
+    dims.zip(vds).foreach { case (d, v) =>
+      if (!v.forall(_.isDigit) || v.isEmpty) return None
+      val (dns, dtbl) = d.split('.') match {
+        case Array(a, b) => (a, b)
+        case _ => return None
+      }
+      if (!GraftCatalog.appendOnlyDeltaSince(dns, dtbl, v.toLong).exists(_.isEmpty))
+        return None
     }
-    // Dim: append-only AND empty delta = data-identical since vd0.
-    if (!GraftCatalog.appendOnlyDeltaSince(dns, dtbl, vd0).exists(_.isEmpty)) return None
     // Fact: append-only; the delta is what the union's second branch reads.
     val factDelta = GraftCatalog.appendOnlyDeltaSince(fns, ftbl, vf0).getOrElse(return None)
     val mvCond = resolveSpecAgainst(
       props.getOrElse(GraftMvOps.JoinCondProp, return None), combinedOutput)
       .getOrElse(return None)
-    if (norm(mvCond) != norm(queryCond)) return None
+    if (conjuncts(mvCond).map(norm).toSet != queryConjuncts.map(norm).toSet) return None
     val mvGroupCols =
       props.getOrElse(GraftMvOps.GroupProp, return None).split(',').toSeq
-    if (groupAttrs.map(_.name.toLowerCase).distinct.length != groupAttrs.length) return None
     if (!admissibleResidual(filterCond, mvGroupCols, resolver)) return None
     if (groupingMatch(groupAttrs, mvGroupCols, resolver).isEmpty) return None
     val aggsProp = props.getOrElse(GraftMvOps.AggsProp, return None)
@@ -329,8 +375,9 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
 
     // MV branch: pinned entry-snapshot scan, query WHERE (group-column
     // references only, per admissibleResidual) remapped onto MV columns.
+    val anyCatalog = rels.head.catalog
     val mvRelation =
-      DataSourceV2Relation.create(mvTable, leftRel.catalog, Some(mvIdent))
+      DataSourceV2Relation.create(mvTable, anyCatalog, Some(mvIdent))
     def mvAttr(col: String): Option[Attribute] =
       mvRelation.output.find(a => resolver(a.name, col))
     val mvChild = remapOntoMv(filterCond, mvGroupCols, mvAttr, mvRelation, resolver)
@@ -344,22 +391,29 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
         val deltaTable =
           GraftCatalog.segmentPinnedTable(fIdent, factDelta).getOrElse(return None)
         val deltaFactRel =
-          DataSourceV2Relation.create(deltaTable, leftRel.catalog, Some(fIdent))
-        // Dim side: REUSE the query's own dim relation — the rewrite
-        // replaces the whole aggregate, so its ExprIds appear exactly
-        // once in the new plan (and it already carries the current,
+          DataSourceV2Relation.create(deltaTable, anyCatalog, Some(fIdent))
+        // Dim sides: REUSE the query's own relations — the rewrite
+        // replaces the whole aggregate, so their ExprIds appear exactly
+        // once in the new plan (and they already carry the current,
         // analysis-time-checked dim state).
-        val dimRel = if (lName == dim) leftRel else rightRel
-        val deltaOut = deltaFactRel.output ++ dimRel.output
+        val dimRels: Seq[DataSourceV2Relation] = dims.map { d =>
+          rels(names.indexOf(d))
+        }
+        val deltaOut = deltaFactRel.output ++ dimRels.flatMap(_.output)
         def deltaAttr(col: String): Option[Attribute] =
           deltaOut.find(a => resolver(a.name, col))
         val deltaCond =
           resolveSpecAgainst(props(GraftMvOps.JoinCondProp), deltaOut)
             .getOrElse(return None)
-        val joined: LogicalPlan =
-          Join(deltaFactRel, dimRel, Inner, Some(deltaCond), JoinHint.NONE)
+        // Condition-free Inner joins under ONE Filter holding the
+        // conjunction: predicate pushdown turns each equi conjunct into
+        // its join condition before the cartesian check runs — the same
+        // conjunction form create/refresh plan through.
+        val joined: LogicalPlan = dimRels.foldLeft(deltaFactRel: LogicalPlan)(
+          (l, r) => Join(l, r, Inner, None, JoinHint.NONE))
+        val withCond: LogicalPlan = Filter(deltaCond, joined)
         val deltaChild: LogicalPlan = filterCond match {
-          case None => joined
+          case None => withCond
           case Some(c) =>
             var ok = true
             val mapped = c.transformUp {
@@ -369,7 +423,7 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
               }
             }
             if (!ok) return None
-            Filter(mapped, joined)
+            Filter(mapped, withCond)
         }
         val deltaGroups: Seq[NamedExpression] =
           mvGroupCols.map(c => deltaAttr(c).getOrElse(return None))
@@ -388,9 +442,9 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def tryJoinCandidate(
       agg: Aggregate, groupAttrs: Seq[Attribute],
-      filterCond: Option[Expression], queryCond: Expression,
+      filterCond: Option[Expression], queryConjuncts: Seq[Expression],
       combinedOutput: Seq[Attribute],
-      anyRel: DataSourceV2Relation, lName: String, rName: String,
+      rels: Seq[DataSourceV2Relation], names: Seq[String],
       mvIdent: Identifier, props: Map[String, String],
       resolver: (String, String) => Boolean): Option[LogicalPlan] = {
     // Defensive prop reads (the refresh path's discipline): a join MV
@@ -401,28 +455,36 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     // would be a wrong-results rewrite.
     if (props.contains(GraftMvOps.FilterProp)) return None
     val fact = props.getOrElse(GraftMvOps.SourceProp, return None)
-    val dim = props.getOrElse(GraftMvOps.JoinSourceProp, return None)
-    // Either orientation of the query's inner join may match.
-    if (!(Set(fact, dim) == Set(lName, rName) && fact != dim)) return None
-    // Dim freshness (fact freshness came from source-keyed discovery).
-    val (dns, dtbl) = dim.split('.') match {
-      case Array(a, b) => (a, b)
-      case _ => return None
-    }
-    val vdRecorded = props.getOrElse(GraftMvOps.JoinVersionProp, return None)
-    if (!GraftCatalog.currentVersion(dns, dtbl).map(_.toString).contains(vdRecorded))
+    val (dims, vds) = joinDefMatching(props, names).getOrElse(return None)
+    // The discovering relation must be the FACT (freshMvsFor keyed the
+    // MV by its SourceProp and proved THAT side fresh); a dim-keyed
+    // discovery of the same MV would skip the fact freshness check.
+    if (!names.contains(fact)) return None
+    if (!GraftCatalog.currentVersion(
+        fact.split('.')(0), fact.split('.')(1))
+      .map(_.toString).contains(props.getOrElse(GraftMvOps.VersionProp, return None)))
       return None
-    // ON condition: exact structural match.
+    // Every dim fresh at its recorded version.
+    dims.zip(vds).foreach { case (d, v) =>
+      val (dns, dtbl) = d.split('.') match {
+        case Array(a, b) => (a, b)
+        case _ => return None
+      }
+      if (!GraftCatalog.currentVersion(dns, dtbl).map(_.toString).contains(v))
+        return None
+    }
+    // ON conjunct set: per-conjunct exact structural match, order-free.
     val mvCond = resolveSpecAgainst(
       props.getOrElse(GraftMvOps.JoinCondProp, return None), combinedOutput)
       .getOrElse(return None)
-    if (norm(mvCond) != norm(queryCond)) return None
+    if (conjuncts(mvCond).map(norm).toSet != queryConjuncts.map(norm).toSet) return None
     val mvGroupCols =
       props.getOrElse(GraftMvOps.GroupProp, return None).split(',').toSeq
     if (!admissibleResidual(filterCond, mvGroupCols, resolver)) return None
     val exact = groupingMatch(groupAttrs, mvGroupCols, resolver).getOrElse(return None)
     val specByKey = bindSpecs(props.getOrElse(GraftMvOps.AggsProp, return None), combinedOutput)
       .getOrElse(return None).map(t => t._1 -> t._2).toMap
+    val anyRel = rels.head
     val catalog = anyRel.catalog.get.asInstanceOf[TableCatalog]
     val mvTable =
       try catalog.loadTable(mvIdent)

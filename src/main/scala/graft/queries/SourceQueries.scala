@@ -900,6 +900,90 @@ object SourceQueries {
     df
   }
 
+  /** X9h: N-WAY SNOWFLAKE MV — `create_mv` over
+    * `orders JOIN customer ON … JOIN nation ON …` (the second ON joins
+    * dim-to-dim: a snowflake, not a pure star) at nation grain. The
+    * row exercises the full N-way lifecycle the 2-table x9e/x9f/x9g
+    * rows prove pairwise: the fresh rewrite must serve the 3-way join
+    * aggregate from the MV (conjunct-SET matching — join order is
+    * immaterial), a fact append must refresh INCREMENTALLY via the
+    * per-side delta-join rule (mode required), and the refreshed MV
+    * must serve again. The DuckDB oracle recomputes the 3-way join
+    * aggregate over both fact batches from raw parquet, so a missed
+    * side, a wrong conjunct match, or a stale group all break the
+    * hash.
+    */
+  val x9hSnowflakeMv: Q = Q(
+    "x9h_snowflake_mv",
+    """SELECT n_name, count(*) AS cnt,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderkey <= 900
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("x9h_orders_src")
+    Tables.customer(spark, dir).createOrReplaceTempView("x9h_customer_src")
+    Tables.nation(spark, dir).createOrReplaceTempView("x9h_nation_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.sn_orders")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.sn_cust")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.sn_nat")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.sn_mv")
+    spark.sql(
+      "CREATE TABLE graft.demo.sn_orders (o_custkey BIGINT, o_totalprice DOUBLE) USING graft")
+    spark.sql(
+      "CREATE TABLE graft.demo.sn_cust (c_custkey BIGINT, c_nationkey BIGINT) USING graft")
+    spark.sql(
+      "CREATE TABLE graft.demo.sn_nat (n_nationkey BIGINT, n_name STRING) USING graft")
+    spark.sql(
+      """INSERT INTO graft.demo.sn_orders
+        |SELECT CAST(o_custkey AS BIGINT), o_totalprice
+        |FROM x9h_orders_src WHERE o_orderkey <= 600""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.sn_cust
+        |SELECT CAST(c_custkey AS BIGINT), CAST(c_nationkey AS BIGINT)
+        |FROM x9h_customer_src""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.sn_nat
+        |SELECT CAST(n_nationkey AS BIGINT), n_name FROM x9h_nation_src""".stripMargin)
+    spark.sql(
+      """CALL graft.system.create_mv('demo', 'sn_mv',
+        |  'demo.sn_orders JOIN demo.sn_cust ON o_custkey = c_custkey
+        |   JOIN demo.sn_nat ON c_nationkey = n_nationkey',
+        |  'n_name',
+        |  'count(*) AS cnt, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS dec_total')""".stripMargin)
+      .collect()
+    // Fact micro-batch lands after materialization; the N-way delta
+    // rule must absorb it incrementally.
+    spark.sql(
+      """INSERT INTO graft.demo.sn_orders
+        |SELECT CAST(o_custkey AS BIGINT), o_totalprice
+        |FROM x9h_orders_src WHERE o_orderkey > 600 AND o_orderkey <= 900""".stripMargin)
+    val res = spark.sql("CALL graft.system.refresh_mv('demo', 'sn_mv')")
+      .select("mode").collect().head.getString(0)
+    require(res == "incremental",
+      s"x9h_snowflake_mv: fact append must refresh incrementally, got $res")
+    val df = spark.sql(
+      """SELECT n_name, cnt, round(CAST(dt AS DOUBLE), 4) AS total
+        |FROM (
+        |  SELECT n_name, count(*) AS cnt,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS dt
+        |  FROM graft.demo.sn_orders JOIN graft.demo.sn_cust ON o_custkey = c_custkey
+        |  JOIN graft.demo.sn_nat ON c_nationkey = n_nationkey
+        |  GROUP BY n_name)
+        |ORDER BY n_name""".stripMargin)
+    val scansMv = df.queryExecution.optimizedPlan.exists {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.relation.identifier.exists(_.name == "sn_mv")
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.identifier.exists(_.name == "sn_mv")
+      case _ => false
+    }
+    require(scansMv, "x9h_snowflake_mv: 3-way join aggregate was not served by the MV")
+    df
+  }
+
   /** X9b: STALE-TOLERANT MV REWRITE (delta-union), differentially
     * verified — the MV is built over the first batch, a second batch is
     * appended and NO refresh runs. The rewrite answers the aggregate as
@@ -2563,7 +2647,7 @@ object SourceQueries {
     x6CatalogFunction,
     x7CatalogView, x8MaterializedView, x9MvRollup, x9bStaleMv,
     x9cMvRewriteOff, x9cMvRewriteOn, x9dFilteredMv, x9eJoinMv, x9fJoinMvRefresh,
-    x9gStaleJoinMv,
+    x9gStaleJoinMv, x9hSnowflakeMv,
     x5fPartitionProfile, x5gCosortedJoin,
     x5hPartitionOverwrite, x5iPartitionEvolution, x5jHiddenPartitioning,
     x5kBucketSpj,

@@ -65,16 +65,20 @@ private[graft] object GraftMvOps {
     * is both correct and cheaper.
     */
   val FilterProp = "graft.mv.filter"
-  /** JOIN MV (the star-schema rollup shape): `create_mv`'s source may
-    * be `'<ns>.<fact> JOIN <ns>.<dim> ON <cond>'`. [[SourceProp]] then
-    * holds the FACT table (so source-keyed MV discovery still works),
-    * these three hold the dim side, the ON condition text, and the
-    * dim's recorded version. Join MVs refresh INCREMENTALLY by the
-    * two-sided delta-join rule (see the refresh branch below): touched
-    * group keys come from ΔF⋈D ∪ F⋈ΔD with segment-pinned Δ scans,
-    * then the shared group-restricted recompute + atomic MERGE tail
-    * applies. Churn above `spark.graft.mvRefresh.join.churnThreshold`
-    * (default 0.5) on either side degrades to the full RTAS.
+  /** JOIN MV (the N-way star/snowflake rollup shape): `create_mv`'s
+    * source may be `'<fact> JOIN <d1> ON <c1> [JOIN <d2> ON <c2> …]'`.
+    * [[SourceProp]] then holds the FACT table (so source-keyed MV
+    * discovery still works); these three hold the dim tables (comma
+    * list), the ON conditions as ONE conjunction (the rewrite compares
+    * conjunct SETS, so join order is immaterial), and the dims'
+    * recorded versions (comma list — at one dim identical to the
+    * historical single-value format). Join MVs refresh INCREMENTALLY
+    * by the per-side delta-join rule (see the refresh branch below):
+    * touched group keys come from ⋃ₖ ΔSₖ ⋈ others, with segment-pinned
+    * Δ scans, then the shared group-restricted recompute + atomic
+    * MERGE tail applies. Churn above
+    * `spark.graft.mvRefresh.join.churnThreshold` (default 0.5) on any
+    * side degrades to the full RTAS.
     */
   val JoinSourceProp = "graft.mv.join.source"
   val JoinCondProp = "graft.mv.join.on"
@@ -158,17 +162,29 @@ private[graft] object GraftMvOps {
         s"mv source must be '<namespace>.<table>' within the graft catalog, got '$source'")
     }
 
-  /** A JOIN-shaped mv source: `'<ns>.<fact> JOIN <ns>.<dim> ON <cond>'`
-    * → Some((fact, dim, cond)), each side a plain `ns.tbl`. Keyword
+  /** A JOIN-shaped mv source:
+    * `'<ns>.<fact> JOIN <ns>.<d1> ON <c1> [JOIN <ns>.<d2> ON <c2> ...]'`
+    * → Some((fact, Seq(dim), Seq(cond))) — the N-way star/snowflake
+    * shape (each ON may reference any already-joined side). Keyword
     * matching is case-insensitive and whitespace-delimited, so a table
-    * or namespace containing "join" as a substring never misparses.
+    * or namespace containing "join"/"on" as a substring never
+    * misparses; an ON condition must not itself contain a top-level
+    * ` JOIN ` token (true for the equi conditions star schemas use).
     */
-  private[graft] def parseJoinSource(source: String): Option[(String, String, String)] = {
-    val m = java.util.regex.Pattern
-      .compile("(?i)^\\s*(\\S+)\\s+JOIN\\s+(\\S+)\\s+ON\\s+(.+)$")
-      .matcher(source)
-    if (!m.matches()) None
-    else Some((m.group(1), m.group(2), m.group(3).trim))
+  private[graft] def parseJoinSource(
+      source: String): Option[(String, Seq[String], Seq[String])] = {
+    val parts = source.trim.split("(?i)\\s+JOIN\\s+")
+    if (parts.length < 2) return None
+    val fact = parts.head.trim
+    if (fact.isEmpty || fact.exists(_.isWhitespace)) return None
+    val onPat = java.util.regex.Pattern.compile("(?is)^\\s*(\\S+)\\s+ON\\s+(.+)$")
+    val dimsConds = parts.tail.toSeq.map { seg =>
+      val m = onPat.matcher(seg)
+      if (!m.matches()) return None
+      (m.group(1).trim, m.group(2).trim)
+    }
+    if (dimsConds.exists { case (d, c) => d.isEmpty || c.isEmpty }) return None
+    Some((fact, dimsConds.map(_._1), dimsConds.map(_._2)))
   }
 
   private def fqn(cat: String, ns: String, tbl: String): String =
@@ -230,50 +246,72 @@ private[graft] object GraftMvOps {
     * and commit lands in the NEXT refresh's diff instead of silently
     * half-appearing), committed atomically with the definition props.
     */
+  /** The full N-way join aggregate, every side version-pinned: fact ⋈
+    * dims with the recorded conjunction applied as one WHERE — the
+    * optimizer pushes each equi conjunct into its join, so the plan is
+    * the same chain of equi joins the per-ON form would give, while
+    * the conjunction form keeps the stored condition ORDER-FREE (the
+    * rewrite compares conjunct SETS).
+    */
   private def joinAggregateAt(
       spark: SparkSession, cat: String,
       fns: String, ftbl: String, vf: Long,
-      dns: String, dtbl: String, vd: Long,
-      cond: String, groupCols: Seq[String], aggList: Seq[String]): DataFrame =
-    spark.sql(
-      s"""SELECT * FROM ${fqn(cat, fns, ftbl)} VERSION AS OF $vf
-         |JOIN ${fqn(cat, dns, dtbl)} VERSION AS OF $vd ON $cond""".stripMargin)
+      dims: Seq[(String, String)], vds: Seq[Long],
+      condConj: String, groupCols: Seq[String], aggList: Seq[String]): DataFrame = {
+    val from = (s"${fqn(cat, fns, ftbl)} VERSION AS OF $vf" +:
+      dims.zip(vds).map { case ((dns, dtbl), vd) =>
+        s"${fqn(cat, dns, dtbl)} VERSION AS OF $vd"
+      }).mkString(" JOIN ")
+    spark.sql(s"SELECT * FROM $from WHERE $condConj")
       .groupBy(groupCols.map(col): _*)
       .agg(expr(aggList.head), aggList.tail.map(expr): _*)
+  }
 
-  /** CREATE a JOIN MV: one full aggregate of fact ⋈ dim, both sides
-    * pinned at their current versions, committed atomically with the
-    * definition props. Ambiguous column names across the two tables
-    * fail loudly at analysis (star schemas keep sides disjoint).
+  /** Render per-ON conditions as the stored conjunction. */
+  private[graft] def condConjOf(conds: Seq[String]): String =
+    conds.map(c => s"($c)").mkString(" AND ")
+
+  /** CREATE a JOIN MV (N-way star/snowflake): one full aggregate of
+    * fact ⋈ dims, every side pinned at its current version, committed
+    * atomically with the definition props. Ambiguous column names
+    * across sides fail loudly at analysis (star schemas keep sides
+    * disjoint). Props encode N sides backward-compatibly: dim names
+    * and versions as comma lists, conditions as one conjunction — at
+    * N = 1 identical to the historical single-dim format (modulo the
+    * cosmetic parens around the condition).
     */
   private def createJoin(spark: SparkSession, ns: String, name: String,
-      factSrc: String, dimSrc: String, cond: String,
+      factSrc: String, dimSrcs: Seq[String], conds: Seq[String],
       group: String, aggs: String, where: String): (String, Long, Long) = {
     require(where.trim.isEmpty,
       "create_mv: a join MV does not take a WHERE (filter the fact side into a view instead)")
     val cat = catalogName(spark)
     val (fns, ftbl) = parseSource(factSrc)
-    val (dns, dtbl) = parseSource(dimSrc)
+    val dims = dimSrcs.map(parseSource)
+    require((s"$fns.$ftbl" +: dimSrcs).distinct.length == dimSrcs.length + 1,
+      "create_mv: join MV sides must be distinct tables")
     val vf = GraftCatalog.currentVersion(fns, ftbl).getOrElse(
       throw new NoSuchTableException(Identifier.of(Array(fns), ftbl)))
-    val vd = GraftCatalog.currentVersion(dns, dtbl).getOrElse(
-      throw new NoSuchTableException(Identifier.of(Array(dns), dtbl)))
+    val vds = dims.map { case (dns, dtbl) =>
+      GraftCatalog.currentVersion(dns, dtbl).getOrElse(
+        throw new NoSuchTableException(Identifier.of(Array(dns), dtbl)))
+    }
     val groupCols = group.split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val aggList = splitTop(aggs)
     require(groupCols.nonEmpty, "create_mv: group_cols must name at least one column")
     require(aggList.nonEmpty, "create_mv: aggs must hold at least one aggregate")
     val df = joinAggregateAt(
-      spark, cat, fns, ftbl, vf, dns, dtbl, vd, cond, groupCols, aggList)
+      spark, cat, fns, ftbl, vf, dims, vds, condConjOf(conds), groupCols, aggList)
     require(!df.columns.exists(c => c == Present || c == SegAlias),
       s"create_mv: column may not be named $Present / $SegAlias")
     df.writeTo(fqn(cat, ns, name))
       .tableProperty(SourceProp, s"$fns.$ftbl")
-      .tableProperty(JoinSourceProp, s"$dns.$dtbl")
-      .tableProperty(JoinCondProp, cond)
+      .tableProperty(JoinSourceProp, dims.map { case (a, b) => s"$a.$b" }.mkString(","))
+      .tableProperty(JoinCondProp, condConjOf(conds))
       .tableProperty(GroupProp, groupCols.mkString(","))
       .tableProperty(AggsProp, aggs)
       .tableProperty(VersionProp, vf.toString)
-      .tableProperty(JoinVersionProp, vd.toString)
+      .tableProperty(JoinVersionProp, vds.mkString(","))
       .createOrReplace()
     ("full", GraftCatalog.rowCount(ns, name), vf)
   }
@@ -281,8 +319,8 @@ private[graft] object GraftMvOps {
   def create(spark: SparkSession, ns: String, name: String,
       source: String, group: String, aggs: String,
       where: String = ""): (String, Long, Long) = {
-    parseJoinSource(source).foreach { case (factSrc, dimSrc, cond) =>
-      return createJoin(spark, ns, name, factSrc, dimSrc, cond, group, aggs, where)
+    parseJoinSource(source).foreach { case (factSrc, dimSrcs, conds) =>
+      return createJoin(spark, ns, name, factSrc, dimSrcs, conds, group, aggs, where)
     }
     val cat = catalogName(spark)
     val (sns, stbl) = parseSource(source)
@@ -345,133 +383,141 @@ private[graft] object GraftMvOps {
     // JOIN MV: noop when neither side moved, metadata-only patch when
     // neither side's DATA moved, two-sided delta-join incremental
     // refresh for in-gate changes, full RTAS otherwise.
-    props.get(JoinCondProp).foreach { cond =>
+    props.get(JoinCondProp).foreach { condConj =>
       // Defensive prop reads (the rewrite path's discipline): a join MV
       // with hand-patched or cleared props must fail as "not a (join)
       // materialized view", not as a raw key-not-found.
       def jprop(key: String): String = props.getOrElse(key,
         throw new IllegalArgumentException(
           s"$ns.$name is not a well-formed join materialized view (no $key table property)"))
-      def jver(key: String): Long = {
-        val v = jprop(key)
-        require(v.nonEmpty && v.forall(_.isDigit),
-          s"$ns.$name: $key must be a version number, got '$v'")
-        v.toLong
+      def jvers(key: String): Seq[Long] = {
+        val vs = jprop(key).split(',').toSeq
+        require(vs.nonEmpty && vs.forall(v => v.nonEmpty && v.forall(_.isDigit)),
+          s"$ns.$name: $key must be comma-separated version numbers, got '${jprop(key)}'")
+        vs.map(_.toLong)
       }
-      val (fns, ftbl) = parseSource(source)
-      val (dns, dtbl) = parseSource(jprop(JoinSourceProp))
-      val vf0 = jver(VersionProp)
-      val vd0 = jver(JoinVersionProp)
-      val vf1 = GraftCatalog.currentVersion(fns, ftbl).getOrElse(
-        throw new NoSuchTableException(Identifier.of(Array(fns), ftbl)))
-      val vd1 = GraftCatalog.currentVersion(dns, dtbl).getOrElse(
-        throw new NoSuchTableException(Identifier.of(Array(dns), dtbl)))
-      if (vf1 == vf0 && vd1 == vd0) return ("noop", 0L, vf0)
+      // Uniform side list: side 0 = fact, sides 1..N = dims — the
+      // delta-join rule below treats every side the same way.
+      val dims = jprop(JoinSourceProp).split(',').toSeq.map(parseSource)
+      val sides: Seq[(String, String)] = parseSource(source) +: dims
+      val v0s: Seq[Long] = jvers(VersionProp) ++ jvers(JoinVersionProp)
+      require(v0s.length == sides.length,
+        s"$ns.$name: recorded join versions (${v0s.length}) do not match sides (${sides.length})")
+      val v1s: Seq[Long] = sides.map { case (tns, tbl) =>
+        GraftCatalog.currentVersion(tns, tbl).getOrElse(
+          throw new NoSuchTableException(Identifier.of(Array(tns), tbl)))
+      }
+      if (v0s == v1s) return ("noop", 0L, v0s.head)
       val jGroupCols = jprop(GroupProp).split(',').toSeq
       val jAggList = splitTop(jprop(AggsProp))
-      val fIdent = Identifier.of(Array(fns), ftbl)
-      val dIdent = Identifier.of(Array(dns), dtbl)
+      val idents = sides.map { case (tns, tbl) => Identifier.of(Array(tns), tbl) }
 
       def fullJoinRefresh(): (String, Long, Long) = {
         joinAggregateAt(
-          spark, cat, fns, ftbl, vf1, dns, dtbl, vd1, cond, jGroupCols, jAggList)
+          spark, cat, sides.head._1, sides.head._2, v1s.head,
+          dims, v1s.tail, condConj, jGroupCols, jAggList)
           .writeTo(fqn(cat, ns, name))
           .tableProperty(SourceProp, source)
-          .tableProperty(JoinSourceProp, s"$dns.$dtbl")
-          .tableProperty(JoinCondProp, cond)
+          .tableProperty(JoinSourceProp, jprop(JoinSourceProp))
+          .tableProperty(JoinCondProp, condConj)
           .tableProperty(GroupProp, jprop(GroupProp))
           .tableProperty(AggsProp, jprop(AggsProp))
-          .tableProperty(VersionProp, vf1.toString)
-          .tableProperty(JoinVersionProp, vd1.toString)
+          .tableProperty(VersionProp, v1s.head.toString)
+          .tableProperty(JoinVersionProp, v1s.tail.mkString(","))
           .replace() // atomic RTAS swap — readers never see a torn MV
-        ("full", GraftCatalog.rowCount(ns, name), vf1)
+        ("full", GraftCatalog.rowCount(ns, name), v1s.head)
       }
 
-      // TWO-SIDED incremental refresh (the delta-join rule). A group's
-      // aggregate can change only through a joined PAIR (f, d) that was
-      // added or removed, and every changed pair has a changed row on
-      // at least one side:
-      //   (F1⋈D1) Δ (F0⋈D0) ⊆ (ΔF⁺⋈D1) ∪ (ΔF⁻⋈D0) ∪ (F1⋈ΔD⁺) ∪ (F0⋈ΔD⁻)
-      // so the union of those four terms' group keys is a conservative
-      // superset of the touched groups — then the single-source tail
-      // recomputes ONLY those groups from F1⋈D1 and applies one atomic
-      // MERGE. The Δ scans are SEGMENT-PINNED (plan exactly the changed
-      // segments); the F0/F1 scans in the dim-churn terms are full fact
-      // reads, which is why dim churn above a threshold degrades to the
-      // always-correct full RTAS: past that point one full re-join
-      // beats two fact passes plus a MERGE. Fact-side-only change — the
-      // star-schema steady state — leaves ONLY the ΔF⁺⋈D1 term: refresh
-      // cost tracks the appended fact data, never the fact table.
-      (GraftCatalog.snapshotByVersion(fIdent, vf0),
-          GraftCatalog.snapshotByVersion(fIdent, vf1),
-          GraftCatalog.snapshotByVersion(dIdent, vd0),
-          GraftCatalog.snapshotByVersion(dIdent, vd1)) match {
-        // Same incremental gate as the single-source path, per side:
-        // both snapshots retained, schema unchanged, identical
-        // outstanding equality deletes (an in-range eq delete kills
-        // rows of segments the structural diff calls unchanged).
-        case (Some(f0), Some(f1), Some(d0), Some(d1))
-            if f0.schema == f1.schema && d0.schema == d1.schema &&
-              f0.eqDeletes == f1.eqDeletes && d0.eqDeletes == d1.eqDeletes =>
-          // (segments live at v1 only, segments live at v0 only): a
-          // dv-changed segment appears on BOTH sides — all its keys
-          // join in as a conservative superset, avoiding bitmap diffs
-          // (the single-source discipline).
-          def diff(s0: GraftCatalog.CatalogSnapshot, s1: GraftCatalog.CatalogSnapshot)
-              : (Vector[GraftCatalog.Segment], Vector[GraftCatalog.Segment]) = {
-            val m0 = s0.segments.map(s => s.path -> s).toMap
-            val m1 = s1.segments.map(s => s.path -> s).toMap
-            val dv = (m0.keySet & m1.keySet).filter(p => m0(p).dv != m1(p).dv)
-            (s1.segments.filter(s => !m0.contains(s.path) || dv(s.path)),
-              s0.segments.filter(s => !m1.contains(s.path) || dv(s.path)))
-          }
-          val (fNew, fOld) = diff(f0, f1)
-          val (dNew, dOld) = diff(d0, d1)
-          if (fNew.isEmpty && fOld.isEmpty && dNew.isEmpty && dOld.isEmpty) {
-            // Metadata-only drift (property churn moved the versions
-            // without touching data): patch the recorded versions —
-            // at 100 TB the difference between an ALTER on the fact
-            // and a full star-join recompute.
-            GraftCatalog.patchTableProps(ident,
-              Map(VersionProp -> vf1.toString, JoinVersionProp -> vd1.toString),
-              unset = Set(RefreshingProp))
-            return ("noop", 0L, vf1)
-          }
-          // Churn gate, BOTH sides: past the threshold the incremental
-          // machinery recomputes most groups anyway (and the dim-churn
-          // terms already paid full fact scans) — fall back to the
-          // one-pass full RTAS.
-          val thresh = spark.conf
-            .get("spark.graft.mvRefresh.join.churnThreshold", "0.5").toDouble
-          def churny(changed: Vector[GraftCatalog.Segment],
-              cur: GraftCatalog.CatalogSnapshot): Boolean =
-            changed.map(_.rows).sum.toDouble >
-              thresh * math.max(1L, cur.segments.map(_.rows).sum).toDouble
-          if (churny(fNew ++ fOld, f1) || churny(dNew ++ dOld, d1))
-            return fullJoinRefresh()
-          def at(tns: String, tbl: String, v: Long): DataFrame =
-            spark.sql(s"SELECT * FROM ${fqn(cat, tns, tbl)} VERSION AS OF $v")
-          val keyCols = jGroupCols.map(col)
-          var terms = List.empty[DataFrame]
-          if (fNew.nonEmpty)
-            terms ::= segmentsDf(spark, fIdent, fNew)
-              .join(at(dns, dtbl, vd1), expr(cond)).select(keyCols: _*)
-          if (fOld.nonEmpty)
-            terms ::= segmentsDf(spark, fIdent, fOld)
-              .join(at(dns, dtbl, vd0), expr(cond)).select(keyCols: _*)
-          if (dNew.nonEmpty)
-            terms ::= at(fns, ftbl, vf1)
-              .join(segmentsDf(spark, dIdent, dNew), expr(cond)).select(keyCols: _*)
-          if (dOld.nonEmpty)
-            terms ::= at(fns, ftbl, vf0)
-              .join(segmentsDf(spark, dIdent, dOld), expr(cond)).select(keyCols: _*)
-          val touchedPlan = terms.reduce(_ unionAll _).distinct()
-          val curAll = at(fns, ftbl, vf1).join(at(dns, dtbl, vd1), expr(cond))
-          return applyTouchedGroups(spark, cat, ns, name, touchedPlan, curAll,
-            jGroupCols, jAggList,
-            Map(VersionProp -> vf1.toString, JoinVersionProp -> vd1.toString))
-        case _ => return fullJoinRefresh()
+      // N-WAY incremental refresh (the delta-join rule). A group's
+      // aggregate can change only through a joined TUPLE that was
+      // added or removed, and every changed tuple contains a changed
+      // row on at least one side:
+      //   ⨝(S¹ᵢ) Δ ⨝(S⁰ᵢ) ⊆ ⋃ₖ (ΔSₖ⁺ ⨝ others@v1) ∪ (ΔSₖ⁻ ⨝ others@v0)
+      // so the union of those 2N terms' group keys is a conservative
+      // superset of the touched groups — then the shared tail
+      // recomputes ONLY those groups from the current join and applies
+      // one atomic MERGE. Each Δ scan is SEGMENT-PINNED (plans exactly
+      // the changed segments); the "others" scans in a dim-side term
+      // pay full passes, which is why churn above the threshold on any
+      // side degrades to the always-correct one-pass full RTAS.
+      // Fact-side-only change — the star-schema steady state — leaves
+      // ONLY the ΔF ⨝ dims@v1 term: refresh cost tracks the appended
+      // fact data, never the fact table.
+      val snaps0 = idents.zip(v0s).map { case (id, v) =>
+        GraftCatalog.snapshotByVersion(id, v) }
+      val snaps1 = idents.zip(v1s).map { case (id, v) =>
+        GraftCatalog.snapshotByVersion(id, v) }
+      // Same incremental gate as the single-source path, per side:
+      // both snapshots retained, schema unchanged, identical
+      // outstanding equality deletes (an in-range eq delete kills rows
+      // of segments the structural diff calls unchanged).
+      val inGate = snaps0.zip(snaps1).forall {
+        case (Some(s0), Some(s1)) =>
+          s0.schema == s1.schema && s0.eqDeletes == s1.eqDeletes
+        case _ => false
       }
+      if (!inGate) return fullJoinRefresh()
+      // Per-side (segments live at v1 only, at v0 only): a dv-changed
+      // segment appears on BOTH sides — all its keys join in as a
+      // conservative superset, avoiding bitmap diffs.
+      val diffs: Seq[(Vector[GraftCatalog.Segment], Vector[GraftCatalog.Segment])] =
+        snaps0.zip(snaps1).map { case (Some(s0), Some(s1)) =>
+          val m0 = s0.segments.map(x => x.path -> x).toMap
+          val m1 = s1.segments.map(x => x.path -> x).toMap
+          val dv = (m0.keySet & m1.keySet).filter(px => m0(px).dv != m1(px).dv)
+          (s1.segments.filter(x => !m0.contains(x.path) || dv(x.path)),
+            s0.segments.filter(x => !m1.contains(x.path) || dv(x.path)))
+        case _ => throw new IllegalStateException("unreachable: gate checked")
+        }
+      if (diffs.forall { case (a, b) => a.isEmpty && b.isEmpty }) {
+        // Metadata-only drift (property churn moved versions without
+        // touching data): patch the recorded versions — at 100 TB the
+        // difference between an ALTER and a full star-join recompute.
+        GraftCatalog.patchTableProps(ident,
+          Map(VersionProp -> v1s.head.toString,
+            JoinVersionProp -> v1s.tail.mkString(",")),
+          unset = Set(RefreshingProp))
+        return ("noop", 0L, v1s.head)
+      }
+      // Churn gate, EVERY side: past the threshold the incremental
+      // machinery recomputes most groups anyway (and non-fact delta
+      // terms already pay full passes over the other sides).
+      val thresh = spark.conf
+        .get("spark.graft.mvRefresh.join.churnThreshold", "0.5").toDouble
+      val churny = diffs.zip(snaps1).exists { case ((nw, od), Some(s1)) =>
+        (nw ++ od).map(_.rows).sum.toDouble >
+          thresh * math.max(1L, s1.segments.map(_.rows).sum).toDouble
+      case _ => false
+      }
+      if (churny) return fullJoinRefresh()
+      def at(k: Int, vs: Seq[Long]): DataFrame = {
+        val (tns, tbl) = sides(k)
+        spark.sql(s"SELECT * FROM ${fqn(cat, tns, tbl)} VERSION AS OF ${vs(k)}")
+      }
+      val keyCols = jGroupCols.map(col)
+      // One key term per (changed side, diff end): the changed side's
+      // pinned delta crossed with every OTHER side at the matching
+      // versions, the conjunction applied once (the optimizer pushes
+      // each conjunct into its equi join — never a surviving cartesian
+      // for the equi conditions star schemas use).
+      def term(k: Int, segs: Vector[GraftCatalog.Segment], vs: Seq[Long]): DataFrame = {
+        val others = sides.indices.filter(_ != k).map(at(_, vs))
+        others.foldLeft(segmentsDf(spark, idents(k), segs))(_ crossJoin _)
+          .where(expr(condConj))
+          .select(keyCols: _*)
+      }
+      val terms = diffs.zipWithIndex.flatMap { case ((nw, od), k) =>
+        (if (nw.nonEmpty) Seq(term(k, nw, v1s)) else Nil) ++
+          (if (od.nonEmpty) Seq(term(k, od, v0s)) else Nil)
+      }
+      val touchedPlan = terms.reduce(_ unionAll _).distinct()
+      val curAll = sides.indices.tail.map(at(_, v1s))
+        .foldLeft(at(0, v1s))(_ crossJoin _)
+        .where(expr(condConj))
+      return applyTouchedGroups(spark, cat, ns, name, touchedPlan, curAll,
+        jGroupCols, jAggList,
+        Map(VersionProp -> v1s.head.toString,
+          JoinVersionProp -> v1s.tail.mkString(",")))
     }
     val (sns, stbl) = parseSource(source)
     val sIdent = Identifier.of(Array(sns), stbl)

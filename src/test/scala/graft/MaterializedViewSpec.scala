@@ -951,6 +951,116 @@ class MaterializedViewSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.mvj2.dim")
   }
 
+  test("N-way snowflake MV: create/serve any join order, per-side delta refresh, stale fact appends") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.identifier.map(_.toString).getOrElse("")
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.identifier.map(_.toString).getOrElse("")
+      }
+    spark.sql("DROP TABLE IF EXISTS graft.mvn.fact")
+    spark.sql("DROP TABLE IF EXISTS graft.mvn.cust")
+    spark.sql("DROP TABLE IF EXISTS graft.mvn.nat")
+    spark.sql("DROP TABLE IF EXISTS graft.mvn.agg")
+    spark.sql("CREATE TABLE graft.mvn.fact (k BIGINT, v BIGINT) USING graft")
+    spark.sql("CREATE TABLE graft.mvn.cust (ck BIGINT, nk BIGINT) USING graft")
+    spark.sql("CREATE TABLE graft.mvn.nat (nk2 BIGINT, nname STRING) USING graft")
+    spark.sql("INSERT INTO graft.mvn.fact VALUES (1, 10), (1, 20), (2, 5), (3, 7)")
+    // cust spans SIX segments (5 rows each) so a later row-level change
+    // rewrites a minority of the table — the churn gate must stay open
+    // for the mid-dim incremental refresh below (a 1-segment toy dim
+    // would churn 100% and correctly fall back to full).
+    (0 until 6).foreach { b =>
+      val rows = (1 to 5).map { i =>
+        val ck = b * 5 + i
+        val nk = if (ck <= 2) 100 else if (ck == 3) 200 else 300
+        s"($ck, $nk)"
+      }.mkString(", ")
+      spark.sql(s"INSERT INTO graft.mvn.cust VALUES $rows")
+    }
+    spark.sql("INSERT INTO graft.mvn.nat VALUES (100, 'de'), (200, 'fr'), (300, 'jp')")
+    // Snowflake: the second ON joins dim-to-dim, not fact-to-dim.
+    val (mode, groups, _) = call(
+      """CALL graft.system.create_mv('mvn', 'agg',
+        |  'mvn.fact JOIN mvn.cust ON k = ck JOIN mvn.nat ON nk = nk2',
+        |  'nname', 'count(*) AS cnt, sum(v) AS total')""".stripMargin)
+    assert(mode == "full" && groups == 2, s"3-way create: $mode/$groups")
+    def direct(q: String): Seq[(String, Long, Long)] = {
+      spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+      try spark.sql(q).collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+      finally spark.conf.set("spark.graft.mvRewrite.enabled", "true")
+    }
+    val q = """SELECT nname, count(*) AS c, sum(v) AS s
+              |FROM graft.mvn.fact JOIN graft.mvn.cust ON k = ck
+              |JOIN graft.mvn.nat ON nk = nk2
+              |GROUP BY nname""".stripMargin
+    val hit = spark.sql(q)
+    assert(scans(hit).exists(_.contains("agg")), s"3-way query not MV-served: ${scans(hit)}")
+    assert(hit.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1) == direct(q))
+    // A DIFFERENT join order / tree shape serves too (inner joins
+    // commute and associate; conjunct-set matching is order-free).
+    val reordered = spark.sql(
+      """SELECT nname, count(*) AS c FROM graft.mvn.nat
+        |JOIN (SELECT * FROM graft.mvn.cust JOIN graft.mvn.fact ON k = ck) ON nk = nk2
+        |GROUP BY nname""".stripMargin)
+    assert(scans(reordered).exists(_.contains("agg")),
+      s"reordered 3-way join not MV-served: ${scans(reordered)}")
+    // A MISSING table (2 of the 3) must never be served.
+    val partial = spark.sql(
+      """SELECT nk, count(*) AS c FROM graft.mvn.fact JOIN graft.mvn.cust ON k = ck
+        |GROUP BY nk""".stripMargin)
+    assert(!scans(partial).exists(_.contains("agg")),
+      "2-table subset wrongly served by the 3-way MV")
+    // A different conjunct set must never be served.
+    val wrongCond = spark.sql(
+      """SELECT nname, count(*) AS c
+        |FROM graft.mvn.fact JOIN graft.mvn.cust ON k = nk
+        |JOIN graft.mvn.nat ON nk = nk2 GROUP BY nname""".stripMargin)
+    assert(!scans(wrongCond).exists(_.contains("agg")),
+      "different conjunct set wrongly served")
+    // STALE fact appends: served as MV ⊎ (ΔF ⋈ cust ⋈ nat), exact.
+    spark.sql("INSERT INTO graft.mvn.fact VALUES (3, 100), (2, 1)")
+    val stale = spark.sql(q)
+    assert(scans(stale).exists(_.contains("agg")),
+      "fact-stale 3-way MV should be stale-delta-served")
+    assert(stale.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1) == direct(q))
+    // Fact-side incremental refresh: touched groups = de (k=2) + fr (k=3).
+    val (m1, g1, _) = call("CALL graft.system.refresh_mv('mvn', 'agg')")
+    assert(m1 == "incremental" && g1 == 2, s"fact refresh: $m1/$g1")
+    assert(spark.sql(q).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1) == direct(q))
+    // MID-dim change (cust): customer 2 moves nation 100 → 200; the
+    // delta terms find both affected groups through ΔD ⋈ others.
+    spark.sql("UPDATE graft.mvn.cust SET nk = 200 WHERE ck = 2")
+    val midStale = spark.sql(q)
+    assert(!scans(midStale).exists(_.contains("agg")),
+      "dim-moved 3-way MV wrongly stale-served")
+    val (m2, g2, _) = call("CALL graft.system.refresh_mv('mvn', 'agg')")
+    assert(m2 == "incremental" && g2 == 2, s"mid-dim refresh: $m2/$g2")
+    assert(spark.sql(q).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1) == direct(q))
+    // LEAF-dim append (nat): new nation picks up no fact rows — the
+    // ΔD ⋈ others term finds no touched groups, refresh is incremental
+    // with zero groups, and the MV is correct and fresh-served again.
+    spark.sql("INSERT INTO graft.mvn.nat VALUES (400, 'br')")
+    val (m3, g3, _) = call("CALL graft.system.refresh_mv('mvn', 'agg')")
+    assert(m3 == "incremental" && g3 == 0, s"leaf-dim refresh: $m3/$g3")
+    assert(spark.sql(q).queryExecution.optimizedPlan != null)
+    assert(scans(spark.sql(q)).exists(_.contains("agg")), "refreshed 3-way MV not served")
+    // Idle refresh is a noop.
+    val (m4, g4, _) = call("CALL graft.system.refresh_mv('mvn', 'agg')")
+    assert(m4 == "noop" && g4 == 0)
+    spark.sql("DROP TABLE graft.mvn.agg")
+    spark.sql("DROP TABLE graft.mvn.fact")
+    spark.sql("DROP TABLE graft.mvn.cust")
+    spark.sql("DROP TABLE graft.mvn.nat")
+  }
+
   test("stale join MV: fact-side appends served as MV ⊎ (ΔF ⋈ dim), dim change declines") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     spark.sql("DROP TABLE IF EXISTS graft.sj.fact")
