@@ -80,7 +80,7 @@ object ScaleSpot {
       // again), plus the new incremental/stale join-MV rows (refresh
       // and rewrite cost must track the fact delta, not the fact).
       "l9_incremental_neardup", "f9_variant",
-      "x9f_join_mv_refresh", "x9g_stale_join_mv")
+      "x9f_join_mv_refresh", "x9g_stale_join_mv", "x9h_snowflake_mv")
     val qs = SparkEntry.queries
     // SPARK_GRAFT_SCALE_ALL=1: run EVERY registry query against the 10×
     // slice (the full-suite sf1 datapoint; single-shot timings — the
