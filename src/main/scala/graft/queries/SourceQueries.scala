@@ -764,7 +764,7 @@ object SourceQueries {
     df
   }
 
-  /** X9f: INCREMENTAL JOIN-MV REFRESH (the two-sided delta-join rule) —
+  /** X9f: INCREMENTAL JOIN-MV REFRESH (the per-side delta-join rule) —
     * the MV pre-joins fact ⋈ dim at per-customer grain; a fact append
     * lands AFTER materialization and `refresh_mv` must absorb it
     * INCREMENTALLY: touched keys from ΔF⋈D with a SEGMENT-PINNED fact

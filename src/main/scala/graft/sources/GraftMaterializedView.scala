@@ -381,7 +381,7 @@ private[graft] object GraftMvOps {
     val source = props.getOrElse(SourceProp, throw new IllegalArgumentException(
       s"$ns.$name is not a materialized view (no $SourceProp table property)"))
     // JOIN MV: noop when neither side moved, metadata-only patch when
-    // neither side's DATA moved, two-sided delta-join incremental
+    // no side's DATA moved, per-side delta-join incremental
     // refresh for in-gate changes, full RTAS otherwise.
     props.get(JoinCondProp).foreach { condConj =>
       // Defensive prop reads (the rewrite path's discipline): a join MV
