@@ -39,11 +39,12 @@ import graft.sources.{GraftCatalog, GraftMvOps}
   * the same set of INNER-joined tables (any join order or tree shape)
   * whose ON conjunct SET matches the MV's recorded conjunction is
   * served when EVERY side is fresh at the MV's recorded versions —
-  * see [[rewriteJoin]]. A join MV stale by fact-side APPENDS only
-  * (every dim data-unmoved) is still served, as
-  * MV ⊎ re-aggregate(ΔF ⋈ dims) with a segment-pinned fact-delta
-  * scan — see [[tryStaleJoinCandidate]]; any dim-side data change
-  * declines the stale path.
+  * see [[rewriteJoin]]. A join MV stale by APPENDS on at most ONE
+  * side (fact micro-batches, or a late-arriving dim's new members)
+  * is still served, as MV ⊎ re-aggregate(ΔS ⋈ others) with a
+  * segment-pinned delta scan of the moved side — see
+  * [[tryStaleJoinCandidate]]; two moved sides, or any non-append
+  * change, decline the stale path.
   *
   * FILTERED MVs (defined with `create_mv(..., where)`) add a predicate
   * SUBSUMPTION gate before either shape: every MV-filter conjunct must
@@ -135,6 +136,14 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    agg.child match {
+      // ROLLUP/CUBE/GROUPING SETS analyze to Aggregate-over-Expand;
+      // the single-relation/join matchers below never see through the
+      // Expand, so grouping-set navigation gets its own matcher.
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand =>
+        return rewriteGroupingSets(agg, e)
+      case _ =>
+    }
     val (filterCond, relation) = stripChild(agg.child) match {
       case Some((c, r))
           if r.catalog.exists(_.isInstanceOf[GraftCatalog]) && r.identifier.isDefined =>
@@ -166,6 +175,187 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
           tryStaleCandidate(agg, relation, groupAttrs, filterCond, mvIdent, resolver)
         }.headOption
     }
+  }
+
+  /** GROUPING-SETS NAVIGATION (rollup/cube/GROUPING SETS over the MV's
+    * base): the analyzer lowers `GROUP BY rollup(a, b)` to
+    * `Aggregate(groupAttrs :+ gid, aggs, Expand(projections, output,
+    * Project(child.output ++ groupByAliases, child)))` — every
+    * grouping SET is a coarsening of the full grouping list, so when
+    * that list is contained in an MV's grain and every aggregate is
+    * rollup-derivable, the whole lattice is derivable from the MV: the
+    * rewrite rebuilds the SAME Expand structure (same grouping-set
+    * membership matrix, same gid literals, same grouping/gid
+    * attribute ExprIds — parents stay oblivious) over the MV scan,
+    * with the aggregate functions mapped to their merge forms
+    * (sum→sum, count→sum-of-counts, min→min, max→max). One MV scan
+    * replaces the base scan; the per-set duplication the Expand does
+    * now multiplies pre-aggregated rows instead of raw ones. Gates
+    * mirror [[tryCandidate]]: fresh single-source MV, plain-column
+    * groupings, WHERE references grouping columns only (it commutes
+    * with the pre-aggregation AND with Expand), structural aggregate
+    * match, exact types.
+    */
+  private def rewriteGroupingSets(
+      agg: Aggregate,
+      expand: org.apache.spark.sql.catalyst.plans.logical.Expand): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.VirtualColumn
+    if (agg.groupingExpressions.isEmpty) return None
+    val gidAttr = agg.groupingExpressions.last match {
+      case a: Attribute if a.name == VirtualColumn.groupingIdName => a
+      case _ => return None
+    }
+    val groupAttrs: Seq[Attribute] = agg.groupingExpressions.init.map {
+      case a: Attribute => a
+      case _ => return None
+    }
+    if (groupAttrs.isEmpty) return None
+    // Expand output = passthrough ++ groupAttrs ++ gid (the analyzer's
+    // constructExpand shape); anything else is not a grouping-sets
+    // Expand (e.g. a future optimizer-inserted one) → decline.
+    val out = expand.output
+    val baseLen = out.length - groupAttrs.length - 1
+    if (baseLen < 0 || out.last.exprId != gidAttr.exprId) return None
+    groupAttrs.zipWithIndex.foreach { case (a, i) =>
+      if (out(baseLen + i).exprId != a.exprId) return None
+    }
+    // The Project under the Expand carries child.output ++ the
+    // grouping ALIASES; plain-column groupings only (an aliased
+    // computed grouping cannot map onto an MV group column).
+    val proj = expand.child match {
+      case p: Project if p.projectList.length == baseLen + groupAttrs.length => p
+      case _ => return None
+    }
+    // Per grouping column: the BASE column it aliases, plus the
+    // Project-side ExprId its non-null projection slots carry (the
+    // analyzer emits Project aliases a#19 that feed Expand projections
+    // while the Expand OUTPUT mints fresh attrs a#22 — two distinct
+    // ids per grouping column).
+    val aliasInfo: Seq[(String, ExprId)] = groupAttrs.indices.map { i =>
+      proj.projectList(baseLen + i) match {
+        case al @ Alias(c: AttributeReference, _) => (c.name, al.exprId)
+        case na: AttributeReference => (na.name, na.exprId)
+        case _ => return None
+      }
+    }
+    val baseColFor: Seq[String] = aliasInfo.map(_._1)
+    val (filterCond, relation) = stripChild(proj.child) match {
+      case Some((c, r))
+          if r.catalog.exists(_.isInstanceOf[GraftCatalog]) && r.identifier.isDefined =>
+        (c, r)
+      case _ => return None
+    }
+    if (GraftCatalog.isPinnedTable(relation.table)) return None
+    val srcIdent = relation.identifier.get
+    if (srcIdent.namespace().length != 1) return None
+    val resolver = conf.resolver
+    // Per-set membership matrix + gid literal, read off the original
+    // projections: slot baseLen+i is either the grouping attr itself
+    // or a null literal; the last slot is the set's gid literal.
+    val sets: Seq[(Seq[Boolean], Expression)] = expand.projections.map { row =>
+      if (row.length != out.length) return None
+      val present = groupAttrs.indices.map { i =>
+        row(baseLen + i) match {
+          case ar: Attribute if ar.exprId == aliasInfo(i)._2 => true
+          case Literal(null, _) => false
+          case _ => return None
+        }
+      }
+      row.last match {
+        case l: Literal => (present, l: Expression)
+        case _ => return None
+      }
+    }
+
+    GraftCatalog.freshMvsFor(srcIdent.namespace()(0), srcIdent.name())
+      .view.flatMap { case (mvIdent, props) =>
+        tryGroupingSetsCandidate(agg, relation, filterCond, groupAttrs, gidAttr,
+          baseColFor, sets, mvIdent, props, resolver)
+      }.headOption
+  }
+
+  private def tryGroupingSetsCandidate(
+      agg: Aggregate, relation: DataSourceV2Relation,
+      filterCond: Option[Expression],
+      groupAttrs: Seq[Attribute], gidAttr: Attribute,
+      baseColFor: Seq[String], sets: Seq[(Seq[Boolean], Expression)],
+      mvIdent: Identifier, props: Map[String, String],
+      resolver: (String, String) => Boolean): Option[LogicalPlan] = {
+    if (props.contains(GraftMvOps.JoinCondProp)) return None
+    val mvGroupCols = props(GraftMvOps.GroupProp).split(',').toSeq
+    // The FULL grouping list (the lattice's finest set) must be
+    // contained in the MV grain; every coarser set then is too.
+    if (!baseColFor.forall(c => mvGroupCols.exists(resolver(_, c)))) return None
+    val residualCond: Option[Expression] =
+      residualAfterMvFilter(props, filterCond, relation).getOrElse(return None)
+    if (!admissibleResidual(residualCond, mvGroupCols, resolver)) return None
+    val specByKey = bindSpecs(props(GraftMvOps.AggsProp), relation.output)
+      .getOrElse(return None).map(t => t._1 -> t._2).toMap
+
+    val catalog = relation.catalog.get.asInstanceOf[TableCatalog]
+    val mvTable =
+      try catalog.loadTable(mvIdent)
+      catch { case NonFatal(_) => return None }
+    val mvRelation = DataSourceV2Relation.create(mvTable, relation.catalog, Some(mvIdent))
+    def mvAttr(col: String): Option[Attribute] =
+      mvRelation.output.find(a => resolver(a.name, col))
+    // Grouping columns must exist on the MV with EXACT types (Expand's
+    // null literals and the output attrs are typed by them).
+    val mvGroupAttrs: Seq[Attribute] = baseColFor.zip(groupAttrs).map {
+      case (c, a) =>
+        val m = mvAttr(c).getOrElse(return None)
+        if (m.dataType != a.dataType) return None
+        m
+    }
+    val mvChild = remapOntoMv(residualCond, mvGroupCols, mvAttr, mvRelation, resolver)
+      .getOrElse(return None)
+
+    // Aggregate outputs: grouping/gid references pass through (their
+    // attrs keep their ExprIds in the rebuilt Expand); aggregates map
+    // to merge forms over the MV's pre-aggregated columns.
+    val gsetAttrIds = (groupAttrs :+ gidAttr).map(_.exprId).toSet
+    val neededAggCols = scala.collection.mutable.LinkedHashSet[String]()
+    val outputs: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: Attribute if gsetAttrIds.contains(a.exprId) => a
+      case al: Alias
+          if al.child.find(_.isInstanceOf[AggregateExpression]).isEmpty &&
+            al.child.references.forall(r => gsetAttrIds.contains(r.exprId)) =>
+        al // grouping()/grouping_id() shapes and aliased group columns
+      case al @ Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        val srcCol = specByKey.get(norm(ae)).getOrElse(return None)
+        val src = mvAttr(srcCol).getOrElse(return None)
+        neededAggCols += srcCol
+        val reagg: Expression = ae.aggregateFunction match {
+          case _: Sum => Sum(src).toAggregateExpression()
+          case _: Count =>
+            Coalesce(Seq(Sum(src).toAggregateExpression(), Literal(0L)))
+          case _: Min => Min(src).toAggregateExpression()
+          case _: Max => Max(src).toAggregateExpression()
+          case _ => return None
+        }
+        val shaped =
+          if (reagg.dataType == al.dataType) reagg else Cast(reagg, al.dataType)
+        Alias(shaped, al.name)(exprId = al.exprId)
+      case _ => return None
+    }
+
+    // Rebuild the Expand over the MV: pass-through slots for the
+    // needed MV aggregate columns, the SAME per-set null matrix for
+    // the grouping columns, the SAME gid literals, and the ORIGINAL
+    // grouping/gid output attrs so the Aggregate above (and anything
+    // above it) resolves unchanged.
+    val aggAttrs: Seq[Attribute] =
+      neededAggCols.toSeq.map(c => mvAttr(c).getOrElse(return None))
+    val newProjections: Seq[Seq[Expression]] = sets.map { case (present, gidLit) =>
+      aggAttrs ++ mvGroupAttrs.zip(present).zip(groupAttrs).map {
+        case ((m, true), _) => m: Expression
+        case ((_, false), a) => Literal.create(null, a.dataType): Expression
+      } ++ Seq(gidLit)
+    }
+    val newExpand = org.apache.spark.sql.catalyst.plans.logical.Expand(
+      newProjections, aggAttrs ++ groupAttrs :+ gidAttr, mvChild)
+    Some(Aggregate(agg.groupingExpressions, outputs, newExpand))
   }
 
   /** A bare graft relation under pass-through wrappers, or None. */
@@ -267,8 +457,16 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     }.headOption.orElse {
       if (!conf.getConfString(StaleEnabledKey, "true").toBoolean) None
       else {
-        val staleCands = rels.flatMap(r =>
-            GraftCatalog.staleMvsFor(r.identifier.get.namespace()(0), r.identifier.get.name()))
+        // Stale candidates by the FACT's recorded version — plus
+        // fact-FRESH join MVs, which a moved DIM leaves out of
+        // staleMvsFor (the staleness is on the dim side, invisible to
+        // fact-keyed discovery); the fresh matcher above already
+        // declined them for the dim drift, and tryStaleJoinCandidate
+        // re-derives per-side deltas itself.
+        val staleCands = rels.flatMap { r =>
+            val (rns, rtbl) = (r.identifier.get.namespace()(0), r.identifier.get.name())
+            GraftCatalog.staleMvsFor(rns, rtbl) ++ GraftCatalog.freshMvsFor(rns, rtbl)
+          }
           .filter(_._2.contains(GraftMvOps.JoinCondProp))
         staleCands.view.flatMap { case (mvIdent, _) =>
           tryStaleJoinCandidate(agg, groupAttrs, filterCond, queryConjuncts,
@@ -299,28 +497,28 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   /** STALE-TOLERANT rewrite for JOIN MVs — the delta-join
     * specialization of [[tryStaleCandidate]]: an aggregate over
-    * `fact ⋈ dims` whose MV is behind ONLY by fact-side appends is
-    * served as MV ⊎ re-aggregate(ΔF ⋈ dims), where ΔF is a
-    * SEGMENT-PINNED scan of exactly the fact segments appended after
-    * the MV's recorded fact version. The algebra: with every dim
-    * data-identical since its recorded version,
-    * F₁⋈D⃗ = (F₀ ∪ ΔF)⋈D⃗ = (F₀⋈D⃗) ∪ (ΔF⋈D⃗), and the MV is precisely
-    * γ(F₀⋈D⃗) — so the union re-merges exactly. At 100 TB this is the
-    * steady-state star-schema read: the MV covers the joined history,
-    * the delta term joins one micro-batch against the dims, and the
-    * fact table itself is never scanned.
+    * `fact ⋈ dims` whose MV is behind by appends on AT MOST ONE side
+    * is served as MV ⊎ re-aggregate(ΔS ⋈ others), where ΔS is a
+    * SEGMENT-PINNED scan of exactly the segments appended to the moved
+    * side after the MV's recorded version for it. The algebra: with
+    * every other side data-identical since its recorded version,
+    * ⋈(S⃗₁) = ⋈(S⃗₀ with Sₖ₀ ∪ ΔSₖ) = ⋈(S⃗₀) ∪ (ΔSₖ ⋈ others), and the
+    * MV is precisely γ(⋈(S⃗₀)) — so the union re-merges exactly. TWO
+    * moved sides expand into cross terms (ΔSᵢ ⋈ ΔSⱼ appears twice)
+    * that only a refresh repairs → decline. At 100 TB this covers both
+    * steady-state star-schema reads: fact micro-batch appends join one
+    * batch against the dims (the fact table itself never scanned), and
+    * dim-append staleness (late-arriving dimension members) joins the
+    * dim delta against the fact — where the equi conjunct reaching the
+    * fact scan as a pushed filter prunes it to matched segments.
     *
     * Gates beyond the single-source stale path:
-    *  - EVERY dim must be DATA-unmoved since the MV's recorded dim
-    *    version (metadata-only commits pass) — a dim change
-    *    invalidates pre-joined MV rows in ways only a full-fact
-    *    re-join repairs, which is the cost this path exists to avoid
-    *    → decline;
-    *  - the fact side must be append-only since vf0 (the single-source
-    *    gate, via the same snapshot-chain walk);
+    *  - EVERY side must be append-only since its recorded version
+    *    (the single-source gate, via the same snapshot-chain walk),
+    *    and at most ONE side's delta may be non-empty;
     *  - the ON conjunct set must match (order-free), and the delta
     *    branch re-binds the conjunction (and the MV's aggregate specs)
-    *    against ΔF ⋈ dims' own attribute set.
+    *    against ΔS ⋈ others' own attribute set.
     */
   private def tryStaleJoinCandidate(
       agg: Aggregate, groupAttrs: Seq[Attribute],
@@ -334,36 +532,43 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     // flag closes the MERGE window exactly as in the single-source path.
     val (mvTable, props) = GraftCatalog.mvEntrySnapshot(mvIdent).getOrElse(return None)
     if (props.contains(GraftMvOps.RefreshingProp)) return None
-    if (props.contains(GraftMvOps.FilterProp)) return None // join MVs take no WHERE
     val fact = props.getOrElse(GraftMvOps.SourceProp, return None)
     val (dims, vds) = joinDefMatching(props, names).getOrElse(return None)
     val vf0 = props.get(GraftMvOps.VersionProp).collect {
       case v if v.nonEmpty && v.forall(_.isDigit) => v.toLong
     }.getOrElse(return None)
-    val (fns, ftbl) = fact.split('.') match {
-      case Array(a, b) => (a, b)
-      case _ => return None
+    // Per-side append-only deltas: side 0 = fact at vf0, then dims at
+    // their recorded versions. At most ONE side may have data moved.
+    val sideNames: Seq[String] = fact +: dims
+    val sideV0s: Seq[Long] = vf0 +: vds.map { v =>
+      if (v.isEmpty || !v.forall(_.isDigit)) return None
+      v.toLong
     }
-    // Every dim must be DATA-unmoved since its recorded version:
-    // append-only AND empty delta = data-identical.
-    dims.zip(vds).foreach { case (d, v) =>
-      if (!v.forall(_.isDigit) || v.isEmpty) return None
-      val (dns, dtbl) = d.split('.') match {
-        case Array(a, b) => (a, b)
-        case _ => return None
+    def nsTbl(s: String): Option[(String, String)] = s.split('.') match {
+      case Array(a, b) => Some((a, b))
+      case _ => None
+    }
+    val sideDeltas: Seq[Vector[GraftCatalog.Segment]] =
+      sideNames.zip(sideV0s).map { case (s, v) =>
+        val (tns, ttbl) = nsTbl(s).getOrElse(return None)
+        GraftCatalog.appendOnlyDeltaSince(tns, ttbl, v).getOrElse(return None)
       }
-      if (!GraftCatalog.appendOnlyDeltaSince(dns, dtbl, v.toLong).exists(_.isEmpty))
-        return None
-    }
-    // Fact: append-only; the delta is what the union's second branch reads.
-    val factDelta = GraftCatalog.appendOnlyDeltaSince(fns, ftbl, vf0).getOrElse(return None)
+    val movedSides = sideDeltas.zipWithIndex.filter(_._1.nonEmpty).map(_._2)
+    if (movedSides.length > 1) return None
     val mvCond = resolveSpecAgainst(
       props.getOrElse(GraftMvOps.JoinCondProp, return None), combinedOutput)
       .getOrElse(return None)
     if (conjuncts(mvCond).map(norm).toSet != queryConjuncts.map(norm).toSet) return None
     val mvGroupCols =
       props.getOrElse(GraftMvOps.GroupProp, return None).split(',').toSeq
-    if (!admissibleResidual(filterCond, mvGroupCols, resolver)) return None
+    // FILTERED join MV under staleness: the MV branch applies only the
+    // residual (the MV's conjuncts were applied pre-aggregation inside
+    // it); the delta branch applies the query's FULL predicate — delta
+    // rows are raw joined tuples, and the MV's conjuncts are part of
+    // the query's own WHERE by the subsumption check.
+    val residualCond: Option[Expression] =
+      residualAfterMvFilterOn(props, filterCond, combinedOutput).getOrElse(return None)
+    if (!admissibleResidual(residualCond, mvGroupCols, resolver)) return None
     if (groupingMatch(groupAttrs, mvGroupCols, resolver).isEmpty) return None
     val aggsProp = props.getOrElse(GraftMvOps.AggsProp, return None)
     val specs = bindSpecs(aggsProp, combinedOutput).getOrElse(return None)
@@ -380,26 +585,30 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       DataSourceV2Relation.create(mvTable, anyCatalog, Some(mvIdent))
     def mvAttr(col: String): Option[Attribute] =
       mvRelation.output.find(a => resolver(a.name, col))
-    val mvChild = remapOntoMv(filterCond, mvGroupCols, mvAttr, mvRelation, resolver)
+    val mvChild = remapOntoMv(residualCond, mvGroupCols, mvAttr, mvRelation, resolver)
       .getOrElse(return None)
     val mvPart = Project(unionCols.map(c => mvAttr(c).getOrElse(return None)), mvChild)
 
     val combined: LogicalPlan =
-      if (factDelta.isEmpty) mvPart // metadata-only fact drift
+      if (movedSides.isEmpty) mvPart // metadata-only drift on every side
       else {
-        val fIdent = Identifier.of(Array(fns), ftbl)
+        val m = movedSides.head
+        val (mns, mtbl) = nsTbl(sideNames(m)).getOrElse(return None)
+        val mIdent = Identifier.of(Array(mns), mtbl)
         val deltaTable =
-          GraftCatalog.segmentPinnedTable(fIdent, factDelta).getOrElse(return None)
-        val deltaFactRel =
-          DataSourceV2Relation.create(deltaTable, anyCatalog, Some(fIdent))
-        // Dim sides: REUSE the query's own relations — the rewrite
+          GraftCatalog.segmentPinnedTable(mIdent, sideDeltas(m)).getOrElse(return None)
+        val deltaRel =
+          DataSourceV2Relation.create(deltaTable, anyCatalog, Some(mIdent))
+        // Other sides: REUSE the query's own relations — the rewrite
         // replaces the whole aggregate, so their ExprIds appear exactly
         // once in the new plan (and they already carry the current,
-        // analysis-time-checked dim state).
-        val dimRels: Seq[DataSourceV2Relation] = dims.map { d =>
-          rels(names.indexOf(d))
-        }
-        val deltaOut = deltaFactRel.output ++ dimRels.flatMap(_.output)
+        // analysis-time-checked state, which equals the recorded state
+        // by the empty-delta gate above).
+        val otherRels: Seq[DataSourceV2Relation] =
+          sideNames.zipWithIndex.collect {
+            case (n, i) if i != m => rels(names.indexOf(n))
+          }
+        val deltaOut = deltaRel.output ++ otherRels.flatMap(_.output)
         def deltaAttr(col: String): Option[Attribute] =
           deltaOut.find(a => resolver(a.name, col))
         val deltaCond =
@@ -408,8 +617,12 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
         // Condition-free Inner joins under ONE Filter holding the
         // conjunction: predicate pushdown turns each equi conjunct into
         // its join condition before the cartesian check runs — the same
-        // conjunction form create/refresh plan through.
-        val joined: LogicalPlan = dimRels.foldLeft(deltaFactRel: LogicalPlan)(
+        // conjunction form create/refresh plan through. For a moved DIM
+        // the equi conjunct also reaches the FACT scan as a pushed
+        // join-side filter once the optimizer plans the (small,
+        // broadcast) delta against it — zone maps prune the fact to
+        // segments holding the delta's keys.
+        val joined: LogicalPlan = otherRels.foldLeft(deltaRel: LogicalPlan)(
           (l, r) => Join(l, r, Inner, None, JoinHint.NONE))
         val withCond: LogicalPlan = Filter(deltaCond, joined)
         val deltaChild: LogicalPlan = filterCond match {
@@ -450,10 +663,7 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     // Defensive prop reads (the refresh path's discipline): a join MV
     // with hand-patched or cleared props must DECLINE the rewrite, not
     // throw from inside the analyzer rule (which would fail the user's
-    // query). A stray FilterProp likewise declines — join MVs take no
-    // WHERE at create, and serving one without applying its filter
-    // would be a wrong-results rewrite.
-    if (props.contains(GraftMvOps.FilterProp)) return None
+    // query).
     val fact = props.getOrElse(GraftMvOps.SourceProp, return None)
     val (dims, vds) = joinDefMatching(props, names).getOrElse(return None)
     // The discovering relation must be the FACT (freshMvsFor keyed the
@@ -480,7 +690,13 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     if (conjuncts(mvCond).map(norm).toSet != queryConjuncts.map(norm).toSet) return None
     val mvGroupCols =
       props.getOrElse(GraftMvOps.GroupProp, return None).split(',').toSeq
-    if (!admissibleResidual(filterCond, mvGroupCols, resolver)) return None
+    // FILTERED join MV: same subsumption gate as the single-source
+    // path, the MV's WHERE bound against the joined output (it may
+    // reference any side); matched conjuncts drop as already applied
+    // inside the MV, the residual continues into admissibility.
+    val residualCond: Option[Expression] =
+      residualAfterMvFilterOn(props, filterCond, combinedOutput).getOrElse(return None)
+    if (!admissibleResidual(residualCond, mvGroupCols, resolver)) return None
     val exact = groupingMatch(groupAttrs, mvGroupCols, resolver).getOrElse(return None)
     val specByKey = bindSpecs(props.getOrElse(GraftMvOps.AggsProp, return None), combinedOutput)
       .getOrElse(return None).map(t => t._1 -> t._2).toMap
@@ -493,7 +709,7 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     def mvAttr(col: String): Option[Attribute] =
       mvRelation.output.find(a => resolver(a.name, col))
     def groupColFor(a: Attribute): Option[String] = mvGroupCols.find(resolver(_, a.name))
-    val mvChild = remapOntoMv(filterCond, mvGroupCols, mvAttr, mvRelation, resolver)
+    val mvChild = remapOntoMv(residualCond, mvGroupCols, mvAttr, mvRelation, resolver)
       .getOrElse(return None)
     serveFromMv(agg, groupAttrs, exact, groupColFor, mvAttr, specByKey, mvChild)
   }
@@ -901,10 +1117,20 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def residualAfterMvFilter(
       props: Map[String, String], filterCond: Option[Expression],
       relation: DataSourceV2Relation): Option[Option[Expression]] =
+    residualAfterMvFilterOn(props, filterCond, relation.output)
+
+  /** Same subsumption against an explicit attribute set — join-MV
+    * candidates bind the MV's WHERE against the union of all joined
+    * sides' outputs (a filtered join MV's predicate may reference any
+    * side).
+    */
+  private def residualAfterMvFilterOn(
+      props: Map[String, String], filterCond: Option[Expression],
+      output: Seq[Attribute]): Option[Option[Expression]] =
     props.get(GraftMvOps.FilterProp).map(_.trim).filter(_.nonEmpty) match {
       case None => Some(filterCond)
       case Some(fs) =>
-        val mvCond = resolveSpec(fs, relation).getOrElse(return None)
+        val mvCond = resolveSpecAgainst(fs, output).getOrElse(return None)
         if (!mvCond.deterministic) return None
         val qc = filterCond.getOrElse(return None)
         val mvNorms = conjuncts(mvCond).map(norm).toSet

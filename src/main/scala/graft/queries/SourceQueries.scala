@@ -592,6 +592,75 @@ object SourceQueries {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** X8b: INCREMENTAL MV REFRESH UNDER EQUALITY DELETES (the
+    * merge-on-read upsert steady state) — the MV is materialized, then
+    * ONE upsert epoch lands: existing keys move groups (the registered
+    * equality delete kills their old rows inside segments the
+    * structural diff calls unchanged) while new keys append. Before
+    * r18 any eq-delete change forced full RTAS — an MV over a
+    * streaming-upsert table (st17's shape) full-refreshed EVERY epoch,
+    * the last O(table) steady-state cost. Now the refresh adds a Δ⁻
+    * term: the delete's key tuples (driver-resident metadata) become
+    * pushed per-column IN filters over the v0 snapshot, so the killed
+    * rows' groups join the touched union and refresh cost tracks the
+    * epoch. mode == "incremental" is REQUIRED in-row (the x9c
+    * discipline — a silent full-refresh fallback fails the row); the
+    * DuckDB oracle recomputes the equivalent final state from raw
+    * parquet, so a missed killed group, a double-killed own-batch row,
+    * or a stale MV row all break the hash.
+    */
+  val x8bUpsertMvRefresh: Q = Q(
+    "x8b_upsert_mv_refresh",
+    """WITH b1 AS (SELECT o_orderkey AS k, o_orderpriority AS pri, o_totalprice AS price
+      |            FROM orders WHERE o_orderkey <= 600),
+      |     ups AS (SELECT o_orderkey AS k, '9-UPSERT' AS pri, o_totalprice + 10.0 AS price
+      |             FROM orders WHERE o_orderkey <= 200
+      |             UNION ALL
+      |             SELECT o_orderkey, o_orderpriority, o_totalprice
+      |             FROM orders WHERE o_orderkey > 600 AND o_orderkey <= 800),
+      |     final AS (SELECT * FROM b1 WHERE k > 200 UNION ALL SELECT * FROM ups)
+      |SELECT pri, count(*) AS cnt,
+      |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
+      |FROM final
+      |GROUP BY pri
+      |ORDER BY pri""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("x8b_orders_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.up_orders")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.up_pri")
+    spark.sql(
+      "CREATE TABLE graft.demo.up_orders (k BIGINT, pri STRING, price DOUBLE) USING graft")
+    spark.sql(
+      """INSERT INTO graft.demo.up_orders
+        |SELECT o_orderkey, o_orderpriority, o_totalprice
+        |FROM x8b_orders_src WHERE o_orderkey <= 600""".stripMargin)
+    spark.sql(
+      """CALL graft.system.create_mv('demo', 'up_pri', 'demo.up_orders', 'pri',
+        |  'count(*) AS cnt, sum(CAST(price AS DECIMAL(18,2))) AS dec_total')""".stripMargin)
+      .collect()
+    // THE upsert epoch: keys ≤ 200 move to a new group with changed
+    // price (their old rows die by equality delete); keys 601..800 are
+    // fresh inserts — one merge-on-read commit, exactly what a
+    // streaming CDC apply produces per micro-batch.
+    spark.sql(
+      """SELECT o_orderkey AS k, '9-UPSERT' AS pri, o_totalprice + 10.0 AS price
+        |FROM x8b_orders_src WHERE o_orderkey <= 200
+        |UNION ALL
+        |SELECT o_orderkey, o_orderpriority, o_totalprice
+        |FROM x8b_orders_src WHERE o_orderkey > 600 AND o_orderkey <= 800""".stripMargin)
+      .writeTo("graft.demo.up_orders")
+      .option("graft.upsert.keys", "k").append()
+    val res = spark.sql("CALL graft.system.refresh_mv('demo', 'up_pri')")
+      .select("mode", "groups").collect().head
+    require(res.getString(0) == "incremental",
+      s"x8b_upsert_mv_refresh: upsert epoch must refresh incrementally, got ${res.getString(0)}")
+    require(res.getLong(1) > 0, "x8b_upsert_mv_refresh: refresh touched no groups")
+    spark.sql(
+      """SELECT pri, cnt, round(CAST(dec_total AS DOUBLE), 4) AS total
+        |FROM graft.demo.up_pri
+        |ORDER BY pri""".stripMargin)
+  }
+
   /** X9: TRANSPARENT MV REWRITE WITH ROLLUP NAVIGATION, differentially
     * verified — the MV is defined at (priority × status) grain; the
     * query aggregates the BASE table by priority only, so the analyzer
@@ -981,6 +1050,209 @@ object SourceQueries {
       case _ => false
     }
     require(scansMv, "x9h_snowflake_mv: 3-way join aggregate was not served by the MV")
+    df
+  }
+
+  /** X9i: FILTERED JOIN MV (predicate subsumption composed with the
+    * star-join matcher) — `create_mv` over `fact JOIN dim ON key` WITH
+    * a WHERE: the MV pre-joins, pre-FILTERS, and pre-aggregates. A
+    * query over the same join whose WHERE structurally contains the
+    * MV's conjunct plus a residual group-column slice is served from
+    * the MV (matched conjunct dropped as already applied inside;
+    * residual remapped onto the MV scan). Before r18 `create_mv`
+    * refused WHERE on join sources outright. The rewrite hit is
+    * REQUIRED at plan level (x9c discipline); the DuckDB oracle
+    * recomputes the filtered join aggregate from raw parquet, so a
+    * dropped filter, a double-applied filter, or an unfiltered-MV
+    * match all break the hash.
+    */
+  val x9iFilteredJoinMv: Q = Q(
+    "x9i_filtered_join_mv",
+    """SELECT c_mktsegment AS seg, count(*) AS cnt,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderkey <= 900 AND o_orderstatus = 'F'
+      |  AND c_mktsegment <> 'BUILDING'
+      |GROUP BY c_mktsegment
+      |ORDER BY seg""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("x9i_orders_src")
+    Tables.customer(spark, dir).createOrReplaceTempView("x9i_customer_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.fj_orders")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.fj_cust")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.fj_seg")
+    spark.sql(
+      """CREATE TABLE graft.demo.fj_orders
+        |  (o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE) USING graft""".stripMargin)
+    spark.sql(
+      "CREATE TABLE graft.demo.fj_cust (c_custkey BIGINT, c_mktsegment STRING) USING graft")
+    spark.sql(
+      """INSERT INTO graft.demo.fj_orders
+        |SELECT CAST(o_custkey AS BIGINT), o_orderstatus, o_totalprice
+        |FROM x9i_orders_src WHERE o_orderkey <= 900""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.fj_cust
+        |SELECT CAST(c_custkey AS BIGINT), c_mktsegment FROM x9i_customer_src""".stripMargin)
+    spark.sql(
+      """CALL graft.system.create_mv('demo', 'fj_seg',
+        |  'demo.fj_orders JOIN demo.fj_cust ON o_custkey = c_custkey',
+        |  'c_mktsegment',
+        |  'count(*) AS cnt, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS dec_total',
+        |  'o_orderstatus = ''F''')""".stripMargin).collect()
+    val df = spark.sql(
+      """SELECT c_mktsegment AS seg, cnt, round(CAST(dt AS DOUBLE), 4) AS total
+        |FROM (
+        |  SELECT c_mktsegment, count(*) AS cnt,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS dt
+        |  FROM graft.demo.fj_orders JOIN graft.demo.fj_cust ON o_custkey = c_custkey
+        |  WHERE o_orderstatus = 'F' AND c_mktsegment <> 'BUILDING'
+        |  GROUP BY c_mktsegment)
+        |ORDER BY seg""".stripMargin)
+    val scansMv = df.queryExecution.optimizedPlan.exists {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.relation.identifier.exists(_.name == "fj_seg")
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.identifier.exists(_.name == "fj_seg")
+      case _ => false
+    }
+    require(scansMv, "x9i_filtered_join_mv: filtered join aggregate was not served by the MV")
+    df
+  }
+
+  /** X9j: STALE JOIN MV UNDER DIM-APPEND (late-arriving dimension
+    * members) — the join MV is built while the dim holds only HALF its
+    * members; the missing members then land as a dim APPEND and NO
+    * refresh runs. `tryStaleJoinCandidate` serves the join aggregate
+    * as MV ⊎ re-aggregate(ΔD ⋈ fact): the moved side's delta is
+    * segment-pinned, the fact (data-unmoved) joins it with the equi
+    * conjunct pushed into the (broadcastable) delta join. Before r18
+    * any dim movement declined the stale path — the query re-joined
+    * the whole star from scratch. BOTH branches are plan-required (MV
+    * hit + the dim-delta re-join reading fact AND dim); the DuckDB
+    * oracle recomputes over the full dim from raw parquet, so a
+    * missed late member, a double-counted early one, or serving the
+    * stale MV alone all break the hash.
+    */
+  val x9jStaleDimJoinMv: Q = Q(
+    "x9j_stale_dim_join_mv",
+    """SELECT c_mktsegment AS seg, count(*) AS cnt,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderkey <= 900
+      |GROUP BY c_mktsegment
+      |ORDER BY seg""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("x9j_orders_src")
+    Tables.customer(spark, dir).createOrReplaceTempView("x9j_customer_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.sj_orders")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.sj_cust")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.sj_seg")
+    spark.sql(
+      "CREATE TABLE graft.demo.sj_orders (o_custkey BIGINT, o_totalprice DOUBLE) USING graft")
+    spark.sql(
+      "CREATE TABLE graft.demo.sj_cust (c_custkey BIGINT, c_mktsegment STRING) USING graft")
+    spark.sql(
+      """INSERT INTO graft.demo.sj_orders
+        |SELECT CAST(o_custkey AS BIGINT), o_totalprice
+        |FROM x9j_orders_src WHERE o_orderkey <= 900""".stripMargin)
+    // Only EVEN customers exist when the MV materializes.
+    spark.sql(
+      """INSERT INTO graft.demo.sj_cust
+        |SELECT CAST(c_custkey AS BIGINT), c_mktsegment
+        |FROM x9j_customer_src WHERE c_custkey % 2 = 0""".stripMargin)
+    spark.sql(
+      """CALL graft.system.create_mv('demo', 'sj_seg',
+        |  'demo.sj_orders JOIN demo.sj_cust ON o_custkey = c_custkey',
+        |  'c_mktsegment',
+        |  'count(*) AS cnt, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS dec_total')""".stripMargin)
+      .collect()
+    // The late-arriving members: a pure dim APPEND, never refreshed.
+    spark.sql(
+      """INSERT INTO graft.demo.sj_cust
+        |SELECT CAST(c_custkey AS BIGINT), c_mktsegment
+        |FROM x9j_customer_src WHERE c_custkey % 2 = 1""".stripMargin)
+    val df = spark.sql(
+      """SELECT c_mktsegment AS seg, cnt, round(CAST(dt AS DOUBLE), 4) AS total
+        |FROM (
+        |  SELECT c_mktsegment, count(*) AS cnt,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS dt
+        |  FROM graft.demo.sj_orders JOIN graft.demo.sj_cust ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment)
+        |ORDER BY seg""".stripMargin)
+    def scans(p: org.apache.spark.sql.execution.QueryExecution): Seq[String] =
+      p.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.identifier.map(_.name).getOrElse("")
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.identifier.map(_.name).getOrElse("")
+      }
+    val s = scans(df.queryExecution)
+    require(s.contains("sj_seg"),
+      s"x9j_stale_dim_join_mv: stale join aggregate was not MV-served (scans: $s)")
+    require(s.contains("sj_cust") && s.contains("sj_orders"),
+      s"x9j_stale_dim_join_mv: plan is missing the dim-delta re-join branch (scans: $s)")
+    df
+  }
+
+  /** X9k: GROUPING-SETS NAVIGATION — `GROUP BY ROLLUP(priority,
+    * status)` over the BASE table is served from the (priority ×
+    * status)-grain MV: the analyzer lowers rollup to
+    * Aggregate-over-Expand, and the rewrite rebuilds the same Expand
+    * lattice (same per-set null matrix, same grouping-id literals)
+    * over ONE MV scan with merge-form aggregates (sum-of-sums,
+    * sum-of-counts, min/max) — before r18 a rollup always re-read the
+    * base even when every grouping set was derivable from the MV's
+    * grain. The MV hit is plan-REQUIRED (x9c discipline); the DuckDB
+    * oracle recomputes the rollup from raw parquet, so a
+    * double-counted subtotal row, a wrong grouping-id lattice, or a
+    * count-of-counts all break the hash. NULLS FIRST is explicit in
+    * both dialects (rollup's subtotal rows are NULL-keyed; DuckDB
+    * defaults NULLS LAST, Spark NULLS FIRST).
+    */
+  val x9kRollupNavigation: Q = Q(
+    "x9k_rollup_navigation",
+    """SELECT o_orderpriority AS pri, o_orderstatus AS st, count(*) AS cnt,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total,
+      |  min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      |FROM orders
+      |WHERE o_orderkey <= 900
+      |GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+      |ORDER BY pri NULLS FIRST, st NULLS FIRST""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("x9k_orders_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.rk_orders")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.rk_pri")
+    spark.sql(
+      """CREATE TABLE graft.demo.rk_orders
+        |  (o_orderkey BIGINT, o_orderpriority STRING, o_orderstatus STRING,
+        |   o_totalprice DOUBLE) USING graft""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.rk_orders
+        |SELECT o_orderkey, o_orderpriority, o_orderstatus, o_totalprice
+        |FROM x9k_orders_src WHERE o_orderkey <= 900""".stripMargin)
+    spark.sql(
+      """CALL graft.system.create_mv('demo', 'rk_pri', 'demo.rk_orders',
+        |  'o_orderpriority,o_orderstatus',
+        |  'count(*) AS cnt, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS dec_total,
+        |   min(o_totalprice) AS lo, max(o_totalprice) AS hi')""".stripMargin)
+      .collect()
+    val df = spark.sql(
+      """SELECT pri, st, cnt, round(CAST(dt AS DOUBLE), 4) AS total, lo, hi
+        |FROM (
+        |  SELECT o_orderpriority AS pri, o_orderstatus AS st, count(*) AS cnt,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS dt,
+        |    min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |  FROM graft.demo.rk_orders
+        |  GROUP BY ROLLUP(o_orderpriority, o_orderstatus))
+        |ORDER BY pri NULLS FIRST, st NULLS FIRST""".stripMargin)
+    val scansMv = df.queryExecution.optimizedPlan.exists {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.relation.identifier.exists(_.name == "rk_pri")
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.identifier.exists(_.name == "rk_pri")
+      case _ => false
+    }
+    require(scansMv, "x9k_rollup_navigation: rollup was not served by the (pri × status) MV")
     df
   }
 
@@ -2645,9 +2917,10 @@ object SourceQueries {
     s7PartitionedSink, s8OrcRoundtrip, x1ScalarUdf, x3Generator, x4Dsv2Source,
     x5CatalogSql, x5bTimeTravel, x5cPartitionedSpj, x5dAtomicCtas, x5eRowLevelDml,
     x6CatalogFunction,
-    x7CatalogView, x8MaterializedView, x9MvRollup, x9bStaleMv,
+    x7CatalogView, x8MaterializedView, x8bUpsertMvRefresh, x9MvRollup, x9bStaleMv,
     x9cMvRewriteOff, x9cMvRewriteOn, x9dFilteredMv, x9eJoinMv, x9fJoinMvRefresh,
-    x9gStaleJoinMv, x9hSnowflakeMv,
+    x9gStaleJoinMv, x9hSnowflakeMv, x9iFilteredJoinMv, x9jStaleDimJoinMv,
+    x9kRollupNavigation,
     x5fPartitionProfile, x5gCosortedJoin,
     x5hPartitionOverwrite, x5iPartitionEvolution, x5jHiddenPartitioning,
     x5kBucketSpj,

@@ -28,13 +28,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   *  1. Diff the base table's retained snapshots between the MV's
   *     recorded version v0 and the current v1: segment ADDED, segment
-  *     REMOVED, deletion-vector CHANGED. Pure metadata — no data read.
+  *     REMOVED, deletion-vector CHANGED, equality-delete set CHANGED.
+  *     Pure metadata — no data read.
   *  2. Collect the DISTINCT group keys present in the changed segments
   *     only (`_segment` metadata-column filter; removed segments are
   *     read through `VERSION AS OF v0`, which snapshot retention keeps
-  *     on disk). Every group whose rows changed is in this set; groups
-  *     whose segments didn't change CANNOT have changed — their MV rows
-  *     are provably still correct.
+  *     on disk), plus the keys of rows an in-range equality delete
+  *     killed (or a RESTORE resurrected) — key-filtered scans with
+  *     pushed per-column INs, so merge-on-read upsert epochs refresh
+  *     incrementally too ([[eqKeyMatchScan]]). Every group whose rows
+  *     changed is in this set; groups whose segments didn't change
+  *     CANNOT have changed — their MV rows are provably still correct.
   *  3. Recompute those groups from the current base: a null-safe
   *     left-semi join of base against the touched keys (which rides
   *     zone-map/Bloom segment skipping on the base scan), then the
@@ -62,7 +66,8 @@ private[graft] object GraftMvOps {
     * Applied before grouping at create, full refresh, AND on both
     * sides of the incremental diff: a changed row that fails the
     * filter cannot change the MV, so filtering the touched-key scans
-    * is both correct and cheaper.
+    * is both correct and cheaper. On a JOIN MV the WHERE applies to
+    * the JOINED tuple (any side's columns) with the same contract.
     */
   val FilterProp = "graft.mv.filter"
   /** JOIN MV (the N-way star/snowflake rollup shape): `create_mv`'s
@@ -103,6 +108,22 @@ private[graft] object GraftMvOps {
   private val Present = "__graft_mv_present"
   private val SegAlias = "__graft_mv_seg"
   private val viewSeq = new java.util.concurrent.atomic.AtomicLong()
+  /** Driver-side probe bound shared by the touched-key inline INs and
+    * the delta-key pruning of join-refresh "other" sides: past it the
+    * literal filters stop being metadata-sized and the code falls back
+    * to the un-inlined (still correct) plan.
+    */
+  private val MaxInlineProbe = 1000
+
+  /** Test/debug telemetry (under `spark.graft.mvRefresh.debug=true`):
+    * for each delta term of the last incremental JOIN refresh, the
+    * planned input splits of every non-delta ("other") side's scan vs
+    * that side's total segments — the observable proof that delta-key
+    * pruning kept a dim-side term from paying a full fact pass.
+    */
+  private[graft] case class OtherScanPlan(
+      termSide: Int, otherSide: Int, planned: Int, total: Int)
+  @volatile private[graft] var lastJoinTermScans: Seq[OtherScanPlan] = Nil
 
   /** The Spark-facing name this session registered the graft catalog
     * under (the catalog class is a JVM-wide metastore, but SQL needs
@@ -196,9 +217,10 @@ private[graft] object GraftMvOps {
     * cost is proportional to the CHANGE, never the table. Each Segment
     * value carries the deletion vector of the snapshot it was taken
     * from, so v0-side scans see removed rows and v1-side scans don't.
-    * Equality deletes are deliberately NOT applied: the incremental
-    * gate requires them identical on both diff ends, and a ghost row
-    * merely adds its group to the conservative touched superset. The
+    * Equality deletes are deliberately NOT applied: an eq-delete Δ in
+    * range gets its own touched-key term ([[eqKeyMatchScan]]), and a
+    * ghost row here merely adds its group to the conservative touched
+    * superset. The
     * relation carries no catalog, so the MV rewrite rule can never
     * recursively fire on refresh internals.
     */
@@ -232,9 +254,12 @@ private[graft] object GraftMvOps {
     * can't answer it.
     */
   private def requireDeterministicWhere(
-      spark: SparkSession, cat: String, sns: String, stbl: String, w: String): Unit = {
-    val analyzed = spark.sql(s"SELECT * FROM ${fqn(cat, sns, stbl)}")
-      .where(expr(w)).queryExecution.analyzed
+      spark: SparkSession, cat: String, sns: String, stbl: String, w: String): Unit =
+    requireDeterministicWhereOn(
+      spark.sql(s"SELECT * FROM ${fqn(cat, sns, stbl)}"), w)
+
+  private def requireDeterministicWhereOn(df: DataFrame, w: String): Unit = {
+    val analyzed = df.where(expr(w)).queryExecution.analyzed
     val ok = analyzed.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition.deterministic
     }.forall(identity)
@@ -257,12 +282,14 @@ private[graft] object GraftMvOps {
       spark: SparkSession, cat: String,
       fns: String, ftbl: String, vf: Long,
       dims: Seq[(String, String)], vds: Seq[Long],
-      condConj: String, groupCols: Seq[String], aggList: Seq[String]): DataFrame = {
+      condConj: String, groupCols: Seq[String], aggList: Seq[String],
+      where: Option[String] = None): DataFrame = {
     val from = (s"${fqn(cat, fns, ftbl)} VERSION AS OF $vf" +:
       dims.zip(vds).map { case ((dns, dtbl), vd) =>
         s"${fqn(cat, dns, dtbl)} VERSION AS OF $vd"
       }).mkString(" JOIN ")
-    spark.sql(s"SELECT * FROM $from WHERE $condConj")
+    val joined = spark.sql(s"SELECT * FROM $from WHERE $condConj")
+    where.fold(joined)(w => joined.where(expr(w)))
       .groupBy(groupCols.map(col): _*)
       .agg(expr(aggList.head), aggList.tail.map(expr): _*)
   }
@@ -270,6 +297,71 @@ private[graft] object GraftMvOps {
   /** Render per-ON conditions as the stored conjunction. */
   private[graft] def condConjOf(conds: Seq[String]): String =
     conds.map(c => s"($c)").mkString(" AND ")
+
+  /** Equality deletes present at `s1` but not `s0` and vice versa —
+    * the Δ of outstanding merge-on-read state between the two diff
+    * ends. A delete NEW in range kills rows of segments the structural
+    * diff calls unchanged (the streaming-upsert steady state); a
+    * delete GONE in range is either a GC (it applied to no live
+    * segment — semantically a no-op) or a RESTORE to a pre-delete
+    * version (rows resurrect without any segment moving). Both
+    * directions contribute touched-key terms below.
+    */
+  private def eqDiff(
+      s0: GraftCatalog.CatalogSnapshot, s1: GraftCatalog.CatalogSnapshot)
+      : (Vector[GraftCatalog.EqDelete], Vector[GraftCatalog.EqDelete]) =
+    (s1.eqDeletes.filterNot(s0.eqDeletes.contains),
+      s0.eqDeletes.filterNot(s1.eqDeletes.contains))
+
+  /** Scan of the source AT `version`, restricted to rows whose key
+    * columns match any of `eqs`' key tuples — the Δ⁻ primitive that
+    * makes refresh incremental under equality deletes (merge-on-read
+    * upserts, x13/st17): rows newly killed by an in-range delete live
+    * in segments the structural diff calls UNCHANGED, so their group
+    * keys must join the touched union from here (scanned at v0, where
+    * they were still visible); rows a RESTORE resurrected are the
+    * mirror image (scanned at v1). Delete keys are metadata-sized (the
+    * per-commit upsert cap) and already driver-resident, so they
+    * inline as per-column literal IN filters — a conjunctive SUPERSET
+    * of the exact tuple set (recomputing an extra group is correct,
+    * merely unnecessary) that pushes down statically and rides
+    * zone-map/Bloom segment skipping: cost tracks the segments HOLDING
+    * matching keys, never the table. Sequence-number scoping needs no
+    * code here: a delete new in (v0, v1] has seq greater than every
+    * v0-live segment's, so every v0 row it matches it also kills — and
+    * the batch's OWN new rows (seq == the delete's) are collected from
+    * the structural added-segment term, read at v1 where the scan
+    * layer already exempts them.
+    */
+  private def eqKeyMatchScan(
+      spark: SparkSession, cat: String, sns: String, stbl: String,
+      version: Long, eqs: Seq[GraftCatalog.EqDelete]): DataFrame = {
+    val base = spark.sql(s"SELECT * FROM ${fqn(cat, sns, stbl)} VERSION AS OF $version")
+    // One filtered scan per distinct key-column set (epochs of one
+    // upsert stream share keyCols, so this is almost always one scan).
+    eqs.groupBy(_.keyCols).values.map { group =>
+      val keyCols = group.head.keyCols
+      val tuples = group.flatMap(_.keys)
+      val cond = keyCols.zipWithIndex.map { case (c, j) =>
+        val vs = tuples.map(_(j)).distinct
+        val nonNull = vs.filterNot(_ == null)
+        val in = if (nonNull.isEmpty) lit(false) else col(c).isin(nonNull: _*)
+        if (vs.contains(null)) in || col(c).isNull else in
+      }.reduce(_ && _)
+      base.where(cond)
+    }.reduce(_ unionAll _)
+  }
+
+  /** Total key tuples across a diff's eq-delete terms. Past
+    * `spark.graft.mvRefresh.eqKeyLimit` the per-column IN literals stop
+    * being metadata-sized (compile cost, task-binary bloat) and the
+    * refresh degrades to the always-correct full RTAS.
+    */
+  private def eqKeyCount(eqs: Seq[GraftCatalog.EqDelete]): Long =
+    eqs.map(_.keys.length.toLong).sum
+
+  private def eqKeyLimit(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.mvRefresh.eqKeyLimit", "10000").toLong
 
   /** CREATE a JOIN MV (N-way star/snowflake): one full aggregate of
     * fact ⋈ dims, every side pinned at its current version, committed
@@ -283,8 +375,6 @@ private[graft] object GraftMvOps {
   private def createJoin(spark: SparkSession, ns: String, name: String,
       factSrc: String, dimSrcs: Seq[String], conds: Seq[String],
       group: String, aggs: String, where: String): (String, Long, Long) = {
-    require(where.trim.isEmpty,
-      "create_mv: a join MV does not take a WHERE (filter the fact side into a view instead)")
     val cat = catalogName(spark)
     val (fns, ftbl) = parseSource(factSrc)
     val dims = dimSrcs.map(parseSource)
@@ -300,11 +390,23 @@ private[graft] object GraftMvOps {
     val aggList = splitTop(aggs)
     require(groupCols.nonEmpty, "create_mv: group_cols must name at least one column")
     require(aggList.nonEmpty, "create_mv: aggs must hold at least one aggregate")
+    // FILTERED join MV: the WHERE applies to the JOINED tuple before
+    // aggregation (it may reference any side's columns) — same
+    // determinism contract as the single-source filtered MV, validated
+    // against the joined relation so cross-side references resolve.
+    val mvWhere = Option(where).map(_.trim).filter(_.nonEmpty)
+    mvWhere.foreach { w =>
+      val from = (s"${fqn(cat, fns, ftbl)}" +:
+        dims.map { case (dns, dtbl) => fqn(cat, dns, dtbl) }).mkString(" JOIN ")
+      requireDeterministicWhereOn(
+        spark.sql(s"SELECT * FROM $from WHERE ${condConjOf(conds)}"), w)
+    }
     val df = joinAggregateAt(
-      spark, cat, fns, ftbl, vf, dims, vds, condConjOf(conds), groupCols, aggList)
+      spark, cat, fns, ftbl, vf, dims, vds, condConjOf(conds), groupCols, aggList,
+      mvWhere)
     require(!df.columns.exists(c => c == Present || c == SegAlias),
       s"create_mv: column may not be named $Present / $SegAlias")
-    df.writeTo(fqn(cat, ns, name))
+    val writer = df.writeTo(fqn(cat, ns, name))
       .tableProperty(SourceProp, s"$fns.$ftbl")
       .tableProperty(JoinSourceProp, dims.map { case (a, b) => s"$a.$b" }.mkString(","))
       .tableProperty(JoinCondProp, condConjOf(conds))
@@ -312,6 +414,7 @@ private[graft] object GraftMvOps {
       .tableProperty(AggsProp, aggs)
       .tableProperty(VersionProp, vf.toString)
       .tableProperty(JoinVersionProp, vds.mkString(","))
+    mvWhere.fold(writer)(w => writer.tableProperty(FilterProp, w))
       .createOrReplace()
     ("full", GraftCatalog.rowCount(ns, name), vf)
   }
@@ -410,12 +513,13 @@ private[graft] object GraftMvOps {
       if (v0s == v1s) return ("noop", 0L, v0s.head)
       val jGroupCols = jprop(GroupProp).split(',').toSeq
       val jAggList = splitTop(jprop(AggsProp))
+      val jWhere = props.get(FilterProp).map(_.trim).filter(_.nonEmpty)
       val idents = sides.map { case (tns, tbl) => Identifier.of(Array(tns), tbl) }
 
       def fullJoinRefresh(): (String, Long, Long) = {
-        joinAggregateAt(
+        val writer = joinAggregateAt(
           spark, cat, sides.head._1, sides.head._2, v1s.head,
-          dims, v1s.tail, condConj, jGroupCols, jAggList)
+          dims, v1s.tail, condConj, jGroupCols, jAggList, jWhere)
           .writeTo(fqn(cat, ns, name))
           .tableProperty(SourceProp, source)
           .tableProperty(JoinSourceProp, jprop(JoinSourceProp))
@@ -424,6 +528,7 @@ private[graft] object GraftMvOps {
           .tableProperty(AggsProp, jprop(AggsProp))
           .tableProperty(VersionProp, v1s.head.toString)
           .tableProperty(JoinVersionProp, v1s.tail.mkString(","))
+        jWhere.fold(writer)(w => writer.tableProperty(FilterProp, w))
           .replace() // atomic RTAS swap — readers never see a torn MV
         ("full", GraftCatalog.rowCount(ns, name), v1s.head)
       }
@@ -448,15 +553,23 @@ private[graft] object GraftMvOps {
       val snaps1 = idents.zip(v1s).map { case (id, v) =>
         GraftCatalog.snapshotByVersion(id, v) }
       // Same incremental gate as the single-source path, per side:
-      // both snapshots retained, schema unchanged, identical
-      // outstanding equality deletes (an in-range eq delete kills rows
-      // of segments the structural diff calls unchanged).
+      // both snapshots retained, schema unchanged. Outstanding
+      // equality deletes may differ — each side's eq-delete Δ gets its
+      // own key term below, like the single-source path.
       val inGate = snaps0.zip(snaps1).forall {
-        case (Some(s0), Some(s1)) =>
-          s0.schema == s1.schema && s0.eqDeletes == s1.eqDeletes
+        case (Some(s0), Some(s1)) => s0.schema == s1.schema
         case _ => false
       }
       if (!inGate) return fullJoinRefresh()
+      // Per-side eq-delete Δ: (new in range → rows killed, visible at
+      // v0; gone in range → rows resurrected by RESTORE, visible at v1).
+      val eqDiffs: Seq[(Vector[GraftCatalog.EqDelete], Vector[GraftCatalog.EqDelete])] =
+        snaps0.zip(snaps1).map {
+          case (Some(s0), Some(s1)) => eqDiff(s0, s1)
+          case _ => throw new IllegalStateException("unreachable: gate checked")
+        }
+      if (eqDiffs.map { case (nw, gn) => eqKeyCount(nw ++ gn) }.sum > eqKeyLimit(spark))
+        return fullJoinRefresh()
       // Per-side (segments live at v1 only, at v0 only): a dv-changed
       // segment appears on BOTH sides — all its keys join in as a
       // conservative superset, avoiding bitmap diffs.
@@ -469,7 +582,8 @@ private[graft] object GraftMvOps {
             s0.segments.filter(x => !m1.contains(x.path) || dv(x.path)))
         case _ => throw new IllegalStateException("unreachable: gate checked")
         }
-      if (diffs.forall { case (a, b) => a.isEmpty && b.isEmpty }) {
+      if (diffs.forall { case (a, b) => a.isEmpty && b.isEmpty } &&
+          eqDiffs.forall { case (a, b) => a.isEmpty && b.isEmpty }) {
         // Metadata-only drift (property churn moved versions without
         // touching data): patch the recorded versions — at 100 TB the
         // difference between an ALTER and a full star-join recompute.
@@ -495,25 +609,115 @@ private[graft] object GraftMvOps {
         spark.sql(s"SELECT * FROM ${fqn(cat, tns, tbl)} VERSION AS OF ${vs(k)}")
       }
       val keyCols = jGroupCols.map(col)
+      // Equi-join column pairs parsed from the stored conjunction —
+      // (side, column) ↔ (side, column). They drive DELTA-KEY PRUNING
+      // of the "others" scans below: a dim-side term used to pay a
+      // full pass over every other side (the fact above all); with the
+      // delta's join-key values pushed as literal INs onto the linked
+      // columns, zone maps/Blooms prune the fact to the segments
+      // actually holding matched keys — a 1-row dim update plans a
+      // handful of fact splits, never the fact table. Columns resolve
+      // against the sides' schemas (unique across sides by the create
+      // analysis); anything unresolvable simply yields no pruning.
+      val sideSchemas: Seq[StructType] = snaps1.map(_.get.schema)
+      val equiPairs: Seq[((Int, String), (Int, String))] = {
+        import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+        val parsed =
+          try Some(spark.sessionState.sqlParser.parseExpression(condConj))
+          catch { case scala.util.control.NonFatal(_) => None }
+        def conj(e: Expression): Seq[Expression] = e match {
+          case And(l, r) => conj(l) ++ conj(r)
+          case o => Seq(o)
+        }
+        val resolver = spark.sessionState.conf.resolver
+        def owner(n: String): Option[(Int, String)] = {
+          val hits = sideSchemas.zipWithIndex.flatMap { case (sc, i) =>
+            sc.fields.find(f => resolver(f.name, n)).map(f => (i, f.name))
+          }
+          if (hits.length == 1) Some(hits.head) else None
+        }
+        parsed.toSeq.flatMap(conj).flatMap {
+          case EqualTo(
+              a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute,
+              b: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute)
+              if a.nameParts.length == 1 && b.nameParts.length == 1 =>
+            (owner(a.nameParts.head), owner(b.nameParts.head)) match {
+              case (Some(x), Some(y)) if x._1 != y._1 => Some((x, y))
+              case _ => None
+            }
+          case _ => None
+        }
+      }
+      val termDebug =
+        if (spark.conf.get("spark.graft.mvRefresh.debug", "false").toBoolean)
+          Some(Seq.newBuilder[OtherScanPlan])
+        else None
       // One key term per (changed side, diff end): the changed side's
       // pinned delta crossed with every OTHER side at the matching
       // versions, the conjunction applied once (the optimizer pushes
       // each conjunct into its equi join — never a surviving cartesian
-      // for the equi conditions star schemas use).
-      def term(k: Int, segs: Vector[GraftCatalog.Segment], vs: Seq[Long]): DataFrame = {
-        val others = sides.indices.filter(_ != k).map(at(_, vs))
-        others.foldLeft(segmentsDf(spark, idents(k), segs))(_ crossJoin _)
+      // for the equi conditions star schemas use). A filtered join
+      // MV's WHERE applies to the joined tuple exactly as at create —
+      // a changed tuple failing it cannot have changed the MV.
+      def term(k: Int, deltaK: DataFrame, vs: Seq[Long]): DataFrame = {
+        val probeCache = scala.collection.mutable.Map[String, Option[Seq[Any]]]()
+        def deltaVals(ck: String): Option[Seq[Any]] =
+          probeCache.getOrElseUpdate(ck, {
+            val rows = deltaK.select(col(ck)).distinct()
+              .limit(MaxInlineProbe + 1).collect()
+            if (rows.length > MaxInlineProbe) None
+            else Some(rows.map(_.get(0)).filterNot(_ == null).toSeq)
+          })
+        val others = sides.indices.filter(_ != k).map { j =>
+          val base = at(j, vs)
+          val pruned = equiPairs.flatMap {
+            case ((ks, ck), (js, cj)) if ks == k && js == j => Some((ck, cj))
+            case ((js, cj), (ks, ck)) if ks == k && js == j => Some((ck, cj))
+            case _ => None
+          }.foldLeft(base) { case (df, (ck, cj)) =>
+            deltaVals(ck) match {
+              case Some(vals) =>
+                df.where(if (vals.isEmpty) lit(false) else col(cj).isin(vals: _*))
+              case None => df // probe overflow: no pruning, still correct
+            }
+          }
+          termDebug.foreach { b =>
+            val planned = pruned.queryExecution.executedPlan.collect {
+              case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+                s.inputPartitions.length
+            }.sum
+            b += OtherScanPlan(k, j, planned,
+              GraftCatalog.snapshotByVersion(idents(j), vs(j))
+                .map(_.segments.length).getOrElse(-1))
+          }
+          pruned
+        }
+        val joined = others.foldLeft(deltaK)(_ crossJoin _)
           .where(expr(condConj))
+        jWhere.fold(joined)(w => joined.where(expr(w)))
           .select(keyCols: _*)
       }
       val terms = diffs.zipWithIndex.flatMap { case ((nw, od), k) =>
-        (if (nw.nonEmpty) Seq(term(k, nw, v1s)) else Nil) ++
-          (if (od.nonEmpty) Seq(term(k, od, v0s)) else Nil)
+        (if (nw.nonEmpty) Seq(term(k, segmentsDf(spark, idents(k), nw), v1s)) else Nil) ++
+          (if (od.nonEmpty) Seq(term(k, segmentsDf(spark, idents(k), od), v0s)) else Nil)
+      } ++ eqDiffs.zipWithIndex.flatMap { case ((nw, gn), k) =>
+        // Eq-delete Δ terms, one per (changed side, diff end) exactly
+        // like the structural terms: killed rows join others at v0,
+        // resurrected rows at v1. The delta side is a key-filtered
+        // full-history scan instead of a segment-pinned one — the
+        // pushed per-column INs keep it metadata-cheap.
+        val (tns, tbl) = sides(k)
+        (if (nw.nonEmpty)
+          Seq(term(k, eqKeyMatchScan(spark, cat, tns, tbl, v0s(k), nw), v0s)) else Nil) ++
+          (if (gn.nonEmpty)
+            Seq(term(k, eqKeyMatchScan(spark, cat, tns, tbl, v1s(k), gn), v1s)) else Nil)
       }
       val touchedPlan = terms.reduce(_ unionAll _).distinct()
-      val curAll = sides.indices.tail.map(at(_, v1s))
+      termDebug.foreach(b => lastJoinTermScans = b.result())
+      val curAll0 = sides.indices.tail.map(at(_, v1s))
         .foldLeft(at(0, v1s))(_ crossJoin _)
         .where(expr(condConj))
+      val curAll = jWhere.fold(curAll0)(w => curAll0.where(expr(w)))
       return applyTouchedGroups(spark, cat, ns, name, touchedPlan, curAll,
         jGroupCols, jAggList,
         Map(VersionProp -> v1s.head.toString,
@@ -554,20 +758,23 @@ private[graft] object GraftMvOps {
 
     (GraftCatalog.snapshotByVersion(sIdent, v0),
         GraftCatalog.snapshotByVersion(sIdent, v1)) match {
-      // Incremental path needs BOTH snapshots retained, the schema
+      // Incremental path needs BOTH snapshots retained and the schema
       // unchanged (an ALTER between refreshes invalidates per-column
-      // reasoning — rare, and full recompute is always correct), and
-      // the same outstanding EQUALITY DELETES on both sides: an upsert
-      // in range deletes rows of segments the structural diff calls
-      // "unchanged", so touched-group collection would miss groups.
-      case (Some(s0), Some(s1)) if s0.schema == s1.schema &&
-          s0.eqDeletes == s1.eqDeletes =>
+      // reasoning — rare, and full recompute is always correct).
+      // Outstanding EQUALITY DELETES may differ: a delete new in range
+      // kills rows of segments the structural diff calls "unchanged"
+      // (the merge-on-read upsert steady state — x13/st17), so those
+      // rows' group keys join the touched union through a dedicated
+      // Δ⁻ term ([[eqKeyMatchScan]]) instead of forcing full RTAS.
+      case (Some(s0), Some(s1)) if s0.schema == s1.schema =>
         val m0 = s0.segments.map(s => s.path -> s).toMap
         val m1 = s1.segments.map(s => s.path -> s).toMap
         val added = m1.keySet -- m0.keySet
         val removed = m0.keySet -- m1.keySet
         val dvChanged = (m0.keySet & m1.keySet).filter(p => m0(p).dv != m1(p).dv)
-        if (added.isEmpty && removed.isEmpty && dvChanged.isEmpty) {
+        val (newEqs, goneEqs) = eqDiff(s0, s1)
+        if (added.isEmpty && removed.isEmpty && dvChanged.isEmpty &&
+            newEqs.isEmpty && goneEqs.isEmpty) {
           // Metadata-only commits (e.g. property churn) moved the
           // version without touching data. Clears a stuck
           // RefreshingProp too — same consistency proof as the
@@ -575,6 +782,8 @@ private[graft] object GraftMvOps {
           GraftCatalog.patchTableProps(ident, Map(VersionProp -> v1.toString),
             unset = Set(RefreshingProp))
           ("noop", 0L, v1)
+        } else if (eqKeyCount(newEqs ++ goneEqs) > eqKeyLimit(spark)) {
+          fullRefresh()
         } else {
           // Group keys living in changed segments only. A dv-changed
           // segment contributes ALL its physical rows' keys — a
@@ -590,8 +799,22 @@ private[graft] object GraftMvOps {
             mvWhere.fold(base)(w => base.where(expr(w)))
               .select(groupCols.map(col): _*)
           }
-          val touchedPlan = keysAt(v1, added ++ dvChanged)
-            .unionAll(keysAt(v0, removed ++ dvChanged))
+          // Eq-delete Δ terms: keys of rows newly killed in range
+          // (visible at v0) and of rows a RESTORE resurrected (visible
+          // at v1). A filtered MV's WHERE applies here exactly as in
+          // keysAt — a killed row failing it cannot have changed the MV.
+          def eqKeys(version: Long, eqs: Vector[GraftCatalog.EqDelete]): Seq[DataFrame] =
+            if (eqs.isEmpty) Nil
+            else {
+              val scan = eqKeyMatchScan(spark, cat, sns, stbl, version, eqs)
+              Seq(mvWhere.fold(scan)(w => scan.where(expr(w)))
+                .select(groupCols.map(col): _*))
+            }
+          val touchedPlan = (Seq(
+            keysAt(v1, added ++ dvChanged),
+            keysAt(v0, removed ++ dvChanged)) ++
+            eqKeys(v0, newEqs) ++ eqKeys(v1, goneEqs))
+            .reduce(_ unionAll _)
             .distinct()
           val curAll0 = spark.sql(
             s"SELECT * FROM ${fqn(cat, sns, stbl)} VERSION AS OF $v1")
@@ -627,7 +850,6 @@ private[graft] object GraftMvOps {
     // whichever side owns the column). Conjunctive per-column
     // supersets of the key set: never drops a touched row, the semi
     // join below stays the exact membership test.
-    val MaxInlineProbe = 1000
     val touchedLocal = touchedPlan.limit(MaxInlineProbe + 1).collect()
     // Reuse what the probe already computed: when the keys fit
     // the driver probe, the MERGE's semi/outer joins read a

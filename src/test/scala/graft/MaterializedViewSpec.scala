@@ -239,6 +239,348 @@ class MaterializedViewSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.mvs.base")
   }
 
+  test("upsert epochs (equality deletes) refresh incrementally: insert, update, vanish, own-batch scoping") {
+    spark.sql("DROP TABLE IF EXISTS graft.mveq.base")
+    spark.sql("DROP TABLE IF EXISTS graft.mveq.agg")
+    spark.sql("CREATE TABLE graft.mveq.base (k BIGINT, g STRING, v BIGINT) USING graft")
+    spark.sql(
+      "INSERT INTO graft.mveq.base VALUES (1, 'a', 1), (2, 'a', 2), (3, 'b', 10), (4, 'c', 5)")
+    call("CALL graft.system.create_mv('mveq', 'agg', 'mveq.base', 'g', 'count(*) AS cnt, sum(v) AS total')")
+    def upsert(rows: (Long, String, Long)*): Unit =
+      rows.toSeq.toDF("k", "g", "v").writeTo("graft.mveq.base")
+        .option("graft.upsert.keys", "k").append()
+    def agg(): Seq[(String, Long, Long)] =
+      spark.sql("SELECT g, cnt, CAST(total AS BIGINT) FROM graft.mveq.agg ORDER BY g")
+        .as[(String, Long, Long)].collect().toSeq
+
+    // EPOCH 1 — insert-only upsert (all-new keys): the registered eq
+    // delete kills nothing; refresh must stay incremental and touch
+    // only the appended groups.
+    upsert((5L, "b", 20L), (6L, "d", 7L))
+    val (m1, g1, _) = call("CALL graft.system.refresh_mv('mveq', 'agg')")
+    assert(m1 == "incremental", s"insert-only upsert epoch must refresh incrementally, got $m1")
+    assert(g1 == 2, s"only groups b and d changed, touched $g1")
+    assert(agg() == Seq(("a", 2L, 3L), ("b", 2L, 30L), ("c", 1L, 5L), ("d", 1L, 7L)))
+
+    // EPOCH 2 — UPDATE epoch (delete + insert, same key): key 2 moves
+    // from group a to group e. The killed row lives in a segment the
+    // structural diff calls unchanged — only the eq-delete Δ term can
+    // find group a. Own-batch seq scoping: the delete must NOT kill
+    // the epoch's own new row, or group e would be missing.
+    upsert((2L, "e", 9L))
+    val (m2, g2, _) = call("CALL graft.system.refresh_mv('mveq', 'agg')")
+    assert(m2 == "incremental", s"update epoch must refresh incrementally, got $m2")
+    assert(g2 == 2, s"exactly groups a (killed) and e (inserted) changed, touched $g2")
+    assert(agg() == Seq(("a", 1L, 1L), ("b", 2L, 30L), ("c", 1L, 5L), ("d", 1L, 7L), ("e", 1L, 9L)),
+      "update epoch: old group must shrink, new group must carry the batch's own row")
+
+    // EPOCH 3 — update that VANISHES a group: key 4 was group c's only
+    // row; its MV row must be MERGE-DELETEd.
+    upsert((4L, "a", 3L))
+    val (m3, _, _) = call("CALL graft.system.refresh_mv('mveq', 'agg')")
+    assert(m3 == "incremental")
+    assert(agg() == Seq(("a", 2L, 4L), ("b", 2L, 30L), ("d", 1L, 7L), ("e", 1L, 9L)),
+      "group c's MV row must be deleted when the upsert killed its last base row")
+
+    // Delete-then-COMPACT: compaction materializes the eq deletes and
+    // rewrites segments; whatever mode the churn gate picks, the MV
+    // must converge to the from-scratch answer.
+    upsert((3L, "b", 11L))
+    spark.sql("CALL graft.system.compact('mveq', 'base', '')").collect()
+    val (m4, _, _) = call("CALL graft.system.refresh_mv('mveq', 'agg')")
+    assert(m4 == "incremental" || m4 == "full")
+    val direct = spark.sql(
+      "SELECT g, count(*) AS cnt, CAST(sum(v) AS BIGINT) FROM graft.mveq.base GROUP BY g ORDER BY g")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(agg() == direct, "post-compaction refresh must converge to the full recompute")
+
+    // Key-cap fallback: past spark.graft.mvRefresh.eqKeyLimit the
+    // refresh degrades to full RTAS — still correct.
+    spark.conf.set("spark.graft.mvRefresh.eqKeyLimit", "1")
+    try {
+      upsert((1L, "f", 100L), (6L, "f", 200L))
+      val (m5, _, _) = call("CALL graft.system.refresh_mv('mveq', 'agg')")
+      assert(m5 == "full", s"eq keys past the cap must full-refresh, got $m5")
+      val direct5 = spark.sql(
+        "SELECT g, count(*) AS cnt, CAST(sum(v) AS BIGINT) FROM graft.mveq.base GROUP BY g ORDER BY g")
+        .as[(String, Long, Long)].collect().toSeq
+      assert(agg() == direct5)
+    } finally spark.conf.unset("spark.graft.mvRefresh.eqKeyLimit")
+    spark.sql("DROP TABLE graft.mveq.agg")
+    spark.sql("DROP TABLE graft.mveq.base")
+  }
+
+  test("RESTORE that removes an eq delete resurrects rows through refresh") {
+    spark.sql("DROP TABLE IF EXISTS graft.mveqr.base")
+    spark.sql("DROP TABLE IF EXISTS graft.mveqr.agg")
+    spark.sql("CREATE TABLE graft.mveqr.base (k BIGINT, g STRING, v BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.mveqr.base VALUES (1, 'a', 1), (2, 'b', 10)")
+    val preUpsertV = graft.sources.GraftCatalog.currentVersion("mveqr", "base").get
+    // Upsert kills (1,'a',1) and lands (1,'c',7); MV refreshed on top.
+    Seq((1L, "c", 7L)).toDF("k", "g", "v").writeTo("graft.mveqr.base")
+      .option("graft.upsert.keys", "k").append()
+    call("CALL graft.system.create_mv('mveqr', 'agg', 'mveqr.base', 'g', 'sum(v) AS total')")
+    assert(spark.sql("SELECT g, CAST(total AS BIGINT) FROM graft.mveqr.agg ORDER BY g")
+      .as[(String, Long)].collect().toSeq == Seq(("b", 10L), ("c", 7L)))
+    // RESTORE to the pre-upsert version: the delete goes away and row
+    // (1,'a',1) RESURRECTS while the upsert's own segment vanishes
+    // (structural). The gone-delete Δ term must re-touch group a.
+    spark.sql(s"CALL graft.system.restore('mveqr', 'base', '$preUpsertV')").collect()
+    val r = spark.sql("CALL graft.system.refresh_mv('mveqr', 'agg')")
+      .select("mode").as[String].head()
+    assert(r == "incremental" || r == "full")
+    assert(spark.sql("SELECT g, CAST(total AS BIGINT) FROM graft.mveqr.agg ORDER BY g")
+      .as[(String, Long)].collect().toSeq == Seq(("a", 1L), ("b", 10L)),
+      "restore must resurrect group a and drop group c in the refreshed MV")
+    spark.sql("DROP TABLE graft.mveqr.agg")
+    spark.sql("DROP TABLE graft.mveqr.base")
+  }
+
+  test("join MV refreshes incrementally across a fact-side upsert epoch") {
+    spark.sql("DROP TABLE IF EXISTS graft.mveqj.fact")
+    spark.sql("DROP TABLE IF EXISTS graft.mveqj.dim")
+    spark.sql("DROP TABLE IF EXISTS graft.mveqj.agg")
+    spark.sql("CREATE TABLE graft.mveqj.fact (id BIGINT, ck BIGINT, amt BIGINT) USING graft")
+    spark.sql("CREATE TABLE graft.mveqj.dim (dk BIGINT, seg STRING) USING graft")
+    spark.sql("INSERT INTO graft.mveqj.fact VALUES (1, 10, 100), (2, 10, 50), (3, 20, 7)")
+    spark.sql("INSERT INTO graft.mveqj.dim VALUES (10, 'x'), (20, 'y'), (30, 'z')")
+    call(
+      """CALL graft.system.create_mv('mveqj', 'agg',
+        |  'mveqj.fact JOIN mveqj.dim ON ck = dk', 'seg',
+        |  'count(*) AS cnt, sum(amt) AS total')""".stripMargin)
+    // Fact-side upsert epoch: fact row 2 moves from dim 10 to dim 20 —
+    // the killed tuple's group (x) is reachable only through the
+    // eq-delete Δ term ⋈ dim@v0.
+    Seq((2L, 20L, 60L)).toDF("id", "ck", "amt").writeTo("graft.mveqj.fact")
+      .option("graft.upsert.keys", "id").append()
+    val (mode, groups, _) = call("CALL graft.system.refresh_mv('mveqj', 'agg')")
+    assert(mode == "incremental", s"fact upsert epoch must refresh the join MV incrementally, got $mode")
+    assert(groups == 2, s"exactly segments x and y changed, touched $groups")
+    assert(spark.sql("SELECT seg, cnt, CAST(total AS BIGINT) FROM graft.mveqj.agg ORDER BY seg")
+      .as[(String, Long, Long)].collect().toSeq == Seq(("x", 1L, 100L), ("y", 2L, 67L)),
+      "join MV must reflect the moved fact row on both its old and new dim groups")
+    spark.sql("DROP TABLE graft.mveqj.agg")
+    spark.sql("DROP TABLE graft.mveqj.dim")
+    spark.sql("DROP TABLE graft.mveqj.fact")
+  }
+
+  test("dim-side delta term prunes the fact scan via delta-key INs") {
+    spark.sql("DROP TABLE IF EXISTS graft.mvdp.fact")
+    spark.sql("DROP TABLE IF EXISTS graft.mvdp.dim")
+    spark.sql("DROP TABLE IF EXISTS graft.mvdp.agg")
+    spark.sql("CREATE TABLE graft.mvdp.fact (ck BIGINT, amt BIGINT) USING graft")
+    spark.sql("CREATE TABLE graft.mvdp.dim (dk BIGINT, seg STRING) USING graft")
+    // Fact clustered by join key: four inserts = four segments with
+    // disjoint ck ranges, so zone maps can prune by ck.
+    for (lo <- Seq(0L, 10L, 20L, 30L))
+      spark.sql(s"INSERT INTO graft.mvdp.fact SELECT id + $lo, id FROM range(1, 10)")
+    spark.sql(
+      "INSERT INTO graft.mvdp.dim SELECT id, concat('s', CAST(id % 4 AS STRING)) FROM range(0, 40)")
+    call(
+      """CALL graft.system.create_mv('mvdp', 'agg',
+        |  'mvdp.fact JOIN mvdp.dim ON ck = dk', 'seg',
+        |  'count(*) AS cnt, sum(amt) AS total')""".stripMargin)
+    // A 1-row dim change (append of a duplicate member for key 5):
+    // its delta term is ΔD ⋈ fact — which before r18 paid a FULL fact
+    // pass. With the delta's join keys pushed as a literal IN, the
+    // fact scan must plan strictly fewer splits than the fact has.
+    spark.sql("INSERT INTO graft.mvdp.dim VALUES (5, 'extra')")
+    spark.conf.set("spark.graft.mvRefresh.debug", "true")
+    try {
+      val (mode, _, _) = call("CALL graft.system.refresh_mv('mvdp', 'agg')")
+      assert(mode == "incremental", s"dim append must stay incremental, got $mode")
+      val factSegs = graft.sources.GraftCatalog.segmentCount("mvdp", "fact")
+      val factScans = graft.sources.GraftMvOps.lastJoinTermScans
+        .filter(s => s.termSide == 1 && s.otherSide == 0)
+      assert(factScans.nonEmpty, "debug telemetry must record the dim-term fact scan")
+      assert(factScans.forall(s => s.total == factSegs && s.planned < s.total),
+        s"dim-delta term must plan strictly fewer fact splits than the $factSegs the table has (got $factScans)")
+      assert(factScans.exists(_.planned == 1),
+        s"a 1-key dim delta should plan exactly one fact split, got $factScans")
+    } finally spark.conf.unset("spark.graft.mvRefresh.debug")
+    val direct = spark.sql(
+      """SELECT seg, count(*) AS cnt, sum(amt) AS total
+        |FROM graft.mvdp.fact JOIN graft.mvdp.dim ON ck = dk
+        |GROUP BY seg ORDER BY seg""".stripMargin).collect().toSeq
+    assert(spark.sql("SELECT seg, cnt, total FROM graft.mvdp.agg ORDER BY seg")
+      .collect().toSeq == direct)
+    spark.sql("DROP TABLE graft.mvdp.agg")
+    spark.sql("DROP TABLE graft.mvdp.dim")
+    spark.sql("DROP TABLE graft.mvdp.fact")
+  }
+
+  test("filtered join MV: create/refresh apply the WHERE; rewrite needs subsumption") {
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.identifier.map(_.name).getOrElse("")
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.identifier.map(_.name).getOrElse("")
+      }
+    spark.sql("DROP TABLE IF EXISTS graft.mvfj.fact")
+    spark.sql("DROP TABLE IF EXISTS graft.mvfj.dim")
+    spark.sql("DROP TABLE IF EXISTS graft.mvfj.agg")
+    spark.sql("CREATE TABLE graft.mvfj.fact (ck BIGINT, st STRING, amt BIGINT) USING graft")
+    spark.sql("CREATE TABLE graft.mvfj.dim (dk BIGINT, seg STRING) USING graft")
+    spark.sql(
+      """INSERT INTO graft.mvfj.fact VALUES
+        |  (1, 'F', 10), (1, 'O', 99), (2, 'F', 20), (3, 'F', 5)""".stripMargin)
+    spark.sql("INSERT INTO graft.mvfj.dim VALUES (1, 'x'), (2, 'y'), (3, 'x')")
+    // The WHERE references a DIM column too — a filtered join MV's
+    // predicate applies to the joined tuple, any side's columns.
+    val (cm, _, _) = call(
+      """CALL graft.system.create_mv('mvfj', 'agg',
+        |  'mvfj.fact JOIN mvfj.dim ON ck = dk', 'seg',
+        |  'count(*) AS cnt, sum(amt) AS total', 'st = ''F''')""".stripMargin)
+    assert(cm == "full")
+    assert(spark.sql("SELECT seg, cnt, total FROM graft.mvfj.agg ORDER BY seg")
+      .as[(String, Long, Long)].collect().toSeq == Seq(("x", 2L, 15L), ("y", 1L, 20L)))
+    // Fact append crossing the filter: only the qualifying row may
+    // reach the MV, and the refresh must stay incremental.
+    spark.sql("INSERT INTO graft.mvfj.fact VALUES (2, 'F', 7), (3, 'O', 1000)")
+    val (rm, rg, _) = call("CALL graft.system.refresh_mv('mvfj', 'agg')")
+    assert(rm == "incremental", s"filtered join MV refresh must stay incremental, got $rm")
+    assert(rg == 1, s"the filtered-out appended row's group must not even be touched, got $rg")
+    assert(spark.sql("SELECT seg, cnt, total FROM graft.mvfj.agg ORDER BY seg")
+      .as[(String, Long, Long)].collect().toSeq == Seq(("x", 2L, 15L), ("y", 2L, 27L)),
+      "the filtered-out appended row must not reach the MV")
+    // Rewrite: subsumed WHERE (MV conjunct + group-col residual) serves.
+    val hit = spark.sql(
+      """SELECT seg, count(*) AS c, sum(amt) AS s
+        |FROM graft.mvfj.fact JOIN graft.mvfj.dim ON ck = dk
+        |WHERE st = 'F' AND seg <> 'zzz'
+        |GROUP BY seg""".stripMargin)
+    assert(scans(hit).contains("agg"), s"subsumed filtered join query must be MV-served, got ${scans(hit)}")
+    assert(hit.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1) == Seq(("x", 2L, 15L), ("y", 2L, 27L)))
+    // Declines: missing the MV conjunct, or a non-group residual.
+    val noWhere = spark.sql(
+      """SELECT seg, count(*) AS c FROM graft.mvfj.fact JOIN graft.mvfj.dim ON ck = dk
+        |GROUP BY seg""".stripMargin)
+    assert(!scans(noWhere).contains("agg"),
+      "a query missing the MV's WHERE must never be served by the filtered join MV")
+    val weaker = spark.sql(
+      """SELECT seg, count(*) AS c FROM graft.mvfj.fact JOIN graft.mvfj.dim ON ck = dk
+        |WHERE st <> 'O' GROUP BY seg""".stripMargin)
+    assert(!scans(weaker).contains("agg"),
+      "a structurally different predicate must not match by implication")
+    spark.sql("DROP TABLE graft.mvfj.agg")
+    spark.sql("DROP TABLE graft.mvfj.dim")
+    spark.sql("DROP TABLE graft.mvfj.fact")
+  }
+
+  test("stale join MV: dim-append served as MV ⊎ (ΔD ⋈ fact); two moved sides decline") {
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.identifier.map(_.name).getOrElse("")
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.identifier.map(_.name).getOrElse("")
+      }
+    spark.sql("DROP TABLE IF EXISTS graft.mvda.fact")
+    spark.sql("DROP TABLE IF EXISTS graft.mvda.dim")
+    spark.sql("DROP TABLE IF EXISTS graft.mvda.agg")
+    spark.sql("CREATE TABLE graft.mvda.fact (ck BIGINT, amt BIGINT) USING graft")
+    spark.sql("CREATE TABLE graft.mvda.dim (dk BIGINT, seg STRING) USING graft")
+    spark.sql("INSERT INTO graft.mvda.fact VALUES (1, 10), (2, 20), (3, 5), (4, 40)")
+    // Only HALF the dim members exist at materialization.
+    spark.sql("INSERT INTO graft.mvda.dim VALUES (1, 'x'), (2, 'y')")
+    call(
+      """CALL graft.system.create_mv('mvda', 'agg',
+        |  'mvda.fact JOIN mvda.dim ON ck = dk', 'seg',
+        |  'count(*) AS cnt, sum(amt) AS total')""".stripMargin)
+    // Late-arriving members: dim APPEND, no refresh.
+    spark.sql("INSERT INTO graft.mvda.dim VALUES (3, 'x'), (4, 'z')")
+    val q = """SELECT seg, count(*) AS c, sum(amt) AS s
+              |FROM graft.mvda.fact JOIN graft.mvda.dim ON ck = dk
+              |GROUP BY seg""".stripMargin
+    spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+    val direct =
+      try spark.sql(q).collect().toSeq.sortBy(_.getString(0))
+      finally spark.conf.set("spark.graft.mvRewrite.enabled", "true")
+    val served = spark.sql(q)
+    val s = scans(served)
+    assert(s.contains("agg"), s"dim-append staleness must be MV-served, scans: $s")
+    assert(s.contains("dim") && s.contains("fact"),
+      s"the delta branch must re-join ΔD against the fact, scans: $s")
+    assert(served.collect().toSeq.sortBy(_.getString(0)) == direct)
+    assert(direct.map(r => (r.getString(0), r.getLong(1), r.getLong(2))) ==
+      Seq(("x", 2L, 15L), ("y", 1L, 20L), ("z", 1L, 40L)))
+    // A SECOND moved side (fact append on top of the dim append)
+    // expands into cross terms: the stale path must decline.
+    spark.sql("INSERT INTO graft.mvda.fact VALUES (3, 100)")
+    val both = spark.sql(q)
+    assert(!scans(both).contains("agg"),
+      "two moved sides must decline the stale join rewrite")
+    assert(both.collect().toSeq.sortBy(_.getString(0))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))) ==
+      Seq(("x", 3L, 115L), ("y", 1L, 20L), ("z", 1L, 40L)))
+    // Refresh repairs; the fresh path takes over again.
+    val (mode, _, _) = call("CALL graft.system.refresh_mv('mvda', 'agg')")
+    assert(mode == "incremental" || mode == "full")
+    assert(scans(spark.sql(q)).contains("agg"))
+    spark.sql("DROP TABLE graft.mvda.agg")
+    spark.sql("DROP TABLE graft.mvda.dim")
+    spark.sql("DROP TABLE graft.mvda.fact")
+  }
+
+  test("grouping-sets navigation: rollup/cube/grouping sets are served from the MV grain") {
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.identifier.map(_.name).getOrElse("")
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.identifier.map(_.name).getOrElse("")
+      }
+    spark.sql("DROP TABLE IF EXISTS graft.mvgs.base")
+    spark.sql("DROP TABLE IF EXISTS graft.mvgs.agg")
+    spark.sql("CREATE TABLE graft.mvgs.base (a STRING, b STRING, v BIGINT) USING graft")
+    spark.sql(
+      """INSERT INTO graft.mvgs.base VALUES
+        |  ('x', 'p', 1), ('x', 'p', 2), ('x', 'q', 10), ('y', 'p', 5), ('y', 'q', 7)""".stripMargin)
+    call(
+      """CALL graft.system.create_mv('mvgs', 'agg', 'mvgs.base', 'a,b',
+        |  'count(*) AS cnt, sum(v) AS total, min(v) AS lo, max(v) AS hi')""".stripMargin)
+    def check(q: String): Unit = {
+      spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+      val direct =
+        try spark.sql(q).collect().toSeq
+        finally spark.conf.set("spark.graft.mvRewrite.enabled", "true")
+      val served = spark.sql(q)
+      val s = scans(served)
+      assert(s.contains("agg"), s"grouping-sets query must be MV-served, scans: $s ($q)")
+      assert(!s.contains("base"), s"MV-served plan must not read the base, scans: $s ($q)")
+      assert(served.collect().toSeq == direct, s"MV-served rollup diverged ($q)")
+    }
+    check(
+      """SELECT a, b, count(*) AS c, sum(v) AS s, min(v) AS lo, max(v) AS hi
+        |FROM graft.mvgs.base GROUP BY ROLLUP(a, b)
+        |ORDER BY a NULLS FIRST, b NULLS FIRST""".stripMargin)
+    check(
+      """SELECT a, b, count(*) AS c, sum(v) AS s
+        |FROM graft.mvgs.base GROUP BY CUBE(a, b)
+        |ORDER BY a NULLS FIRST, b NULLS FIRST""".stripMargin)
+    check(
+      """SELECT a, b, grouping(a) AS ga, grouping_id() AS gid, sum(v) AS s
+        |FROM graft.mvgs.base GROUP BY GROUPING SETS ((a), (b), ())
+        |ORDER BY a NULLS FIRST, b NULLS FIRST""".stripMargin)
+    // A WHERE over a group column commutes with Expand and the MV.
+    check(
+      """SELECT a, b, count(*) AS c, sum(v) AS s
+        |FROM graft.mvgs.base WHERE a = 'x' GROUP BY ROLLUP(a, b)
+        |ORDER BY a NULLS FIRST, b NULLS FIRST""".stripMargin)
+    // Negatives: a non-derivable aggregate, a non-group WHERE — base scan.
+    for (q <- Seq(
+      "SELECT a, avg(v) AS m FROM graft.mvgs.base GROUP BY ROLLUP(a)",
+      "SELECT a, b, sum(v) AS s FROM graft.mvgs.base WHERE v > 1 GROUP BY ROLLUP(a, b)")) {
+      val s = scans(spark.sql(q))
+      assert(!s.contains("agg") && s.contains("base"),
+        s"non-derivable grouping-sets query must read the base, scans: $s ($q)")
+    }
+    spark.sql("DROP TABLE graft.mvgs.agg")
+    spark.sql("DROP TABLE graft.mvgs.base")
+  }
+
   test("transparent MV rewrite: matching aggregate reads the fresh MV, gates respected") {
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
     def scannedTables(df: org.apache.spark.sql.DataFrame): Seq[String] =
@@ -827,11 +1169,15 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(scans(rehit).exists(_.contains("agg")), "refreshed join MV not served")
     assert(rehit.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .toSeq.sortBy(_._1) == direct())
-    // Dim append → stale on the dim side → not served until refresh;
-    // the F⋈ΔD term finds the new group c (fact k=3 finally joins).
+    // Dim append → stale on the dim side → since r18 ALSO served, as
+    // MV ⊎ (ΔD ⋈ fact) (the single-moved-side stale path); the answer
+    // must include the new group c (fact k=3 finally joins).
     spark.sql("INSERT INTO graft.mvj.dim VALUES (3, 'c')")
     val dimStale = spark.sql(q)
-    assert(!scans(dimStale).exists(_.contains("agg")), "dim-stale join MV wrongly served")
+    assert(scans(dimStale).exists(_.contains("agg")),
+      "dim-append staleness should be stale-delta-served since r18")
+    assert(dimStale.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1) == direct())
     val (m3, g3a, _) = call("CALL graft.system.refresh_mv('mvj', 'agg')")
     assert(m3 == "incremental" && g3a == 1, s"dim append refresh: $m3/$g3a")
     assert(spark.sql(q).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
