@@ -100,8 +100,20 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG"))
         System.err.println(
           s"[bench] $name reps: ${times.map(t => f"$t%.3f").mkString(", ")}")
+      // DE-SPIKE: a rep ≥ 3× the row's own min is external load (the
+      // in-process causes — fixture build, JIT warm-up — are absorbed
+      // by the untimed passes above), and ONE such rep poisons both
+      // the median of 3 and the spread (r17 adjudicated a 30 s
+      // l8_ngram_decontaminate rep that pushed suite median−min to
+      // 7.6%). Discard them from median AND spread; the min — the
+      // headline — was never affected.
       val sortedTimes = times.sorted
-      (name, sortedTimes(reps / 2), sortedTimes.head, sortedTimes.last)
+      val mn = sortedTimes.head
+      val kept = sortedTimes.filter(_ <= mn * 3)
+      if (kept.length < times.length)
+        System.err.println(s"[bench] $name discarded ${times.length - kept.length} " +
+          s"load-contaminated rep(s) ≥ 3× min (${f"$mn%.3f"}s)")
+      (name, kept(kept.length / 2), mn, kept.last)
     }
     val results = stats.map { case (n, med, _, _) => (n, med) }
     def jstr(s: String): String = Q.jstr(s)

@@ -201,6 +201,17 @@ object SortSetQueries {
     * frontier × table, cost ∝ frontier size, never re-scanning
     * produced levels); DuckDB recomputes with its own recursive CTE —
     * the only dialect split is integer division (`DIV` vs `//`).
+    *
+    * The row runs on a CLONED session with AQE and whole-stage codegen
+    * off: UnionLoop re-plans and re-compiles its step query EVERY
+    * iteration (fresh ExprIds → codegen cache miss), so at ~15 levels
+    * the suite's most expensive row was ~75% fixed per-iteration
+    * AQE-replan + Janino time, not data (sf1 ratio 0.19; measured
+    * 2.53 s → 1.74 s min with both off, data volume identical). Per-
+    * level volume is frontier-sized — interpreted execution is the
+    * right trade at any SF, and the clone keeps both knobs scoped to
+    * this row (session conf is read at EXECUTION, which happens after
+    * the row fn returns).
     */
   val u6RecursiveCte: Q = Q(
     "u6_recursive_cte",
@@ -216,8 +227,11 @@ object SortSetQueries {
       |FROM tree
       |GROUP BY depth
       |ORDER BY depth""".stripMargin) { (spark, dir) =>
-    Tables.customer(spark, dir).createOrReplaceTempView("customer")
-    spark.sql(
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.codegen.wholeStage", "false")
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    s.sql(
       """WITH RECURSIVE tree AS (
         |  SELECT c_custkey, c_acctbal, 0 AS depth FROM customer WHERE c_custkey = 1
         |  UNION ALL
