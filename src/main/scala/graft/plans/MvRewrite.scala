@@ -239,15 +239,6 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       }
     }
     val baseColFor: Seq[String] = aliasInfo.map(_._1)
-    val (filterCond, relation) = stripChild(proj.child) match {
-      case Some((c, r))
-          if r.catalog.exists(_.isInstanceOf[GraftCatalog]) && r.identifier.isDefined =>
-        (c, r)
-      case _ => return None
-    }
-    if (GraftCatalog.isPinnedTable(relation.table)) return None
-    val srcIdent = relation.identifier.get
-    if (srcIdent.namespace().length != 1) return None
     val resolver = conf.resolver
     // Per-set membership matrix + gid literal, read off the original
     // projections: slot baseLen+i is either the grouping attr itself
@@ -267,11 +258,39 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       }
     }
 
-    GraftCatalog.freshMvsFor(srcIdent.namespace()(0), srcIdent.name())
-      .view.flatMap { case (mvIdent, props) =>
-        tryGroupingSetsCandidate(agg, relation, filterCond, groupAttrs, gidAttr,
-          baseColFor, sets, mvIdent, props, resolver)
-      }.headOption
+    // Single relation under the Project → single-source MVs; a join
+    // tree under it → JOIN MVs (rollup over the star served from the
+    // star's rollup MV) — same Expand rebuild either way.
+    stripChild(proj.child) match {
+      case Some((filterCond, relation))
+          if relation.catalog.exists(_.isInstanceOf[GraftCatalog]) &&
+            relation.identifier.isDefined =>
+        if (GraftCatalog.isPinnedTable(relation.table)) return None
+        val srcIdent = relation.identifier.get
+        if (srcIdent.namespace().length != 1) return None
+        GraftCatalog.freshMvsFor(srcIdent.namespace()(0), srcIdent.name())
+          .view.flatMap { case (mvIdent, props) =>
+            tryGroupingSetsCandidate(agg, relation, filterCond, groupAttrs, gidAttr,
+              baseColFor, sets, mvIdent, props, resolver)
+          }.headOption
+      case _ =>
+        val (filterCond, queryConjuncts, rels) =
+          stripJoin(proj.child).getOrElse(return None)
+        if (rels.exists(r => GraftCatalog.isPinnedTable(r.table))) return None
+        if (rels.exists(_.identifier.get.namespace().length != 1)) return None
+        val names = rels.map(r =>
+          s"${r.identifier.get.namespace()(0)}.${r.identifier.get.name()}")
+        if (names.distinct.length != names.length) return None
+        val combinedOutput = rels.flatMap(_.output)
+        rels.flatMap(r =>
+            GraftCatalog.freshMvsFor(r.identifier.get.namespace()(0), r.identifier.get.name()))
+          .filter(_._2.contains(GraftMvOps.JoinCondProp))
+          .view.flatMap { case (mvIdent, props) =>
+            tryGroupingSetsJoinCandidate(agg, filterCond, queryConjuncts,
+              combinedOutput, rels, names, groupAttrs, gidAttr,
+              baseColFor, sets, mvIdent, props, resolver)
+          }.headOption
+    }
   }
 
   private def tryGroupingSetsCandidate(
@@ -299,6 +318,73 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     val mvRelation = DataSourceV2Relation.create(mvTable, relation.catalog, Some(mvIdent))
     def mvAttr(col: String): Option[Attribute] =
       mvRelation.output.find(a => resolver(a.name, col))
+    val mvChild = remapOntoMv(residualCond, mvGroupCols, mvAttr, mvRelation, resolver)
+      .getOrElse(return None)
+    buildGroupingSetsPlan(agg, groupAttrs, gidAttr, baseColFor, sets,
+      mvAttr, mvChild, specByKey)
+  }
+
+  /** Join-MV flavor of the grouping-sets candidate: the gate set of
+    * [[tryJoinCandidate]] (table-set equality, every side fresh at the
+    * recorded versions, ON conjunct-set match, filter subsumption
+    * against the joined output), then the shared Expand rebuild.
+    */
+  private def tryGroupingSetsJoinCandidate(
+      agg: Aggregate,
+      filterCond: Option[Expression], queryConjuncts: Seq[Expression],
+      combinedOutput: Seq[Attribute],
+      rels: Seq[DataSourceV2Relation], names: Seq[String],
+      groupAttrs: Seq[Attribute], gidAttr: Attribute,
+      baseColFor: Seq[String], sets: Seq[(Seq[Boolean], Expression)],
+      mvIdent: Identifier, props: Map[String, String],
+      resolver: (String, String) => Boolean): Option[LogicalPlan] = {
+    val fact = props.getOrElse(GraftMvOps.SourceProp, return None)
+    val (dims, vds) = joinDefMatching(props, names).getOrElse(return None)
+    if (!names.contains(fact)) return None
+    if (!GraftCatalog.currentVersion(
+        fact.split('.')(0), fact.split('.')(1))
+      .map(_.toString).contains(props.getOrElse(GraftMvOps.VersionProp, return None)))
+      return None
+    dims.zip(vds).foreach { case (d, v) =>
+      val (dns, dtbl) = d.split('.') match {
+        case Array(a, b) => (a, b)
+        case _ => return None
+      }
+      if (!GraftCatalog.currentVersion(dns, dtbl).map(_.toString).contains(v))
+        return None
+    }
+    val mvCond = resolveSpecAgainst(
+      props.getOrElse(GraftMvOps.JoinCondProp, return None), combinedOutput)
+      .getOrElse(return None)
+    if (conjuncts(mvCond).map(norm).toSet != queryConjuncts.map(norm).toSet) return None
+    val mvGroupCols =
+      props.getOrElse(GraftMvOps.GroupProp, return None).split(',').toSeq
+    if (!baseColFor.forall(c => mvGroupCols.exists(resolver(_, c)))) return None
+    val residualCond: Option[Expression] =
+      residualAfterMvFilterOn(props, filterCond, combinedOutput).getOrElse(return None)
+    if (!admissibleResidual(residualCond, mvGroupCols, resolver)) return None
+    val specByKey = bindSpecs(props.getOrElse(GraftMvOps.AggsProp, return None), combinedOutput)
+      .getOrElse(return None).map(t => t._1 -> t._2).toMap
+    val anyRel = rels.head
+    val catalog = anyRel.catalog.get.asInstanceOf[TableCatalog]
+    val mvTable =
+      try catalog.loadTable(mvIdent)
+      catch { case NonFatal(_) => return None }
+    val mvRelation = DataSourceV2Relation.create(mvTable, anyRel.catalog, Some(mvIdent))
+    def mvAttr(col: String): Option[Attribute] =
+      mvRelation.output.find(a => resolver(a.name, col))
+    val mvChild = remapOntoMv(residualCond, mvGroupCols, mvAttr, mvRelation, resolver)
+      .getOrElse(return None)
+    buildGroupingSetsPlan(agg, groupAttrs, gidAttr, baseColFor, sets,
+      mvAttr, mvChild, specByKey)
+  }
+
+  /** The shared Expand-rebuild tail of both grouping-sets candidates. */
+  private def buildGroupingSetsPlan(
+      agg: Aggregate, groupAttrs: Seq[Attribute], gidAttr: Attribute,
+      baseColFor: Seq[String], sets: Seq[(Seq[Boolean], Expression)],
+      mvAttr: String => Option[Attribute], mvChild: LogicalPlan,
+      specByKey: Map[String, String]): Option[LogicalPlan] = {
     // Grouping columns must exist on the MV with EXACT types (Expand's
     // null literals and the output attrs are typed by them).
     val mvGroupAttrs: Seq[Attribute] = baseColFor.zip(groupAttrs).map {
@@ -307,8 +393,6 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
         if (m.dataType != a.dataType) return None
         m
     }
-    val mvChild = remapOntoMv(residualCond, mvGroupCols, mvAttr, mvRelation, resolver)
-      .getOrElse(return None)
 
     // Aggregate outputs: grouping/gid references pass through (their
     // attrs keep their ExprIds in the rebuilt Expand); aggregates map
@@ -966,8 +1050,35 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     if (groupingMatch(groupAttrs, mvGroupCols, resolver).isEmpty) return None
 
     val srcIdent = relation.identifier.get
-    val delta = GraftCatalog.appendOnlyDeltaSince(
-      srcIdent.namespace()(0), srcIdent.name(), v0).getOrElse(return None)
+    // Pure-append staleness first (supports min/max); else the
+    // EQUALITY-DELETE-tolerant walk (the MoR-upsert shape): appends
+    // plus registered deletes, served below with a RETRACTION branch.
+    val (delta, newEqs) = GraftCatalog.appendOnlyDeltaSince(
+        srcIdent.namespace()(0), srcIdent.name(), v0) match {
+      case Some(d) => (d, Vector.empty[GraftCatalog.EqDelete])
+      case None => GraftCatalog.appendOnlyEqDeltaSince(
+        srcIdent.namespace()(0), srcIdent.name(), v0).getOrElse(return None)
+    }
+    // Retraction gates: negation is exact only for SUM/COUNT (min/max
+    // cannot un-see a killed extremum), the kill predicate must be an
+    // exact single-column IN (multi-column tuples would need OR-of-
+    // conjunctions — decline), and the key lists must stay
+    // metadata-sized. Vanished groups are filtered by a liveness count
+    // below, so the MV must expose a plain count(*) column.
+    val countKey = norm(AggregateExpression(
+      Count(Seq(Literal(1))), Complete, isDistinct = false))
+    if (newEqs.nonEmpty) {
+      if (newEqs.exists(_.keyCols.length != 1)) return None
+      if (newEqs.map(_.keys.length).sum > 1000) return None
+      val sumCountOnly = agg.aggregateExpressions.forall {
+        case Alias(ae: AggregateExpression, _) => ae.aggregateFunction match {
+          case _: Sum | _: Count => true
+          case _ => false
+        }
+        case _ => true // group columns — vetted by mergedAggregate
+      }
+      if (!sumCountOnly) return None
+    }
 
     // Bind the MV's aggregate specs against the source relation and key
     // them like the fresh path; each spec's raw text is remembered so
@@ -976,11 +1087,15 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     val specs = bindSpecs(aggsProp, relation.output).getOrElse(return None)
     val specByKey: Map[String, String] = specs.map(t => t._1 -> t._2).toMap
     val itemByName: Map[String, String] = specs.map(t => t._2 -> t._3).toMap
+    val liveCntCol: Option[String] =
+      if (newEqs.isEmpty || groupAttrs.isEmpty) None
+      else Some(specByKey.getOrElse(countKey, return None))
 
     // Plan the output shape FIRST: which MV agg columns the query
     // needs, and that every query aggregate is merge-derivable.
     val neededAggCols: Seq[String] =
-      neededMergeCols(agg, mvGroupCols, specByKey, resolver).getOrElse(return None)
+      (neededMergeCols(agg, mvGroupCols, specByKey, resolver).getOrElse(return None) ++
+        liveCntCol).distinct
     val unionCols: Seq[String] = mvGroupCols ++ neededAggCols
 
     // MV branch: pinned scan of the snapshot's segments, WHERE remapped
@@ -993,45 +1108,116 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       .getOrElse(return None)
     val mvPart = Project(unionCols.map(c => mvAttr(c).getOrElse(return None)), mvChild)
 
-    // Delta branch: the appended segments as a pinned scan of the
-    // SOURCE, aggregated to the same shape by the MV's own specs.
-    val combined: LogicalPlan =
-      if (delta.isEmpty) mvPart // metadata-only version drift: MV data is current
-      else {
-        val deltaTable =
-          GraftCatalog.segmentPinnedTable(srcIdent, delta).getOrElse(return None)
-        val deltaRelation =
-          DataSourceV2Relation.create(deltaTable, relation.catalog, Some(srcIdent))
-        def deltaAttr(col: String): Option[Attribute] =
-          deltaRelation.output.find(a => resolver(a.name, col))
-        val deltaChild: LogicalPlan = filterCond match {
-          case None => deltaRelation
-          case Some(c) =>
-            var ok = true
-            val mapped = c.transformUp {
-              case a: AttributeReference => deltaAttr(a.name) match {
-                case Some(d) => d
-                case None => ok = false; a
-              }
-            }
-            if (!ok) return None
-            Filter(mapped, deltaRelation)
-        }
-        val deltaGroups: Seq[NamedExpression] =
-          mvGroupCols.map(c => deltaAttr(c).getOrElse(return None))
-        val deltaAggs: Seq[NamedExpression] = neededAggCols.map { n =>
-          resolveSpec(itemByName(n), deltaRelation) match {
-            case Some(al: Alias) => al
-            case _ => return None
+    // Branch builder shared by the delta and retraction parts: a
+    // pinned relation, the query's FULL predicate remapped (delta and
+    // killed rows are raw source rows — for a filtered MV the MV's
+    // conjuncts are part of it by subsumption), an extra branch
+    // predicate (the kill-key IN), specs re-bound, aggregates
+    // optionally NEGATED (the retraction branch contributes
+    // -count/-sum, exact for the sum/count-only gate above).
+    def sidePart(
+        table: org.apache.spark.sql.connector.catalog.Table,
+        extraPred: Option[Seq[Attribute] => Option[Expression]],
+        negate: Boolean): Option[LogicalPlan] = {
+      val rel = DataSourceV2Relation.create(table, relation.catalog, Some(srcIdent))
+      def at(col: String): Option[Attribute] =
+        rel.output.find(a => resolver(a.name, col))
+      var child: LogicalPlan = rel
+      extraPred.foreach { f =>
+        child = Filter(f(rel.output).getOrElse(return None), child)
+      }
+      filterCond.foreach { c =>
+        var ok = true
+        val mapped = c.transformUp {
+          case a: AttributeReference => at(a.name) match {
+            case Some(d) => d
+            case None => ok = false; a
           }
         }
-        val deltaPart = Aggregate(deltaGroups, deltaGroups ++ deltaAggs, deltaChild)
-        // Union is positional: both branches emit unionCols in order and
-        // must agree on types exactly (no silent coercion).
-        if (mvPart.output.map(_.dataType) != deltaPart.output.map(_.dataType)) return None
-        Union(mvPart :: deltaPart :: Nil)
+        if (!ok) return None
+        child = Filter(mapped, child)
       }
-    mergedAggregate(agg, groupAttrs, mvGroupCols, unionCols, specByKey, combined, resolver)
+      val groups: Seq[NamedExpression] =
+        mvGroupCols.map(c => at(c).getOrElse(return None))
+      val aggs: Seq[NamedExpression] = neededAggCols.map { n =>
+        resolveSpecAgainst(itemByName(n), rel.output) match {
+          case Some(al: Alias) if !negate => al
+          case Some(al: Alias) =>
+            Alias(org.apache.spark.sql.catalyst.expressions.UnaryMinus(al.child), n)()
+          case _ => return None
+        }
+      }
+      Some(Aggregate(groups, groups ++ aggs, child))
+    }
+
+    // Delta branch: the appended segments as a pinned scan of the
+    // SOURCE (with the in-range deletes applied, so rows a LATER epoch
+    // killed never enter), aggregated to the same shape by the MV's
+    // own specs. Retraction branch: rows the in-range deletes killed
+    // out of the v0 snapshot (pinned v0 segments + v0's own deletes,
+    // restricted to the new deletes' keys), aggregated NEGATED.
+    val deltaPart: Option[LogicalPlan] =
+      if (delta.isEmpty) None
+      else sidePart(
+        GraftCatalog.segmentPinnedTable(srcIdent, delta, newEqs).getOrElse(return None),
+        None, negate = false).orElse(return None)
+    val killedPart: Option[LogicalPlan] =
+      if (newEqs.isEmpty) None
+      else {
+        val s0 = GraftCatalog.snapshotByVersion(srcIdent, v0).getOrElse(return None)
+        val killPred: Seq[Attribute] => Option[Expression] = { out =>
+          val perDelete = newEqs.groupBy(_.keyCols.head).toSeq.map { case (kc, ds) =>
+            val attr = out.find(a => resolver(a.name, kc)).getOrElse(return None)
+            val vs = ds.flatMap(_.keys.map(_.head)).distinct
+            val nonNull = vs.filterNot(_ == null)
+            val in: Expression =
+              if (nonNull.isEmpty) Literal(false)
+              else org.apache.spark.sql.catalyst.expressions.In(
+                attr, nonNull.map(v => Literal(v)))
+            if (vs.contains(null))
+              org.apache.spark.sql.catalyst.expressions.Or(in,
+                org.apache.spark.sql.catalyst.expressions.IsNull(attr))
+            else in
+          }
+          Some(perDelete.reduce(org.apache.spark.sql.catalyst.expressions.Or))
+        }
+        sidePart(
+          GraftCatalog.segmentPinnedTable(srcIdent, s0.segments, s0.eqDeletes)
+            .getOrElse(return None),
+          Some(killPred), negate = true).orElse(return None)
+      }
+    val branches: Seq[LogicalPlan] = mvPart +: (deltaPart ++ killedPart).toSeq
+    // Union is positional: all branches emit unionCols in order and
+    // must agree on types exactly (no silent coercion).
+    if (branches.exists(_.output.map(_.dataType) != mvPart.output.map(_.dataType)))
+      return None
+    val combined: LogicalPlan =
+      if (branches.length == 1) mvPart else Union(branches)
+    val merged =
+      mergedAggregate(agg, groupAttrs, mvGroupCols, unionCols, specByKey, combined, resolver)
+        .getOrElse(return None)
+    liveCntCol match {
+      case None => Some(merged)
+      case Some(cnt) => merged match {
+        // LIVENESS filter: a group whose every base row was killed
+        // nets count 0 across the branches but would still emit a row
+        // of zeros/nulls — SQL semantics say the group vanishes. The
+        // merged count decides; the query's own output shape (and
+        // ExprIds) are restored by the Project. The GLOBAL aggregate
+        // (no grouping) skips this — it legitimately reports 0/NULL
+        // over an emptied table (liveCntCol is None then).
+        case Aggregate(g, outs, child, _) =>
+          val cntAttr = combined.output(unionCols.indexOf(cnt))
+          val live = Alias(Coalesce(Seq(
+            Sum(cntAttr).toAggregateExpression(), Literal(0L))), "__graft_live_cnt")()
+          val withLive = Aggregate(g, outs :+ live, child)
+          val filtered = Filter(
+            org.apache.spark.sql.catalyst.expressions.GreaterThan(
+              live.toAttribute, Literal(0L)), withLive)
+          Some(Project(outs.map(_.toAttribute), filtered))
+        case _ => None
+      }
+    }
   }
 
   /** The MV aggregate columns the query's output needs, with every

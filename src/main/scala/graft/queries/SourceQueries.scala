@@ -1256,6 +1256,85 @@ object SourceQueries {
     df
   }
 
+  /** X9l: STALE MV UNDER EQUALITY DELETES (retraction algebra) — the
+    * read-side twin of x8b: the MV is materialized, ONE MoR-upsert
+    * epoch lands (existing keys move groups, new keys append) and NO
+    * refresh runs. The rewrite serves the aggregate as
+    * MV ⊎ γ(live Δ) ⊖ γ(killed v0 rows): the delta scan is
+    * segment-pinned WITH the in-range deletes applied, the retraction
+    * branch scans the v0 snapshot restricted to the delete's keys and
+    * contributes NEGATED count/sum, and a liveness-count filter drops
+    * groups that netted to zero rows. Sum/count only (min/max cannot
+    * un-see a killed extremum → base). Both the MV hit and the base
+    * branches are plan-REQUIRED; the DuckDB oracle recomputes the
+    * post-upsert state from raw parquet, so a double-counted killed
+    * row, a missed retraction, or a zero-row ghost group all break
+    * the hash. At 100 TB this is the read path BETWEEN refreshes of a
+    * streaming-upsert-fed rollup: the fact history is never rescanned
+    * even while the MV is behind.
+    */
+  val x9lStaleUpsertMv: Q = Q(
+    "x9l_stale_upsert_mv",
+    """WITH b1 AS (SELECT o_orderkey AS k, o_orderpriority AS pri, o_totalprice AS price
+      |            FROM orders WHERE o_orderkey <= 600),
+      |     ups AS (SELECT o_orderkey AS k, '9-UPSERT' AS pri, o_totalprice + 10.0 AS price
+      |             FROM orders WHERE o_orderkey <= 200
+      |             UNION ALL
+      |             SELECT o_orderkey, o_orderpriority, o_totalprice
+      |             FROM orders WHERE o_orderkey > 600 AND o_orderkey <= 800),
+      |     final AS (SELECT * FROM b1 WHERE k > 200 UNION ALL SELECT * FROM ups)
+      |SELECT pri, count(*) AS cnt,
+      |  round(CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
+      |FROM final
+      |GROUP BY pri
+      |ORDER BY pri""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("x9l_orders_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.su_orders")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.su_pri")
+    spark.sql(
+      "CREATE TABLE graft.demo.su_orders (k BIGINT, pri STRING, price DOUBLE) USING graft")
+    spark.sql(
+      """INSERT INTO graft.demo.su_orders
+        |SELECT o_orderkey, o_orderpriority, o_totalprice
+        |FROM x9l_orders_src WHERE o_orderkey <= 600""".stripMargin)
+    spark.sql(
+      """CALL graft.system.create_mv('demo', 'su_pri', 'demo.su_orders', 'pri',
+        |  'count(*) AS cnt, sum(CAST(price AS DECIMAL(18,2))) AS dec_total')""".stripMargin)
+      .collect()
+    // One upsert epoch, NEVER refreshed: keys ≤ 200 move to a new
+    // group (their old rows die by equality delete), 601..800 insert.
+    spark.sql(
+      """SELECT o_orderkey AS k, '9-UPSERT' AS pri, o_totalprice + 10.0 AS price
+        |FROM x9l_orders_src WHERE o_orderkey <= 200
+        |UNION ALL
+        |SELECT o_orderkey, o_orderpriority, o_totalprice
+        |FROM x9l_orders_src WHERE o_orderkey > 600 AND o_orderkey <= 800""".stripMargin)
+      .writeTo("graft.demo.su_orders")
+      .option("graft.upsert.keys", "k").append()
+    val df = spark.sql(
+      """SELECT pri, cnt, round(CAST(dt AS DOUBLE), 4) AS total
+        |FROM (
+        |  SELECT pri, count(*) AS cnt,
+        |    sum(CAST(price AS DECIMAL(18,2))) AS dt
+        |  FROM graft.demo.su_orders
+        |  GROUP BY pri)
+        |ORDER BY pri""".stripMargin)
+    def scans(p: org.apache.spark.sql.execution.QueryExecution): Seq[String] =
+      p.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.identifier.map(_.name).getOrElse("")
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.identifier.map(_.name).getOrElse("")
+      }
+    val s = scans(df.queryExecution)
+    require(s.contains("su_pri"),
+      s"x9l_stale_upsert_mv: upsert-stale aggregate was not MV-served (scans: $s)")
+    require(s.count(_ == "su_orders") >= 2,
+      s"x9l_stale_upsert_mv: plan is missing the delta or retraction branch (scans: $s)")
+    df
+  }
+
   /** X9b: STALE-TOLERANT MV REWRITE (delta-union), differentially
     * verified — the MV is built over the first batch, a second batch is
     * appended and NO refresh runs. The rewrite answers the aggregate as
@@ -2920,7 +2999,7 @@ object SourceQueries {
     x7CatalogView, x8MaterializedView, x8bUpsertMvRefresh, x9MvRollup, x9bStaleMv,
     x9cMvRewriteOff, x9cMvRewriteOn, x9dFilteredMv, x9eJoinMv, x9fJoinMvRefresh,
     x9gStaleJoinMv, x9hSnowflakeMv, x9iFilteredJoinMv, x9jStaleDimJoinMv,
-    x9kRollupNavigation,
+    x9kRollupNavigation, x9lStaleUpsertMv,
     x5fPartitionProfile, x5gCosortedJoin,
     x5hPartitionOverwrite, x5iPartitionEvolution, x5jHiddenPartitioning,
     x5kBucketSpj,

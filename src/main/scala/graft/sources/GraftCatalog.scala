@@ -2145,14 +2145,52 @@ object GraftCatalog {
 
   /** Read-only table over EXACTLY `segs` of an existing table — the
     * stale-delta rewrite's delta scan (zone maps, blooms, and column
-    * pruning apply to it like any pinned time-travel scan).
+    * pruning apply to it like any pinned time-travel scan). `eqs`
+    * pins the equality deletes the scan subtracts (empty = raw rows;
+    * the eq-aware stale path passes the current or v0 set so the
+    * branch sees exactly the rows its algebra expects).
     */
   private[graft] def segmentPinnedTable(
-      ident: Identifier, segs: Vector[Segment]): Option[Table] = {
+      ident: Identifier, segs: Vector[Segment],
+      eqs: Vector[EqDelete] = Vector.empty): Option[Table] = {
     ensureLoaded()
     Option(store.get(ident)).map(e =>
       new GraftCatalogTable(ident, e.schema, e.dir, pinned = Some(segs),
-        partitionCols = e.partitionCols))
+        partitionCols = e.partitionCols, pinnedEq = eqs))
+  }
+
+  /** Like [[appendOnlyDeltaSince]] but tolerant of EQUALITY-DELETE
+    * drift — the MoR-upsert shape: segments may only be ADDED and
+    * deletes may only be REGISTERED in range (a delete REMOVED in
+    * range is admissible only when it no longer applies to any
+    * CURRENT live segment — the GC case, semantically a no-op; a
+    * RESTORE that resurrects rows fails this test and declines).
+    * Returns (segments appended after `fromV`, deletes registered
+    * after `fromV`). Pure metadata.
+    */
+  private[graft] def appendOnlyEqDeltaSince(
+      ns: String, tbl: String, fromV: Long)
+      : Option[(Vector[Segment], Vector[EqDelete])] = {
+    val ident = Identifier.of(Array(ns), tbl)
+    val hist = retainedSnapshots(ident)
+    val last = hist.lastOption.getOrElse(return None)
+    val chain = hist.filter(_.version >= fromV)
+    if (chain.isEmpty || chain.head.version != fromV ||
+        !chain.map(_.version).sameElements(fromV to last.version)) return None
+    var prev = chain.head
+    val delta = Vector.newBuilder[Segment]
+    chain.tail.foreach { s =>
+      if (s.schema != prev.schema) return None
+      val prevByPath = prev.segments.map(x => x.path -> x).toMap
+      val curPaths = s.segments.map(_.path).toSet
+      if ((prevByPath.keySet -- curPaths).nonEmpty) return None
+      if (s.segments.exists(x => prevByPath.get(x.path).exists(_.dv != x.dv))) return None
+      val gone = prev.eqDeletes.filterNot(s.eqDeletes.contains)
+      if (gone.exists(d => last.segments.exists(_.seq < d.seq))) return None
+      delta ++= s.segments.filterNot(x => prevByPath.contains(x.path))
+      prev = s
+    }
+    Some((delta.result(), last.eqDeletes.filterNot(chain.head.eqDeletes.contains)))
   }
 
   private val store = new ConcurrentHashMap[Identifier, TableEntry]()
