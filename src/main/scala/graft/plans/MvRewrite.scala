@@ -632,13 +632,26 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       case Array(a, b) => Some((a, b))
       case _ => None
     }
-    val sideDeltas: Seq[Vector[GraftCatalog.Segment]] =
+    val sideDeltas: Seq[(Vector[GraftCatalog.Segment], Vector[GraftCatalog.EqDelete])] =
       sideNames.zip(sideV0s).map { case (s, v) =>
         val (tns, ttbl) = nsTbl(s).getOrElse(return None)
-        GraftCatalog.appendOnlyDeltaSince(tns, ttbl, v).getOrElse(return None)
+        GraftCatalog.appendOnlyDeltaSince(tns, ttbl, v) match {
+          case Some(d) => (d, Vector.empty[GraftCatalog.EqDelete])
+          case None => GraftCatalog.appendOnlyEqDeltaSince(tns, ttbl, v)
+            .getOrElse(return None)
+        }
       }
-    val movedSides = sideDeltas.zipWithIndex.filter(_._1.nonEmpty).map(_._2)
+    val movedSides = sideDeltas.zipWithIndex.collect {
+      case ((d, e), i) if d.nonEmpty || e.nonEmpty => i
+    }
     if (movedSides.length > 1) return None
+    // Upsert staleness on the moved side (eq deletes in range): the
+    // same retraction algebra as the single-source path — the killed
+    // tuples' joined aggregates subtract (sum/count only), vanished
+    // groups drop by the liveness count.
+    val newEqs: Vector[GraftCatalog.EqDelete] =
+      movedSides.headOption.map(m => sideDeltas(m)._2).getOrElse(Vector.empty)
+    if (newEqs.nonEmpty && !retractionAdmissible(agg, newEqs)) return None
     val mvCond = resolveSpecAgainst(
       props.getOrElse(GraftMvOps.JoinCondProp, return None), combinedOutput)
       .getOrElse(return None)
@@ -658,8 +671,12 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     val specs = bindSpecs(aggsProp, combinedOutput).getOrElse(return None)
     val specByKey: Map[String, String] = specs.map(t => t._1 -> t._2).toMap
     val itemByName: Map[String, String] = specs.map(t => t._2 -> t._3).toMap
+    val liveCntCol: Option[String] =
+      if (newEqs.isEmpty || groupAttrs.isEmpty) None
+      else Some(specByKey.getOrElse(countStarKey, return None))
     val neededAggCols =
-      neededMergeCols(agg, mvGroupCols, specByKey, resolver).getOrElse(return None)
+      (neededMergeCols(agg, mvGroupCols, specByKey, resolver).getOrElse(return None) ++
+        liveCntCol).distinct
     val unionCols: Seq[String] = mvGroupCols ++ neededAggCols
 
     // MV branch: pinned entry-snapshot scan, query WHERE (group-column
@@ -679,62 +696,98 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
         val m = movedSides.head
         val (mns, mtbl) = nsTbl(sideNames(m)).getOrElse(return None)
         val mIdent = Identifier.of(Array(mns), mtbl)
-        val deltaTable =
-          GraftCatalog.segmentPinnedTable(mIdent, sideDeltas(m)).getOrElse(return None)
-        val deltaRel =
-          DataSourceV2Relation.create(deltaTable, anyCatalog, Some(mIdent))
-        // Other sides: REUSE the query's own relations — the rewrite
-        // replaces the whole aggregate, so their ExprIds appear exactly
-        // once in the new plan (and they already carry the current,
-        // analysis-time-checked state, which equals the recorded state
-        // by the empty-delta gate above).
-        val otherRels: Seq[DataSourceV2Relation] =
-          sideNames.zipWithIndex.collect {
-            case (n, i) if i != m => rels(names.indexOf(n))
-          }
-        val deltaOut = deltaRel.output ++ otherRels.flatMap(_.output)
-        def deltaAttr(col: String): Option[Attribute] =
-          deltaOut.find(a => resolver(a.name, col))
-        val deltaCond =
-          resolveSpecAgainst(props(GraftMvOps.JoinCondProp), deltaOut)
+
+        // Branch builder shared by the delta and retraction parts: a
+        // pinned scan of the moved side joined against the OTHER
+        // sides (condition-free Inner joins under ONE Filter holding
+        // the conjunction: predicate pushdown turns each equi conjunct
+        // into its join condition before the cartesian check runs —
+        // the same conjunction form create/refresh plan through; for a
+        // moved DIM the equi conjunct also reaches the FACT scan as a
+        // pushed join-side filter, zone-map-pruning it to matched
+        // segments), the query's FULL predicate, aggregates optionally
+        // NEGATED for the retraction branch.
+        def joinPart(
+            sideTable: org.apache.spark.sql.connector.catalog.Table,
+            others: Seq[DataSourceV2Relation],
+            extraPred: Option[Seq[Attribute] => Option[Expression]],
+            negate: Boolean): Option[LogicalPlan] = {
+          val sideRel = DataSourceV2Relation.create(sideTable, anyCatalog, Some(mIdent))
+          val outAll = sideRel.output ++ others.flatMap(_.output)
+          def at(col: String): Option[Attribute] =
+            outAll.find(a => resolver(a.name, col))
+          val cond = resolveSpecAgainst(props(GraftMvOps.JoinCondProp), outAll)
             .getOrElse(return None)
-        // Condition-free Inner joins under ONE Filter holding the
-        // conjunction: predicate pushdown turns each equi conjunct into
-        // its join condition before the cartesian check runs — the same
-        // conjunction form create/refresh plan through. For a moved DIM
-        // the equi conjunct also reaches the FACT scan as a pushed
-        // join-side filter once the optimizer plans the (small,
-        // broadcast) delta against it — zone maps prune the fact to
-        // segments holding the delta's keys.
-        val joined: LogicalPlan = otherRels.foldLeft(deltaRel: LogicalPlan)(
-          (l, r) => Join(l, r, Inner, None, JoinHint.NONE))
-        val withCond: LogicalPlan = Filter(deltaCond, joined)
-        val deltaChild: LogicalPlan = filterCond match {
-          case None => withCond
-          case Some(c) =>
+          val joined: LogicalPlan = others.foldLeft(sideRel: LogicalPlan)(
+            (l, r) => Join(l, r, Inner, None, JoinHint.NONE))
+          var child: LogicalPlan = Filter(cond, joined)
+          extraPred.foreach { f =>
+            child = Filter(f(sideRel.output).getOrElse(return None), child)
+          }
+          filterCond.foreach { c =>
             var ok = true
             val mapped = c.transformUp {
-              case a: AttributeReference => deltaAttr(a.name) match {
+              case a: AttributeReference => at(a.name) match {
                 case Some(d) => d
                 case None => ok = false; a
               }
             }
             if (!ok) return None
-            Filter(mapped, withCond)
-        }
-        val deltaGroups: Seq[NamedExpression] =
-          mvGroupCols.map(c => deltaAttr(c).getOrElse(return None))
-        val deltaAggs: Seq[NamedExpression] = neededAggCols.map { n =>
-          resolveSpecAgainst(itemByName(n), deltaOut) match {
-            case Some(al: Alias) => al
-            case _ => return None
+            child = Filter(mapped, child)
           }
+          val groups: Seq[NamedExpression] =
+            mvGroupCols.map(c => at(c).getOrElse(return None))
+          val aggs: Seq[NamedExpression] = neededAggCols.map { n =>
+            resolveSpecAgainst(itemByName(n), outAll) match {
+              case Some(al: Alias) if !negate => al
+              case Some(al: Alias) =>
+                Alias(org.apache.spark.sql.catalyst.expressions.UnaryMinus(al.child), n)()
+              case _ => return None
+            }
+          }
+          Some(Aggregate(groups, groups ++ aggs, child))
         }
-        val deltaPart = Aggregate(deltaGroups, deltaGroups ++ deltaAggs, deltaChild)
-        if (mvPart.output.map(_.dataType) != deltaPart.output.map(_.dataType)) return None
-        Union(mvPart :: deltaPart :: Nil)
+
+        // Other sides for the DELTA branch: REUSE the query's own
+        // relations — the rewrite replaces the whole aggregate, so
+        // their ExprIds appear exactly once in that branch (and they
+        // already carry the current, analysis-time-checked state,
+        // which equals the recorded state by the empty-delta gate).
+        val otherRels: Seq[DataSourceV2Relation] =
+          sideNames.zipWithIndex.collect {
+            case (n, i) if i != m => rels(names.indexOf(n))
+          }
+        val (segs, _) = sideDeltas(m)
+        val deltaPart: Option[LogicalPlan] =
+          if (segs.isEmpty) None
+          else joinPart(
+            GraftCatalog.segmentPinnedTable(mIdent, segs, newEqs).getOrElse(return None),
+            otherRels, None, negate = false).orElse(return None)
+        val killedPart: Option[LogicalPlan] =
+          if (newEqs.isEmpty) None
+          else {
+            val s0 = GraftCatalog.snapshotByVersion(mIdent, sideV0s(m))
+              .getOrElse(return None)
+            // FRESH relation copies for the other sides: the delta
+            // branch already spent the query's ExprIds; a second
+            // appearance would alias two scans in one tree.
+            val othersFresh = otherRels.map(r =>
+              DataSourceV2Relation.create(r.table, r.catalog, r.identifier))
+            joinPart(
+              GraftCatalog.segmentPinnedTable(mIdent, s0.segments, s0.eqDeletes)
+                .getOrElse(return None),
+              othersFresh, Some(eqKillPredicate(newEqs, resolver)), negate = true)
+              .orElse(return None)
+          }
+        val branches: Seq[LogicalPlan] = mvPart +: (deltaPart ++ killedPart).toSeq
+        if (branches.exists(_.output.map(_.dataType) != mvPart.output.map(_.dataType)))
+          return None
+        if (branches.length == 1) mvPart else Union(branches)
       }
-    mergedAggregate(agg, groupAttrs, mvGroupCols, unionCols, specByKey, combined, resolver)
+    val merged =
+      mergedAggregate(agg, groupAttrs, mvGroupCols, unionCols, specByKey, combined, resolver)
+        .getOrElse(return None)
+    withLiveness(merged, liveCntCol, combined, unionCols)
   }
 
   private def tryJoinCandidate(
@@ -1065,20 +1118,7 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     // conjunctions — decline), and the key lists must stay
     // metadata-sized. Vanished groups are filtered by a liveness count
     // below, so the MV must expose a plain count(*) column.
-    val countKey = norm(AggregateExpression(
-      Count(Seq(Literal(1))), Complete, isDistinct = false))
-    if (newEqs.nonEmpty) {
-      if (newEqs.exists(_.keyCols.length != 1)) return None
-      if (newEqs.map(_.keys.length).sum > 1000) return None
-      val sumCountOnly = agg.aggregateExpressions.forall {
-        case Alias(ae: AggregateExpression, _) => ae.aggregateFunction match {
-          case _: Sum | _: Count => true
-          case _ => false
-        }
-        case _ => true // group columns — vetted by mergedAggregate
-      }
-      if (!sumCountOnly) return None
-    }
+    if (newEqs.nonEmpty && !retractionAdmissible(agg, newEqs)) return None
 
     // Bind the MV's aggregate specs against the source relation and key
     // them like the fresh path; each spec's raw text is remembered so
@@ -1089,7 +1129,7 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     val itemByName: Map[String, String] = specs.map(t => t._2 -> t._3).toMap
     val liveCntCol: Option[String] =
       if (newEqs.isEmpty || groupAttrs.isEmpty) None
-      else Some(specByKey.getOrElse(countKey, return None))
+      else Some(specByKey.getOrElse(countStarKey, return None))
 
     // Plan the output shape FIRST: which MV agg columns the query
     // needs, and that every query aggregate is merge-derivable.
@@ -1165,26 +1205,10 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       if (newEqs.isEmpty) None
       else {
         val s0 = GraftCatalog.snapshotByVersion(srcIdent, v0).getOrElse(return None)
-        val killPred: Seq[Attribute] => Option[Expression] = { out =>
-          val perDelete = newEqs.groupBy(_.keyCols.head).toSeq.map { case (kc, ds) =>
-            val attr = out.find(a => resolver(a.name, kc)).getOrElse(return None)
-            val vs = ds.flatMap(_.keys.map(_.head)).distinct
-            val nonNull = vs.filterNot(_ == null)
-            val in: Expression =
-              if (nonNull.isEmpty) Literal(false)
-              else org.apache.spark.sql.catalyst.expressions.In(
-                attr, nonNull.map(v => Literal(v)))
-            if (vs.contains(null))
-              org.apache.spark.sql.catalyst.expressions.Or(in,
-                org.apache.spark.sql.catalyst.expressions.IsNull(attr))
-            else in
-          }
-          Some(perDelete.reduce(org.apache.spark.sql.catalyst.expressions.Or))
-        }
         sidePart(
           GraftCatalog.segmentPinnedTable(srcIdent, s0.segments, s0.eqDeletes)
             .getOrElse(return None),
-          Some(killPred), negate = true).orElse(return None)
+          Some(eqKillPredicate(newEqs, resolver)), negate = true).orElse(return None)
       }
     val branches: Seq[LogicalPlan] = mvPart +: (deltaPart ++ killedPart).toSeq
     // Union is positional: all branches emit unionCols in order and
@@ -1196,16 +1220,71 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     val merged =
       mergedAggregate(agg, groupAttrs, mvGroupCols, unionCols, specByKey, combined, resolver)
         .getOrElse(return None)
+    withLiveness(merged, liveCntCol, combined, unionCols)
+  }
+
+  /** Exact kill predicate for the retraction branch: the rows of a
+    * pinned snapshot a set of in-range equality deletes killed —
+    * single-column keys only (gated by callers), so a plain IN over
+    * the union of each key column's values is EXACT tuple membership.
+    * The returned builder binds against the branch's own output.
+    */
+  private def eqKillPredicate(
+      newEqs: Seq[GraftCatalog.EqDelete],
+      resolver: (String, String) => Boolean): Seq[Attribute] => Option[Expression] = {
+    out =>
+      val perDelete: Seq[Option[Expression]] =
+        newEqs.groupBy(_.keyCols.head).toSeq.map { case (kc, ds) =>
+          out.find(a => resolver(a.name, kc)).map { attr =>
+            val vs = ds.flatMap(_.keys.map(_.head)).distinct
+            val nonNull = vs.filterNot(_ == null)
+            val in: Expression =
+              if (nonNull.isEmpty) Literal(false)
+              else org.apache.spark.sql.catalyst.expressions.In(
+                attr, nonNull.map(v => Literal(v)))
+            if (vs.contains(null))
+              org.apache.spark.sql.catalyst.expressions.Or(in,
+                org.apache.spark.sql.catalyst.expressions.IsNull(attr))
+            else in
+          }
+        }
+      if (perDelete.exists(_.isEmpty)) None
+      else Some(perDelete.flatten
+        .reduce(org.apache.spark.sql.catalyst.expressions.Or)).filter(_.resolved)
+  }
+
+  /** Retraction gates shared by the single-source and join stale
+    * paths: negation is exact only for SUM/COUNT, the kill predicate
+    * needs single-column keys, and the key lists must stay
+    * metadata-sized. True = admissible.
+    */
+  private def retractionAdmissible(
+      agg: Aggregate, newEqs: Seq[GraftCatalog.EqDelete]): Boolean =
+    newEqs.forall(_.keyCols.length == 1) &&
+      newEqs.map(_.keys.length).sum <= 1000 &&
+      agg.aggregateExpressions.forall {
+        case Alias(ae: AggregateExpression, _) => ae.aggregateFunction match {
+          case _: Sum | _: Count => true
+          case _ => false
+        }
+        case _ => true // group columns — vetted by mergedAggregate
+      }
+
+  /** LIVENESS filter for retraction-served plans: a group whose every
+    * base row was killed nets count 0 across the branches but would
+    * still emit a row of zeros/nulls — SQL semantics say the group
+    * vanishes. Wraps the merged aggregate with an internal
+    * sum-of-counts column, filters on it, and restores the query's
+    * output shape (and ExprIds) with a Project. `liveCntCol` None =
+    * no wrap (pure-append staleness, or the global aggregate — which
+    * legitimately reports 0/NULL over an emptied table).
+    */
+  private def withLiveness(
+      merged: LogicalPlan, liveCntCol: Option[String],
+      combined: LogicalPlan, unionCols: Seq[String]): Option[LogicalPlan] =
     liveCntCol match {
       case None => Some(merged)
       case Some(cnt) => merged match {
-        // LIVENESS filter: a group whose every base row was killed
-        // nets count 0 across the branches but would still emit a row
-        // of zeros/nulls — SQL semantics say the group vanishes. The
-        // merged count decides; the query's own output shape (and
-        // ExprIds) are restored by the Project. The GLOBAL aggregate
-        // (no grouping) skips this — it legitimately reports 0/NULL
-        // over an emptied table (liveCntCol is None then).
         case Aggregate(g, outs, child, _) =>
           val cntAttr = combined.output(unionCols.indexOf(cnt))
           val live = Alias(Coalesce(Seq(
@@ -1218,7 +1297,12 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
         case _ => None
       }
     }
-  }
+
+  /** Normalized key of `count(*)` — the MV column the liveness filter
+    * needs.
+    */
+  private def countStarKey: String = norm(AggregateExpression(
+    Count(Seq(Literal(1))), Complete, isDistinct = false))
 
   /** The MV aggregate columns the query's output needs, with every
     * query aggregate proven MERGE-derivable (sum/count/min/max, no

@@ -655,6 +655,70 @@ class MaterializedViewSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.mvsq.base")
   }
 
+  test("stale join MV under fact upserts: served as MV ⊎ (Δ⋈dim) ⊖ (killed⋈dim)") {
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.identifier.map(_.name).getOrElse("")
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.identifier.map(_.name).getOrElse("")
+      }
+    spark.sql("DROP TABLE IF EXISTS graft.mvju.fact")
+    spark.sql("DROP TABLE IF EXISTS graft.mvju.dim")
+    spark.sql("DROP TABLE IF EXISTS graft.mvju.agg")
+    spark.sql("CREATE TABLE graft.mvju.fact (id BIGINT, ck BIGINT, amt BIGINT) USING graft")
+    spark.sql("CREATE TABLE graft.mvju.dim (dk BIGINT, seg STRING) USING graft")
+    spark.sql("INSERT INTO graft.mvju.fact VALUES (1, 10, 100), (2, 10, 50), (3, 20, 7)")
+    spark.sql("INSERT INTO graft.mvju.dim VALUES (10, 'x'), (20, 'y'), (30, 'z')")
+    call(
+      """CALL graft.system.create_mv('mvju', 'agg',
+        |  'mvju.fact JOIN mvju.dim ON ck = dk', 'seg',
+        |  'count(*) AS cnt, sum(amt) AS total')""".stripMargin)
+    def upsert(rows: (Long, Long, Long)*): Unit =
+      rows.toSeq.toDF("id", "ck", "amt").writeTo("graft.mvju.fact")
+        .option("graft.upsert.keys", "id").append()
+    val q = """SELECT seg, count(*) AS c, sum(amt) AS s
+              |FROM graft.mvju.fact JOIN graft.mvju.dim ON ck = dk
+              |GROUP BY seg""".stripMargin
+    def check(expectServed: Boolean): Seq[(String, Long, Long)] = {
+      spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+      val direct =
+        try spark.sql(q).collect().toSeq.sortBy(_.getString(0))
+        finally spark.conf.set("spark.graft.mvRewrite.enabled", "true")
+      val served = spark.sql(q)
+      assert(scans(served).contains("agg") == expectServed,
+        s"MV-served=$expectServed expected, scans: ${scans(served)}")
+      assert(served.collect().toSeq.sortBy(_.getString(0)) == direct,
+        "join retraction rewrite diverged from the direct answer")
+      direct.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    }
+    // Fact upsert epoch, NO refresh: row 2 moves dim x → y. The killed
+    // (2,10,50) tuple must subtract from x through the retraction
+    // branch joined against a FRESH dim copy.
+    upsert((2L, 20L, 60L))
+    assert(check(expectServed = true) == Seq(("x", 1L, 100L), ("y", 2L, 67L)))
+    // Second epoch kills a DELTA row's predecessor AND vanishes group
+    // y entirely (rows 2 and 3 both end at dim 10).
+    upsert((2L, 10L, 61L), (3L, 10L, 8L))
+    assert(check(expectServed = true) == Seq(("x", 3L, 169L)),
+      "group y must vanish through the liveness filter")
+    // min/max cannot retract: decline, still correct.
+    val mm = spark.sql(
+      """SELECT seg, min(amt) AS lo FROM graft.mvju.fact JOIN graft.mvju.dim ON ck = dk
+        |GROUP BY seg""".stripMargin)
+    assert(!scans(mm).contains("agg"), "min over upsert-stale join MV must decline")
+    // A second moved side (dim append on top) declines.
+    spark.sql("INSERT INTO graft.mvju.dim VALUES (40, 'w')")
+    assert(check(expectServed = false) == Seq(("x", 3L, 169L)))
+    // Refresh repairs; fresh path serves again.
+    val (mode, _, _) = call("CALL graft.system.refresh_mv('mvju', 'agg')")
+    assert(mode == "incremental" || mode == "full")
+    assert(check(expectServed = true) == Seq(("x", 3L, 169L)))
+    spark.sql("DROP TABLE graft.mvju.agg")
+    spark.sql("DROP TABLE graft.mvju.dim")
+    spark.sql("DROP TABLE graft.mvju.fact")
+  }
+
   test("grouping-sets navigation: rollup/cube/grouping sets are served from the MV grain") {
     def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.queryExecution.optimizedPlan.collect {
