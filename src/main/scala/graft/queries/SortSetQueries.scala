@@ -231,11 +231,15 @@ object SortSetQueries {
     s.conf.set("spark.sql.adaptive.enabled", "false")
     s.conf.set("spark.sql.codegen.wholeStage", "false")
     Tables.customer(s, dir).createOrReplaceTempView("customer")
+    // BROADCAST(t): the frontier (≤ 2× the previous level) is always
+    // the small side, but the UnionLoopRef has no stats, so without
+    // the hint every level pays a 2-sided shuffle join — measured
+    // ~0.3 s/row of pure exchange overhead across ~15 levels.
     s.sql(
       """WITH RECURSIVE tree AS (
         |  SELECT c_custkey, c_acctbal, 0 AS depth FROM customer WHERE c_custkey = 1
         |  UNION ALL
-        |  SELECT c.c_custkey, c.c_acctbal, t.depth + 1
+        |  SELECT /*+ BROADCAST(t) */ c.c_custkey, c.c_acctbal, t.depth + 1
         |  FROM customer c JOIN tree t ON c.c_custkey DIV 2 = t.c_custkey
         |  WHERE t.depth < 40
         |)
