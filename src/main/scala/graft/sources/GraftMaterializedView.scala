@@ -670,11 +670,15 @@ private[graft] object GraftMvOps {
           })
         val others = sides.indices.filter(_ != k).map { j =>
           val base = at(j, vs)
-          val pruned = equiPairs.flatMap {
+          // The probe job runs only for DIM-side terms: pruning the
+          // fact there is the whole point, while the fact-side term —
+          // the per-micro-batch steady state — would pay a driver
+          // collect per epoch to prune already-small dims.
+          val pruned = (if (k == 0) Nil else equiPairs.flatMap {
             case ((ks, ck), (js, cj)) if ks == k && js == j => Some((ck, cj))
             case ((js, cj), (ks, ck)) if ks == k && js == j => Some((ck, cj))
             case _ => None
-          }.foldLeft(base) { case (df, (ck, cj)) =>
+          }).foldLeft(base) { case (df, (ck, cj)) =>
             deltaVals(ck) match {
               case Some(vals) =>
                 df.where(if (vals.isEmpty) lit(false) else col(cj).isin(vals: _*))
