@@ -719,6 +719,74 @@ class MaterializedViewSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.mvju.fact")
   }
 
+  test("retraction soak: random upsert epochs, every un-refreshed read exact") {
+    // Adversarial differential for the eq-delete stale rewrite: a
+    // seeded random sequence of upsert epochs (keys recur, groups
+    // churn, some epochs pure-insert, some kill delta rows from
+    // earlier epochs, some vanish whole groups), querying after EVERY
+    // epoch with NO refresh — each answer must equal the rewrite-off
+    // direct aggregate, and the plan must stay MV-served until the
+    // key-cap or admissibility gates say otherwise.
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.identifier.map(_.name).getOrElse("")
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.identifier.map(_.name).getOrElse("")
+      }
+    for (seed <- Seq(7, 23)) {
+      val rnd = new scala.util.Random(seed)
+      spark.sql("DROP TABLE IF EXISTS graft.mvrs.base")
+      spark.sql("DROP TABLE IF EXISTS graft.mvrs.agg")
+      spark.sql("CREATE TABLE graft.mvrs.base (k BIGINT, g STRING, v BIGINT) USING graft")
+      val init = (1 to 30).map(k =>
+        (k.toLong, s"g${rnd.nextInt(6)}", rnd.nextInt(100).toLong))
+      init.toDF("k", "g", "v").writeTo("graft.mvrs.base").append()
+      call("CALL graft.system.create_mv('mvrs', 'agg', 'mvrs.base', 'g', 'count(*) AS cnt, sum(v) AS total')")
+      val q = "SELECT g, count(*) AS c, sum(v) AS s FROM graft.mvrs.base GROUP BY g"
+      for (epoch <- 1 to 5) {
+        val n = 1 + rnd.nextInt(5)
+        val rows = (1 to n).map { _ =>
+          // ~70% updates of existing keys (group moves), ~30% inserts.
+          val k = if (rnd.nextInt(10) < 7) 1L + rnd.nextInt(30)
+                  else 100L + epoch * 10 + rnd.nextInt(10)
+          (k, s"g${rnd.nextInt(6)}", rnd.nextInt(100).toLong)
+        }.groupBy(_._1).values.map(_.last).toSeq // upserts are key-unique per batch
+        rows.toDF("k", "g", "v").writeTo("graft.mvrs.base")
+          .option("graft.upsert.keys", "k").append()
+        spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+        val direct =
+          try spark.sql(q).collect().toSeq.sortBy(_.getString(0))
+          finally spark.conf.set("spark.graft.mvRewrite.enabled", "true")
+        val served = spark.sql(q)
+        assert(scans(served).contains("agg"),
+          s"seed $seed epoch $epoch: retraction path must serve, scans: ${scans(served)}")
+        assert(served.collect().toSeq.sortBy(_.getString(0)) == direct,
+          s"seed $seed epoch $epoch: retraction answer diverged")
+        // The global aggregate must track too (no liveness filter).
+        val g0 = spark.sql("SELECT count(*) AS c, sum(v) AS s FROM graft.mvrs.base")
+        spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+        val g0d =
+          try spark.sql("SELECT count(*) AS c, sum(v) AS s FROM graft.mvrs.base").collect().toSeq
+          finally spark.conf.set("spark.graft.mvRewrite.enabled", "true")
+        assert(g0.collect().toSeq == g0d, s"seed $seed epoch $epoch: global diverged")
+      }
+      // A refresh mid-stream resets the baseline; the fresh path takes
+      // over and the MV equals the from-scratch aggregate.
+      val (mode, _, _) = call("CALL graft.system.refresh_mv('mvrs', 'agg')")
+      assert(mode == "incremental", s"seed $seed: refresh mode $mode")
+      spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+      val direct =
+        try spark.sql(q).collect().toSeq.sortBy(_.getString(0))
+        finally spark.conf.set("spark.graft.mvRewrite.enabled", "true")
+      assert(spark.sql("SELECT g, cnt AS c, total AS s FROM graft.mvrs.agg")
+        .collect().toSeq.sortBy(_.getString(0)) == direct,
+        s"seed $seed: refreshed MV diverged from the from-scratch aggregate")
+      spark.sql("DROP TABLE graft.mvrs.agg")
+      spark.sql("DROP TABLE graft.mvrs.base")
+    }
+  }
+
   test("grouping-sets navigation: rollup/cube/grouping sets are served from the MV grain") {
     def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.queryExecution.optimizedPlan.collect {
