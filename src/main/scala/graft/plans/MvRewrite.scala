@@ -201,31 +201,35 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       expand: org.apache.spark.sql.catalyst.plans.logical.Expand): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.expressions.VirtualColumn
     if (agg.groupingExpressions.isEmpty) return None
-    val gidAttr = agg.groupingExpressions.last match {
-      case a: Attribute if a.name == VirtualColumn.groupingIdName => a
-      case _ => return None
-    }
-    val groupAttrs: Seq[Attribute] = agg.groupingExpressions.init.map {
+    val gexprs: Seq[Attribute] = agg.groupingExpressions.map {
       case a: Attribute => a
       case _ => return None
     }
-    if (groupAttrs.isEmpty) return None
-    // Expand output = passthrough ++ groupAttrs ++ gid (the analyzer's
-    // constructExpand shape); anything else is not a grouping-sets
-    // Expand (e.g. a future optimizer-inserted one) → decline.
+    // Expand output = passthrough ++ groupAttrs ++ METADATA tail (the
+    // analyzer's constructExpand shape): always the grouping id, plus
+    // `_gen_grouping_pos` when duplicate grouping sets need
+    // disambiguation. The Project under the Expand carries ONLY
+    // child.output ++ grouping aliases, so the metadata arity is
+    // out.length − projectList.length — every metadata slot is a
+    // per-set literal, copied verbatim into the rebuilt Expand.
     val out = expand.output
-    val baseLen = out.length - groupAttrs.length - 1
-    if (baseLen < 0 || out.last.exprId != gidAttr.exprId) return None
+    val proj = expand.child match {
+      case p: Project => p
+      case _ => return None
+    }
+    val metaLen = out.length - proj.projectList.length
+    if (metaLen < 1 || metaLen >= gexprs.length + 1) return None
+    val metaAttrs = gexprs.takeRight(metaLen)
+    if (metaAttrs.head.name != VirtualColumn.groupingIdName) return None
+    val groupAttrs: Seq[Attribute] = gexprs.dropRight(metaLen)
+    if (groupAttrs.isEmpty) return None
+    val baseLen = out.length - groupAttrs.length - metaLen
+    if (baseLen < 0) return None
+    if (out.takeRight(metaLen).map(_.exprId) != metaAttrs.map(_.exprId)) return None
     groupAttrs.zipWithIndex.foreach { case (a, i) =>
       if (out(baseLen + i).exprId != a.exprId) return None
     }
-    // The Project under the Expand carries child.output ++ the
-    // grouping ALIASES; plain-column groupings only (an aliased
-    // computed grouping cannot map onto an MV group column).
-    val proj = expand.child match {
-      case p: Project if p.projectList.length == baseLen + groupAttrs.length => p
-      case _ => return None
-    }
+    if (proj.projectList.length != baseLen + groupAttrs.length) return None
     // Per grouping column: the BASE column it aliases, plus the
     // Project-side ExprId its non-null projection slots carry (the
     // analyzer emits Project aliases a#19 that feed Expand projections
@@ -240,10 +244,10 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
     val baseColFor: Seq[String] = aliasInfo.map(_._1)
     val resolver = conf.resolver
-    // Per-set membership matrix + gid literal, read off the original
-    // projections: slot baseLen+i is either the grouping attr itself
-    // or a null literal; the last slot is the set's gid literal.
-    val sets: Seq[(Seq[Boolean], Expression)] = expand.projections.map { row =>
+    // Per-set membership matrix + metadata literals, read off the
+    // original projections: slot baseLen+i is either the grouping attr
+    // itself or a null literal; the metadata tail is all literals.
+    val sets: Seq[(Seq[Boolean], Seq[Expression])] = expand.projections.map { row =>
       if (row.length != out.length) return None
       val present = groupAttrs.indices.map { i =>
         row(baseLen + i) match {
@@ -252,10 +256,11 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
           case _ => return None
         }
       }
-      row.last match {
-        case l: Literal => (present, l: Expression)
+      val meta = row.takeRight(metaLen).map {
+        case l: Literal => l: Expression
         case _ => return None
       }
+      (present, meta)
     }
 
     // Single relation under the Project → single-source MVs; a join
@@ -270,7 +275,7 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
         if (srcIdent.namespace().length != 1) return None
         GraftCatalog.freshMvsFor(srcIdent.namespace()(0), srcIdent.name())
           .view.flatMap { case (mvIdent, props) =>
-            tryGroupingSetsCandidate(agg, relation, filterCond, groupAttrs, gidAttr,
+            tryGroupingSetsCandidate(agg, relation, filterCond, groupAttrs, metaAttrs,
               baseColFor, sets, mvIdent, props, resolver)
           }.headOption
       case _ =>
@@ -287,7 +292,7 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
           .filter(_._2.contains(GraftMvOps.JoinCondProp))
           .view.flatMap { case (mvIdent, props) =>
             tryGroupingSetsJoinCandidate(agg, filterCond, queryConjuncts,
-              combinedOutput, rels, names, groupAttrs, gidAttr,
+              combinedOutput, rels, names, groupAttrs, metaAttrs,
               baseColFor, sets, mvIdent, props, resolver)
           }.headOption
     }
@@ -296,8 +301,8 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def tryGroupingSetsCandidate(
       agg: Aggregate, relation: DataSourceV2Relation,
       filterCond: Option[Expression],
-      groupAttrs: Seq[Attribute], gidAttr: Attribute,
-      baseColFor: Seq[String], sets: Seq[(Seq[Boolean], Expression)],
+      groupAttrs: Seq[Attribute], metaAttrs: Seq[Attribute],
+      baseColFor: Seq[String], sets: Seq[(Seq[Boolean], Seq[Expression])],
       mvIdent: Identifier, props: Map[String, String],
       resolver: (String, String) => Boolean): Option[LogicalPlan] = {
     if (props.contains(GraftMvOps.JoinCondProp)) return None
@@ -320,7 +325,7 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       mvRelation.output.find(a => resolver(a.name, col))
     val mvChild = remapOntoMv(residualCond, mvGroupCols, mvAttr, mvRelation, resolver)
       .getOrElse(return None)
-    buildGroupingSetsPlan(agg, groupAttrs, gidAttr, baseColFor, sets,
+    buildGroupingSetsPlan(agg, groupAttrs, metaAttrs, baseColFor, sets,
       mvAttr, mvChild, specByKey)
   }
 
@@ -334,8 +339,8 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       filterCond: Option[Expression], queryConjuncts: Seq[Expression],
       combinedOutput: Seq[Attribute],
       rels: Seq[DataSourceV2Relation], names: Seq[String],
-      groupAttrs: Seq[Attribute], gidAttr: Attribute,
-      baseColFor: Seq[String], sets: Seq[(Seq[Boolean], Expression)],
+      groupAttrs: Seq[Attribute], metaAttrs: Seq[Attribute],
+      baseColFor: Seq[String], sets: Seq[(Seq[Boolean], Seq[Expression])],
       mvIdent: Identifier, props: Map[String, String],
       resolver: (String, String) => Boolean): Option[LogicalPlan] = {
     val fact = props.getOrElse(GraftMvOps.SourceProp, return None)
@@ -375,14 +380,14 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       mvRelation.output.find(a => resolver(a.name, col))
     val mvChild = remapOntoMv(residualCond, mvGroupCols, mvAttr, mvRelation, resolver)
       .getOrElse(return None)
-    buildGroupingSetsPlan(agg, groupAttrs, gidAttr, baseColFor, sets,
+    buildGroupingSetsPlan(agg, groupAttrs, metaAttrs, baseColFor, sets,
       mvAttr, mvChild, specByKey)
   }
 
   /** The shared Expand-rebuild tail of both grouping-sets candidates. */
   private def buildGroupingSetsPlan(
-      agg: Aggregate, groupAttrs: Seq[Attribute], gidAttr: Attribute,
-      baseColFor: Seq[String], sets: Seq[(Seq[Boolean], Expression)],
+      agg: Aggregate, groupAttrs: Seq[Attribute], metaAttrs: Seq[Attribute],
+      baseColFor: Seq[String], sets: Seq[(Seq[Boolean], Seq[Expression])],
       mvAttr: String => Option[Attribute], mvChild: LogicalPlan,
       specByKey: Map[String, String]): Option[LogicalPlan] = {
     // Grouping columns must exist on the MV with EXACT types (Expand's
@@ -397,7 +402,7 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     // Aggregate outputs: grouping/gid references pass through (their
     // attrs keep their ExprIds in the rebuilt Expand); aggregates map
     // to merge forms over the MV's pre-aggregated columns.
-    val gsetAttrIds = (groupAttrs :+ gidAttr).map(_.exprId).toSet
+    val gsetAttrIds = (groupAttrs ++ metaAttrs).map(_.exprId).toSet
     val neededAggCols = scala.collection.mutable.LinkedHashSet[String]()
     val outputs: Seq[NamedExpression] = agg.aggregateExpressions.map {
       case a: Attribute if gsetAttrIds.contains(a.exprId) => a
@@ -426,19 +431,20 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
 
     // Rebuild the Expand over the MV: pass-through slots for the
     // needed MV aggregate columns, the SAME per-set null matrix for
-    // the grouping columns, the SAME gid literals, and the ORIGINAL
-    // grouping/gid output attrs so the Aggregate above (and anything
-    // above it) resolves unchanged.
+    // the grouping columns, the SAME metadata literals (gid, and the
+    // duplicate-set position when present), and the ORIGINAL
+    // grouping/metadata output attrs so the Aggregate above (and
+    // anything above it) resolves unchanged.
     val aggAttrs: Seq[Attribute] =
       neededAggCols.toSeq.map(c => mvAttr(c).getOrElse(return None))
-    val newProjections: Seq[Seq[Expression]] = sets.map { case (present, gidLit) =>
+    val newProjections: Seq[Seq[Expression]] = sets.map { case (present, meta) =>
       aggAttrs ++ mvGroupAttrs.zip(present).zip(groupAttrs).map {
         case ((m, true), _) => m: Expression
         case ((_, false), a) => Literal.create(null, a.dataType): Expression
-      } ++ Seq(gidLit)
+      } ++ meta
     }
     val newExpand = org.apache.spark.sql.catalyst.plans.logical.Expand(
-      newProjections, aggAttrs ++ groupAttrs :+ gidAttr, mvChild)
+      newProjections, aggAttrs ++ groupAttrs ++ metaAttrs, mvChild)
     Some(Aggregate(agg.groupingExpressions, outputs, newExpand))
   }
 

@@ -880,6 +880,64 @@ class MaterializedViewSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.mvgs.fact")
   }
 
+  test("grouping-sets differential: random data, random lattice queries, MV-served ≡ direct") {
+    // Seeded random corpus + the full lattice-query family (rollup,
+    // cube, explicit GROUPING SETS with duplicates-by-gid, grouping_id
+    // projections, coarser-than-grain rollups) — every MV-served
+    // answer must equal the rewrite-off direct one. Catches per-set
+    // null-matrix mistakes, gid mismapping, and merge-form errors the
+    // fixture test's tidy values could mask.
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.identifier.map(_.name).getOrElse("")
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.identifier.map(_.name).getOrElse("")
+      }
+    val rnd = new scala.util.Random(42)
+    spark.sql("DROP TABLE IF EXISTS graft.mvgd.base")
+    spark.sql("DROP TABLE IF EXISTS graft.mvgd.agg")
+    spark.sql("CREATE TABLE graft.mvgd.base (a STRING, b STRING, v BIGINT) USING graft")
+    // NULL group keys included — rollup must distinguish data-NULL
+    // from subtotal-NULL via the gid, exactly what the rebuilt Expand
+    // must preserve.
+    val rows = (1 to 200).map { _ =>
+      (if (rnd.nextInt(10) == 0) null else s"a${rnd.nextInt(4)}",
+        if (rnd.nextInt(10) == 0) null else s"b${rnd.nextInt(3)}",
+        rnd.nextInt(1000).toLong)
+    }
+    rows.toDF("a", "b", "v").writeTo("graft.mvgd.base").append()
+    call(
+      """CALL graft.system.create_mv('mvgd', 'agg', 'mvgd.base', 'a,b',
+        |  'count(*) AS cnt, sum(v) AS total, min(v) AS lo, max(v) AS hi')""".stripMargin)
+    val lattice = Seq(
+      """SELECT a, b, count(*) AS c, sum(v) AS s, min(v) AS lo, max(v) AS hi
+        |FROM graft.mvgd.base GROUP BY ROLLUP(a, b)""".stripMargin,
+      """SELECT a, b, count(*) AS c, sum(v) AS s
+        |FROM graft.mvgd.base GROUP BY CUBE(a, b)""".stripMargin,
+      """SELECT a, b, grouping(a) AS ga, grouping(b) AS gb, grouping_id() AS gid,
+        |  sum(v) AS s
+        |FROM graft.mvgd.base GROUP BY GROUPING SETS ((a, b), (a), (b), (), (a))""".stripMargin,
+      """SELECT a, sum(v) AS s, max(v) AS hi
+        |FROM graft.mvgd.base GROUP BY ROLLUP(a)""".stripMargin,
+      """SELECT b, a, count(*) AS c
+        |FROM graft.mvgd.base WHERE a IS NOT NULL GROUP BY CUBE(b, a)""".stripMargin)
+    for (q <- lattice) {
+      spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+      val direct =
+        try spark.sql(q).collect().map(_.toString).sorted.toSeq
+        finally spark.conf.set("spark.graft.mvRewrite.enabled", "true")
+      val served = spark.sql(q)
+      val s = scans(served)
+      assert(s.contains("agg") && !s.contains("base"),
+        s"lattice query must be MV-served, scans: $s ($q)")
+      assert(served.collect().map(_.toString).sorted.toSeq == direct,
+        s"grouping-sets differential diverged ($q)")
+    }
+    spark.sql("DROP TABLE graft.mvgd.agg")
+    spark.sql("DROP TABLE graft.mvgd.base")
+  }
+
   test("transparent MV rewrite: matching aggregate reads the fresh MV, gates respected") {
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
     def scannedTables(df: org.apache.spark.sql.DataFrame): Seq[String] =
