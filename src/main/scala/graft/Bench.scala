@@ -113,9 +113,10 @@ object Bench {
       if (kept.length < times.length)
         System.err.println(s"[bench] $name discarded ${times.length - kept.length} " +
           s"load-contaminated rep(s) ≥ 3× min (${f"$mn%.3f"}s)")
-      (name, kept(kept.length / 2), mn, kept.last)
+      (name, kept(kept.length / 2), mn, kept.last,
+        times.length - kept.length, sortedTimes.last)
     }
-    val results = stats.map { case (n, med, _, _) => (n, med) }
+    val results = stats.map { case (n, med, _, _, _, _) => (n, med) }
     def jstr(s: String): String = Q.jstr(s)
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
@@ -127,9 +128,17 @@ object Bench {
     // committed with the snapshot); stdout gets a line GUARANTEED to fit
     // the tail: totals + errors always, then per-query times (3-decimal,
     // slowest first) only while the line stays under the budget.
-    val mins = stats.map { case (k, _, mn, _) => s"${jstr(k)}:$mn" }.mkString("{", ",", "}")
-    val spreads = stats.map { case (k, med, mn, mx) =>
+    val mins = stats.map { case (k, _, mn, _, _, _) => s"${jstr(k)}:$mn" }
+      .mkString("{", ",", "}")
+    val spreads = stats.map { case (k, med, mn, mx, _, _) =>
       s"${jstr(k)}:${math.rint((mx - mn) / math.max(med, 1e-9) * 1000) / 1000}"
+    }.mkString("{", ",", "}")
+    // De-spiked reps must be VISIBLE in the artifact, not only on a
+    // transient stderr line: {row: [discarded_count, raw_max_sec]} for
+    // every row that lost reps — a genuine bimodal slow path shows up
+    // here round after round, where external load shows up once.
+    val discards = stats.collect { case (k, _, _, _, d, rawMx) if d > 0 =>
+      s"${jstr(k)}:[$d,$rawMx]"
     }.mkString("{", ",", "}")
     val totalMin = stats.map(_._3).sum
     // QUALITY metrics alongside the timings, so a regression in ANN
@@ -170,7 +179,7 @@ object Bench {
     // load-robust floor and the round-over-round comparable number; the
     // median stays alongside as total_median.
     val fullLine =
-      s"""{"metric":"total","value":$totalMin,"unit":"sec","total_min":$totalMin,"total_median":$total,"reps":$reps,"queries":$qs,"min":$mins,"spread":$spreads,"quality":$quality,"errors":$errs,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$totalMin,"unit":"sec","total_min":$totalMin,"total_median":$total,"reps":$reps,"queries":$qs,"min":$mins,"spread":$spreads,"discarded_reps":$discards,"quality":$quality,"errors":$errs,"sf":${jstr(sfDir)}}"""
     // A filtered run — or a full run at any SF other than the committed
     // artifact's sf0.1 — writes a scratch file so it can never clobber
     // the committed full-suite numbers (an unfiltered sf0.001 smoke
@@ -187,7 +196,7 @@ object Bench {
     val budget = 1600 // chars for the queries map; total line stays < ~1900
     // Stdout per-query values are the MIN (matching the headline), so
     // the shown rows sum toward "value" instead of a different metric.
-    val entries = stats.map { case (k, _, mn, _) => (k, mn) }.sortBy(-_._2).iterator
+    val entries = stats.map { case (k, _, mn, _, _, _) => (k, mn) }.sortBy(-_._2).iterator
       .map { case (k, v) => s"${jstr(k)}:${math.rint(v * 1000) / 1000}" }
     val sb = new StringBuilder
     var used = 0

@@ -70,6 +70,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // GENERATED ALWAYS AS IDENTITY: UPDATE/MERGE-UPDATE assignments to
     // the column are refused at analysis (ids are engine-minted).
     ext.injectResolutionRule(session => graft.plans.IdentityUpdateGuard(session))
+    // RELY join elimination: inner FK→PK joins whose parent columns go
+    // unreferenced are removed — fires ONLY for tables opted in with
+    // TBLPROPERTY 'graft.constraints.rely'='true' (constraints are NOT
+    // ENFORCED, so consuming them for planning is the user's call).
+    ext.injectOptimizerRule(session => graft.plans.RelyJoinElimination(session))
     // Neutralized DPP filters (DynamicPruningExpression(true)) are
     // removed before BatchScanExec warns about translating them.
     ext.injectColumnar(_ => graft.plans.StripTrueRuntimeFilters)

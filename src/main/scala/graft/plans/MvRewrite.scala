@@ -5,13 +5,14 @@ import scala.util.control.NonFatal
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedStar}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, ExprId, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, ExprId, Expression, If, LessThanOrEqual, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, AggregateFunction, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, JoinHint, LogicalPlan, Project, SubqueryAlias, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.sources.{GraftCatalog, GraftMvOps}
 
@@ -43,8 +44,12 @@ import graft.sources.{GraftCatalog, GraftMvOps}
   * side (fact micro-batches, or a late-arriving dim's new members)
   * is still served, as MV ⊎ re-aggregate(ΔS ⋈ others) with a
   * segment-pinned delta scan of the moved side — see
-  * [[tryStaleJoinCandidate]]; two moved sides, or any non-append
-  * change, decline the stale path.
+  * [[tryStaleJoinCandidate]]. TWO moved sides (both append-only) are
+  * served by the disjoint decomposition
+  * A₁⋈B₁ = A₀⋈B₀ ⊎ ΔA⋈B₁ ⊎ A₀⋈ΔB (the first delta term joins against
+  * the CURRENT other sides, absorbing the ΔA⋈ΔB cross term; the
+  * second pins A at v0); three+ moved sides, or eq deletes while two
+  * sides moved, decline the stale path.
   *
   * FILTERED MVs (defined with `create_mv(..., where)`) add a predicate
   * SUBSUMPTION gate before either shape: every MV-filter conjunct must
@@ -650,13 +655,21 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     val movedSides = sideDeltas.zipWithIndex.collect {
       case ((d, e), i) if d.nonEmpty || e.nonEmpty => i
     }
-    if (movedSides.length > 1) return None
-    // Upsert staleness on the moved side (eq deletes in range): the
-    // same retraction algebra as the single-source path — the killed
-    // tuples' joined aggregates subtract (sum/count only), vanished
-    // groups drop by the liveness count.
+    if (movedSides.length > 2) return None
+    // TWO moved sides, both APPEND-ONLY: served via the disjoint
+    // decomposition A₁⋈B₁ = A₀⋈B₀ ⊎ ΔA⋈B₁ ⊎ A₀⋈ΔB — the first delta
+    // term joins ΔA against the CURRENT other sides (absorbing the
+    // ΔA⋈ΔB cross term), the second pins A at v0 so no joined tuple
+    // lands twice. Eq deletes on either side when two sides moved →
+    // decline (retraction would need cross-killed terms).
+    if (movedSides.length == 2 && movedSides.exists(m => sideDeltas(m)._2.nonEmpty))
+      return None
+    // Upsert staleness on a SINGLE moved side (eq deletes in range):
+    // the same retraction algebra as the single-source path — the
+    // killed tuples' joined aggregates subtract (sum/count only),
+    // vanished groups drop by the liveness count.
     val newEqs: Vector[GraftCatalog.EqDelete] =
-      movedSides.headOption.map(m => sideDeltas(m)._2).getOrElse(Vector.empty)
+      if (movedSides.length == 1) sideDeltas(movedSides.head)._2 else Vector.empty
     if (newEqs.nonEmpty && !retractionAdmissible(agg, newEqs)) return None
     val mvCond = resolveSpecAgainst(
       props.getOrElse(GraftMvOps.JoinCondProp, return None), combinedOutput)
@@ -680,9 +693,22 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     val liveCntCol: Option[String] =
       if (newEqs.isEmpty || groupAttrs.isEmpty) None
       else Some(specByKey.getOrElse(countStarKey, return None))
+    // GLOBAL retraction with SUM outputs needs the liveness count too —
+    // not to filter (a global aggregate always emits its one row) but
+    // to restore sum-over-empty = NULL when every contributing row was
+    // killed (the branches net 0, not NULL). Requires count(*) in the
+    // MV; absent → decline rather than serve a wrong 0.
+    val deadNullCntCol: Option[String] =
+      if (newEqs.isEmpty || groupAttrs.nonEmpty) None
+      else if (agg.aggregateExpressions.exists {
+        case Alias(ae: AggregateExpression, _) =>
+          ae.aggregateFunction.isInstanceOf[Sum]
+        case _ => false
+      }) Some(specByKey.getOrElse(countStarKey, return None))
+      else None
     val neededAggCols =
       (neededMergeCols(agg, mvGroupCols, specByKey, resolver).getOrElse(return None) ++
-        liveCntCol).distinct
+        liveCntCol ++ deadNullCntCol).distinct
     val unionCols: Seq[String] = mvGroupCols ++ neededAggCols
 
     // MV branch: pinned entry-snapshot scan, query WHERE (group-column
@@ -696,13 +722,11 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       .getOrElse(return None)
     val mvPart = Project(unionCols.map(c => mvAttr(c).getOrElse(return None)), mvChild)
 
+    def sideIdentOf(i: Int): Option[Identifier] =
+      nsTbl(sideNames(i)).map { case (ns, tbl) => Identifier.of(Array(ns), tbl) }
     val combined: LogicalPlan =
       if (movedSides.isEmpty) mvPart // metadata-only drift on every side
       else {
-        val m = movedSides.head
-        val (mns, mtbl) = nsTbl(sideNames(m)).getOrElse(return None)
-        val mIdent = Identifier.of(Array(mns), mtbl)
-
         // Branch builder shared by the delta and retraction parts: a
         // pinned scan of the moved side joined against the OTHER
         // sides (condition-free Inner joins under ONE Filter holding
@@ -714,11 +738,12 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
         // segments), the query's FULL predicate, aggregates optionally
         // NEGATED for the retraction branch.
         def joinPart(
+            sideIdent: Identifier,
             sideTable: org.apache.spark.sql.connector.catalog.Table,
             others: Seq[DataSourceV2Relation],
             extraPred: Option[Seq[Attribute] => Option[Expression]],
             negate: Boolean): Option[LogicalPlan] = {
-          val sideRel = DataSourceV2Relation.create(sideTable, anyCatalog, Some(mIdent))
+          val sideRel = DataSourceV2Relation.create(sideTable, anyCatalog, Some(sideIdent))
           val outAll = sideRel.output ++ others.flatMap(_.output)
           def at(col: String): Option[Attribute] =
             outAll.find(a => resolver(a.name, col))
@@ -754,11 +779,15 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
           Some(Aggregate(groups, groups ++ aggs, child))
         }
 
-        // Other sides for the DELTA branch: REUSE the query's own
-        // relations — the rewrite replaces the whole aggregate, so
-        // their ExprIds appear exactly once in that branch (and they
-        // already carry the current, analysis-time-checked state,
-        // which equals the recorded state by the empty-delta gate).
+        // First moved side's term: Δm ⋈ the query's own relations for
+        // every other side — REUSED, so their ExprIds appear exactly
+        // once in that branch (they carry the current state, which for
+        // UNMOVED sides equals the recorded state by the empty-delta
+        // gate; for a SECOND moved side the current state is exactly
+        // what the decomposition wants — ΔA⋈B₁ absorbs the ΔA⋈ΔB
+        // cross term).
+        val m = movedSides.head
+        val mIdent = sideIdentOf(m).getOrElse(return None)
         val otherRels: Seq[DataSourceV2Relation] =
           sideNames.zipWithIndex.collect {
             case (n, i) if i != m => rels(names.indexOf(n))
@@ -766,7 +795,7 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
         val (segs, _) = sideDeltas(m)
         val deltaPart: Option[LogicalPlan] =
           if (segs.isEmpty) None
-          else joinPart(
+          else joinPart(mIdent,
             GraftCatalog.segmentPinnedTable(mIdent, segs, newEqs).getOrElse(return None),
             otherRels, None, negate = false).orElse(return None)
         val killedPart: Option[LogicalPlan] =
@@ -779,19 +808,45 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
             // appearance would alias two scans in one tree.
             val othersFresh = otherRels.map(r =>
               DataSourceV2Relation.create(r.table, r.catalog, r.identifier))
-            joinPart(
+            joinPart(mIdent,
               GraftCatalog.segmentPinnedTable(mIdent, s0.segments, s0.eqDeletes)
                 .getOrElse(return None),
               othersFresh, Some(eqKillPredicate(newEqs, resolver)), negate = true)
               .orElse(return None)
           }
-        val branches: Seq[LogicalPlan] = mvPart +: (deltaPart ++ killedPart).toSeq
+        // Second moved side's term (append-only by the gate above):
+        // Δm2 ⋈ m@v0 (pinned — so tuples ΔA⋈ΔB, already counted by the
+        // first term, never reappear) ⋈ fresh copies of the unmoved
+        // sides. All relations here are freshly minted: the query's
+        // ExprIds were spent by the first delta branch.
+        val delta2Part: Option[LogicalPlan] = movedSides.drop(1).headOption.map { m2 =>
+          val m2Ident = sideIdentOf(m2).getOrElse(return None)
+          val s0m = GraftCatalog.snapshotByVersion(mIdent, sideV0s(m))
+            .getOrElse(return None)
+          val mV0Rel = DataSourceV2Relation.create(
+            GraftCatalog.segmentPinnedTable(mIdent, s0m.segments, s0m.eqDeletes)
+              .getOrElse(return None),
+            anyCatalog, Some(mIdent))
+          val othersFresh2: Seq[DataSourceV2Relation] =
+            sideNames.zipWithIndex.collect {
+              case (n, i) if i != m && i != m2 =>
+                val r = rels(names.indexOf(n))
+                DataSourceV2Relation.create(r.table, r.catalog, r.identifier)
+            }
+          joinPart(m2Ident,
+            GraftCatalog.segmentPinnedTable(m2Ident, sideDeltas(m2)._1, Vector.empty)
+              .getOrElse(return None),
+            mV0Rel +: othersFresh2, None, negate = false).getOrElse(return None)
+        }
+        val branches: Seq[LogicalPlan] =
+          mvPart +: (deltaPart ++ killedPart ++ delta2Part).toSeq
         if (branches.exists(_.output.map(_.dataType) != mvPart.output.map(_.dataType)))
           return None
         if (branches.length == 1) mvPart else Union(branches)
       }
     val merged =
-      mergedAggregate(agg, groupAttrs, mvGroupCols, unionCols, specByKey, combined, resolver)
+      mergedAggregate(agg, groupAttrs, mvGroupCols, unionCols, specByKey, combined,
+        resolver, deadNullCntCol)
         .getOrElse(return None)
     withLiveness(merged, liveCntCol, combined, unionCols)
   }
@@ -998,9 +1053,29 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
           if (m.dataType != al.dataType) return None
           Alias(m, al.name)(exprId = al.exprId)
         case al: Alias =>
-          val m = specByKey.get(norm(al.child)).flatMap(mvAttr).getOrElse(return None)
-          if (m.dataType != al.dataType) return None
-          Alias(m, al.name)(exprId = al.exprId)
+          specByKey.get(norm(al.child)).flatMap(mvAttr) match {
+            case Some(m) =>
+              if (m.dataType != al.dataType) return None
+              Alias(m, al.name)(exprId = al.exprId)
+            // avg(x) NOT materialized but sum(x) + a compatible count
+            // are: serve the exact grain as a per-row scalar division
+            // of the two MV columns (each MV row IS one query group).
+            case None => al.child match {
+              case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+                ae.aggregateFunction match {
+                  case av: Average =>
+                    val (sc, cc) =
+                      avgComponentCols(av, specByKey).getOrElse(return None)
+                    val e = avgFromComponents(av,
+                      mvAttr(sc).getOrElse(return None),
+                      mvAttr(cc).getOrElse(return None))
+                    if (e.dataType != al.dataType) return None
+                    Alias(e, al.name)(exprId = al.exprId)
+                  case _ => return None
+                }
+              case _ => return None
+            }
+          }
         case _ => return None
       }
       Some(Project(outputs, mvChild))
@@ -1021,17 +1096,30 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
           Alias(m, al.name)(exprId = al.exprId)
         case al @ Alias(ae: AggregateExpression, _)
             if !ae.isDistinct && ae.filter.isEmpty =>
-          val src = specByKey.get(norm(ae)).flatMap(mvAttr).getOrElse(return None)
           val reagg: Expression = ae.aggregateFunction match {
-            case _: Sum => Sum(src).toAggregateExpression()
-            // Sum over zero rows is NULL but count over zero rows is
-            // 0 — a GLOBAL rollup (empty grouping) of an empty or
-            // fully-filtered MV must keep count semantics.
-            case _: Count =>
-              Coalesce(Seq(Sum(src).toAggregateExpression(), Literal(0L)))
-            case _: Min => Min(src).toAggregateExpression()
-            case _: Max => Max(src).toAggregateExpression()
-            case _ => return None
+            // avg is NOT distributive (an avg of avgs is wrong), but it
+            // IS algebraic: when the MV materializes sum(x) and a
+            // null-compatible count, avg(x) = sum-of-sums /
+            // sum-of-counts — exactly Spark's own Average evaluate
+            // shape, so the derivation is type- and rounding-exact.
+            case av: Average =>
+              val (sc, cc) = avgComponentCols(av, specByKey).getOrElse(return None)
+              avgFromComponents(av,
+                Sum(mvAttr(sc).getOrElse(return None)).toAggregateExpression(),
+                Sum(mvAttr(cc).getOrElse(return None)).toAggregateExpression())
+            case fn =>
+              val src = specByKey.get(norm(ae)).flatMap(mvAttr).getOrElse(return None)
+              fn match {
+                case _: Sum => Sum(src).toAggregateExpression()
+                // Sum over zero rows is NULL but count over zero rows
+                // is 0 — a GLOBAL rollup (empty grouping) of an empty
+                // or fully-filtered MV must keep count semantics.
+                case _: Count =>
+                  Coalesce(Seq(Sum(src).toAggregateExpression(), Literal(0L)))
+                case _: Min => Min(src).toAggregateExpression()
+                case _: Max => Max(src).toAggregateExpression()
+                case _ => return None
+              }
           }
           // Re-summing widens decimal precision; cast restores the
           // original type EXACTLY (always a widening, never lossy).
@@ -1136,12 +1224,25 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     val liveCntCol: Option[String] =
       if (newEqs.isEmpty || groupAttrs.isEmpty) None
       else Some(specByKey.getOrElse(countStarKey, return None))
+    // GLOBAL retraction with SUM outputs needs the liveness count too —
+    // not to filter (a global aggregate always emits its one row) but
+    // to restore sum-over-empty = NULL when every contributing row was
+    // killed (the branches net 0, not NULL). Requires count(*) in the
+    // MV; absent → decline rather than serve a wrong 0.
+    val deadNullCntCol: Option[String] =
+      if (newEqs.isEmpty || groupAttrs.nonEmpty) None
+      else if (agg.aggregateExpressions.exists {
+        case Alias(ae: AggregateExpression, _) =>
+          ae.aggregateFunction.isInstanceOf[Sum]
+        case _ => false
+      }) Some(specByKey.getOrElse(countStarKey, return None))
+      else None
 
     // Plan the output shape FIRST: which MV agg columns the query
     // needs, and that every query aggregate is merge-derivable.
     val neededAggCols: Seq[String] =
       (neededMergeCols(agg, mvGroupCols, specByKey, resolver).getOrElse(return None) ++
-        liveCntCol).distinct
+        liveCntCol ++ deadNullCntCol).distinct
     val unionCols: Seq[String] = mvGroupCols ++ neededAggCols
 
     // MV branch: pinned scan of the snapshot's segments, WHERE remapped
@@ -1224,7 +1325,8 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     val combined: LogicalPlan =
       if (branches.length == 1) mvPart else Union(branches)
     val merged =
-      mergedAggregate(agg, groupAttrs, mvGroupCols, unionCols, specByKey, combined, resolver)
+      mergedAggregate(agg, groupAttrs, mvGroupCols, unionCols, specByKey, combined,
+        resolver, deadNullCntCol)
         .getOrElse(return None)
     withLiveness(merged, liveCntCol, combined, unionCols)
   }
@@ -1260,21 +1362,30 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** Retraction gates shared by the single-source and join stale
-    * paths: negation is exact only for SUM/COUNT, the kill predicate
+    * paths: negation is exact only for SUM/COUNT (and AVG, which
+    * merges through its sum+count components), the kill predicate
     * needs single-column keys, and the key lists must stay
-    * metadata-sized. True = admissible.
+    * metadata-sized — capped by `spark.graft.mvRewrite.eqKeyLimit`
+    * (falling back to the refresh side's
+    * `spark.graft.mvRefresh.eqKeyLimit`, default 10000: both caps
+    * guard the same inlined-IN blow-up and tune together). True =
+    * admissible.
     */
   private def retractionAdmissible(
       agg: Aggregate, newEqs: Seq[GraftCatalog.EqDelete]): Boolean =
     newEqs.forall(_.keyCols.length == 1) &&
-      newEqs.map(_.keys.length).sum <= 1000 &&
+      newEqs.map(_.keys.length).sum <= rewriteEqKeyLimit &&
       agg.aggregateExpressions.forall {
         case Alias(ae: AggregateExpression, _) => ae.aggregateFunction match {
-          case _: Sum | _: Count => true
+          case _: Sum | _: Count | _: Average => true
           case _ => false
         }
         case _ => true // group columns — vetted by mergedAggregate
       }
+
+  private def rewriteEqKeyLimit: Long =
+    session.conf.get("spark.graft.mvRewrite.eqKeyLimit",
+      session.conf.get("spark.graft.mvRefresh.eqKeyLimit", "10000")).toLong
 
   /** LIVENESS filter for retraction-served plans: a group whose every
     * base row was killed nets count 0 across the branches but would
@@ -1326,11 +1437,64 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
         ae.aggregateFunction match {
           case _: Sum | _: Count | _: Min | _: Max =>
             Some(specByKey.getOrElse(norm(ae), return None))
+          // avg is merge-derivable through its sum+count components:
+          // both ride the union and divide in the final merge.
+          case av: Average =>
+            val (sc, cc) = avgComponentCols(av, specByKey).getOrElse(return None)
+            Seq(sc, cc)
           case _ => return None
         }
       case _ => return None
     }.distinct
     Some(cols)
+  }
+
+  /** avg(x)'s component MV columns: sum(x), plus a null-compatible
+    * count — count(x) always works; count(*) only when x is provably
+    * non-nullable (they differ exactly on NULL-x rows). None = the MV
+    * lacks a component and the avg derivation is inadmissible.
+    */
+  private def avgComponentCols(
+      av: Average, specByKey: Map[String, String]): Option[(String, String)] = {
+    val sumCol = specByKey.get(norm(Sum(av.child).toAggregateExpression()))
+      .getOrElse(return None)
+    val cntCol = specByKey.get(norm(Count(Seq(av.child)).toAggregateExpression()))
+      .orElse(if (!av.child.nullable) specByKey.get(countStarKey) else None)
+      .getOrElse(return None)
+    Some((sumCol, cntCol))
+  }
+
+  /** avg(x) from its components, in EXACTLY the shape of Spark 4.1's
+    * own `Average.evaluateExpression` (verified against the compiled
+    * aggregate):
+    *  - decimal: `If(count = 0, NULL, DecimalDivideWithOverflowCheck(
+    *    sum, count.cast(decimal(20,0)), resultType, ctx, !ansi))` —
+    *    same operand types → same precision/scale → same rounding;
+    *  - everything else: `Divide(sum.cast(rt), count.cast(rt),
+    *    EvalMode.LEGACY)`.
+    * LEGACY/the If-guard matter beyond fidelity: a RETRACTION that
+    * nets a group's count to 0 evaluates the division INSIDE the
+    * aggregate (before the liveness filter drops the row), where an
+    * ANSI divide would throw DIVIDE_BY_ZERO; both shapes yield NULL —
+    * which is also exactly avg-over-empty.
+    */
+  private def avgFromComponents(
+      av: Average, sumE: Expression, cntE: Expression): Expression = {
+    val rt = av.dataType
+    av.child.dataType match {
+      case _: DecimalType =>
+        val sumT = av.sumDataType
+        val s = if (sumE.dataType == sumT) sumE else Cast(sumE, sumT)
+        If(
+          org.apache.spark.sql.catalyst.expressions.EqualTo(cntE, Literal(0L)),
+          Literal(null, rt),
+          org.apache.spark.sql.catalyst.expressions.DecimalDivideWithOverflowCheck(
+            s, Cast(cntE, DecimalType(20, 0)), rt.asInstanceOf[DecimalType],
+            null, av.evalMode != org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI))
+      case _ =>
+        Divide(Cast(sumE, rt), Cast(cntE, rt),
+          org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY)
+    }
   }
 
   /** Final merge aggregate at the QUERY's grain over `combined` (whose
@@ -1342,7 +1506,8 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       agg: Aggregate, groupAttrs: Seq[Attribute], mvGroupCols: Seq[String],
       unionCols: Seq[String], specByKey: Map[String, String],
       combined: LogicalPlan,
-      resolver: (String, String) => Boolean): Option[LogicalPlan] = {
+      resolver: (String, String) => Boolean,
+      deadNullCntCol: Option[String] = None): Option[LogicalPlan] = {
     def unionAttr(col: String): Attribute = combined.output(unionCols.indexOf(col))
     def groupColFor(a: Attribute): Option[String] = mvGroupCols.find(resolver(_, a.name))
     val outputs: Seq[NamedExpression] = agg.aggregateExpressions.map {
@@ -1355,16 +1520,42 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
         if (m.dataType != al.dataType) return None
         Alias(m, al.name)(exprId = al.exprId)
       case al @ Alias(ae: AggregateExpression, _) if !ae.isDistinct && ae.filter.isEmpty =>
-        val src = unionAttr(specByKey(norm(ae)))
         val reagg: Expression = ae.aggregateFunction match {
-          case _: Sum => Sum(src).toAggregateExpression()
-          // Same count-vs-sum empty-input distinction as the rollup
-          // arm: the merged global count must be 0, never NULL.
-          case _: Count =>
-            Coalesce(Seq(Sum(src).toAggregateExpression(), Literal(0L)))
-          case _: Min => Min(src).toAggregateExpression()
-          case _: Max => Max(src).toAggregateExpression()
-          case _ => return None
+          case av: Average =>
+            // avg merges through its components: net sum / net count
+            // across the MV ⊎ delta (⊎ negated-retraction) branches.
+            // A retro-emptied group nets count 0 → Divide → NULL,
+            // which is avg-over-empty — no dead-group guard needed.
+            val (sc, cc) = avgComponentCols(av, specByKey).getOrElse(return None)
+            avgFromComponents(av,
+              Sum(unionAttr(sc)).toAggregateExpression(),
+              Sum(unionAttr(cc)).toAggregateExpression())
+          case fn =>
+            val src = unionAttr(specByKey(norm(ae)))
+            fn match {
+              case _: Sum =>
+                val sumAgg = Sum(src).toAggregateExpression()
+                deadNullCntCol match {
+                  case None => sumAgg
+                  // GLOBAL retraction: a table whose contributing rows
+                  // were ALL killed nets sum 0 (s + (-s)), but SQL's
+                  // sum over empty input is NULL. The liveness count
+                  // (net count(*)) distinguishes the two — count keeps
+                  // its 0-on-empty semantics below.
+                  case Some(cnt) =>
+                    val live = Coalesce(Seq(
+                      Sum(unionAttr(cnt)).toAggregateExpression(), Literal(0L)))
+                    If(LessThanOrEqual(live, Literal(0L)),
+                      Literal(null, sumAgg.dataType), sumAgg)
+                }
+              // Same count-vs-sum empty-input distinction as the rollup
+              // arm: the merged global count must be 0, never NULL.
+              case _: Count =>
+                Coalesce(Seq(Sum(src).toAggregateExpression(), Literal(0L)))
+              case _: Min => Min(src).toAggregateExpression()
+              case _: Max => Max(src).toAggregateExpression()
+              case _ => return None
+            }
         }
         val shaped =
           if (reagg.dataType == al.dataType) reagg else Cast(reagg, al.dataType)

@@ -909,6 +909,88 @@ object SourceQueries {
     * silently serve stale data... except the DuckDB oracle recomputes
     * over both batches from raw parquet, so it would break the hash).
     */
+  /** X9n: TWO-MOVED-SIDES STALE JOIN MV (inclusion–exclusion) — both
+    * the fact AND the dim append after materialization, NO refresh.
+    * Served by the disjoint decomposition
+    * F₁⋈C₁ = F₀⋈C₀ ⊎ ΔF⋈C₁ ⊎ F₀⋈ΔC: the ΔF term joins the CURRENT
+    * dim (absorbing the ΔF⋈ΔC cross tuples), the F₀ term pins the
+    * fact at v0 so nothing lands twice. Half the customers arrive
+    * LATE, so v0 fact rows referencing them dangle in the MV and are
+    * recovered exclusively by the F₀⋈ΔC branch — a missed branch, a
+    * double-counted cross tuple, or an unpinned fact all break the
+    * DuckDB hash. BOTH base tables are plan-REQUIRED twice (once per
+    * branch role). At 100 TB: a streaming fact AND a late dim batch
+    * no longer forfeit the rollup until refresh.
+    * `plans/MvRewrite.tryStaleJoinCandidate` (delta2Part).
+    */
+  val x9nTwoMovedJoinMv: Q = Q(
+    "x9n_two_moved_join_mv",
+    """SELECT c_mktsegment AS seg, count(*) AS cnt,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderkey <= 1200
+      |GROUP BY c_mktsegment
+      |ORDER BY seg""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("x9n_orders_src")
+    Tables.customer(spark, dir).createOrReplaceTempView("x9n_customer_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.tm_orders")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.tm_cust")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.tm_seg")
+    spark.sql(
+      "CREATE TABLE graft.demo.tm_orders (o_custkey BIGINT, o_totalprice DOUBLE) USING graft")
+    spark.sql(
+      "CREATE TABLE graft.demo.tm_cust (c_custkey BIGINT, c_mktsegment STRING) USING graft")
+    spark.sql(
+      """INSERT INTO graft.demo.tm_orders
+        |SELECT CAST(o_custkey AS BIGINT), o_totalprice
+        |FROM x9n_orders_src WHERE o_orderkey <= 600""".stripMargin)
+    // HALF the customers exist at materialization: v0 fact rows
+    // referencing the others dangle until the late dim batch lands.
+    spark.sql(
+      """INSERT INTO graft.demo.tm_cust
+        |SELECT CAST(c_custkey AS BIGINT), c_mktsegment
+        |FROM x9n_customer_src
+        |WHERE c_custkey <= (SELECT CAST(max(c_custkey) / 2 AS BIGINT) FROM x9n_customer_src)"""
+        .stripMargin)
+    spark.sql(
+      """CALL graft.system.create_mv('demo', 'tm_seg',
+        |  'demo.tm_orders JOIN demo.tm_cust ON o_custkey = c_custkey',
+        |  'c_mktsegment',
+        |  'count(*) AS cnt, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS dec_total')""".stripMargin)
+      .collect()
+    // BOTH sides move after materialization, NEVER refreshed.
+    spark.sql(
+      """INSERT INTO graft.demo.tm_orders
+        |SELECT CAST(o_custkey AS BIGINT), o_totalprice
+        |FROM x9n_orders_src WHERE o_orderkey > 600 AND o_orderkey <= 1200""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.tm_cust
+        |SELECT CAST(c_custkey AS BIGINT), c_mktsegment
+        |FROM x9n_customer_src
+        |WHERE c_custkey > (SELECT CAST(max(c_custkey) / 2 AS BIGINT) FROM x9n_customer_src)"""
+        .stripMargin)
+    val df = spark.sql(
+      """SELECT c_mktsegment AS seg, cnt, round(CAST(dt AS DOUBLE), 4) AS total
+        |FROM (
+        |  SELECT c_mktsegment, count(*) AS cnt,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS dt
+        |  FROM graft.demo.tm_orders JOIN graft.demo.tm_cust ON o_custkey = c_custkey
+        |  GROUP BY c_mktsegment)
+        |ORDER BY seg""".stripMargin)
+    val s = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.relation.identifier.map(_.name).getOrElse("")
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.identifier.map(_.name).getOrElse("")
+    }
+    require(s.contains("tm_seg"),
+      s"x9n_two_moved_join_mv: two-moved staleness was not MV-served (scans: $s)")
+    require(s.count(_ == "tm_orders") >= 2 && s.count(_ == "tm_cust") >= 2,
+      s"x9n_two_moved_join_mv: both delta branches must be planned (scans: $s)")
+    df
+  }
+
   val x9gStaleJoinMv: Q = Q(
     "x9g_stale_join_mv",
     """SELECT c_mktsegment AS seg, count(*) AS cnt,
@@ -1332,6 +1414,147 @@ object SourceQueries {
       s"x9l_stale_upsert_mv: upsert-stale aggregate was not MV-served (scans: $s)")
     require(s.count(_ == "su_orders") >= 2,
       s"x9l_stale_upsert_mv: plan is missing the delta or retraction branch (scans: $s)")
+    df
+  }
+
+  /** X28: RELY JOIN ELIMINATION — an inner FK→PK join whose parent
+    * columns go UNREFERENCED is deleted from the plan when the child
+    * table grants trust with TBLPROPERTY
+    * `'graft.constraints.rely'='true'` (constraints are NOT ENFORCED —
+    * x26 is the audit; RELY is the user saying "plan on them"). The
+    * fixture declares PRIMARY KEY (c_custkey) on the dim and
+    * FOREIGN KEY (o_custkey) on the fact; the query aggregates ONLY
+    * fact columns across the join, so the dim scan is plan-REQUIRED
+    * ABSENT (and required PRESENT on the same query before RELY is
+    * granted — the rule must not fire on declarations alone). The
+    * DuckDB oracle executes the REAL join over raw parquet: if the
+    * elimination were unsound for this data (a dangling or duplicate
+    * key), count(*) would differ and the hash would break. At 100 TB:
+    * every habitual star-join in views/BI dashboards that never reads
+    * dim columns stops scanning the dimension.
+    * `plans/RelyJoinElimination.scala`.
+    */
+  val x28RelyJoinElimination: Q = Q(
+    "x28_rely_join_elimination",
+    """SELECT o_orderpriority, count(*) AS cnt,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderkey <= 900
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("x28_orders_src")
+    Tables.customer(spark, dir).createOrReplaceTempView("x28_customer_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.re_orders")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.re_cust")
+    spark.sql(
+      """CREATE TABLE graft.demo.re_cust
+        |  (c_custkey BIGINT, c_mktsegment STRING,
+        |   CONSTRAINT re_pk PRIMARY KEY (c_custkey) NOT ENFORCED)
+        |USING graft""".stripMargin)
+    spark.sql(
+      """CREATE TABLE graft.demo.re_orders
+        |  (o_orderkey BIGINT, o_custkey BIGINT, o_orderpriority STRING,
+        |   o_totalprice DOUBLE,
+        |   CONSTRAINT re_fk FOREIGN KEY (o_custkey)
+        |     REFERENCES graft.demo.re_cust (c_custkey) NOT ENFORCED)
+        |USING graft""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.re_cust
+        |SELECT CAST(c_custkey AS BIGINT), c_mktsegment FROM x28_customer_src""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.re_orders
+        |SELECT o_orderkey, CAST(o_custkey AS BIGINT), o_orderpriority, o_totalprice
+        |FROM x28_orders_src WHERE o_orderkey <= 900""".stripMargin)
+    val q =
+      """SELECT o_orderpriority, cnt, round(CAST(dt AS DOUBLE), 4) AS total
+        |FROM (
+        |  SELECT o_orderpriority, count(*) AS cnt,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS dt
+        |  FROM graft.demo.re_orders JOIN graft.demo.re_cust
+        |    ON o_custkey = c_custkey
+        |  GROUP BY o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin
+    def scanned(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.identifier.map(_.name).getOrElse("")
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.identifier.map(_.name).getOrElse("")
+      }
+    // Declarations alone must NOT fire the rule.
+    require(scanned(spark.sql(q)).contains("re_cust"),
+      "x28_rely_join_elimination: rule fired without a RELY grant")
+    spark.sql(
+      "ALTER TABLE graft.demo.re_orders SET TBLPROPERTIES ('graft.constraints.rely'='true')")
+    val df = spark.sql(q)
+    val s = scanned(df)
+    require(!s.contains("re_cust"),
+      s"x28_rely_join_elimination: dim scan must be eliminated under RELY (scans: $s)")
+    df
+  }
+
+  /** X9m: AVG NAVIGATION — avg is the single most common BI aggregate
+    * and is NOT distributive (an avg of avgs is wrong), yet it IS
+    * algebraic: when the MV materializes `sum(x)` and a null-compatible
+    * count (`count(x)`; `count(*)` only for provably non-null x), a
+    * coarser-grain `avg(x)` is served as sum-of-sums / sum-of-counts —
+    * built in EXACTLY the shape of Spark's own `Average
+    * .evaluateExpression` (same decimal operand types → same division
+    * precision → bit-exact vs the base plan). The MV hit is REQUIRED at
+    * plan level and the base scan is REQUIRED-ABSENT; the DuckDB
+    * oracle recomputes avg from raw parquet, so a wrong count component
+    * (count(*) where NULLs exist) or avg-of-avgs both break the hash.
+    * At 100 TB: every dashboard `avg(price)` over a sum+count rollup
+    * stops re-scanning the fact table. `plans/MvRewrite
+    * .avgComponentCols` / `avgFromComponents`.
+    */
+  val x9mAvgNavigation: Q = Q(
+    "x9m_avg_navigation",
+    """SELECT o_orderpriority, count(*) AS cnt,
+      |  round(CAST(avg(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS avg_price
+      |FROM orders
+      |WHERE o_orderkey <= 900
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    Tables.orders(spark, dir).createOrReplaceTempView("x9m_orders_src")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.av_orders")
+    spark.sql("DROP TABLE IF EXISTS graft.demo.av_pri")
+    spark.sql(
+      """CREATE TABLE graft.demo.av_orders
+        |  (o_orderkey BIGINT, o_orderpriority STRING, o_orderstatus STRING,
+        |   o_totalprice DOUBLE) USING graft""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.demo.av_orders
+        |SELECT o_orderkey, o_orderpriority, o_orderstatus, o_totalprice
+        |FROM x9m_orders_src WHERE o_orderkey <= 900""".stripMargin)
+    // The MV materializes avg's COMPONENTS, never avg itself — the
+    // rewrite must derive, not fetch.
+    spark.sql(
+      """CALL graft.system.create_mv('demo', 'av_pri', 'demo.av_orders',
+        |  'o_orderpriority,o_orderstatus',
+        |  'count(*) AS cnt, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sp,
+        |   count(CAST(o_totalprice AS DECIMAL(18,2))) AS cp')""".stripMargin)
+      .collect()
+    val df = spark.sql(
+      """SELECT o_orderpriority, cnt, round(CAST(ap AS DOUBLE), 4) AS avg_price
+        |FROM (
+        |  SELECT o_orderpriority, count(*) AS cnt,
+        |    avg(CAST(o_totalprice AS DECIMAL(18,2))) AS ap
+        |  FROM graft.demo.av_orders
+        |  GROUP BY o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin)
+    val scanned = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.relation.identifier.map(_.name).getOrElse("")
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.identifier.map(_.name).getOrElse("")
+    }
+    require(scanned.contains("av_pri"),
+      s"x9m_avg_navigation: avg was not served from the sum+count MV (scans: $scanned)")
+    require(!scanned.contains("av_orders"),
+      s"x9m_avg_navigation: serving plan must not rescan the base (scans: $scanned)")
     df
   }
 
@@ -2999,7 +3222,7 @@ object SourceQueries {
     x7CatalogView, x8MaterializedView, x8bUpsertMvRefresh, x9MvRollup, x9bStaleMv,
     x9cMvRewriteOff, x9cMvRewriteOn, x9dFilteredMv, x9eJoinMv, x9fJoinMvRefresh,
     x9gStaleJoinMv, x9hSnowflakeMv, x9iFilteredJoinMv, x9jStaleDimJoinMv,
-    x9kRollupNavigation, x9lStaleUpsertMv,
+    x9kRollupNavigation, x9lStaleUpsertMv, x9mAvgNavigation, x9nTwoMovedJoinMv,
     x5fPartitionProfile, x5gCosortedJoin,
     x5hPartitionOverwrite, x5iPartitionEvolution, x5jHiddenPartitioning,
     x5kBucketSpj,
@@ -3008,5 +3231,6 @@ object SourceQueries {
     x14MetadataTables, x15RemoveOrphans, x16RowLineage, x17Undrop,
     x18Identity, x19Generated, x20Retention, x21ColumnDefaults,
     x22MergeSchemaEvolution, x23CopyInto, x24ScopedCompact,
-    x25NestedEvolution, x25bDeepEvolution, x26VerifyConstraints)
+    x25NestedEvolution, x25bDeepEvolution, x26VerifyConstraints,
+    x28RelyJoinElimination)
 }

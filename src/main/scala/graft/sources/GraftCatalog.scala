@@ -1933,6 +1933,11 @@ object GraftCatalog {
   private[sources] val AnnSourceProp = "graft.ann.source"
   private[sources] val AnnWatermarkProp = "graft.ann.source_version"
   private[sources] val AnnBaseSimProp = "graft.ann.base_sim"
+  // PQ-coded index: subspace count and per-subspace width (dim/m) —
+  // recorded at build so refresh re-encodes and the serve path sizes
+  // its ADC tables without touching raw embeddings.
+  private[graft] val AnnPqMProp = "graft.ann.pq_m"
+  private[graft] val AnnPqSubProp = "graft.ann.pq_sub"
 
   /** Validate a write-order property value against the table schema —
     * a typo'd column must fail at SET/CREATE time, not corrupt layout
@@ -1985,7 +1990,7 @@ object GraftCatalog {
     * concurrent DROP; an empty map is the honest degraded answer).
     */
   /** Declared constraints of a live table (verify_constraints input). */
-  private[sources] def constraintsOf(ident: Identifier)
+  private[graft] def constraintsOf(ident: Identifier)
       : Vector[org.apache.spark.sql.connector.catalog.constraints.Constraint] = {
     ensureLoaded()
     val e = store.get(ident)
@@ -1993,7 +1998,7 @@ object GraftCatalog {
     e.constraints
   }
 
-  private[sources] def tablePropsJava(ident: Identifier): util.Map[String, String] = {
+  private[graft] def tablePropsJava(ident: Identifier): util.Map[String, String] = {
     ensureLoaded()
     val e = store.get(ident)
     val m = new util.HashMap[String, String]()

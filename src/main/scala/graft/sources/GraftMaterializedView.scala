@@ -659,15 +659,38 @@ private[graft] object GraftMvOps {
       // for the equi conditions star schemas use). A filtered join
       // MV's WHERE applies to the joined tuple exactly as at create —
       // a changed tuple failing it cannot have changed the MV.
-      def term(k: Int, deltaK: DataFrame, vs: Seq[Long]): DataFrame = {
-        val probeCache = scala.collection.mutable.Map[String, Option[Seq[Any]]]()
-        def deltaVals(ck: String): Option[Seq[Any]] =
-          probeCache.getOrElseUpdate(ck, {
-            val rows = deltaK.select(col(ck)).distinct()
+      // Probe superset per changed side: ONE driver probe job per
+      // (side, equi column) per refresh, computed over the UNION of
+      // that side's delta frames (both structural diff ends + both
+      // eq-delete scans) — a side changed at several ends used to pay
+      // a probe job per TERM, serializing small driver jobs before
+      // the real refresh. A superset of any single term's keys prunes
+      // the other sides less tightly but never wrongly (pruning is an
+      // optimization; the join condition still decides membership).
+      def sideDeltaFrames(k: Int): Seq[DataFrame] = {
+        val (nw, od) = diffs(k)
+        val (enw, egn) = eqDiffs(k)
+        val (tns, tbl) = sides(k)
+        (if (nw.nonEmpty) Seq(segmentsDf(spark, idents(k), nw)) else Nil) ++
+          (if (od.nonEmpty) Seq(segmentsDf(spark, idents(k), od)) else Nil) ++
+          (if (enw.nonEmpty)
+            Seq(eqKeyMatchScan(spark, cat, tns, tbl, v0s(k), enw)) else Nil) ++
+          (if (egn.nonEmpty)
+            Seq(eqKeyMatchScan(spark, cat, tns, tbl, v1s(k), egn)) else Nil)
+      }
+      val probeCache = scala.collection.mutable.Map[(Int, String), Option[Seq[Any]]]()
+      def deltaVals(k: Int, ck: String): Option[Seq[Any]] =
+        probeCache.getOrElseUpdate((k, ck), {
+          val frames = sideDeltaFrames(k).map(_.select(col(ck)))
+          if (frames.isEmpty) Some(Nil)
+          else {
+            val rows = frames.reduce(_ unionAll _).distinct()
               .limit(MaxInlineProbe + 1).collect()
             if (rows.length > MaxInlineProbe) None
             else Some(rows.map(_.get(0)).filterNot(_ == null).toSeq)
-          })
+          }
+        })
+      def term(k: Int, deltaK: DataFrame, vs: Seq[Long]): DataFrame = {
         val others = sides.indices.filter(_ != k).map { j =>
           val base = at(j, vs)
           // The probe job runs only for DIM-side terms: pruning the
@@ -679,7 +702,7 @@ private[graft] object GraftMvOps {
             case ((js, cj), (ks, ck)) if ks == k && js == j => Some((ck, cj))
             case _ => None
           }).foldLeft(base) { case (df, (ck, cj)) =>
-            deltaVals(ck) match {
+            deltaVals(k, ck) match {
               case Some(vals) =>
                 df.where(if (vals.isEmpty) lit(false) else col(cj).isin(vals: _*))
               case None => df // probe overflow: no pruning, still correct

@@ -569,15 +569,32 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(served.collect().toSeq.sortBy(_.getString(0)) == direct)
     assert(direct.map(r => (r.getString(0), r.getLong(1), r.getLong(2))) ==
       Seq(("x", 2L, 15L), ("y", 1L, 20L), ("z", 1L, 40L)))
-    // A SECOND moved side (fact append on top of the dim append)
-    // expands into cross terms: the stale path must decline.
+    // A SECOND moved side (fact append on top of the dim append):
+    // served by the disjoint decomposition — ΔF ⋈ dim₁ (current dim,
+    // absorbing the ΔF⋈ΔD cross tuples) ⊎ F₀ ⋈ ΔD (fact pinned at v0
+    // so nothing lands twice). Both base tables appear TWICE in the
+    // plan: once per delta branch role.
     spark.sql("INSERT INTO graft.mvda.fact VALUES (3, 100)")
     val both = spark.sql(q)
-    assert(!scans(both).contains("agg"),
-      "two moved sides must decline the stale join rewrite")
+    val bs = scans(both)
+    assert(bs.contains("agg"),
+      s"two append-only moved sides must still be MV-served, scans: $bs")
+    assert(bs.count(_ == "fact") >= 2 && bs.count(_ == "dim") >= 2,
+      s"both delta branches must be present (ΔF⋈dim₁ and F₀⋈ΔD), scans: $bs")
     assert(both.collect().toSeq.sortBy(_.getString(0))
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))) ==
       Seq(("x", 3L, 115L), ("y", 1L, 20L), ("z", 1L, 40L)))
+    // Eq deletes while two sides moved: decline (cross-retraction
+    // terms are out of scope) — an upsert epoch on the fact on top of
+    // the moved dim.
+    Seq((2L, 21L)).toDF("ck", "amt").writeTo("graft.mvda.fact")
+      .option("graft.upsert.keys", "ck").append()
+    val eq2 = spark.sql(q)
+    assert(!scans(eq2).contains("agg"),
+      s"two moved sides with eq deletes must decline, scans: ${scans(eq2)}")
+    assert(eq2.collect().toSeq.sortBy(_.getString(0))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))) ==
+      Seq(("x", 3L, 115L), ("y", 1L, 21L), ("z", 1L, 40L)))
     // Refresh repairs; the fresh path takes over again.
     val (mode, _, _) = call("CALL graft.system.refresh_mv('mvda', 'agg')")
     assert(mode == "incremental" || mode == "full")
@@ -585,6 +602,68 @@ class MaterializedViewSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.mvda.agg")
     spark.sql("DROP TABLE graft.mvda.dim")
     spark.sql("DROP TABLE graft.mvda.fact")
+  }
+
+  test("stale snowflake MV: TWO moved sides served via the disjoint decomposition; three decline") {
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.identifier.map(_.name).getOrElse("")
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.identifier.map(_.name).getOrElse("")
+      }
+    Seq("fact", "cust", "nat", "agg")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS graft.mvs2.$t"))
+    spark.sql("CREATE TABLE graft.mvs2.fact (ck BIGINT, amt BIGINT) USING graft")
+    spark.sql("CREATE TABLE graft.mvs2.cust (cck BIGINT, cnk BIGINT) USING graft")
+    spark.sql("CREATE TABLE graft.mvs2.nat (nk BIGINT, nname STRING) USING graft")
+    // fact row ck=5 DANGLES at materialization (its cust arrives late):
+    // the second delta term Δcust ⋈ F₀ must pick it up — and ONLY from
+    // the v0-pinned fact, or the ΔF row would double-count.
+    spark.sql("INSERT INTO graft.mvs2.fact VALUES (1, 10), (2, 20), (5, 50)")
+    spark.sql("INSERT INTO graft.mvs2.cust VALUES (1, 100), (2, 200)")
+    spark.sql("INSERT INTO graft.mvs2.nat VALUES (100, 'A'), (200, 'B'), (300, 'C')")
+    call(
+      """CALL graft.system.create_mv('mvs2', 'agg',
+        |  'mvs2.fact JOIN mvs2.cust ON ck = cck JOIN mvs2.nat ON cnk = nk',
+        |  'nname', 'count(*) AS cnt, sum(amt) AS total')""".stripMargin)
+    // TWO sides move (both append-only): a fact append AND a cust
+    // append — cust 3 matches the NEW fact row (the ΔF⋈ΔC cross
+    // tuple), cust 5 matches the OLD dangling fact row.
+    spark.sql("INSERT INTO graft.mvs2.fact VALUES (3, 30)")
+    spark.sql("INSERT INTO graft.mvs2.cust VALUES (3, 100), (5, 300)")
+    val q = """SELECT nname, count(*) AS c, sum(amt) AS s
+              |FROM graft.mvs2.fact JOIN graft.mvs2.cust ON ck = cck
+              |JOIN graft.mvs2.nat ON cnk = nk
+              |GROUP BY nname""".stripMargin
+    spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+    val direct =
+      try spark.sql(q).collect().toSeq.sortBy(_.getString(0))
+      finally spark.conf.set("spark.graft.mvRewrite.enabled", "true")
+    val served = spark.sql(q)
+    val sc = scans(served)
+    assert(sc.contains("agg"),
+      s"two moved snowflake sides must be MV-served, scans: $sc")
+    assert(sc.count(_ == "fact") >= 2 && sc.count(_ == "cust") >= 2 &&
+      sc.count(_ == "nat") >= 2,
+      s"both delta branches (ΔF⋈C₁⋈N and F₀⋈ΔC⋈N) must be planned, scans: $sc")
+    assert(served.collect().toSeq.sortBy(_.getString(0)) == direct,
+      "two-moved-sides rewrite diverged from the direct answer")
+    assert(direct.map(r => (r.getString(0), r.getLong(1), r.getLong(2))) ==
+      Seq(("A", 2L, 40L), ("B", 1L, 20L), ("C", 1L, 50L)),
+      "cross tuple (ΔF⋈ΔC) must count once; dangling row joins via F₀⋈ΔC")
+    // A THIRD moved side declines (2^3 expansion is past the gate).
+    spark.sql("INSERT INTO graft.mvs2.nat VALUES (400, 'D')")
+    val three = spark.sql(q)
+    assert(!scans(three).contains("agg"),
+      s"three moved sides must decline, scans: ${scans(three)}")
+    assert(three.collect().toSeq.sortBy(_.getString(0)) == direct)
+    // Refresh repairs; the fresh path takes over.
+    val (mode, _, _) = call("CALL graft.system.refresh_mv('mvs2', 'agg')")
+    assert(mode == "incremental" || mode == "full")
+    assert(scans(spark.sql(q)).contains("agg"))
+    Seq("agg", "fact", "cust", "nat")
+      .foreach(t => spark.sql(s"DROP TABLE graft.mvs2.$t"))
   }
 
   test("stale MV under equality deletes: upsert epochs served as MV ⊎ Δ ⊖ killed") {
@@ -1821,19 +1900,22 @@ class MaterializedViewSpec extends AnyFunSuite {
           "WHERE seg = 'b' GROUP BY seg")
       assert(sliced.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
         == Seq(("b", 105L)))
-      // avg is not merge-derivable → full join, still correct.
+      // avg(v) has no count COMPONENT here (the MV stores count(*) but
+      // v is nullable, so count(*) is not a valid substitute for
+      // count(v)): the derivation declines → full join, still correct.
       val avgQ = spark.sql(
         "SELECT seg, avg(v) AS m FROM graft.sj.fact JOIN graft.sj.dim ON k = dk GROUP BY seg")
       assert(!avgQ.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
         .exists(_.output.exists(_.name == "cnt")),
-        "non-derivable aggregate wrongly stale-join-served")
-      // A DIM data change kills the stale path (pre-joined MV rows may
-      // be invalid): back to the base join, still correct.
+        "avg without a count component wrongly stale-join-served")
+      // A DIM append on top of the outstanding fact appends = TWO
+      // moved sides: since r19 this is SERVED via the disjoint
+      // decomposition (ΔF⋈dim₁ ⊎ F₀⋈Δdim), not declined.
       spark.sql("INSERT INTO graft.sj.dim VALUES (4, 'd')")
       val dimMoved = spark.sql(q)
-      assert(!dimMoved.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+      assert(dimMoved.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
         .exists(_.output.exists(_.name == "cnt")),
-        "dim-moved join MV wrongly stale-served")
+        "two append-only moved sides must still be MV-served")
       assert(dimMoved.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
         .toSeq.sortBy(_._1) == direct())
       // After an (incremental) refresh the FRESH join path serves again.
@@ -1873,6 +1955,135 @@ class MaterializedViewSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("deterministic"), e.getMessage)
     spark.sql("DROP TABLE graft.mvnd.base")
+  }
+
+  test("avg navigation: avg served from sum+count MV components at exact, rollup and global grain") {
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.identifier.map(_.name).getOrElse("")
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.identifier.map(_.name).getOrElse("")
+      }
+    spark.sql("DROP TABLE IF EXISTS graft.mvavg.base")
+    spark.sql("DROP TABLE IF EXISTS graft.mvavg.agg")
+    spark.sql(
+      """CREATE TABLE graft.mvavg.base
+        |  (k BIGINT, g STRING, s STRING, price DECIMAL(18,2), v BIGINT) USING graft""".stripMargin)
+    // One NULL price: count(price) != count(*), so a sloppy count(*)
+    // substitution in the avg derivation would be caught by value
+    // comparison, not just by the nullability gate.
+    spark.sql(
+      """INSERT INTO graft.mvavg.base VALUES
+        |  (1, 'a', 'x', 10.00, 1), (2, 'a', 'x', 11.50, 2),
+        |  (3, 'a', 'y', CAST(NULL AS DECIMAL(18,2)), 3),
+        |  (4, 'b', 'x', 7.25, 4), (5, 'b', 'y', 100.10, 5)""".stripMargin)
+    call(
+      """CALL graft.system.create_mv('mvavg', 'agg', 'mvavg.base', 'g,s',
+        |  'count(*) AS cnt, sum(price) AS sp, count(price) AS cp,
+        |   sum(v) AS sv, sum(coalesce(v, CAST(0 AS BIGINT))) AS svc')""".stripMargin)
+    def compare(q: String, expectServed: Boolean, staleBranch: Boolean = false): Unit = {
+      spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+      val direct =
+        try spark.sql(q).collect().toSeq
+        finally spark.conf.set("spark.graft.mvRewrite.enabled", "true")
+      val served = spark.sql(q)
+      val sc = scans(served)
+      assert(sc.contains("agg") == expectServed,
+        s"MV-served=$expectServed expected for [$q], scans: $sc")
+      if (expectServed)
+        // Fresh serves read ONLY the MV; stale serves add pinned base
+        // branches (delta / retraction) alongside it.
+        assert(sc.contains("base") == staleBranch,
+          s"base-branch=$staleBranch expected for [$q], scans: $sc")
+      // UNROUNDED bit-exact equality rewrite-on vs rewrite-off — the
+      // decimal derivation must reproduce Average's exact division
+      // precision/scale, not just be numerically close.
+      assert(served.collect().toSeq.sortBy(_.toString) == direct.sortBy(_.toString),
+        s"avg rewrite diverged from the direct answer for [$q]")
+    }
+    // EXACT grain: per-MV-row scalar division sp/cp (no re-aggregate).
+    compare("SELECT g, s, avg(price) AS ap FROM graft.mvavg.base GROUP BY g, s", true)
+    // ROLLUP: sum-of-sums / sum-of-counts at the coarser grain.
+    compare(
+      "SELECT g, avg(price) AS ap, count(*) AS c FROM graft.mvavg.base GROUP BY g", true)
+    // GLOBAL rollup (empty grouping).
+    compare("SELECT avg(price) AS ap FROM graft.mvavg.base", true)
+    // Residual filter on a group column composes with the derivation.
+    compare("SELECT g, avg(price) AS ap FROM graft.mvavg.base WHERE s = 'x' GROUP BY g", true)
+    // v is nullable and the MV has sum(v) but NO count(v): count(*) is
+    // NOT a valid substitute — must decline to the base (and stay right).
+    compare("SELECT g, avg(v) AS av FROM graft.mvavg.base GROUP BY g", false)
+    // Non-nullable child: count(*) IS a valid count component.
+    compare(
+      "SELECT g, avg(coalesce(v, CAST(0 AS BIGINT))) AS av FROM graft.mvavg.base GROUP BY g",
+      true)
+    // avg also merges through the STALE delta-union path: append a
+    // batch, no refresh — MV branch + pinned delta branch.
+    spark.sql("INSERT INTO graft.mvavg.base VALUES (6, 'a', 'y', 3.33, 6), (7, 'c', 'x', 8.00, 7)")
+    compare("SELECT g, avg(price) AS ap FROM graft.mvavg.base GROUP BY g",
+      expectServed = true, staleBranch = true)
+    // ... and through the RETRACTION path: an upsert epoch moves key 4
+    // (b → a); the killed row's sum/count components subtract.
+    locally {
+      import org.apache.spark.sql.functions.{col, expr}
+      Seq((4L, "a", "9.75", 40L)).toDF("k", "g", "p", "v")
+        .select(col("k"), col("g"), expr("'x' AS s"),
+          expr("CAST(p AS DECIMAL(18,2)) AS price"), col("v"))
+        .writeTo("graft.mvavg.base").option("graft.upsert.keys", "k").append()
+    }
+    compare("SELECT g, avg(price) AS ap FROM graft.mvavg.base GROUP BY g",
+      expectServed = true, staleBranch = true)
+    spark.sql("DROP TABLE graft.mvavg.agg")
+    spark.sql("DROP TABLE graft.mvavg.base")
+  }
+
+  test("global retraction restores sum-over-empty = NULL (ADVICE r18)") {
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.identifier.map(_.name).getOrElse("")
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.identifier.map(_.name).getOrElse("")
+      }
+    spark.sql("DROP TABLE IF EXISTS graft.mvgn.base")
+    spark.sql("DROP TABLE IF EXISTS graft.mvgn.agg")
+    spark.sql("CREATE TABLE graft.mvgn.base (k BIGINT, g STRING, v BIGINT) USING graft")
+    spark.sql("INSERT INTO graft.mvgn.base VALUES (1, 'a', 5), (2, 'a', 7), (3, 'b', 10)")
+    call(
+      "CALL graft.system.create_mv('mvgn', 'agg', 'mvgn.base', 'g', 'count(*) AS cnt, sum(v) AS total')")
+    // Upsert epoch moves EVERY g='a' row to g='b': the g='a' slice of
+    // the un-refreshed MV nets to zero rows. SQL: sum over empty input
+    // is NULL (count is 0) — the retraction branches net the sum to a
+    // bare 0, so the rewrite must re-derive NULL from the liveness
+    // count, not report the 0.
+    Seq((1L, "b", 5L), (2L, "b", 7L)).toDF("k", "g", "v")
+      .writeTo("graft.mvgn.base").option("graft.upsert.keys", "k").append()
+    def compare(q: String): Unit = {
+      spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+      val direct =
+        try spark.sql(q).collect().toSeq
+        finally spark.conf.set("spark.graft.mvRewrite.enabled", "true")
+      val served = spark.sql(q)
+      assert(scans(served).contains("agg"), s"[$q] must be MV-served, scans: ${scans(served)}")
+      assert(served.collect().toSeq == direct, s"global retraction diverged for [$q]")
+    }
+    val gq = "SELECT sum(v) AS s FROM graft.mvgn.base WHERE g = 'a'"
+    compare(gq)
+    assert(spark.sql(gq).collect().head.isNullAt(0),
+      "sum over a retro-emptied slice must be NULL, not 0")
+    // count keeps its 0-on-empty semantics; avg derives NULL via 0/0.
+    compare("SELECT count(*) AS c FROM graft.mvgn.base WHERE g = 'a'")
+    assert(spark.sql("SELECT count(*) AS c FROM graft.mvgn.base WHERE g = 'a'")
+      .collect().head.getLong(0) == 0L)
+    // Mixed outputs: NULL sum next to 0 count in one row.
+    compare("SELECT count(*) AS c, sum(v) AS s FROM graft.mvgn.base WHERE g = 'a'")
+    // The non-empty slice is unaffected.
+    compare("SELECT sum(v) AS s FROM graft.mvgn.base WHERE g = 'b'")
+    assert(spark.sql("SELECT sum(v) AS s FROM graft.mvgn.base WHERE g = 'b'")
+      .collect().head.getLong(0) == 22L)
+    spark.sql("DROP TABLE graft.mvgn.agg")
+    spark.sql("DROP TABLE graft.mvgn.base")
   }
 
   test("refresh of a non-MV table and unknown MV fail loudly") {

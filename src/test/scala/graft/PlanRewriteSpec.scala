@@ -186,4 +186,69 @@ class PlanRewriteSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
+
+  test("RELY join elimination: unreferenced FK→PK inner join is removed; gates hold") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.identifier.map(_.name).getOrElse("")
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.identifier.map(_.name).getOrElse("")
+      }
+    spark.sql("DROP TABLE IF EXISTS graft.rely.fact")
+    spark.sql("DROP TABLE IF EXISTS graft.rely.dim")
+    spark.sql(
+      """CREATE TABLE graft.rely.dim
+        |  (dk BIGINT, name STRING, CONSTRAINT d_pk PRIMARY KEY (dk) NOT ENFORCED)
+        |USING graft""".stripMargin)
+    spark.sql(
+      """CREATE TABLE graft.rely.fact
+        |  (k BIGINT, fk BIGINT, v BIGINT,
+        |   CONSTRAINT f_fk FOREIGN KEY (fk) REFERENCES graft.rely.dim (dk) NOT ENFORCED)
+        |USING graft""".stripMargin)
+    spark.sql("INSERT INTO graft.rely.dim VALUES (1, 'a'), (2, 'b')")
+    // One NULL FK row: the FK constraint permits it, but the INNER join
+    // drops it — elimination must reproduce the drop via IsNotNull.
+    spark.sql(
+      "INSERT INTO graft.rely.fact VALUES (1, 1, 10), (2, 2, 20), (3, NULL, 30), (4, 1, 40)")
+    val q = """SELECT k, v FROM graft.rely.fact JOIN graft.rely.dim ON fk = dk
+              |ORDER BY k""".stripMargin
+    // WITHOUT RELY: constraints alone must never fire the rule.
+    val noRely = spark.sql(q)
+    assert(scans(noRely).contains("dim"),
+      s"without RELY the join must survive, scans: ${scans(noRely)}")
+    val expected = noRely.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(expected == Seq((1L, 10L), (2L, 20L), (4L, 40L)))
+    // WITH RELY: the dim scan disappears; values identical.
+    spark.sql("ALTER TABLE graft.rely.fact SET TBLPROPERTIES ('graft.constraints.rely'='true')")
+    val elim = spark.sql(q)
+    assert(!scans(elim).contains("dim"),
+      s"RELY FK→PK join must be eliminated, scans: ${scans(elim)}")
+    assert(elim.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == expected)
+    // Gate: a query that REFERENCES a dim column keeps the join.
+    val refs = spark.sql(
+      "SELECT k, name FROM graft.rely.fact JOIN graft.rely.dim ON fk = dk")
+    assert(scans(refs).contains("dim"),
+      s"parent-referencing query must keep the join, scans: ${scans(refs)}")
+    // Gate: LEFT join is untouched (no NULL-extension semantics here).
+    val outer = spark.sql(
+      "SELECT k, v FROM graft.rely.fact LEFT JOIN graft.rely.dim ON fk = dk")
+    assert(scans(outer).contains("dim"), "outer join must never be eliminated")
+    // Gate: a non-key equi condition keeps the join.
+    val nonKey = spark.sql(
+      "SELECT k, v FROM graft.rely.fact JOIN graft.rely.dim ON fk = dk AND v = dk")
+    assert(scans(nonKey).contains("dim"), "extra non-FK conjunct must keep the join")
+    // Kill switch restores the join.
+    spark.conf.set("spark.graft.relyJoinElimination.enabled", "false")
+    try assert(scans(spark.sql(q)).contains("dim"), "kill switch must restore the join")
+    finally spark.conf.set("spark.graft.relyJoinElimination.enabled", "true")
+    // Aggregate over the eliminated join (count must not multiply).
+    val agg = spark.sql(
+      "SELECT count(*) AS c, sum(v) AS s FROM graft.rely.fact JOIN graft.rely.dim ON fk = dk")
+    assert(!scans(agg).contains("dim"), s"aggregate-over-join not eliminated: ${scans(agg)}")
+    assert(agg.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 70L)))
+    spark.sql("DROP TABLE graft.rely.fact")
+    spark.sql("DROP TABLE graft.rely.dim")
+  }
 }
