@@ -93,6 +93,36 @@ object KMeansCodebook {
     codebook
   }
 
+  /** Per-row MIPS-PQ code for one subspace: id of the sub-centroid
+    * with the largest INNER PRODUCT against `vec` (argmax fold over a
+    * bounded broadcast sub-codebook column `book: array<struct<cid,
+    * cvec>>`) — max-inner-product rather than L2-nearest because it
+    * makes planted-copy recall PROVABLE (a copy's per-subspace code
+    * attains each subspace's maximum possible ADC contribution). The
+    * SAME encoder must run at build, refresh and (implicitly, through
+    * the stored codes) serve time, or codes and ADC tables diverge.
+    */
+  def mipsCode(vec: Column, book: Column): Column =
+    aggregate(book,
+      struct(lit(Double.NegativeInfinity).as("cdot"), lit(-1L).as("cid")),
+      (acc, c) => {
+        val d = graft.functions.VectorOps.dot(vec, c.getField("cvec"))
+        when(d > acc.getField("cdot"),
+          struct(d.as("cdot"), c.getField("cid").as("cid"))).otherwise(acc)
+      }).getField("cid")
+
+  /** Reassemble the one-row subspace-indexed `pq` form from a persisted
+    * (s, cid, cvec) codebook table — the exact inverse of how
+    * `build_ann_index` / `train_ann_pq` persist `trainSubspaces`
+    * output, with the same cid sort so argmax tie-breaks can never
+    * diverge between build, refresh and serve.
+    */
+  def packSubspaces(books: DataFrame): DataFrame =
+    books.groupBy(col("s"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("cvec")))).as("book"))
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("book")))),
+        x => x.getField("book")).as("pq"))
+
   /** Train ALL `m` product-quantization sub-codebooks in ONE pass over
     * the data (for `ivfPqTopK`): instead of m separate `train` runs —
     * m full scans plus m update shuffles per round — every vector

@@ -999,8 +999,9 @@ private[graft] object GraftBuildAnnIndexProcedure
 
   override def name(): String = "build_ann_index"
   override def description(): String =
-    "build_ann_index(source, ns, index, k, iters): materialize a partitioned IVF posting " +
-      "table + codebook over a catalog embeddings table"
+    "build_ann_index(source, ns, index, k, iters[, pq_m, pq_ks]): materialize a " +
+      "partitioned IVF posting table + codebook (optionally PQ-coded) over a catalog " +
+      "embeddings table"
   override def bind(inputType: StructType): procedures.BoundProcedure = this
   override def isDeterministic: Boolean = false // writes tables
   override def parameters(): Array[ProcedureParameter] = Array(
@@ -1010,7 +1011,12 @@ private[graft] object GraftBuildAnnIndexProcedure
     ProcedureParameter.in("index", StringType).comment("index table name").build(),
     ProcedureParameter.in("k", IntegerType)
       .comment("number of inverted lists; <= 0 auto-sizes to ceil(sqrt(n)), floor 16").build(),
-    ProcedureParameter.in("iters", IntegerType).comment("Lloyd's rounds").build())
+    ProcedureParameter.in("iters", IntegerType).comment("Lloyd's rounds").build(),
+    ProcedureParameter.in("pq_m", IntegerType).defaultValue("0")
+      .comment("PQ subspaces; > 0 also stores per-vector PQ codes (code_0..code_{m-1})")
+      .build(),
+    ProcedureParameter.in("pq_ks", IntegerType).defaultValue("16")
+      .comment("PQ sub-centroids per subspace").build())
 
   private val outSchema = StructType(Seq(
     org.apache.spark.sql.types.StructField("table", StringType, nullable = false),
@@ -1019,12 +1025,14 @@ private[graft] object GraftBuildAnnIndexProcedure
     org.apache.spark.sql.types.StructField("base_sim", DoubleType, nullable = false)))
 
   override def call(input: InternalRow): java.util.Iterator[Scan] = {
-    import org.apache.spark.sql.functions.{avg, broadcast, col, explode}
+    import org.apache.spark.sql.functions.{avg, broadcast, col, explode, posexplode}
     val source = input.getUTF8String(0).toString
     val ns = input.getUTF8String(1).toString
     val index = input.getUTF8String(2).toString
     val kArg = input.getInt(3)
     val iters = input.getInt(4)
+    val pqM = input.getInt(5)
+    val pqKs = input.getInt(6)
     val spark = org.apache.spark.sql.SparkSession.active
     val catName = GraftCatalog.sessionCatalogName(spark, "build_ann_index")
     val srcParts = source.split('.')
@@ -1058,10 +1066,36 @@ private[graft] object GraftBuildAnnIndexProcedure
     cbRow.select(explode(col("cents")).as("c"))
       .select(col("c.cid").as("cid"), col("c.cvec").as("cvec"))
       .writeTo(s"$catName.$ns.${index}_cb").createOrReplace()
-    val assigned = src.crossJoin(broadcast(cbRow))
+    // PQ-coded index (pq_m > 0): train the m sub-codebooks ONCE (one
+    // extra pass via trainSubspaces), persist them as `<index>_pq`
+    // (s, cid, cvec), and store the m PQ CODES on every posting row —
+    // so the serve path can score candidates by ADC against stored
+    // codes, never re-reading (or re-encoding) raw embeddings, and the
+    // compressed-serve candidate cost is m longs/row instead of dim
+    // floats/row.
+    val pqSub: Option[Int] =
+      if (pqM <= 0) None
+      else {
+        require(pqKs > 0, s"build_ann_index: pq_ks must be > 0, got $pqKs")
+        val dim = src.select(org.apache.spark.sql.functions.size(col("embedding")))
+          .head().getInt(0)
+        require(dim % pqM == 0,
+          s"build_ann_index: pq_m=$pqM must divide the embedding dim $dim")
+        val sub = dim / pqM
+        val pqRow = graft.operators.KMeansCodebook
+          .trainSubspaces(src, pqM, sub, pqKs, iters)
+        pqRow.select(posexplode(col("pq")).as(Seq("s", "book")))
+          .select(col("s"), explode(col("book")).as("c"))
+          .select(col("s"), col("c.cid").as("cid"), col("c.cvec").as("cvec"))
+          .writeTo(s"$catName.$ns.${index}_pq").createOrReplace()
+        Some(sub)
+      }
+    val assigned0 = src.crossJoin(broadcast(cbRow))
       .select(src.columns.map(col).toIndexedSeq :+
         graft.operators.KMeansCodebook
           .bestCentroid(spark, col("embedding"), col("cents")).as("list_id"): _*)
+    val assigned = pqSub.fold(assigned0)(sub =>
+      GraftAnnPq.withCodes(spark, assigned0, catName, ns, index, pqM, sub))
     assigned.writeTo(s"$catName.$ns.$index")
       .partitionedBy(col("list_id")).createOrReplace()
     // Train-time mean assignment similarity — the drift BASELINE
@@ -1075,7 +1109,10 @@ private[graft] object GraftBuildAnnIndexProcedure
     GraftCatalog.patchTableProps(Identifier.of(Array(ns), index), Map(
       GraftCatalog.AnnSourceProp -> source,
       GraftCatalog.AnnWatermarkProp -> v.toString,
-      GraftCatalog.AnnBaseSimProp -> baseSim.toString))
+      GraftCatalog.AnnBaseSimProp -> baseSim.toString) ++
+      pqSub.map(sub => Map(
+        GraftCatalog.AnnPqMProp -> pqM.toString,
+        GraftCatalog.AnnPqSubProp -> sub.toString)).getOrElse(Map.empty))
     val rows = GraftCatalog.rowCount(ns, index)
     val row: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](
@@ -1183,7 +1220,11 @@ private[graft] object GraftRefreshAnnProcedure
           s"DELETE FROM $catName.$ns.$index WHERE vec_id IN (SELECT vec_id FROM $tmp)")
         spark.catalog.dropTempView(tmp)
       }
-      val idxCols = spark.table(s"$catName.$ns.$index").columns.filterNot(_ == "list_id")
+      // Index-only columns (the list partition + stored PQ codes) are
+      // COMPUTED here, never read from the feed — the change feed
+      // carries source columns only.
+      val idxCols = spark.table(s"$catName.$ns.$index").columns
+        .filterNot(c => c == "list_id" || c.startsWith("code_"))
       val adds = feed
         .filter(col("_change_type").isin("insert", "update_postimage"))
         .select(idxCols.map(col).toIndexedSeq: _*)
@@ -1192,10 +1233,19 @@ private[graft] object GraftRefreshAnnProcedure
       // between build, refresh and serve.
       val cbRow = spark.table(s"$catName.$ns.${index}_cb")
         .agg(array_sort(collect_list(struct(col("cid"), col("cvec")))).as("cents"))
-      val assigned = adds.crossJoin(broadcast(cbRow))
+      val assigned0 = adds.crossJoin(broadcast(cbRow))
         .select(idxCols.map(col).toIndexedSeq :+
           graft.operators.KMeansCodebook
             .bestCentroid(spark, col("embedding"), col("cents")).as("list_id"): _*)
+      // PQ-coded index: re-encode the batch against the PERSISTED
+      // sub-books (no retrain — same encoder as build, so a vector
+      // appended today and one indexed at build time carry comparable
+      // codes).
+      val assigned = (for {
+        m <- Option(props.get(GraftCatalog.AnnPqMProp)).map(_.toInt)
+        sub <- Option(props.get(GraftCatalog.AnnPqSubProp)).map(_.toInt)
+      } yield GraftAnnPq.withCodes(spark, assigned0, catName, ns, index, m, sub))
+        .getOrElse(assigned0)
         .persist() // consumed twice: append + drift aggregate
       try {
         val nAdd = assigned.count()

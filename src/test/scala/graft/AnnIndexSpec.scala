@@ -262,4 +262,63 @@ class AnnIndexSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.annix.gidx_cb PURGE")
     spark.sql("DROP TABLE graft.annix.grow PURGE")
   }
+
+  test("PQ-coded index: codes stored at build, upkept by refresh, served by code-only ADC") {
+    Seq("psrc", "pidx", "pidx_cb", "pidx_pq")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS graft.annix.$t PURGE"))
+    spark.sql(
+      "CREATE TABLE graft.annix.psrc (vec_id BIGINT, label INT, embedding ARRAY<FLOAT>) USING graft")
+    val rows = (for (a <- 0 until 4; j <- 0 until 10)
+      yield s"(${a * 10 + j + 1}, $a, ${sqlArr(vec(a, j))})").mkString(", ")
+    spark.sql(s"INSERT INTO graft.annix.psrc VALUES $rows")
+    val built = spark.sql(
+      "CALL graft.system.build_ann_index('annix.psrc', 'annix', 'pidx', 4, 3, 2, 4)").head()
+    assert(built.getLong(1) == 40L && built.getLong(2) == 4L, s"pq build: $built")
+    // Codes live ON the posting rows (m = 2 columns, never NULL), the
+    // sub-books persist as <idx>_pq, and the table advertises pq props.
+    assert(spark.table("graft.annix.pidx").columns.toSet
+      .intersect(Set("code_0", "code_1")) == Set("code_0", "code_1"))
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.annix.pidx WHERE code_0 IS NULL OR code_1 IS NULL")
+      .as[Long].head() == 0L)
+    assert(spark.sql("SELECT count(distinct s) FROM graft.annix.pidx_pq").as[Long].head() == 2L)
+    val props = spark.sql("SHOW TBLPROPERTIES graft.annix.pidx")
+      .as[(String, String)].collect().toMap
+    assert(props.get("graft.ann.pq_m").contains("2") &&
+      props.get("graft.ann.pq_sub").contains("4"), s"pq props: $props")
+    // Serve: code-only ADC + exact re-rank (the require()s inside
+    // ivfPqIndexedTopK assert the no-embedding candidate scan and the
+    // exact partition pruning on every call).
+    val q2 = Seq(Tuple1(vec(2, 0))).toDF("qe")
+    val top = graft.queries.SimilarityQueries
+      .ivfPqIndexedTopK(spark, "graft.annix.pidx", q2, nprobe = 1, rerank = 16, limit = 10)
+      .collect()
+    assert(top.nonEmpty && top.forall(_.getInt(1) == 2),
+      s"nprobe=1 PQ serve must return only list-2 members: ${top.toSeq}")
+    // Refresh UPKEEPS codes: append a vector IDENTICAL to vec_id 11 —
+    // after refresh its stored codes must EQUAL vec 11's build-time
+    // codes (build and refresh share one encoder + persisted books).
+    spark.sql(s"INSERT INTO graft.annix.psrc VALUES (201, 1, ${sqlArr(vec(1, 0))})")
+    val r1 = spark.sql("CALL graft.system.refresh_ann('annix', 'pidx')").head()
+    assert(r1.getLong(1) == 1L && r1.getLong(2) == 0L, s"pq append refresh: $r1")
+    val codesOf = (id: Long) => spark.sql(
+      s"SELECT list_id, code_0, code_1 FROM graft.annix.pidx WHERE vec_id = $id")
+      .as[(Long, Long, Long)].head()
+    assert(codesOf(201L) == codesOf(11L),
+      "refresh-encoded twin must carry the build-encoded row's exact (list, codes)")
+    // UPDATE re-encodes: move 201 to the axis-3 cluster.
+    spark.sql(s"UPDATE graft.annix.psrc SET embedding = ${sqlArr(vec(3, 0))}, label = 3 " +
+      "WHERE vec_id = 201")
+    val r2 = spark.sql("CALL graft.system.refresh_ann('annix', 'pidx')").head()
+    assert(r2.getLong(1) == 1L && r2.getLong(2) == 1L, s"pq update refresh: $r2")
+    assert(codesOf(201L) == codesOf(31L),
+      "updated vector must re-list AND re-code to its new cluster twin")
+    // pq_m must divide the dim; a bad m refuses loudly.
+    val e = intercept[Exception](spark.sql(
+      "CALL graft.system.build_ann_index('annix.psrc', 'annix', 'pbad', 4, 1, 3, 4)")
+      .collect())
+    assert(e.getMessage.contains("must divide"), e.getMessage)
+    Seq("pidx", "pidx_cb", "pidx_pq", "psrc")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS graft.annix.$t PURGE"))
+  }
 }
