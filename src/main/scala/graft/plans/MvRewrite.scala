@@ -48,8 +48,11 @@ import graft.sources.{GraftCatalog, GraftMvOps}
   * served by the disjoint decomposition
   * A₁⋈B₁ = A₀⋈B₀ ⊎ ΔA⋈B₁ ⊎ A₀⋈ΔB (the first delta term joins against
   * the CURRENT other sides, absorbing the ΔA⋈ΔB cross term; the
-  * second pins A at v0); three+ moved sides, or eq deletes while two
-  * sides moved, decline the stale path.
+  * second pins A at v0). Eq deletes on at most ONE of the two moved
+  * sides compose with the retraction algebra (that side orders first;
+  * its killed rows subtract against the CURRENT other sides, covering
+  * K⋈ΔB); three+ moved sides, or eq deletes on both moved sides,
+  * decline the stale path.
   *
   * FILTERED MVs (defined with `create_mv(..., where)`) add a predicate
   * SUBSUMPTION gate before either shape: every MV-filter conjunct must
@@ -417,16 +420,30 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
         al // grouping()/grouping_id() shapes and aliased group columns
       case al @ Alias(ae: AggregateExpression, _)
           if !ae.isDistinct && ae.filter.isEmpty =>
-        val srcCol = specByKey.get(norm(ae)).getOrElse(return None)
-        val src = mvAttr(srcCol).getOrElse(return None)
-        neededAggCols += srcCol
         val reagg: Expression = ae.aggregateFunction match {
-          case _: Sum => Sum(src).toAggregateExpression()
-          case _: Count =>
-            Coalesce(Seq(Sum(src).toAggregateExpression(), Literal(0L)))
-          case _: Min => Min(src).toAggregateExpression()
-          case _: Max => Max(src).toAggregateExpression()
-          case _ => return None
+          // avg navigates the lattice through its sum+count components
+          // exactly as in the flat rollup path — every grouping set
+          // re-merges the SAME two MV columns riding the Expand's
+          // pass-through slots.
+          case av: Average =>
+            val (sc, cc) = avgComponentCols(av, specByKey).getOrElse(return None)
+            neededAggCols += sc
+            neededAggCols += cc
+            avgFromComponents(av,
+              Sum(mvAttr(sc).getOrElse(return None)).toAggregateExpression(),
+              Sum(mvAttr(cc).getOrElse(return None)).toAggregateExpression())
+          case fn =>
+            val srcCol = specByKey.get(norm(ae)).getOrElse(return None)
+            val src = mvAttr(srcCol).getOrElse(return None)
+            neededAggCols += srcCol
+            fn match {
+              case _: Sum => Sum(src).toAggregateExpression()
+              case _: Count =>
+                Coalesce(Seq(Sum(src).toAggregateExpression(), Literal(0L)))
+              case _: Min => Min(src).toAggregateExpression()
+              case _: Max => Max(src).toAggregateExpression()
+              case _ => return None
+            }
         }
         val shaped =
           if (reagg.dataType == al.dataType) reagg else Cast(reagg, al.dataType)
@@ -656,20 +673,31 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       case ((d, e), i) if d.nonEmpty || e.nonEmpty => i
     }
     if (movedSides.length > 2) return None
-    // TWO moved sides, both APPEND-ONLY: served via the disjoint
-    // decomposition A₁⋈B₁ = A₀⋈B₀ ⊎ ΔA⋈B₁ ⊎ A₀⋈ΔB — the first delta
-    // term joins ΔA against the CURRENT other sides (absorbing the
-    // ΔA⋈ΔB cross term), the second pins A at v0 so no joined tuple
-    // lands twice. Eq deletes on either side when two sides moved →
-    // decline (retraction would need cross-killed terms).
-    if (movedSides.length == 2 && movedSides.exists(m => sideDeltas(m)._2.nonEmpty))
-      return None
-    // Upsert staleness on a SINGLE moved side (eq deletes in range):
+    // TWO moved sides: served via the disjoint decomposition
+    // A₁⋈B₁ = A₀⋈B₁' ⊎ ΔA⋈B₁ — concretely, with A the FIRST moved
+    // side (upsertable) and B the second (append-only):
+    //   MV ⊎ γ(ΔA ⋈ B₁ ⋈ others) ⊖ γ(K ⋈ B₁ ⋈ others) ⊎ γ(A₀ ⋈ ΔB ⋈ others)
+    // The ΔA term joins the CURRENT other sides (absorbing ΔA⋈ΔB);
+    // the retraction term subtracts A's killed v0 rows against the
+    // CURRENT other sides too (K⋈B₁ = K⋈B₀ ⊎ K⋈ΔB — both needed,
+    // since A₀'s pinned scan in the ΔB term still CONTAINS K); the ΔB
+    // term pins A at v0 so nothing lands twice. Eq deletes are
+    // admissible on at most ONE side — that side is ordered FIRST so
+    // the single-moved retraction branches apply verbatim; eq deletes
+    // on both moved sides decline (cross-killed terms).
+    val movedOrdered: Seq[Int] =
+      if (movedSides.length < 2) movedSides
+      else {
+        val withEq = movedSides.filter(i => sideDeltas(i)._2.nonEmpty)
+        if (withEq.length > 1) return None
+        withEq ++ movedSides.filterNot(withEq.contains)
+      }
+    // Upsert staleness on the first moved side (eq deletes in range):
     // the same retraction algebra as the single-source path — the
-    // killed tuples' joined aggregates subtract (sum/count only),
-    // vanished groups drop by the liveness count.
+    // killed tuples' joined aggregates subtract (sum/count/avg
+    // components only), vanished groups drop by the liveness count.
     val newEqs: Vector[GraftCatalog.EqDelete] =
-      if (movedSides.length == 1) sideDeltas(movedSides.head)._2 else Vector.empty
+      movedOrdered.headOption.map(m => sideDeltas(m)._2).getOrElse(Vector.empty)
     if (newEqs.nonEmpty && !retractionAdmissible(agg, newEqs)) return None
     val mvCond = resolveSpecAgainst(
       props.getOrElse(GraftMvOps.JoinCondProp, return None), combinedOutput)
@@ -786,7 +814,7 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
         // gate; for a SECOND moved side the current state is exactly
         // what the decomposition wants — ΔA⋈B₁ absorbs the ΔA⋈ΔB
         // cross term).
-        val m = movedSides.head
+        val m = movedOrdered.head
         val mIdent = sideIdentOf(m).getOrElse(return None)
         val otherRels: Seq[DataSourceV2Relation] =
           sideNames.zipWithIndex.collect {
@@ -819,7 +847,7 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
         // first term, never reappear) ⋈ fresh copies of the unmoved
         // sides. All relations here are freshly minted: the query's
         // ExprIds were spent by the first delta branch.
-        val delta2Part: Option[LogicalPlan] = movedSides.drop(1).headOption.map { m2 =>
+        val delta2Part: Option[LogicalPlan] = movedOrdered.drop(1).headOption.map { m2 =>
           val m2Ident = sideIdentOf(m2).getOrElse(return None)
           val s0m = GraftCatalog.snapshotByVersion(mIdent, sideV0s(m))
             .getOrElse(return None)

@@ -584,17 +584,27 @@ class MaterializedViewSpec extends AnyFunSuite {
     assert(both.collect().toSeq.sortBy(_.getString(0))
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))) ==
       Seq(("x", 3L, 115L), ("y", 1L, 20L), ("z", 1L, 40L)))
-    // Eq deletes while two sides moved: decline (cross-retraction
-    // terms are out of scope) — an upsert epoch on the fact on top of
-    // the moved dim.
+    // Eq deletes on ONE of the two moved sides (a fact upsert on top
+    // of the moved dim): still served — the eq side orders FIRST so
+    // the retraction branch (K ⋈ current dim) applies verbatim and
+    // the dim's Δ term pins the fact at v0.
     Seq((2L, 21L)).toDF("ck", "amt").writeTo("graft.mvda.fact")
       .option("graft.upsert.keys", "ck").append()
     val eq2 = spark.sql(q)
-    assert(!scans(eq2).contains("agg"),
-      s"two moved sides with eq deletes must decline, scans: ${scans(eq2)}")
+    assert(scans(eq2).contains("agg"),
+      s"eq-on-one-of-two-moved must still serve, scans: ${scans(eq2)}")
     assert(eq2.collect().toSeq.sortBy(_.getString(0))
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))) ==
       Seq(("x", 3L, 115L), ("y", 1L, 21L), ("z", 1L, 40L)))
+    // Eq deletes on BOTH moved sides do decline.
+    Seq((3L, "w")).toDF("dk", "seg").writeTo("graft.mvda.dim")
+      .option("graft.upsert.keys", "dk").append()
+    val eqBoth = spark.sql(q)
+    assert(!scans(eqBoth).contains("agg"),
+      s"eq deletes on both moved sides must decline, scans: ${scans(eqBoth)}")
+    assert(eqBoth.collect().toSeq.sortBy(_.getString(0))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))) ==
+      Seq(("w", 2L, 105L), ("x", 1L, 10L), ("y", 1L, 21L), ("z", 1L, 40L)))
     // Refresh repairs; the fresh path takes over again.
     val (mode, _, _) = call("CALL graft.system.refresh_mv('mvda', 'agg')")
     assert(mode == "incremental" || mode == "full")
@@ -786,13 +796,21 @@ class MaterializedViewSpec extends AnyFunSuite {
       """SELECT seg, min(amt) AS lo FROM graft.mvju.fact JOIN graft.mvju.dim ON ck = dk
         |GROUP BY seg""".stripMargin)
     assert(!scans(mm).contains("agg"), "min over upsert-stale join MV must decline")
-    // A second moved side (dim append on top) declines.
+    // A second moved side (dim append on top of the fact upserts):
+    // since r19 this SERVES — the retraction branch joins K against
+    // the CURRENT dim (covering K⋈ΔD) and the ΔD term pins the fact
+    // at v0, so the mixed upsert+append staleness stays exact. A dim
+    // member adopting a killed fact row's key exercises both.
     spark.sql("INSERT INTO graft.mvju.dim VALUES (40, 'w')")
-    assert(check(expectServed = false) == Seq(("x", 3L, 169L)))
+    assert(check(expectServed = true) == Seq(("x", 3L, 169L)))
+    // ... and a dim append that ADOPTS dangling + killed fact keys.
+    upsert((4L, 50L, 9L)) // fact row pointing at a not-yet-existing dim
+    spark.sql("INSERT INTO graft.mvju.dim VALUES (50, 'v')")
+    assert(check(expectServed = true) == Seq(("v", 1L, 9L), ("x", 3L, 169L)))
     // Refresh repairs; fresh path serves again.
     val (mode, _, _) = call("CALL graft.system.refresh_mv('mvju', 'agg')")
     assert(mode == "incremental" || mode == "full")
-    assert(check(expectServed = true) == Seq(("x", 3L, 169L)))
+    assert(check(expectServed = true) == Seq(("v", 1L, 9L), ("x", 3L, 169L)))
     spark.sql("DROP TABLE graft.mvju.agg")
     spark.sql("DROP TABLE graft.mvju.dim")
     spark.sql("DROP TABLE graft.mvju.fact")
@@ -2011,6 +2029,11 @@ class MaterializedViewSpec extends AnyFunSuite {
     compare("SELECT avg(price) AS ap FROM graft.mvavg.base", true)
     // Residual filter on a group column composes with the derivation.
     compare("SELECT g, avg(price) AS ap FROM graft.mvavg.base WHERE s = 'x' GROUP BY g", true)
+    // GROUPING SETS lattice: avg navigates through the same components
+    // at every set of the rebuilt Expand.
+    compare(
+      """SELECT g, s, avg(price) AS ap, count(*) AS c FROM graft.mvavg.base
+        |GROUP BY GROUPING SETS ((g, s), (g), ())""".stripMargin, true)
     // v is nullable and the MV has sum(v) but NO count(v): count(*) is
     // NOT a valid substitute — must decline to the base (and stay right).
     compare("SELECT g, avg(v) AS av FROM graft.mvavg.base GROUP BY g", false)

@@ -62,7 +62,7 @@ class MvGauntletSpec extends AnyFunSuite {
       "SELECT sum(v) AS sv FROM graft.mvg.base WHERE g = 'a'",
       "SELECT g, avg(v) AS av FROM graft.mvg.base GROUP BY g",
       "SELECT g, s, avg(v) AS av, count(*) AS c FROM graft.mvg.base GROUP BY g, s",
-      """SELECT g, s, count(*) AS c, sum(v) AS sv FROM graft.mvg.base
+      """SELECT g, s, count(*) AS c, sum(v) AS sv, avg(v) AS av FROM graft.mvg.base
         |GROUP BY GROUPING SETS ((g, s), (g), ())""".stripMargin,
       "SELECT g, min(v) AS lo, max(v) AS hi FROM graft.mvg.base GROUP BY g")
     for (seed <- Seq(11, 23, 37, 41)) {
