@@ -45,9 +45,11 @@ import graft.sources.GraftCatalog
   *    the matched parent key columns (uniqueness on C ⇒ uniqueness on
   *    any superset);
   *  - the child side's key attributes belong VERBATIM to a graft
-  *    relation reachable through Filter/Project nodes only (a Union /
-  *    Aggregate / Join in between could emit those ExprIds with values
-  *    that never came from the FK column);
+  *    relation reachable through Filter/Project/Join nodes (none
+  *    fabricate non-NULL values for an existing ExprId — outer-join
+  *    NULLs are dropped by the rebuilt IsNotNull exactly as the
+  *    original inner join would drop them; a Union in between COULD
+  *    emit those ExprIds with the other branch's values and declines);
   *  - that child table declares a FOREIGN KEY exactly pairing the
   *    matched child columns to the matched parent columns of the
   *    parent table, and carries the RELY property;
@@ -154,8 +156,14 @@ case class RelyJoinElimination(session: SparkSession) extends Rule[LogicalPlan] 
   }
 
   /** The graft relation whose output contains every key attribute,
-    * reachable exclusively through Filter/Project nodes — operators
-    * that never fabricate values for an existing ExprId.
+    * reachable through Filter/Project/Join nodes — operators that
+    * never fabricate NON-NULL values for an existing ExprId. Joins are
+    * admissible on either side (each output attribute's non-NULL
+    * values come verbatim from exactly one side; an OUTER join can
+    * only fabricate NULLs, which the rebuilt IsNotNull filter drops
+    * exactly as the original inner join to the parent would have) —
+    * this is what lets a star query shed SEVERAL unused dims and a
+    * snowflake chain shed its tail, one fixpoint round each.
     */
   private def relationOwning(
       p: LogicalPlan, keys: AttributeSet): Option[DataSourceV2Relation] = p match {
@@ -164,6 +172,10 @@ case class RelyJoinElimination(session: SparkSession) extends Rule[LogicalPlan] 
     case Project(outs, child)
         if keys.subsetOf(AttributeSet(outs.collect { case a: Attribute => a })) =>
       relationOwning(child, keys)
+    case Join(l, r, _, _, _) =>
+      if (keys.subsetOf(l.outputSet)) relationOwning(l, keys)
+      else if (keys.subsetOf(r.outputSet)) relationOwning(r, keys)
+      else None
     case _ => None
   }
 

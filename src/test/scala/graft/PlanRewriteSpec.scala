@@ -251,4 +251,84 @@ class PlanRewriteSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft.rely.fact")
     spark.sql("DROP TABLE graft.rely.dim")
   }
+
+  test("RELY elimination sheds multiple star dims and a snowflake tail (fixpoint)") {
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.GraftCatalog].getName)
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.identifier.map(_.name).getOrElse("")
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.identifier.map(_.name).getOrElse("")
+      }
+    Seq("sfact", "sdim1", "sdim2", "sreg")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS graft.rely2.$t"))
+    spark.sql(
+      """CREATE TABLE graft.rely2.sreg
+        |  (rk BIGINT, rname STRING, CONSTRAINT r_pk PRIMARY KEY (rk) NOT ENFORCED)
+        |USING graft""".stripMargin)
+    // Snowflake mid dim: its own FK to the region tail.
+    spark.sql(
+      """CREATE TABLE graft.rely2.sdim1
+        |  (d1k BIGINT, d1r BIGINT NOT NULL, d1name STRING,
+        |   CONSTRAINT d1_pk PRIMARY KEY (d1k) NOT ENFORCED,
+        |   CONSTRAINT d1_fk FOREIGN KEY (d1r) REFERENCES graft.rely2.sreg (rk) NOT ENFORCED)
+        |USING graft""".stripMargin)
+    spark.sql(
+      """CREATE TABLE graft.rely2.sdim2
+        |  (d2k BIGINT, d2name STRING, CONSTRAINT d2_pk PRIMARY KEY (d2k) NOT ENFORCED)
+        |USING graft""".stripMargin)
+    spark.sql(
+      """CREATE TABLE graft.rely2.sfact
+        |  (k BIGINT, f1 BIGINT, f2 BIGINT, v BIGINT,
+        |   CONSTRAINT f1_fk FOREIGN KEY (f1) REFERENCES graft.rely2.sdim1 (d1k) NOT ENFORCED,
+        |   CONSTRAINT f2_fk FOREIGN KEY (f2) REFERENCES graft.rely2.sdim2 (d2k) NOT ENFORCED)
+        |USING graft""".stripMargin)
+    spark.sql("INSERT INTO graft.rely2.sreg VALUES (100, 'r1'), (200, 'r2')")
+    spark.sql("INSERT INTO graft.rely2.sdim1 VALUES (1, 100, 'a'), (2, 200, 'b')")
+    spark.sql("INSERT INTO graft.rely2.sdim2 VALUES (7, 'p'), (8, 'q')")
+    spark.sql(
+      "INSERT INTO graft.rely2.sfact VALUES (1, 1, 7, 10), (2, 2, 8, 20), (3, NULL, 7, 30)")
+    Seq("sfact", "sdim1").foreach(t => spark.sql(
+      s"ALTER TABLE graft.rely2.$t SET TBLPROPERTIES ('graft.constraints.rely'='true')"))
+    // STAR: both dims unused -> both shed across fixpoint rounds.
+    val star = spark.sql(
+      """SELECT k, v FROM graft.rely2.sfact
+        |JOIN graft.rely2.sdim1 ON f1 = d1k
+        |JOIN graft.rely2.sdim2 ON f2 = d2k
+        |ORDER BY k""".stripMargin)
+    val ss = scans(star)
+    assert(!ss.contains("sdim1") && !ss.contains("sdim2"),
+      s"both unused star dims must be eliminated, scans: $ss")
+    assert(star.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 20L))) // NULL-f1 row dropped, as the join would
+    // SNOWFLAKE: fact ⋈ dim1 ⋈ region, dim1's name IS used — only the
+    // region tail sheds (its FK key d1r reaches the rule through the
+    // fact⋈dim1 join).
+    val snow = spark.sql(
+      """SELECT k, d1name FROM graft.rely2.sfact
+        |JOIN graft.rely2.sdim1 ON f1 = d1k
+        |JOIN graft.rely2.sreg ON d1r = rk
+        |ORDER BY k""".stripMargin)
+    val sn = scans(snow)
+    assert(sn.contains("sdim1") && !sn.contains("sreg"),
+      s"snowflake tail must shed while the used mid dim stays, scans: $sn")
+    assert(snow.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // Full collapse: nothing but fact columns -> every dim gone.
+    // (Needs d1r NOT NULL: with a nullable FK the region shed leaves
+    // an IsNotNull(d1r) residual that legitimately pins the dim1
+    // scan — a fact row could point at a NULL-d1r dim1 row the
+    // original join chain would have dropped.)
+    val deep = spark.sql(
+      """SELECT sum(v) AS s FROM graft.rely2.sfact
+        |JOIN graft.rely2.sdim1 ON f1 = d1k
+        |JOIN graft.rely2.sreg ON d1r = rk
+        |JOIN graft.rely2.sdim2 ON f2 = d2k""".stripMargin)
+    val dp = scans(deep)
+    assert(dp == Seq("sfact"), s"full star+snowflake collapse expected, scans: $dp")
+    assert(deep.collect().head.getLong(0) == 30L)
+    Seq("sfact", "sdim1", "sdim2", "sreg")
+      .foreach(t => spark.sql(s"DROP TABLE graft.rely2.$t"))
+  }
 }

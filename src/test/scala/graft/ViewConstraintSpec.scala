@@ -244,20 +244,29 @@ class ViewConstraintSpec extends AnyFunSuite {
     }
     spark.listenerManager.register(listener)
     try {
+      // The execution-listener bus is ASYNC: an onSuccess for the
+      // INSERT above (or any earlier action) can arrive AFTER
+      // registration and masquerade as CALL work on a loaded box.
+      // Settle first and count from a baseline, not from zero.
+      def settle(): Int = {
+        var prev = -1
+        var settles = 0
+        while (settles < 2) {
+          Thread.sleep(100)
+          if (actions.get() == prev) settles += 1 else { settles = 0; prev = actions.get() }
+        }
+        actions.get()
+      }
+      val base = settle()
       val rep = spark.sql("CALL graft.system.verify_constraints('cn', 'mfk')")
         .collect().map(x => x.getString(0) -> x.getLong(2)).toMap
-      var prev = -1
-      var settles = 0
-      while (settles < 2) {
-        Thread.sleep(100)
-        if (actions.get() == prev) settles += 1 else { settles = 0; prev = actions.get() }
-      }
+      val total = settle()
       assert(rep == Map("m_fk1" -> 1L, "m_fk2" -> 0L, "m_fkc" -> 1L),
         s"wrong counts: $rep")
       // 2 actions: the shared FK anti join + the CALL result
       // materialization (no non-FK constraints → no folded pass).
-      assert(actions.get() <= 2,
-        s"expected <= 2 actions (one shared FK probe + result), got ${actions.get()}")
+      assert(total - base <= 2,
+        s"expected <= 2 actions (one shared FK probe + result), got ${total - base}")
     } finally spark.listenerManager.unregister(listener)
     spark.sql("DROP TABLE graft.cn.mfk PURGE")
     spark.sql("DROP TABLE graft.cn.mref PURGE")
