@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, Joi
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DayTimeIntervalType, DecimalType, DoubleType, YearMonthIntervalType}
 
 import graft.sources.{GraftCatalog, GraftMvOps}
 
@@ -721,22 +721,25 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     val liveCntCol: Option[String] =
       if (newEqs.isEmpty || groupAttrs.isEmpty) None
       else Some(specByKey.getOrElse(countStarKey, return None))
-    // GLOBAL retraction with SUM outputs needs the liveness count too —
+    // GLOBAL retraction with SUM outputs needs dead-group guards too —
     // not to filter (a global aggregate always emits its one row) but
     // to restore sum-over-empty = NULL when every contributing row was
-    // killed (the branches net 0, not NULL). Requires count(*) in the
-    // MV; absent → decline rather than serve a wrong 0.
-    val deadNullCntCol: Option[String] =
-      if (newEqs.isEmpty || groupAttrs.nonEmpty) None
-      else if (agg.aggregateExpressions.exists {
-        case Alias(ae: AggregateExpression, _) =>
-          ae.aggregateFunction.isInstanceOf[Sum]
-        case _ => false
-      }) Some(specByKey.getOrElse(countStarKey, return None))
-      else None
+    // killed (the branches net 0, not NULL). Each SUM is guarded by
+    // the net count of ITS OWN operand (sumGuardCntCol); any sum
+    // without a sound guard column → decline rather than serve a
+    // wrong 0.
+    val sumGuardCols: Seq[String] =
+      if (newEqs.isEmpty || groupAttrs.nonEmpty) Nil
+      else agg.aggregateExpressions.flatMap {
+        case Alias(ae: AggregateExpression, _) => ae.aggregateFunction match {
+          case s: Sum => Seq(sumGuardCntCol(s, specByKey).getOrElse(return None))
+          case _ => Nil
+        }
+        case _ => Nil
+      }
     val neededAggCols =
       (neededMergeCols(agg, mvGroupCols, specByKey, resolver).getOrElse(return None) ++
-        liveCntCol ++ deadNullCntCol).distinct
+        liveCntCol ++ sumGuardCols).distinct
     val unionCols: Seq[String] = mvGroupCols ++ neededAggCols
 
     // MV branch: pinned entry-snapshot scan, query WHERE (group-column
@@ -874,7 +877,7 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       }
     val merged =
       mergedAggregate(agg, groupAttrs, mvGroupCols, unionCols, specByKey, combined,
-        resolver, deadNullCntCol)
+        resolver, guardDeadSums = sumGuardCols.nonEmpty)
         .getOrElse(return None)
     withLiveness(merged, liveCntCol, combined, unionCols)
   }
@@ -1252,25 +1255,28 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     val liveCntCol: Option[String] =
       if (newEqs.isEmpty || groupAttrs.isEmpty) None
       else Some(specByKey.getOrElse(countStarKey, return None))
-    // GLOBAL retraction with SUM outputs needs the liveness count too —
+    // GLOBAL retraction with SUM outputs needs dead-group guards too —
     // not to filter (a global aggregate always emits its one row) but
     // to restore sum-over-empty = NULL when every contributing row was
-    // killed (the branches net 0, not NULL). Requires count(*) in the
-    // MV; absent → decline rather than serve a wrong 0.
-    val deadNullCntCol: Option[String] =
-      if (newEqs.isEmpty || groupAttrs.nonEmpty) None
-      else if (agg.aggregateExpressions.exists {
-        case Alias(ae: AggregateExpression, _) =>
-          ae.aggregateFunction.isInstanceOf[Sum]
-        case _ => false
-      }) Some(specByKey.getOrElse(countStarKey, return None))
-      else None
+    // killed (the branches net 0, not NULL). Each SUM is guarded by
+    // the net count of ITS OWN operand (sumGuardCntCol); any sum
+    // without a sound guard column → decline rather than serve a
+    // wrong 0.
+    val sumGuardCols: Seq[String] =
+      if (newEqs.isEmpty || groupAttrs.nonEmpty) Nil
+      else agg.aggregateExpressions.flatMap {
+        case Alias(ae: AggregateExpression, _) => ae.aggregateFunction match {
+          case s: Sum => Seq(sumGuardCntCol(s, specByKey).getOrElse(return None))
+          case _ => Nil
+        }
+        case _ => Nil
+      }
 
     // Plan the output shape FIRST: which MV agg columns the query
     // needs, and that every query aggregate is merge-derivable.
     val neededAggCols: Seq[String] =
       (neededMergeCols(agg, mvGroupCols, specByKey, resolver).getOrElse(return None) ++
-        liveCntCol ++ deadNullCntCol).distinct
+        liveCntCol ++ sumGuardCols).distinct
     val unionCols: Seq[String] = mvGroupCols ++ neededAggCols
 
     // MV branch: pinned scan of the snapshot's segments, WHERE remapped
@@ -1354,7 +1360,7 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       if (branches.length == 1) mvPart else Union(branches)
     val merged =
       mergedAggregate(agg, groupAttrs, mvGroupCols, unionCols, specByKey, combined,
-        resolver, deadNullCntCol)
+        resolver, guardDeadSums = sumGuardCols.nonEmpty)
         .getOrElse(return None)
     withLiveness(merged, liveCntCol, combined, unionCols)
   }
@@ -1484,6 +1490,13 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
     */
   private def avgComponentCols(
       av: Average, specByKey: Map[String, String]): Option[(String, String)] = {
+    // ANSI interval averages divide through DivideYMInterval /
+    // DivideDTInterval, not the numeric shapes avgFromComponents
+    // builds — decline so interval avg falls back to the base plan.
+    av.child.dataType match {
+      case _: YearMonthIntervalType | _: DayTimeIntervalType => return None
+      case _ =>
+    }
     val sumCol = specByKey.get(norm(Sum(av.child).toAggregateExpression()))
       .getOrElse(return None)
     val cntCol = specByKey.get(norm(Count(Seq(av.child)).toAggregateExpression()))
@@ -1491,6 +1504,19 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       .getOrElse(return None)
     Some((sumCol, cntCol))
   }
+
+  /** Dead-group guard column for a GLOBAL-retraction SUM: the net
+    * count of the sum's OWN operand — count(x) when the MV
+    * materializes it, count(*) only when x is provably non-nullable
+    * (the two counts coincide exactly then). Net count(*) alone is
+    * unsound: kills can remove every non-NULL-x row while NULL-x rows
+    * survive, leaving count(*) > 0 where sum(x) over the survivors is
+    * NULL. None = no sound guard column; callers decline rather than
+    * serve a netted 0.
+    */
+  private def sumGuardCntCol(s: Sum, specByKey: Map[String, String]): Option[String] =
+    specByKey.get(norm(Count(Seq(s.child)).toAggregateExpression()))
+      .orElse(if (!s.child.nullable) specByKey.get(countStarKey) else None)
 
   /** avg(x) from its components, in EXACTLY the shape of Spark 4.1's
     * own `Average.evaluateExpression` (verified against the compiled
@@ -1535,7 +1561,7 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
       unionCols: Seq[String], specByKey: Map[String, String],
       combined: LogicalPlan,
       resolver: (String, String) => Boolean,
-      deadNullCntCol: Option[String] = None): Option[LogicalPlan] = {
+      guardDeadSums: Boolean = false): Option[LogicalPlan] = {
     def unionAttr(col: String): Attribute = combined.output(unionCols.indexOf(col))
     def groupColFor(a: Attribute): Option[String] = mvGroupCols.find(resolver(_, a.name))
     val outputs: Seq[NamedExpression] = agg.aggregateExpressions.map {
@@ -1561,20 +1587,20 @@ case class MvRewriteRule(session: SparkSession) extends Rule[LogicalPlan] {
           case fn =>
             val src = unionAttr(specByKey(norm(ae)))
             fn match {
-              case _: Sum =>
+              case s: Sum =>
                 val sumAgg = Sum(src).toAggregateExpression()
-                deadNullCntCol match {
-                  case None => sumAgg
-                  // GLOBAL retraction: a table whose contributing rows
-                  // were ALL killed nets sum 0 (s + (-s)), but SQL's
-                  // sum over empty input is NULL. The liveness count
-                  // (net count(*)) distinguishes the two — count keeps
-                  // its 0-on-empty semantics below.
-                  case Some(cnt) =>
-                    val live = Coalesce(Seq(
-                      Sum(unionAttr(cnt)).toAggregateExpression(), Literal(0L)))
-                    If(LessThanOrEqual(live, Literal(0L)),
-                      Literal(null, sumAgg.dataType), sumAgg)
+                // GLOBAL retraction: a table whose contributing rows
+                // were ALL killed nets sum 0 (s + (-s)), but SQL's
+                // sum over empty input is NULL. The net count OF THE
+                // OPERAND distinguishes the two — count keeps its
+                // 0-on-empty semantics below.
+                if (!guardDeadSums) sumAgg
+                else {
+                  val cnt = sumGuardCntCol(s, specByKey).getOrElse(return None)
+                  val live = Coalesce(Seq(
+                    Sum(unionAttr(cnt)).toAggregateExpression(), Literal(0L)))
+                  If(LessThanOrEqual(live, Literal(0L)),
+                    Literal(null, sumAgg.dataType), sumAgg)
                 }
               // Same count-vs-sum empty-input distinction as the rollup
               // arm: the merged global count must be 0, never NULL.

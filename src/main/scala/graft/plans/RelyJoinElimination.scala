@@ -100,6 +100,12 @@ case class RelyJoinElimination(session: SparkSession) extends Rule[LogicalPlan] 
     //    PK/UNIQUE covering a subset of the matched key columns.
     val parentRel = bareParent(drop).getOrElse(return None)
     val parentIdent = parentRel.identifier.getOrElse(return None)
+    // A `VERSION/TIMESTAMP AS OF` (or segment-pinned) relation carries
+    // the SAME identifier as the live table, but the catalog's
+    // constraints describe only the CURRENT state — a historical parent
+    // may lack later-added keys, a pinned child may reference
+    // since-deleted parents. Declining mirrors MvRewrite's pin gate.
+    if (GraftCatalog.isPinnedTable(parentRel.table)) return None
     val parentCols = pairs.map(_._2.name)
     // 3. Child: the key attrs' relation, reachable via Filter/Project
     //    only, declaring the matching FK, with trust granted either by
@@ -108,6 +114,7 @@ case class RelyJoinElimination(session: SparkSession) extends Rule[LogicalPlan] 
     val childKeys = pairs.map(_._1)
     val childRel = relationOwning(keep, AttributeSet(childKeys)).getOrElse(return None)
     val childIdent = childRel.identifier.getOrElse(return None)
+    if (GraftCatalog.isPinnedTable(childRel.table)) return None
     if (childRel.catalog != parentRel.catalog) return None
     val tableRely = try {
       Option(GraftCatalog.tablePropsJava(childIdent).get(RelyProp)).contains("true")

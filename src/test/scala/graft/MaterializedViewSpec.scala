@@ -689,7 +689,12 @@ class MaterializedViewSpec extends AnyFunSuite {
     spark.sql("CREATE TABLE graft.mvsq.base (k BIGINT, g STRING, v BIGINT) USING graft")
     spark.sql(
       "INSERT INTO graft.mvsq.base VALUES (1, 'a', 1), (2, 'a', 2), (3, 'b', 10), (4, 'c', 5)")
-    call("CALL graft.system.create_mv('mvsq', 'agg', 'mvsq.base', 'g', 'count(*) AS cnt, sum(v) AS total')")
+    // count(v) rides along: the GLOBAL-retraction sum below is guarded
+    // by the net count of its own operand (v nullable ⇒ count(*) is
+    // not a sound substitute; decline tested in the ADVICE-r19 spec).
+    call(
+      """CALL graft.system.create_mv('mvsq', 'agg', 'mvsq.base', 'g',
+        |  'count(*) AS cnt, sum(v) AS total, count(v) AS cv')""".stripMargin)
     def upsert(rows: (Long, String, Long)*): Unit =
       rows.toSeq.toDF("k", "g", "v").writeTo("graft.mvsq.base")
         .option("graft.upsert.keys", "k").append()
@@ -2073,8 +2078,11 @@ class MaterializedViewSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS graft.mvgn.agg")
     spark.sql("CREATE TABLE graft.mvgn.base (k BIGINT, g STRING, v BIGINT) USING graft")
     spark.sql("INSERT INTO graft.mvgn.base VALUES (1, 'a', 5), (2, 'a', 7), (3, 'b', 10)")
+    // count(v) rides along: the dead-sum guard counts the SUM'S OWN
+    // operand (v nullable ⇒ count(*) is not a sound substitute).
     call(
-      "CALL graft.system.create_mv('mvgn', 'agg', 'mvgn.base', 'g', 'count(*) AS cnt, sum(v) AS total')")
+      """CALL graft.system.create_mv('mvgn', 'agg', 'mvgn.base', 'g',
+        |  'count(*) AS cnt, sum(v) AS total, count(v) AS cv')""".stripMargin)
     // Upsert epoch moves EVERY g='a' row to g='b': the g='a' slice of
     // the un-refreshed MV nets to zero rows. SQL: sum over empty input
     // is NULL (count is 0) — the retraction branches net the sum to a
@@ -2107,6 +2115,56 @@ class MaterializedViewSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 22L)
     spark.sql("DROP TABLE graft.mvgn.agg")
     spark.sql("DROP TABLE graft.mvgn.base")
+  }
+
+  test("global retraction guards sum with the OPERAND's count (ADVICE r19)") {
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.relation.identifier.map(_.name).getOrElse("")
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+          r.identifier.map(_.name).getOrElse("")
+      }
+    spark.sql("DROP TABLE IF EXISTS graft.mvgo.base")
+    spark.sql("DROP TABLE IF EXISTS graft.mvgo.agg")
+    spark.sql("DROP TABLE IF EXISTS graft.mvgo.aggnc")
+    spark.sql("CREATE TABLE graft.mvgo.base (k BIGINT, g STRING, v BIGINT) USING graft")
+    // ONE non-NULL-v row and one NULL-v row in the g='a' slice.
+    spark.sql(
+      "INSERT INTO graft.mvgo.base VALUES (1, 'a', 5), (2, 'a', NULL), (3, 'b', 10)")
+    call(
+      """CALL graft.system.create_mv('mvgo', 'agg', 'mvgo.base', 'g',
+        |  'count(*) AS cnt, sum(v) AS total, count(v) AS cv')""".stripMargin)
+    // The upsert kills ONLY the non-NULL-v row of g='a': the NULL-v
+    // row survives, so net count(*) = 1 > 0 — a count(*)-based guard
+    // would let the netted sum serve 0, where SQL's sum over the
+    // surviving all-NULL rows is NULL. Net count(v) = 0 catches it.
+    Seq((1L, "b", 5L)).toDF("k", "g", "v")
+      .writeTo("graft.mvgo.base").option("graft.upsert.keys", "k").append()
+    val gq = "SELECT sum(v) AS s FROM graft.mvgo.base WHERE g = 'a'"
+    spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+    val direct =
+      try spark.sql(gq).collect().toSeq
+      finally spark.conf.set("spark.graft.mvRewrite.enabled", "true")
+    assert(direct.head.isNullAt(0), "fixture: direct answer must be NULL")
+    val served = spark.sql(gq)
+    assert(scans(served).contains("agg"), s"must be MV-served, scans: ${scans(served)}")
+    assert(served.collect().head.isNullAt(0),
+      "sum over surviving all-NULL-operand rows must be NULL, not a netted 0")
+    // An MV WITHOUT count(v) (nullable operand) has no sound guard —
+    // the global-sum retraction DECLINES rather than serve a wrong 0.
+    call(
+      """CALL graft.system.create_mv('mvgo', 'aggnc', 'mvgo.base', 'g',
+        |  'count(*) AS cnt, sum(v) AS total')""".stripMargin)
+    spark.sql("DROP TABLE graft.mvgo.agg") // leave only the guard-less MV
+    Seq((2L, "b", 7L)).toDF("k", "g", "v")
+      .writeTo("graft.mvgo.base").option("graft.upsert.keys", "k").append()
+    val declined = spark.sql(gq)
+    assert(!scans(declined).contains("aggnc"),
+      s"nullable-operand global sum without count(v) must decline, scans: ${scans(declined)}")
+    assert(declined.collect().head.isNullAt(0))
+    spark.sql("DROP TABLE graft.mvgo.aggnc")
+    spark.sql("DROP TABLE graft.mvgo.base")
   }
 
   test("refresh of a non-MV table and unknown MV fail loudly") {

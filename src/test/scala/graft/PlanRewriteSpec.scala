@@ -226,6 +226,19 @@ class PlanRewriteSpec extends AnyFunSuite {
     assert(!scans(elim).contains("dim"),
       s"RELY FK→PK join must be eliminated, scans: ${scans(elim)}")
     assert(elim.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == expected)
+    // Gate: PINNED (time-travel) relations decline — they carry the
+    // SAME identifier as the live table, but the catalog's constraints
+    // describe only the CURRENT state (a historical parent may lack
+    // later-added keys; a pinned child may reference since-deleted
+    // parents). Parent pinned, then child pinned.
+    val pinnedParent = spark.sql(
+      "SELECT k, v FROM graft.rely.fact JOIN graft.rely.dim VERSION AS OF 1 ON fk = dk")
+    assert(scans(pinnedParent).contains("dim"),
+      s"time-travel parent must keep the join, scans: ${scans(pinnedParent)}")
+    val pinnedChild = spark.sql(
+      "SELECT k, v FROM graft.rely.fact VERSION AS OF 1 JOIN graft.rely.dim ON fk = dk")
+    assert(scans(pinnedChild).contains("dim"),
+      s"time-travel child must keep the join, scans: ${scans(pinnedChild)}")
     // Gate: a query that REFERENCES a dim column keeps the join.
     val refs = spark.sql(
       "SELECT k, name FROM graft.rely.fact JOIN graft.rely.dim ON fk = dk")
