@@ -87,7 +87,9 @@ object PipelineQueries {
       transform(sequence(lit(1), size(t) - 7),
         i => md5(array_join(slice(t, i, lit(8)), " "))))
       .otherwise(array().cast("array<string>"))
-    val grams = Tables.documents(spark, dir)
+    // fanOut: the md5-per-8-gram stage is the cost of this query and a
+    // single-row-group scan runs it on one core (guide §2.5).
+    val grams = Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), explode(gramHashes).as("g"))
     val bench = grams.filter(col("doc_id") % 50 === 0).select(col("g")).distinct()
     val train = grams.filter(col("doc_id") % 50 =!= 0)
@@ -135,7 +137,8 @@ object PipelineQueries {
       transform(sequence(lit(1), size(t) - 7),
         i => md5(array_join(slice(t, i, lit(8)), " "))))
       .otherwise(array().cast("array<string>"))
-    val grams = Tables.documents(spark, dir)
+    // fanOut: same single-core md5 bottleneck as the exact twin.
+    val grams = Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), explode(gramHashes).as("g"))
     // Persisted: three consumers (the sizing count, the Bloom build,
     // the exact-verify broadcast join) would each re-tokenize and

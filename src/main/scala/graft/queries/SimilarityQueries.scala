@@ -121,7 +121,9 @@ object SimilarityQueries {
     */
   private[graft] def srpAnnTopK(
       spark: SparkSession, data: DataFrame, tables: Int = 4, bits: Int = 8): DataFrame = {
-    val bucketed = data.select(
+    // fanOut: SRP bucketing is a row-local projection; single-row-group
+    // corpora otherwise hash every vector on one core (guide §2.5).
+    val bucketed = Tables.fanOut(data).select(
       col("vec_id"), col("label"), col("embedding"),
       explode(array((0 until tables).map { t =>
         struct(lit(t).as("tbl"),
@@ -176,8 +178,9 @@ object SimilarityQueries {
       |SELECT i, j, round(jac, 4) AS jaccard
       |FROM p WHERE jac >= 0.5
       |ORDER BY i, j""".stripMargin) { (spark, dir) =>
-    val sh = Tables.documents(spark, dir)
-      .filter(col("doc_id") < 500)
+    // fanOut: bigram shingling + the exploded self-join map side is the
+    // heavy stage and otherwise single-task (guide §2.5).
+    val sh = Tables.fanOut(Tables.documents(spark, dir).filter(col("doc_id") < 500))
       .select(col("doc_id"), explode(array_distinct(bigramsOf(col("text")))).as("sh"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.alias("a")
@@ -462,7 +465,11 @@ object SimilarityQueries {
     * `clearCache()` after the terminal action (file-level contract).
     */
   private[graft] def shingleHashesOf(docs: DataFrame): DataFrame = {
-    val toks = docs
+    // fanOut: tokenize + per-shingle xxhash64 is the heavy stage of the
+    // whole near-dup family and a single-row-group scan runs it on one
+    // core (guide §2.5); the persisted stages below then carry the
+    // rebalanced partitioning to every consumer.
+    val toks = Tables.fanOut(docs)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .persist()
     toks
@@ -672,7 +679,10 @@ object SimilarityQueries {
       nprobe: Int = 4): DataFrame = {
     val centroids = codebook.select(explode(col("cents")).as("c"))
       .select(col("c.cid").as("cid"), col("c.cvec").as("cvec"))
-    val assigned = data
+    // fanOut: per-row argmax assignment is row-local (no aggregation, so
+    // redistribution cannot perturb any float) and otherwise runs on one
+    // core over a single-row-group corpus (guide §2.5).
+    val assigned = Tables.fanOut(data)
       .crossJoin(broadcast(codebook))
       .select(col("vec_id"), col("label"), col("embedding"),
         KMeansCodebook.bestCentroid(spark, col("embedding"), col("cents"))
@@ -1094,7 +1104,10 @@ object SimilarityQueries {
           when(d > acc.getField("cdot"),
             struct(d.as("cdot"), c.getField("cid").as("cid"))).otherwise(acc)
         }).getField("cid")
-    val assigned = data
+    // fanOut: the per-row coarse argmax + m-subspace PQ encode is the
+    // cost of the ephemeral flavors and row-local — parallelize it
+    // (guide §2.5); training inputs are untouched, codebooks identical.
+    val assigned = Tables.fanOut(data)
       .crossJoin(broadcast(codebook))
       .crossJoin(broadcast(pqRow))
       .select(Seq(

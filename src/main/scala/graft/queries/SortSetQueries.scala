@@ -230,6 +230,17 @@ object SortSetQueries {
     val s = spark.newSession()
     s.conf.set("spark.sql.adaptive.enabled", "false")
     s.conf.set("spark.sql.codegen.wholeStage", "false")
+    // Recursion-scoped shuffle sizing: with AQE deliberately off (see
+    // above), every per-level exchange would otherwise run at the
+    // relational default (cores) — 32-task shuffles over frontier-sized
+    // data, ~950 tasks per invocation at ~15 levels (measured: 2.82 s →
+    // 2.23 s at 4 partitions, identical plans otherwise). The frontier
+    // is bounded (≤ 2× the previous level), so this tracks the
+    // recursion's OWN volume, not the session default; a deployment
+    // with truly large frontiers raises it (or re-enables AQE, whose
+    // per-level replan cost is amortized by real data) via this conf.
+    s.conf.set("spark.sql.shuffle.partitions",
+      s.conf.get("spark.graft.recursion.shufflePartitions", "4"))
     Tables.customer(s, dir).createOrReplaceTempView("customer")
     // BROADCAST(t): the frontier (≤ 2× the previous level) is always
     // the small side, but the UnionLoopRef has no stats, so without

@@ -31,8 +31,23 @@ object StreamingOps {
     * (wrong window counts, not an error). Probing is a driver-side
     * footer read, negligible next to starting a streaming query.
     */
-  private def probedSchema(spark: SparkSession, stagedDir: String): StructType =
-    spark.read.parquet(stagedDir).schema
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  private def probedSchema(spark: SparkSession, stagedDir: String): StructType = {
+    // Footer-schema probe memoized per (staged file, size, mtime) — the
+    // bare read is a Spark JOB per stream start (the Tables.table
+    // discipline); the key invalidates when the staged copy is
+    // refreshed after testdata regeneration.
+    val f = java.nio.file.Paths.get(stagedDir, "events.parquet").toFile
+    val key = s"$stagedDir:${f.length}:${f.lastModified}"
+    var schema = schemaCache.get(key)
+    if (schema == null) {
+      schema = spark.read.parquet(stagedDir).schema
+      schemaCache.put(key, schema)
+    }
+    schema
+  }
 
   /** The file stream source lists a DIRECTORY of arriving files; the
     * testdata table is a single file, so stage it into a per-sf temp dir.

@@ -25,13 +25,34 @@ class PlanLintSpec extends AnyFunSuite {
     "l4_ngram_jaccard_pairs" // bounded oracle slice (doc_id < 500)
   )
 
-  /** Queries allowed a wide column (text/embedding) in a shuffle.
+  /** Queries allowed a wide column (text/embedding) in a KEYED shuffle.
     * Currently EMPTY — nothing in the registry ships document bodies or
-    * vectors through an exchange; keep it that way.
+    * vectors through a hash/range exchange; keep it that way.
+    *
+    * A round-robin rebalance taken DIRECTLY off the source stage (no
+    * exchange below it) is a separate, permitted shape: it is the guide
+    * §2.5 parallelism-recovery move (`Tables.fanOut`) for single-row-
+    * group inputs, moves each byte exactly once, and is conditional on
+    * the scan under-planning parallelism — at 100 TB the scan has
+    * thousands of splits and no exchange is added at all (FanOutSpec
+    * pins the conditionality). The scale-killer this lint exists for is
+    * payloads riding KEYED exchanges (joins/aggregations over wide
+    * rows), which repeat per key-shuffle and survive at any scale.
     */
   private val wideShuffleOk = Set.empty[String]
 
   private val wideCols = Set("text", "embedding")
+
+  /** A wide column is banned in any exchange EXCEPT a source-adjacent
+    * round-robin rebalance (see wideShuffleOk doc).
+    */
+  private def bannedWideShuffle(s: ShuffleExchangeExec): Boolean = {
+    val rebalanceOffSource =
+      s.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning] &&
+        s.child.collect { case e: ShuffleExchangeExec => e }.isEmpty
+    s.output.exists(a => wideCols(a.name)) && !rebalanceOffSource
+  }
 
   // Streaming queries run through their own harness (StreamingSpec /
   // StreamingOps) and return a memory-sink table whose plan is a local
@@ -59,7 +80,7 @@ class PlanLintSpec extends AnyFunSuite {
         val wide =
           if (wideShuffleOk(q.name)) Nil
           else plan.collect { case s: ShuffleExchangeExec => s }
-            .filter(_.output.exists(a => wideCols(a.name)))
+            .filter(bannedWideShuffle)
             .map(s => s"${q.name}: wide column in shuffle ${s.output.map(_.name).mkString(",")}")
         cart ++ wide
       }
