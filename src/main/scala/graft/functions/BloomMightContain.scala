@@ -43,9 +43,10 @@ case class BloomMightContain(child: Expression, image: BloomImage)
     BloomFilter.readFrom(new java.io.ByteArrayInputStream(image.bytes))
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
+    case StringType | org.apache.spark.sql.types.LongType =>
+      TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"bloom_might_contain expects a string column, got ${other.simpleString}")
+      s"bloom_might_contain expects a string or bigint column, got ${other.simpleString}")
   }
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"
@@ -54,15 +55,25 @@ case class BloomMightContain(child: Expression, image: BloomImage)
   def mightContain(s: UTF8String): Boolean =
     bloom.mightContainBinary(s.getBytes)
 
-  override def nullSafeEval(input: Any): Any =
-    mightContain(input.asInstanceOf[UTF8String])
+  /** Long-key probe — matches what `stat.bloomFilter` over a bigint
+    * column `put` (`putLong`), so probe semantics stay bit-identical to
+    * the builder for hashed-shingle keys.
+    */
+  def mightContain(v: Long): Boolean = bloom.mightContainLong(v)
+
+  override def nullSafeEval(input: Any): Any = child.dataType match {
+    case StringType => mightContain(input.asInstanceOf[UTF8String])
+    case _ => mightContain(input.asInstanceOf[Long])
+  }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s => {
       // Reference the EXPRESSION (child + broadcast handle — small),
       // not the decoded BloomFilter: the codegen references array is
       // java-serialized into the task binary, and the sketch impl's
-      // Java-serializability is not a documented contract.
+      // Java-serializability is not a documented contract. The call
+      // dispatches by the child's JVM type (UTF8String vs long), so the
+      // same reference works for both key encodings.
       val ref = ctx.addReferenceObj("bloomProbe", this,
         classOf[BloomMightContain].getName)
       s"${ev.value} = $ref.mightContain($s);"

@@ -18,6 +18,41 @@ object PipelineQueries {
 
   private def toks: Column = split(col("text"), " ")
 
+  /** Exploded 8-gram keys (doc_id, lang, g: long) for the two
+    * decontamination rows — the shared kernel, HASH-ONCE shaped:
+    *
+    *  - tokens are xxhash64'd exactly once into a PERSISTED long-array
+    *    stage (the shingleHashesOf barrier discipline: without the
+    *    barrier CollapseProject inlines the tokenize+hash into the
+    *    per-gram lambda, where every non-lambda-bound subexpression
+    *    re-evaluates PER ELEMENT — the previous inline form re-split
+    *    and re-hashed O(|doc|) work per gram position, quadratic per
+    *    document, measured as these rows' dominant task time);
+    *  - a gram key is xxhash64 over eight token LONGS (64 fixed bytes)
+    *    instead of md5 over the re-joined ~50-char gram STRING — the
+    *    same key-equality semantics modulo xxhash64 collisions inside
+    *    one compared set (~1e-15, deterministic; the license every
+    *    hashed-shingle row in SimilarityQueries already carries, and
+    *    the oracle compares only per-lang COUNTS of the keys).
+    *
+    * fanOut: the per-gram hash stage is the cost of both rows and a
+    * single-row-group scan runs it on one core (guide §2.5). At 100 TB
+    * the persisted token stage is the tokenizer checkpoint table a
+    * decontamination pipeline materializes anyway.
+    */
+  private def gramRows(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val toksHashed = Tables.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"),
+        transform(split(col("text"), " "), tok => xxhash64(tok)).as("t"))
+      .persist()
+    val gramHashes = when(size(col("t")) >= 8,
+      transform(sequence(lit(1), size(col("t")) - 7),
+        i => xxhash64((0 until 8).map(o => element_at(col("t"), i + lit(o))): _*)))
+      .otherwise(typedLit(Array.empty[Long]))
+    toksHashed.select(col("doc_id"), col("lang"), explode(gramHashes).as("g"))
+  }
+
   /** L8: deterministic stratified sampling — the scalable substitute for
     * `df.sample()`: the keep-decision is a pure projection on a stable
     * content key (last hex digit of md5(doc_id)), so it needs NO shuffle,
@@ -82,15 +117,7 @@ object PipelineQueries {
       |FROM train JOIN bench USING (g)
       |GROUP BY lang
       |ORDER BY lang""".stripMargin) { (spark, dir) =>
-    val t = toks
-    val gramHashes = when(size(t) >= 8,
-      transform(sequence(lit(1), size(t) - 7),
-        i => md5(array_join(slice(t, i, lit(8)), " "))))
-      .otherwise(array().cast("array<string>"))
-    // fanOut: the md5-per-8-gram stage is the cost of this query and a
-    // single-row-group scan runs it on one core (guide §2.5).
-    val grams = Tables.fanOut(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("lang"), explode(gramHashes).as("g"))
+    val grams = gramRows(spark, dir) // hash-once kernel, see gramRows
     val bench = grams.filter(col("doc_id") % 50 === 0).select(col("g")).distinct()
     val train = grams.filter(col("doc_id") % 50 =!= 0)
       .select(col("doc_id"), col("lang"), col("g"))
@@ -132,14 +159,7 @@ object PipelineQueries {
       |FROM train JOIN bench USING (g)
       |GROUP BY lang
       |ORDER BY lang""".stripMargin) { (spark, dir) =>
-    val t = toks
-    val gramHashes = when(size(t) >= 8,
-      transform(sequence(lit(1), size(t) - 7),
-        i => md5(array_join(slice(t, i, lit(8)), " "))))
-      .otherwise(array().cast("array<string>"))
-    // fanOut: same single-core md5 bottleneck as the exact twin.
-    val grams = Tables.fanOut(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("lang"), explode(gramHashes).as("g"))
+    val grams = gramRows(spark, dir) // hash-once kernel, see gramRows
     // Persisted: three consumers (the sizing count, the Bloom build,
     // the exact-verify broadcast join) would each re-tokenize and
     // re-hash the whole bench slice otherwise — tripling the most

@@ -441,12 +441,21 @@ object SimilarityQueries {
     * crash-vs-empty divergence).
     */
   private[graft] def bigramsOf(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val t = split(text, " ")
-    when(size(t) >= 2,
+    // HASH-ONCE kernel: each token is xxhash64'd exactly once, then a
+    // bigram key is xxhash64 over the two token LONGS — vs building a
+    // concat STRING per bigram (token bytes re-read and re-hashed per
+    // window position, plus a string allocation per shingle). Equality
+    // semantics are unchanged modulo xxhash64 collisions inside one
+    // doc-pair's union (~1e-15, deterministic — the trigramCte oracle
+    // argument), which is already the license every hashed-shingle row
+    // here relies on. The token-hash array is the lambda ARGUMENT, so
+    // split+hash evaluate once per row, not per element.
+    val h = transform(split(text, " "), tok => xxhash64(tok))
+    when(size(h) >= 2,
       transform(
-        sequence(lit(1), size(t) - 1),
-        i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
-      .otherwise(typedLit(Array.empty[String]))
+        sequence(lit(1), size(h) - 1),
+        i => xxhash64(element_at(h, i), element_at(h, i + 1))))
+      .otherwise(typedLit(Array.empty[Long]))
   }
 
   private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
@@ -469,8 +478,16 @@ object SimilarityQueries {
     // whole near-dup family and a single-row-group scan runs it on one
     // core (guide §2.5); the persisted stages below then carry the
     // rebalanced partitioning to every consumer.
+    // HASH-ONCE: the persisted token stage stores xxhash64(token) LONGS,
+    // not token strings — each token's bytes are hashed exactly once,
+    // and a trigram key is then xxhash64 over three longs (24 fixed
+    // bytes) instead of three string re-hashes per window position. The
+    // persisted stage also shrinks (8 B/token vs string bytes). Equality
+    // semantics are unchanged modulo in-pair xxhash64 collisions — the
+    // same ~1e-15 license trigramCte documents for the string-hash form.
     val toks = Tables.fanOut(docs)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        transform(split(col("text"), " "), tok => xxhash64(tok)).as("t"))
       .persist()
     toks
       .select(col("doc_id"),

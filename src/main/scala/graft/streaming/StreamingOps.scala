@@ -126,6 +126,14 @@ object StreamingOps {
     */
   val StatePartitions = 4
 
+  /** Conf override for [[StatePartitions]] — the stateful workload's
+    * parallelism knob (a real deployment sizes this to its state
+    * volume, not the relational shuffle default, which is why it is a
+    * separate conf at all).
+    */
+  private def statePartitions(spark: SparkSession): String =
+    spark.conf.get("spark.graft.streaming.statePartitions", StatePartitions.toString)
+
   def runToBatch(
       spark: SparkSession,
       sdf: DataFrame,
@@ -136,7 +144,7 @@ object StreamingOps {
     // Default 100 retained state snapshots is recovery-window tuning a
     // bounded replay doesn't need.
     spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
-    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions(spark))
     try {
       sdf.writeStream
         .format("memory")
@@ -155,6 +163,9 @@ object StreamingOps {
     // Materialize off the sink and drop it: the memory sink holds the
     // full result on the driver, and leaked sink tables from a batch of
     // streaming queries degrade later queries in the same session.
+    // (r21 measured a LocalRelation lift of the sink rows instead —
+    // fewer jobs on paper, but two st-family A/Bs showed no win, so the
+    // checkpointed form stays.)
     val out = spark.table(name).localCheckpoint()
     spark.catalog.dropTempView(name)
     out
@@ -174,7 +185,7 @@ object StreamingOps {
       f: (DataFrame, Long) => Unit): Unit = {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
-    spark.conf.set("spark.sql.shuffle.partitions", StatePartitions.toString)
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions(spark))
     try {
       sdf.writeStream
         .outputMode("append")
