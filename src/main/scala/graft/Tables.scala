@@ -36,7 +36,13 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
     val f = new java.io.File(path)
-    val key = s"$path:${f.length}:${f.lastModified}"
+    // Schema-affecting session conf folded into the key: events.ts
+    // infers as LongType only under nanosAsLong, so a cache shared
+    // between sessions with different flag values must not cross-serve
+    // (benign today because events() always sets the flag first, but
+    // the cache must not depend on caller ordering).
+    val nanosFlag = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val key = s"$path:${f.length}:${f.lastModified}:$nanosFlag"
     var schema = schemaCache.get(key)
     if (schema == null) {
       schema = spark.read.parquet(path).schema
@@ -90,6 +96,14 @@ object Tables {
     * ONLY where per-row work dominates one narrow-row shuffle and the
     * consumer is an aggregate/join (row order free), so redistribution
     * cannot change results.
+    *
+    * PRECONDITION: `df` must be SCAN-ROOTED (a table/parquet read plus
+    * row-local projections/filters, or a persisted scan) — the
+    * partition probe below reads `df.rdd`, which compiles the physical
+    * plan, and under AQE that EXECUTES any shuffle stages beneath it as
+    * real jobs whose results are then discarded (repartition builds a
+    * new plan). Every current call site is scan-rooted; do not apply
+    * this to a frame with exchanges below it.
     */
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism

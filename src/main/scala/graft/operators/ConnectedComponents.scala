@@ -26,47 +26,39 @@ object ConnectedComponents {
   /** edges: two numeric columns (i, j). Returns (v, component) where
     * component = min vertex id reachable from v.
     *
-    * ADAPTIVE strategy, decided from one cheap count: below
-    * `smallGraphThreshold` edges the whole graph union-finds inside a
-    * single EXECUTOR task (one job, zero iterations) — near-dup edge
-    * sets are typically tiny relative to the corpus, and 4–6 iterative
-    * shuffle rounds over a few thousand edges is pure scheduling
-    * overhead. Above it, the iterative label-propagation path scales
-    * to graphs no single task can hold. Both paths compute the same
-    * min-label fixpoint (equivalence property-tested in OperatorSpec).
+    * ADAPTIVE strategy, decided from one BOUNDED probe: a
+    * `limit(threshold + 1).collect()` executes the edge pipeline once
+    * and caps driver exposure at threshold+1 rows (two longs each —
+    * ~1.6 MB at the default threshold, the same bounded-driver-collect
+    * license as the ANN probe ids). When the whole edge list fits the
+    * probe, the graph union-finds ON THE DRIVER and the result returns
+    * as a LocalRelation — zero further jobs, zero shuffles, vs the
+    * previous small path's persist + count job + one-task repartition +
+    * localCheckpoint (three extra driver-latency jobs and a cache
+    * round-trip to move a few thousand edges). Near-dup edge sets are
+    * typically tiny relative to the corpus, so this is the steady
+    * state. Above the threshold the iterative label-propagation path
+    * scales to graphs no single process can hold (the probe's partial
+    * pass is the price of finding out — bounded by the threshold, and
+    * amortized against the rounds such a graph pays anyway). Both
+    * paths compute the same min-label fixpoint (equivalence
+    * property-tested in OperatorSpec).
     */
   def run(
       edges: DataFrame, maxIter: Int = 20,
       smallGraphThreshold: Long = 100000): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     // Both paths cast endpoints to long up front, so the OUTPUT schema
     // is (v: bigint, component: bigint) regardless of which path the
     // edge count selects — a consumer must not see its types flip when
     // data crosses the threshold.
     val symIn = edges.toDF("i", "j")
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
-      .persist()
-    val nEdges = symIn.count()
-    // Each path MATERIALIZES its result (runLocal's localCheckpoint /
-    // the iterative rounds' checkpoints) before this unpersist — a
-    // lazy result here would silently recompute the whole upstream
-    // edge pipeline at the caller's first action.
-    val out =
-      if (nEdges <= smallGraphThreshold) runLocal(symIn)
-      else runIterative(symIn, maxIter)
-    symIn.unpersist()
-    out
-  }
-
-  /** Single-task union-find (path halving + union by min label). The
-    * edge list rides ONE shuffle to one task; output is (v, component)
-    * for every endpoint. Memory = O(vertices) in that task — gated by
-    * the caller's edge-count check.
-    */
-  private def runLocal(sym: DataFrame): DataFrame = {
-    val spark = sym.sparkSession
-    import spark.implicits._
-    val ds = sym.select(col("i"), col("j")).as[(Long, Long)]
-    ds.repartition(1).mapPartitions { it =>
+    val cap = math.min(smallGraphThreshold, (Int.MaxValue - 1).toLong).toInt
+    val probe = symIn.limit(cap + 1).as[(Long, Long)].collect()
+    if (probe.length <= cap) {
+      // Driver union-find (path halving + union by min label).
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -77,7 +69,7 @@ object ConnectedComponents {
         r
       }
       def add(x: Long): Unit = if (!parent.containsKey(x)) parent.put(x, x)
-      it.foreach { case (i, j) =>
+      probe.foreach { case (i, j) =>
         add(i); add(j)
         val (ri, rj) = (find(i), find(j))
         // union by MIN label: the root IS the component id
@@ -85,11 +77,17 @@ object ConnectedComponents {
       }
       val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       parent.keySet().forEach(v => res += ((v, find(v))))
-      res.iterator
-    }.toDF("v", "component")
-      // Materialize before run() unpersists the edge cache the plan
-      // reads — see run().
-      .localCheckpoint()
+      res.toSeq.toDF("v", "component")
+    } else {
+      val sym = symIn.persist()
+      // runIterative MATERIALIZES its result (per-round checkpoints)
+      // before this unpersist — a lazy result here would silently
+      // recompute the whole upstream edge pipeline at the caller's
+      // first action.
+      val out = runIterative(sym, maxIter)
+      sym.unpersist()
+      out
+    }
   }
 
   private def runIterative(edges: DataFrame, maxIter: Int): DataFrame = {

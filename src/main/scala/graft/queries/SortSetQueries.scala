@@ -234,13 +234,23 @@ object SortSetQueries {
     // above), every per-level exchange would otherwise run at the
     // relational default (cores) — 32-task shuffles over frontier-sized
     // data, ~950 tasks per invocation at ~15 levels (measured: 2.82 s →
-    // 2.23 s at 4 partitions, identical plans otherwise). The frontier
-    // is bounded (≤ 2× the previous level), so this tracks the
-    // recursion's OWN volume, not the session default; a deployment
-    // with truly large frontiers raises it (or re-enables AQE, whose
-    // per-level replan cost is amortized by real data) via this conf.
+    // 2.23 s at 4 partitions, identical plans otherwise; 1 and 2
+    // partitions measured the same as 4, so 4 is not a binding floor).
+    // The DEFAULT is derived from the recursion's base-table size
+    // rather than a constant: the frontier is bounded by the base table
+    // (each level ≤ 2× the previous, all levels ⊆ customer), so
+    // bytes/64 MB capped at the cluster's parallelism tracks the
+    // frontier's worst case at any scale — at bench SF it resolves to
+    // the measured-best 4, at a 100 TB base it approaches the core
+    // count instead of serializing the frontier through 4 tasks. The
+    // conf still overrides for deployments that know their frontier.
+    val derived = {
+      val baseBytes = new java.io.File(s"$dir/customer.parquet").length
+      math.max(4L, math.min(s.sparkContext.defaultParallelism.toLong,
+        baseBytes / (64L << 20) + 1))
+    }
     s.conf.set("spark.sql.shuffle.partitions",
-      s.conf.get("spark.graft.recursion.shufflePartitions", "4"))
+      s.conf.get("spark.graft.recursion.shufflePartitions", derived.toString))
     Tables.customer(s, dir).createOrReplaceTempView("customer")
     // BROADCAST(t): the frontier (≤ 2× the previous level) is always
     // the small side, but the UnionLoopRef has no stats, so without

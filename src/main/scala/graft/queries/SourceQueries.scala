@@ -2194,9 +2194,18 @@ object SourceQueries {
     * query was never the demonstrated cost model.
     */
   private def ensureBucketPair(spark: SparkSession, dir: String): Unit = {
-    if (x5kReady.get() == dir) return
+    // Keyed on (dir, size, mtime) of BOTH source parquets — the
+    // Tables.table / StreamingOps invalidation discipline: a dir-only
+    // key would silently serve stale bucketed rows to a fresh oracle
+    // after testdata regeneration in a long-lived JVM.
+    def fixtureKey: String = Seq("lineitem", "orders").map { n =>
+      val f = new java.io.File(s"$dir/$n.parquet")
+      s"$dir/$n:${f.length}:${f.lastModified}"
+    }.mkString("|")
+    val key = fixtureKey
+    if (x5kReady.get() == key) return
     x5kReady.synchronized {
-      if (x5kReady.get() == dir) return
+      if (x5kReady.get() == key) return
       Tables.lineitem(spark, dir).createOrReplaceTempView("x5k_lineitem_src")
       Tables.orders(spark, dir).createOrReplaceTempView("x5k_orders_src")
       spark.sql("DROP TABLE IF EXISTS graft.demo.li_b")
@@ -2217,7 +2226,7 @@ object SourceQueries {
         """INSERT INTO graft.demo.ord_b
           |SELECT CAST(o_orderkey AS BIGINT), o_orderstatus, o_orderpriority
           |FROM x5k_orders_src""".stripMargin)
-      x5kReady.set(dir)
+      x5kReady.set(key)
     }
   }
 

@@ -19,6 +19,27 @@ import org.apache.spark.sql.Encoders
   */
 object StreamingQueries {
 
+  /** Resolve one CDC micro-batch (st16's apply) into a key-unique MERGE
+    * source `(k, seg, bal, is_del)`: the struct max over the key's
+    * upsert-side rows (insert / update_postimage) is its new image; a
+    * key whose group saw NO upsert-side row — a plain delete, or an
+    * update_preimage whose key no postimage re-asserts (a key-CHANGING
+    * update moves the row) — resolves to a delete (null image,
+    * is_del). One aggregation, one exchange; replaces the previous
+    * ups / except(dels) / union pipeline (two distinct aggregates + an
+    * anti join) with identical resolution semantics — pinned by the
+    * "st16 CDC apply resolution" unit test.
+    */
+  private[graft] def cdcMergeSource(batch: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    batch
+      .select(col("k"), col("seg"), col("bal"),
+        col("_change_type").isin("insert", "update_postimage").as("up"))
+      .groupBy(col("k"))
+      .agg(max(when(col("up"), struct(col("seg"), col("bal")))).as("s"))
+      .select(col("k"), col("s.seg").as("seg"), col("s.bal").as("bal"),
+        col("s").isNull.as("is_del"))
+
   /** ST1+ST2: watermarked tumbling-window aggregate, complete mode.
     * 1-hour windows are epoch-aligned ⇒ oracle is date_trunc('hour').
     */
@@ -734,28 +755,23 @@ object StreamingQueries {
       // side of the batch — a 'delete' row, or an update_preimage
       // whose key no postimage re-asserts (a key-CHANGING update moves
       // the row: old key must leave the replica) — is a real delete.
-      // The same except-collapse also guards the unpaired
-      // delete+insert fallback a provenance-less rewrite emits.
-      val ups = batch
-        .filter(col("_change_type").isin("insert", "update_postimage"))
-        .select("k", "seg", "bal")
-      val dels = batch
-        .filter(col("_change_type").isin("delete", "update_preimage"))
-        .select("k")
-        .except(ups.select("k"))
-      // ONE MERGE per epoch, not an upsert MERGE + a delete MERGE: the
-      // union carries an is_del flag and conditional WHEN clauses route
-      // each key (the except above guarantees a key appears once in the
-      // source). One commit per epoch is both cheaper and the sharper
-      // exactly-once shape — the epoch's effect is a single atomic
-      // snapshot, so replay-after-crash can never observe (and never
-      // re-apply from) a half-applied epoch.
+      // ONE aggregation resolves the whole batch per key: the struct
+      // max over upsert-side rows is that key's new image, and a key
+      // whose group saw no upsert-side row (null max) is a delete —
+      // this replaces the previous ups/except(dels)/union pipeline
+      // (two distinct aggregates + an anti join + a union feeding the
+      // MERGE) with one exchange, same key-once guarantee, and also
+      // still collapses the unpaired delete+insert fallback a
+      // provenance-less rewrite emits.
       val s = batch.sparkSession
-      ups.withColumn("is_del", org.apache.spark.sql.functions.lit(false))
-        .unionByName(dels.select(col("k"),
-          org.apache.spark.sql.functions.lit(null).cast("string").as("seg"),
-          org.apache.spark.sql.functions.lit(null).cast("double").as("bal"),
-          org.apache.spark.sql.functions.lit(true).as("is_del")))
+      // ONE MERGE per epoch, not an upsert MERGE + a delete MERGE:
+      // is_del routes each key through conditional WHEN clauses (the
+      // groupBy inside cdcMergeSource guarantees a key appears once in
+      // the source). One commit per epoch is both cheaper and the
+      // sharper exactly-once shape — the epoch's effect is a single
+      // atomic snapshot, so replay-after-crash can never observe (and
+      // never re-apply from) a half-applied epoch.
+      StreamingQueries.cdcMergeSource(batch)
         .createOrReplaceTempView("st16_changes")
       s.sql(
         """MERGE INTO graft.stream.replica16 t USING st16_changes s ON t.k = s.k

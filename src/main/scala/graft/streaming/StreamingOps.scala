@@ -40,7 +40,10 @@ object StreamingOps {
     // discipline); the key invalidates when the staged copy is
     // refreshed after testdata regeneration.
     val f = java.nio.file.Paths.get(stagedDir, "events.parquet").toFile
-    val key = s"$stagedDir:${f.length}:${f.lastModified}"
+    // nanosAsLong folded into the key (the Tables.table discipline):
+    // the inferred type of events.ts depends on it.
+    val nanosFlag = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val key = s"$stagedDir:${f.length}:${f.lastModified}:$nanosFlag"
     var schema = schemaCache.get(key)
     if (schema == null) {
       schema = spark.read.parquet(stagedDir).schema

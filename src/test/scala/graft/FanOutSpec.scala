@@ -16,6 +16,10 @@ class FanOutSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   test("fanOut rebalances a single-split scan to defaultParallelism") {
+    // On a 1-core runner defaultParallelism == 1 makes fanOut an
+    // identity by design — the rebalance assertion is vacuous there.
+    assume(spark.sparkContext.defaultParallelism > 1,
+      "fanOut is an identity at defaultParallelism == 1")
     val docs = Tables.documents(spark, dir) // one row group → 1 partition
     assert(docs.rdd.getNumPartitions < spark.sparkContext.defaultParallelism)
     val fanned = Tables.fanOut(docs)

@@ -44,13 +44,35 @@ class PlanLintSpec extends AnyFunSuite {
   private val wideCols = Set("text", "embedding")
 
   /** A wide column is banned in any exchange EXCEPT a source-adjacent
-    * round-robin rebalance (see wideShuffleOk doc).
+    * round-robin rebalance (see wideShuffleOk doc). "Source-adjacent"
+    * is checked STRUCTURALLY: the exchange's child subtree may contain
+    * only scans and row-local operators (filter/project/generate), not
+    * merely "no exchange below" — a round-robin repartition of text
+    * above a broadcast join or heavy compute is NOT the fanOut shape
+    * this whitelists, even though it too has no exchange beneath it.
     */
   private def bannedWideShuffle(s: ShuffleExchangeExec): Boolean = {
+    import org.apache.spark.sql.execution._
+    def scanRooted(p: SparkPlan): Boolean = p match {
+      case _: FileSourceScanExec => true
+      case _: datasources.v2.BatchScanExec => true
+      case _: columnar.InMemoryTableScanExec => true // persisted scan stage
+      case f: FilterExec => scanRooted(f.child)
+      case pr: ProjectExec => scanRooted(pr.child)
+      case g: GenerateExec => scanRooted(g.child)
+      case w: WholeStageCodegenExec => scanRooted(w.child)
+      case i: InputAdapter => scanRooted(i.child)
+      case c: ColumnarToRowExec => scanRooted(c.child)
+      // A union of scan-rooted branches is still row-local (the
+      // planted-copy fixtures union the corpus with a projected slice
+      // of itself before the fanOut).
+      case u: UnionExec => u.children.forall(scanRooted)
+      case _ => false
+    }
     val rebalanceOffSource =
       s.outputPartitioning.isInstanceOf[
         org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning] &&
-        s.child.collect { case e: ShuffleExchangeExec => e }.isEmpty
+        scanRooted(s.child)
     s.output.exists(a => wideCols(a.name)) && !rebalanceOffSource
   }
 

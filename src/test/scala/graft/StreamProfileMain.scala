@@ -36,6 +36,22 @@ object StreamProfileMain {
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
         println(s"[stream] END ${e.id}")
     })
+    // Per-job trace (GRAFT_JOBS=1): job id, duration, task count, and
+    // the first line of the call site / description — attributes each
+    // of a driver-bound row's jobs to the statement that ran it.
+    if (sys.env.get("GRAFT_JOBS").contains("1"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          t0.put(j.jobId, System.nanoTime())
+          val desc = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+          println(s"[job] start ${j.jobId} stages=${j.stageIds.length} $desc")
+        }
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val ms = Option(t0.get(j.jobId)).map(t => (System.nanoTime() - t) / 1e6).getOrElse(-1.0)
+          println(f"[job] end   ${j.jobId} ${ms}%.0fms")
+        }
+      })
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     args.foreach { name =>
       println(s"[stream] ==== $name ====")

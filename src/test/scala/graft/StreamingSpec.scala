@@ -18,6 +18,36 @@ class StreamingSpec extends AnyFunSuite {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
 
+  test("st16 CDC apply resolution: one-pass merge source matches CDC semantics") {
+    // Every resolution class in one batch: plain insert (k=1), paired
+    // update (k=2: pre+post -> postimage wins), plain delete (k=3),
+    // key-CHANGING update (k=4 preimage only -> delete; k=5 postimage
+    // only -> upsert), and the provenance-less rewrite's unpaired
+    // delete+insert of the SAME key (k=6 -> net upsert, never a
+    // delete). The one-aggregation form must resolve each key exactly
+    // once, identically to the ups/except/union pipeline it replaced.
+    val batch = Seq(
+      (1L, "A", 10.0, "insert"),
+      (2L, "B", 20.0, "update_preimage"),
+      (2L, "B", 25.0, "update_postimage"),
+      (3L, "C", 30.0, "delete"),
+      (4L, "D", 40.0, "update_preimage"),
+      (5L, "E", 55.0, "update_postimage"),
+      (6L, "F", 60.0, "delete"),
+      (6L, "F", 66.0, "insert")
+    ).toDF("k", "seg", "bal", "_change_type")
+    val got = graft.queries.StreamingQueries.cdcMergeSource(batch)
+      .as[(Long, Option[String], Option[Double], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((Some("A"), Some(10.0), false)),
+      2L -> ((Some("B"), Some(25.0), false)),
+      3L -> ((None, None, true)),
+      4L -> ((None, None, true)),
+      5L -> ((Some("E"), Some(55.0), false)),
+      6L -> ((Some("F"), Some(66.0), false))))
+  }
+
   test("ST9: rows older than the watermark are dropped (append window agg)") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Double)]
