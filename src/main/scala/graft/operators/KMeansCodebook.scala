@@ -56,12 +56,40 @@ object KMeansCodebook {
     * lowest-id vectors — deterministic, and exactly the previous sampled
     * codebook, so iters = 0 reproduces the old behavior.
     */
+  /** Run `body` (the training loop — its per-round localCheckpoints
+    * execute eagerly inside this window) with AQE off and a small fixed
+    * shuffle width, both restored after. Why this is right at ANY
+    * scale, not a local-mode twiddle (the u6 recursion discipline):
+    * every shuffle inside training REDUCES to a bounded domain — the
+    * update aggregations key on (list, dim) / (subspace, list, dim),
+    * ≤ k·dim / m·ks·sub rows — so a handful of reduce partitions covers
+    * them at 100 TB exactly as here, while AQE's per-stage query jobs
+    * and re-optimization added 2–3 driver round-trips per Lloyd round
+    * for plans whose shape never changes (the map side — the corpus
+    * scan — is not affected by either conf). Codebook floats are
+    * unchanged: assignment is per-row, and the update's partial-merge
+    * structure is set by the INPUT partitioning (untouched), not the
+    * reduce width.
+    */
+  private def withTrainingConfs[T](spark: SparkSession)(body: => T): T = {
+    val pairs = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" ->
+        spark.conf.get("spark.graft.annTrain.shufflePartitions", "4"))
+    val saved = pairs.map { case (key, _) => key -> spark.conf.getOption(key) }
+    pairs.foreach { case (key, v) => spark.conf.set(key, v) }
+    try body finally saved.foreach {
+      case (key, Some(v)) => spark.conf.set(key, v)
+      case (key, None) => spark.conf.unset(key)
+    }
+  }
+
   def train(
       e: DataFrame,
       k: Int,
       iters: Int,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding"): DataFrame = withTrainingConfs(e.sparkSession) {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
     val spark = e.sparkSession
     val seeds = e.orderBy(col(idCol)).limit(k)
@@ -140,7 +168,8 @@ object KMeansCodebook {
     */
   def trainSubspaces(
       e: DataFrame, m: Int, sub: Int, ks: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = withTrainingConfs(e.sparkSession) {
     require(m > 0 && sub > 0 && ks > 0 && iters >= 0,
       s"need m, sub, ks > 0 and iters >= 0; got m=$m sub=$sub ks=$ks iters=$iters")
     val spark = e.sparkSession
